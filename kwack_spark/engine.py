@@ -1,0 +1,127 @@
+"""KwackSpark — the engine facade, mirroring the reference's lifecycle
+(KwackEngine.java: configure -> init -> start/query) on a SparkSession.
+
+Reference parity (SURVEY.md §3.3):
+    engine = KwackSpark(config); engine.init(); engine.sql("SELECT ...")
+maps kwack's  configure(KwackConfig) -> init() -> start()/Observable rows.
+
+- ``init()`` resolves sources (parquet dirs today; Kafka topics via
+  sources/kafka.py when a broker is configured) and registers one temp view
+  per table/topic (KwackEngine.java:587-648's CREATE TABLE equivalent).
+- ``sql()`` delegates the query string verbatim to Spark SQL — exactly the
+  reference's delegation posture (KwackEngine.java:232), with Catalyst in
+  place of DuckDB.
+- ``query_json()`` streams rows as JSON strings (KwackEngine.java:244-252's
+  toJson surface; binary -> base64 matches Spark's JSON encoding).
+- ``copy_to()`` implements the reference's documented `COPY <sql> TO <file>`
+  usage (README.md:119-123) as df.write.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kwack_spark.session import get_session
+from kwack_spark.sources.parquet import register_views
+
+
+@dataclass
+class KwackConfig:
+    """Subset of the reference's config surface that applies Spark-side
+    (KwackConfig.java; serde grammar handled in kwack_spark/config.py)."""
+
+    parquet_dir: str | None = None
+    kafka_bootstrap: str | None = None
+    topics: list[str] = field(default_factory=list)
+    topic_serdes: dict[str, str] = field(default_factory=dict)
+    starting_offsets: str = "earliest"
+    row_attributes: tuple[str, ...] = ("rowkey", "ksi", "vsi", "par", "off", "ts", "hdr")
+    streaming: bool = False
+    spark_conf: dict[str, str] = field(default_factory=dict)
+
+
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+\((?P<query>.+)\)\s+TO\s+'(?P<path>[^']+)'"
+    r"(?:\s*\(\s*FORMAT\s+'?(?P<fmt>\w+)'?\s*\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+class KwackSpark:
+    def __init__(self, config: KwackConfig | None = None, spark: SparkSession | None = None):
+        self.config = config or KwackConfig()
+        self.spark = spark or get_session(extra_conf=self.config.spark_conf)
+        self._initialized = False
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def init(self) -> "KwackSpark":
+        """Resolve sources and register views (reference init(),
+        KwackEngine.java:181-224)."""
+        if self.config.parquet_dir:
+            register_views(self.spark, self.config.parquet_dir)
+        if self.config.kafka_bootstrap:
+            from kwack_spark.sources.kafka import register_topics
+
+            register_topics(
+                self.spark,
+                bootstrap=self.config.kafka_bootstrap,
+                topics=self.config.topics,
+                serdes=self.config.topic_serdes,
+                starting_offsets=self.config.starting_offsets,
+                streaming=self.config.streaming,
+                row_attributes=self.config.row_attributes,
+            )
+        self._initialized = True
+        return self
+
+    # -- query surface -------------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL verbatim (the reference's whole query surface,
+        KwackEngine.java:232), plus a shim for DuckDB-style COPY ... TO."""
+        m = _COPY_RE.match(query)
+        if m:
+            return self.copy_to(m["query"], m["path"], (m["fmt"] or "parquet").lower())
+        return self.spark.sql(query)
+
+    def query_json(self, query: str) -> Iterator[str]:
+        """One JSON object per row, the reference's -q output mode
+        (KwackMain.java:157-164)."""
+        yield from self.sql(query).toJSON().toLocalIterator()
+
+    def copy_to(self, query: str, path: str, fmt: str = "parquet") -> DataFrame:
+        df = self.spark.sql(query)
+        writer = df.write.mode("overwrite")
+        if fmt in ("parquet",):
+            writer.parquet(path)
+        elif fmt in ("csv",):
+            writer.option("header", "true").csv(path)
+        elif fmt in ("json",):
+            writer.json(path)
+        else:
+            raise ValueError(f"unsupported COPY format: {fmt}")
+        return df
+
+    def repl(self) -> None:  # pragma: no cover - interactive
+        """Minimal sqlline equivalent (KwackApplication.java:9-35)."""
+        while True:
+            try:
+                line = input("kwack-spark> ").strip()
+            except (EOFError, KeyboardInterrupt):
+                break
+            if line.lower() in ("exit", "quit", "!q"):
+                break
+            if not line:
+                continue
+            try:
+                self.sql(line).show(100, truncate=120)
+            except Exception as exc:  # surface, keep REPL alive
+                print(f"error: {exc}")
+
+    def stop(self) -> None:
+        self.spark.stop()

@@ -1,0 +1,121 @@
+"""Text-analysis column expressions for large-scale training-data pipelines.
+
+All pure built-in column expressions (JVM-side, codegen'd) — tokenization,
+shingling, MinHash, SimHash, quality metrics, language-ID heuristics.  Hashes
+use md5 (available and bit-identical in Spark and DuckDB, which keeps every
+operator oracle-checkable).  At 100 TB these run embarrassingly parallel over
+parquet partitions: no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny multilingual stopword sets for the language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": (),  # no latin markers — falls through to 'und'
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def normalize(col) -> Column:
+    """Lowercase and strip everything but [a-z ] — the canonical form used by
+    every dedup/fingerprint operator (must match the oracle's regex)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(c), "[^a-z ]", "")
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of the normalized text, empties removed."""
+    return F.filter(F.split(normalize(col), " "), lambda t: F.length(t) > 0)
+
+
+def token_set(col) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def shingles(tok_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles: ['a','b','c','d'] -> ['a b c','b c d'] (n=3).
+    Built with sequence+transform+slice — no UDF, no explode."""
+    return F.when(
+        F.size(tok_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok_col) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tok_col)))
+
+
+def minhash(shingle_col: Column, seed: int) -> Column:
+    """One MinHash value: lexicographic min of md5(seed:shingle).
+    md5 is identical across engines, so signatures are oracle-checkable."""
+    return F.array_min(
+        F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    )
+
+
+def minhash_signature(shingle_col: Column, k: int = 8) -> list[Column]:
+    return [minhash(shingle_col, i).alias(f"mh{i}") for i in range(k)]
+
+
+def simhash_bits(tok_col: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint as a bit-string: bit i is 1 iff the majority of
+    tokens have the high bit of md5 nibble i set (nibble in 89abcdef)."""
+    n = F.size(tok_col)
+
+    def bit(i: int) -> Column:
+        set_count = F.size(
+            F.filter(
+                tok_col,
+                lambda t: F.substring(F.md5(t), i + 1, 1).isin(
+                    "8", "9", "a", "b", "c", "d", "e", "f"
+                ),
+            )
+        )
+        return F.when(set_count * 2 >= n, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[bit(i) for i in range(bits)])
+
+
+def punct_ratio(col) -> Column:
+    """Share of characters that are not [a-z ] after lowercasing."""
+    c = F.col(col) if isinstance(col, str) else col
+    lc = F.lower(c)
+    return (F.length(lc) - F.length(F.regexp_replace(lc, "[^a-z ]", ""))) / F.length(lc)
+
+
+def stopword_ratio(col) -> Column:
+    toks = tokens(col)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return stop / F.size(toks)
+
+
+def lang_id(col) -> Column:
+    """N-gram/stopword heuristic language ID over the marker table.
+    Deterministic argmax with fixed tie order (en,de,es,fr) -> 'und'."""
+    toks = token_set(col)
+
+    def marker_score(markers: tuple[str, ...]) -> Column:
+        # closure factory — a default-arg lambda would make F.filter pass the
+        # element *index* as the second parameter
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scored = [
+        (lang, marker_score(markers))
+        for lang, markers in LANG_MARKERS.items()
+        if markers
+    ]
+    best = scored[0][1]
+    for _, score in scored[1:]:
+        best = F.greatest(best, score)
+    # argmax: first language (in declaration order) achieving the max
+    result = F.lit("und")
+    for lang, score in reversed(scored):
+        result = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(result)
+    return result

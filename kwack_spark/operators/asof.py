@@ -1,0 +1,68 @@
+"""As-of join (time-nearest, backward) — DuckDB has ASOF JOIN natively
+(SURVEY.md §2.B flags it as the one relational gap); Spark does not.
+
+Implementation is the union-merge pattern, NOT a range cross-join:
+
+    union(left tagged 1, right tagged 0)
+      -> window partitionBy(key) orderBy(ts, side)   [one shuffle on key]
+      -> last(right_value, ignoreNulls) over rows unboundedPreceding..current
+      -> keep left rows
+
+Cost is a single shuffle + sort per key group — linear in |L|+|R| per key,
+versus the quadratic blow-up of `L.join(R, R.ts <= L.ts)` + argmax.  This is
+the plan that survives 100× scale-up: skewed keys are split by AQE, and no
+row ever fans out.
+
+Tie semantics: right rows sort before left at equal ts => backward-inclusive
+(matches DuckDB ASOF JOIN's l.ts >= r.ts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    left_vals: list[str],
+) -> DataFrame:
+    """For each left row, attach the most recent right row (same key,
+    right_ts <= left_ts).  right must be unique per (key, right_ts)."""
+    r = right.select(
+        F.col(key).alias("k"),
+        F.col(right_ts).alias("t"),
+        F.lit(0).alias("side"),
+        *[F.col(c).alias(f"r_{c}") for c in right_vals],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"l_{c}") for c in left_vals],
+    )
+    l = left.select(
+        F.col(key).alias("k"),
+        F.col(left_ts).alias("t"),
+        F.lit(1).alias("side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"r_{c}") for c in right_vals],
+        *[F.col(c).alias(f"l_{c}") for c in left_vals],
+    )
+    merged = r.unionByName(l)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = merged.select(
+        "k",
+        "t",
+        "side",
+        *[F.col(f"l_{c}") for c in left_vals],
+        *[
+            F.last(f"r_{c}", ignorenulls=True).over(w).alias(f"r_{c}")
+            for c in right_vals
+        ],
+    )
+    return filled.filter(F.col("side") == 1).drop("side")

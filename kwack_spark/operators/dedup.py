@@ -1,0 +1,137 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each a composition of built-in DataFrame ops (no UDFs):
+
+1. exact       — hash-groupBy on a canonical fingerprint.  One shuffle on the
+                 fingerprint; at 100 TB the md5 keys are uniformly distributed
+                 so no skew, and partial aggregation keeps the shuffle small.
+2. minhash-LSH — shingle -> k MinHash values -> band keys -> self-join per
+                 band bucket -> exact-Jaccard verify.  The self-join shuffles
+                 on the (tiny) band hash; candidate pairs << n², which is the
+                 whole point vs. the O(n²) naive compare.
+3. simhash     — bitwise-majority fingerprint; equal fingerprints = near-dups.
+                 Single narrow projection + one groupBy.
+4. n-gram Jaccard — exact set similarity for candidate pairs inside a blocking
+                 key (never run unblocked at scale).
+
+All hashing is md5 so each operator is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+from kwack_spark.functions import text as TX
+
+
+def exact_dedup_mapping(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Map every row to the canonical (min-id) row of its exact-duplicate
+    group, keyed on md5 of normalized text."""
+    h = F.md5(TX.normalize(text_col)).alias("fp")
+    fps = df.select(F.col(id_col), h)
+    canon = fps.groupBy("fp").agg(
+        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return fps.join(canon, "fp").select(id_col, "canonical_id", "group_size", "fp")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    toks = TX.tokens(text_col)
+    sh = TX.shingles(toks, shingle_n)
+    return df.select(F.col(id_col), *TX.minhash_signature(sh, k))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs whose signatures collide in >=1 band, verified with
+    exact shingle-set Jaccard >= threshold.
+
+    Scale shape: explode to (band_key, id) — shuffle on band_key; buckets are
+    small by construction, so the within-bucket self-join is cheap; the final
+    verify re-joins the shingle sets by id (broadcast if the candidate set is
+    small, shuffle otherwise — left to AQE).
+    """
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(id_col, *band_cols)
+    exploded = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{b}:"), F.col(f"band{b}"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    shingle_sets = df.select(
+        F.col(id_col),
+        F.array_distinct(TX.shingles(TX.tokens(text_col), shingle_n)).alias("sh"),
+    )
+    sa = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.cast("double").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), TX.simhash_bits(TX.tokens(text_col), bits).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact token-set Jaccard for all pairs sharing a blocking key.
+    The block join is an equi-join on block_col (shuffle), never a full n²."""
+    t = df.select(
+        F.col(id_col), F.col(block_col).alias("blk"), TX.token_set(text_col).alias("ts")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    jac = F.size(F.array_intersect("a.ts", "b.ts")) / F.size(F.array_union("a.ts", "b.ts"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.blk").alias("blk"),
+            jac.cast("double").alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,492 @@
+"""Training-data pipeline corpus: dedup, similarity search, text analysis,
+as-of joins, event-time windows, multimodal binary plumbing.
+
+These go beyond the reference's own operator set (SURVEY.md §2.C/§7.2 step 7)
+— they are the operations a 100 TB training-data pipeline needs.  Every
+operator hashes with md5 and folds doubles in fixed element order so a DuckDB
+oracle can verify it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kwack_spark.functions import text as TX
+from kwack_spark.functions import vectors as V
+from kwack_spark.operators import asof, dedup, similarity
+from kwack_spark.plans.registry import register
+from kwack_spark.plans.relational import T, dsum
+
+# --- shared DuckDB SQL fragments -------------------------------------------
+
+_NORM = "regexp_replace(lower({c}), '[^a-z ]', '', 'g')"
+_TOKS = f"list_filter(string_split({_NORM}, ' '), t -> len(t) > 0)"
+
+
+def _toks(c: str = "text") -> str:
+    return _TOKS.format(c=c)
+
+
+_SHINGLES = """
+    CASE WHEN len(tk) >= 3
+         THEN [array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk) - 2)]
+         ELSE [array_to_string(tk, ' ')] END
+"""
+
+
+def _mh_sql(seed: int) -> str:
+    return f"list_min(list_transform(sh, s -> md5('{seed}:' || s))) AS mh{seed}"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+        WITH fps AS (
+            SELECT doc_id, md5({_NORM.format(c='text')}) AS fp FROM documents
+        ),
+        canon AS (
+            SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
+            FROM fps GROUP BY fp
+        )
+        SELECT f.doc_id, c.canonical_id, c.group_size, f.fp
+        FROM fps f JOIN canon c USING (fp)
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup_mapping(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        sh AS (SELECT doc_id, ({_SHINGLES}) AS sh FROM toks)
+        SELECT doc_id, {", ".join(_mh_sql(i) for i in range(8))}
+        FROM sh
+    """,
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(T(spark, sf_dir, "documents"), "doc_id", "text", k=8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        shs AS (SELECT doc_id, ({_SHINGLES}) AS sh FROM toks),
+        sigs AS (
+            SELECT doc_id, {", ".join(_mh_sql(i) for i in range(8))} FROM shs
+        ),
+        banded AS (
+            SELECT doc_id,
+                   md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS band0,
+                   md5(concat_ws('|', mh4, mh5, mh6, mh7)) AS band1
+            FROM sigs
+        ),
+        exploded AS (
+            SELECT doc_id, unnest(['0:' || band0, '1:' || band1]) AS band_key FROM banded
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM exploded a JOIN exploded b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        ssets AS (SELECT doc_id, list_distinct(sh) AS s FROM shs)
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        FROM cand c
+        JOIN ssets x ON x.doc_id = c.id_a
+        JOIN ssets y ON y.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", k=8, bands=2, threshold=0.5
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    hexhi = "('8','9','a','b','c','d','e','f')"
+    parts = [
+        f"CASE WHEN 2 * len(list_filter(tk, t -> substr(md5(t), {i + 1}, 1) IN {hexhi})) >= len(tk) THEN '1' ELSE '0' END"
+        for i in range(bits)
+    ]
+    return " || ".join(parts)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents)
+        SELECT doc_id, {_simhash_sql(16)} AS simhash FROM toks
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_fingerprints(T(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang AS blk, list_distinct({_toks()}) AS ts FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.blk AS blk,
+               CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.ts, b.ts))) AS jaccard
+        FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.9
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", block_col="lang", threshold=0.9
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product(q.v, c.v)"
+    " / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"
+)
+
+
+@register(
+    "ann_brute_force_topk",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, {_COS} AS cosine
+            FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, corpus_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, corpus_id) AS rank
+            FROM pairs
+        )
+        SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+    tags=("similarity", "ann"),
+)
+def ann_brute_force_topk(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(e, e, "vec_id", "embedding", k=3)
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=None,  # xxhash64-derived hyperplanes are Spark-specific; rows-only
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_pairs(e, "vec_id", "embedding", planes=8, dim=64, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, n_chars, {_toks()} AS tk FROM documents)
+        SELECT doc_id,
+               len(tk) AS n_tokens,
+               n_chars,
+               CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
+               list_sum(list_transform(tk, t -> len(t))) AS total_tok_chars
+        FROM toks
+    """,
+    tags=("text",),
+)
+def text_token_stats(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    tk = TX.tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        "n_chars",
+        (F.size(F.array_distinct(tk)).cast("double") / F.size(tk)).alias("ttr"),
+        F.aggregate(
+            F.transform(tk, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        ).alias("total_tok_chars"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, text, {_toks()} AS tk,
+                   length(lower(text)) AS nc,
+                   length({_NORM.format(c='text')}) AS nn
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(tk) AS n_tokens,
+                   CAST(nc - nn AS DOUBLE) / nc AS punct_ratio,
+                   CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+                       / len(tk) AS stop_ratio
+            FROM base
+        )
+        SELECT doc_id, n_tokens, punct_ratio, stop_ratio,
+               CASE WHEN n_tokens >= 10 AND punct_ratio < 0.1 AND stop_ratio > 0.05 THEN 'good'
+                    WHEN n_tokens >= 5 THEN 'fair'
+                    ELSE 'poor' END AS quality
+        FROM m
+    """,
+    tags=("text", "quality"),
+)
+def text_quality(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    tk = TX.tokens("text")
+    base = d.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        TX.punct_ratio("text").alias("punct_ratio"),
+        TX.stopword_ratio("text").alias("stop_ratio"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "punct_ratio",
+        "stop_ratio",
+        F.when(
+            (F.col("n_tokens") >= 10)
+            & (F.col("punct_ratio") < 0.1)
+            & (F.col("stop_ratio") > 0.05),
+            "good",
+        )
+        .when(F.col("n_tokens") >= 5, "fair")
+        .otherwise("poor")
+        .alias("quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, list_distinct({_toks()}) AS ts FROM documents),
+        s AS (
+            SELECT doc_id, lang,
+                   len(list_filter(ts, t -> t IN ('the','a','of','and','to'))) AS s_en,
+                   len(list_filter(ts, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+                   len(list_filter(ts, t -> t IN ('el','la','de','que','y'))) AS s_es,
+                   len(list_filter(ts, t -> t IN ('le','la','et','les','des'))) AS s_fr
+            FROM t
+        )
+        SELECT doc_id, lang AS labeled_lang,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+                    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                    WHEN s_fr > 0 THEN 'fr'
+                    ELSE 'und' END AS pred_lang
+        FROM s
+    """,
+    tags=("text", "langid"),
+)
+def text_lang_id(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.lang_id("text").alias("pred_lang"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        sh AS (SELECT doc_id, ({_SHINGLES}) AS sh FROM toks)
+        SELECT s.doc_id,
+               md5({_NORM.format(c='d.text')}) AS full_md5,
+               list_min(list_transform(s.sh, x -> md5(x))) AS min_shingle_hash
+        FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+    """,
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprints(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    sh = TX.shingles(TX.tokens("text"), 3)
+    return d.select(
+        "doc_id",
+        F.md5(TX.normalize("text")).alias("full_md5"),
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("min_shingle_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join / event-time windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_purchase_attribution",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, ts, event_id FROM (
+                SELECT user_id, ts, event_id,
+                       row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click'
+            ) WHERE rn = 1
+        ),
+        purchases AS (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.user_id AS user_id, p.ts AS purchase_ts, p.event_id AS purchase_id,
+               c.event_id AS click_id, c.ts AS click_ts
+        FROM purchases p
+        ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("asof", "join"),
+)
+def asof_purchase_attribution(spark, sf_dir):
+    """Last-click attribution: DuckDB's native ASOF JOIN vs our union-merge
+    single-shuffle implementation (operators/asof.py)."""
+    e = T(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof.asof_join_backward(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_vals=["event_id", "ts"],
+        left_vals=["event_id"],
+    )
+    return out.select(
+        F.col("k").alias("user_id"),
+        F.col("t").alias("purchase_ts"),
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("r_ts").alias("click_ts"),
+    )
+
+
+@register(
+    "window_tumbling_hourly",
+    oracle=f"""
+        SELECT event_type,
+               date_trunc('hour', ts) AS window_start,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    tags=("window", "streaming-equivalent"),
+)
+def window_tumbling_hourly(spark, sf_dir):
+    """Tumbling event-time window — same F.window operator works unchanged in
+    Structured Streaming with a watermark (streaming/ingest.py)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "session_windows",
+    oracle="""
+        WITH m AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             < INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS new_s
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        )
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+    tags=("window", "session"),
+)
+def session_windows(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS content_md5,
+               hex(encode(substr(text, 1, 8))) AS head_hex
+        FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Opaque-binary column plumbing: documents' text re-encoded as a binary
+    payload column, with typed metadata extracted — the schema/partitioning
+    pattern for image/audio columns (decode itself is stubbed, see
+    operators/multimodal.py)."""
+    d = T(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_md5"),
+        F.hex(F.encode(F.substring("text", 1, 8), "UTF-8")).alias("head_hex"),
+    )

@@ -1,0 +1,848 @@
+"""Core relational operator corpus (SURVEY.md §2.B).
+
+The reference delegates this entire surface to DuckDB verbatim
+(KwackEngine.java:232); here each operator class is expressed with the Spark
+DataFrame API (or spark.sql for SQL-only surfaces like CTEs/subqueries) so
+Catalyst picks the physical plan.  Each query has a DuckDB oracle.
+
+Scale notes (local[32] correctness, 100 TB design):
+- Dimension tables (region/nation/supplier/part/customer) are broadcast — at
+  TPC-H-like scale they stay MBs while fact tables grow; `F.broadcast` makes
+  the intent explicit instead of relying on size estimation.
+- Fact-fact joins (orders x lineitem) shuffle on the join key; AQE handles
+  skew.  Aggregations are partial+final automatically (HashAggregate).
+- All aggregated doubles go through exact DECIMAL (order-independent) and are
+  cast back to double at the end; see registry.py docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kwack_spark.plans.registry import register
+from kwack_spark.sources.parquet import load_table, register_views
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def dec(c, p: int = 18, s: int = 2) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal({p},{s})")
+
+
+def dsum(c, alias: str, p: int = 18, s: int = 2) -> Column:
+    """Order-independent sum of a double column: exact decimal sum -> double."""
+    return F.sum(dec(c, p, s)).cast("double").alias(alias)
+
+
+def davg(c, alias: str, p: int = 18, s: int = 2) -> Column:
+    """avg = exact decimal sum cast to double, / count — deterministic."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (F.sum(dec(col, p, s)).cast("double") / F.count(col)).alias(alias)
+
+
+# SQL fragments for the DuckDB side of the same trick.
+def _dsum(expr: str, p: int = 18, s: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL({p},{s}))) AS DOUBLE)"
+
+
+def _davg(expr: str, p: int = 18, s: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL({p},{s}))) AS DOUBLE) / COUNT({expr})"
+
+
+# ---------------------------------------------------------------------------
+# Scan / project / filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_region",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tags=("scan",),
+)
+def scan_region(spark, sf_dir):
+    return T(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@register(
+    "projection_compute",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_brand) AS brand_uc,
+               p_retailprice * 0.9 AS discounted,
+               p_size + 10 AS size_plus,
+               CASE WHEN p_size > 25 THEN 'L' WHEN p_size > 10 THEN 'M' ELSE 'S' END AS size_class
+        FROM part
+    """,
+    tags=("project",),
+)
+def projection_compute(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        (F.col("p_retailprice") * 0.9).alias("discounted"),
+        (F.col("p_size") + 10).alias("size_plus"),
+        F.when(F.col("p_size") > 25, "L")
+        .when(F.col("p_size") > 10, "M")
+        .otherwise("S")
+        .alias("size_class"),
+    )
+
+
+@register(
+    "filter_predicates",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderstatus IN ('O', 'F')
+          AND o_totalprice BETWEEN 1000 AND 100000
+          AND o_orderpriority LIKE '%URGENT%'
+          AND o_custkey IS NOT NULL
+    """,
+    tags=("filter",),
+)
+def filter_predicates(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(1000, 100000)
+        & F.col("o_orderpriority").like("%URGENT%")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {_dsum('l_quantity')} AS sum_qty,
+               {_dsum('l_extendedprice')} AS sum_base_price,
+               {_dsum('''CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l_discount AS DECIMAL(4,3)))''', 38, 5)} AS sum_disc_price,
+               {_dsum('''CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l_discount AS DECIMAL(4,3)))
+                         * (1 + CAST(l_tax AS DECIMAL(4,3)))''', 38, 8)} AS sum_charge,
+               {_davg('l_quantity')} AS avg_qty,
+               {_davg('l_extendedprice')} AS avg_price,
+               {_davg('l_discount', 18, 3)} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg",),
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 flavor — the flagship aggregation (partial+final HashAgg)."""
+    l = T(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 4, 3))
+    charge = disc_price * (F.lit(1) + dec("l_tax", 4, 3))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc", 18, 3),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               {_dsum('o_totalprice')} AS total_spent
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 5
+    """,
+    tags=("agg",),
+)
+def agg_having(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_spent"))
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+@register(
+    "agg_filter_where",
+    oracle=f"""
+        SELECT l_returnflag,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_rev,
+               COUNT(*) AS n_all
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_filter_where(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
+        F.sum(F.when(F.col("l_discount") > 0.05, dec("l_extendedprice")))
+        .cast("double")
+        .alias("disc_rev"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+
+
+@register(
+    "agg_minmax_by",
+    oracle="""
+        SELECT o_orderstatus,
+               max_by(o_orderkey, o_totalprice) AS biggest_order,
+               min_by(o_orderkey, o_totalprice) AS smallest_order,
+               max(o_totalprice) AS max_price,
+               min(o_totalprice) AS min_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_minmax_by(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@register(
+    "agg_stats_manual",
+    oracle=f"""
+        SELECT c_mktsegment,
+               COUNT(c_acctbal) AS n,
+               {_dsum('c_acctbal', 22, 2)} AS s1,
+               {_dsum('c_acctbal * c_acctbal', 30, 4)} AS s2,
+               ({_dsum('c_acctbal * c_acctbal', 30, 4)}
+                - {_dsum('c_acctbal', 22, 2)} * {_dsum('c_acctbal', 22, 2)} / COUNT(c_acctbal))
+                / (COUNT(c_acctbal) - 1) AS variance
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_manual(spark, sf_dir):
+    """Variance via exact decimal moments — order-independent, unlike the
+    streaming stddev/var implementations whose merge order differs per engine."""
+    c = T(spark, sf_dir, "customer")
+    n = F.count("c_acctbal")
+    s1 = F.sum(dec("c_acctbal", 22, 2)).cast("double")
+    s2 = F.sum((F.col("c_acctbal") * F.col("c_acctbal")).cast("decimal(30,4)")).cast("double")
+    return c.groupBy("c_mktsegment").agg(
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("variance"),
+    )
+
+
+@register(
+    "count_distinct",
+    oracle="""
+        SELECT COUNT(DISTINCT o_custkey) AS n_custs,
+               COUNT(DISTINCT o_orderpriority) AS n_prios,
+               COUNT(*) AS n_rows
+        FROM orders
+    """,
+    tags=("agg",),
+)
+def count_distinct(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "approx_count_distinct",
+    oracle=None,  # HLL implementations differ across engines; rows-only check
+    tags=("agg", "approx"),
+)
+def approx_count_distinct(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custs"),
+        F.expr("percentile_approx(o_totalprice, 0.5)").alias("approx_median"),
+    )
+
+
+@register(
+    "collect_list_sorted",
+    oracle="""
+        SELECT n_regionkey,
+               list_sort(list(n_name)) AS nations
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    tags=("agg", "list"),
+)
+def collect_list_sorted(spark, sf_dir):
+    n = T(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_orders",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n, {_dsum('o_totalprice')} AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_orders(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
+    )
+
+
+@register(
+    "cube_orders",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n, {_dsum('o_totalprice')} AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_orders(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
+    )
+
+
+@register(
+    "grouping_sets",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n, {_dsum('o_totalprice')} AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg",),
+)
+def grouping_sets(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderstatus = 'F'
+    """,
+    tags=("join",),
+)
+def join_inner(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    # customer is the small side at scale -> broadcast explicitly
+    return F.broadcast(c).join(o, c.c_custkey == o.o_custkey).select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_left",
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name,
+               COUNT(o.o_orderkey) AS n_orders,
+               COALESCE({_dsum('o.o_totalprice')}, 0.0) AS total
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join",),
+)
+def join_left(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")).cast("double"), F.lit(0.0)).alias(
+                "total"
+            ),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+        SELECT COALESCE(a.k, b.k) AS k, a.n_f, b.n_o
+        FROM (SELECT o_custkey AS k, COUNT(*) AS n_f FROM orders WHERE o_orderstatus='F' GROUP BY o_custkey) a
+        FULL JOIN (SELECT o_custkey AS k, COUNT(*) AS n_o FROM orders WHERE o_orderstatus='O' GROUP BY o_custkey) b
+        ON a.k = b.k
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    b = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    return a.join(b, a.k == b.k, "full").select(
+        F.coalesce(a.k, b.k).alias("k"), "n_f", "n_o"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000)
+    """,
+    tags=("join",),
+)
+def join_semi(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+    tags=("join",),
+)
+def join_anti(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+        SELECT r.r_name, n.n_name
+        FROM region r CROSS JOIN nation n
+    """,
+    tags=("join",),
+)
+def join_cross(spark, sf_dir):
+    r = T(spark, sf_dir, "region")
+    n = T(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_theta",
+    oracle="""
+        SELECT n1.n_name AS n1_name, n2.n_name AS n2_name
+        FROM nation n1 JOIN nation n2
+          ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+    """,
+    tags=("join", "theta"),
+)
+def join_theta(spark, sf_dir):
+    n1 = T(spark, sf_dir, "nation").alias("n1")
+    n2 = T(spark, sf_dir, "nation").alias("n2")
+    return n1.join(
+        n2,
+        (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+        & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+    ).select(F.col("n1.n_name").alias("n1_name"), F.col("n2.n_name").alias("n2_name"))
+
+
+@register(
+    "q3_top_revenue",
+    oracle=f"""
+        SELECT l.l_orderkey,
+               {_dsum('''CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(4,3)))''', 38, 5)} AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q3_top_revenue(spark, sf_dir):
+    """TPC-H Q3 flavor: dim-filter -> fact join -> agg -> top-k.
+    Catalyst turns orderBy+limit into TakeOrderedAndProject (no full sort)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem")
+    revenue = dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 4, 3))
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+        SELECT n.n_name,
+               {_dsum('''CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(4,3)))''', 38, 5)} AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC
+    """,
+    tags=("join", "agg"),
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 flavor: star join.  All dims broadcast; the only shuffle is
+    orders⋈lineitem + the final (tiny) aggregation."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 4, 3))
+    return (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_ranking",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER w AS rn,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ntile(4) OVER w AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        QUALIFY rn <= 3
+    """,
+    tags=("window",),
+)
+def window_ranking(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_offset",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               lag(o_orderkey) OVER w AS prev_order,
+               lead(o_orderkey) OVER w AS next_order,
+               first_value(o_orderkey) OVER w AS first_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_offset(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+    )
+
+
+@register(
+    "window_frame_moving",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+               COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def window_frame_moving(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice"))
+        .over(w.rowsBetween(-2, 0))
+        .cast("double")
+        .alias("moving_sum"),
+        F.count(F.lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "running_n"
+        ),
+    )
+
+
+@register(
+    "distinct_on_latest",
+    oracle="""
+        SELECT o_custkey, o_orderkey AS latest_order, o_orderdate AS latest_date
+        FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders)
+        WHERE rn = 1
+    """,
+    tags=("window", "distinct-on"),
+)
+def distinct_on_latest(spark, sf_dir):
+    """DuckDB DISTINCT ON equivalent: row_number()=1 per key."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_order"),
+            F.col("o_orderdate").alias("latest_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops / distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_limit_offset",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 10
+    """,
+    tags=("sort",),
+)
+def sort_limit_offset(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .offset(10)
+        .limit(20)
+    )
+
+
+@register(
+    "set_ops",
+    oracle="""
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT
+        SELECT s_nationkey AS k FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_ops(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    oracle="""
+        SELECT p_size AS k FROM part
+        EXCEPT
+        SELECT n_nationkey AS k FROM nation
+    """,
+    tags=("setop",),
+)
+def set_except(spark, sf_dir):
+    p = T(spark, sf_dir, "part").select(F.col("p_size").alias("k"))
+    n = T(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    # subtract = set EXCEPT (distinct) — exceptAll would be bag semantics
+    return p.subtract(n)
+
+
+@register(
+    "set_union_all",
+    oracle="""
+        SELECT 'customer' AS side, c_nationkey AS k FROM customer
+        UNION ALL
+        SELECT 'supplier' AS side, s_nationkey AS k FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_union_all(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("side"), F.col("c_nationkey").alias("k")
+    )
+    s = T(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("side"), F.col("s_nationkey").alias("k")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    tags=("distinct",),
+)
+def distinct_rows(spark, sf_dir):
+    return T(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# ---------------------------------------------------------------------------
+# CTEs and subqueries (SQL surface — exercised through spark.sql)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cte_scalar_subquery",
+    oracle="""
+        WITH big AS (
+            SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT b.o_custkey, b.spent
+        FROM big b
+        WHERE b.spent > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(DISTINCT o_custkey) FROM orders)
+    """,
+    tags=("cte", "subquery"),
+)
+def cte_scalar_subquery(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH big AS (
+            SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT b.o_custkey, b.spent
+        FROM big b
+        WHERE b.spent > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(DISTINCT o_custkey) FROM orders)
+        """
+    )
+
+
+@register(
+    "correlated_in_subquery",
+    oracle="""
+        SELECT p_partkey, p_name FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+    """,
+    tags=("subquery",),
+)
+def correlated_in_subquery(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        """
+    )

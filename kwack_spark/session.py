@@ -1,0 +1,53 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+The reference pins UTC (KwackEngine.java:174-175) and runs a single shared
+in-memory database (KwackConfig.java:448-454); our equivalent is one shared
+SparkSession with UTC session time zone.  Confs below are chosen for a large
+cluster but harmless on local[N]:
+
+- AQE on (runtime shuffle coalescing, skew-join splitting, dynamic broadcast).
+- Arrow on (vectorized Python interchange for the few Pandas-UDF paths).
+- shuffle partitions sized from the env (local) — on a real cluster you'd set
+  this to ~2-3x total cores or rely on AQE's coalescing from a higher number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "kwack-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("KWACK_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # TIMESTAMP(NANOS) parquet columns (events.ts) read as long nanos;
+        # sources/parquet.py converts to TimestampType (µs) — SURVEY §1.3's
+        # TIMESTAMP_NS decision: truncate to micros, applied in one place.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("KWACK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

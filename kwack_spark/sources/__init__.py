@@ -1,0 +1,3 @@
+from kwack_spark.sources.parquet import TABLES, load_tables, register_views
+
+__all__ = ["TABLES", "load_tables", "register_views"]

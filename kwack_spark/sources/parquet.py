@@ -1,0 +1,62 @@
+"""Parquet source: the driver's synthetic tables (TESTDATA.md).
+
+The reference's unit of ingestion is "topic -> table" (KwackEngine.java:587-591);
+here the batch-test equivalent is "parquet file -> temp view".  Views are lazy
+Catalyst scans — predicate pushdown and column pruning reach the parquet reader
+automatically, so registering all tables costs nothing until queried.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# columns stored as parquet TIMESTAMP(NANOS): read as long via
+# spark.sql.legacy.parquet.nanosAsLong, converted to µs TimestampType here
+# (values are µs-aligned, so the truncation is lossless).
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+            # integer div — float division would lose precision above 2^53 ns
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every synthetic table in ``sf_dir`` as a DataFrame (lazy scans)."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = load_table(spark, sf_dir, name)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view named after the table (the
+    reference's topic->table naming, KwackEngine.java:633)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,79 @@
+"""Local mirror of the driver's correctness gate: run each registered Spark
+query and its DuckDB oracle on the same parquet tables, compare row count,
+column names, and values (strict, order-insensitive).
+
+Strictness: values are compared exactly (bit-level for floats after a tiny
+canonicalization) — if this passes, any reasonable hash-based compare passes.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+
+import duckdb
+
+from kwack_spark.sources.parquet import TABLES
+
+
+def _canon(v):
+    if v is None:
+        return ("_null", "")
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", repr(float(v)))
+    if isinstance(v, decimal.Decimal):
+        return ("d", str(v.normalize()))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.date):
+        return ("dt", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(_canon(x) for x in v))
+    if isinstance(v, dict):
+        return ("m", tuple(sorted((k, _canon(x)) for k, x in v.items())))
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v).hex())
+    return ("s", str(v))
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def compare_query(spark, con, fn, sql, sf_dir: str):
+    """Returns (ok, detail) for one query/oracle pair."""
+    sdf = fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = [f.lower() for f in sdf.columns]
+
+    res = con.execute(sql)
+    dcols = [d[0].lower() for d in res.description]
+    drows = res.fetchall()
+
+    if sorted(scols) != sorted(dcols):
+        return False, f"columns differ: spark={sorted(scols)} duck={sorted(dcols)}"
+    if len(srows) != len(drows):
+        return False, f"row count differs: spark={len(srows)} duck={len(drows)}"
+    s_set = _rowset(scols, srows)
+    d_set = _rowset(dcols, drows)
+    if s_set != d_set:
+        diffs = [(a, b) for a, b in zip(s_set, d_set) if a != b][:3]
+        return False, f"values differ; first diffs: {diffs}"
+    return True, f"ok ({len(srows)} rows)"
