@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Mirrors the reference's benchmark unit (BASELINE.md): full cycle = session
+init + source registration + query execution.  Per-query timings use the noop
+sink so results fully materialize without driver collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_region_revenue",
+    "window_ranking",
+    "agg_having",
+    "join_left",
+    "distinct_on_latest",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_brute_force_topk",
+    "text_quality",
+    "asof_purchase_attribution",
+    "window_tumbling_hourly",
+    "session_windows",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    t0 = time.perf_counter()
+    from kwack_spark.session import get_session
+    from kwack_spark.plans.registry import query_map
+
+    spark = get_session(app_name="kwack-bench")
+    qmap = query_map()
+    init_sec = time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap[name]
+        t = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t, 3)
+
+    total = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "full_cycle_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "init_sec": round(init_sec, 3),
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

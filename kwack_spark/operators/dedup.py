@@ -39,9 +39,23 @@ def exact_dedup_mapping(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, shingle_n: int = 3
 ) -> DataFrame:
-    toks = TX.tokens(text_col)
-    sh = TX.shingles(toks, shingle_n)
-    return df.select(F.col(id_col), *TX.minhash_signature(sh, k))
+    """k MinHash values per row.
+
+    Shape: explode shingles -> k md5s per (row, shingle) -> groupBy(id) min.
+    Exploding first means the shingle array is computed ONCE per row; the
+    naive `k × array_min(transform(shingles, md5))` projection re-evaluates
+    the whole tokenize+shingle pipeline per hash (no codegen for lambda
+    expressions) and measured ~10x slower.  The min-agg is partial+final, so
+    the shuffle carries only k hashes per row.
+    """
+    sh = TX.shingles(TX.tokens(text_col), shingle_n)
+    exploded = df.select(F.col(id_col), F.explode(sh).alias("s"))
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    )
 
 
 def minhash_lsh_pairs(
