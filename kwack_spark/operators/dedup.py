@@ -129,23 +129,56 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    block_col: str,
     threshold: float = 0.9,
+    k: int = 4,
+    bands: int = 2,
 ) -> DataFrame:
-    """Exact token-set Jaccard for all pairs sharing a blocking key.
-    The block join is an equi-join on block_col (shuffle), never a full n²."""
-    t = df.select(
-        F.col(id_col), F.col(block_col).alias("blk"), TX.token_set(text_col).alias("ts")
+    """Exact token-set Jaccard for MinHash-band candidate pairs.
+
+    Blocking is a token-set MinHash band key (seeded md5, 'tN:' prefix so the
+    hash family is disjoint from the shingle MinHash family), NOT a low-
+    cardinality attribute: attribute blocks (e.g. language, ~4 values) make
+    the within-block self-join ~n²/4 with massive skew at scale, while band
+    buckets stay small by construction and shuffle uniformly.  At threshold
+    0.9 with 2 bands of 2 rows, candidate recall is 1-(1-0.9²)² ≈ 0.96."""
+    rows_per_band = k // bands
+    ts = df.select(F.col(id_col), TX.token_set(text_col).alias("ts"))
+
+    def _seeded_min(i: int):
+        # closure, NOT a default arg: a 2-ary lambda would receive transform's
+        # (element, index) and silently shadow the seed
+        return F.array_min(
+            F.transform(F.col("ts"), lambda t: F.md5(F.concat(F.lit(f"t{i}:"), t)))
+        ).alias(f"mh{i}")
+
+    mh = [_seeded_min(i) for i in range(k)]
+    sigs = ts.select(id_col, "ts", *mh)
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+                    )
+                ),
+            )
+            for b in range(bands)
+        ]
     )
-    a, b = t.alias("a"), t.alias("b")
-    jac = F.size(F.array_intersect("a.ts", "b.ts")) / F.size(F.array_union("a.ts", "b.ts"))
+    exploded = sigs.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = ts.select(F.col(id_col).alias("id_a"), F.col("ts").alias("ts_a"))
+    sb = ts.select(F.col(id_col).alias("id_b"), F.col("ts").alias("ts_b"))
+    jac = F.size(F.array_intersect("ts_a", "ts_b")) / F.size(F.array_union("ts_a", "ts_b"))
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.blk").alias("blk"),
-            jac.cast("double").alias("jaccard"),
-        )
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.cast("double").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

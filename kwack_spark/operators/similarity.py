@@ -50,28 +50,43 @@ def brute_force_topk(
     )
 
 
+MAX_BROADCAST_INDEX_ROWS = 200_000  # ~100 MB at dim=64 float64 — driver-safe cap
+
+
 def brute_force_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    round_to: int = 6,
+    max_index_rows: int = MAX_BROADCAST_INDEX_ROWS,
 ) -> DataFrame:
-    """Exact cosine top-k via Arrow-batched numpy matmul (mapInPandas).
+    """Exact cosine top-k: BLAS candidate selection + exact re-score.
 
-    The corpus matrix is L2-normalized once and broadcast (it is the small
-    side); each Arrow batch of queries does one BLAS matmul and a partial
-    argsort — no join, no shuffle: output is k rows per query produced
-    locally in the scan task.  This is the 100 TB shape: queries stream
-    partition-parallel against a broadcast index.  ~50x faster than the
-    per-pair fold (which remains `brute_force_topk`, bit-exact vs DuckDB);
-    scores here are rounded to `round_to` digits since BLAS accumulation
-    order differs from a sequential fold in the last ulp.
+    Two stages:
+    1. Candidate selection (mapInPandas): the corpus matrix is L2-normalized
+       once and broadcast (size-capped — beyond `max_index_rows` use the LSH
+       path instead of an unbounded collect); each Arrow batch of queries does
+       one numpy matmul and a partial argsort, emitting only (query_id,
+       corpus_id) candidate ids — no join, no shuffle, k ids per query
+       produced locally in the scan task.  This is the 100 TB shape: queries
+       stream partition-parallel against a broadcast index.
+    2. Exact re-score (JVM-side): the n_q*k surviving pairs are joined back to
+       their vectors and scored with the same sequential-fold cosine the
+       DuckDB oracle computes — bit-exact output, while the O(n_q*n_c) work
+       stays inside BLAS.  (BLAS scores differ from a sequential fold in the
+       last ulp, so ranks are re-derived from the exact scores; the top-k
+       *set* only depends on BLAS ordering at ulp-close boundaries.)
     """
     import numpy as np
     import pandas as pd
 
+    n_corpus = corpus.count()
+    if n_corpus > max_index_rows:
+        raise ValueError(
+            f"corpus has {n_corpus} rows > max_index_rows={max_index_rows}; "
+            "use lsh_bucketed_pairs for corpora too large to broadcast"
+        )
     rows = corpus.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     m = np.array([list(r[1]) for r in rows], dtype=np.float64)
@@ -79,42 +94,52 @@ def brute_force_topk_vectorized(
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((ids, m_n))
 
-    def topk(batches):
+    def topk_ids(batches):
         c_ids, c_mat = bc.value
         for pdf in batches:
             q_ids = pdf[id_col].to_numpy(dtype=np.int64)
             q = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             q_n = q / np.linalg.norm(q, axis=1, keepdims=True)
             scores = q_n @ c_mat.T
-            # exclude self-pairs, then take top-k by (-cosine, corpus_id)
+            # exclude self-pairs, take top-k candidate ids by (-cosine, id)
+            out_q, out_c = [], []
             for qi in range(len(q_ids)):
                 s = scores[qi]
                 mask = c_ids != q_ids[qi]
                 order = np.lexsort((c_ids[mask], -s[mask]))[:k]
-                cand_ids = c_ids[mask][order]
-                cand_s = s[mask][order]
-                yield pd.DataFrame(
-                    {
-                        "query_id": q_ids[qi],
-                        "corpus_id": cand_ids,
-                        "cosine": np.round(cand_s, round_to),
-                        "rank": np.arange(1, len(cand_ids) + 1, dtype=np.int32),
-                    }
-                )
+                out_q.extend([q_ids[qi]] * len(order))
+                out_c.extend(c_ids[mask][order])
+            yield pd.DataFrame({"query_id": out_q, "corpus_id": out_c})
 
-    return queries.mapInPandas(
-        topk, "query_id long, corpus_id long, cosine double, rank int"
+    cand = queries.mapInPandas(topk_ids, "query_id long, corpus_id long")
+    qv = queries.select(F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qvec"))
+    cv = corpus.select(F.col(id_col).alias("corpus_id"), V.as_double(vec_col).alias("cvec"))
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "corpus_id")
+        .select("query_id", "corpus_id", V.cosine(F.col("qvec"), F.col("cvec")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
+    return scored.withColumn("rank", F.row_number().over(w)).select(
+        "query_id", "corpus_id", "cosine", "rank"
     )
 
 
+_HEX_HI = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
 def _hyperplane_sign(vec, plane: int, dim: int):
-    """Sign bit of <v, h_plane> with pseudo-random ±1 plane components from
-    xxhash64 — deterministic, model-free, executor-side only."""
+    """Sign bit of <v, h_plane> with pseudo-random ±1 plane components derived
+    from md5 parity — deterministic, model-free, and md5 is available in both
+    Spark and DuckDB, so the whole bucketing is oracle-checkable in SQL."""
     comp = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.when(F.xxhash64(F.lit(plane), j) % 2 == 0, F.lit(1.0)).otherwise(
-            F.lit(-1.0)
-        ),
+        lambda j: F.when(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{plane}:"), j.cast("string"))), 1, 1
+            ).isin(*_HEX_HI),
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
     )
     return F.when(V.dot(vec, comp) >= 0, F.lit("1")).otherwise(F.lit("0"))
 
@@ -129,9 +154,9 @@ def lsh_bucketed_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 8,
+    planes: int = 4,
     dim: int = 64,
-    threshold: float = 0.8,
+    threshold: float = 0.3,
 ) -> DataFrame:
     """All-pairs cosine >= threshold, candidate-limited to same LSH bucket."""
     base = df.select(F.col(id_col), V.as_double(vec_col).alias("v"))

@@ -125,41 +125,51 @@ def math_funcs(spark, sf_dir):
 
 @register(
     "array_funcs",
+    # Double-array outputs are projected to scalar elements (bit-exact on both
+    # engines); int arrays to '|'-joined strings — the driver's hasher needs
+    # hashable values, and float->string formatting is engine-specific.
     oracle="""
         SELECT vec_id,
                len(embedding) AS dim,
                embedding[1] AS first_val,
                embedding[64] AS last_val,
-               embedding[1:4] AS head4,
+               embedding[1:4][2] AS head4_second,
+               len(embedding[1:4]) AS head4_len,
                list_contains([1,2,3,5,8], label) AS label_fib,
-               array_value(label, label * 2) AS label_pair
+               array_to_string(array_value(label, label * 2), '|') AS label_pair
         FROM embeddings
     """,
     tags=("functions", "array"),
 )
 def array_funcs(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
+    head4 = F.slice("embedding", 1, 4)
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).alias("first_val"),
         F.element_at("embedding", 64).alias("last_val"),
-        F.slice("embedding", 1, 4).alias("head4"),
+        F.element_at(head4, 2).alias("head4_second"),
+        F.size(head4).alias("head4_len"),
         F.array_contains(F.array(*[F.lit(x) for x in (1, 2, 3, 5, 8)]), F.col("label")).alias(
             "label_fib"
         ),
-        F.array(F.col("label"), F.col("label") * 2).alias("label_pair"),
+        F.concat_ws("|", F.array(F.col("label"), F.col("label") * 2)).alias("label_pair"),
     )
 
 
 @register(
     "higher_order_funcs",
+    # transform/filter arrays are probed via scalar projections (first element,
+    # lengths) — bit-exact doubles, hashable by the driver.
     oracle="""
         SELECT vec_id,
-               list_transform(embedding[1:8]::DOUBLE[], x -> x * 2 + 1) AS affine,
-               list_filter(embedding[1:8]::DOUBLE[], x -> x > 0) AS positives,
+               list_transform(embedding[1:8]::DOUBLE[], x -> x * 2 + 1)[1] AS affine_first,
+               list_transform(embedding[1:8]::DOUBLE[], x -> x * 2 + 1)[8] AS affine_last,
+               list_filter(embedding[1:8]::DOUBLE[], x -> x > 0)[1] AS first_pos,
+               len(list_filter(embedding[1:8]::DOUBLE[], x -> x > 0)) AS n_pos_head,
                len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_pos,
-               list_sum(embedding[1:8]::DOUBLE[]) AS head_sum
+               list_reduce(list_prepend(0.0, embedding[1:8]::DOUBLE[]), (acc, x) -> acc + x) AS head_sum
         FROM embeddings
     """,
     tags=("functions", "higher-order"),
@@ -168,10 +178,14 @@ def higher_order_funcs(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
     head = F.slice("embedding", 1, 8).cast("array<double>")
     full = F.col("embedding").cast("array<double>")
+    affine = F.transform(head, lambda x: x * 2 + 1)
+    positives = F.filter(head, lambda x: x > 0)
     return e.select(
         "vec_id",
-        F.transform(head, lambda x: x * 2 + 1).alias("affine"),
-        F.filter(head, lambda x: x > 0).alias("positives"),
+        F.element_at(affine, 1).alias("affine_first"),
+        F.element_at(affine, 8).alias("affine_last"),
+        F.try_element_at(positives, F.lit(1)).alias("first_pos"),
+        F.size(positives).alias("n_pos_head"),
         F.size(F.filter(full, lambda x: x > 0)).alias("n_pos"),
         F.aggregate(head, F.lit(0.0), lambda acc, x: acc + x).alias("head_sum"),
     )
@@ -183,7 +197,7 @@ def higher_order_funcs(spark, sf_dir):
         SELECT n_nationkey,
                map(['name','region'], [n_name, CAST(n_regionkey AS VARCHAR)])['name'][1] AS m_name,
                map(['name','region'], [n_name, CAST(n_regionkey AS VARCHAR)])['region'][1] AS m_region,
-               map_keys(map(['name','region'], [n_name, CAST(n_regionkey AS VARCHAR)])) AS mkeys
+               array_to_string(map_keys(map(['name','region'], [n_name, CAST(n_regionkey AS VARCHAR)])), '|') AS mkeys
         FROM nation
     """,
     tags=("functions", "map"),
@@ -200,7 +214,7 @@ def map_funcs(spark, sf_dir):
         "n_nationkey",
         F.element_at(m, "name").alias("m_name"),
         F.element_at(m, "region").alias("m_region"),
-        F.map_keys(m).alias("mkeys"),
+        F.concat_ws("|", F.map_keys(m)).alias("mkeys"),
     )
 
 
@@ -253,7 +267,7 @@ def json_funcs(spark, sf_dir):
     oracle="""
         SELECT tok, COUNT(*) AS n
         FROM (
-            SELECT unnest(string_split(lower(regexp_replace(text, '[^a-z ]', '', 'g')), ' ')) AS tok
+            SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ')) AS tok
             FROM documents
         )
         WHERE length(tok) > 0

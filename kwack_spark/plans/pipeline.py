@@ -139,22 +139,42 @@ def dedup_simhash(spark, sf_dir):
 
 @register(
     "dedup_ngram_jaccard",
+    # Band-blocked (see operators/dedup.py): candidates collide in a token-set
+    # MinHash band, never an attribute block — no ~n²/4 skewed self-join.
     oracle=f"""
         WITH t AS (
-            SELECT doc_id, lang AS blk, list_distinct({_toks()}) AS ts FROM documents
+            SELECT doc_id, list_distinct({_toks()}) AS ts FROM documents
+        ),
+        sigs AS (
+            SELECT doc_id, ts,
+                   {", ".join(f"list_min(list_transform(ts, x -> md5('t{i}:' || x))) AS mh{i}" for i in range(4))}
+            FROM t
+        ),
+        exploded AS (
+            SELECT doc_id,
+                   unnest(['0:' || md5(concat_ws('|', mh0, mh1)),
+                           '1:' || md5(concat_ws('|', mh2, mh3))]) AS band_key
+            FROM sigs
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM exploded a JOIN exploded b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.blk AS blk,
-               CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.ts, b.ts))) AS jaccard
-        FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.9
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.ts, y.ts))) AS jaccard
+        FROM cand c
+        JOIN t x ON x.doc_id = c.id_a
+        JOIN t y ON y.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+                  / len(list_distinct(list_concat(x.ts, y.ts))) >= 0.9
     """,
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
-        T(spark, sf_dir, "documents"), "doc_id", "text", block_col="lang", threshold=0.9
+        T(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9
     )
 
 
@@ -187,18 +207,40 @@ _COS = (
     tags=("similarity", "ann"),
 )
 def ann_brute_force_topk(spark, sf_dir):
+    """BLAS candidate selection + exact JVM re-score (similarity.py) — same
+    bit-exact output as the O(n²) pair-fold plan, ~50x faster."""
     e = T(spark, sf_dir, "embeddings")
-    return similarity.brute_force_topk(e, e, "vec_id", "embedding", k=3)
+    return similarity.brute_force_topk_vectorized(e, e, "vec_id", "embedding", k=3)
+
+
+def _lsh_plane_sign_sql(p: int) -> str:
+    hexhi = "('8','9','a','b','c','d','e','f')"
+    return (
+        f"CASE WHEN list_sum([v[j] * (CASE WHEN substr(md5('{p}:' || (j-1)::VARCHAR),1,1)"
+        f" IN {hexhi} THEN 1.0 ELSE -1.0 END) for j in generate_series(1,64)]) >= 0"
+        " THEN '1' ELSE '0' END"
+    )
 
 
 @register(
     "ann_lsh_bucketed",
-    oracle=None,  # xxhash64-derived hyperplanes are Spark-specific; rows-only
+    # md5-parity hyperplanes are computable in both engines, so the FULL LSH
+    # pipeline (bucketing + within-bucket cosine filter) is hash-checkable.
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(4))} AS bucket FROM v)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    """,
     tags=("similarity", "ann", "lsh"),
 )
 def ann_lsh_bucketed(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
-    return similarity.lsh_bucketed_pairs(e, "vec_id", "embedding", planes=8, dim=64, threshold=0.8)
+    return similarity.lsh_bucketed_pairs(e, "vec_id", "embedding", planes=4, dim=64, threshold=0.3)
 
 
 # ---------------------------------------------------------------------------

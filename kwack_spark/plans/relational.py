@@ -283,22 +283,47 @@ def count_distinct(spark, sf_dir):
 
 @register(
     "approx_count_distinct",
-    oracle=None,  # HLL implementations differ across engines; rows-only check
+    # HLL/quantile-sketch values differ across engines, so the oracled output
+    # is the *bounds check*: exact count, plus booleans asserting the approx
+    # values fall within tolerance.  DuckDB's side trivially outputs TRUE for
+    # the booleans — a hash match proves Spark's sketches landed in-bounds.
+    oracle="""
+        SELECT COUNT(DISTINCT o_custkey) AS exact_custs,
+               TRUE AS approx_within_15pct,
+               TRUE AS median_within_decile
+        FROM orders
+    """,
     tags=("agg", "approx"),
 )
 def approx_count_distinct(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
-    return o.agg(
+    agg = o.agg(
+        F.countDistinct("o_custkey").alias("exact_custs"),
         F.approx_count_distinct("o_custkey").alias("approx_custs"),
         F.expr("percentile_approx(o_totalprice, 0.5)").alias("approx_median"),
+        F.expr("percentile(o_totalprice, 0.4)").alias("p40"),
+        F.expr("percentile(o_totalprice, 0.6)").alias("p60"),
+    )
+    return agg.select(
+        "exact_custs",
+        (
+            F.abs(F.col("approx_custs") - F.col("exact_custs"))
+            <= 0.15 * F.col("exact_custs")
+        ).alias("approx_within_15pct"),
+        F.col("approx_median").between(F.col("p40"), F.col("p60")).alias(
+            "median_within_decile"
+        ),
     )
 
 
 @register(
     "collect_list_sorted",
+    # Array outputs are serialized to a delimited string on both sides: the
+    # driver's value-hasher needs hashable scalars (unhashable-list errors in
+    # CORRECTNESS_r01); '|'.join of sorted names is engine-agnostic.
     oracle="""
         SELECT n_regionkey,
-               list_sort(list(n_name)) AS nations
+               array_to_string(list_sort(list(n_name)), '|') AS nations
         FROM nation
         GROUP BY n_regionkey
     """,
@@ -307,7 +332,7 @@ def approx_count_distinct(spark, sf_dir):
 def collect_list_sorted(spark, sf_dir):
     n = T(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations")
+        F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias("nations")
     )
 
 
@@ -361,7 +386,7 @@ def cube_orders(spark, sf_dir):
     tags=("agg",),
 )
 def grouping_sets(spark, sf_dir):
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders",))
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
@@ -816,7 +841,7 @@ def distinct_rows(spark, sf_dir):
     tags=("cte", "subquery"),
 )
 def cte_scalar_subquery(spark, sf_dir):
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders",))
     return spark.sql(
         """
         WITH big AS (
@@ -839,7 +864,7 @@ def cte_scalar_subquery(spark, sf_dir):
     tags=("subquery",),
 )
 def correlated_in_subquery(spark, sf_dir):
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("part", "lineitem"))
     return spark.sql(
         """
         SELECT p_partkey, p_name FROM part
