@@ -1,0 +1,96 @@
+"""CLI mirroring the reference's KwackMain (KwackMain.java:49-138 options):
+
+    python -m kwack_spark.cli -t topic1 -t topic2 \
+        -v 'topic1=avro:@schema.avsc' -k 'topic1=string' \
+        -b localhost:9092 -o beginning -q "SELECT ..." -d /tmp/warehouse
+
+No -q starts the interactive REPL (sqlline equivalent).  -q streams one JSON
+object per row to stdout (KwackMain.java:157-164).  A parquet directory
+(-p) registers the driver-style parquet tables instead of/alongside Kafka.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from kwack_spark.config import DEFAULT_ROW_ATTRIBUTES, KwackConfig
+from kwack_spark.engine import KwackSpark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="kwack-spark",
+        description="In-memory analytics for Kafka topics / parquet tables on PySpark",
+    )
+    p.add_argument("-t", "--topic", action="append", default=[], help="topic(s) to consume")
+    p.add_argument(
+        "-p", "--partition", action="append", default=[],
+        help="topic partitions to consume (topic=0,1,...)",
+    )
+    p.add_argument("-b", "--bootstrap-server", help="Kafka bootstrap servers")
+    p.add_argument(
+        "-v", "--value-serde", action="append", default=[],
+        help="topic=serde (primitives | json | latest | <id> | avro:<schema|@file> | proto:...;msg:M | json:...;tag:a->b)",
+    )
+    p.add_argument("-k", "--key-serde", action="append", default=[], help="topic=serde for keys")
+    p.add_argument(
+        "-o", "--offset", default="beginning",
+        help="start offset: beginning|end|<abs>|-<rel>|@<ts ms>",
+    )
+    p.add_argument("-q", "--query", help="SQL to execute (omit for interactive REPL)")
+    p.add_argument("-d", "--db", help="durable warehouse directory (default in-memory only)")
+    p.add_argument("-a", "--row-attributes", help=f"comma list of {DEFAULT_ROW_ATTRIBUTES}")
+    p.add_argument("-x", "--skip-bytes", type=int, default=0, help="bytes to skip before deserializing")
+    p.add_argument("-F", "--properties-file", help="properties config file")
+    p.add_argument("--parquet-dir", help="register parquet tables from this directory")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> KwackConfig:
+    cfg = (
+        KwackConfig.from_properties(args.properties_file)
+        if args.properties_file
+        else KwackConfig()
+    )
+    if args.bootstrap_server:
+        cfg.kafka_bootstrap = args.bootstrap_server
+    if args.topic:
+        cfg.topics = list(dict.fromkeys(cfg.topics + args.topic))
+    for item in args.value_serde:
+        topic, _, s = item.partition("=")
+        cfg.topic_serdes[topic.strip()] = s
+    for item in args.key_serde:
+        topic, _, s = item.partition("=")
+        cfg.key_serdes[topic.strip()] = s
+    cfg.starting_offset = args.offset
+    if args.db:
+        cfg.warehouse_dir = args.db
+    if args.row_attributes is not None:
+        cfg.row_attributes = tuple(
+            a.strip() for a in args.row_attributes.split(",") if a.strip()
+        )
+    cfg.skip_bytes = args.skip_bytes
+    if args.parquet_dir:
+        cfg.parquet_dir = args.parquet_dir
+    cfg.query = args.query
+    return cfg
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    engine = KwackSpark(cfg).init()
+    try:
+        if cfg.query:
+            for line in engine.query_json(cfg.query):
+                print(line)
+        else:
+            engine.repl()
+    finally:
+        engine.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,185 @@
+"""Config + serde grammar (the reference's KwackConfig surface,
+KwackConfig.java:527-612 / KwackMain.java:49-138).
+
+Serde grammar, per topic key/value:
+
+    short | int | long | float | double | string | binary   (primitives)
+    json                                                    (schema-less JSON)
+    latest                                                  (latest SR version)
+    <numeric id>                                            (specific SR id)
+    avro:<schema|@file>                                     (external schema)
+    json:<schema|@file>[;tag:src->dst]
+    proto:<schema|@file>[;msg:<MessageName>]
+
+Defaults mirror the reference: key serde ``binary``, value serde ``latest``
+(KwackConfig.java:534-535).  Offset spec grammar (KwackMain.java:69-76):
+``beginning | end | <abs offset> | -<rel from end> | @<timestamp ms>``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+PRIMITIVE_SERDES = {"short", "int", "long", "float", "double", "string", "binary"}
+SCHEMA_KINDS = {"avro": "AVRO", "json": "JSON", "proto": "PROTOBUF"}
+
+
+@dataclass(frozen=True)
+class Serde:
+    kind: str  # primitive name | 'rawjson' | 'latest' | 'id' | 'avro' | 'jsonschema' | 'proto'
+    schema_str: str | None = None
+    schema_id: int | None = None
+    message: str | None = None  # proto ;msg: selector
+    tag: tuple[str, str] | None = None  # json ;tag:src->dst key-field injection
+
+    @property
+    def schema_type(self) -> str | None:
+        return {"avro": "AVRO", "jsonschema": "JSON", "proto": "PROTOBUF"}.get(self.kind)
+
+
+def parse_serde(spec: str) -> Serde:
+    """Parse one serde spec per the grammar above."""
+    spec = spec.strip()
+    if spec in PRIMITIVE_SERDES:
+        return Serde(kind=spec)
+    if spec == "json":
+        return Serde(kind="rawjson")
+    if spec == "latest":
+        return Serde(kind="latest")
+    if re.fullmatch(r"\d+", spec):
+        return Serde(kind="id", schema_id=int(spec))
+    m = re.match(r"^(avro|json|proto):(.*)$", spec, re.DOTALL)
+    if not m:
+        raise ValueError(f"unparseable serde spec: {spec!r}")
+    prefix, rest = m.group(1), m.group(2)
+    kind = {"avro": "avro", "json": "jsonschema", "proto": "proto"}[prefix]
+    message = None
+    tag = None
+    # suffix options split on ';' — ;msg: for proto, ;tag:src->dst for json
+    while True:
+        sm = re.search(r";(msg|tag):([^;]*)$", rest, re.DOTALL)
+        if not sm:
+            break
+        opt, val = sm.group(1), sm.group(2)
+        rest = rest[: sm.start()]
+        if opt == "msg":
+            message = val.strip()
+        else:
+            src, _, dst = val.partition("->")
+            tag = (src.strip(), dst.strip())
+    schema = rest
+    if schema.startswith("@"):
+        with open(schema[1:], "r", encoding="utf-8") as fh:
+            schema = fh.read()
+    return Serde(kind=kind, schema_str=schema, message=message, tag=tag)
+
+
+def parse_topic_serdes(specs: list[str] | dict[str, str]) -> dict[str, Serde]:
+    """['topic=serde', ...] or {topic: serde} -> {topic: Serde}."""
+    if isinstance(specs, dict):
+        return {t: parse_serde(s) for t, s in specs.items()}
+    out: dict[str, Serde] = {}
+    for item in specs:
+        topic, sep, s = item.partition("=")
+        if not sep:
+            raise ValueError(f"expected topic=serde, got: {item!r}")
+        out[topic.strip()] = parse_serde(s)
+    return out
+
+
+@dataclass(frozen=True)
+class OffsetSpec:
+    kind: str  # 'beginning' | 'end' | 'absolute' | 'relative' | 'timestamp'
+    value: int | None = None
+
+    def to_kafka_option(self) -> tuple[str, str]:
+        """-> (option name, value) for the Spark Kafka source."""
+        if self.kind == "beginning":
+            return ("startingOffsets", "earliest")
+        if self.kind == "end":
+            return ("startingOffsets", "latest")
+        if self.kind == "timestamp":
+            return ("startingTimestamps", str(self.value))
+        # absolute/relative per-partition offsets need the JSON form filled
+        # in per topic: {"topic":{"0":N}}; surfaced by sources/kafka.py
+        return ("startingOffsets", str(self.value))
+
+
+def parse_offset(spec: str) -> OffsetSpec:
+    spec = spec.strip()
+    if spec == "beginning":
+        return OffsetSpec("beginning")
+    if spec == "end":
+        return OffsetSpec("end")
+    if spec.startswith("@"):
+        return OffsetSpec("timestamp", int(spec[1:]))
+    n = int(spec)
+    return OffsetSpec("relative" if n < 0 else "absolute", n)
+
+
+DEFAULT_ROW_ATTRIBUTES = ("rowkey", "ksi", "vsi", "par", "off", "ts", "hdr")
+ALL_ROW_ATTRIBUTES = ("rowkey", "ksi", "vsi", "top", "par", "off", "ts", "tst", "epo", "hdr")
+
+
+@dataclass
+class KwackConfig:
+    """The engine's config surface (subset of KwackConfig.java that applies
+    Spark-side).  ``topic_serdes``/``key_serdes`` accept raw grammar strings
+    and are parsed on access."""
+
+    parquet_dir: str | None = None
+    kafka_bootstrap: str | None = None
+    topics: list[str] = field(default_factory=list)
+    topic_serdes: dict[str, str] = field(default_factory=dict)  # value serdes
+    key_serdes: dict[str, str] = field(default_factory=dict)
+    starting_offset: str = "beginning"
+    row_attributes: tuple[str, ...] = DEFAULT_ROW_ATTRIBUTES
+    skip_bytes: int = 0
+    streaming: bool = False
+    warehouse_dir: str | None = None  # -d equivalent: persist tables here
+    query: str | None = None  # -q one-shot query
+    spark_conf: dict[str, str] = field(default_factory=dict)
+
+    def value_serde(self, topic: str) -> Serde:
+        return parse_serde(self.topic_serdes.get(topic, "latest"))
+
+    def key_serde(self, topic: str) -> Serde:
+        return parse_serde(self.key_serdes.get(topic, "binary"))
+
+    def offset(self) -> OffsetSpec:
+        return parse_offset(self.starting_offset)
+
+    @classmethod
+    def from_properties(cls, path: str) -> "KwackConfig":
+        """Java-properties-style config file (KwackMain.java -F)."""
+        props: dict[str, str] = {}
+        with open(path, "r", encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith(("#", "!")):
+                    continue
+                k, _, v = line.partition("=")
+                props[k.strip()] = v.strip()
+        cfg = cls()
+        if "bootstrap.servers" in props:
+            cfg.kafka_bootstrap = props["bootstrap.servers"]
+        if "topics" in props:
+            cfg.topics = [t.strip() for t in props["topics"].split(",") if t.strip()]
+        for k, v in props.items():
+            if k.startswith("serde."):
+                cfg.topic_serdes[k[len("serde."):]] = v
+            elif k.startswith("key.serde."):
+                cfg.key_serdes[k[len("key.serde."):]] = v
+        if "skip.bytes" in props:
+            cfg.skip_bytes = int(props["skip.bytes"])
+        if "row.attributes" in props:
+            cfg.row_attributes = tuple(
+                a.strip() for a in props["row.attributes"].split(",") if a.strip()
+            )
+        if "parquet.dir" in props:
+            cfg.parquet_dir = props["parquet.dir"]
+        if "db.dir" in props:
+            cfg.warehouse_dir = props["db.dir"]
+        return cfg

@@ -5,9 +5,10 @@ Reference parity (SURVEY.md §3.3):
     engine = KwackSpark(config); engine.init(); engine.sql("SELECT ...")
 maps kwack's  configure(KwackConfig) -> init() -> start()/Observable rows.
 
-- ``init()`` resolves sources (parquet dirs today; Kafka topics via
-  sources/kafka.py when a broker is configured) and registers one temp view
-  per table/topic (KwackEngine.java:587-648's CREATE TABLE equivalent).
+- ``init()`` resolves sources and registers one temp view per table/topic
+  (KwackEngine.java:587-648's CREATE TABLE equivalent): parquet dirs, a
+  persistent warehouse dir (the ``-d <db>`` equivalent,
+  KwackConfig.java:448-454), and Kafka topics via sources/kafka.py.
 - ``sql()`` delegates the query string verbatim to Spark SQL — exactly the
   reference's delegation posture (KwackEngine.java:232), with Catalyst in
   place of DuckDB.
@@ -19,29 +20,18 @@ maps kwack's  configure(KwackConfig) -> init() -> start()/Observable rows.
 
 from __future__ import annotations
 
+import os
 import re
 from collections.abc import Iterator
-from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kwack_spark.config import KwackConfig
+from kwack_spark.schema.registry import MockSchemaRegistry
 from kwack_spark.session import get_session
 from kwack_spark.sources.parquet import register_views
 
-
-@dataclass
-class KwackConfig:
-    """Subset of the reference's config surface that applies Spark-side
-    (KwackConfig.java; serde grammar handled in kwack_spark/config.py)."""
-
-    parquet_dir: str | None = None
-    kafka_bootstrap: str | None = None
-    topics: list[str] = field(default_factory=list)
-    topic_serdes: dict[str, str] = field(default_factory=dict)
-    starting_offsets: str = "earliest"
-    row_attributes: tuple[str, ...] = ("rowkey", "ksi", "vsi", "par", "off", "ts", "hdr")
-    streaming: bool = False
-    spark_conf: dict[str, str] = field(default_factory=dict)
+__all__ = ["KwackSpark", "KwackConfig"]
 
 
 _COPY_RE = re.compile(
@@ -52,9 +42,15 @@ _COPY_RE = re.compile(
 
 
 class KwackSpark:
-    def __init__(self, config: KwackConfig | None = None, spark: SparkSession | None = None):
+    def __init__(
+        self,
+        config: KwackConfig | None = None,
+        spark: SparkSession | None = None,
+        registry: MockSchemaRegistry | None = None,
+    ):
         self.config = config or KwackConfig()
         self.spark = spark or get_session(extra_conf=self.config.spark_conf)
+        self.registry = registry or MockSchemaRegistry()
         self._initialized = False
 
     # -- lifecycle ----------------------------------------------------------
@@ -64,20 +60,48 @@ class KwackSpark:
         KwackEngine.java:181-224)."""
         if self.config.parquet_dir:
             register_views(self.spark, self.config.parquet_dir)
+        if self.config.warehouse_dir:
+            self._load_warehouse()
         if self.config.kafka_bootstrap:
             from kwack_spark.sources.kafka import register_topics
 
+            offset_opt, offset_val = self.config.offset().to_kafka_option()
             register_topics(
                 self.spark,
                 bootstrap=self.config.kafka_bootstrap,
                 topics=self.config.topics,
                 serdes=self.config.topic_serdes,
-                starting_offsets=self.config.starting_offsets,
+                key_serdes=self.config.key_serdes,
+                registry=self.registry,
+                starting_offsets=offset_val if offset_opt == "startingOffsets" else "earliest",
                 streaming=self.config.streaming,
                 row_attributes=self.config.row_attributes,
+                skip_bytes=self.config.skip_bytes,
             )
         self._initialized = True
         return self
+
+    def _load_warehouse(self) -> None:
+        """Re-register every table persisted under warehouse_dir — the
+        durable-db reopen path of `-d <db>` (KwackConfig.java:448-454)."""
+        wd = self.config.warehouse_dir
+        if not os.path.isdir(wd):
+            os.makedirs(wd, exist_ok=True)
+            return
+        for name in os.listdir(wd):
+            path = os.path.join(wd, name)
+            if os.path.isdir(path):
+                self.spark.read.parquet(path).createOrReplaceTempView(name)
+
+    def persist_table(self, name: str, df: DataFrame | None = None) -> None:
+        """Persist a registered view (or given DataFrame) into the warehouse
+        and re-point the view at the durable copy."""
+        if not self.config.warehouse_dir:
+            raise ValueError("no warehouse_dir configured (the -d equivalent)")
+        df = df if df is not None else self.spark.table(name)
+        path = os.path.join(self.config.warehouse_dir, name)
+        df.write.mode("overwrite").parquet(path)
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
 
     # -- query surface -------------------------------------------------------
 

@@ -1,0 +1,329 @@
+"""Ingest-path corpus: driver-graded roundtrips through the FULL wire-format
++ transformer + decode stack (sources/kafka.py + schema/*).
+
+Each query takes a driver parquet table, encodes every row into Confluent-
+framed Kafka records (an Arrow-batched encode stage standing in for a real
+topic), and decodes them through the production ``decode_topic`` path — the
+same code a broker-fed topic goes through.  The DuckDB oracle is a plain
+SELECT on the source table: a hash match proves the serde/framing/transform
+stack is the identity it must be.  This is the reference's whole test
+strategy (AbstractSchemaTest.java:60 'select * from topic' goldens) made
+differential.
+
+Scale shape: encode and decode are both narrow mapInPandas stages — no
+shuffle; at 100 TB this is the per-partition decode cost of the real Kafka
+read (1 task per topic-partition).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kwack_spark.config import Serde
+from kwack_spark.functions.union import union_extract, union_tag
+from kwack_spark.plans.registry import register
+from kwack_spark.plans.relational import T
+from kwack_spark.schema import avro as avro_schema
+from kwack_spark.schema import protobuf as proto_schema
+from kwack_spark.schema.registry import MockSchemaRegistry
+from kwack_spark.sources import kafka as ks
+
+_TS0 = datetime.datetime(2024, 1, 1)
+
+
+def _to_frames(df: DataFrame, encode_fn, topic: str) -> DataFrame:
+    """Arrow-batched encode stage: rows -> kafka-shaped frames.
+    ``encode_fn(row) -> (key_bytes|None, value_bytes|None)``."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                key, value = encode_fn(rec)
+                rows.append(
+                    {
+                        "key": key,
+                        "value": value,
+                        "topic": topic,
+                        "partition": 0,
+                        "offset": 0,
+                        "timestamp": _TS0,
+                        "timestampType": 0,
+                        "headers": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in ks.KAFKA_FRAME_SCHEMA.fields])
+
+    return df.mapInPandas(batches, ks.KAFKA_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Avro roundtrip (incl. union field + int rowkey)
+# ---------------------------------------------------------------------------
+
+_NATION_AVRO = {
+    "type": "record",
+    "name": "Nation",
+    "fields": [
+        {"name": "n_nationkey", "type": "long"},
+        {"name": "n_name", "type": "string"},
+        {"name": "n_regionkey", "type": "long"},
+        {"name": "extra", "type": ["null", "long", "string"]},
+    ],
+}
+
+
+@register(
+    "kafka_avro_roundtrip",
+    # identity oracle: decode(encode(row)) == row, union branch per key%3
+    oracle="""
+        SELECT n_nationkey AS rowkey,
+               n_nationkey, n_name, n_regionkey,
+               CASE WHEN n_nationkey % 3 = 0 THEN 'u0'
+                    WHEN n_nationkey % 3 = 1 THEN 'u1' END AS extra_tag,
+               CASE WHEN n_nationkey % 3 = 0 THEN n_nationkey * 10 END AS extra_long,
+               CASE WHEN n_nationkey % 3 = 1 THEN 'x' || n_name END AS extra_str
+        FROM nation
+    """,
+    tags=("ingest", "kafka", "avro", "union"),
+)
+def kafka_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation -> Confluent-framed Avro records (int key, union-bearing value)
+    -> decode_topic -> flattened columns + union helpers."""
+    reg = MockSchemaRegistry()
+    sid = reg.register("nation-value", json.dumps(_NATION_AVRO), "AVRO")
+    schema = _NATION_AVRO
+
+    def enc(rec):
+        k = int(rec.n_nationkey).to_bytes(4, "big", signed=True)
+        mod = rec.n_nationkey % 3
+        extra = (
+            (1, int(rec.n_nationkey) * 10)
+            if mod == 0
+            else (2, "x" + rec.n_name) if mod == 1 else (0, None)
+        )
+        payload = avro_schema.encode(
+            {
+                "n_nationkey": int(rec.n_nationkey),
+                "n_name": rec.n_name,
+                "n_regionkey": int(rec.n_regionkey),
+                "extra": extra,
+            },
+            schema,
+        )
+        return k, ks.confluent_frame(payload, sid)
+
+    frames = _to_frames(T(spark, sf_dir, "nation"), enc, "nation")
+    decoded = ks.decode_topic(
+        frames,
+        "nation",
+        value_serde=Serde(kind="latest"),
+        key_serde=Serde(kind="int"),
+        registry=reg,
+    )
+    return decoded.select(
+        F.col("rowkey").cast("long").alias("rowkey"),
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        union_tag(F.col("extra"), ["u0", "u1"]).alias("extra_tag"),
+        union_extract(F.col("extra"), "u0").alias("extra_long"),
+        union_extract(F.col("extra"), "u1").alias("extra_str"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON Schema roundtrip (allOf + tag injection exercised in tests; here the
+# plain object path over a bigger table)
+# ---------------------------------------------------------------------------
+
+_SUPPLIER_JS = {
+    "type": "object",
+    "properties": {
+        "s_suppkey": {"type": "integer"},
+        "s_name": {"type": "string"},
+        "s_nationkey": {"type": "integer"},
+        "s_acctbal": {"type": "number"},
+    },
+    "required": ["s_suppkey", "s_name"],
+}
+
+
+@register(
+    "kafka_json_schema_roundtrip",
+    oracle="""
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+    tags=("ingest", "kafka", "jsonschema"),
+)
+def kafka_json_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema_str = json.dumps(_SUPPLIER_JS)
+
+    def enc(rec):
+        value = json.dumps(
+            {
+                "s_suppkey": int(rec.s_suppkey),
+                "s_name": rec.s_name,
+                "s_nationkey": int(rec.s_nationkey),
+                "s_acctbal": float(rec.s_acctbal),
+            }
+        ).encode("utf-8")
+        return None, value
+
+    frames = _to_frames(T(spark, sf_dir, "supplier"), enc, "supplier")
+    decoded = ks.decode_topic(
+        frames,
+        "supplier",
+        value_serde=Serde(kind="jsonschema", schema_str=schema_str),
+        row_attributes=("par", "off"),
+    )
+    return decoded.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# Protobuf roundtrip (message-index framing, enum, oneof)
+# ---------------------------------------------------------------------------
+
+_CUSTOMER_PROTO = """
+syntax = "proto3";
+message Customer {
+  int64 c_custkey = 1;
+  string c_name = 2;
+  double c_acctbal = 3;
+  Segment segment = 4;
+  oneof contact {
+    string phone = 5;
+    int64 nation = 6;
+  }
+}
+enum Segment {
+  UNKNOWN = 0;
+  BUILDING = 1;
+  AUTOMOBILE = 2;
+  MACHINERY = 3;
+  HOUSEHOLD = 4;
+  FURNITURE = 5;
+}
+"""
+
+_SEGMENTS = {"BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"}
+
+
+@register(
+    "kafka_proto_roundtrip",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal,
+               CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY','HOUSEHOLD','FURNITURE')
+                    THEN c_mktsegment ELSE 'UNKNOWN' END AS segment,
+               CASE WHEN c_custkey % 2 = 0 THEN 'phone' ELSE 'nation' END AS contact_tag,
+               CASE WHEN c_custkey % 2 = 0 THEN c_name END AS contact_phone,
+               CASE WHEN c_custkey % 2 = 1 THEN c_nationkey END AS contact_nation
+        FROM customer
+    """,
+    tags=("ingest", "kafka", "protobuf", "union"),
+)
+def kafka_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    desc = proto_schema.resolve(proto_schema.parse_proto(_CUSTOMER_PROTO), "Customer")
+
+    def enc(rec):
+        seg = rec.c_mktsegment if rec.c_mktsegment in _SEGMENTS else "UNKNOWN"
+        values = {
+            "c_custkey": int(rec.c_custkey),
+            "c_name": rec.c_name,
+            "c_acctbal": float(rec.c_acctbal),
+            "segment": seg,
+        }
+        if rec.c_custkey % 2 == 0:
+            values["phone"] = rec.c_name
+        else:
+            values["nation"] = int(rec.c_nationkey)
+        # single-message schema: message-index prefix 0 (Confluent proto framing)
+        return None, ks.confluent_frame(b"\x00" + proto_schema.encode_message(values, desc), 1)
+
+    frames = _to_frames(T(spark, sf_dir, "customer"), enc, "customer")
+    decoded = ks.decode_topic(
+        frames,
+        "customer",
+        value_serde=Serde(kind="proto", schema_str=_CUSTOMER_PROTO, message="Customer"),
+        row_attributes=("par", "off"),
+    )
+    return decoded.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "segment",
+        union_tag(F.col("contact"), ["phone", "nation"]).alias("contact_tag"),
+        union_extract(F.col("contact"), "phone").alias("contact_phone"),
+        union_extract(F.col("contact"), "nation").alias("contact_nation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# raw-JSON serde roundtrip (schema-less rowval + JSON functions, the
+# reference's JsonNoSchemaTest surface on driver data)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kafka_rawjson_roundtrip",
+    oracle="""
+        SELECT CAST(props->>'$.k' AS BIGINT) AS k_val, COUNT(*) AS n
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("ingest", "kafka", "rawjson"),
+)
+def kafka_rawjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.props (a JSON string column) as schema-less json-serde records:
+    value bytes -> rowval -> JSON functions (KwackEngine.java:672-673)."""
+
+    def enc(rec):
+        return None, rec.props.encode("utf-8")
+
+    frames = _to_frames(
+        T(spark, sf_dir, "events").select("props"), enc, "events_raw"
+    )
+    decoded = ks.decode_topic(
+        frames, "events_raw", value_serde=Serde(kind="rawjson"), row_attributes=("par",)
+    )
+    return decoded.groupBy(
+        F.get_json_object("rowval", "$.k").cast("bigint").alias("k_val")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# primitive serdes roundtrip (JVM-only decode path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kafka_primitive_roundtrip",
+    oracle="""
+        SELECT doc_id AS rowkey, text AS rowval FROM documents
+    """,
+    tags=("ingest", "kafka", "primitive"),
+)
+def kafka_primitive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """long key + string value — decodes entirely JVM-side (no Python stage
+    in the decoded plan; see test_kafka_decode for the plan assertion)."""
+
+    def enc(rec):
+        return int(rec.doc_id).to_bytes(8, "big", signed=True), rec.text.encode("utf-8")
+
+    frames = _to_frames(
+        T(spark, sf_dir, "documents").select("doc_id", "text"), enc, "docs_prim"
+    )
+    decoded = ks.decode_topic(
+        frames,
+        "docs_prim",
+        value_serde=Serde(kind="string"),
+        key_serde=Serde(kind="long"),
+        row_attributes=("rowkey", "par", "off"),
+    )
+    return decoded.select("rowkey", "rowval")

@@ -71,5 +71,6 @@ def _load_all() -> None:
     import kwack_spark.plans.relational  # noqa: F401
     import kwack_spark.plans.functions_corpus  # noqa: F401
     import kwack_spark.plans.pipeline  # noqa: F401
+    import kwack_spark.plans.ingest_corpus  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,121 @@
+"""Serde grammar / offset / CLI / engine-facade tests
+(KwackConfig.java:527-612 grammar, KwackMain.java:49-138 options)."""
+
+import json
+
+import pytest
+
+from kwack_spark.cli import build_parser, config_from_args
+from kwack_spark.config import KwackConfig, parse_offset, parse_serde, parse_topic_serdes
+
+
+def test_primitive_serdes():
+    for k in ("short", "int", "long", "float", "double", "string", "binary"):
+        assert parse_serde(k).kind == k
+
+
+def test_rawjson_latest_id():
+    assert parse_serde("json").kind == "rawjson"
+    assert parse_serde("latest").kind == "latest"
+    s = parse_serde("123")
+    assert s.kind == "id" and s.schema_id == 123
+
+
+def test_inline_schemas():
+    s = parse_serde('avro:{"type":"record","name":"R","fields":[]}')
+    assert s.kind == "avro" and json.loads(s.schema_str)["name"] == "R"
+    s = parse_serde("proto:syntax = \"proto3\"; message M { int32 a = 1; };msg:M")
+    assert s.kind == "proto" and s.message == "M"
+    s = parse_serde('json:{"type":"object"};tag:id->kid')
+    assert s.kind == "jsonschema" and s.tag == ("id", "kid")
+
+
+def test_schema_from_file(tmp_path):
+    f = tmp_path / "s.avsc"
+    f.write_text('{"type":"record","name":"F","fields":[]}')
+    s = parse_serde(f"avro:@{f}")
+    assert json.loads(s.schema_str)["name"] == "F"
+
+
+def test_topic_serde_map():
+    m = parse_topic_serdes(["t1=string", "t2=latest"])
+    assert m["t1"].kind == "string" and m["t2"].kind == "latest"
+
+
+def test_offsets():
+    assert parse_offset("beginning").kind == "beginning"
+    assert parse_offset("end").kind == "end"
+    assert parse_offset("100").kind == "absolute"
+    assert parse_offset("-5").kind == "relative"
+    ts = parse_offset("@1700000000000")
+    assert ts.kind == "timestamp" and ts.value == 1700000000000
+
+
+def test_cli_args_to_config():
+    args = build_parser().parse_args(
+        [
+            "-b", "broker:9092",
+            "-t", "t1", "-t", "t2",
+            "-v", "t1=avro:{}",
+            "-k", "t1=string",
+            "-o", "end",
+            "-q", "SELECT 1",
+            "-d", "/tmp/wh",
+            "-a", "rowkey,par,off",
+            "-x", "3",
+        ]
+    )
+    cfg = config_from_args(args)
+    assert cfg.kafka_bootstrap == "broker:9092"
+    assert cfg.topics == ["t1", "t2"]
+    assert cfg.topic_serdes["t1"] == "avro:{}"
+    assert cfg.key_serdes["t1"] == "string"
+    assert cfg.starting_offset == "end" and cfg.offset().kind == "end"
+    assert cfg.query == "SELECT 1"
+    assert cfg.warehouse_dir == "/tmp/wh"
+    assert cfg.row_attributes == ("rowkey", "par", "off")
+    assert cfg.skip_bytes == 3
+
+
+def test_properties_file(tmp_path):
+    f = tmp_path / "kwack.properties"
+    f.write_text(
+        "bootstrap.servers=b:9092\n"
+        "topics=t1,t2\n"
+        "serde.t1=string\n"
+        "key.serde.t1=int\n"
+        "skip.bytes=2\n"
+        "row.attributes=par,off\n"
+    )
+    cfg = KwackConfig.from_properties(str(f))
+    assert cfg.kafka_bootstrap == "b:9092"
+    assert cfg.topics == ["t1", "t2"]
+    assert cfg.topic_serdes["t1"] == "string"
+    assert cfg.key_serdes["t1"] == "int"
+    assert cfg.skip_bytes == 2
+    assert cfg.row_attributes == ("par", "off")
+
+
+def test_engine_warehouse_roundtrip(spark, tmp_path):
+    """-d equivalent: persist a view, reopen from a fresh engine
+    (KwackConfig.java:448-454 durable-db semantics)."""
+    from kwack_spark.engine import KwackSpark
+
+    wh = str(tmp_path / "wh")
+    eng = KwackSpark(KwackConfig(warehouse_dir=wh), spark=spark).init()
+    eng.spark.range(5).toDF("n").createOrReplaceTempView("nums")
+    eng.persist_table("nums")
+    assert eng.sql("SELECT count(*) AS c FROM nums").collect()[0].c == 5
+
+    spark.catalog.dropTempView("nums")
+    eng2 = KwackSpark(KwackConfig(warehouse_dir=wh), spark=spark).init()
+    assert eng2.sql("SELECT count(*) AS c FROM nums").collect()[0].c == 5
+
+
+def test_engine_copy_shim(spark, tmp_path):
+    from kwack_spark.engine import KwackSpark
+
+    eng = KwackSpark(KwackConfig(parquet_dir="/root/testdata/sf0.001"), spark=spark).init()
+    out = str(tmp_path / "out.parquet")
+    eng.sql(f"COPY (SELECT r_regionkey FROM region) TO '{out}' (FORMAT 'parquet')")
+    assert spark.read.parquet(out).count() == 5
