@@ -33,6 +33,8 @@ HEADLINE = [
     "asof_purchase_attribution",
     "window_tumbling_hourly",
     "session_windows",
+    "kafka_avro_roundtrip",
+    "multimodal_frame_sample",
 ]
 
 

@@ -1,0 +1,142 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Beyond-parity operators for a training-data pipeline: media are opaque
+``binary`` payload columns with typed metadata, processed by Arrow-batched
+mapInPandas stages.  The decode kernels themselves are STUBS — the container
+has no image/audio libraries — but everything Spark-side is real and tested:
+schemas, batch shapes, partitioning, UDF signatures.
+
+Two kernel modes:
+- ``decode_image`` raises NotImplementedError (clearly marked): swap in a
+  real PIL/ffmpeg kernel at deployment.
+- ``fake_decode_image`` is a DETERMINISTIC arithmetic stand-in (reads
+  width/height/channels from the payload's leading bytes) used by tests and
+  the oracle corpus — its math is reproducible in SQL, so the full
+  mapInPandas pipeline is hash-checked against DuckDB.
+
+Scale shape: decode is a narrow per-partition pass; payload columns are
+hundreds of KB each, so stages that follow repartition by a small metadata
+projection rather than shuffling payloads.  ``drop_payload_early`` is the
+pattern: project metadata/features first, never shuffle raw bytes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as ST
+
+IMAGE_META_SCHEMA = ST.StructType(
+    [
+        ST.StructField("width", ST.IntegerType(), True),
+        ST.StructField("height", ST.IntegerType(), True),
+        ST.StructField("channels", ST.IntegerType(), True),
+        ST.StructField("format", ST.StringType(), True),
+    ]
+)
+
+
+def attach_binary_metadata(df: DataFrame, payload_col: str) -> DataFrame:
+    """Typed metadata over an opaque binary column — JVM-side only (size,
+    content hash, magic-byte format sniff); no Python in the path."""
+    p = F.col(payload_col)
+    head = F.hex(F.substring(p, 1, 4))
+    fmt = (
+        F.when(head.startswith("89504E47"), "png")
+        .when(head.startswith("FFD8FF"), "jpeg")
+        .when(head.startswith("52494646"), "riff")
+        .otherwise("unknown")
+    )
+    return df.withColumns(
+        {
+            "media_bytes": F.length(p),
+            "media_md5": F.md5(p),
+            "media_format": fmt,
+        }
+    )
+
+
+def decode_image(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """REAL-KERNEL SLOT — image decode requires an imaging library that is
+    not in this container.  The Spark plumbing (signature, schema, batching)
+    is identical to fake_decode_image; only the kernel differs."""
+
+    def kernel(batches):
+        raise NotImplementedError(
+            "image decode kernel: install an imaging library (e.g. PIL) and "
+            "replace this body with Image.open(io.BytesIO(payload)); the "
+            "fake_decode_image pipeline is the tested stand-in"
+        )
+
+    out_schema = ST.StructType(
+        [ST.StructField(id_col, ST.LongType())] + list(IMAGE_META_SCHEMA.fields)
+    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+def fake_decode_image(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Deterministic decode stand-in: width/height/channels derived from the
+    payload's first bytes (b0*256+b1, b2*256+b3, 1+b4%4).  Arithmetic only —
+    reproducible in any engine, so the pipeline is oracle-checkable."""
+
+    def kernel(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(getattr(rec, payload_col))
+                b = payload[:5].ljust(5, b"\x00")
+                rows.append(
+                    {
+                        id_col: getattr(rec, id_col),
+                        "width": b[0] * 256 + b[1],
+                        "height": b[2] * 256 + b[3],
+                        "channels": 1 + b[4] % 4,
+                        "format": "fake",
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "channels", "format"]
+            )
+
+    out_schema = ST.StructType(
+        [ST.StructField(id_col, ST.LongType())] + list(IMAGE_META_SCHEMA.fields)
+    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+def sample_frames(
+    df: DataFrame, payload_col: str, id_col: str, frame_size: int = 16, every_n: int = 4
+) -> DataFrame:
+    """Video-style frame sampling plumbing: split the payload into fixed-size
+    chunks, keep every Nth — one row per sampled frame (posexplode).  All
+    JVM-side: no Python, no shuffle; the explode multiplies rows locally."""
+    p = F.col(payload_col)
+    n_frames = F.floor(F.length(p) / F.lit(frame_size)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+    sampled = F.filter(idx, lambda i: i % every_n == 0)
+    frames = F.transform(
+        sampled, lambda i: F.struct(
+            i.alias("frame_no"),
+            F.substring(p, i * frame_size + 1, frame_size).alias("frame"),
+        )
+    )
+    return (
+        df.select(id_col, F.explode(frames).alias("f"))
+        .select(
+            id_col,
+            F.col("f.frame_no").alias("frame_no"),
+            F.col("f.frame").alias("frame"),
+            F.md5(F.col("f.frame")).alias("frame_md5"),
+        )
+    )
+
+
+def drop_payload_early(df: DataFrame, payload_col: str, feature_cols: list[str]) -> DataFrame:
+    """The shuffle-hygiene pattern: project features and DROP the payload
+    before any wide operation, so raw bytes never cross the network."""
+    keep = [c for c in feature_cols if c != payload_col]
+    return df.select(*keep)

@@ -521,9 +521,8 @@ def session_windows(spark, sf_dir):
 )
 def multimodal_binary_meta(spark, sf_dir):
     """Opaque-binary column plumbing: documents' text re-encoded as a binary
-    payload column, with typed metadata extracted — the schema/partitioning
-    pattern for image/audio columns (decode itself is stubbed, see
-    operators/multimodal.py)."""
+    payload column, with typed metadata extracted JVM-side
+    (operators/multimodal.py:attach_binary_metadata is the general form)."""
     d = T(spark, sf_dir, "documents")
     payload = F.encode(F.col("text"), "UTF-8")
     return d.select(
@@ -531,4 +530,59 @@ def multimodal_binary_meta(spark, sf_dir):
         F.length(payload).alias("n_bytes"),
         F.md5(F.col("text")).alias("content_md5"),
         F.hex(F.encode(F.substring("text", 1, 8), "UTF-8")).alias("head_hex"),
+    )
+
+
+@register(
+    "multimodal_fake_decode",
+    # the deterministic fake image-decode kernel (multimodal.py): width/
+    # height/channels from the payload's leading bytes — the documents corpus
+    # is pure ASCII (verified), so DuckDB's ord(substr(..)) IS the byte value
+    oracle="""
+        SELECT doc_id,
+               ord(substr(text, 1, 1)) * 256 + ord(substr(text, 2, 1)) AS width,
+               ord(substr(text, 3, 1)) * 256 + ord(substr(text, 4, 1)) AS height,
+               1 + ord(substr(text, 5, 1)) % 4 AS channels,
+               'fake' AS format
+        FROM documents
+    """,
+    tags=("multimodal", "decode"),
+)
+def multimodal_fake_decode(spark, sf_dir):
+    """The full multimodal decode pipeline (Arrow-batched mapInPandas over a
+    binary payload column) with the deterministic stand-in kernel — the real
+    kernel (operators/multimodal.py:decode_image) swaps in with an identical
+    signature and plan shape."""
+    from kwack_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return mm.fake_decode_image(d, "payload", "doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    # video-style frame sampling: 16-byte frames, every 4th kept (JVM-side
+    # posexplode — no Python, no payload shuffle)
+    oracle="""
+        WITH f AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(0, greatest((length(text) // 16) - 1, 0), 4)) AS i
+            FROM documents
+        )
+        SELECT doc_id, i AS frame_no,
+               md5(substr(text, (i * 16 + 1)::BIGINT, 16)) AS frame_md5
+        FROM f
+    """,
+    tags=("multimodal", "frames"),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    from kwack_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return mm.sample_frames(d, "payload", "doc_id", frame_size=16, every_n=4).select(
+        "doc_id", "frame_no", "frame_md5"
     )

@@ -448,6 +448,22 @@ def join_left(spark, sf_dir):
 
 
 @register(
+    "join_right",
+    oracle="""
+        SELECT n.n_name, c.c_custkey
+        FROM customer c RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey AND c.c_acctbal < 0
+    """,
+    tags=("join",),
+)
+def join_right(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    n = T(spark, sf_dir, "nation")
+    return c.join(n, c.c_nationkey == n.n_nationkey, "right").select(
+        "n_name", "c_custkey"
+    )
+
+
+@register(
     "join_full_outer",
     oracle="""
         SELECT COALESCE(a.k, b.k) AS k, a.n_f, b.n_o

@@ -1,0 +1,135 @@
+"""Streaming ingest: the batch decode pipeline, made continuous.
+
+The reference has NO streaming operators (batch catch-up only, SURVEY.md
+§1.1/§2.C); this module is the beyond-parity layer.  The design insight is
+that ``sources/kafka.py:decode_topic`` is a narrow transformation (filter +
+mapInPandas + project) — it works UNCHANGED on a streaming DataFrame, so
+batch and streaming ingest share one code path, and the streaming additions
+are purely the stateful operators on top:
+
+- event-time tumbling/sliding windows with watermarks (late-data bound)
+- session windows (gap-based)
+- dropDuplicatesWithinWatermark streaming dedup
+
+At scale: state lives in the state store keyed by (window, keys); the
+watermark bounds state size; shuffle partitioning on the group keys is the
+same as the batch plan.  Tests drive these with a file-source stream +
+Trigger.AvailableNow into a memory sink — the operators are identical under
+a Kafka source."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kwack_spark.config import Serde
+from kwack_spark.schema.registry import MockSchemaRegistry
+from kwack_spark.sources.kafka import KAFKA_FRAME_SCHEMA, decode_topic
+
+
+def stream_topic_frames(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """readStream.format('kafka') — the continuous twin of
+    sources/kafka.py:read_topic_frames."""
+    from kwack_spark.sources.kafka import read_topic_frames
+
+    return read_topic_frames(spark, bootstrap, topic, starting_offsets, streaming=True)
+
+
+def stream_frames_from_dir(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of kafka-shaped frames (tests / replay): any
+    directory of parquet files with the frame schema becomes a stream."""
+    return spark.readStream.schema(KAFKA_FRAME_SCHEMA).parquet(path)
+
+
+def decode_stream(
+    frames: DataFrame,
+    topic: str,
+    value_serde: Serde,
+    key_serde: Serde | None = None,
+    registry: MockSchemaRegistry | None = None,
+    row_attributes: tuple[str, ...] = ("rowkey", "ksi", "vsi", "par", "off", "ts", "hdr"),
+) -> DataFrame:
+    """The batch decode path applied to a streaming frame source — one code
+    path for both modes (decode_topic is narrow, so it streams as-is)."""
+    return decode_topic(
+        frames, topic, value_serde, key_serde, registry, row_attributes
+    )
+
+
+# ---------------------------------------------------------------------------
+# stateful operators
+# ---------------------------------------------------------------------------
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    agg_exprs: list | None = None,
+) -> DataFrame:
+    """Watermarked tumbling/sliding event-time aggregation.  Works in batch
+    too (watermark is a no-op there) — the batch oracle for the streaming
+    result."""
+    w = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    aggs = agg_exprs or [F.count(F.lit(1)).alias("n")]
+    out = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*keys, w.alias("win"))
+        .agg(*aggs)
+    )
+    agg_names = [c for c in out.columns if c not in keys and c != "win"]
+    return out.select(
+        *keys, F.col("win.start").alias("window_start"), *agg_names
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based session windows with watermark-bounded state."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*keys, F.session_window(ts_col, gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *keys,
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    df: DataFrame, ts_col: str, keys: list[str], watermark: str = "10 minutes"
+) -> DataFrame:
+    """Exact streaming dedup: state bounded by the watermark
+    (dropDuplicatesWithinWatermark)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def to_memory_sink(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> StreamingQuery:
+    """Run the stream to completion over all available input
+    (Trigger.AvailableNow) into an in-memory table — the engine's live-table
+    surface and the test harness."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

