@@ -50,6 +50,20 @@ def main() -> None:
     qmap = query_map()
     init_sec = time.perf_counter() - t0
 
+    # one-time warmup: JVM JIT, codegen, parquet footer caches.  Reported
+    # separately (and counted in the total), so per-query timings and
+    # init_sec are both steady-state-honest.
+    from pyspark.sql import functions as F
+
+    from kwack_spark.sources.parquet import load_table
+
+    t_w = time.perf_counter()
+    warm = load_table(spark, sf_dir, "lineitem").limit(10000)
+    warm.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("s")
+    ).write.mode("overwrite").format("noop").save()
+    warmup_sec = time.perf_counter() - t_w
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qmap[name]
@@ -68,6 +82,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "init_sec": round(init_sec, 3),
+                "warmup_sec": round(warmup_sec, 3),
                 "n_queries": len(timings),
             }
         )
