@@ -276,6 +276,34 @@ def text_token_stats(spark, sf_dir):
 
 
 @register(
+    "text_token_count_bpe",
+    # BPE-ish subword counting: letter runs / digit runs / single punctuation
+    # marks, the pre-tokenization shape BPE vocabularies split on — all
+    # JVM-side regexp, identical semantics in DuckDB
+    oracle=r"""
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_pieces,
+               len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS n_unique_pieces,
+               len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS n_punct_pieces
+        FROM documents
+    """,
+    tags=("text", "tokens", "bpe"),
+)
+def text_token_count_bpe(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+    pieces = F.regexp_extract_all(F.lower("text"), F.lit(pat), 0)
+    return d.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).alias("n_unique_pieces"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[^a-z0-9\s]"), 0)).alias(
+            "n_punct_pieces"
+        ),
+    )
+
+
+@register(
     "text_quality",
     oracle=f"""
         WITH base AS (

@@ -71,6 +71,7 @@ _PRIORITY = [
     "ann_brute_force_topk",
     "ann_lsh_bucketed",
     "text_token_stats",
+    "text_token_count_bpe",
     "text_quality",
     "text_lang_id",
     "doc_fingerprints",

@@ -716,6 +716,8 @@ def message_to_row(msg: dict, desc: Descriptor) -> tuple:
             out.append(
                 [_coerce_resolved(x, f["resolved"], f.get("options")) for x in (v or [])]
             )
+        elif f["resolved"]["kind"] == "map" and v is None:
+            out.append({})  # proto3: absent map = empty map
         elif f["resolved"]["kind"] == "scalar" and v is None:
             # proto3 absent scalar = default value
             out.append(_coerce_resolved(_scalar_default(f["resolved"]["type"]), f["resolved"]))
