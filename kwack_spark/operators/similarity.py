@@ -125,6 +125,70 @@ def brute_force_topk_vectorized(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
+    their nearest centroid's list; queries probe only the ``n_probe`` nearest
+    lists, so each query compares against ~``n_probe/n_lists`` of the corpus.
+
+    Centroid choice is DETERMINISTIC — the ``n_lists`` lowest-id vectors —
+    so the whole operator is oracle-checkable in SQL.  (Production IVF runs
+    k-means for centroids; the assignment/probe/rerank plumbing — the Spark
+    part — is identical, only the centroid table changes.)
+
+    Scale shape: centroids broadcast (tiny); assignment is one partial-
+    aggregated shuffle per corpus row (max_by keeps one row per vector);
+    candidate generation shuffles on list_id.  Size ``n_lists`` ~ sqrt(n) at
+    scale so lists stay balanced and the probe fraction stays constant.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_lists)
+        .select(F.col(id_col).alias("cid"), V.as_double(vec_col).alias("cv"))
+    )
+    c = corpus.select(F.col(id_col).alias("corpus_id"), V.as_double(vec_col).alias("v"))
+    q = queries.select(F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv"))
+
+    # assignment: nearest centroid per corpus vector (ties -> smaller cid)
+    scored_c = c.crossJoin(F.broadcast(cents)).select(
+        "corpus_id", "v", "cid", V.cosine(F.col("v"), F.col("cv")).alias("cc")
+    )
+    assigned = scored_c.groupBy("corpus_id").agg(
+        F.max_by("cid", F.struct(F.col("cc"), (-F.col("cid")).alias("n"))).alias("list_id"),
+        F.first("v").alias("v"),
+    )
+
+    # probe: each query's n_probe nearest lists (same ordering rule)
+    scored_q = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cid", V.cosine(F.col("qv"), F.col("cv")).alias("qc")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qc"), "cid")
+    probes = (
+        scored_q.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", F.col("cid").alias("list_id"))
+    )
+
+    # rerank candidates within probed lists only
+    cand = probes.join(assigned, "list_id").filter(
+        F.col("query_id") != F.col("corpus_id")
+    )
+    scored = cand.select(
+        "query_id", "corpus_id", V.cosine(F.col("qv"), F.col("v")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    ).select("query_id", "corpus_id", "cosine", "rank")
+
+
 _HEX_HI = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 

@@ -243,6 +243,60 @@ def ann_lsh_bucketed(spark, sf_dir):
     return similarity.lsh_bucketed_pairs(e, "vec_id", "embedding", planes=4, dim=64, threshold=0.3)
 
 
+@register(
+    "ann_ivf_topk",
+    # deterministic centroids (n_lists lowest-id vectors) make the full IVF
+    # pipeline — assign, probe, rerank — SQL-expressible
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (
+            SELECT vec_id AS cid, v AS cv FROM v ORDER BY vec_id LIMIT 16
+        ),
+        assigned AS (
+            SELECT corpus_id, v, cid AS list_id FROM (
+                SELECT a.vec_id AS corpus_id, a.v, c.cid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_dot_product(a.v, c.cv)
+                                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                    c.cid
+                       ) AS rn
+                FROM v a CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, qv, cid AS list_id FROM (
+                SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.v, c.cv)
+                                    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                    c.cid
+                       ) AS rn
+                FROM v q CROSS JOIN cents c
+            ) WHERE rn <= 4
+        )
+        SELECT query_id, corpus_id, cosine, rank FROM (
+            SELECT p.query_id, a.corpus_id,
+                   list_dot_product(p.qv, a.v)
+                       / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY list_dot_product(p.qv, a.v)
+                                / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) DESC,
+                                a.corpus_id
+                   ) AS rank
+            FROM probes p JOIN assigned a USING (list_id)
+            WHERE p.query_id <> a.corpus_id
+        ) WHERE rank <= 3
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_topk(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, e, "vec_id", "embedding", k=3, n_lists=16, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

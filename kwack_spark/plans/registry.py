@@ -70,6 +70,7 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "ann_brute_force_topk",
     "ann_lsh_bucketed",
+    "ann_ivf_topk",
     "text_token_stats",
     "text_token_count_bpe",
     "text_quality",
