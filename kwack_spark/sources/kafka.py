@@ -331,13 +331,21 @@ def decode_topic(
     registry: MockSchemaRegistry | None = None,
     row_attributes: tuple[str, ...] = ("rowkey", "ksi", "vsi", "par", "off", "ts", "hdr"),
     skip_bytes: int = 0,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Kafka-shaped frame DataFrame -> decoded table for ``topic``.
 
     Layout mirrors the reference (KwackEngine.java:593-648): [rowkey,]
     <flattened value columns | rowval>, rowinfo.  Struct-valued tables skip
     tombstones (null value -> no row, KwackEngine.java:820-823).
+
+    ``on_error``: 'fail' raises on an undecodable record (default, matches
+    the reference); 'skip' drops the record.  At 100 TB one poison record
+    must not kill the ingest job — run production loads with 'skip' and
+    reconcile counts against topic end offsets.
     """
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     spark = df.sparkSession
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     key_serde = key_serde or Serde(kind="binary")
@@ -394,6 +402,41 @@ def decode_topic(
 
     k_flat = k_conv is not None and k_st.fieldNames() != ["rowval"]
 
+    def _decode_one(rec, value, writers) -> dict:
+        out: dict[str, Any] = {}
+        if want_rowkey:
+            out["rowkey"] = _decode_key(
+                rec.key, k_conv, k_st, k_flat, writers, skip_bytes, key_serde.kind
+            )
+        if v_conv is None:
+            if value is None:
+                out["rowval"] = None
+            elif value_serde.kind == "rawjson":
+                body = bytes(value[skip_bytes:] if skip_bytes else value)
+                out["rowval"] = split_frame(body)[1].decode("utf-8")
+            else:
+                body = bytes(value[skip_bytes:] if skip_bytes else value)
+                out["rowval"] = _decode_primitive_py(body, value_serde.kind)
+        else:
+            body = value[skip_bytes:] if skip_bytes else value
+            if body is None:
+                out["rowval"] = None
+            else:
+                if value_serde.tag:
+                    row = v_conv(body, writers, rec.key)
+                else:
+                    row = v_conv(body, writers)
+                if value_is_struct:
+                    for f, v in zip(v_st.fields, row):
+                        out[f.name] = _dictify(v, f.dataType)
+                else:
+                    out["rowval"] = _dictify(row[0], v_st.fields[0].dataType)
+        out["ksi"] = None if rec.key is None else split_frame(bytes(rec.key))[0]
+        out["vsi"] = None if value is None else split_frame(bytes(value))[0]
+        for m in ("topic", "partition", "offset", "timestamp", "timestampType", "headers"):
+            out[m] = getattr(rec, m)
+        return out
+
     def decode_batches(batches):
         import pandas as pd
 
@@ -404,39 +447,13 @@ def decode_topic(
                 value = rec.value
                 if value_is_struct and value is None:
                     continue
-                out: dict[str, Any] = {}
-                if want_rowkey:
-                    out["rowkey"] = _decode_key(
-                        rec.key, k_conv, k_st, k_flat, writers, skip_bytes, key_serde.kind
-                    )
-                if v_conv is None:
-                    if value is None:
-                        out["rowval"] = None
-                    elif value_serde.kind == "rawjson":
-                        body = bytes(value[skip_bytes:] if skip_bytes else value)
-                        out["rowval"] = split_frame(body)[1].decode("utf-8")
-                    else:
-                        body = bytes(value[skip_bytes:] if skip_bytes else value)
-                        out["rowval"] = _decode_primitive_py(body, value_serde.kind)
+                if on_error == "skip":
+                    try:
+                        rows.append(_decode_one(rec, value, writers))
+                    except Exception:
+                        continue  # poison record: drop, keep the job alive
                 else:
-                    body = value[skip_bytes:] if skip_bytes else value
-                    if body is None:
-                        out["rowval"] = None
-                    else:
-                        if value_serde.tag:
-                            row = v_conv(body, writers, rec.key)
-                        else:
-                            row = v_conv(body, writers)
-                        if value_is_struct:
-                            for f, v in zip(v_st.fields, row):
-                                out[f.name] = _dictify(v, f.dataType)
-                        else:
-                            out["rowval"] = _dictify(row[0], v_st.fields[0].dataType)
-                out["ksi"] = None if rec.key is None else split_frame(bytes(rec.key))[0]
-                out["vsi"] = None if value is None else split_frame(bytes(value))[0]
-                for m in ("topic", "partition", "offset", "timestamp", "timestampType", "headers"):
-                    out[m] = getattr(rec, m)
-                rows.append(out)
+                    rows.append(_decode_one(rec, value, writers))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in out_schema.fields]
             ) if rows else pd.DataFrame(columns=[f.name for f in out_schema.fields])

@@ -253,3 +253,16 @@ def test_row_attributes_subset(spark):
     row = out.collect()[0]
     assert row.rowinfo.asDict() == {"par": 0, "off": 0}
     assert "rowkey" not in out.columns
+
+
+def test_on_error_skip_poison_records(spark):
+    """A corrupt payload must not kill the job in 'skip' mode; 'fail' raises."""
+    reg = MockSchemaRegistry()
+    sid = reg.register("t1-value", json.dumps(AVRO_SIMPLE), "AVRO")
+    good = ks.confluent_frame(avro_schema.encode({"f1": 1, "f2": "ok"}, AVRO_SIMPLE), sid)
+    poison = ks.confluent_frame(b"\xff\xff", sid)  # truncated avro body
+    df = make_frames(spark, [good, poison, good])
+    out = ks.decode_topic(df, "t1", Serde(kind="latest"), registry=reg, on_error="skip")
+    assert out.count() == 2
+    with pytest.raises(Exception):
+        ks.decode_topic(df, "t1", Serde(kind="latest"), registry=reg).count()

@@ -1,0 +1,65 @@
+"""Scale-pattern tests: bucketed co-located joins (plan-verified zero
+exchange), salted skew join and salted aggregation equivalence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kwack_spark.operators import scale
+from kwack_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    # saveAsTable writes under spark.sql.warehouse.dir (static conf; default
+    # ./spark-warehouse, gitignored); tables are dropped in finally
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, SF, "orders")
+        c = load_table(spark, SF, "customer").withColumnRenamed("c_custkey", "o_custkey")
+        bo = scale.bucket_table(spark, o, "orders_b", ["o_custkey"], 8)
+        bc = scale.bucket_table(spark, c, "customer_b", ["o_custkey"], 8)
+        joined = bo.join(bc, "o_custkey").select("o_orderkey", "c_name")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:800]
+        # same result as the unbucketed join
+        plain = o.join(c, "o_custkey").select("o_orderkey", "c_name")
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_salted_join_equivalence(spark):
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    salted = scale.salted_join(o, c, "o_custkey", salt=4)
+    plain = o.join(c, "o_custkey")
+    assert sorted(map(tuple, salted.select("o_orderkey", "c_name").collect())) == sorted(
+        map(tuple, plain.select("o_orderkey", "c_name").collect())
+    )
+
+
+def test_salted_agg_equivalence(spark):
+    o = load_table(spark, SF, "orders")
+    salted = scale.salted_agg(
+        o,
+        ["o_orderstatus"],
+        [
+            (F.count(F.lit(1)).alias("pc"), "sum", "n"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ps"),
+                "sum",
+                "total",
+            ),
+        ],
+        salt=8,
+    )
+    plain = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
