@@ -63,6 +63,11 @@ def config_from_args(args: argparse.Namespace) -> KwackConfig:
     for item in args.key_serde:
         topic, _, s = item.partition("=")
         cfg.key_serdes[topic.strip()] = s
+    for item in args.partition:
+        topic, _, ps = item.partition("=")
+        cfg.topic_partitions[topic.strip()] = [
+            int(p) for p in ps.split(",") if p.strip()
+        ]
     cfg.starting_offset = args.offset
     if args.db:
         cfg.warehouse_dir = args.db

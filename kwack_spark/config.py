@@ -134,6 +134,7 @@ class KwackConfig:
     topics: list[str] = field(default_factory=list)
     topic_serdes: dict[str, str] = field(default_factory=dict)  # value serdes
     key_serdes: dict[str, str] = field(default_factory=dict)
+    topic_partitions: dict[str, list[int]] = field(default_factory=dict)  # -p
     starting_offset: str = "beginning"
     row_attributes: tuple[str, ...] = DEFAULT_ROW_ATTRIBUTES
     skip_bytes: int = 0

@@ -65,7 +65,6 @@ class KwackSpark:
         if self.config.kafka_bootstrap:
             from kwack_spark.sources.kafka import register_topics
 
-            offset_opt, offset_val = self.config.offset().to_kafka_option()
             register_topics(
                 self.spark,
                 bootstrap=self.config.kafka_bootstrap,
@@ -73,10 +72,11 @@ class KwackSpark:
                 serdes=self.config.topic_serdes,
                 key_serdes=self.config.key_serdes,
                 registry=self.registry,
-                starting_offsets=offset_val if offset_opt == "startingOffsets" else "earliest",
                 streaming=self.config.streaming,
                 row_attributes=self.config.row_attributes,
                 skip_bytes=self.config.skip_bytes,
+                topic_partitions=self.config.topic_partitions,
+                offset_spec=self.config.offset(),
             )
         self._initialized = True
         return self

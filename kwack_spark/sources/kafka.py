@@ -499,6 +499,53 @@ def _jvm_value_col(value_serde: Serde, skip_bytes: int) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def kafka_reader_options(
+    bootstrap: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    partitions: list[int] | None = None,
+    offset_spec: "OffsetSpec | None" = None,
+    min_partitions: int | None = None,
+) -> dict[str, str]:
+    """Spark Kafka source options from the reference's offset/partition
+    grammar (KwackMain.java:69-76): beginning|end -> earliest|latest;
+    @<ts ms> -> startingTimestamps; <abs>/-<rel> -> per-partition JSON
+    (absolute offset, or -N meaning 'N before end', Kafka's -2/-1
+    earliest/latest sentinels preserved); -p partitions -> assign JSON."""
+    import json as _json
+
+    opts: dict[str, str] = {
+        "kafka.bootstrap.servers": bootstrap,
+        "includeHeaders": "true",
+    }
+    if partitions:
+        opts["assign"] = _json.dumps({topic: sorted(partitions)})
+    else:
+        opts["subscribe"] = topic
+    if offset_spec is not None:
+        if offset_spec.kind == "beginning":
+            opts["startingOffsets"] = "earliest"
+        elif offset_spec.kind == "end":
+            opts["startingOffsets"] = "latest"
+        elif offset_spec.kind == "timestamp":
+            if partitions:
+                opts["startingTimestamps"] = _json.dumps(
+                    {topic: {str(p): offset_spec.value for p in partitions}}
+                )
+            else:
+                opts["startingTimestamp"] = str(offset_spec.value)
+        else:  # absolute / relative per-partition offsets need partitions
+            parts = partitions if partitions else [0]
+            opts["startingOffsets"] = _json.dumps(
+                {topic: {str(p): offset_spec.value for p in parts}}
+            )
+    else:
+        opts["startingOffsets"] = starting_offsets
+    if min_partitions:
+        opts["minPartitions"] = str(min_partitions)
+    return opts
+
+
 def read_topic_frames(
     spark: SparkSession,
     bootstrap: str,
@@ -506,18 +553,16 @@ def read_topic_frames(
     starting_offsets: str = "earliest",
     streaming: bool = False,
     min_partitions: int | None = None,
+    partitions: list[int] | None = None,
+    offset_spec: "OffsetSpec | None" = None,
 ) -> DataFrame:
     """spark.read[Stream].format('kafka') — one task per topic-partition;
     raises a clear error when the Kafka connector jar is absent."""
     reader = (spark.readStream if streaming else spark.read).format("kafka")
-    reader = (
-        reader.option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .option("includeHeaders", "true")
-        .option("startingOffsets", starting_offsets)
-    )
-    if min_partitions:
-        reader = reader.option("minPartitions", str(min_partitions))
+    for k, v in kafka_reader_options(
+        bootstrap, topic, starting_offsets, partitions, offset_spec, min_partitions
+    ).items():
+        reader = reader.option(k, v)
     try:
         return reader.load()
     except Exception as exc:  # pragma: no cover - environment-dependent
@@ -539,6 +584,9 @@ def register_topics(
     streaming: bool = False,
     row_attributes: tuple[str, ...] = ("rowkey", "ksi", "vsi", "par", "off", "ts", "hdr"),
     skip_bytes: int = 0,
+    topic_partitions: dict[str, list[int]] | None = None,
+    offset_spec: "OffsetSpec | None" = None,
+    on_error: str = "fail",
 ) -> dict[str, DataFrame]:
     """One temp view per topic (the reference's CREATE TABLE per topic,
     KwackEngine.java:587-591)."""
@@ -546,7 +594,15 @@ def register_topics(
 
     out: dict[str, DataFrame] = {}
     for topic in topics:
-        frames = read_topic_frames(spark, bootstrap, topic, starting_offsets, streaming)
+        frames = read_topic_frames(
+            spark,
+            bootstrap,
+            topic,
+            starting_offsets,
+            streaming,
+            partitions=(topic_partitions or {}).get(topic),
+            offset_spec=offset_spec,
+        )
         decoded = decode_topic(
             frames,
             topic,
@@ -555,6 +611,7 @@ def register_topics(
             registry=registry,
             row_attributes=row_attributes,
             skip_bytes=skip_bytes,
+            on_error=on_error,
         )
         decoded.createOrReplaceTempView(topic)
         out[topic] = decoded

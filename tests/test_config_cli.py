@@ -119,3 +119,33 @@ def test_engine_copy_shim(spark, tmp_path):
     out = str(tmp_path / "out.parquet")
     eng.sql(f"COPY (SELECT r_regionkey FROM region) TO '{out}' (FORMAT 'parquet')")
     assert spark.read.parquet(out).count() == 5
+
+
+def test_kafka_reader_options():
+    """Offset/partition grammar -> Spark Kafka source options (A1 surface;
+    no broker needed to verify the option construction)."""
+    import json as _json
+
+    from kwack_spark.config import parse_offset
+    from kwack_spark.sources.kafka import kafka_reader_options
+
+    o = kafka_reader_options("b:9092", "t", offset_spec=parse_offset("beginning"))
+    assert o["subscribe"] == "t" and o["startingOffsets"] == "earliest"
+
+    o = kafka_reader_options("b:9092", "t", offset_spec=parse_offset("end"))
+    assert o["startingOffsets"] == "latest"
+
+    o = kafka_reader_options(
+        "b:9092", "t", partitions=[0, 2], offset_spec=parse_offset("100")
+    )
+    assert _json.loads(o["assign"]) == {"t": [0, 2]}
+    assert _json.loads(o["startingOffsets"]) == {"t": {"0": 100, "2": 100}}
+
+    o = kafka_reader_options("b:9092", "t", offset_spec=parse_offset("@1700000000000"))
+    assert o["startingTimestamp"] == "1700000000000"
+
+    o = kafka_reader_options(
+        "b:9092", "t", partitions=[1], offset_spec=parse_offset("@5"), min_partitions=64
+    )
+    assert _json.loads(o["startingTimestamps"]) == {"t": {"1": 5}}
+    assert o["minPartitions"] == "64"
