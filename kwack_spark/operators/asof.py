@@ -66,3 +66,51 @@ def asof_join_backward(
         ],
     )
     return filled.filter(F.col("side") == 1).drop("side")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    left_vals: list[str],
+) -> DataFrame:
+    """For each left row, attach the EARLIEST right row at or after it
+    (same key, right_ts >= left_ts) — the forward twin of
+    asof_join_backward; same single-shuffle union-merge plan, with the
+    window scanning following rows instead of preceding ones."""
+    r = right.select(
+        F.col(key).alias("k"),
+        F.col(right_ts).alias("t"),
+        F.lit(0).alias("side"),
+        *[F.col(c).alias(f"r_{c}") for c in right_vals],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"l_{c}") for c in left_vals],
+    )
+    l = left.select(
+        F.col(key).alias("k"),
+        F.col(left_ts).alias("t"),
+        F.lit(1).alias("side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"r_{c}") for c in right_vals],
+        *[F.col(c).alias(f"l_{c}") for c in left_vals],
+    )
+    merged = r.unionByName(l)
+    # right rows sort after left at equal ts via descending side, and the
+    # frame looks forward: first following non-null right value
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", F.desc("side"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = merged.select(
+        "k",
+        "t",
+        "side",
+        *[F.col(f"l_{c}") for c in left_vals],
+        *[
+            F.first(f"r_{c}", ignorenulls=True).over(w).alias(f"r_{c}")
+            for c in right_vals
+        ],
+    )
+    return filled.filter(F.col("side") == 1).drop("side")

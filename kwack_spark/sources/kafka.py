@@ -509,9 +509,11 @@ def kafka_reader_options(
 ) -> dict[str, str]:
     """Spark Kafka source options from the reference's offset/partition
     grammar (KwackMain.java:69-76): beginning|end -> earliest|latest;
-    @<ts ms> -> startingTimestamps; <abs>/-<rel> -> per-partition JSON
-    (absolute offset, or -N meaning 'N before end', Kafka's -2/-1
-    earliest/latest sentinels preserved); -p partitions -> assign JSON."""
+    @<ts ms> -> startingTimestamp(s); <abs> -> per-partition offset JSON;
+    -p partitions -> assign JSON.  Note on negative offsets: Spark's source
+    accepts only the -2/-1 (earliest/latest) sentinels in offset JSON — the
+    reference's '-N before end' form needs end offsets resolved via an admin
+    client first; the sentinel values pass through unchanged."""
     import json as _json
 
     opts: dict[str, str] = {

@@ -1,0 +1,60 @@
+"""As-of join unit tests: backward/forward direction, equal-timestamp
+inclusivity, no-match nulls, multi-key isolation — the semantics DuckDB's
+native ASOF JOIN defines (the registered query cross-checks against it; these
+pin the edges directly)."""
+
+from kwack_spark.operators.asof import asof_join_backward, asof_join_forward
+
+
+def _dfs(spark):
+    left = spark.createDataFrame(
+        [("a", 10, "L1"), ("a", 20, "L2"), ("a", 5, "L0"), ("b", 15, "L3")],
+        "k string, ts long, lv string",
+    ).selectExpr("k AS key", "ts", "lv")
+    right = spark.createDataFrame(
+        [("a", 10, "R10"), ("a", 18, "R18"), ("b", 99, "R99")],
+        "k string, ts long, rv string",
+    ).selectExpr("k AS key", "ts", "rv")
+    return left, right
+
+
+def test_backward_semantics(spark):
+    left, right = _dfs(spark)
+    out = asof_join_backward(
+        left, right, key="key", left_ts="ts", right_ts="ts",
+        right_vals=["rv"], left_vals=["lv"],
+    )
+    got = {r.l_lv: r.r_rv for r in out.collect()}
+    assert got == {
+        "L0": None,   # ts=5: no right row at or before
+        "L1": "R10",  # ts=10: equal timestamp included (>=)
+        "L2": "R18",  # ts=20: most recent preceding
+        "L3": None,   # key b: right row is in the future
+    }
+    assert out.count() == 4  # every left row survives (left join)
+
+
+def test_forward_semantics(spark):
+    left, right = _dfs(spark)
+    out = asof_join_forward(
+        left, right, key="key", left_ts="ts", right_ts="ts",
+        right_vals=["rv"], left_vals=["lv"],
+    )
+    got = {r.l_lv: r.r_rv for r in out.collect()}
+    assert got == {
+        "L0": "R10",  # ts=5: earliest following
+        "L1": "R10",  # ts=10: equal timestamp included (<=... >=)
+        "L2": None,   # ts=20: nothing after
+        "L3": "R99",  # key b: future row attaches forward
+    }
+
+
+def test_single_shuffle_plan(spark):
+    left, right = _dfs(spark)
+    out = asof_join_backward(
+        left, right, key="key", left_ts="ts", right_ts="ts",
+        right_vals=["rv"], left_vals=["lv"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1  # the union-merge shuffle
+    assert "Join" not in plan  # no join operator at all
