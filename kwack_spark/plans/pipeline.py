@@ -585,6 +585,54 @@ def session_windows(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_window_counts",
+    # the STREAMING result is compared against the batch oracle: the events
+    # table is replayed as a file-source stream, aggregated with a watermark
+    # through Structured Streaming's stateful engine, and must equal the
+    # plain batch GROUP BY
+    oracle="""
+        SELECT event_type,
+               date_trunc('hour', ts) AS window_start,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    tags=("streaming", "window"),
+)
+def streaming_window_counts(spark, sf_dir):
+    """Structured Streaming end-to-end under the correctness gate: replay
+    events as a stream (file source), watermarked tumbling windows
+    (streaming/ingest.py), Trigger.AvailableNow into a memory sink; the
+    returned DataFrame is the sink table.  Complete output mode emits open
+    windows so end-of-stream equals batch."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.streaming import ingest as si
+
+    e = T(spark, sf_dir, "events")
+    replay_dir = tempfile.mkdtemp(prefix="kwack_stream_replay_")
+    e.write.mode("overwrite").parquet(replay_dir)
+    stream = spark.readStream.schema(e.schema).parquet(replay_dir)
+    agg = si.windowed_counts(
+        stream,
+        "ts",
+        keys=["event_type"],
+        window="1 hour",
+        watermark="10 minutes",
+        agg_exprs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("total_value"),
+        ],
+    )
+    sink = f"strm_{uuid.uuid4().hex[:8]}"
+    q = si.to_memory_sink(agg, sink, output_mode="complete")
+    q.awaitTermination(120)
+    return spark.table(sink).select("event_type", "window_start", "n", "total_value")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary plumbing
 # ---------------------------------------------------------------------------

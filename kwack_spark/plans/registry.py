@@ -79,6 +79,7 @@ _PRIORITY = [
     "asof_purchase_attribution",
     "window_tumbling_hourly",
     "session_windows",
+    "streaming_window_counts",
     "multimodal_binary_meta",
     "multimodal_fake_decode",
     "multimodal_frame_sample",

@@ -120,6 +120,38 @@ def streaming_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stateful_running_counts(
+    df: DataFrame, key: str, count_col: str = "n"
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (SURVEY §2.C's
+    custom-state surface): a per-key running event count that persists in
+    the state store across micro-batches.  Emits one (key, running total)
+    row per key per batch — 'update' output mode.
+
+    This is the template for arbitrary per-key state (counters, sketches,
+    session models): state lives in the store keyed by the group, Arrow
+    batches stream through the Python worker, and the shuffle is the same
+    groupBy-key exchange a built-in stateful op would use."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = df.schema[key].dataType.simpleString()
+    out_schema = f"{key} {key_type}, {count_col} long"
+    state_schema = "cnt long"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({key: [key_tuple[0]], count_col: [total]})
+
+    return df.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def to_memory_sink(
     df: DataFrame, name: str, output_mode: str = "append"
 ) -> StreamingQuery:

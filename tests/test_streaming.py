@@ -125,3 +125,30 @@ def test_stream_session_and_dedup(spark, tmp_path):
     # 21-min spacing vs 10-min watermark every row survives... except equal
     # keys arriving inside the horizon.  Just assert the op ran and bounded.
     assert 3 <= spark.table("evs_dedup").count() <= 20
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    """applyInPandasWithState custom operator: end-of-stream per-key totals
+    equal the batch groupBy count."""
+    path = str(tmp_path / "frames")
+    reg = _write_frames(spark, path)
+    frames = si.stream_frames_from_dir(spark, path)
+    decoded = ks.decode_topic(
+        frames, "evs", Serde(kind="latest"), registry=reg, row_attributes=("off",)
+    )
+    counts = si.stateful_running_counts(decoded, "uid")
+    q = si.to_memory_sink(counts, "evs_state", output_mode="update")
+    q.awaitTermination(60)
+    # last emitted total per key (update mode may emit once per batch)
+    got = {
+        r.uid: r.n
+        for r in spark.table("evs_state").orderBy("n").collect()
+    }
+    batch = {
+        r.uid: r.cnt
+        for r in ks.decode_topic(
+            spark.read.parquet(path), "evs", Serde(kind="latest"), registry=reg,
+            row_attributes=("off",),
+        ).groupBy("uid").count().withColumnRenamed("count", "cnt").collect()
+    }
+    assert got == batch
