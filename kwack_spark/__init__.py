@@ -13,9 +13,10 @@ physical strategy (broadcast vs shuffle joins, partial aggregation, whole-stage
 codegen, AQE).  Python touches data only in clearly-marked Pandas-UDF paths.
 """
 
-from kwack_spark.session import get_session
+from kwack_spark.config import KwackConfig
 from kwack_spark.engine import KwackSpark
+from kwack_spark.session import get_session
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-__all__ = ["get_session", "KwackSpark", "__version__"]
+__all__ = ["get_session", "KwackSpark", "KwackConfig", "__version__"]
