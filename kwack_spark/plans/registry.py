@@ -118,6 +118,9 @@ _PRIORITY = [
     "distinct_rows",
     "cte_scalar_subquery",
     "correlated_in_subquery",
+    "recursive_cte",
+    "pivot_order_status",
+    "lateral_top_orders",
     # function families (each already green in round 1)
     "string_funcs",
     "date_funcs",

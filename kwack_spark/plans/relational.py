@@ -872,6 +872,102 @@ def cte_scalar_subquery(spark, sf_dir):
 
 
 @register(
+    "recursive_cte",
+    oracle="""
+        WITH RECURSIVE months(m) AS (
+            SELECT 1
+            UNION ALL
+            SELECT m + 1 FROM months WHERE m < 12
+        )
+        SELECT m.m AS mo, COUNT(o.o_orderkey) AS n_orders
+        FROM months m
+        LEFT JOIN orders o ON month(o.o_orderdate) = m.m
+        GROUP BY m.m
+    """,
+    tags=("cte", "recursive"),
+)
+def recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4.x) — month series joined back to data."""
+    register_views(spark, sf_dir, only=("orders",))
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT 1
+            UNION ALL
+            SELECT m + 1 FROM months WHERE m < 12
+        )
+        SELECT m.m AS mo, COUNT(o.o_orderkey) AS n_orders
+        FROM months m
+        LEFT JOIN orders o ON month(o.o_orderdate) = m.m
+        GROUP BY m.m
+        """
+    )
+
+
+@register(
+    "pivot_order_status",
+    # Spark's relational PIVOT vs DuckDB conditional aggregation — same
+    # result matrix, zero-filled on both sides
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("pivot", "agg"),
+)
+def pivot_order_status(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("f_cnt"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("o_cnt"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"),
+    )
+
+
+@register(
+    "lateral_top_orders",
+    oracle="""
+        SELECT n.n_name, l.o_orderkey, l.o_totalprice
+        FROM nation n,
+        LATERAL (
+            SELECT o.o_orderkey, o.o_totalprice
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 2
+        ) l
+    """,
+    tags=("lateral", "join", "topk"),
+)
+def lateral_top_orders(spark, sf_dir):
+    """Correlated LATERAL derived table (per-nation top-2 orders) — the
+    same SQL text runs on both engines."""
+    register_views(spark, sf_dir, only=("nation", "orders", "customer"))
+    return spark.sql(
+        """
+        SELECT n.n_name, l.o_orderkey, l.o_totalprice
+        FROM nation n,
+        LATERAL (
+            SELECT o.o_orderkey, o.o_totalprice
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 2
+        ) l
+        """
+    )
+
+
+@register(
     "correlated_in_subquery",
     oracle="""
         SELECT p_partkey, p_name FROM part
