@@ -35,7 +35,13 @@ HEADLINE = [
     "session_windows",
     "kafka_avro_roundtrip",
     "multimodal_frame_sample",
+    "streaming_window_counts",
 ]
+# ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
+# vectors a probed list still holds n/16 vectors, so IVF's candidate set
+# (~1M fold-scored pairs) loses to the BLAS brute-force path; its regime is
+# n >> broadcast cap where lists are thousands and the rerank kernel is the
+# vectorized one (SCALING.md).
 
 
 def main() -> None:

@@ -149,3 +149,14 @@ def test_kafka_reader_options():
     )
     assert _json.loads(o["startingTimestamps"]) == {"t": {"1": 5}}
     assert o["minPartitions"] == "64"
+
+
+def test_engine_kafka_without_connector_raises_clear_error(spark):
+    """No spark-sql-kafka jar in this environment: init() must fail with the
+    actionable RuntimeError from read_topic_frames, not a raw Py4J error."""
+    from kwack_spark.engine import KwackSpark
+
+    cfg = KwackConfig(kafka_bootstrap="localhost:9092", topics=["t1"],
+                      topic_serdes={"t1": "string"})
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        KwackSpark(cfg, spark=spark).init()
