@@ -52,11 +52,23 @@ def shingles(tok_col: Column, n: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", tok_col)))
 
 
-def minhash(shingle_col: Column, seed: int) -> Column:
-    """One MinHash value: lexicographic min of md5(seed:shingle).
-    md5 is identical across engines, so signatures are oracle-checkable."""
+def minhash_seed_slice(i: int) -> tuple[str, int]:
+    """Hash-family member i -> (seed char, 1-based hex offset).  One md5
+    yields FOUR independent 32-bit (8-hex) hash values by slicing its 32-hex
+    output — 4x less hashing than one md5 per member, same family quality
+    for MinHash purposes, and still reproducible in DuckDB."""
+    return chr(ord("a") + i // 4), (i % 4) * 8 + 1
+
+
+def minhash(shingle_col: Column, i: int) -> Column:
+    """MinHash member i: lexicographic min of the i-th md5 slice per
+    shingle.  md5 is identical across engines -> oracle-checkable."""
+    seed, off = minhash_seed_slice(i)
     return F.array_min(
-        F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+        F.transform(
+            shingle_col,
+            lambda s: F.substring(F.md5(F.concat(F.lit(f"{seed}:"), s)), off, 8),
+        )
     )
 
 

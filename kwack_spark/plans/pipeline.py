@@ -34,8 +34,12 @@ _SHINGLES = """
 """
 
 
-def _mh_sql(seed: int) -> str:
-    return f"list_min(list_transform(sh, s -> md5('{seed}:' || s))) AS mh{seed}"
+def _mh_sql(i: int) -> str:
+    """MinHash member i oracle: the i-th 8-hex slice of the seeded md5
+    (mirrors functions/text.py:minhash_seed_slice)."""
+    seed = chr(ord("a") + i // 4)
+    off = (i % 4) * 8 + 1
+    return f"list_min(list_transform(sh, s -> substr(md5('{seed}:' || s), {off}, 8))) AS mh{i}"
 
 
 # ---------------------------------------------------------------------------
@@ -147,7 +151,7 @@ def dedup_simhash(spark, sf_dir):
         ),
         sigs AS (
             SELECT doc_id, ts,
-                   {", ".join(f"list_min(list_transform(ts, x -> md5('t{i}:' || x))) AS mh{i}" for i in range(4))}
+                   {", ".join(f"list_min(list_transform(ts, x -> substr(md5('t:' || x), {(i % 4) * 8 + 1}, 8))) AS mh{i}" for i in range(4))}
             FROM t
         ),
         exploded AS (
