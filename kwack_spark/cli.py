@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
         "-o", "--offset", default="beginning",
         help="start offset: beginning|end|<abs>|-<rel>|@<ts ms>",
     )
+    p.add_argument(
+        "-r", "--schema-registry-url",
+        help="Schema Registry URL (default: in-process mock, like mock://)",
+    )
     p.add_argument("-q", "--query", help="SQL to execute (omit for interactive REPL)")
     p.add_argument("-d", "--db", help="durable warehouse directory (default in-memory only)")
     p.add_argument("-a", "--row-attributes", help=f"comma list of {DEFAULT_ROW_ATTRIBUTES}")
@@ -69,6 +73,8 @@ def config_from_args(args: argparse.Namespace) -> KwackConfig:
             int(p) for p in ps.split(",") if p.strip()
         ]
     cfg.starting_offset = args.offset
+    if args.schema_registry_url:
+        cfg.registry_url = args.schema_registry_url
     if args.db:
         cfg.warehouse_dir = args.db
     if args.row_attributes is not None:

@@ -135,6 +135,7 @@ class KwackConfig:
     topic_serdes: dict[str, str] = field(default_factory=dict)  # value serdes
     key_serdes: dict[str, str] = field(default_factory=dict)
     topic_partitions: dict[str, list[int]] = field(default_factory=dict)  # -p
+    registry_url: str | None = None  # -r; None/mock:// -> in-process mock
     starting_offset: str = "beginning"
     row_attributes: tuple[str, ...] = DEFAULT_ROW_ATTRIBUTES
     skip_bytes: int = 0

@@ -27,7 +27,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 
 from kwack_spark.config import KwackConfig
-from kwack_spark.schema.registry import MockSchemaRegistry
+from kwack_spark.schema.registry import MockSchemaRegistry, open_registry
 from kwack_spark.session import get_session
 from kwack_spark.sources.parquet import register_views
 
@@ -50,7 +50,7 @@ class KwackSpark:
     ):
         self.config = config or KwackConfig()
         self.spark = spark or get_session(extra_conf=self.config.spark_conf)
-        self.registry = registry or MockSchemaRegistry()
+        self.registry = registry or open_registry(self.config.registry_url)
         self._initialized = False
 
     # -- lifecycle ----------------------------------------------------------

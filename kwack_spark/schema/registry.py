@@ -64,3 +64,87 @@ class MockSchemaRegistry:
         """id -> (schema_type, schema_str); broadcast to executors so writer
         schema resolution is a dict hit, not a registry call per record."""
         return {i: (rs.schema_type, rs.schema_str) for i, rs in self._by_id.items()}
+
+
+class HttpSchemaRegistry:
+    """Confluent Schema Registry REST client (the reference's -r URL,
+    KwackMain.java -r / KwackEngine.java:194-203), speaking the public REST
+    API with urllib — no client library dependency:
+
+        GET /schemas/ids/{id}            -> {"schema": ..., "schemaType": ...}
+        GET /subjects/{s}/versions/latest -> {"id", "version", "schema", "schemaType"}
+        POST /subjects/{s}/versions       -> {"id"}
+
+    Same three-method surface as MockSchemaRegistry, so the decode pipeline
+    is agnostic.  ``snapshot`` caches by-id lookups made so far — per-record
+    resolution on executors only ever sees the broadcast snapshot, never the
+    network."""
+
+    def __init__(self, base_url: str, timeout: float = 10.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+        self._id_cache: dict[int, RegisteredSchema] = {}
+
+    def _get(self, path: str) -> dict:
+        import json
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.base_url + path,
+            headers={"Accept": "application/vnd.schemaregistry.v1+json"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return json.loads(resp.read())
+
+    def register(self, subject: str, schema_str: str, schema_type: str = "AVRO") -> int:
+        import json
+        import urllib.request
+
+        body = json.dumps(
+            {"schema": schema_str, "schemaType": schema_type}
+        ).encode("utf-8")
+        req = urllib.request.Request(
+            f"{self.base_url}/subjects/{subject}/versions",
+            data=body,
+            method="POST",
+            headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return json.loads(resp.read())["id"]
+
+    def by_id(self, schema_id: int) -> RegisteredSchema:
+        if schema_id not in self._id_cache:
+            data = self._get(f"/schemas/ids/{schema_id}")
+            self._id_cache[schema_id] = RegisteredSchema(
+                id=schema_id,
+                subject="",
+                version=-1,
+                schema_type=data.get("schemaType", "AVRO"),
+                schema_str=data["schema"],
+            )
+        return self._id_cache[schema_id]
+
+    def latest(self, subject: str) -> RegisteredSchema:
+        data = self._get(f"/subjects/{subject}/versions/latest")
+        rs = RegisteredSchema(
+            id=data["id"],
+            subject=subject,
+            version=data["version"],
+            schema_type=data.get("schemaType", "AVRO"),
+            schema_str=data["schema"],
+        )
+        self._id_cache[rs.id] = rs
+        return rs
+
+    def snapshot(self) -> dict[int, tuple[str, str]]:
+        return {
+            i: (rs.schema_type, rs.schema_str) for i, rs in self._id_cache.items()
+        }
+
+
+def open_registry(url: str | None):
+    """-r URL -> client; None/mock:// -> in-process mock (the reference's
+    default when no -r is given, KwackMain.java:222-224)."""
+    if not url or url.startswith("mock://"):
+        return MockSchemaRegistry()
+    return HttpSchemaRegistry(url)
