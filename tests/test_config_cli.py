@@ -160,3 +160,13 @@ def test_engine_kafka_without_connector_raises_clear_error(spark):
                       topic_serdes={"t1": "string"})
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         KwackSpark(cfg, spark=spark).init()
+
+
+def test_engine_explain_surface(spark):
+    """EXPLAIN passes through verbatim (the reference delegates EXPLAIN to
+    the engine the same way, SURVEY §2.B)."""
+    from kwack_spark.engine import KwackSpark
+
+    eng = KwackSpark(KwackConfig(parquet_dir="/root/testdata/sf0.001"), spark=spark).init()
+    rows = eng.sql("EXPLAIN SELECT r_regionkey FROM region").collect()
+    assert rows and "Physical Plan" in rows[0][0]

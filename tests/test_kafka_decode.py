@@ -266,3 +266,28 @@ def test_on_error_skip_poison_records(spark):
     assert out.count() == 2
     with pytest.raises(Exception):
         ks.decode_topic(df, "t1", Serde(kind="latest"), registry=reg).count()
+
+
+def test_latest_resolves_json_and_proto_from_registry(spark):
+    """latest/<id> serde resolution for non-Avro schema types
+    (KwackEngine.java:343-349 resolves whatever type the subject holds)."""
+    reg = MockSchemaRegistry()
+    js = json.dumps({"type": "object", "properties": {"a": {"type": "integer"}},
+                     "required": ["a"]})
+    reg.register("jt-value", js, "JSON")
+    out = ks.decode_topic(
+        make_frames(spark, [b'{"a": 5}'], topic="jt"), "jt",
+        Serde(kind="latest"), registry=reg, row_attributes=("off",),
+    )
+    assert out.collect()[0].a == 5
+
+    proto = 'syntax = "proto3"; message P { int64 x = 1; }'
+    from kwack_spark.schema import protobuf as pb
+    desc = pb.resolve(pb.parse_proto(proto), "P")
+    sid = reg.register("pt-value", proto, "PROTOBUF")
+    payload = ks.confluent_frame(b"\x00" + pb.encode_message({"x": 9}, desc), sid)
+    out = ks.decode_topic(
+        make_frames(spark, [payload], topic="pt"), "pt",
+        Serde(kind="id", schema_id=sid), registry=reg, row_attributes=("off",),
+    )
+    assert out.collect()[0].x == 9
