@@ -248,6 +248,53 @@ def ann_lsh_bucketed(spark, sf_dir):
 
 
 @register(
+    "embedding_quantize_int8",
+    # symmetric int8 quantization round-trip quality: per-vector max
+    # reconstruction error must stay within half a quantization step
+    oracle="""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+            FROM v
+        ),
+        r AS (
+            SELECT vec_id, scale,
+                   list_transform(v, x -> round(x / scale)::INT) AS qv,
+                   list_max(
+                       [abs(v[i] - round(v[i] / scale) * scale)
+                        for i in generate_series(1, len(v))]
+                   ) AS max_err
+            FROM q
+        )
+        SELECT vec_id,
+               scale,
+               qv[1] AS q_first,
+               len(qv) AS dim,
+               max_err <= scale * 0.5 + 1e-12 AS within_half_step
+        FROM r
+    """,
+    tags=("embedding", "quantization"),
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """int8 embedding quantization (4x storage cut for 100 TB embedding
+    tables) with a reconstruction-error bound check — quantize, dequantize,
+    and verify max error <= scale/2 per vector, all JVM-side."""
+    e = T(spark, sf_dir, "embeddings")
+    v = V.as_double("embedding")
+    qs = V.quantize_int8(v)
+    deq = V.dequantize_int8(qs)
+    err = F.array_max(F.zip_with(v, deq, lambda a, b: F.abs(a - b)))
+    return e.select(
+        "vec_id",
+        qs.getField("scale").alias("scale"),
+        F.element_at(qs.getField("q"), 1).alias("q_first"),
+        F.size(qs.getField("q")).alias("dim"),
+        (err <= qs.getField("scale") * 0.5 + 1e-12).alias("within_half_step"),
+    )
+
+
+@register(
     "ann_ivf_topk",
     # deterministic centroids (n_lists lowest-id vectors) make the full IVF
     # pipeline — assign, probe, rerank — SQL-expressible

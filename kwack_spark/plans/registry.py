@@ -71,6 +71,7 @@ _PRIORITY = [
     "ann_brute_force_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
+    "embedding_quantize_int8",
     "text_token_stats",
     "text_token_count_bpe",
     "text_quality",
