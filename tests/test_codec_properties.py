@@ -110,3 +110,53 @@ def test_proto_roundtrip_property(i, si, u, d, s, b, bl, arr, mp, f):
     assert row["bl"] == bl
     assert row["arr"] == arr and row["mp"] == mp
     assert row["f"] == f
+
+
+JS_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "s": {"type": "string"},
+        "i": {"type": "integer"},
+        "d": {"type": "number"},
+        "b": {"type": "boolean"},
+        "arr": {"type": "array", "items": {"type": "integer"}},
+        "attrs": {"type": "object", "additionalProperties": {"type": "string"}},
+        "iors": {"oneOf": [{"type": "integer"}, {"type": "string"}]},
+        "opt": {"type": ["null", "string"]},
+    },
+    "required": ["s"],
+}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    s=TEXT,
+    i=I64,
+    d=st.floats(allow_nan=False, allow_infinity=False),
+    b=st.booleans(),
+    arr=st.lists(I64, max_size=8),
+    attrs=st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=5),
+    iors=st.one_of(I64, TEXT),
+    opt=st.one_of(st.none(), TEXT),
+)
+def test_jsonschema_convert_property(s, i, d, b, arr, attrs, iors, opt):
+    """Any instance conforming to the schema converts without error into the
+    declared row shape, with oneOf resolving to exactly one branch."""
+    import json as _json
+
+    from kwack_spark.schema import jsonschema as js
+
+    instance = {"s": s, "i": i, "d": d, "b": b, "arr": arr, "attrs": attrs,
+                "iors": iors, "opt": opt}
+    st_, convert = js.make_row_converter(JS_SCHEMA)
+    row = dict(zip([f.name for f in st_.fields], convert(_json.dumps(instance))))
+    assert row["s"] == s and row["i"] == i and row["b"] == b
+    assert row["d"] == float(d)
+    assert row["arr"] == arr and row["attrs"] == attrs
+    # oneOf: exactly one non-null branch, matching the instance type
+    u0, u1 = row["iors"]
+    if isinstance(iors, bool) or not isinstance(iors, (int,)):
+        assert u1 == iors and u0 is None
+    else:
+        assert u0 == iors and u1 is None
+    assert row["opt"] == opt
