@@ -18,7 +18,6 @@ Defaults mirror the reference: key serde ``binary``, value serde ``latest``
 
 from __future__ import annotations
 
-import os
 import re
 from dataclasses import dataclass, field
 

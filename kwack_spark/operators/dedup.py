@@ -19,7 +19,7 @@ All hashing is md5 so each operator is DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Column
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kwack_spark.functions import text as TX

@@ -15,7 +15,7 @@ from kwack_spark.functions import text as TX
 from kwack_spark.functions import vectors as V
 from kwack_spark.operators import asof, dedup, similarity
 from kwack_spark.plans.registry import register
-from kwack_spark.plans.relational import T, dsum
+from kwack_spark.plans.relational import T
 
 # --- shared DuckDB SQL fragments -------------------------------------------
 

@@ -24,7 +24,6 @@ Design for testability and scale:
 
 from __future__ import annotations
 
-import io
 import struct
 from typing import Any, Callable
 
