@@ -45,7 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-q", "--query", help="SQL to execute (omit for interactive REPL)")
     p.add_argument("-d", "--db", help="durable warehouse directory (default in-memory only)")
     p.add_argument("-a", "--row-attributes", help=f"comma list of {DEFAULT_ROW_ATTRIBUTES}")
-    p.add_argument("-x", "--skip-bytes", type=int, default=0, help="bytes to skip before deserializing")
+    p.add_argument(
+        "-x", "--skip-bytes", type=int, default=None,
+        help="bytes to skip before deserializing",
+    )
     p.add_argument("-F", "--properties-file", help="properties config file")
     p.add_argument("--parquet-dir", help="register parquet tables from this directory")
     return p
@@ -81,7 +84,8 @@ def config_from_args(args: argparse.Namespace) -> KwackConfig:
         cfg.row_attributes = tuple(
             a.strip() for a in args.row_attributes.split(",") if a.strip()
         )
-    cfg.skip_bytes = args.skip_bytes
+    if args.skip_bytes is not None:  # don't clobber a -F properties value
+        cfg.skip_bytes = args.skip_bytes
     if args.parquet_dir:
         cfg.parquet_dir = args.parquet_dir
     cfg.query = args.query

@@ -90,20 +90,11 @@ def parse_topic_serdes(specs: list[str] | dict[str, str]) -> dict[str, Serde]:
 
 @dataclass(frozen=True)
 class OffsetSpec:
+    """Parsed offset spec; the mapping to Spark Kafka source options lives
+    in sources/kafka.py:kafka_reader_options (it needs topic/partitions)."""
+
     kind: str  # 'beginning' | 'end' | 'absolute' | 'relative' | 'timestamp'
     value: int | None = None
-
-    def to_kafka_option(self) -> tuple[str, str]:
-        """-> (option name, value) for the Spark Kafka source."""
-        if self.kind == "beginning":
-            return ("startingOffsets", "earliest")
-        if self.kind == "end":
-            return ("startingOffsets", "latest")
-        if self.kind == "timestamp":
-            return ("startingTimestamps", str(self.value))
-        # absolute/relative per-partition offsets need the JSON form filled
-        # in per topic: {"topic":{"0":N}}; surfaced by sources/kafka.py
-        return ("startingOffsets", str(self.value))
 
 
 def parse_offset(spec: str) -> OffsetSpec:

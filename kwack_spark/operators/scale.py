@@ -56,7 +56,15 @@ def salted_join(
 
     The salt is derived from a uniformly-distributing hash of the whole left
     row (monotonically_increasing_id would break determinism under retry;
-    xxhash64 of the row's columns is retry-stable)."""
+    xxhash64 of the row's columns is retry-stable).
+
+    Only 'inner' and 'left' are supported: right/full outer would emit each
+    unmatched right row once per salt replica, breaking the equality."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r} — an outer "
+            "right side is replicated per salt and would duplicate unmatched rows"
+        )
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).alias(
         "__salt"
     )

@@ -680,7 +680,9 @@ def streaming_window_counts(spark, sf_dir):
     )
     sink = f"strm_{uuid.uuid4().hex[:8]}"
     q = si.to_memory_sink(agg, sink, output_mode="complete")
-    q.awaitTermination(120)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_window_counts: stream did not finish in 300s")
     return spark.table(sink).select("event_type", "window_start", "n", "total_value")
 
 

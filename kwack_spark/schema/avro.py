@@ -98,14 +98,17 @@ def _resolve(node: Any, named: dict, visiting: tuple) -> Any:
         return _resolve(t, named, visiting)
     if t == "record":
         fn = _fullname(node)
-        if fn in visiting:
+        if fn in visiting or node["name"] in visiting:
             raise AvroSchemaError(f"recursive record schema: {fn}")
         out = dict(node)
-        # two-name registration (short + full) mirrors Avro name resolution
+        # two-name registration (short + full) mirrors Avro name resolution;
+        # BOTH names go into `visiting` so a short-name self-reference inside
+        # a namespaced record is still rejected, not resolved to the
+        # partially-built dict (which would be a silent cycle)
         named[fn] = out
         named[node["name"]] = out
         out["fields"] = [
-            {**f, "type": _resolve(f["type"], named, visiting + (fn,))}
+            {**f, "type": _resolve(f["type"], named, visiting + (fn, node["name"]))}
             for f in node["fields"]
         ]
         return out
@@ -446,12 +449,25 @@ def make_row_converter(schema: str | dict) -> tuple[ST.StructType, Callable[[byt
 
     def convert(payload: bytes, writer: dict | None = None) -> tuple:
         w = writer or reader
-        decoded = decode(payload, nullable_unwrap(w)[0] if w.get("type") == "union" else w)
+        # decode with the FULL writer schema: a top-level [null, T] union is
+        # encoded with its branch-index varint, which unwrapping would skip
+        decoded = decode(payload, w)
+        if isinstance(decoded, _UnionValue) and w.get("type") == "union":
+            branch = w["branches"][decoded.index]
+            non_null = [b for b in w["branches"] if not _is_null(b)]
+            if _is_null(branch):
+                decoded = None
+            elif len(non_null) == 1:
+                # [null, T]: flattens to nullable T — unwrap for project/_coerce
+                decoded = decoded.value
+            # multi-branch union: keep the _UnionValue; _coerce builds the
+            # struct-of-branches from its index
         if writer is not None and writer is not reader:
             decoded = project(decoded, writer, reader)
         if flat_record:
-            coerced = _coerce(decoded, base)
-            return coerced  # already a tuple of field values
+            if decoded is None:  # null branch of a nullable top-level union
+                return tuple(None for _ in base["fields"])
+            return _coerce(decoded, base)  # already a tuple of field values
         return (_coerce(decoded, reader),)
 
     return st, convert

@@ -279,9 +279,13 @@ def _skip_field_options(p: _Parser) -> dict:
     toks = [t.strip('"') for t in toks]
     opts["raw"] = toks
     for i, t in enumerate(toks):
-        if t in ("precision", "scale"):
-            # the confluent.field_meta params style: key:"precision" value:"8"
-            for nxt in toks[i + 1 : i + 4]:
+        if t in ("precision", "scale") and t not in opts:
+            # the confluent.field_meta params style tokenizes as
+            # key : "precision" , value : "8" — take the first numeric token
+            # before the next key/closing brace
+            for nxt in toks[i + 1 :]:
+                if nxt in ("precision", "scale", "key", "}"):
+                    break
                 if nxt.lstrip("-").isdigit():
                     opts[t] = int(nxt)
                     break
@@ -429,8 +433,15 @@ def descriptor_struct_type(desc: Descriptor) -> ST.StructType:
         t = _resolved_spark_type(f["resolved"], f.get("options"))
         if f.get("label") == "repeated" and f["resolved"]["kind"] != "map":
             t = ST.ArrayType(t)
-        nullable = f["resolved"]["kind"] in ("wrapper", "message", "wkt")
-        fields.append(ST.StructField(f["name"], t, nullable or f.get("label") == "optional" or True))
+            fields.append(ST.StructField(f["name"], t, False))  # absent -> []
+            continue
+        # proto3 nullability: scalars/enums/maps always materialize a value
+        # (defaults substituted at decode); wrappers/messages/wkt can be NULL
+        nullable = (
+            f["resolved"]["kind"] in ("wrapper", "message", "wkt")
+            or f.get("label") == "optional"
+        )
+        fields.append(ST.StructField(f["name"], t, nullable))
     return ST.StructType(fields)
 
 
@@ -718,6 +729,9 @@ def message_to_row(msg: dict, desc: Descriptor) -> tuple:
             )
         elif f["resolved"]["kind"] == "map" and v is None:
             out.append({})  # proto3: absent map = empty map
+        elif f["resolved"]["kind"] == "enum" and v is None:
+            # proto3 absent enum = the zero-numbered symbol
+            out.append(f["resolved"]["symbols"].get(0))
         elif f["resolved"]["kind"] == "scalar" and v is None:
             # proto3 absent scalar = default value
             out.append(_coerce_resolved(_scalar_default(f["resolved"]["type"]), f["resolved"]))

@@ -134,6 +134,24 @@ class HttpSchemaRegistry:
             schema_str=data["schema"],
         )
         self._id_cache[rs.id] = rs
+        # preload ALL versions of the subject into the cache: records written
+        # with an older schema id (the normal evolution case) must resolve
+        # from the broadcast snapshot on executors, which only ever sees
+        # what's cached here
+        try:
+            for v in self._get(f"/subjects/{subject}/versions"):
+                if v == rs.version:
+                    continue
+                vd = self._get(f"/subjects/{subject}/versions/{v}")
+                self._id_cache[vd["id"]] = RegisteredSchema(
+                    id=vd["id"],
+                    subject=subject,
+                    version=vd["version"],
+                    schema_type=vd.get("schemaType", "AVRO"),
+                    schema_str=vd["schema"],
+                )
+        except Exception:
+            pass  # older registries without the versions listing still work
         return rs
 
     def snapshot(self) -> dict[int, tuple[str, str]]:

@@ -197,15 +197,18 @@ def resolve_serde(
     if serde.kind == "avro":
         st, convert = avro_schema.make_row_converter(serde.schema_str)
         reader = avro_schema.parse_schema(serde.schema_str)
+        # per-id memo: writer schema parse + same-as-reader comparison happen
+        # ONCE per schema id per task, never per record (hot-path contract)
+        writer_memo: dict[int, dict | None] = {}
 
         def conv_avro(payload: bytes, writers: dict) -> tuple:
             sid, body = split_frame(payload)
             writer = None
             if sid is not None and sid in writers:
-                wtype, wstr = writers[sid]
-                parsed = avro_schema.parse_schema(wstr)
-                if parsed != reader:
-                    writer = parsed
+                if sid not in writer_memo:
+                    parsed = avro_schema.parse_schema(writers[sid][1])
+                    writer_memo[sid] = parsed if parsed != reader else None
+                writer = writer_memo[sid]
             return convert(body, writer)
 
         return st, conv_avro, serde

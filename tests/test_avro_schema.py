@@ -199,3 +199,32 @@ def test_dag_not_recursive_allowed():
     }
     st = avro.to_struct_type(sch)
     assert isinstance(st["b"].dataType, ST.StructType)
+
+
+def test_top_level_nullable_union_roundtrip():
+    """A [null, record] subject schema (registry-common): the writer emits a
+    union branch index before the record body; decode must consume it."""
+    rec = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "a", "type": "int"}, {"name": "b", "type": "string"}],
+    }
+    top = ["null", rec]
+    st, convert = avro.make_row_converter(top)
+    payload = avro.encode((1, {"a": 7, "b": "hi"}), top)
+    assert convert(payload) == (7, "hi")
+    null_payload = avro.encode((0, None), top)
+    assert convert(null_payload) == (None, None)
+
+
+def test_short_name_recursion_in_namespace_rejected():
+    """Short-name self-reference inside a namespaced record is a cycle and
+    must be rejected (not resolved into a RecursionError later)."""
+    rec = {
+        "type": "record",
+        "name": "Node",
+        "namespace": "ex",
+        "fields": [{"name": "next", "type": ["null", "Node"]}],
+    }
+    with pytest.raises(avro.AvroSchemaError, match="recursive"):
+        avro.parse_schema(rec)

@@ -174,3 +174,34 @@ def test_decimal_wkt():
     )
     _, convert = pb.make_row_converter(proto, "D")
     assert convert(payload) == (decimal.Decimal("123.45"),)
+
+
+def test_decimal_field_meta_precision_scale():
+    """Declared precision/scale from confluent.field_meta reach the Spark
+    type (regression: the option token scan previously stopped short)."""
+    proto = """
+    syntax = "proto3";
+    message D { confluent.type.Decimal amount = 1 [(confluent.field_meta) = { params: [ { key: "precision", value: "8" }, { key: "scale", value: "2" } ] }]; }
+    """
+    st = pb.to_struct_type(proto, "D")
+    assert st["amount"].dataType == ST.DecimalType(8, 2)
+
+
+def test_absent_enum_defaults_to_zero_symbol():
+    proto = """
+    syntax = "proto3";
+    message E { Color c = 1; int32 x = 2; }
+    enum Color { NONE = 0; RED = 1; }
+    """
+    desc = pb.resolve(pb.parse_proto(proto), "E")
+    payload = pb.encode_message({"x": 1}, desc)
+    _, convert = pb.make_row_converter(proto, "E")
+    assert convert(payload) == ("NONE", 1)
+
+
+def test_proto3_nullability_flags():
+    st = pb.to_struct_type(COMPLEX_PROTO, "Complex")
+    assert not st["name"].nullable and not st["i32"].nullable  # scalars
+    assert not st["color"].nullable                            # enum
+    assert not st["nums"].nullable                             # repeated -> []
+    assert st["nested"].nullable and st["ts"].nullable         # message/wkt

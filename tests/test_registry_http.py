@@ -17,8 +17,14 @@ from kwack_spark.schema.registry import (
 SCHEMAS = {
     7: {"schema": '{"type":"string"}', "schemaType": "AVRO"},
 }
+VERSIONS = {
+    "t1-value": {
+        2: {"id": 5, "version": 2, "schema": '{"type":"int"}', "schemaType": "AVRO"},
+        3: {"id": 7, "version": 3, "schema": '{"type":"string"}', "schemaType": "AVRO"},
+    },
+}
 LATEST = {
-    "t1-value": {"id": 7, "version": 3, "schema": '{"type":"string"}', "schemaType": "AVRO"},
+    "t1-value": VERSIONS["t1-value"][3],
 }
 
 
@@ -44,6 +50,17 @@ class _Handler(BaseHTTPRequestHandler):
             subject = self.path.split("/")[2]
             if subject in LATEST:
                 return self._send(LATEST[subject])
+            return self._send({"error_code": 40401}, 404)
+        if self.path.startswith("/subjects/") and "/versions/" in self.path:
+            parts = self.path.split("/")
+            subject, version = parts[2], int(parts[4])
+            if subject in VERSIONS and version in VERSIONS[subject]:
+                return self._send(VERSIONS[subject][version])
+            return self._send({"error_code": 40402}, 404)
+        if self.path.startswith("/subjects/") and self.path.endswith("/versions"):
+            subject = self.path.split("/")[2]
+            if subject in VERSIONS:
+                return self._send(sorted(VERSIONS[subject]))
             return self._send({"error_code": 40401}, 404)
         return self._send({}, 404)
 
@@ -74,11 +91,15 @@ def test_by_id_and_cache(sr_url):
     assert reg.by_id(7).id == 7
 
 
-def test_latest(sr_url):
+def test_latest_preloads_all_versions(sr_url):
+    """Older writer ids must be in the snapshot (evolution: executors only
+    see the broadcast snapshot)."""
     reg = HttpSchemaRegistry(sr_url)
     rs = reg.latest("t1-value")
     assert rs.id == 7 and rs.version == 3
-    assert 7 in reg.snapshot()
+    snap = reg.snapshot()
+    assert 7 in snap and 5 in snap  # latest AND the older version's id
+    assert snap[5] == ("AVRO", '{"type":"int"}')
 
 
 def test_register(sr_url):
