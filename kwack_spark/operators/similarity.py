@@ -10,7 +10,9 @@
   shuffle once on their bucket signature; candidates are only compared within
   a bucket (multi-probe via several independent tables).  This is the scale
   path when queries == corpus (all-pairs near-dup at n where n² is infeasible).
-- embedding_dup_pairs: all pairs above a cosine threshold, LSH-blocked.
+- embedding_dup_keepers: embedding-cosine near-dup resolution — LSH-blocked
+  pairs above a cosine threshold, reduced to one (dup_id -> keep_id) decision
+  per duplicate (keeper = lowest-id qualifying neighbor).
 """
 
 from __future__ import annotations
@@ -239,4 +241,34 @@ def lsh_bucketed_pairs(
             V.cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_dup_keepers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    dim: int = 64,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate resolution: every vector that has an
+    LSH-bucket neighbor with a smaller id and cosine >= threshold is a
+    duplicate; its keeper is the LOWEST-id such neighbor.  Output is one row
+    per duplicate: (dup_id, keep_id, cosine-to-keeper).
+
+    Scale shape: inherits lsh_bucketed_pairs (one shuffle on bucket signature,
+    within-bucket candidates only — never all-pairs), then a partial-aggregated
+    groupBy on dup_id whose output is at most one row per input vector.  The
+    min-id keeper rule is deterministic without global connected components —
+    the right trade at 100 TB, where transitive-closure dedup needs an
+    iterative algorithm (see operators/dedup.py for the text-side analogue).
+    """
+    pairs = lsh_bucketed_pairs(df, id_col, vec_col, planes, dim, threshold)
+    return (
+        pairs.groupBy(F.col("id_b").alias("dup_id"))
+        .agg(
+            F.min("id_a").alias("keep_id"),
+            F.expr("min_by(cosine, id_a)").alias("cosine"),
+        )
     )

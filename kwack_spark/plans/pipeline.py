@@ -182,6 +182,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+# embedding-cosine near-dup lives with the ANN queries below (it needs
+# _lsh_plane_sign_sql, defined there): see dedup_embedding_cosine.
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -245,6 +249,40 @@ def _lsh_plane_sign_sql(p: int) -> str:
 def ann_lsh_bucketed(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
     return similarity.lsh_bucketed_pairs(e, "vec_id", "embedding", planes=4, dim=64, threshold=0.3)
+
+
+_DUP_COS = (
+    "list_dot_product(a.v, b.v)"
+    " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    # Embedding-cosine near-dup resolution: LSH-blocked pairs >= threshold,
+    # reduced to one (dup_id -> keep_id) decision per duplicate.  The full
+    # pipeline (md5-parity hyperplanes, bucket self-join, min-id keeper) is
+    # expressible in DuckDB, so this is hash-checked end to end.
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(4))} AS bucket FROM v),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DUP_COS} AS cosine
+            FROM sig a JOIN sig b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE {_DUP_COS} >= 0.35
+        )
+        SELECT id_b AS dup_id, min(id_a) AS keep_id,
+               min_by(cosine, id_a) AS cosine
+        FROM pairs GROUP BY id_b
+    """,
+    tags=("dedup", "embedding", "lsh"),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    return similarity.embedding_dup_keepers(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        planes=4, dim=64, threshold=0.35,
+    )
 
 
 @register(

@@ -68,6 +68,7 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "ann_brute_force_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",

@@ -39,6 +39,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # under a caller-supplied SparkSession (e.g. the grading driver's), not
     # only sessions built by kwack_spark.session.get_session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin UTC like the reference (KwackEngine.java:174-175) so timestamp
+    # rendering/collection is stable under any caller session's JVM zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
