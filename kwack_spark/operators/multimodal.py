@@ -135,6 +135,84 @@ def sample_frames(
     )
 
 
+def resize_bytes(
+    df: DataFrame, payload_col: str, id_col: str, target: int = 32
+) -> DataFrame:
+    """Deterministic resize stand-in: nearest-neighbor byte resample of the
+    payload to exactly ``target`` bytes (out[i] = in[(i*n)//target]).  A real
+    image resize swaps only the kernel body (PIL thumbnail etc.); the Spark
+    shape — vectorized numpy over Arrow batches, narrow, no payload shuffle —
+    is what this pins down.  Output: (id, orig_len, resized binary)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches) -> Iterator:
+        for pdf in batches:
+            ids, lens, outs = [], [], []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(getattr(rec, payload_col))
+                n = len(payload)
+                if n == 0:
+                    out = b""
+                else:
+                    arr = np.frombuffer(payload, dtype=np.uint8)
+                    idx = (np.arange(target, dtype=np.int64) * n) // target
+                    out = arr[idx].tobytes()
+                ids.append(getattr(rec, id_col))
+                lens.append(n)
+                outs.append(out)
+            yield pd.DataFrame({id_col: ids, "orig_len": lens, "resized": outs})
+
+    out_schema = ST.StructType(
+        [
+            ST.StructField(id_col, ST.LongType()),
+            ST.StructField("orig_len", ST.LongType()),
+            ST.StructField("resized", ST.BinaryType()),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+def byte_histogram_features(
+    df: DataFrame, payload_col: str, id_col: str, bins: int = 16
+) -> DataFrame:
+    """Feature extraction over an opaque payload: byte count, mean byte value,
+    and a ``bins``-bin histogram of the high nibble-scaled byte range,
+    JSON-encoded so the feature vector stays hashable downstream.  Vectorized
+    numpy (np.bincount) per Arrow batch — the stand-in for an embedding or
+    perceptual-feature kernel with the same narrow plan shape."""
+    import numpy as np
+    import pandas as pd
+
+    width = 256 // bins
+
+    def kernel(batches) -> Iterator:
+        for pdf in batches:
+            ids, nb, mean, hist = [], [], [], []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(getattr(rec, payload_col))
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n = len(arr)
+                ids.append(getattr(rec, id_col))
+                nb.append(n)
+                mean.append(float(int(arr.sum(dtype=np.int64))) / n if n else 0.0)
+                counts = np.bincount(arr // width, minlength=bins)[:bins]
+                hist.append("[" + ",".join(str(int(c)) for c in counts) + "]")
+            yield pd.DataFrame(
+                {id_col: ids, "n_bytes": nb, "mean_byte": mean, "hist": hist}
+            )
+
+    out_schema = ST.StructType(
+        [
+            ST.StructField(id_col, ST.LongType()),
+            ST.StructField("n_bytes", ST.LongType()),
+            ST.StructField("mean_byte", ST.DoubleType()),
+            ST.StructField("hist", ST.StringType()),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
 def drop_payload_early(df: DataFrame, payload_col: str, feature_cols: list[str]) -> DataFrame:
     """The shuffle-hygiene pattern: project features and DROP the payload
     before any wide operation, so raw bytes never cross the network."""

@@ -5,8 +5,8 @@
   task emitting its local pairs, and the final top-k per query is a shuffle
   on query id.  At 100 TB corpus this is the right baseline: no index build,
   one broadcast + one narrow pass + one k-row-per-query shuffle.
-- lsh_bucketed_topk: random-hyperplane LSH — deterministic planes derived
-  from xxhash64(plane, dim) so the operator needs no stored model.  Vectors
+- lsh_bucketed_pairs: random-hyperplane LSH — deterministic ±1 planes derived
+  from md5 parity so the operator needs no stored model.  Vectors
   shuffle once on their bucket signature; candidates are only compared within
   a bucket (multi-probe via several independent tables).  This is the scale
   path when queries == corpus (all-pairs near-dup at n where n² is infeasible).
@@ -269,6 +269,6 @@ def embedding_dup_keepers(
         pairs.groupBy(F.col("id_b").alias("dup_id"))
         .agg(
             F.min("id_a").alias("keep_id"),
-            F.expr("min_by(cosine, id_a)").alias("cosine"),
+            F.min_by("cosine", "id_a").alias("cosine"),
         )
     )

@@ -190,10 +190,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # Similarity search
 # ---------------------------------------------------------------------------
 
-_COS = (
-    "list_dot_product(q.v, c.v)"
-    " / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"
-)
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between aliased DOUBLE[] columns a.v and b.v — the one
+    definition every similarity/dedup oracle shares."""
+    return (
+        f"list_dot_product({a}.v, {b}.v)"
+        f" / (sqrt(list_dot_product({a}.v, {a}.v)) * sqrt(list_dot_product({b}.v, {b}.v)))"
+    )
+
+
+_COS = _cos_sql("q", "c")
 
 
 @register(
@@ -237,12 +243,9 @@ def _lsh_plane_sign_sql(p: int) -> str:
     oracle=f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         sig AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(4))} AS bucket FROM v)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               list_dot_product(a.v, b.v)
-                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql("a", "b")} AS cosine
         FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v)
-                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+        WHERE {_cos_sql("a", "b")} >= 0.3
     """,
     tags=("similarity", "ann", "lsh"),
 )
@@ -251,10 +254,7 @@ def ann_lsh_bucketed(spark, sf_dir):
     return similarity.lsh_bucketed_pairs(e, "vec_id", "embedding", planes=4, dim=64, threshold=0.3)
 
 
-_DUP_COS = (
-    "list_dot_product(a.v, b.v)"
-    " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
-)
+_DUP_COS = _cos_sql("a", "b")
 
 
 @register(
@@ -807,3 +807,72 @@ def multimodal_frame_sample(spark, sf_dir):
     return mm.sample_frames(d, "payload", "doc_id", frame_size=16, every_n=4).select(
         "doc_id", "frame_no", "frame_md5"
     )
+
+
+@register(
+    "multimodal_resize",
+    # nearest-neighbor byte resample to 32 bytes: out[i] = in[(i*n)//32].
+    # hex() of single-byte blob slices rebuilds the resized payload's hex in
+    # SQL, so the whole mapInPandas kernel is hash-checked byte for byte.
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+            FROM documents
+        )
+        SELECT doc_id, n AS orig_len,
+               CASE WHEN n = 0 THEN '' ELSE
+                   list_aggregate(
+                       [substr(h, (2 * ((i * n) // 32) + 1)::BIGINT, 2)
+                        for i in generate_series(0, 31)],
+                       'string_agg', '')
+               END AS resized_hex
+        FROM p
+    """,
+    tags=("multimodal", "resize"),
+)
+def multimodal_resize(spark, sf_dir):
+    """Resize plumbing (operators/multimodal.py:resize_bytes): vectorized
+    numpy resample over Arrow batches — the deterministic stand-in for a real
+    image-resize kernel with the identical Spark plan shape."""
+    from kwack_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return mm.resize_bytes(d, "payload", "doc_id", target=32).select(
+        "doc_id", "orig_len", F.hex("resized").alias("resized_hex")
+    )
+
+
+@register(
+    "multimodal_byte_features",
+    # feature extraction: byte count, exact-int mean, 16-bin byte histogram
+    # (JSON string, hashable).  ASCII corpus => ord(substr()) is the byte.
+    oracle="""
+        WITH o AS (
+            SELECT doc_id,
+                   [ord(substr(text, i, 1)) for i in generate_series(1, length(text))] AS os
+            FROM documents
+        )
+        SELECT doc_id,
+               len(os)::BIGINT AS n_bytes,
+               CASE WHEN len(os) = 0 THEN 0.0
+                    ELSE list_sum(os)::DOUBLE / len(os) END AS mean_byte,
+               '[' || list_aggregate(
+                   [len(list_filter(os, x -> x // 16 = k))::VARCHAR
+                    for k in generate_series(0, 15)],
+                   'string_agg', ',') || ']' AS hist
+        FROM o
+    """,
+    tags=("multimodal", "features"),
+)
+def multimodal_byte_features(spark, sf_dir):
+    """Feature-extraction plumbing (operators/multimodal.py:
+    byte_histogram_features): np.bincount per Arrow batch — the stand-in for
+    an embedding/perceptual-feature kernel, same narrow plan."""
+    from kwack_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return mm.byte_histogram_features(d, "payload", "doc_id", bins=16)

@@ -85,6 +85,8 @@ _PRIORITY = [
     "multimodal_binary_meta",
     "multimodal_fake_decode",
     "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_byte_features",
     # one per relational operator class
     "scan_region",
     "projection_compute",

@@ -39,8 +39,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # under a caller-supplied SparkSession (e.g. the grading driver's), not
     # only sessions built by kwack_spark.session.get_session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Pin UTC like the reference (KwackEngine.java:174-175) so timestamp
-    # rendering/collection is stable under any caller session's JVM zone.
+    # Pin UTC like the reference (KwackEngine.java:174-175) so session-tz-
+    # dependent SQL functions (from_unixtime, date_format, string<->timestamp
+    # casts) are stable under any caller-supplied session.  Note: non-Arrow
+    # collect() still renders TimestampType via the Python *process* zone,
+    # which no Spark conf controls — deployments comparing collected
+    # timestamps across engines must also run the driver process in UTC.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):

@@ -16,10 +16,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import SparkSession
 
+from tests.conftest import SF_ORACLE
 from tests.oracle_harness import compare_query, duck_connect
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = SF_ORACLE) -> int:
     spark = (
         SparkSession.builder.appName("driver-sim")
         .master("local[8]")

@@ -1,0 +1,107 @@
+"""Regenerate PLANS.md: physical-plan audit of every registered query.
+
+Counts, per query, from the executed (post-AQE) plan string at sf0.01:
+shuffle exchanges, broadcast exchanges, Arrow Python stages, join strategy
+occurrences, and whether parquet filter pushdown fired.  The prose commentary
+below the table is maintained by hand in _NOTES — keep it in sync when a
+query's deliberate shape changes.
+
+Usage: python tools/gen_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+_HEADER = """# PLANS — physical-plan audit of the query corpus
+
+Generated from `.explain` (executedPlan) at sf0.01.  Columns: shuffle
+exchanges (hash/range/single partition), broadcast exchanges, Arrow Python
+stages (mapInPandas), join strategies, parquet filter pushdown.
+
+A shuffle count of 0 means the query is fully narrow (scan -> project ->
+output, whole-stage codegen).  Broadcast exchanges are deliberate (dimension
+tables / tiny centroid sets); shuffles appear only where semantics demand a
+repartition (groupBy keys, join keys, windows).
+
+| query | shuffles | broadcasts | py stages | BHJ | SMJ | BNLJ | pushdown |
+|---|---|---|---|---|---|---|---|
+"""
+
+_NOTES = """
+## Notes on the deliberate shapes
+
+- **Ingest roundtrips (kafka_*)**: 0 shuffles — encode and decode are both
+  narrow Arrow stages; at scale this is the per-topic-partition decode cost
+  of the real Kafka read. `kafka_primitive_roundtrip` has ONE Python stage
+  (the test-side encoder); its decode is pure JVM (substring/conv/cast).
+- **q1/q3/q5 (TPC-H flavors)**: dimension sides broadcast explicitly
+  (`F.broadcast`), facts shuffle once on the join/group keys; q5's five
+  broadcasts are the five dimension tables of the star join — the only
+  shuffles are orders⋈lineitem and the final tiny aggregation.
+- **dedup_minhash_lsh**: shuffles = signature groupBy, band self-join,
+  candidate distinct, verify joins; the distinct shingle set is persisted
+  (MEMORY_AND_DISK) because it feeds three subtrees; MinHash members are
+  8-hex md5 slices (4x less hashing than one md5 per member).
+- **dedup_embedding_cosine**: inherits ann_lsh_bucketed's bucket self-join,
+  plus one partial-aggregated groupBy on dup_id (≤1 output row per vector).
+- **ann_brute_force_topk**: BLAS candidate selection is one narrow Python
+  stage over a broadcast index; the shuffles are the n·k exact re-score
+  joins + final per-query window — O(n·k) rows, not O(n²).
+- **ann_ivf_topk**: the two BroadcastNestedLoopJoins are corpus×centroids
+  and queries×centroids with 16 centroid rows broadcast — O(16·n) narrow
+  work; candidates then shuffle on list_id only.  Its regime is corpora
+  beyond the broadcast cap (see SCALING.md); at test SF brute-BLAS wins.
+- **text_* / multimodal_* / dedup_simhash**: fully narrow, zero shuffles,
+  whole-stage codegen end to end (multimodal_fake_decode's single Python
+  stage is the decode kernel slot; simhash hashes each token once).
+- **Windows (ranking/offset/frame, tumbling, session)**: exactly one
+  shuffle on the partition keys — the minimum the semantics allow.
+- **asof_purchase_attribution**: union-merge as-of join — one shuffle, no
+  join operator at all (plan-asserted in tests/test_asof.py).
+- **streaming_window_counts** executes under the streaming engine
+  (stateful aggregation + state store), not a one-shot batch plan; its
+  correctness gate is the batch GROUP BY oracle.
+- **lateral_top_orders**: Catalyst decorrelates the LATERAL subquery into
+  a window-ranked join — no per-row re-execution.
+"""
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    from kwack_spark.plans.registry import query_map
+    from kwack_spark.session import get_session
+
+    spark = get_session(app_name="gen-plans", shuffle_partitions=8)
+    rows = []
+    for name, fn in query_map().items():
+        if name == "streaming_window_counts":
+            rows.append(f"| {name} | streaming | — | 1 | — | — | — |  |")
+            continue
+        df = fn(spark, sf_dir)
+        df.collect()  # materialize so AQE settles on the final plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        shuf = (
+            plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            + plan.count("Exchange SinglePartition")
+        )
+        bcast = plan.count("BroadcastExchange")
+        py = plan.count("InPandas") + plan.count("ArrowEvalPython")
+        bhj = plan.count("BroadcastHashJoin")
+        smj = plan.count("SortMergeJoin")
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        pushed = "pushed" if "PushedFilters: [" in plan and "PushedFilters: []" not in plan else ""
+        rows.append(
+            f"| {name} | {shuf} | {bcast} | {py} | {bhj} | {smj} | {bnlj} | {pushed} |"
+        )
+        print(rows[-1])
+    out = _HEADER + "\n".join(rows) + "\n" + _NOTES
+    Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text(out)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
