@@ -118,12 +118,15 @@ _PRIORITY = [
     "sort_limit_offset",
     "set_ops",
     "set_except",
+    "set_except_all",
+    "set_intersect_all",
     "set_union_all",
     "distinct_rows",
     "cte_scalar_subquery",
     "correlated_in_subquery",
     "recursive_cte",
     "pivot_order_status",
+    "unpivot_lineitem_measures",
     "lateral_top_orders",
     # function families (each already green in round 1)
     "string_funcs",

@@ -811,6 +811,37 @@ def set_except(spark, sf_dir):
 
 
 @register(
+    "set_except_all",
+    # bag semantics: multiplicities subtract instead of collapsing
+    oracle="""
+        SELECT c_nationkey AS k FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS k FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_except_all(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.exceptAll(s)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS k FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_intersect_all(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersectAll(s)
+
+
+@register(
     "set_union_all",
     oracle="""
         SELECT 'customer' AS side, c_nationkey AS k FROM customer
@@ -930,6 +961,34 @@ def pivot_order_status(spark, sf_dir):
         F.coalesce(F.col("F"), F.lit(0)).alias("f_cnt"),
         F.coalesce(F.col("O"), F.lit(0)).alias("o_cnt"),
         F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"),
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    # relational UNPIVOT (wide -> long): raw values move untouched, so the
+    # hash compare is exact; the filter reaches the parquet scan on both sides
+    oracle="""
+        SELECT l_orderkey, l_linenumber, k, v
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+            FROM lineitem WHERE l_orderkey <= 400
+        )
+        UNPIVOT (v FOR k IN (l_quantity, l_discount, l_tax))
+    """,
+    tags=("unpivot",),
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    l = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 400)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+    )
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "k",
+        "v",
     )
 
 
