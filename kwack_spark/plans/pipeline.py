@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from kwack_spark.functions import text as TX
 from kwack_spark.functions import vectors as V
-from kwack_spark.operators import asof, dedup, similarity
+from kwack_spark.operators import asof, dedup, sampling, similarity
 from kwack_spark.plans.registry import register
 from kwack_spark.plans.relational import T
 
@@ -876,3 +876,45 @@ def multimodal_byte_features(spark, sf_dir):
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return mm.byte_histogram_features(d, "payload", "doc_id", bins=16)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_hash_10pct",
+    # hash-threshold sampling: keep iff md5('smp:' || key) 4-hex prefix <
+    # cutoff — reproducible across retries/cluster layouts, unlike .sample().
+    # cutoff '199a' = round(0.1 * 16^4); lowercase-hex compare == numeric.
+    oracle="""
+        SELECT doc_id, source, lang FROM documents
+        WHERE substr(md5('smp:' || doc_id::VARCHAR), 1, 4) < '199a'
+    """,
+    tags=("sampling",),
+)
+def sample_hash_10pct(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return sampling.sample_hash(d, "doc_id", 0.1, seed="smp")
+
+
+@register(
+    "sample_stratified_by_lang",
+    # per-stratum cutoffs rebalance the language mix in one narrow pass:
+    # en down to 5%, de up to 50%, zh 25%, everything else 10%
+    oracle="""
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5('strat:' || doc_id::VARCHAR), 1, 4) <
+              CASE lang WHEN 'de' THEN '8000' WHEN 'en' THEN '0ccd'
+                        WHEN 'zh' THEN '4000' ELSE '199a' END
+    """,
+    tags=("sampling", "stratified"),
+)
+def sample_stratified_by_lang(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_sample_hash(
+        d, "doc_id", "lang",
+        {"en": 0.05, "de": 0.5, "zh": 0.25},
+        default_fraction=0.1, seed="strat",
+    )

@@ -69,6 +69,8 @@ _PRIORITY = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "sample_hash_10pct",
+    "sample_stratified_by_lang",
     "ann_brute_force_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
