@@ -49,6 +49,34 @@ def sample_hash(
     return df.filter(_bucket(F.col(key_col), seed) < hash_cutoff(fraction))
 
 
+def split_hash(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test (or any n-way) split: the keyed md5
+    prefix is binned by cumulative weight cutoffs, so every row lands in
+    exactly one split, the assignment is stable across runs/engines, and
+    the weights sum to the full dataset (last bin is the open remainder).
+    Narrow — one projected column, no shuffle."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    labels = list(weights)
+    bucket = _bucket(F.col(key_col), seed)
+    expr = F.lit(labels[-1])  # remainder bin: no cutoff comparison needed
+    cum = 0.0
+    rev: list[tuple[str, str]] = []
+    for label in labels[:-1]:
+        cum += weights[label]
+        rev.append((label, hash_cutoff(cum)))
+    for label, cutoff in reversed(rev):
+        expr = F.when(bucket < cutoff, F.lit(label)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
 def stratified_sample_hash(
     df: DataFrame,
     key_col: str,

@@ -918,3 +918,105 @@ def sample_stratified_by_lang(spark, sf_dir):
         {"en": 0.05, "de": 0.5, "zh": 0.25},
         default_fraction=0.1, seed="strat",
     )
+
+
+@register(
+    "split_train_val_test",
+    # n-way deterministic split by cumulative cutoffs over the keyed md5
+    # prefix: 80/10/10, stable across runs, engines, and cluster layouts
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 4) < 'cccd'
+                        THEN 'train'
+                    WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 4) < 'e666'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    tags=("sampling", "split"),
+)
+def split_train_val_test(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    return sampling.split_hash(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split"
+    )
+
+
+@register(
+    "curation_pipeline",
+    # The end-to-end training-data curation flow as ONE declarative plan:
+    # exact-dedup to canonical docs -> quality gate -> deterministic 50%
+    # sample -> train/val/test split.  Catalyst fuses the narrow stages; the
+    # only shuffles are the dedup groupBy and its keeper semi-join.
+    oracle=f"""
+        WITH fps AS (
+            SELECT doc_id, md5({_NORM.format(c='text')}) AS fp FROM documents
+        ),
+        keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+        base AS (
+            SELECT d.doc_id, d.lang, {_toks()} AS tk,
+                   length(lower(d.text)) AS nc,
+                   length({_NORM.format(c='d.text')}) AS nn
+            FROM documents d JOIN keep USING (doc_id)
+        ),
+        m AS (
+            SELECT doc_id, lang, len(tk) AS n_tokens,
+                   CAST(nc - nn AS DOUBLE) / nc AS punct_ratio,
+                   CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+                       / len(tk) AS stop_ratio
+            FROM base
+        ),
+        q AS (
+            SELECT doc_id, lang, n_tokens,
+                   CASE WHEN n_tokens >= 10 AND punct_ratio < 0.1 AND stop_ratio > 0.05 THEN 'good'
+                        WHEN n_tokens >= 5 THEN 'fair'
+                        ELSE 'poor' END AS quality
+            FROM m
+        )
+        SELECT doc_id, lang, n_tokens, quality,
+               CASE WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 4) < 'cccd'
+                        THEN 'train'
+                    WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 4) < 'e666'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM q
+        WHERE quality <> 'poor'
+          AND substr(md5('cur:' || doc_id::VARCHAR), 1, 4) < '8000'
+    """,
+    tags=("pipeline", "curation"),
+)
+def curation_pipeline(spark, sf_dir):
+    """Composition showcase: every stage is an operator from this repo
+    (dedup.exact_dedup_mapping, functions/text.py metrics,
+    sampling.sample_hash, sampling.split_hash) fused into one plan."""
+    d = T(spark, sf_dir, "documents")
+    keep = (
+        dedup.exact_dedup_mapping(d, "doc_id", "text")
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+    )
+    base = d.join(keep, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.size(TX.tokens("text")).alias("n_tokens"),
+        TX.punct_ratio("text").alias("punct_ratio"),
+        TX.stopword_ratio("text").alias("stop_ratio"),
+    )
+    q = base.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.when(
+            (F.col("n_tokens") >= 10)
+            & (F.col("punct_ratio") < 0.1)
+            & (F.col("stop_ratio") > 0.05),
+            "good",
+        )
+        .when(F.col("n_tokens") >= 5, "fair")
+        .otherwise("poor")
+        .alias("quality"),
+    ).filter(F.col("quality") != "poor")
+    sampled = sampling.sample_hash(q, "doc_id", 0.5, seed="cur")
+    return sampling.split_hash(
+        sampled, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split"
+    )

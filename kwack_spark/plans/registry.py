@@ -71,6 +71,8 @@ _PRIORITY = [
     "dedup_embedding_cosine",
     "sample_hash_10pct",
     "sample_stratified_by_lang",
+    "split_train_val_test",
+    "curation_pipeline",
     "ann_brute_force_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",

@@ -8,10 +8,12 @@ arithmetic, determinism, superset growth, and stratum isolation.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from kwack_spark.operators.sampling import (
     hash_cutoff,
     sample_hash,
+    split_hash,
     stratified_sample_hash,
 )
 from kwack_spark.sources.parquet import load_table
@@ -44,6 +46,20 @@ def test_independent_seeds_differ(spark):
     a = {r[0] for r in sample_hash(d, "doc_id", 0.3, seed="s1").collect()}
     b = {r[0] for r in sample_hash(d, "doc_id", 0.3, seed="s2").collect()}
     assert a != b  # disjoint seeds => independent draws
+
+
+def test_split_hash_partitions_everything(spark):
+    d = load_table(spark, SF_SMALL, "documents").select("doc_id")
+    out = split_hash(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == d.count()  # every row in exactly one split
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"]  # 80% dominates 10%
+    with pytest.raises(ValueError):
+        split_hash(d, "doc_id", {"a": 0.5, "b": 0.3})  # doesn't sum to 1
 
 
 def test_stratified_fractions_apply_per_stratum(spark):
