@@ -36,7 +36,8 @@ __all__ = ["KwackSpark", "KwackConfig"]
 
 _COPY_RE = re.compile(
     r"^\s*COPY\s+\((?P<query>.+)\)\s+TO\s+'(?P<path>[^']+)'"
-    r"(?:\s*\(\s*FORMAT\s+'?(?P<fmt>\w+)'?\s*\))?\s*;?\s*$",
+    r"(?:\s*\(\s*FORMAT\s+'?(?P<fmt>\w+)'?"
+    r"(?:\s*,\s*PARTITION_BY\s+\(\s*(?P<partition_by>[\w\s,]+?)\s*\))?\s*\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -110,7 +111,13 @@ class KwackSpark:
         KwackEngine.java:232), plus a shim for DuckDB-style COPY ... TO."""
         m = _COPY_RE.match(query)
         if m:
-            return self.copy_to(m["query"], m["path"], (m["fmt"] or "parquet").lower())
+            part = m["partition_by"]
+            return self.copy_to(
+                m["query"],
+                m["path"],
+                (m["fmt"] or "parquet").lower(),
+                partition_by=[c.strip() for c in part.split(",")] if part else None,
+            )
         return self.spark.sql(query)
 
     def query_json(self, query: str) -> Iterator[str]:
@@ -118,9 +125,20 @@ class KwackSpark:
         (KwackMain.java:157-164)."""
         yield from self.sql(query).toJSON().toLocalIterator()
 
-    def copy_to(self, query: str, path: str, fmt: str = "parquet") -> DataFrame:
+    def copy_to(
+        self,
+        query: str,
+        path: str,
+        fmt: str = "parquet",
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """DuckDB-style COPY ... TO, extended with Hive-style partitioned
+        layout (PARTITION_BY) — how a curation pipeline writes its output at
+        scale: one directory per split/lang so downstream readers prune."""
         df = self.spark.sql(query)
         writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
         if fmt in ("parquet",):
             writer.parquet(path)
         elif fmt in ("csv",):
