@@ -120,6 +120,35 @@ def streaming_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream equi + interval join: pair each left row with the right
+    rows for the same key whose timestamp falls in [left_ts - lookback,
+    left_ts] (e.g. purchases joined to the clicks that preceded them).
+
+    Both sides carry a watermark and the join condition bounds event-time
+    distance, so the state store can evict rows older than
+    watermark + lookback — state stays finite on unbounded streams.  The
+    shuffle is one exchange per side on the join key, identical to the batch
+    plan; in batch mode watermarks are no-ops, so the same function is its
+    own batch oracle.  Non-key column names must be disjoint across sides."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] <= lw[left_ts])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lookback}"))
+    )
+    return lw.join(rw, cond).drop(rw[key])
+
+
 def stateful_running_counts(
     df: DataFrame, key: str, count_col: str = "n"
 ) -> DataFrame:

@@ -152,3 +152,35 @@ def test_stateful_running_counts(spark, tmp_path):
         ).groupBy("uid").count().withColumnRenamed("count", "cnt").collect()
     }
     assert got == batch
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (purchases x preceding clicks per user)
+    equals the same join run in batch — the batch run is the oracle."""
+    from kwack_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    p_dir, c_dir = str(tmp_path / "purchases"), str(tmp_path / "clicks")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_val")
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases.write.mode("overwrite").parquet(p_dir)
+    clicks.write.mode("overwrite").parquet(c_dir)
+
+    def joined(l, r):
+        return si.stream_interval_join(
+            l, r, "user_id", "p_ts", "c_ts", lookback="1 hour", watermark="2 hours"
+        ).select("user_id", "p_ts", "c_ts", "click_id")
+
+    sp = spark.readStream.schema(purchases.schema).parquet(p_dir)
+    sc = spark.readStream.schema(clicks.schema).parquet(c_dir)
+    q = si.to_memory_sink(joined(sp, sc), "pj", output_mode="append")
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.table("pj").collect()))
+    batch = sorted(
+        map(tuple, joined(spark.read.parquet(p_dir), spark.read.parquet(c_dir)).collect())
+    )
+    assert got == batch and len(got) > 0
