@@ -35,9 +35,11 @@ from kwack_spark.sources import kafka as ks
 _TS0 = datetime.datetime(2024, 1, 1)
 
 
-def _to_frames(df: DataFrame, encode_fn, topic: str) -> DataFrame:
+def _to_frames(df: DataFrame, encode_fn, topic: str, meta_fn=None) -> DataFrame:
     """Arrow-batched encode stage: rows -> kafka-shaped frames.
-    ``encode_fn(row) -> (key_bytes|None, value_bytes|None)``."""
+    ``encode_fn(row) -> (key_bytes|None, value_bytes|None)``; optional
+    ``meta_fn(row) -> dict`` overrides partition/offset/timestamp/headers —
+    the knobs a real broker controls, needed to grade rowinfo fidelity."""
 
     def batches(it):
         import pandas as pd
@@ -46,18 +48,19 @@ def _to_frames(df: DataFrame, encode_fn, topic: str) -> DataFrame:
             rows = []
             for rec in pdf.itertuples(index=False):
                 key, value = encode_fn(rec)
-                rows.append(
-                    {
-                        "key": key,
-                        "value": value,
-                        "topic": topic,
-                        "partition": 0,
-                        "offset": 0,
-                        "timestamp": _TS0,
-                        "timestampType": 0,
-                        "headers": None,
-                    }
-                )
+                frame = {
+                    "key": key,
+                    "value": value,
+                    "topic": topic,
+                    "partition": 0,
+                    "offset": 0,
+                    "timestamp": _TS0,
+                    "timestampType": 0,
+                    "headers": None,
+                }
+                if meta_fn is not None:
+                    frame.update(meta_fn(rec))
+                rows.append(frame)
             yield pd.DataFrame(rows, columns=[f.name for f in ks.KAFKA_FRAME_SCHEMA.fields])
 
     return df.mapInPandas(batches, ks.KAFKA_FRAME_SCHEMA)
@@ -136,6 +139,181 @@ def kafka_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         union_extract(F.col("extra"), "u0").alias("extra_long"),
         union_extract(F.col("extra"), "u1").alias("extra_str"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Avro schema evolution: mixed writer ids, latest reader projection
+# ---------------------------------------------------------------------------
+
+_NATION_V1 = {
+    "type": "record",
+    "name": "NationEvo",
+    "fields": [
+        {"name": "n_nationkey", "type": "long"},
+        {"name": "n_name", "type": "string"},
+    ],
+}
+_NATION_V2 = {
+    "type": "record",
+    "name": "NationEvo",
+    "fields": _NATION_V1["fields"]
+    + [{"name": "n_note", "type": "string", "default": "none"}],
+}
+
+
+@register(
+    "kafka_avro_evolution",
+    # even keys written with v1 (no n_note -> reader default), odd with v2;
+    # vsi = the per-record writer schema id parsed from the Confluent frame
+    oracle="""
+        SELECT n_nationkey, n_name,
+               CASE WHEN n_nationkey % 2 = 0 THEN 'none'
+                    ELSE 'note-' || n_name END AS n_note,
+               CAST(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS writer_sid
+        FROM nation
+    """,
+    tags=("ingest", "kafka", "avro", "evolution"),
+)
+def kafka_avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution semantics (KwackEngine.java:126,1037-1045;
+    AvroTest.java:229-248): records written under OLD writer schemas decode
+    by per-record schema id and project through the LATEST reader — missing
+    fields take the reader default.  The writer id surfaces via rowinfo.vsi."""
+    reg = MockSchemaRegistry()
+    sid_v1 = reg.register("nation_evo-value", json.dumps(_NATION_V1), "AVRO")
+    sid_v2 = reg.register("nation_evo-value", json.dumps(_NATION_V2), "AVRO")
+
+    def enc(rec):
+        if rec.n_nationkey % 2 == 0:
+            payload = avro_schema.encode(
+                {"n_nationkey": int(rec.n_nationkey), "n_name": rec.n_name},
+                _NATION_V1,
+            )
+            return None, ks.confluent_frame(payload, sid_v1)
+        payload = avro_schema.encode(
+            {
+                "n_nationkey": int(rec.n_nationkey),
+                "n_name": rec.n_name,
+                "n_note": "note-" + rec.n_name,
+            },
+            _NATION_V2,
+        )
+        return None, ks.confluent_frame(payload, sid_v2)
+
+    frames = _to_frames(T(spark, sf_dir, "nation"), enc, "nation_evo")
+    decoded = ks.decode_topic(
+        frames,
+        "nation_evo",
+        value_serde=Serde(kind="latest"),
+        registry=reg,
+        row_attributes=("vsi", "par", "off"),
+    )
+    return decoded.select(
+        "n_nationkey",
+        "n_name",
+        "n_note",
+        F.col("rowinfo.vsi").cast("long").alias("writer_sid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rowinfo metadata fidelity (top/par/off/ts/tst/hdr, headers last-wins)
+# ---------------------------------------------------------------------------
+
+_TS0_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z, the _TS0 epoch in ms
+
+
+@register(
+    "kafka_rowinfo_metadata",
+    oracle=f"""
+        SELECT r_name AS rowval,
+               'region_meta' AS top,
+               CAST(r_regionkey % 2 AS BIGINT) AS par,
+               CAST(r_regionkey * 10 AS BIGINT) AS "off",
+               CAST({_TS0_MS} + r_regionkey * 1000 AS BIGINT) AS ts,
+               CAST(0 AS INTEGER) AS tst,
+               'second-' || r_name AS hdr_h,
+               'kafka' AS hdr_src
+        FROM region
+    """,
+    tags=("ingest", "kafka", "rowinfo"),
+)
+def kafka_rowinfo_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rowinfo struct end-to-end (KwackEngine.java:696-743): topic,
+    partition, offset, timestamp(ms), timestampType, and the header map with
+    LAST-value-wins per key (KwackEngine.java:1022-1035)."""
+    import datetime
+
+    def enc(rec):
+        return None, rec.r_name.encode("utf-8")
+
+    def meta(rec):
+        k = int(rec.r_regionkey)
+        return {
+            "partition": k % 2,
+            "offset": k * 10,
+            "timestamp": _TS0 + datetime.timedelta(seconds=k),
+            "headers": [
+                {"key": "h", "value": b"first"},
+                {"key": "h", "value": ("second-" + rec.r_name).encode("utf-8")},
+                {"key": "src", "value": b"kafka"},
+            ],
+        }
+
+    frames = _to_frames(T(spark, sf_dir, "region"), enc, "region_meta", meta_fn=meta)
+    decoded = ks.decode_topic(
+        frames,
+        "region_meta",
+        value_serde=Serde(kind="string"),
+        row_attributes=("top", "par", "off", "ts", "tst", "hdr"),
+    )
+    return decoded.select(
+        "rowval",
+        F.col("rowinfo.top").alias("top"),
+        F.col("rowinfo.par").cast("long").alias("par"),
+        F.col("rowinfo.off").alias("off"),
+        F.col("rowinfo.ts").alias("ts"),
+        F.col("rowinfo.tst").cast("int").alias("tst"),
+        F.element_at("rowinfo.hdr", "h").alias("hdr_h"),
+        F.element_at("rowinfo.hdr", "src").alias("hdr_src"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tombstone skip on struct-valued tables
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kafka_tombstone_skip",
+    oracle="""
+        SELECT n_nationkey, n_name FROM nation WHERE n_nationkey % 5 <> 0
+    """,
+    tags=("ingest", "kafka", "tombstone"),
+)
+def kafka_tombstone_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null value on a struct-typed table skips the row instead of erroring
+    or emitting nulls (KwackEngine.java:820-823; AvroKeyTest.java:261-275)."""
+    reg = MockSchemaRegistry()
+    sid = reg.register("nation_tomb-value", json.dumps(_NATION_V1), "AVRO")
+
+    def enc(rec):
+        if rec.n_nationkey % 5 == 0:
+            return None, None  # tombstone
+        payload = avro_schema.encode(
+            {"n_nationkey": int(rec.n_nationkey), "n_name": rec.n_name}, _NATION_V1
+        )
+        return None, ks.confluent_frame(payload, sid)
+
+    frames = _to_frames(T(spark, sf_dir, "nation"), enc, "nation_tomb")
+    decoded = ks.decode_topic(
+        frames,
+        "nation_tomb",
+        value_serde=Serde(kind="latest"),
+        registry=reg,
+        row_attributes=("par", "off"),
+    )
+    return decoded.select("n_nationkey", "n_name")
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,9 @@ _PRIORITY = [
     "kafka_proto_roundtrip",
     "kafka_rawjson_roundtrip",
     "kafka_primitive_roundtrip",
+    "kafka_avro_evolution",
+    "kafka_rowinfo_metadata",
+    "kafka_tombstone_skip",
     # pipeline operators (incl. round-1's 8 unchecked)
     "dedup_exact",
     "dedup_minhash_signatures",
