@@ -102,6 +102,9 @@ _PRIORITY = [
     "agg_filter_where",
     "agg_minmax_by",
     "agg_stats_manual",
+    "stat_corr_regression",
+    "group_by_all",
+    "listagg_ordered",
     "count_distinct",
     "approx_count_distinct",
     "collect_list_sorted",
@@ -132,6 +135,9 @@ _PRIORITY = [
     "cte_scalar_subquery",
     "correlated_in_subquery",
     "recursive_cte",
+    "values_inline_join",
+    "ddl_create_view",
+    "sequence_date_spine",
     "pivot_order_status",
     "unpivot_lineitem_measures",
     "lateral_top_orders",

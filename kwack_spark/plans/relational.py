@@ -1042,3 +1042,202 @@ def correlated_in_subquery(spark, sf_dir):
         WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Inline tables, DDL surface, GROUP BY ALL, ordered string agg, date spine,
+# correlation/regression moments
+# ---------------------------------------------------------------------------
+
+_VALUES_SQL = """
+    SELECT v.code, r.r_name
+    FROM (VALUES (0, 'AFR'), (1, 'AME'), (2, 'ASI'), (3, 'EUR'), (4, 'MEA'))
+         AS v(rk, code)
+    JOIN region r ON r.r_regionkey = v.rk
+"""
+
+
+@register(
+    "values_inline_join",
+    oracle=_VALUES_SQL,
+    tags=("values", "join"),
+)
+def values_inline_join(spark, sf_dir):
+    """Inline VALUES derived table joined to a real table — the literal-table
+    surface a CLI user types; identical SQL text runs on both engines."""
+    register_views(spark, sf_dir, only=("region",))
+    return spark.sql(_VALUES_SQL)
+
+
+@register(
+    "ddl_create_view",
+    # the Spark side materializes the logic behind CREATE TEMP VIEW + SELECT;
+    # the oracle expresses the same two-step as a CTE
+    oracle="""
+        WITH nation_custcnt AS (
+            SELECT n.n_nationkey, n.n_name, COUNT(c.c_custkey) AS n_cust
+            FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_nationkey, n.n_name
+        )
+        SELECT n_nationkey, n_name, n_cust
+        FROM nation_custcnt
+        WHERE n_cust >= 50
+    """,
+    tags=("ddl", "view"),
+)
+def ddl_create_view(spark, sf_dir):
+    """User-typed DDL surface (SURVEY §2.B DDL/DML): CREATE OR REPLACE TEMP
+    VIEW ... AS SELECT, then query the view — the reference's users do this
+    verbatim through the delegated SQL connection."""
+    register_views(spark, sf_dir, only=("nation", "customer"))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW nation_custcnt AS
+        SELECT n.n_nationkey, n.n_name, COUNT(c.c_custkey) AS n_cust
+        FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_nationkey, n.n_name
+        """
+    )
+    return spark.sql(
+        "SELECT n_nationkey, n_name, n_cust FROM nation_custcnt WHERE n_cust >= 50"
+    )
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ALL
+"""
+
+
+@register(
+    "group_by_all",
+    oracle=_GROUP_BY_ALL_SQL,
+    tags=("agg", "sql-surface"),
+)
+def group_by_all(spark, sf_dir):
+    """GROUP BY ALL (infer grouping cols from the projection) — supported by
+    both Spark 4 and DuckDB with identical text."""
+    register_views(spark, sf_dir, only=("orders",))
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+@register(
+    "listagg_ordered",
+    # deterministic ordered string aggregation: Spark sorts the collected
+    # array then joins; DuckDB orders inside string_agg
+    oracle="""
+        SELECT r.r_name,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    tags=("agg", "listagg"),
+)
+def listagg_ordered(spark, sf_dir):
+    r = T(spark, sf_dir, "region")
+    n = T(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations")
+        )
+    )
+
+
+@register(
+    "sequence_date_spine",
+    # calendar spine: months with zero orders still appear (LEFT JOIN from
+    # the generated series) — the standard gap-filling shape for reporting
+    oracle="""
+        SELECT d.mo, COUNT(o.o_orderkey) AS n_orders
+        FROM (
+            SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-12-01',
+                                               INTERVAL 1 MONTH)) AS DATE) AS mo
+        ) d
+        LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = d.mo
+        GROUP BY d.mo
+    """,
+    tags=("sequence", "date-spine"),
+)
+def sequence_date_spine(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-12-01").cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("mo")
+    )
+    return (
+        spine.join(o, F.trunc(o.o_orderdate, "month") == F.col("mo"), "left")
+        .groupBy("mo")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "stat_corr_regression",
+    # correlation + regression slope/intercept from exact decimal moments
+    # (n, Σx, Σy, Σxx, Σyy, Σxy): the sums are bit-exact on both engines, and
+    # the final double-arithmetic formula is textually identical, so IEEE
+    # determinism gives identical bits — unlike corr()/regr_slope() whose
+    # streaming merge order differs per engine.
+    oracle="""
+        SELECT l_returnflag, n,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+               round((n * sxy - sx * sy) /
+                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_xy
+        FROM (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(15,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(15,4)) AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(15,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+    """,
+    tags=("agg", "stats"),
+)
+def stat_corr_regression(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    # 19-digit left factor: keeps the DuckDB oracle's decimal multiply in
+    # int128 (int64 overflows at precision <=18); exact on both engines
+    dx = F.col("l_quantity").cast("decimal(15,4)")
+    dx19 = F.col("l_quantity").cast("decimal(19,4)")
+    dy = F.col("l_extendedprice").cast("decimal(15,4)")
+    dy19 = F.col("l_extendedprice").cast("decimal(19,4)")
+    moments = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum((dx19 * dx).cast("decimal(38,8)")).cast("double").alias("sxx"),
+        F.sum((dy19 * dy).cast("decimal(38,8)")).cast("double").alias("syy"),
+        F.sum((dx19 * dy).cast("decimal(38,8)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # the int128-decimal -> double casts of the moments round differently
+    # per engine in the last ulp; rounding the derived ratios to a shared
+    # precision absorbs that (the moments themselves are exact)
+    return moments.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            9,
+        ).alias("corr_xy"),
+    )
