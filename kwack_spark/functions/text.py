@@ -136,3 +136,23 @@ def lang_id(col) -> Column:
     for lang, score in reversed(scored):
         result = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(result)
     return result
+
+
+# PII redaction patterns: a regex subset shared by Java regex (Spark) and
+# RE2 (DuckDB) so redaction is oracle-checkable.  Order matters — dotted
+# phone numbers would otherwise be eaten by the IPv4 pattern.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(col) -> Column:
+    """Replace emails, phone numbers, and IPv4 addresses with typed tags —
+    the standard scrub pass before text enters a training corpus.  Pure
+    JVM-side regexp_replace chain: no shuffle, no Python, safe at 100 TB."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

@@ -550,6 +550,52 @@ def doc_fingerprints(spark, sf_dir):
     )
 
 
+@register(
+    "text_pii_redact",
+    # deterministic PII is synthesized from doc_id (the corpus itself is
+    # clean), then scrubbed by the production redact chain; the oracle
+    # applies the same RE2/Java-shared patterns with nested regexp_replace
+    oracle="""
+        WITH synth AS (
+            SELECT doc_id,
+                   text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.com or 555-123-4567 from host 10.0.'
+                        || CAST(doc_id % 256 AS VARCHAR) || '.1' AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(raw,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+                 '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS redacted,
+               len(regexp_extract_all(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails
+        FROM synth
+    """,
+    tags=("text", "pii"),
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrub pass (functions/text.py:redact_pii): emails, phones, and
+    IPv4 addresses replaced with typed tags before text enters a training
+    corpus — JVM-side regexp chain, embarrassingly parallel at 100 TB."""
+    d = T(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-123-4567 from host 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    return d.select(
+        "doc_id",
+        TX.redact_pii(raw).alias("redacted"),
+        F.regexp_count(raw, F.lit(TX.PII_PATTERNS[0][0])).alias("n_emails"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join / event-time windows
 # ---------------------------------------------------------------------------

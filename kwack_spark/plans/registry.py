@@ -84,6 +84,7 @@ _PRIORITY = [
     "text_token_count_bpe",
     "text_quality",
     "text_lang_id",
+    "text_pii_redact",
     "doc_fingerprints",
     "asof_purchase_attribution",
     "window_tumbling_hourly",

@@ -190,3 +190,22 @@ def test_engine_explain_surface(spark):
     eng = KwackSpark(KwackConfig(parquet_dir="/root/testdata/sf0.001"), spark=spark).init()
     rows = eng.sql("EXPLAIN SELECT r_regionkey FROM region").collect()
     assert rows and "Physical Plan" in rows[0][0]
+
+
+def test_engine_repl_scripted(spark, monkeypatch, capsys):
+    """The REPL surface (A13, KwackApplication.java:9-35): executes typed
+    statements, survives a bad statement, exits on 'exit'."""
+    from kwack_spark.engine import KwackSpark
+
+    eng = KwackSpark(KwackConfig(parquet_dir="/root/testdata/sf0.001"), spark=spark).init()
+    lines = iter([
+        "SELECT count(*) AS n FROM region",
+        "",  # blank line: ignored
+        "SELEKT broken((",  # parse error: printed, REPL stays alive
+        "exit",
+    ])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(lines))
+    eng.repl()
+    out = capsys.readouterr().out
+    assert "| 5" in out.replace(" ", "|").replace("||", "|") or "5" in out
+    assert "error:" in out
