@@ -263,6 +263,32 @@ def json_funcs(spark, sf_dir):
 
 
 @register(
+    "variant_json_funcs",
+    # Spark 4 VARIANT: parse once, typed extraction via variant_get — the
+    # shredded-JSON path a raw-json topic should use at scale (parse cost
+    # paid once per row, extraction stays JVM-side)
+    oracle="""
+        SELECT event_id,
+               CAST(props->>'$.k' AS BIGINT) AS k_val,
+               props->>'$.k' AS k_str,
+               CAST(props->>'$.k' AS BIGINT) % 7 = 0 AS k_div7
+        FROM events
+    """,
+    tags=("functions", "json", "variant"),
+)
+def variant_json_funcs(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return e.select(
+        "event_id",
+        k.alias("k_val"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        (k % 7 == 0).alias("k_div7"),
+    )
+
+
+@register(
     "explode_word_counts",
     oracle="""
         SELECT tok, COUNT(*) AS n
@@ -281,7 +307,9 @@ def explode_word_counts(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(
-            F.split(F.lower(F.regexp_replace("text", "[^a-z ]", "")), " ")
+            # lower BEFORE stripping [^a-z ] (the _NORM convention) — the
+            # reverse order would delete uppercase letters outright
+            F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), " ")
         ).alias("tok")
     )
     return (

@@ -9,6 +9,8 @@ oracle can verify it bit-for-bit.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import functions as F
 
 from kwack_spark.functions import text as TX
@@ -25,6 +27,21 @@ _TOKS = f"list_filter(string_split({_NORM}, ' '), t -> len(t) > 0)"
 
 def _toks(c: str = "text") -> str:
     return _TOKS.format(c=c)
+
+
+@contextlib.contextmanager
+def _few_shuffle_partitions(spark, n: int = 8):
+    """Pin a small shuffle-partition count for the duration of a bounded
+    streaming replay: the state store creates one instance per shuffle
+    partition, so a caller session's default (e.g. 200) costs far more than
+    the test-scale data justifies.  Restored afterward — a real deployment
+    sizes this to the cluster, not to the replay fixture."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 _SHINGLES = """
@@ -763,11 +780,48 @@ def streaming_window_counts(spark, sf_dir):
         ],
     )
     sink = f"strm_{uuid.uuid4().hex[:8]}"
-    q = si.to_memory_sink(agg, sink, output_mode="complete")
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("streaming_window_counts: stream did not finish in 300s")
+    with _few_shuffle_partitions(spark):
+        q = si.to_memory_sink(agg, sink, output_mode="complete")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_window_counts: stream did not finish in 300s")
     return spark.table(sink).select("event_type", "window_start", "n", "total_value")
+
+
+@register(
+    "streaming_dedup_keys",
+    # streaming exact dedup must emit each key exactly once == batch DISTINCT
+    oracle="""
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_keys(spark, sf_dir):
+    """dropDuplicatesWithinWatermark under the correctness gate (SURVEY
+    §2.C): events replayed as a file-source stream, deduped on
+    (user_id, event_type) with watermark-bounded state, memory sink.  The
+    watermark spans the replayed range, so end-of-stream equals batch
+    DISTINCT; in production the watermark bounds state to the late-data
+    horizon instead of the full history."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.streaming import ingest as si
+
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    replay_dir = tempfile.mkdtemp(prefix="kwack_stream_dedup_")
+    e.write.mode("overwrite").parquet(replay_dir)
+    stream = spark.readStream.schema(e.schema).parquet(replay_dir)
+    deduped = si.streaming_dedup(
+        stream, "ts", ["user_id", "event_type"], watermark="3650 days"
+    ).select("user_id", "event_type")
+    sink = f"strmdd_{uuid.uuid4().hex[:8]}"
+    with _few_shuffle_partitions(spark):
+        q = si.to_memory_sink(deduped, sink, output_mode="append")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_dedup_keys: stream did not finish in 300s")
+    return spark.table(sink)
 
 
 # ---------------------------------------------------------------------------

@@ -90,6 +90,7 @@ _PRIORITY = [
     "window_tumbling_hourly",
     "session_windows",
     "streaming_window_counts",
+    "streaming_dedup_keys",
     "multimodal_binary_meta",
     "multimodal_fake_decode",
     "multimodal_frame_sample",
@@ -151,6 +152,7 @@ _PRIORITY = [
     "map_funcs",
     "struct_funcs",
     "json_funcs",
+    "variant_json_funcs",
     "explode_word_counts",
 ]
 
