@@ -613,6 +613,103 @@ def text_pii_redact(spark, sf_dir):
     )
 
 
+@register(
+    "text_repetition_filter",
+    # gopher-style repetition quality gate: fraction of duplicated word
+    # 3-grams within each document
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        sh AS (SELECT doc_id, ({_SHINGLES}) AS sh FROM toks)
+        SELECT doc_id,
+               len(sh) AS n_shingles,
+               len(list_distinct(sh)) AS n_distinct,
+               CASE WHEN len(sh) = 0 THEN 0.0
+                    ELSE 1.0 - len(list_distinct(sh))::DOUBLE / len(sh) END AS rep_ratio,
+               (CASE WHEN len(sh) = 0 THEN 0.0
+                     ELSE 1.0 - len(list_distinct(sh))::DOUBLE / len(sh) END) > 0.2
+                 AS is_repetitive
+        FROM sh
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_filter(spark, sf_dir):
+    """Within-document repetition ratio (share of duplicate 3-gram
+    shingles) — the classic quality gate against boilerplate/looping text.
+    Narrow projection, no shuffle, no Python: safe at 100 TB."""
+    d = T(spark, sf_dir, "documents")
+    sh = TX.shingles(TX.tokens("text"), 3)
+    n = F.size(sh)
+    nd = F.size(F.array_distinct(sh))
+    ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - nd.cast("double") / n
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_shingles"),
+        nd.alias("n_distinct"),
+        ratio.alias("rep_ratio"),
+        (ratio > 0.2).alias("is_repetitive"),
+    )
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    # benchmark decontamination: corpus docs sharing >= 3 word-3-grams with
+    # the benchmark suite (docs 0..19 stand in) are flagged
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        sh AS (SELECT doc_id, ({_SHINGLES}) AS sh FROM toks),
+        bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 20),
+        corpus AS (
+            SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh WHERE doc_id >= 20
+        ),
+        hits AS (
+            SELECT c.doc_id, count(*) AS n_hits
+            FROM corpus c JOIN bench b ON c.s = b.s
+            GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(h.n_hits, 0) AS n_overlap,
+               coalesce(h.n_hits, 0) >= 3 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+        LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+    tags=("text", "decontamination"),
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: count distinct word-3-gram overlaps
+    between each corpus doc and a benchmark suite, flag docs over the
+    threshold.  The suite's shingle set is tiny relative to the corpus, so
+    it broadcasts — the corpus side stays a narrow explode + broadcast-hash
+    join + partial/final count, the right shape at 100 TB (no corpus
+    shuffle besides the per-doc count)."""
+    d = T(spark, sf_dir, "documents")
+    shdf = d.select("doc_id", TX.shingles(TX.tokens("text"), 3).alias("sh"))
+    bench = (
+        shdf.filter(F.col("doc_id") < 20)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    corpus = shdf.filter(F.col("doc_id") >= 20).select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("s")
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        d.filter(F.col("doc_id") >= 20)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_hits", F.lit(0)) >= 3).alias("contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join / event-time windows
 # ---------------------------------------------------------------------------

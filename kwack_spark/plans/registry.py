@@ -85,6 +85,8 @@ _PRIORITY = [
     "text_quality",
     "text_lang_id",
     "text_pii_redact",
+    "text_repetition_filter",
+    "decontaminate_ngram_overlap",
     "doc_fingerprints",
     "asof_purchase_attribution",
     "window_tumbling_hourly",
