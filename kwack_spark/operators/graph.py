@@ -1,0 +1,108 @@
+"""Connected components over candidate-duplicate pairs.
+
+Dedup pipelines need transitive closure: LSH emits PAIRS (a~b, b~c), but the
+keep/drop decision needs CLUSTERS ({a,b,c} -> keep min id).  This is the one
+genuinely iterative algorithm in the pipeline — each iteration is a pure
+distributed join+aggregate; only the (scalar) convergence check touches the
+driver.
+
+Algorithm: min-label propagation.  Every node starts labeled with itself;
+each round a node takes the min label among itself and its neighbors;
+converged when no label changes.  Rounds needed = graph diameter — duplicate
+clusters are near-cliques (diameter 2-3), so this converges in a handful of
+rounds at any corpus size.  For adversarial long-chain graphs, switch to the
+large-star/small-star variant (same join primitives, O(log n) rounds).
+
+Scale shape per round: one shuffle join (labels x edges, both partitioned on
+the join key) + one groupBy-min with partial aggregation.  Labels are
+persisted per round and the previous round unpersisted, so lineage stays
+O(1) deep instead of growing with iterations (no exploding plan / stack at
+round 20).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(component, node) for every node appearing in ``edges``.
+
+    ``component`` is the minimum node id of the node's connected component —
+    the canonical "keeper" under min-id dedup policy.
+    """
+    # symmetrize once and PERSIST: the edge relation is joined every round —
+    # without this each iteration re-executes the whole upstream pipeline
+    # (e.g. the LSH candidate generation) that produced the pairs
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = fwd.union(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("comp")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    labels.count()  # materialize before the loop
+
+    for _ in range(max_iter):
+        # neighbor labels: for each node, the min comp among its neighbors
+        nbr = (
+            sym.join(labels, sym.v == labels.node)
+            .select(sym.u.alias("node"), "comp")
+            .groupBy("node")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    # keep `labels` persisted — the caller consumes it next; blocking=False
+    # unpersist here would race the downstream action
+    return labels.select(F.col("comp").alias("component"), "node")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_col: str = "id_a",
+    other_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster-level dedup decisions from a pair list: every clustered doc
+    mapped to its keeper (the component's min id) with the cluster size."""
+    cc = connected_components(pairs, id_col, other_col, max_iter)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("keep_id"),
+            "cluster_size",
+        )
+    )

@@ -97,10 +97,9 @@ def dedup_minhash_signatures(spark, sf_dir):
     return dedup.minhash_signatures(T(spark, sf_dir, "documents"), "doc_id", "text", k=8)
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+# shared CTE chain producing MinHash-LSH candidate pairs + shingle sets
+# (used by dedup_minhash_lsh and the connected-components oracle)
+_LSH_CTES = f"""toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
         shs AS (SELECT doc_id, ({_SHINGLES}) AS sh FROM toks),
         sigs AS (
             SELECT doc_id, {", ".join(_mh_sql(i) for i in range(8))} FROM shs
@@ -119,15 +118,21 @@ def dedup_minhash_signatures(spark, sf_dir):
             FROM exploded a JOIN exploded b
               ON a.band_key = b.band_key AND a.doc_id < b.doc_id
         ),
-        ssets AS (SELECT doc_id, list_distinct(sh) AS s FROM shs)
-        SELECT c.id_a, c.id_b,
-               CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-                   / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        ssets AS (SELECT doc_id, list_distinct(sh) AS s FROM shs)"""
+
+_JAC = """CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.s, y.s)))"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH {_LSH_CTES}
+        SELECT c.id_a, c.id_b, {_JAC} AS jaccard
         FROM cand c
         JOIN ssets x ON x.doc_id = c.id_a
         JOIN ssets y ON y.doc_id = c.id_b
-        WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-                  / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+        WHERE {_JAC} >= 0.5
     """,
     tags=("dedup", "minhash", "lsh"),
 )
@@ -135,6 +140,55 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         T(spark, sf_dir, "documents"), "doc_id", "text", k=8, bands=2, threshold=0.5
     )
+
+
+@register(
+    "dedup_cluster_components",
+    # transitive closure of the LSH pair list: the oracle walks the edge
+    # relation with a recursive CTE (min reachable id == component id),
+    # the Spark side iterates distributed min-label propagation
+    oracle=f"""
+        WITH RECURSIVE {_LSH_CTES},
+        pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        walk AS (
+            SELECT u AS node, u AS reach FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON e.u = w.reach
+        ),
+        comp AS (SELECT node, min(reach) AS keep_id FROM walk GROUP BY node)
+        SELECT c.node AS doc_id, c.keep_id, s.cluster_size
+        FROM comp c
+        JOIN (SELECT keep_id, count(*) AS cluster_size FROM comp GROUP BY keep_id) s
+          USING (keep_id)
+    """,
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_cluster_components(spark, sf_dir):
+    """Duplicate-CLUSTER resolution (operators/graph.py): LSH pairs are only
+    edges — the keep/drop decision needs connected components.  Iterative
+    min-label propagation; every round is a distributed join + partial/final
+    min, only the convergence check is driver-side."""
+    from kwack_spark.operators import graph
+
+    pairs = dedup.minhash_lsh_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", k=8, bands=2, threshold=0.5
+    ).select("id_a", "id_b")
+    # the iteration rounds run INSIDE this function (convergence counts);
+    # a candidate-pair graph is orders of magnitude smaller than the corpus,
+    # so pin a small shuffle width for the rounds and restore after
+    with _few_shuffle_partitions(spark):
+        return graph.dedup_clusters(pairs)
 
 
 def _simhash_sql(bits: int = 16) -> str:

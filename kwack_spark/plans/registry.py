@@ -69,6 +69,7 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh",
+    "dedup_cluster_components",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
