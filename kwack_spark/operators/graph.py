@@ -15,9 +15,12 @@ large-star/small-star variant (same join primitives, O(log n) rounds).
 
 Scale shape per round: one shuffle join (labels x edges, both partitioned on
 the join key) + one groupBy-min with partial aggregation.  Labels are
-persisted per round and the previous round unpersisted, so lineage stays
-O(1) deep instead of growing with iterations (no exploding plan / stack at
-round 20).
+localCheckpoint()ed per round: persistence alone is NOT enough for iterative
+DataFrames — each round references the previous labels twice (neighbor join
++ convergence check), so the LOGICAL plan doubles per round and analysis
+itself goes exponential (OOMs near round 10 on a 10-node chain).  Eager
+localCheckpoint truncates lineage to a leaf, keeping every round's plan
+constant-size.
 """
 
 from __future__ import annotations
@@ -47,10 +50,8 @@ def connected_components(
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     nodes = sym.select(F.col("u").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("comp")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    labels.count()  # materialize before the loop
+    # eager localCheckpoint: materializes AND truncates lineage to a leaf
+    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
 
     for _ in range(max_iter):
         # neighbor labels: for each node, the min comp among its neighbors
@@ -68,7 +69,7 @@ def connected_components(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -77,14 +78,11 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
 
     sym.unpersist()
-    # keep `labels` persisted — the caller consumes it next; blocking=False
-    # unpersist here would race the downstream action
     return labels.select(F.col("comp").alias("component"), "node")
 
 
