@@ -29,6 +29,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_brute_force_topk",
+    "dedup_cluster_components",
+    "decontaminate_ngram_overlap",
+    "text_pii_redact",
     "text_quality",
     "asof_purchase_attribution",
     "window_tumbling_hourly",
