@@ -108,6 +108,7 @@ _PRIORITY = [
     "agg_minmax_by",
     "agg_stats_manual",
     "stat_corr_regression",
+    "median_quantiles",
     "group_by_all",
     "listagg_ordered",
     "count_distinct",
@@ -129,6 +130,7 @@ _PRIORITY = [
     "window_ranking",
     "window_offset",
     "window_frame_moving",
+    "window_range_interval",
     "distinct_on_latest",
     "sort_limit_offset",
     "set_ops",

@@ -1241,3 +1241,59 @@ def stat_corr_regression(spark, sf_dir):
             9,
         ).alias("corr_xy"),
     )
+
+
+@register(
+    "median_quantiles",
+    # exact interpolated quantiles over an integer column: both engines use
+    # the (n-1)*q convention and interpolate between two ints, so the double
+    # result is bit-exact
+    oracle="""
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n,
+               median(p_size) AS med_size,
+               quantile_cont(p_size, 0.25) AS q25,
+               quantile_cont(p_size, 0.75) AS q75
+        FROM part
+        GROUP BY p_brand
+    """,
+    tags=("agg", "quantile"),
+)
+def median_quantiles(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.median("p_size").alias("med_size"),
+        F.percentile("p_size", F.lit(0.25)).alias("q25"),
+        F.percentile("p_size", F.lit(0.75)).alias("q75"),
+    )
+
+
+@register(
+    "window_range_interval",
+    # event-time RANGE frame: events per user in the preceding hour,
+    # expressed on epoch seconds so the frame bound is engine-portable
+    oracle="""
+        SELECT event_id, user_id, ts,
+               count(*) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch(ts)
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+               ) AS n_last_hour
+        FROM events
+    """,
+    tags=("window", "range-frame"),
+)
+def window_range_interval(spark, sf_dir):
+    """RANGE frame over event time (the 'events in the trailing hour'
+    analytic) — a value-based frame on epoch seconds, identical on both
+    engines; the Spark window shuffles once on user_id."""
+    e = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", "ts", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
