@@ -824,6 +824,62 @@ def asof_purchase_attribution(spark, sf_dir):
 
 
 @register(
+    "asof_forward_next_purchase",
+    # forward as-of: earliest purchase at-or-after each view, per user —
+    # DuckDB's ASOF with <= vs our union-merge forward window
+    oracle="""
+        WITH purchases AS (
+            SELECT user_id, ts, event_id FROM (
+                SELECT user_id, ts, event_id,
+                       row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+                FROM events WHERE event_type = 'purchase'
+            ) WHERE rn = 1
+        ),
+        views AS (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+        )
+        SELECT v.user_id AS user_id, v.ts AS view_ts, v.event_id AS view_id,
+               p.event_id AS next_purchase_id, p.ts AS next_purchase_ts
+        FROM views v
+        ASOF LEFT JOIN purchases p ON v.user_id = p.user_id AND v.ts <= p.ts
+    """,
+    tags=("asof", "join", "forward"),
+)
+def asof_forward_next_purchase(spark, sf_dir):
+    """Forward as-of (operators/asof.py:asof_join_forward): same
+    single-shuffle union-merge plan as the backward variant, window looking
+    at following rows.  Purchases deduped per (user, ts) by min event_id so
+    tie-handling is deterministic on both engines."""
+    e = T(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id")
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    out = asof.asof_join_forward(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_vals=["event_id", "ts"],
+        left_vals=["event_id"],
+    )
+    return out.select(
+        F.col("k").alias("user_id"),
+        F.col("t").alias("view_ts"),
+        F.col("l_event_id").alias("view_id"),
+        F.col("r_event_id").alias("next_purchase_id"),
+        F.col("r_ts").alias("next_purchase_ts"),
+    )
+
+
+@register(
     "window_tumbling_hourly",
     oracle=f"""
         SELECT event_type,

@@ -90,6 +90,7 @@ _PRIORITY = [
     "decontaminate_ngram_overlap",
     "doc_fingerprints",
     "asof_purchase_attribution",
+    "asof_forward_next_purchase",
     "window_tumbling_hourly",
     "session_windows",
     "streaming_window_counts",

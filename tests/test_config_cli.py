@@ -209,3 +209,26 @@ def test_engine_repl_scripted(spark, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "| 5" in out.replace(" ", "|").replace("||", "|") or "5" in out
     assert "error:" in out
+
+
+def test_cli_end_to_end_json_lines():
+    """The one-shot CLI surface (A11/A12/A14 together): `-q` prints one JSON
+    object per row, exit code 0 — the reference's KwackMain.java:157-164
+    behavior, run as a real subprocess."""
+    import json as _json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "kwack_spark.cli",
+            "--parquet-dir", "/root/testdata/sf0.001",
+            "-q", "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+        ],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = [_json.loads(line) for line in proc.stdout.strip().splitlines() if line.startswith("{")]
+    assert len(rows) == 5
+    assert rows[0]["r_regionkey"] == 0 and "r_name" in rows[0]
