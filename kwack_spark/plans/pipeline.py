@@ -1191,6 +1191,42 @@ def multimodal_byte_features(spark, sf_dir):
 
 
 @register(
+    "dedup_incremental_new_docs",
+    # incremental curation: an arriving batch (hash-split 20%) is admitted
+    # only if its content fingerprint is unseen in the historical 80% — a
+    # broadcast/shuffle anti-join on md5, the shape of a daily ingest dedup
+    oracle="""
+        WITH hist AS (
+            SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS fp
+            FROM documents
+            WHERE substr(md5('inc:' || doc_id::VARCHAR), 1, 4) >= '3334'
+        ),
+        batch AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS fp
+            FROM documents
+            WHERE substr(md5('inc:' || doc_id::VARCHAR), 1, 4) < '3334'
+        )
+        SELECT b.doc_id, b.fp
+        FROM batch b ANTI JOIN hist h ON b.fp = h.fp
+    """,
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental_new_docs(spark, sf_dir):
+    """Incremental exact dedup (the daily-batch shape): anti-join the new
+    batch's content fingerprints against the historical fingerprint set.
+    At 100 TB the historical side is a bucketed fingerprint table so the
+    anti-join co-locates; here both sides derive from one scan and the
+    20% batch split is the deterministic hash sample."""
+    d = T(spark, sf_dir, "documents")
+    fp = F.md5(TX.normalize("text")).alias("fp")
+    split = F.substring(F.md5(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))), 1, 4)
+    hist = d.filter(split >= "3334").select(fp).distinct()
+    batch = d.filter(split < "3334").select("doc_id", fp)
+    return batch.join(hist, "fp", "left_anti").select("doc_id", "fp")
+
+
+@register(
     "sample_hash_10pct",
     # hash-threshold sampling: keep iff md5('smp:' || key) 4-hex prefix <
     # cutoff — reproducible across retries/cluster layouts, unlike .sample().

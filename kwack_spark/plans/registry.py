@@ -86,6 +86,7 @@ _PRIORITY = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_incremental_new_docs",
     "sample_hash_10pct",
     "sample_stratified_by_lang",
     "split_train_val_test",
