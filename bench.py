@@ -33,6 +33,8 @@ HEADLINE = [
     "decontaminate_ngram_overlap",
     "text_pii_redact",
     "text_quality",
+    "chunk_documents",
+    "token_budget_pack",
     "asof_purchase_attribution",
     "window_tumbling_hourly",
     "session_windows",

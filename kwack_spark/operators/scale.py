@@ -15,6 +15,9 @@ The levers for the shuffles that remain after Catalyst has done its part:
   aggregate on (key, salt) — spreading the hot key over many tasks — then
   final aggregate on key.  Only valid for decomposable aggregates
   (sum/count/min/max), which is enforced by taking (partial, final) pairs.
+- ``global_running_sum``: total-order cumulative sum without the
+  single-partition ``Window.orderBy`` anti-pattern — range-partition on the
+  order, partition-local window, then add broadcast per-partition offsets.
 """
 
 from __future__ import annotations
@@ -74,6 +77,59 @@ def salted_join(
     )
     out = l.join(r, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Cumulative sum of ``value_col`` over the TOTAL order ``order_cols``,
+    computed in parallel.
+
+    A ``Window.orderBy`` with no partition keys funnels the whole dataset
+    through ONE task — the classic scale-killer.  Instead: range-partition
+    on the order (partition i holds strictly earlier rows than partition
+    i+1), run the window per partition in parallel, aggregate one total per
+    partition (num_partitions rows), prefix-sum those on the tiny side, and
+    broadcast-join the offsets back.  Two full passes over the data — the
+    minimum any distributed prefix sum needs — both fully parallel.
+
+    ``order_cols`` must define a total order (include a unique tiebreaker):
+    range partitioning may split equal keys across a partition boundary,
+    which would make the local-cumsum + offset decomposition ambiguous.
+
+    The range-partitioned intermediate feeds two subtrees (local windows
+    and per-partition totals), so it is persisted — without it the source
+    is scanned and range-shuffled twice.
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("__local", F.sum(value_col).over(w_local))
+    totals = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    # offsets: prefix-sum over <= num_partitions rows — trivially small
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__local") + F.col("__off")).cast("long"))
+        .drop("__pid", "__local", "__off")
+    )
 
 
 def salted_agg(

@@ -319,3 +319,104 @@ def explode_word_counts(spark, sf_dir):
         .orderBy(F.desc("n"), "tok")
         .limit(20)
     )
+
+
+@register(
+    "conditional_funcs",
+    oracle="""
+        SELECT c_custkey,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+               greatest(c_acctbal, 0.0) AS bal_floor,
+               least(CAST(c_custkey AS BIGINT), 1000) AS capped,
+               CASE WHEN c_acctbal < 0 THEN 'neg'
+                    WHEN c_acctbal = 0 THEN 'zero'
+                    ELSE 'pos' END AS bal_sign,
+               c_acctbal / nullif(c_custkey % 5, 0) AS safe_div,
+               ifnull(nullif(c_mktsegment, c_mktsegment), 'was_null') AS always_filled
+        FROM customer
+    """,
+    tags=("functions", "conditional"),
+)
+def conditional_funcs(spark, sf_dir):
+    """Null-handling / conditional family: coalesce, nullif, greatest,
+    least, CASE, division guarded by nullif (both engines agree NULL / x
+    and x / NULL are NULL; x / 0 is an error neither side evaluates)."""
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor"),
+        F.least(F.col("c_custkey"), F.lit(1000).cast("long")).alias("capped"),
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") == 0, "zero")
+        .otherwise("pos")
+        .alias("bal_sign"),
+        (F.col("c_acctbal") / F.nullif(F.col("c_custkey") % 5, F.lit(0))).alias(
+            "safe_div"
+        ),
+        F.ifnull(F.nullif("c_mktsegment", F.col("c_mktsegment")), F.lit("was_null")).alias(
+            "always_filled"
+        ),
+    )
+
+
+@register(
+    "bitwise_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey & 255 AS and_low,
+               o_orderkey | 4096 AS or_bit,
+               xor(o_orderkey, 1023) AS xor_mask,
+               o_orderkey << 3 AS shl3,
+               o_orderkey >> 2 AS shr2,
+               ~o_orderkey AS inv,
+               bit_count(o_orderkey) AS popcount
+        FROM orders
+    """,
+    tags=("functions", "bitwise"),
+)
+def bitwise_funcs(spark, sf_dir):
+    """Bitwise family over BIGINT keys: and/or/xor, shifts, complement,
+    popcount — all JVM-side integer ops, bit-identical across engines."""
+    o = T(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("and_low"),
+        k.bitwiseOR(F.lit(4096)).alias("or_bit"),
+        k.bitwiseXOR(F.lit(1023)).alias("xor_mask"),
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        F.bitwise_not(k).alias("inv"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+@register(
+    "regexp_funcs",
+    oracle="""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-z]+')) AS n_word_matches,
+               regexp_extract(text, '([a-z]+)', 1) AS first_word,
+               regexp_replace(text, ' +', '_', 'g') AS underscored,
+               regexp_matches(text, 'spark') AS has_spark
+        FROM documents
+    """,
+    tags=("functions", "regexp"),
+)
+def regexp_funcs(spark, sf_dir):
+    """Regex family: extract-all (counted — array outputs don't hash in the
+    driver), first-match extract, global replace (Spark replaces all by
+    default; DuckDB needs the 'g' flag), boolean match."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias(
+            "n_word_matches"
+        ),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("text", " +", "_").alias("underscored"),
+        F.col("text").rlike("spark").alias("has_spark"),
+    )

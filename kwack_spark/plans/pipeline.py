@@ -1363,3 +1363,119 @@ def curation_pipeline(spark, sf_dir):
     return sampling.split_hash(
         sampled, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split"
     )
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        d AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
+        s AS (
+            SELECT doc_id, tk,
+                   unnest(generate_series(0, len(tk) - 1, 24)) AS start
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(start // 24 AS INTEGER) AS chunk_id,
+               array_to_string(tk[start + 1 : start + 32], ' ') AS chunk_text,
+               len(tk[start + 1 : start + 32]) AS n_chunk_tokens
+        FROM s
+    """,
+    tags=("pipeline", "chunking"),
+)
+def chunk_documents(spark, sf_dir):
+    """Fixed-window document chunking for training-data prep: 32-token
+    chunks with stride 24 (8-token overlap).  Fully narrow — tokenize,
+    generate chunk starts with `sequence`, posexplode, slice — zero
+    shuffles, whole-stage codegen; at 100 TB this is embarrassingly
+    parallel per input split."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens("text").alias("tk")).where(F.size("tk") > 0)
+    s = toks.select(
+        "doc_id",
+        "tk",
+        F.posexplode(F.sequence(F.lit(0), F.size("tk") - 1, F.lit(24))).alias(
+            "chunk_id", "start"
+        ),
+    )
+    sl = F.slice("tk", F.col("start") + 1, F.lit(32))
+    return s.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(sl, " ").alias("chunk_text"),
+        F.size(sl).alias("n_chunk_tokens"),
+    )
+
+
+@register(
+    "token_budget_pack",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, n_chars, len({_toks()}) AS tok_count FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_chars, tok_count,
+                   CAST(SUM(tok_count) OVER (
+                        ORDER BY n_chars DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens
+            FROM t
+        )
+        SELECT doc_id, n_chars, tok_count, cum_tokens
+        FROM c WHERE cum_tokens <= 8000
+    """,
+    tags=("pipeline", "sampling"),
+)
+def token_budget_pack(spark, sf_dir):
+    """Greedy token-budget packing: rank documents by a priority order
+    (here n_chars DESC, doc_id as tiebreak), take documents until the
+    cumulative token count reaches the budget — how a training run fills a
+    fixed token budget from a scored corpus.
+
+    The cumulative sum uses operators/scale.py:global_running_sum — range
+    partition + parallel local windows + broadcast offsets — NOT the
+    single-partition `Window.orderBy` that would serialize 100 TB through
+    one task."""
+    from kwack_spark.operators import scale
+
+    d = T(spark, sf_dir, "documents")
+    t = d.select("doc_id", "n_chars", F.size(TX.tokens("text")).alias("tok_count"))
+    packed = scale.global_running_sum(
+        t,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        "tok_count",
+        "cum_tokens",
+    )
+    return packed.where(F.col("cum_tokens") <= 8000).select(
+        "doc_id", "n_chars", "tok_count", "cum_tokens"
+    )
+
+
+@register(
+    "source_cap_sample",
+    oracle="""
+        WITH r AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars DESC, doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars, rn FROM r WHERE rn <= 25
+    """,
+    tags=("pipeline", "sampling"),
+)
+def source_cap_sample(spark, sf_dir):
+    """Per-source document cap (CommonCrawl-style curation: no domain may
+    contribute more than K documents, keeping the longest first).  One
+    shuffle on `source`; skewed hot domains are exactly what AQE skew-join
+    splitting and the two-phase top-k in operators/scale.py address at
+    100 TB."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 25)
+    )

@@ -91,6 +91,9 @@ _PRIORITY = [
     "sample_stratified_by_lang",
     "split_train_val_test",
     "curation_pipeline",
+    "chunk_documents",
+    "token_budget_pack",
+    "source_cap_sample",
     "ann_brute_force_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
@@ -146,6 +149,7 @@ _PRIORITY = [
     "window_offset",
     "window_frame_moving",
     "window_range_interval",
+    "ntile_window_stats",
     "distinct_on_latest",
     "sort_limit_offset",
     "set_ops",
@@ -173,6 +177,9 @@ _PRIORITY = [
     "struct_funcs",
     "json_funcs",
     "variant_json_funcs",
+    "conditional_funcs",
+    "bitwise_funcs",
+    "regexp_funcs",
     "explode_word_counts",
 ]
 

@@ -1297,3 +1297,32 @@ def window_range_interval(spark, sf_dir):
     return e.select(
         "event_id", "user_id", "ts", F.count(F.lit(1)).over(w).alias("n_last_hour")
     )
+
+@register(
+    "ntile_window_stats",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               ntile(4) OVER w AS quartile,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window",),
+)
+def ntile_window_stats(spark, sf_dir):
+    """Distribution window family: ntile / percent_rank / cume_dist.  The
+    unique (o_totalprice, o_orderkey) ordering makes all three
+    deterministic; percent_rank's (rank-1)/(n-1) division is a single IEEE
+    op, bit-identical across engines.  One shuffle on the partition key."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+

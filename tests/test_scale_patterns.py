@@ -63,3 +63,46 @@ def test_salted_agg_equivalence(spark):
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_global_running_sum_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+
+    o = load_table(spark, SF, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("v")
+    )
+    out = scale.global_running_sum(
+        o, [F.col("o_orderkey").asc()], "v", "cum", num_partitions=7
+    )
+    w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, 0)
+    ref = o.withColumn("cum", F.sum("v").over(w))
+    assert sorted(map(tuple, out.select("o_orderkey", "cum").collect())) == sorted(
+        map(tuple, ref.select("o_orderkey", "cum").collect())
+    )
+
+
+def test_global_running_sum_descending_order(spark):
+    o = load_table(spark, SF, "orders").select(
+        "o_orderkey", F.lit(1).alias("one")
+    )
+    out = scale.global_running_sum(
+        o, [F.col("o_orderkey").desc()], "one", "rn", num_partitions=5
+    )
+    n = o.count()
+    # cumsum of 1 over a total order == dense descending rank 1..n
+    got = {r["o_orderkey"]: r["rn"] for r in out.collect()}
+    keys_desc = sorted(got, reverse=True)
+    assert [got[k] for k in keys_desc] == list(range(1, n + 1))
+
+
+def test_global_running_sum_is_parallel_not_single_partition(spark):
+    """The point of the operator: no single-partition Exchange for the data
+    window (the offsets side may have one, over <= num_partitions rows)."""
+    o = load_table(spark, SF, "orders").select("o_orderkey", F.col("o_custkey").alias("v"))
+    out = scale.global_running_sum(o, [F.col("o_orderkey").asc()], "v", "cum", 8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the big-side window must partition by __pid, never SinglePartition
+    import re
+    windows = [l for l in plan.splitlines() if "Window" in l and "__local" in l]
+    assert windows, plan
+    assert all("__pid" in l for l in windows), plan

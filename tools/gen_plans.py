@@ -11,6 +11,7 @@ Usage: python tools/gen_plans.py [sf_dir]
 
 from __future__ import annotations
 
+import re
 import sys
 from pathlib import Path
 
@@ -67,6 +68,15 @@ _NOTES = """
   correctness gate is the batch GROUP BY oracle.
 - **lateral_top_orders**: Catalyst decorrelates the LATERAL subquery into
   a window-ranked join — no per-row re-execution.
+- **token_budget_pack**: a GLOBAL cumulative sum with no single-partition
+  window over the data — range partition on the priority order, parallel
+  per-partition windows, broadcast per-partition offsets
+  (operators/scale.py:global_running_sum).  The only SinglePartition
+  exchange in its plan carries <= num_partitions offset rows.  The ranged
+  intermediate is persisted (it feeds both the window and the totals
+  subtree).
+- **chunk_documents**: tokenize -> sequence of chunk starts -> posexplode
+  -> slice; fully narrow, zero shuffles — per-split parallel at any scale.
 """
 
 
@@ -83,10 +93,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         df = fn(spark, sf_dir)
         df.collect()  # materialize so AQE settles on the final plan
         plan = df._jdf.queryExecution().executedPlan().toString()
-        shuf = (
-            plan.count("Exchange hashpartitioning")
-            + plan.count("Exchange rangepartitioning")
-            + plan.count("Exchange SinglePartition")
+        # count DISTINCT exchange operators: a persisted subtree's plan is
+        # printed once per consumer, which would double-count its exchanges
+        shuf = len(
+            set(
+                re.findall(
+                    r"Exchange (?:hash|range)partitioning.*?\[plan_id=(\d+)\]"
+                    r"|Exchange SinglePartition.*?\[plan_id=(\d+)\]",
+                    plan,
+                )
+            )
         )
         bcast = plan.count("BroadcastExchange")
         py = plan.count("InPandas") + plan.count("ArrowEvalPython")
