@@ -291,3 +291,46 @@ def test_latest_resolves_json_and_proto_from_registry(spark):
         Serde(kind="id", schema_id=sid), registry=reg, row_attributes=("off",),
     )
     assert out.collect()[0].x == 9
+
+
+def test_null_key_with_rowkey_enabled(spark):
+    """Null KEY with a schema'd key serde: the row is retained, rowkey is
+    NULL, value decodes normally (AvroKeyTest.java:196-209 testNullKey)."""
+    reg = MockSchemaRegistry()
+    key_schema = {
+        "type": "record",
+        "name": "K",
+        "fields": [{"name": "kid", "type": "int"}],
+    }
+    reg.register("t1-key", json.dumps(key_schema), "AVRO")
+    vsid = reg.register("t1-value", json.dumps(AVRO_SIMPLE), "AVRO")
+    vals = [ks.confluent_frame(avro_schema.encode({"f1": 9, "f2": "hi"}, AVRO_SIMPLE), vsid)]
+    out = ks.decode_topic(
+        make_frames(spark, vals, keys=[None]),
+        "t1",
+        Serde(kind="latest"),
+        key_serde=Serde(kind="latest"),
+        registry=reg,
+    )
+    row = out.collect()[0]
+    assert row.rowkey is None
+    assert row.f1 == 9 and row.f2 == "hi"
+
+
+def test_null_key_and_value_non_struct_table(spark):
+    """Null key AND null value on a NON-struct (binary rowval) table: the
+    row is retained with NULLs — tombstone-skip applies only to
+    struct-flattened tables (AvroKeyTest.java:245-259 testNullKeyAndValue,
+    where the never-written value subject resolves non-struct;
+    KwackEngine.java:820-823)."""
+    out = ks.decode_topic(
+        make_frames(spark, [None], keys=[None]),
+        "t1",
+        Serde(kind="binary"),
+        key_serde=Serde(kind="binary"),
+        registry=None,
+    )
+    row = out.collect()[0]
+    assert row.rowkey is None
+    assert row.rowval is None
+    assert row.rowinfo.off == 0
