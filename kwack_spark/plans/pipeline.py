@@ -463,6 +463,61 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "text_token_rarity",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_toks()}) AS tok FROM documents
+        ),
+        vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_cnt FROM vocab),
+        scored AS (
+            SELECT t.doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(v.cnt) AS BIGINT) AS sum_cnt
+            FROM tok t JOIN vocab v USING (tok)
+            GROUP BY t.doc_id
+        )
+        SELECT s.doc_id, s.n_tokens,
+               CAST(s.sum_cnt AS DOUBLE) / s.n_tokens AS mean_tok_count,
+               CAST(s.sum_cnt AS DOUBLE) / (CAST(s.n_tokens AS DOUBLE) * x.total_cnt)
+                   AS commonness
+        FROM scored s CROSS JOIN total x
+    """,
+    tags=("text", "quality"),
+)
+def text_token_rarity(spark, sf_dir):
+    """Corpus-frequency rarity score per document — the structure of a
+    CCNet-style LM-perplexity quality filter with the log-prob kernel
+    replaced by an exact frequency ratio (a real deployment swaps in a
+    KenLM/logprob Pandas UDF at the `vocab` join; logs are not
+    oracle-exact across engines, ratios of integers are).
+
+    Shape at scale: one shuffle builds the vocab (natural-language vocab is
+    ~millions of rows even at 100 TB — broadcastable), token-level scoring
+    is a broadcast-hash join, per-doc rollup shuffles on doc_id with
+    partial aggregation.  All integer arithmetic until two final IEEE
+    divisions."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total_cnt"))
+    scored = (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("cnt").alias("sum_cnt"))
+    )
+    return scored.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("sum_cnt").cast("double") / F.col("n_tokens")).alias("mean_tok_count"),
+        (
+            F.col("sum_cnt").cast("double")
+            / (F.col("n_tokens").cast("double") * F.col("total_cnt"))
+        ).alias("commonness"),
+    )
+
+
+@register(
     "text_token_stats",
     oracle=f"""
         WITH toks AS (SELECT doc_id, n_chars, {_toks()} AS tk FROM documents)

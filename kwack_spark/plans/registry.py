@@ -99,6 +99,7 @@ _PRIORITY = [
     "ann_ivf_topk",
     "embedding_quantize_int8",
     "text_token_stats",
+    "text_token_rarity",
     "text_token_count_bpe",
     "text_quality",
     "text_lang_id",

@@ -232,3 +232,24 @@ def test_cli_end_to_end_json_lines():
     rows = [_json.loads(line) for line in proc.stdout.strip().splitlines() if line.startswith("{")]
     assert len(rows) == 5
     assert rows[0]["r_regionkey"] == 0 and "r_name" in rows[0]
+
+
+def test_engine_explain_and_pragma(spark):
+    """EXPLAIN (and SET-style pragmas) pass straight through to Spark SQL —
+    the reference delegates them to DuckDB the same way (SURVEY §2.B
+    'EXPLAIN / pragmas', KwackEngine.java:226-257 one-shot path)."""
+    from kwack_spark.engine import KwackSpark
+
+    eng = KwackSpark(KwackConfig(parquet_dir="/root/testdata/sf0.001"), spark=spark).init()
+    plan_rows = eng.sql(
+        "EXPLAIN SELECT r_regionkey FROM region WHERE r_regionkey > 1"
+    ).collect()
+    plan_text = "\n".join(r[0] for r in plan_rows)
+    assert "Physical Plan" in plan_text
+    # formatted mode works too
+    fmt = eng.sql("EXPLAIN FORMATTED SELECT count(*) FROM region").collect()[0][0]
+    assert "Scan" in fmt
+    # a runtime pragma round-trips through SET
+    eng.sql("SET spark.sql.shuffle.partitions=17")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "17"
+    eng.sql("SET spark.sql.shuffle.partitions=8")
