@@ -53,6 +53,7 @@ class KwackSpark:
         self.spark = spark or get_session(extra_conf=self.config.spark_conf)
         self.registry = registry or open_registry(self.config.registry_url)
         self._initialized = False
+        self._live_queries: dict[str, object] = {}
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -103,6 +104,44 @@ class KwackSpark:
         path = os.path.join(self.config.warehouse_dir, name)
         df.write.mode("overwrite").parquet(path)
         self.spark.read.parquet(path).createOrReplaceTempView(name)
+
+    def register_live_topic(
+        self,
+        topic: str,
+        value_serde=None,
+        key_serde=None,
+        frames_dir: str | None = None,
+    ):
+        """Live-table mode: the reference keeps consuming in a background
+        thread after init(), so an interactive session sees late records on
+        re-query (SURVEY §1.1, KwackEngine.java:745-774 + background
+        kcache thread).  Spark twin: a continuous Structured Streaming
+        query maintains table ``<topic>`` through the SAME decode path as
+        batch ingest — from readStream Kafka frames (production) or a
+        frames directory (tests/replay).  Returns the StreamingQuery;
+        callers sync with ``.processAllAvailable()`` and the engine stops
+        it on ``stop()``."""
+        from kwack_spark.config import Serde
+        from kwack_spark.sources.kafka import decode_topic
+        from kwack_spark.streaming import ingest as si
+
+        frames = (
+            si.stream_frames_from_dir(self.spark, frames_dir)
+            if frames_dir
+            else si.stream_topic_frames(self.spark, self.config.kafka_bootstrap, topic)
+        )
+        decoded = decode_topic(
+            frames,
+            topic,
+            value_serde or self.config.topic_serdes.get(topic, Serde(kind="binary")),
+            key_serde=key_serde,
+            registry=self.registry,
+            row_attributes=self.config.row_attributes,
+            skip_bytes=self.config.skip_bytes,
+        )
+        q = si.to_memory_sink(decoded, topic, continuous=True)
+        self._live_queries[topic] = q
+        return q
 
     # -- query surface -------------------------------------------------------
 
@@ -166,4 +205,10 @@ class KwackSpark:
                 print(f"error: {exc}")
 
     def stop(self) -> None:
+        for q in self._live_queries.values():
+            try:
+                q.stop()
+            except Exception:  # already terminated
+                pass
+        self._live_queries.clear()
         self.spark.stop()

@@ -182,15 +182,16 @@ def stateful_running_counts(
 
 
 def to_memory_sink(
-    df: DataFrame, name: str, output_mode: str = "append"
+    df: DataFrame, name: str, output_mode: str = "append", continuous: bool = False
 ) -> StreamingQuery:
-    """Run the stream to completion over all available input
-    (Trigger.AvailableNow) into an in-memory table — the engine's live-table
-    surface and the test harness."""
-    return (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    """Stream into an in-memory table — the engine's live-table surface and
+    the test harness.
+
+    ``continuous=False`` (default): Trigger.AvailableNow — drain the current
+    backlog and stop.  ``continuous=True``: keep the micro-batch loop running
+    so the table grows as records arrive (the engine's live mode; callers
+    synchronize with ``query.processAllAvailable()``)."""
+    w = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if not continuous:
+        w = w.trigger(availableNow=True)
+    return w.start()

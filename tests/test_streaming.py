@@ -184,3 +184,48 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         map(tuple, joined(spark.read.parquet(p_dir), spark.read.parquet(c_dir)).collect())
     )
     assert got == batch and len(got) > 0
+
+
+def test_engine_live_topic_sees_late_rows(spark, tmp_path):
+    """The engine's live-table mode: re-query sees records that arrive
+    AFTER registration — the reference's background-consumption semantics
+    (KwackEngine.java:745-774; interactive session sees late rows on
+    re-query, SURVEY §1.1)."""
+    from kwack_spark.engine import KwackSpark
+    from kwack_spark.config import KwackConfig
+
+    path = str(tmp_path / "frames")
+    reg = MockSchemaRegistry()
+    sid = reg.register("live_evs-value", json.dumps(AVRO), "AVRO")
+
+    def batch(start, n, sub):
+        rows = []
+        for i in range(start, start + n):
+            payload = ks.confluent_frame(
+                avro_schema.encode({"uid": i, "val": float(i)}, AVRO), sid
+            )
+            rows.append(
+                (None, payload, "live_evs", 0, i,
+                 TS0 + datetime.timedelta(seconds=i), 0, None)
+            )
+        spark.createDataFrame(rows, ks.KAFKA_FRAME_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/{sub}")
+
+    batch(0, 5, "b1")
+    eng = KwackSpark(KwackConfig(), spark=spark, registry=reg)
+    q = eng.register_live_topic(
+        "live_evs", value_serde=Serde(kind="latest"), frames_dir=f"{path}/*"
+    )
+    try:
+        q.processAllAvailable()
+        assert eng.sql("SELECT count(*) AS n FROM live_evs").collect()[0].n == 5
+
+        batch(5, 3, "b2")  # late arrivals after registration
+        q.processAllAvailable()
+        got = eng.sql(
+            "SELECT count(*) AS n, max(uid) AS mx FROM live_evs"
+        ).collect()[0]
+        assert got.n == 8 and got.mx == 7
+    finally:
+        q.stop()
