@@ -825,6 +825,49 @@ def decontaminate_ngram_overlap(spark, sf_dir):
 
 
 @register(
+    "range_join_clicks_before_purchase",
+    oracle="""
+        SELECT p.user_id AS user_id,
+               p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+        FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000
+    """,
+    tags=("join", "range"),
+)
+def range_join_clicks_before_purchase(spark, sf_dir):
+    """Range (band) join: every (purchase, click) pair of the same user
+    where the click precedes the purchase by at most 30 minutes — the
+    bounded-interval twin of as-of's latest-only semantics.  Runs as a pure
+    equi join on (user_id, time-bucket) via operators/rangejoin.py — one
+    shuffle per side, no nested loop, <= 2 bucket probes per purchase."""
+    from kwack_spark.operators.rangejoin import band_join
+
+    e = T(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    out = band_join(p, c, ["user_id"], "p_us", "c_us", 0, 1_800_000_000)
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        (F.col("p_us") - F.col("c_us")).alias("delta_us"),
+    )
+
+
+
+@register(
     "asof_purchase_attribution",
     oracle="""
         WITH clicks AS (

@@ -109,6 +109,7 @@ _PRIORITY = [
     "doc_fingerprints",
     "asof_purchase_attribution",
     "asof_forward_next_purchase",
+    "range_join_clicks_before_purchase",
     "window_tumbling_hourly",
     "session_windows",
     "streaming_window_counts",

@@ -3,6 +3,9 @@ inclusivity, no-match nulls, multi-key isolation — the semantics DuckDB's
 native ASOF JOIN defines (the registered query cross-checks against it; these
 pin the edges directly)."""
 
+import pytest
+from pyspark.sql import functions as F
+
 from kwack_spark.operators.asof import asof_join_backward, asof_join_forward
 
 
@@ -58,3 +61,35 @@ def test_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1  # the union-merge shuffle
     assert "Join" not in plan  # no join operator at all
+
+
+def test_band_join_equals_theta_join_with_boundaries(spark):
+    """band_join == naive theta join, including deltas exactly at the
+    bounds and pairs straddling bucket boundaries."""
+    from kwack_spark.operators.rangejoin import band_join
+
+    left = spark.createDataFrame(
+        [(1, 0), (1, 100), (1, 1000), (2, 500), (2, 1999), (3, 42)],
+        "k int, lts long",
+    )
+    right = spark.createDataFrame(
+        # deltas vs left include: exact lower bound (0), exact upper bound
+        # (900), just outside (901), negative, and cross-bucket pairs
+        [(1, 0), (1, 100), (1, 901), (1, 99), (2, 1099), (2, 1998), (3, 950)],
+        "k int, rts long",
+    )
+    got = band_join(left, right, ["k"], "lts", "rts", 0, 900)
+    naive = left.join(right, "k").where(
+        (F.col("lts") - F.col("rts") >= 0) & (F.col("lts") - F.col("rts") <= 900)
+    )
+    key = lambda r: (r["k"], r["lts"], r["rts"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, naive.collect()))
+    assert got.count() > 0
+
+
+def test_band_join_rejects_outer(spark):
+    from kwack_spark.operators.rangejoin import band_join
+
+    df = spark.createDataFrame([(1, 1)], "k int, t long")
+    with pytest.raises(ValueError, match="inner"):
+        band_join(df, df.withColumnRenamed("t", "t2"), ["k"], "t", "t2", 0, 10, how="left")
