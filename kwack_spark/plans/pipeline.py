@@ -1094,6 +1094,50 @@ def streaming_window_counts(spark, sf_dir):
 
 
 @register(
+    "streaming_stateful_running_counts",
+    # custom per-key state via applyInPandasWithState, driven across
+    # MULTIPLE micro-batches (maxFilesPerTrigger=1 over a 4-file replay) so
+    # state-store persistence is exercised; the final running total per key
+    # must equal the batch COUNT(*)
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "stateful"),
+)
+def streaming_stateful_running_counts(spark, sf_dir):
+    """SURVEY §2.C custom-stateful surface under the correctness gate: a
+    per-key running count kept in the state store (streaming/ingest.py:
+    stateful_running_counts), replayed over 4 micro-batches; the last
+    update per key (monotone max) equals the batch aggregate."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.streaming import ingest as si
+
+    e = T(spark, sf_dir, "events").select("event_id", "event_type")
+    replay_dir = tempfile.mkdtemp(prefix="kwack_state_replay_")
+    e.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    counts = si.stateful_running_counts(stream, "event_type")
+    sink = f"state_{uuid.uuid4().hex[:8]}"
+    with _few_shuffle_partitions(spark):
+        q = si.to_memory_sink(counts, sink, output_mode="update")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stateful stream did not finish in 300s")
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.max("n").alias("n"))
+    )
+
+
+@register(
     "streaming_dedup_keys",
     # streaming exact dedup must emit each key exactly once == batch DISTINCT
     oracle="""

@@ -113,6 +113,7 @@ _PRIORITY = [
     "window_tumbling_hourly",
     "session_windows",
     "streaming_window_counts",
+    "streaming_stateful_running_counts",
     "streaming_dedup_keys",
     "multimodal_binary_meta",
     "multimodal_fake_decode",
@@ -129,6 +130,7 @@ _PRIORITY = [
     "agg_stats_manual",
     "stat_corr_regression",
     "median_quantiles",
+    "histogram_event_values",
     "group_by_all",
     "listagg_ordered",
     "count_distinct",

@@ -1299,6 +1299,37 @@ def window_range_interval(spark, sf_dir):
     )
 
 @register(
+    "histogram_event_values",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(floor(value / 2.5) AS BIGINT) AS bucket FROM events
+            WHERE value IS NOT NULL
+        )
+        SELECT bucket,
+               CAST(bucket AS DOUBLE) * 2.5 AS lo,
+               CAST(bucket + 1 AS DOUBLE) * 2.5 AS hi,
+               count(*) AS n
+        FROM b GROUP BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def histogram_event_values(spark, sf_dir):
+    """Fixed-width value histogram — the analytics primitive behind every
+    distribution dashboard.  One partial+final aggregation on the bucket id
+    (bounded distinct values, so the final agg is tiny at any scale); the
+    bucket arithmetic is IEEE-exact on both engines (value/2.5 then floor,
+    bucket*2.5 products of small ints)."""
+    e = T(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = e.select(F.floor(F.col("value") / 2.5).cast("long").alias("bucket"))
+    return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).select(
+        "bucket",
+        (F.col("bucket") * 2.5).alias("lo"),
+        ((F.col("bucket") + 1) * 2.5).alias("hi"),
+        "n",
+    )
+
+
+@register(
     "ntile_window_stats",
     oracle="""
         SELECT o_orderkey, o_orderpriority,
