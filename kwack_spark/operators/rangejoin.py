@@ -47,14 +47,25 @@ def band_join(
             "unmatched rows (and the band filter would drop their nulls)"
         )
     width = max(upper - lower, 1)
-    r = right.withColumn("__band_b", F.floor(F.col(right_ts) / F.lit(width)))
+
+    def floor_div(c):
+        # exact floor division in integer arithmetic: `/` on longs is IEEE
+        # double division, and for epoch-micros-sized operands a correctly
+        # rounded quotient can land one ulp past an integer boundary and
+        # misplace the bucket.  (c - pmod(c, w)) is an exact multiple of w
+        # (pmod is non-negative, so this is a true floor for either sign),
+        # and the remaining division is exact while |c| < 2^53 — epoch
+        # micros stay under that until year ~2255.
+        return ((c - F.pmod(c, F.lit(width))) / F.lit(width)).cast("long")
+
+    r = right.withColumn("__band_b", floor_div(F.col(right_ts)))
     l = left.withColumn(
         "__band_b",
         F.explode(
             F.array_distinct(
                 F.array(
-                    F.floor((F.col(left_ts) - F.lit(upper)) / F.lit(width)),
-                    F.floor((F.col(left_ts) - F.lit(lower)) / F.lit(width)),
+                    floor_div(F.col(left_ts) - F.lit(upper)),
+                    floor_div(F.col(left_ts) - F.lit(lower)),
                 )
             )
         ),

@@ -127,7 +127,7 @@ def global_running_sum(
     ).select("__pid", "__off")
     return (
         local.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, (F.col("__local") + F.col("__off")).cast("long"))
+        .withColumn(out_col, F.col("__local") + F.col("__off"))
         .drop("__pid", "__local", "__off")
     )
 

@@ -93,3 +93,27 @@ def test_band_join_rejects_outer(spark):
     df = spark.createDataFrame([(1, 1)], "k int, t long")
     with pytest.raises(ValueError, match="inner"):
         band_join(df, df.withColumnRenamed("t", "t2"), ["k"], "t", "t2", 0, 10, how="left")
+
+
+def test_band_join_epoch_micros_magnitude(spark):
+    """Bucket assignment stays exact at epoch-micros magnitude (~1.7e15),
+    where naive double-division floor can misplace boundary values."""
+    from kwack_spark.operators.rangejoin import band_join
+
+    base = 1_755_000_000_000_000  # ~2025 in epoch micros
+    band = 1_800_000_000  # 30 min
+    # right values at exact bucket boundaries and band edges around base
+    left = spark.createDataFrame(
+        [(1, base), (1, base + band), (1, base + 7 * band + 1)], "k int, lts long"
+    )
+    right = spark.createDataFrame(
+        [(1, base), (1, base - band), (1, base + 1), (1, base + band), (1, base + 6 * band + 1)],
+        "k int, rts long",
+    )
+    got = band_join(left, right, ["k"], "lts", "rts", 0, band)
+    naive = left.join(right, "k").where(
+        (F.col("lts") - F.col("rts") >= 0) & (F.col("lts") - F.col("rts") <= band)
+    )
+    key = lambda r: (r["k"], r["lts"], r["rts"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, naive.collect()))
+    assert got.count() >= 4
