@@ -762,6 +762,43 @@ def text_repetition_filter(spark, sf_dir):
 
 
 @register(
+    "cross_doc_repeated_ngrams",
+    # passage-repetition mining: 3-gram shingles appearing in >= 2 distinct
+    # documents, with how many and the first doc — the shingle-level signal
+    # behind exact-substring (suffix-array) training-data dedup
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s
+            FROM toks
+        )
+        SELECT s, CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS first_doc
+        FROM sh GROUP BY s HAVING count(*) >= 2
+    """,
+    tags=("dedup", "text"),
+)
+def cross_doc_repeated_ngrams(spark, sf_dir):
+    """Cross-document repeated-passage mining: which 3-gram shingles occur
+    in two or more documents, and where first.  One shuffle on the shingle
+    key with partial aggregation (map-side combine collapses within-doc
+    repeats via array_distinct before the explode); the HAVING filter
+    happens in the final aggregate, so only repeated shingles leave it.
+    At 100 TB this is the candidate-passage stage a suffix-array exact
+    dedup refines."""
+    d = T(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.shingles(TX.tokens("text"), 3))).alias("s"),
+    )
+    return (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@register(
     "decontaminate_ngram_overlap",
     # benchmark decontamination: corpus docs sharing >= 3 word-3-grams with
     # the benchmark suite (docs 0..19 stand in) are flagged

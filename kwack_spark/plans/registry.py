@@ -106,6 +106,7 @@ _PRIORITY = [
     "text_pii_redact",
     "text_repetition_filter",
     "decontaminate_ngram_overlap",
+    "cross_doc_repeated_ngrams",
     "doc_fingerprints",
     "asof_purchase_attribution",
     "asof_forward_next_purchase",
