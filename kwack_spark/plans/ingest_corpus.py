@@ -505,3 +505,80 @@ def kafka_primitive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         row_attributes=("rowkey", "par", "off"),
     )
     return decoded.select("rowkey", "rowval")
+
+
+# ---------------------------------------------------------------------------
+# two decoded topics joined in SQL (the reference's flagship README demo:
+# multiple -t topics -> multiple tables -> cross-topic join, README.md:112-117)
+# ---------------------------------------------------------------------------
+
+_NATION_J = {
+    "type": "record",
+    "name": "NationJ",
+    "fields": [
+        {"name": "n_nationkey", "type": "long"},
+        {"name": "n_name", "type": "string"},
+        {"name": "n_regionkey", "type": "long"},
+    ],
+}
+_REGION_J = {
+    "type": "record",
+    "name": "RegionJ",
+    "fields": [
+        {"name": "r_regionkey", "type": "long"},
+        {"name": "r_name", "type": "string"},
+    ],
+}
+
+
+@register(
+    "kafka_two_topic_join",
+    oracle="""
+        SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    tags=("ingest", "kafka", "join"),
+)
+def kafka_two_topic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two topics, two serdes, one SQL join — each topic is encoded to
+    Confluent-framed Avro, decoded through its own registry subject, and
+    the decoded tables join like any views (the 25-row region side
+    broadcasts; at scale the dimension topic is exactly this broadcast)."""
+    reg = MockSchemaRegistry()
+    nsid = reg.register("nat_j-value", json.dumps(_NATION_J), "AVRO")
+    rsid = reg.register("reg_j-value", json.dumps(_REGION_J), "AVRO")
+
+    def enc_nation(rec):
+        payload = avro_schema.encode(
+            {
+                "n_nationkey": int(rec.n_nationkey),
+                "n_name": rec.n_name,
+                "n_regionkey": int(rec.n_regionkey),
+            },
+            _NATION_J,
+        )
+        return None, ks.confluent_frame(payload, nsid)
+
+    def enc_region(rec):
+        payload = avro_schema.encode(
+            {"r_regionkey": int(rec.r_regionkey), "r_name": rec.r_name}, _REGION_J
+        )
+        return None, ks.confluent_frame(payload, rsid)
+
+    nation = ks.decode_topic(
+        _to_frames(T(spark, sf_dir, "nation"), enc_nation, "nat_j"),
+        "nat_j",
+        value_serde=Serde(kind="latest"),
+        registry=reg,
+        row_attributes=("off",),
+    )
+    region = ks.decode_topic(
+        _to_frames(T(spark, sf_dir, "region"), enc_region, "reg_j"),
+        "reg_j",
+        value_serde=Serde(kind="latest"),
+        registry=reg,
+        row_attributes=("off",),
+    )
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", F.col("r_name").alias("region_name"))

@@ -63,6 +63,7 @@ _PRIORITY = [
     "kafka_rawjson_roundtrip",
     "kafka_primitive_roundtrip",
     "kafka_avro_evolution",
+    "kafka_two_topic_join",
     "kafka_rowinfo_metadata",
     "kafka_tombstone_skip",
     # round-1 driver reds, fixed in round 2 — graded early so a bounded
