@@ -253,3 +253,24 @@ def test_engine_explain_and_pragma(spark):
     eng.sql("SET spark.sql.shuffle.partitions=17")
     assert spark.conf.get("spark.sql.shuffle.partitions") == "17"
     eng.sql("SET spark.sql.shuffle.partitions=8")
+
+
+def test_engine_copy_csv_and_json(spark, tmp_path):
+    """COPY ... TO round-trips in every supported format (the reference
+    README's parquet COPY, plus csv/json for pipeline handoff)."""
+    from kwack_spark.engine import KwackSpark
+
+    eng = KwackSpark(KwackConfig(parquet_dir="/root/testdata/sf0.001"), spark=spark).init()
+    csv_out = str(tmp_path / "r.csv")
+    eng.sql(f"COPY (SELECT r_regionkey, r_name FROM region) TO '{csv_out}' (FORMAT 'csv')")
+    back = spark.read.option("header", "true").csv(csv_out)
+    assert back.count() == 5 and set(back.columns) == {"r_regionkey", "r_name"}
+
+    json_out = str(tmp_path / "r.json")
+    eng.sql(f"COPY (SELECT r_regionkey FROM region) TO '{json_out}' (FORMAT 'json')")
+    assert spark.read.json(json_out).count() == 5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported COPY format"):
+        eng.copy_to("SELECT 1 AS x", str(tmp_path / "x.avro"), "avro")
