@@ -35,7 +35,9 @@ HEADLINE = [
     "text_quality",
     "chunk_documents",
     "token_budget_pack",
+    "text_token_rarity",
     "asof_purchase_attribution",
+    "range_join_clicks_before_purchase",
     "window_tumbling_hourly",
     "session_windows",
     "kafka_avro_roundtrip",

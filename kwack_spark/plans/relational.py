@@ -127,11 +127,13 @@ def filter_predicates(spark, sf_dir):
         SELECT l_returnflag, l_linestatus,
                {_dsum('l_quantity')} AS sum_qty,
                {_dsum('l_extendedprice')} AS sum_base_price,
-               {_dsum('''CAST(l_extendedprice AS DECIMAL(12,2))
-                         * (1 - CAST(l_discount AS DECIMAL(4,3)))''', 38, 5)} AS sum_disc_price,
-               {_dsum('''CAST(l_extendedprice AS DECIMAL(12,2))
+               CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l_discount AS DECIMAL(4,3))) AS DECIMAL(38,5))), 2)
+                    AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
                          * (1 - CAST(l_discount AS DECIMAL(4,3)))
-                         * (1 + CAST(l_tax AS DECIMAL(4,3)))''', 38, 8)} AS sum_charge,
+                         * (1 + CAST(l_tax AS DECIMAL(4,3))) AS DECIMAL(38,8))), 2)
+                    AS DOUBLE) AS sum_charge,
                {_davg('l_quantity')} AS avg_qty,
                {_davg('l_extendedprice')} AS avg_price,
                {_davg('l_discount', 18, 3)} AS avg_disc,
@@ -154,8 +156,13 @@ def q1_pricing_summary(spark, sf_dir):
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            # round the wide-scale sums to money scale BEFORE the double
+            # cast: an 18-digit unscaled decimal exceeds 2^53, where the
+            # two engines' decimal->double casts can disagree by 1 ulp
+            # (caught at sf0.1); at scale 2 the unscaled value fits and
+            # the cast is one identical IEEE division in both
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc", 18, 3),
@@ -1271,14 +1278,17 @@ def median_quantiles(spark, sf_dir):
 
 @register(
     "window_range_interval",
-    # event-time RANGE frame: events per user in the preceding hour,
-    # expressed on epoch seconds so the frame bound is engine-portable
+    # event-time RANGE frame: events per user in the preceding hour.
+    # The frame runs on exact epoch MICROS on both sides — DuckDB's
+    # epoch() keeps fractional seconds while Spark's unix_timestamp
+    # truncates, and that 1-second disagreement shows up once events are
+    # dense enough (caught at sf0.1)
     oracle="""
         SELECT event_id, user_id, ts,
                count(*) OVER (
                    PARTITION BY user_id
-                   ORDER BY epoch(ts)
-                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+                   ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
                ) AS n_last_hour
         FROM events
     """,
@@ -1286,13 +1296,13 @@ def median_quantiles(spark, sf_dir):
 )
 def window_range_interval(spark, sf_dir):
     """RANGE frame over event time (the 'events in the trailing hour'
-    analytic) — a value-based frame on epoch seconds, identical on both
-    engines; the Spark window shuffles once on user_id."""
+    analytic) — a value-based frame on exact epoch micros, identical on
+    both engines; the Spark window shuffles once on user_id."""
     e = T(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return e.select(
         "event_id", "user_id", "ts", F.count(F.lit(1)).over(w).alias("n_last_hour")
