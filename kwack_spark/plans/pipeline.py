@@ -214,21 +214,25 @@ def dedup_simhash(spark, sf_dir):
 
 @register(
     "dedup_ngram_jaccard",
-    # Band-blocked (see operators/dedup.py): candidates collide in a token-set
-    # MinHash band, never an attribute block — no ~n²/4 skewed self-join.
+    # Band-blocked (see operators/dedup.py): candidates collide in a
+    # *shingle*-set MinHash band ('t<g>:' seed family), never an attribute
+    # block or a token-set band — token-set MinHash degenerates to ~n²
+    # buckets on stopword-heavy corpora.
     oracle=f"""
-        WITH t AS (
-            SELECT doc_id, list_distinct({_toks()}) AS ts FROM documents
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        t AS (
+            SELECT doc_id, list_distinct(tk) AS ts,
+                   list_distinct(({_SHINGLES})) AS sh
+            FROM toks
         ),
         sigs AS (
-            SELECT doc_id, ts,
-                   {", ".join(f"list_min(list_transform(ts, x -> substr(md5('t:' || x), {(i % 4) * 8 + 1}, 8))) AS mh{i}" for i in range(4))}
+            SELECT doc_id,
+                   {", ".join(f"list_min(list_transform(sh, x -> substr(md5('t{i // 4}:' || x), {(i % 4) * 8 + 1}, 8))) AS mh{i}" for i in range(8))}
             FROM t
         ),
         exploded AS (
             SELECT doc_id,
-                   unnest(['0:' || md5(concat_ws('|', mh0, mh1)),
-                           '1:' || md5(concat_ws('|', mh2, mh3))]) AS band_key
+                   unnest([{", ".join(f"'{b}:' || md5(concat_ws('|', mh{b * 2}, mh{b * 2 + 1}))" for b in range(4))}]) AS band_key
             FROM sigs
         ),
         cand AS (
