@@ -75,6 +75,11 @@ def main() -> None:
     warm.groupBy("l_returnflag").agg(
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("s")
     ).write.mode("overwrite").format("noop").save()
+    # spin up the Python worker pool + Arrow serde once, so the per-query
+    # timing of Pandas-UDF operators measures the operator, not daemon start
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
     warmup_sec = time.perf_counter() - t_w
 
     timings: dict[str, float] = {}

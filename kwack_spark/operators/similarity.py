@@ -83,13 +83,14 @@ def brute_force_topk_vectorized(
     import numpy as np
     import pandas as pd
 
-    n_corpus = corpus.count()
-    if n_corpus > max_index_rows:
+    # one job: limit(cap+1) bounds the driver transfer even when the caller
+    # passes an oversized corpus, and len() then stands in for count()
+    rows = corpus.select(id_col, vec_col).limit(max_index_rows + 1).collect()
+    if len(rows) > max_index_rows:
         raise ValueError(
-            f"corpus has {n_corpus} rows > max_index_rows={max_index_rows}; "
+            f"corpus exceeds max_index_rows={max_index_rows}; "
             "use lsh_bucketed_pairs for corpora too large to broadcast"
         )
-    rows = corpus.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     m = np.array([list(r[1]) for r in rows], dtype=np.float64)
     m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
