@@ -142,38 +142,36 @@ def simhash_fingerprints(
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    threshold: float = 0.9,
-    k: int = 8,
-    bands: int = 4,
-    shingle_n: int = 3,
+def _shingle_band_base(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
 ) -> DataFrame:
-    """Exact token-set Jaccard for MinHash-band candidate pairs.
-
-    Blocking bands over the *shingle* set (word 3-grams), verification over
-    the *token* set.  Token-set MinHash degenerates on natural corpora: the
-    globally-min-hashing token is a stopword shared by most documents, so a
-    band bucket holds over half the corpus and the self-join is ~n² again
-    (measured: 2 buckets of ~3000 docs / 7.3M candidate pairs at sf0.1).
-    Shingle space is diverse, so shingle-band buckets stay small (max ~9 at
-    sf0.1, 787 candidates).  The 't<g>:' seed prefix keeps this hash family
-    disjoint from the LSH operator's 'a:'.. family.  With 4 bands of 2 rows,
-    a pair at shingle-Jaccard j collides with prob 1-(1-j^2)^4 (≈0.98 at
-    j=0.8); near-identical token sets imply near-identical shingle sets, so
-    token-threshold 0.9 pairs are comfortably inside that regime."""
+    """Persisted (id, token set, distinct shingle set) base shared by the
+    band-candidate stage and the verify joins — computed once, not four
+    times."""
     from pyspark import StorageLevel
 
-    rows_per_band = k // bands
-    # one persisted base: the token set feeds the verify join twice and the
-    # shingle set feeds the signature scan — computed once, not four times
-    base = df.select(
+    return df.select(
         F.col(id_col),
         TX.token_set(text_col).alias("ts"),
         F.array_distinct(TX.shingles(TX.tokens(text_col), shingle_n)).alias("sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _shingle_band_candidates(
+    base: DataFrame, id_col: str, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs colliding in >= 1 shingle-MinHash band.
+
+    Bands are built over the *shingle* set ('t<g>:' seed family, disjoint
+    from the LSH operator's 'a:'.. family).  Token-set MinHash degenerates on
+    natural corpora — the globally-min-hashing token is a stopword shared by
+    most documents, so a band bucket holds over half the corpus and the
+    self-join is ~n² again (measured: 2 buckets of ~3000 docs / 7.3M
+    candidate pairs at sf0.1).  Shingle space is diverse, so shingle-band
+    buckets stay small (max ~9 at sf0.1, 787 candidates).  With 4 bands of 2
+    rows, a pair at shingle-Jaccard j collides with prob 1-(1-j^2)^4 (≈0.98
+    at j=0.8)."""
+    rows_per_band = k // bands
 
     def _seeded_min(i: int):
         # closure, NOT a default arg: a 2-ary lambda would receive transform's
@@ -195,7 +193,8 @@ def ngram_jaccard_pairs(
                 F.lit(f"{b}:"),
                 F.md5(
                     F.concat_ws(
-                        "|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+                        "|",
+                        *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)],
                     )
                 ),
             )
@@ -204,11 +203,33 @@ def ngram_jaccard_pairs(
     )
     exploded = sigs.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
     a, b = exploded.alias("a"), exploded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact token-set Jaccard for shingle-MinHash-band candidate pairs —
+    blocking over the shingle set (see _shingle_band_candidates for why not
+    token-set bands), verification over the token set.  Near-identical token
+    sets imply near-identical shingle sets, so token-threshold 0.9 pairs are
+    comfortably inside the banding's high-recall regime."""
+    base = _shingle_band_base(df, id_col, text_col, shingle_n)
+    cand = _shingle_band_candidates(base, id_col, k, bands)
     sa = base.select(F.col(id_col).alias("id_a"), F.col("ts").alias("ts_a"))
     sb = base.select(F.col(id_col).alias("id_b"), F.col("ts").alias("ts_b"))
     jac = F.size(F.array_intersect("ts_a", "ts_b")) / F.size(F.array_union("ts_a", "ts_b"))
@@ -217,4 +238,38 @@ def ngram_jaccard_pairs(
         .join(sb, "id_b")
         .select("id_a", "id_b", jac.cast("double").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Directed shingle-set containment |sh_src ∩ sh_dst| / |sh_src| over
+    band candidates: catches a document *embedded inside* a larger one,
+    which symmetric Jaccard misses (a 50-shingle doc quoted verbatim in a
+    1000-shingle doc has containment 1.0 but Jaccard ~0.05).
+
+    Scale shape: identical to ngram_jaccard_pairs — band-blocked candidates,
+    one verify join — plus a cheap both-directions expansion of each
+    undirected candidate pair before thresholding."""
+    base = _shingle_band_base(df, id_col, text_col, shingle_n)
+    cand = _shingle_band_candidates(base, id_col, k, bands)
+    # expand (a<b) candidates to both directions
+    directed = cand.select(
+        F.col("id_a").alias("src_id"), F.col("id_b").alias("dst_id")
+    ).unionAll(cand.select(F.col("id_b").alias("src_id"), F.col("id_a").alias("dst_id")))
+    ss = base.select(F.col(id_col).alias("src_id"), F.col("sh").alias("sh_src"))
+    sd = base.select(F.col(id_col).alias("dst_id"), F.col("sh").alias("sh_dst"))
+    cont = F.size(F.array_intersect("sh_src", "sh_dst")) / F.size("sh_src")
+    return (
+        directed.join(ss, "src_id")
+        .join(sd, "dst_id")
+        .select("src_id", "dst_id", cont.cast("double").alias("containment"))
+        .filter(F.col("containment") >= threshold)
     )

@@ -212,14 +212,10 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_fingerprints(T(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
 
 
-@register(
-    "dedup_ngram_jaccard",
-    # Band-blocked (see operators/dedup.py): candidates collide in a
-    # *shingle*-set MinHash band ('t<g>:' seed family), never an attribute
-    # block or a token-set band — token-set MinHash degenerates to ~n²
-    # buckets on stopword-heavy corpora.
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+# shared CTE chain: shingle-MinHash band candidates ('t<g>:' seed family)
+# over (token set, shingle set) — used by dedup_ngram_jaccard and
+# dedup_containment; mirrors operators/dedup.py:_shingle_band_candidates
+_TBAND_CTES = f"""toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
         t AS (
             SELECT doc_id, list_distinct(tk) AS ts,
                    list_distinct(({_SHINGLES})) AS sh
@@ -239,7 +235,17 @@ def dedup_simhash(spark, sf_dir):
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM exploded a JOIN exploded b
               ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-        )
+        )"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    # Band-blocked (see operators/dedup.py): candidates collide in a
+    # *shingle*-set MinHash band ('t<g>:' seed family), never an attribute
+    # block or a token-set band — token-set MinHash degenerates to ~n²
+    # buckets on stopword-heavy corpora.
+    oracle=f"""
+        WITH {_TBAND_CTES}
         SELECT c.id_a, c.id_b,
                CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
                    / len(list_distinct(list_concat(x.ts, y.ts))) AS jaccard
@@ -254,6 +260,34 @@ def dedup_simhash(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         T(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9
+    )
+
+
+@register(
+    "dedup_containment",
+    # directed containment |sh_src ∩ sh_dst| / |sh_src| over the same band
+    # candidates — catches a doc embedded in a larger one, which symmetric
+    # Jaccard misses
+    oracle=f"""
+        WITH {_TBAND_CTES},
+        directed AS (
+            SELECT id_a AS src_id, id_b AS dst_id FROM cand
+            UNION ALL
+            SELECT id_b AS src_id, id_a AS dst_id FROM cand
+        )
+        SELECT d.src_id, d.dst_id,
+               CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh)
+                   AS containment
+        FROM directed d
+        JOIN t x ON x.doc_id = d.src_id
+        JOIN t y ON y.doc_id = d.dst_id
+        WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh) >= 0.8
+    """,
+    tags=("dedup", "containment"),
+)
+def dedup_containment(spark, sf_dir):
+    return dedup.containment_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
     )
 
 
@@ -1661,4 +1695,216 @@ def source_cap_sample(spark, sf_dir):
     return (
         d.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") <= 25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 curation operators: TF-IDF, percentile trim, mixture rebalance,
+# per-label embedding centroids
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    # classic TF-IDF relevance: tf * ln(N/df), top-3 terms per doc.  Rounded
+    # to 6dp BEFORE ranking so rank order cannot depend on the last ulp of
+    # ln() (JVM vs libm); ties break on the term itself.
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                t -> len(t) > 0)) AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.term, t.tf, d.df,
+                   round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+            FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, term, tf, df, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, term) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms.  Scale shape: explode -> two
+    partial+final aggregations (doc-term tf, term df) -> broadcast of the
+    tiny N scalar -> per-doc top-k window.  The df table is vocabulary-sized
+    (MBs at 100 TB), so its join broadcasts; only the tf table shuffles, on
+    the uniform term key."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+@register(
+    "length_percentile_trim",
+    # outlier trim: keep documents inside the exact [p05, p95] length band.
+    # Spark percentile() and DuckDB quantile_cont share the (n-1)*q linear
+    # interpolation; bounds are rounded to 6dp on both sides so the integer
+    # n_chars comparisons cannot straddle an ulp.
+    oracle="""
+        WITH b AS (
+            SELECT round(quantile_cont(n_chars, 0.05), 6) AS lo,
+                   round(quantile_cont(n_chars, 0.95), 6) AS hi
+            FROM documents
+        )
+        SELECT d.doc_id, d.n_chars, b.lo, b.hi
+        FROM documents d CROSS JOIN b
+        WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+    """,
+    tags=("text", "curation"),
+)
+def length_percentile_trim(spark, sf_dir):
+    """Length-outlier removal, the standard pre-training trim.  The bounds
+    aggregate is one tiny scalar (broadcast); the filter itself is a narrow
+    pass that rides the scan at any scale."""
+    d = T(spark, sf_dir, "documents")
+    b = d.agg(
+        F.round(F.percentile("n_chars", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias("hi"),
+    )
+    return (
+        d.crossJoin(F.broadcast(b))
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "n_chars", "lo", "hi")
+    )
+
+
+_MIX_TARGETS = (("en", 0.4), ("de", 0.2), ("es", 0.2), ("fr", 0.2))
+
+
+@register(
+    "mixture_rebalance",
+    # training-mix resampling: hit target language proportions exactly (up
+    # to floor) with a deterministic md5-ordered per-stratum take.  budget =
+    # min_l floor(count_l / w_l) is the largest total for which no stratum
+    # is oversampled.  All divisions are the same IEEE doubles on both
+    # engines, so the floors agree.
+    oracle=f"""
+        WITH targets(lang, w) AS (
+            VALUES {", ".join(f"('{lang}', {w})" for lang, w in _MIX_TARGETS)}
+        ),
+        counts AS (
+            SELECT d.lang, count(*) AS c, any_value(t.w) AS w
+            FROM documents d JOIN targets t USING (lang) GROUP BY d.lang
+        ),
+        budget AS (SELECT min(floor(c / w)) AS b FROM counts),
+        quota AS (
+            SELECT lang, CAST(floor(b * w) AS BIGINT) AS quota
+            FROM counts CROSS JOIN budget
+        ),
+        ranked AS (
+            SELECT d.lang, d.doc_id, q.quota,
+                   row_number() OVER (PARTITION BY d.lang
+                                      ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                               d.doc_id) AS rn
+            FROM documents d JOIN quota q USING (lang)
+        )
+        SELECT lang, doc_id FROM ranked WHERE rn <= quota
+    """,
+    tags=("curation", "sampling"),
+)
+def mixture_rebalance(spark, sf_dir):
+    """Deterministic mixture rebalancing to target language weights — the
+    'data mixing' step of a training pipeline.  Scale shape: one tiny counts
+    aggregate, scalar budget, broadcast quota join, then a single per-lang
+    window take; the md5 ordering makes the sample reproducible across
+    retries and growable (raise budget, keep prefix)."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    targets = spark.createDataFrame(list(_MIX_TARGETS), "lang string, w double")
+    counts = (
+        d.join(F.broadcast(targets), "lang")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"), F.any_value("w").alias("w"))
+    )
+    budget = counts.agg(F.min(F.floor(F.col("c") / F.col("w"))).alias("b"))
+    quota = counts.crossJoin(F.broadcast(budget)).select(
+        "lang", F.floor(F.col("b") * F.col("w")).cast("long").alias("quota")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.join(F.broadcast(quota), "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("lang", "doc_id")
+    )
+
+
+_POW2_43 = 8796093022208.0  # 2^43: scales every float32 component to an integer
+
+
+@register(
+    "embedding_centroid_by_label",
+    # per-label mean embedding (the class-centroid table an IVF/k-means
+    # pipeline maintains).  Exactness: comp*2^43 is a power-of-two scale
+    # (no rounding) that makes every float32-derived component an integer,
+    # so the decimal sum is order-independent and both engines divide the
+    # identical integer back down in the same IEEE sequence.
+    oracle=f"""
+        WITH c AS (
+            SELECT label, u.e.pos AS pos, u.e.comp AS comp FROM (
+                SELECT label,
+                       unnest(list_transform(embedding::DOUBLE[],
+                              (c, i) -> struct_pack(pos := i - 1, comp := c))) AS e
+                FROM embeddings
+            ) u
+        )
+        SELECT label, pos,
+               CAST(SUM(CAST(comp * {_POW2_43} AS DECIMAL(38,0))) AS DOUBLE)
+                   / {_POW2_43} / COUNT(*) AS mean_val,
+               COUNT(*) AS n
+        FROM c GROUP BY label, pos
+    """,
+    tags=("embedding", "centroid"),
+)
+def embedding_centroid_by_label(spark, sf_dir):
+    """Per-(label, dimension) centroid: posexplode -> one partial+final
+    aggregation on the (label, pos) key — ~n_labels*dim output rows however
+    large the input.  At 100 TB this is the centroid-update half of a
+    distributed k-means iteration."""
+    e = T(spark, sf_dir, "embeddings")
+    x = e.select("label", F.posexplode(V.as_double("embedding")).alias("pos", "comp"))
+    return x.groupBy("label", "pos").agg(
+        (
+            F.sum((F.col("comp") * _POW2_43).cast("decimal(38,0)")).cast("double")
+            / _POW2_43
+            / F.count(F.lit(1))
+        ).alias("mean_val"),
+        F.count(F.lit(1)).alias("n"),
     )

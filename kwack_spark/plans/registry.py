@@ -79,6 +79,18 @@ _PRIORITY = [
     "map_funcs",
     "approx_count_distinct",
     "ann_lsh_bucketed",
+    # round-3 additions — new operator classes graded early
+    "dedup_containment",
+    "tfidf_top_terms",
+    "length_percentile_trim",
+    "mixture_rebalance",
+    "embedding_centroid_by_label",
+    "join_natural",
+    "agg_bool_bit",
+    "try_cast_safe",
+    "qualify_top_per_group",
+    "grouping_id_rollup",
+    "window_nth_value",
     # pipeline operators (incl. round-1's 8 unchecked)
     "dedup_exact",
     "dedup_minhash_signatures",

@@ -1367,3 +1367,169 @@ def ntile_window_stats(spark, sf_dir):
         F.cume_dist().over(w).alias("cd"),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Round-3 surface widening: natural join, boolean/bitwise aggregates,
+# TRY_CAST, QUALIFY-style top-N per group, GROUPING markers, nth_value
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_natural",
+    # TPC-H prefixes keep raw tables natural-join-proof, so both sides
+    # project to the shared column name first — the realistic shape of a
+    # topic join where two feeds share a field name.
+    oracle="""
+        SELECT nationkey, c_name, n_name
+        FROM (SELECT c_nationkey AS nationkey, c_name FROM customer)
+        NATURAL JOIN (SELECT n_nationkey AS nationkey, n_name FROM nation)
+    """,
+    tags=("join",),
+)
+def join_natural(spark, sf_dir):
+    """NATURAL JOIN surface (SQL-only in Spark too).  Physically a broadcast
+    hash join: nation is a 25-row dimension."""
+    register_views(spark, sf_dir, only=("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT nationkey, c_name, n_name
+        FROM (SELECT c_nationkey AS nationkey, c_name FROM customer)
+        NATURAL JOIN (SELECT n_nationkey AS nationkey, n_name FROM nation)
+        """
+    )
+
+
+@register(
+    "agg_bool_bit",
+    oracle="""
+        SELECT l_returnflag,
+               bool_and(l_quantity > 1)   AS all_multi,
+               bool_or(l_discount > 0.05) AS any_discounted,
+               bit_and(l_linenumber) AS band,
+               bit_or(l_linenumber)  AS bor,
+               bit_xor(l_linenumber) AS bxor
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate",),
+)
+def agg_bool_bit(spark, sf_dir):
+    """Boolean and bitwise aggregate family — integer/boolean lattice ops,
+    so partial+final aggregation is exact with zero float concerns."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 1).alias("all_multi"),
+        F.bool_or(F.col("l_discount") > 0.05).alias("any_discounted"),
+        F.bit_and("l_linenumber").alias("band"),
+        F.bit_or("l_linenumber").alias("bor"),
+        F.bit_xor("l_linenumber").alias("bxor"),
+    )
+
+
+@register(
+    "try_cast_safe",
+    # TRY_CAST returns NULL instead of erroring — the ingestion-hardening
+    # cast for dirty columns.  The priority prefix digit parses; the full
+    # string does not.
+    oracle="""
+        SELECT o_orderkey,
+               TRY_CAST(o_orderpriority AS INTEGER)            AS full_parse,
+               TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prefix_parse,
+               CAST(o_orderkey AS VARCHAR)                     AS key_text
+        FROM orders
+    """,
+    tags=("cast",),
+)
+def try_cast_safe(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("full_parse"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prefix_parse"),
+        # bigint->varchar renders identically on both engines (double->varchar
+        # does not — Java vs C float formatting)
+        F.col("o_orderkey").cast("string").alias("key_text"),
+    )
+
+
+@register(
+    "qualify_top_per_group",
+    # DuckDB spells it QUALIFY; Spark expresses the same top-N-per-group as
+    # a window filter.  Unique (o_totalprice DESC, o_orderkey) ordering
+    # keeps row_number deterministic.
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) <= 2
+    """,
+    tags=("window", "qualify"),
+)
+def qualify_top_per_group(spark, sf_dir):
+    """Top-2 orders per customer: one shuffle on o_custkey; at scale this is
+    the per-key top-k pattern (rank inside partition, filter early)."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "grouping_id_rollup",
+    # GROUPING() disambiguates "NULL because rolled up" from "NULL in the
+    # data"; the composed gid matches Spark's grouping_id bit order
+    # (leftmost column = most significant bit).
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus)                               AS g_status,
+               GROUPING(o_orderpriority)                             AS g_prio,
+               GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregate", "rollup"),
+)
+def grouping_id_rollup(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "window_nth_value",
+    # value-position window family over the full partition frame; unique
+    # orderdate+orderkey ordering makes first/last/nth deterministic.
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               first_value(o_orderkey) OVER w AS first_ord,
+               last_value(o_orderkey)  OVER w AS last_ord,
+               nth_value(o_orderkey, 2) OVER w AS second_ord
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def window_nth_value(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ord"),
+        F.last("o_orderkey").over(w).alias("last_ord"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ord"),
+    )
