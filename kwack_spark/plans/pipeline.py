@@ -1908,3 +1908,63 @@ def embedding_centroid_by_label(spark, sf_dir):
         ).alias("mean_val"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "semantic_dedup_verify",
+    # cross-modal near-dup audit (documents ⋈ embeddings on aligned ids):
+    # embedding-LSH candidate pairs above a cosine floor, each verified
+    # against token-set Jaccard of the paired texts.  confirmed = the text
+    # agrees; a high-cosine/low-jaccard row is a paraphrase candidate —
+    # exactly the split a semantic-dedup pass needs before deciding to drop.
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(4))} AS bucket FROM v),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql("a", "b")} AS cosine
+            FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE {_cos_sql("a", "b")} >= 0.3
+        ),
+        t AS (SELECT doc_id, list_distinct({_toks()}) AS ts FROM documents)
+        SELECT p.id_a, p.id_b, p.cosine,
+               CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.ts, y.ts))) AS jaccard,
+               CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.ts, y.ts))) >= 0.5 AS confirmed
+        FROM pairs p
+        JOIN t x ON x.doc_id = p.id_a
+        JOIN t y ON y.doc_id = p.id_b
+    """,
+    tags=("dedup", "similarity", "cross-modal"),
+)
+def semantic_dedup_verify(spark, sf_dir):
+    """Semantic dedup with text verification: embedding-LSH pairs (cosine >=
+    0.3) joined to the documents table on the aligned id and scored with
+    exact token-set Jaccard.  Scale shape: inherits the LSH bucket shuffle;
+    the text verify is two id-equi joins feeding a narrow array intersect —
+    candidate-count-sized, never corpus².  At 100 TB the id join keys are
+    co-partitioned with the corpus tables, so both joins shuffle only the
+    (small) candidate set."""
+    e = T(spark, sf_dir, "embeddings")
+    d = T(spark, sf_dir, "documents")
+    pairs = similarity.lsh_bucketed_pairs(
+        e, "vec_id", "embedding", planes=4, dim=64, threshold=0.3
+    )
+    ts = d.select(F.col("doc_id"), TX.token_set("text").alias("ts"))
+    ta = ts.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"))
+    tb = ts.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    jac = (
+        F.size(F.array_intersect("ts_a", "ts_b"))
+        / F.size(F.array_union("ts_a", "ts_b"))
+    ).cast("double")
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "cosine",
+            jac.alias("jaccard"),
+            (jac >= 0.5).alias("confirmed"),
+        )
+    )

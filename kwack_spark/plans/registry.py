@@ -80,6 +80,7 @@ _PRIORITY = [
     "approx_count_distinct",
     "ann_lsh_bucketed",
     # round-3 additions — new operator classes graded early
+    "semantic_dedup_verify",
     "dedup_containment",
     "tfidf_top_terms",
     "length_percentile_trim",
