@@ -1968,3 +1968,58 @@ def semantic_dedup_verify(spark, sf_dir):
             (jac >= 0.5).alias("confirmed"),
         )
     )
+
+
+@register(
+    "streaming_session_counts",
+    # gap-based session windows through Structured Streaming's stateful
+    # session-window operator, replayed to end-of-stream; must equal the
+    # batch islands-and-gaps SQL (same oracle as the batch session_windows
+    # query, projected to the same columns)
+    oracle="""
+        WITH m AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             < INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS new_s
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        )
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session"),
+)
+def streaming_session_counts(spark, sf_dir):
+    """SURVEY §2.C session windows in STREAMING mode under the correctness
+    gate: events replayed as a file-source stream, session_window state
+    merged across micro-batches (streaming/ingest.py:session_counts),
+    complete-mode memory sink == batch session assignment.  State is
+    watermark-bounded; at production rates session state is O(active
+    sessions), not O(stream length)."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.streaming import ingest as si
+
+    e = T(spark, sf_dir, "events")
+    replay_dir = tempfile.mkdtemp(prefix="kwack_stream_replay_")
+    e.write.mode("overwrite").parquet(replay_dir)
+    stream = spark.readStream.schema(e.schema).parquet(replay_dir)
+    agg = si.session_counts(
+        stream, "ts", keys=["user_id"], gap="30 minutes", watermark="10 minutes"
+    )
+    sink = f"strm_{uuid.uuid4().hex[:8]}"
+    with _few_shuffle_partitions(spark):
+        q = si.to_memory_sink(agg, sink, output_mode="complete")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_session_counts: stream did not finish in 300s"
+            )
+    return spark.table(sink).select("user_id", "session_start", "n_events")

@@ -81,6 +81,7 @@ _PRIORITY = [
     "ann_lsh_bucketed",
     # round-3 additions — new operator classes graded early
     "semantic_dedup_verify",
+    "streaming_session_counts",
     "dedup_containment",
     "tfidf_top_terms",
     "length_percentile_trim",
