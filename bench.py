@@ -43,6 +43,12 @@ HEADLINE = [
     "kafka_avro_roundtrip",
     "multimodal_frame_sample",
     "streaming_window_counts",
+    # round-3 operators
+    "tfidf_top_terms",
+    "mixture_rebalance",
+    "length_percentile_trim",
+    "dedup_containment",
+    "semantic_dedup_verify",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set
