@@ -582,3 +582,87 @@ def kafka_two_topic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation.join(
         F.broadcast(region), nation.n_regionkey == region.r_regionkey
     ).select("n_nationkey", "n_name", F.col("r_name").alias("region_name"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest under the oracle gate: the SAME decode path (schema-
+# registry Avro, Confluent framing, union branches) running on a file-source
+# stream of kafka-shaped frames — append-mode memory sink must equal the
+# batch decode, proving the one-code-path claim (streaming/ingest.py:
+# decode_stream) end-to-end rather than by inspection.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_kafka_avro_decode",
+    oracle="""
+        SELECT n_nationkey AS rowkey,
+               n_nationkey, n_name, n_regionkey,
+               CASE WHEN n_nationkey % 3 = 0 THEN 'u0'
+                    WHEN n_nationkey % 3 = 1 THEN 'u1' END AS extra_tag,
+               CASE WHEN n_nationkey % 3 = 0 THEN n_nationkey * 10 END AS extra_long,
+               CASE WHEN n_nationkey % 3 = 1 THEN 'x' || n_name END AS extra_str
+        FROM nation
+    """,
+    tags=("ingest", "kafka", "avro", "streaming"),
+)
+def streaming_kafka_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent-framed Avro frames replayed as a stream and decoded with
+    the batch code path (decode is narrow/stateless, so append mode needs no
+    watermark); a Kafka readStream swaps in for the file source with no
+    other change."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.streaming import ingest as si
+
+    reg = MockSchemaRegistry()
+    sid = reg.register("snation-value", json.dumps(_NATION_AVRO), "AVRO")
+    schema = _NATION_AVRO
+
+    def enc(rec):
+        k = int(rec.n_nationkey).to_bytes(4, "big", signed=True)
+        mod = rec.n_nationkey % 3
+        extra = (
+            (1, int(rec.n_nationkey) * 10)
+            if mod == 0
+            else (2, "x" + rec.n_name) if mod == 1 else (0, None)
+        )
+        payload = avro_schema.encode(
+            {
+                "n_nationkey": int(rec.n_nationkey),
+                "n_name": rec.n_name,
+                "n_regionkey": int(rec.n_regionkey),
+                "extra": extra,
+            },
+            schema,
+        )
+        return k, ks.confluent_frame(payload, sid)
+
+    frames = _to_frames(T(spark, sf_dir, "nation"), enc, "snation")
+    replay_dir = tempfile.mkdtemp(prefix="kwack_kafka_replay_")
+    frames.write.mode("overwrite").parquet(replay_dir)
+
+    stream = si.stream_frames_from_dir(spark, replay_dir)
+    decoded = si.decode_stream(
+        stream,
+        "snation",
+        value_serde=Serde(kind="latest"),
+        key_serde=Serde(kind="int"),
+        registry=reg,
+    )
+    out = decoded.select(
+        F.col("rowkey").cast("long").alias("rowkey"),
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        union_tag(F.col("extra"), ["u0", "u1"]).alias("extra_tag"),
+        union_extract(F.col("extra"), "u0").alias("extra_long"),
+        union_extract(F.col("extra"), "u1").alias("extra_str"),
+    )
+    sink = f"strm_{uuid.uuid4().hex[:8]}"
+    q = si.to_memory_sink(out, sink, output_mode="append")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_kafka_avro_decode: stream did not finish in 300s")
+    return spark.table(sink)

@@ -50,6 +50,11 @@ _SHINGLES = """
          ELSE [array_to_string(tk, ' ')] END
 """
 
+# word bigrams (callers guard len(tk) >= 2)
+_SHINGLES_2 = """
+    [array_to_string(tk[i:i+1], ' ') for i in generate_series(1, len(tk) - 1)]
+"""
+
 
 def _mh_sql(i: int) -> str:
     """MinHash member i oracle: the i-th 8-hex slice of the seeded md5
@@ -2023,3 +2028,75 @@ def streaming_session_counts(spark, sf_dir):
                 "streaming_session_counts: stream did not finish in 300s"
             )
     return spark.table(sink).select("user_id", "session_start", "n_events")
+
+
+@register(
+    "text_bigram_logprob",
+    # bigram LM fluency score with an exact kernel: mean conditional
+    # probability sum( c(w1 w2) / c(w1) ) / n_bigrams.  Each division is
+    # pre-scaled to an integer (round(1e9 * c2 / c1) — the same IEEE divide
+    # and round on both engines), so the per-doc sum is order-independent
+    # integer arithmetic; only the final two divisions are IEEE.
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        bg AS (
+            SELECT doc_id, unnest(({_SHINGLES_2})) AS bg
+            FROM toks WHERE len(tk) >= 2
+        ),
+        uni AS (
+            SELECT w, count(*) AS c1
+            FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w
+        ),
+        bgc AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+        scored AS (
+            SELECT b.doc_id,
+                   CAST(round(1000000000.0 * c.c2 / u.c1) AS BIGINT) AS p_scaled
+            FROM bg b
+            JOIN bgc c USING (bg)
+            JOIN uni u ON u.w = string_split(b.bg, ' ')[1]
+        )
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               CAST(sum(p_scaled) AS DOUBLE) / 1000000000.0 / count(*)
+                   AS mean_condprob
+        FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "quality", "lm"),
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Bigram language-model fluency filter (the CCNet/KenLM shape with an
+    exact conditional-probability kernel — a real deployment swaps a logprob
+    Pandas UDF into the same joins).  Scale shape: bigram and unigram count
+    tables are vocabulary-sized (broadcastable at 100 TB); the corpus side
+    is one explode feeding two broadcast-hash joins and a per-doc partial+
+    final rollup — a single doc_id shuffle."""
+    from pyspark.sql import Window  # noqa: F401  (kept for parity with siblings)
+
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens("text").alias("tk")).where(F.size("tk") >= 2)
+    bg = toks.select("doc_id", F.explode(TX.shingles(F.col("tk"), 2)).alias("bg"))
+    uni = (
+        d.select(F.explode(TX.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        bg.join(F.broadcast(bgc), "bg")
+        .join(
+            F.broadcast(uni),
+            F.element_at(F.split(F.col("bg"), " "), 1) == F.col("w"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.lit(1_000_000_000.0) * F.col("c2") / F.col("c1"))
+            .cast("bigint")
+            .alias("p_scaled"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum("p_scaled").cast("double") / 1_000_000_000.0 / F.count(F.lit(1))
+        ).alias("mean_condprob"),
+    )

@@ -82,6 +82,8 @@ _PRIORITY = [
     # round-3 additions — new operator classes graded early
     "semantic_dedup_verify",
     "streaming_session_counts",
+    "streaming_kafka_avro_decode",
+    "text_bigram_logprob",
     "dedup_containment",
     "tfidf_top_terms",
     "length_percentile_trim",
