@@ -448,12 +448,41 @@ def embedding_quantize_int8(spark, sf_dir):
 
 @register(
     "ann_ivf_topk",
-    # deterministic centroids (n_lists lowest-id vectors) make the full IVF
-    # pipeline — assign, probe, rerank — SQL-expressible
+    # deterministic centroids (lowest-id seeds + one integer-exact Lloyd
+    # refinement) make the full IVF pipeline — assign, refine, probe,
+    # rerank — SQL-expressible
     oracle=f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        cents AS (
+        cents0 AS (
             SELECT vec_id AS cid, v AS cv FROM v ORDER BY vec_id LIMIT 16
+        ),
+        assigned0 AS (
+            SELECT corpus_id, v, cid AS list_id FROM (
+                SELECT a.vec_id AS corpus_id, a.v, c.cid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_dot_product(a.v, c.cv)
+                                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                    c.cid
+                       ) AS rn
+                FROM v a CROSS JOIN cents0 c
+            ) WHERE rn = 1
+        ),
+        cmeans AS (
+            SELECT list_id, pos,
+                   CAST(SUM(CAST(comp * 8796093022208.0 AS DECIMAL(38,0))) AS DOUBLE)
+                       / 8796093022208.0 / COUNT(*) AS m
+            FROM (
+                SELECT list_id, u.e.pos AS pos, u.e.comp AS comp FROM (
+                    SELECT list_id,
+                           unnest(list_transform(v, (c, i) -> struct_pack(pos := i - 1, comp := c))) AS e
+                    FROM assigned0
+                ) u
+            ) GROUP BY list_id, pos
+        ),
+        cents AS (
+            SELECT list_id AS cid, list(m ORDER BY pos) AS cv
+            FROM cmeans GROUP BY list_id
         ),
         assigned AS (
             SELECT corpus_id, v, cid AS list_id FROM (
@@ -477,7 +506,7 @@ def embedding_quantize_int8(spark, sf_dir):
                                     c.cid
                        ) AS rn
                 FROM v q CROSS JOIN cents c
-            ) WHERE rn <= 4
+            ) WHERE rn <= 6
         )
         SELECT query_id, corpus_id, cosine, rank FROM (
             SELECT p.query_id, a.corpus_id,
@@ -497,7 +526,9 @@ def embedding_quantize_int8(spark, sf_dir):
 )
 def ann_ivf_topk(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(e, e, "vec_id", "embedding", k=3, n_lists=16, n_probe=4)
+    return similarity.ivf_topk(
+        e, e, "vec_id", "embedding", k=3, n_lists=16, n_probe=6, refine_iters=1
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2099,4 +2130,53 @@ def text_bigram_logprob(spark, sf_dir):
         (
             F.sum("p_scaled").cast("double") / 1_000_000_000.0 / F.count(F.lit(1))
         ).alias("mean_condprob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximation-quality gate: IVF recall measured against exact brute force
+# ---------------------------------------------------------------------------
+
+from kwack_spark.plans.registry import QUERIES as _Q  # noqa: E402
+
+
+@register(
+    "ann_ivf_recall",
+    # recall@3 of the IVF index vs the exact top-3: the quality number an
+    # approximate index must publish.  Integer-ratio exact (matched / total)
+    # — composed from the two already-registered pipelines' own oracles, so
+    # the three stay in lockstep by construction.
+    oracle=f"""
+        SELECT count(*) AS n_matched,
+               (SELECT count(*) FROM ({_Q["ann_brute_force_topk"].oracle}) b)
+                   AS n_exact,
+               CAST(count(*) AS DOUBLE)
+                   / (SELECT count(*) FROM ({_Q["ann_brute_force_topk"].oracle}) b2)
+                   AS recall
+        FROM ({_Q["ann_ivf_topk"].oracle}) ivf
+        JOIN ({_Q["ann_brute_force_topk"].oracle}) bf
+          ON ivf.query_id = bf.query_id AND ivf.corpus_id = bf.corpus_id
+    """,
+    tags=("similarity", "ann", "quality-gate"),
+)
+def ann_ivf_recall(spark, sf_dir):
+    """How much the IVF approximation loses: |IVF∩exact| / |exact| over all
+    queries' top-3 sets.  At 100 TB this is the recurring audit query run on
+    a sampled query set after every index rebuild; the join is tiny (k rows
+    per query on both sides)."""
+    ivf = _Q["ann_ivf_topk"].fn(spark, sf_dir)
+    bf = _Q["ann_brute_force_topk"].fn(spark, sf_dir)
+    matched = ivf.join(bf, ["query_id", "corpus_id"], "inner").count()
+    n_exact = bf.count()
+    import pyspark.sql.types as T_
+
+    return spark.createDataFrame(
+        [(matched, n_exact, float(matched) / n_exact)],
+        T_.StructType(
+            [
+                T_.StructField("n_matched", T_.LongType(), False),
+                T_.StructField("n_exact", T_.LongType(), False),
+                T_.StructField("recall", T_.DoubleType(), False),
+            ]
+        ),
     )

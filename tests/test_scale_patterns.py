@@ -106,3 +106,49 @@ def test_global_running_sum_is_parallel_not_single_partition(spark):
     windows = [l for l in plan.splitlines() if "Window" in l and "__local" in l]
     assert windows, plan
     assert all("__pid" in l for l in windows), plan
+
+
+# ---------------------------------------------------------------------------
+# bind(): the expression-level let that every shingle/simhash operator rides
+# ---------------------------------------------------------------------------
+
+
+def test_bind_preserves_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from kwack_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("",), (None,), ("single",)], "text string"
+    )
+    bound = df.select(
+        TX.bind(F.split("text", " "), lambda t: F.size(t)).alias("n")
+    ).collect()
+    naive = df.select(F.size(F.split("text", " ")).alias("n")).collect()
+    assert [r.n for r in bound] == [r.n for r in naive]
+
+
+def test_bind_null_input_yields_null(spark):
+    from pyspark.sql import functions as F
+
+    from kwack_spark.functions import text as TX
+
+    # body sees the evaluated value; a NULL column flows through as NULL
+    out = spark.createDataFrame([(None,)], "x string").select(
+        TX.bind(F.col("x"), lambda v: F.upper(v)).alias("u")
+    ).collect()
+    assert out[0].u is None
+
+
+def test_shingles_match_reference_construction(spark):
+    from pyspark.sql import functions as F
+
+    from kwack_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [("wa wb wc wd we",), ("a b",), ("only",)], "text string"
+    )
+    got = df.select(TX.shingles(TX.tokens("text"), 3).alias("sh")).collect()
+    assert got[0].sh == ["wa wb wc", "wb wc wd", "wc wd we"]
+    assert got[1].sh == ["a b"]   # shorter than n -> single joined shingle
+    assert got[2].sh == ["only"]
