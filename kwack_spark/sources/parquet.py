@@ -12,7 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -51,6 +51,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
             # integer div — float division would lose precision above 2^53 ns
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # Naive parquet timestamps (isAdjustedToUTC=false) arrive as TIMESTAMP_NTZ
+    # under Spark 4's inferTimestampNTZ default.  With the session tz pinned to
+    # UTC above, casting to TimestampType preserves the wall-clock instant and
+    # matches DuckDB's naive-timestamp arithmetic (epoch_us etc.), while
+    # keeping tz-aware functions (unix_micros, from_unixtime) usable.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
