@@ -78,7 +78,6 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
-    rows_per_band = k // bands
     # Compute the DISTINCT shingle set once and persist it: it feeds three
     # subtrees (signatures + both sides of the verify join), and the
     # tokenize+shingle projection is the dominant cost.  min over the
@@ -89,33 +88,7 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.array_distinct(TX.shingles(TX.tokens(text_col), shingle_n)).alias("sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    exploded_sh = shingle_sets.select(F.col(id_col), F.explode("sh").alias("s"))
-
-    def _member(i: int):
-        seed, off = TX.minhash_seed_slice(i)
-        return F.min(
-            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("s"))), off, 8)
-        ).alias(f"mh{i}")
-
-    sigs = exploded_sh.groupBy(id_col).agg(*[_member(i) for i in range(k)])
-    band_cols = [
-        F.md5(F.concat_ws("|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)])).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sigs.select(id_col, *band_cols)
-    exploded = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.concat(F.lit(f"{b}:"), F.col(f"band{b}"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_key"),
-    )
+    exploded = lsh_band_keys(shingle_sets, id_col, k, bands)
     a = exploded.alias("a")
     b = exploded.alias("b")
     cand = (
@@ -130,6 +103,95 @@ def minhash_lsh_pairs(
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", jac.cast("double").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_band_keys(
+    shingle_sets: DataFrame, id_col: str, k: int = 8, bands: int = 2
+) -> DataFrame:
+    """Exploded ``(id, band_key)`` rows from an ``(id, sh)`` shingle-set
+    DataFrame — the LSH index side shared by self-join dedup and incremental
+    (batch-vs-history) dedup.  Same 'a:'.. seed family and band hashing as
+    ``minhash_lsh_pairs`` so both produce identical keys."""
+    rows_per_band = k // bands
+    exploded_sh = shingle_sets.select(F.col(id_col), F.explode("sh").alias("s"))
+
+    def _member(i: int):
+        seed, off = TX.minhash_seed_slice(i)
+        return F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("s"))), off, 8)
+        ).alias(f"mh{i}")
+
+    sigs = exploded_sh.groupBy(id_col).agg(*[_member(i) for i in range(k)])
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(id_col, *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(bands)]
+            )
+        ).alias("band_key"),
+    )
+
+
+def incremental_lsh_new_dups(
+    history: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-duplicate detection: which documents of an arriving
+    ``batch`` are near-dups of the ``history`` corpus?  Returns
+    ``(id, hist_id, jaccard)`` — one row per verified (batch, historical)
+    near-dup pair.
+
+    The daily-ingest shape of MinHash-LSH dedup: history's band keys form a
+    persistent index (at 100 TB a bucketed table written once per day, NOT
+    recomputed — only the new batch is shingled+hashed), and the candidate
+    stage is a band-key equi join of batch keys against that index.  Work is
+    O(|batch|) + index probe, vs. O(|corpus|) for a full-corpus self-join
+    re-run.  Verification re-joins both sides' shingle sets by id (the batch
+    side is small -> broadcast; AQE decides)."""
+    from pyspark import StorageLevel
+
+    def _sets(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.array_distinct(TX.shingles(TX.tokens(text_col), shingle_n)).alias("sh"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    hist_base, batch_base = _sets(history), _sets(batch)
+    hist_keys = lsh_band_keys(hist_base, id_col, k, bands).select(
+        F.col(id_col).alias("hist_id"), "band_key"
+    )
+    batch_keys = lsh_band_keys(batch_base, id_col, k, bands)
+    cand = (
+        batch_keys.join(hist_keys, "band_key")
+        .select(F.col(id_col), "hist_id")
+        .distinct()
+    )
+    sb = batch_base.select(F.col(id_col), F.col("sh").alias("sh_b"))
+    sh = hist_base.select(F.col(id_col).alias("hist_id"), F.col("sh").alias("sh_h"))
+    jac = F.size(F.array_intersect("sh_b", "sh_h")) / F.size(
+        F.array_union("sh_b", "sh_h")
+    )
+    return (
+        cand.join(sb, id_col)
+        .join(sh, "hist_id")
+        .select(id_col, "hist_id", jac.cast("double").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -227,6 +227,93 @@ def ivf_topk(
     ).select("query_id", "corpus_id", "cosine", "rank")
 
 
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization approximate top-k (the memory-scale ANN path):
+    each vector is split into ``m`` subvectors of ``dim/m`` components; per
+    subspace a ``ksub``-entry codebook quantizes the subvector to its
+    nearest code (L2, ties -> smaller code id), so a vector is stored as
+    ``m`` small code ids — 8 bytes instead of 256 for a 64-d float vector,
+    a 32x index-memory cut, which at 100 TB is what lets the index fit on
+    the cluster at all (pair with IVF lists for IVF-PQ).
+
+    Codebooks are DETERMINISTIC and oracle-checkable: subspace ``s``'s codes
+    are the s-th subvectors of the ``ksub`` lowest-id corpus vectors (a real
+    deployment swaps in trained codebooks; identical plumbing).  Scoring is
+    asymmetric (ADC): the query stays exact and is scored against the
+    RECONSTRUCTED corpus vector — dot(q, x̂) folds component-wise in element
+    order, so Spark and DuckDB agree bit-for-bit (summing per-subspace
+    lookup terms instead would change double rounding order).
+
+    Scale shape: codebook is m*ksub*(dim/m) doubles — broadcast everywhere;
+    encoding is one narrow pass over the corpus (crossJoin with the tiny
+    broadcast codebook + per-(vector,subspace) min_by); scoring streams the
+    code table against broadcast queries; final top-k is one k-rows-per-
+    query shuffle."""
+    dsub = dim // m
+    c = corpus.select(F.col(id_col).alias("corpus_id"), V.as_double(vec_col).alias("v"))
+    q = queries.select(F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv"))
+
+    seeds = (
+        c.orderBy("corpus_id")
+        .limit(ksub)
+        .select(
+            "v",
+            (
+                F.row_number().over(Window.orderBy("corpus_id")) - F.lit(1)
+            ).alias("code_id"),
+        )
+    )
+    sub = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
+    codebook = seeds.select("code_id", sub, "v").select(
+        "s", "code_id", F.expr(f"slice(v, s * {dsub} + 1, {dsub})").alias("cv")
+    )
+
+    corpus_sub = c.select("corpus_id", sub, "v").select(
+        "corpus_id", "s", F.expr(f"slice(v, s * {dsub} + 1, {dsub})").alias("xv")
+    )
+    # argmin_code L2²(xv, cv) = dot(xv,xv) - 2·dot(xv,cv) + dot(cv,cv):
+    # three fixed-order folds + fixed-shape arithmetic -> bit-identical
+    # distances across engines, so the argmin (tie -> smaller code) agrees.
+    dist = (
+        V.dot(F.col("xv"), F.col("xv"))
+        - F.lit(2.0) * V.dot(F.col("xv"), F.col("cv"))
+        + V.dot(F.col("cv"), F.col("cv"))
+    )
+    codes = (
+        corpus_sub.join(F.broadcast(codebook), "s")
+        .select("corpus_id", "s", "code_id", "cv", dist.alias("d"))
+        .groupBy("corpus_id", "s")
+        .agg(F.min_by("cv", F.struct(F.col("d"), F.col("code_id"))).alias("cv"))
+    )
+    recon = (
+        codes.groupBy("corpus_id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "cv"))).alias("scv"))
+        .select(
+            "corpus_id",
+            F.flatten(F.transform("scv", lambda e: e.getField("cv"))).alias("xhat"),
+        )
+    )
+
+    scored = recon.join(
+        F.broadcast(q), F.col("query_id") != F.col("corpus_id")
+    ).select("query_id", "corpus_id", V.dot(F.col("qv"), F.col("xhat")).alias("adc"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), "corpus_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "adc", "rank")
+    )
+
+
 _HEX_HI = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 

@@ -531,6 +531,63 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+@register(
+    "ann_pq_topk",
+    # product quantization: codebook = subvectors of the 16 lowest-id
+    # vectors per subspace; encode = argmin L2 (fixed-order fold, tie ->
+    # smaller code); score = dot(query, reconstructed corpus vector)
+    oracle="""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (
+            SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code_id
+            FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 16)
+        ),
+        sub AS (SELECT unnest(range(0, 8)) AS s),
+        codebook AS (
+            SELECT sub.s, seeds.code_id,
+                   list_slice(seeds.v, sub.s * 8 + 1, sub.s * 8 + 8) AS cv
+            FROM seeds CROSS JOIN sub
+        ),
+        corpus_sub AS (
+            SELECT a.vec_id AS corpus_id, sub.s,
+                   list_slice(a.v, sub.s * 8 + 1, sub.s * 8 + 8) AS xv
+            FROM v a CROSS JOIN sub
+        ),
+        codes AS (
+            SELECT corpus_id, s, cv FROM (
+                SELECT cs.corpus_id, cs.s, cb.cv,
+                       row_number() OVER (
+                           PARTITION BY cs.corpus_id, cs.s
+                           ORDER BY list_dot_product(cs.xv, cs.xv)
+                                    - 2.0 * list_dot_product(cs.xv, cb.cv)
+                                    + list_dot_product(cb.cv, cb.cv),
+                                    cb.code_id
+                       ) AS rn
+                FROM corpus_sub cs JOIN codebook cb USING (s)
+            ) WHERE rn = 1
+        ),
+        recon AS (
+            SELECT corpus_id, flatten(list(cv ORDER BY s)) AS xhat
+            FROM codes GROUP BY corpus_id
+        )
+        SELECT query_id, corpus_id, adc, rank FROM (
+            SELECT q.vec_id AS query_id, r.corpus_id,
+                   list_dot_product(q.v, r.xhat) AS adc,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.v, r.xhat) DESC, r.corpus_id
+                   ) AS rank
+            FROM v q CROSS JOIN recon r
+            WHERE q.vec_id <> r.corpus_id
+        ) WHERE rank <= 3
+    """,
+    tags=("similarity", "ann", "pq"),
+)
+def ann_pq_topk(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(e, e, "vec_id", "embedding", k=3, m=8, ksub=16, dim=64)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -1479,6 +1536,127 @@ def dedup_incremental_new_docs(spark, sf_dir):
     return batch.join(hist, "fp", "left_anti").select("doc_id", "fp")
 
 
+_ILSH_SPLIT = "substr(md5('ilsh:' || doc_id::VARCHAR), 1, 4)"
+
+
+@register(
+    "dedup_incremental_lsh",
+    # incremental NEAR-dup: the arriving batch (hash-split 20%) probes the
+    # historical corpus's persisted band-key index; only band collisions are
+    # Jaccard-verified.  Work is O(|batch|) + index probe — history is never
+    # re-shingled at scale.
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, text,
+                   CASE WHEN {_ILSH_SPLIT} < '3334' THEN 'b' ELSE 'h' END AS side
+            FROM documents
+        ),
+        toks AS (SELECT doc_id, side, {_toks()} AS tk FROM docs),
+        shs AS (SELECT doc_id, side, ({_SHINGLES}) AS sh FROM toks),
+        sigs AS (
+            SELECT doc_id, side, {", ".join(_mh_sql(i) for i in range(8))} FROM shs
+        ),
+        banded AS (
+            SELECT doc_id, side,
+                   md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS band0,
+                   md5(concat_ws('|', mh4, mh5, mh6, mh7)) AS band1
+            FROM sigs
+        ),
+        exploded AS (
+            SELECT doc_id, side, unnest(['0:' || band0, '1:' || band1]) AS band_key
+            FROM banded
+        ),
+        cand AS (
+            SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS hist_id
+            FROM exploded b JOIN exploded h
+              ON b.band_key = h.band_key AND b.side = 'b' AND h.side = 'h'
+        ),
+        ssets AS (SELECT doc_id, list_distinct(sh) AS s FROM shs)
+        SELECT c.doc_id, c.hist_id, {_JAC} AS jaccard
+        FROM cand c
+        JOIN ssets x ON x.doc_id = c.doc_id
+        JOIN ssets y ON y.doc_id = c.hist_id
+        WHERE {_JAC} >= 0.5
+    """,
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def dedup_incremental_lsh(spark, sf_dir):
+    """Daily-ingest near-dup rejection: which new docs are near-dups of the
+    historical corpus?  Band-key equi join against history's LSH index +
+    exact-Jaccard verify (operators/dedup.py:incremental_lsh_new_dups)."""
+    d = T(spark, sf_dir, "documents")
+    split = F.substring(
+        F.md5(F.concat(F.lit("ilsh:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    hist = d.filter(split >= "3334")
+    batch = d.filter(split < "3334")
+    return dedup.incremental_lsh_new_dups(
+        hist, batch, "doc_id", "text", k=8, bands=2, threshold=0.5
+    )
+
+
+@register(
+    "dedup_lsh_edit_verify",
+    # LSH band candidates verified by EDIT similarity instead of Jaccard:
+    # 1 - levenshtein/greatest(len) over the normalized 200-char prefix —
+    # integer edit distance is bit-free, so the score is exact on both
+    # engines.  The prefix cap bounds the O(len²) DP at scale.
+    oracle=f"""
+        WITH {_LSH_CTES},
+        ntext AS (
+            SELECT doc_id,
+                   substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 200) AS nt
+            FROM documents
+        )
+        SELECT c.id_a, c.id_b,
+               CAST(1.0 - CAST(levenshtein(x.nt, y.nt) AS DOUBLE)
+                          / greatest(len(x.nt), len(y.nt)) AS DOUBLE) AS edit_sim
+        FROM cand c
+        JOIN ntext x ON x.doc_id = c.id_a
+        JOIN ntext y ON y.doc_id = c.id_b
+        WHERE 1.0 - CAST(levenshtein(x.nt, y.nt) AS DOUBLE)
+                    / greatest(len(x.nt), len(y.nt)) >= 0.6
+    """,
+    tags=("dedup", "lsh", "edit-distance"),
+)
+def dedup_lsh_edit_verify(spark, sf_dir):
+    """Fuzzy dedup with an edit-distance verifier: MinHash-LSH candidates
+    (same band scheme as dedup_minhash_lsh) scored by normalized Levenshtein
+    similarity on the 200-char normalized prefix.  Set-based Jaccard misses
+    transpositions and small in-place edits that edit distance catches; the
+    prefix cap keeps the quadratic DP bounded regardless of document size."""
+    from pyspark import StorageLevel
+
+    d = T(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    keys = dedup.lsh_band_keys(base, "doc_id", k=8, bands=2)
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ntext = d.select(
+        "doc_id", F.substring(TX.normalize("text"), 1, 200).alias("nt")
+    )
+    sim = F.lit(1.0) - F.levenshtein("nt_a", "nt_b").cast("double") / F.greatest(
+        F.length("nt_a"), F.length("nt_b")
+    )
+    return (
+        cand.join(ntext.select(F.col("doc_id").alias("id_a"), F.col("nt").alias("nt_a")), "id_a")
+        .join(ntext.select(F.col("doc_id").alias("id_b"), F.col("nt").alias("nt_b")), "id_b")
+        .select("id_a", "id_b", sim.cast("double").alias("edit_sim"))
+        .filter(F.col("edit_sim") >= 0.6)
+    )
+
+
 @register(
     "sample_hash_10pct",
     # hash-threshold sampling: keep iff md5('smp:' || key) 4-hex prefix <
@@ -1535,6 +1713,53 @@ def split_train_val_test(spark, sf_dir):
     d = T(spark, sf_dir, "documents").select("doc_id")
     return sampling.split_hash(
         d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split"
+    )
+
+
+@register(
+    "shard_assignment_stats",
+    # the training-data WRITE path: every doc is assigned one of 16 output
+    # shards by the first hex nibble of a keyed md5 — deterministic across
+    # runs/engines/cluster layouts, uniform by construction (so shard files
+    # come out balanced with no sort or repartition-by-range step).  The
+    # stats prove balance: per-shard doc counts and byte totals.
+    oracle="""
+        SELECT CAST(instr('0123456789abcdef',
+                     substr(md5('shard:' || doc_id::VARCHAR), 1, 1)) - 1 AS INTEGER) AS shard_id,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               min(doc_id) AS min_doc_id,
+               max(doc_id) AS max_doc_id
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("sharding", "write-path"),
+)
+def shard_assignment_stats(spark, sf_dir):
+    """Deterministic output sharding for dataset publication: shard id from
+    the first md5 nibble (16-way; generalize with more nibbles).  At 100 TB
+    this replaces repartition-by-range for balanced shard files: it's a
+    single hash partitioning (one shuffle, no global sort, no sampled range
+    boundaries) and re-runs place every doc in the same shard, so incremental
+    publishes only rewrite shards whose membership changed."""
+    d = T(spark, sf_dir, "documents")
+    shard = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 1
+            ),
+        )
+        - F.lit(1)
+    ).cast("int").alias("shard_id")
+    return (
+        d.groupBy(shard)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
     )
 
 

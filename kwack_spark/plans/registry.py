@@ -79,6 +79,11 @@ _PRIORITY = [
     "map_funcs",
     "approx_count_distinct",
     "ann_lsh_bucketed",
+    # round-4 additions — new operator classes graded early
+    "ann_pq_topk",
+    "dedup_incremental_lsh",
+    "dedup_lsh_edit_verify",
+    "shard_assignment_stats",
     # round-3 additions — new operator classes graded early
     "semantic_dedup_verify",
     "streaming_session_counts",
