@@ -143,6 +143,57 @@ def lsh_band_keys(
     )
 
 
+def lsh_band_keys_narrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exploded ``(id, sh, band_key)`` computed with NO aggregation:
+    ``array_min`` over the per-row shingle transform replaces the
+    explode+groupBy-min of ``lsh_band_keys``, so the projection is legal in
+    a streaming plan ahead of a stateful operator (aggregations cannot
+    precede applyInPandasWithState).  Same seed family and band hashing, so
+    keys are identical to the batch path's (min over the distinct shingle
+    set == min over the multiset)."""
+    rows_per_band = k // bands
+    base = df.select(
+        F.col(id_col),
+        F.array_distinct(TX.shingles(TX.tokens(text_col), shingle_n)).alias("sh"),
+    )
+
+    def _member(i: int):
+        seed, off = TX.minhash_seed_slice(i)
+        return F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: F.substring(F.md5(F.concat(F.lit(f"{seed}:"), s)), off, 8),
+            )
+        ).alias(f"mh{i}")
+
+    sigs = base.select(id_col, "sh", *[_member(i) for i in range(k)])
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(id_col, "sh", *band_cols)
+    return banded.select(
+        F.col(id_col),
+        "sh",
+        F.explode(
+            F.array(
+                *[F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(bands)]
+            )
+        ).alias("band_key"),
+    )
+
+
 def incremental_lsh_new_dups(
     history: DataFrame,
     batch: DataFrame,

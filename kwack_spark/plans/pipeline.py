@@ -1341,6 +1341,55 @@ def streaming_dedup_keys(spark, sf_dir):
     return spark.table(sink)
 
 
+@register(
+    "streaming_lsh_neardup",
+    # streaming NEAR-dup: the state store is the LSH index.  Docs replayed
+    # over 3 micro-batches; each band bucket's state holds the (id, shingle
+    # set) list and arriving docs are verified against it.  End-of-stream
+    # pair set == the batch LSH self-join, so the oracle is the same as
+    # dedup_minhash_lsh's.
+    oracle=f"""
+        WITH {_LSH_CTES}
+        SELECT c.id_a, c.id_b, {_JAC} AS jaccard
+        FROM cand c
+        JOIN ssets x ON x.doc_id = c.id_a
+        JOIN ssets y ON y.doc_id = c.id_b
+        WHERE {_JAC} >= 0.5
+    """,
+    tags=("streaming", "dedup", "lsh", "stateful"),
+)
+def streaming_lsh_neardup(spark, sf_dir):
+    """MinHash-LSH near-dup as a STREAMING stateful operator
+    (streaming/ingest.py:stateful_lsh_neardup): band keys are computed
+    narrowly per row (no pre-state aggregation), the stream shuffles once on
+    band_key, and every colliding pair is Jaccard-verified exactly once —
+    when its later member arrives.  Arrival order doesn't matter, so the
+    final pair set equals the batch self-join bit-for-bit."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.streaming import ingest as si
+
+    d = T(spark, sf_dir, "documents")
+    prep = dedup.lsh_band_keys_narrow(d, "doc_id", "text", k=8, bands=2)
+    replay_dir = tempfile.mkdtemp(prefix="kwack_lsh_replay_")
+    prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
+    stream = (
+        spark.readStream.schema(prep.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    pairs = si.stateful_lsh_neardup(stream, threshold=0.5)
+    sink = f"strmlsh_{uuid.uuid4().hex[:8]}"
+    with _few_shuffle_partitions(spark):
+        q = si.to_memory_sink(pairs, sink, output_mode="append")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_lsh_neardup: stream did not finish in 300s")
+    # a pair colliding in both bands is emitted by both buckets -> distinct
+    return spark.table(sink).distinct()
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary plumbing
 # ---------------------------------------------------------------------------

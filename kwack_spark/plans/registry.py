@@ -80,6 +80,7 @@ _PRIORITY = [
     "approx_count_distinct",
     "ann_lsh_bucketed",
     # round-4 additions — new operator classes graded early
+    "streaming_lsh_neardup",
     "ann_pq_topk",
     "dedup_incremental_lsh",
     "dedup_lsh_edit_verify",

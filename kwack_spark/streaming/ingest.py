@@ -181,6 +181,66 @@ def stateful_running_counts(
     )
 
 
+def stateful_lsh_neardup(
+    df: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate detection: the state store IS
+    the LSH index.  Input rows are ``(doc_id, sh array<string>, band_key)``
+    (band keys precomputed narrowly — array_min over the shingle transform
+    needs no aggregation, so the only pre-state exchange is the groupBy on
+    band_key).  Per band bucket, arriving docs are compared against every
+    doc already in the bucket's state (and earlier docs of the same batch,
+    in doc_id order); exact-Jaccard hits >= ``threshold`` are emitted as
+    ``(id_a, id_b, jaccard)`` with id_a < id_b.  Every colliding pair is
+    compared exactly once — when its later member arrives — so the
+    end-of-stream pair set equals the batch self-join's
+    (operators/dedup.py:minhash_lsh_pairs), whatever the arrival order.
+
+    Scale: state per bucket is the bucket's (id, shingle set) list — the
+    same memory the batch self-join materializes per bucket, but amortized
+    over the stream's lifetime; a production deployment adds a TTL timeout
+    to age out buckets past the dedup horizon (state.setTimeoutDuration),
+    exactly where dropDuplicatesWithinWatermark bounds its state."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "id_a long, id_b long, jaccard double"
+    state_schema = "docs string"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        import json
+
+        import pandas as pd
+
+        docs = json.loads(state.get[0]) if state.exists else []
+        batch: list[tuple[int, list[str]]] = []
+        for pdf in pdfs:
+            for did, sh in zip(pdf["doc_id"], pdf["sh"]):
+                batch.append((int(did), list(sh)))
+        batch.sort(key=lambda t: t[0])
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_j: list[float] = []
+        for did, sh in batch:
+            s = set(sh)
+            for hid, hsh in docs:
+                hs = set(hsh)
+                union = len(s | hs)
+                # int/int -> correctly-rounded IEEE double, identical to
+                # the engines' CAST(int)/int division
+                j = len(s & hs) / union if union else 0.0
+                if j >= threshold and hid != did:
+                    out_a.append(min(did, hid))
+                    out_b.append(max(did, hid))
+                    out_j.append(j)
+            docs.append((did, sh))
+        state.update((json.dumps(docs),))
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    return df.groupBy("band_key").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def to_memory_sink(
     df: DataFrame, name: str, output_mode: str = "append", continuous: bool = False
 ) -> StreamingQuery:

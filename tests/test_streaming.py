@@ -153,6 +153,52 @@ def test_stateful_running_counts(spark, tmp_path):
     }
     assert got == batch
 
+def test_stateful_lsh_neardup_order_invariant(spark, tmp_path):
+    """Streaming LSH near-dup emits the same pair set as the batch self-join
+    regardless of arrival order: replay the same docs in ascending and
+    descending id order and compare against minhash_lsh_pairs."""
+    from kwack_spark.operators import dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different text about spark streaming state"),
+        (4, "the quick brown fox jumps over the lazy dog today"),
+        (5, "unrelated words forming another distinct document body"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_pairs = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            d, "doc_id", "text", k=8, bands=2, threshold=0.5
+        ).collect()
+    }
+    assert batch_pairs  # fixture must actually produce near-dups
+
+    for tag, order in (("asc", F.col("doc_id")), ("desc", F.col("doc_id").desc())):
+        path = str(tmp_path / f"lsh_{tag}")
+        prep = dedup.lsh_band_keys_narrow(d, "doc_id", "text", k=8, bands=2)
+        # one file per row-group of the ordered frame -> deterministic-ish
+        # multi-batch replay; order differs between the two runs
+        prep.orderBy(order).coalesce(1).write.mode("overwrite").parquet(path)
+        stream = (
+            spark.readStream.schema(prep.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        q = si.to_memory_sink(
+            si.stateful_lsh_neardup(stream, threshold=0.5),
+            f"lshnd_{tag}",
+            output_mode="append",
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in spark.table(f"lshnd_{tag}").distinct().collect()
+        }
+        assert got == batch_pairs, tag
+
+
 def test_stream_interval_join_matches_batch(spark, tmp_path):
     """Stream-stream interval join (purchases x preceding clicks per user)
     equals the same join run in batch — the batch run is the oracle."""
