@@ -216,6 +216,148 @@ def kafka_avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUPPLIER_PROTO_V1 = """
+syntax = "proto3";
+message SupplierEvo {
+  int64 s_suppkey = 1;
+  string s_name = 2;
+}
+"""
+_SUPPLIER_PROTO_V2 = """
+syntax = "proto3";
+message SupplierEvo {
+  int64 s_suppkey = 1;
+  string s_name = 2;
+  string s_note = 3;
+}
+"""
+
+
+@register(
+    "kafka_proto_evolution",
+    # even keys written under v1 (no s_note field on the wire -> proto3
+    # default ''), odd under v2; the reader is the registry's LATEST (v2).
+    # Protobuf evolution needs no writer schema at all: field numbers are
+    # self-describing, unknown numbers are skipped, absent fields take
+    # proto3 defaults.
+    oracle="""
+        SELECT s_suppkey, s_name,
+               CASE WHEN s_suppkey % 2 = 0 THEN ''
+                    ELSE 'note-' || s_name END AS s_note,
+               CAST(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS writer_sid
+        FROM supplier
+    """,
+    tags=("ingest", "kafka", "protobuf", "evolution"),
+)
+def kafka_proto_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf schema evolution (the reference's registry-driven decode,
+    KwackEngine.java:126,1037-1045, applied to proto): old-writer records
+    decode against the latest reader — absent field numbers surface as
+    proto3 defaults, unknown numbers are skipped — and the per-record
+    writer id still surfaces via rowinfo.vsi."""
+    reg = MockSchemaRegistry()
+    sid_v1 = reg.register("supplier_evo-value", _SUPPLIER_PROTO_V1, "PROTOBUF")
+    sid_v2 = reg.register("supplier_evo-value", _SUPPLIER_PROTO_V2, "PROTOBUF")
+    desc_v1 = proto_schema.resolve(
+        proto_schema.parse_proto(_SUPPLIER_PROTO_V1), "SupplierEvo"
+    )
+    desc_v2 = proto_schema.resolve(
+        proto_schema.parse_proto(_SUPPLIER_PROTO_V2), "SupplierEvo"
+    )
+
+    def enc(rec):
+        if rec.s_suppkey % 2 == 0:
+            values = {"s_suppkey": int(rec.s_suppkey), "s_name": rec.s_name}
+            body = proto_schema.encode_message(values, desc_v1)
+            return None, ks.confluent_frame(b"\x00" + body, sid_v1)
+        values = {
+            "s_suppkey": int(rec.s_suppkey),
+            "s_name": rec.s_name,
+            "s_note": "note-" + rec.s_name,
+        }
+        body = proto_schema.encode_message(values, desc_v2)
+        return None, ks.confluent_frame(b"\x00" + body, sid_v2)
+
+    frames = _to_frames(T(spark, sf_dir, "supplier"), enc, "supplier_evo")
+    decoded = ks.decode_topic(
+        frames,
+        "supplier_evo",
+        value_serde=Serde(kind="latest"),
+        registry=reg,
+        row_attributes=("vsi", "par", "off"),
+    )
+    return decoded.select(
+        "s_suppkey",
+        "s_name",
+        "s_note",
+        F.col("rowinfo.vsi").cast("long").alias("writer_sid"),
+    )
+
+
+_SUPPLIER_JS_V1 = {
+    "type": "object",
+    "properties": {
+        "s_suppkey": {"type": "integer"},
+        "s_name": {"type": "string"},
+    },
+}
+_SUPPLIER_JS_V2 = {
+    "type": "object",
+    "properties": {
+        "s_suppkey": {"type": "integer"},
+        "s_name": {"type": "string"},
+        "s_extra": {"type": ["string", "null"]},
+    },
+}
+
+
+@register(
+    "kafka_jsonschema_evolution",
+    # JSON Schema evolution: decode is by property name, so v1 payloads
+    # simply lack the new property -> NULL under the latest (v2) reader
+    oracle="""
+        SELECT s_suppkey, s_name,
+               CASE WHEN s_suppkey % 2 = 1 THEN 'x-' || s_name END AS s_extra,
+               CAST(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS writer_sid
+        FROM supplier
+    """,
+    tags=("ingest", "kafka", "jsonschema", "evolution"),
+)
+def kafka_jsonschema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Schema evolution under the latest reader: name-addressed decode
+    means old writers' records surface new properties as NULL; writer id
+    still recorded per record via rowinfo.vsi."""
+    reg = MockSchemaRegistry()
+    sid_v1 = reg.register("supplier_js_evo-value", json.dumps(_SUPPLIER_JS_V1), "JSON")
+    sid_v2 = reg.register("supplier_js_evo-value", json.dumps(_SUPPLIER_JS_V2), "JSON")
+
+    def enc(rec):
+        if rec.s_suppkey % 2 == 0:
+            doc = {"s_suppkey": int(rec.s_suppkey), "s_name": rec.s_name}
+            return None, ks.confluent_frame(json.dumps(doc).encode(), sid_v1)
+        doc = {
+            "s_suppkey": int(rec.s_suppkey),
+            "s_name": rec.s_name,
+            "s_extra": "x-" + rec.s_name,
+        }
+        return None, ks.confluent_frame(json.dumps(doc).encode(), sid_v2)
+
+    frames = _to_frames(T(spark, sf_dir, "supplier"), enc, "supplier_js_evo")
+    decoded = ks.decode_topic(
+        frames,
+        "supplier_js_evo",
+        value_serde=Serde(kind="latest"),
+        registry=reg,
+        row_attributes=("vsi", "par", "off"),
+    )
+    return decoded.select(
+        "s_suppkey",
+        "s_name",
+        "s_extra",
+        F.col("rowinfo.vsi").cast("long").alias("writer_sid"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # rowinfo metadata fidelity (top/par/off/ts/tst/hdr, headers last-wins)
 # ---------------------------------------------------------------------------

@@ -80,6 +80,8 @@ _PRIORITY = [
     "approx_count_distinct",
     "ann_lsh_bucketed",
     # round-4 additions — new operator classes graded early
+    "kafka_proto_evolution",
+    "kafka_jsonschema_evolution",
     "streaming_lsh_neardup",
     "ann_pq_topk",
     "dedup_incremental_lsh",
