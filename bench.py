@@ -49,6 +49,11 @@ HEADLINE = [
     "length_percentile_trim",
     "dedup_containment",
     "semantic_dedup_verify",
+    # round-4 operators
+    "ann_pq_topk",
+    "dedup_incremental_lsh",
+    "shard_assignment_stats",
+    "streaming_lsh_neardup",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

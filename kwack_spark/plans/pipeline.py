@@ -1390,6 +1390,50 @@ def streaming_lsh_neardup(spark, sf_dir):
     return spark.table(sink).distinct()
 
 
+@register(
+    "streaming_static_enrich",
+    # stream-static join: each micro-batch of the event stream is enriched
+    # against a STATIC dimension (re-read per batch, broadcast by Catalyst
+    # when small) — no watermark or state store involved, so append mode
+    # emits enriched rows as they arrive and the result equals the batch join
+    oracle="""
+        SELECT e.event_id, e.user_id, n.n_name AS nation_name
+        FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    """,
+    tags=("streaming", "join", "static"),
+)
+def streaming_static_enrich(spark, sf_dir):
+    """Stream-static enrichment (the lookup-table half of §2.C): the events
+    stream inner-joins the nation dimension; the static side is planned as a
+    broadcast hash join inside every micro-batch, which is exactly the 100 TB
+    shape — a small dim broadcast to every executor while the stream
+    partitions flow through unshuffled."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.streaming import ingest as si
+
+    e = T(spark, sf_dir, "events").select("event_id", "user_id")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    replay_dir = tempfile.mkdtemp(prefix="kwack_enrich_replay_")
+    e.repartition(2).write.mode("overwrite").parquet(replay_dir)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    enriched = stream.join(
+        F.broadcast(n), (F.col("user_id") % 25) == F.col("n_nationkey")
+    ).select("event_id", "user_id", F.col("n_name").alias("nation_name"))
+    sink = f"enrich_{uuid.uuid4().hex[:8]}"
+    with _few_shuffle_partitions(spark):
+        q = si.to_memory_sink(enriched, sink, output_mode="append")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_static_enrich: stream did not finish in 300s")
+    return spark.table(sink)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary plumbing
 # ---------------------------------------------------------------------------

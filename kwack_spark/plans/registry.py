@@ -83,6 +83,7 @@ _PRIORITY = [
     "kafka_proto_evolution",
     "kafka_jsonschema_evolution",
     "streaming_lsh_neardup",
+    "streaming_static_enrich",
     "ann_pq_topk",
     "dedup_incremental_lsh",
     "dedup_lsh_edit_verify",
