@@ -1810,6 +1810,71 @@ def split_train_val_test(spark, sf_dir):
 
 
 @register(
+    "udx_chunk_vowels",
+    # §2.D surface: UDTF (word chunker, lateral fan-out) -> vectorized
+    # pandas UDF (vowel count per chunk) -> GROUPED_AGG pandas UDAF
+    # (max-min span per doc).  All-integer outputs, so the oracle is exact.
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        starts AS (
+            SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 20)) AS i
+            FROM toks WHERE len(tk) > 0
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   array_to_string(
+                       list_slice(tk, i, least(i + 19, len(tk))), ' '
+                   ) AS chunk
+            FROM starts
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(length(chunk)
+                        - length(regexp_replace(chunk, '[aeiou]', '', 'g'))
+                        AS BIGINT) AS vowels
+            FROM chunks
+        )
+        SELECT doc_id, count(*) AS n_chunks,
+               CAST(sum(vowels) AS BIGINT) AS total_vowels,
+               CAST(max(vowels) - min(vowels) AS BIGINT) AS vowel_span
+        FROM scored GROUP BY doc_id
+    """,
+    tags=("udf", "udtf", "udaf"),
+)
+def udx_chunk_vowels(spark, sf_dir):
+    """The full §2.D UDx surface in one plan: a Python UDTF fans each doc
+    into 20-word chunks (lateral join, same narrow stage as the scan), an
+    Arrow-vectorized pandas UDF scores each chunk, and a GROUPED_AGG pandas
+    UDAF reduces per doc.  Everything Python is Arrow-batched — no
+    row-at-a-time UDFs anywhere."""
+    from kwack_spark.functions import udx
+
+    udx.register_udx(spark)
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", TX.normalize("text").alias("nt")
+    )
+    d.createOrReplaceTempView("udx_docs")
+    chunked = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, kw_vowel_count(c.chunk) AS vowels
+        FROM udx_docs d, LATERAL kw_chunk_words(d.nt, 20) c
+        """
+    )
+    # a GROUPED_AGG pandas UDAF cannot share an agg() with built-in
+    # aggregates — two groupBys over the same shuffle key, joined back
+    # (AQE plans the join shuffle-free since both sides are partitioned
+    # on doc_id already)
+    stats = chunked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("vowels").cast("bigint").alias("total_vowels"),
+    )
+    spans = chunked.groupBy("doc_id").agg(
+        F.expr("kw_int_span(vowels)").alias("vowel_span")
+    )
+    return stats.join(spans, "doc_id")
+
+
+@register(
     "shard_assignment_stats",
     # the training-data WRITE path: every doc is assigned one of 16 output
     # shards by the first hex nibble of a keyed md5 — deterministic across

@@ -84,6 +84,7 @@ _PRIORITY = [
     "kafka_jsonschema_evolution",
     "streaming_lsh_neardup",
     "streaming_static_enrich",
+    "udx_chunk_vowels",
     "ann_pq_topk",
     "dedup_incremental_lsh",
     "dedup_lsh_edit_verify",
