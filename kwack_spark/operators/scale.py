@@ -32,17 +32,23 @@ def bucket_table(
     name: str,
     keys: list[str],
     num_buckets: int = 32,
+    path: str | None = None,
 ) -> DataFrame:
     """Persist df bucketed+sorted by keys; returns the bucketed table.
     Joins between tables bucketed identically on the join key produce no
-    Exchange (verified in tests by plan inspection)."""
-    (
+    Exchange (verified in tests by plan inspection).  ``path`` writes to an
+    explicit location (works under any caller session's warehouse dir —
+    bucketing metadata requires the catalog, so saveAsTable is mandatory
+    either way)."""
+    w = (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, *keys)
         .sortBy(*keys)
         .format("parquet")
-        .saveAsTable(name)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
     return spark.table(name)
 
 

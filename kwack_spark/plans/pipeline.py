@@ -2117,6 +2117,90 @@ def source_cap_sample(spark, sf_dir):
     )
 
 
+@register(
+    "scale_salted_join",
+    # skew-mitigated join graded for CORRECTNESS: the salted plan's output
+    # must equal the plain join.  Left side salted by retry-stable xxhash64,
+    # right side replicated per salt; the shuffle spreads every hot key over
+    # 8 partitions.  Aggregated to a compact, decimal-exact result.
+    oracle="""
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("scale", "join", "skew"),
+)
+def scale_salted_join(spark, sf_dir):
+    """Salting under the oracle gate (operators/scale.py:salted_join): the
+    anti-skew rewrite is only admissible because its result is IDENTICAL to
+    the plain join — this query proves it on real data.  At 100 TB salting
+    is the manual fallback when AQE's skew splitting can't help (e.g. a
+    single key above the split threshold inside one reducer)."""
+    from kwack_spark.operators import scale
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_quantity"
+    )
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    joined = scale.salted_join(li, o, "orderkey", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(38,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@register(
+    "scale_bucketed_join",
+    # bucketed co-located join graded for CORRECTNESS: both sides written
+    # bucketed+sorted on the join key (explicit path, so it works under any
+    # caller session's warehouse), then joined with zero Exchange (the plan
+    # property test_scale_patterns pins); the result must equal the plain
+    # join.
+    oracle="""
+        SELECT o.o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+    """,
+    tags=("scale", "join", "bucketed"),
+)
+def scale_bucketed_join(spark, sf_dir):
+    """Bucketed tables as the zero-shuffle join strategy, graded end to end:
+    write lineitem and orders bucketed identically on the order key, join
+    the bucketed tables, aggregate with exact decimals.  At 100 TB this is
+    the repeated-join workhorse — pay one bucketed write, then every later
+    join on that key is exchange-free."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.operators import scale
+
+    tag = uuid.uuid4().hex[:8]
+    tmp = tempfile.mkdtemp(prefix="kwack_bucketed_")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    lb = scale.bucket_table(
+        spark, li, f"li_b_{tag}", ["l_orderkey"], num_buckets=8, path=f"{tmp}/li"
+    )
+    ob = scale.bucket_table(
+        spark, o, f"o_b_{tag}", ["o_orderkey"], num_buckets=8, path=f"{tmp}/o"
+    )
+    joined = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-3 curation operators: TF-IDF, percentile trim, mixture rebalance,
 # per-label embedding centroids

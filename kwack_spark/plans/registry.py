@@ -85,6 +85,8 @@ _PRIORITY = [
     "streaming_lsh_neardup",
     "streaming_static_enrich",
     "udx_chunk_vowels",
+    "scale_salted_join",
+    "scale_bucketed_join",
     "ann_pq_topk",
     "dedup_incremental_lsh",
     "dedup_lsh_edit_verify",
