@@ -227,6 +227,52 @@ def ivf_topk(
     ).select("query_id", "corpus_id", "cosine", "rank")
 
 
+def _pq_reconstruct(c: DataFrame, m: int, ksub: int, dsub: int) -> DataFrame:
+    """PQ encode + decode: ``(corpus_id, v)`` -> ``(corpus_id, xhat)`` where
+    xhat is the vector reconstructed from the nearest code per subspace.
+    Codebook = the s-th subvectors of the ``ksub`` lowest-id vectors."""
+    seeds = (
+        c.orderBy("corpus_id")
+        .limit(ksub)
+        .select(
+            "v",
+            (
+                F.row_number().over(Window.orderBy("corpus_id")) - F.lit(1)
+            ).alias("code_id"),
+        )
+    )
+    sub = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
+    codebook = seeds.select("code_id", sub, "v").select(
+        "s", "code_id", F.expr(f"slice(v, s * {dsub} + 1, {dsub})").alias("cv")
+    )
+
+    corpus_sub = c.select("corpus_id", sub, "v").select(
+        "corpus_id", "s", F.expr(f"slice(v, s * {dsub} + 1, {dsub})").alias("xv")
+    )
+    # argmin_code L2²(xv, cv) = dot(xv,xv) - 2·dot(xv,cv) + dot(cv,cv):
+    # three fixed-order folds + fixed-shape arithmetic -> bit-identical
+    # distances across engines, so the argmin (tie -> smaller code) agrees.
+    dist = (
+        V.dot(F.col("xv"), F.col("xv"))
+        - F.lit(2.0) * V.dot(F.col("xv"), F.col("cv"))
+        + V.dot(F.col("cv"), F.col("cv"))
+    )
+    codes = (
+        corpus_sub.join(F.broadcast(codebook), "s")
+        .select("corpus_id", "s", "code_id", "cv", dist.alias("d"))
+        .groupBy("corpus_id", "s")
+        .agg(F.min_by("cv", F.struct(F.col("d"), F.col("code_id"))).alias("cv"))
+    )
+    return (
+        codes.groupBy("corpus_id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "cv"))).alias("scv"))
+        .select(
+            "corpus_id",
+            F.flatten(F.transform("scv", lambda e: e.getField("cv"))).alias("xhat"),
+        )
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -261,51 +307,82 @@ def pq_topk(
     dsub = dim // m
     c = corpus.select(F.col(id_col).alias("corpus_id"), V.as_double(vec_col).alias("v"))
     q = queries.select(F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv"))
-
-    seeds = (
-        c.orderBy("corpus_id")
-        .limit(ksub)
-        .select(
-            "v",
-            (
-                F.row_number().over(Window.orderBy("corpus_id")) - F.lit(1)
-            ).alias("code_id"),
-        )
-    )
-    sub = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
-    codebook = seeds.select("code_id", sub, "v").select(
-        "s", "code_id", F.expr(f"slice(v, s * {dsub} + 1, {dsub})").alias("cv")
-    )
-
-    corpus_sub = c.select("corpus_id", sub, "v").select(
-        "corpus_id", "s", F.expr(f"slice(v, s * {dsub} + 1, {dsub})").alias("xv")
-    )
-    # argmin_code L2²(xv, cv) = dot(xv,xv) - 2·dot(xv,cv) + dot(cv,cv):
-    # three fixed-order folds + fixed-shape arithmetic -> bit-identical
-    # distances across engines, so the argmin (tie -> smaller code) agrees.
-    dist = (
-        V.dot(F.col("xv"), F.col("xv"))
-        - F.lit(2.0) * V.dot(F.col("xv"), F.col("cv"))
-        + V.dot(F.col("cv"), F.col("cv"))
-    )
-    codes = (
-        corpus_sub.join(F.broadcast(codebook), "s")
-        .select("corpus_id", "s", "code_id", "cv", dist.alias("d"))
-        .groupBy("corpus_id", "s")
-        .agg(F.min_by("cv", F.struct(F.col("d"), F.col("code_id"))).alias("cv"))
-    )
-    recon = (
-        codes.groupBy("corpus_id")
-        .agg(F.array_sort(F.collect_list(F.struct("s", "cv"))).alias("scv"))
-        .select(
-            "corpus_id",
-            F.flatten(F.transform("scv", lambda e: e.getField("cv"))).alias("xhat"),
-        )
-    )
+    recon = _pq_reconstruct(c, m, ksub, dsub)
 
     scored = recon.join(
         F.broadcast(q), F.col("query_id") != F.col("corpus_id")
     ).select("query_id", "corpus_id", V.dot(F.col("qv"), F.col("xhat")).alias("adc"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), "corpus_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "adc", "rank")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ — the production ANN index architecture at 100 TB: IVF limits
+    WHICH vectors each query scores (probe ``n_probe`` of ``n_lists``
+    inverted lists ≈ n_probe/n_lists of the corpus), PQ limits WHAT is
+    stored per vector (m code bytes instead of dim floats, a 32x memory
+    cut).  Compose both and a trillion-vector index fits a cluster and each
+    query touches a bounded slice of it.
+
+    Deterministic everywhere (lowest-id IVF seeds, lowest-id PQ codebooks,
+    fixed-order folds), so the full pipeline is SQL-expressible: the DuckDB
+    oracle replays assign -> encode -> probe -> ADC-score bit-for-bit.
+
+    Scale shape: centroids and codebooks broadcast; corpus makes one
+    narrow pass for assignment + one for encoding; candidates shuffle on
+    list_id; final top-k is k rows per query."""
+    c = corpus.select(F.col(id_col).alias("corpus_id"), V.as_double(vec_col).alias("v"))
+    q = queries.select(F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv"))
+
+    cents = (
+        c.orderBy("corpus_id")
+        .limit(n_lists)
+        .select(F.col("corpus_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .select("corpus_id", "cid", V.cosine(F.col("v"), F.col("cv")).alias("cc"))
+        .groupBy("corpus_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("cc"), (-F.col("cid")).alias("n"))).alias(
+                "list_id"
+            )
+        )
+    )
+    recon = _pq_reconstruct(c, m, ksub, dim // m)
+    coded = assigned.join(recon, "corpus_id")
+
+    scored_q = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cid", V.cosine(F.col("qv"), F.col("cv")).alias("qc")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qc"), "cid")
+    probes = (
+        scored_q.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", F.col("cid").alias("list_id"))
+    )
+
+    cand = probes.join(coded, "list_id").filter(
+        F.col("query_id") != F.col("corpus_id")
+    )
+    scored = cand.select(
+        "query_id", "corpus_id", V.dot(F.col("qv"), F.col("xhat")).alias("adc")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), "corpus_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -588,6 +588,95 @@ def ann_pq_topk(spark, sf_dir):
     return similarity.pq_topk(e, e, "vec_id", "embedding", k=3, m=8, ksub=16, dim=64)
 
 
+@register(
+    "ann_ivf_pq_topk",
+    # IVF-PQ composed: probe 4 of 16 inverted lists (IVF bounds WHICH
+    # vectors are scored), score by ADC over PQ-reconstructed vectors (PQ
+    # bounds WHAT is stored) — the production trillion-vector index shape,
+    # replayed deterministically in SQL
+    oracle="""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (
+            SELECT vec_id AS cid, v AS cv FROM v ORDER BY vec_id LIMIT 16
+        ),
+        assigned AS (
+            SELECT corpus_id, cid AS list_id FROM (
+                SELECT a.vec_id AS corpus_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_dot_product(a.v, c.cv)
+                                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                    c.cid
+                       ) AS rn
+                FROM v a CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        seeds AS (
+            SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code_id
+            FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 16)
+        ),
+        sub AS (SELECT unnest(range(0, 8)) AS s),
+        codebook AS (
+            SELECT sub.s, seeds.code_id,
+                   list_slice(seeds.v, sub.s * 8 + 1, sub.s * 8 + 8) AS cv
+            FROM seeds CROSS JOIN sub
+        ),
+        corpus_sub AS (
+            SELECT a.vec_id AS corpus_id, sub.s,
+                   list_slice(a.v, sub.s * 8 + 1, sub.s * 8 + 8) AS xv
+            FROM v a CROSS JOIN sub
+        ),
+        codes AS (
+            SELECT corpus_id, s, cv FROM (
+                SELECT cs.corpus_id, cs.s, cb.cv,
+                       row_number() OVER (
+                           PARTITION BY cs.corpus_id, cs.s
+                           ORDER BY list_dot_product(cs.xv, cs.xv)
+                                    - 2.0 * list_dot_product(cs.xv, cb.cv)
+                                    + list_dot_product(cb.cv, cb.cv),
+                                    cb.code_id
+                       ) AS rn
+                FROM corpus_sub cs JOIN codebook cb USING (s)
+            ) WHERE rn = 1
+        ),
+        recon AS (
+            SELECT corpus_id, flatten(list(cv ORDER BY s)) AS xhat
+            FROM codes GROUP BY corpus_id
+        ),
+        probes AS (
+            SELECT query_id, qv, cid AS list_id FROM (
+                SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.v, c.cv)
+                                    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                    c.cid
+                       ) AS rn
+                FROM v q CROSS JOIN cents c
+            ) WHERE rn <= 4
+        )
+        SELECT query_id, corpus_id, adc, rank FROM (
+            SELECT p.query_id, a.corpus_id,
+                   list_dot_product(p.qv, r.xhat) AS adc,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY list_dot_product(p.qv, r.xhat) DESC, a.corpus_id
+                   ) AS rank
+            FROM probes p
+            JOIN assigned a USING (list_id)
+            JOIN recon r ON r.corpus_id = a.corpus_id
+            WHERE p.query_id <> a.corpus_id
+        ) WHERE rank <= 3
+    """,
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def ann_ivf_pq_topk(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        e, e, "vec_id", "embedding", k=3, n_lists=16, n_probe=4, m=8, ksub=16, dim=64
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -2040,6 +2129,88 @@ def chunk_documents(spark, sf_dir):
         "chunk_id",
         F.array_join(sl, " ").alias("chunk_text"),
         F.size(sl).alias("n_chunk_tokens"),
+    )
+
+
+@register(
+    "passage_dedup_rewrite",
+    # corpus-level repeated-passage removal WITH document rewrite (the
+    # C4/MassiveText cleanup): 20-word passages, global first occurrence
+    # (ordered by doc_id, position) keeps its place, every later copy is
+    # cut, and each document is reassembled from its surviving passages.
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        d AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
+        s AS (
+            SELECT doc_id, tk,
+                   unnest(generate_series(0, len(tk) - 1, 20)) AS start
+            FROM d
+        ),
+        chunks AS (
+            SELECT doc_id, CAST(start // 20 AS INTEGER) AS chunk_id,
+                   array_to_string(tk[start + 1 : start + 20], ' ') AS chunk
+            FROM s
+        ),
+        ranked AS (
+            SELECT doc_id, chunk_id, chunk,
+                   row_number() OVER (
+                       PARTITION BY md5(chunk) ORDER BY doc_id, chunk_id
+                   ) AS occ
+            FROM chunks
+        )
+        SELECT doc_id,
+               nullif(string_agg(chunk, ' ' ORDER BY chunk_id)
+                          FILTER (WHERE occ = 1), '') AS clean_text,
+               CAST(count(*) FILTER (WHERE occ = 1) AS BIGINT) AS n_kept,
+               CAST(count(*) FILTER (WHERE occ > 1) AS BIGINT) AS n_dropped
+        FROM ranked
+        GROUP BY doc_id
+    """,
+    tags=("dedup", "passage", "rewrite"),
+)
+def passage_dedup_rewrite(spark, sf_dir):
+    """Repeated-passage removal with reassembly: chunk every doc into
+    20-word passages (narrow), find each passage's global first occurrence
+    with one window over the passage hash (one shuffle, uniformly
+    distributed md5 keys), then rebuild documents from surviving passages
+    (one shuffle back on doc_id).  Two shuffles total at any scale — the
+    passage table never materializes more than (corpus tokens / 20) rows."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens("text").alias("tk")).where(F.size("tk") > 0)
+    s = toks.select(
+        "doc_id",
+        "tk",
+        F.posexplode(F.sequence(F.lit(0), F.size("tk") - 1, F.lit(20))).alias(
+            "chunk_id", "start"
+        ),
+    )
+    chunks = s.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(F.slice("tk", F.col("start") + 1, F.lit(20)), " ").alias("chunk"),
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_id")
+    ranked = chunks.withColumn("occ", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("occ") == 1, F.struct(F.col("chunk_id"), F.col("chunk"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.nullif(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda e: e.getField("chunk"),
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("occ") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("occ") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
     )
 
 

@@ -88,6 +88,8 @@ _PRIORITY = [
     "scale_salted_join",
     "scale_bucketed_join",
     "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "passage_dedup_rewrite",
     "dedup_incremental_lsh",
     "dedup_lsh_edit_verify",
     "shard_assignment_stats",
