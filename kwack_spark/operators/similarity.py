@@ -304,14 +304,54 @@ def pq_topk(
     broadcast codebook + per-(vector,subspace) min_by); scoring streams the
     code table against broadcast queries; final top-k is one k-rows-per-
     query shuffle."""
+    import numpy as np
+    import pandas as pd
+
     dsub = dim // m
     c = corpus.select(F.col(id_col).alias("corpus_id"), V.as_double(vec_col).alias("v"))
     q = queries.select(F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv"))
     recon = _pq_reconstruct(c, m, ksub, dsub)
 
-    scored = recon.join(
-        F.broadcast(q), F.col("query_id") != F.col("corpus_id")
-    ).select("query_id", "corpus_id", V.dot(F.col("qv"), F.col("xhat")).alias("adc"))
+    # Scoring follows brute_force_topk_vectorized's two-stage shape: the
+    # (tiny: m*ksub*dsub doubles per vector -> reconstructed) code table is
+    # collected once and broadcast, queries stream partition-parallel doing
+    # one BLAS matmul per Arrow batch and emitting only candidate ids; the
+    # survivors are re-scored JVM-side with the same sequential fold the
+    # oracle uses, so output stays bit-exact while the O(n_q*n_c) work is
+    # BLAS.  In production the broadcast is the PQ *code* table (m bytes per
+    # vector — the whole point), decoded against the codebook per batch.
+    rows = recon.limit(MAX_BROADCAST_INDEX_ROWS + 1).collect()
+    if len(rows) > MAX_BROADCAST_INDEX_ROWS:
+        raise ValueError(
+            f"PQ index exceeds {MAX_BROADCAST_INDEX_ROWS} rows; "
+            "pair with IVF lists (ivf_pq_topk) beyond the broadcast cap"
+        )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def topk_ids(batches):
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            q_ids = pdf["query_id"].to_numpy(dtype=np.int64)
+            qm = np.array([list(v) for v in pdf["qv"]], dtype=np.float64)
+            scores = qm @ c_mat.T  # raw asymmetric-distance dot, no normalize
+            out_q, out_c = [], []
+            for qi in range(len(q_ids)):
+                s = scores[qi]
+                mask = c_ids != q_ids[qi]
+                order = np.lexsort((c_ids[mask], -s[mask]))[:k]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_c.extend(c_ids[mask][order])
+            yield pd.DataFrame({"query_id": out_q, "corpus_id": out_c})
+
+    cand = q.mapInPandas(topk_ids, "query_id long, corpus_id long")
+    scored = (
+        cand.join(q, "query_id")
+        .join(recon, "corpus_id")
+        .select("query_id", "corpus_id", V.dot(F.col("qv"), F.col("xhat")).alias("adc"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), "corpus_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
