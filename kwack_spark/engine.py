@@ -90,10 +90,12 @@ class KwackSpark:
         if not os.path.isdir(wd):
             os.makedirs(wd, exist_ok=True)
             return
+        from kwack_spark.session import register_view
+
         for name in os.listdir(wd):
             path = os.path.join(wd, name)
             if os.path.isdir(path):
-                self.spark.read.parquet(path).createOrReplaceTempView(name)
+                register_view(self.spark.read.parquet(path), name)
 
     def persist_table(self, name: str, df: DataFrame | None = None) -> None:
         """Persist a registered view (or given DataFrame) into the warehouse
@@ -102,8 +104,10 @@ class KwackSpark:
             raise ValueError("no warehouse_dir configured (the -d equivalent)")
         df = df if df is not None else self.spark.table(name)
         path = os.path.join(self.config.warehouse_dir, name)
+        from kwack_spark.session import register_view
+
         df.write.mode("overwrite").parquet(path)
-        self.spark.read.parquet(path).createOrReplaceTempView(name)
+        register_view(self.spark.read.parquet(path), name)
 
     def register_live_topic(
         self,
@@ -139,7 +143,22 @@ class KwackSpark:
             row_attributes=self.config.row_attributes,
             skip_bytes=self.config.skip_bytes,
         )
-        q = si.to_memory_sink(decoded, topic, continuous=True)
+        import hashlib
+        import re
+
+        # memory-sink query names must be plain identifiers; dashed/dotted
+        # topics get an internal sink name plus a backticked alias view
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", topic):
+            sink = topic
+        else:
+            sink = "_kw_live_" + hashlib.md5(topic.encode()).hexdigest()[:10]
+        q = si.to_memory_sink(decoded, sink, continuous=True)
+        if sink != topic:
+            escaped = topic.replace("`", "``")
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW `{escaped}` "
+                f"AS SELECT * FROM {sink}"
+            )
         self._live_queries[topic] = q
         return q
 

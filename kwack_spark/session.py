@@ -51,3 +51,24 @@ def get_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def register_view(df, name: str) -> None:
+    """Register ``df`` as a temp view named ``name``, accepting names that
+    are not plain SQL identifiers.  Kafka topic names may contain '.' and
+    '-' (the reference's testBadName/'test-json' topics simply get quoted in
+    DuckDB); Spark's Python createOrReplaceTempView validates the name, but
+    a SQL-defined view with a backticked identifier is legal — so register
+    the DataFrame under an internal name and alias it."""
+    import hashlib
+    import re
+
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        df.createOrReplaceTempView(name)
+        return
+    internal = "_kw_" + hashlib.md5(name.encode()).hexdigest()[:10]
+    df.createOrReplaceTempView(internal)
+    escaped = name.replace("`", "``")
+    df.sparkSession.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW `{escaped}` AS SELECT * FROM {internal}"
+    )

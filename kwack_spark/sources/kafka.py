@@ -617,6 +617,8 @@ def register_topics(
             skip_bytes=skip_bytes,
             on_error=on_error,
         )
-        decoded.createOrReplaceTempView(topic)
+        from kwack_spark.session import register_view
+
+        register_view(decoded, topic)
         out[topic] = decoded
     return out

@@ -334,3 +334,49 @@ def test_null_key_and_value_non_struct_table(spark):
     assert row.rowkey is None
     assert row.rowval is None
     assert row.rowinfo.off == 0
+
+
+def test_bad_name_topic_and_reserved_fields(spark):
+    """The reference's testBadName (JsonSchemaTest.java:165-181): a dashed
+    topic name ('test-json') and SQL-reserved nested field names (group,
+    order) must survive registration and be queryable with quoting.  Spark's
+    Python view API rejects dashed names, so register_view aliases a
+    backticked SQL view over an internal name."""
+    from kwack_spark.session import register_view
+
+    js = {
+        "type": "object",
+        "properties": {
+            "id": {"type": "integer"},
+            "badName": {
+                "type": "object",
+                "properties": {
+                    "name": {"type": "string"},
+                    "group": {"type": "integer"},
+                    "order": {"type": "integer"},
+                },
+            },
+        },
+    }
+    reg = MockSchemaRegistry()
+    sid = reg.register("test-json-value", json.dumps(js), "JSON")
+    payloads = [
+        ks.confluent_frame(
+            json.dumps({"id": i, "badName": {"name": "hi", "group": 1, "order": 2}}).encode(),
+            sid,
+        )
+        for i in range(2)
+    ]
+    frames = make_frames(spark, payloads, topic="test-json")
+    decoded = ks.decode_topic(
+        frames, "test-json", value_serde=Serde(kind="latest"), registry=reg
+    )
+    register_view(decoded, "test-json")
+    rows = spark.sql(
+        "SELECT id, badName.name, badName.`group`, badName.`order` "
+        "FROM `test-json` ORDER BY id"
+    ).collect()
+    assert [(r[0], r[1], r[2], r[3]) for r in rows] == [
+        (0, "hi", 1, 2),
+        (1, "hi", 1, 2),
+    ]
