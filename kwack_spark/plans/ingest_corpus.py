@@ -458,6 +458,46 @@ def kafka_tombstone_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("n_nationkey", "n_name")
 
 
+@register(
+    "kafka_poison_skip",
+    # poison-record tolerance graded end to end: every 7th record's payload
+    # is garbage bytes under a valid Confluent preamble; on_error='skip'
+    # drops exactly those and decodes the rest — the job must not die on one
+    # bad record in a billion
+    oracle="""
+        SELECT n_nationkey, n_name FROM nation WHERE n_nationkey % 7 <> 0
+    """,
+    tags=("ingest", "kafka", "errors"),
+)
+def kafka_poison_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_topic(on_error='skip') under the correctness gate: corrupt
+    payloads (truncated Avro body) are skipped, everything else decodes —
+    the tolerance switch a 100 TB backfill needs, where re-running the whole
+    job for one producer bug is not an option."""
+    reg = MockSchemaRegistry()
+    sid = reg.register("nation_poison-value", json.dumps(_NATION_V1), "AVRO")
+
+    def enc(rec):
+        if rec.n_nationkey % 7 == 0:
+            # valid frame preamble, garbage body -> decoder error
+            return None, ks.confluent_frame(b"\xff\xfe", sid)
+        payload = avro_schema.encode(
+            {"n_nationkey": int(rec.n_nationkey), "n_name": rec.n_name}, _NATION_V1
+        )
+        return None, ks.confluent_frame(payload, sid)
+
+    frames = _to_frames(T(spark, sf_dir, "nation"), enc, "nation_poison")
+    decoded = ks.decode_topic(
+        frames,
+        "nation_poison",
+        value_serde=Serde(kind="latest"),
+        registry=reg,
+        row_attributes=("par", "off"),
+        on_error="skip",
+    )
+    return decoded.select("n_nationkey", "n_name")
+
+
 # ---------------------------------------------------------------------------
 # JSON Schema roundtrip (allOf + tag injection exercised in tests; here the
 # plain object path over a bigger table)

@@ -82,6 +82,7 @@ _PRIORITY = [
     # round-4 additions — new operator classes graded early
     "kafka_proto_evolution",
     "kafka_jsonschema_evolution",
+    "kafka_poison_skip",
     "streaming_lsh_neardup",
     "streaming_static_enrich",
     "udx_chunk_vowels",
