@@ -2289,6 +2289,48 @@ def source_cap_sample(spark, sf_dir):
 
 
 @register(
+    "scale_heavy_hitters",
+    # corpus heavy hitters (vocabulary head) through the two-phase salted
+    # aggregation: the partial runs per (token, salt) so one hot token — and
+    # natural corpora are Zipfian, the head token IS hot — never lands on a
+    # single reducer; the final re-agg sees at most `salt` rows per token.
+    # Top-20 by (count desc, token) so the cut is deterministic.
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest({_toks()}) AS token FROM documents
+        ),
+        counts AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+        )
+        SELECT token, n FROM counts
+        ORDER BY n DESC, token LIMIT 20
+    """,
+    tags=("scale", "agg", "skew", "text"),
+)
+def scale_heavy_hitters(spark, sf_dir):
+    """Zipf-head token counts via operators/scale.py:salted_agg — the
+    skew-safe two-phase shape for hot grouping keys, graded for correctness
+    (output must equal the plain GROUP BY).  At 100 TB, partial counts per
+    (token, salt) bound any single reducer's load to 1/salt of the hottest
+    token before the tiny final re-agg."""
+    from kwack_spark.operators import scale
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(F.explode(TX.tokens("text")).alias("token"))
+    counts = scale.salted_agg(
+        tok,
+        ["token"],
+        [(F.count(F.lit(1)).alias("pn"), "sum", "n")],
+        salt=16,
+    )
+    return (
+        counts.select("token", F.col("n").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@register(
     "scale_salted_join",
     # skew-mitigated join graded for CORRECTNESS: the salted plan's output
     # must equal the plain join.  Left side salted by retry-stable xxhash64,

@@ -88,6 +88,7 @@ _PRIORITY = [
     "udx_chunk_vowels",
     "scale_salted_join",
     "scale_bucketed_join",
+    "scale_heavy_hitters",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
     "passage_dedup_rewrite",
