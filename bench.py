@@ -51,7 +51,9 @@ HEADLINE = [
     "semantic_dedup_verify",
     # round-4 operators
     "ann_pq_topk",
+    "ann_ivf_pq_topk",
     "dedup_incremental_lsh",
+    "passage_dedup_rewrite",
     "shard_assignment_stats",
     "streaming_lsh_neardup",
 ]

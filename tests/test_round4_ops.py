@@ -1,0 +1,104 @@
+"""Unit tests for the round-4 operators: incremental LSH, PQ, sharding,
+UDTF chunking — semantics pinned on small fixtures (the oracle suite covers
+the full corpus; these pin edge behavior)."""
+
+from pyspark.sql import functions as F
+
+from kwack_spark.operators import dedup, similarity
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (2, "the quick brown fox jumps over the lazy dog tonight"),
+    (3, "completely different text about spark streaming state"),
+    (4, "the quick brown fox jumps over the lazy dog today"),
+    (5, "unrelated words forming another distinct document body"),
+    (6, "the quick brown fox jumps over the lazy dog this week"),
+]
+
+
+def test_incremental_lsh_equals_full_lsh_cross_pairs(spark):
+    """incremental(history, batch) must equal the full self-join's pair set
+    restricted to (batch, history) pairs — the incremental path may skip
+    work, never change answers."""
+    d = spark.createDataFrame(DOCS, "doc_id long, text string")
+    hist = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    inc = {
+        (r.doc_id, r.hist_id, r.jaccard)
+        for r in dedup.incremental_lsh_new_dups(
+            hist, batch, "doc_id", "text", k=8, bands=2, threshold=0.3
+        ).collect()
+    }
+    full = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=8, bands=2, threshold=0.3
+    ).collect()
+    hist_ids = {2, 4, 6}
+    expect = set()
+    for r in full:
+        a, b = r.id_a, r.id_b
+        if (a in hist_ids) != (b in hist_ids):
+            batch_id, hist_id = (b, a) if a in hist_ids else (a, b)
+            expect.add((batch_id, hist_id, r.jaccard))
+    assert inc == expect
+    assert inc  # fixture must produce at least one cross near-dup
+
+
+def test_pq_seed_vectors_reconstruct_exactly(spark):
+    """A vector that seeds the codebook quantizes to itself in every
+    subspace, so its ADC score against any query equals the exact dot."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(8)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.pq_topk(e, e, "vec_id", "embedding", k=7, m=4, ksub=8, dim=16)
+    got = {(r.query_id, r.corpus_id): r.adc for r in out.collect()}
+    # with ksub == n, every vector is a seed -> reconstruction is exact
+    exact = {}
+    mats = {r[0]: [float(x) for x in r[1]] for r in e.select("vec_id", F.col("embedding").cast("array<double>")).collect()}
+    for qi, qv in mats.items():
+        for ci, cv in mats.items():
+            if qi != ci:
+                s = 0.0
+                for a, b in zip(qv, cv):
+                    s += a * b
+                exact[(qi, ci)] = s
+    for key, adc in got.items():
+        assert adc == exact[key], key
+
+
+def test_shard_assignment_deterministic_and_bounded(spark):
+    from kwack_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    fn = QUERIES["shard_assignment_stats"].fn
+    a = {(r.shard_id, r.n_docs) for r in fn(spark, "/root/testdata/sf0.001").collect()}
+    b = {(r.shard_id, r.n_docs) for r in fn(spark, "/root/testdata/sf0.001").collect()}
+    assert a == b
+    assert all(0 <= s < 16 for s, _ in a)
+
+
+def test_chunk_words_udtf(spark):
+    from kwack_spark.functions import udx
+
+    udx.register_udx(spark)
+    rows = spark.sql(
+        "SELECT * FROM kw_chunk_words('a b c d e', 2) ORDER BY chunk_idx"
+    ).collect()
+    assert [(r.chunk_idx, r.chunk) for r in rows] == [
+        (0, "a b"),
+        (1, "c d"),
+        (2, "e"),
+    ]
+    assert spark.sql("SELECT * FROM kw_chunk_words('', 2)").count() == 0
+
+
+def test_register_view_bad_names(spark):
+    from kwack_spark.session import register_view
+
+    df = spark.range(3)
+    for name in ("dotted.name", "dash-name", "9starts_digit"):
+        register_view(df, name)
+        assert spark.sql(f"SELECT count(*) AS n FROM `{name}`").collect()[0].n == 3
