@@ -143,22 +143,14 @@ class KwackSpark:
             row_attributes=self.config.row_attributes,
             skip_bytes=self.config.skip_bytes,
         )
-        import hashlib
-        import re
+        from kwack_spark.session import alias_view, safe_identifier
 
         # memory-sink query names must be plain identifiers; dashed/dotted
         # topics get an internal sink name plus a backticked alias view
-        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", topic):
-            sink = topic
-        else:
-            sink = "_kw_live_" + hashlib.md5(topic.encode()).hexdigest()[:10]
+        sink = safe_identifier(topic, prefix="_kw_live_")
         q = si.to_memory_sink(decoded, sink, continuous=True)
         if sink != topic:
-            escaped = topic.replace("`", "``")
-            self.spark.sql(
-                f"CREATE OR REPLACE TEMPORARY VIEW `{escaped}` "
-                f"AS SELECT * FROM {sink}"
-            )
+            alias_view(self.spark, topic, sink)
         self._live_queries[topic] = q
         return q
 

@@ -307,10 +307,14 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
+    from pyspark import StorageLevel
+
     dsub = dim // m
     c = corpus.select(F.col(id_col).alias("corpus_id"), V.as_double(vec_col).alias("v"))
     q = queries.select(F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv"))
-    recon = _pq_reconstruct(c, m, ksub, dsub)
+    # persisted: the encode pipeline feeds BOTH the broadcast collect and
+    # the exact re-score join — without this it runs twice end to end
+    recon = _pq_reconstruct(c, m, ksub, dsub).persist(StorageLevel.MEMORY_AND_DISK)
 
     # Scoring follows brute_force_topk_vectorized's two-stage shape: the
     # (tiny: m*ksub*dsub doubles per vector -> reconstructed) code table is

@@ -1790,14 +1790,16 @@ def dedup_incremental_lsh(spark, sf_dir):
                    substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 200) AS nt
             FROM documents
         )
-        SELECT c.id_a, c.id_b,
-               CAST(1.0 - CAST(levenshtein(x.nt, y.nt) AS DOUBLE)
-                          / greatest(len(x.nt), len(y.nt)) AS DOUBLE) AS edit_sim
-        FROM cand c
-        JOIN ntext x ON x.doc_id = c.id_a
-        JOIN ntext y ON y.doc_id = c.id_b
-        WHERE 1.0 - CAST(levenshtein(x.nt, y.nt) AS DOUBLE)
-                    / greatest(len(x.nt), len(y.nt)) >= 0.6
+        SELECT id_a, id_b, edit_sim FROM (
+            SELECT c.id_a, c.id_b,
+                   CASE WHEN greatest(len(x.nt), len(y.nt)) = 0 THEN NULL
+                        ELSE CAST(1.0 - CAST(levenshtein(x.nt, y.nt) AS DOUBLE)
+                                  / greatest(len(x.nt), len(y.nt)) AS DOUBLE)
+                   END AS edit_sim
+            FROM cand c
+            JOIN ntext x ON x.doc_id = c.id_a
+            JOIN ntext y ON y.doc_id = c.id_b
+        ) WHERE edit_sim >= 0.6
     """,
     tags=("dedup", "lsh", "edit-distance"),
 )
@@ -1828,8 +1830,14 @@ def dedup_lsh_edit_verify(spark, sf_dir):
     ntext = d.select(
         "doc_id", F.substring(TX.normalize("text"), 1, 200).alias("nt")
     )
-    sim = F.lit(1.0) - F.levenshtein("nt_a", "nt_b").cast("double") / F.greatest(
-        F.length("nt_a"), F.length("nt_b")
+    # CASE-guard the division: two empty normalized prefixes share every
+    # band key (empty shingle), and 0/0 would abort the job under Spark 4's
+    # default ANSI mode — the guard makes the pair NULL, which the
+    # threshold filter then drops on both engines.
+    maxlen = F.greatest(F.length("nt_a"), F.length("nt_b"))
+    sim = F.when(
+        maxlen > 0,
+        F.lit(1.0) - F.levenshtein("nt_a", "nt_b").cast("double") / maxlen,
     )
     return (
         cand.join(ntext.select(F.col("doc_id").alias("id_a"), F.col("nt").alias("nt_a")), "id_a")
@@ -1936,17 +1944,22 @@ def udx_chunk_vowels(spark, sf_dir):
     Arrow-vectorized pandas UDF scores each chunk, and a GROUPED_AGG pandas
     UDAF reduces per doc.  Everything Python is Arrow-batched — no
     row-at-a-time UDFs anywhere."""
+    import uuid
+
     from kwack_spark.functions import udx
 
     udx.register_udx(spark)
     d = T(spark, sf_dir, "documents").select(
         "doc_id", TX.normalize("text").alias("nt")
     )
-    d.createOrReplaceTempView("udx_docs")
+    # uuid-suffixed view: a fixed name would leak past the plan and rebind
+    # under concurrent invocations with different sf_dirs
+    view = f"udx_docs_{uuid.uuid4().hex[:8]}"
+    d.createOrReplaceTempView(view)
     chunked = spark.sql(
-        """
+        f"""
         SELECT d.doc_id, c.chunk_idx, kw_vowel_count(c.chunk) AS vowels
-        FROM udx_docs d, LATERAL kw_chunk_words(d.nt, 20) c
+        FROM {view} d, LATERAL kw_chunk_words(d.nt, 20) c
         """
     )
     # a GROUPED_AGG pandas UDAF cannot share an agg() with built-in
@@ -2316,7 +2329,10 @@ def scale_heavy_hitters(spark, sf_dir):
     from kwack_spark.operators import scale
 
     d = T(spark, sf_dir, "documents")
-    tok = d.select(F.explode(TX.tokens("text")).alias("token"))
+    # doc_id rides along ONLY to feed the salt hash: salted_agg salts by
+    # xxhash64 of the whole row, and a salt derived from the grouping key
+    # alone would be constant per token — no skew mitigation at all
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
     counts = scale.salted_agg(
         tok,
         ["token"],

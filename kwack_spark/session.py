@@ -53,22 +53,34 @@ def get_session(
     return builder.getOrCreate()
 
 
-def register_view(df, name: str) -> None:
-    """Register ``df`` as a temp view named ``name``, accepting names that
-    are not plain SQL identifiers.  Kafka topic names may contain '.' and
-    '-' (the reference's testBadName/'test-json' topics simply get quoted in
-    DuckDB); Spark's Python createOrReplaceTempView validates the name, but
-    a SQL-defined view with a backticked identifier is legal — so register
-    the DataFrame under an internal name and alias it."""
+def safe_identifier(name: str, prefix: str = "_kw_") -> str:
+    """``name`` if it is a plain SQL identifier, else a deterministic
+    internal name derived from its hash.  Kafka topic names may contain '.'
+    and '-' (the reference's testBadName/'test-json' topics simply get
+    quoted in DuckDB); Spark's Python view/sink APIs validate identifiers,
+    so non-conforming names get an internal stand-in plus a backticked
+    alias view (``alias_view``)."""
     import hashlib
     import re
 
     if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
-        df.createOrReplaceTempView(name)
-        return
-    internal = "_kw_" + hashlib.md5(name.encode()).hexdigest()[:10]
-    df.createOrReplaceTempView(internal)
+        return name
+    return prefix + hashlib.md5(name.encode()).hexdigest()[:10]
+
+
+def alias_view(spark: SparkSession, name: str, internal: str) -> None:
+    """SQL-defined temp view ``name`` (backtick-quoted, any characters)
+    selecting from the identifier-safe ``internal`` view/table."""
     escaped = name.replace("`", "``")
-    df.sparkSession.sql(
+    spark.sql(
         f"CREATE OR REPLACE TEMPORARY VIEW `{escaped}` AS SELECT * FROM {internal}"
     )
+
+
+def register_view(df, name: str) -> None:
+    """Register ``df`` as a temp view named ``name``, accepting names that
+    are not plain SQL identifiers (see safe_identifier)."""
+    internal = safe_identifier(name)
+    df.createOrReplaceTempView(internal)
+    if internal != name:
+        alias_view(df.sparkSession, name, internal)

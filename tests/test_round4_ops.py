@@ -102,3 +102,30 @@ def test_register_view_bad_names(spark):
     for name in ("dotted.name", "dash-name", "9starts_digit"):
         register_view(df, name)
         assert spark.sql(f"SELECT count(*) AS n FROM `{name}`").collect()[0].n == 3
+
+
+def test_edit_verify_survives_empty_normalized_prefix(spark):
+    """Docs normalizing to '' share every band key (empty shingle) and form
+    candidate pairs; the CASE-guarded similarity must drop them instead of
+    raising DIVIDE_BY_ZERO under ANSI mode."""
+    from kwack_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    import kwack_spark.plans.relational as rel
+
+    rows = [
+        (1, "1234567890!!!"),        # no letters, no spaces -> normalizes to ''
+        (2, "-----?????..."),        # same
+        (3, "the quick brown fox jumps over the lazy dog today"),
+        (4, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = rel.load_table
+    try:
+        rel.load_table = lambda s, sd, name: d if name == "documents" else orig(s, sd, name)
+        out = QUERIES["dedup_lsh_edit_verify"].fn(spark, "/root/testdata/sf0.001").collect()
+    finally:
+        rel.load_table = orig
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (3, 4) in pairs          # the real near-dup survives
+    assert not any(1 in p or 2 in p for p in pairs)  # empty pairs dropped, no crash

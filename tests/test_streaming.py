@@ -175,12 +175,21 @@ def test_stateful_lsh_neardup_order_invariant(spark, tmp_path):
     }
     assert batch_pairs  # fixture must actually produce near-dups
 
-    for tag, order in (("asc", F.col("doc_id")), ("desc", F.col("doc_id").desc())):
+    prep = dedup.lsh_band_keys_narrow(d, "doc_id", "text", k=8, bands=2)
+    # two MULTI-file replays with different batch compositions (hash vs
+    # range placement) — with maxFilesPerTrigger=1 each file is its own
+    # micro-batch, so cross-batch state (the JSON round-trip and the
+    # history-vs-batch compare) is genuinely exercised, in different
+    # arrival orders across the two runs
+    for tag, frame in (
+        ("hash", prep.repartition(3, "doc_id")),
+        ("range", prep.repartitionByRange(3, F.col("doc_id").desc())),
+    ):
         path = str(tmp_path / f"lsh_{tag}")
-        prep = dedup.lsh_band_keys_narrow(d, "doc_id", "text", k=8, bands=2)
-        # one file per row-group of the ordered frame -> deterministic-ish
-        # multi-batch replay; order differs between the two runs
-        prep.orderBy(order).coalesce(1).write.mode("overwrite").parquet(path)
+        frame.write.mode("overwrite").parquet(path)
+        import glob
+
+        assert len(glob.glob(f"{path}/part-*.parquet")) > 1, "need multi-batch replay"
         stream = (
             spark.readStream.schema(prep.schema)
             .option("maxFilesPerTrigger", 1)
@@ -191,7 +200,7 @@ def test_stateful_lsh_neardup_order_invariant(spark, tmp_path):
             f"lshnd_{tag}",
             output_mode="append",
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish"
         got = {
             (r.id_a, r.id_b, r.jaccard)
             for r in spark.table(f"lshnd_{tag}").distinct().collect()
