@@ -793,6 +793,78 @@ def text_token_count_bpe(spark, sf_dir):
 
 
 @register(
+    "gopher_quality_rules",
+    # the Gopher/MassiveText repetition-free quality rules (public: Rae et
+    # al. 2021, table A1), computed on RAW whitespace words: word count in
+    # [50, 100000], mean word length in [3, 10], >= 80% words containing an
+    # alphabetic character, distinct-word ratio >= 0.1.  All ratios are
+    # int/int -> one double division each, bit-identical across engines.
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> len(t) > 0) AS ws
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(ws) AS n_words,
+                   CASE WHEN len(ws) = 0 THEN NULL
+                        ELSE CAST(list_sum(list_transform(ws, t -> len(t))) AS DOUBLE)
+                             / len(ws) END AS mean_word_len,
+                   CASE WHEN len(ws) = 0 THEN NULL
+                        ELSE CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+                             / len(ws) END AS alpha_ratio,
+                   CASE WHEN len(ws) = 0 THEN NULL
+                        ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+                        END AS distinct_ratio
+            FROM w
+        )
+        SELECT doc_id, n_words, mean_word_len, alpha_ratio, distinct_ratio,
+               (n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND alpha_ratio >= 0.8
+                AND distinct_ratio >= 0.1) AS passes
+        FROM m
+    """,
+    tags=("text", "quality", "gopher"),
+)
+def gopher_quality_rules(spark, sf_dir):
+    """The published Gopher quality heuristics as one narrow pass: raw
+    whitespace words (not normalized tokens — symbol-heavy words must count
+    against the alpha ratio), four exact ratios, one composite boolean.
+    Zero shuffles; at 100 TB this rides the scan like every other row-local
+    quality gate and feeds the curation pipeline's WHERE clause."""
+    d = T(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    base = d.select("doc_id", ws.alias("ws"))
+    n = F.size("ws")
+    guard = lambda c: F.when(n > 0, c)  # noqa: E731
+    mean_len = guard(
+        F.aggregate("ws", F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / n
+    )
+    alpha = guard(
+        F.size(F.filter("ws", lambda t: t.rlike("[a-zA-Z]"))).cast("double") / n
+    )
+    distinct_r = guard(F.size(F.array_distinct("ws")).cast("double") / n)
+    m = base.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha.alias("alpha_ratio"),
+        distinct_r.alias("distinct_ratio"),
+    )
+    return m.select(
+        "*",
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len").between(3.0, 10.0)
+            & (F.col("alpha_ratio") >= 0.8)
+            & (F.col("distinct_ratio") >= 0.1)
+        ).alias("passes"),
+    )
+
+
+@register(
     "text_quality",
     oracle=f"""
         WITH base AS (

@@ -89,6 +89,7 @@ _PRIORITY = [
     "scale_salted_join",
     "scale_bucketed_join",
     "scale_heavy_hitters",
+    "gopher_quality_rules",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
     "passage_dedup_rewrite",
