@@ -1790,6 +1790,75 @@ def dedup_incremental_new_docs(spark, sf_dir):
     return batch.join(hist, "fp", "left_anti").select("doc_id", "fp")
 
 
+@register(
+    "dedup_lsh_recall",
+    # the dedup twin of ann_ivf_recall: LSH's candidate recall against the
+    # exact all-pairs Jaccard ground truth at the same threshold.  The
+    # all-pairs side is the AUDIT query — run on a sampled slice at scale,
+    # exactly as here at grading scale; integer-ratio exact.
+    oracle=f"""
+        WITH {_LSH_CTES},
+        lsh_pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+        ),
+        truth AS (
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM ssets x JOIN ssets y ON x.doc_id < y.doc_id
+            WHERE {_JAC} >= 0.5
+        )
+        SELECT (SELECT count(*) FROM truth) AS n_truth,
+               count(*) AS n_found,
+               CAST(count(*) AS DOUBLE)
+                   / (SELECT count(*) FROM truth) AS recall
+        FROM lsh_pairs p JOIN truth t ON p.id_a = t.id_a AND p.id_b = t.id_b
+    """,
+    tags=("dedup", "lsh", "quality-gate"),
+)
+def dedup_lsh_recall(spark, sf_dir):
+    """Candidate recall of the banded LSH pair stage vs the exact all-pairs
+    ground truth (Jaccard >= 0.5): the audit every approximate dedup must
+    publish.  The O(n²) truth side runs on the grading fixture directly; at
+    100 TB it runs on a deterministic hash-sample of documents, same code."""
+    from pyspark import StorageLevel
+
+    d = T(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.cast("double").alias("j"))
+        .filter(F.col("j") >= 0.5)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lsh = dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
+    n_truth = truth.count()
+    n_found = lsh.select("id_a", "id_b").join(truth, ["id_a", "id_b"]).count()
+    import pyspark.sql.types as T_
+
+    return spark.createDataFrame(
+        [(n_truth, n_found, float(n_found) / n_truth)],
+        T_.StructType(
+            [
+                T_.StructField("n_truth", T_.LongType(), False),
+                T_.StructField("n_found", T_.LongType(), False),
+                T_.StructField("recall", T_.DoubleType(), False),
+            ]
+        ),
+    )
+
+
 _ILSH_SPLIT = "substr(md5('ilsh:' || doc_id::VARCHAR), 1, 4)"
 
 

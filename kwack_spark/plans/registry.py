@@ -90,6 +90,7 @@ _PRIORITY = [
     "scale_bucketed_join",
     "scale_heavy_hitters",
     "gopher_quality_rules",
+    "dedup_lsh_recall",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
     "passage_dedup_rewrite",
