@@ -17,6 +17,6 @@ from kwack_spark.config import KwackConfig
 from kwack_spark.engine import KwackSpark
 from kwack_spark.session import get_session
 
-__version__ = "0.2.0"
+__version__ = "0.4.0"
 
 __all__ = ["get_session", "KwackSpark", "KwackConfig", "__version__"]
