@@ -212,6 +212,9 @@ def stateful_lsh_neardup(
         import pandas as pd
 
         docs = json.loads(state.get[0]) if state.exists else []
+        # materialize history sets ONCE per invocation — rebuilding them per
+        # arriving doc made the bucket compare O(batch * history * len)
+        hist: list[tuple[int, set]] = [(hid, set(hsh)) for hid, hsh in docs]
         batch: list[tuple[int, list[str]]] = []
         for pdf in pdfs:
             for did, sh in zip(pdf["doc_id"], pdf["sh"]):
@@ -222,8 +225,7 @@ def stateful_lsh_neardup(
         out_j: list[float] = []
         for did, sh in batch:
             s = set(sh)
-            for hid, hsh in docs:
-                hs = set(hsh)
+            for hid, hs in hist:
                 union = len(s | hs)
                 # int/int -> correctly-rounded IEEE double, identical to
                 # the engines' CAST(int)/int division
@@ -232,6 +234,7 @@ def stateful_lsh_neardup(
                     out_a.append(min(did, hid))
                     out_b.append(max(did, hid))
                     out_j.append(j)
+            hist.append((did, s))
             docs.append((did, sh))
         state.update((json.dumps(docs),))
         yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
