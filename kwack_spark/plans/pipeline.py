@@ -3017,3 +3017,43 @@ def ann_ivf_recall(spark, sf_dir):
             ]
         ),
     )
+
+
+@register(
+    "ann_pq_recall",
+    # recall@3 of PQ's ADC ranking vs the exact cosine top-3 — the
+    # compression-loss audit a PQ index must publish (the IVF twin above
+    # audits the probe loss; together they bound IVF-PQ's quality)
+    oracle=f"""
+        SELECT count(*) AS n_matched,
+               (SELECT count(*) FROM ({_Q["ann_brute_force_topk"].oracle}) b)
+                   AS n_exact,
+               CAST(count(*) AS DOUBLE)
+                   / (SELECT count(*) FROM ({_Q["ann_brute_force_topk"].oracle}) b2)
+                   AS recall
+        FROM ({_Q["ann_pq_topk"].oracle}) pq
+        JOIN ({_Q["ann_brute_force_topk"].oracle}) bf
+          ON pq.query_id = bf.query_id AND pq.corpus_id = bf.corpus_id
+    """,
+    tags=("similarity", "ann", "pq", "quality-gate"),
+)
+def ann_pq_recall(spark, sf_dir):
+    """How much 32x compression loses: |PQ-ADC top-3 ∩ exact top-3| /
+    |exact| — integer-ratio exact, composed from the two registered
+    pipelines' own oracles so all three stay in lockstep."""
+    pq = _Q["ann_pq_topk"].fn(spark, sf_dir)
+    bf = _Q["ann_brute_force_topk"].fn(spark, sf_dir)
+    matched = pq.join(bf, ["query_id", "corpus_id"], "inner").count()
+    n_exact = bf.count()
+    import pyspark.sql.types as T_
+
+    return spark.createDataFrame(
+        [(matched, n_exact, float(matched) / n_exact)],
+        T_.StructType(
+            [
+                T_.StructField("n_matched", T_.LongType(), False),
+                T_.StructField("n_exact", T_.LongType(), False),
+                T_.StructField("recall", T_.DoubleType(), False),
+            ]
+        ),
+    )
