@@ -307,14 +307,10 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
-    from pyspark import StorageLevel
-
     dsub = dim // m
     c = corpus.select(F.col(id_col).alias("corpus_id"), V.as_double(vec_col).alias("v"))
     q = queries.select(F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv"))
-    # persisted: the encode pipeline feeds BOTH the broadcast collect and
-    # the exact re-score join — without this it runs twice end to end
-    recon = _pq_reconstruct(c, m, ksub, dsub).persist(StorageLevel.MEMORY_AND_DISK)
+    recon = _pq_reconstruct(c, m, ksub, dsub)
 
     # Scoring follows brute_force_topk_vectorized's two-stage shape: the
     # (tiny: m*ksub*dsub doubles per vector -> reconstructed) code table is
@@ -334,6 +330,13 @@ def pq_topk(
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((ids, mat))
+    # the encode pipeline already ran for the collect above — rebuild the
+    # re-score side from the collected rows (exact double round-trip)
+    # instead of re-computing or persisting the whole reconstruction
+    recon = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in rows],
+        "corpus_id long, xhat array<double>",
+    )
 
     def topk_ids(batches):
         c_ids, c_mat = bc.value

@@ -1842,18 +1842,34 @@ def dedup_lsh_recall(spark, sf_dir):
         .select("id_a", "id_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    lsh = dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
+    # band keys + verify reuse `base` — handing minhash_lsh_pairs the raw
+    # table would re-run the dominant tokenize+shingle pass a second time
+    keys = dedup.lsh_band_keys(base, "doc_id", k=8, bands=2)
+    ka, kb = keys.alias("ka"), keys.alias("kb")
+    cand = (
+        ka.join(
+            kb,
+            (F.col("ka.band_key") == F.col("kb.band_key"))
+            & (F.col("ka.doc_id") < F.col("kb.doc_id")),
+        )
+        .select(F.col("ka.doc_id").alias("id_a"), F.col("kb.doc_id").alias("id_b"))
+        .distinct()
+    )
+    lsh = cand.join(a, "id_a").join(b, "id_b").filter(jac >= 0.5).select("id_a", "id_b")
     n_truth = truth.count()
-    n_found = lsh.select("id_a", "id_b").join(truth, ["id_a", "id_b"]).count()
+    n_found = lsh.join(truth, ["id_a", "id_b"]).count()
+    base.unpersist()
+    truth.unpersist()
     import pyspark.sql.types as T_
 
+    # NULL recall on an empty truth set, matching DuckDB's x/0 -> NULL
     return spark.createDataFrame(
-        [(n_truth, n_found, float(n_found) / n_truth)],
+        [(n_truth, n_found, float(n_found) / n_truth if n_truth else None)],
         T_.StructType(
             [
                 T_.StructField("n_truth", T_.LongType(), False),
                 T_.StructField("n_found", T_.LongType(), False),
-                T_.StructField("recall", T_.DoubleType(), False),
+                T_.StructField("recall", T_.DoubleType(), True),
             ]
         ),
     )
@@ -3007,13 +3023,15 @@ def ann_ivf_recall(spark, sf_dir):
     n_exact = bf.count()
     import pyspark.sql.types as T_
 
+    # NULL recall on an empty truth set (a degenerate sample), matching
+    # DuckDB's x/0 -> NULL instead of raising ZeroDivisionError
     return spark.createDataFrame(
-        [(matched, n_exact, float(matched) / n_exact)],
+        [(matched, n_exact, float(matched) / n_exact if n_exact else None)],
         T_.StructType(
             [
                 T_.StructField("n_matched", T_.LongType(), False),
                 T_.StructField("n_exact", T_.LongType(), False),
-                T_.StructField("recall", T_.DoubleType(), False),
+                T_.StructField("recall", T_.DoubleType(), True),
             ]
         ),
     )
@@ -3047,13 +3065,14 @@ def ann_pq_recall(spark, sf_dir):
     n_exact = bf.count()
     import pyspark.sql.types as T_
 
+    # NULL recall on an empty truth set, matching DuckDB's x/0 -> NULL
     return spark.createDataFrame(
-        [(matched, n_exact, float(matched) / n_exact)],
+        [(matched, n_exact, float(matched) / n_exact if n_exact else None)],
         T_.StructType(
             [
                 T_.StructField("n_matched", T_.LongType(), False),
                 T_.StructField("n_exact", T_.LongType(), False),
-                T_.StructField("recall", T_.DoubleType(), False),
+                T_.StructField("recall", T_.DoubleType(), True),
             ]
         ),
     )
