@@ -424,11 +424,58 @@ def ivf_pq_topk(
         .select("query_id", "qv", F.col("cid").alias("list_id"))
     )
 
-    cand = probes.join(coded, "list_id").filter(
-        F.col("query_id") != F.col("corpus_id")
+    # BLAS-select within probed lists + exact fold re-score (the same
+    # two-stage shape as pq_topk/brute_force_topk_vectorized): the coded
+    # index (id, list_id, reconstructed vector) is collected once —
+    # cap-bounded — and broadcast; each Arrow batch of (query, probed
+    # lists) does one masked matmul emitting candidate ids only.
+    import numpy as np
+    import pandas as pd
+
+    rows = coded.select("corpus_id", "list_id", "xhat").limit(
+        MAX_BROADCAST_INDEX_ROWS + 1
+    ).collect()
+    if len(rows) > MAX_BROADCAST_INDEX_ROWS:
+        raise ValueError(
+            f"coded index exceeds {MAX_BROADCAST_INDEX_ROWS} rows; shard the "
+            "index by list_id (each probe then broadcasts only its lists)"
+        )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    lists = np.array([r[1] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[2]) for r in rows], dtype=np.float64)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((ids, lists, mat))
+
+    per_query = probes.groupBy("query_id", "qv").agg(
+        F.collect_list("list_id").alias("probe_lists")
     )
-    scored = cand.select(
-        "query_id", "corpus_id", V.dot(F.col("qv"), F.col("xhat")).alias("adc")
+
+    def topk_ids(batches):
+        c_ids, c_lists, c_mat = bc.value
+        for pdf in batches:
+            out_q, out_c = [], []
+            for qid, qv, plists in zip(
+                pdf["query_id"], pdf["qv"], pdf["probe_lists"]
+            ):
+                mask = np.isin(c_lists, np.asarray(list(plists), dtype=np.int64))
+                mask &= c_ids != int(qid)
+                if not mask.any():
+                    continue
+                s = np.asarray(list(qv), dtype=np.float64) @ c_mat[mask].T
+                order = np.lexsort((c_ids[mask], -s))[:k]
+                out_q.extend([int(qid)] * len(order))
+                out_c.extend(c_ids[mask][order])
+            yield pd.DataFrame({"query_id": out_q, "corpus_id": out_c})
+
+    cand = per_query.mapInPandas(topk_ids, "query_id long, corpus_id long")
+    recon_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, _, v in rows],
+        "corpus_id long, xhat array<double>",
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(recon_df, "corpus_id")
+        .select("query_id", "corpus_id", V.dot(F.col("qv"), F.col("xhat")).alias("adc"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), "corpus_id")
     return (
