@@ -91,6 +91,8 @@ _PRIORITY = [
     "scale_heavy_hitters",
     "gopher_quality_rules",
     "dedup_lsh_recall",
+    "star_dialect_exclude_replace",
+    "star_dialect_columns_regex",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
     "passage_dedup_rewrite",

@@ -1132,6 +1132,51 @@ def group_by_all(spark, sf_dir):
 
 
 @register(
+    "star_dialect_exclude_replace",
+    # DuckDB star-dialect parity: a reference user's `SELECT * EXCLUDE (...)
+    # REPLACE (...)` + `COLUMNS('regex')` queries map to DataFrame drop /
+    # withColumn / colRegex — same result set, engine-idiomatic plan
+    oracle="""
+        SELECT * EXCLUDE (c_mktsegment) REPLACE (upper(c_name) AS c_name)
+        FROM customer
+    """,
+    tags=("sql-surface", "dialect"),
+)
+def star_dialect_exclude_replace(spark, sf_dir):
+    """DuckDB's star modifiers re-expressed on DataFrames: EXCLUDE ->
+    .drop, REPLACE -> .withColumn.  Column pruning is identical — Catalyst
+    never scans the excluded column (ReadSchema omits it)."""
+    c = T(spark, sf_dir, "customer")
+    return c.drop("c_mktsegment").withColumn("c_name", F.upper("c_name"))
+
+
+@register(
+    "star_dialect_columns_regex",
+    # DuckDB COLUMNS('regex') projection == DataFrame colRegex; aggregate
+    # over the matched set with exact decimal sums
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_l_extendedprice,
+               CAST(sum(CAST(l_discount AS DECIMAL(38,2))) AS DOUBLE) AS sum_l_discount,
+               CAST(sum(CAST(l_tax AS DECIMAL(38,2))) AS DOUBLE) AS sum_l_tax
+        FROM lineitem
+    """,
+    tags=("sql-surface", "dialect"),
+)
+def star_dialect_columns_regex(spark, sf_dir):
+    """COLUMNS-pattern projection via colRegex: every lineitem column
+    matching the price/discount/tax pattern is summed (decimal-exact), the
+    column set discovered by regex exactly as DuckDB's COLUMNS('...')."""
+    li = T(spark, sf_dir, "lineitem")
+    matched = li.select(li.colRegex("`^l_(extendedprice|discount|tax)$`")).columns
+    aggs = [
+        F.sum(F.col(c).cast("decimal(38,2)")).cast("double").alias(f"sum_{c}")
+        for c in sorted(matched)
+    ]
+    return li.agg(F.count(F.lit(1)).alias("n"), *aggs)
+
+
+@register(
     "listagg_ordered",
     # deterministic ordered string aggregation: Spark sorts the collected
     # array then joins; DuckDB orders inside string_agg
