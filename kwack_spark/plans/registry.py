@@ -93,6 +93,7 @@ _PRIORITY = [
     "dedup_lsh_recall",
     "star_dialect_exclude_replace",
     "star_dialect_columns_regex",
+    "profile_table_stats",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
     "passage_dedup_rewrite",

@@ -1177,6 +1177,84 @@ def star_dialect_columns_regex(spark, sf_dir):
 
 
 @register(
+    "profile_table_stats",
+    # SUMMARIZE-shaped data profiling, exactly: one row per column with
+    # row/null/distinct counts and typed min/max (numerics as double,
+    # strings as-is — no cross-engine float formatting in play).  The scan
+    # is ONE pass: Spark computes every column's aggregates in a single
+    # agg, then unpivots driver-side expressions, not per-column scans.
+    oracle="""
+        SELECT 'c_custkey' AS column_name, count(*) AS n_rows,
+               count(*) - count(c_custkey) AS n_nulls,
+               count(DISTINCT c_custkey) AS n_distinct,
+               CAST(min(c_custkey) AS DOUBLE) AS min_num,
+               CAST(max(c_custkey) AS DOUBLE) AS max_num,
+               NULL AS min_str, NULL AS max_str
+        FROM customer
+        UNION ALL
+        SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal),
+               count(DISTINCT c_acctbal),
+               CAST(min(c_acctbal) AS DOUBLE), CAST(max(c_acctbal) AS DOUBLE),
+               NULL, NULL
+        FROM customer
+        UNION ALL
+        SELECT 'c_name', count(*), count(*) - count(c_name),
+               count(DISTINCT c_name), NULL, NULL, min(c_name), max(c_name)
+        FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+               count(DISTINCT c_mktsegment), NULL, NULL,
+               min(c_mktsegment), max(c_mktsegment)
+        FROM customer
+    """,
+    tags=("sql-surface", "profiling"),
+)
+def profile_table_stats(spark, sf_dir):
+    """Column profile of a table (DuckDB's SUMMARIZE shape) in ONE scan:
+    all per-column aggregates run in a single agg() over the table, and the
+    per-column rows are assembled from that one result — at 100 TB this is
+    the difference between one pass and one pass per column."""
+    import pyspark.sql.types as ST
+
+    c = T(spark, sf_dir, "customer")
+    num_cols = ["c_custkey", "c_acctbal"]
+    str_cols = ["c_name", "c_mktsegment"]
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for col in num_cols + str_cols:
+        aggs += [
+            F.count(col).alias(f"_nn_{col}"),
+            F.count_distinct(col).alias(f"_nd_{col}"),
+            F.min(col).alias(f"_min_{col}"),
+            F.max(col).alias(f"_max_{col}"),
+        ]
+    row = c.agg(*aggs).collect()[0]
+    out = []
+    for col in num_cols:
+        out.append(
+            (col, row["_rows"], row["_rows"] - row[f"_nn_{col}"], row[f"_nd_{col}"],
+             float(row[f"_min_{col}"]), float(row[f"_max_{col}"]), None, None)
+        )
+    for col in str_cols:
+        out.append(
+            (col, row["_rows"], row["_rows"] - row[f"_nn_{col}"], row[f"_nd_{col}"],
+             None, None, row[f"_min_{col}"], row[f"_max_{col}"])
+        )
+    schema = ST.StructType(
+        [
+            ST.StructField("column_name", ST.StringType(), False),
+            ST.StructField("n_rows", ST.LongType(), False),
+            ST.StructField("n_nulls", ST.LongType(), False),
+            ST.StructField("n_distinct", ST.LongType(), False),
+            ST.StructField("min_num", ST.DoubleType(), True),
+            ST.StructField("max_num", ST.DoubleType(), True),
+            ST.StructField("min_str", ST.StringType(), True),
+            ST.StructField("max_str", ST.StringType(), True),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+@register(
     "listagg_ordered",
     # deterministic ordered string aggregation: Spark sorts the collected
     # array then joins; DuckDB orders inside string_agg
