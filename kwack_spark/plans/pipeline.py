@@ -1794,10 +1794,15 @@ def dedup_incremental_new_docs(spark, sf_dir):
     "dedup_lsh_recall",
     # the dedup twin of ann_ivf_recall: LSH's candidate recall against the
     # exact all-pairs Jaccard ground truth at the same threshold.  The
-    # all-pairs side is the AUDIT query — run on a sampled slice at scale,
-    # exactly as here at grading scale; integer-ratio exact.
+    # truth side is bounded to a DETERMINISTIC hash-ordered sample of 1000
+    # docs (inert at grading scale; at sf0.1+ it keeps the O(n²) audit a
+    # constant-size spot check, which is exactly how it runs at 100 TB).
     oracle=f"""
-        WITH {_LSH_CTES},
+        WITH sdocs AS (
+            SELECT doc_id, text FROM documents
+            ORDER BY md5('lshr:' || doc_id::VARCHAR) LIMIT 1000
+        ),
+        {_LSH_CTES.replace("FROM documents", "FROM sdocs")},
         lsh_pairs AS (
             SELECT c.id_a, c.id_b
             FROM cand c
@@ -1821,11 +1826,16 @@ def dedup_incremental_new_docs(spark, sf_dir):
 def dedup_lsh_recall(spark, sf_dir):
     """Candidate recall of the banded LSH pair stage vs the exact all-pairs
     ground truth (Jaccard >= 0.5): the audit every approximate dedup must
-    publish.  The O(n²) truth side runs on the grading fixture directly; at
-    100 TB it runs on a deterministic hash-sample of documents, same code."""
+    publish.  The O(n²) truth side runs over a deterministic hash-ordered
+    1000-doc sample — the constant-size spot check a 100 TB corpus audits
+    with, and the full fixture at grading scale."""
     from pyspark import StorageLevel
 
-    d = T(spark, sf_dir, "documents")
+    d = (
+        T(spark, sf_dir, "documents")
+        .orderBy(F.md5(F.concat(F.lit("lshr:"), F.col("doc_id").cast("string"))))
+        .limit(1000)
+    )
     base = d.select(
         "doc_id",
         F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("sh"),
