@@ -2395,6 +2395,82 @@ def passage_dedup_rewrite(spark, sf_dir):
 
 
 @register(
+    "zorder_layout_key",
+    # Z-order (Morton) interleave of two 8-bit key dimensions — the
+    # data-layout key that makes min/max file statistics prune on EITHER
+    # dimension.  Pure integer bit arithmetic, identical on both engines.
+    oracle="""
+        WITH k AS (
+            SELECT event_id,
+                   CAST(user_id % 256 AS BIGINT) AS ux,
+                   CAST((event_id // 16) % 256 AS BIGINT) AS tb
+            FROM events
+        )
+        SELECT event_id, ux, tb,
+               CAST(((((ux >> 0) & 1) << 0) |
+                   (((tb >> 0) & 1) << 1) |
+                   (((ux >> 1) & 1) << 2) |
+                   (((tb >> 1) & 1) << 3) |
+                   (((ux >> 2) & 1) << 4) |
+                   (((tb >> 2) & 1) << 5) |
+                   (((ux >> 3) & 1) << 6) |
+                   (((tb >> 3) & 1) << 7) |
+                   (((ux >> 4) & 1) << 8) |
+                   (((tb >> 4) & 1) << 9) |
+                   (((ux >> 5) & 1) << 10) |
+                   (((tb >> 5) & 1) << 11) |
+                   (((ux >> 6) & 1) << 12) |
+                   (((tb >> 6) & 1) << 13) |
+                   (((ux >> 7) & 1) << 14) |
+                   (((tb >> 7) & 1) << 15)) AS BIGINT) AS zkey,
+               CAST(((((ux >> 0) & 1) << 0) |
+                   (((tb >> 0) & 1) << 1) |
+                   (((ux >> 1) & 1) << 2) |
+                   (((tb >> 1) & 1) << 3) |
+                   (((ux >> 2) & 1) << 4) |
+                   (((tb >> 2) & 1) << 5) |
+                   (((ux >> 3) & 1) << 6) |
+                   (((tb >> 3) & 1) << 7) |
+                   (((ux >> 4) & 1) << 8) |
+                   (((tb >> 4) & 1) << 9) |
+                   (((ux >> 5) & 1) << 10) |
+                   (((tb >> 5) & 1) << 11) |
+                   (((ux >> 6) & 1) << 12) |
+                   (((tb >> 6) & 1) << 13) |
+                   (((ux >> 7) & 1) << 14) |
+                   (((tb >> 7) & 1) << 15)) >> 10 AS BIGINT) AS file_bucket
+        FROM k
+    """,
+    tags=("scale", "layout", "zorder"),
+)
+def zorder_layout_key(spark, sf_dir):
+    """Multi-dimensional data clustering: interleave the bits of two scan
+    dimensions (user, time bucket) into one Morton key, then range-write on
+    it (here surfaced as file_bucket = zkey >> 10).  Files become
+    rectangles in (user, time) space, so min/max parquet statistics prune
+    scans filtered on EITHER dimension — the layout trick behind
+    Delta/Iceberg Z-ORDER, expressed as plain columnar bit arithmetic that
+    rides the scan with zero shuffles (the real write adds one
+    repartitionByRange on zkey)."""
+    e = T(spark, sf_dir, "events")
+    ux = (F.col("user_id") % 256).cast("long")
+    tb = ((F.col("event_id") / 16).cast("long") % 256).cast("long")
+    k = e.select("event_id", ux.alias("ux"), tb.alias("tb"))
+    z = None
+    for i in range(8):
+        for pos, src in ((2 * i, "ux"), (2 * i + 1, "tb")):
+            term = F.shiftleft(F.shiftright(F.col(src), i).bitwiseAND(F.lit(1)), pos)
+            z = term if z is None else z.bitwiseOR(term)
+    return k.select(
+        "event_id",
+        "ux",
+        "tb",
+        z.cast("long").alias("zkey"),
+        F.shiftright(z, 10).cast("long").alias("file_bucket"),
+    )
+
+
+@register(
     "token_budget_pack",
     oracle=f"""
         WITH t AS (

@@ -94,6 +94,7 @@ _PRIORITY = [
     "star_dialect_exclude_replace",
     "star_dialect_columns_regex",
     "profile_table_stats",
+    "zorder_layout_key",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
     "passage_dedup_rewrite",
