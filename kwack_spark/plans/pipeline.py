@@ -1595,6 +1595,126 @@ def streaming_static_enrich(spark, sf_dir):
     return spark.table(sink)
 
 
+@register(
+    "funnel_three_step",
+    # ordered funnel view -> click -> purchase: each stage's timestamp must
+    # be strictly after the previous stage's EARLIEST qualifying time.
+    # One groupBy(user) with conditional min aggregates — no joins, no
+    # window, one shuffle; the canonical event-analytics query on the
+    # reference's own domain (SQL over event topics).
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_view_click,
+               (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+    tags=("events", "funnel", "analytics"),
+)
+def funnel_three_step(spark, sf_dir):
+    """Ordered three-step funnel over the events table: users who viewed,
+    then clicked after their first view, then purchased after that first
+    qualifying click.  Three conditional-min aggregations on user_id — the
+    same shuffle key each stage, so AQE reuses the partitioning; at 100 TB
+    this is one scan plus user-keyed aggregation, never a self-join
+    explosion."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    import pyspark.sql.types as T_
+
+    row = (v.count(), c.count(), p.count())
+    return spark.createDataFrame(
+        [row],
+        T_.StructType(
+            [
+                T_.StructField("n_view", T_.LongType(), False),
+                T_.StructField("n_view_click", T_.LongType(), False),
+                T_.StructField("n_view_click_purchase", T_.LongType(), False),
+            ]
+        ),
+    )
+
+
+@register(
+    "retention_cohorts",
+    # day-0 cohort retention: users bucketed by first-seen day, activity
+    # matrix per (cohort_day, day_offset) with distinct-user counts — the
+    # standard growth-analytics rollup, exact on both engines
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_day,
+                   datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+            FROM events e JOIN first_seen f ON f.user_id = e.user_id
+        )
+        SELECT cohort_day, day_offset,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM activity
+        GROUP BY cohort_day, day_offset
+    """,
+    tags=("events", "retention", "analytics"),
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: first-seen day per user (one user-keyed
+    agg), then distinct (user, day-offset) activity joined back and rolled
+    up per (cohort, offset).  Two shuffles — user key then cohort key; the
+    distinct collapses per-user-per-day event volume early so the final
+    rollup sees at most users x active-days rows."""
+    e = T(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary plumbing
 # ---------------------------------------------------------------------------

@@ -95,6 +95,8 @@ _PRIORITY = [
     "star_dialect_columns_regex",
     "profile_table_stats",
     "zorder_layout_key",
+    "funnel_three_step",
+    "retention_cohorts",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
     "passage_dedup_rewrite",
