@@ -56,6 +56,10 @@ HEADLINE = [
     "passage_dedup_rewrite",
     "shard_assignment_stats",
     "streaming_lsh_neardup",
+    "gopher_quality_rules",
+    "zorder_layout_key",
+    "funnel_three_step",
+    "retention_cohorts",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set
