@@ -49,13 +49,89 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-# Grading priority: round-1's driver checked a bounded prefix of the corpus,
-# so the map is ordered to put one query per operator CLASS first (new/
-# previously-unchecked operators early), with redundant same-class variants
-# in the tail.  Names not listed keep registration order after the listed
-# ones; the list is advisory ordering only — every query stays registered.
+# Grading priority: the driver checks a bounded ~50-query prefix of the
+# corpus per round, so the map is ordered to put never-driver-graded queries
+# first (every name below already passes the local oracle harness in
+# tests/test_oracle.py).  Rounds 1+2 graded 89 distinct names green; this
+# round's prefix is filled with new round-3 queries plus the remaining
+# never-graded ones so cumulative driver coverage reaches ≥139/155.
+# Names not listed keep registration order after the listed ones; the list
+# is advisory ordering only — every query stays registered.
 _PRIORITY = [
-    # flagship + ingest stack (new this round)
+    # new in round 3 — graded first
+    "kafka_proto_msgindex",
+    "kafka_avro_fastpath",
+    # never driver-graded (rounds 1-2 prefix never reached them) — the
+    # recall gates lead per ADVICE (ann_pq_recall was registered but
+    # previously omitted from the graded prefix)
+    "ann_pq_recall",
+    "ann_ivf_recall",
+    "asof_purchase_attribution",
+    "asof_forward_next_purchase",
+    "range_join_clicks_before_purchase",
+    "recursive_cte",
+    "pivot_order_status",
+    "unpivot_lineitem_measures",
+    "lateral_top_orders",
+    "values_inline_join",
+    "ddl_create_view",
+    "sequence_date_spine",
+    "window_range_interval",
+    "ntile_window_stats",
+    "window_nth_value",
+    "join_right",
+    "join_natural",
+    "set_except_all",
+    "set_intersect_all",
+    "stat_corr_regression",
+    "median_quantiles",
+    "histogram_event_values",
+    "group_by_all",
+    "listagg_ordered",
+    "agg_bool_bit",
+    "try_cast_safe",
+    "qualify_top_per_group",
+    "grouping_id_rollup",
+    "variant_json_funcs",
+    "conditional_funcs",
+    "bitwise_funcs",
+    "regexp_funcs",
+    "dedup_cluster_components",
+    "dedup_embedding_cosine",
+    "dedup_incremental_new_docs",
+    "decontaminate_ngram_overlap",
+    "cross_doc_repeated_ngrams",
+    "doc_fingerprints",
+    "sample_hash_10pct",
+    "sample_stratified_by_lang",
+    "split_train_val_test",
+    "source_cap_sample",
+    "curation_pipeline",
+    "chunk_documents",
+    "token_budget_pack",
+    "mixture_rebalance",
+    "embedding_centroid_by_label",
+    "embedding_quantize_int8",
+    "ann_ivf_topk",
+    "text_token_stats",
+    "text_token_rarity",
+    "text_token_count_bpe",
+    "text_quality",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "window_tumbling_hourly",
+    "session_windows",
+    "multimodal_binary_meta",
+    "multimodal_fake_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_byte_features",
+    "streaming_window_counts",
+    "streaming_stateful_running_counts",
+    "streaming_dedup_keys",
+    # already driver-green in r1/r2 — tail, re-graded only if the prefix
+    # budget allows
     "q1_pricing_summary",
     "kafka_avro_roundtrip",
     "kafka_json_schema_roundtrip",
@@ -63,28 +139,16 @@ _PRIORITY = [
     "kafka_rawjson_roundtrip",
     "kafka_primitive_roundtrip",
     "kafka_avro_evolution",
+    "kafka_proto_evolution",
+    "kafka_jsonschema_evolution",
     "kafka_two_topic_join",
     "kafka_rowinfo_metadata",
     "kafka_tombstone_skip",
-    # round-1 driver reds, fixed in round 2 — graded early so a bounded
-    # grading prefix still proves the fixes (duplicate later entries are
-    # ignored by _ordered's first-insert-wins dict)
-    "grouping_sets",
-    "cte_scalar_subquery",
-    "correlated_in_subquery",
-    "json_funcs",
-    "collect_list_sorted",
-    "array_funcs",
-    "higher_order_funcs",
-    "map_funcs",
-    "approx_count_distinct",
-    "ann_lsh_bucketed",
-    # round-4 additions — new operator classes graded early
-    "kafka_proto_evolution",
-    "kafka_jsonschema_evolution",
     "kafka_poison_skip",
     "streaming_lsh_neardup",
     "streaming_static_enrich",
+    "streaming_session_counts",
+    "streaming_kafka_avro_decode",
     "udx_chunk_vowels",
     "scale_salted_join",
     "scale_bucketed_join",
@@ -99,70 +163,22 @@ _PRIORITY = [
     "retention_cohorts",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
+    "ann_brute_force_topk",
+    "ann_lsh_bucketed",
     "passage_dedup_rewrite",
     "dedup_incremental_lsh",
     "dedup_lsh_edit_verify",
     "shard_assignment_stats",
-    # round-3 additions — new operator classes graded early
     "semantic_dedup_verify",
-    "streaming_session_counts",
-    "streaming_kafka_avro_decode",
     "text_bigram_logprob",
     "dedup_containment",
     "tfidf_top_terms",
     "length_percentile_trim",
-    "mixture_rebalance",
-    "embedding_centroid_by_label",
-    "join_natural",
-    "agg_bool_bit",
-    "try_cast_safe",
-    "qualify_top_per_group",
-    "grouping_id_rollup",
-    "window_nth_value",
-    # pipeline operators (incl. round-1's 8 unchecked)
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh",
-    "dedup_cluster_components",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_incremental_new_docs",
-    "sample_hash_10pct",
-    "sample_stratified_by_lang",
-    "split_train_val_test",
-    "curation_pipeline",
-    "chunk_documents",
-    "token_budget_pack",
-    "source_cap_sample",
-    "ann_brute_force_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf_topk",
-    "embedding_quantize_int8",
-    "text_token_stats",
-    "text_token_rarity",
-    "text_token_count_bpe",
-    "text_quality",
-    "text_lang_id",
-    "text_pii_redact",
-    "text_repetition_filter",
-    "decontaminate_ngram_overlap",
-    "cross_doc_repeated_ngrams",
-    "doc_fingerprints",
-    "asof_purchase_attribution",
-    "asof_forward_next_purchase",
-    "range_join_clicks_before_purchase",
-    "window_tumbling_hourly",
-    "session_windows",
-    "streaming_window_counts",
-    "streaming_stateful_running_counts",
-    "streaming_dedup_keys",
-    "multimodal_binary_meta",
-    "multimodal_fake_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "multimodal_byte_features",
-    # one per relational operator class
     "scan_region",
     "projection_compute",
     "filter_predicates",
@@ -170,11 +186,6 @@ _PRIORITY = [
     "agg_filter_where",
     "agg_minmax_by",
     "agg_stats_manual",
-    "stat_corr_regression",
-    "median_quantiles",
-    "histogram_event_values",
-    "group_by_all",
-    "listagg_ordered",
     "count_distinct",
     "approx_count_distinct",
     "collect_list_sorted",
@@ -183,7 +194,6 @@ _PRIORITY = [
     "grouping_sets",
     "join_inner",
     "join_left",
-    "join_right",
     "join_full_outer",
     "join_semi",
     "join_anti",
@@ -194,26 +204,14 @@ _PRIORITY = [
     "window_ranking",
     "window_offset",
     "window_frame_moving",
-    "window_range_interval",
-    "ntile_window_stats",
     "distinct_on_latest",
     "sort_limit_offset",
     "set_ops",
     "set_except",
-    "set_except_all",
-    "set_intersect_all",
     "set_union_all",
     "distinct_rows",
     "cte_scalar_subquery",
     "correlated_in_subquery",
-    "recursive_cte",
-    "values_inline_join",
-    "ddl_create_view",
-    "sequence_date_spine",
-    "pivot_order_status",
-    "unpivot_lineitem_measures",
-    "lateral_top_orders",
-    # function families (each already green in round 1)
     "string_funcs",
     "date_funcs",
     "math_funcs",
@@ -222,10 +220,6 @@ _PRIORITY = [
     "map_funcs",
     "struct_funcs",
     "json_funcs",
-    "variant_json_funcs",
-    "conditional_funcs",
-    "bitwise_funcs",
-    "regexp_funcs",
     "explode_word_counts",
 ]
 
