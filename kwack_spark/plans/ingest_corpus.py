@@ -848,3 +848,59 @@ def streaming_kafka_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("streaming_kafka_avro_decode: stream did not finish in 300s")
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# Protobuf message-index roundtrip (non-first message type)
+# ---------------------------------------------------------------------------
+
+_MULTI_MSG_PROTO = """
+syntax = "proto3";
+message AuditHeader {
+  string source = 1;
+  int64 seq = 2;
+}
+message RegionRecord {
+  int64 r_regionkey = 1;
+  string r_name = 2;
+}
+"""
+
+
+@register(
+    "kafka_proto_msgindex",
+    # identity oracle over region; the wire carries message-index path [1]
+    # (RegionRecord is the SECOND message in the .proto) which the decoder
+    # must parse and validate — the pre-fix code only understood the
+    # single-byte [0] optimization and would feed the index bytes to the
+    # protobuf parser as message content.
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tags=("ingest", "kafka", "protobuf", "msgindex"),
+)
+def kafka_proto_msgindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent Protobuf message-index prefix handling for a value type that
+    is NOT the first message in its .proto file (MessageIndexes framing,
+    KwackEngine.java:460-477): the varint index path after the 5-byte header
+    selects ``RegionRecord`` at index [1]; the ``;msg:`` selector picks the
+    matching reader descriptor and the decoder validates wire-vs-reader."""
+    desc = proto_schema.resolve(
+        proto_schema.parse_proto(_MULTI_MSG_PROTO), "RegionRecord"
+    )
+    prefix = proto_schema.write_message_indexes([1])
+
+    def enc(rec):
+        body = proto_schema.encode_message(
+            {"r_regionkey": int(rec.r_regionkey), "r_name": rec.r_name}, desc
+        )
+        return None, ks.confluent_frame(prefix + body, 1)
+
+    frames = _to_frames(T(spark, sf_dir, "region"), enc, "region_proto_mi")
+    decoded = ks.decode_topic(
+        frames,
+        "region_proto_mi",
+        value_serde=Serde(
+            kind="proto", schema_str=_MULTI_MSG_PROTO, message="RegionRecord"
+        ),
+        row_attributes=("par", "off"),
+    )
+    return decoded.select("r_regionkey", "r_name")

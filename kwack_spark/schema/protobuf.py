@@ -309,13 +309,90 @@ class Descriptor:
 
 def resolve(root: dict, message: str | None = None) -> Descriptor:
     """Resolve a message (default: first declared) against the parsed file,
-    rejecting recursive message cycles (Context.java:75-81 equivalent)."""
+    rejecting recursive message cycles (Context.java:75-81 equivalent).
+    ``message`` may be a dotted nested name (``Outer.Inner``) — the form the
+    Confluent message-index wire prefix selects (MessageIndexes)."""
     if not root["messages"]:
         raise ProtoSchemaError("no message in .proto")
     name = message or next(iter(root["messages"]))
-    if name not in root["messages"]:
-        raise ProtoSchemaError(f"message not found: {name}")
-    return _resolve_message(name, root["messages"][name], root, scopes=(), visiting=())
+    parts = name.split(".")
+    scope: dict = root
+    scopes: tuple = ()
+    node: dict | None = None
+    for p in parts:
+        if p not in scope.get("messages", {}):
+            raise ProtoSchemaError(f"message not found: {name}")
+        node = scope["messages"][p]
+        scopes = scopes + ((p, node),)
+        scope = node
+    # ancestors only: _resolve_message re-adds the target's own scope
+    return _resolve_message(parts[-1], node, root, scopes=scopes[:-1], visiting=())
+
+
+# ---------------------------------------------------------------------------
+# Confluent message indexes (wire prefix selecting a message within the file)
+# ---------------------------------------------------------------------------
+#
+# Confluent-framed Protobuf payloads carry, after the 5-byte magic+schema-id
+# header, a zigzag-varint-encoded index path into the .proto file's message
+# tree (io.confluent...protobuf.MessageIndexes, written by the reference at
+# KwackEngine.java:460-468): varint count, then count varint indexes.  The
+# common path [0] (first top-level message) is optimized to the single byte
+# 0x00 (count 0 means [0]).
+
+
+def read_message_indexes(data: bytes) -> tuple[list[int], bytes]:
+    """Wire bytes (after the 5-byte header) -> (index path, message bytes)."""
+    buf = io.BytesIO(data)
+    count = _unzigzag(_read_varint(buf))
+    if count == 0:
+        return [0], data[buf.tell():]
+    if count < 0 or count > 127:
+        raise ProtoSchemaError(f"implausible message-index count: {count}")
+    indexes = [_unzigzag(_read_varint(buf)) for _ in range(count)]
+    if any(i < 0 for i in indexes):
+        raise ProtoSchemaError(f"negative message index: {indexes}")
+    return indexes, data[buf.tell():]
+
+
+def write_message_indexes(indexes: list[int]) -> bytes:
+    """Index path -> wire prefix (MessageIndexes.toByteArray equivalent)."""
+    out = io.BytesIO()
+    if indexes == [0]:
+        out.write(b"\x00")
+        return out.getvalue()
+    _write_varint(out, _zigzag(len(indexes)))
+    for i in indexes:
+        _write_varint(out, _zigzag(i))
+    return out.getvalue()
+
+
+def message_for_indexes(root: dict, indexes: list[int]) -> str:
+    """Index path -> dotted message name (ProtobufSchema.toMessageName)."""
+    scope: dict = root
+    parts: list[str] = []
+    for i in indexes:
+        names = list(scope.get("messages", {}))
+        if i < 0 or i >= len(names):
+            raise ProtoSchemaError(
+                f"message index {i} out of range in {'.'.join(parts) or '<root>'}"
+            )
+        parts.append(names[i])
+        scope = scope["messages"][names[i]]
+    return ".".join(parts)
+
+
+def indexes_for_message(root: dict, message: str) -> list[int]:
+    """Dotted message name -> index path (ProtobufSchema.toMessageIndexes)."""
+    scope: dict = root
+    out: list[int] = []
+    for part in message.split("."):
+        names = list(scope.get("messages", {}))
+        if part not in scope.get("messages", {}):
+            raise ProtoSchemaError(f"message not found: {message}")
+        out.append(names.index(part))
+        scope = scope["messages"][part]
+    return out
 
 
 def _lookup(tname: str, scopes: tuple, root: dict) -> tuple[str, dict, str]:

@@ -237,14 +237,29 @@ def resolve_serde(
         return st, conv_json, serde
     if serde.kind == "proto":
         st, convert = proto_schema.make_row_converter(serde.schema_str, serde.message)
+        proto_root = proto_schema.parse_proto(serde.schema_str)
+        expected_msg = serde.message or next(iter(proto_root["messages"]))
+        expected_idx = proto_schema.indexes_for_message(proto_root, expected_msg)
 
         def conv_proto(payload: bytes, writers: dict) -> tuple:
-            _, body = split_frame(payload)
-            # proto wire payloads from the registry path carry a message-index
-            # prefix; single-message schemas use index 0 encoded as one byte
-            if body[:1] == b"\x00":
-                return convert(body[1:])
-            return convert(body)
+            sid, body = split_frame(payload)
+            if sid is None:
+                # bare protobuf (no Confluent header -> no index prefix)
+                return convert(body)
+            # Confluent framing: varint message-index list after the header
+            # selects the message within the writer's .proto file
+            # (MessageIndexes; KwackEngine.java:460-477).  Validate it against
+            # the reader's ;msg: / first-message descriptor — a mismatched
+            # record would mis-decode silently otherwise.
+            indexes, rest = proto_schema.read_message_indexes(body)
+            if indexes != expected_idx:
+                got = proto_schema.message_for_indexes(proto_root, indexes)
+                raise ValueError(
+                    f"protobuf message-index mismatch: wire selects {got!r} "
+                    f"{indexes}, reader configured for {expected_msg!r} "
+                    f"{expected_idx} — use ;msg:{got} in the serde"
+                )
+            return convert(rest)
 
         return st, conv_proto, serde
     if serde.kind == "rawjson":

@@ -205,3 +205,83 @@ def test_proto3_nullability_flags():
     assert not st["color"].nullable                            # enum
     assert not st["nums"].nullable                             # repeated -> []
     assert st["nested"].nullable and st["ts"].nullable         # message/wkt
+
+
+# ---------------------------------------------------------------------------
+# Confluent message indexes (MessageIndexes wire prefix)
+# ---------------------------------------------------------------------------
+
+MULTI_PROTO = """
+syntax = "proto3";
+message First { int32 a = 1; }
+message Second { int64 b = 1; string s = 2; }
+message Third {
+  message Nested { string inner = 1; }
+  int32 c = 1;
+}
+"""
+
+
+def test_message_indexes_roundtrip_optimized_zero():
+    # [0] is the single-byte 0x00 optimization
+    assert pb.write_message_indexes([0]) == b"\x00"
+    idx, rest = pb.read_message_indexes(b"\x00payload")
+    assert idx == [0] and rest == b"payload"
+
+
+def test_message_indexes_roundtrip_second_message():
+    wire = pb.write_message_indexes([1]) + b"xyz"
+    # zigzag varints: count 1 -> 0x02, index 1 -> 0x02
+    assert wire.startswith(b"\x02\x02")
+    idx, rest = pb.read_message_indexes(wire)
+    assert idx == [1] and rest == b"xyz"
+
+
+def test_message_indexes_roundtrip_nested():
+    wire = pb.write_message_indexes([2, 0]) + b"m"
+    idx, rest = pb.read_message_indexes(wire)
+    assert idx == [2, 0] and rest == b"m"
+
+
+def test_message_index_name_mapping():
+    root = pb.parse_proto(MULTI_PROTO)
+    assert pb.message_for_indexes(root, [0]) == "First"
+    assert pb.message_for_indexes(root, [1]) == "Second"
+    assert pb.message_for_indexes(root, [2, 0]) == "Third.Nested"
+    assert pb.indexes_for_message(root, "First") == [0]
+    assert pb.indexes_for_message(root, "Second") == [1]
+    assert pb.indexes_for_message(root, "Third.Nested") == [2, 0]
+    with pytest.raises(pb.ProtoSchemaError):
+        pb.message_for_indexes(root, [5])
+    with pytest.raises(pb.ProtoSchemaError):
+        pb.indexes_for_message(root, "Nope")
+
+
+def test_resolve_dotted_nested_message():
+    # nested message selected by its dotted name decodes end-to-end
+    st, convert = pb.make_row_converter(MULTI_PROTO, "Third.Nested")
+    assert st.fieldNames() == ["inner"]
+    desc = pb.resolve(pb.parse_proto(MULTI_PROTO), "Third.Nested")
+    body = pb.encode_message({"inner": "hi"}, desc)
+    assert convert(body) == ("hi",)
+
+
+def test_decode_topic_validates_message_index():
+    """Mismatched wire index path raises instead of silently mis-decoding."""
+    from kwack_spark.config import Serde
+    from kwack_spark.sources import kafka as ks
+
+    _, conv, _ = ks.resolve_serde(
+        Serde(kind="proto", schema_str=MULTI_PROTO, message="Second"),
+        "t", False, None,
+    )
+    root = pb.parse_proto(MULTI_PROTO)
+    desc = pb.resolve(root, "Second")
+    body = pb.encode_message({"b": 7, "s": "ok"}, desc)
+    good = ks.confluent_frame(pb.write_message_indexes([1]) + body, 9)
+    assert conv(good, {}) == (7, "ok")
+    bad = ks.confluent_frame(pb.write_message_indexes([0]) + body, 9)
+    with pytest.raises(ValueError, match="message-index mismatch"):
+        conv(bad, {})
+    # bare (non-Confluent) payloads carry no index prefix
+    assert conv(body, {}) == (7, "ok")
