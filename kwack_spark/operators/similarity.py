@@ -307,10 +307,17 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
+    from pyspark import StorageLevel
+
     dsub = dim // m
     c = corpus.select(F.col(id_col).alias("corpus_id"), V.as_double(vec_col).alias("v"))
     q = queries.select(F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv"))
-    recon = _pq_reconstruct(c, m, ksub, dsub)
+    # persisted so the encode pipeline runs ONCE: the candidate-index collect
+    # materializes the cache and the re-score join below reads it back —
+    # exactly one driver transfer (the numpy candidate index), no
+    # createDataFrame re-upload of the index.  The cache is released by
+    # Spark's ContextCleaner when the plan is garbage-collected.
+    recon = _pq_reconstruct(c, m, ksub, dsub).persist(StorageLevel.MEMORY_AND_DISK)
 
     # Scoring follows brute_force_topk_vectorized's two-stage shape: the
     # (tiny: m*ksub*dsub doubles per vector -> reconstructed) code table is
@@ -322,6 +329,7 @@ def pq_topk(
     # vector — the whole point), decoded against the codebook per batch.
     rows = recon.limit(MAX_BROADCAST_INDEX_ROWS + 1).collect()
     if len(rows) > MAX_BROADCAST_INDEX_ROWS:
+        recon.unpersist()
         raise ValueError(
             f"PQ index exceeds {MAX_BROADCAST_INDEX_ROWS} rows; "
             "pair with IVF lists (ivf_pq_topk) beyond the broadcast cap"
@@ -330,13 +338,6 @@ def pq_topk(
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((ids, mat))
-    # the encode pipeline already ran for the collect above — rebuild the
-    # re-score side from the collected rows (exact double round-trip)
-    # instead of re-computing or persisting the whole reconstruction
-    recon = spark.createDataFrame(
-        [(int(i), [float(x) for x in v]) for i, v in rows],
-        "corpus_id long, xhat array<double>",
-    )
 
     def topk_ids(batches):
         c_ids, c_mat = bc.value
@@ -378,6 +379,7 @@ def ivf_pq_topk(
     m: int = 8,
     ksub: int = 16,
     dim: int = 64,
+    max_index_rows: int = MAX_BROADCAST_INDEX_ROWS,
 ) -> DataFrame:
     """IVF-PQ — the production ANN index architecture at 100 TB: IVF limits
     WHICH vectors each query scores (probe ``n_probe`` of ``n_lists``
@@ -426,19 +428,39 @@ def ivf_pq_topk(
 
     # BLAS-select within probed lists + exact fold re-score (the same
     # two-stage shape as pq_topk/brute_force_topk_vectorized): the coded
-    # index (id, list_id, reconstructed vector) is collected once —
-    # cap-bounded — and broadcast; each Arrow batch of (query, probed
-    # lists) does one masked matmul emitting candidate ids only.
+    # index (id, list_id, reconstructed vector) is persisted, the candidate-
+    # selection copy is collected once — cap-bounded — and broadcast; each
+    # Arrow batch of (query, probed lists) does one masked matmul emitting
+    # candidate ids only.  The re-score join reads the PERSISTED index (no
+    # createDataFrame re-upload — assign+encode run once, one driver
+    # transfer total).  Past the cap the operator degrades to the fully
+    # distributed path: candidates co-partitioned with the index by a
+    # shuffle join on list_id (each reducer effectively holds only its
+    # lists' shard), scored exactly JVM-side — no broadcast, no collect,
+    # the genuine 100-TB shape.
     import numpy as np
     import pandas as pd
 
-    rows = coded.select("corpus_id", "list_id", "xhat").limit(
-        MAX_BROADCAST_INDEX_ROWS + 1
-    ).collect()
-    if len(rows) > MAX_BROADCAST_INDEX_ROWS:
-        raise ValueError(
-            f"coded index exceeds {MAX_BROADCAST_INDEX_ROWS} rows; shard the "
-            "index by list_id (each probe then broadcasts only its lists)"
+    from pyspark import StorageLevel
+
+    coded = coded.select("corpus_id", "list_id", "xhat").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    rows = coded.limit(max_index_rows + 1).collect()
+    if len(rows) > max_index_rows:
+        cand = probes.join(coded, "list_id").filter(
+            F.col("query_id") != F.col("corpus_id")
+        )
+        scored = cand.select(
+            "query_id",
+            "corpus_id",
+            V.dot(F.col("qv"), F.col("xhat")).alias("adc"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("adc"), "corpus_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "adc", "rank")
         )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     lists = np.array([r[1] for r in rows], dtype=np.int64)
@@ -468,13 +490,9 @@ def ivf_pq_topk(
             yield pd.DataFrame({"query_id": out_q, "corpus_id": out_c})
 
     cand = per_query.mapInPandas(topk_ids, "query_id long, corpus_id long")
-    recon_df = spark.createDataFrame(
-        [(int(i), [float(x) for x in v]) for i, _, v in rows],
-        "corpus_id long, xhat array<double>",
-    )
     scored = (
         cand.join(q, "query_id")
-        .join(recon_df, "corpus_id")
+        .join(coded.select("corpus_id", "xhat"), "corpus_id")
         .select("query_id", "corpus_id", V.dot(F.col("qv"), F.col("xhat")).alias("adc"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), "corpus_id")

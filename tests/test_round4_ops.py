@@ -129,3 +129,22 @@ def test_edit_verify_survives_empty_normalized_prefix(spark):
     pairs = {(r.id_a, r.id_b) for r in out}
     assert (3, 4) in pairs          # the real near-dup survives
     assert not any(1 in p or 2 in p for p in pairs)  # empty pairs dropped, no crash
+
+
+def test_ivf_pq_sharded_path_matches_broadcast(spark):
+    """Past the broadcast cap, ivf_pq_topk degrades to a list_id-join path
+    with no collect/broadcast — results must match the broadcast path."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(k=3, n_lists=4, n_probe=2, m=4, ksub=8, dim=16)
+    small = similarity.ivf_pq_topk(e, e, "vec_id", "embedding", **kw)
+    sharded = similarity.ivf_pq_topk(
+        e, e, "vec_id", "embedding", max_index_rows=10, **kw
+    )
+    a = {(r.query_id, r.corpus_id, r.rank, r.adc) for r in small.collect()}
+    b = {(r.query_id, r.corpus_id, r.rank, r.adc) for r in sharded.collect()}
+    assert a == b
+    assert a
