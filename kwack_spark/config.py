@@ -32,6 +32,10 @@ class Serde:
     schema_id: int | None = None
     message: str | None = None  # proto ;msg: selector
     tag: tuple[str, str] | None = None  # json ;tag:src->dst key-field injection
+    # resolved Confluent schema references ((name, schema_str), ...) in
+    # dependency-first order — populated when a latest/<id> serde is
+    # rewritten against a registry (sources/kafka.py:resolve_serde)
+    refs: tuple = ()
 
     @property
     def schema_type(self) -> str | None:
@@ -110,6 +114,10 @@ def parse_offset(spec: str) -> OffsetSpec:
 
 
 DEFAULT_ROW_ATTRIBUTES = ("rowkey", "ksi", "vsi", "par", "off", "ts", "hdr")
+# the reference additionally supports 'epo' (leader epoch) — a PERMANENT
+# delta here: Spark's Kafka source never exposes the leader epoch, so 'epo'
+# is accepted in configs for compatibility but skipped (never an always-NULL
+# column masquerading as data).  sources/kafka.py:rowinfo_col documents this.
 ALL_ROW_ATTRIBUTES = ("rowkey", "ksi", "vsi", "top", "par", "off", "ts", "tst", "epo", "hdr")
 
 

@@ -1523,9 +1523,11 @@ def streaming_lsh_neardup(spark, sf_dir):
     """MinHash-LSH near-dup as a STREAMING stateful operator
     (streaming/ingest.py:stateful_lsh_neardup): band keys are computed
     narrowly per row (no pre-state aggregation), the stream shuffles once on
-    band_key, and every colliding pair is Jaccard-verified exactly once —
-    when its later member arrives.  Arrival order doesn't matter, so the
-    final pair set equals the batch self-join bit-for-bit."""
+    band_key, and within each band bucket every colliding pair is
+    Jaccard-verified exactly once — when its later member arrives.  A pair
+    colliding in both bands is emitted by both buckets, so the trailing
+    .distinct() restores set semantics; arrival order doesn't matter, so
+    the final pair set equals the batch self-join bit-for-bit."""
     import tempfile
     import uuid
 
@@ -1652,18 +1654,14 @@ def funnel_three_step(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
-    import pyspark.sql.types as T_
-
-    row = (v.count(), c.count(), p.count())
-    return spark.createDataFrame(
-        [row],
-        T_.StructType(
-            [
-                T_.StructField("n_view", T_.LongType(), False),
-                T_.StructField("n_view_click", T_.LongType(), False),
-                T_.StructField("n_view_click_purchase", T_.LongType(), False),
-            ]
-        ),
+    # single job: three 1-row count aggs cross-joined (each side is exactly
+    # one row, so the "cross join" is a free broadcast) — the driver never
+    # triggers v/c/p separately, and AQE's exchange reuse shares the
+    # user-keyed shuffles between the stages within the one plan
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
     )
 
 
@@ -2574,7 +2572,10 @@ def zorder_layout_key(spark, sf_dir):
     repartitionByRange on zkey)."""
     e = T(spark, sf_dir, "events")
     ux = (F.col("user_id") % 256).cast("long")
-    tb = ((F.col("event_id") / 16).cast("long") % 256).cast("long")
+    # integer floor division (`div`), NOT double division + cast: the double
+    # path truncates toward zero for negative ids and loses exactness past
+    # 2^53, diverging from the oracle's integer `//`
+    tb = (F.expr("event_id div 16") % 256).cast("long")
     k = e.select("event_id", ux.alias("ux"), tb.alias("tb"))
     z = None
     for i in range(8):

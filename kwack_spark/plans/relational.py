@@ -1228,11 +1228,16 @@ def profile_table_stats(spark, sf_dir):
             F.max(col).alias(f"_max_{col}"),
         ]
     row = c.agg(*aggs).collect()[0]
+
+    def _f(x):
+        # empty table -> min/max aggregate to NULL; propagate NULL stats
+        return float(x) if x is not None else None
+
     out = []
     for col in num_cols:
         out.append(
             (col, row["_rows"], row["_rows"] - row[f"_nn_{col}"], row[f"_nd_{col}"],
-             float(row[f"_min_{col}"]), float(row[f"_max_{col}"]), None, None)
+             _f(row[f"_min_{col}"]), _f(row[f"_max_{col}"]), None, None)
         )
     for col in str_cols:
         out.append(

@@ -59,11 +59,24 @@ class AvroSchemaError(ValueError):
     pass
 
 
-def parse_schema(schema: str | dict | list) -> Any:
+def parse_schema(
+    schema: str | dict | list, prelude: tuple | list = ()
+) -> Any:
     """Parse an Avro schema (JSON string or already-parsed), resolving named
-    type references and rejecting recursive records."""
-    node = json.loads(schema) if isinstance(schema, str) else schema
+    type references and rejecting recursive records.
+
+    ``prelude``: schemas parsed FIRST into the shared named-type table, so
+    the main schema may reference their record/enum/fixed names — the
+    Confluent schema-references mechanism (a registered schema's
+    ``references`` list names subjects whose types it uses; the reference
+    resolves them transitively via its registry client,
+    KwackEngine.java:194-203).  Order matters the same way registry
+    resolution orders dependencies: dependencies first."""
     named: dict[str, Any] = {}
+    for pre in prelude:
+        pnode = json.loads(pre) if isinstance(pre, str) else pre
+        _resolve(pnode, named, visiting=())
+    node = json.loads(schema) if isinstance(schema, str) else schema
     resolved = _resolve(node, named, visiting=())
     return resolved
 
@@ -227,11 +240,11 @@ def _field_nullable(node: dict) -> bool:
     return nullable or node.get("type") == "null"
 
 
-def to_struct_type(schema: str | dict) -> ST.StructType:
+def to_struct_type(schema: str | dict, prelude: tuple | list = ()) -> ST.StructType:
     """Top-level entry: record schema -> StructType (flattened per the
     reference's table layout, KwackEngine.java:607-617); non-record schemas
     become a single ``rowval`` column (KwackEngine.java:123,619)."""
-    node = parse_schema(schema)
+    node = parse_schema(schema, prelude)
     base, _ = nullable_unwrap(node)
     if base.get("type") == "record":
         return to_spark_type(base)  # type: ignore[return-value]
@@ -436,15 +449,17 @@ def project(decoded: Any, writer: dict, reader: dict) -> Any:
     return out
 
 
-def make_row_converter(schema: str | dict) -> tuple[ST.StructType, Callable[[bytes, dict | None], tuple]]:
+def make_row_converter(
+    schema: str | dict, prelude: tuple | list = ()
+) -> tuple[ST.StructType, Callable[[bytes, dict | None], tuple]]:
     """Returns (StructType, fn(payload, writer_schema|None) -> row tuple).
 
     ``writer_schema`` permits per-record writer resolution (schema id from
     the Confluent frame); None means the payload was written with the reader
-    schema itself."""
-    reader = parse_schema(schema)
+    schema itself.  ``prelude``: referenced schemas (see parse_schema)."""
+    reader = parse_schema(schema, prelude)
     base, _ = nullable_unwrap(reader)
-    st = to_struct_type(schema)
+    st = to_struct_type(schema, prelude)
     flat_record = base.get("type") == "record"
 
     def convert(payload: bytes, writer: dict | None = None) -> tuple:

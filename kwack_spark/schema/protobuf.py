@@ -135,18 +135,36 @@ class _Parser:
                 return
 
 
-def parse_proto(text: str) -> dict:
+def parse_proto(text: str, imports: dict[str, str] | None = None) -> dict:
     """Parse .proto source -> {'messages': {name: msg}, 'enums': {...},
     'package': str}.  Message: {'fields': [...], 'oneofs': {name: [fields]},
-    'messages': nested, 'enums': nested}."""
+    'messages': nested, 'enums': nested}.
+
+    ``imports``: {import path -> .proto source} for ``import "x.proto";``
+    statements — the Confluent schema-references mechanism, where a
+    registered proto schema's ``references`` list maps import paths to
+    registry subjects (the reference's deserializer resolves them through
+    its registry client, KwackEngine.java:194-203).  Imported top-level
+    types merge into this file's type table under both their bare and
+    package-qualified names, so fields may say ``Msg`` or ``other.Msg``;
+    unknown import paths (e.g. google/protobuf/*.proto, whose well-known
+    types are built in) are skipped exactly as before."""
     p = _Parser(_tokenize(text))
     root: dict = {"messages": {}, "enums": {}, "package": ""}
     while p.peek() is not None:
         t = p.next()
-        if t in ("syntax", "option", "import"):
+        if t == "import":
+            if p.peek() == "public":  # import public "x.proto";
+                p.next()
+            path_tok = p.next()
+            p.expect(";")
+            path = path_tok.strip('"')
+            if imports and path in imports:
+                _merge_imported(root, parse_proto(imports[path], imports))
+        elif t in ("syntax", "option"):
             p.skip_statement()
         elif t == "package":
-            root["package"] = p.next()
+            root["package"] = _join_dotted(p, p.next())
             p.expect(";")
         elif t == "message":
             name = p.next()
@@ -159,6 +177,26 @@ def parse_proto(text: str) -> dict:
         else:
             raise ProtoSchemaError(f"unexpected top-level token: {t!r}")
     return root
+
+
+def _merge_imported(root: dict, imported: dict) -> None:
+    """Fold an imported file's top-level messages/enums into ``root``'s
+    SEPARATE imported-type table under bare + package-qualified names
+    (dotted keys — _lookup matches the dotted type name a field spells
+    verbatim, after local scopes/declarations).  A separate table, NOT
+    root['messages']: the Confluent message-index wire path and the
+    default-message choice are positional over the file's OWN declarations
+    (ProtobufSchema.toMessageIndexes), which imports must not shift."""
+    for kind in ("messages", "enums"):
+        tbl = root.setdefault(f"imported_{kind}", {})
+        pkg = imported["package"]
+        for name, node in imported[kind].items():
+            tbl.setdefault(name, node)
+            if pkg:
+                tbl[f"{pkg}.{name}"] = node
+        # types a transitive import exposed to the imported file flow up too
+        for name, node in imported.get(f"imported_{kind}", {}).items():
+            tbl.setdefault(name, node)
 
 
 def _parse_enum(p: _Parser) -> dict:
@@ -406,6 +444,11 @@ def _lookup(tname: str, scopes: tuple, root: dict) -> tuple[str, dict, str]:
         return "message", root["messages"][tname], tname
     if tname in root["enums"]:
         return "enum", root["enums"][tname], tname
+    # imported types last: local declarations shadow them
+    if tname in root.get("imported_messages", {}):
+        return "message", root["imported_messages"][tname], tname
+    if tname in root.get("imported_enums", {}):
+        return "enum", root["imported_enums"][tname], tname
     raise ProtoSchemaError(f"unknown type: {tname}")
 
 
@@ -522,8 +565,12 @@ def descriptor_struct_type(desc: Descriptor) -> ST.StructType:
     return ST.StructType(fields)
 
 
-def to_struct_type(proto_text: str, message: str | None = None) -> ST.StructType:
-    return descriptor_struct_type(resolve(parse_proto(proto_text), message))
+def to_struct_type(
+    proto_text: str,
+    message: str | None = None,
+    imports: dict[str, str] | None = None,
+) -> ST.StructType:
+    return descriptor_struct_type(resolve(parse_proto(proto_text, imports), message))
 
 
 # ---------------------------------------------------------------------------
@@ -818,9 +865,11 @@ def message_to_row(msg: dict, desc: Descriptor) -> tuple:
 
 
 def make_row_converter(
-    proto_text: str, message: str | None = None
+    proto_text: str,
+    message: str | None = None,
+    imports: dict[str, str] | None = None,
 ) -> tuple[ST.StructType, Callable[[bytes], tuple]]:
-    desc = resolve(parse_proto(proto_text), message)
+    desc = resolve(parse_proto(proto_text, imports), message)
     st = descriptor_struct_type(desc)
 
     def convert(payload: bytes) -> tuple:

@@ -24,6 +24,37 @@ class RegisteredSchema:
     version: int
     schema_type: str  # AVRO | JSON | PROTOBUF
     schema_str: str
+    # Confluent schema references ((name, subject, version), ...): for proto,
+    # name is the import path; for Avro, the referenced type's fullname.  The
+    # referenced subject's schema must be resolved (transitively) before this
+    # one parses — resolve_references() below.
+    references: tuple = ()
+
+
+def resolve_references(registry, rs: RegisteredSchema) -> tuple:
+    """Transitive closure of ``rs.references`` in dependency-first order ->
+    ((name, schema_str), ...).  Mirrors the reference's Confluent
+    deserializers, whose registry client resolves referenced schemas before
+    parsing (KwackEngine.java:194-203); diamond dependencies resolve once,
+    cycles raise."""
+    out: list = []
+    seen: dict[tuple, bool] = {}  # (subject, version) -> done
+
+    def walk(refs, path):
+        for name, subject, version in refs:
+            key = (subject, version)
+            if key in seen:
+                if not seen[key]:
+                    raise ValueError(f"schema reference cycle at {subject} v{version}")
+                continue
+            seen[key] = False
+            child = registry.by_subject_version(subject, version)
+            walk(child.references, path + (key,))
+            out.append((name, child.schema_str))
+            seen[key] = True
+
+    walk(rs.references, ())
+    return tuple(out)
 
 
 class MockSchemaRegistry:
@@ -32,10 +63,20 @@ class MockSchemaRegistry:
         self._subjects: dict[str, list[RegisteredSchema]] = {}
         self._next_id = 1
 
-    def register(self, subject: str, schema_str: str, schema_type: str = "AVRO") -> int:
+    def register(
+        self,
+        subject: str,
+        schema_str: str,
+        schema_type: str = "AVRO",
+        references: tuple = (),
+    ) -> int:
         versions = self._subjects.setdefault(subject, [])
         for rs in versions:
-            if rs.schema_str == schema_str and rs.schema_type == schema_type:
+            if (
+                rs.schema_str == schema_str
+                and rs.schema_type == schema_type
+                and rs.references == tuple(references)
+            ):
                 return rs.id
         rs = RegisteredSchema(
             id=self._next_id,
@@ -43,6 +84,7 @@ class MockSchemaRegistry:
             version=len(versions) + 1,
             schema_type=schema_type,
             schema_str=schema_str,
+            references=tuple(references),
         )
         self._next_id += 1
         versions.append(rs)
@@ -60,10 +102,21 @@ class MockSchemaRegistry:
             raise KeyError(f"subject not found: {subject}")
         return versions[-1]
 
-    def snapshot(self) -> dict[int, tuple[str, str]]:
-        """id -> (schema_type, schema_str); broadcast to executors so writer
-        schema resolution is a dict hit, not a registry call per record."""
-        return {i: (rs.schema_type, rs.schema_str) for i, rs in self._by_id.items()}
+    def by_subject_version(self, subject: str, version: int) -> RegisteredSchema:
+        for rs in self._subjects.get(subject, []):
+            if rs.version == version:
+                return rs
+        raise KeyError(f"subject version not found: {subject} v{version}")
+
+    def snapshot(self) -> dict[int, tuple[str, str, tuple]]:
+        """id -> (schema_type, schema_str, resolved reference prelude);
+        broadcast to executors so writer schema resolution is a dict hit,
+        not a registry call per record.  References resolve HERE, driver-
+        side, once — executors never see the registry."""
+        return {
+            i: (rs.schema_type, rs.schema_str, resolve_references(self, rs))
+            for i, rs in self._by_id.items()
+        }
 
 
 class HttpSchemaRegistry:
@@ -112,6 +165,13 @@ class HttpSchemaRegistry:
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             return json.loads(resp.read())["id"]
 
+    @staticmethod
+    def _parse_refs(data: dict) -> tuple:
+        return tuple(
+            (r["name"], r["subject"], r["version"])
+            for r in data.get("references", [])
+        )
+
     def by_id(self, schema_id: int) -> RegisteredSchema:
         if schema_id not in self._id_cache:
             data = self._get(f"/schemas/ids/{schema_id}")
@@ -121,18 +181,13 @@ class HttpSchemaRegistry:
                 version=-1,
                 schema_type=data.get("schemaType", "AVRO"),
                 schema_str=data["schema"],
+                references=self._parse_refs(data),
             )
         return self._id_cache[schema_id]
 
     def latest(self, subject: str) -> RegisteredSchema:
         data = self._get(f"/subjects/{subject}/versions/latest")
-        rs = RegisteredSchema(
-            id=data["id"],
-            subject=subject,
-            version=data["version"],
-            schema_type=data.get("schemaType", "AVRO"),
-            schema_str=data["schema"],
-        )
+        rs = self._from_version_response(subject, data)
         self._id_cache[rs.id] = rs
         # preload ALL versions of the subject into the cache: records written
         # with an older schema id (the normal evolution case) must resolve
@@ -143,20 +198,35 @@ class HttpSchemaRegistry:
                 if v == rs.version:
                     continue
                 vd = self._get(f"/subjects/{subject}/versions/{v}")
-                self._id_cache[vd["id"]] = RegisteredSchema(
-                    id=vd["id"],
-                    subject=subject,
-                    version=vd["version"],
-                    schema_type=vd.get("schemaType", "AVRO"),
-                    schema_str=vd["schema"],
-                )
+                self._id_cache[vd["id"]] = self._from_version_response(subject, vd)
         except Exception:
             pass  # older registries without the versions listing still work
         return rs
 
-    def snapshot(self) -> dict[int, tuple[str, str]]:
+    def by_subject_version(self, subject: str, version: int) -> RegisteredSchema:
+        for rs in self._id_cache.values():
+            if rs.subject == subject and rs.version == version:
+                return rs
+        data = self._get(f"/subjects/{subject}/versions/{version}")
+        rs = self._from_version_response(subject, data)
+        self._id_cache[rs.id] = rs
+        return rs
+
+    def _from_version_response(self, subject: str, data: dict) -> RegisteredSchema:
+        return RegisteredSchema(
+            id=data["id"],
+            subject=subject,
+            version=data["version"],
+            schema_type=data.get("schemaType", "AVRO"),
+            schema_str=data["schema"],
+            references=self._parse_refs(data),
+        )
+
+    def snapshot(self) -> dict[int, tuple[str, str, tuple]]:
+        # list() first: resolve_references may fetch + cache new entries
         return {
-            i: (rs.schema_type, rs.schema_str) for i, rs in self._id_cache.items()
+            i: (rs.schema_type, rs.schema_str, resolve_references(self, rs))
+            for i, rs in list(self._id_cache.items())
         }
 
 

@@ -192,11 +192,21 @@ def resolve_serde(
             else registry.by_id(serde.schema_id)
         )
         kind = {"AVRO": "avro", "JSON": "jsonschema", "PROTOBUF": "proto"}[rs.schema_type]
-        serde = Serde(kind=kind, schema_str=rs.schema_str)
+        # resolve Confluent schema references transitively, driver-side,
+        # ONCE (KwackEngine.java:194-203's registry client does the same):
+        # the (name, schema_str) prelude rides the Serde into the parsers
+        from kwack_spark.schema.registry import resolve_references
+
+        serde = Serde(
+            kind=kind,
+            schema_str=rs.schema_str,
+            refs=resolve_references(registry, rs),
+        )
 
     if serde.kind == "avro":
-        st, convert = avro_schema.make_row_converter(serde.schema_str)
-        reader = avro_schema.parse_schema(serde.schema_str)
+        prelude = tuple(s for _, s in serde.refs)
+        st, convert = avro_schema.make_row_converter(serde.schema_str, prelude)
+        reader = avro_schema.parse_schema(serde.schema_str, prelude)
         # per-id memo: writer schema parse + same-as-reader comparison happen
         # ONCE per schema id per task, never per record (hot-path contract)
         writer_memo: dict[int, dict | None] = {}
@@ -206,7 +216,9 @@ def resolve_serde(
             writer = None
             if sid is not None and sid in writers:
                 if sid not in writer_memo:
-                    parsed = avro_schema.parse_schema(writers[sid][1])
+                    w = writers[sid]
+                    w_pre = tuple(s for _, s in w[2]) if len(w) > 2 else ()
+                    parsed = avro_schema.parse_schema(w[1], w_pre)
                     writer_memo[sid] = parsed if parsed != reader else None
                 writer = writer_memo[sid]
             return convert(body, writer)
@@ -236,8 +248,12 @@ def resolve_serde(
 
         return st, conv_json, serde
     if serde.kind == "proto":
-        st, convert = proto_schema.make_row_converter(serde.schema_str, serde.message)
-        proto_root = proto_schema.parse_proto(serde.schema_str)
+        # refs: import path -> .proto source (Confluent proto references)
+        imports = {name: src for name, src in serde.refs} or None
+        st, convert = proto_schema.make_row_converter(
+            serde.schema_str, serde.message, imports
+        )
+        proto_root = proto_schema.parse_proto(serde.schema_str, imports)
         expected_msg = serde.message or next(iter(proto_root["messages"]))
         expected_idx = proto_schema.indexes_for_message(proto_root, expected_msg)
 
@@ -303,7 +319,6 @@ _ROWINFO_BUILDERS = {
     "off": lambda: F.col("offset").alias("off"),
     "ts": lambda: (F.unix_micros(F.col("timestamp")) / 1000).cast("long").alias("ts"),
     "tst": lambda: F.col("timestampType").cast("short").alias("tst"),
-    "epo": lambda: F.lit(None).cast("int").alias("epo"),
     "hdr": lambda: F.when(
         F.col("headers").isNotNull(),
         F.map_from_entries(
@@ -323,11 +338,19 @@ def rowinfo_col(row_attributes: tuple[str, ...], ids_precomputed: bool = False) 
     enabled attributes.  Header maps keep the LAST value per key
     (KwackEngine.java:1022-1035) — requires mapKeyDedupPolicy=LAST_WIN, set
     by decode_topic.  ``ids_precomputed``: ksi/vsi already exist as int
-    columns (Python decode path) instead of being parsed from key/value."""
+    columns (Python decode path) instead of being parsed from key/value.
+
+    Permanent delta vs the reference: ``epo`` (leader epoch,
+    KwackEngine.java:713) is NOT supported — Spark's Kafka source does not
+    expose the leader epoch, so requesting it is skipped rather than
+    emitting an always-NULL column that looks like data.  Any other unknown
+    attribute raises."""
     parts = []
     for a in row_attributes:
+        if a == "epo":
+            continue  # documented permanent delta — see docstring
         if a not in _ROWINFO_BUILDERS:
-            continue
+            raise ValueError(f"unknown rowinfo attribute: {a!r}")
         if ids_precomputed and a in ("ksi", "vsi"):
             parts.append(F.col(a).alias(a))
         else:
@@ -516,6 +539,53 @@ def _jvm_value_col(value_serde: Serde, skip_bytes: int) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def resolve_relative_offsets(
+    value: int, end_offsets: dict[int, int]
+) -> dict[int, int]:
+    """'-N' (N records before end, KwackMain.java:69-76) -> absolute
+    per-partition starting offsets: max(0, end - N) each partition, so a
+    partition shorter than N replays from its beginning."""
+    n = -value
+    return {p: max(0, end - n) for p, end in end_offsets.items()}
+
+
+def jvm_end_offsets(
+    spark: SparkSession, bootstrap: str, topic: str, partitions: list[int] | None = None
+) -> dict[int, int]:
+    """Per-partition END offsets via the Kafka AdminClient through Spark's
+    JVM (py4j — no new Python dependency; the kafka-clients jar arrives with
+    the same spark-sql-kafka connector package the source itself needs)."""
+    try:
+        jvm = spark._jvm
+        props = jvm.java.util.Properties()
+        props.put("bootstrap.servers", bootstrap)
+        admin = jvm.org.apache.kafka.clients.admin.AdminClient.create(props)
+        try:
+            if partitions is None:
+                names = jvm.java.util.Collections.singletonList(topic)
+                desc = admin.describeTopics(names).allTopicNames().get().get(topic)
+                partitions = [pi.partition() for pi in desc.partitions()]
+            spec = jvm.org.apache.kafka.clients.admin.OffsetSpec.latest()
+            req = jvm.java.util.HashMap()
+            tps = {
+                p: jvm.org.apache.kafka.common.TopicPartition(topic, p)
+                for p in partitions
+            }
+            for tp in tps.values():
+                req.put(tp, spec)
+            res = admin.listOffsets(req).all().get()
+            return {p: res.get(tp).offset() for p, tp in tps.items()}
+        finally:
+            admin.close()
+    except Exception as exc:
+        raise RuntimeError(
+            "cannot resolve end offsets — the Kafka AdminClient needs the "
+            "kafka-clients jar on the Spark classpath (spark.jars.packages="
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version>); "
+            "alternatively pass end_offsets_fn to read_topic_frames"
+        ) from exc
+
+
 def kafka_reader_options(
     bootstrap: str,
     topic: str,
@@ -523,14 +593,15 @@ def kafka_reader_options(
     partitions: list[int] | None = None,
     offset_spec: "OffsetSpec | None" = None,
     min_partitions: int | None = None,
+    end_offsets: dict[int, int] | None = None,
 ) -> dict[str, str]:
     """Spark Kafka source options from the reference's offset/partition
     grammar (KwackMain.java:69-76): beginning|end -> earliest|latest;
     @<ts ms> -> startingTimestamp(s); <abs> -> per-partition offset JSON;
-    -p partitions -> assign JSON.  Note on negative offsets: Spark's source
-    accepts only the -2/-1 (earliest/latest) sentinels in offset JSON — the
-    reference's '-N before end' form needs end offsets resolved via an admin
-    client first; the sentinel values pass through unchanged."""
+    -N -> absolute offsets computed from ``end_offsets`` (resolved via an
+    admin client, jvm_end_offsets — Spark's source only understands the
+    -2/-1 earliest/latest sentinels, never '-N before end');
+    -p partitions -> assign JSON."""
     import json as _json
 
     opts: dict[str, str] = {
@@ -553,7 +624,18 @@ def kafka_reader_options(
                 )
             else:
                 opts["startingTimestamp"] = str(offset_spec.value)
-        else:  # absolute / relative per-partition offsets need partitions
+        elif offset_spec.kind == "relative":
+            if end_offsets is None:
+                raise ValueError(
+                    f"relative offset {offset_spec.value} needs per-partition "
+                    "end offsets (jvm_end_offsets / end_offsets_fn) — Spark's "
+                    "Kafka source has no '-N before end' form"
+                )
+            starts = resolve_relative_offsets(offset_spec.value, end_offsets)
+            opts["startingOffsets"] = _json.dumps(
+                {topic: {str(p): o for p, o in sorted(starts.items())}}
+            )
+        else:  # absolute per-partition offsets need partitions
             parts = partitions if partitions else [0]
             opts["startingOffsets"] = _json.dumps(
                 {topic: {str(p): offset_spec.value for p in parts}}
@@ -574,12 +656,27 @@ def read_topic_frames(
     min_partitions: int | None = None,
     partitions: list[int] | None = None,
     offset_spec: "OffsetSpec | None" = None,
+    end_offsets_fn: Callable[..., dict[int, int]] | None = None,
 ) -> DataFrame:
     """spark.read[Stream].format('kafka') — one task per topic-partition;
-    raises a clear error when the Kafka connector jar is absent."""
+    raises a clear error when the Kafka connector jar is absent.
+
+    ``end_offsets_fn(spark, bootstrap, topic, partitions)``: resolver for
+    '-N before end' offset specs (default jvm_end_offsets, admin client)."""
+    end_offsets = None
+    if offset_spec is not None and offset_spec.kind == "relative":
+        end_offsets = (end_offsets_fn or jvm_end_offsets)(
+            spark, bootstrap, topic, partitions
+        )
     reader = (spark.readStream if streaming else spark.read).format("kafka")
     for k, v in kafka_reader_options(
-        bootstrap, topic, starting_offsets, partitions, offset_spec, min_partitions
+        bootstrap,
+        topic,
+        starting_offsets,
+        partitions,
+        offset_spec,
+        min_partitions,
+        end_offsets,
     ).items():
         reader = reader.option(k, v)
     try:
@@ -606,6 +703,7 @@ def register_topics(
     topic_partitions: dict[str, list[int]] | None = None,
     offset_spec: "OffsetSpec | None" = None,
     on_error: str = "fail",
+    end_offsets_fn: Callable[..., dict[int, int]] | None = None,
 ) -> dict[str, DataFrame]:
     """One temp view per topic (the reference's CREATE TABLE per topic,
     KwackEngine.java:587-591)."""
@@ -621,6 +719,7 @@ def register_topics(
             streaming,
             partitions=(topic_partitions or {}).get(topic),
             offset_spec=offset_spec,
+            end_offsets_fn=end_offsets_fn,
         )
         decoded = decode_topic(
             frames,

@@ -171,6 +171,59 @@ def test_kafka_reader_options():
     assert o["minPartitions"] == "64"
 
 
+def test_relative_offsets_resolve_against_end():
+    """'-N' (KwackMain.java:69-76) -> absolute per-partition starts from end
+    offsets: end-100 per partition, clamped at 0 for short partitions."""
+    import json as _json
+
+    import pytest
+
+    from kwack_spark.config import parse_offset
+    from kwack_spark.sources.kafka import (
+        kafka_reader_options,
+        resolve_relative_offsets,
+    )
+
+    ends = {0: 1000, 1: 350, 2: 40}
+    assert resolve_relative_offsets(-100, ends) == {0: 900, 1: 250, 2: 0}
+
+    o = kafka_reader_options(
+        "b:9092", "t", offset_spec=parse_offset("-100"), end_offsets=ends
+    )
+    assert _json.loads(o["startingOffsets"]) == {"t": {"0": 900, "1": 250, "2": 0}}
+
+    # no resolver output -> explicit error, never a silent sentinel pass-through
+    with pytest.raises(ValueError, match="end offsets"):
+        kafka_reader_options("b:9092", "t", offset_spec=parse_offset("-100"))
+
+
+def test_read_topic_frames_uses_end_offsets_fn(spark):
+    """read_topic_frames resolves '-N' through the injected resolver before
+    building source options (the connector jar itself is absent here, so the
+    load fails afterwards with the documented error — resolver calls are
+    still observable)."""
+    import pytest
+
+    from kwack_spark.config import parse_offset
+    from kwack_spark.sources.kafka import read_topic_frames
+
+    calls = []
+
+    def fake_ends(spark_, bootstrap, topic, partitions):
+        calls.append((bootstrap, topic, partitions))
+        return {0: 500}
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_topic_frames(
+            spark,
+            "b:9092",
+            "t",
+            offset_spec=parse_offset("-10"),
+            end_offsets_fn=fake_ends,
+        )
+    assert calls == [("b:9092", "t", None)]
+
+
 def test_engine_kafka_without_connector_raises_clear_error(spark):
     """No spark-sql-kafka jar in this environment: init() must fail with the
     actionable RuntimeError from read_topic_frames, not a raw Py4J error."""

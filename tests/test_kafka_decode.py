@@ -255,6 +255,29 @@ def test_row_attributes_subset(spark):
     assert "rowkey" not in out.columns
 
 
+def test_rowinfo_epo_is_a_documented_delta(spark):
+    """'epo' (leader epoch) is a permanent delta: Spark's Kafka source never
+    exposes it, so a request for it is skipped — no always-NULL column
+    masquerading as data — while unknown attributes raise."""
+    import pytest
+
+    out = ks.decode_topic(
+        make_frames(spark, [b"v"]),
+        "t1",
+        parse_serde("string"),
+        row_attributes=("par", "epo", "off"),
+    )
+    assert out.collect()[0].rowinfo.asDict() == {"par": 0, "off": 0}
+
+    with pytest.raises(ValueError, match="unknown rowinfo attribute"):
+        ks.decode_topic(
+            make_frames(spark, [b"v"]),
+            "t1",
+            parse_serde("string"),
+            row_attributes=("par", "nope"),
+        ).collect()
+
+
 def test_on_error_skip_poison_records(spark):
     """A corrupt payload must not kill the job in 'skip' mode; 'fail' raises."""
     reg = MockSchemaRegistry()

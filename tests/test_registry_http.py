@@ -14,6 +14,30 @@ from kwack_spark.schema.registry import (
     open_registry,
 )
 
+AVRO_ADDR = json.dumps(
+    {
+        "type": "record",
+        "name": "Address",
+        "fields": [{"name": "city", "type": "string"}],
+    }
+)
+AVRO_CUST = json.dumps(
+    {
+        "type": "record",
+        "name": "Cust",
+        "fields": [{"name": "name", "type": "string"}, {"name": "addr", "type": "Address"}],
+    }
+)
+PROTO_BASE = 'syntax = "proto3"; package base; message Tag { string label = 1; }'
+PROTO_OTHER = (
+    'syntax = "proto3"; package other; import "base.proto"; '
+    "message Inner { string name = 1; base.Tag tag = 2; }"
+)
+PROTO_EVT = (
+    'syntax = "proto3"; import "other.proto"; '
+    "message Evt { int32 n = 1; other.Inner inner = 2; }"
+)
+
 SCHEMAS = {
     7: {"schema": '{"type":"string"}', "schemaType": "AVRO"},
 }
@@ -22,9 +46,44 @@ VERSIONS = {
         2: {"id": 5, "version": 2, "schema": '{"type":"int"}', "schemaType": "AVRO"},
         3: {"id": 7, "version": 3, "schema": '{"type":"string"}', "schemaType": "AVRO"},
     },
+    "addr": {1: {"id": 11, "version": 1, "schema": AVRO_ADDR, "schemaType": "AVRO"}},
+    "cust-ref-value": {
+        1: {
+            "id": 12,
+            "version": 1,
+            "schema": AVRO_CUST,
+            "schemaType": "AVRO",
+            "references": [{"name": "Address", "subject": "addr", "version": 1}],
+        }
+    },
+    "base.proto": {
+        1: {"id": 20, "version": 1, "schema": PROTO_BASE, "schemaType": "PROTOBUF"}
+    },
+    "other.proto": {
+        1: {
+            "id": 21,
+            "version": 1,
+            "schema": PROTO_OTHER,
+            "schemaType": "PROTOBUF",
+            "references": [{"name": "base.proto", "subject": "base.proto", "version": 1}],
+        }
+    },
+    "evt-ref-value": {
+        1: {
+            "id": 22,
+            "version": 1,
+            "schema": PROTO_EVT,
+            "schemaType": "PROTOBUF",
+            "references": [
+                {"name": "other.proto", "subject": "other.proto", "version": 1}
+            ],
+        }
+    },
 }
 LATEST = {
     "t1-value": VERSIONS["t1-value"][3],
+    "cust-ref-value": VERSIONS["cust-ref-value"][1],
+    "evt-ref-value": VERSIONS["evt-ref-value"][1],
 }
 
 
@@ -86,7 +145,7 @@ def test_by_id_and_cache(sr_url):
     reg = HttpSchemaRegistry(sr_url)
     rs = reg.by_id(7)
     assert rs.schema_str == '{"type":"string"}' and rs.schema_type == "AVRO"
-    assert reg.snapshot() == {7: ("AVRO", '{"type":"string"}')}
+    assert reg.snapshot() == {7: ("AVRO", '{"type":"string"}', ())}
     # cached: served again without the server (cache hit)
     assert reg.by_id(7).id == 7
 
@@ -99,12 +158,82 @@ def test_latest_preloads_all_versions(sr_url):
     assert rs.id == 7 and rs.version == 3
     snap = reg.snapshot()
     assert 7 in snap and 5 in snap  # latest AND the older version's id
-    assert snap[5] == ("AVRO", '{"type":"int"}')
+    assert snap[5] == ("AVRO", '{"type":"int"}', ())
 
 
 def test_register(sr_url):
     reg = HttpSchemaRegistry(sr_url)
     assert reg.register("t1-value", '{"type":"string"}', "AVRO") == 99
+
+
+def test_avro_schema_reference_resolves(sr_url):
+    """An Avro schema whose record references a named type registered under
+    another subject parses once the reference prelude is applied — the
+    Confluent schema-references path (KwackEngine.java:194-203)."""
+    from kwack_spark.schema import avro as avro_schema
+    from kwack_spark.schema.registry import resolve_references
+
+    reg = HttpSchemaRegistry(sr_url)
+    rs = reg.latest("cust-ref-value")
+    assert rs.references == (("Address", "addr", 1),)
+    prelude = resolve_references(reg, rs)
+    assert prelude == (("Address", AVRO_ADDR),)
+    st = avro_schema.to_struct_type(rs.schema_str, tuple(s for _, s in prelude))
+    assert st.fieldNames() == ["name", "addr"]
+    assert st["addr"].dataType.fieldNames() == ["city"]
+    # without the prelude the named reference is unresolvable
+    with pytest.raises(Exception, match="Address"):
+        avro_schema.to_struct_type(rs.schema_str)
+
+
+def test_proto_schema_reference_imports_transitively(sr_url):
+    """Two-hop proto imports (evt -> other.proto -> base.proto) resolve via
+    the registry's references; dependency-first order feeds the parser's
+    imports table."""
+    from kwack_spark.schema import protobuf as proto_schema
+    from kwack_spark.schema.registry import resolve_references
+
+    reg = HttpSchemaRegistry(sr_url)
+    rs = reg.latest("evt-ref-value")
+    prelude = resolve_references(reg, rs)
+    assert [n for n, _ in prelude] == ["base.proto", "other.proto"]
+    st = proto_schema.to_struct_type(rs.schema_str, imports=dict(prelude))
+    assert st.fieldNames() == ["n", "inner"]
+    inner = st["inner"].dataType
+    assert inner.fieldNames() == ["name", "tag"]
+    assert inner["tag"].dataType.fieldNames() == ["label"]
+
+
+def test_mock_registry_references_end_to_end(spark):
+    """latest-serde decode through decode_topic with a referenced Avro type:
+    resolve_serde applies the reference prelude from the registry."""
+    from kwack_spark.schema import avro as avro_schema
+    from kwack_spark.sources import kafka as ks
+
+    reg = MockSchemaRegistry()
+    reg.register("addr", AVRO_ADDR, "AVRO")
+    sid = reg.register(
+        "cust-ref-value", AVRO_CUST, "AVRO", references=(("Address", "addr", 1),)
+    )
+    payload = avro_schema.encode(
+        {"name": "alice", "addr": {"city": "springfield"}},
+        avro_schema.parse_schema(AVRO_CUST, (AVRO_ADDR,)),
+    )
+    frame = ks.confluent_frame(payload, sid)
+    import datetime
+
+    rows = [
+        (None, frame, "cust-ref", 0, 0, datetime.datetime(2024, 1, 1), 0, None)
+    ]
+    df = spark.createDataFrame(rows, ks.KAFKA_FRAME_SCHEMA)
+    from kwack_spark.config import Serde
+
+    out = ks.decode_topic(
+        df, "cust-ref", Serde(kind="latest"), registry=reg,
+        row_attributes=("off",),
+    ).collect()
+    assert len(out) == 1
+    assert out[0].name == "alice" and out[0].addr.city == "springfield"
 
 
 def test_open_registry_dispatch(sr_url):
