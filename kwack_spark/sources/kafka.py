@@ -414,6 +414,36 @@ def decode_topic(
         cols.append(_jvm_value_col(value_serde, skip_bytes))
         return df.select(*cols, *meta_cols)
 
+    # --- JVM from_avro fast path (evolution-free topics) ----------------------
+    # Whole-stage-codegen decode when (a) the spark-avro module is present,
+    # (b) no writer evolution is possible for this subject, and (c) the
+    # schema maps identically under both type matrices — see
+    # sources/avro_jvm.py for the gates.  Identical results to the Python
+    # stage, ~Java-cost per record instead of ~10x (the reference's decode
+    # is Java, KwackEngine.java:516-585); at 100 TB ingest this is the
+    # difference that matters.
+    key_jvm_ok = (not want_rowkey) or (
+        k_conv is None and key_serde.kind in ("short", "int", "long", "string", "binary")
+    )
+    if value_is_struct and value_serde.kind == "avro" and key_jvm_ok:
+        from kwack_spark.sources import avro_jvm
+
+        ok, _why = avro_jvm.eligible(value_serde, topic, registry)
+        if ok and avro_jvm.available(spark):
+            head = [_jvm_key_col(key_serde, skip_bytes)] if want_rowkey else []
+            meta = [rowinfo_col(info_attrs)] if info_attrs else []
+            dec = avro_jvm.decode_value_col(
+                payload_col("value", skip_bytes), value_serde.schema_str, on_error
+            )
+            out = df.select(*head, dec.alias("_v"), *meta)
+            if on_error == "skip":
+                # tombstones were filtered above; a null decode IS poison
+                out = out.filter(F.col("_v").isNotNull())
+            order = (["rowkey"] if want_rowkey else []) + [
+                F.col(f"_v.{f.name}").alias(f.name) for f in v_st.fields
+            ] + (["rowinfo"] if info_attrs else [])
+            return out.select(*order)
+
     # --- Python decode stage (Arrow-batched) ---------------------------------
     writers_bc = spark.sparkContext.broadcast(registry.snapshot() if registry else {})
 

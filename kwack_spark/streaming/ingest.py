@@ -182,7 +182,7 @@ def stateful_running_counts(
 
 
 def stateful_lsh_neardup(
-    df: DataFrame, threshold: float = 0.5
+    df: DataFrame, threshold: float = 0.5, ttl_ms: int | None = None
 ) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate detection: the state store IS
     the LSH index.  Input rows are ``(doc_id, sh array<string>, band_key)``
@@ -191,30 +191,52 @@ def stateful_lsh_neardup(
     band_key).  Per band bucket, arriving docs are compared against every
     doc already in the bucket's state (and earlier docs of the same batch,
     in doc_id order); exact-Jaccard hits >= ``threshold`` are emitted as
-    ``(id_a, id_b, jaccard)`` with id_a < id_b.  Every colliding pair is
-    compared exactly once — when its later member arrives — so the
+    ``(id_a, id_b, jaccard)`` with id_a < id_b.
+
+    Within one band bucket every colliding pair is compared exactly once —
+    when its later member arrives — but a pair whose documents collide in
+    SEVERAL bands is emitted once per colliding band bucket (the buckets are
+    independent state groups and cannot see each other).  Callers wanting
+    set semantics apply ``.distinct()`` downstream, as
+    plans/pipeline.py:streaming_lsh_neardup does; modulo that, the
     end-of-stream pair set equals the batch self-join's
     (operators/dedup.py:minhash_lsh_pairs), whatever the arrival order.
 
-    Scale: state per bucket is the bucket's (id, shingle set) list — the
-    same memory the batch self-join materializes per bucket, but amortized
-    over the stream's lifetime; a production deployment adds a TTL timeout
-    to age out buckets past the dedup horizon (state.setTimeoutDuration),
-    exactly where dropDuplicatesWithinWatermark bounds its state."""
+    State bound: per bucket, the bucket's (id, shingle set) list, stored
+    columnar (two Arrow arrays — no per-batch JSON re-encode).  With
+    ``ttl_ms`` set, buckets idle longer than the TTL are EVICTED via a
+    processing-time timeout — the dedup horizon that keeps state finite on
+    unbounded streams (production must set it; the analogue of
+    dropDuplicatesWithinWatermark's watermark bound).  Docs older than the
+    horizon simply stop matching, exactly like the incremental batch path
+    pruning its history index (operators/dedup.py:incremental_lsh_new_dups).
+
+    Caveat: only use ``ttl_ms`` with a continuously-running trigger.  Under
+    ``Trigger.AvailableNow`` a processing-time timeout makes Spark schedule
+    state-cleanup batches indefinitely (FlatMapGroupsWithStateExec's
+    shouldRunAnotherBatch is always true for processing-time timeouts), so
+    the drain-and-stop query never terminates; bounded replays should leave
+    the TTL unset.
+    """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "id_a long, id_b long, jaccard double"
-    state_schema = "docs string"
+    state_schema = "ids array<long>, shs array<array<string>>"
 
     def update(key_tuple, pdfs, state: GroupState):
-        import json
-
         import pandas as pd
 
-        docs = json.loads(state.get[0]) if state.exists else []
+        if ttl_ms is not None and state.hasTimedOut:
+            # bucket idle past the dedup horizon: evict its index shard
+            state.remove()
+            return
+        if state.exists:
+            ids, shs = [int(i) for i in state.get[0]], [list(s) for s in state.get[1]]
+        else:
+            ids, shs = [], []
         # materialize history sets ONCE per invocation — rebuilding them per
         # arriving doc made the bucket compare O(batch * history * len)
-        hist: list[tuple[int, set]] = [(hid, set(hsh)) for hid, hsh in docs]
+        hist: list[tuple[int, set]] = [(i, set(s)) for i, s in zip(ids, shs)]
         batch: list[tuple[int, list[str]]] = []
         for pdf in pdfs:
             for did, sh in zip(pdf["doc_id"], pdf["sh"]):
@@ -235,12 +257,20 @@ def stateful_lsh_neardup(
                     out_b.append(max(did, hid))
                     out_j.append(j)
             hist.append((did, s))
-            docs.append((did, sh))
-        state.update((json.dumps(docs),))
+            ids.append(did)
+            shs.append(sh)
+        state.update((ids, shs))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return df.groupBy("band_key").applyInPandasWithState(
-        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        update, out_schema, state_schema, "append", timeout
     )
 
 

@@ -284,3 +284,69 @@ def test_engine_live_topic_sees_late_rows(spark, tmp_path):
         assert got.n == 8 and got.mx == 7
     finally:
         q.stop()
+
+
+def test_stateful_lsh_ttl_evicts_aged_buckets(spark, tmp_path):
+    """With a processing-time TTL, a bucket idle past the horizon is evicted:
+    a later near-dup of an aged-out doc produces NO pair, while the no-TTL
+    run still pairs them.  Batches are separate files processed one per
+    trigger; batch 2 touches only an unrelated bucket so bucket state from
+    batch 1 can time out before its near-dup arrives in batch 3.
+
+    The TTL run uses a continuous trigger: under a processing-time timeout
+    Spark schedules batches indefinitely (documented caveat), so neither
+    Trigger.AvailableNow (never terminates) nor processAllAvailable (keeps
+    finding pending timeout batches) can drain-and-stop — instead we poll
+    recentProgress until all 3 source rows are processed, then stop."""
+    import glob
+    import shutil
+    import time
+
+    from kwack_spark.operators import dedup
+    from kwack_spark.streaming import ingest as si
+
+    b1 = [(1, "the quick brown fox jumps over the lazy dog today")]
+    b2 = [(3, "completely different text about spark streaming state")]
+    b3 = [(4, "the quick brown fox jumps over the lazy dog today")]
+
+    def replay(tag, ttl_ms):
+        path = str(tmp_path / f"ttl_{tag}")
+        shutil.rmtree(path, ignore_errors=True)
+        for rows in (b1, b2, b3):
+            d = spark.createDataFrame(rows, "doc_id long, text string")
+            prep = dedup.lsh_band_keys_narrow(d, "doc_id", "text", k=8, bands=2)
+            prep.coalesce(1).write.mode("append").parquet(path)
+            time.sleep(0.05)  # distinct mtimes -> stable per-file batch order
+        assert len(glob.glob(f"{path}/part-*.parquet")) == 3
+        stream = (
+            spark.readStream.schema(prep.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        pairs = si.stateful_lsh_neardup(stream, threshold=0.5, ttl_ms=ttl_ms)
+        q = si.to_memory_sink(
+            pairs, f"lshttl_{tag}", output_mode="append", continuous=ttl_ms is not None
+        )
+        if ttl_ms is None:
+            assert q.awaitTermination(120), "stream did not finish"
+        else:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                done = sum(p["numInputRows"] for p in q.recentProgress)
+                if done >= 3:
+                    break
+                time.sleep(0.2)
+            else:
+                q.stop()
+                raise AssertionError("TTL stream never consumed all 3 rows")
+            q.stop()
+            q.awaitTermination(30)
+        return {
+            (r.id_a, r.id_b) for r in spark.table(f"lshttl_{tag}").distinct().collect()
+        }
+
+    # no TTL: docs 1 and 4 are near-dups across batches 1 and 3
+    assert replay("off", None) == {(1, 4)}
+    # 1 ms TTL: bucket holding doc 1 idles through batch 2, times out, and
+    # doc 4 finds empty state
+    assert replay("on", 1) == set()
