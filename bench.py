@@ -99,25 +99,45 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
     warmup_sec = time.perf_counter() - t_w
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qmap[name]
-        t = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t, 3)
+    # n reps per query (default 3): the per-query number reported is the
+    # MEDIAN, and the max-min spread is reported alongside, so run-to-run
+    # drift (JIT, page cache, shuffle-partition pressure) is visible instead
+    # of being mistaken for a regression.  Rep loop is outermost so reps of
+    # one query don't reuse each other's still-warm shuffle files.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            fn = qmap[name]
+            t = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            samples[name].append(time.perf_counter() - t)
+
+    timings = {
+        name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
+    }
+    spread = {
+        name: round(max(ts) - min(ts), 3) for name, ts in samples.items()
+    }
 
     total = time.perf_counter() - t0
+    # value stays comparable across rounds: init + warmup + ONE rep
+    # (median per query); the full multi-rep wall clock is total_wall_sec
+    one_cycle = init_sec + warmup_sec + sum(timings.values())
     print(
         json.dumps(
             {
                 "metric": "full_cycle_sec",
-                "value": round(total, 3),
+                "value": round(one_cycle, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_spread": spread,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "init_sec": round(init_sec, 3),
                 "warmup_sec": round(warmup_sec, 3),
+                "total_wall_sec": round(total, 3),
                 "n_queries": len(timings),
             }
         )

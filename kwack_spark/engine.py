@@ -199,21 +199,86 @@ class KwackSpark:
             raise ValueError(f"unsupported COPY format: {fmt}")
         return df
 
-    def repl(self) -> None:  # pragma: no cover - interactive
-        """Minimal sqlline equivalent (KwackApplication.java:9-35)."""
+    def repl(self, input_fn=None, print_fn=print) -> None:
+        """sqlline-equivalent interactive loop (KwackApplication.java:9-35):
+        persistent readline history (~/.kwack_spark_history), multi-line
+        statements terminated by ';', and the sqlline bang-commands the
+        reference ships — !tables, !columns <t>, !history, !help, !q.
+        ``input_fn``/``print_fn`` are injectable so the loop is testable."""
+        history_path = None
+        if input_fn is None:
+            input_fn = input
+            try:  # arrow-key history + editing when running on a real tty
+                import atexit
+                import os as _os
+                import readline
+
+                history_path = _os.path.expanduser("~/.kwack_spark_history")
+                try:
+                    readline.read_history_file(history_path)
+                except OSError:
+                    pass
+                readline.set_history_length(1000)
+                atexit.register(readline.write_history_file, history_path)
+            except ImportError:  # pragma: no cover - no readline on platform
+                pass
+
+        history: list[str] = []
+        buf: list[str] = []
         while True:
             try:
-                line = input("kwack-spark> ").strip()
+                prompt = "kwack-spark> " if not buf else "         ..> "
+                line = input_fn(prompt)
             except (EOFError, KeyboardInterrupt):
                 break
-            if line.lower() in ("exit", "quit", "!q"):
+            if line is None:
                 break
+            line = line.strip()
             if not line:
                 continue
+            if not buf and line.startswith("!"):
+                if self._bang(line, history, print_fn):
+                    break
+                continue
+            if not buf and line.lower() in ("exit", "quit"):
+                break
+            buf.append(line)
+            if not line.endswith(";"):
+                continue  # keep reading the multi-line statement
+            stmt = " ".join(buf).rstrip(";").strip()
+            buf = []
+            history.append(stmt)
             try:
-                self.sql(line).show(100, truncate=120)
+                self.sql(stmt).show(100, truncate=120)
             except Exception as exc:  # surface, keep REPL alive
-                print(f"error: {exc}")
+                print_fn(f"error: {exc}")
+
+    def _bang(self, line: str, history: list[str], print_fn) -> bool:
+        """sqlline !commands; returns True to exit the loop."""
+        cmd, _, arg = line.partition(" ")
+        cmd, arg = cmd.lower(), arg.strip()
+        if cmd in ("!q", "!quit", "!exit"):
+            return True
+        if cmd == "!tables":
+            for r in self.spark.catalog.listTables():
+                print_fn(r.name)
+        elif cmd == "!columns" and arg:
+            try:
+                for f in self.spark.table(arg).schema.fields:
+                    print_fn(f"{f.name}\t{f.dataType.simpleString()}")
+            except Exception as exc:
+                print_fn(f"error: {exc}")
+        elif cmd == "!history":
+            for i, h in enumerate(history, 1):
+                print_fn(f"{i}: {h}")
+        elif cmd == "!help":
+            print_fn(
+                "statements end with ';' (multi-line ok) — "
+                "!tables !columns <t> !history !help !q"
+            )
+        else:
+            print_fn(f"unknown command: {cmd} (try !help)")
+        return False
 
     def stop(self) -> None:
         for q in self._live_queries.values():

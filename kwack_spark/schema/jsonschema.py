@@ -36,32 +36,54 @@ class JsonSchemaError(ValueError):
     pass
 
 
-def parse_schema(schema: str | dict) -> dict:
+def parse_schema(schema: str | dict, refs: dict | None = None) -> dict:
+    """``refs``: {ref name -> schema str|dict} for EXTERNAL ``$ref``s — the
+    Confluent schema-references mechanism for JSON Schema, where a
+    registered schema's references map $ref names (e.g. "customer.json")
+    to registry subjects (resolved transitively by
+    schema/registry.py:resolve_references, as the reference's deserializer
+    does via its registry client, KwackEngine.java:194-203)."""
     root = json.loads(schema) if isinstance(schema, str) else schema
-    return _inline_refs(root, root, ())
+    return _inline_refs(root, root, (), refs or {})
 
 
-def _deref_path(root: dict, ref: str) -> Any:
+def _deref_path(root: dict, ref: str, refs: dict) -> tuple[Any, dict]:
+    """-> (target node, the document that target lives in)."""
+    if not ref.startswith("#"):
+        name = ref.split("#", 1)[0]
+        if name not in refs:
+            raise JsonSchemaError(
+                f"external $ref {ref!r} not among resolved references "
+                f"{sorted(refs)}"
+            )
+        doc = refs[name]
+        doc = json.loads(doc) if isinstance(doc, str) else doc
+        frag = ref[len(name):]
+        if frag.startswith("#/"):  # e.g. other.json#/$defs/X
+            return _deref_path(doc, frag, refs)[0], doc
+        return doc, doc
     if not ref.startswith("#/"):
-        raise JsonSchemaError(f"only intra-document $ref supported: {ref}")
+        raise JsonSchemaError(f"unsupported $ref form: {ref}")
     node: Any = root
     for part in ref[2:].split("/"):
         node = node[part.replace("~1", "/").replace("~0", "~")]
-    return node
+    return node, root
 
 
-def _inline_refs(node: Any, root: dict, visiting: tuple) -> Any:
+def _inline_refs(node: Any, root: dict, visiting: tuple, refs: dict) -> Any:
     if isinstance(node, list):
-        return [_inline_refs(v, root, visiting) for v in node]
+        return [_inline_refs(v, root, visiting, refs) for v in node]
     if not isinstance(node, dict):
         return node
     if "$ref" in node:
         ref = node["$ref"]
         if ref in visiting:
             raise JsonSchemaError(f"recursive schema reference: {ref}")
-        target = _deref_path(root, ref)
-        return _inline_refs(target, root, visiting + (ref,))
-    return {k: _inline_refs(v, root, visiting) for k, v in node.items()}
+        target, doc = _deref_path(root, ref, refs)
+        # external targets resolve their own intra-document refs against
+        # THEIR document, not the referencing one
+        return _inline_refs(target, doc, visiting + (ref,), refs)
+    return {k: _inline_refs(v, root, visiting, refs) for k, v in node.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -169,10 +191,10 @@ def _nullable(node: dict) -> bool:
     return n
 
 
-def to_struct_type(schema: str | dict) -> ST.StructType:
+def to_struct_type(schema: str | dict, refs: dict | None = None) -> ST.StructType:
     """Top-level object schema flattens into table columns; anything else is
     a single ``rowval`` column (KwackEngine.java:607-620 layout)."""
-    node = parse_schema(schema)
+    node = parse_schema(schema, refs)
     base, _ = nullable_unwrap(node)
     if "allOf" in base:
         base = _merge_all_of(base)
@@ -272,10 +294,13 @@ def _coerce(value: Any, node: dict) -> Any:
     return value
 
 
-def make_row_converter(schema: str | dict) -> tuple[ST.StructType, Callable[[bytes | str], tuple]]:
-    """Returns (StructType, fn(json payload) -> row tuple)."""
-    node = parse_schema(schema)
-    st = to_struct_type(schema)
+def make_row_converter(
+    schema: str | dict, refs: dict | None = None
+) -> tuple[ST.StructType, Callable[[bytes | str], tuple]]:
+    """Returns (StructType, fn(json payload) -> row tuple).  ``refs``:
+    external $ref documents (see parse_schema)."""
+    node = parse_schema(schema, refs)
+    st = to_struct_type(schema, refs)
     base, _ = nullable_unwrap(node)
     if "allOf" in base:
         base = _merge_all_of(base)

@@ -225,7 +225,10 @@ def resolve_serde(
 
         return st, conv_avro, serde
     if serde.kind == "jsonschema":
-        st, convert = json_schema.make_row_converter(serde.schema_str)
+        # refs: $ref name -> schema document (Confluent JSON Schema references)
+        st, convert = json_schema.make_row_converter(
+            serde.schema_str, dict(serde.refs) or None
+        )
         tag = serde.tag
 
         def conv_json(payload: bytes, writers: dict, key: bytes | None = None) -> tuple:

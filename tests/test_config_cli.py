@@ -245,23 +245,35 @@ def test_engine_explain_surface(spark):
     assert rows and "Physical Plan" in rows[0][0]
 
 
-def test_engine_repl_scripted(spark, monkeypatch, capsys):
-    """The REPL surface (A13, KwackApplication.java:9-35): executes typed
-    statements, survives a bad statement, exits on 'exit'."""
+def test_engine_repl_scripted(spark, capsys):
+    """The REPL surface (A13, KwackApplication.java:9-35 — sqlline): ';'
+    terminates (possibly multi-line) statements, a bad statement is printed
+    and the loop survives, and the sqlline !commands work."""
     from kwack_spark.engine import KwackSpark
 
     eng = KwackSpark(KwackConfig(parquet_dir="/root/testdata/sf0.001"), spark=spark).init()
+    printed: list[str] = []
     lines = iter([
-        "SELECT count(*) AS n FROM region",
+        "SELECT count(*) AS n",  # multi-line statement...
+        "FROM region;",          # ...terminated by ';'
         "",  # blank line: ignored
-        "SELEKT broken((",  # parse error: printed, REPL stays alive
-        "exit",
+        "SELEKT broken((;",  # parse error: printed, REPL stays alive
+        "!tables",
+        "!columns region",
+        "!history",
+        "!help",
+        "!nosuch",
+        "!q",
     ])
-    monkeypatch.setattr("builtins.input", lambda prompt="": next(lines))
-    eng.repl()
-    out = capsys.readouterr().out
-    assert "| 5" in out.replace(" ", "|").replace("||", "|") or "5" in out
-    assert "error:" in out
+    eng.repl(input_fn=lambda prompt="": next(lines), print_fn=printed.append)
+    out = capsys.readouterr().out  # df.show() writes to stdout
+    assert "5" in out
+    joined = "\n".join(printed)
+    assert "error:" in joined  # bad statement surfaced
+    assert "region" in joined  # !tables
+    assert "r_name\tstring" in joined  # !columns
+    assert "1: SELECT count(*) AS n FROM region" in joined  # !history
+    assert "unknown command: !nosuch" in joined
 
 
 def test_cli_end_to_end_json_lines():

@@ -138,3 +138,35 @@ def test_collision_safe_names():
     }
     st = js.to_struct_type(sch)
     assert [f.name for f in st.fields] == ["group", "order"]
+
+
+def test_external_refs_resolve():
+    """Confluent JSON Schema references: an external $ref resolves through
+    the provided name->document store (transitively; intra-document refs
+    inside a referenced document resolve against THAT document)."""
+    import pytest
+
+    addr = {
+        "type": "object",
+        "properties": {
+            "city": {"$ref": "#/$defs/town"},
+        },
+        "$defs": {"town": {"type": "string"}},
+    }
+    cust = {
+        "type": "object",
+        "properties": {
+            "name": {"type": "string"},
+            "addr": {"$ref": "addr.json"},
+        },
+    }
+    st = js.to_struct_type(cust, refs={"addr.json": addr})
+    assert [f.name for f in st.fields] == ["name", "addr"]
+    assert st["addr"].dataType["city"].dataType.simpleString() == "string"
+
+    _, convert = js.make_row_converter(cust, refs={"addr.json": addr})
+    assert convert('{"name":"a","addr":{"city":"x"}}') == ("a", ("x",))
+
+    # unresolved external ref -> clear error naming what IS available
+    with pytest.raises(js.JsonSchemaError, match="addr.json"):
+        js.to_struct_type(cust, refs={"other.json": {}})
