@@ -60,6 +60,9 @@ HEADLINE = [
     "zorder_layout_key",
     "funnel_three_step",
     "retention_cohorts",
+    # round-5 operators
+    "semdedup_cluster_prune",
+    "temperature_mixture_sample",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

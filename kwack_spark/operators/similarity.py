@@ -131,43 +131,25 @@ def brute_force_topk_vectorized(
 POW2_43 = 8796093022208.0  # 2^43: scales float32-derived doubles to integers
 
 
-def ivf_topk(
+def ivf_assign(
     corpus: DataFrame,
-    queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 3,
     n_lists: int = 16,
-    n_probe: int = 4,
     refine_iters: int = 0,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
-    their nearest centroid's list; queries probe only the ``n_probe`` nearest
-    lists, so each query compares against ~``n_probe/n_lists`` of the corpus.
-
-    Centroid choice is DETERMINISTIC and oracle-checkable in SQL: seeds are
-    the ``n_lists`` lowest-id vectors, optionally refined by ``refine_iters``
-    Lloyd (k-means) iterations whose per-list means are computed with exact
-    integer arithmetic (components scaled by 2^43 — a pure exponent shift —
-    then summed as DECIMAL), so the refined centroids are bit-identical
-    across engines.  One refinement lifts recall@3 from 0.52 to 0.58 at
-    n_probe=4 on the sf0.01 fixture; production replaces the seed table with
-    trained centroids, same plumbing.
-
-    Scale shape: centroids broadcast (tiny); assignment is one partial-
-    aggregated shuffle per corpus row (max_by keeps one row per vector); a
-    refinement adds a (list_id, pos)-keyed aggregation whose output is
-    n_lists*dim rows.  Candidate generation shuffles on list_id.  Size
-    ``n_lists`` ~ sqrt(n) at scale so lists stay balanced and the probe
-    fraction stays constant.
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF clustering -> (centroids(cid, cv),
+    assigned(corpus_id, v, list_id)).  Seeds are the ``n_lists`` lowest-id
+    vectors; each ``refine_iters`` Lloyd iteration computes per-list means
+    with exact integer arithmetic (components scaled by 2^43, summed as
+    DECIMAL) so centroids are bit-identical across engines.  Shared by
+    ivf_topk (probe + rerank) and semdedup_prune (cluster + prune)."""
     cents = (
         corpus.orderBy(id_col)
         .limit(n_lists)
         .select(F.col(id_col).alias("cid"), V.as_double(vec_col).alias("cv"))
     )
     c = corpus.select(F.col(id_col).alias("corpus_id"), V.as_double(vec_col).alias("v"))
-    q = queries.select(F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv"))
 
     def _assign(cent_df: DataFrame) -> DataFrame:
         # nearest centroid per corpus vector (ties -> smaller cid)
@@ -201,7 +183,90 @@ def ivf_topk(
             )
         )
 
-    assigned = _assign(cents)
+    return cents, _assign(cents)
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    threshold: float = 0.95,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """SemDeDup (semantic deduplication by cluster-then-prune): cluster the
+    embedding space with deterministic IVF centroids, then WITHIN each
+    cluster prune every item that has a lower-id neighbor with cosine >=
+    ``threshold`` — one canonical representative (the lowest id) survives
+    per near-duplicate neighborhood.
+
+    Returns (vec_id, list_id, pruned, kept_by): ``kept_by`` is the smallest
+    qualifying lower-id neighbor (NULL when kept).
+
+    Scale shape: the pairwise compare is QUADRATIC ONLY WITHIN a cluster —
+    the whole point of clustering first.  Size ``n_lists ≈ n /
+    target_cluster_size`` so each cluster's self-join stays bounded (e.g.
+    1k-10k rows); the join shuffles once on list_id and never compares
+    across clusters (SemDeDup's accepted approximation: cross-cluster
+    near-dups are missed, recall is traded for tractability at 100 TB)."""
+    _, assigned = ivf_assign(corpus, id_col, vec_col, n_lists, refine_iters)
+    x, y = assigned.alias("x"), assigned.alias("y")
+    dup_of = (
+        x.join(y, "list_id")
+        .filter(F.col("x.corpus_id") > F.col("y.corpus_id"))
+        .select(
+            F.col("x.corpus_id").alias("vec_id"),
+            F.col("y.corpus_id").alias("nb"),
+            V.cosine(F.col("x.v"), F.col("y.v")).alias("c"),
+        )
+        .filter(F.col("c") >= threshold)
+        .groupBy("vec_id")
+        .agg(F.min("nb").alias("kept_by"))
+    )
+    return (
+        assigned.select(F.col("corpus_id").alias("vec_id"), "list_id")
+        .join(dup_of, "vec_id", "left")
+        .select(
+            "vec_id",
+            "list_id",
+            F.col("kept_by").isNotNull().alias("pruned"),
+            "kept_by",
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
+    their nearest centroid's list; queries probe only the ``n_probe`` nearest
+    lists, so each query compares against ~``n_probe/n_lists`` of the corpus.
+
+    Centroid choice is DETERMINISTIC and oracle-checkable in SQL: seeds are
+    the ``n_lists`` lowest-id vectors, optionally refined by ``refine_iters``
+    Lloyd (k-means) iterations whose per-list means are computed with exact
+    integer arithmetic (components scaled by 2^43 — a pure exponent shift —
+    then summed as DECIMAL), so the refined centroids are bit-identical
+    across engines.  One refinement lifts recall@3 from 0.52 to 0.58 at
+    n_probe=4 on the sf0.01 fixture; production replaces the seed table with
+    trained centroids, same plumbing.
+
+    Scale shape: centroids broadcast (tiny); assignment is one partial-
+    aggregated shuffle per corpus row (max_by keeps one row per vector); a
+    refinement adds a (list_id, pos)-keyed aggregation whose output is
+    n_lists*dim rows.  Candidate generation shuffles on list_id.  Size
+    ``n_lists`` ~ sqrt(n) at scale so lists stay balanced and the probe
+    fraction stays constant.
+    """
+    cents, assigned = ivf_assign(corpus, id_col, vec_col, n_lists, refine_iters)
+    q = queries.select(F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv"))
 
     # probe: each query's n_probe nearest lists (same ordering rule)
     scored_q = q.crossJoin(F.broadcast(cents)).select(

@@ -446,13 +446,12 @@ def embedding_quantize_int8(spark, sf_dir):
     )
 
 
-@register(
-    "ann_ivf_topk",
-    # deterministic centroids (lowest-id seeds + one integer-exact Lloyd
-    # refinement) make the full IVF pipeline — assign, refine, probe,
-    # rerank — SQL-expressible
-    oracle=f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+# Deterministic IVF clustering as SQL (shared by ann_ivf_topk and
+# semdedup_cluster_prune): lowest-id seeds, one integer-exact Lloyd
+# refinement, nearest-centroid assignment with the tie -> smaller cid rule —
+# mirrors operators/similarity.py:ivf_assign expression for expression.
+_IVF_ASSIGNED_CTES = """
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         cents0 AS (
             SELECT vec_id AS cid, v AS cv FROM v ORDER BY vec_id LIMIT 16
         ),
@@ -495,7 +494,16 @@ def embedding_quantize_int8(spark, sf_dir):
                        ) AS rn
                 FROM v a CROSS JOIN cents c
             ) WHERE rn = 1
-        ),
+        )"""
+
+
+@register(
+    "ann_ivf_topk",
+    # deterministic centroids (lowest-id seeds + one integer-exact Lloyd
+    # refinement) make the full IVF pipeline — assign, refine, probe,
+    # rerank — SQL-expressible
+    oracle=f"""
+        WITH {_IVF_ASSIGNED_CTES},
         probes AS (
             SELECT query_id, qv, cid AS list_id FROM (
                 SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
@@ -528,6 +536,40 @@ def ann_ivf_topk(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         e, e, "vec_id", "embedding", k=3, n_lists=16, n_probe=6, refine_iters=1
+    )
+
+
+@register(
+    "semdedup_cluster_prune",
+    # SemDeDup: cluster embeddings (same deterministic IVF as ann_ivf_topk),
+    # prune within-cluster near-dups keeping the lowest id per neighborhood
+    oracle=f"""
+        WITH {_IVF_ASSIGNED_CTES},
+        dup AS (
+            SELECT x.corpus_id AS vec_id, min(y.corpus_id) AS kept_by
+            FROM assigned x JOIN assigned y USING (list_id)
+            WHERE x.corpus_id > y.corpus_id
+              AND list_dot_product(x.v, y.v)
+                  / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4
+            GROUP BY x.corpus_id
+        )
+        SELECT a.corpus_id AS vec_id, a.list_id,
+               (d.kept_by IS NOT NULL) AS pruned, d.kept_by
+        FROM assigned a LEFT JOIN dup d ON d.vec_id = a.corpus_id
+    """,
+    tags=("dedup", "semantic", "semdedup", "clustering"),
+)
+def semdedup_cluster_prune(spark, sf_dir):
+    """SemDeDup over the embeddings table (similarity.semdedup_prune):
+    cluster the embedding space with the SAME deterministic IVF centroids
+    ann_ivf_topk uses, then prune every vector with a lower-id
+    within-cluster neighbor at cosine >= 0.4 — the cluster-then-prune
+    curation stage that makes semantic dedup tractable at 100 TB (pairwise
+    cost is quadratic only inside a cluster; cross-cluster dups are the
+    accepted recall trade)."""
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.semdedup_prune(
+        e, "vec_id", "embedding", n_lists=16, threshold=0.4, refine_iters=1
     )
 
 
@@ -2950,6 +2992,78 @@ def mixture_rebalance(spark, sf_dir):
     budget = counts.agg(F.min(F.floor(F.col("c") / F.col("w"))).alias("b"))
     quota = counts.crossJoin(F.broadcast(budget)).select(
         "lang", F.floor(F.col("b") * F.col("w")).cast("long").alias("quota")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.join(F.broadcast(quota), "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("lang", "doc_id")
+    )
+
+
+@register(
+    "temperature_mixture_sample",
+    # temperature-weighted training mix (T=2): target shares computed FROM
+    # the observed counts as sqrt(n_s), flattening the source distribution
+    # (the T5/multilingual-sampling recipe) instead of taking explicit
+    # targets like mixture_rebalance.  Determinism across engines: sqrt is
+    # IEEE-correctly-rounded everywhere, its value is quantized to a 2^20
+    # rational via round() (half-away-from-zero for positives on both
+    # engines), and the normalizer is an exact BIGINT sum of those scaled
+    # integers — so every share, budget, and quota floor agrees bit-for-bit.
+    oracle="""
+        WITH counts AS (
+            SELECT lang, count(*) AS c,
+                   CAST(round(sqrt(count(*)) * 1048576) AS BIGINT) AS s_int
+            FROM documents GROUP BY lang
+        ),
+        norm AS (SELECT SUM(s_int) AS n_int FROM counts),
+        shares AS (
+            SELECT lang, c, CAST(s_int AS DOUBLE) / CAST(n_int AS DOUBLE) AS t
+            FROM counts CROSS JOIN norm
+        ),
+        budget AS (SELECT min(floor(c / t)) AS b FROM shares),
+        quota AS (
+            SELECT lang, c, CAST(floor(b * t) AS BIGINT) AS quota
+            FROM shares CROSS JOIN budget
+        ),
+        ranked AS (
+            SELECT d.lang, d.doc_id, q.quota,
+                   row_number() OVER (PARTITION BY d.lang
+                                      ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                               d.doc_id) AS rn
+            FROM documents d JOIN quota q USING (lang)
+        )
+        SELECT lang, doc_id FROM ranked WHERE rn <= quota
+    """,
+    tags=("curation", "sampling", "temperature"),
+)
+def temperature_mixture_sample(spark, sf_dir):
+    """Temperature sampling of the training mix (T=2): per-source quotas
+    proportional to sqrt(count) — up-weights the tail languages relative to
+    their natural share without explicit targets.  Scale shape identical to
+    mixture_rebalance: one tiny counts aggregate, scalar normalizer/budget
+    broadcast back, one per-lang md5-ordered window take (reproducible
+    across retries; raise the budget to grow the sample as a superset)."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.round(F.sqrt(F.count(F.lit(1))) * 1048576).cast("long").alias("s_int"),
+    )
+    norm = counts.agg(F.sum("s_int").alias("n_int"))
+    shares = counts.crossJoin(F.broadcast(norm)).select(
+        "lang",
+        "c",
+        (F.col("s_int").cast("double") / F.col("n_int").cast("double")).alias("t"),
+    )
+    budget = shares.agg(F.min(F.floor(F.col("c") / F.col("t"))).alias("b"))
+    quota = shares.crossJoin(F.broadcast(budget)).select(
+        "lang", F.floor(F.col("b") * F.col("t")).cast("long").alias("quota")
     )
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"

@@ -148,3 +148,27 @@ def test_ivf_pq_sharded_path_matches_broadcast(spark):
     b = {(r.query_id, r.corpus_id, r.rank, r.adc) for r in sharded.collect()}
     assert a == b
     assert a
+
+
+def test_semdedup_prune_semantics(spark):
+    """Cluster-then-prune: a near-identical pair in the same cluster keeps
+    the LOWER id and prunes the higher, pointing at its representative; a
+    far vector survives.  n_lists=2 so the two directions split clusters."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (4, [0.999, 0.012, 0.0, 0.0]),  # near-dup of 1 and 3
+        (5, [0.0, 0.0, 1.0, 0.0]),      # far from everything
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: (r.pruned, r.kept_by)
+        for r in similarity.semdedup_prune(
+            e, "vec_id", "embedding", n_lists=2, threshold=0.95, refine_iters=1
+        ).collect()
+    }
+    assert out[1] == (False, None)
+    assert out[3] == (True, 1)
+    assert out[4] == (True, 1)  # kept_by = SMALLEST qualifying neighbor
+    assert out[2][0] is False and out[5][0] is False

@@ -56,6 +56,15 @@ _NOTES = """
   and queries×centroids with 16 centroid rows broadcast — O(16·n) narrow
   work; candidates then shuffle on list_id only.  Its regime is corpora
   beyond the broadcast cap (see SCALING.md); at test SF brute-BLAS wins.
+- **semdedup_cluster_prune**: inherits ann_ivf_topk's IVF assignment
+  (centroid BNLJs are 16-row broadcasts); its own work is ONE list_id
+  shuffle for the within-cluster self-join (quadratic only inside a
+  cluster) + a kept_by aggregation; exchange reuse shares the assignment
+  subplan between the pair join's two sides and the output base.
+- **temperature_mixture_sample / mixture_rebalance**: the
+  BroadcastNestedLoopJoins are 1-row scalar broadcasts (normalizer,
+  budget) — the pattern that replaces a driver collect; the real work is
+  one counts aggregate + one per-lang window take.
 - **text_* / multimodal_* / dedup_simhash**: fully narrow, zero shuffles,
   whole-stage codegen end to end (multimodal_fake_decode's single Python
   stage is the decode kernel slot; simhash hashes each token once).
