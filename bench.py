@@ -63,6 +63,7 @@ HEADLINE = [
     # round-5 operators
     "semdedup_cluster_prune",
     "temperature_mixture_sample",
+    "multimodal_wav_decode",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

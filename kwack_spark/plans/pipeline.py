@@ -1841,6 +1841,43 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 @register(
+    "multimodal_wav_decode",
+    # REAL audio kernel, not a stand-in: RIFF/WAVE PCM16 parsing is pure
+    # byte arithmetic (struct + numpy), runnable with no media library.
+    # The fixture is a square wave alternating ±amp (amp = doc_id%1000+1)
+    # at 8 kHz over 1024 samples, so every feature has a CLOSED FORM the
+    # oracle states independently of the bytes: RMS of ±a is exactly a
+    # (a² ≤ 1e6 integer, sum over 1024 exact in double, /2^10 exact,
+    # sqrt of a perfect square exact); duration computes via the same
+    # IEEE sequence (n/rate*1000) on both engines.  The kernel must walk
+    # the chunk list (a junk LIST chunk precedes data) — a byte-offset
+    # shortcut would fail the hash.
+    oracle="""
+        SELECT doc_id,
+               CAST(8000 AS INTEGER) AS sample_rate,
+               CAST(1 AS INTEGER) AS n_channels,
+               CAST(1024 AS BIGINT) AS n_samples,
+               CAST(1024 AS DOUBLE) / 8000 * 1000 AS duration_ms,
+               CAST(doc_id % 1000 + 1 AS DOUBLE) AS rms,
+               CAST(doc_id % 1000 + 1 AS INTEGER) AS peak
+        FROM documents
+    """,
+    tags=("multimodal", "audio", "decode"),
+)
+def multimodal_wav_decode(spark, sf_dir):
+    """End-to-end REAL audio decode (operators/multimodal.py:
+    decode_wav_features): synthesize a PCM16 WAV per document (pure struct),
+    then parse it back — chunk walk, fmt, int16 frames — and emit audio
+    features.  Two narrow Arrow-batched stages, no payload shuffle; at
+    100 TB this is the plan shape of any media feature-extraction pass."""
+    from kwack_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents")
+    wav = mm.synth_wav_pcm16(d, "doc_id")
+    return mm.decode_wav_features(wav, "payload", "doc_id")
+
+
+@register(
     "multimodal_resize",
     # nearest-neighbor byte resample to 32 bytes: out[i] = in[(i*n)//32].
     # hex() of single-byte blob slices rebuilds the resized payload's hex in
