@@ -64,6 +64,7 @@ HEADLINE = [
     "semdedup_cluster_prune",
     "temperature_mixture_sample",
     "multimodal_wav_decode",
+    "cms_heavy_hitters",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -162,3 +162,50 @@ def salted_agg(
         p_name = partial.columns[len(keys) + 1 + len(finals)]
         finals.append(getattr(F, fn)(p_name).alias(out_name))
     return partial.groupBy(*keys).agg(*finals)
+
+
+def _md5_nibble(h: Column, i: int) -> Column:
+    """Hex char ``i`` (1-based) of an md5 column -> 0..15, via the
+    instr-on-hex-alphabet idiom that evaluates identically in Spark and
+    DuckDB (no conv/from_hex dialect divergence)."""
+    return F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - F.lit(1)
+
+
+def cms_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: str = "cms",
+) -> DataFrame:
+    """Count-min sketch frequency estimates: ``depth`` independent md5-keyed
+    hash rows of ``width`` counters each; a key's estimate is the MIN of its
+    counters, so estimates NEVER undercount (collisions only inflate).
+
+    Returns one row per distinct key: (key_col, cms_est).
+
+    Why this exists next to the exact heavy-hitters query: the sketch is
+    FIXED SIZE (depth*width counters, here 1024) regardless of corpus size
+    or key cardinality — at 100 TB with billions of distinct keys the exact
+    per-key groupBy state is the thing that stops fitting, while the sketch
+    aggregation is map-side combinable into a constant-size table that
+    broadcasts for the estimate join.  Buckets come from keyed md5 nibbles,
+    so the sketch is deterministic across engines/runs and the whole
+    estimate is oracle-checkable with exact integer arithmetic."""
+    key = F.col(key_col).cast("string")
+    rows = []
+    for d in range(depth):
+        h = F.md5(F.concat(F.lit(f"{seed}{d}:"), key))
+        # width must be a power of 16^k for nibble composition; 256 = 2 nibbles
+        bucket = (_md5_nibble(h, 1) * 16 + _md5_nibble(h, 2)) % width
+        rows.append(F.struct(F.lit(d).alias("d"), bucket.cast("int").alias("b")))
+    keyed = df.select(
+        F.col(key_col), F.explode(F.array(*rows)).alias("db")
+    ).select(key_col, F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+    sketch = keyed.groupBy("d", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    key_buckets = keyed.distinct()
+    return (
+        key_buckets.join(F.broadcast(sketch), ["d", "b"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -2790,6 +2790,61 @@ def scale_heavy_hitters(spark, sf_dir):
 
 
 @register(
+    "cms_heavy_hitters",
+    # count-min sketch frequency estimates vs exact counts: the sketch is a
+    # FIXED 4x256 counter table whatever the key cardinality — the state
+    # that still fits when billions of distinct keys make the exact per-key
+    # groupBy the bottleneck.  Buckets from keyed md5 nibbles, so the whole
+    # estimate (including every collision) is exact integer arithmetic on
+    # both engines; min-of-counters never undercounts by construction.
+    oracle="""
+        WITH keyed AS (
+            SELECT user_id, d,
+                   ((instr('0123456789abcdef',
+                           substr(md5('cms' || d || ':' || user_id::VARCHAR), 1, 1)) - 1) * 16
+                    + instr('0123456789abcdef',
+                            substr(md5('cms' || d || ':' || user_id::VARCHAR), 2, 1)) - 1) % 256 AS b
+            FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS d)
+        ),
+        sketch AS (SELECT d, b, count(*) AS cnt FROM keyed GROUP BY d, b),
+        kb AS (SELECT DISTINCT user_id, d, b FROM keyed),
+        est AS (
+            SELECT user_id, min(cnt) AS cms_est
+            FROM kb JOIN sketch USING (d, b) GROUP BY user_id
+        ),
+        exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id)
+        SELECT user_id, exact_n, cms_est,
+               cms_est >= exact_n AS never_undercounts
+        FROM exact JOIN est USING (user_id)
+        WHERE cms_est >= 20
+    """,
+    tags=("scale", "sketch", "approx"),
+)
+def cms_heavy_hitters(spark, sf_dir):
+    """Approximate heavy hitters via a count-min sketch
+    (operators/scale.py:cms_estimates), graded against the exact counts it
+    approximates: every estimate must be >= its true count (min-of-counters
+    overcounts only).  The exact groupBy here exists purely as the grading
+    yardstick; at 100 TB only the constant-size sketch aggregation and its
+    broadcast estimate join survive."""
+    from kwack_spark.operators import scale
+
+    e = T(spark, sf_dir, "events").select("user_id")
+    est = scale.cms_estimates(e, "user_id", depth=4, width=256, seed="cms")
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        exact.join(est, "user_id")
+        .filter(F.col("cms_est") >= 20)
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_n")).alias("never_undercounts"),
+        )
+    )
+
+
+@register(
     "scale_salted_join",
     # skew-mitigated join graded for CORRECTNESS: the salted plan's output
     # must equal the plain join.  Left side salted by retry-stable xxhash64,

@@ -152,3 +152,18 @@ def test_shingles_match_reference_construction(spark):
     assert got[0].sh == ["wa wb wc", "wb wc wd", "wc wd we"]
     assert got[1].sh == ["a b"]   # shorter than n -> single joined shingle
     assert got[2].sh == ["only"]
+
+
+def test_cms_never_undercounts_and_is_exact_without_collisions(spark):
+    """Count-min invariant: every estimate >= the true count; and with key
+    cardinality far below the counter space, estimates are exactly the true
+    counts (no colliding keys to inflate them)."""
+    rows = [(k,) for k in ["a"] * 50 + ["b"] * 7 + ["c"] * 1]
+    df = spark.createDataFrame(rows, "k string")
+    est = {r.k: r.cms_est for r in scale.cms_estimates(df, "k").collect()}
+    exact = {"a": 50, "b": 7, "c": 1}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    # 3 keys into 4x256 counters: a collision would need two keys sharing a
+    # bucket in EVERY depth — md5 makes that astronomically unlikely here
+    assert est == exact
