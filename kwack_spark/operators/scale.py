@@ -177,6 +177,7 @@ def cms_estimates(
     depth: int = 4,
     width: int = 256,
     seed: str = "cms",
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """Count-min sketch frequency estimates: ``depth`` independent md5-keyed
     hash rows of ``width`` counters each; a key's estimate is the MIN of its
@@ -191,7 +192,26 @@ def cms_estimates(
     aggregation is map-side combinable into a constant-size table that
     broadcasts for the estimate join.  Buckets come from keyed md5 nibbles,
     so the sketch is deterministic across engines/runs and the whole
-    estimate is oracle-checkable with exact integer arithmetic."""
+    estimate is oracle-checkable with exact integer arithmetic.
+
+    ``sketch``: pass a prebuilt/merged sketch (cms_sketch / cms_merge) to
+    estimate against it instead of building one from ``df`` — the
+    incremental-ingest shape (sketch today's batch, merge into the running
+    corpus sketch, estimates stay valid)."""
+    keyed = _cms_keyed(df, key_col, depth, width, seed)
+    if sketch is None:
+        sketch = keyed.groupBy("d", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    key_buckets = keyed.distinct()
+    return (
+        key_buckets.join(F.broadcast(sketch), ["d", "b"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+def _cms_keyed(
+    df: DataFrame, key_col: str, depth: int, width: int, seed: str
+) -> DataFrame:
     key = F.col(key_col).cast("string")
     rows = []
     for d in range(depth):
@@ -199,13 +219,33 @@ def cms_estimates(
         # width must be a power of 16^k for nibble composition; 256 = 2 nibbles
         bucket = (_md5_nibble(h, 1) * 16 + _md5_nibble(h, 2)) % width
         rows.append(F.struct(F.lit(d).alias("d"), bucket.cast("int").alias("b")))
-    keyed = df.select(
+    return df.select(
         F.col(key_col), F.explode(F.array(*rows)).alias("db")
     ).select(key_col, F.col("db.d").alias("d"), F.col("db.b").alias("b"))
-    sketch = keyed.groupBy("d", "b").agg(F.count(F.lit(1)).alias("cnt"))
-    key_buckets = keyed.distinct()
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: str = "cms",
+) -> DataFrame:
+    """Build just the (d, b, cnt) counter table for ``df`` — constant-size,
+    mergeable state (see cms_merge)."""
     return (
-        key_buckets.join(F.broadcast(sketch), ["d", "b"])
-        .groupBy(key_col)
-        .agg(F.min("cnt").alias("cms_est"))
+        _cms_keyed(df, key_col, depth, width, seed)
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the SAME (depth, width, seed):
+    counters add elementwise, so sketch(A) ⊎ sketch(B) == sketch(A ∪ B)
+    exactly — the property that lets a 100 TB corpus keep one tiny running
+    sketch updated per ingest batch instead of recounting."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "b").agg(F.sum("cnt").alias("cnt"))

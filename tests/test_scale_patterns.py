@@ -167,3 +167,19 @@ def test_cms_never_undercounts_and_is_exact_without_collisions(spark):
     # 3 keys into 4x256 counters: a collision would need two keys sharing a
     # bucket in EVERY depth — md5 makes that astronomically unlikely here
     assert est == exact
+
+
+def test_cms_sketches_merge_exactly(spark):
+    """sketch(A) merged with sketch(B) gives the same estimates as
+    sketch(A ∪ B) — counters add elementwise, so an incremental pipeline
+    keeps one running sketch per corpus and merges per ingest batch."""
+    a = spark.createDataFrame([(k,) for k in ["x"] * 5 + ["y"] * 2], "k string")
+    b = spark.createDataFrame([(k,) for k in ["x"] * 3 + ["z"] * 4], "k string")
+    merged = scale.cms_merge(scale.cms_sketch(a, "k"), scale.cms_sketch(b, "k"))
+    whole = a.unionByName(b)
+    est_merged = {
+        r.k: r.cms_est
+        for r in scale.cms_estimates(whole, "k", sketch=merged).collect()
+    }
+    est_whole = {r.k: r.cms_est for r in scale.cms_estimates(whole, "k").collect()}
+    assert est_merged == est_whole == {"x": 8, "y": 2, "z": 4}
