@@ -904,3 +904,72 @@ def kafka_proto_msgindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         row_attributes=("par", "off"),
     )
     return decoded.select("r_regionkey", "r_name")
+
+
+# ---------------------------------------------------------------------------
+# JVM from_avro fast path: evolution-free plain-record decode
+# ---------------------------------------------------------------------------
+
+_SUPPLIER_FAST_AVRO = {
+    "type": "record",
+    "name": "SupplierFast",
+    "fields": [
+        {"name": "s_suppkey", "type": "long"},
+        {"name": "s_name", "type": "string"},
+        {"name": "s_nationkey", "type": "int"},
+        {"name": "s_acctbal", "type": "double"},
+    ],
+}
+
+
+@register(
+    "kafka_avro_fastpath",
+    # identity oracle over supplier; an evolution-free plain record with an
+    # explicit reader schema satisfies every avro_jvm.eligible gate, so when
+    # the spark-avro module is on the classpath this decodes via from_avro
+    # inside whole-stage codegen (sources/avro_jvm.py); without the jar the
+    # Python stage produces the identical rows — the oracle holds on both
+    # physical plans, which is the fast path's contract.
+    oracle="""
+        SELECT s_suppkey AS rowkey, s_suppkey, s_name, s_nationkey,
+               s_acctbal
+        FROM supplier
+    """,
+    tags=("ingest", "kafka", "avro", "fastpath"),
+)
+def kafka_avro_fastpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier -> Confluent-framed plain Avro (no unions, no evolution,
+    explicit schema) -> decode_topic, which takes the gated JVM ``from_avro``
+    path when available (KwackEngine.java:516-585 decodes in Java; this is
+    the Spark equivalent — decode rides whole-stage codegen instead of an
+    Arrow round-trip into Python)."""
+    schema = _SUPPLIER_FAST_AVRO
+    schema_str = json.dumps(schema)
+
+    def enc(rec):
+        k = int(rec.s_suppkey).to_bytes(8, "big", signed=True)
+        payload = avro_schema.encode(
+            {
+                "s_suppkey": int(rec.s_suppkey),
+                "s_name": rec.s_name,
+                "s_nationkey": int(rec.s_nationkey),
+                "s_acctbal": float(rec.s_acctbal),
+            },
+            schema,
+        )
+        return k, ks.confluent_frame(payload, 1)
+
+    frames = _to_frames(T(spark, sf_dir, "supplier"), enc, "supplier_fast")
+    decoded = ks.decode_topic(
+        frames,
+        "supplier_fast",
+        value_serde=Serde(kind="avro", schema_str=schema_str),
+        key_serde=Serde(kind="long"),
+    )
+    return decoded.select(
+        F.col("rowkey").cast("long").alias("rowkey"),
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        "s_acctbal",
+    )

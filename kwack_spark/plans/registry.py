@@ -130,6 +130,22 @@ _PRIORITY = [
     "streaming_window_counts",
     "streaming_stateful_running_counts",
     "streaming_dedup_keys",
+    # new in round 3 (local-oracle green): adapted TPC-H suite — queued
+    # after the never-graded backlog so the backlog clears first
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_priority_count",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
     # already driver-green in r1/r2 — tail, re-graded only if the prefix
     # budget allows
     "q1_pricing_summary",
@@ -257,5 +273,6 @@ def _load_all() -> None:
     import kwack_spark.plans.functions_corpus  # noqa: F401
     import kwack_spark.plans.pipeline  # noqa: F401
     import kwack_spark.plans.ingest_corpus  # noqa: F401
+    import kwack_spark.plans.tpch  # noqa: F401
 
     _LOADED = True
