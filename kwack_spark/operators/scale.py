@@ -249,3 +249,113 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("d", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: constant-size mergeable distinct-count registers
+# ---------------------------------------------------------------------------
+#
+# Spark's approx_count_distinct is already an HLL++ — use it when a single
+# number is all you need.  These helpers exist for the property that
+# aggregate can't give you: the REGISTER TABLE itself as data, buildable
+# per ingest batch / per shard, mergeable by elementwise max, and estimable
+# without rescanning — the running-state shape of a 100 TB corpus's
+# "distinct documents/users so far" counter.  Registers come from md5
+# arithmetic that evaluates identically in DuckDB, so sketch AND estimate
+# are oracle-checkable bit-for-bit (the estimate uses only +/*/÷ on exact
+# integers — no pow/ln whose libm could differ by an ulp across engines).
+
+_HLL_M = 64  # registers; j from 1.5 nibbles, rho from the next 16 nibbles
+
+
+def _hll_registers(
+    df: DataFrame, key_col: str, seed: str = "hll", keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-key register assignment: j = first-2-nibbles % m, rho = 1 +
+    leading zero BITS of the next 64 hash bits (counted as 4 per leading
+    '0' hex char + 0..3 inside the first nonzero nibble, capped so
+    2^(64-rho) stays integral)."""
+    key = F.col(key_col).cast("string")
+    h = F.md5(F.concat(F.lit(f"{seed}:"), key))
+    j = (_md5_nibble(h, 1) * 16 + _md5_nibble(h, 2)) % _HLL_M
+    tail = F.substring(h, 3, 16)
+    zchars = F.length(F.regexp_extract(tail, "^(0*)", 1))
+    first_nz = F.instr(
+        F.lit("0123456789abcdef"), F.substring(tail, zchars + 1, 1)
+    ) - F.lit(1)
+    inner = (
+        F.when(first_nz >= 8, 0)
+        .when(first_nz >= 4, 1)
+        .when(first_nz >= 2, 2)
+        .when(first_nz >= 1, 3)
+        .otherwise(4)  # only when the whole 64-bit tail is zero (zchars=16)
+    )
+    rho = F.least(zchars * 4 + inner + 1, F.lit(64)).cast("int")
+    return df.select(*keep, j.cast("int").alias("j"), rho.alias("rho"))
+
+
+def hll_sketch(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "hll",
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """(*by, j, mx) register table — at most m=64 rows per ``by`` group
+    whatever the cardinality.  The groupBy is map-side combinable: each
+    partition contributes its own 64 maxima, so the shuffle moves
+    O(m * partitions) tiny rows.  ``by`` builds one sketch per group (per
+    shard / per ingest batch), the input shape for hll_merge."""
+    return (
+        _hll_registers(df, key_col, seed, keep=by)
+        .groupBy(*by, "j")
+        .agg(F.max("rho").alias("mx"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Elementwise max merges sketches built with the same (m, seed):
+    max is idempotent/commutative/associative, so sketch(A) ⊔ sketch(B) ==
+    sketch(A ∪ B) EXACTLY — double-counted keys cost nothing, which is what
+    makes the register table safe running state under at-least-once
+    ingest (unlike a counter, which cms_merge-style addition would
+    double-count)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j").agg(F.max("mx").alias("mx"))
+
+
+def hll_estimate(sketch: DataFrame) -> DataFrame:
+    """Raw HLL estimate from a register table: alpha_m * m^2 / sum(2^-mx).
+
+    Exact-arithmetic form: sum(2^-mx) is computed as the INTEGER
+    sum(2^(64-mx)) (decimal-exact, order-independent) and the 2^64 scale
+    factor folds into the constant numerator — so both engines produce the
+    identical double.  Registers never touched count as mx=0 (2^64 each):
+    m - n_nonempty registers are added as whole units.  Emits the raw
+    estimate plus n_empty; the small-range linear-counting correction needs
+    ln(), whose last-ulp behavior differs across libms, so callers gate on
+    n_empty instead (documented delta vs the textbook estimator)."""
+    m = _HLL_M
+    alpha = 0.709  # alpha_64 per Flajolet et al. for m >= 64
+    # mx >= 1 for every materialized register, so 64-mx is in [0, 63] and
+    # pow(2.0, 64-mx) is an exact binary64 integer; the decimal cast is
+    # lossless on both engines.
+    agg = sketch.agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(64) - F.col("mx")).cast("decimal(38,0)")
+        ).alias("s_nonempty"),
+        F.count(F.lit(1)).alias("n_nonempty"),
+    )
+    # 2^64 is an exact binary64 integer, so the decimal cast is lossless
+    two64 = F.pow(F.lit(2.0), F.lit(64)).cast("decimal(38,0)")
+    return agg.select(
+        (
+            F.lit(alpha * m * m * 18446744073709551616.0)
+            / (
+                F.col("s_nonempty")
+                + (F.lit(m) - F.col("n_nonempty")).cast("decimal(38,0)") * two64
+            ).cast("double")
+        ).alias("hll_est"),
+        (F.lit(m) - F.col("n_nonempty")).cast("long").alias("n_empty"),
+    )

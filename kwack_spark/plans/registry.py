@@ -146,6 +146,11 @@ _PRIORITY = [
     "tpch_q18_large_orders",
     "tpch_q19_discounted_revenue",
     "tpch_q22_global_sales_opportunity",
+    "hll_distinct_users",
+    "hll_merge_shards",
+    "bloom_decontaminate",
+    "quality_linear_score",
+    "cdc_chunk_dedup",
     # already driver-green in r1/r2 — tail, re-graded only if the prefix
     # budget allows
     "q1_pricing_summary",
@@ -274,5 +279,6 @@ def _load_all() -> None:
     import kwack_spark.plans.pipeline  # noqa: F401
     import kwack_spark.plans.ingest_corpus  # noqa: F401
     import kwack_spark.plans.tpch  # noqa: F401
+    import kwack_spark.plans.sketches_corpus  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,485 @@
+"""Sketch- and hash-based corpus operators: mergeable HyperLogLog distinct
+counting, Bloom-filter decontamination, a hashed bag-of-words linear quality
+scorer (model-as-data), and content-defined chunking dedup.
+
+These are the constant-state / broadcast-model shapes a 100 TB training-data
+pipeline runs continuously:
+
+- HLL register tables are the running "distinct so far" state that merges
+  across ingest batches by elementwise max (operators/scale.py:hll_sketch);
+- a Bloom bitmap over benchmark n-grams is the compressed decontamination
+  index that broadcasts where the full benchmark gram table wouldn't;
+- a linear scorer's weight vector is a tiny broadcast table — the standard
+  fasttext-style quality-classifier serving shape, no Python in the loop;
+- content-defined chunk boundaries (rolling-window hash) make chunk dedup
+  insertion-robust where fixed-size blocks shift and miss every repeat.
+
+Everything is md5 arithmetic that evaluates identically in Spark and DuckDB,
+so every operator — including every hash collision — is oracle-checked
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kwack_spark.functions import text as TX
+from kwack_spark.operators import scale
+from kwack_spark.plans.registry import register
+from kwack_spark.plans.relational import T
+
+# DuckDB fragments mirroring operators/scale.py's md5-nibble idiom
+_NIB = "(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+
+
+def _duck_hll_reg(key_expr: str, seed: str = "hll") -> str:
+    """(j, rho) per row, mirroring scale._hll_registers bit-for-bit."""
+    return f"""
+        SELECT ({_NIB.format(h='h', i=1)} * 16 + {_NIB.format(h='h', i=2)}) % 64 AS j,
+               least(4 * length(regexp_extract(substr(h, 3, 16), '^(0*)', 1))
+                     + CASE WHEN fnz >= 8 THEN 0 WHEN fnz >= 4 THEN 1
+                            WHEN fnz >= 2 THEN 2 WHEN fnz >= 1 THEN 3
+                            ELSE 4 END + 1, 64) AS rho
+        FROM (
+            SELECT h,
+                   instr('0123456789abcdef',
+                         substr(substr(h, 3, 16),
+                                length(regexp_extract(substr(h, 3, 16), '^(0*)', 1)) + 1,
+                                1)) - 1 AS fnz
+            FROM (SELECT md5('{seed}:' || {key_expr}) AS h FROM __HLL_SRC__)
+        )
+    """
+
+
+_DUCK_HLL_EST = """
+    SELECT CAST({alpha} * 64 * 64 * 18446744073709551616.0 AS DOUBLE)
+           / CAST(s_ne + CAST(64 - n_ne AS DECIMAL(38,0))
+                         * CAST(pow(2.0, 64) AS DECIMAL(38,0)) AS DOUBLE)
+           AS hll_est,
+           CAST(64 - n_ne AS BIGINT) AS n_empty
+    FROM (
+        SELECT SUM(CAST(pow(2.0, 64 - mx) AS DECIMAL(38,0))) AS s_ne,
+               count(*) AS n_ne
+        FROM __HLL_SKETCH__
+    )
+"""
+
+
+@register(
+    "hll_distinct_users",
+    # HLL distinct-user estimate vs the exact count it approximates; the
+    # register table and the estimate are identical md5 + exact-decimal
+    # arithmetic on both engines (no pow/ln on non-integer args), so the
+    # hash compare covers every register and the final double.
+    oracle=f"""
+        WITH reg AS ({_duck_hll_reg("user_id::VARCHAR").replace("__HLL_SRC__", "events")}),
+        sk AS (SELECT j, max(rho) AS mx FROM reg GROUP BY j),
+        est AS ({_DUCK_HLL_EST.format(alpha=0.709).replace("__HLL_SKETCH__", "sk")}),
+        exact AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+                  FROM events)
+        SELECT e.hll_est, e.n_empty, x.exact_distinct,
+               abs(e.hll_est - x.exact_distinct) / x.exact_distinct < 0.5
+                 AS within_bound
+        FROM est e CROSS JOIN exact x
+    """,
+    tags=("scale", "sketch", "approx", "hll"),
+)
+def hll_distinct_users(spark, sf_dir):
+    """Mergeable-register HyperLogLog (operators/scale.py:hll_sketch) graded
+    against the exact distinct count.  Spark's approx_count_distinct is an
+    HLL++ too, but only as an opaque aggregate — this one's register table
+    IS data: per-batch sketches merge by max into running state that never
+    rescans the corpus.  m=64 gives ~13% standard error; the gate allows
+    3.8 sigma."""
+    e = T(spark, sf_dir, "events").select("user_id")
+    est = scale.hll_estimate(scale.hll_sketch(e, "user_id"))
+    exact = e.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "hll_est",
+        "n_empty",
+        "exact_distinct",
+        (
+            F.abs(F.col("hll_est") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            < 0.5
+        ).alias("within_bound"),
+    )
+
+
+@register(
+    "hll_merge_shards",
+    # merge-invariance gate: per-source sketches merged by elementwise max
+    # must equal the whole-corpus sketch — THE property that makes HLL
+    # registers safe running state under sharded / at-least-once ingest.
+    oracle=f"""
+        WITH reg AS (
+            SELECT source, j, rho FROM (
+                SELECT source,
+                       ({_NIB.format(h='h', i=1)} * 16 + {_NIB.format(h='h', i=2)}) % 64 AS j,
+                       least(4 * length(regexp_extract(substr(h, 3, 16), '^(0*)', 1))
+                             + CASE WHEN fnz >= 8 THEN 0 WHEN fnz >= 4 THEN 1
+                                    WHEN fnz >= 2 THEN 2 WHEN fnz >= 1 THEN 3
+                                    ELSE 4 END + 1, 64) AS rho
+                FROM (
+                    SELECT source, h,
+                           instr('0123456789abcdef',
+                                 substr(substr(h, 3, 16),
+                                        length(regexp_extract(substr(h, 3, 16), '^(0*)', 1)) + 1,
+                                        1)) - 1 AS fnz
+                    FROM (SELECT source, md5('hll:' || doc_id::VARCHAR) AS h
+                          FROM documents)
+                )
+            )
+        ),
+        per_source AS (SELECT source, j, max(rho) AS mx FROM reg GROUP BY source, j),
+        merged AS (SELECT j, max(mx) AS mx FROM per_source GROUP BY j),
+        direct AS (SELECT j, max(rho) AS mx FROM reg GROUP BY j),
+        m_est AS ({_DUCK_HLL_EST.format(alpha=0.709).replace("__HLL_SKETCH__", "merged")}),
+        d_est AS ({_DUCK_HLL_EST.format(alpha=0.709).replace("__HLL_SKETCH__", "direct")}),
+        ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+               FROM documents)
+        SELECT m.hll_est AS merged_est, d.hll_est AS direct_est,
+               m.hll_est = d.hll_est AS merge_invariant, ns.n_sources
+        FROM m_est m CROSS JOIN d_est d CROSS JOIN ns
+    """,
+    tags=("scale", "sketch", "merge", "hll"),
+)
+def hll_merge_shards(spark, sf_dir):
+    """Builds one HLL sketch per document source (the sharded-ingest shape),
+    merges them (operators/scale.py:hll_merge), and proves the merged
+    estimate equals the single-pass whole-corpus estimate.  At 100 TB each
+    ingest batch computes its own 64-row sketch; the merge is a 64-row max —
+    no rescan, and double-delivered batches change nothing (max is
+    idempotent, unlike cms_merge's addition)."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    per_source = scale.hll_sketch(d, "doc_id", by=("source",))
+    merged_est = scale.hll_estimate(scale.hll_merge(per_source.drop("source")))
+    direct_est = scale.hll_estimate(scale.hll_sketch(d, "doc_id"))
+    n_sources = d.agg(F.countDistinct("source").alias("n_sources"))
+    return (
+        merged_est.select(F.col("hll_est").alias("merged_est"))
+        .crossJoin(F.broadcast(direct_est.select(F.col("hll_est").alias("direct_est"))))
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "merged_est",
+            "direct_est",
+            (F.col("merged_est") == F.col("direct_est")).alias("merge_invariant"),
+            "n_sources",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination
+# ---------------------------------------------------------------------------
+
+_BF_K = 3  # hash functions
+_BF_M = 4096  # bits (3 md5 nibbles)
+
+
+def _bf_pos(gram, i: int):
+    """Bit position i of a gram: 3 nibbles of md5('bf{i}:'||gram) % m."""
+    h = F.md5(F.concat(F.lit(f"bf{i}:"), gram))
+    nib = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1  # noqa: E731
+    return ((nib(1) * 256 + nib(2) * 16 + nib(3)) % _BF_M).cast("int")
+
+
+_DUCK_BF_POS = (
+    "((" + _NIB.format(h="md5('bf{i}:' || {g})", i=1) + ") * 256 + ("
+    + _NIB.format(h="md5('bf{i}:' || {g})", i=2) + ") * 16 + ("
+    + _NIB.format(h="md5('bf{i}:' || {g})", i=3) + ")) % 4096"
+)
+
+
+@register(
+    "bloom_decontaminate",
+    # Bloom-prefiltered benchmark decontamination, graded INCLUDING its
+    # false positives: the bitmap is the same md5 arithmetic on both
+    # engines, so bloom_hits (with collisions) and exact_hits must both
+    # match.  never_misses asserts the Bloom guarantee bloom >= exact.
+    oracle=f"""
+        WITH bench AS (
+            SELECT DISTINCT unnest(g) AS gram FROM (
+                SELECT CASE WHEN len(tk) >= 3
+                            THEN list_transform(range(1, len(tk) - 1),
+                                                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                            ELSE [array_to_string(tk, ' ')] END AS g
+                FROM (SELECT string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ') AS tk0,
+                             list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                                         t -> length(t) > 0) AS tk
+                      FROM documents WHERE doc_id % 97 = 0)
+            )
+        ),
+        bits AS (
+            SELECT DISTINCT unnest([
+                {_DUCK_BF_POS.format(i=0, g='gram')},
+                {_DUCK_BF_POS.format(i=1, g='gram')},
+                {_DUCK_BF_POS.format(i=2, g='gram')}]) AS pos
+            FROM bench
+        ),
+        cand AS (
+            SELECT doc_id, gram FROM (
+                SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 3
+                            THEN list_transform(range(1, len(tk) - 1),
+                                                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                            ELSE [array_to_string(tk, ' ')] END)) AS gram
+                FROM (SELECT doc_id,
+                             list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                                         t -> length(t) > 0) AS tk
+                      FROM documents WHERE doc_id % 97 <> 0)
+            )
+        ),
+        probe AS (
+            SELECT doc_id, gram,
+                   ({_DUCK_BF_POS.format(i=0, g='gram')} IN (SELECT pos FROM bits))
+               AND ({_DUCK_BF_POS.format(i=1, g='gram')} IN (SELECT pos FROM bits))
+               AND ({_DUCK_BF_POS.format(i=2, g='gram')} IN (SELECT pos FROM bits))
+                   AS bloom_pos
+            FROM cand
+        )
+        SELECT doc_id,
+               CAST(count(*) FILTER (WHERE bloom_pos) AS BIGINT) AS bloom_hits,
+               CAST(count(*) FILTER (WHERE gram IN (SELECT gram FROM bench)) AS BIGINT)
+                 AS exact_hits,
+               count(*) FILTER (WHERE bloom_pos)
+                 >= count(*) FILTER (WHERE gram IN (SELECT gram FROM bench))
+                 AS never_misses
+        FROM probe
+        GROUP BY doc_id
+        HAVING count(*) FILTER (WHERE bloom_pos) > 0
+        ORDER BY doc_id
+    """,
+    tags=("scale", "sketch", "dedup", "decontamination"),
+)
+def bloom_decontaminate(spark, sf_dir):
+    """Benchmark decontamination behind a Bloom bitmap: benchmark 3-gram
+    shingles (docs with doc_id % 97 == 0 stand in for the eval set) hash
+    into a 4096-bit filter; a training gram is a candidate only if ALL k=3
+    positions are set.  Grades bloom_hits vs exact_hits per doc — the
+    filter may overcount (collisions) but can never miss.
+
+    100-TB posture: the bitmap is m bits TOTAL (here a ≤4096-row position
+    table, broadcast) however large the benchmark is, and the probe side is
+    a narrow per-gram lookup — versus decontaminate_ngram_overlap's
+    gram-table join, this is what still broadcasts when the benchmark has
+    billions of grams.  Exact verification of the tiny bloom-positive
+    remainder stays cheap by construction."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = F.explode(F.array_distinct(TX.shingles(TX.tokens("text"), 3))).alias("gram")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(grams).distinct()
+    bits = (
+        bench.select(
+            F.explode(F.array(*[_bf_pos(F.col("gram"), i) for i in range(_BF_K)])).alias("pos")
+        )
+        .distinct()
+    )
+    cand = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", grams)
+    # per (doc, gram): k probe rows -> broadcast-join the bit table -> a
+    # gram is bloom-positive iff all k probes land on set bits
+    probes = cand.select(
+        "doc_id",
+        "gram",
+        F.explode(F.array(*[_bf_pos(F.col("gram"), i) for i in range(_BF_K)])).alias("pos"),
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("k_set"))
+        .filter(F.col("k_set") == _BF_K)
+        .select("doc_id", "gram", F.lit(True).alias("bloom_pos"))
+    )
+    exact = bench.withColumnRenamed("gram", "bgram")
+    per_gram = cand.join(hits, ["doc_id", "gram"], "left").join(
+        F.broadcast(exact), cand.gram == exact.bgram, "left"
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.count(F.when(F.col("bloom_pos"), 1)).alias("bloom_hits"),
+            F.count(F.when(F.col("bgram").isNotNull(), 1)).alias("exact_hits"),
+        )
+        .filter(F.col("bloom_hits") > 0)
+        .select(
+            "doc_id",
+            "bloom_hits",
+            "exact_hits",
+            (F.col("bloom_hits") >= F.col("exact_hits")).alias("never_misses"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed bag-of-words linear quality scorer (model-as-data)
+# ---------------------------------------------------------------------------
+
+_BOW_D = 1024  # weight buckets (hashing trick)
+
+
+@register(
+    "quality_linear_score",
+    # fasttext-style linear scorer with deterministic pseudo-weights:
+    # bucket = 3 md5 nibbles % D, weight = md5-derived integer in
+    # [-1000, 1000] milli-units.  Scores sum in exact integers and divide
+    # by 1000.0 once, so both engines emit the identical double.
+    oracle=f"""
+        WITH weights AS (
+            SELECT b, (({_NIB.format(h="md5('w:' || b::VARCHAR)", i=1)} * 256
+                        + {_NIB.format(h="md5('w:' || b::VARCHAR)", i=2)} * 16
+                        + {_NIB.format(h="md5('w:' || b::VARCHAR)", i=3)}) % 2001) - 1000
+                     AS w_mill
+            FROM (SELECT unnest(range(0, {_BOW_D})) AS b)
+        ),
+        tok AS (
+            SELECT doc_id, unnest(list_filter(
+                       string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                       t -> length(t) > 0)) AS t
+            FROM documents
+        ),
+        bucketed AS (
+            SELECT doc_id, ({_NIB.format(h='md5(t)', i=1)} * 256
+                            + {_NIB.format(h='md5(t)', i=2)} * 16
+                            + {_NIB.format(h='md5(t)', i=3)}) % {_BOW_D} AS b
+            FROM tok
+        )
+        SELECT doc_id,
+               CAST(SUM(w_mill) AS DOUBLE) / 1000.0 AS score,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM bucketed JOIN weights USING (b)
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+    """,
+    tags=("quality", "model", "scoring"),
+)
+def quality_linear_score(spark, sf_dir):
+    """Hashed bag-of-words linear model scoring — the serving shape of a
+    fasttext-style quality classifier: the model is a D-row weight table
+    (here D=1024, weights deterministically derived from md5 so the oracle
+    can rebuild them; in production they come from training), broadcast to
+    every executor; scoring is tokenize → hash-bucket → join → sum.
+
+    100-TB posture: the weight table is O(D) whatever the corpus; token
+    scoring is one narrow explode + broadcast join + doc-keyed sum
+    (map-side combinable).  No Python anywhere — compare mapInPandas
+    inference, which pays Arrow transfer per token batch.  Milli-unit
+    integer weights keep the sum exact; one final /1000.0 gives
+    bit-identical doubles."""
+    spark_range = spark.range(_BOW_D).select(F.col("id").cast("int").alias("b"))
+    h = F.md5(F.concat(F.lit("w:"), F.col("b").cast("string")))
+    nib = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1  # noqa: E731
+    weights = spark_range.select(
+        "b", (((nib(1) * 256 + nib(2) * 16 + nib(3)) % 2001) - 1000).alias("w_mill")
+    )
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("t"))
+    th = F.md5(F.col("t"))
+    tnib = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring(th, p, 1)) - 1  # noqa: E731
+    bucketed = tok.select(
+        "doc_id", ((tnib(1) * 256 + tnib(2) * 16 + tnib(3)) % _BOW_D).alias("b")
+    )
+    return (
+        bucketed.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("w_mill").cast("double") / F.lit(1000.0)).alias("score"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_chunk_dedup",
+    # content-defined chunk boundaries: cut before position i when the
+    # md5 of the 8-char window at i starts with nibble 0 (p=1/16, mean
+    # chunk ~16 chars).  Boundaries depend only on LOCAL content, so an
+    # insertion early in a doc shifts at most one chunk — fixed-size
+    # blocks would shift every block and miss every repeat after the edit.
+    oracle="""
+        WITH cut AS (
+            SELECT doc_id, text,
+                   [1] || CASE WHEN length(text) >= 9
+                               THEN list_filter(generate_series(2, length(text) - 7),
+                                                i -> substr(md5('cdc:' || substr(text, i, 8)), 1, 1) = '0')
+                               ELSE [] END
+                       || [length(text) + 1] AS cuts
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, unnest(
+                     list_transform(generate_series(1, len(cuts) - 1),
+                                    j -> substr(text, cuts[j], cuts[j+1] - cuts[j]))
+                   ) AS chunk
+            FROM cut
+        )
+        SELECT md5(chunk) AS fp,
+               CAST(min(length(chunk)) AS BIGINT) AS chunk_len,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM chunks
+        WHERE length(chunk) >= 8
+        GROUP BY md5(chunk)
+        HAVING count(*) >= 4
+        ORDER BY n_copies DESC, fp
+        LIMIT 15
+    """,
+    tags=("dedup", "chunking", "cdc"),
+)
+def cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking (rolling-window hash boundaries) + chunk
+    fingerprint dedup — the storage-style dedup that survives insertions,
+    applied to corpus text.  All array built-ins (sequence/filter/
+    transform/element_at): the boundary scan and chunk extraction ride the
+    parquet scan with no shuffle; the only shuffle is the fingerprint
+    aggregation.  Top repeated chunks are the cross-doc boilerplate a
+    pipeline strips before training."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def mk_cuts(t):
+        inner = F.when(
+            F.length(t) >= 9,
+            F.filter(
+                F.sequence(F.lit(2), F.length(t) - 7),
+                lambda i: F.substring(
+                    F.md5(F.concat(F.lit("cdc:"), F.substring(t, i, 8))), 1, 1
+                )
+                == "0",
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.concat(
+            F.array(F.lit(1)), inner.cast("array<int>"), F.array(F.length(t) + 1)
+        )
+
+    cut = docs.select("doc_id", "text", TX.bind(F.col("text"), mk_cuts).alias("cuts"))
+    chunks = cut.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("cuts") - 1),
+                lambda j: F.substring(
+                    F.col("text"),
+                    F.element_at(F.col("cuts"), j),
+                    F.element_at(F.col("cuts"), j + 1) - F.element_at(F.col("cuts"), j),
+                ),
+            )
+        ).alias("chunk"),
+    )
+    return (
+        chunks.filter(F.length("chunk") >= 8)
+        .groupBy(F.md5("chunk").alias("fp"))
+        .agg(
+            F.min(F.length("chunk")).cast("long").alias("chunk_len"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_copies") >= 4)
+        .orderBy(F.desc("n_copies"), "fp")
+        .limit(15)
+    )

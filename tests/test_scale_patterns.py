@@ -183,3 +183,56 @@ def test_cms_sketches_merge_exactly(spark):
     }
     est_whole = {r.k: r.cms_est for r in scale.cms_estimates(whole, "k").collect()}
     assert est_merged == est_whole == {"x": 8, "y": 2, "z": 4}
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog mergeable registers
+# ---------------------------------------------------------------------------
+
+
+def test_hll_sketch_shape_and_bounds(spark):
+    e = load_table(spark, SF, "events").select("user_id")
+    sk = scale.hll_sketch(e, "user_id").collect()
+    assert len(sk) <= 64
+    assert all(0 <= r.j < 64 and 1 <= r.mx <= 64 for r in sk)
+
+
+def test_hll_merge_equals_direct(spark):
+    # merge of disjoint halves == whole-corpus sketch, register for register
+    e = load_table(spark, SF, "events").select("user_id")
+    lo = e.filter(F.col("user_id") % 2 == 0)
+    hi = e.filter(F.col("user_id") % 2 == 1)
+    merged = scale.hll_merge(
+        scale.hll_sketch(lo, "user_id"), scale.hll_sketch(hi, "user_id")
+    )
+    direct = scale.hll_sketch(e, "user_id")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_hll_merge_idempotent_under_redelivery(spark):
+    # at-least-once ingest: merging the same batch twice changes nothing
+    e = load_table(spark, SF, "events").select("user_id")
+    once = scale.hll_sketch(e, "user_id")
+    twice = scale.hll_merge(once, once)
+    assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, once.collect()))
+
+
+def test_hll_estimate_accuracy(spark):
+    # event_id: thousands of distinct keys, well above the 2.5*m small-range
+    # regime where the raw estimator (deliberately uncorrected — see
+    # hll_estimate docstring on ln() determinism) is biased
+    e = load_table(spark, SF, "events").select("event_id")
+    est = scale.hll_estimate(scale.hll_sketch(e, "event_id")).collect()[0]
+    exact = e.distinct().count()
+    # m=64 -> ~13% standard error; allow 3 sigma
+    assert abs(est.hll_est - exact) / exact < 0.4, (est.hll_est, exact)
+
+
+def test_hll_sketch_grouped_by_shard(spark):
+    d = load_table(spark, SF, "documents").select("doc_id", "source")
+    per = scale.hll_sketch(d, "doc_id", by=("source",))
+    n_sources = d.select("source").distinct().count()
+    # <= 64 registers per shard, and every shard contributes
+    counts = {r.source: r.n for r in per.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert len(counts) == n_sources
+    assert all(n <= 64 for n in counts.values())
