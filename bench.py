@@ -65,6 +65,13 @@ HEADLINE = [
     "temperature_mixture_sample",
     "multimodal_wav_decode",
     "cms_heavy_hitters",
+    # round-6 operators
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_orders",
+    "hll_distinct_users",
+    "bloom_decontaminate",
+    "quality_linear_score",
+    "cdc_chunk_dedup",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

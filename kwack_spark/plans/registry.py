@@ -151,6 +151,7 @@ _PRIORITY = [
     "bloom_decontaminate",
     "quality_linear_score",
     "cdc_chunk_dedup",
+    "streaming_hll_distinct",
     # already driver-green in r1/r2 — tail, re-graded only if the prefix
     # budget allows
     "q1_pricing_summary",

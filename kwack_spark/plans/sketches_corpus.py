@@ -483,3 +483,50 @@ def cdc_chunk_dedup(spark, sf_dir):
         .orderBy(F.desc("n_copies"), "fp")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL: the register table as (bounded) streaming state
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_hll_distinct",
+    # end-of-stream register table must equal the batch sketch — max is
+    # order-invariant, so replay order can't matter.  The oracle is the
+    # batch register SQL; a hash match covers all 64 registers.
+    oracle=f"""
+        WITH reg AS ({_duck_hll_reg("user_id::VARCHAR").replace("__HLL_SRC__", "events")})
+        SELECT j, CAST(max(rho) AS INT) AS mx FROM reg GROUP BY j ORDER BY j
+    """,
+    tags=("streaming", "sketch", "hll"),
+)
+def streaming_hll_distinct(spark, sf_dir):
+    """HLL distinct-count registers maintained as STREAMING state: events
+    replay as a file-source stream, each record maps to (j, rho) narrowly,
+    and a complete-mode groupBy(j).max keeps exactly 64 rows of state
+    FOREVER — the only streaming aggregate whose state is constant in both
+    key cardinality and stream length (contrast streaming_dedup_keys,
+    whose state is the watermark-bounded key set).  The sink table equals
+    the batch sketch at end of stream, so the estimate read off it is the
+    same running "distinct users so far" a 100 TB ingest would publish per
+    micro-batch."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.plans.pipeline import _few_shuffle_partitions
+    from kwack_spark.streaming import ingest as si
+
+    e = T(spark, sf_dir, "events").select("user_id", "ts")
+    replay_dir = tempfile.mkdtemp(prefix="kwack_stream_hll_")
+    e.write.mode("overwrite").parquet(replay_dir)
+    stream = spark.readStream.schema(e.schema).parquet(replay_dir)
+    regs = scale._hll_registers(stream, "user_id")
+    sk = regs.groupBy("j").agg(F.max("rho").alias("mx"))
+    sink = f"strmhll_{uuid.uuid4().hex[:8]}"
+    with _few_shuffle_partitions(spark):
+        q = si.to_memory_sink(sk, sink, output_mode="complete")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_hll_distinct: stream did not finish in 300s")
+    return spark.table(sink).select("j", "mx").orderBy("j")
