@@ -386,3 +386,70 @@ def containment_pairs(
         .select("src_id", "dst_id", cont.cast("double").alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within ``max_hamming`` bit flips, blocked by
+    the multi-block pigeonhole trick (Manku/Jain/Sarma, "Detecting
+    Near-Duplicates for Web Crawling", WWW'07): split the fingerprint into
+    ``blocks`` equal slices; any pair within distance ``max_hamming <
+    blocks`` must agree EXACTLY on at least one slice, so candidates come
+    from ``blocks`` narrow equality self-joins (one explode + one shuffle on
+    (slice_idx, slice_bits)) — never an all-pairs compare.  The Hamming
+    verify then runs only on the candidate set.
+
+    At 100 TB: fingerprints are 16-64 bits/doc, slices hash-partition
+    uniformly (simhash bits are balanced by construction), and the verify
+    is O(candidates * bits) bit arithmetic — the same bounded-candidates
+    contract as MinHash-LSH but for the Hamming metric.
+    """
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"pigeonhole blocking needs max_hamming < blocks "
+            f"(got {max_hamming} >= {blocks}): a pair could differ in every slice"
+        )
+    width = bits // blocks
+    fps = simhash_fingerprints(df, id_col, text_col, bits)
+    sliced = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.substring("simhash", b * width + 1, width).alias("bitsv"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("s"),
+    ).select(id_col, "simhash", F.col("s.blk").alias("blk"), F.col("s.bitsv").alias("bitsv"))
+    a = sliced.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "bitsv"
+    )
+    b = sliced.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "bitsv"
+    )
+    cand = (
+        a.join(b, ["blk", "bitsv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda i: F.substring("sh_a", i, 1) != F.substring("sh_b", i, 1),
+        )
+    )
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

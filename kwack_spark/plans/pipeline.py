@@ -3489,3 +3489,47 @@ def ann_pq_recall(spark, sf_dir):
             ]
         ),
     )
+
+
+@register(
+    "dedup_simhash_hamming",
+    # multi-block pigeonhole blocking (Manku et al. WWW'07): any pair within
+    # Hamming distance 3 of a 32-bit simhash agrees exactly on one of 4
+    # slices, so candidates come from slice-equality joins, never all pairs;
+    # the Hamming verify runs on candidates only.  Exact md5 arithmetic on
+    # both engines covers blocking AND verify.
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        fps AS (SELECT doc_id, {_simhash_sql(32)} AS simhash FROM toks),
+        sliced AS (
+            SELECT doc_id, simhash, blk, substr(simhash, blk * 8 + 1, 8) AS bitsv
+            FROM fps, (SELECT unnest([0, 1, 2, 3]) AS blk)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM sliced a JOIN sliced b
+              ON a.blk = b.blk AND a.bitsv = b.bitsv AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM (
+            SELECT id_a, id_b,
+                   CAST(len(list_filter(generate_series(1, 32),
+                                        i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1)))
+                        AS INT) AS hamming
+            FROM cand
+        ) WHERE hamming <= 3
+        ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "simhash", "hamming"),
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    """Hamming-metric near-dup pairs over SimHash fingerprints
+    (operators/dedup.py:simhash_hamming_pairs) — the WWW'07 web-crawl dedup
+    shape: slice-equality blocking bounds candidates, bit-level verify
+    bounds output.  Complements MinHash-LSH (Jaccard metric) with the
+    fixed-width fingerprint family whose index is 4 bytes/doc."""
+    from kwack_spark.operators import dedup
+
+    return dedup.simhash_hamming_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", bits=32, max_hamming=3
+    ).orderBy("id_a", "id_b")

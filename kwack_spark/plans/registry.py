@@ -152,6 +152,7 @@ _PRIORITY = [
     "quality_linear_score",
     "cdc_chunk_dedup",
     "streaming_hll_distinct",
+    "dedup_simhash_hamming",
     # already driver-green in r1/r2 — tail, re-graded only if the prefix
     # budget allows
     "q1_pricing_summary",

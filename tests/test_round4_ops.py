@@ -172,3 +172,38 @@ def test_semdedup_prune_semantics(spark):
     assert out[3] == (True, 1)
     assert out[4] == (True, 1)  # kept_by = SMALLEST qualifying neighbor
     assert out[2][0] is False and out[5][0] is False
+
+
+def test_simhash_hamming_blocking_is_lossless(spark):
+    """The multi-block candidate stage must find EVERY pair within
+    max_hamming (pigeonhole guarantee) — compare against the brute-force
+    all-pairs Hamming join on the same fingerprints."""
+    d = spark.createDataFrame(DOCS, "doc_id long, text string")
+    blocked = dedup.simhash_hamming_pairs(
+        d, "doc_id", "text", bits=32, max_hamming=3
+    )
+    fps = dedup.simhash_fingerprints(d, "doc_id", "text", bits=32)
+    a = fps.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = fps.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    ham = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda i: F.substring("sh_a", i, 1) != F.substring("sh_b", i, 1),
+        )
+    )
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
+    assert sorted(map(tuple, blocked.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_simhash_hamming_rejects_unsound_blocking():
+    """max_hamming >= blocks would let a pair differ in every slice and be
+    missed — the operator must refuse, not silently lose recall."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_hamming_pairs(None, "doc_id", "text", bits=32, max_hamming=4)
