@@ -153,6 +153,8 @@ _PRIORITY = [
     "cdc_chunk_dedup",
     "streaming_hll_distinct",
     "dedup_simhash_hamming",
+    "streaming_cms_counts",
+    "inverted_index_build",
     # already driver-green in r1/r2 — tail, re-graded only if the prefix
     # budget allows
     "q1_pricing_summary",

@@ -530,3 +530,112 @@ def streaming_hll_distinct(spark, sf_dir):
             q.stop()
             raise TimeoutError("streaming_hll_distinct: stream did not finish in 300s")
     return spark.table(sink).select("j", "mx").orderBy("j")
+
+
+@register(
+    "streaming_cms_counts",
+    # end-of-stream counter table must equal the batch count-min sketch —
+    # counts are replay-order-invariant.  4x256 counters are the WHOLE
+    # state, whatever the key cardinality or stream length.
+    oracle="""
+        WITH keyed AS (
+            SELECT user_id, d,
+                   ((instr('0123456789abcdef',
+                           substr(md5('cms' || d || ':' || user_id::VARCHAR), 1, 1)) - 1) * 16
+                    + instr('0123456789abcdef',
+                            substr(md5('cms' || d || ':' || user_id::VARCHAR), 2, 1)) - 1) % 256 AS b
+            FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS d)
+        )
+        SELECT d, CAST(b AS INT) AS b, CAST(count(*) AS BIGINT) AS cnt
+        FROM keyed GROUP BY d, b ORDER BY d, b
+    """,
+    tags=("streaming", "sketch", "cms"),
+)
+def streaming_cms_counts(spark, sf_dir):
+    """Count-min sketch counters maintained as STREAMING state: each event
+    maps narrowly to its (d, b) buckets and a complete-mode groupBy keeps
+    the fixed 4x256 counter table — with streaming_hll_distinct, the two
+    bounded-state streaming sketches (counter adds here, register maxes
+    there).  The sink equals the batch sketch at end of stream, so
+    frequency estimates read off it mid-stream are the same
+    never-undercounting guarantees cms_heavy_hitters grades in batch."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.plans.pipeline import _few_shuffle_partitions
+    from kwack_spark.streaming import ingest as si
+
+    e = T(spark, sf_dir, "events").select("user_id", "ts")
+    replay_dir = tempfile.mkdtemp(prefix="kwack_stream_cms_")
+    e.write.mode("overwrite").parquet(replay_dir)
+    stream = spark.readStream.schema(e.schema).parquet(replay_dir)
+    keyed = scale._cms_keyed(stream, "user_id", depth=4, width=256, seed="cms")
+    sk = keyed.groupBy("d", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    sink = f"strmcms_{uuid.uuid4().hex[:8]}"
+    with _few_shuffle_partitions(spark):
+        q = si.to_memory_sink(sk, sink, output_mode="complete")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_cms_counts: stream did not finish in 300s")
+    return spark.table(sink).select(
+        "d", F.col("b").cast("int").alias("b"), "cnt"
+    ).orderBy("d", "b")
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (sharded posting lists)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inverted_index_build",
+    # token -> sharded posting lists: postings are split by doc_id range
+    # (shard = doc_id // 100) so no single row ever holds a stop-word's
+    # full corpus-wide posting list; per-token df rides alongside.
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct(list_filter(
+                       string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                       t -> length(t) > 0))) AS token
+            FROM documents
+        ),
+        sharded AS (
+            SELECT token, doc_id // 100 AS shard_id,
+                   list_sort(list(doc_id)) AS postings,
+                   count(*) AS n_docs
+            FROM tok GROUP BY token, doc_id // 100
+        ),
+        df AS (SELECT token, CAST(sum(n_docs) AS BIGINT) AS df FROM sharded GROUP BY token)
+        SELECT s.token, CAST(s.shard_id AS BIGINT) AS shard_id, d.df,
+               CAST(s.n_docs AS BIGINT) AS n_docs, s.postings
+        FROM sharded s JOIN df d USING (token)
+        ORDER BY token, shard_id
+    """,
+    tags=("text", "index", "search"),
+)
+def inverted_index_build(spark, sf_dir):
+    """Sharded inverted index: distinct (doc, token) pairs group into
+    (token, doc-range shard) posting lists with per-token document
+    frequency.  The shard key caps posting-list row size at the shard's doc
+    count — a stop word appearing in every document becomes many bounded
+    rows, not one giant array (the skew that kills naive collect_list
+    indexes at 100 TB); shards are also the unit of incremental republish
+    when a doc range changes.  One explode + one shuffle on (token, shard);
+    df folds off the shard aggregation instead of rescanning the corpus."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(TX.tokens("text"))).alias("token")
+    )
+    sharded = (
+        tok.groupBy("token", F.expr("doc_id div 100").alias("shard_id"))
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    df = sharded.groupBy("token").agg(F.sum("n_docs").alias("df"))
+    return (
+        sharded.join(F.broadcast(df), "token")
+        .select("token", "shard_id", "df", "n_docs", "postings")
+        .orderBy("token", "shard_id")
+    )
