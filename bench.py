@@ -68,6 +68,10 @@ HEADLINE = [
     # round-6 operators
     "tpch_q6_forecast_revenue",
     "tpch_q18_large_orders",
+    # round-7: the suite-completing TPC-H shapes (correlated-min catalog,
+    # scalar-subquery HAVING, and the exists/not-exists self-join pair)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q21_waiting_suppliers",
     "hll_distinct_users",
     "bloom_decontaminate",
     "quality_linear_score",

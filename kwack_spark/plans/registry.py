@@ -132,8 +132,13 @@ _PRIORITY = [
     "streaming_dedup_keys",
     # new in round 3 (local-oracle green): adapted TPC-H suite — queued
     # after the never-graded backlog so the backlog clears first
+    "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q4_priority_count",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_suppliers",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

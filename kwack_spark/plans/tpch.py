@@ -3,11 +3,14 @@
 The reference (kwack) delegates its whole SQL surface to DuckDB
 (`/root/reference/src/main/java/io/kcache/kwack/KwackEngine.java:214-230`), so
 its users run exactly this class of analytic SQL.  These are the classic
-TPC-H shapes (Q4, Q6-Q10, Q13-Q19, Q22) adapted to the driver testdata's
-trimmed columns: there is no ``partsupp`` table and no
+TPC-H shapes — the full 22-query suite: Q1/Q3/Q5 live in relational.py as
+the original flagship queries (q1_pricing_summary, q3_top_revenue,
+q5_region_revenue); Q2, Q4, Q6-Q22 are here — adapted to the driver
+testdata's trimmed columns: there is no ``partsupp`` table and no
 ``l_commitdate/l_receiptdate/l_shipmode/c_phone`` columns, so queries that
 need them are re-targeted to equivalent plan shapes on the columns that
-exist (each docstring notes the delta).
+exist (each docstring notes the delta; partsupp-dependent queries derive
+the part-supplier catalog from lineitem history).
 
 Plan-quality notes (the point of the suite at 100 TB):
 - every dim⋈fact join broadcasts the dim side explicitly;
@@ -661,4 +664,380 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
             F.sum(dec("c_acctbal", 18, 2)).cast("double").alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    # Q2 adapted: no partsupp table, so the part-supplier catalog is
+    # derived from lineitem history — ps_cost := MIN(l_extendedprice)
+    # per (partkey, suppkey) (MIN over exact DECIMAL is order-independent,
+    # so it hash-matches across engines, unlike a derived division).  The
+    # spec's correlated "cost = MIN(cost) over EUROPE suppliers of this
+    # part" survives intact as an aggregate + equality join-back.
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        eu AS (
+            SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+        ),
+        eps AS (
+            SELECT ps.l_partkey, ps.ps_cost,
+                   eu.s_name, eu.s_acctbal, eu.n_name, p.p_name
+            FROM ps
+            JOIN eu ON ps.l_suppkey = eu.s_suppkey
+            JOIN part p ON ps.l_partkey = p.p_partkey
+            WHERE p.p_type = 'LARGE' AND p.p_size BETWEEN 10 AND 20
+        )
+        SELECT CAST(e.s_acctbal AS DOUBLE) AS s_acctbal,
+               e.s_name, e.n_name,
+               e.l_partkey AS p_partkey, e.p_name,
+               CAST(e.ps_cost AS DOUBLE) AS supply_cost
+        FROM eps e
+        JOIN (
+            SELECT l_partkey, MIN(ps_cost) AS min_cost
+            FROM eps GROUP BY l_partkey
+        ) m ON e.l_partkey = m.l_partkey AND e.ps_cost = m.min_cost
+        ORDER BY s_acctbal DESC, s_name, p_partkey
+        LIMIT 100
+    """,
+    tags=("tpch", "correlated-min", "join"),
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2: cheapest EUROPE supplier per qualifying part.  The derived
+    part-supplier catalog aggregates lineitem once on (partkey, suppkey);
+    region/nation/supplier and the filtered part list all broadcast, so the
+    only fact-sized shuffle is that one aggregation.  The correlated MIN
+    becomes a per-part agg of the already-small qualified catalog joined
+    back on (partkey, cost) — no window, no recomputation."""
+    l = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(dec("l_extendedprice", 12, 2)).alias("ps_cost")
+    )
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.join(F.broadcast(r), n.n_regionkey == F.col("r_regionkey"))
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        T(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20))
+        .select("p_partkey", "p_name")
+    )
+    eps = (
+        ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .select("l_partkey", "ps_cost", "s_name", "s_acctbal", "n_name", "p_name")
+    )
+    minc = eps.groupBy("l_partkey").agg(F.min("ps_cost").alias("min_cost"))
+    return (
+        eps.join(
+            F.broadcast(minc.withColumnRenamed("l_partkey", "mk")),
+            (eps.l_partkey == F.col("mk")) & (eps.ps_cost == F.col("min_cost")),
+        )
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            F.col("ps_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    # Q11 adapted: no partsupp, so "stock value" per part is the total
+    # lineitem revenue shipped by NATION_3 suppliers; the HAVING threshold
+    # is the spec's scalar-subquery fraction of the global total.
+    oracle="""
+        WITH val AS (
+            SELECT l.l_partkey,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value_dec
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_3'
+            GROUP BY l.l_partkey
+        )
+        SELECT l_partkey AS p_partkey,
+               CAST(value_dec AS DOUBLE) AS part_value
+        FROM val
+        WHERE CAST(value_dec AS DOUBLE) >
+              (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM val) * 0.001
+        ORDER BY part_value DESC, p_partkey
+    """,
+    tags=("tpch", "scalar-subquery", "having"),
+)
+def tpch_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11: parts whose NATION_3-supplied value exceeds a fraction of
+    the global total.  One partkey aggregation (supplier/nation filter
+    broadcasts into the scan); the scalar total re-aggregates the SAME
+    per-part result (not the base table) and broadcasts as a 1-row cross
+    join — the base fact is scanned exactly once."""
+    sup = (
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice", 18, 2)).alias("value_dec"))
+    )
+    total = val.agg(F.sum("value_dec").cast("double").alias("total_value"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double") > F.col("total_value") * F.lit(0.001)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+@register(
+    "tpch_q12_priority_shipping",
+    # Q12 adapted: no l_shipmode/l_commitdate/l_receiptdate, so the ship
+    # class is l_returnflag and "late" is shipped > 60 days after the
+    # order date; the high/low conditional counts are the spec's.
+    oracle="""
+        SELECT l.l_returnflag,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+          AND datediff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) > 60
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag
+    """,
+    tags=("tpch", "join", "conditional-agg"),
+)
+def tpch_q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12: late shipments by priority class.  The shipdate range
+    pushes to the parquet scan; one orderkey join (the late-ship predicate
+    is evaluated post-join, as it references both sides), then a 3-group
+    conditional aggregation."""
+    l = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            )
+            > 60
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "tpch_q20_part_promotion",
+    # Q20 adapted: no partsupp.availqty, so "excess stock" becomes market
+    # share — ASIA suppliers who shipped > 20% of some small-part's total
+    # 1997 volume.  The nested semi-join chain (supplier IN ... partkey
+    # IN ... correlated qty subquery) is the spec's.
+    oracle="""
+        WITH sq AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_partkey IN
+                  (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+            GROUP BY l_partkey, l_suppkey
+        ),
+        tot AS (SELECT l_partkey, SUM(qty) AS total_qty FROM sq GROUP BY l_partkey)
+        SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND EXISTS (
+              SELECT 1 FROM sq JOIN tot ON sq.l_partkey = tot.l_partkey
+              WHERE sq.l_suppkey = s.s_suppkey
+                AND CAST(sq.qty AS DOUBLE) > CAST(tot.total_qty AS DOUBLE) * 0.2
+          )
+        ORDER BY s.s_name
+    """,
+    tags=("tpch", "semi-join", "nested-agg"),
+)
+def tpch_q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20: ASIA suppliers dominating a small-part's 1997 volume.
+    The part-name filter broadcasts as a semi-join into the fact scan; one
+    (partkey, suppkey) aggregation, a per-part re-aggregation of that
+    small result, then supplier resolves via left-semi on suppkey — the
+    EXISTS never materializes more than the qualified supplier ids."""
+    small = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    sq = (
+        T(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity", 18, 2)).alias("qty"))
+    )
+    tot = sq.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    qualifying = (
+        sq.join(F.broadcast(tot.withColumnRenamed("l_partkey", "tk")),
+                F.col("l_partkey") == F.col("tk"))
+        .filter(
+            F.col("qty").cast("double")
+            > F.col("total_qty").cast("double") * F.lit(0.2)
+        )
+        .select("l_suppkey")
+    )
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.join(F.broadcast(r), n.n_regionkey == F.col("r_regionkey"))
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    # Q21 adapted: no l_commitdate/l_receiptdate, so "kept the order
+    # waiting" means: on a finished multi-supplier order, this supplier's
+    # shipment is the order's latest ship date and no other supplier
+    # shipped that late.  The spec's EXISTS / NOT-EXISTS self-join pair is
+    # expressed as per-order aggregates (max shipdate, supplier count,
+    # latest-shipper count) — identical semantics, one pass over the fact.
+    oracle="""
+        WITH l2 AS (
+            SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        ),
+        per_order AS (
+            SELECT l_orderkey, MAX(l_shipdate) AS mx,
+                   COUNT(DISTINCT l_suppkey) AS nsupp
+            FROM l2 GROUP BY l_orderkey
+        ),
+        latest AS (
+            SELECT DISTINCT l2.l_orderkey, l2.l_suppkey
+            FROM l2 JOIN per_order p
+              ON l2.l_orderkey = p.l_orderkey AND l2.l_shipdate = p.mx
+        ),
+        uniq AS (
+            SELECT l_orderkey FROM latest GROUP BY l_orderkey HAVING COUNT(*) = 1
+        )
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM latest la
+        JOIN uniq u ON la.l_orderkey = u.l_orderkey
+        JOIN per_order p ON la.l_orderkey = p.l_orderkey AND p.nsupp >= 2
+        JOIN supplier s ON la.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 100
+    """,
+    tags=("tpch", "exists", "anti-exists"),
+)
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21: suppliers who kept finished orders waiting.  Instead of
+    the spec's correlated EXISTS + NOT EXISTS (two extra fact self-joins),
+    one orderkey aggregation computes max shipdate and supplier count; the
+    sole-latest-shipper test is a count over the tiny latest-shipper set.
+    Every join after the first agg is orderkey-aligned (AQE reuses the
+    exchange) and supplier broadcasts at the end."""
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l2 = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == o.o_orderkey, "left_semi")
+    )
+    per_order = l2.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("mx"),
+        F.countDistinct("l_suppkey").alias("nsupp"),
+    )
+    latest = (
+        l2.join(
+            per_order.withColumnRenamed("l_orderkey", "pk"),
+            (l2.l_orderkey == F.col("pk")) & (l2.l_shipdate == F.col("mx")),
+        )
+        .select("l_orderkey", "l_suppkey", "nsupp")
+        .distinct()
+    )
+    uniq = (
+        latest.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_latest"))
+        .filter(F.col("n_latest") == 1)
+        .select("l_orderkey")
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        latest.filter(F.col("nsupp") >= 2)
+        .join(uniq.withColumnRenamed("l_orderkey", "uk"),
+              F.col("l_orderkey") == F.col("uk"), "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
     )
