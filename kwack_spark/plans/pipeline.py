@@ -196,6 +196,90 @@ def dedup_cluster_components(spark, sf_dir):
         return graph.dedup_clusters(pairs)
 
 
+@register(
+    "dedup_keep_best_in_cluster",
+    # the keep/drop POLICY step after connected components: within each
+    # duplicate cluster, the canonical document is the longest one
+    # (n_chars, ties to the smaller doc_id); everything else is dropped.
+    # Same recursive-CTE component walk as dedup_cluster_components, then
+    # an argmax per cluster.
+    oracle=f"""
+        WITH RECURSIVE {_LSH_CTES},
+        pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        walk AS (
+            SELECT u AS node, u AS reach FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON e.u = w.reach
+        ),
+        comp AS (SELECT node, min(reach) AS keep_id FROM walk GROUP BY node),
+        ranked AS (
+            SELECT c.keep_id, c.node,
+                   row_number() OVER (PARTITION BY c.keep_id
+                                      ORDER BY d.n_chars DESC, c.node) AS rn
+            FROM comp c JOIN documents d ON d.doc_id = c.node
+        ),
+        canon AS (SELECT keep_id, node AS canonical_id FROM ranked WHERE rn = 1)
+        SELECT c.node AS doc_id, c.keep_id, ca.canonical_id,
+               c.node = ca.canonical_id AS is_kept
+        FROM comp c JOIN canon ca USING (keep_id)
+        ORDER BY doc_id
+    """,
+    tags=("dedup", "graph", "policy"),
+)
+def dedup_keep_best_in_cluster(spark, sf_dir):
+    """Canonical-document selection inside duplicate clusters — the policy
+    pass real pipelines run after components: keep the longest doc per
+    cluster (tie: smaller id), drop the rest.  The cluster table is
+    candidate-graph-sized (orders of magnitude below the corpus), so the
+    per-cluster argmax window and the doc-length join both run at that
+    reduced scale; only the length lookup touches the documents table, as
+    a semi-joined narrow projection."""
+    from kwack_spark.operators import graph
+
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=8, bands=2, threshold=0.5
+    ).select("id_a", "id_b")
+    with _few_shuffle_partitions(spark):
+        comp = graph.dedup_clusters(pairs).select("doc_id", "keep_id")
+        lengths = docs.select("doc_id", "n_chars")
+        ranked = comp.join(lengths, "doc_id").withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("keep_id").orderBy(
+                    F.desc("n_chars"), "doc_id"
+                )
+            ),
+        )
+        canon = (
+            ranked.filter(F.col("rn") == 1)
+            .select("keep_id", F.col("doc_id").alias("canonical_id"))
+        )
+        return (
+            comp.join(F.broadcast(canon), "keep_id")
+            .select(
+                "doc_id",
+                "keep_id",
+                "canonical_id",
+                (F.col("doc_id") == F.col("canonical_id")).alias("is_kept"),
+            )
+            .orderBy("doc_id")
+        )
+
+
 def _simhash_sql(bits: int = 16) -> str:
     hexhi = "('8','9','a','b','c','d','e','f')"
     parts = [
@@ -2271,6 +2355,88 @@ def split_train_val_test(spark, sf_dir):
 
 
 @register(
+    "quality_bucket_sample",
+    # quality-weighted downsampling (the CCNet/quality-bucket recipe): score
+    # every doc by stopword ratio, cut the corpus into exact quartiles, and
+    # keep each quartile at a different deterministic hash rate — top
+    # quartile fully, then 50% / 25% / 10%.  Thresholds are quantile_cont /
+    # percentile (same (n-1)*q interpolation both engines), rounded 6dp so a
+    # score cannot straddle an ulp; the keep decision is the md5-cutoff
+    # idiom of sample_hash_10pct, so membership is retry-stable.
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   round(CAST(len(list_filter({_toks()},
+                             t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+                         / len({_toks()}), 6) AS score
+            FROM documents
+        ),
+        b AS (
+            SELECT round(quantile_cont(score, 0.25), 6) AS q1,
+                   round(quantile_cont(score, 0.50), 6) AS q2,
+                   round(quantile_cont(score, 0.75), 6) AS q3
+            FROM scored
+        ),
+        bucketed AS (
+            SELECT s.doc_id, s.score,
+                   CASE WHEN s.score >= b.q3 THEN 4
+                        WHEN s.score >= b.q2 THEN 3
+                        WHEN s.score >= b.q1 THEN 2
+                        ELSE 1 END AS bucket
+            FROM scored s CROSS JOIN b
+        )
+        SELECT doc_id, score, bucket
+        FROM bucketed
+        WHERE substr(md5('qbs:' || doc_id::VARCHAR), 1, 4) <
+              CASE bucket WHEN 4 THEN 'g' WHEN 3 THEN '8000'
+                          WHEN 2 THEN '4000' ELSE '199a' END
+        ORDER BY doc_id
+    """,
+    tags=("sampling", "quality", "curation"),
+)
+def quality_bucket_sample(spark, sf_dir):
+    """Quality-bucketed sampling: a narrow scoring pass, one 3-number
+    quantile scalar (broadcast), then a hash-threshold filter — at 100 TB
+    this is scan + broadcast + scan, no shuffle of the corpus at all; the
+    md5 cutoff makes every keep decision reproducible under retries and
+    repartitioning (unlike rand()-based samplers)."""
+    d = T(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.round(TX.stopword_ratio("text"), 6).alias("score"),
+    )
+    b = scored.agg(
+        F.round(F.percentile("score", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("score", F.lit(0.50)), 6).alias("q2"),
+        F.round(F.percentile("score", F.lit(0.75)), 6).alias("q3"),
+    )
+    bucketed = scored.crossJoin(F.broadcast(b)).select(
+        "doc_id",
+        "score",
+        F.when(F.col("score") >= F.col("q3"), 4)
+        .when(F.col("score") >= F.col("q2"), 3)
+        .when(F.col("score") >= F.col("q1"), 2)
+        .otherwise(1)
+        .alias("bucket"),
+    )
+    cutoff = (
+        F.when(F.col("bucket") == 4, "g")
+        .when(F.col("bucket") == 3, "8000")
+        .when(F.col("bucket") == 2, "4000")
+        .otherwise("199a")
+    )
+    return (
+        bucketed.filter(
+            F.substring(
+                F.md5(F.concat(F.lit("qbs:"), F.col("doc_id").cast("string"))), 1, 4
+            )
+            < cutoff
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "udx_chunk_vowels",
     # §2.D surface: UDTF (word chunker, lateral fan-out) -> vectorized
     # pandas UDF (vowel count per chunk) -> GROUPED_AGG pandas UDAF
@@ -2995,6 +3161,60 @@ def tfidf_top_terms(spark, sf_dir):
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+@register(
+    "cooccurrence_window_counts",
+    # skip-gram co-occurrence counts (window ±2, directed): the count table
+    # word2vec/GloVe-style embedding pretraining consumes.  Pairs are
+    # generated inside the token array (sequence+transform — no self-join,
+    # no posexplode shuffle), so the only shuffle is the final pair-count
+    # aggregation on the uniform (w1, w2) key.
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {{toks}} AS tk FROM documents),
+        pairs AS (
+            SELECT unnest(flatten([
+                [struct_pack(w1 := tk[i], w2 := tk[i + 1], dist := 1)
+                 FOR i IN range(1, greatest(len(tk), 1))],
+                [struct_pack(w1 := tk[i], w2 := tk[i + 2], dist := 2)
+                 FOR i IN range(1, greatest(len(tk) - 1, 1))]
+            ]), recursive := true)
+            FROM toks
+        )
+        SELECT w1, w2, dist, CAST(count(*) AS BIGINT) AS cnt
+        FROM pairs GROUP BY w1, w2, dist
+        ORDER BY cnt DESC, w1, w2, dist
+    """.format(toks=_toks()),
+    tags=("text", "cooccurrence", "embedding-prep"),
+)
+def cooccurrence_window_counts(spark, sf_dir):
+    """Directed (w1, w2, distance) co-occurrence counts for a ±2 window.
+    Scale shape: pair generation is per-row array arithmetic riding the
+    scan (a doc of n tokens emits 2n-3 pairs with no join); the single
+    shuffle is the pair-count groupBy, whose key space is vocabulary², far
+    smaller than the corpus — the canonical map-side-combine winner."""
+    toks = T(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens("text").alias("tk")
+    )
+    p1 = (
+        "CASE WHEN size(tk) > 1 THEN transform(sequence(0, size(tk) - 2), "
+        "i -> struct(tk[i] AS w1, tk[i + 1] AS w2, 1 AS dist)) "
+        "ELSE array() END"
+    )
+    p2 = (
+        "CASE WHEN size(tk) > 2 THEN transform(sequence(0, size(tk) - 3), "
+        "i -> struct(tk[i] AS w1, tk[i + 2] AS w2, 2 AS dist)) "
+        "ELSE array() END"
+    )
+    return (
+        toks.select(
+            F.explode(F.expr(f"concat({p1}, {p2})")).alias("p")
+        )
+        .select("p.w1", "p.w2", "p.dist")
+        .groupBy("w1", "w2", "dist")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "w1", "w2", "dist")
     )
 
 

@@ -97,6 +97,7 @@ _PRIORITY = [
     "bitwise_funcs",
     "regexp_funcs",
     "dedup_cluster_components",
+    "dedup_keep_best_in_cluster",
     "dedup_embedding_cosine",
     "dedup_incremental_new_docs",
     "decontaminate_ngram_overlap",
@@ -104,6 +105,8 @@ _PRIORITY = [
     "doc_fingerprints",
     "sample_hash_10pct",
     "sample_stratified_by_lang",
+    "quality_bucket_sample",
+    "cooccurrence_window_counts",
     "split_train_val_test",
     "source_cap_sample",
     "curation_pipeline",
@@ -160,6 +163,7 @@ _PRIORITY = [
     "dedup_simhash_hamming",
     "streaming_cms_counts",
     "inverted_index_build",
+    "bm25_topk_search",
     # already driver-green in r1/r2 — tail, re-graded only if the prefix
     # budget allows
     "q1_pricing_summary",

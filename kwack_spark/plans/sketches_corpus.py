@@ -639,3 +639,100 @@ def inverted_index_build(spark, sf_dir):
         .select("token", "shard_id", "df", "n_docs", "postings")
         .orderBy("token", "shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval (the query side of the inverted index)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bm25_topk_search",
+    # Okapi BM25 (k1=1.2, b=0.75, Lucene's +1 idf smoothing) for a fixed
+    # 3-term query.  Per-term contributions are rounded to 6dp before the
+    # per-doc sum (so ln()'s last ulp cannot flip rank order) and summed
+    # through exact DECIMAL (so partial-aggregation order cannot change the
+    # total) — the same determinism discipline as tfidf_top_terms.
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                t -> len(t) > 0)) AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        q AS (SELECT * FROM tf WHERE term IN ('spark', 'query', 'join')),
+        dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM q GROUP BY 1),
+        sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / count(*)
+                          AS avgdl
+               FROM dl),
+        contrib AS (
+            SELECT q.doc_id,
+                   round(ln((sc.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                         * (q.tf * 2.2)
+                         / (q.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl)),
+                         6) AS c
+            FROM q
+            JOIN dfq USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN sc
+        )
+        SELECT doc_id, CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM contrib GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 20
+    """,
+    tags=("text", "search", "ranking"),
+)
+def bm25_topk_search(spark, sf_dir):
+    """BM25 top-20 docs for a fixed term query — the read path that pairs
+    with inverted_index_build's write path.  Scale shape: one explode and
+    one (doc, term) aggregation over the corpus; dl folds off that same
+    aggregation (no second scan); df and the N/avgdl scalars are
+    vocabulary-sized and broadcast; scoring rides the query-term slice
+    (|q| rows per matching doc), and the final top-k is a TakeOrdered —
+    at 100 TB nothing beyond the initial tokenize touches the full fact."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    q = tf.filter(F.col("term").isin("spark", "query", "join"))
+    dfq = q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    sc = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(18,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    contrib = (
+        q.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(sc))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf") * F.lit(2.2))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum(F.col("c").cast("decimal(18,6)")).cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
