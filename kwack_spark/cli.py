@@ -50,6 +50,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="bytes to skip before deserializing",
     )
     p.add_argument("-F", "--properties-file", help="properties config file")
+    p.add_argument(
+        "-m", "--metadata-timeout", type=int, default=None, metavar="<ms>",
+        help="metadata (et al.) request timeout in ms",
+    )
+    p.add_argument(
+        "-X", "--property", action="append", default=[], metavar="<prop=val>",
+        help="set a configuration property (kwack key, spark.* conf, or raw "
+        "Kafka client property)",
+    )
     p.add_argument("--parquet-dir", help="register parquet tables from this directory")
     return p
 
@@ -88,6 +97,11 @@ def config_from_args(args: argparse.Namespace) -> KwackConfig:
         cfg.skip_bytes = args.skip_bytes
     if args.parquet_dir:
         cfg.parquet_dir = args.parquet_dir
+    if args.metadata_timeout is not None:
+        cfg.metadata_timeout_ms = args.metadata_timeout
+    for item in args.property:
+        k, _, v = item.partition("=")
+        cfg.apply_property(k, v)
     cfg.query = args.query
     return cfg
 

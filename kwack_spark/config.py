@@ -141,6 +141,8 @@ class KwackConfig:
     warehouse_dir: str | None = None  # -d equivalent: persist tables here
     query: str | None = None  # -q one-shot query
     spark_conf: dict[str, str] = field(default_factory=dict)
+    metadata_timeout_ms: int | None = None  # -m; bounds broker admin requests
+    client_props: dict[str, str] = field(default_factory=dict)  # -X passthrough
 
     def value_serde(self, topic: str) -> Serde:
         return parse_serde(self.topic_serdes.get(topic, "latest"))
@@ -182,4 +184,37 @@ class KwackConfig:
             cfg.parquet_dir = props["parquet.dir"]
         if "db.dir" in props:
             cfg.warehouse_dir = props["db.dir"]
+        if "metadata.timeout.ms" in props:
+            cfg.metadata_timeout_ms = int(props["metadata.timeout.ms"])
         return cfg
+
+    def apply_property(self, key: str, value: str) -> None:
+        """Reference -X prop=val (KwackMain.java:136-138): kwack-config keys
+        route to their fields; ``spark.*`` keys land in spark_conf; anything
+        else is a raw Kafka client property (client_props, emitted as
+        ``kafka.<key>`` source options)."""
+        key = key.strip()
+        if key == "bootstrap.servers":
+            self.kafka_bootstrap = value
+        elif key == "topics":
+            self.topics = [t.strip() for t in value.split(",") if t.strip()]
+        elif key == "skip.bytes":
+            self.skip_bytes = int(value)
+        elif key == "row.attributes":
+            self.row_attributes = tuple(
+                a.strip() for a in value.split(",") if a.strip()
+            )
+        elif key == "parquet.dir":
+            self.parquet_dir = value
+        elif key == "db.dir":
+            self.warehouse_dir = value
+        elif key == "metadata.timeout.ms":
+            self.metadata_timeout_ms = int(value)
+        elif key.startswith("serde."):
+            self.topic_serdes[key[len("serde."):]] = value
+        elif key.startswith("key.serde."):
+            self.key_serdes[key[len("key.serde."):]] = value
+        elif key.startswith("spark."):
+            self.spark_conf[key] = value
+        else:
+            self.client_props[key] = value

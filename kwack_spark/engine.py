@@ -79,6 +79,8 @@ class KwackSpark:
                 skip_bytes=self.config.skip_bytes,
                 topic_partitions=self.config.topic_partitions,
                 offset_spec=self.config.offset(),
+                metadata_timeout_ms=self.config.metadata_timeout_ms,
+                client_props=self.config.client_props,
             )
         self._initialized = True
         return self

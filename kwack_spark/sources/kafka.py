@@ -627,6 +627,8 @@ def kafka_reader_options(
     offset_spec: "OffsetSpec | None" = None,
     min_partitions: int | None = None,
     end_offsets: dict[int, int] | None = None,
+    metadata_timeout_ms: int | None = None,
+    client_props: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """Spark Kafka source options from the reference's offset/partition
     grammar (KwackMain.java:69-76): beginning|end -> earliest|latest;
@@ -641,6 +643,14 @@ def kafka_reader_options(
         "kafka.bootstrap.servers": bootstrap,
         "includeHeaders": "true",
     }
+    if metadata_timeout_ms is not None:
+        # reference -m/--metadata-timeout (KwackMain.java:61-63): bound every
+        # broker metadata/admin request; the Kafka client's equivalents
+        opts["kafka.request.timeout.ms"] = str(metadata_timeout_ms)
+        opts["kafka.default.api.timeout.ms"] = str(metadata_timeout_ms)
+    for k, v in (client_props or {}).items():
+        # reference -X prop=val passthrough: raw Kafka client properties
+        opts[f"kafka.{k}"] = str(v)
     if partitions:
         opts["assign"] = _json.dumps({topic: sorted(partitions)})
     else:
@@ -690,6 +700,8 @@ def read_topic_frames(
     partitions: list[int] | None = None,
     offset_spec: "OffsetSpec | None" = None,
     end_offsets_fn: Callable[..., dict[int, int]] | None = None,
+    metadata_timeout_ms: int | None = None,
+    client_props: dict[str, str] | None = None,
 ) -> DataFrame:
     """spark.read[Stream].format('kafka') — one task per topic-partition;
     raises a clear error when the Kafka connector jar is absent.
@@ -710,6 +722,8 @@ def read_topic_frames(
         offset_spec,
         min_partitions,
         end_offsets,
+        metadata_timeout_ms,
+        client_props,
     ).items():
         reader = reader.option(k, v)
     try:
@@ -737,6 +751,8 @@ def register_topics(
     offset_spec: "OffsetSpec | None" = None,
     on_error: str = "fail",
     end_offsets_fn: Callable[..., dict[int, int]] | None = None,
+    metadata_timeout_ms: int | None = None,
+    client_props: dict[str, str] | None = None,
 ) -> dict[str, DataFrame]:
     """One temp view per topic (the reference's CREATE TABLE per topic,
     KwackEngine.java:587-591)."""
@@ -753,6 +769,8 @@ def register_topics(
             partitions=(topic_partitions or {}).get(topic),
             offset_spec=offset_spec,
             end_offsets_fn=end_offsets_fn,
+            metadata_timeout_ms=metadata_timeout_ms,
+            client_props=client_props,
         )
         decoded = decode_topic(
             frames,

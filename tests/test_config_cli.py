@@ -339,3 +339,46 @@ def test_engine_copy_csv_and_json(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unsupported COPY format"):
         eng.copy_to("SELECT 1 AS x", str(tmp_path / "x.avro"), "avro")
+
+
+def test_cli_metadata_timeout_and_property_passthrough():
+    """-m and -X (KwackMain.java:61-63,136-138): -m bounds broker requests,
+    -X routes kwack keys / spark.* conf / raw Kafka client properties."""
+    from kwack_spark.cli import build_parser, config_from_args
+    from kwack_spark.sources.kafka import kafka_reader_options
+
+    args = build_parser().parse_args(
+        [
+            "-t", "t1",
+            "-b", "broker:9092",
+            "-m", "45000",
+            "-X", "security.protocol=SASL_SSL",
+            "-X", "spark.sql.shuffle.partitions=7",
+            "-X", "skip.bytes=4",
+            "-X", "serde.t1=string",
+        ]
+    )
+    cfg = config_from_args(args)
+    assert cfg.metadata_timeout_ms == 45000
+    assert cfg.client_props == {"security.protocol": "SASL_SSL"}
+    assert cfg.spark_conf["spark.sql.shuffle.partitions"] == "7"
+    assert cfg.skip_bytes == 4
+    assert cfg.topic_serdes["t1"] == "string"
+
+    opts = kafka_reader_options(
+        "broker:9092",
+        "t1",
+        metadata_timeout_ms=cfg.metadata_timeout_ms,
+        client_props=cfg.client_props,
+    )
+    assert opts["kafka.request.timeout.ms"] == "45000"
+    assert opts["kafka.default.api.timeout.ms"] == "45000"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+
+
+def test_properties_file_metadata_timeout(tmp_path):
+    f = tmp_path / "kwack.properties"
+    f.write_text("bootstrap.servers=b:9092\nmetadata.timeout.ms=12345\n")
+    cfg = KwackConfig.from_properties(str(f))
+    assert cfg.kafka_bootstrap == "b:9092"
+    assert cfg.metadata_timeout_ms == 12345
