@@ -62,6 +62,7 @@ def brute_force_topk_vectorized(
     vec_col: str = "embedding",
     k: int = 3,
     max_index_rows: int = MAX_BROADCAST_INDEX_ROWS,
+    label_col: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: BLAS candidate selection + exact re-score.
 
@@ -85,7 +86,8 @@ def brute_force_topk_vectorized(
 
     # one job: limit(cap+1) bounds the driver transfer even when the caller
     # passes an oversized corpus, and len() then stands in for count()
-    rows = corpus.select(id_col, vec_col).limit(max_index_rows + 1).collect()
+    sel = [id_col, vec_col] + ([label_col] if label_col else [])
+    rows = corpus.select(*sel).limit(max_index_rows + 1).collect()
     if len(rows) > max_index_rows:
         raise ValueError(
             f"corpus exceeds max_index_rows={max_index_rows}; "
@@ -94,27 +96,40 @@ def brute_force_topk_vectorized(
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     m = np.array([list(r[1]) for r in rows], dtype=np.float64)
     m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    labels = (
+        np.array([r[2] for r in rows], dtype=np.int64) if label_col else None
+    )
     spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast((ids, m_n))
+    bc = spark.sparkContext.broadcast((ids, m_n, labels))
 
     def topk_ids(batches):
-        c_ids, c_mat = bc.value
+        c_ids, c_mat, c_labels = bc.value
         for pdf in batches:
             q_ids = pdf[id_col].to_numpy(dtype=np.int64)
             q = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             q_n = q / np.linalg.norm(q, axis=1, keepdims=True)
+            q_labels = (
+                pdf[label_col].to_numpy(dtype=np.int64)
+                if c_labels is not None
+                else None
+            )
             scores = q_n @ c_mat.T
-            # exclude self-pairs, take top-k candidate ids by (-cosine, id)
+            # exclusion mask: self-pairs, or (hard-negative mode) the
+            # query's own label; then top-k candidate ids by (-cosine, id)
             out_q, out_c = [], []
             for qi in range(len(q_ids)):
                 s = scores[qi]
-                mask = c_ids != q_ids[qi]
+                if q_labels is not None:
+                    mask = c_labels != q_labels[qi]
+                else:
+                    mask = c_ids != q_ids[qi]
                 order = np.lexsort((c_ids[mask], -s[mask]))[:k]
                 out_q.extend([q_ids[qi]] * len(order))
                 out_c.extend(c_ids[mask][order])
             yield pd.DataFrame({"query_id": out_q, "corpus_id": out_c})
 
-    cand = queries.mapInPandas(topk_ids, "query_id long, corpus_id long")
+    q_in = queries.select(*sel) if label_col else queries
+    cand = q_in.mapInPandas(topk_ids, "query_id long, corpus_id long")
     qv = queries.select(F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qvec"))
     cv = corpus.select(F.col(id_col).alias("corpus_id"), V.as_double(vec_col).alias("cvec"))
     scored = (

@@ -425,6 +425,96 @@ def ann_brute_force_topk(spark, sf_dir):
     return similarity.brute_force_topk_vectorized(e, e, "vec_id", "embedding", k=3)
 
 
+@register(
+    "hard_negative_mining",
+    # contrastive-training data prep: for every vector, the top-3 most
+    # similar vectors with a DIFFERENT label — the "hard negatives" a
+    # retrieval/embedding trainer pairs against each anchor.  Same BLAS
+    # select + exact re-score machinery as ann_brute_force_topk, with the
+    # label mask applied inside the broadcast-index scan.
+    oracle=f"""
+        WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, {_COS} AS cosine
+            FROM v q JOIN v c ON q.label <> c.label
+        ),
+        ranked AS (
+            SELECT query_id, corpus_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, corpus_id) AS rank
+            FROM pairs
+        )
+        SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+    tags=("similarity", "ann", "contrastive"),
+)
+def hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive training: anchors stream
+    partition-parallel against the broadcast L2-normalized index; the
+    different-label mask runs inside the numpy scan (no join, no shuffle),
+    and only n_q*k survivors reach the exact JVM re-score.  At 100 TB the
+    index side is the capped/LSH-shardable part, the anchor side is
+    embarrassingly parallel."""
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk_vectorized(
+        e, e, "vec_id", "embedding", k=3, label_col="label"
+    )
+
+
+@register(
+    "training_order_shuffle",
+    # deterministic global training-order shuffle: every doc gets a stable
+    # pseudo-random position — shard by one md5 stream, order within the
+    # shard by another.  Reproducible across retries/cluster layouts (the
+    # reason .orderBy(rand()) is banned), and the window is per-shard, so
+    # no single-partition global sort exists at any scale.
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id,
+                   CAST((instr('0123456789abcdef',
+                               substr(md5('shard:' || doc_id::VARCHAR), 1, 1)) - 1)
+                        % 8 AS BIGINT) AS shard,
+                   substr(md5('ord:' || doc_id::VARCHAR), 1, 16) AS ord_key
+            FROM documents
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                                       ORDER BY ord_key, doc_id) AS BIGINT) AS pos
+        FROM keyed
+        ORDER BY shard, pos
+    """,
+    tags=("sampling", "shuffle", "training-prep"),
+)
+def training_order_shuffle(spark, sf_dir):
+    """Stable training-order assignment: (shard, pos) per document from two
+    independent md5 streams.  One narrow pass plus a per-shard window —
+    shards are hash-balanced, so the heaviest partition is corpus/8 and the
+    sort is shard-local; a trainer reads shards in order and gets the same
+    epoch permutation on every re-run."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.concat(F.lit("shard:"), sid)), 1, 1),
+        )
+        - 1
+    )
+    keyed = d.select(
+        "doc_id",
+        (nib % 8).cast("long").alias("shard"),
+        F.substring(F.md5(F.concat(F.lit("ord:"), sid)), 1, 16).alias("ord_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
 def _lsh_plane_sign_sql(p: int) -> str:
     hexhi = "('8','9','a','b','c','d','e','f')"
     return (

@@ -107,6 +107,8 @@ _PRIORITY = [
     "sample_stratified_by_lang",
     "quality_bucket_sample",
     "cooccurrence_window_counts",
+    "hard_negative_mining",
+    "training_order_shuffle",
     "split_train_val_test",
     "source_cap_sample",
     "curation_pipeline",
