@@ -1882,6 +1882,122 @@ def funnel_three_step(spark, sf_dir):
 
 
 @register(
+    "user_path_trigrams",
+    # user-journey mining: the most common 3-step event paths.  Per-user
+    # event sequences are built ONCE as ordered arrays (sort_array of a
+    # (ts, event_id, type) struct — collect_list alone has no order
+    # guarantee), trigrams are generated in-array, and only the tiny
+    # path-count table shuffles.
+    oracle="""
+        WITH seqs AS (
+            SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        ),
+        tri AS (
+            SELECT unnest([seq[i] || '>' || seq[i+1] || '>' || seq[i+2]
+                           FOR i IN range(1, greatest(len(seq) - 1, 1))]) AS path
+            FROM seqs
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n
+        FROM tri GROUP BY path
+        ORDER BY n DESC, path
+        LIMIT 25
+    """,
+    tags=("events", "paths", "analytics"),
+)
+def user_path_trigrams(spark, sf_dir):
+    """Top 3-step user journeys.  One user-keyed aggregation builds each
+    ordered sequence; trigram expansion is per-row array arithmetic (a user
+    with n events emits n-2 paths, no self-join); the final count groups on
+    the path-vocabulary key (|event_types|³ at most) — map-side combine
+    collapses the volume before the only other shuffle."""
+    e = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seqs = (
+        e.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("s")
+        )
+        .select(F.expr("transform(s, x -> x.event_type)").alias("seq"))
+    )
+    tri = (
+        "CASE WHEN size(seq) >= 3 THEN transform(sequence(0, size(seq) - 3), "
+        "i -> concat(seq[i], '>', seq[i+1], '>', seq[i+2])) ELSE array() END"
+    )
+    return (
+        seqs.select(F.explode(F.expr(tri)).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(25)
+    )
+
+
+@register(
+    "event_transition_matrix",
+    # first-order Markov transition matrix over per-user event streams:
+    # P(next | prev) from ordered bigrams.  The probability divisions are
+    # bigint/bigint -> the same IEEE double on both engines.
+    oracle="""
+        WITH seqs AS (
+            SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        ),
+        bi AS (
+            SELECT unnest([struct_pack(src := seq[i], dst := seq[i+1])
+                           FOR i IN range(1, greatest(len(seq), 1))],
+                          recursive := true)
+            FROM seqs
+        ),
+        cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+                FROM bi GROUP BY src, dst),
+        tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS total FROM cnt GROUP BY src)
+        SELECT c.src, c.dst, c.n, CAST(c.n AS DOUBLE) / t.total AS p
+        FROM cnt c JOIN tot t USING (src)
+        ORDER BY src, dst
+    """,
+    tags=("events", "markov", "analytics"),
+)
+def event_transition_matrix(spark, sf_dir):
+    """Event-type transition probabilities.  Same ordered-sequence build as
+    user_path_trigrams, bigrams in-array; the count table is
+    |event_types|² rows, so the normalizing row-sum joins back as a
+    broadcast — nothing beyond the first user-keyed agg is corpus-sized."""
+    e = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seqs = (
+        e.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("s")
+        )
+        .select(F.expr("transform(s, x -> x.event_type)").alias("seq"))
+    )
+    bi = (
+        "CASE WHEN size(seq) >= 2 THEN transform(sequence(0, size(seq) - 2), "
+        "i -> struct(seq[i] AS src, seq[i+1] AS dst)) ELSE array() END"
+    )
+    cnt = (
+        seqs.select(F.explode(F.expr(bi)).alias("b"))
+        .select("b.src", "b.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.groupBy("src").agg(F.sum("n").alias("total"))
+    return (
+        cnt.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+@register(
     "retention_cohorts",
     # day-0 cohort retention: users bucketed by first-seen day, activity
     # matrix per (cohort_day, day_offset) with distinct-user counts — the

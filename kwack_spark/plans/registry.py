@@ -109,6 +109,8 @@ _PRIORITY = [
     "cooccurrence_window_counts",
     "hard_negative_mining",
     "training_order_shuffle",
+    "user_path_trigrams",
+    "event_transition_matrix",
     "split_train_val_test",
     "source_cap_sample",
     "curation_pipeline",
