@@ -61,6 +61,7 @@ _PRIORITY = [
     # new in round 3 — graded first
     "kafka_proto_msgindex",
     "kafka_avro_fastpath",
+    "kafka_avro_key_roundtrip",
     # never driver-graded (rounds 1-2 prefix never reached them) — the
     # recall gates lead per ADVICE (ann_pq_recall was registered but
     # previously omitted from the graded prefix)
