@@ -3087,6 +3087,137 @@ def token_budget_pack(spark, sf_dir):
 
 
 @register(
+    "length_bucketed_batches",
+    # padding-minimizing batch assembly: docs grouped into power-of-two
+    # token-length buckets, then packed into fixed-size batches of 16
+    # within each bucket (deterministic doc_id order).  Batch padding waste
+    # = batch_max - doc tokens; the whole point is that within-bucket waste
+    # is bounded by the bucket's width.
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, len({_toks()}) AS tok_count FROM documents
+        ),
+        b AS (
+            SELECT doc_id, tok_count,
+                   CAST(floor(ln(greatest(tok_count, 1)) / ln(2)) AS BIGINT)
+                       AS bucket
+            FROM t
+        ),
+        r AS (
+            SELECT doc_id, tok_count, bucket,
+                   CAST((row_number() OVER (PARTITION BY bucket
+                                            ORDER BY doc_id) - 1) // 16
+                        AS BIGINT) AS batch_id
+            FROM b
+        ),
+        m AS (
+            SELECT bucket, batch_id, tok_count,
+                   max(tok_count) OVER (PARTITION BY bucket, batch_id)
+                       AS batch_max
+            FROM r
+        )
+        SELECT bucket, batch_id,
+               CAST(count(*) AS BIGINT) AS batch_rows,
+               CAST(max(tok_count) AS BIGINT) AS batch_max_tokens,
+               CAST(SUM(CAST(batch_max - tok_count AS BIGINT)) AS BIGINT)
+                   AS padding_waste
+        FROM m
+        GROUP BY bucket, batch_id
+        ORDER BY bucket, batch_id
+    """,
+    tags=("pipeline", "batching", "serving"),
+)
+def length_bucketed_batches(spark, sf_dir):
+    """Length-bucketed batching (the padding-kill curation step before
+    tokenized training/inference): log2 length buckets keep same-batch
+    docs within 2x of each other, so padding waste per batch is bounded.
+    The window is per-bucket (≈log2(max_len) partitions, each further
+    hash-splittable by batch range at real scale) — never a global sort;
+    the output is batch metadata, corpus-rows / 16 in size."""
+    from pyspark.sql import Window
+
+    t = T(spark, sf_dir, "documents").select(
+        "doc_id", F.size(TX.tokens("text")).alias("tok_count")
+    )
+    b = t.select(
+        "doc_id",
+        "tok_count",
+        F.floor(
+            F.log(F.greatest(F.col("tok_count"), F.lit(1)).cast("double"))
+            / F.log(F.lit(2.0))
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    wb = Window.partitionBy("bucket").orderBy("doc_id")
+    r = b.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(wb) - 1) / 16).cast("long"),
+    )
+    wmax = Window.partitionBy("bucket", "batch_id")
+    return (
+        r.withColumn("batch_max", F.max("tok_count").over(wmax))
+        .groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("batch_rows"),
+            F.max("tok_count").cast("long").alias("batch_max_tokens"),
+            F.sum(
+                (F.col("batch_max") - F.col("tok_count")).cast("long")
+            ).alias("padding_waste"),
+        )
+        .orderBy("bucket", "batch_id")
+    )
+
+
+@register(
+    "prefix_duplicate_groups",
+    # boilerplate-header detection: documents sharing an identical first-16
+    # -token prefix (md5 of the joined prefix) — the scraped-page template
+    # family exact n-gram dedup misses when tails differ.
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_slice({_toks()}, 1, 16), ' '))
+                       AS prefix_hash
+            FROM documents
+            WHERE len({_toks()}) >= 16
+        )
+        SELECT prefix_hash,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS keep_id,
+               list_sort(list(doc_id)) AS members
+        FROM t
+        GROUP BY prefix_hash
+        HAVING count(*) > 1
+        ORDER BY n_docs DESC, prefix_hash
+    """,
+    tags=("dedup", "prefix", "boilerplate"),
+)
+def prefix_duplicate_groups(spark, sf_dir):
+    """Shared-prefix duplicate families.  One narrow pass computes a
+    16-token prefix hash riding the scan; one groupBy on the hash (uniform
+    md5 key — no skew) yields the family table with a canonical keeper.
+    Catches template/boilerplate fan-out whose bodies diverge too much for
+    shingle-Jaccard to pair."""
+    d = T(spark, sf_dir, "documents")
+    tk = TX.tokens("text")
+    t = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(tk, 1, 16))).alias("prefix_hash"),
+    ).filter(F.size(tk) >= 16)
+    return (
+        t.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "prefix_hash")
+    )
+
+
+@register(
     "source_cap_sample",
     oracle="""
         WITH r AS (

@@ -112,6 +112,8 @@ _PRIORITY = [
     "training_order_shuffle",
     "user_path_trigrams",
     "event_transition_matrix",
+    "length_bucketed_batches",
+    "prefix_duplicate_groups",
     "split_train_val_test",
     "source_cap_sample",
     "curation_pipeline",
