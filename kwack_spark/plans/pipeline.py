@@ -1998,6 +1998,174 @@ def event_transition_matrix(spark, sf_dir):
 
 
 @register(
+    "daily_anomaly_zscore",
+    # time-series anomaly detection: daily per-type totals z-scored against
+    # that type's own distribution; |z| > 2 days flagged.  Totals and
+    # second moments go through exact DECIMAL (order-independent), the
+    # z expression is the same IEEE double formula on both engines, and z
+    # is rounded to 6dp before the threshold compare.
+    oracle="""
+        WITH d AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   SUM(CAST(value AS DECIMAL(18,3))) AS total
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(total) AS DOUBLE) / count(*) AS mu,
+                   CAST(SUM(total * total) AS DOUBLE) AS ss
+            FROM d GROUP BY event_type
+        )
+        SELECT d.event_type, d.day,
+               CAST(d.total AS DOUBLE) AS total,
+               round((CAST(d.total AS DOUBLE) - s.mu)
+                     / sqrt(s.ss / s.n - s.mu * s.mu), 6) AS z
+        FROM d JOIN s USING (event_type)
+        WHERE abs(round((CAST(d.total AS DOUBLE) - s.mu)
+                        / sqrt(s.ss / s.n - s.mu * s.mu), 6)) > 2
+        ORDER BY event_type, day
+    """,
+    tags=("events", "timeseries", "anomaly"),
+)
+def daily_anomaly_zscore(spark, sf_dir):
+    """Daily-total anomaly flags per event type.  Two aggregations — day
+    grain, then type grain over the already-tiny day table — and a
+    broadcast join back; the corpus is scanned once and everything after
+    the first agg is days x types sized.  Mean/variance come from exact
+    decimal first/second moments, so the flags are identical regardless of
+    partial-aggregation order."""
+    e = T(spark, sf_dir, "events").select("event_type", "ts", "value")
+    d = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,3)")).alias("total"))
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("total").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sum(F.col("total") * F.col("total")).cast("double").alias("ss"),
+    )
+    z = F.round(
+        (F.col("total").cast("double") - F.col("mu"))
+        / F.sqrt(F.col("ss") / F.col("n") - F.col("mu") * F.col("mu")),
+        6,
+    )
+    return (
+        d.join(F.broadcast(s), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("total").cast("double").alias("total"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 2)
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "sax_weekly_symbols",
+    # SAX (symbolic aggregate approximation) over the daily series: weekly
+    # PAA segment means, z-normalized against the type's own daily
+    # distribution, mapped to a 4-symbol alphabet at the standard-normal
+    # quartile breakpoints (-0.6745, 0, 0.6745).  The discretized strings
+    # are what similarity search / motif mining index instead of raw
+    # floats (Keogh's SAX; cf. the streaming time-series similarity line
+    # of work in PAPERS.md).
+    oracle="""
+        WITH d AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   SUM(CAST(value AS DECIMAL(18,3))) AS total
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        b AS (SELECT event_type, min(day) AS d0 FROM d GROUP BY event_type),
+        s AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(total) AS DOUBLE) / count(*) AS mu,
+                   CAST(SUM(total * total) AS DOUBLE) AS ss
+            FROM d GROUP BY event_type
+        ),
+        seg AS (
+            SELECT d.event_type,
+                   CAST(datediff('day', b.d0, d.day) // 7 AS BIGINT) AS seg_idx,
+                   d.total
+            FROM d JOIN b USING (event_type)
+        ),
+        p AS (
+            SELECT event_type, seg_idx,
+                   SUM(total) AS seg_sum,
+                   CAST(count(*) AS BIGINT) AS seg_n
+            FROM seg GROUP BY event_type, seg_idx
+        ),
+        zs AS (
+            SELECT p.event_type, p.seg_idx,
+                   round((CAST(p.seg_sum AS DOUBLE) / p.seg_n - s.mu)
+                         / sqrt(s.ss / s.n - s.mu * s.mu), 6) AS paa_z
+            FROM p JOIN s USING (event_type)
+        )
+        SELECT event_type, seg_idx, paa_z,
+               CASE WHEN paa_z < -0.6745 THEN 'a'
+                    WHEN paa_z < 0 THEN 'b'
+                    WHEN paa_z < 0.6745 THEN 'c'
+                    ELSE 'd' END AS symbol
+        FROM zs
+        ORDER BY event_type, seg_idx
+    """,
+    tags=("events", "timeseries", "sax"),
+)
+def sax_weekly_symbols(spark, sf_dir):
+    """SAX discretization of per-type daily totals into weekly symbols.
+    One corpus scan (day grain), then everything runs at days-x-types
+    scale: per-type origin and moments broadcast, weekly PAA is a second
+    tiny agg, the alphabet mapping is a CASE riding the rows.  Exact
+    decimal sums make segment means order-independent; z is rounded to 6dp
+    before the breakpoint CASE, the same discipline as
+    daily_anomaly_zscore."""
+    e = T(spark, sf_dir, "events").select("event_type", "ts", "value")
+    d = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,3)")).alias("total"))
+    )
+    b = d.groupBy("event_type").agg(F.min("day").alias("d0"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("total").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sum(F.col("total") * F.col("total")).cast("double").alias("ss"),
+    )
+    seg = d.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        F.floor(F.datediff(F.col("day"), F.col("d0")) / 7).cast("long").alias(
+            "seg_idx"
+        ),
+        "total",
+    )
+    p = seg.groupBy("event_type", "seg_idx").agg(
+        F.sum("total").alias("seg_sum"),
+        F.count(F.lit(1)).alias("seg_n"),
+    )
+    zs = p.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        "seg_idx",
+        F.round(
+            (F.col("seg_sum").cast("double") / F.col("seg_n") - F.col("mu"))
+            / F.sqrt(F.col("ss") / F.col("n") - F.col("mu") * F.col("mu")),
+            6,
+        ).alias("paa_z"),
+    )
+    return zs.select(
+        "event_type",
+        "seg_idx",
+        "paa_z",
+        F.when(F.col("paa_z") < -0.6745, "a")
+        .when(F.col("paa_z") < 0, "b")
+        .when(F.col("paa_z") < 0.6745, "c")
+        .otherwise("d")
+        .alias("symbol"),
+    ).orderBy("event_type", "seg_idx")
+
+
+@register(
     "retention_cohorts",
     # day-0 cohort retention: users bucketed by first-seen day, activity
     # matrix per (cohort_day, day_offset) with distinct-user counts — the

@@ -114,6 +114,8 @@ _PRIORITY = [
     "event_transition_matrix",
     "length_bucketed_batches",
     "prefix_duplicate_groups",
+    "daily_anomaly_zscore",
+    "sax_weekly_symbols",
     "split_train_val_test",
     "source_cap_sample",
     "curation_pipeline",
