@@ -116,6 +116,7 @@ _PRIORITY = [
     "prefix_duplicate_groups",
     "daily_anomaly_zscore",
     "sax_weekly_symbols",
+    "hll_audience_overlap",
     "split_train_val_test",
     "source_cap_sample",
     "curation_pipeline",

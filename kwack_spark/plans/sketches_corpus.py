@@ -736,3 +736,93 @@ def bm25_topk_search(spark, sf_dir):
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: audience-overlap estimate by inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hll_audience_overlap",
+    # |viewers ∩ purchasers| estimated as est(A) + est(B) - est(A ⊔ B):
+    # the union sketch is the elementwise register max (exact), so the
+    # whole inclusion-exclusion runs on three 64-row tables — the audience
+    # -overlap question answered without ever materializing either
+    # distinct-user set.  Compared against the exact intersection to grade
+    # the estimate end to end.
+    oracle=f"""
+        WITH va AS ({_duck_hll_reg("user_id::VARCHAR").replace(
+            "__HLL_SRC__", "(SELECT user_id FROM events WHERE event_type = 'view')")}),
+        pa AS ({_duck_hll_reg("user_id::VARCHAR").replace(
+            "__HLL_SRC__", "(SELECT user_id FROM events WHERE event_type = 'purchase')")}),
+        sk_a AS (SELECT j, max(rho) AS mx FROM va GROUP BY j),
+        sk_b AS (SELECT j, max(rho) AS mx FROM pa GROUP BY j),
+        sk_u AS (SELECT j, max(mx) AS mx
+                 FROM (SELECT * FROM sk_a UNION ALL SELECT * FROM sk_b)
+                 GROUP BY j),
+        ea AS ({_DUCK_HLL_EST.format(alpha=0.709).replace("__HLL_SKETCH__", "sk_a")}),
+        eb AS ({_DUCK_HLL_EST.format(alpha=0.709).replace("__HLL_SKETCH__", "sk_b")}),
+        eu AS ({_DUCK_HLL_EST.format(alpha=0.709).replace("__HLL_SKETCH__", "sk_u")}),
+        exact AS (
+            SELECT CAST(count(*) AS BIGINT) AS exact_overlap FROM (
+                SELECT user_id FROM events WHERE event_type = 'view'
+                INTERSECT
+                SELECT user_id FROM events WHERE event_type = 'purchase'
+            )
+        )
+        SELECT round(ea.hll_est, 6) AS est_viewers,
+               round(eb.hll_est, 6) AS est_purchasers,
+               round(eu.hll_est, 6) AS est_union,
+               round(round(ea.hll_est, 6) + round(eb.hll_est, 6)
+                     - round(eu.hll_est, 6), 6) AS est_overlap,
+               x.exact_overlap
+        FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN exact x
+    """,
+    tags=("scale", "sketch", "hll", "set-algebra"),
+)
+def hll_audience_overlap(spark, sf_dir):
+    """Sketch set algebra: viewer/purchaser overlap by inclusion-exclusion
+    over three 64-row HLL register tables.  Each audience sketch is one
+    map-side-combinable pass over its filtered slice; the union sketch is
+    a 128-row max — at 100 TB the overlap answer costs two filtered scans
+    and constant-size state, and the sketches are the SAME mergeable
+    objects hll_merge_shards maintains incrementally, so a running overlap
+    needs no rescan at all."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type")
+    a = scale.hll_sketch(
+        e.filter(F.col("event_type") == "view").select("user_id"), "user_id"
+    )
+    b = scale.hll_sketch(
+        e.filter(F.col("event_type") == "purchase").select("user_id"), "user_id"
+    )
+    ea = scale.hll_estimate(a).select(F.round("hll_est", 6).alias("est_viewers"))
+    eb = scale.hll_estimate(b).select(
+        F.round("hll_est", 6).alias("est_purchasers")
+    )
+    eu = scale.hll_estimate(scale.hll_merge(a, b)).select(
+        F.round("hll_est", 6).alias("est_union")
+    )
+    exact = (
+        e.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .intersect(
+            e.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_viewers",
+            "est_purchasers",
+            "est_union",
+            F.round(
+                F.col("est_viewers") + F.col("est_purchasers") - F.col("est_union"),
+                6,
+            ).alias("est_overlap"),
+            "exact_overlap",
+        )
+    )
