@@ -134,9 +134,12 @@ def main() -> None:
             # buckets, ANN indexes) that would otherwise accumulate across
             # the whole session: by the 40th query the executor heap is
             # carrying every earlier query's cache, and GC pressure shows
-            # up as 2x medians on the md5-heavy queries.  Evicting between
-            # queries keeps each timing a fresh-session measurement.
-            spark.catalog.clearCache()
+            # up as 2x medians on the md5-heavy queries.  Evict ONLY when
+            # the query actually cached something — an unconditional
+            # clearCache adds ~0.1-0.3 s of catalog churn to every
+            # sub-second query for nothing.
+            if spark.sparkContext._jsc.getPersistentRDDs().size() > 0:
+                spark.catalog.clearCache()
 
     timings = {
         name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()

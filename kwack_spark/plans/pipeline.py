@@ -1683,6 +1683,72 @@ def streaming_stateful_running_counts(spark, sf_dir):
 
 
 @register(
+    "streaming_running_moments",
+    # streaming mean/variance state == batch aggregate: per-type running
+    # (n, Σv, Σv²) kept as exact milli-unit integers in the state store
+    # across 4 micro-batches; the decoded moments must equal the batch
+    # DECIMAL aggregation bit-for-bit (integer state is order-independent,
+    # so arrival order across micro-batches cannot change the result).
+    oracle="""
+        WITH d AS (
+            SELECT event_type, CAST(value AS DECIMAL(18,3)) AS v FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS DOUBLE) / count(*) AS mean,
+               CAST(SUM(v * v) AS DOUBLE) / count(*)
+                   - (CAST(SUM(v) AS DOUBLE) / count(*))
+                     * (CAST(SUM(v) AS DOUBLE) / count(*)) AS var
+        FROM d GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("streaming", "stateful", "moments"),
+)
+def streaming_running_moments(spark, sf_dir):
+    """Streaming running-moments state under the correctness gate: events
+    replay as 4 micro-batches, per-type (n, Σ, Σ²) integer state updates in
+    the store (streaming/ingest.py:stateful_running_moments), and the final
+    emission decodes to the same mean/variance the batch DECIMAL aggregate
+    produces — the monitoring-state pattern (z-score alerting off a stream)
+    with replay-proof determinism."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.streaming import ingest as si
+
+    e = T(spark, sf_dir, "events").select("event_type", "value")
+    replay_dir = tempfile.mkdtemp(prefix="kwack_moments_replay_")
+    e.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    moments = si.stateful_running_moments(stream, "event_type")
+    sink = f"moments_{uuid.uuid4().hex[:8]}"
+    with _few_shuffle_partitions(spark):
+        q = si.to_memory_sink(moments, sink, output_mode="update")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("moments stream did not finish in 300s")
+    last = (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.max(F.struct("n", "s", "ss")).alias("m"))
+        .select("event_type", "m.n", "m.s", "m.ss")
+    )
+    mean = F.col("s").cast("double") / 1000 / F.col("n")
+    return last.select(
+        "event_type",
+        "n",
+        mean.alias("mean"),
+        (
+            F.col("ss").cast("double") / 1000000 / F.col("n") - mean * mean
+        ).alias("var"),
+    ).orderBy("event_type")
+
+
+@register(
     "streaming_dedup_keys",
     # streaming exact dedup must emit each key exactly once == batch DISTINCT
     oracle="""

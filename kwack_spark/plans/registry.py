@@ -142,6 +142,7 @@ _PRIORITY = [
     "multimodal_byte_features",
     "streaming_window_counts",
     "streaming_stateful_running_counts",
+    "streaming_running_moments",
     "streaming_dedup_keys",
     # new in round 3 (local-oracle green): adapted TPC-H suite — queued
     # after the never-graded backlog so the backlog clears first

@@ -181,6 +181,50 @@ def stateful_running_counts(
     )
 
 
+def stateful_running_moments(
+    df: DataFrame, key: str, value_col: str = "value"
+) -> DataFrame:
+    """Per-key running (n, Σv, Σv²) in milli-unit INTEGER state — the
+    streaming half of mean/variance/z-score monitoring.  Each value is
+    quantized exactly like ``CAST(value AS DECIMAL(18,3))`` (shortest-repr
+    + HALF_UP, mirroring Spark's BigDecimal.valueOf(double).setScale(3)),
+    so the integer sums are order-independent and the final moments equal
+    the batch aggregate bit-for-bit — a Welford stream whose state merges
+    deterministically under any micro-batch arrival order.
+
+    Emits one (key, n, s, ss) row per key per batch ('update' mode); the
+    last emission (max n) is the final state.  The per-row Python loop is
+    the exactness-preserving reference path; a production port vectorizes
+    the quantization with int64 numpy after one Decimal calibration pass."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = df.schema[key].dataType.simpleString()
+    out_schema = f"{key} {key_type}, n long, s long, ss long"
+    state_schema = "n long, s long, ss long"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        n, sm, ssm = state.get if state.exists else (0, 0, 0)
+        q = Decimal("0.001")
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                m = int(Decimal(repr(float(v))).quantize(q, ROUND_HALF_UP).scaleb(3))
+                n += 1
+                sm += m
+                ssm += m * m
+        state.update((n, sm, ssm))
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "n": [n], "s": [sm], "ss": [ssm]}
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stateful_lsh_neardup(
     df: DataFrame, threshold: float = 0.5, ttl_ms: int | None = None
 ) -> DataFrame:
