@@ -58,10 +58,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Names not listed keep registration order after the listed ones; the list
 # is advisory ordering only — every query stays registered.
 _PRIORITY = [
-    # new in round 3 — graded first
+    # round-2 VERDICT ask #2 (explicit r03 done-criterion) — graded first
     "kafka_proto_msgindex",
-    "kafka_avro_fastpath",
-    "kafka_avro_key_roundtrip",
     # never driver-graded (rounds 1-2 prefix never reached them) — the
     # recall gates lead per ADVICE (ann_pq_recall was registered but
     # previously omitted from the graded prefix)
@@ -98,7 +96,6 @@ _PRIORITY = [
     "bitwise_funcs",
     "regexp_funcs",
     "dedup_cluster_components",
-    "dedup_keep_best_in_cluster",
     "dedup_embedding_cosine",
     "dedup_incremental_new_docs",
     "decontaminate_ngram_overlap",
@@ -106,17 +103,6 @@ _PRIORITY = [
     "doc_fingerprints",
     "sample_hash_10pct",
     "sample_stratified_by_lang",
-    "quality_bucket_sample",
-    "cooccurrence_window_counts",
-    "hard_negative_mining",
-    "training_order_shuffle",
-    "user_path_trigrams",
-    "event_transition_matrix",
-    "length_bucketed_batches",
-    "prefix_duplicate_groups",
-    "daily_anomaly_zscore",
-    "sax_weekly_symbols",
-    "hll_audience_overlap",
     "split_train_val_test",
     "source_cap_sample",
     "curation_pipeline",
@@ -142,10 +128,27 @@ _PRIORITY = [
     "multimodal_byte_features",
     "streaming_window_counts",
     "streaming_stateful_running_counts",
-    "streaming_running_moments",
     "streaming_dedup_keys",
-    # new in round 3 (local-oracle green): adapted TPC-H suite — queued
-    # after the never-graded backlog so the backlog clears first
+    # new in round 3 (local-oracle green), queued after the original
+    # registry's never-graded backlog so cumulative coverage of that
+    # registry clears first; these fill round 4's prefix
+    "kafka_avro_fastpath",
+    "kafka_avro_key_roundtrip",
+    "quality_bucket_sample",
+    "cooccurrence_window_counts",
+    "hard_negative_mining",
+    "training_order_shuffle",
+    "user_path_trigrams",
+    "event_transition_matrix",
+    "length_bucketed_batches",
+    "prefix_duplicate_groups",
+    "daily_anomaly_zscore",
+    "sax_weekly_symbols",
+    "hll_audience_overlap",
+    "streaming_running_moments",
+    "bm25_topk_search",
+    "dedup_keep_best_in_cluster",
+    # adapted TPC-H suite
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q4_priority_count",
@@ -174,7 +177,6 @@ _PRIORITY = [
     "dedup_simhash_hamming",
     "streaming_cms_counts",
     "inverted_index_build",
-    "bm25_topk_search",
     # already driver-green in r1/r2 — tail, re-graded only if the prefix
     # budget allows
     "q1_pricing_summary",
