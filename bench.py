@@ -137,9 +137,19 @@ def main() -> None:
             # up as 2x medians on the md5-heavy queries.  Evict ONLY when
             # the query actually cached something — an unconditional
             # clearCache adds ~0.1-0.3 s of catalog churn to every
-            # sub-second query for nothing.
-            if spark.sparkContext._jsc.getPersistentRDDs().size() > 0:
+            # sub-second query for nothing.  localCheckpoint() RDDs (the
+            # connected-components rounds) also live in getPersistentRDDs
+            # and are NOT released by clearCache, so unpersist them
+            # explicitly — otherwise the guard stays true forever and the
+            # checkpoint blocks leak across the whole session.
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            if jmap.size() > 0:
                 spark.catalog.clearCache()
+                for jrdd in jmap.values().toArray():
+                    try:
+                        jrdd.unpersist(False)
+                    except Exception:
+                        pass
 
     timings = {
         name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()

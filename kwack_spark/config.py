@@ -165,27 +165,11 @@ class KwackConfig:
                 k, _, v = line.partition("=")
                 props[k.strip()] = v.strip()
         cfg = cls()
-        if "bootstrap.servers" in props:
-            cfg.kafka_bootstrap = props["bootstrap.servers"]
-        if "topics" in props:
-            cfg.topics = [t.strip() for t in props["topics"].split(",") if t.strip()]
+        # one routing table for both config surfaces: -F files and -X flags
+        # accept the identical key set (spark.* conf and raw Kafka client
+        # properties included), exactly like the reference's KwackConfig
         for k, v in props.items():
-            if k.startswith("serde."):
-                cfg.topic_serdes[k[len("serde."):]] = v
-            elif k.startswith("key.serde."):
-                cfg.key_serdes[k[len("key.serde."):]] = v
-        if "skip.bytes" in props:
-            cfg.skip_bytes = int(props["skip.bytes"])
-        if "row.attributes" in props:
-            cfg.row_attributes = tuple(
-                a.strip() for a in props["row.attributes"].split(",") if a.strip()
-            )
-        if "parquet.dir" in props:
-            cfg.parquet_dir = props["parquet.dir"]
-        if "db.dir" in props:
-            cfg.warehouse_dir = props["db.dir"]
-        if "metadata.timeout.ms" in props:
-            cfg.metadata_timeout_ms = int(props["metadata.timeout.ms"])
+            cfg.apply_property(k, v)
         return cfg
 
     def apply_property(self, key: str, value: str) -> None:

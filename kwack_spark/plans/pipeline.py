@@ -147,14 +147,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_cluster_components",
-    # transitive closure of the LSH pair list: the oracle walks the edge
-    # relation with a recursive CTE (min reachable id == component id),
-    # the Spark side iterates distributed min-label propagation
-    oracle=f"""
-        WITH RECURSIVE {_LSH_CTES},
-        pairs AS (
+# shared recursive-CTE chain: LSH pairs -> undirected edges -> transitive
+# walk -> min-label components; used by dedup_cluster_components and
+# dedup_keep_best_in_cluster (keep both oracles on ONE copy of the
+# component semantics)
+_COMP_CTES = f"""pairs AS (
             SELECT c.id_a, c.id_b
             FROM cand c
             JOIN ssets x ON x.doc_id = c.id_a
@@ -171,7 +168,17 @@ def dedup_minhash_lsh(spark, sf_dir):
             UNION
             SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON e.u = w.reach
         ),
-        comp AS (SELECT node, min(reach) AS keep_id FROM walk GROUP BY node)
+        comp AS (SELECT node, min(reach) AS keep_id FROM walk GROUP BY node)"""
+
+
+@register(
+    "dedup_cluster_components",
+    # transitive closure of the LSH pair list: the oracle walks the edge
+    # relation with a recursive CTE (min reachable id == component id),
+    # the Spark side iterates distributed min-label propagation
+    oracle=f"""
+        WITH RECURSIVE {_LSH_CTES},
+        {_COMP_CTES}
         SELECT c.node AS doc_id, c.keep_id, s.cluster_size
         FROM comp c
         JOIN (SELECT keep_id, count(*) AS cluster_size FROM comp GROUP BY keep_id) s
@@ -205,24 +212,7 @@ def dedup_cluster_components(spark, sf_dir):
     # an argmax per cluster.
     oracle=f"""
         WITH RECURSIVE {_LSH_CTES},
-        pairs AS (
-            SELECT c.id_a, c.id_b
-            FROM cand c
-            JOIN ssets x ON x.doc_id = c.id_a
-            JOIN ssets y ON y.doc_id = c.id_b
-            WHERE {_JAC} >= 0.5
-        ),
-        edges AS (
-            SELECT id_a AS u, id_b AS v FROM pairs
-            UNION ALL
-            SELECT id_b AS u, id_a AS v FROM pairs
-        ),
-        walk AS (
-            SELECT u AS node, u AS reach FROM (SELECT DISTINCT u FROM edges)
-            UNION
-            SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON e.u = w.reach
-        ),
-        comp AS (SELECT node, min(reach) AS keep_id FROM walk GROUP BY node),
+        {_COMP_CTES},
         ranked AS (
             SELECT c.keep_id, c.node,
                    row_number() OVER (PARTITION BY c.keep_id
@@ -2088,7 +2078,8 @@ def event_transition_matrix(spark, sf_dir):
                round((CAST(d.total AS DOUBLE) - s.mu)
                      / sqrt(s.ss / s.n - s.mu * s.mu), 6) AS z
         FROM d JOIN s USING (event_type)
-        WHERE abs(round((CAST(d.total AS DOUBLE) - s.mu)
+        WHERE s.ss / s.n - s.mu * s.mu > 0
+          AND abs(round((CAST(d.total AS DOUBLE) - s.mu)
                         / sqrt(s.ss / s.n - s.mu * s.mu), 6)) > 2
         ORDER BY event_type, day
     """,
@@ -2111,13 +2102,16 @@ def daily_anomaly_zscore(spark, sf_dir):
         (F.sum("total").cast("double") / F.count(F.lit(1))).alias("mu"),
         F.sum(F.col("total") * F.col("total")).cast("double").alias("ss"),
     )
+    variance = F.col("ss") / F.col("n") - F.col("mu") * F.col("mu")
     z = F.round(
-        (F.col("total").cast("double") - F.col("mu"))
-        / F.sqrt(F.col("ss") / F.col("n") - F.col("mu") * F.col("mu")),
-        6,
+        (F.col("total").cast("double") - F.col("mu")) / F.sqrt(variance), 6
     )
     return (
         d.join(F.broadcast(s), "event_type")
+        # a zero-variance type (e.g. a single active day) must be dropped
+        # BEFORE the z projection: under ANSI mode x/0.0 raises instead of
+        # yielding inf like the DuckDB side
+        .filter(variance > 0)
         .select(
             "event_type",
             "day",
@@ -2169,6 +2163,7 @@ def daily_anomaly_zscore(spark, sf_dir):
                    round((CAST(p.seg_sum AS DOUBLE) / p.seg_n - s.mu)
                          / sqrt(s.ss / s.n - s.mu * s.mu), 6) AS paa_z
             FROM p JOIN s USING (event_type)
+            WHERE s.ss / s.n - s.mu * s.mu > 0
         )
         SELECT event_type, seg_idx, paa_z,
                CASE WHEN paa_z < -0.6745 THEN 'a'
@@ -2210,14 +2205,21 @@ def sax_weekly_symbols(spark, sf_dir):
         F.sum("total").alias("seg_sum"),
         F.count(F.lit(1)).alias("seg_n"),
     )
-    zs = p.join(F.broadcast(s), "event_type").select(
-        "event_type",
-        "seg_idx",
-        F.round(
-            (F.col("seg_sum").cast("double") / F.col("seg_n") - F.col("mu"))
-            / F.sqrt(F.col("ss") / F.col("n") - F.col("mu") * F.col("mu")),
-            6,
-        ).alias("paa_z"),
+    sax_variance = F.col("ss") / F.col("n") - F.col("mu") * F.col("mu")
+    zs = (
+        p.join(F.broadcast(s), "event_type")
+        # same ANSI divide-by-zero guard as daily_anomaly_zscore: a type
+        # with zero daily variance is dropped before the z projection
+        .filter(sax_variance > 0)
+        .select(
+            "event_type",
+            "seg_idx",
+            F.round(
+                (F.col("seg_sum").cast("double") / F.col("seg_n") - F.col("mu"))
+                / F.sqrt(sax_variance),
+                6,
+            ).alias("paa_z"),
+        )
     )
     return zs.select(
         "event_type",

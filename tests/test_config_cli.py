@@ -382,3 +382,21 @@ def test_properties_file_metadata_timeout(tmp_path):
     cfg = KwackConfig.from_properties(str(f))
     assert cfg.kafka_bootstrap == "b:9092"
     assert cfg.metadata_timeout_ms == 12345
+
+
+def test_properties_file_spark_and_client_props(tmp_path):
+    """-F files accept the same full key surface as -X (one routing table):
+    spark.* conf and raw Kafka client properties included."""
+    f = tmp_path / "kwack.properties"
+    f.write_text(
+        "bootstrap.servers=b:9092\n"
+        "spark.sql.shuffle.partitions=9\n"
+        "security.protocol=SASL_SSL\n"
+        "serde.t1=string\n"
+        "key.serde.t1=long\n"
+    )
+    cfg = KwackConfig.from_properties(str(f))
+    assert cfg.spark_conf["spark.sql.shuffle.partitions"] == "9"
+    assert cfg.client_props == {"security.protocol": "SASL_SSL"}
+    assert cfg.topic_serdes["t1"] == "string"
+    assert cfg.key_serdes["t1"] == "long"
