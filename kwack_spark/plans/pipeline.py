@@ -4326,3 +4326,155 @@ def dedup_simhash_hamming(spark, sf_dir):
     return dedup.simhash_hamming_pairs(
         T(spark, sf_dir, "documents"), "doc_id", "text", bits=32, max_hamming=3
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "textrank_keywords",
+    # TextRank (PageRank over the ±2-window co-occurrence graph, 5 fixed
+    # iterations, d=0.85): the classic unsupervised keyword extractor.
+    # Every iteration's neighbor sum goes through exact DECIMAL (the only
+    # order-dependent step), so the 5-step fixpoint is bit-identical on
+    # both engines; ranks read off the 9dp-rounded final score.
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, list_filter(
+                string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                t -> len(t) > 0) AS tk
+            FROM documents
+        ),
+        prs AS (
+            SELECT unnest(flatten([
+                [struct_pack(w1 := tk[i], w2 := tk[i + 1])
+                 FOR i IN range(1, greatest(len(tk), 1))],
+                [struct_pack(w1 := tk[i], w2 := tk[i + 2])
+                 FOR i IN range(1, greatest(len(tk) - 1, 1))]
+            ]), recursive := true)
+            FROM toks
+        ),
+        edges AS (
+            SELECT w1 AS src, w2 AS dst FROM prs WHERE w1 <> w2
+            UNION
+            SELECT w2 AS src, w1 AS dst FROM prs WHERE w1 <> w2
+        ),
+        deg AS (SELECT src AS token, CAST(count(*) AS BIGINT) AS deg
+                FROM edges GROUP BY src),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM deg),
+        p0 AS (SELECT d.token, 1.0 / n.nt AS p FROM deg d CROSS JOIN n),
+        p1 AS (
+            SELECT e.dst AS token,
+                   0.15 / n.nt + 0.85 * CAST(SUM(CAST(pp.p / d.deg
+                       AS DECIMAL(28,15))) AS DOUBLE) AS p
+            FROM edges e
+            JOIN p0 pp ON pp.token = e.src
+            JOIN deg d ON d.token = e.src
+            CROSS JOIN n
+            GROUP BY e.dst, n.nt
+        ),
+        p2 AS (
+            SELECT e.dst AS token,
+                   0.15 / n.nt + 0.85 * CAST(SUM(CAST(pp.p / d.deg
+                       AS DECIMAL(28,15))) AS DOUBLE) AS p
+            FROM edges e
+            JOIN p1 pp ON pp.token = e.src
+            JOIN deg d ON d.token = e.src
+            CROSS JOIN n
+            GROUP BY e.dst, n.nt
+        ),
+        p3 AS (
+            SELECT e.dst AS token,
+                   0.15 / n.nt + 0.85 * CAST(SUM(CAST(pp.p / d.deg
+                       AS DECIMAL(28,15))) AS DOUBLE) AS p
+            FROM edges e
+            JOIN p2 pp ON pp.token = e.src
+            JOIN deg d ON d.token = e.src
+            CROSS JOIN n
+            GROUP BY e.dst, n.nt
+        ),
+        p4 AS (
+            SELECT e.dst AS token,
+                   0.15 / n.nt + 0.85 * CAST(SUM(CAST(pp.p / d.deg
+                       AS DECIMAL(28,15))) AS DOUBLE) AS p
+            FROM edges e
+            JOIN p3 pp ON pp.token = e.src
+            JOIN deg d ON d.token = e.src
+            CROSS JOIN n
+            GROUP BY e.dst, n.nt
+        ),
+        p5 AS (
+            SELECT e.dst AS token,
+                   0.15 / n.nt + 0.85 * CAST(SUM(CAST(pp.p / d.deg
+                       AS DECIMAL(28,15))) AS DOUBLE) AS p
+            FROM edges e
+            JOIN p4 pp ON pp.token = e.src
+            JOIN deg d ON d.token = e.src
+            CROSS JOIN n
+            GROUP BY e.dst, n.nt
+        )
+        SELECT token, round(p, 9) AS score
+        FROM p5
+        ORDER BY score DESC, token
+        LIMIT 15
+    """,
+    tags=("text", "graph", "textrank", "iterative"),
+)
+def textrank_keywords(spark, sf_dir):
+    """TextRank keywords: 5 unrolled PageRank steps over the undirected
+    co-occurrence graph.  Scale shape: the graph is vocabulary-sized (far
+    below the corpus after the one explode+distinct pass), every iteration
+    is one token-keyed join+agg whose shuffle AQE reuses across steps, and
+    the damping scalar broadcasts; the corpus itself is scanned exactly
+    once.  Exact-decimal neighbor sums keep the fixpoint deterministic
+    under any partial-aggregation order."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(TX.tokens("text").alias("tk"))
+    p1 = (
+        "CASE WHEN size(tk) > 1 THEN transform(sequence(0, size(tk) - 2), "
+        "i -> struct(tk[i] AS w1, tk[i + 1] AS w2)) ELSE array() END"
+    )
+    p2 = (
+        "CASE WHEN size(tk) > 2 THEN transform(sequence(0, size(tk) - 3), "
+        "i -> struct(tk[i] AS w1, tk[i + 2] AS w2)) ELSE array() END"
+    )
+    prs = (
+        toks.select(F.explode(F.expr(f"concat({p1}, {p2})")).alias("pr"))
+        .select("pr.w1", "pr.w2")
+        .filter(F.col("w1") != F.col("w2"))
+    )
+    edges = (
+        prs.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .union(prs.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy(F.col("src").alias("token")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).persist()
+    n = deg.agg(F.count(F.lit(1)).alias("nt"))
+    p = deg.crossJoin(F.broadcast(n)).select(
+        "token", (F.lit(1.0) / F.col("nt")).alias("p")
+    )
+    for _ in range(5):
+        contrib = (
+            edges.join(p.withColumnRenamed("token", "src_t"),
+                       F.col("src") == F.col("src_t"))
+            .join(deg.withColumnRenamed("token", "deg_t"),
+                  F.col("src") == F.col("deg_t"))
+            .select(
+                F.col("dst").alias("token"),
+                (F.col("p") / F.col("deg")).cast("decimal(28,15)").alias("c"),
+            )
+        )
+        p = (
+            contrib.groupBy("token")
+            .agg(F.sum("c").cast("double").alias("s"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                "token",
+                (F.lit(0.15) / F.col("nt") + F.lit(0.85) * F.col("s")).alias("p"),
+            )
+        )
+    return (
+        p.select("token", F.round("p", 9).alias("score"))
+        .orderBy(F.desc("score"), "token")
+        .limit(15)
+    )

@@ -148,6 +148,7 @@ _PRIORITY = [
     "streaming_running_moments",
     "bm25_topk_search",
     "dedup_keep_best_in_cluster",
+    "textrank_keywords",
     # adapted TPC-H suite
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",
