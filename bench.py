@@ -73,6 +73,11 @@ HEADLINE = [
     "tpch_q2_min_cost_supplier",
     "tpch_q21_waiting_suppliers",
     "bm25_topk_search",
+    # round-8: contrastive prep, graph-text, and event-path operators
+    "hard_negative_mining",
+    "textrank_keywords",
+    "cooccurrence_window_counts",
+    "user_path_trigrams",
     "hll_distinct_users",
     "bloom_decontaminate",
     "quality_linear_score",
@@ -145,7 +150,7 @@ def main() -> None:
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
             if jmap.size() > 0:
                 spark.catalog.clearCache()
-                for jrdd in jmap.values().toArray():
+                for jrdd in list(jmap.values()):
                     try:
                         jrdd.unpersist(False)
                     except Exception:

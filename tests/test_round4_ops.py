@@ -207,3 +207,33 @@ def test_simhash_hamming_rejects_unsound_blocking():
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_hamming_pairs(None, "doc_id", "text", bits=32, max_hamming=4)
+
+
+def test_hard_negative_label_mask(spark):
+    """label_col mode: every returned neighbor has a different label than
+    its anchor; a single-label corpus yields no negatives at all."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.1, 0.9], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.brute_force_topk_vectorized(
+        df, df, "vec_id", "embedding", k=2, label_col="label"
+    ).collect()
+    labels = {vid: lab for vid, _, lab in rows}
+    assert out, "expected hard negatives"
+    for r in out:
+        assert labels[r.query_id] != labels[r.corpus_id]
+
+    mono = spark.createDataFrame(
+        [(i, [float(i), 1.0], 7) for i in range(1, 5)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    assert (
+        similarity.brute_force_topk_vectorized(
+            mono, mono, "vec_id", "embedding", k=2, label_col="label"
+        ).count()
+        == 0
+    )
