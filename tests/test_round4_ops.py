@@ -237,3 +237,28 @@ def test_hard_negative_label_mask(spark):
         ).count()
         == 0
     )
+
+
+def test_cooccurrence_pair_count_invariant(spark):
+    """A document of n (sanitized) tokens emits exactly max(n-1,0) dist-1
+    pairs and max(n-2,0) dist-2 pairs — the in-array generator must not
+    drop boundary windows or emit self-window artifacts."""
+    from kwack_spark.plans.pipeline import cooccurrence_window_counts
+    import tempfile, os
+
+    docs = [
+        (1, "alpha beta gamma delta", "en", "s", 22),
+        (2, "one two", "en", "s", 7),
+        (3, "solo", "en", "s", 4),
+        (4, "", "en", "s", 0),
+    ]
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="kwack_cooc_")
+    d.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = cooccurrence_window_counts(spark, tmp).collect()
+    n1 = sum(r.cnt for r in out if r.dist == 1)
+    n2 = sum(r.cnt for r in out if r.dist == 2)
+    # doc1: 3+2, doc2: 1+0, doc3: 0, doc4: 0
+    assert (n1, n2) == (4, 2)
