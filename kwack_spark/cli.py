@@ -90,9 +90,7 @@ def config_from_args(args: argparse.Namespace) -> KwackConfig:
     if args.db:
         cfg.warehouse_dir = args.db
     if args.row_attributes is not None:
-        cfg.row_attributes = tuple(
-            a.strip() for a in args.row_attributes.split(",") if a.strip()
-        )
+        cfg.apply_property("row.attributes", args.row_attributes)
     if args.skip_bytes is not None:  # don't clobber a -F properties value
         cfg.skip_bytes = args.skip_bytes
     if args.parquet_dir:

@@ -185,9 +185,13 @@ class KwackConfig:
         elif key == "skip.bytes":
             self.skip_bytes = int(value)
         elif key == "row.attributes":
-            self.row_attributes = tuple(
-                a.strip() for a in value.split(",") if a.strip()
+            # reference grammar: 'none' disables all metadata (KwackMain
+            # -a help text); it is a sentinel, not an attribute name
+            attrs = tuple(
+                a.strip() for a in value.split(",")
+                if a.strip() and a.strip() != "none"
             )
+            self.row_attributes = attrs
         elif key == "parquet.dir":
             self.parquet_dir = value
         elif key == "db.dir":

@@ -400,3 +400,40 @@ def test_properties_file_spark_and_client_props(tmp_path):
     assert cfg.client_props == {"security.protocol": "SASL_SSL"}
     assert cfg.topic_serdes["t1"] == "string"
     assert cfg.key_serdes["t1"] == "long"
+
+
+def test_row_attributes_none_sentinel():
+    """-a none disables every metadata attribute (reference -a grammar) —
+    it must parse as an empty attribute set, not an unknown attr name."""
+    from kwack_spark.cli import build_parser, config_from_args
+
+    cfg = config_from_args(build_parser().parse_args(["-a", "none"]))
+    assert cfg.row_attributes == ()
+    cfg2 = config_from_args(build_parser().parse_args(["-a", "rowkey,off"]))
+    assert cfg2.row_attributes == ("rowkey", "off")
+
+
+def test_decode_topic_no_attributes(spark):
+    """row_attributes=() yields bare value columns — no rowkey, no rowinfo."""
+    import json as _json
+
+    from kwack_spark.config import Serde
+    from kwack_spark.schema import avro as avro_schema
+    from kwack_spark.schema.registry import MockSchemaRegistry
+    from kwack_spark.sources import kafka as ks
+    from tests.test_kafka_decode import make_frames
+
+    reg = MockSchemaRegistry()
+    schema = {"type": "record", "name": "R",
+              "fields": [{"name": "x", "type": "long"}]}
+    sid = reg.register("t1-value", _json.dumps(schema), "AVRO")
+    vals = [ks.confluent_frame(avro_schema.encode({"x": 5}, schema), sid)]
+    out = ks.decode_topic(
+        make_frames(spark, vals),
+        "t1",
+        value_serde=Serde(kind="latest"),
+        registry=reg,
+        row_attributes=(),
+    )
+    assert out.columns == ["x"]
+    assert out.collect()[0].x == 5
