@@ -4478,3 +4478,95 @@ def textrank_keywords(spark, sf_dir):
         .orderBy(F.desc("score"), "token")
         .limit(15)
     )
+
+
+@register(
+    "k_anonymity_suppress",
+    # privacy-preserving export: aggregate cells backed by fewer than k=5
+    # distinct users are suppressed entirely (the k-anonymity small-cell
+    # rule) — the governance gate that runs before any per-segment stats
+    # leave the pipeline.  Pairs with text_pii_redact on the content side.
+    oracle="""
+        WITH cells AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+            FROM events
+            GROUP BY event_type, CAST(ts AS DATE)
+        )
+        SELECT event_type, day, n_users, n_events, total_value
+        FROM cells
+        WHERE n_users >= 5
+        ORDER BY event_type, day
+    """,
+    tags=("events", "privacy", "governance"),
+)
+def k_anonymity_suppress(spark, sf_dir):
+    """Small-cell suppression for k-anonymity (k=5): one aggregation at the
+    export grain computes the distinct-user backing count alongside the
+    published measures, and under-backed cells are dropped before anything
+    leaves the engine.  Exactly one corpus-keyed shuffle; the suppression
+    filter rides the aggregated (tiny) result."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,3)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .filter(F.col("n_users") >= 5)
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "bpe_merge_candidates",
+    # one BPE training iteration: adjacent character-pair frequencies over
+    # the word distribution (pair count weighted by word frequency) — the
+    # primitive a byte-pair-encoding tokenizer trainer loops on.  Top-20
+    # merge candidates by count, ties on the pair string.
+    oracle=f"""
+        WITH words AS (
+            SELECT unnest({{toks}}) AS w FROM documents
+        ),
+        wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY w),
+        prs AS (
+            SELECT substr(w, i, 2) AS pair, freq
+            FROM wf, unnest(range(1, greatest(length(w), 1))) AS t(i)
+        )
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+        FROM prs
+        GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT 20
+    """.format(toks=_toks()),
+    tags=("text", "tokenizer", "bpe"),
+)
+def bpe_merge_candidates(spark, sf_dir):
+    """Top BPE merge candidates: the word-frequency table collapses the
+    corpus to vocabulary size FIRST (one shuffle on the word key, map-side
+    combinable), then adjacent-pair expansion runs on that tiny table —
+    the two-level aggregation that keeps a tokenizer-training iteration
+    corpus-scan-bound rather than pair-explosion-bound at 100 TB."""
+    d = T(spark, sf_dir, "documents")
+    words = d.select(F.explode(TX.tokens("text")).alias("w"))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    prs = wf.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) > 1 THEN transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2)) ELSE array() END"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        prs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )

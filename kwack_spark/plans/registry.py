@@ -149,6 +149,8 @@ _PRIORITY = [
     "bm25_topk_search",
     "dedup_keep_best_in_cluster",
     "textrank_keywords",
+    "k_anonymity_suppress",
+    "bpe_merge_candidates",
     # adapted TPC-H suite
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",
