@@ -155,6 +155,8 @@ _PRIORITY = [
     "textrank_keywords",
     "k_anonymity_suppress",
     "bpe_merge_candidates",
+    "join_positional",
+    "order_by_all",
     # adapted TPC-H suite
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",

@@ -1661,3 +1661,72 @@ def window_nth_value(spark, sf_dir):
         F.last("o_orderkey").over(w).alias("last_ord"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_ord"),
     )
+
+
+@register(
+    "join_positional",
+    # DuckDB's POSITIONAL JOIN zips two relations row-by-row.  Raw physical
+    # order is not reproducible on either engine at scale, so both sides
+    # are given an explicit total order first — the deterministic form of
+    # the dialect feature (zip region ranked by key with the 5 lowest-key
+    # nations).
+    oracle="""
+        WITH r AS (
+            SELECT r_regionkey, r_name,
+                   row_number() OVER (ORDER BY r_regionkey) AS pos
+            FROM region
+        ),
+        n AS (
+            SELECT n_nationkey, n_name,
+                   row_number() OVER (ORDER BY n_nationkey) AS pos
+            FROM (SELECT * FROM nation ORDER BY n_nationkey LIMIT 5)
+        )
+        SELECT r.pos, r.r_regionkey, r.r_name, n.n_nationkey, n.n_name
+        FROM r JOIN n USING (pos)
+        ORDER BY pos
+    """,
+    tags=("join", "positional", "dialect"),
+)
+def join_positional(spark, sf_dir):
+    """POSITIONAL JOIN, deterministically: rank both sides by an explicit
+    key and equi-join on the rank.  The single-partition row_number window
+    here is fine for dimension-sized zips; a fact-sized positional zip
+    would use operators/scale.py:global_running_sum's range-partitioned
+    ranking instead of one global window."""
+    r = T(spark, sf_dir, "region").withColumn(
+        "pos", F.row_number().over(Window.orderBy("r_regionkey"))
+    )
+    n = (
+        T(spark, sf_dir, "nation")
+        .orderBy("n_nationkey")
+        .limit(5)
+        .withColumn("pos", F.row_number().over(Window.orderBy("n_nationkey")))
+    )
+    return (
+        r.join(n, "pos")
+        .select("pos", "r_regionkey", "r_name", "n_nationkey", "n_name")
+        .orderBy("pos")
+    )
+
+
+@register(
+    "order_by_all",
+    # DuckDB's ORDER BY ALL sorts by every select-list column left to
+    # right — a total order over the projection
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY ALL
+    """,
+    tags=("sort", "dialect"),
+)
+def order_by_all(spark, sf_dir):
+    """ORDER BY ALL: sort on the full projection in column order."""
+    out = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return out.orderBy(*out.columns)
