@@ -4570,3 +4570,64 @@ def bpe_merge_candidates(spark, sf_dir):
         .orderBy(F.desc("n"), "pair")
         .limit(20)
     )
+
+
+@register(
+    "shard_manifest_hashes",
+    # dataset-publish manifest: per output shard, row count, key range, and
+    # an ORDER-INDEPENDENT content hash (exact integer sum of per-row md5
+    # prefixes) — the integrity record a consumer re-derives to verify a
+    # delivered shard without trusting row order or file layout.
+    oracle="""
+        WITH rows_h AS (
+            SELECT doc_id // 100 AS shard_id, doc_id,
+                   CAST(('0x' || substr(md5('mft:' || doc_id::VARCHAR || ':'
+                                            || n_chars::VARCHAR), 1, 12))::BIGINT
+                        AS DECIMAL(38,0)) AS h
+            FROM documents
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(doc_id) AS min_id,
+               max(doc_id) AS max_id,
+               CAST(SUM(h) AS VARCHAR) AS content_sum
+        FROM rows_h
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
+    tags=("publish", "manifest", "integrity"),
+)
+def shard_manifest_hashes(spark, sf_dir):
+    """Shard integrity manifest.  The per-row hash folds (doc_id, n_chars)
+    through md5 and the shard hash is the exact integer SUM of those —
+    commutative, so repartitioning, task retries, and row reordering
+    cannot change it; verification is one narrow scan per shard.  Emitted
+    as a string so arbitrary precision survives every serde."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("mft:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return (
+        d.select(F.expr("doc_id div 100").alias("shard_id"), "doc_id", h.alias("h"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("h").cast("decimal(38,0)").cast("string").alias("content_sum"),
+        )
+        .orderBy("shard_id")
+    )

@@ -157,6 +157,7 @@ _PRIORITY = [
     "bpe_merge_candidates",
     "join_positional",
     "order_by_all",
+    "shard_manifest_hashes",
     # adapted TPC-H suite
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",
