@@ -158,6 +158,7 @@ _PRIORITY = [
     "join_positional",
     "order_by_all",
     "shard_manifest_hashes",
+    "agg_mode_manual",
     # adapted TPC-H suite
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",

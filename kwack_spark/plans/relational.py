@@ -1730,3 +1730,51 @@ def order_by_all(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return out.orderBy(*out.columns)
+
+
+@register(
+    "agg_mode_manual",
+    # MODE() with a deterministic tie rule (smallest value wins) — both
+    # engines' native mode() break ties by arrival order, which no
+    # distributed plan can reproduce, so the dialect function is graded in
+    # its only well-defined form: count + rank with an explicit tiebreak.
+    oracle="""
+        WITH c AS (
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ),
+        r AS (
+            SELECT o_orderstatus, o_orderpriority, n,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY n DESC, o_orderpriority) AS rk
+            FROM c
+        )
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+        FROM r WHERE rk = 1
+        ORDER BY o_orderstatus
+    """,
+    tags=("agg", "mode", "dialect"),
+)
+def agg_mode_manual(spark, sf_dir):
+    """Deterministic MODE per group: one count aggregation, then a
+    rank-1 pick with a total tiebreak — the shape native mode() cannot
+    guarantee under parallel execution."""
+    c = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), "o_orderpriority"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("o_orderstatus")
+    )
