@@ -4631,3 +4631,58 @@ def shard_manifest_hashes(spark, sf_dir):
         )
         .orderBy("shard_id")
     )
+
+
+@register(
+    "shard_compaction_plan",
+    # small-file compaction planner: pack doc-range shards into ~target-row
+    # output files by cumulative row count — each shard goes to the bin its
+    # running offset starts in (bins exceed target by at most one shard).
+    # The cumulative sum is the range-partitioned parallel prefix sum, not
+    # a single-task global window.
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id // 100 AS shard_id,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM documents GROUP BY doc_id // 100
+        ),
+        c AS (
+            SELECT shard_id, n_rows,
+                   CAST(SUM(n_rows) OVER (ORDER BY shard_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_rows
+            FROM sh
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id, n_rows, cum_rows,
+               CAST((cum_rows - n_rows) // 120 AS BIGINT) AS out_file
+        FROM c
+        ORDER BY shard_id
+    """,
+    tags=("publish", "compaction", "layout"),
+)
+def shard_compaction_plan(spark, sf_dir):
+    """Compaction planning for small shards: one aggregation produces the
+    shard-size table (already tiny relative to the corpus), the parallel
+    prefix sum (operators/scale.py:global_running_sum) assigns each shard
+    a starting offset, and the output-file id is a pure projection of that
+    offset — the metadata-only pass that turns millions of small files
+    into bounded-size publish units without touching row data."""
+    from kwack_spark.operators import scale
+
+    sh = (
+        T(spark, sf_dir, "documents")
+        .groupBy(F.expr("doc_id div 100").alias("shard_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    c = scale.global_running_sum(
+        sh, [F.col("shard_id").asc()], "n_rows", "cum_rows", num_partitions=8
+    )
+    return (
+        c.select(
+            "shard_id",
+            "n_rows",
+            F.col("cum_rows").cast("long").alias("cum_rows"),
+            F.expr("(cum_rows - n_rows) div 120").cast("long").alias("out_file"),
+        )
+        .orderBy("shard_id")
+    )

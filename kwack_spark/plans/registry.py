@@ -159,6 +159,8 @@ _PRIORITY = [
     "order_by_all",
     "shard_manifest_hashes",
     "agg_mode_manual",
+    "inverted_index_incremental",
+    "shard_compaction_plan",
     # adapted TPC-H suite
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",

@@ -826,3 +826,95 @@ def hll_audience_overlap(spark, sf_dir):
             "exact_overlap",
         )
     )
+
+
+@register(
+    "inverted_index_incremental",
+    # incremental index publish: the index built from (history ∪ batch) must
+    # equal rebuilding per-part and merging shard rows — doc-range sharding
+    # makes shard posting rows disjoint between history and a new-doc batch,
+    # so an ingest republishes ONLY the touched shards.  Graded as a
+    # merge-invariance gate (the hll_merge_shards pattern): both paths'
+    # (token, shard) rows must match exactly.
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct(list_filter(
+                       string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                       t -> length(t) > 0))) AS token
+            FROM documents
+        ),
+        part AS (
+            SELECT token, doc_id // 100 AS shard_id, doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN 'batch' ELSE 'hist' END AS src
+            FROM tok
+        ),
+        merged AS (
+            SELECT token, shard_id,
+                   list_sort(list(doc_id)) AS postings,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM part GROUP BY token, shard_id
+        ),
+        direct AS (
+            SELECT token, doc_id // 100 AS shard_id,
+                   list_sort(list(doc_id)) AS postings,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM tok GROUP BY token, doc_id // 100
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM merged) AS merged_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM direct) AS direct_rows,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM merged m JOIN direct d
+                  ON m.token = d.token AND m.shard_id = d.shard_id
+                 AND m.postings = d.postings AND m.n_docs = d.n_docs)
+                   AS matching_rows
+    """,
+    tags=("text", "index", "incremental"),
+)
+def inverted_index_incremental(spark, sf_dir):
+    """Incremental inverted-index publish equivalence: documents split into
+    a history part and a simulated new-doc batch (doc_id % 5), indexed
+    separately through the SAME shard aggregation, unioned, and re-merged
+    per (token, shard) — must equal the from-scratch index row for row.
+    At 100 TB the point is the doc-range shard key: a batch touches only
+    its own doc-range shards, so the merge is per-shard concatenation and
+    the republish unit stays bounded."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(TX.tokens("text"))).alias("token")
+    )
+
+    def index_of(t):
+        return t.groupBy("token", F.expr("doc_id div 100").alias("shard_id")).agg(
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    hist = tok.filter(F.col("doc_id") % 5 != 0)
+    batch = tok.filter(F.col("doc_id") % 5 == 0)
+    merged = (
+        index_of(hist)
+        .unionByName(index_of(batch))
+        .select("token", "shard_id", F.explode("postings").alias("doc_id"))
+        .groupBy("token", "shard_id")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    direct = index_of(tok)
+    m = merged.alias("m")
+    d = direct.alias("d")
+    matching = m.join(
+        d,
+        (F.col("m.token") == F.col("d.token"))
+        & (F.col("m.shard_id") == F.col("d.shard_id"))
+        & (F.col("m.postings") == F.col("d.postings"))
+        & (F.col("m.n_docs") == F.col("d.n_docs")),
+    )
+    return (
+        merged.agg(F.count(F.lit(1)).alias("merged_rows"))
+        .crossJoin(F.broadcast(direct.agg(F.count(F.lit(1)).alias("direct_rows"))))
+        .crossJoin(
+            F.broadcast(matching.agg(F.count(F.lit(1)).alias("matching_rows")))
+        )
+    )
