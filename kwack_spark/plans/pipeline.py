@@ -4686,3 +4686,89 @@ def shard_compaction_plan(spark, sf_dir):
         )
         .orderBy("shard_id")
     )
+
+
+@register(
+    "embedding_drift_by_label",
+    # distribution-drift monitor: per-label centroids computed on two data
+    # vintages (vec_id parity simulates old vs new ingest), compared by
+    # exact per-dimension deltas rolled into an L2 shift.  Everything
+    # before the final sqrt is exact integer/decimal arithmetic, and the
+    # component deltas are rounded to 9dp before squaring so the summed
+    # shift is bit-identical on both engines.
+    oracle=f"""
+        WITH c AS (
+            SELECT label, vec_id % 2 AS vintage, u.e.pos AS pos, u.e.comp AS comp
+            FROM (
+                SELECT label, vec_id,
+                       unnest(list_transform(embedding::DOUBLE[],
+                              (c, i) -> struct_pack(pos := i - 1, comp := c))) AS e
+                FROM embeddings
+            ) u
+        ),
+        cent AS (
+            SELECT label, vintage, pos,
+                   CAST(SUM(CAST(comp * {_POW2_43} AS DECIMAL(38,0))) AS DOUBLE)
+                       / {_POW2_43} / COUNT(*) AS mean_val
+            FROM c GROUP BY label, vintage, pos
+        ),
+        delta AS (
+            SELECT a.label, a.pos,
+                   round(a.mean_val - b.mean_val, 9) AS d
+            FROM cent a JOIN cent b
+              ON a.label = b.label AND a.pos = b.pos
+             AND a.vintage = 0 AND b.vintage = 1
+        )
+        SELECT label,
+               round(sqrt(CAST(SUM(CAST(d * d AS DECIMAL(38,18))) AS DOUBLE)), 9)
+                   AS l2_shift,
+               CAST(count(*) AS BIGINT) AS dims
+        FROM delta
+        GROUP BY label
+        ORDER BY label
+    """,
+    tags=("embedding", "drift", "monitoring"),
+)
+def embedding_drift_by_label(spark, sf_dir):
+    """Embedding drift between two ingest vintages: two centroid tables
+    (label x dim — tiny), an aligned join, and one L2 rollup.  The corpus
+    is scanned once (posexplode into the shared (label, vintage, pos)
+    aggregation); everything downstream is centroid-table-sized, so the
+    drift report costs the same as one k-means update step at any scale."""
+    e = T(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("vintage"),
+        F.posexplode(V.as_double("embedding")).alias("pos", "comp"),
+    )
+    cent = x.groupBy("label", "vintage", "pos").agg(
+        (
+            F.sum((F.col("comp") * _POW2_43).cast("decimal(38,0)")).cast("double")
+            / _POW2_43
+            / F.count(F.lit(1))
+        ).alias("mean_val")
+    )
+    a = cent.filter(F.col("vintage") == 0).select(
+        "label", "pos", F.col("mean_val").alias("m0")
+    )
+    b = cent.filter(F.col("vintage") == 1).select(
+        "label", "pos", F.col("mean_val").alias("m1")
+    )
+    delta = a.join(b, ["label", "pos"]).select(
+        "label", F.round(F.col("m0") - F.col("m1"), 9).alias("d")
+    )
+    return (
+        delta.groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum((F.col("d") * F.col("d")).cast("decimal(38,18)")).cast(
+                        "double"
+                    )
+                ),
+                9,
+            ).alias("l2_shift"),
+            F.count(F.lit(1)).alias("dims"),
+        )
+        .orderBy("label")
+    )

@@ -161,6 +161,7 @@ _PRIORITY = [
     "agg_mode_manual",
     "inverted_index_incremental",
     "shard_compaction_plan",
+    "embedding_drift_by_label",
     # adapted TPC-H suite
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",
