@@ -202,10 +202,15 @@ def cms_estimates(
     if sketch is None:
         sketch = keyed.groupBy("d", "b").agg(F.count(F.lit(1)).alias("cnt"))
     key_buckets = keyed.distinct()
+    # LEFT join + coalesce 0: a prebuilt sketch stores only OBSERVED
+    # buckets, so a probe key hashing into a never-touched bucket must read
+    # that counter as 0 (true CMS estimate 0), not take min() over its
+    # remaining buckets — an inner join would inflate, or drop the key
+    # entirely when all its buckets are absent.
     return (
-        key_buckets.join(F.broadcast(sketch), ["d", "b"])
+        key_buckets.join(F.broadcast(sketch), ["d", "b"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
 
 

@@ -307,6 +307,32 @@ def ivf_topk(
     ).select("query_id", "corpus_id", "cosine", "rank")
 
 
+_ACTIVE_CACHE: dict = {}
+
+
+def _persist_rotating(tag: str, df: DataFrame) -> DataFrame:
+    """Persist ``df``, releasing the PREVIOUS persisted frame under ``tag``.
+
+    DataFrame.persist pins the plan in the session CacheManager until an
+    explicit unpersist — garbage collection never frees it — so a
+    long-lived session calling a PQ operator repeatedly would accumulate
+    one full reconstructed-index cache per call.  Rotating keeps at most
+    ONE outstanding cache per operator family: by the time the next call
+    arrives, the prior call's consumers have executed, and a still-held
+    old result simply recomputes uncached if re-executed."""
+    from pyspark import StorageLevel
+
+    prev = _ACTIVE_CACHE.pop(tag, None)
+    if prev is not None:
+        try:
+            prev.unpersist(False)
+        except Exception:
+            pass
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _ACTIVE_CACHE[tag] = out
+    return out
+
+
 def _pq_reconstruct(c: DataFrame, m: int, ksub: int, dsub: int) -> DataFrame:
     """PQ encode + decode: ``(corpus_id, v)`` -> ``(corpus_id, xhat)`` where
     xhat is the vector reconstructed from the nearest code per subspace.
@@ -387,17 +413,16 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
-    from pyspark import StorageLevel
-
     dsub = dim // m
     c = corpus.select(F.col(id_col).alias("corpus_id"), V.as_double(vec_col).alias("v"))
     q = queries.select(F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv"))
     # persisted so the encode pipeline runs ONCE: the candidate-index collect
     # materializes the cache and the re-score join below reads it back —
     # exactly one driver transfer (the numpy candidate index), no
-    # createDataFrame re-upload of the index.  The cache is released by
-    # Spark's ContextCleaner when the plan is garbage-collected.
-    recon = _pq_reconstruct(c, m, ksub, dsub).persist(StorageLevel.MEMORY_AND_DISK)
+    # createDataFrame re-upload of the index.  Rotating persist: the prior
+    # call's cache is released here (CacheManager pins persisted plans
+    # until unpersist; GC alone never frees them).
+    recon = _persist_rotating("pq_recon", _pq_reconstruct(c, m, ksub, dsub))
 
     # Scoring follows brute_force_topk_vectorized's two-stage shape: the
     # (tiny: m*ksub*dsub doubles per vector -> reconstructed) code table is
@@ -521,10 +546,8 @@ def ivf_pq_topk(
     import numpy as np
     import pandas as pd
 
-    from pyspark import StorageLevel
-
-    coded = coded.select("corpus_id", "list_id", "xhat").persist(
-        StorageLevel.MEMORY_AND_DISK
+    coded = _persist_rotating(
+        "ivfpq_coded", coded.select("corpus_id", "list_id", "xhat")
     )
     rows = coded.limit(max_index_rows + 1).collect()
     if len(rows) > max_index_rows:

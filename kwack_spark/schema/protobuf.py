@@ -154,7 +154,7 @@ def parse_proto(text: str, imports: dict[str, str] | None = None) -> dict:
     while p.peek() is not None:
         t = p.next()
         if t == "import":
-            if p.peek() == "public":  # import public "x.proto";
+            if p.peek() in ("public", "weak"):  # import [public|weak] "x";
                 p.next()
             path_tok = p.next()
             p.expect(";")

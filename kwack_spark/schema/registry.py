@@ -45,7 +45,8 @@ def resolve_references(registry, rs: RegisteredSchema) -> tuple:
             key = (subject, version)
             if key in seen:
                 if not seen[key]:
-                    raise ValueError(f"schema reference cycle at {subject} v{version}")
+                    chain = " -> ".join(f"{s} v{v}" for s, v in path + (key,))
+                    raise ValueError(f"schema reference cycle: {chain}")
                 continue
             seen[key] = False
             child = registry.by_subject_version(subject, version)

@@ -41,8 +41,12 @@ from pyspark.sql import functions as F
 
 from kwack_spark.schema import avro as avro_schema
 
-# session-keyed probe memo (a session restart can add the jar)
-_AVAILABLE: dict[int, bool] = {}
+# session-keyed probe memo (a session restart can add the jar).  Weak keys:
+# an id()-keyed dict would alias a NEW session allocated at a dead one's
+# address and inherit its stale probe result.
+import weakref
+
+_AVAILABLE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 _PROBE_SCHEMA = '{"type":"record","name":"_probe","fields":[]}'
 
@@ -61,17 +65,16 @@ def available(spark: SparkSession) -> bool:
     """Can ``from_avro`` analyze in this session?  Probes ONCE by analyzing
     (not running) a trivial plan; the spark-avro module raises
     AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE at analysis when absent."""
-    key = id(spark)
-    if key not in _AVAILABLE:
+    if spark not in _AVAILABLE:
         try:
             from pyspark.sql.avro.functions import from_avro
 
             df = spark.range(1).select(F.lit(b"x").alias("v"))
             df.select(from_avro("v", _PROBE_SCHEMA)).schema  # analysis only
-            _AVAILABLE[key] = True
+            _AVAILABLE[spark] = True
         except Exception:
-            _AVAILABLE[key] = False
-    return _AVAILABLE[key]
+            _AVAILABLE[spark] = False
+    return _AVAILABLE[spark]
 
 
 def _compat_reason(node: Any) -> str | None:
@@ -129,11 +132,23 @@ def eligible(
         try:
             versions = registry.subject_versions(subject)
         except KeyError:
-            versions = []
+            versions = []  # no registered subject -> inline schema governs
+        except Exception as exc:
+            # registry unreachable / HTTP error: be conservative — an
+            # unverifiable evolution gate means the Python path (which
+            # resolves per-record writer schemas) keeps the query
+            return False, f"registry check failed: {exc!r}"
         for rs in versions:
             if rs.schema_type != "AVRO":
                 return False, f"{subject} v{rs.version} is {rs.schema_type}"
-            if avro_schema.parse_schema(rs.schema_str) != reader:
+            try:
+                same = avro_schema.parse_schema(rs.schema_str) == reader
+            except Exception as exc:
+                return False, (
+                    f"{subject} v{rs.version} unparseable standalone "
+                    f"(references?): {exc}"
+                )
+            if not same:
                 return False, (
                     f"writer evolution: {subject} v{rs.version} differs from "
                     "the reader (per-record resolution needs the Python path)"
@@ -144,12 +159,18 @@ def eligible(
 def decode_value_col(
     payload: Column, schema_str: str, on_error: str
 ) -> Column:
-    """``from_avro`` over an already-unframed payload column.  FAILFAST
-    mirrors the reference's fail-on-poison default; 'skip' uses PERMISSIVE
-    (corrupt record -> null struct) and the caller drops the nulls —
-    tombstones were filtered before decode, so a null here IS a poison
-    record."""
+    """``from_avro`` over an already-unframed payload column.  Fail mode
+    only: FAILFAST raises on poison exactly like the Python decoder's
+    fail mode.  'skip' is rejected — spark-avro's PERMISSIVE mode turns a
+    corrupt record into an all-null-FIELDS struct (not a NULL struct),
+    indistinguishable from a legitimate all-null record, so poison-skip
+    semantics cannot be honored on this path (decode_topic keeps 'skip'
+    topics on the Python stage)."""
+    if on_error != "fail":
+        raise ValueError(
+            "JVM from_avro fast path supports on_error='fail' only; "
+            "'skip' requires the Python decode stage"
+        )
     from pyspark.sql.avro.functions import from_avro
 
-    mode = "FAILFAST" if on_error == "fail" else "PERMISSIVE"
-    return from_avro(payload, schema_str, {"mode": mode})
+    return from_avro(payload, schema_str, {"mode": "FAILFAST"})

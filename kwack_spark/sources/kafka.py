@@ -428,7 +428,17 @@ def decode_topic(
     key_jvm_ok = (not want_rowkey) or (
         k_conv is None and key_serde.kind in ("short", "int", "long", "string", "binary")
     )
-    if value_is_struct and value_serde.kind == "avro" and key_jvm_ok:
+    # fail-mode only: from_avro's PERMISSIVE mode maps a corrupt record to
+    # an all-null-FIELDS struct (not a NULL struct), which is
+    # indistinguishable from a legitimate all-null record — so 'skip'
+    # cannot drop poison here and keeps the Python path; FAILFAST raises
+    # exactly like the Python decoder's fail mode does.
+    if (
+        value_is_struct
+        and value_serde.kind == "avro"
+        and key_jvm_ok
+        and on_error == "fail"
+    ):
         from kwack_spark.sources import avro_jvm
 
         ok, _why = avro_jvm.eligible(value_serde, topic, registry)
@@ -439,9 +449,6 @@ def decode_topic(
                 payload_col("value", skip_bytes), value_serde.schema_str, on_error
             )
             out = df.select(*head, dec.alias("_v"), *meta)
-            if on_error == "skip":
-                # tombstones were filtered above; a null decode IS poison
-                out = out.filter(F.col("_v").isNotNull())
             order = (["rowkey"] if want_rowkey else []) + [
                 F.col(f"_v.{f.name}").alias(f.name) for f in v_st.fields
             ] + (["rowinfo"] if info_attrs else [])

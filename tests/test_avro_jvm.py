@@ -96,7 +96,7 @@ def test_available_probe_is_false_and_memoized_here(spark):
     """No spark-avro jar in this environment: the probe must come back
     False (not raise), and memoize per session."""
     assert avro_jvm.available(spark) is False
-    assert avro_jvm._AVAILABLE[id(spark)] is False
+    assert avro_jvm._AVAILABLE[spark] is False  # weak-keyed by the session
     assert avro_jvm.available(spark) is False
 
 
@@ -126,3 +126,26 @@ def test_decode_topic_falls_back_to_python_path(spark):
     assert row.id == 7 and row.name == "x" and row.tags == ["a"]
     assert row.rowinfo.vsi == sid and row.rowinfo.off == 0
     assert out.columns == ["id", "name", "tags", "ts", "rowinfo"]
+
+
+def test_eligible_registry_errors_fall_back(spark):
+    """A registry whose lookups raise non-KeyError (HTTP failures) must
+    gate the fast path OFF, never crash decode."""
+    from kwack_spark.config import Serde
+    from kwack_spark.sources import avro_jvm
+
+    class BoomRegistry:
+        def subject_versions(self, subject):
+            raise OSError("connection refused")
+
+    serde = Serde(kind="avro", schema_str='{"type":"record","name":"R","fields":[{"name":"x","type":"long"}]}')
+    ok, why = avro_jvm.eligible(serde, "t", BoomRegistry())
+    assert not ok and "registry check failed" in why
+
+
+def test_decode_value_col_rejects_skip():
+    from kwack_spark.sources import avro_jvm
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fail"):
+        avro_jvm.decode_value_col(None, "{}", "skip")

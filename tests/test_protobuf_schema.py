@@ -285,3 +285,11 @@ def test_decode_topic_validates_message_index():
         conv(bad, {})
     # bare (non-Confluent) payloads carry no index prefix
     assert conv(body, {}) == (7, "ok")
+
+
+def test_import_weak_is_tolerated():
+    """'import weak "x.proto";' is valid proto syntax and must parse (the
+    import handler accepts the weak modifier like public)."""
+    schema = 'syntax = "proto3"; import weak "legacy.proto"; message M { int32 x = 1; }'
+    root = pb.parse_proto(schema)
+    assert "M" in root["messages"]

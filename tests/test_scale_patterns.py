@@ -236,3 +236,26 @@ def test_hll_sketch_grouped_by_shard(spark):
     counts = {r.source: r.n for r in per.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert len(counts) == n_sources
     assert all(n <= 64 for n in counts.values())
+
+
+def test_cms_prebuilt_sketch_absent_buckets(spark):
+    """Estimating against a prebuilt sketch: a probe key whose buckets were
+    never observed must read those counters as 0 (CMS estimate 0), not be
+    dropped or inflated by an inner join over only its nonzero buckets."""
+    from kwack_spark.operators import scale
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(4)], "key string")
+    sketch = scale.cms_sketch(a, "key", depth=4, width=256)
+    probe = spark.createDataFrame(
+        [("k0",), ("zz_unseen_key",)], "key string"
+    )
+    est = {
+        r.key: r.cms_est
+        for r in scale.cms_estimates(
+            probe, "key", depth=4, width=256, sketch=sketch
+        ).collect()
+    }
+    assert est["k0"] >= 1
+    assert "zz_unseen_key" in est
+    # at width=256 with 4 keys, at least one of the 4 buckets is empty
+    assert est["zz_unseen_key"] == 0
