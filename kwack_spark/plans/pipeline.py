@@ -1153,6 +1153,82 @@ def text_lang_id(spark, sf_dir):
 
 
 @register(
+    "langid_confusion_matrix",
+    # classifier-quality audit: the lang-id heuristic scored against the
+    # gold lang labels — full confusion matrix plus per-language precision
+    # and recall (exact bigint ratios -> identical doubles, rounded 6dp).
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, list_distinct({_toks()}) AS ts FROM documents),
+        s AS (
+            SELECT doc_id, lang,
+                   len(list_filter(ts, t -> t IN ('the','a','of','and','to'))) AS s_en,
+                   len(list_filter(ts, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+                   len(list_filter(ts, t -> t IN ('el','la','de','que','y'))) AS s_es,
+                   len(list_filter(ts, t -> t IN ('le','la','et','les','des'))) AS s_fr
+            FROM t
+        ),
+        pred AS (
+            SELECT lang AS labeled_lang,
+                   CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                        WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+                        WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                        WHEN s_fr > 0 THEN 'fr'
+                        ELSE 'und' END AS pred_lang
+            FROM s
+        ),
+        cell AS (
+            SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+            FROM pred GROUP BY labeled_lang, pred_lang
+        ),
+        row_tot AS (SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS label_total
+                    FROM cell GROUP BY labeled_lang),
+        col_tot AS (SELECT pred_lang, CAST(SUM(n) AS BIGINT) AS pred_total
+                    FROM cell GROUP BY pred_lang)
+        SELECT c.labeled_lang, c.pred_lang, c.n,
+               round(CAST(c.n AS DOUBLE) / r.label_total, 6) AS recall_share,
+               round(CAST(c.n AS DOUBLE) / p.pred_total, 6) AS precision_share
+        FROM cell c
+        JOIN row_tot r USING (labeled_lang)
+        JOIN col_tot p USING (pred_lang)
+        ORDER BY labeled_lang, pred_lang
+    """,
+    tags=("text", "langid", "evaluation"),
+)
+def langid_confusion_matrix(spark, sf_dir):
+    """Confusion matrix for the n-gram lang-id heuristic vs gold labels —
+    the eval table every classifier-driven curation gate needs beside its
+    scores.  One narrow scoring pass over the corpus, one (label, pred)
+    aggregation; the matrix is |langs|² rows, so both normalizing margins
+    join back as broadcasts."""
+    d = T(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("labeled_lang"),
+        TX.lang_id("text").alias("pred_lang"),
+    )
+    cell = pred.groupBy("labeled_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = cell.groupBy("labeled_lang").agg(F.sum("n").alias("label_total"))
+    col_tot = cell.groupBy("pred_lang").agg(F.sum("n").alias("pred_total"))
+    return (
+        cell.join(F.broadcast(row_tot), "labeled_lang")
+        .join(F.broadcast(col_tot), "pred_lang")
+        .select(
+            "labeled_lang",
+            "pred_lang",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("label_total"), 6).alias(
+                "recall_share"
+            ),
+            F.round(F.col("n").cast("double") / F.col("pred_total"), 6).alias(
+                "precision_share"
+            ),
+        )
+        .orderBy("labeled_lang", "pred_lang")
+    )
+
+
+@register(
     "doc_fingerprints",
     oracle=f"""
         WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),

@@ -162,6 +162,7 @@ _PRIORITY = [
     "inverted_index_incremental",
     "shard_compaction_plan",
     "embedding_drift_by_label",
+    "langid_confusion_matrix",
     # adapted TPC-H suite
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",
