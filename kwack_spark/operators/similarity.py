@@ -631,15 +631,40 @@ def lsh_signature(df: DataFrame, id_col: str, vec_col: str, planes: int = 8, dim
     return df.select(F.col(id_col), sig.alias("bucket"))
 
 
+def auto_planes(n_rows: int, target_bucket_rows: int = 256, floor: int = 4) -> int:
+    """Plane count that holds expected bucket occupancy at ``target_bucket_rows``
+    as the corpus grows: ``ceil(log2(n / target))``, floored at ``floor``.
+
+    With a FIXED plane count the bucket space (2^planes) is constant, so
+    occupancy — and within-bucket pairwise work — grows linearly with n and
+    total work grows ~n².  Holding occupancy constant instead makes the
+    pairwise stage O(n * target) ~ linear.  Measured in tools/scale_stress.py:
+    at 10x the corpus, fixed 4-plane LSH scales with exponent ~1.7 while this
+    policy stays ~1.0 (see SCALING.md).  The cost of more planes is recall on
+    borderline pairs — production sweeps multi-probe tables (several
+    independent plane sets) to buy recall back, which multiplies work by the
+    table count, not n."""
+    import math as _math
+
+    if n_rows <= target_bucket_rows:
+        return floor
+    return max(floor, _math.ceil(_math.log2(n_rows / target_bucket_rows)) + floor)
+
+
 def lsh_bucketed_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 4,
+    planes: int | str = 4,
     dim: int = 64,
     threshold: float = 0.3,
 ) -> DataFrame:
-    """All-pairs cosine >= threshold, candidate-limited to same LSH bucket."""
+    """All-pairs cosine >= threshold, candidate-limited to same LSH bucket.
+
+    ``planes="auto"`` sizes the signature from the corpus row count via
+    ``auto_planes`` (one cheap count() action — parquet metadata at scale)."""
+    if planes == "auto":
+        planes = auto_planes(df.count())
     base = df.select(F.col(id_col), V.as_double(vec_col).alias("v"))
     sig = lsh_signature(df, id_col, vec_col, planes, dim)
     t = base.join(sig, id_col)

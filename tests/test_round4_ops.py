@@ -262,3 +262,27 @@ def test_cooccurrence_pair_count_invariant(spark):
     n2 = sum(r.cnt for r in out if r.dist == 2)
     # doc1: 3+2, doc2: 1+0, doc3: 0, doc4: 0
     assert (n1, n2) == (4, 2)
+
+
+def test_auto_planes_policy():
+    # below target: floor
+    assert similarity.auto_planes(100) == 4
+    assert similarity.auto_planes(256) == 4
+    # occupancy held at ~target as n grows: planes tracks log2(n/target)
+    assert similarity.auto_planes(512) == 5
+    assert similarity.auto_planes(256 * 1024) == 14
+    # doubling n adds exactly one plane (bucket space doubles with data)
+    for n in (10_000, 1_000_000, 10_000_000):
+        assert similarity.auto_planes(2 * n) == similarity.auto_planes(n) + 1
+
+
+def test_lsh_auto_planes_matches_explicit(spark):
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .selectExpr("vec_id", "embedding")
+    )
+    n = e.count()
+    expected_planes = similarity.auto_planes(n)
+    auto = similarity.lsh_bucketed_pairs(e, planes="auto")
+    explicit = similarity.lsh_bucketed_pairs(e, planes=expected_planes)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, explicit.collect()))

@@ -1,0 +1,224 @@
+"""Scale-stress harness: measured evidence that the curation operators scale
+near-linearly with corpus size.
+
+``SCALING.md`` argues from plan shape ("one shuffle on the band key, never
+all-pairs"); this tool MEASURES it.  It replicates the sf0.1 ``documents`` /
+``embeddings`` tables K times (K in ``--factors``) into a synthetic sf
+directory under ``--out``, then times a fixed set of registered queries at
+each factor and reports the observed scaling exponent
+``log(t_K / t_1) / log(K)`` — ~1.0 is linear, ~2.0 would be an all-pairs
+blowup leaking through the blocking.
+
+Replicas are SIMILARITY-BROKEN, deliberately: replica ``i`` interleaves a
+``repN`` marker into the word stream (changing every word shingle) and adds
+hash-derived noise of the same magnitude as the embedding components.  The
+original corpus's near-dup structure therefore replicates linearly (each
+replica contains the same internal dup pairs as the original; cross-replica
+pairs don't collide), so per-query OUTPUT grows ~K and the measured exponent
+isolates the operator's work, not its result size.  (Replicating verbatim
+near-dups instead grows the true pair set ~K² — any pair-emitting operator
+is then super-linear by definition of its output, which says nothing about
+the blocking.)
+
+Each query runs twice per factor and the SECOND run is reported, so
+first-run codegen/JIT does not pollute the small factors.
+
+Usage:
+    python tools/scale_stress.py --factors 1 3 10
+Prints one JSON line per factor plus a summary table (markdown) suitable for
+pasting into SCALING.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+BASE_SF = "/root/testdata/sf0.1"
+
+# Queries under stress: the full dedup family (band/bucket-blocked), the ANN
+# hashing path, and two narrow text pipelines as the linear control group.
+STRESS_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_lsh_bucketed",
+    "ann_lsh_scaled_planes",
+    "tfidf_top_terms",
+    "gopher_quality_rules",
+    "text_quality",
+]
+
+
+def build_scaled_dir(spark, out_root: str, factor: int) -> str:
+    """Materialize a synthetic sf dir with documents/embeddings replicated
+    ``factor`` times; every other table is the untouched sf0.1 parquet
+    (symlinked, so operators that join against lineitem/events still run)."""
+    from pyspark.sql import functions as F
+
+    from kwack_spark.sources.parquet import TABLES, load_table
+
+    out = os.path.join(out_root, f"x{factor}")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    for t in TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        os.symlink(os.path.join(BASE_SF, f"{t}.parquet"), os.path.join(out, f"{t}.parquet"))
+
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+
+    docs = load_table(spark, BASE_SF, "documents")
+    n_docs = docs.count()
+    # break cross-replica shingle overlap WITHOUT changing within-replica
+    # structure: suffix every WORD with the replica marker ("key agg" ->
+    # "keyq1 aggq1").  Token count and within-replica similarity are
+    # identical to the original corpus; every cross-replica shingle differs.
+    # (Interleaving marker tokens instead would halve each shingle's
+    # discriminating content and inflate within-replica collisions.)
+    rep_tag = F.concat(F.lit("q"), F.col("rep"))
+    marked = F.concat(
+        F.regexp_replace(F.col("text"), F.lit(" "), F.concat(rep_tag, F.lit(" "))),
+        rep_tag,
+    )
+    scaled_docs = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(n_docs)).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(marked).alias("text"),
+            "lang",
+            "source",
+            F.when(F.col("rep") == 0, F.col("n_chars"))
+            .otherwise(F.length(marked))
+            .alias("n_chars"),
+        )
+    )
+    scaled_docs.repartition(max(4, factor)).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+
+    emb = load_table(spark, BASE_SF, "embeddings")
+    n_vec = emb.count()
+    # break cross-replica cosine similarity: add hash-derived noise per
+    # (vec_id, rep, position) at the same magnitude as the components
+    # (~±0.25), so replicas of the same vector land in different LSH
+    # buckets; rep 0 keeps the original vectors bit-for-bit
+    def noisy(rep_col):
+        return F.transform(
+            "embedding",
+            lambda x, i: F.when(rep_col == 0, x).otherwise(
+                (
+                    x
+                    + (
+                        F.pmod(
+                            F.xxhash64(F.col("vec_id"), rep_col, i), F.lit(1000)
+                        ).cast("double")
+                        / 1000.0
+                        - 0.5
+                    )
+                    * 0.5
+                ).cast("float")
+            ),
+        )
+
+    scaled_emb = (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(n_vec)).alias("vec_id"),
+            noisy(F.col("rep")).alias("embedding"),
+            "label",
+        )
+    )
+    scaled_emb.repartition(max(4, factor)).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", nargs="+", type=int, default=[1, 3, 10])
+    ap.add_argument("--out", default="/tmp/scale_stress")
+    ap.add_argument("--queries", nargs="+", default=STRESS_QUERIES)
+    args = ap.parse_args()
+
+    from kwack_spark.plans.registry import query_map
+    from kwack_spark.session import get_session
+
+    spark = get_session(app_name="kwack-scale-stress")
+    qmap = query_map()
+
+    # warm the Python worker pool / codegen once so factor-1 isn't penalized
+    spark.range(32).repartition(32).mapInPandas(lambda it: it, "id long").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    # LSH with FIXED plane count is n^2/2^planes by construction: the bucket
+    # space doesn't grow with the corpus, so occupancy — and within-bucket
+    # pairwise work — grows linearly with n.  At scale the signature width
+    # must track log2(n); this extra entry measures exactly that policy
+    # (planes = 4 + ceil(log2(K))) so the table shows fixed-parameter LSH
+    # going super-linear while parameter-scaled LSH stays ~linear.
+    def ann_lsh_scaled_planes(factor: int):
+        def fn(spark, sf_dir):
+            from kwack_spark.operators import similarity
+            from kwack_spark.sources.parquet import load_table
+
+            e = load_table(spark, sf_dir, "embeddings")
+            return similarity.lsh_bucketed_pairs(
+                e, "vec_id", "embedding", planes="auto", dim=64, threshold=0.3
+            )
+
+        return fn
+
+    results: dict[int, dict[str, float]] = {}
+    for factor in args.factors:
+        sf_dir = build_scaled_dir(spark, args.out, factor)
+        qmap = dict(qmap)
+        qmap["ann_lsh_scaled_planes"] = ann_lsh_scaled_planes(factor)
+        timings: dict[str, float] = {}
+        for name in args.queries:
+            for attempt in range(2):  # 2nd run reported: codegen/JIT warm
+                t0 = time.perf_counter()
+                qmap[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+                timings[name] = round(time.perf_counter() - t0, 3)
+                jmap = spark.sparkContext._jsc.getPersistentRDDs()
+                if jmap.size() > 0:
+                    spark.catalog.clearCache()
+                    for jrdd in list(jmap.values()):
+                        try:
+                            jrdd.unpersist(False)
+                        except Exception:
+                            pass
+        results[factor] = timings
+        print(json.dumps({"factor": factor, "timings": timings}), flush=True)
+
+    base = min(args.factors)
+    print("\n| query | " + " | ".join(f"x{f} (s)" for f in args.factors) + " | exponent |")
+    print("|---|" + "---|" * (len(args.factors) + 1))
+    top = max(args.factors)
+    for name in args.queries:
+        row = [f"{results[f][name]:.2f}" for f in args.factors]
+        if top > base and results[base][name] > 0:
+            exp = math.log(results[top][name] / results[base][name]) / math.log(
+                top / base
+            )
+            row.append(f"{exp:.2f}")
+        else:
+            row.append("—")
+        print(f"| {name} | " + " | ".join(row) + " |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
