@@ -684,6 +684,60 @@ def lsh_bucketed_pairs(
     )
 
 
+def lsh_bucketed_pairs_adaptive(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.3,
+    target_bucket_rows: int = 256,
+    max_planes: int = 12,
+) -> DataFrame:
+    """``lsh_bucketed_pairs`` with the ``auto_planes`` policy applied WITHOUT
+    a driver action: every vector's signature is computed at ``max_planes``
+    width and truncated to the policy's width inside the plan — the corpus
+    count arrives as a broadcast 1-row aggregate, so the whole operator is a
+    single declarative job (and oracle-expressible in SQL, unlike the
+    ``planes="auto"`` path whose count() runs driver-side first).
+
+    Signature-prefix truncation is exactly plane-subset bucketing: plane p's
+    bit is independent of the others, so ``substr(sig, 1, k)`` equals the
+    k-plane signature.  At 2x the corpus the truncation keeps one more bit —
+    bucket occupancy, and therefore within-bucket pairwise work per row,
+    stays at ~``target_bucket_rows`` as the data grows (measured: exponent
+    0.24 vs 1.34 fixed-width, SCALING.md)."""
+    base = df.select(F.col(id_col), V.as_double(vec_col).alias("v"))
+    sig = lsh_signature(df, id_col, vec_col, max_planes, dim)
+    n1 = df.select(F.count(F.lit(1)).alias("__n"))
+    floor_, tgt = 4, target_bucket_rows
+    planes_col = F.when(F.col("__n") <= tgt, F.lit(floor_)).otherwise(
+        F.greatest(
+            F.lit(floor_),
+            F.ceil(F.log2(F.col("__n") / F.lit(float(tgt)))).cast("int") + floor_,
+        )
+    )
+    t = (
+        base.join(sig, id_col)
+        .crossJoin(F.broadcast(n1))
+        .withColumn("bucket", F.col("bucket").substr(F.lit(1), planes_col))
+        .drop("__n")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            V.cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_dup_keepers(
     df: DataFrame,
     id_col: str = "vec_id",

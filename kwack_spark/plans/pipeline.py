@@ -532,6 +532,43 @@ def ann_lsh_bucketed(spark, sf_dir):
     return similarity.lsh_bucketed_pairs(e, "vec_id", "embedding", planes=4, dim=64, threshold=0.3)
 
 
+@register(
+    "ann_lsh_adaptive",
+    # the scale-safe LSH: signature width follows ceil(log2(n/256))+4, so
+    # bucket occupancy — and within-bucket pairwise work per row — stays
+    # constant as the corpus grows (fixed-width LSH measures quadratic,
+    # SCALING.md).  The width is data-dependent yet the whole operator is
+    # one declarative plan on BOTH engines: signatures are built at 12
+    # planes and prefix-truncated to the policy width computed from a
+    # 1-row count aggregate (plane bits are independent, so the k-prefix
+    # of a 12-plane signature IS the k-plane signature).
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(12))} AS full_sig FROM v),
+        n1 AS (SELECT count(*) AS n FROM embeddings),
+        t AS (
+            SELECT vec_id, v,
+                   substr(full_sig, 1,
+                          CASE WHEN n <= 256 THEN 4
+                               ELSE GREATEST(4, CAST(CEIL(LOG2(n / 256.0)) AS INT) + 4)
+                          END) AS bucket
+            FROM sig, n1
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql("a", "b")} AS cosine
+        FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_cos_sql("a", "b")} >= 0.3
+    """,
+    tags=("similarity", "ann", "lsh", "scale"),
+)
+def ann_lsh_adaptive(spark, sf_dir):
+    """Adaptive-width LSH near-neighbor pairs (operators/similarity.py:
+    lsh_bucketed_pairs_adaptive) — the production form of ann_lsh_bucketed."""
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_pairs_adaptive(
+        e, "vec_id", "embedding", dim=64, threshold=0.3
+    )
+
+
 _DUP_COS = _cos_sql("a", "b")
 
 

@@ -163,6 +163,7 @@ _PRIORITY = [
     "shard_compaction_plan",
     "embedding_drift_by_label",
     "langid_confusion_matrix",
+    "ann_lsh_adaptive",
     # adapted TPC-H suite
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",

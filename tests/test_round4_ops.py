@@ -286,3 +286,21 @@ def test_lsh_auto_planes_matches_explicit(spark):
     auto = similarity.lsh_bucketed_pairs(e, planes="auto")
     explicit = similarity.lsh_bucketed_pairs(e, planes=expected_planes)
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, explicit.collect()))
+
+
+def test_lsh_adaptive_equals_truncated_explicit(spark):
+    """Prefix-truncating a 12-plane signature to width k must equal bucketing
+    with k planes directly (plane bits are independent), so the adaptive
+    operator's output matches lsh_bucketed_pairs at the policy width."""
+    e = (
+        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .selectExpr("vec_id", "embedding")
+        .limit(600)  # n=600 -> policy width ceil(log2(600/256))+4 = 6 != floor
+    )
+    width = similarity.auto_planes(600)
+    assert width == 6
+    adaptive = similarity.lsh_bucketed_pairs_adaptive(e, "vec_id", "embedding")
+    explicit = similarity.lsh_bucketed_pairs(e, "vec_id", "embedding", planes=width)
+    assert sorted(map(tuple, adaptive.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )

@@ -43,12 +43,15 @@ SCALE_SENSITIVE = [
     "prefix_duplicate_groups",
     "hll_audience_overlap",
     "tpch_q21_waiting_suppliers",
+    # adaptive LSH picks 7 planes at sf0.1's 2000 vectors (4 at sf0.01) —
+    # the width policy itself is only exercised above the 256-row target
+    "ann_lsh_adaptive",
 ]
 
 pytestmark = pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SCALE_TESTS"),
     reason="sf0.1 battery is opt-in (SPARK_GRAFT_SCALE_TESTS=1); "
-    "last full run: 24/24 green",
+    "last full run: 25/25 green",
 )
 
 _load_all()
