@@ -1786,6 +1786,79 @@ def streaming_stateful_running_counts(spark, sf_dir):
 
 
 @register(
+    "streaming_exactly_once_sink",
+    # the durable landing path under the correctness gate: events replay as
+    # 4 micro-batches through the idempotent parquet sink; batch 0 is then
+    # RE-DELIVERED (the crash-replay case) and a second availableNow run on
+    # the same checkpoint proves resume-without-reprocessing; the landed
+    # dataset must STILL equal the plain batch aggregate — any duplication
+    # from the replay or the resume would break the count
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "sink", "exactly-once"),
+)
+def streaming_exactly_once_sink(spark, sf_dir):
+    """Exactly-once durable ingest (streaming/sink.py): decoded rows land
+    under per-batch-id directories with overwrite semantics, so micro-batch
+    re-delivery after a crash rewrites its own directory instead of
+    appending duplicates, and the output is plain partitioned parquet any
+    engine can read (no _spark_metadata dependency).  The query simulates
+    the full failure sequence — ingest, crash-replay of batch 0, resumed
+    run on the same checkpoint — and returns the landed aggregate."""
+    import tempfile
+    import uuid  # noqa: F401  (parity with sibling streaming queries)
+
+    from kwack_spark.streaming import sink as sk
+
+    e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    replay_dir = tempfile.mkdtemp(prefix="kwack_sink_replay_")
+    e.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    land = tempfile.mkdtemp(prefix="kwack_sink_land_")
+    ckpt = tempfile.mkdtemp(prefix="kwack_sink_ckpt_")
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    with _few_shuffle_partitions(spark):
+        q = sk.to_idempotent_parquet_sink(stream, land, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("exactly-once sink did not drain in 300s")
+        # crash-replay: re-deliver batch 0's payload under its original id —
+        # the overwrite must leave the landed row set unchanged.
+        # localCheckpoint materializes the rows BEFORE the overwrite deletes
+        # the directory being re-read (the real replay re-reads the source).
+        b0 = spark.read.parquet(f"{land}/batch_id=0").localCheckpoint(eager=True)
+        sk.idempotent_batch_writer(land)(b0, 0)
+        b0.unpersist()
+        # resume: same checkpoint, no new input -> no batches re-processed
+        q2 = sk.to_idempotent_parquet_sink(
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay_dir),
+            land,
+            ckpt,
+        )
+        if not q2.awaitTermination(300):
+            q2.stop()
+            raise TimeoutError("exactly-once sink resume did not drain in 300s")
+    return (
+        sk.read_sink(spark, land)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "streaming_running_moments",
     # streaming mean/variance state == batch aggregate: per-type running
     # (n, Σv, Σv²) kept as exact milli-unit integers in the state store

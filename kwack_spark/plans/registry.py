@@ -164,6 +164,7 @@ _PRIORITY = [
     "embedding_drift_by_label",
     "langid_confusion_matrix",
     "ann_lsh_adaptive",
+    "streaming_exactly_once_sink",
     # adapted TPC-H suite
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",

@@ -350,3 +350,46 @@ def test_stateful_lsh_ttl_evicts_aged_buckets(spark, tmp_path):
     # 1 ms TTL: bucket holding doc 1 idles through batch 2, times out, and
     # doc 4 finds empty state
     assert replay("on", 1) == set()
+
+
+def test_idempotent_sink_batch_redelivery(spark, tmp_path):
+    """Re-calling the foreachBatch body with the same batch id (the
+    crash-replay case) must leave the landed row set unchanged."""
+    from kwack_spark.streaming import sink as sk
+
+    land = str(tmp_path / "land")
+    d = spark.range(10).selectExpr("id", "id * 2 AS v")
+    write = sk.idempotent_batch_writer(land)
+    write(d, 0)
+    write(d, 0)  # re-delivery
+    got = sk.read_sink(spark, land)
+    assert got.count() == 10
+    assert {r.id for r in got.collect()} == set(range(10))
+
+
+def test_idempotent_sink_resume_processes_only_new_input(spark, tmp_path):
+    """Second availableNow run on the same checkpoint must land ONLY the
+    input that arrived between runs — no reprocessing, no loss."""
+    from kwack_spark.streaming import sink as sk
+
+    src = str(tmp_path / "src")
+    land = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt")
+    first = spark.range(0, 50).selectExpr("id")
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    schema = first.schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = sk.to_idempotent_parquet_sink(stream, land, ckpt)
+        assert q.awaitTermination(120), "sink did not drain"
+
+    drain()
+    assert sk.read_sink(spark, land).count() == 50
+    # new arrivals between runs
+    spark.range(50, 80).selectExpr("id").coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got = sk.read_sink(spark, land)
+    assert got.count() == 80
+    assert {r.id for r in got.collect()} == set(range(80))
