@@ -117,6 +117,8 @@ class KwackSpark:
         value_serde=None,
         key_serde=None,
         frames_dir: str | None = None,
+        durable_path: str | None = None,
+        checkpoint: str | None = None,
     ):
         """Live-table mode: the reference keeps consuming in a background
         thread after init(), so an interactive session sees late records on
@@ -126,7 +128,16 @@ class KwackSpark:
         batch ingest — from readStream Kafka frames (production) or a
         frames directory (tests/replay).  Returns the StreamingQuery;
         callers sync with ``.processAllAvailable()`` and the engine stops
-        it on ``stop()``."""
+        it on ``stop()``.
+
+        ``durable_path`` switches the sink from the in-memory table to the
+        exactly-once parquet landing (streaming/sink.py): micro-batches
+        land under ``durable_path/batch_id=<id>/`` with overwrite-on-replay
+        semantics, the checkpoint (``checkpoint`` or
+        ``<durable_path>/_checkpoint``) makes restarts resume instead of
+        reprocess, and table ``<topic>`` is registered as a view over the
+        landed files — the production shape for sessions that outlive the
+        driver."""
         from kwack_spark.config import Serde
         from kwack_spark.sources.kafka import decode_topic
         from kwack_spark.streaming import ingest as si
@@ -146,6 +157,30 @@ class KwackSpark:
             skip_bytes=self.config.skip_bytes,
         )
         from kwack_spark.session import alias_view, safe_identifier
+
+        if durable_path is not None:
+            from kwack_spark.streaming import sink as sk
+
+            view = safe_identifier(topic, prefix="_kw_live_")
+
+            # a temp view over a parquet path snapshots its file listing at
+            # registration, so the view is RE-registered after every landed
+            # batch (driver-side foreachBatch hook) — late records appear on
+            # re-query exactly like the memory sink
+            def _register_landed_view(_batch_id: int | None = None) -> None:
+                sk.read_sink(self.spark, durable_path).createOrReplaceTempView(view)
+                if view != topic:
+                    alias_view(self.spark, topic, view)
+
+            q = sk.to_idempotent_parquet_sink(
+                decoded,
+                durable_path,
+                checkpoint or f"{durable_path}/_checkpoint",
+                continuous=True,
+                post_batch=_register_landed_view,
+            )
+            self._live_queries[topic] = q
+            return q
 
         # memory-sink query names must be plain identifiers; dashed/dotted
         # topics get an internal sink name plus a backticked alias view

@@ -51,15 +51,25 @@ def to_idempotent_parquet_sink(
     base_path: str,
     checkpoint: str,
     continuous: bool = False,
+    post_batch=None,
 ) -> StreamingQuery:
     """Stream ``df`` into a durable, exactly-once, cross-engine-readable
     parquet dataset at ``base_path``.
 
     ``continuous=False`` (default): Trigger.AvailableNow — drain the backlog
     and stop; re-running with the same checkpoint processes only NEW input.
-    ``continuous=True``: keep the micro-batch loop running (live mode)."""
+    ``continuous=True``: keep the micro-batch loop running (live mode).
+    ``post_batch(batch_id)``, if given, runs driver-side after each landed
+    batch (e.g. re-registering a catalog view over the grown dataset)."""
+    writer = idempotent_batch_writer(base_path)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        writer(batch_df, batch_id)
+        if post_batch is not None:
+            post_batch(batch_id)
+
     w = (
-        df.writeStream.foreachBatch(idempotent_batch_writer(base_path))
+        df.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )

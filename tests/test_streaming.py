@@ -393,3 +393,60 @@ def test_idempotent_sink_resume_processes_only_new_input(spark, tmp_path):
     got = sk.read_sink(spark, land)
     assert got.count() == 80
     assert {r.id for r in got.collect()} == set(range(80))
+
+
+def test_engine_live_topic_durable_sink(spark, tmp_path):
+    """Live-table mode with durable landing: table <topic> is a view over
+    the exactly-once parquet sink, late rows appear on re-query, and the
+    landed dataset is readable by an external engine (DuckDB) without
+    Spark's _spark_metadata log."""
+    import duckdb
+
+    from kwack_spark.config import KwackConfig
+    from kwack_spark.engine import KwackSpark
+
+    path = str(tmp_path / "frames")
+    land = str(tmp_path / "land")
+    reg = MockSchemaRegistry()
+    sid = reg.register("live_dur-value", json.dumps(AVRO), "AVRO")
+
+    def batch(start, n, sub):
+        rows = []
+        for i in range(start, start + n):
+            payload = ks.confluent_frame(
+                avro_schema.encode({"uid": i, "val": float(i)}, AVRO), sid
+            )
+            rows.append(
+                (None, payload, "live_dur", 0, i,
+                 TS0 + datetime.timedelta(seconds=i), 0, None)
+            )
+        spark.createDataFrame(rows, ks.KAFKA_FRAME_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/{sub}")
+
+    batch(0, 5, "b1")
+    eng = KwackSpark(KwackConfig(), spark=spark, registry=reg)
+    q = eng.register_live_topic(
+        "live_dur",
+        value_serde=Serde(kind="latest"),
+        frames_dir=f"{path}/*",
+        durable_path=land,
+    )
+    try:
+        q.processAllAvailable()
+        assert eng.sql("SELECT count(*) AS n FROM live_dur").collect()[0].n == 5
+
+        batch(5, 3, "b2")  # late arrivals after registration
+        q.processAllAvailable()
+        got = eng.sql(
+            "SELECT count(*) AS n, max(uid) AS mx FROM live_dur"
+        ).collect()[0]
+        assert got.n == 8 and got.mx == 7
+    finally:
+        q.stop()
+
+    # cross-engine readability: plain partitioned parquet, no metadata log
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{land}/batch_id=*/*.parquet')"
+    ).fetchone()[0]
+    assert n == 8
