@@ -82,6 +82,10 @@ HEADLINE = [
     "bloom_decontaminate",
     "quality_linear_score",
     "cdc_chunk_dedup",
+    # round-9: the adaptive-width LSH (the production ANN near-dup path —
+    # same pair set as ann_lsh_bucketed at sf0.1's width but occupancy-bound
+    # buckets; see SCALING.md's measured exponents)
+    "ann_lsh_adaptive",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set
