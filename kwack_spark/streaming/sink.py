@@ -82,3 +82,32 @@ def read_sink(spark: SparkSession, base_path: str) -> DataFrame:
     """Read the landed dataset back as ordinary rows (partition discovery
     surfaces ``batch_id``; it is lineage metadata, not data — dropped)."""
     return spark.read.parquet(base_path).drop("batch_id")
+
+
+def compact_sink(
+    spark: SparkSession,
+    base_path: str,
+    out_path: str,
+    target_rows_per_file: int = 1_000_000,
+    shuffle: bool = True,
+) -> int:
+    """Offline compaction of a landed dataset: rewrite the accumulated
+    per-batch directories (one per micro-batch — the small-file problem at
+    production rates) into ``ceil(n / target_rows_per_file)`` balanced
+    files under ``out_path``.  Returns the output file count.
+
+    Run it BETWEEN streaming runs, sink stopped: compaction writes a new
+    location, so a crash mid-compact leaves the original batch directories
+    untouched (re-run to completion, then atomically repoint readers /
+    delete the old dirs — never compact in place).  ``shuffle=True``
+    repartitions for uniform file sizes (one full shuffle — the usual
+    price of a compaction job); ``shuffle=False`` coalesces instead: no
+    shuffle, but file sizes follow the existing partition skew."""
+    import math
+
+    df = read_sink(spark, base_path)
+    n = df.count()
+    files = max(1, math.ceil(n / target_rows_per_file))
+    out = df.repartition(files) if shuffle else df.coalesce(files)
+    out.write.mode("overwrite").parquet(out_path)
+    return files

@@ -450,3 +450,24 @@ def test_engine_live_topic_durable_sink(spark, tmp_path):
         f"SELECT count(*) FROM read_parquet('{land}/batch_id=*/*.parquet')"
     ).fetchone()[0]
     assert n == 8
+
+
+def test_compact_sink_preserves_rows(spark, tmp_path):
+    """Compaction rewrites the per-batch directories into the planned
+    number of balanced files with the identical row set."""
+    import glob
+
+    from kwack_spark.streaming import sink as sk
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "compacted")
+    write = sk.idempotent_batch_writer(land)
+    for b in range(5):
+        write(spark.range(b * 10, b * 10 + 10).selectExpr("id"), b)
+
+    files = sk.compact_sink(spark, land, out, target_rows_per_file=20)
+    assert files == 3  # ceil(50 / 20)
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 3
+    got = spark.read.parquet(out)
+    assert "batch_id" not in got.columns
+    assert {r.id for r in got.collect()} == set(range(50))
