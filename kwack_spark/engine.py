@@ -162,15 +162,37 @@ class KwackSpark:
             from kwack_spark.streaming import sink as sk
 
             view = safe_identifier(topic, prefix="_kw_live_")
+            # the landed schema is the decoded stream's schema minus nothing
+            # (partition col is appended by the reader, dropped by read_sink)
+            # — pin it so per-batch re-registration skips footer inference
+            landed_schema = decoded.schema
 
             # a temp view over a parquet path snapshots its file listing at
             # registration, so the view is RE-registered after every landed
             # batch (driver-side foreachBatch hook) — late records appear on
-            # re-query exactly like the memory sink
+            # re-query exactly like the memory sink.  Listing cost grows
+            # with the batch-directory count; compact_sink bounds it.
             def _register_landed_view(_batch_id: int | None = None) -> None:
-                sk.read_sink(self.spark, durable_path).createOrReplaceTempView(view)
+                from kwack_spark.streaming.sink import PARTITION_COL
+
+                (
+                    self.spark.read.schema(landed_schema)
+                    .parquet(durable_path)
+                    .drop(PARTITION_COL)
+                    .createOrReplaceTempView(view)
+                )
                 if view != topic:
                     alias_view(self.spark, topic, view)
+
+            # register EAGERLY too: on a restart against an already-landed
+            # dataset with no new input, no batch ever fires the hook, and
+            # an empty topic must still present an (empty) queryable table —
+            # the explicit schema makes both cases resolvable with zero or
+            # many files on disk (the dir must exist for path resolution)
+            import os
+
+            os.makedirs(durable_path, exist_ok=True)
+            _register_landed_view()
 
             q = sk.to_idempotent_parquet_sink(
                 decoded,

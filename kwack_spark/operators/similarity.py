@@ -639,8 +639,8 @@ def auto_planes(n_rows: int, target_bucket_rows: int = 256, floor: int = 4) -> i
     occupancy — and within-bucket pairwise work — grows linearly with n and
     total work grows ~n².  Holding occupancy constant instead makes the
     pairwise stage O(n * target) ~ linear.  Measured in tools/scale_stress.py:
-    at 10x the corpus, fixed 4-plane LSH scales with exponent ~1.7 while this
-    policy stays ~1.0 (see SCALING.md).  The cost of more planes is recall on
+    at 10x the corpus, fixed 4-plane LSH scales with exponent 1.34 while this
+    policy stays at 0.24 (see SCALING.md).  The cost of more planes is recall on
     borderline pairs — production sweeps multi-probe tables (several
     independent plane sets) to buy recall back, which multiplies work by the
     table count, not n."""
@@ -705,7 +705,16 @@ def lsh_bucketed_pairs_adaptive(
     k-plane signature.  At 2x the corpus the truncation keeps one more bit —
     bucket occupancy, and therefore within-bucket pairwise work per row,
     stays at ~``target_bucket_rows`` as the data grows (measured: exponent
-    0.24 vs 1.34 fixed-width, SCALING.md)."""
+    0.24 vs 1.34 fixed-width, SCALING.md).
+
+    ``max_planes`` bounds the policy: capacity is ``target_bucket_rows *
+    2**(max_planes - 4)`` rows (12 planes -> 65k at the defaults), beyond
+    which occupancy grows linearly again — the fixed-width trap this
+    operator exists to avoid.  Size it for the corpus: each extra plane
+    costs one dot product per vector (linear), so 24 planes (~268M rows)
+    or 32 (~68B) are cheap insurance at scale.  The registered
+    ``ann_lsh_adaptive`` query pins 12 to match its DuckDB oracle's
+    generated signature."""
     base = df.select(F.col(id_col), V.as_double(vec_col).alias("v"))
     sig = lsh_signature(df, id_col, vec_col, max_planes, dim)
     n1 = df.select(F.count(F.lit(1)).alias("__n"))

@@ -1833,10 +1833,16 @@ def streaming_exactly_once_sink(spark, sf_dir):
         # the overwrite must leave the landed row set unchanged.
         # localCheckpoint materializes the rows BEFORE the overwrite deletes
         # the directory being re-read (the real replay re-reads the source).
-        b0 = spark.read.parquet(f"{land}/batch_id=0").localCheckpoint(eager=True)
+        b0 = spark.read.parquet(f"{land}/kw_batch_id=0").localCheckpoint(eager=True)
         sk.idempotent_batch_writer(land)(b0, 0)
         b0.unpersist()
-        # resume: same checkpoint, no new input -> no batches re-processed
+        # resume: same checkpoint, no new input -> no batches re-processed.
+        # Asserted on the DIRECTORY SET, not just the final aggregate — a
+        # broken checkpoint that reprocessed everything could land the same
+        # row union under new batch ids and the aggregate alone would pass.
+        import glob
+
+        dirs_before = sorted(glob.glob(f"{land}/kw_batch_id=*"))
         q2 = sk.to_idempotent_parquet_sink(
             spark.readStream.schema(e.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1847,6 +1853,11 @@ def streaming_exactly_once_sink(spark, sf_dir):
         if not q2.awaitTermination(300):
             q2.stop()
             raise TimeoutError("exactly-once sink resume did not drain in 300s")
+        dirs_after = sorted(glob.glob(f"{land}/kw_batch_id=*"))
+        if dirs_after != dirs_before:
+            raise AssertionError(
+                f"resume reprocessed input: batch dirs {dirs_before} -> {dirs_after}"
+            )
     return (
         sk.read_sink(spark, land)
         .groupBy("event_type")

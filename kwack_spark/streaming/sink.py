@@ -14,12 +14,20 @@ here must survive two failure modes Structured Streaming creates:
 
 ``to_idempotent_parquet_sink`` uses the standard production pattern:
 ``foreachBatch`` landing every micro-batch under its own Hive-style
-``batch_id=<id>/`` directory with ``mode("overwrite")``.  Replaying batch N
-rewrites directory N in place instead of appending — the write is
+``kw_batch_id=<id>/`` directory with ``mode("overwrite")``.  Replaying
+batch N rewrites directory N in place instead of appending — the write is
 idempotent per batch id, so checkpoint + directory-overwrite compose to
 end-to-end exactly-once, and the output is a plain partitioned parquet
-dataset any engine can read (the ``batch_id`` partition column is dropped
-by ``read_sink``).
+dataset any engine can read (the ``kw_batch_id`` partition column is
+dropped by ``read_sink``; a data column of that name is rejected at write
+time rather than colliding with the partition schema).
+
+The overwrite is idempotent, NOT atomic: Spark deletes the directory and
+then writes the new files, so a reader racing a replay can transiently see
+a partially-deleted/partially-written batch directory.  Exactly-once holds
+for data at rest (after the replayed batch commits); readers that must
+never observe the transient state should quiesce during replay recovery or
+read through a snapshot/manifest layer.
 
 Scale shape: one directory per micro-batch, each written partition-parallel
 by the executors that produced it — no extra shuffle, no driver data path.
@@ -34,14 +42,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 
+PARTITION_COL = "kw_batch_id"  # no leading underscore: _-prefixed paths are
+# hidden from Spark's partition discovery, and "batch_id" alone could
+# collide with a topic's own column
+
+
 def idempotent_batch_writer(base_path: str):
     """The ``foreachBatch`` body: land one micro-batch under
-    ``base_path/batch_id=<id>`` atomically-per-directory.  Safe to call again
-    with the same batch id (re-delivery): overwrite replaces the directory's
-    previous contents instead of appending beside them."""
+    ``base_path/kw_batch_id=<id>``.  Safe to call again with the same batch
+    id (re-delivery): overwrite replaces the directory's previous contents
+    instead of appending beside them (idempotent per batch id; see the
+    module docstring for the non-atomicity caveat)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(f"{base_path}/batch_id={batch_id}")
+        if PARTITION_COL in batch_df.columns:
+            raise ValueError(
+                f"column {PARTITION_COL!r} collides with the sink's partition "
+                "column; rename it before landing"
+            )
+        batch_df.write.mode("overwrite").parquet(
+            f"{base_path}/{PARTITION_COL}={batch_id}"
+        )
 
     return write_batch
 
@@ -80,8 +101,8 @@ def to_idempotent_parquet_sink(
 
 def read_sink(spark: SparkSession, base_path: str) -> DataFrame:
     """Read the landed dataset back as ordinary rows (partition discovery
-    surfaces ``batch_id``; it is lineage metadata, not data — dropped)."""
-    return spark.read.parquet(base_path).drop("batch_id")
+    surfaces ``kw_batch_id``; it is lineage metadata, not data — dropped)."""
+    return spark.read.parquet(base_path).drop(PARTITION_COL)
 
 
 def compact_sink(

@@ -385,14 +385,34 @@ def test_idempotent_sink_resume_processes_only_new_input(spark, tmp_path):
         q = sk.to_idempotent_parquet_sink(stream, land, ckpt)
         assert q.awaitTermination(120), "sink did not drain"
 
+    def batch_dirs():
+        import glob as g
+
+        return sorted(
+            int(p.rsplit("=", 1)[1])
+            for p in g.glob(f"{land}/{sk.PARTITION_COL}=*")
+        )
+
     drain()
     assert sk.read_sink(spark, land).count() == 50
+    first_dirs = batch_dirs()
     # new arrivals between runs
     spark.range(50, 80).selectExpr("id").coalesce(1).write.mode("append").parquet(src)
     drain()
     got = sk.read_sink(spark, land)
     assert got.count() == 80
     assert {r.id for r in got.collect()} == set(range(80))
+    # resume really resumed: the first run's batch dirs are untouched and
+    # the new rows landed ONLY in new batch ids.  (Without this check a
+    # broken checkpoint that reprocesses everything into batch 0 would
+    # still produce the right 80-row union and the count asserts above
+    # would pass vacuously.)
+    assert batch_dirs()[: len(first_dirs)] == first_dirs
+    assert len(batch_dirs()) > len(first_dirs)
+    old_rows = spark.read.parquet(
+        *[f"{land}/{sk.PARTITION_COL}={b}" for b in first_dirs]
+    )
+    assert {r.id for r in old_rows.collect()} == set(range(50))
 
 
 def test_engine_live_topic_durable_sink(spark, tmp_path):
@@ -447,7 +467,7 @@ def test_engine_live_topic_durable_sink(spark, tmp_path):
 
     # cross-engine readability: plain partitioned parquet, no metadata log
     n = duckdb.connect().execute(
-        f"SELECT count(*) FROM read_parquet('{land}/batch_id=*/*.parquet')"
+        f"SELECT count(*) FROM read_parquet('{land}/kw_batch_id=*/*.parquet')"
     ).fetchone()[0]
     assert n == 8
 
@@ -469,5 +489,71 @@ def test_compact_sink_preserves_rows(spark, tmp_path):
     assert files == 3  # ceil(50 / 20)
     assert len(glob.glob(f"{out}/part-*.parquet")) == 3
     got = spark.read.parquet(out)
-    assert "batch_id" not in got.columns
+    assert sk.PARTITION_COL not in got.columns
     assert {r.id for r in got.collect()} == set(range(50))
+
+
+def test_sink_rejects_colliding_column(spark, tmp_path):
+    from kwack_spark.streaming import sink as sk
+
+    d = spark.range(3).selectExpr("id", f"id AS {sk.PARTITION_COL}")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="collides"):
+        sk.idempotent_batch_writer(str(tmp_path / "land"))(d, 0)
+
+
+def test_engine_live_topic_durable_restart_no_new_input(spark, tmp_path):
+    """Restart against an already-landed dataset with NO new frames: the
+    checkpoint replays nothing, so no batch fires the view hook — the table
+    must still be registered (eagerly) and show the landed rows.  Also
+    covers the empty-topic case: the view resolves before any batch lands."""
+    from kwack_spark.config import KwackConfig
+    from kwack_spark.engine import KwackSpark
+
+    path = str(tmp_path / "frames")
+    land = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt")
+    reg = MockSchemaRegistry()
+    sid = reg.register("live_rst-value", json.dumps(AVRO), "AVRO")
+
+    rows = []
+    for i in range(4):
+        payload = ks.confluent_frame(
+            avro_schema.encode({"uid": i, "val": float(i)}, AVRO), sid
+        )
+        rows.append(
+            (None, payload, "live_rst", 0, i,
+             TS0 + datetime.timedelta(seconds=i), 0, None)
+        )
+    spark.createDataFrame(rows, ks.KAFKA_FRAME_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/b1")
+
+    def session():
+        eng = KwackSpark(KwackConfig(), spark=spark, registry=reg)
+        return eng, eng.register_live_topic(
+            "live_rst",
+            value_serde=Serde(kind="latest"),
+            frames_dir=f"{path}/*",
+            durable_path=land,
+            checkpoint=ckpt,
+        )
+
+    eng, q = session()
+    try:
+        q.processAllAvailable()
+        assert eng.sql("SELECT count(*) AS n FROM live_rst").collect()[0].n == 4
+    finally:
+        q.stop()
+
+    # "restart": fresh engine, same durable_path/checkpoint, no new frames.
+    # The table must be queryable IMMEDIATELY (eager registration), before
+    # any micro-batch — the hook never fires because nothing is replayed.
+    eng2, q2 = session()
+    try:
+        assert eng2.sql("SELECT count(*) AS n FROM live_rst").collect()[0].n == 4
+        q2.processAllAvailable()
+        assert eng2.sql("SELECT max(uid) AS mx FROM live_rst").collect()[0].mx == 3
+    finally:
+        q2.stop()

@@ -167,25 +167,24 @@ def main() -> None:
     # space doesn't grow with the corpus, so occupancy — and within-bucket
     # pairwise work — grows linearly with n.  At scale the signature width
     # must track log2(n); this extra entry measures exactly that policy
-    # (planes = 4 + ceil(log2(K))) so the table shows fixed-parameter LSH
-    # going super-linear while parameter-scaled LSH stays ~linear.
-    def ann_lsh_scaled_planes(factor: int):
-        def fn(spark, sf_dir):
-            from kwack_spark.operators import similarity
-            from kwack_spark.sources.parquet import load_table
+    # (auto_planes: planes = ceil(log2(n/256)) + 4, from the scaled corpus's
+    # live row count) so the table shows fixed-parameter LSH going
+    # super-linear while parameter-scaled LSH stays ~linear.
+    def ann_lsh_scaled_planes(spark, sf_dir):
+        from kwack_spark.operators import similarity
+        from kwack_spark.sources.parquet import load_table
 
-            e = load_table(spark, sf_dir, "embeddings")
-            return similarity.lsh_bucketed_pairs(
-                e, "vec_id", "embedding", planes="auto", dim=64, threshold=0.3
-            )
+        e = load_table(spark, sf_dir, "embeddings")
+        return similarity.lsh_bucketed_pairs(
+            e, "vec_id", "embedding", planes="auto", dim=64, threshold=0.3
+        )
 
-        return fn
+    qmap = dict(qmap)
+    qmap["ann_lsh_scaled_planes"] = ann_lsh_scaled_planes
 
     results: dict[int, dict[str, float]] = {}
     for factor in args.factors:
         sf_dir = build_scaled_dir(spark, args.out, factor)
-        qmap = dict(qmap)
-        qmap["ann_lsh_scaled_planes"] = ann_lsh_scaled_planes(factor)
         timings: dict[str, float] = {}
         for name in args.queries:
             for attempt in range(2):  # 2nd run reported: codegen/JIT warm
