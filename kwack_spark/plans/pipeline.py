@@ -1870,6 +1870,65 @@ def streaming_exactly_once_sink(spark, sf_dir):
 
 
 @register(
+    "sink_compaction_roundtrip",
+    # the maintenance path under the correctness gate: events land through
+    # the exactly-once sink (one dir per micro-batch — the small-file
+    # shape), compact_sink rewrites them into size-bounded balanced files,
+    # and the compacted dataset must still equal the batch aggregate —
+    # compaction is a layout change, never a data change
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "sink", "compaction"),
+)
+def sink_compaction_roundtrip(spark, sf_dir):
+    """Sink-compaction round trip (streaming/sink.py:compact_sink): the
+    per-batch directories a live topic accumulates are rewritten into
+    ceil(n/target) balanced files at a new location; row set preserved,
+    lineage (kw_batch_id) dropped.  The aggregate over the COMPACTED
+    output is what gets oracle-checked."""
+    import math
+    import tempfile
+
+    from kwack_spark.streaming import sink as sk
+
+    e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    replay_dir = tempfile.mkdtemp(prefix="kwack_cmp_replay_")
+    e.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    land = tempfile.mkdtemp(prefix="kwack_cmp_land_")
+    ckpt = tempfile.mkdtemp(prefix="kwack_cmp_ckpt_")
+    out = tempfile.mkdtemp(prefix="kwack_cmp_out_")
+
+    with _few_shuffle_partitions(spark):
+        q = sk.to_idempotent_parquet_sink(
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay_dir),
+            land,
+            ckpt,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("compaction-roundtrip sink did not drain in 300s")
+        n = e.count()
+        target = max(1, math.ceil(n / 8))  # plan ~8 balanced output files
+        files = sk.compact_sink(spark, land, out, target_rows_per_file=target)
+        if files != math.ceil(n / target):
+            raise AssertionError(f"unexpected file plan: {files}")
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "streaming_running_moments",
     # streaming mean/variance state == batch aggregate: per-type running
     # (n, Σv, Σv²) kept as exact milli-unit integers in the state store

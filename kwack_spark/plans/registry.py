@@ -165,6 +165,7 @@ _PRIORITY = [
     "langid_confusion_matrix",
     "ann_lsh_adaptive",
     "streaming_exactly_once_sink",
+    "sink_compaction_roundtrip",
     # adapted TPC-H suite
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",
