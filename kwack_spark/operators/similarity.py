@@ -625,9 +625,22 @@ def _hyperplane_sign(vec, plane: int, dim: int):
     return F.when(V.dot(vec, comp) >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 
-def lsh_signature(df: DataFrame, id_col: str, vec_col: str, planes: int = 8, dim: int = 64) -> DataFrame:
+def lsh_signature(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: int = 8,
+    dim: int = 64,
+    plane_offset: int = 0,
+) -> DataFrame:
+    """``plane_offset`` selects an independent plane set (table t uses
+    offset t*planes): the md5-derived plane components depend only on the
+    global plane index, so disjoint index ranges give statistically
+    independent hash tables for multi-probe."""
     v = V.as_double(vec_col)
-    sig = F.concat(*[_hyperplane_sign(v, p, dim) for p in range(planes)])
+    sig = F.concat(
+        *[_hyperplane_sign(v, plane_offset + p, dim) for p in range(planes)]
+    )
     return df.select(F.col(id_col), sig.alias("bucket"))
 
 
@@ -665,8 +678,20 @@ def lsh_bucketed_pairs(
     ``auto_planes`` (one cheap count() action — parquet metadata at scale)."""
     if planes == "auto":
         planes = auto_planes(df.count())
+    return _bucket_pairs(df, id_col, vec_col, planes, dim, threshold, 0)
+
+
+def _bucket_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: int,
+    dim: int,
+    threshold: float,
+    plane_offset: int,
+) -> DataFrame:
     base = df.select(F.col(id_col), V.as_double(vec_col).alias("v"))
-    sig = lsh_signature(df, id_col, vec_col, planes, dim)
+    sig = lsh_signature(df, id_col, vec_col, planes, dim, plane_offset)
     t = base.join(sig, id_col)
     a, b = t.alias("a"), t.alias("b")
     return (
@@ -682,6 +707,40 @@ def lsh_bucketed_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def lsh_multitable_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    dim: int = 64,
+    threshold: float = 0.3,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Multi-table LSH near-neighbor pairs: the union of
+    ``lsh_bucketed_pairs`` over ``n_tables`` INDEPENDENT plane sets (table
+    t hashes with plane indices [t*planes, (t+1)*planes)).
+
+    This is the standard recall lever for hashing-based ANN: a true pair
+    whose cosine puts per-plane agreement probability at p survives one
+    table with probability p^planes but at least one of T tables with
+    1-(1-p^planes)^T — recall lost to narrower buckets (more planes, the
+    occupancy lever) is bought back with more tables.
+
+    Scale shape: work and shuffles scale with T — T bucket-key shuffles
+    plus one distinct-shuffle to merge the tables' pair sets — and stay
+    LINEAR in n (each table inherits lsh_bucketed_pairs' occupancy bound).
+    Cosine is computed identically in every table, so the merge is a set
+    union of identical rows, not a re-score."""
+    parts = [
+        _bucket_pairs(df, id_col, vec_col, planes, dim, threshold, t * planes)
+        for t in range(n_tables)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.distinct()
 
 
 def lsh_bucketed_pairs_adaptive(

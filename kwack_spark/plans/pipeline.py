@@ -569,6 +569,36 @@ def ann_lsh_adaptive(spark, sf_dir):
     )
 
 
+@register(
+    "ann_lsh_multitable",
+    # multi-probe recall lever: union of two INDEPENDENT hash tables
+    # (plane index ranges [0,4) and [4,8)) — a pair missed by one table's
+    # bucketing is found by the other with independent probability; UNION
+    # (set semantics) merges the tables' identical-row pair sets
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s0 AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(0, 4))} AS bucket FROM v),
+        s1 AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(4, 8))} AS bucket FROM v)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql("a", "b")} AS cosine
+        FROM s0 a JOIN s0 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_cos_sql("a", "b")} >= 0.3
+        UNION
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql("a", "b")} AS cosine
+        FROM s1 a JOIN s1 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_cos_sql("a", "b")} >= 0.3
+    """,
+    tags=("similarity", "ann", "lsh", "multiprobe"),
+)
+def ann_lsh_multitable(spark, sf_dir):
+    """Two-table multi-probe LSH (operators/similarity.py:
+    lsh_multitable_pairs) — the recall-side complement of
+    ann_lsh_adaptive's occupancy policy."""
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.lsh_multitable_pairs(
+        e, "vec_id", "embedding", planes=4, dim=64, threshold=0.3, n_tables=2
+    )
+
+
 _DUP_COS = _cos_sql("a", "b")
 
 

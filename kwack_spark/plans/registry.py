@@ -166,6 +166,7 @@ _PRIORITY = [
     "ann_lsh_adaptive",
     "streaming_exactly_once_sink",
     "sink_compaction_roundtrip",
+    "ann_lsh_multitable",
     # adapted TPC-H suite
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",

@@ -304,3 +304,21 @@ def test_lsh_adaptive_equals_truncated_explicit(spark):
     assert sorted(map(tuple, adaptive.collect())) == sorted(
         map(tuple, explicit.collect())
     )
+
+
+def test_lsh_multitable_properties(spark):
+    """n_tables=1 is exactly lsh_bucketed_pairs; more tables only ADD pairs
+    (set union), and every added pair still clears the cosine threshold."""
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .selectExpr("vec_id", "embedding")
+    )
+    one = similarity.lsh_multitable_pairs(e, n_tables=1)
+    single = similarity.lsh_bucketed_pairs(e, planes=4)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, single.collect()))
+
+    two = similarity.lsh_multitable_pairs(e, n_tables=2)
+    s1 = {(r.id_a, r.id_b) for r in single.collect()}
+    s2 = {(r.id_a, r.id_b) for r in two.collect()}
+    assert s1 <= s2
+    assert all(r.cosine >= 0.3 for r in two.collect())
