@@ -53,20 +53,110 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # corpus per round, so the map is ordered to put never-driver-graded queries
 # first (every name below already passes the local oracle harness in
 # tests/test_oracle.py, and the scale-sensitive subset additionally passes
-# at sf0.1 via tests/test_scale_oracle.py).  Rounds 1+2 graded 89 distinct
-# names green; round 3's prefix = the round-2 VERDICT's explicitly-demanded
-# kafka_proto_msgindex + 49 names from the original registry's never-graded
-# backlog (cumulative driver coverage of that registry -> 138/155).  The
-# round-3-new operators and the TPC-H suite queue right behind and fill
-# round 4's prefix.  Names not listed keep registration order after the
-# listed ones; the list is advisory ordering only — every query stays
-# registered.
+# at sf0.1 via tests/test_scale_oracle.py).  Rounds 1-3 graded 139 distinct
+# names, all green.  Round 4's prefix (round-3 VERDICT ask #1) rotates the
+# never-driver-graded backlog to the front: the r04-new queries, the full
+# TPC-H suite, then the backlog in its curated order; the remainder of the
+# backlog sits at positions 50+ as round 5's planned prefix, and the 139
+# already-green names form the tail.  Names not listed keep registration
+# order after the listed ones; the list is advisory ordering only — every
+# query stays registered.
 _PRIORITY = [
-    # round-2 VERDICT ask #2 (explicit r03 done-criterion) — graded first
+    # --- round-4 graded prefix (positions 0-49): the three r04-new queries,
+    # the full TPC-H suite (round-3 VERDICT ask #5), then the front of the
+    # never-driver-graded backlog.  Everything here is green in the local
+    # DuckDB-oracle harness (tests/test_oracle.py).
+    "kafka_jsonschema_fastpath",
+    "multimodal_png_decode",
+    "ann_pq_distributed",
+    # adapted TPC-H suite — the reference's real workload (arbitrary
+    # analytic SQL over topics, KwackConfig.java:85-86)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_priority_count",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    # never-driver-graded backlog, original curated order
+    "text_token_stats",
+    "text_token_rarity",
+    "text_token_count_bpe",
+    "text_quality",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "window_tumbling_hourly",
+    "session_windows",
+    "multimodal_binary_meta",
+    "multimodal_fake_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_byte_features",
+    "multimodal_wav_decode",
+    "streaming_window_counts",
+    "streaming_stateful_running_counts",
+    "streaming_dedup_keys",
+    "kafka_avro_fastpath",
+    "kafka_avro_key_roundtrip",
+    "quality_bucket_sample",
+    "cooccurrence_window_counts",
+    "hard_negative_mining",
+    "training_order_shuffle",
+    "user_path_trigrams",
+    "event_transition_matrix",
+    "length_bucketed_batches",
+    "prefix_duplicate_groups",
+    # --- round-5 graded prefix (positions 50-84): remainder of the
+    # never-graded backlog — rotate these to 0-49 next round
+    "daily_anomaly_zscore",
+    "sax_weekly_symbols",
+    "hll_audience_overlap",
+    "streaming_running_moments",
+    "bm25_topk_search",
+    "dedup_keep_best_in_cluster",
+    "textrank_keywords",
+    "k_anonymity_suppress",
+    "bpe_merge_candidates",
+    "join_positional",
+    "order_by_all",
+    "shard_manifest_hashes",
+    "agg_mode_manual",
+    "inverted_index_incremental",
+    "shard_compaction_plan",
+    "embedding_drift_by_label",
+    "langid_confusion_matrix",
+    "ann_lsh_adaptive",
+    "streaming_exactly_once_sink",
+    "sink_compaction_roundtrip",
+    "ann_lsh_multitable",
+    "hll_distinct_users",
+    "hll_merge_shards",
+    "bloom_decontaminate",
+    "quality_linear_score",
+    "cdc_chunk_dedup",
+    "streaming_hll_distinct",
+    "dedup_simhash_hamming",
+    "streaming_cms_counts",
+    "inverted_index_build",
+    "semdedup_cluster_prune",
+    "cms_heavy_hitters",
+    "temperature_mixture_sample",
+    # --- already driver-green in r01-r03 (139 names, all green) — tail,
+    # re-graded only if the prefix budget allows
     "kafka_proto_msgindex",
-    # never driver-graded (rounds 1-2 prefix never reached them) — the
-    # recall gates lead per ADVICE (ann_pq_recall was registered but
-    # previously omitted from the graded prefix)
     "ann_pq_recall",
     "ann_ivf_recall",
     "asof_purchase_attribution",
@@ -116,88 +206,6 @@ _PRIORITY = [
     "embedding_centroid_by_label",
     "embedding_quantize_int8",
     "ann_ivf_topk",
-    "text_token_stats",
-    "text_token_rarity",
-    "text_token_count_bpe",
-    "text_quality",
-    "text_lang_id",
-    "text_pii_redact",
-    "text_repetition_filter",
-    "window_tumbling_hourly",
-    "session_windows",
-    "multimodal_binary_meta",
-    "multimodal_fake_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "multimodal_byte_features",
-    "streaming_window_counts",
-    "streaming_stateful_running_counts",
-    "streaming_dedup_keys",
-    # new in round 3 (local-oracle green), queued after the original
-    # registry's never-graded backlog so cumulative coverage of that
-    # registry clears first; these fill round 4's prefix
-    "kafka_avro_fastpath",
-    "kafka_avro_key_roundtrip",
-    "quality_bucket_sample",
-    "cooccurrence_window_counts",
-    "hard_negative_mining",
-    "training_order_shuffle",
-    "user_path_trigrams",
-    "event_transition_matrix",
-    "length_bucketed_batches",
-    "prefix_duplicate_groups",
-    "daily_anomaly_zscore",
-    "sax_weekly_symbols",
-    "hll_audience_overlap",
-    "streaming_running_moments",
-    "bm25_topk_search",
-    "dedup_keep_best_in_cluster",
-    "textrank_keywords",
-    "k_anonymity_suppress",
-    "bpe_merge_candidates",
-    "join_positional",
-    "order_by_all",
-    "shard_manifest_hashes",
-    "agg_mode_manual",
-    "inverted_index_incremental",
-    "shard_compaction_plan",
-    "embedding_drift_by_label",
-    "langid_confusion_matrix",
-    "ann_lsh_adaptive",
-    "streaming_exactly_once_sink",
-    "sink_compaction_roundtrip",
-    "ann_lsh_multitable",
-    # adapted TPC-H suite
-    "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q4_priority_count",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_shipping",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "hll_distinct_users",
-    "hll_merge_shards",
-    "bloom_decontaminate",
-    "quality_linear_score",
-    "cdc_chunk_dedup",
-    "streaming_hll_distinct",
-    "dedup_simhash_hamming",
-    "streaming_cms_counts",
-    "inverted_index_build",
-    # already driver-green in r1/r2 — tail, re-graded only if the prefix
-    # budget allows
     "q1_pricing_summary",
     "kafka_avro_roundtrip",
     "kafka_json_schema_roundtrip",
