@@ -98,15 +98,25 @@ def config_from_args(args: argparse.Namespace) -> KwackConfig:
     if args.metadata_timeout is not None:
         cfg.metadata_timeout_ms = args.metadata_timeout
     for item in args.property:
-        k, _, v = item.partition("=")
+        k, sep, v = item.partition("=")
+        if not sep or not k.strip():
+            # typed keys would otherwise surface this as a raw traceback
+            # (e.g. -X skip.bytes -> int('') ValueError)
+            raise ValueError(
+                f"-X/--property expects <prop>=<val>, got {item!r}"
+            )
         cfg.apply_property(k, v)
     cfg.query = args.query
     return cfg
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
-    cfg = config_from_args(args)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    try:
+        cfg = config_from_args(args)
+    except ValueError as e:  # malformed flag values -> usage error, not traceback
+        parser.error(str(e))
     engine = KwackSpark(cfg).init()
     try:
         if cfg.query:

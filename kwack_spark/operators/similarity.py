@@ -96,9 +96,10 @@ def brute_force_topk_vectorized(
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     m = np.array([list(r[1]) for r in rows], dtype=np.float64)
     m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
-    labels = (
-        np.array([r[2] for r in rows], dtype=np.int64) if label_col else None
-    )
+    # labels are only compared for (in)equality, so keep whatever dtype the
+    # column has — np.array without a forced dtype handles string / object
+    # class labels as well as ints
+    labels = np.array([r[2] for r in rows]) if label_col else None
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((ids, m_n, labels))
 
@@ -109,9 +110,7 @@ def brute_force_topk_vectorized(
             q = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             q_n = q / np.linalg.norm(q, axis=1, keepdims=True)
             q_labels = (
-                pdf[label_col].to_numpy(dtype=np.int64)
-                if c_labels is not None
-                else None
+                pdf[label_col].to_numpy() if c_labels is not None else None
             )
             scores = q_n @ c_mat.T
             # exclusion mask: self-pairs, or (hard-negative mode) the
@@ -307,29 +306,44 @@ def ivf_topk(
     ).select("query_id", "corpus_id", "cosine", "rank")
 
 
-_ACTIVE_CACHE: dict = {}
+# Rotation state is keyed per SparkSession (weakly — a stopped, dropped
+# session releases its entry instead of pinning the last DataFrame's plan
+# forever) and guarded by a lock so concurrent callers in different
+# sessions cannot unpersist each other's index cache mid-build.
+import threading as _threading
+import weakref as _weakref
+
+_ACTIVE_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+_ACTIVE_CACHE_LOCK = _threading.Lock()
 
 
 def _persist_rotating(tag: str, df: DataFrame) -> DataFrame:
-    """Persist ``df``, releasing the PREVIOUS persisted frame under ``tag``.
+    """Persist ``df``, releasing the PREVIOUS persisted frame under ``tag``
+    within the same SparkSession.
 
     DataFrame.persist pins the plan in the session CacheManager until an
     explicit unpersist — garbage collection never frees it — so a
     long-lived session calling a PQ operator repeatedly would accumulate
     one full reconstructed-index cache per call.  Rotating keeps at most
-    ONE outstanding cache per operator family: by the time the next call
-    arrives, the prior call's consumers have executed, and a still-held
-    old result simply recomputes uncached if re-executed."""
+    ONE outstanding cache per operator family per session: by the time the
+    next call arrives, the prior call's consumers have executed, and a
+    still-held old result simply recomputes uncached if re-executed."""
     from pyspark import StorageLevel
 
-    prev = _ACTIVE_CACHE.pop(tag, None)
+    spark = df.sparkSession
+    with _ACTIVE_CACHE_LOCK:
+        per_session = _ACTIVE_CACHE.get(spark)
+        if per_session is None:
+            per_session = {}
+            _ACTIVE_CACHE[spark] = per_session
+        prev = per_session.pop(tag, None)
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        per_session[tag] = out
     if prev is not None:
         try:
             prev.unpersist(False)
         except Exception:
             pass
-    out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _ACTIVE_CACHE[tag] = out
     return out
 
 
@@ -646,7 +660,11 @@ def lsh_signature(
 
 def auto_planes(n_rows: int, target_bucket_rows: int = 256, floor: int = 4) -> int:
     """Plane count that holds expected bucket occupancy at ``target_bucket_rows``
-    as the corpus grows: ``ceil(log2(n / target))``, floored at ``floor``.
+    as the corpus grows: ``floor + ceil(log2(n / target))`` (and never below
+    ``floor``; corpora at or under ``target`` rows get exactly ``floor``).
+    The additive ``floor`` term is intentional — it keeps small-corpus
+    signatures non-degenerate while still doubling the bucket space with
+    every doubling of n (tests and the ann_lsh_adaptive oracle pin it).
 
     With a FIXED plane count the bucket space (2^planes) is constant, so
     occupancy — and within-bucket pairwise work — grows linearly with n and

@@ -105,6 +105,60 @@ def read_sink(spark: SparkSession, base_path: str) -> DataFrame:
     return spark.read.parquet(base_path).drop(PARTITION_COL)
 
 
+def _check_disjoint_paths(base_path: str, out_path: str) -> None:
+    """Refuse in-place (or nested) compaction: overwriting a path Spark is
+    concurrently reading fails or destroys the source batch directories.
+    Raises ValueError when ``out_path`` equals, contains, or is contained
+    in ``base_path`` after normalization."""
+    import os
+
+    def norm(p: str) -> str:
+        # URI-style paths (hdfs://, s3a://, file://) are compared textually
+        # after trailing-slash stripping; bare local paths get realpath so
+        # symlinked aliases of the same directory are caught too.
+        if "://" in p:
+            return p.rstrip("/")
+        return os.path.realpath(p)
+
+    b, o = norm(base_path), norm(out_path)
+    if b == o or o.startswith(b + "/") or b.startswith(o + "/"):
+        raise ValueError(
+            f"compact_sink: out_path {out_path!r} overlaps base_path "
+            f"{base_path!r}; compaction must write a disjoint location "
+            "(write new, verify, repoint readers, then delete the old dirs)"
+        )
+
+
+def _footer_row_count(base_path: str) -> int | None:
+    """Total row count from parquet FOOTERS only (no data pass): walk the
+    landed files and sum each footer's ``num_rows``.  One ~KB metadata read
+    per file — the same planning cost model as ``shard_compaction_plan``'s
+    prefix-sum, and how production compactors (e.g. table-format OPTIMIZE)
+    size bins.  Returns None when the path is not locally walkable (remote
+    URI without a mounted filesystem) so the caller can fall back."""
+    import os
+
+    if "://" in base_path and not base_path.startswith("file://"):
+        return None
+    root = base_path[len("file://"):] if base_path.startswith("file://") else base_path
+    if not os.path.isdir(root):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for dirpath, dirnames, filenames in os.walk(root):
+            # skip commit-log/_temporary/hidden dirs, same as Spark's reader
+            dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+            for f in filenames:
+                if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                    continue
+                total += pq.read_metadata(os.path.join(dirpath, f)).num_rows
+        return total
+    except Exception:
+        return None
+
+
 def compact_sink(
     spark: SparkSession,
     base_path: str,
@@ -118,16 +172,22 @@ def compact_sink(
     files under ``out_path``.  Returns the output file count.
 
     Run it BETWEEN streaming runs, sink stopped: compaction writes a new
-    location, so a crash mid-compact leaves the original batch directories
-    untouched (re-run to completion, then atomically repoint readers /
-    delete the old dirs — never compact in place).  ``shuffle=True``
-    repartitions for uniform file sizes (one full shuffle — the usual
-    price of a compaction job); ``shuffle=False`` coalesces instead: no
-    shuffle, but file sizes follow the existing partition skew."""
+    location (in-place / nested out_path is rejected up front), so a crash
+    mid-compact leaves the original batch directories untouched (re-run to
+    completion, then atomically repoint readers / delete the old dirs).
+    Sizing is metadata-only — row counts come from parquet footers, not a
+    ``count()`` data pass — so the single data read is the rewrite itself.
+    ``shuffle=True`` repartitions for uniform file sizes (one full shuffle —
+    the usual price of a compaction job); ``shuffle=False`` coalesces
+    instead: no shuffle, but file sizes follow the existing partition
+    skew."""
     import math
 
+    _check_disjoint_paths(base_path, out_path)
     df = read_sink(spark, base_path)
-    n = df.count()
+    n = _footer_row_count(base_path)
+    if n is None:  # remote path without footer access: pay the extra scan
+        n = df.count()
     files = max(1, math.ceil(n / target_rows_per_file))
     out = df.repartition(files) if shuffle else df.coalesce(files)
     out.write.mode("overwrite").parquet(out_path)

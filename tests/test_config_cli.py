@@ -437,3 +437,20 @@ def test_decode_topic_no_attributes(spark):
     )
     assert out.columns == ["x"]
     assert out.collect()[0].x == 5
+
+
+def test_property_flag_requires_key_value():
+    """-X without '=' (or with an empty key) is a usage error, not a raw
+    traceback from a typed-key cast (-X skip.bytes -> int('') ValueError)."""
+    import pytest as _pt
+
+    from kwack_spark.cli import build_parser, config_from_args, main
+
+    for bad in ("skip.bytes", "=value"):
+        args = build_parser().parse_args(["-X", bad])
+        with _pt.raises(ValueError, match="expects <prop>=<val>"):
+            config_from_args(args)
+    # main() surfaces it as an argparse usage error (exit code 2)
+    with _pt.raises(SystemExit) as ei:
+        main(["-X", "skip.bytes"])
+    assert ei.value.code == 2

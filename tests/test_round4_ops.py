@@ -322,3 +322,38 @@ def test_lsh_multitable_properties(spark):
     s2 = {(r.id_a, r.id_b) for r in two.collect()}
     assert s1 <= s2
     assert all(r.cosine >= 0.3 for r in two.collect())
+
+
+def test_brute_force_string_labels(spark):
+    """label_col accepts non-integer labels: masking is pure (in)equality,
+    so string class labels must work (hard-negative mining over named
+    sources)."""
+    rows = [
+        (1, [1.0, 0.0], "news"),
+        (2, [0.9, 0.1], "news"),
+        (3, [0.0, 1.0], "web"),
+        (4, [0.1, 0.9], "web"),
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>, src string")
+    out = similarity.brute_force_topk_vectorized(
+        d, d, vec_col="embedding", k=1, label_col="src"
+    ).collect()
+    by_q = {r.query_id: r.corpus_id for r in out}
+    # nearest OTHER-label neighbor, never the same label
+    assert by_q[1] in (3, 4) and by_q[2] in (3, 4)
+    assert by_q[3] in (1, 2) and by_q[4] in (1, 2)
+
+
+def test_persist_rotating_is_per_session(spark):
+    """The rotation cache is keyed by SparkSession and rotates within a
+    tag: a second persist under the same tag releases the first."""
+    from kwack_spark.operators.similarity import _ACTIVE_CACHE, _persist_rotating
+
+    a = _persist_rotating("t_test", spark.range(3))
+    assert _ACTIVE_CACHE[spark]["t_test"] is a
+    b = _persist_rotating("t_test", spark.range(4))
+    assert _ACTIVE_CACHE[spark]["t_test"] is b
+    assert a.storageLevel.useMemory is False  # rotated out -> unpersisted
+    assert b.count() == 4
+    b.unpersist(False)
+    del _ACTIVE_CACHE[spark]["t_test"]

@@ -557,3 +557,59 @@ def test_engine_live_topic_durable_restart_no_new_input(spark, tmp_path):
         assert eng2.sql("SELECT max(uid) AS mx FROM live_rst").collect()[0].mx == 3
     finally:
         q2.stop()
+
+
+def test_compact_sink_rejects_in_place_and_nested(spark, tmp_path):
+    """Never compact in place: out_path equal to, inside, or containing
+    base_path is a usage error caught before any write."""
+    import pytest as _pt
+
+    from kwack_spark.streaming import sink as sk
+
+    land = str(tmp_path / "land")
+    sk.idempotent_batch_writer(land)(spark.range(5).selectExpr("id"), 0)
+
+    for bad in (land, land + "/", f"{land}/sub", str(tmp_path)):
+        with _pt.raises(ValueError, match="overlaps"):
+            sk.compact_sink(spark, land, bad, target_rows_per_file=10)
+    # URI-style paths are compared too
+    with _pt.raises(ValueError, match="overlaps"):
+        sk.compact_sink(spark, "hdfs://nn/sink", "hdfs://nn/sink/out")
+    # and the original batch dirs are untouched
+    assert spark.read.parquet(land).count() == 5
+
+
+def test_compact_sink_plans_from_footers_without_count(spark, tmp_path, monkeypatch):
+    """Sizing is metadata-only: the plan comes from parquet footers, so the
+    one and only data pass is the rewrite itself.  count() is poisoned to
+    prove the planner never scans."""
+    import glob
+
+    from pyspark.sql import DataFrame
+
+    from kwack_spark.streaming import sink as sk
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "compacted")
+    write = sk.idempotent_batch_writer(land)
+    for b in range(4):
+        write(spark.range(b * 10, b * 10 + 10).selectExpr("id"), b)
+
+    assert sk._footer_row_count(land) == 40
+
+    def boom(self):
+        raise AssertionError("compact_sink planning must not run a count() data pass")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    files = sk.compact_sink(spark, land, out, target_rows_per_file=15)
+    monkeypatch.undo()
+    assert files == 3  # ceil(40 / 15)
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 3
+    assert {r.id for r in spark.read.parquet(out).collect()} == set(range(40))
+
+
+def test_footer_row_count_falls_back_on_remote_paths():
+    from kwack_spark.streaming import sink as sk
+
+    assert sk._footer_row_count("hdfs://nn/some/sink") is None
+    assert sk._footer_row_count("/definitely/not/a/real/dir") is None
