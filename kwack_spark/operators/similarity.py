@@ -402,6 +402,7 @@ def pq_topk(
     m: int = 8,
     ksub: int = 16,
     dim: int = 64,
+    max_index_rows: int = MAX_BROADCAST_INDEX_ROWS,
 ) -> DataFrame:
     """Product-quantization approximate top-k (the memory-scale ANN path):
     each vector is split into ``m`` subvectors of ``dim/m`` components; per
@@ -446,34 +447,72 @@ def pq_topk(
     # oracle uses, so output stays bit-exact while the O(n_q*n_c) work is
     # BLAS.  In production the broadcast is the PQ *code* table (m bytes per
     # vector — the whole point), decoded against the codebook per batch.
-    rows = recon.limit(MAX_BROADCAST_INDEX_ROWS + 1).collect()
-    if len(rows) > MAX_BROADCAST_INDEX_ROWS:
-        recon.unpersist()
-        raise ValueError(
-            f"PQ index exceeds {MAX_BROADCAST_INDEX_ROWS} rows; "
-            "pair with IVF lists (ivf_pq_topk) beyond the broadcast cap"
-        )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    # Past the broadcast cap the operator DEGRADES instead of refusing
+    # (mirror of ivf_pq_topk's distributed branch): the roles invert — the
+    # query matrix is broadcast and the persisted coded table streams
+    # partition-parallel, each Arrow batch doing one BLAS matmul and
+    # emitting only its local top-k per query.  Per-batch top-k unions to a
+    # superset of the global top-k (top-k is distributive), and the exact
+    # JVM re-score + final window below restores the global ranking — no
+    # unbounded collect, corpus never leaves the executors: the genuine
+    # 100-TB shape for exhaustive ADC scans (standalone PQ *is* an
+    # exhaustive scan over codes; IVF-PQ is the probe-limited variant).
     spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast((ids, mat))
+    rows = recon.limit(max_index_rows + 1).collect()
+    if len(rows) <= max_index_rows:
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        bc = spark.sparkContext.broadcast((ids, mat))
 
-    def topk_ids(batches):
-        c_ids, c_mat = bc.value
-        for pdf in batches:
-            q_ids = pdf["query_id"].to_numpy(dtype=np.int64)
-            qm = np.array([list(v) for v in pdf["qv"]], dtype=np.float64)
-            scores = qm @ c_mat.T  # raw asymmetric-distance dot, no normalize
-            out_q, out_c = [], []
-            for qi in range(len(q_ids)):
-                s = scores[qi]
-                mask = c_ids != q_ids[qi]
-                order = np.lexsort((c_ids[mask], -s[mask]))[:k]
-                out_q.extend([q_ids[qi]] * len(order))
-                out_c.extend(c_ids[mask][order])
-            yield pd.DataFrame({"query_id": out_q, "corpus_id": out_c})
+        def topk_ids(batches):
+            c_ids, c_mat = bc.value
+            for pdf in batches:
+                q_ids = pdf["query_id"].to_numpy(dtype=np.int64)
+                qm = np.array([list(v) for v in pdf["qv"]], dtype=np.float64)
+                scores = qm @ c_mat.T  # raw asymmetric-distance dot, no normalize
+                out_q, out_c = [], []
+                for qi in range(len(q_ids)):
+                    s = scores[qi]
+                    mask = c_ids != q_ids[qi]
+                    order = np.lexsort((c_ids[mask], -s[mask]))[:k]
+                    out_q.extend([q_ids[qi]] * len(order))
+                    out_c.extend(c_ids[mask][order])
+                yield pd.DataFrame({"query_id": out_q, "corpus_id": out_c})
 
-    cand = q.mapInPandas(topk_ids, "query_id long, corpus_id long")
+        cand = q.mapInPandas(topk_ids, "query_id long, corpus_id long")
+    else:
+        del rows
+        q_rows = q.limit(max_index_rows + 1).collect()
+        if len(q_rows) > max_index_rows:
+            recon.unpersist()
+            raise ValueError(
+                f"both PQ index and query set exceed {max_index_rows} rows; "
+                "bound the query batch or pair with IVF lists (ivf_pq_topk)"
+            )
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+        bcq = spark.sparkContext.broadcast((q_ids, q_mat))
+
+        def batch_topk(batches):
+            bq_ids, bq_mat = bcq.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                c_ids = pdf["corpus_id"].to_numpy(dtype=np.int64)
+                c_mat = np.array([list(v) for v in pdf["xhat"]], dtype=np.float64)
+                scores = bq_mat @ c_mat.T  # (n_q, batch_rows)
+                out_q, out_c = [], []
+                for qi in range(len(bq_ids)):
+                    s = scores[qi]
+                    mask = c_ids != bq_ids[qi]
+                    order = np.lexsort((c_ids[mask], -s[mask]))[:k]
+                    out_q.extend([bq_ids[qi]] * len(order))
+                    out_c.extend(c_ids[mask][order])
+                yield pd.DataFrame({"query_id": out_q, "corpus_id": out_c})
+
+        # no dedup needed: each corpus row lives in exactly one Arrow batch,
+        # so a (query, corpus) pair is emitted at most once
+        cand = recon.mapInPandas(batch_topk, "query_id long, corpus_id long")
     scored = (
         cand.join(q, "query_id")
         .join(recon, "corpus_id")

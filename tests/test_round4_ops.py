@@ -357,3 +357,37 @@ def test_persist_rotating_is_per_session(spark):
     assert b.count() == 4
     b.unpersist(False)
     del _ACTIVE_CACHE[spark]["t_test"]
+
+
+def test_pq_topk_distributed_branch_matches_broadcast(spark):
+    """Past the broadcast cap pq_topk degrades to the streamed-corpus /
+    broadcast-queries branch; output must be identical to the broadcast
+    branch on the same input."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = d.filter(F.col("vec_id") < 10)
+    kw = dict(id_col="vec_id", vec_col="embedding", k=3, m=4, ksub=8, dim=8)
+    broad = similarity.pq_topk(d, q, **kw).collect()
+    dist = similarity.pq_topk(d, q, max_index_rows=15, **kw).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(map(tuple, dist), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, broad), key=lambda t: (t[0], t[3])
+    )
+    assert {r.query_id for r in dist} == set(range(10))
+
+
+def test_pq_topk_raises_only_when_queries_also_exceed_cap(spark):
+    import pytest as _pt
+
+    rows = [(i, [float(i % 5), 1.0, 0.0, 0.5]) for i in range(30)]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pt.raises(ValueError, match="both PQ index and query set"):
+        similarity.pq_topk(
+            d, d, id_col="vec_id", vec_col="embedding", k=2, m=2, ksub=4,
+            dim=4, max_index_rows=10,
+        )
