@@ -86,6 +86,12 @@ HEADLINE = [
     # same pair set as ann_lsh_bucketed at sf0.1's width but occupancy-bound
     # buckets; see SCALING.md's measured exponents)
     "ann_lsh_adaptive",
+    # round-10: the jar-free JVM from_json decode (vs kafka_avro_roundtrip
+    # above, which is the same ingest shape on the Python decode stage —
+    # the pair shows the JVM-vs-Python decode delta at sf0.1), and the
+    # beyond-cap distributed PQ branch
+    "kafka_jsonschema_fastpath",
+    "ann_pq_distributed",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

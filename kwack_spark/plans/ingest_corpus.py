@@ -976,6 +976,82 @@ def kafka_avro_fastpath(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JVM from_json fast path: plain-struct JSON-Schema decode, jar-free — the
+# one JVM decode path that actually EXECUTES in any deployment (from_avro
+# needs the spark-avro module on the classpath)
+# ---------------------------------------------------------------------------
+
+_CUSTOMER_FAST_JS = {
+    "type": "object",
+    "properties": {
+        "c_custkey": {"type": "integer"},
+        "c_name": {"type": "string"},
+        "c_acctbal": {"type": "number"},
+        "c_mktsegment": {"type": "string"},
+    },
+    "required": ["c_custkey", "c_name"],
+}
+
+
+@register(
+    "kafka_jsonschema_fastpath",
+    # identity oracle over customer; a plain object schema (typed props, no
+    # oneOf/anyOf, no ;tag:) satisfies every jsonschema_jvm.eligible gate,
+    # so decode rides built-in from_json inside whole-stage codegen — the
+    # query ASSERTS the physical plan took that path (no Python decode
+    # stage downstream of the frames), then the oracle grades the values.
+    oracle="""
+        SELECT c_custkey AS rowkey, c_custkey, c_name, c_acctbal,
+               c_mktsegment
+        FROM customer
+    """,
+    tags=("ingest", "kafka", "jsonschema", "fastpath"),
+)
+def kafka_jsonschema_fastpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer -> Confluent-framed plain JSON -> decode_topic, which takes
+    the gated JVM ``from_json`` path (sources/jsonschema_jvm.py).  The
+    reference decodes JSON in Java (KwackEngine.java:516-585 via Confluent's
+    deserializers, JsonTransformer.java for the mapping); this is the Spark
+    equivalent — scan+parse stay inside whole-stage codegen instead of an
+    Arrow round-trip into Python, which at 100-TB ingest is the dominant
+    cost difference."""
+    schema_str = json.dumps(_CUSTOMER_FAST_JS)
+
+    def enc(rec):
+        k = int(rec.c_custkey).to_bytes(8, "big", signed=True)
+        value = json.dumps(
+            {
+                "c_custkey": int(rec.c_custkey),
+                "c_name": rec.c_name,
+                "c_acctbal": float(rec.c_acctbal),
+                "c_mktsegment": rec.c_mktsegment,
+            }
+        ).encode("utf-8")
+        return k, ks.confluent_frame(value, 2)
+
+    frames = _to_frames(T(spark, sf_dir, "customer"), enc, "customer_fast")
+    decoded = ks.decode_topic(
+        frames,
+        "customer_fast",
+        value_serde=Serde(kind="jsonschema", schema_str=json.dumps(_CUSTOMER_FAST_JS)),
+        key_serde=Serde(kind="long"),
+    )
+    plan = decoded._jdf.queryExecution().optimizedPlan().toString()
+    if "from_json" not in plan:
+        raise AssertionError(
+            "kafka_jsonschema_fastpath: decode did not take the JVM "
+            "from_json path — gate regression"
+        )
+    return decoded.select(
+        F.col("rowkey").cast("long").alias("rowkey"),
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Avro KEY roundtrip: structured rowkey (record key schema -> struct column)
 # ---------------------------------------------------------------------------
 

@@ -454,6 +454,36 @@ def decode_topic(
             ] + (["rowinfo"] if info_attrs else [])
             return out.select(*order)
 
+    # --- JVM from_json fast path (plain-struct JSON-Schema topics) ------------
+    # Same shape as the from_avro path but jar-free: from_json is core
+    # Spark, so this is the JVM decode path that can execute anywhere.
+    # Gated on plain-struct schemas (no oneOf/anyOf, typed maps/arrays,
+    # string enums), no ;tag:, fail mode — see sources/jsonschema_jvm.py.
+    # No evolution gate: JSON decodes with the reader schema on BOTH paths.
+    if (
+        value_is_struct
+        and value_serde.kind == "jsonschema"
+        and key_jvm_ok
+        and on_error == "fail"
+    ):
+        from kwack_spark.sources import jsonschema_jvm
+
+        ok, _why = jsonschema_jvm.eligible(value_serde)
+        if ok:
+            head = [_jvm_key_col(key_serde, skip_bytes)] if want_rowkey else []
+            meta = [rowinfo_col(info_attrs)] if info_attrs else []
+            dec = jsonschema_jvm.decode_value_col(
+                payload_col("value", skip_bytes),
+                value_serde.schema_str,
+                value_serde.refs,
+                on_error,
+            )
+            out = df.select(*head, dec.alias("_v"), *meta)
+            order = (["rowkey"] if want_rowkey else []) + [
+                F.col(f"_v.{f.name}").alias(f.name) for f in v_st.fields
+            ] + (["rowinfo"] if info_attrs else [])
+            return out.select(*order)
+
     # --- Python decode stage (Arrow-batched) ---------------------------------
     writers_bc = spark.sparkContext.broadcast(registry.snapshot() if registry else {})
 
