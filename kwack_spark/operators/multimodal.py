@@ -2,17 +2,22 @@
 
 Beyond-parity operators for a training-data pipeline: media are opaque
 ``binary`` payload columns with typed metadata, processed by Arrow-batched
-mapInPandas stages.  The decode kernels themselves are STUBS — the container
-has no image/audio libraries — but everything Spark-side is real and tested:
-schemas, batch shapes, partitioning, UDF signatures.
+mapInPandas stages.  The container has no media libraries, but two decode
+kernels are REAL anyway because their formats are pure byte arithmetic +
+stdlib compression: WAV/PCM16 (``decode_wav_features``) and PNG
+(``decode_png_features`` / ``decode_image`` — zlib inflate, CRC-checked
+chunk walk, all five scanline unfilters).  Formats that genuinely need a
+codec library (JPEG's DCT, video) are sniffed and emit NULL features with
+the format tag, never silently-wrong values.
 
-Two kernel modes:
-- ``decode_image`` raises NotImplementedError (clearly marked): swap in a
-  real PIL/ffmpeg kernel at deployment.
-- ``fake_decode_image`` is a DETERMINISTIC arithmetic stand-in (reads
-  width/height/channels from the payload's leading bytes) used by tests and
-  the oracle corpus — its math is reproducible in SQL, so the full
-  mapInPandas pipeline is hash-checked against DuckDB.
+Kernel tiers:
+- ``decode_png_features`` / ``decode_wav_features``: real decoders,
+  oracle-checked end-to-end on closed-form fixtures.
+- ``decode_image``: real for PNG; magic-sniff + NULL dims otherwise.
+- ``fake_decode_image``: a DETERMINISTIC arithmetic stand-in (reads
+  width/height/channels from the payload's leading bytes) whose math is
+  reproducible in SQL, kept for hash-checking the pipeline shape against
+  DuckDB independently of any format.
 
 Scale shape: decode is a narrow per-partition pass; payload columns are
 hundreds of KB each, so stages that follow repartition by a small metadata
@@ -59,16 +64,34 @@ def attach_binary_metadata(df: DataFrame, payload_col: str) -> DataFrame:
 
 
 def decode_image(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
-    """REAL-KERNEL SLOT — image decode requires an imaging library that is
-    not in this container.  The Spark plumbing (signature, schema, batching)
-    is identical to fake_decode_image; only the kernel differs."""
+    """REAL image decode (no library needed): PNG payloads are fully
+    decoded by the stdlib kernel below (``_png_decode`` — chunk walk, CRC,
+    inflate, unfilter) and report true width/height/channels; other
+    formats (JPEG needs a DCT library this container lacks) are sniffed by
+    magic bytes and emit NULL dimensions with the format tag — the rows
+    are never silently wrong, just explicitly undecoded.  For the full
+    per-channel feature pass over PNGs use ``decode_png_features``."""
 
-    def kernel(batches):
-        raise NotImplementedError(
-            "image decode kernel: install an imaging library (e.g. PIL) and "
-            "replace this body with Image.open(io.BytesIO(payload)); the "
-            "fake_decode_image pipeline is the tested stand-in"
-        )
+    def kernel(batches) -> Iterator:
+        import pandas as pd
+
+        cols = [id_col, "width", "height", "channels", "format"]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(getattr(rec, payload_col))
+                parsed = _png_decode(payload) if payload.startswith(_PNG_SIG) else None
+                if parsed is not None:
+                    w, h, ch, _depth, _px = parsed
+                    vals = (w, h, ch, "png")
+                elif payload[:3] == b"\xff\xd8\xff":
+                    vals = (None, None, None, "jpeg")
+                elif payload[:4] == b"RIFF":
+                    vals = (None, None, None, "riff")
+                else:
+                    vals = (None, None, None, "unknown")
+                rows.append((getattr(rec, id_col),) + vals)
+            yield pd.DataFrame(rows, columns=cols)
 
     out_schema = ST.StructType(
         [ST.StructField(id_col, ST.LongType())] + list(IMAGE_META_SCHEMA.fields)
@@ -325,6 +348,255 @@ def decode_wav_features(df: DataFrame, payload_col: str, id_col: str) -> DataFra
 
     out_schema = ST.StructType(
         [ST.StructField(id_col, ST.LongType())] + list(WAV_FEATURES_SCHEMA.fields)
+    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+PNG_FEATURES_SCHEMA = ST.StructType(
+    [
+        ST.StructField("width", ST.IntegerType(), True),
+        ST.StructField("height", ST.IntegerType(), True),
+        ST.StructField("channels", ST.IntegerType(), True),
+        ST.StructField("bit_depth", ST.IntegerType(), True),
+        ST.StructField("mean_r", ST.DoubleType(), True),
+        ST.StructField("mean_g", ST.DoubleType(), True),
+        ST.StructField("mean_b", ST.DoubleType(), True),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(cur, prev, left_pad, ftype):
+    """Apply PNG filter ``ftype`` to reconstructed row ``cur`` (int32 numpy,
+    length w*bpp) given the prior reconstructed row — encoder side.  Filters
+    reference RECONSTRUCTED bytes, so each row vectorizes fully."""
+    import numpy as np
+
+    left = np.concatenate([np.zeros(left_pad, np.int32), cur[:-left_pad]])
+    upleft = np.concatenate([np.zeros(left_pad, np.int32), prev[:-left_pad]])
+    if ftype == 0:
+        return cur % 256
+    if ftype == 1:
+        return (cur - left) % 256
+    if ftype == 2:
+        return (cur - prev) % 256
+    if ftype == 3:
+        return (cur - (left + prev) // 2) % 256
+    # Paeth
+    p = left + prev - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+    pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+    return (cur - pred) % 256
+
+
+def _png_encode(pixels, channels: int, split_idat: bool = False) -> bytes:
+    """Minimal, standards-correct PNG writer (stdlib zlib/struct + numpy):
+    8-bit gray (color 0) or RGB (color 2), no interlace.  ``pixels``:
+    (h, w*channels) int array of reconstructed samples.  Filter type cycles
+    ``y % 5`` per scanline so every unfilter branch in the decoder is
+    exercised by fixtures, and ``split_idat`` emits two IDAT chunks (the
+    spec allows any split; decoders must concatenate)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, stride = pixels.shape
+    w = stride // channels
+    color = {1: 0, 3: 2}[channels]
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        cur = pixels[y].astype(np.int32)
+        f = y % 5
+        raw.append(f)
+        raw.extend(_png_filter_row(cur, prev, channels, f).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    z = zlib.compress(bytes(raw), 6)
+    if split_idat and len(z) > 2:
+        mid = len(z) // 2
+        idat = _png_chunk(b"IDAT", z[:mid]) + _png_chunk(b"IDAT", z[mid:])
+    else:
+        idat = _png_chunk(b"IDAT", z)
+    return _PNG_SIG + _png_chunk(b"IHDR", ihdr) + idat + _png_chunk(b"IEND", b"")
+
+
+def _png_decode(payload: bytes):
+    """Minimal, standards-correct PNG reader (stdlib zlib/struct + numpy):
+    signature, chunk walk with CRC verification, multi-IDAT concatenation,
+    inflate, and per-scanline unfilter (None/Sub/Up/Average/Paeth) for
+    8-bit gray/gray+alpha/RGB/RGBA.  Returns (w, h, channels, depth,
+    pixel matrix (h, w*channels) uint8) or None for anything malformed or
+    out of scope (16-bit, palette, interlaced)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos, ihdr, idat, ended = len(_PNG_SIG), None, bytearray(), False
+    while pos + 12 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + size]
+        if len(data) < size or pos + 12 + size > len(payload):
+            return None
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + size)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + size
+    if ihdr is None or not idat or not ended:
+        return None
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = _PNG_CHANNELS.get(color)
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or channels is None:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes, data = arr[:, 0], arr[:, 1:].astype(np.int32)
+    recon = np.zeros((h, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    bpp = channels
+    for y in range(h):
+        f, line = int(ftypes[y]), data[y]
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: per-lane cumulative sum (mod distributes)
+            cur = np.cumsum(line.reshape(w, bpp), axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            cur = (line + prev) % 256
+        elif f == 3:  # Average: sequential in x, vectorized over the pixel
+            cur = np.empty(stride, np.int32)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                left = cur[(x - 1) * bpp:x * bpp] if x else np.zeros(bpp, np.int32)
+                cur[s] = (line[s] + (left + prev[s]) // 2) % 256
+        elif f == 4:  # Paeth
+            cur = np.empty(stride, np.int32)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                a = cur[(x - 1) * bpp:x * bpp] if x else np.zeros(bpp, np.int32)
+                b = prev[s]
+                c = prev[(x - 1) * bpp:x * bpp] if x else np.zeros(bpp, np.int32)
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                cur[s] = (line[s] + pred) % 256
+        else:
+            return None
+        recon[y] = cur
+        prev = cur
+    return w, h, channels, depth, recon.astype(np.uint8)
+
+
+def synth_png(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic PNG fixture generator (real encoder, stdlib only).
+    Per id d: width 16 (d even) / 6 (odd); height 8 (d%3==0) / 16;
+    grayscale when d%7==0 else RGB; two IDAT chunks when d%11==0.  Pixel
+    pattern has CLOSED-FORM channel means (see multimodal_png_decode's
+    oracle): R = d%256 constant, G = x*255//(w-1) (mean exactly 127.5 for
+    both widths), B = y*255//(h-1) (127.5 at h=16, 127.125 at h=8); gray
+    images are the constant d%256.  Filter type cycles y%5, so decoding
+    exercises every unfilter branch."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches) -> Iterator:
+        for pdf in batches:
+            ids, outs = [], []
+            for rec in pdf.itertuples(index=False):
+                d = int(getattr(rec, id_col))
+                w = 16 if d % 2 == 0 else 6
+                h = 8 if d % 3 == 0 else 16
+                if d % 7 == 0:
+                    px = np.full((h, w), d % 256, np.int32)
+                    ch = 1
+                else:
+                    ch = 3
+                    px = np.zeros((h, w * 3), np.int32)
+                    px[:, 0::3] = d % 256
+                    px[:, 1::3] = (np.arange(w) * 255) // (w - 1)
+                    px[:, 2::3] = ((np.arange(h) * 255) // (h - 1))[:, None]
+                ids.append(d)
+                outs.append(_png_encode(px, ch, split_idat=(d % 11 == 0)))
+            yield pd.DataFrame({id_col: ids, "payload": outs})
+
+    out_schema = ST.StructType(
+        [
+            ST.StructField(id_col, ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def decode_png_features(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """REAL image decode kernel — the round-3 stub slot, filled: PNG is
+    zlib (stdlib) + byte arithmetic, so like the WAV kernel it needs no
+    media library.  Full decode — chunk walk with CRC checks, multi-IDAT
+    inflate, per-scanline unfilter (all five filter types), 8-bit
+    gray/gray+alpha/RGB/RGBA — then per-channel means computed by exact
+    integer sum / count (bit-stable).  Malformed payloads yield NULL
+    features instead of failing the batch.  Same narrow Arrow-batched
+    plan as every kernel here; payloads never shuffle."""
+    import pandas as pd
+
+    def kernel(batches) -> Iterator:
+        cols = [id_col] + [f.name for f in PNG_FEATURES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                parsed = _png_decode(bytes(getattr(rec, payload_col)))
+                if parsed is None:
+                    vals = (None,) * 7
+                else:
+                    w, h, ch, depth, px = parsed
+                    n = w * h
+
+                    def mean_of(c: int) -> float:
+                        lane = px[:, c::ch]
+                        return float(int(lane.sum(dtype="int64"))) / n
+
+                    if ch <= 2:  # gray / gray+alpha: one luminance channel
+                        m = mean_of(0)
+                        means = (m, m, m)
+                    else:
+                        means = (mean_of(0), mean_of(1), mean_of(2))
+                    vals = (w, h, ch, depth) + means
+                rows.append((getattr(rec, id_col),) + vals)
+            yield pd.DataFrame(rows, columns=cols)
+
+    out_schema = ST.StructType(
+        [ST.StructField(id_col, ST.LongType())] + list(PNG_FEATURES_SCHEMA.fields)
     )
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 

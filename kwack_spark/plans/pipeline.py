@@ -2758,6 +2758,52 @@ def multimodal_wav_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_png_decode",
+    # REAL image kernel, not a stand-in: PNG is stdlib zlib + byte
+    # arithmetic (operators/multimodal.py:_png_decode — CRC-checked chunk
+    # walk, multi-IDAT inflate, per-scanline unfilter with the filter type
+    # cycling y%5 so ALL FIVE filters are on the wire).  The fixture's
+    # pixel pattern gives every feature a CLOSED FORM the oracle states
+    # independently of the bytes: R is the constant d%256; G = x*255//(w-1)
+    # sums to exactly 127.5 for both widths (w-1 divides 255); B =
+    # y*255//(h-1) is 127.5 at h=16 and 127.125 (=127+1/8, exact in
+    # double) at h=8; grayscale images (d%7==0) report their constant in
+    # all three channels.  Means are exact integer sums / n on both
+    # engines.  A decoder that mis-unfilters any scanline, drops an IDAT
+    # split (d%11==0 emits two), or mis-walks a chunk fails the hash.
+    oracle="""
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 6 END AS INTEGER) AS width,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INTEGER) AS height,
+               CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+               CAST(8 AS INTEGER) AS bit_depth,
+               CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+               CASE WHEN doc_id % 7 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+                    ELSE 127.5 END AS mean_g,
+               CASE WHEN doc_id % 7 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+                    WHEN doc_id % 3 = 0 THEN 127.125
+                    ELSE 127.5 END AS mean_b
+        FROM documents
+    """,
+    tags=("multimodal", "image", "decode"),
+)
+def multimodal_png_decode(spark, sf_dir):
+    """End-to-end REAL image decode (operators/multimodal.py:
+    decode_png_features): synthesize a real PNG per document — gray or RGB,
+    varied dimensions, two IDAT chunks for some, filter type cycling per
+    scanline — then fully decode it back (inflate + unfilter) and emit
+    dimensions and exact per-channel means.  Two narrow Arrow-batched
+    stages, no payload shuffle; the multimodal analogue of the WAV pipeline
+    below and the plan shape of any media feature-extraction pass at
+    100 TB."""
+    from kwack_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents")
+    png = mm.synth_png(d, "doc_id")
+    return mm.decode_png_features(png, "payload", "doc_id")
+
+
+@register(
     "multimodal_resize",
     # nearest-neighbor byte resample to 32 bytes: out[i] = in[(i*n)//32].
     # hex() of single-byte blob slices rebuilds the resized payload's hex in

@@ -72,3 +72,66 @@ def test_wav_malformed_yields_nulls_not_failure(spark):
     assert out[0].rms == 5.0 and out[0].n_samples == 4
     for bad in (1, 2, 3):
         assert out[bad].rms is None and out[bad].sample_rate is None
+
+
+def test_png_roundtrip_all_filters(spark):
+    """The fixture encoder cycles filter types y%5; decode must reproduce
+    the exact pixel matrix for gray and RGB, single and split IDAT."""
+    import numpy as np
+
+    from kwack_spark.operators.multimodal import _png_decode, _png_encode
+
+    rng = np.random.RandomState(11)
+    for (h, w, ch) in [(16, 16, 3), (16, 6, 3), (8, 16, 1), (1, 1, 1), (7, 3, 1)]:
+        px = rng.randint(0, 256, size=(h, w * ch)).astype(np.int32)
+        for split in (False, True):
+            out = _png_decode(_png_encode(px, ch, split_idat=split))
+            assert out is not None
+            W, H, C, D, recon = out
+            assert (W, H, C, D) == (w, h, ch, 8)
+            assert np.array_equal(recon, px.astype(np.uint8))
+
+
+def test_png_malformed_yields_nulls_not_failure(spark):
+    """Bad signature, truncation, and CRC corruption all yield NULL
+    features (the on_error='skip' analogue), never a batch failure."""
+    import numpy as np
+
+    from kwack_spark.operators import multimodal as mm
+
+    good = mm._png_encode(
+        np.random.RandomState(0).randint(0, 256, (4, 12)).astype(np.int32), 3
+    )
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF
+    d = spark.createDataFrame(
+        [(0, good), (1, b"not a png"), (2, good[:20]), (3, bytes(bad_crc))],
+        "doc_id long, payload binary",
+    )
+    rows = sorted(
+        mm.decode_png_features(d, "payload", "doc_id").collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert rows[0].width == 4 and rows[0].channels == 3
+    for bad in (1, 2, 3):
+        assert rows[bad].width is None and rows[bad].mean_r is None
+
+
+def test_decode_image_real_png_and_sniffed_other_formats(spark):
+    """decode_image (the former stub slot) really decodes PNG and tags
+    undecodable formats with NULL dims instead of raising."""
+    import numpy as np
+
+    from kwack_spark.operators import multimodal as mm
+
+    png = mm._png_encode(np.full((5, 6), 9, np.int32), 1)
+    d = spark.createDataFrame(
+        [(0, png), (1, b"\xff\xd8\xff\xe0junk"), (2, b"RIFFxxxxWAVE"), (3, b"??")],
+        "doc_id long, payload binary",
+    )
+    rows = sorted(
+        mm.decode_image(d, "payload", "doc_id").collect(), key=lambda r: r.doc_id
+    )
+    assert (rows[0].width, rows[0].height, rows[0].channels, rows[0].format) == (6, 5, 1, "png")
+    assert rows[1].format == "jpeg" and rows[1].width is None
+    assert rows[2].format == "riff" and rows[3].format == "unknown"
