@@ -46,12 +46,25 @@ SCALE_SENSITIVE = [
     # adaptive LSH picks 7 planes at sf0.1's 2000 vectors (4 at sf0.01) —
     # the width policy itself is only exercised above the 256-row target
     "ann_lsh_adaptive",
+    # round-4 additions: multi-table probes multiply candidate volume with
+    # corpus size; the sink roundtrip + incremental index publish move
+    # 10x the batch data; bloom false-positive counts are size-dependent
+    "ann_lsh_multitable",
+    "sink_compaction_roundtrip",
+    "inverted_index_incremental",
+    "bloom_decontaminate",
+    # round-4-new operators at 10x: the beyond-cap PQ branch streams a
+    # corpus 75x its broadcast cap here; the two decode pipelines chew
+    # 10x the payload bytes through their kernels
+    "ann_pq_distributed",
+    "multimodal_png_decode",
+    "kafka_jsonschema_fastpath",
 ]
 
 pytestmark = pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SCALE_TESTS"),
     reason="sf0.1 battery is opt-in (SPARK_GRAFT_SCALE_TESTS=1); "
-    "last full run: 25/25 green",
+    "last full run: 32/32 green",
 )
 
 _load_all()

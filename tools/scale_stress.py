@@ -179,8 +179,45 @@ def main() -> None:
             e, "vec_id", "embedding", planes="auto", dim=64, threshold=0.3
         )
 
+    # Streaming stateful path under stress: the state store IS the LSH
+    # index, with the processing-time TTL armed (as production must run
+    # it), replayed over 3 micro-batches on a CONTINUOUS trigger (the TTL
+    # caveat: AvailableNow + processing-time timeout never terminates) and
+    # drained with processAllAvailable.  The TTL (10 min) doesn't fire
+    # within a run — the measurement shows the armed-TTL bookkeeping plus
+    # bucket-state growth stay ~linear in corpus size, the bounded-state
+    # claim in SCALING.md's streaming section.
+    def streaming_lsh_neardup_ttl(spark, sf_dir):
+        import shutil as _sh
+        import tempfile
+        import uuid
+
+        from kwack_spark.operators import dedup
+        from kwack_spark.sources.parquet import load_table
+        from kwack_spark.streaming import ingest as si
+
+        d = load_table(spark, sf_dir, "documents")
+        prep = dedup.lsh_band_keys_narrow(d, "doc_id", "text", k=8, bands=2)
+        replay_dir = tempfile.mkdtemp(prefix="kwack_lsh_stress_")
+        try:
+            prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
+            stream = (
+                spark.readStream.schema(prep.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(replay_dir)
+            )
+            pairs = si.stateful_lsh_neardup(stream, threshold=0.5, ttl_ms=600_000)
+            sink = f"stress_lsh_{uuid.uuid4().hex[:8]}"
+            q = si.to_memory_sink(pairs, sink, output_mode="append", continuous=True)
+            q.processAllAvailable()
+            q.stop()
+            return spark.table(sink).distinct()
+        finally:
+            _sh.rmtree(replay_dir, ignore_errors=True)
+
     qmap = dict(qmap)
     qmap["ann_lsh_scaled_planes"] = ann_lsh_scaled_planes
+    qmap["streaming_lsh_neardup_ttl"] = streaming_lsh_neardup_ttl
 
     results: dict[int, dict[str, float]] = {}
     for factor in args.factors:
