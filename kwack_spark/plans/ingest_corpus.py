@@ -547,6 +547,83 @@ def kafka_json_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JSON Schema oneOf UNION roundtrip: multi-branch union -> struct-of-branches
+# tagging, resolved per record by instance validation — the Python decode
+# stage's distinguishing semantics (JsonTransformer.java:296-315), graded
+# directly now that plain-struct JSON topics flip to the from_json JVM path
+# ---------------------------------------------------------------------------
+
+_NATION_JS_UNION = {
+    "type": "object",
+    "properties": {
+        "n_nationkey": {"type": "integer"},
+        "n_name": {"type": "string"},
+        "extra": {"oneOf": [{"type": "null"}, {"type": "integer"}, {"type": "string"}]},
+    },
+    "required": ["n_nationkey", "n_name"],
+}
+
+
+@register(
+    "kafka_jsonschema_union_roundtrip",
+    # identity oracle: per-record oneOf branch validation -> union struct
+    # (u0 integer, u1 string) -> union_tag/union_extract, branch by key%3.
+    # The query also asserts its plan did NOT take the from_json fast path
+    # (multi-branch oneOf is the gate that must keep the Python stage).
+    oracle="""
+        SELECT n_nationkey, n_name,
+               CASE WHEN n_nationkey % 3 = 0 THEN 'u0'
+                    WHEN n_nationkey % 3 = 1 THEN 'u1' END AS extra_tag,
+               CASE WHEN n_nationkey % 3 = 0 THEN n_nationkey * 10 END AS extra_long,
+               CASE WHEN n_nationkey % 3 = 1 THEN 'x' || n_name END AS extra_str
+        FROM nation
+    """,
+    tags=("ingest", "kafka", "jsonschema", "union"),
+)
+def kafka_jsonschema_union_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation -> Confluent-framed JSON with a oneOf union field ->
+    decode_topic: the branch is resolved PER RECORD by validating the
+    instance against each subschema in order (schema/jsonschema.py:
+    validates — mirrors JsonTransformer.java:296-315), producing the
+    struct-of-branches union encoding shared with the Avro/Proto
+    transformers; ``union_tag``/``union_extract`` read it back."""
+    schema_str = json.dumps(_NATION_JS_UNION)
+
+    def enc(rec):
+        mod = rec.n_nationkey % 3
+        extra = (
+            int(rec.n_nationkey) * 10
+            if mod == 0
+            else ("x" + rec.n_name) if mod == 1 else None
+        )
+        value = json.dumps(
+            {"n_nationkey": int(rec.n_nationkey), "n_name": rec.n_name, "extra": extra}
+        ).encode("utf-8")
+        return None, ks.confluent_frame(value, 3)
+
+    frames = _to_frames(T(spark, sf_dir, "nation"), enc, "nation_js_union")
+    decoded = ks.decode_topic(
+        frames,
+        "nation_js_union",
+        value_serde=Serde(kind="jsonschema", schema_str=schema_str),
+        row_attributes=("par", "off"),
+    )
+    plan = decoded._jdf.queryExecution().optimizedPlan().toString()
+    if "from_json" in plan:
+        raise AssertionError(
+            "kafka_jsonschema_union_roundtrip: oneOf schema must stay on "
+            "the Python decode stage — gate regression"
+        )
+    return decoded.select(
+        "n_nationkey",
+        "n_name",
+        union_tag(F.col("extra"), ["u0", "u1"]).alias("extra_tag"),
+        union_extract(F.col("extra"), "u0").alias("extra_long"),
+        union_extract(F.col("extra"), "u1").alias("extra_str"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Protobuf roundtrip (message-index framing, enum, oneof)
 # ---------------------------------------------------------------------------
 

@@ -67,6 +67,7 @@ _PRIORITY = [
     # never-driver-graded backlog.  Everything here is green in the local
     # DuckDB-oracle harness (tests/test_oracle.py).
     "kafka_jsonschema_fastpath",
+    "kafka_jsonschema_union_roundtrip",
     "multimodal_png_decode",
     "ann_pq_distributed",
     # adapted TPC-H suite — the reference's real workload (arbitrary
