@@ -319,7 +319,11 @@ def stateful_lsh_neardup(
 
 
 def to_memory_sink(
-    df: DataFrame, name: str, output_mode: str = "append", continuous: bool = False
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    continuous: bool = False,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """Stream into an in-memory table — the engine's live-table surface and
     the test harness.
@@ -327,8 +331,15 @@ def to_memory_sink(
     ``continuous=False`` (default): Trigger.AvailableNow — drain the current
     backlog and stop.  ``continuous=True``: keep the micro-batch loop running
     so the table grows as records arrive (the engine's live mode; callers
-    synchronize with ``query.processAllAvailable()``)."""
+    synchronize with ``query.processAllAvailable()``).  ``processing_time``
+    (continuous mode only, e.g. ``'1 second'``): fire micro-batches on a
+    fixed cadence instead of ASAP — REQUIRED when the plan holds armed
+    processing-time timeouts (stateful TTL): their shouldRunAnotherBatch is
+    always true, so the ASAP trigger degenerates into a busy loop of empty
+    timer batches, each paying full per-partition state-store overhead."""
     w = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
     if not continuous:
         w = w.trigger(availableNow=True)
+    elif processing_time is not None:
+        w = w.trigger(processingTime=processing_time)
     return w.start()

@@ -613,3 +613,26 @@ def test_footer_row_count_falls_back_on_remote_paths():
 
     assert sk._footer_row_count("hdfs://nn/some/sink") is None
     assert sk._footer_row_count("/definitely/not/a/real/dir") is None
+
+
+def test_memory_sink_processing_time_cadence(spark, tmp_path):
+    """continuous + processing_time fires on a fixed cadence — the required
+    configuration for TTL'd stateful jobs (an armed processing-time timeout
+    makes the ASAP trigger busy-loop empty timer batches and blocks
+    processAllAvailable forever; see to_memory_sink's docstring)."""
+    import uuid
+
+    from kwack_spark.streaming import ingest as si
+
+    path = str(tmp_path / "in")
+    spark.range(5).selectExpr("id").write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema("id long").parquet(path)
+    sink = f"cadence_{uuid.uuid4().hex[:6]}"
+    q = si.to_memory_sink(
+        stream, sink, continuous=True, processing_time="100 milliseconds"
+    )
+    try:
+        q.processAllAvailable()  # no state timers here, so this terminates
+        assert spark.table(sink).count() == 5
+    finally:
+        q.stop()

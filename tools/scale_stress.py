@@ -181,15 +181,23 @@ def main() -> None:
 
     # Streaming stateful path under stress: the state store IS the LSH
     # index, with the processing-time TTL armed (as production must run
-    # it), replayed over 3 micro-batches on a CONTINUOUS trigger (the TTL
-    # caveat: AvailableNow + processing-time timeout never terminates) and
-    # drained with processAllAvailable.  The TTL (10 min) doesn't fire
-    # within a run — the measurement shows the armed-TTL bookkeeping plus
-    # bucket-state growth stay ~linear in corpus size, the bounded-state
-    # claim in SCALING.md's streaming section.
+    # it), replayed over 3 micro-batches on a CONTINUOUS 500 ms trigger.
+    # Two consequences of an armed ProcessingTimeTimeout shape this
+    # harness: (a) the engine's shouldRunAnotherBatch is permanently true,
+    # so the ASAP trigger would busy-loop empty timer batches — hence the
+    # fixed cadence; (b) noNewData is never set, so processAllAvailable /
+    # Trigger.AvailableNow block forever — hence the offset-polling drain
+    # below (wait until the file source has consumed all replay files and
+    # a subsequent batch moved nothing, then stop).  This is exactly how a
+    # production TTL'd job is operated: it never "finishes", you watch
+    # source lag.  The TTL (10 min) doesn't fire within a run — the
+    # measurement shows armed-TTL bookkeeping plus bucket-state growth
+    # stay ~linear in corpus size, the bounded-state claim in SCALING.md.
     def streaming_lsh_neardup_ttl(spark, sf_dir):
+        import re as _re
         import shutil as _sh
         import tempfile
+        import time as _t
         import uuid
 
         from kwack_spark.operators import dedup
@@ -208,9 +216,27 @@ def main() -> None:
             )
             pairs = si.stateful_lsh_neardup(stream, threshold=0.5, ttl_ms=600_000)
             sink = f"stress_lsh_{uuid.uuid4().hex[:8]}"
-            q = si.to_memory_sink(pairs, sink, output_mode="append", continuous=True)
-            q.processAllAvailable()
+            q = si.to_memory_sink(
+                pairs, sink, output_mode="append", continuous=True,
+                processing_time="500 milliseconds",
+            )
+            deadline = _t.time() + 1200
+            drained_at = None
+            while _t.time() < deadline:
+                lp = q.lastProgress
+                if lp:
+                    src = lp["sources"][0]
+                    m = _re.search(r"logOffset\D*(\d+)", str(src.get("endOffset")))
+                    log_off = int(m.group(1)) if m else -1
+                    if log_off >= 2 and src.get("numInputRows", 1) == 0:
+                        # all 3 files consumed and a later batch moved
+                        # nothing: the data is fully processed
+                        drained_at = log_off
+                        break
+                _t.sleep(0.25)
             q.stop()
+            if drained_at is None:
+                raise TimeoutError("streaming_lsh_neardup_ttl: drain timed out")
             return spark.table(sink).distinct()
         finally:
             _sh.rmtree(replay_dir, ignore_errors=True)
@@ -237,7 +263,12 @@ def main() -> None:
                         except Exception:
                             pass
         results[factor] = timings
-        print(json.dumps({"factor": factor, "timings": timings}), flush=True)
+        line = json.dumps({"factor": factor, "timings": timings})
+        print(line, flush=True)
+        # durable per-factor record: a killed/timed-out run keeps its
+        # completed factors (append mode; one JSON line each)
+        with open(os.path.join(args.out, "results.jsonl"), "a") as fh:
+            fh.write(line + "\n")
 
     base = min(args.factors)
     print("\n| query | " + " | ".join(f"x{f} (s)" for f in args.factors) + " | exponent |")
