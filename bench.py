@@ -92,6 +92,7 @@ HEADLINE = [
     # beyond-cap distributed PQ branch
     "kafka_jsonschema_fastpath",
     "ann_pq_distributed",
+    "ann_brute_force_distributed",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

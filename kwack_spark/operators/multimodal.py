@@ -63,14 +63,51 @@ def attach_binary_metadata(df: DataFrame, payload_col: str) -> DataFrame:
     )
 
 
+def _jpeg_dimensions(payload: bytes):
+    """Width/height/channels from a JPEG's SOF marker — header arithmetic
+    only, no DCT decode needed (pixel decode DOES need a codec library,
+    which this container lacks).  Walks the marker stream (each non-RST
+    marker carries a big-endian length), stopping at the first SOFn
+    (C0-CF except C4/C8/CC, which are DHT/JPG/DAC).  Returns
+    (width, height, channels) or None for malformed streams."""
+    import struct
+
+    if payload[:3] != b"\xff\xd8\xff":
+        return None
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: no segment body
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        if seg_len < 2 or pos + 2 + seg_len > len(payload):
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seg_len < 8:
+                return None
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, pos + 4)
+            return (w, h, ncomp)
+        pos += 2 + seg_len
+    return None
+
+
 def decode_image(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
-    """REAL image decode (no library needed): PNG payloads are fully
-    decoded by the stdlib kernel below (``_png_decode`` — chunk walk, CRC,
-    inflate, unfilter) and report true width/height/channels; other
-    formats (JPEG needs a DCT library this container lacks) are sniffed by
-    magic bytes and emit NULL dimensions with the format tag — the rows
-    are never silently wrong, just explicitly undecoded.  For the full
-    per-channel feature pass over PNGs use ``decode_png_features``."""
+    """REAL image metadata decode (no library needed): PNG payloads are
+    fully decoded by the stdlib kernel below (``_png_decode`` — chunk walk,
+    CRC, inflate, unfilter) and JPEG payloads report true dimensions from
+    their SOF frame header (``_jpeg_dimensions`` — marker-stream walk, no
+    DCT); remaining formats are sniffed by magic bytes and emit NULL
+    dimensions with the format tag — rows are never silently wrong, just
+    explicitly undecoded.  For the full per-channel feature pass over PNGs
+    use ``decode_png_features``."""
 
     def kernel(batches) -> Iterator:
         import pandas as pd
@@ -80,12 +117,20 @@ def decode_image(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
             rows = []
             for rec in pdf.itertuples(index=False):
                 payload = bytes(getattr(rec, payload_col))
-                parsed = _png_decode(payload) if payload.startswith(_PNG_SIG) else None
-                if parsed is not None:
-                    w, h, ch, _depth, _px = parsed
-                    vals = (w, h, ch, "png")
+                if payload.startswith(_PNG_SIG):
+                    parsed = _png_decode(payload)
+                    vals = (
+                        (parsed[0], parsed[1], parsed[2], "png")
+                        if parsed is not None
+                        else (None, None, None, "png")
+                    )
                 elif payload[:3] == b"\xff\xd8\xff":
-                    vals = (None, None, None, "jpeg")
+                    dims = _jpeg_dimensions(payload)
+                    vals = (
+                        (dims[0], dims[1], dims[2], "jpeg")
+                        if dims is not None
+                        else (None, None, None, "jpeg")
+                    )
                 elif payload[:4] == b"RIFF":
                     vals = (None, None, None, "riff")
                 else:

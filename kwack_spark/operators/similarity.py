@@ -68,12 +68,16 @@ def brute_force_topk_vectorized(
 
     Two stages:
     1. Candidate selection (mapInPandas): the corpus matrix is L2-normalized
-       once and broadcast (size-capped — beyond `max_index_rows` use the LSH
-       path instead of an unbounded collect); each Arrow batch of queries does
-       one numpy matmul and a partial argsort, emitting only (query_id,
-       corpus_id) candidate ids — no join, no shuffle, k ids per query
-       produced locally in the scan task.  This is the 100 TB shape: queries
-       stream partition-parallel against a broadcast index.
+       once and broadcast (size-capped, never an unbounded collect); each
+       Arrow batch of queries does one numpy matmul and a partial argsort,
+       emitting only (query_id, corpus_id) candidate ids — no join, no
+       shuffle, k ids per query produced locally in the scan task.  This is
+       the 100 TB shape: queries stream partition-parallel against a
+       broadcast index.  Past the cap the roles INVERT instead of refusing:
+       the query batch is broadcast and the corpus streams, each Arrow
+       batch emitting its local top-k (exhaustive exact scan, corpus never
+       leaves the executors); only when BOTH sides exceed the cap does the
+       operator raise, pointing at lsh_bucketed_pairs.
     2. Exact re-score (JVM-side): the n_q*k surviving pairs are joined back to
        their vectors and scored with the same sequential-fold cosine the
        DuckDB oracle computes — bit-exact output, while the O(n_q*n_c) work
@@ -87,48 +91,96 @@ def brute_force_topk_vectorized(
     # one job: limit(cap+1) bounds the driver transfer even when the caller
     # passes an oversized corpus, and len() then stands in for count()
     sel = [id_col, vec_col] + ([label_col] if label_col else [])
-    rows = corpus.select(*sel).limit(max_index_rows + 1).collect()
-    if len(rows) > max_index_rows:
-        raise ValueError(
-            f"corpus exceeds max_index_rows={max_index_rows}; "
-            "use lsh_bucketed_pairs for corpora too large to broadcast"
-        )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    m = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
-    # labels are only compared for (in)equality, so keep whatever dtype the
-    # column has — np.array without a forced dtype handles string / object
-    # class labels as well as ints
-    labels = np.array([r[2] for r in rows]) if label_col else None
     spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast((ids, m_n, labels))
+    rows = corpus.select(*sel).limit(max_index_rows + 1).collect()
+    if len(rows) <= max_index_rows:
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        m = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+        # labels are only compared for (in)equality, so keep whatever dtype
+        # the column has — np.array without a forced dtype handles string /
+        # object class labels as well as ints
+        labels = np.array([r[2] for r in rows]) if label_col else None
+        bc = spark.sparkContext.broadcast((ids, m_n, labels))
 
-    def topk_ids(batches):
-        c_ids, c_mat, c_labels = bc.value
-        for pdf in batches:
-            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            q_n = q / np.linalg.norm(q, axis=1, keepdims=True)
-            q_labels = (
-                pdf[label_col].to_numpy() if c_labels is not None else None
+        def topk_ids(batches):
+            c_ids, c_mat, c_labels = bc.value
+            for pdf in batches:
+                q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+                q = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+                q_n = q / np.linalg.norm(q, axis=1, keepdims=True)
+                q_labels = (
+                    pdf[label_col].to_numpy() if c_labels is not None else None
+                )
+                scores = q_n @ c_mat.T
+                # exclusion mask: self-pairs, or (hard-negative mode) the
+                # query's own label; then top-k candidate ids by (-cosine, id)
+                out_q, out_c = [], []
+                for qi in range(len(q_ids)):
+                    s = scores[qi]
+                    if q_labels is not None:
+                        mask = c_labels != q_labels[qi]
+                    else:
+                        mask = c_ids != q_ids[qi]
+                    order = np.lexsort((c_ids[mask], -s[mask]))[:k]
+                    out_q.extend([q_ids[qi]] * len(order))
+                    out_c.extend(c_ids[mask][order])
+                yield pd.DataFrame({"query_id": out_q, "corpus_id": out_c})
+
+        q_in = queries.select(*sel) if label_col else queries
+        cand = q_in.mapInPandas(topk_ids, "query_id long, corpus_id long")
+    else:
+        # Beyond the cap the roles invert (mirror of pq_topk's distributed
+        # branch): the QUERY batch is broadcast and the corpus streams
+        # partition-parallel — each Arrow batch one BLAS matmul, emitting
+        # its local top-k per query (top-k is distributive, so the union is
+        # a superset of the global answer; the exact re-score + window
+        # below restore the global ranking).  The corpus never leaves the
+        # executors — the genuine 100-TB exhaustive-scan shape for small
+        # query batches.  Raises only when BOTH sides exceed the cap (then
+        # an exhaustive exact scan is the wrong tool: lsh_bucketed_pairs).
+        del rows
+        q_rows = queries.select(*sel).limit(max_index_rows + 1).collect()
+        if len(q_rows) > max_index_rows:
+            raise ValueError(
+                f"both corpus and query set exceed max_index_rows="
+                f"{max_index_rows}; use lsh_bucketed_pairs for all-pairs "
+                "similarity over corpora too large to broadcast either side"
             )
-            scores = q_n @ c_mat.T
-            # exclusion mask: self-pairs, or (hard-negative mode) the
-            # query's own label; then top-k candidate ids by (-cosine, id)
-            out_q, out_c = [], []
-            for qi in range(len(q_ids)):
-                s = scores[qi]
-                if q_labels is not None:
-                    mask = c_labels != q_labels[qi]
-                else:
-                    mask = c_ids != q_ids[qi]
-                order = np.lexsort((c_ids[mask], -s[mask]))[:k]
-                out_q.extend([q_ids[qi]] * len(order))
-                out_c.extend(c_ids[mask][order])
-            yield pd.DataFrame({"query_id": out_q, "corpus_id": out_c})
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+        qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        q_labels = np.array([r[2] for r in q_rows]) if label_col else None
+        bcq = spark.sparkContext.broadcast((q_ids, qm_n, q_labels))
 
-    q_in = queries.select(*sel) if label_col else queries
-    cand = q_in.mapInPandas(topk_ids, "query_id long, corpus_id long")
+        def batch_topk(batches):
+            bq_ids, bq_mat, bq_labels = bcq.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+                c = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+                c_n = c / np.linalg.norm(c, axis=1, keepdims=True)
+                c_labels = (
+                    pdf[label_col].to_numpy() if bq_labels is not None else None
+                )
+                scores = bq_mat @ c_n.T  # (n_q, batch_rows)
+                out_q, out_c = [], []
+                for qi in range(len(bq_ids)):
+                    s = scores[qi]
+                    if c_labels is not None:
+                        mask = c_labels != bq_labels[qi]
+                    else:
+                        mask = c_ids != bq_ids[qi]
+                    order = np.lexsort((c_ids[mask], -s[mask]))[:k]
+                    out_q.extend([bq_ids[qi]] * len(order))
+                    out_c.extend(c_ids[mask][order])
+                yield pd.DataFrame({"query_id": out_q, "corpus_id": out_c})
+
+        # no dedup needed: each corpus row lives in exactly one Arrow batch
+        cand = corpus.select(*sel).mapInPandas(
+            batch_topk, "query_id long, corpus_id long"
+        )
     qv = queries.select(F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qvec"))
     cv = corpus.select(F.col(id_col).alias("corpus_id"), V.as_double(vec_col).alias("cvec"))
     scored = (
@@ -137,8 +189,13 @@ def brute_force_topk_vectorized(
         .select("query_id", "corpus_id", V.cosine(F.col("qvec"), F.col("cvec")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
-    return scored.withColumn("rank", F.row_number().over(w)).select(
-        "query_id", "corpus_id", "cosine", "rank"
+    # the rank filter is a no-op on the broadcast path (exactly k candidates
+    # per query) but required on the distributed path, whose per-batch local
+    # top-k unions to up to k * n_batches candidates per query
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
     )
 
 

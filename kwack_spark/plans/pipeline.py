@@ -416,6 +416,43 @@ def ann_brute_force_topk(spark, sf_dir):
 
 
 @register(
+    "ann_brute_force_distributed",
+    # the exhaustive exact scan past the broadcast cap: identical top-k
+    # semantics, executed by the inverted-roles branch (query batch
+    # broadcast, corpus streams partition-parallel emitting per-Arrow-batch
+    # local top-k, exact JVM re-score restores the global ranking) — the
+    # oracle is the same all-pairs ranking restricted to the query batch
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, {_COS} AS cosine
+            FROM v q JOIN v c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 100
+        ),
+        ranked AS (
+            SELECT query_id, corpus_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, corpus_id) AS rank
+            FROM pairs
+        )
+        SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+    tags=("similarity", "ann", "scale"),
+)
+def ann_brute_force_distributed(spark, sf_dir):
+    """brute_force_topk_vectorized forced past its broadcast cap (cap 200 <
+    corpus size at every test SF) so the distributed degrade executes end
+    to end: the corpus streams through the executors' Arrow batches and
+    only the 100-row query batch is broadcast.  Results identical to the
+    broadcast branch — graded against the same exhaustive ranking."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 100)
+    return similarity.brute_force_topk_vectorized(
+        e, q, "vec_id", "embedding", k=3, max_index_rows=200
+    )
+
+
+@register(
     "hard_negative_mining",
     # contrastive-training data prep: for every vector, the top-3 most
     # similar vectors with a DIFFERENT label — the "hard negatives" a

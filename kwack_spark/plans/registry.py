@@ -70,6 +70,7 @@ _PRIORITY = [
     "kafka_jsonschema_union_roundtrip",
     "multimodal_png_decode",
     "ann_pq_distributed",
+    "ann_brute_force_distributed",
     # adapted TPC-H suite — the reference's real workload (arbitrary
     # analytic SQL over topics, KwackConfig.java:85-86)
     "tpch_q2_min_cost_supplier",

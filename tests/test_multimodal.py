@@ -124,14 +124,32 @@ def test_decode_image_real_png_and_sniffed_other_formats(spark):
 
     from kwack_spark.operators import multimodal as mm
 
+    import struct
+
     png = mm._png_encode(np.full((5, 6), 9, np.int32), 1)
+    # minimal JPEG header: SOI, APP0, DQT (arbitrary body), SOF0 (8-bit,
+    # 480x640, 3 components), EOI — dimension parse walks the markers and
+    # never touches entropy-coded data
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    dqt = b"\xff\xdb" + struct.pack(">H", 5) + b"\x00\x01\x02"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(
+        ">BHHB", 8, 480, 640, 3
+    ) + b"\x01\x11\x00"
+    jpeg = b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
     d = spark.createDataFrame(
-        [(0, png), (1, b"\xff\xd8\xff\xe0junk"), (2, b"RIFFxxxxWAVE"), (3, b"??")],
+        [
+            (0, png),
+            (1, jpeg),
+            (2, b"RIFFxxxxWAVE"),
+            (3, b"??"),
+            (4, b"\xff\xd8\xff\xe0junk"),  # truncated jpeg -> NULL dims
+        ],
         "doc_id long, payload binary",
     )
     rows = sorted(
         mm.decode_image(d, "payload", "doc_id").collect(), key=lambda r: r.doc_id
     )
     assert (rows[0].width, rows[0].height, rows[0].channels, rows[0].format) == (6, 5, 1, "png")
-    assert rows[1].format == "jpeg" and rows[1].width is None
+    assert (rows[1].width, rows[1].height, rows[1].channels, rows[1].format) == (640, 480, 3, "jpeg")
     assert rows[2].format == "riff" and rows[3].format == "unknown"
+    assert rows[4].format == "jpeg" and rows[4].width is None

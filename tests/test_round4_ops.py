@@ -391,3 +391,37 @@ def test_pq_topk_raises_only_when_queries_also_exceed_cap(spark):
             d, d, id_col="vec_id", vec_col="embedding", k=2, m=2, ksub=4,
             dim=4, max_index_rows=10,
         )
+
+
+def test_brute_force_distributed_branch_matches_broadcast(spark):
+    """Past the broadcast cap brute_force inverts roles (corpus streams,
+    queries broadcast); output must equal the broadcast branch, including
+    the hard-negative label mask."""
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)], "ab"[i % 2]) for i in range(40)
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    q = d.filter(F.col("vec_id") < 8)
+    for kw in ({}, {"label_col": "label"}):
+        broad = similarity.brute_force_topk_vectorized(
+            d, q, vec_col="embedding", k=3, **kw
+        ).collect()
+        dist = similarity.brute_force_topk_vectorized(
+            d, q, vec_col="embedding", k=3, max_index_rows=15, **kw
+        ).collect()
+        assert sorted(map(tuple, dist)) == sorted(map(tuple, broad)), kw
+        assert all(r.rank <= 3 for r in dist)
+
+
+def test_brute_force_raises_only_when_both_exceed_cap(spark):
+    import pytest as _pt
+
+    rows = [(i, [float(i % 7), 1.0, 0.25]) for i in range(30)]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pt.raises(ValueError, match="both corpus and query set"):
+        similarity.brute_force_topk_vectorized(
+            d, d, vec_col="embedding", k=2, max_index_rows=10
+        )

@@ -53,10 +53,11 @@ SCALE_SENSITIVE = [
     "sink_compaction_roundtrip",
     "inverted_index_incremental",
     "bloom_decontaminate",
-    # round-4-new operators at 10x: the beyond-cap PQ branch streams a
-    # corpus 75x its broadcast cap here; the two decode pipelines chew
-    # 10x the payload bytes through their kernels
+    # round-4-new operators at 10x: the beyond-cap PQ and brute-force
+    # branches stream a corpus 10x its broadcast cap here; the two decode
+    # pipelines chew 10x the payload bytes through their kernels
     "ann_pq_distributed",
+    "ann_brute_force_distributed",
     "multimodal_png_decode",
     "kafka_jsonschema_fastpath",
 ]
