@@ -65,7 +65,7 @@ SCALE_SENSITIVE = [
 pytestmark = pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SCALE_TESTS"),
     reason="sf0.1 battery is opt-in (SPARK_GRAFT_SCALE_TESTS=1); "
-    "last full run: 32/32 green",
+    "last full run: 33/33 green",
 )
 
 _load_all()
