@@ -498,6 +498,57 @@ def kafka_poison_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("n_nationkey", "n_name")
 
 
+@register(
+    "kafka_poison_quarantine",
+    # the dead-letter alternative to skipping: on_error='tag' keeps every
+    # record, nulls the undecodable value fields, and flags them in a
+    # corrupt column — the poison rows stay identifiable by rowkey/offset,
+    # so `WHERE corrupt` IS the dead-letter table, no topic re-read needed
+    oracle="""
+        SELECT n_nationkey AS rowkey,
+               CASE WHEN n_nationkey % 7 <> 0 THEN n_nationkey END AS n_nationkey,
+               CASE WHEN n_nationkey % 7 <> 0 THEN n_name END AS n_name,
+               (n_nationkey % 7 = 0) AS corrupt
+        FROM nation
+    """,
+    tags=("ingest", "kafka", "errors"),
+)
+def kafka_poison_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_topic(on_error='tag') under the correctness gate: the same
+    poison frames kafka_poison_skip drops are instead quarantined in place —
+    value fields NULL, corrupt=true, rowkey intact (the key decodes
+    independently of the poison value, identifying the bad records for the
+    producer-side fix)."""
+    reg = MockSchemaRegistry()
+    sid = reg.register("nation_quar-value", json.dumps(_NATION_V1), "AVRO")
+
+    def enc(rec):
+        k = int(rec.n_nationkey).to_bytes(8, "big", signed=True)
+        if rec.n_nationkey % 7 == 0:
+            return k, ks.confluent_frame(b"\xff\xfe", sid)
+        payload = avro_schema.encode(
+            {"n_nationkey": int(rec.n_nationkey), "n_name": rec.n_name}, _NATION_V1
+        )
+        return k, ks.confluent_frame(payload, sid)
+
+    frames = _to_frames(T(spark, sf_dir, "nation"), enc, "nation_quar")
+    decoded = ks.decode_topic(
+        frames,
+        "nation_quar",
+        value_serde=Serde(kind="latest"),
+        key_serde=Serde(kind="long"),
+        registry=reg,
+        row_attributes=("rowkey", "par", "off"),
+        on_error="tag",
+    )
+    return decoded.select(
+        F.col("rowkey").cast("long").alias("rowkey"),
+        "n_nationkey",
+        "n_name",
+        "corrupt",
+    )
+
+
 # ---------------------------------------------------------------------------
 # JSON Schema roundtrip (allOf + tag injection exercised in tests; here the
 # plain object path over a bigger table)

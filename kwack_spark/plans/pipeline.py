@@ -2005,6 +2005,66 @@ def streaming_exactly_once_sink(spark, sf_dir):
 
 
 @register(
+    "sink_manifest_snapshot_read",
+    # the snapshot-isolated landing path under the correctness gate: events
+    # stream through the manifest sink (immutable attempt dirs + one
+    # atomically-swapped manifest), a crash-replay of the LAST batch is
+    # simulated by re-invoking its foreachBatch body, and the snapshot read
+    # must still equal the batch aggregate exactly — replays repoint the
+    # manifest, they never duplicate or tear data
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "sink", "manifest", "snapshot"),
+)
+def sink_manifest_snapshot_read(spark, sf_dir):
+    """Manifest-snapshot sink round trip (streaming/sink.py:
+    to_manifest_parquet_sink / read_sink_snapshot): bounded replay lands
+    every micro-batch as an immutable attempt directory, a redelivered
+    batch writes a fresh attempt and atomically repoints the manifest, and
+    readers see exactly one committed copy of every row — the aggregate
+    over the snapshot is what gets oracle-checked."""
+    import tempfile
+
+    from kwack_spark.streaming import sink as sk
+
+    e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    replay_dir = tempfile.mkdtemp(prefix="kwack_man_replay_")
+    e.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    land = tempfile.mkdtemp(prefix="kwack_man_land_")
+    ckpt = tempfile.mkdtemp(prefix="kwack_man_ckpt_")
+
+    with _few_shuffle_partitions(spark):
+        q = sk.to_manifest_parquet_sink(
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(replay_dir),
+            land,
+            ckpt,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("manifest sink did not drain in 300s")
+        # simulate the crash-redelivery of the final batch: same rows, new
+        # attempt, manifest repoints — the snapshot must not double-count
+        manifest = sk.read_manifest(land)
+        last = max(manifest, key=int)
+        redelivered = spark.read.parquet(manifest[last])
+        sk.manifest_batch_writer(land)(redelivered, int(last))
+    return (
+        sk.read_sink_snapshot(spark, land)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "sink_compaction_roundtrip",
     # the maintenance path under the correctness gate: events land through
     # the exactly-once sink (one dir per micro-batch — the small-file

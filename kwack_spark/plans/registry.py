@@ -68,9 +68,11 @@ _PRIORITY = [
     # DuckDB-oracle harness (tests/test_oracle.py).
     "kafka_jsonschema_fastpath",
     "kafka_jsonschema_union_roundtrip",
+    "kafka_poison_quarantine",
     "multimodal_png_decode",
     "ann_pq_distributed",
     "ann_brute_force_distributed",
+    "sink_manifest_snapshot_read",
     # adapted TPC-H suite — the reference's real workload (arbitrary
     # analytic SQL over topics, KwackConfig.java:85-86)
     "tpch_q2_min_cost_supplier",

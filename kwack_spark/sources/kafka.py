@@ -383,12 +383,22 @@ def decode_topic(
     tombstones (null value -> no row, KwackEngine.java:820-823).
 
     ``on_error``: 'fail' raises on an undecodable record (default, matches
-    the reference); 'skip' drops the record.  At 100 TB one poison record
-    must not kill the ingest job — run production loads with 'skip' and
-    reconcile counts against topic end offsets.
+    the reference); 'skip' drops the record; 'tag' QUARANTINES it in place —
+    the row is kept with its decodable parts (rowkey if the key decodes,
+    frame metadata always) plus a ``corrupt`` boolean column, the
+    PERMISSIVE-with-corrupt-record-column convention.  At 100 TB one poison
+    record must not kill the ingest job — run production loads with 'skip'
+    (and reconcile counts against end offsets) or 'tag' (and route
+    ``WHERE corrupt`` to a dead-letter table: offsets + keys survive, so
+    the bad producers are identifiable without re-reading the topic).
+    'tag' always decodes on the Python stage (both JVM fast paths are
+    fail-mode-only, and JVM primitive casts yield NULLs instead of errors,
+    which could not be told apart from legitimate NULLs).
     """
-    if on_error not in ("fail", "skip"):
-        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
+    if on_error not in ("fail", "skip", "tag"):
+        raise ValueError(
+            f"on_error must be 'fail', 'skip' or 'tag', got {on_error!r}"
+        )
     spark = df.sparkSession
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     key_serde = key_serde or Serde(kind="binary")
@@ -409,7 +419,7 @@ def decode_topic(
     info_attrs = tuple(a for a in row_attributes if a != "rowkey")
 
     # --- JVM-side fast path ---------------------------------------------------
-    if v_conv is None and k_conv is None:
+    if v_conv is None and k_conv is None and on_error != "tag":
         meta_cols = [rowinfo_col(info_attrs)] if info_attrs else []
         cols: list[Column] = []
         if want_rowkey:
@@ -504,6 +514,14 @@ def decode_topic(
                 True,
             )
         )
+    if on_error == "tag":
+        # quarantined rows null every data field, so schema-derived
+        # non-nullability (e.g. required Avro fields) must relax — Arrow
+        # rejects a null in a non-nullable vector
+        out_fields = [
+            ST.StructField(f.name, f.dataType, True) for f in out_fields
+        ]
+        out_fields.append(ST.StructField("corrupt", ST.BooleanType(), True))
     id_fields = [
         ST.StructField("ksi", ST.IntegerType(), True),
         ST.StructField("vsi", ST.IntegerType(), True),
@@ -512,8 +530,55 @@ def decode_topic(
 
     k_flat = k_conv is not None and k_st.fieldNames() != ["rowval"]
 
-    def _decode_one(rec, value, writers) -> dict:
+    def _decode_one(rec, value, writers, tag: bool = False) -> dict:
         out: dict[str, Any] = {}
+        if tag:
+            # quarantine mode: decode key and value independently so a
+            # poison value keeps its (identifying) rowkey, and vice versa
+            out.update({f.name: None for f in out_fields})
+            out["corrupt"] = False
+            if want_rowkey:
+                try:
+                    out["rowkey"] = _decode_key(
+                        rec.key, k_conv, k_st, k_flat, writers, skip_bytes,
+                        key_serde.kind,
+                    )
+                except Exception:
+                    out["corrupt"] = True
+            try:
+                body = None if value is None else (
+                    value[skip_bytes:] if skip_bytes else value
+                )
+                if value is None:
+                    out["rowval"] = None  # non-struct tombstone (struct
+                    # tables filtered nulls before this stage)
+                elif v_conv is None:
+                    if value_serde.kind == "rawjson":
+                        out["rowval"] = split_frame(bytes(body))[1].decode("utf-8")
+                    else:
+                        out["rowval"] = _decode_primitive_py(
+                            bytes(body), value_serde.kind
+                        )
+                else:
+                    row = (
+                        v_conv(body, writers, rec.key)
+                        if value_serde.tag
+                        else v_conv(body, writers)
+                    )
+                    if value_is_struct:
+                        for f, v in zip(v_st.fields, row):
+                            out[f.name] = _dictify(v, f.dataType)
+                    else:
+                        out["rowval"] = _dictify(row[0], v_st.fields[0].dataType)
+            except Exception:
+                for f in v_st.fields if value_is_struct else ():
+                    out[f.name] = None
+                out["corrupt"] = True
+            out["ksi"] = None if rec.key is None else split_frame(bytes(rec.key))[0]
+            out["vsi"] = None if value is None else split_frame(bytes(value))[0]
+            for m in ("topic", "partition", "offset", "timestamp", "timestampType", "headers"):
+                out[m] = getattr(rec, m)
+            return out
         if want_rowkey:
             out["rowkey"] = _decode_key(
                 rec.key, k_conv, k_st, k_flat, writers, skip_bytes, key_serde.kind
@@ -562,6 +627,8 @@ def decode_topic(
                         rows.append(_decode_one(rec, value, writers))
                     except Exception:
                         continue  # poison record: drop, keep the job alive
+                elif on_error == "tag":
+                    rows.append(_decode_one(rec, value, writers, tag=True))
                 else:
                     rows.append(_decode_one(rec, value, writers))
             yield pd.DataFrame(

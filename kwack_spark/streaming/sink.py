@@ -26,8 +26,10 @@ The overwrite is idempotent, NOT atomic: Spark deletes the directory and
 then writes the new files, so a reader racing a replay can transiently see
 a partially-deleted/partially-written batch directory.  Exactly-once holds
 for data at rest (after the replayed batch commits); readers that must
-never observe the transient state should quiesce during replay recovery or
-read through a snapshot/manifest layer.
+never observe the transient state should use the manifest-snapshot sink
+below (``to_manifest_parquet_sink`` / ``read_sink_snapshot`` — immutable
+attempt directories + one atomically-swapped manifest, the table-format
+commit idea reduced to a JSON file) or quiesce during replay recovery.
 
 Scale shape: one directory per micro-batch, each written partition-parallel
 by the executors that produced it — no extra shuffle, no driver data path.
@@ -192,3 +194,129 @@ def compact_sink(
     out = df.repartition(files) if shuffle else df.coalesce(files)
     out.write.mode("overwrite").parquet(out_path)
     return files
+
+
+# ---------------------------------------------------------------------------
+# Manifest-snapshot landing: replay-safe reads without quiescing
+# ---------------------------------------------------------------------------
+
+MANIFEST_NAME = "_kwack_manifest.json"
+
+
+def manifest_batch_writer(base_path: str):
+    """``foreachBatch`` body with SNAPSHOT-ISOLATED readers — the layer the
+    module docstring's non-atomicity caveat points at, implemented as a
+    minimal table format (the Delta/Iceberg idea reduced to one JSON file):
+
+    - every (batch, delivery) lands under its own immutable
+      ``_attempts/batch=<id>/attempt=<uuid>/`` directory — files are NEVER
+      rewritten in place;
+    - after the attempt's files are fully committed, the manifest
+      (batch_id -> attempt dir) is swapped ATOMICALLY (write-temp +
+      ``os.replace``), so a crash mid-write leaves the previous manifest
+      and a harmless orphan attempt (reclaimed by ``vacuum_sink``);
+    - a replayed batch writes a FRESH attempt and repoints: readers holding
+      the old manifest keep reading the old attempt's files unharmed —
+      exactly-once for data at rest AND no transient torn state for
+      concurrent readers, the property the plain overwrite sink cannot
+      give.
+
+    Scale shape: the data write is partition-parallel executor work exactly
+    like the overwrite sink; the manifest is one driver-side KB-scale JSON
+    swap per micro-batch.  Atomicity relies on rename semantics — POSIX and
+    HDFS renames are atomic; on S3 keep the manifest on a consistent store
+    (or a real table format's commit log).
+    """
+    import json
+    import os
+    import uuid
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if PARTITION_COL in batch_df.columns:
+            raise ValueError(
+                f"column {PARTITION_COL!r} collides with the sink's partition "
+                "column; rename it before landing"
+            )
+        attempt = f"{base_path}/_attempts/batch={batch_id}/attempt={uuid.uuid4().hex[:8]}"
+        batch_df.write.mode("overwrite").parquet(attempt)
+        manifest = read_manifest(base_path)
+        manifest[str(batch_id)] = attempt
+        tmp = os.path.join(base_path, f".{MANIFEST_NAME}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=0, sort_keys=True)
+        os.replace(tmp, os.path.join(base_path, MANIFEST_NAME))
+
+    return write_batch
+
+
+def to_manifest_parquet_sink(
+    df: DataFrame,
+    base_path: str,
+    checkpoint: str,
+    continuous: bool = False,
+) -> StreamingQuery:
+    """``to_idempotent_parquet_sink``'s snapshot-isolated sibling: same
+    trigger semantics, landing through ``manifest_batch_writer``."""
+    import os
+
+    os.makedirs(base_path, exist_ok=True)
+    w = (
+        df.writeStream.foreachBatch(manifest_batch_writer(base_path))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if not continuous:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_manifest(base_path: str) -> dict:
+    """Current manifest (batch_id str -> attempt dir); {} before the first
+    commit."""
+    import json
+    import os
+
+    p = os.path.join(base_path, MANIFEST_NAME)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def read_sink_snapshot(
+    spark: SparkSession, base_path: str, manifest: dict | None = None
+) -> DataFrame:
+    """Read a CONSISTENT snapshot: exactly the attempt directories the
+    manifest references.  Pass a previously captured ``manifest`` to pin an
+    older snapshot (time travel across replays — the attempts it references
+    are immutable until vacuumed); default is the latest committed one."""
+    m = manifest if manifest is not None else read_manifest(base_path)
+    if not m:
+        raise ValueError(f"no committed batches under {base_path!r}")
+    return spark.read.parquet(*[m[k] for k in sorted(m, key=int)])
+
+
+def vacuum_sink(base_path: str) -> int:
+    """Reclaim attempt directories no longer referenced by the CURRENT
+    manifest (superseded replays, crash orphans).  Metadata-only walk +
+    deletes; returns the number of directories removed.  Run it only when
+    no reader still holds a pre-replay manifest older than the horizon —
+    the same contract as any table format's VACUUM."""
+    import os
+    import shutil
+
+    referenced = set(read_manifest(base_path).values())
+    removed = 0
+    root = os.path.join(base_path, "_attempts")
+    if not os.path.isdir(root):
+        return 0
+    for batch_dir in os.listdir(root):
+        bpath = os.path.join(root, batch_dir)
+        if not os.path.isdir(bpath):
+            continue
+        for attempt in os.listdir(bpath):
+            apath = os.path.join(bpath, attempt)
+            if apath not in referenced:
+                shutil.rmtree(apath, ignore_errors=True)
+                removed += 1
+    return removed

@@ -403,3 +403,52 @@ def test_bad_name_topic_and_reserved_fields(spark):
         (0, "hi", 1, 2),
         (1, "hi", 1, 2),
     ]
+
+
+def test_on_error_tag_quarantines_in_place(spark):
+    """'tag' keeps poison rows with their decodable parts + a corrupt flag:
+    a bad value keeps its rowkey and frame metadata (offset identifies the
+    record for the dead-letter path); clean rows get corrupt=False."""
+    reg = MockSchemaRegistry()
+    sid = reg.register("t1-value", json.dumps(AVRO_SIMPLE), "AVRO")
+    good = ks.confluent_frame(avro_schema.encode({"f1": 1, "f2": "a"}, AVRO_SIMPLE), sid)
+    poison = ks.confluent_frame(b"\xff", sid)
+    keys = [(10).to_bytes(8, "big"), (20).to_bytes(8, "big")]
+    df = make_frames(spark, [good, poison], keys=keys)
+    out = ks.decode_topic(
+        df, "t1", Serde(kind="latest"), key_serde=Serde(kind="long"),
+        registry=reg, row_attributes=("rowkey", "off"), on_error="tag",
+    )
+    rows = sorted(out.collect(), key=lambda r: r.rowinfo.off)
+    assert out.columns == ["rowkey", "f1", "f2", "corrupt", "rowinfo"]
+    assert rows[0].corrupt is False and rows[0].f1 == 1 and rows[0].rowkey == 10
+    assert rows[1].corrupt is True and rows[1].f1 is None and rows[1].f2 is None
+    assert rows[1].rowkey == 20  # the key still identifies the poison record
+    assert rows[1].rowinfo.off == 1
+
+
+def test_on_error_tag_primitive_value_and_tombstone(spark):
+    """Tag mode forces the Python stage even for all-primitive serdes so the
+    corrupt column exists; short/garbage payloads tag, tombstones stay
+    legitimate NULLs with corrupt=False."""
+    import struct as _struct
+
+    good = _struct.pack(">q", 7)
+    df = make_frames(spark, [good, b"\x01\x02", None])
+    out = ks.decode_topic(
+        df, "t1", Serde(kind="long"), row_attributes=("off",), on_error="tag"
+    )
+    rows = sorted(out.collect(), key=lambda r: r.rowinfo.off)
+    assert rows[0].rowval == 7 and rows[0].corrupt is False
+    assert rows[1].rowval is None and rows[1].corrupt is True  # wrong width
+    assert rows[2].rowval is None and rows[2].corrupt is False  # tombstone
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInPandas" in plan  # python stage, not the JVM primitive path
+
+
+def test_on_error_rejects_unknown_mode(spark):
+    import pytest as _pt
+
+    df = make_frames(spark, [b"x"])
+    with _pt.raises(ValueError, match="'tag'"):
+        ks.decode_topic(df, "t1", Serde(kind="string"), on_error="quarantine")

@@ -636,3 +636,63 @@ def test_memory_sink_processing_time_cadence(spark, tmp_path):
         assert spark.table(sink).count() == 5
     finally:
         q.stop()
+
+
+def test_manifest_sink_snapshot_isolation_and_vacuum(spark, tmp_path):
+    """The manifest sink's whole point: a replayed batch never disturbs a
+    reader holding the previous snapshot, and vacuum reclaims exactly the
+    unreferenced attempts."""
+    import glob
+
+    from kwack_spark.streaming import sink as sk
+
+    base = str(tmp_path / "mland")
+    import os
+
+    os.makedirs(base)
+    write = sk.manifest_batch_writer(base)
+    write(spark.range(0, 10).selectExpr("id"), 0)
+    write(spark.range(10, 20).selectExpr("id"), 1)
+
+    snap1 = sk.read_manifest(base)
+    assert set(snap1) == {"0", "1"}
+    assert {r.id for r in sk.read_sink_snapshot(spark, base).collect()} == set(range(20))
+
+    # crash-replay of batch 1 with (recomputed) different rows: new attempt,
+    # manifest repoints, the OLD snapshot still reads the OLD files intact
+    write(spark.range(100, 110).selectExpr("id"), 1)
+    new = {r.id for r in sk.read_sink_snapshot(spark, base).collect()}
+    assert new == set(range(10)) | set(range(100, 110))
+    old = {r.id for r in sk.read_sink_snapshot(spark, base, manifest=snap1).collect()}
+    assert old == set(range(20))  # time travel across the replay
+
+    # a crash orphan (attempt written, manifest never updated) is invisible
+    orphan = f"{base}/_attempts/batch=2/attempt=deadbeef"
+    spark.range(500, 505).selectExpr("id").write.parquet(orphan)
+    assert {r.id for r in sk.read_sink_snapshot(spark, base).collect()} == new
+
+    # vacuum removes the superseded batch-1 attempt and the orphan, keeps
+    # everything the current manifest references
+    assert sk.vacuum_sink(base) == 2
+    assert {r.id for r in sk.read_sink_snapshot(spark, base).collect()} == new
+    assert len(glob.glob(f"{base}/_attempts/batch=*/attempt=*")) == 2
+
+
+def test_manifest_sink_streaming_end_to_end(spark, tmp_path):
+    """to_manifest_parquet_sink drains a bounded replay exactly-once and the
+    snapshot read equals the input."""
+    from kwack_spark.streaming import sink as sk
+
+    src = str(tmp_path / "src")
+    spark.range(50).selectExpr("id", "id % 5 AS grp").repartition(3).write.parquet(src)
+    base, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("id long, grp long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sk.to_manifest_parquet_sink(stream, base, ckpt)
+    assert q.awaitTermination(300)
+    got = sk.read_sink_snapshot(spark, base)
+    assert got.count() == 50 and {r.id for r in got.collect()} == set(range(50))
+    assert len(sk.read_manifest(base)) >= 2  # multiple micro-batches committed
