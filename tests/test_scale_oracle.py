@@ -60,12 +60,16 @@ SCALE_SENSITIVE = [
     "ann_brute_force_distributed",
     "multimodal_png_decode",
     "kafka_jsonschema_fastpath",
+    # quarantine tags 10x the poison mix; the manifest sink lands 10x the
+    # events through immutable attempts + a replayed final batch
+    "kafka_poison_quarantine",
+    "sink_manifest_snapshot_read",
 ]
 
 pytestmark = pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SCALE_TESTS"),
     reason="sf0.1 battery is opt-in (SPARK_GRAFT_SCALE_TESTS=1); "
-    "last full run: 33/33 green",
+    "last full run: 35/35 green",
 )
 
 _load_all()
