@@ -1117,13 +1117,21 @@ def text_token_rarity(spark, sf_dir):
 
 @register(
     "text_token_stats",
+    # DuckDB's list_sum returns HUGEINT — a width a typed (Arrow) result
+    # hasher folds differently from Spark's integer even when values are
+    # equal, so both sides pin total_tok_chars to BIGINT.  Zero-token docs:
+    # DuckDB yields NULL for ttr (0/0 -> NULL) and total_tok_chars
+    # (list_sum([]) -> NULL); the Spark plan matches via F.when guards —
+    # which also keeps the division legal under Spark 4's default ANSI mode
+    # (unguarded x/0 would throw DIVIDE_BY_ZERO).
     oracle=f"""
         WITH toks AS (SELECT doc_id, n_chars, {_toks()} AS tk FROM documents)
         SELECT doc_id,
                len(tk) AS n_tokens,
                n_chars,
                CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
-               list_sum(list_transform(tk, t -> len(t))) AS total_tok_chars
+               CAST(list_sum(list_transform(tk, t -> len(t))) AS BIGINT)
+                   AS total_tok_chars
         FROM toks
     """,
     tags=("text",),
@@ -1131,13 +1139,19 @@ def text_token_rarity(spark, sf_dir):
 def text_token_stats(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     tk = TX.tokens("text")
+    n = F.size(tk)
     return d.select(
         "doc_id",
-        F.size(tk).alias("n_tokens"),
+        n.alias("n_tokens"),
         "n_chars",
-        (F.size(F.array_distinct(tk)).cast("double") / F.size(tk)).alias("ttr"),
-        F.aggregate(
-            F.transform(tk, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        F.when(n > 0, F.size(F.array_distinct(tk)).cast("double") / n).alias("ttr"),
+        F.when(
+            n > 0,
+            F.aggregate(
+                F.transform(tk, lambda t: F.length(t)),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
         ).alias("total_tok_chars"),
     )
 

@@ -62,69 +62,17 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # order after the listed ones; the list is advisory ordering only — every
 # query stays registered.
 _PRIORITY = [
-    # --- round-4 graded prefix (positions 0-49): the three r04-new queries,
-    # the full TPC-H suite (round-3 VERDICT ask #5), then the front of the
-    # never-driver-graded backlog.  Everything here is green in the local
-    # DuckDB-oracle harness (tests/test_oracle.py).
-    "kafka_jsonschema_fastpath",
-    "kafka_jsonschema_union_roundtrip",
-    "kafka_poison_quarantine",
-    "multimodal_png_decode",
-    "ann_pq_distributed",
-    "ann_brute_force_distributed",
-    "sink_manifest_snapshot_read",
-    # adapted TPC-H suite — the reference's real workload (arbitrary
-    # analytic SQL over topics, KwackConfig.java:85-86)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q4_priority_count",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_shipping",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    # never-driver-graded backlog, original curated order
-    "text_token_stats",
-    "text_token_rarity",
-    "text_token_count_bpe",
-    "text_quality",
-    "text_lang_id",
-    "text_pii_redact",
-    "text_repetition_filter",
-    "window_tumbling_hourly",
-    "session_windows",
-    "multimodal_binary_meta",
-    "multimodal_fake_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "multimodal_byte_features",
-    "multimodal_wav_decode",
-    "streaming_window_counts",
-    "streaming_stateful_running_counts",
-    "streaming_dedup_keys",
-    "kafka_avro_fastpath",
-    "kafka_avro_key_roundtrip",
-    "quality_bucket_sample",
-    "cooccurrence_window_counts",
-    "hard_negative_mining",
-    "training_order_shuffle",
+    # --- round-5 graded prefix (positions 0-49): the 37 names never
+    # driver-graded in rounds 1-4 (sketch family, BM25/inverted index,
+    # adaptive/multi-table LSH, SemDeDup prune, sink round-trips, dialect
+    # stragglers), plus the re-grade of the round-4 hash-red
+    # text_token_stats (fixed: BIGINT-pinned total_tok_chars + NULL
+    # zero-token guards on both sides).  Remaining prefix slots are the
+    # round-5-new queries so they get driver evidence on first grading.
     "user_path_trigrams",
     "event_transition_matrix",
     "length_bucketed_batches",
     "prefix_duplicate_groups",
-    # --- round-5 graded prefix (positions 50-84): remainder of the
-    # never-graded backlog — rotate these to 0-49 next round
     "daily_anomaly_zscore",
     "sax_weekly_symbols",
     "hll_audience_overlap",
@@ -158,8 +106,61 @@ _PRIORITY = [
     "semdedup_cluster_prune",
     "cms_heavy_hitters",
     "temperature_mixture_sample",
-    # --- already driver-green in r01-r03 (139 names, all green) — tail,
-    # re-graded only if the prefix budget allows
+    # re-grade after the round-5 fix (hash-red in r04)
+    "text_token_stats",
+    # round-5-new queries land here (registered below this line in the
+    # prefix as they are added)
+    # --- already driver-green in r01-r04 (188 names) — tail, re-graded
+    # only if the prefix budget allows
+    "kafka_jsonschema_fastpath",
+    "kafka_jsonschema_union_roundtrip",
+    "kafka_poison_quarantine",
+    "multimodal_png_decode",
+    "ann_pq_distributed",
+    "ann_brute_force_distributed",
+    "sink_manifest_snapshot_read",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_priority_count",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "text_token_rarity",
+    "text_token_count_bpe",
+    "text_quality",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "window_tumbling_hourly",
+    "session_windows",
+    "multimodal_binary_meta",
+    "multimodal_fake_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_byte_features",
+    "multimodal_wav_decode",
+    "streaming_window_counts",
+    "streaming_stateful_running_counts",
+    "streaming_dedup_keys",
+    "kafka_avro_fastpath",
+    "kafka_avro_key_roundtrip",
+    "quality_bucket_sample",
+    "cooccurrence_window_counts",
+    "hard_negative_mining",
+    "training_order_shuffle",
     "kafka_proto_msgindex",
     "ann_pq_recall",
     "ann_ivf_recall",
