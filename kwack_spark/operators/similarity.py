@@ -55,6 +55,16 @@ def brute_force_topk(
 MAX_BROADCAST_INDEX_ROWS = 200_000  # ~100 MB at dim=64 float64 — driver-safe cap
 
 
+def _within_cap(df: DataFrame, cap: int) -> bool:
+    """Broadcast-cap probe on the FIRST column only (ids).  A beyond-cap
+    table must never ship cap+1 vector-bearing rows to the driver just to
+    be discarded in favor of the distributed branch — the probe is a
+    count() over ids (bytes, not a ~100 MB driver spike at dim 64); the
+    under-cap branch collects vectors afterwards, when they are known to
+    fit."""
+    return df.select(df.columns[0]).limit(cap + 1).count() <= cap
+
+
 def brute_force_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,
@@ -88,12 +98,10 @@ def brute_force_topk_vectorized(
     import numpy as np
     import pandas as pd
 
-    # one job: limit(cap+1) bounds the driver transfer even when the caller
-    # passes an oversized corpus, and len() then stands in for count()
     sel = [id_col, vec_col] + ([label_col] if label_col else [])
     spark = corpus.sparkSession
-    rows = corpus.select(*sel).limit(max_index_rows + 1).collect()
-    if len(rows) <= max_index_rows:
+    if _within_cap(corpus.select(*sel), max_index_rows):
+        rows = corpus.select(*sel).collect()
         ids = np.array([r[0] for r in rows], dtype=np.int64)
         m = np.array([list(r[1]) for r in rows], dtype=np.float64)
         m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
@@ -139,14 +147,13 @@ def brute_force_topk_vectorized(
         # executors — the genuine 100-TB exhaustive-scan shape for small
         # query batches.  Raises only when BOTH sides exceed the cap (then
         # an exhaustive exact scan is the wrong tool: lsh_bucketed_pairs).
-        del rows
-        q_rows = queries.select(*sel).limit(max_index_rows + 1).collect()
-        if len(q_rows) > max_index_rows:
+        if not _within_cap(queries.select(*sel), max_index_rows):
             raise ValueError(
                 f"both corpus and query set exceed max_index_rows="
                 f"{max_index_rows}; use lsh_bucketed_pairs for all-pairs "
                 "similarity over corpora too large to broadcast either side"
             )
+        q_rows = queries.select(*sel).collect()
         q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
         qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
         qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -515,8 +522,8 @@ def pq_topk(
     # 100-TB shape for exhaustive ADC scans (standalone PQ *is* an
     # exhaustive scan over codes; IVF-PQ is the probe-limited variant).
     spark = corpus.sparkSession
-    rows = recon.limit(max_index_rows + 1).collect()
-    if len(rows) <= max_index_rows:
+    if _within_cap(recon, max_index_rows):
+        rows = recon.collect()
         ids = np.array([r[0] for r in rows], dtype=np.int64)
         mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
         bc = spark.sparkContext.broadcast((ids, mat))
@@ -538,14 +545,13 @@ def pq_topk(
 
         cand = q.mapInPandas(topk_ids, "query_id long, corpus_id long")
     else:
-        del rows
-        q_rows = q.limit(max_index_rows + 1).collect()
-        if len(q_rows) > max_index_rows:
+        if not _within_cap(q, max_index_rows):
             recon.unpersist()
             raise ValueError(
                 f"both PQ index and query set exceed {max_index_rows} rows; "
                 "bound the query batch or pair with IVF lists (ivf_pq_topk)"
             )
+        q_rows = q.collect()
         q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
         q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
         bcq = spark.sparkContext.broadcast((q_ids, q_mat))
@@ -659,8 +665,7 @@ def ivf_pq_topk(
     coded = _persist_rotating(
         "ivfpq_coded", coded.select("corpus_id", "list_id", "xhat")
     )
-    rows = coded.limit(max_index_rows + 1).collect()
-    if len(rows) > max_index_rows:
+    if not _within_cap(coded, max_index_rows):
         cand = probes.join(coded, "list_id").filter(
             F.col("query_id") != F.col("corpus_id")
         )
@@ -675,6 +680,7 @@ def ivf_pq_topk(
             .filter(F.col("rank") <= k)
             .select("query_id", "corpus_id", "adc", "rank")
         )
+    rows = coded.collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     lists = np.array([r[1] for r in rows], dtype=np.int64)
     mat = np.array([list(r[2]) for r in rows], dtype=np.float64)

@@ -91,6 +91,15 @@ def _compat_reason(node: Any) -> str | None:
             return "untyped array items (raw passthrough is Python-path)"
         return _compat_reason(items)
     if t in ("string", "integer", "number", "boolean", "null"):
+        # KNOWN DIVERGENCE (documented, accepted): JSON Schema counts
+        # zero-fraction floats (5.0) as conforming 'integer' instances, and
+        # the Python coercer is lenient (int(5.0), int('5')), but from_json
+        # FAILFAST over LongType raises on such non-canonical tokens.  The
+        # gate stays eligible because conforming PRODUCERS emit canonical
+        # integer tokens (Confluent serializers always do); a topic carrying
+        # 5.0-style integers fails loudly on the JVM path rather than
+        # decoding differently — set the fallback env/knob to force the
+        # Python path for such feeds.
         return None
     return f"unsupported json-schema node for the JVM path: {node}"
 

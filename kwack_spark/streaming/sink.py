@@ -115,9 +115,13 @@ def _check_disjoint_paths(base_path: str, out_path: str) -> None:
     import os
 
     def norm(p: str) -> str:
-        # URI-style paths (hdfs://, s3a://, file://) are compared textually
-        # after trailing-slash stripping; bare local paths get realpath so
-        # symlinked aliases of the same directory are caught too.
+        # file:// URIs address the local filesystem — strip the scheme so a
+        # file:///data/sink vs /data/sink mix compares in one namespace.
+        # Other URI schemes (hdfs://, s3a://) are compared textually after
+        # trailing-slash stripping; local paths get realpath so symlinked
+        # aliases of the same directory are caught too.
+        if p.startswith("file://"):
+            p = p[len("file://") :] or "/"
         if "://" in p:
             return p.rstrip("/")
         return os.path.realpath(p)
@@ -239,12 +243,33 @@ def manifest_batch_writer(base_path: str):
             )
         attempt = f"{base_path}/_attempts/batch={batch_id}/attempt={uuid.uuid4().hex[:8]}"
         batch_df.write.mode("overwrite").parquet(attempt)
-        manifest = read_manifest(base_path)
-        manifest[str(batch_id)] = attempt
-        tmp = os.path.join(base_path, f".{MANIFEST_NAME}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh, indent=0, sort_keys=True)
-        os.replace(tmp, os.path.join(base_path, MANIFEST_NAME))
+        # The manifest update is a read-modify-write; two concurrent
+        # streaming queries landing into one base_path would interleave and
+        # silently drop each other's committed batch (lost update).  The
+        # contract is SINGLE WRITER PER base_path (Structured Streaming
+        # enforces one query per checkpoint; distinct queries must use
+        # distinct base_paths) — enforced here with an O_EXCL lock file
+        # that FAILS LOUDLY on contention instead of losing a commit.
+        lock = os.path.join(base_path, f".{MANIFEST_NAME}.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"manifest sink at {base_path!r} is locked by a concurrent "
+                "writer (or a crashed writer left "
+                f"{lock!r} behind — remove it after confirming no live "
+                "query); one streaming query per base_path"
+            ) from None
+        try:
+            os.close(fd)
+            manifest = read_manifest(base_path)
+            manifest[str(batch_id)] = attempt
+            tmp = os.path.join(base_path, f".{MANIFEST_NAME}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh, indent=0, sort_keys=True)
+            os.replace(tmp, os.path.join(base_path, MANIFEST_NAME))
+        finally:
+            os.unlink(lock)
 
     return write_batch
 
@@ -305,7 +330,15 @@ def vacuum_sink(base_path: str) -> int:
     import os
     import shutil
 
-    referenced = set(read_manifest(base_path).values())
+    # Liveness is decided on the (batch=<id>, attempt=<id>) NAME PAIR, not
+    # the raw path string: manifest values embed the writer's base_path
+    # verbatim, so a differently-spelled but equivalent base_path argument
+    # (trailing slash, relative vs absolute, symlinked alias) must not make
+    # every referenced attempt look unreferenced and delete live data.
+    referenced = {
+        tuple(p.rstrip("/").split("/")[-2:])
+        for p in read_manifest(base_path).values()
+    }
     removed = 0
     root = os.path.join(base_path, "_attempts")
     if not os.path.isdir(root):
@@ -316,7 +349,7 @@ def vacuum_sink(base_path: str) -> int:
             continue
         for attempt in os.listdir(bpath):
             apath = os.path.join(bpath, attempt)
-            if apath not in referenced:
+            if (batch_dir, attempt) not in referenced:
                 shutil.rmtree(apath, ignore_errors=True)
                 removed += 1
     return removed

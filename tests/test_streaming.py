@@ -696,3 +696,77 @@ def test_manifest_sink_streaming_end_to_end(spark, tmp_path):
     got = sk.read_sink_snapshot(spark, base)
     assert got.count() == 50 and {r.id for r in got.collect()} == set(range(50))
     assert len(sk.read_manifest(base)) >= 2  # multiple micro-batches committed
+
+
+def test_vacuum_sink_path_spelling_does_not_delete_live_data(spark, tmp_path):
+    """vacuum decides liveness on (batch, attempt) NAME pairs, so calling it
+    with a differently-spelled but equivalent base_path (trailing slash,
+    relative, symlink alias) must reclaim only true orphans — never the
+    attempts the manifest references."""
+    import os
+
+    from kwack_spark.streaming import sink as sk
+
+    base = str(tmp_path / "mland")
+    os.makedirs(base)
+    write = sk.manifest_batch_writer(base)
+    write(spark.range(0, 10).selectExpr("id"), 0)
+    spark.range(99, 102).selectExpr("id").write.parquet(
+        f"{base}/_attempts/batch=7/attempt=orphan01"
+    )
+
+    # trailing slash
+    assert sk.vacuum_sink(base + "/") == 1
+    assert {r.id for r in sk.read_sink_snapshot(spark, base).collect()} == set(range(10))
+
+    # symlinked alias of the same directory
+    alias = str(tmp_path / "alias")
+    os.symlink(base, alias)
+    spark.range(200, 203).selectExpr("id").write.parquet(
+        f"{base}/_attempts/batch=8/attempt=orphan02"
+    )
+    assert sk.vacuum_sink(alias) == 1
+    assert {r.id for r in sk.read_sink_snapshot(spark, base).collect()} == set(range(10))
+
+
+def test_manifest_writer_lock_fails_loudly_on_contention(spark, tmp_path):
+    """A concurrent (or crashed) writer's lock file makes the next commit
+    raise instead of silently losing an update; the lock is released on
+    successful commit."""
+    import os
+
+    import pytest
+
+    from kwack_spark.streaming import sink as sk
+
+    base = str(tmp_path / "mland")
+    os.makedirs(base)
+    write = sk.manifest_batch_writer(base)
+    write(spark.range(0, 5).selectExpr("id"), 0)
+    lock = os.path.join(base, f".{sk.MANIFEST_NAME}.lock")
+    assert not os.path.exists(lock)  # released after commit
+
+    open(lock, "w").close()  # simulate a concurrent writer holding it
+    with pytest.raises(RuntimeError, match="locked by a concurrent writer"):
+        write(spark.range(5, 10).selectExpr("id"), 1)
+    os.unlink(lock)
+    write(spark.range(5, 10).selectExpr("id"), 1)  # recovers after release
+    assert set(sk.read_manifest(base)) == {"0", "1"}
+
+
+def test_compact_sink_rejects_file_uri_alias_of_same_path(spark, tmp_path):
+    """file:// URIs and bare local paths are one namespace for the
+    in-place/nested compaction guard."""
+    import pytest
+
+    from kwack_spark.streaming import sink as sk
+
+    land = str(tmp_path / "land")
+    for bad_base, bad_out in [
+        (f"file://{land}", f"{land}/out"),
+        (land, f"file://{land}/out"),
+        (f"file://{land}", land),
+    ]:
+        with pytest.raises(ValueError, match="overlaps"):
+            sk._check_disjoint_paths(bad_base, bad_out)
+    sk._check_disjoint_paths(f"file://{land}", str(tmp_path / "elsewhere"))
