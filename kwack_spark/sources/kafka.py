@@ -464,6 +464,33 @@ def decode_topic(
             ] + (["rowinfo"] if info_attrs else [])
             return out.select(*order)
 
+    # --- JVM from_protobuf fast path (single-message, local-type schemas) -----
+    # Mirrors the from_avro gate: jar availability (spark-protobuf — absent
+    # in this sandbox, so this branch can never activate here), exactly one
+    # top-level message (fixed 0x00 message-index prefix, stripped JVM-side
+    # with a raising guard), type-matrix compatibility, and no writer
+    # evolution — see sources/protobuf_jvm.py.
+    if (
+        value_is_struct
+        and value_serde.kind == "protobuf"
+        and key_jvm_ok
+        and on_error == "fail"
+    ):
+        from kwack_spark.sources import protobuf_jvm
+
+        ok, _why = protobuf_jvm.eligible(value_serde, topic, registry)
+        if ok and protobuf_jvm.available(spark):
+            head = [_jvm_key_col(key_serde, skip_bytes)] if want_rowkey else []
+            meta = [rowinfo_col(info_attrs)] if info_attrs else []
+            dec = protobuf_jvm.decode_value_col(
+                payload_col("value", skip_bytes), value_serde.schema_str, on_error
+            )
+            out = df.select(*head, dec.alias("_v"), *meta)
+            order = (["rowkey"] if want_rowkey else []) + [
+                F.col(f"_v.{f.name}").alias(f.name) for f in v_st.fields
+            ] + (["rowinfo"] if info_attrs else [])
+            return out.select(*order)
+
     # --- JVM from_json fast path (plain-struct JSON-Schema topics) ------------
     # Same shape as the from_avro path but jar-free: from_json is core
     # Spark, so this is the JVM decode path that can execute anywhere.
