@@ -93,6 +93,9 @@ HEADLINE = [
     "kafka_jsonschema_fastpath",
     "ann_pq_distributed",
     "ann_brute_force_distributed",
+    # round-11: the full baseline-JPEG pixel decode (Huffman entropy decode
+    # + IDCT per 8x8 block — the heaviest per-byte multimodal kernel here)
+    "multimodal_jpeg_decode",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set
@@ -178,23 +181,33 @@ def main() -> None:
     # value stays comparable across rounds: init + warmup + ONE rep
     # (median per query); the full multi-rep wall clock is total_wall_sec
     one_cycle = init_sec + warmup_sec + sum(timings.values())
-    print(
-        json.dumps(
-            {
-                "metric": "full_cycle_sec",
-                "value": round(one_cycle, 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_spread": spread,
-                "reps": reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "init_sec": round(init_sec, 3),
-                "warmup_sec": round(warmup_sec, 3),
-                "total_wall_sec": round(total, 3),
-                "n_queries": len(timings),
-            }
-        )
-    )
+    result = {
+        "metric": "full_cycle_sec",
+        "value": round(one_cycle, 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_spread": spread,
+        "reps": reps,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "init_sec": round(init_sec, 3),
+        "warmup_sec": round(warmup_sec, 3),
+        "total_wall_sec": round(total, 3),
+        "n_queries": len(timings),
+        "env": {
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "sf_dir": sf_dir,
+            "python": sys.version.split()[0],
+            "pyspark": __import__("pyspark").__version__,
+        },
+    }
+    print(json.dumps(result))
+    # The driver's BENCH artifact stores a truncated stdout tail, which has
+    # made per-query regression auditing impossible from artifacts alone
+    # for two rounds — so ALSO persist the full result next to the script.
+    # tools/bench_regress.py diffs this against the committed
+    # BENCH_BASELINE.json (>1.25x median = regression).
+    out = Path(__file__).resolve().parent / "BENCH_LOCAL.json"
+    out.write_text(json.dumps(result, indent=1, sort_keys=True) + "\n")
     spark.stop()
 
 

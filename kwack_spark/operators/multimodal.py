@@ -651,3 +651,632 @@ def drop_payload_early(df: DataFrame, payload_col: str, feature_cols: list[str])
     before any wide operation, so raw bytes never cross the network."""
     keep = [c for c in feature_cols if c != payload_col]
     return df.select(*keep)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (stdlib + numpy — no media library in this container)
+#
+# Sequential baseline Huffman JPEG (SOI/APP0/DQT/SOF0/DHT/SOS/EOI), 8-bit,
+# 1x1 sampling (no chroma subsampling), standard Annex K quality-50 quant
+# tables and Huffman tables.  Out-of-scope streams (progressive SOF2,
+# arithmetic coding, subsampled, 12-bit) decode to None — callers fall back
+# to _jpeg_dimensions' header-only path, never silently-wrong pixels.
+#
+# Exactness contract (what makes a closed-form oracle possible): both FDCT
+# and IDCT special-case CONSTANT / DC-only blocks with exact arithmetic
+# (integer DC, power-of-two division) — the same shortcut real decoders
+# take (libjpeg's all-AC-zero fast path).  All rounding is floor(x + 0.5)
+# on IEEE doubles, mirrored verbatim by the multimodal_jpeg_decode oracle.
+# ---------------------------------------------------------------------------
+
+# Annex K Table K.1/K.2 (quality 50), natural (row-major) order
+_JQ_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JQ_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K standard Huffman tables: (bits[1..16], values).  The DECODER
+# builds its tables from the stream's DHT segments, so encoder and decoder
+# share these definitions rather than assuming them.
+_JH_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JH_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JH_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JH_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_zigzag():
+    """Natural (row, col) coordinates in zigzag order, generated (not
+    transcribed): diagonal s = r + c, odd diagonals walk rows ascending."""
+    order = []
+    for s in range(15):
+        d = [(r, s - r) for r in range(max(0, s - 7), min(8, s + 1))]
+        order.extend(d if s % 2 == 1 else d[::-1])
+    return order
+
+
+_JZZ = _jpeg_zigzag()
+
+
+def _jpeg_dct_matrix():
+    import math
+
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        a = (1 / math.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            c[u, x] = a * math.cos((2 * x + 1) * u * math.pi / 16) / 2
+    return c
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc <<= 8 - self.n
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1-bits per spec
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.n = 0, 0
+        return bytes(self.out)
+
+
+def _huff_codes(bits, values):
+    """Canonical Huffman assignment: {symbol: (code, length)}."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _jpeg_quantize(coef, qtab):
+    """round-half-away quantization; exact integer path for the DC of a
+    DC-only (constant) block is handled by the caller."""
+    import numpy as np
+
+    a = np.abs(coef) / qtab + 0.5
+    return (np.sign(coef) * np.floor(a)).astype(np.int32)
+
+
+def _jpeg_encode_plane(blocks, qtab, dcmap, acmap, bw, pred, dct):
+    """Encode a list of (block ndarray) for one component; returns new DC
+    predictor.  Constant blocks take the exact integer FDCT shortcut."""
+    import numpy as np
+
+    for blk in blocks:
+        if (blk == blk.flat[0]).all():
+            q = np.zeros(64, np.int32)
+            dc_raw = 8 * (int(blk.flat[0]) - 128)
+            q[0] = (
+                (2 * abs(dc_raw) + qtab.flat[0]) // (2 * int(qtab.flat[0]))
+            ) * (1 if dc_raw >= 0 else -1)
+            zz = q
+        else:
+            coef = dct @ (blk.astype(np.float64) - 128.0) @ dct.T
+            qb = _jpeg_quantize(coef, qtab)
+            zz = np.array([qb[r, c] for r, c in _JZZ], np.int32)
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        t = _jpeg_category(diff)
+        code, length = dcmap[t]
+        bw.write(code, length)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last = 63
+        while last > 0 and zz[last] == 0:
+            last -= 1
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, length = acmap[0xF0]
+                bw.write(code, length)
+                run -= 16
+            s = _jpeg_category(v)
+            code, length = acmap[(run << 4) | s]
+            bw.write(code, length)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            code, length = acmap[0x00]
+            bw.write(code, length)
+    return pred
+
+
+def _jpeg_blocks(plane, w, h):
+    """Split an (h, w) plane into row-major 8x8 blocks, edge-replicating to
+    multiples of 8."""
+    import numpy as np
+
+    H, W = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((H, W), np.int32)
+    padded[:h, :w] = plane
+    if W > w:
+        padded[:h, w:] = plane[:, -1:]
+    if H > h:
+        padded[h:, :] = padded[h - 1 : h, :]
+    return [
+        padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+        for by in range(H // 8)
+        for bx in range(W // 8)
+    ]
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    import struct
+
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_encode(pixels, channels: int) -> bytes:
+    """Minimal, standards-correct baseline JPEG writer (stdlib + numpy):
+    8-bit grayscale or RGB (no subsampling), Annex K quality-50 quant
+    tables, Annex K Huffman tables written to DHT segments.  ``pixels``:
+    (h, w*channels) int array."""
+    import struct
+
+    import numpy as np
+
+    h, stride = pixels.shape
+    w = stride // channels
+    dct = _jpeg_dct_matrix()
+    ql = np.array(_JQ_LUMA, np.int32).reshape(8, 8)
+    qc = np.array(_JQ_CHROMA, np.int32).reshape(8, 8)
+
+    if channels == 3:
+        r = pixels[:, 0::3].astype(np.float64)
+        g = pixels[:, 1::3].astype(np.float64)
+        b = pixels[:, 2::3].astype(np.float64)
+        y = np.clip(np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5), 0, 255)
+        cb = np.clip(
+            np.floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5), 0, 255
+        )
+        cr = np.clip(
+            np.floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5), 0, 255
+        )
+        planes = [y.astype(np.int32), cb.astype(np.int32), cr.astype(np.int32)]
+    else:
+        planes = [pixels.astype(np.int32)]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_l = bytes(int(ql[r, c]) for r, c in _JZZ)
+    zz_c = bytes(int(qc[r, c]) for r, c in _JZZ)
+    out += _seg(0xDB, b"\x00" + zz_l)
+    if channels == 3:
+        out += _seg(0xDB, b"\x01" + zz_c)
+    ncomp = 3 if channels == 3 else 1
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += _seg(0xC0, sof)
+    for cls, tid, (bits, vals) in (
+        (0, 0, _JH_DC_LUMA),
+        (1, 0, _JH_AC_LUMA),
+    ) + (((0, 1, _JH_DC_CHROMA), (1, 1, _JH_AC_CHROMA)) if channels == 3 else ()):
+        out += _seg(0xC4, bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, sos)
+
+    dc_l, ac_l = _huff_codes(*_JH_DC_LUMA), _huff_codes(*_JH_AC_LUMA)
+    dc_c, ac_c = _huff_codes(*_JH_DC_CHROMA), _huff_codes(*_JH_AC_CHROMA)
+    comp_blocks = [_jpeg_blocks(p, w, h) for p in planes]
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    # 1x1 sampling: one MCU = one block of each component, interleaved
+    for bi in range(len(comp_blocks[0])):
+        for ci in range(ncomp):
+            qtab = ql if ci == 0 else qc
+            dcmap = dc_l if ci == 0 else dc_c
+            acmap = ac_l if ci == 0 else ac_c
+            preds[ci] = _jpeg_encode_plane(
+                [comp_blocks[ci][bi]], qtab, dcmap, acmap, bw, preds[ci], dct
+            )
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise EOFError
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise EOFError
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise EOFError  # marker inside entropy data
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise EOFError
+
+
+def _extend(v: int, t: int) -> int:
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _jpeg_decode(payload: bytes):
+    """Minimal, standards-correct baseline JPEG reader: marker walk, DQT /
+    DHT from the stream, SOF0 (baseline sequential only), Huffman entropy
+    decode with byte unstuffing and restart-marker handling, dequantize,
+    IDCT (exact fast path for DC-only blocks), YCbCr->RGB.  Returns
+    (w, h, channels, pixel matrix (h, w*channels) uint8) or None for
+    anything out of scope (progressive, arithmetic, subsampled, 12-bit) or
+    malformed."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        return None
+    qtabs: dict = {}
+    htabs: dict = {}
+    sof = None
+    restart = 0
+    pos = 2
+    scan = None
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:
+            return None  # EOI before SOS
+        if marker in (0x01, *range(0xD0, 0xD8)):
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            return None
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            return None
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    return None  # 16-bit tables out of scope
+                vals = body[i + 1 : i + 65]
+                if len(vals) < 64:
+                    return None
+                tab = np.zeros((8, 8), np.int32)
+                for k, (r, c) in enumerate(_JZZ):
+                    tab[r, c] = vals[k]
+                qtabs[tq] = tab
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i + 17 <= len(body):
+                cls, tid = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                nval = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nval])
+                if len(vals) < nval:
+                    return None
+                codes = _huff_codes(bits, vals)
+                htabs[(cls, tid)] = {
+                    (code, length): sym for sym, (code, length) in codes.items()
+                }
+                i += 17 + nval
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc not in (1, 3):
+                return None
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = body[6 + ci * 3 : 9 + ci * 3]
+                if samp != 0x11:
+                    return None  # subsampling out of scope
+                comps.append((cid, tq))
+            sof = (w, h, comps)
+        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # progressive / arithmetic / lossless out of scope
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            stabs = []
+            for ci in range(ns):
+                cid, tt = body[1 + ci * 2], body[2 + ci * 2]
+                stabs.append((cid, tt >> 4, tt & 15))
+            scan = (stabs, pos + 2 + seg_len)
+            break
+        pos += 2 + seg_len
+    if sof is None or scan is None:
+        return None
+    w, h, comps = sof
+    stabs, data_start = scan
+    if len(stabs) != len(comps):
+        return None
+
+    # entropy-coded data runs to the next real marker (skip stuffed FF00
+    # and RSTn)
+    data = payload[data_start:]
+    dct = _jpeg_dct_matrix()
+    bx, by = -(-w // 8), -(-h // 8)
+    nmcu = bx * by
+    planes = [np.zeros((by * 8, bx * 8), np.uint8) for _ in comps]
+    preds = [0] * len(comps)
+    br = _BitReader(data)
+    try:
+        for mi in range(nmcu):
+            if restart and mi and mi % restart == 0:
+                # realign to byte boundary, expect RSTn, reset predictors
+                br.n = 0
+                while br.pos + 1 < len(br.data) and br.data[br.pos] == 0xFF and (
+                    0xD0 <= br.data[br.pos + 1] <= 0xD7
+                ):
+                    br.pos += 2
+                    break
+                preds = [0] * len(comps)
+            for ci, ((cid, tq), (scid, td, ta)) in enumerate(zip(comps, stabs)):
+                if cid != scid or tq not in qtabs:
+                    return None
+                dctab = htabs.get((0, td))
+                actab = htabs.get((1, ta))
+                if dctab is None or actab is None:
+                    return None
+                zz = np.zeros(64, np.int64)
+                t = _huff_decode(br, dctab)
+                diff = _extend(br.read(t), t) if t else 0
+                preds[ci] += diff
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(br, actab)
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    s = sym & 15
+                    if k > 63 or s == 0:
+                        return None
+                    zz[k] = _extend(br.read(s), s)
+                    k += 1
+                qt = qtabs[tq]
+                deq = np.zeros((8, 8), np.int64)
+                for kk, (r, c) in enumerate(_JZZ):
+                    deq[r, c] = zz[kk] * qt[r, c]
+                if not deq.flat[1:].any() and not deq[1:, :].any():
+                    # DC-only: exact constant block (libjpeg-style fast path;
+                    # /8.0 is a power-of-two division -> exact in double)
+                    val = np.floor(int(deq[0, 0]) / 8.0 + 128 + 0.5)
+                    blk = np.full((8, 8), int(min(255.0, max(0.0, val))), np.uint8)
+                else:
+                    spat = dct.T @ deq.astype(np.float64) @ dct
+                    blk = np.clip(np.floor(spat + 128 + 0.5), 0, 255).astype(
+                        np.uint8
+                    )
+                my, mx = mi // bx, mi % bx
+                planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = blk
+    except EOFError:
+        return None
+    planes = [p[:h, :w] for p in planes]
+    if len(comps) == 1:
+        return w, h, 1, planes[0].reshape(h, w)
+    yp = planes[0].astype(np.float64)
+    cbp = planes[1].astype(np.float64)
+    crp = planes[2].astype(np.float64)
+    r = np.clip(np.floor(yp + 1.402 * (crp - 128) + 0.5), 0, 255)
+    g = np.clip(
+        np.floor(yp - 0.344136 * (cbp - 128) - 0.714136 * (crp - 128) + 0.5), 0, 255
+    )
+    b = np.clip(np.floor(yp + 1.772 * (cbp - 128) + 0.5), 0, 255)
+    out = np.empty((h, w * 3), np.uint8)
+    out[:, 0::3] = r
+    out[:, 1::3] = g
+    out[:, 2::3] = b
+    return w, h, 3, out
+
+
+def synth_jpeg(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic baseline-JPEG fixture generator (real encoder).  Per
+    id d: width 16 (d even) / 8 (odd); height 8 (d%3==0) / 16; grayscale
+    when d%5==0 else RGB.  Pixels are BLOCK-CONSTANT, with the left and
+    right 8x8 block columns (w=16) carrying different colors — so the
+    entropy stream exercises nonzero and negative DC differentials while
+    every reconstructed value keeps the closed form the
+    multimodal_jpeg_decode oracle states (constant-block FDCT/IDCT are
+    exact; see the codec header comment)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches) -> Iterator:
+        for pdf in batches:
+            ids, outs = [], []
+            for rec in pdf.itertuples(index=False):
+                d = int(getattr(rec, id_col))
+                w = 16 if d % 2 == 0 else 8
+                h = 8 if d % 3 == 0 else 16
+                if d % 5 == 0:
+                    ch = 1
+                    a = d % 256
+                    b = (9 * d + 77) % 256
+                    px = np.full((h, w), a, np.int32)
+                    if w == 16:
+                        px[:, 8:] = b
+                else:
+                    ch = 3
+                    ca = (d % 256, (3 * d + 17) % 256, (7 * d + 31) % 256)
+                    cb_ = ((5 * d + 101) % 256, (13 * d + 7) % 256, (11 * d + 29) % 256)
+                    px = np.zeros((h, w * 3), np.int32)
+                    for i in range(3):
+                        px[:, i::3] = ca[i]
+                        if w == 16:
+                            px[:, 24 + i :: 3] = cb_[i]
+                ids.append(d)
+                outs.append(_jpeg_encode(px, ch))
+            yield pd.DataFrame({id_col: ids, "payload": outs})
+
+    out_schema = ST.StructType(
+        [
+            ST.StructField(id_col, ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def decode_jpeg_features(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """REAL JPEG decode kernel (the last multimodal dims-only gap, closed):
+    full baseline decode — marker walk, stream-defined Huffman tables,
+    entropy decode, dequantize, IDCT, color transform — then per-channel
+    means by exact integer sum / count.  Streams the codec cannot decode
+    (progressive, subsampled) yield NULL features, never wrong ones.  Same
+    narrow Arrow-batched plan as the PNG/WAV kernels; payloads never
+    shuffle."""
+    import pandas as pd
+
+    def kernel(batches) -> Iterator:
+        cols = [id_col] + [f.name for f in PNG_FEATURES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                parsed = _jpeg_decode(bytes(getattr(rec, payload_col)))
+                if parsed is None:
+                    vals = (None,) * 7
+                else:
+                    w, h, ch, px = parsed
+                    n = w * h
+
+                    def mean_of(c: int) -> float:
+                        lane = px[:, c::ch]
+                        return float(int(lane.sum(dtype="int64"))) / n
+
+                    if ch == 1:
+                        m = mean_of(0)
+                        means = (m, m, m)
+                    else:
+                        means = (mean_of(0), mean_of(1), mean_of(2))
+                    vals = (w, h, ch, 8) + means
+                rows.append((getattr(rec, id_col),) + vals)
+            yield pd.DataFrame(rows, columns=cols)
+
+    out_schema = ST.StructType(
+        [ST.StructField(id_col, ST.LongType())] + list(PNG_FEATURES_SCHEMA.fields)
+    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)

@@ -1437,6 +1437,102 @@ def doc_fingerprints(spark, sf_dir):
 
 
 @register(
+    "winnowing_fingerprints",
+    # Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    # 2003 — the MOSS scheme): hash every word 3-gram, slide a window of 4
+    # hashes, keep the window minimum (RIGHTMOST position on ties), emit
+    # the distinct (position, hash) fingerprints.  Guarantees any shared
+    # run of >= w+k-1 = 6 tokens between two documents shares at least one
+    # fingerprint — the local-dedup primitive between exact-hash (too
+    # brittle) and MinHash (no positions).  md5 slices order identically
+    # in both engines (hex is ASCII); positions are 1-based on both sides.
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        g AS (SELECT doc_id,
+                CASE WHEN len(tk) >= 3
+                     THEN list_transform(range(1, len(tk) - 1),
+                            i -> substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 8))
+                     ELSE [] END AS h
+              FROM t),
+        f AS (SELECT doc_id,
+                list_transform(range(1, greatest(1, len(h) - 3) + 1),
+                  i -> {{'pos': list_max(list_filter(range(i, least(i + 3, len(h)) + 1),
+                                 j -> h[j] = list_min(list_transform(range(i, least(i + 3, len(h)) + 1), jj -> h[jj])))),
+                        'fp': list_min(list_transform(range(i, least(i + 3, len(h)) + 1), jj -> h[jj]))}}) AS fps
+              FROM g WHERE len(h) > 0),
+        u AS (SELECT doc_id, unnest(fps) AS fpr FROM f)
+        SELECT DISTINCT doc_id, CAST(fpr.pos AS INTEGER) AS pos, fpr.fp AS fp FROM u
+    """,
+    tags=("text", "dedup", "fingerprint"),
+)
+def winnowing_fingerprints(spark, sf_dir):
+    """Winnowing runs ENTIRELY inside whole-stage codegen as higher-order
+    array functions over each document — gram hashes, window minima,
+    rightmost-tie positions, and the per-doc distinct all happen before the
+    explode, so the plan is a narrow 0-shuffle map over the corpus (the
+    100 TB shape: fingerprint extraction is embarrassingly parallel; the
+    downstream fingerprint JOIN is where a shuffle first appears)."""
+    d = T(spark, sf_dir, "documents")
+
+    # every intermediate array is let-bound (TX.bind) — Catalyst's
+    # CollapseProject would otherwise substitute the token/hash arrays into
+    # each of their O(windows) use sites, exploding the expression tree
+    def with_tokens(tk):
+        def gram(i):
+            return F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(tk, i),
+                        F.element_at(tk, i + F.lit(1)),
+                        F.element_at(tk, i + F.lit(2)),
+                    )
+                ),
+                1,
+                8,
+            )
+
+        h_expr = F.when(
+            F.size(tk) >= 3,
+            F.transform(F.sequence(F.lit(1), F.size(tk) - 2), gram),
+        ).otherwise(F.array().cast("array<string>"))
+
+        def with_h(h):
+            nh = F.size(h)
+
+            def fp(i):
+                def with_js(js):
+                    def with_m(m):
+                        pos = F.array_max(
+                            F.filter(js, lambda j: F.element_at(h, j) == m)
+                        )
+                        return F.struct(pos.cast("int").alias("pos"), m.alias("fp"))
+
+                    return TX.bind(
+                        F.array_min(F.transform(js, lambda j: F.element_at(h, j))),
+                        with_m,
+                    )
+
+                return TX.bind(F.sequence(i, F.least(i + F.lit(3), nh)), with_js)
+
+            return F.when(
+                nh > 0,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.lit(1), nh - 3)), fp
+                    )
+                ),
+            )
+
+        return TX.bind(h_expr, with_h)
+
+    w = d.select("doc_id", TX.bind(TX.tokens("text"), with_tokens).alias("fps"))
+    return w.select("doc_id", F.explode("fps").alias("f")).select(
+        "doc_id", F.col("f.pos").alias("pos"), F.col("f.fp").alias("fp")
+    )
+
+
+@register(
     "text_pii_redact",
     # deterministic PII is synthesized from doc_id (the corpus itself is
     # clean), then scrubbed by the production redact chain; the oracle
@@ -2912,6 +3008,99 @@ def multimodal_png_decode(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     png = mm.synth_png(d, "doc_id")
     return mm.decode_png_features(png, "payload", "doc_id")
+
+
+@register(
+    "multimodal_jpeg_decode",
+    # REAL baseline-JPEG pixel decode (operators/multimodal.py:_jpeg_decode
+    # — marker walk, stream-defined Huffman tables, entropy decode with
+    # byte unstuffing, dequantize, IDCT, YCbCr->RGB), closing the last
+    # multimodal dims-only gap.  The fixture is BLOCK-CONSTANT (left/right
+    # 8x8 block columns carry different colors at w=16, exercising nonzero
+    # and negative DC differentials), and constant blocks take the exact
+    # integer FDCT/IDCT fast path (libjpeg-style), so every reconstructed
+    # value has the closed form below: quantize DC=8*(c-128) by the Annex K
+    # DC steps (16 luma / 17 chroma) with round-half-away, reconstruct,
+    # round; RGB additionally runs the exact JFIF color transform both
+    # ways.  All arithmetic is floor(x+0.5) on IEEE doubles — identical in
+    # the decoder kernel (numpy float64) and this SQL.  n is a power of two
+    # for every fixture size, so means are exact.
+    oracle="""
+        WITH p AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS w,
+                 CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS h,
+                 (doc_id % 5 = 0) AS gray,
+                 CAST(doc_id % 256 AS DOUBLE) AS ar,
+                 CAST((3*doc_id+17) % 256 AS DOUBLE) AS ag,
+                 CAST((7*doc_id+31) % 256 AS DOUBLE) AS ab,
+                 CAST((5*doc_id+101) % 256 AS DOUBLE) AS br,
+                 CAST((13*doc_id+7) % 256 AS DOUBLE) AS bg,
+                 CAST((11*doc_id+29) % 256 AS DOUBLE) AS bb,
+                 CAST((9*doc_id+77) % 256 AS DOUBLE) AS g2
+          FROM documents
+        ),
+        ycc AS (
+          SELECT *,
+            LEAST(255, GREATEST(0, floor(0.299*ar + 0.587*ag + 0.114*ab + 0.5))) AS ay,
+            LEAST(255, GREATEST(0, floor(128 - 0.168736*ar - 0.331264*ag + 0.5*ab + 0.5))) AS acb,
+            LEAST(255, GREATEST(0, floor(128 + 0.5*ar - 0.418688*ag - 0.081312*ab + 0.5))) AS acr,
+            LEAST(255, GREATEST(0, floor(0.299*br + 0.587*bg + 0.114*bb + 0.5))) AS by,
+            LEAST(255, GREATEST(0, floor(128 - 0.168736*br - 0.331264*bg + 0.5*bb + 0.5))) AS bcb,
+            LEAST(255, GREATEST(0, floor(128 + 0.5*br - 0.418688*bg - 0.081312*bb + 0.5))) AS bcr
+          FROM p
+        ),
+        rec AS (
+          SELECT *,
+            LEAST(255, GREATEST(0, floor((CASE WHEN ay >= 128 THEN floor(8*(ay-128)/16 + 0.5) ELSE -floor(8*(128-ay)/16 + 0.5) END) * 16 / 8.0 + 128 + 0.5))) AS ay2,
+            LEAST(255, GREATEST(0, floor((CASE WHEN acb >= 128 THEN floor(8*(acb-128)/17 + 0.5) ELSE -floor(8*(128-acb)/17 + 0.5) END) * 17 / 8.0 + 128 + 0.5))) AS acb2,
+            LEAST(255, GREATEST(0, floor((CASE WHEN acr >= 128 THEN floor(8*(acr-128)/17 + 0.5) ELSE -floor(8*(128-acr)/17 + 0.5) END) * 17 / 8.0 + 128 + 0.5))) AS acr2,
+            LEAST(255, GREATEST(0, floor((CASE WHEN by >= 128 THEN floor(8*(by-128)/16 + 0.5) ELSE -floor(8*(128-by)/16 + 0.5) END) * 16 / 8.0 + 128 + 0.5))) AS by2,
+            LEAST(255, GREATEST(0, floor((CASE WHEN bcb >= 128 THEN floor(8*(bcb-128)/17 + 0.5) ELSE -floor(8*(128-bcb)/17 + 0.5) END) * 17 / 8.0 + 128 + 0.5))) AS bcb2,
+            LEAST(255, GREATEST(0, floor((CASE WHEN bcr >= 128 THEN floor(8*(bcr-128)/17 + 0.5) ELSE -floor(8*(128-bcr)/17 + 0.5) END) * 17 / 8.0 + 128 + 0.5))) AS bcr2,
+            LEAST(255, GREATEST(0, floor((CASE WHEN ar >= 128 THEN floor(8*(ar-128)/16 + 0.5) ELSE -floor(8*(128-ar)/16 + 0.5) END) * 16 / 8.0 + 128 + 0.5))) AS gray_a,
+            LEAST(255, GREATEST(0, floor((CASE WHEN g2 >= 128 THEN floor(8*(g2-128)/16 + 0.5) ELSE -floor(8*(128-g2)/16 + 0.5) END) * 16 / 8.0 + 128 + 0.5))) AS gray_b
+          FROM ycc
+        ),
+        rgb AS (
+          SELECT *,
+            LEAST(255, GREATEST(0, floor(ay2 + 1.402*(acr2 - 128) + 0.5))) AS ar2,
+            LEAST(255, GREATEST(0, floor(ay2 - 0.344136*(acb2 - 128) - 0.714136*(acr2 - 128) + 0.5))) AS ag2,
+            LEAST(255, GREATEST(0, floor(ay2 + 1.772*(acb2 - 128) + 0.5))) AS ab2,
+            LEAST(255, GREATEST(0, floor(by2 + 1.402*(bcr2 - 128) + 0.5))) AS br2,
+            LEAST(255, GREATEST(0, floor(by2 - 0.344136*(bcb2 - 128) - 0.714136*(bcr2 - 128) + 0.5))) AS bg2,
+            LEAST(255, GREATEST(0, floor(by2 + 1.772*(bcb2 - 128) + 0.5))) AS bb2
+          FROM rec
+        )
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(CASE WHEN gray THEN 1 ELSE 3 END AS INTEGER) AS channels,
+               CAST(8 AS INTEGER) AS bit_depth,
+               CASE WHEN gray THEN (CASE WHEN w = 16 THEN (gray_a + gray_b)/2 ELSE gray_a END)
+                    WHEN w = 16 THEN (ar2 + br2)/2 ELSE ar2 END AS mean_r,
+               CASE WHEN gray THEN (CASE WHEN w = 16 THEN (gray_a + gray_b)/2 ELSE gray_a END)
+                    WHEN w = 16 THEN (ag2 + bg2)/2 ELSE ag2 END AS mean_g,
+               CASE WHEN gray THEN (CASE WHEN w = 16 THEN (gray_a + gray_b)/2 ELSE gray_a END)
+                    WHEN w = 16 THEN (ab2 + bb2)/2 ELSE ab2 END AS mean_b
+        FROM rgb
+    """,
+    tags=("multimodal", "image", "decode", "jpeg"),
+)
+def multimodal_jpeg_decode(spark, sf_dir):
+    """End-to-end REAL baseline-JPEG decode: synthesize a real JPEG per
+    document (gray or RGB, block-constant colors, varied dimensions), then
+    fully decode it back — stream-defined Huffman tables, entropy decode,
+    dequantize, IDCT, color transform — and emit dimensions and exact
+    per-channel means.  Two narrow Arrow-batched stages, no payload
+    shuffle; completes the image-format pair with multimodal_png_decode
+    (reference parity target: the media passthrough of
+    AbstractSchemaTest.java fixtures; the codec itself is original)."""
+    from kwack_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents")
+    jpg = mm.synth_jpeg(d, "doc_id")
+    return mm.decode_jpeg_features(jpg, "payload", "doc_id")
 
 
 @register(

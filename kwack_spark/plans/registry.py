@@ -110,6 +110,8 @@ _PRIORITY = [
     "text_token_stats",
     # round-5-new queries land here (registered below this line in the
     # prefix as they are added)
+    "multimodal_jpeg_decode",
+    "winnowing_fingerprints",
     # --- already driver-green in r01-r04 (188 names) — tail, re-graded
     # only if the prefix budget allows
     "kafka_jsonschema_fastpath",

@@ -153,3 +153,114 @@ def test_decode_image_real_png_and_sniffed_other_formats(spark):
     assert (rows[1].width, rows[1].height, rows[1].channels, rows[1].format) == (640, 480, 3, "jpeg")
     assert rows[2].format == "riff" and rows[3].format == "unknown"
     assert rows[4].format == "jpeg" and rows[4].width is None
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (round 5): pure-codec tests, no Spark session needed
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_recon(c, q):
+    import numpy as np
+
+    dc = 8 * (c - 128)
+    dcq = np.floor(abs(dc) / q + 0.5) * (1 if dc >= 0 else -1)
+    return min(255.0, max(0.0, np.floor(dcq * q / 8.0 + 128 + 0.5)))
+
+
+def test_jpeg_gray_constant_blocks_roundtrip_exact():
+    """Constant blocks reconstruct to the closed-form quantized value —
+    including the 0/255 extremes and a negative-DC-diff block pair."""
+    import numpy as np
+
+    from kwack_spark.operators import multimodal as mm
+
+    for a, b in [(0, 255), (37, 200), (128, 129), (254, 1)]:
+        px = np.full((8, 16), a, np.int32)
+        px[:, 8:] = b
+        w, h, ch, out = mm._jpeg_decode(mm._jpeg_encode(px, 1))
+        assert (w, h, ch) == (16, 8, 1)
+        assert (out[:, :8] == _jpeg_recon(a, 16)).all()
+        assert (out[:, 8:] == _jpeg_recon(b, 16)).all()
+
+
+def test_jpeg_rgb_constant_blocks_roundtrip_exact():
+    import numpy as np
+
+    from kwack_spark.operators import multimodal as mm
+
+    def expect(r, g, b):
+        clip = lambda v: min(255.0, max(0.0, v))  # noqa: E731
+        y = clip(np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5))
+        cb = clip(np.floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5))
+        cr = clip(np.floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5))
+        y2, cb2, cr2 = _jpeg_recon(y, 16), _jpeg_recon(cb, 17), _jpeg_recon(cr, 17)
+        return (
+            clip(np.floor(y2 + 1.402 * (cr2 - 128) + 0.5)),
+            clip(np.floor(y2 - 0.344136 * (cb2 - 128) - 0.714136 * (cr2 - 128) + 0.5)),
+            clip(np.floor(y2 + 1.772 * (cb2 - 128) + 0.5)),
+        )
+
+    for ca, cb_ in [((10, 200, 30), (250, 5, 99)), ((0, 0, 0), (255, 255, 255))]:
+        px = np.zeros((16, 48), np.int32)
+        for i in range(3):
+            px[:, i::3] = ca[i]
+            px[:, 24 + i :: 3] = cb_[i]
+        w, h, ch, out = mm._jpeg_decode(mm._jpeg_encode(px, 3))
+        assert (w, h, ch) == (16, 16, 3)
+        ea, eb = expect(*ca), expect(*cb_)
+        for i in range(3):
+            assert (out[:, i:24:3] == ea[i]).all()
+            assert (out[:, 24 + i :: 3] == eb[i]).all()
+
+
+def test_jpeg_nonconstant_roundtrip_bounded_error():
+    """The general FDCT/Huffman-AC path (nonzero AC coefficients on the
+    wire): lossy, but quantization error is bounded — a smooth gradient
+    reconstructs within a couple of gray levels, a harsh wrapping pattern
+    within quantization-table scale."""
+    import numpy as np
+
+    from kwack_spark.operators import multimodal as mm
+
+    xs, ys = np.arange(8)[None, :], np.arange(16)[:, None]
+    px = np.zeros((16, 24), np.int32)
+    for i in range(3):
+        px[:, i::3] = 100 + xs * 4 + ys * 2 + i * 5
+    _, _, _, out = mm._jpeg_decode(mm._jpeg_encode(px, 3))
+    assert np.abs(out.astype(int) - px).mean() < 4
+
+    for i in range(3):
+        px[:, i::3] = (xs * 30 + ys * 3 + i * 11) % 256
+    _, _, _, out = mm._jpeg_decode(mm._jpeg_encode(px, 3))
+    assert np.abs(out.astype(int) - px).mean() < 15
+
+
+def test_jpeg_odd_dimensions_pad_and_crop():
+    import numpy as np
+
+    from kwack_spark.operators import multimodal as mm
+
+    px = np.full((10, 13), 77, np.int32)
+    w, h, ch, out = mm._jpeg_decode(mm._jpeg_encode(px, 1))
+    assert (w, h, ch) == (13, 10, 1)
+    assert (out == _jpeg_recon(77, 16)).all()
+
+
+def test_jpeg_out_of_scope_and_malformed_yield_none():
+    import numpy as np
+
+    from kwack_spark.operators import multimodal as mm
+
+    px = np.full((8, 8), 50, np.int32)
+    enc = bytearray(mm._jpeg_encode(px, 1))
+    # flip SOF0 -> SOF2 (progressive): decode refuses, dims-only still works
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    assert mm._jpeg_decode(bytes(enc)) is None
+    assert mm._jpeg_dimensions(bytes(enc)) == (8, 8, 1)
+    assert mm._jpeg_decode(b"\xff\xd8\xff\xd9") is None
+    assert mm._jpeg_decode(b"not a jpeg") is None
+    # truncated entropy data
+    good = mm._jpeg_encode(px, 1)
+    assert mm._jpeg_decode(good[:-4]) is None

@@ -64,12 +64,29 @@ SCALE_SENSITIVE = [
     # events through immutable attempts + a replayed final batch
     "kafka_poison_quarantine",
     "sink_manifest_snapshot_read",
+    # round-5 graded-prefix backlog, the scale-sensitive subset: SemDeDup's
+    # in-cluster quadratic grows with cluster occupancy; simhash blocking
+    # bands and CDC chunk boundaries shift with volume; the sketch family's
+    # width/error tradeoffs and merge paths see 10x the key cardinality;
+    # BPE pair counts grow superlinearly with vocab; the exactly-once sink
+    # replays 10x the batches
+    "semdedup_cluster_prune",
+    "dedup_simhash_hamming",
+    "cdc_chunk_dedup",
+    "cms_heavy_hitters",
+    "hll_distinct_users",
+    "hll_merge_shards",
+    "bpe_merge_candidates",
+    "streaming_exactly_once_sink",
+    # round-5-new: full JPEG entropy decode + IDCT chews 10x the payload
+    # bytes through the heaviest per-byte kernel in the tree
+    "multimodal_jpeg_decode",
 ]
 
 pytestmark = pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SCALE_TESTS"),
     reason="sf0.1 battery is opt-in (SPARK_GRAFT_SCALE_TESTS=1); "
-    "last full run: 35/35 green",
+    "last full run: 44/44 green",
 )
 
 _load_all()
