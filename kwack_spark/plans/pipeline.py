@@ -1437,17 +1437,155 @@ def doc_fingerprints(spark, sf_dir):
 
 
 @register(
-    "winnowing_fingerprints",
-    # Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
-    # 2003 — the MOSS scheme): hash every word 3-gram, slide a window of 4
-    # hashes, keep the window minimum (RIGHTMOST position on ties), emit
-    # the distinct (position, hash) fingerprints.  Guarantees any shared
-    # run of >= w+k-1 = 6 tokens between two documents shares at least one
-    # fingerprint — the local-dedup primitive between exact-hash (too
-    # brittle) and MinHash (no positions).  md5 slices order identically
-    # in both engines (hex is ASCII); positions are 1-based on both sides.
+    "quality_ensemble_gate",
+    # The assembled curation gate a production pipeline actually ships:
+    # three independent signals — the Gopher structural rules, the hashed
+    # bag-of-words linear score (quality_linear_score's model, applied to
+    # ALL docs), and the stopword-density fluency check — combined into one
+    # keep/drop verdict with a reject-reason BITMASK (bit0 gopher, bit1
+    # negative model score, bit2 stopword density), so downstream audits
+    # can count WHY documents were dropped, not just how many.  NULL
+    # signals (empty docs) fail closed via COALESCE(..., FALSE).
     oracle=f"""
-        WITH t AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        WITH w AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ws
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, len(ws) AS n_words,
+                   CASE WHEN len(ws) = 0 THEN NULL
+                        ELSE CAST(list_sum(list_transform(ws, t -> len(t))) AS DOUBLE) / len(ws) END AS mean_word_len,
+                   CASE WHEN len(ws) = 0 THEN NULL
+                        ELSE CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE) / len(ws) END AS alpha_ratio,
+                   CASE WHEN len(ws) = 0 THEN NULL
+                        ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END AS distinct_ratio
+            FROM w
+        ),
+        st AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) = 0 THEN NULL
+                        ELSE CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / len(tk) END AS stop_ratio
+            FROM (SELECT doc_id, {_toks()} AS tk FROM documents)
+        ),
+        weights AS (
+            SELECT b, (((instr('0123456789abcdef', substr(md5('w:' || b::VARCHAR), 1, 1)) - 1) * 256
+                        + (instr('0123456789abcdef', substr(md5('w:' || b::VARCHAR), 2, 1)) - 1) * 16
+                        + (instr('0123456789abcdef', substr(md5('w:' || b::VARCHAR), 3, 1)) - 1)) % 2001) - 1000
+                     AS w_mill
+            FROM (SELECT unnest(range(0, 1024)) AS b)
+        ),
+        tok AS (
+            SELECT doc_id, unnest({_toks()}) AS t FROM documents
+        ),
+        bucketed AS (
+            SELECT doc_id, ((instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 256
+                            + (instr('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 16
+                            + (instr('0123456789abcdef', substr(md5(t), 3, 1)) - 1)) % 1024 AS b
+            FROM tok
+        ),
+        sc AS (
+            SELECT doc_id, CAST(SUM(w_mill) AS DOUBLE) / 1000.0 AS score
+            FROM bucketed JOIN weights USING (b) GROUP BY doc_id
+        ),
+        j AS (
+            SELECT g.doc_id, g.n_words, sc.score, st.stop_ratio,
+                   COALESCE(g.n_words BETWEEN 50 AND 100000
+                            AND g.mean_word_len BETWEEN 3.0 AND 10.0
+                            AND g.alpha_ratio >= 0.8
+                            AND g.distinct_ratio >= 0.1, FALSE) AS gopher_pass,
+                   COALESCE(sc.score >= 0.0, FALSE) AS score_ok,
+                   COALESCE(st.stop_ratio > 0.05, FALSE) AS stop_ok
+            FROM g JOIN st USING (doc_id) LEFT JOIN sc USING (doc_id)
+        )
+        SELECT doc_id, n_words, score, stop_ratio, gopher_pass,
+               (gopher_pass AND score_ok AND stop_ok) AS keep,
+               CAST((CASE WHEN gopher_pass THEN 0 ELSE 1 END)
+                    + (CASE WHEN score_ok THEN 0 ELSE 2 END)
+                    + (CASE WHEN stop_ok THEN 0 ELSE 4 END) AS INTEGER) AS reject_reasons
+        FROM j
+    """,
+    tags=("quality", "pipeline", "gate"),
+)
+def quality_ensemble_gate(spark, sf_dir):
+    """Plan shape at 100 TB: the structural and fluency signals ride the
+    scan (narrow array ops, zero shuffles); the model score is the one
+    doc-keyed aggregation (explode -> broadcast weight join -> map-side
+    combinable sum); the final assembly is a doc_id join of a corpus-sized
+    but column-thin signal table.  The weight table is O(D)=1024 rows
+    regardless of corpus size — always a broadcast."""
+    d = T(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    base = d.select("doc_id", "text", ws.alias("ws"))
+    n = F.size("ws")
+    guard = lambda c: F.when(n > 0, c)  # noqa: E731
+    tk = TX.tokens("text")
+    ntk = F.size(tk)
+    sig = base.select(
+        "doc_id",
+        n.alias("n_words"),
+        guard(
+            F.aggregate("ws", F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+            / n
+        ).alias("mean_word_len"),
+        guard(
+            F.size(F.filter("ws", lambda t: t.rlike("[a-zA-Z]"))).cast("double") / n
+        ).alias("alpha_ratio"),
+        guard(F.size(F.array_distinct("ws")).cast("double") / n).alias(
+            "distinct_ratio"
+        ),
+        F.when(
+            ntk > 0,
+            F.size(F.filter(tk, lambda t: t.isin(*TX.STOPWORDS))).cast("double")
+            / ntk,
+        ).alias("stop_ratio"),
+    )
+    D = 1024  # quality_linear_score's hashing-trick width
+    wr = spark.range(D).select(F.col("id").cast("int").alias("b"))
+    h = F.md5(F.concat(F.lit("w:"), F.col("b").cast("string")))
+    nib = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1  # noqa: E731
+    weights = wr.select(
+        "b", (((nib(1) * 256 + nib(2) * 16 + nib(3)) % 2001) - 1000).alias("w_mill")
+    )
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("t"))
+    th = F.md5(F.col("t"))
+    tnib = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring(th, p, 1)) - 1  # noqa: E731
+    scores = (
+        tok.select("doc_id", ((tnib(1) * 256 + tnib(2) * 16 + tnib(3)) % D).alias("b"))
+        .join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg((F.sum("w_mill").cast("double") / F.lit(1000.0)).alias("score"))
+    )
+    out = sig.join(scores, "doc_id", "left")
+    gopher_ok = F.coalesce(
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("alpha_ratio") >= 0.8)
+        & (F.col("distinct_ratio") >= 0.1),
+        F.lit(False),
+    )
+    score_ok = F.coalesce(F.col("score") >= 0.0, F.lit(False))
+    stop_ok = F.coalesce(F.col("stop_ratio") > 0.05, F.lit(False))
+    return out.select(
+        "doc_id",
+        "n_words",
+        "score",
+        "stop_ratio",
+        gopher_ok.alias("gopher_pass"),
+        (gopher_ok & score_ok & stop_ok).alias("keep"),
+        (
+            F.when(gopher_ok, 0).otherwise(1)
+            + F.when(score_ok, 0).otherwise(2)
+            + F.when(stop_ok, 0).otherwise(4)
+        )
+        .cast("int")
+        .alias("reject_reasons"),
+    )
+
+
+# Winnowing fingerprint relation (doc_id, pos, fp) as a DuckDB CTE body —
+# shared by the winnowing_fingerprints and winnowing_common_spans oracles.
+_WINNOW_ORACLE = f"""
+        t AS (SELECT doc_id, {_toks()} AS tk FROM documents),
         g AS (SELECT doc_id,
                 CASE WHEN len(tk) >= 3
                      THEN list_transform(range(1, len(tk) - 1),
@@ -1460,9 +1598,22 @@ def doc_fingerprints(spark, sf_dir):
                                  j -> h[j] = list_min(list_transform(range(i, least(i + 3, len(h)) + 1), jj -> h[jj])))),
                         'fp': list_min(list_transform(range(i, least(i + 3, len(h)) + 1), jj -> h[jj]))}}) AS fps
               FROM g WHERE len(h) > 0),
-        u AS (SELECT doc_id, unnest(fps) AS fpr FROM f)
-        SELECT DISTINCT doc_id, CAST(fpr.pos AS INTEGER) AS pos, fpr.fp AS fp FROM u
-    """,
+        u AS (SELECT doc_id, unnest(fps) AS fpr FROM f),
+        wfp AS (SELECT DISTINCT doc_id, CAST(fpr.pos AS INTEGER) AS pos, fpr.fp AS fp FROM u)
+"""
+
+
+@register(
+    "winnowing_fingerprints",
+    # Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    # 2003 — the MOSS scheme): hash every word 3-gram, slide a window of 4
+    # hashes, keep the window minimum (RIGHTMOST position on ties), emit
+    # the distinct (position, hash) fingerprints.  Guarantees any shared
+    # run of >= w+k-1 = 6 tokens between two documents shares at least one
+    # fingerprint — the local-dedup primitive between exact-hash (too
+    # brittle) and MinHash (no positions).  md5 slices order identically
+    # in both engines (hex is ASCII); positions are 1-based on both sides.
+    oracle=f"WITH {_WINNOW_ORACLE} SELECT doc_id, pos, fp FROM wfp",
     tags=("text", "dedup", "fingerprint"),
 )
 def winnowing_fingerprints(spark, sf_dir):
@@ -1472,6 +1623,10 @@ def winnowing_fingerprints(spark, sf_dir):
     explode, so the plan is a narrow 0-shuffle map over the corpus (the
     100 TB shape: fingerprint extraction is embarrassingly parallel; the
     downstream fingerprint JOIN is where a shuffle first appears)."""
+    return _winnowing_fps(spark, sf_dir)
+
+
+def _winnowing_fps(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
 
     # every intermediate array is let-bound (TX.bind) — Catalyst's
@@ -1529,6 +1684,48 @@ def winnowing_fingerprints(spark, sf_dir):
     w = d.select("doc_id", TX.bind(TX.tokens("text"), with_tokens).alias("fps"))
     return w.select("doc_id", F.explode("fps").alias("f")).select(
         "doc_id", F.col("f.pos").alias("pos"), F.col("f.fp").alias("fp")
+    )
+
+
+@register(
+    "winnowing_common_spans",
+    # The application stage of winnowing: document pairs sharing >= 3
+    # fingerprints (each fingerprint certifies a shared token run), with
+    # boilerplate control — fingerprints appearing in > 10 documents are
+    # dropped before pairing, the same frequency cap every LSH bucket-join
+    # in this repo applies, so one viral phrase can't produce a quadratic
+    # candidate blowup.
+    oracle=f"""
+        WITH {_WINNOW_ORACLE},
+        d AS (SELECT DISTINCT doc_id, fp FROM wfp),
+        rare AS (SELECT fp FROM d GROUP BY fp HAVING count(*) <= 10),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM d a JOIN d b USING (fp) JOIN rare USING (fp)
+              WHERE a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS shared_fps
+        FROM p GROUP BY id_a, id_b HAVING count(*) >= 3
+    """,
+    tags=("text", "dedup", "fingerprint", "pairs"),
+)
+def winnowing_common_spans(spark, sf_dir):
+    """100-TB shape: ONE shuffle keyed on fp covers the frequency count
+    and the self-join (co-partitioned); pair aggregation shuffles on the
+    (id_a, id_b) key.  The frequency cap bounds every fp group at 10 docs
+    -> at most 45 pairs per fingerprint, so the join output is linear in
+    the fingerprint count, never quadratic in the corpus."""
+    fp = _winnowing_fps(spark, sf_dir).select("doc_id", "fp").distinct()
+    rare = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 10
+    )
+    keyed = fp.join(rare.select("fp"), "fp")
+    a = keyed.select("fp", F.col("doc_id").alias("id_a"))
+    b = keyed.select("fp", F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
     )
 
 

@@ -112,6 +112,8 @@ _PRIORITY = [
     # prefix as they are added)
     "multimodal_jpeg_decode",
     "winnowing_fingerprints",
+    "winnowing_common_spans",
+    "quality_ensemble_gate",
     # --- already driver-green in r01-r04 (188 names) — tail, re-graded
     # only if the prefix budget allows
     "kafka_jsonschema_fastpath",

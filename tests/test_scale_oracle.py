@@ -81,12 +81,16 @@ SCALE_SENSITIVE = [
     # round-5-new: full JPEG entropy decode + IDCT chews 10x the payload
     # bytes through the heaviest per-byte kernel in the tree
     "multimodal_jpeg_decode",
+    # winnowing's frequency-capped pair join shifts with corpus size (fp
+    # doc-frequency distribution fattens at 10x)
+    "winnowing_fingerprints",
+    "winnowing_common_spans",
 ]
 
 pytestmark = pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SCALE_TESTS"),
     reason="sf0.1 battery is opt-in (SPARK_GRAFT_SCALE_TESTS=1); "
-    "last full run: 44/44 green",
+    "last full run: 46/46 green",
 )
 
 _load_all()
