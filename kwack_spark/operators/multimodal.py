@@ -298,13 +298,16 @@ def synth_wav_pcm16(
     id_col: str,
     n_samples: int = 1024,
     rate: int = 8000,
+    silence: bool = False,
 ) -> DataFrame:
     """Deterministic RIFF/WAVE PCM16 fixture generator (pure ``struct`` —
     no audio library): mono square wave alternating ±amplitude with
     amplitude = id % 1000 + 1, plus a junk LIST chunk before ``data`` so a
     consumer must actually walk the chunk structure.  Output: (id, payload
     binary).  Exists so the REAL wav decode kernel below can be exercised
-    end-to-end in environments with no media files."""
+    end-to-end in environments with no media files.  ``silence=True`` pads
+    id%97 leading and id%53 trailing zero samples around the wave (the
+    square wave itself is never 0), the fixture for the trim kernel."""
     import struct
 
     import pandas as pd
@@ -319,6 +322,10 @@ def synth_wav_pcm16(
                     struct.pack("<h", amp if k % 2 == 0 else -amp)
                     for k in range(n_samples)
                 )
+                if silence:
+                    frames = (
+                        b"\x00\x00" * (i % 97) + frames + b"\x00\x00" * (i % 53)
+                    )
                 fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
                 junk = b"JUNKJUNK"  # LIST chunk body a parser must skip
                 chunks = (
@@ -1278,5 +1285,73 @@ def decode_jpeg_features(df: DataFrame, payload_col: str, id_col: str) -> DataFr
 
     out_schema = ST.StructType(
         [ST.StructField(id_col, ST.LongType())] + list(PNG_FEATURES_SCHEMA.fields)
+    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+WAV_TRIM_SCHEMA = ST.StructType(
+    [
+        ST.StructField("n_samples", ST.IntegerType(), True),
+        ST.StructField("lead_silence", ST.IntegerType(), True),
+        ST.StructField("trail_silence", ST.IntegerType(), True),
+        ST.StructField("trimmed_ms", ST.DoubleType(), True),
+    ]
+)
+
+
+def trim_wav_silence(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Leading/trailing-silence measurement over PCM16 WAV payloads — the
+    preprocessing trim every audio-training pipeline runs before feature
+    extraction.  Counts exact-zero samples at each end (mono; the synth
+    fixture's wave is never zero, so the boundary is unambiguous) and
+    reports the trimmed duration.  Same parse as decode_wav_features;
+    malformed payloads yield NULLs."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    def parse(payload: bytes):
+        if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        pos, fmt_info, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8:pos + 8 + size]
+            if cid == b"fmt " and size >= 16:
+                audio_fmt, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
+                fmt_info = (audio_fmt, ch, rate, bits)
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)
+        if fmt_info is None or data is None:
+            return None
+        audio_fmt, ch, rate, bits = fmt_info
+        if audio_fmt != 1 or bits != 16 or ch != 1:
+            return None
+        s = np.frombuffer(data[: (len(data) // 2) * 2], dtype="<i2")
+        n = len(s)
+        nz = np.nonzero(s)[0]
+        if len(nz) == 0:
+            lead, trail = n, 0  # all-silent: trim everything from the front
+        else:
+            lead = int(nz[0])
+            trail = n - 1 - int(nz[-1])
+        kept = n - lead - trail
+        return (n, lead, trail, float(kept) / rate * 1000.0)
+
+    def kernel(batches) -> Iterator:
+        cols = [id_col] + [f.name for f in WAV_TRIM_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                parsed = parse(bytes(getattr(rec, payload_col)))
+                vals = parsed if parsed is not None else (None,) * 4
+                rows.append((getattr(rec, id_col),) + vals)
+            yield pd.DataFrame(rows, columns=cols)
+
+    out_schema = ST.StructType(
+        [ST.StructField(id_col, ST.LongType())] + list(WAV_TRIM_SCHEMA.fields)
     )
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)

@@ -3162,6 +3162,35 @@ def multimodal_wav_decode(spark, sf_dir):
 
 
 @register(
+    "audio_silence_trim",
+    # the preprocessing trim before any audio feature pass: count exact-zero
+    # samples at each end of the PCM stream, report the kept duration.  The
+    # fixture pads doc_id%97 leading and doc_id%53 trailing zero samples
+    # around the (never-zero) square wave, so every output has a closed
+    # form; kept is always 1024 samples -> 128 ms exactly (1024/8000*1000
+    # is the same IEEE sequence on both engines).
+    oracle="""
+        SELECT doc_id,
+               CAST(1024 + doc_id % 97 + doc_id % 53 AS INTEGER) AS n_samples,
+               CAST(doc_id % 97 AS INTEGER) AS lead_silence,
+               CAST(doc_id % 53 AS INTEGER) AS trail_silence,
+               CAST(1024 AS DOUBLE) / 8000 * 1000 AS trimmed_ms
+        FROM documents
+    """,
+    tags=("multimodal", "audio", "trim"),
+)
+def audio_silence_trim(spark, sf_dir):
+    """Same two-stage narrow shape as multimodal_wav_decode (synthesize ->
+    parse), with the trim kernel (operators/multimodal.py:
+    trim_wav_silence) instead of the feature kernel."""
+    from kwack_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents")
+    wav = mm.synth_wav_pcm16(d, "doc_id", silence=True)
+    return mm.trim_wav_silence(wav, "payload", "doc_id")
+
+
+@register(
     "multimodal_png_decode",
     # REAL image kernel, not a stand-in: PNG is stdlib zlib + byte
     # arithmetic (operators/multimodal.py:_png_decode — CRC-checked chunk
@@ -4899,6 +4928,119 @@ def embedding_centroid_by_label(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("mean_val"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    # per-DIMENSION corpus statistics (mean/variance/min/max) — the feature
+    # health check run before training on an embedding column (dead dims,
+    # scale drift, clipped ranges).  Exactness: comp*2^43 is an integer
+    # (power-of-two scale, no rounding), so the first-moment decimal sum is
+    # order-free; the second moment squares the DECIMAL(19,0) integer into
+    # DECIMAL(38,0) (n <= ~2^43 -> n^2 <= ~10^26, no overflow) so it is
+    # exact too; both engines then run the identical double sequence
+    # (cast, /2^43 or /2^86, /n, subtract mean^2).
+    oracle=f"""
+        WITH c AS (
+            SELECT u.e.pos AS pos, u.e.comp AS comp FROM (
+                SELECT unnest(list_transform(embedding::DOUBLE[],
+                       (c, i) -> struct_pack(pos := i - 1, comp := c))) AS e
+                FROM embeddings
+            ) u
+        ),
+        s AS (
+            SELECT pos,
+                   COUNT(*) AS n,
+                   SUM(CAST(comp * {_POW2_43} AS DECIMAL(19,0))) AS s1,
+                   SUM(CAST(comp * {_POW2_43} AS DECIMAL(19,0))
+                       * CAST(comp * {_POW2_43} AS DECIMAL(19,0))) AS s2,
+                   MIN(comp) AS min_val,
+                   MAX(comp) AS max_val
+            FROM c GROUP BY pos
+        )
+        SELECT pos, n,
+               CAST(s1 AS DOUBLE) / {_POW2_43} / n AS mean_val,
+               CAST(s2 AS DOUBLE) / {_POW2_43} / {_POW2_43} / n
+                   - (CAST(s1 AS DOUBLE) / {_POW2_43} / n)
+                     * (CAST(s1 AS DOUBLE) / {_POW2_43} / n) AS var_val,
+               min_val, max_val
+        FROM s
+    """,
+    tags=("embedding", "stats"),
+)
+def embedding_dim_stats(spark, sf_dir):
+    """posexplode -> one partial+final aggregation keyed on dimension —
+    output is O(dim) rows however large the corpus, the same rollup shape
+    a 100 TB feature-health job has.  Exact decimal moments (see oracle
+    comment); min/max are plain doubles (order-free)."""
+    e = T(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode(V.as_double("embedding")).alias("pos", "comp"))
+    iv = (F.col("comp") * _POW2_43).cast("decimal(19,0)")
+    agg = x.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(iv).alias("s1"),
+        F.sum(iv * iv).alias("s2"),
+        F.min("comp").alias("min_val"),
+        F.max("comp").alias("max_val"),
+    )
+    mean = F.col("s1").cast("double") / _POW2_43 / F.col("n")
+    return agg.select(
+        "pos",
+        "n",
+        mean.alias("mean_val"),
+        (
+            F.col("s2").cast("double") / _POW2_43 / _POW2_43 / F.col("n")
+            - mean * mean
+        ).alias("var_val"),
+        "min_val",
+        "max_val",
+    )
+
+
+@register(
+    "source_lang_gini",
+    # per-source language-mix report: how concentrated is each source's
+    # language distribution?  Gini impurity 1 - sum(p_i^2) computed as
+    # (total^2 - sum(cnt^2)) / total^2 — all-integer numerator, ONE double
+    # division, bit-identical across engines (entropy would need log(),
+    # whose last-ulp behavior libm does not pin down across engines).
+    oracle="""
+        WITH c AS (
+            SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY source, lang
+        ),
+        s AS (
+            SELECT source,
+                   CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_langs,
+                   CAST(SUM(cnt * cnt) AS BIGINT) AS sq
+            FROM c GROUP BY source
+        )
+        SELECT source, n_docs, n_langs,
+               CAST(n_docs * n_docs - sq AS DOUBLE) / (n_docs * n_docs) AS gini
+        FROM s
+    """,
+    tags=("text", "lang", "stats"),
+)
+def source_lang_gini(spark, sf_dir):
+    """Two stacked partial-aggregations ((source, lang) then source) —
+    metadata-sized output, map-side combinable all the way; the mixture
+    monitoring every multi-source corpus runs per snapshot."""
+    d = T(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    s = c.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        (
+            (F.col("n_docs") * F.col("n_docs") - F.col("sq")).cast("double")
+            / (F.col("n_docs") * F.col("n_docs"))
+        ).alias("gini"),
     )
 
 

@@ -114,6 +114,9 @@ _PRIORITY = [
     "winnowing_fingerprints",
     "winnowing_common_spans",
     "quality_ensemble_gate",
+    "audio_silence_trim",
+    "embedding_dim_stats",
+    "source_lang_gini",
     # --- already driver-green in r01-r04 (188 names) — tail, re-graded
     # only if the prefix budget allows
     "kafka_jsonschema_fastpath",

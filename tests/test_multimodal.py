@@ -264,3 +264,35 @@ def test_jpeg_out_of_scope_and_malformed_yield_none():
     # truncated entropy data
     good = mm._jpeg_encode(px, 1)
     assert mm._jpeg_decode(good[:-4]) is None
+
+
+def test_wav_trim_silence_edges(spark):
+    """trim_wav_silence: all-silent payloads trim everything from the
+    front; no-silence payloads trim nothing; interior zeros between
+    nonzero samples are NOT trimmed; malformed payloads yield NULLs."""
+    import struct
+
+    from kwack_spark.operators import multimodal as mm
+
+    def wav(frames: bytes, rate=8000) -> bytes:
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(frames)) + frames
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    rows = [
+        (1, wav(b"\x00\x00" * 10)),
+        (2, wav(struct.pack("<5h", 3, -3, 3, -3, 3))),
+        (3, wav(b"\x00\x00" * 4 + struct.pack("<3h", 7, 0, -7) + b"\x00\x00" * 2)),
+        (4, b"RIFFnope"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in mm.trim_wav_silence(df, "payload", "doc_id").collect()}
+    assert (got[1].n_samples, got[1].lead_silence, got[1].trail_silence) == (10, 10, 0)
+    assert got[1].trimmed_ms == 0.0
+    assert (got[2].n_samples, got[2].lead_silence, got[2].trail_silence) == (5, 0, 0)
+    # interior zero stays: lead=4, trail=2, kept=3 (7, 0, -7)
+    assert (got[3].n_samples, got[3].lead_silence, got[3].trail_silence) == (9, 4, 2)
+    assert got[4].n_samples is None and got[4].trimmed_ms is None
