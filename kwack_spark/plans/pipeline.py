@@ -204,6 +204,99 @@ def dedup_cluster_components(spark, sf_dir):
 
 
 @register(
+    "dedup_cluster_size_histogram",
+    # the audit rollup after component resolution: how many duplicate
+    # clusters of each size exist, and how many documents they hold — the
+    # number a curation report quotes ("12% of the corpus sits in clusters
+    # of size >= 3").  Singletons (docs in no candidate pair) are not edges
+    # and so not counted: the histogram describes the DUPLICATED subset.
+    oracle=f"""
+        WITH RECURSIVE {_LSH_CTES},
+        {_COMP_CTES},
+        sizes AS (SELECT keep_id, count(*) AS cluster_size FROM comp GROUP BY keep_id)
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY cluster_size
+    """,
+    tags=("dedup", "graph", "stats"),
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Composition: LSH pairs -> distributed min-label components -> two
+    stacked metadata-sized aggregations.  At 100 TB the histogram is a
+    few hundred rows whatever the corpus; all the weight is in the
+    component iteration, which dedup_cluster_components already bounds."""
+    from kwack_spark.operators import graph
+
+    pairs = dedup.minhash_lsh_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", k=8, bands=2, threshold=0.5
+    ).select("id_a", "id_b")
+    with _few_shuffle_partitions(spark):
+        comp = graph.dedup_clusters(pairs)
+        sizes = comp.groupBy("keep_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+        return sizes.groupBy("cluster_size").agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+        )
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    # tokenizer-fit check before training: build the corpus's top-256 BPE
+    # pre-tokenization pieces (count DESC, piece ASC tie-break — fully
+    # deterministic), then report per-doc piece count, OOV count, and OOV
+    # rate against that vocab.  The production question this answers: "how
+    # much of the corpus does a vocab of size V actually cover?"
+    oracle=r"""
+        WITH pieces AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS p
+            FROM documents
+        ),
+        vocab AS (
+            SELECT p FROM (
+                SELECT p, count(*) AS cnt,
+                       row_number() OVER (ORDER BY count(*) DESC, p) AS rn
+                FROM pieces GROUP BY p
+            ) WHERE rn <= 256
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_pieces,
+               CAST(count(*) FILTER (WHERE v.p IS NULL) AS BIGINT) AS n_oov,
+               CAST(count(*) FILTER (WHERE v.p IS NULL) AS DOUBLE) / count(*) AS oov_rate
+        FROM pieces LEFT JOIN vocab v USING (p)
+        GROUP BY doc_id
+    """,
+    tags=("text", "tokens", "bpe", "vocab"),
+)
+def tokenizer_vocab_coverage(spark, sf_dir):
+    """Vocab build = one piece-keyed aggregation + a deterministic top-256
+    (natural-language piece frequencies are corpus-scale-free, so the
+    vocab is always broadcastable); coverage = broadcast left join + one
+    doc-keyed aggregation, map-side combinable.  No Python anywhere."""
+    d = T(spark, sf_dir, "documents")
+    pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+    pieces = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(pat), 0)).alias("p"),
+    )
+    counts = pieces.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    # deterministic top-256 via sort+limit -> TakeOrderedAndProject (a
+    # distributed top-k, not a single-partition window)
+    vocab = (
+        counts.orderBy(F.desc("cnt"), "p")
+        .limit(256)
+        .select("p", F.lit(True).alias("in_vocab"))
+    )
+    joined = pieces.join(F.broadcast(vocab), "p", "left")
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pieces"),
+        oov.alias("n_oov"),
+        (oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+    )
+
+
+@register(
     "dedup_keep_best_in_cluster",
     # the keep/drop POLICY step after connected components: within each
     # duplicate cluster, the canonical document is the longest one

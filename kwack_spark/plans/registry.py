@@ -117,6 +117,8 @@ _PRIORITY = [
     "audio_silence_trim",
     "embedding_dim_stats",
     "source_lang_gini",
+    "dedup_cluster_size_histogram",
+    "tokenizer_vocab_coverage",
     # --- already driver-green in r01-r04 (188 names) — tail, re-graded
     # only if the prefix budget allows
     "kafka_jsonschema_fastpath",
