@@ -94,8 +94,13 @@ HEADLINE = [
     "ann_pq_distributed",
     "ann_brute_force_distributed",
     # round-11: the full baseline-JPEG pixel decode (Huffman entropy decode
-    # + IDCT per 8x8 block — the heaviest per-byte multimodal kernel here)
+    # + IDCT per 8x8 block — the heaviest per-byte multimodal kernel here),
+    # the winnowing fingerprint pipeline (whole-stage-codegen array ops) and
+    # its frequency-capped pair join, and the assembled quality gate
     "multimodal_jpeg_decode",
+    "winnowing_fingerprints",
+    "winnowing_common_spans",
+    "quality_ensemble_gate",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

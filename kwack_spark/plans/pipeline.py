@@ -3250,6 +3250,12 @@ def multimodal_wav_decode(spark, sf_dir):
     from kwack_spark.operators import multimodal as mm
 
     d = T(spark, sf_dir, "documents")
+    # fan the id list across all cores before the synth+decode kernels:
+    # the parquet source is a single split at bench scale, and media
+    # kernels are the rare per-row-expensive stage where occupancy matters
+    # more than avoiding an id-only shuffle (at 100 TB the source has
+    # thousands of splits and this repartition is a no-op cost-wise)
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     wav = mm.synth_wav_pcm16(d, "doc_id")
     return mm.decode_wav_features(wav, "payload", "doc_id")
 
@@ -3279,6 +3285,12 @@ def audio_silence_trim(spark, sf_dir):
     from kwack_spark.operators import multimodal as mm
 
     d = T(spark, sf_dir, "documents")
+    # fan the id list across all cores before the synth+decode kernels:
+    # the parquet source is a single split at bench scale, and media
+    # kernels are the rare per-row-expensive stage where occupancy matters
+    # more than avoiding an id-only shuffle (at 100 TB the source has
+    # thousands of splits and this repartition is a no-op cost-wise)
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     wav = mm.synth_wav_pcm16(d, "doc_id", silence=True)
     return mm.trim_wav_silence(wav, "payload", "doc_id")
 
@@ -3325,6 +3337,12 @@ def multimodal_png_decode(spark, sf_dir):
     from kwack_spark.operators import multimodal as mm
 
     d = T(spark, sf_dir, "documents")
+    # fan the id list across all cores before the synth+decode kernels:
+    # the parquet source is a single split at bench scale, and media
+    # kernels are the rare per-row-expensive stage where occupancy matters
+    # more than avoiding an id-only shuffle (at 100 TB the source has
+    # thousands of splits and this repartition is a no-op cost-wise)
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     png = mm.synth_png(d, "doc_id")
     return mm.decode_png_features(png, "payload", "doc_id")
 
@@ -3418,6 +3436,12 @@ def multimodal_jpeg_decode(spark, sf_dir):
     from kwack_spark.operators import multimodal as mm
 
     d = T(spark, sf_dir, "documents")
+    # fan the id list across all cores before the synth+decode kernels:
+    # the parquet source is a single split at bench scale, and media
+    # kernels are the rare per-row-expensive stage where occupancy matters
+    # more than avoiding an id-only shuffle (at 100 TB the source has
+    # thousands of splits and this repartition is a no-op cost-wise)
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     jpg = mm.synth_jpeg(d, "doc_id")
     return mm.decode_jpeg_features(jpg, "payload", "doc_id")
 

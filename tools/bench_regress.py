@@ -2,9 +2,11 @@
 by bench.py on every run) against the committed BENCH_BASELINE.json.
 
 A query REGRESSES when its median grew more than RATIO (default 1.25x) AND
-more than FLOOR seconds (default 0.3 s — sub-second queries jitter by
-scheduler noise; a 0.04 s -> 0.06 s move is drift, not a regression).
-New queries (absent from the baseline) are listed, never failed on.
+more than max(FLOOR, its recorded max-min spread) seconds (FLOOR default
+0.3 s — sub-second queries jitter by scheduler noise, and a query whose
+reps already spread 1 s run-to-run can legitimately move 1 s between
+sessions; the committed spread is measured, not guessed).  New queries
+(absent from the baseline) are listed, never failed on.
 
 Usage:  python tools/bench_regress.py [--baseline F] [--current F]
 Exit 1 iff any overlapping query regressed.
@@ -34,6 +36,7 @@ def main() -> int:
     base = json.loads(Path(args.baseline).read_text())
     cur = json.loads(Path(args.current).read_text())
     bq, cq = base["queries"], cur["queries"]
+    bspread = base.get("queries_spread", {})
 
     regressed, improved, new = [], [], []
     for name, t in sorted(cq.items()):
@@ -41,9 +44,10 @@ def main() -> int:
             new.append((name, t))
             continue
         b = bq[name]
-        if t > b * args.ratio and t - b > args.floor:
+        slack = max(args.floor, bspread.get(name, 0.0))
+        if t > b * args.ratio and t - b > slack:
             regressed.append((name, b, t))
-        elif b > t * args.ratio and b - t > args.floor:
+        elif b > t * args.ratio and b - t > slack:
             improved.append((name, b, t))
 
     for name, b, t in regressed:
