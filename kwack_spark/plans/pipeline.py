@@ -1823,6 +1823,49 @@ def winnowing_common_spans(spark, sf_dir):
 
 
 @register(
+    "winnowing_incremental_new_docs",
+    # the INCREMENTAL form (same contract as dedup_incremental_new_docs /
+    # incremental LSH): a new batch (odd doc_ids) is fingerprinted and
+    # joined against the standing fingerprint store (even doc_ids) ONLY —
+    # batch-vs-history pairs sharing >= 2 fingerprints, never re-pairing
+    # history against itself.  At 100 TB the history side is a bucketed
+    # fingerprint table; each ingest batch costs O(batch fingerprints),
+    # not O(corpus).
+    oracle=f"""
+        WITH {_WINNOW_ORACLE},
+        d AS (SELECT DISTINCT doc_id, fp FROM wfp),
+        hist AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+        batch AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+        rare AS (SELECT fp FROM hist GROUP BY fp HAVING count(*) <= 10),
+        p AS (SELECT b.doc_id AS batch_id, h.doc_id AS hist_id
+              FROM batch b JOIN hist h USING (fp) JOIN rare USING (fp))
+        SELECT batch_id, hist_id, CAST(count(*) AS BIGINT) AS shared_fps
+        FROM p GROUP BY batch_id, hist_id HAVING count(*) >= 2
+    """,
+    tags=("text", "dedup", "fingerprint", "incremental"),
+)
+def winnowing_incremental_new_docs(spark, sf_dir):
+    """One fp-keyed shuffle joins the batch's fingerprints against the
+    (df-capped) history store; pair aggregation on (batch_id, hist_id).
+    The incremental path may skip work, never change answers — the pairs
+    equal winnowing_common_spans' cross-subset at the same thresholds."""
+    fp = _winnowing_fps(spark, sf_dir).select("doc_id", "fp").distinct()
+    hist = fp.filter(F.col("doc_id") % 2 == 0)
+    batch = fp.filter(F.col("doc_id") % 2 == 1)
+    rare = hist.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 10
+    )
+    return (
+        batch.select("fp", F.col("doc_id").alias("batch_id"))
+        .join(hist.select("fp", F.col("doc_id").alias("hist_id")), "fp")
+        .join(rare.select("fp"), "fp")
+        .groupBy("batch_id", "hist_id")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )
+
+
+@register(
     "text_pii_redact",
     # deterministic PII is synthesized from doc_id (the corpus itself is
     # clean), then scrubbed by the production redact chain; the oracle

@@ -119,6 +119,7 @@ _PRIORITY = [
     "source_lang_gini",
     "dedup_cluster_size_histogram",
     "tokenizer_vocab_coverage",
+    "winnowing_incremental_new_docs",
     # --- already driver-green in r01-r04 (188 names) — tail, re-graded
     # only if the prefix budget allows
     "kafka_jsonschema_fastpath",
