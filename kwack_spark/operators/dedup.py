@@ -78,6 +78,9 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
+    from kwack_spark.operators.scale import widen_if_narrow
+
+    df = widen_if_narrow(df)  # md5 signature stage must not run single-task
     # Compute the DISTINCT shingle set once and persist it: it feeds three
     # subtrees (signatures + both sides of the verify join), and the
     # tokenize+shingle projection is the dominant cost.  min over the
@@ -263,6 +266,9 @@ def _shingle_band_base(
     times."""
     from pyspark import StorageLevel
 
+    from kwack_spark.operators.scale import widen_if_narrow
+
+    df = widen_if_narrow(df)  # shingle/token-set stage must not run single-task
     return df.select(
         F.col(id_col),
         TX.token_set(text_col).alias("ts"),

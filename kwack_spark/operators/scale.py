@@ -364,3 +364,22 @@ def hll_estimate(sketch: DataFrame) -> DataFrame:
         ).alias("hll_est"),
         (F.lit(m) - F.col("n_nonempty")).cast("long").alias("n_empty"),
     )
+
+
+def widen_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism when
+    the plan's current partitioning is NARROWER than that — the adaptive
+    fix for per-row-EXPENSIVE stages (md5 shingle signatures, rolling-hash
+    chunking, array-pipeline fingerprints) fed by a small scan.
+
+    Local/bench reality: a single parquet file with one row group is ONE
+    split however many cores the session has, so a codegen-heavy projection
+    runs on one core while 31 idle.  At 100 TB the same scan has thousands
+    of splits, the predicate is false, and NO shuffle is inserted — which
+    is exactly right, because there a full-data repartition would be the
+    anti-pattern.  Row placement does not affect any caller's semantics
+    (row-local expressions and keyed aggregations only)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

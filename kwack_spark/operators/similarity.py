@@ -288,6 +288,7 @@ def semdedup_prune(
     across clusters (SemDeDup's accepted approximation: cross-cluster
     near-dups are missed, recall is traded for tractability at 100 TB)."""
     _, assigned = ivf_assign(corpus, id_col, vec_col, n_lists, refine_iters)
+    assigned = assigned.withColumn("nv", V.norm(F.col("v")))  # once per vector
     x, y = assigned.alias("x"), assigned.alias("y")
     dup_of = (
         x.join(y, "list_id")
@@ -295,7 +296,7 @@ def semdedup_prune(
         .select(
             F.col("x.corpus_id").alias("vec_id"),
             F.col("y.corpus_id").alias("nb"),
-            V.cosine(F.col("x.v"), F.col("y.v")).alias("c"),
+            (V.dot(F.col("x.v"), F.col("y.v")) / (F.col("x.nv") * F.col("y.nv"))).alias("c"),
         )
         .filter(F.col("c") >= threshold)
         .groupBy("vec_id")
@@ -810,7 +811,19 @@ def _bucket_pairs(
     threshold: float,
     plane_offset: int,
 ) -> DataFrame:
-    base = df.select(F.col(id_col), V.as_double(vec_col).alias("v"))
+    from kwack_spark.operators.scale import widen_if_narrow
+
+    # signature projection (per-row plane dots) must not run single-task
+    # when the scan is one split (local bench); no-op on real multi-split
+    # sources
+    df = widen_if_narrow(df)
+    # per-VECTOR norm is computed once here, not re-folded per PAIR: the
+    # pair stage then runs ONE array fold (the dot) instead of three.
+    # sqrt(dot(v,v)) evaluated early is the identical IEEE value the
+    # inline cosine would produce, so results stay bit-exact.
+    base = df.select(
+        F.col(id_col), V.as_double(vec_col).alias("v")
+    ).withColumn("nv", V.norm(F.col("v")))
     sig = lsh_signature(df, id_col, vec_col, planes, dim, plane_offset)
     t = base.join(sig, id_col)
     a, b = t.alias("a"), t.alias("b")
@@ -823,7 +836,7 @@ def _bucket_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            V.cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            (V.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -894,7 +907,9 @@ def lsh_bucketed_pairs_adaptive(
     or 32 (~68B) are cheap insurance at scale.  The registered
     ``ann_lsh_adaptive`` query pins 12 to match its DuckDB oracle's
     generated signature."""
-    base = df.select(F.col(id_col), V.as_double(vec_col).alias("v"))
+    base = df.select(
+        F.col(id_col), V.as_double(vec_col).alias("v")
+    ).withColumn("nv", V.norm(F.col("v")))  # once per vector, not per pair
     sig = lsh_signature(df, id_col, vec_col, max_planes, dim)
     n1 = df.select(F.count(F.lit(1)).alias("__n"))
     floor_, tgt = 4, target_bucket_rows
@@ -920,7 +935,7 @@ def lsh_bucketed_pairs_adaptive(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            V.cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            (V.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

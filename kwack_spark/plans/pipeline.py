@@ -928,7 +928,9 @@ def semdedup_cluster_prune(spark, sf_dir):
     curation stage that makes semantic dedup tractable at 100 TB (pairwise
     cost is quadratic only inside a cluster; cross-cluster dups are the
     accepted recall trade)."""
-    e = T(spark, sf_dir, "embeddings")
+    from kwack_spark.operators.scale import widen_if_narrow
+
+    e = widen_if_narrow(T(spark, sf_dir, "embeddings"))
     return similarity.semdedup_prune(
         e, "vec_id", "embedding", n_lists=16, threshold=0.4, refine_iters=1
     )
@@ -1720,7 +1722,10 @@ def winnowing_fingerprints(spark, sf_dir):
 
 
 def _winnowing_fps(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    from kwack_spark.operators.scale import widen_if_narrow
+
+    # the fingerprint array pipeline is the per-row-expensive stage
+    d = widen_if_narrow(T(spark, sf_dir, "documents"))
 
     # every intermediate array is let-bound (TX.bind) — Catalyst's
     # CollapseProject would otherwise substitute the token/hash arrays into
@@ -5239,8 +5244,10 @@ def semantic_dedup_verify(spark, sf_dir):
     candidate-count-sized, never corpus².  At 100 TB the id join keys are
     co-partitioned with the corpus tables, so both joins shuffle only the
     (small) candidate set."""
+    from kwack_spark.operators.scale import widen_if_narrow
+
     e = T(spark, sf_dir, "embeddings")
-    d = T(spark, sf_dir, "documents")
+    d = widen_if_narrow(T(spark, sf_dir, "documents"))
     pairs = similarity.lsh_bucketed_pairs(
         e, "vec_id", "embedding", planes=4, dim=64, threshold=0.3
     )

@@ -264,7 +264,9 @@ def bloom_decontaminate(spark, sf_dir):
     gram-table join, this is what still broadcasts when the benchmark has
     billions of grams.  Exact verification of the tiny bloom-positive
     remainder stays cheap by construction."""
-    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    from kwack_spark.operators.scale import widen_if_narrow
+
+    docs = widen_if_narrow(T(spark, sf_dir, "documents").select("doc_id", "text"))
     grams = F.explode(F.array_distinct(TX.shingles(TX.tokens("text"), 3))).alias("gram")
     bench = docs.filter(F.col("doc_id") % 97 == 0).select(grams).distinct()
     bits = (
@@ -440,7 +442,9 @@ def cdc_chunk_dedup(spark, sf_dir):
     parquet scan with no shuffle; the only shuffle is the fingerprint
     aggregation.  Top repeated chunks are the cross-doc boilerplate a
     pipeline strips before training."""
-    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    from kwack_spark.operators.scale import widen_if_narrow
+
+    docs = widen_if_narrow(T(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def mk_cuts(t):
         inner = F.when(
