@@ -226,13 +226,20 @@ def ivf_assign(
         corpus.orderBy(id_col)
         .limit(n_lists)
         .select(F.col(id_col).alias("cid"), V.as_double(vec_col).alias("cv"))
-    )
-    c = corpus.select(F.col(id_col).alias("corpus_id"), V.as_double(vec_col).alias("v"))
+    ).withColumn("ncv", V.norm(F.col("cv")))
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), V.as_double(vec_col).alias("v")
+    ).withColumn("nv", V.norm(F.col("v")))  # once per vector, not per centroid
 
     def _assign(cent_df: DataFrame) -> DataFrame:
-        # nearest centroid per corpus vector (ties -> smaller cid)
+        # nearest centroid per corpus vector (ties -> smaller cid); cosine
+        # via precomputed norms = one fold per (vector, centroid) — the
+        # identical IEEE value the inline form produces
         scored = c.crossJoin(F.broadcast(cent_df)).select(
-            "corpus_id", "v", "cid", V.cosine(F.col("v"), F.col("cv")).alias("cc")
+            "corpus_id",
+            "v",
+            "cid",
+            (V.dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv"))).alias("cc"),
         )
         return scored.groupBy("corpus_id").agg(
             F.max_by(
@@ -259,7 +266,7 @@ def ivf_assign(
                 F.col("list_id").alias("cid"),
                 F.transform("pm", lambda s: s.getField("m")).alias("cv"),
             )
-        )
+        ).withColumn("ncv", V.norm(F.col("cv")))  # refreshed centroids' norms
 
     return cents, _assign(cents)
 
@@ -345,25 +352,34 @@ def ivf_topk(
     fraction stays constant.
     """
     cents, assigned = ivf_assign(corpus, id_col, vec_col, n_lists, refine_iters)
-    q = queries.select(F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv"))
+    assigned = assigned.withColumn("nv", V.norm(F.col("v")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv")
+    ).withColumn("nqv", V.norm(F.col("qv")))  # once per query, not per candidate
 
     # probe: each query's n_probe nearest lists (same ordering rule)
     scored_q = q.crossJoin(F.broadcast(cents)).select(
-        "query_id", "qv", "cid", V.cosine(F.col("qv"), F.col("cv")).alias("qc")
+        "query_id",
+        "qv",
+        "nqv",
+        "cid",
+        (V.dot(F.col("qv"), F.col("cv")) / (F.col("nqv") * F.col("ncv"))).alias("qc"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("qc"), "cid")
     probes = (
         scored_q.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", F.col("cid").alias("list_id"))
+        .select("query_id", "qv", "nqv", F.col("cid").alias("list_id"))
     )
 
-    # rerank candidates within probed lists only
+    # rerank candidates within probed lists only — one fold per candidate
     cand = probes.join(assigned, "list_id").filter(
         F.col("query_id") != F.col("corpus_id")
     )
     scored = cand.select(
-        "query_id", "corpus_id", V.cosine(F.col("qv"), F.col("v")).alias("cosine")
+        "query_id",
+        "corpus_id",
+        (V.dot(F.col("qv"), F.col("v")) / (F.col("nqv") * F.col("nv"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -429,18 +445,20 @@ def _pq_reconstruct(c: DataFrame, m: int, ksub: int, dsub: int) -> DataFrame:
     sub = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
     codebook = seeds.select("code_id", sub, "v").select(
         "s", "code_id", F.expr(f"slice(v, s * {dsub} + 1, {dsub})").alias("cv")
-    )
+    ).withColumn("cc", V.dot(F.col("cv"), F.col("cv")))  # once per codeword
 
     corpus_sub = c.select("corpus_id", sub, "v").select(
         "corpus_id", "s", F.expr(f"slice(v, s * {dsub} + 1, {dsub})").alias("xv")
-    )
+    ).withColumn("xx", V.dot(F.col("xv"), F.col("xv")))  # once per subvector
     # argmin_code L2²(xv, cv) = dot(xv,xv) - 2·dot(xv,cv) + dot(cv,cv):
-    # three fixed-order folds + fixed-shape arithmetic -> bit-identical
-    # distances across engines, so the argmin (tie -> smaller code) agrees.
+    # fixed-order folds + fixed-shape arithmetic -> bit-identical distances
+    # across engines, so the argmin (tie -> smaller code) agrees.  The two
+    # self-dots are projected ONCE above instead of re-folded per
+    # (subvector, codeword) pair — same values, one fold per pair.
     dist = (
-        V.dot(F.col("xv"), F.col("xv"))
+        F.col("xx")
         - F.lit(2.0) * V.dot(F.col("xv"), F.col("cv"))
-        + V.dot(F.col("cv"), F.col("cv"))
+        + F.col("cc")
     )
     codes = (
         corpus_sub.join(F.broadcast(codebook), "s")
