@@ -2325,6 +2325,102 @@ def streaming_window_counts(spark, sf_dir):
 
 
 @register(
+    "streaming_quality_gate",
+    # curation AT INGEST: the row-local quality signals (Gopher structural
+    # rules + stopword fluency) run inside the stream — stateless, so the
+    # plan is pure map work per micro-batch, append mode, no state store —
+    # and the landed verdicts must equal the batch gate.  (The model-score
+    # signal is doc-keyed aggregation and joins in at the batch boundary;
+    # quality_ensemble_gate is the full assembled form.)
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ws,
+                   list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                               t -> length(t) > 0) AS tk
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, len(ws) AS n_words,
+                   CASE WHEN len(ws) = 0 THEN NULL
+                        ELSE CAST(list_sum(list_transform(ws, t -> len(t))) AS DOUBLE) / len(ws) END AS mean_word_len,
+                   CASE WHEN len(ws) = 0 THEN NULL
+                        ELSE CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE) / len(ws) END AS alpha_ratio,
+                   CASE WHEN len(ws) = 0 THEN NULL
+                        ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END AS distinct_ratio,
+                   CASE WHEN len(tk) = 0 THEN NULL
+                        ELSE CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / len(tk) END AS stop_ratio
+            FROM w
+        )
+        SELECT doc_id, n_words, stop_ratio,
+               (COALESCE(n_words BETWEEN 50 AND 100000
+                         AND mean_word_len BETWEEN 3.0 AND 10.0
+                         AND alpha_ratio >= 0.8
+                         AND distinct_ratio >= 0.1, FALSE)
+                AND COALESCE(stop_ratio > 0.05, FALSE)) AS keep
+        FROM m
+    """,
+    tags=("streaming", "quality", "gate"),
+)
+def streaming_quality_gate(spark, sf_dir):
+    """Documents replayed as a multi-file stream; the stateless signal
+    projection runs per micro-batch into an append-mode memory sink.  At
+    100 TB this is the shape of inline ingest filtering: zero state, the
+    gate rides the decode scan."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.streaming import ingest as si
+
+    d = T(spark, sf_dir, "documents")
+    replay_dir = tempfile.mkdtemp(prefix="kwack_qgate_replay_")
+    d.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(replay_dir)
+    )
+    ws = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    base = stream.select("doc_id", "text", ws.alias("ws"))
+    n = F.size("ws")
+    guard = lambda c: F.when(n > 0, c)  # noqa: E731
+    tk = TX.tokens("text")
+    ntk = F.size(tk)
+    gopher_ok = F.coalesce(
+        n.between(50, 100000)
+        & guard(
+            F.aggregate("ws", F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+            / n
+        ).between(3.0, 10.0)
+        & (
+            guard(
+                F.size(F.filter("ws", lambda t: t.rlike("[a-zA-Z]"))).cast("double")
+                / n
+            )
+            >= 0.8
+        )
+        & (guard(F.size(F.array_distinct("ws")).cast("double") / n) >= 0.1),
+        F.lit(False),
+    )
+    stop_ratio = F.when(
+        ntk > 0,
+        F.size(F.filter(tk, lambda t: t.isin(*TX.STOPWORDS))).cast("double") / ntk,
+    )
+    stop_ok = F.coalesce(stop_ratio > 0.05, F.lit(False))
+    gated = base.select(
+        "doc_id",
+        n.alias("n_words"),
+        stop_ratio.alias("stop_ratio"),
+        (gopher_ok & stop_ok).alias("keep"),
+    )
+    sink = f"qgate_{uuid.uuid4().hex[:8]}"
+    q = si.to_memory_sink(gated, sink, output_mode="append")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_quality_gate: stream did not finish in 300s")
+    return spark.table(sink).select("doc_id", "n_words", "stop_ratio", "keep")
+
+
+@register(
     "streaming_stateful_running_counts",
     # custom per-key state via applyInPandasWithState, driven across
     # MULTIPLE micro-batches (maxFilesPerTrigger=1 over a 4-file replay) so

@@ -120,6 +120,7 @@ _PRIORITY = [
     "dedup_cluster_size_histogram",
     "tokenizer_vocab_coverage",
     "winnowing_incremental_new_docs",
+    "streaming_quality_gate",
     # --- already driver-green in r01-r04 (188 names) — tail, re-graded
     # only if the prefix budget allows
     "kafka_jsonschema_fastpath",
