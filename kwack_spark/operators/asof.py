@@ -114,3 +114,86 @@ def asof_join_forward(
         ],
     )
     return filled.filter(F.col("side") == 1).drop("side")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    left_vals: list[str],
+    right_ts_val: str = "ts",
+) -> DataFrame:
+    """For each left row, attach the right row NEAREST in time (either
+    direction, same key); equidistant candidates resolve to the BACKWARD
+    one.  Composes the backward and forward fills over ONE union-merge
+    sort (same single shuffle as the directional variants — the two window
+    frames share the (t, side) ordering, so Catalyst plans one sort).
+    ``right_ts_val`` names the right_vals entry carrying the right
+    timestamp, used for the distance compare.  Timestamps compare in
+    integer microseconds — exact."""
+    r = right.select(
+        F.col(key).alias("k"),
+        F.col(right_ts).alias("t"),
+        F.lit(0).alias("side"),
+        *[F.col(c).alias(f"r_{c}") for c in right_vals],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"l_{c}") for c in left_vals],
+    )
+    l = left.select(
+        F.col(key).alias("k"),
+        F.col(left_ts).alias("t"),
+        F.lit(1).alias("side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"r_{c}") for c in right_vals],
+        *[F.col(c).alias(f"l_{c}") for c in left_vals],
+    )
+    merged = r.unionByName(l)
+    # right rows sort before left at equal t: the backward frame includes
+    # an equal-t right (distance 0, and backward wins ties anyway), the
+    # forward frame sees only STRICTLY-later rights — which never changes
+    # the chosen row, because a distance-0 backward match always wins.
+    w_b = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_f = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = merged.select(
+        "k",
+        "t",
+        "side",
+        *[F.col(f"l_{c}") for c in left_vals],
+        *[
+            F.last(f"r_{c}", ignorenulls=True).over(w_b).alias(f"b_{c}")
+            for c in right_vals
+        ],
+        *[
+            F.first(f"r_{c}", ignorenulls=True).over(w_f).alias(f"f_{c}")
+            for c in right_vals
+        ],
+    ).filter(F.col("side") == 1)
+    bt, ft = F.col(f"b_{right_ts_val}"), F.col(f"f_{right_ts_val}")
+    choose_b = bt.isNotNull() & (
+        ft.isNull()
+        | (
+            (F.unix_micros(F.col("t")) - F.unix_micros(bt))
+            <= (F.unix_micros(ft) - F.unix_micros(F.col("t")))
+        )
+    )
+    return filled.select(
+        "k",
+        "t",
+        *[F.col(f"l_{c}") for c in left_vals],
+        *[
+            F.when(choose_b, F.col(f"b_{c}")).otherwise(F.col(f"f_{c}")).alias(f"r_{c}")
+            for c in right_vals
+        ],
+        F.when(choose_b, F.lit("backward"))
+        .when(ft.isNotNull(), F.lit("forward"))
+        .alias("asof_dir"),
+    )

@@ -2153,6 +2153,89 @@ def asof_purchase_attribution(spark, sf_dir):
 
 
 @register(
+    "asof_nearest_click",
+    # nearest-in-time as-of (either direction, ties -> backward): DuckDB
+    # has no nearest ASOF, so the oracle composes its backward and forward
+    # ASOF JOINs and picks by integer-microsecond distance — exactly the
+    # rule the operator's single-sort two-frame window implements
+    # (operators/asof.py:asof_join_nearest).  Clicks dedup per (user, ts)
+    # keeping max event_id so tie rows are unique on both engines.
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, ts, event_id FROM (
+                SELECT user_id, ts, event_id,
+                       row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click'
+            ) WHERE rn = 1
+        ),
+        purchases AS (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        ),
+        b AS (
+            SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+                   c.event_id AS bid, c.ts AS bts
+            FROM purchases p
+            ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+        ),
+        f AS (
+            SELECT p.event_id AS purchase_id, c.event_id AS fid, c.ts AS fts
+            FROM purchases p
+            ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.ts
+        ),
+        j AS (
+            SELECT b.user_id, b.purchase_ts, b.purchase_id, b.bid, b.bts, f.fid, f.fts,
+                   (b.bid IS NOT NULL AND (f.fid IS NULL
+                        OR epoch_us(b.purchase_ts) - epoch_us(b.bts)
+                           <= epoch_us(f.fts) - epoch_us(b.purchase_ts))) AS take_b
+            FROM b JOIN f USING (purchase_id)
+        )
+        SELECT user_id, purchase_ts, purchase_id,
+               CASE WHEN take_b THEN bid ELSE fid END AS click_id,
+               CASE WHEN take_b THEN bts ELSE fts END AS click_ts,
+               CASE WHEN take_b THEN 'backward'
+                    WHEN fid IS NOT NULL THEN 'forward' END AS asof_dir
+        FROM j
+    """,
+    tags=("asof", "join", "nearest"),
+)
+def asof_nearest_click(spark, sf_dir):
+    """Nearest-click attribution: the either-direction completion of the
+    as-of family.  Single shuffle on the key; both directional fills share
+    one (t, side) sort."""
+    e = T(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof.asof_join_nearest(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_vals=["event_id", "ts"],
+        left_vals=["event_id"],
+        right_ts_val="ts",
+    )
+    return out.select(
+        F.col("k").alias("user_id"),
+        F.col("t").alias("purchase_ts"),
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("r_ts").alias("click_ts"),
+        "asof_dir",
+    )
+
+
+@register(
     "asof_forward_next_purchase",
     # forward as-of: earliest purchase at-or-after each view, per user —
     # DuckDB's ASOF with <= vs our union-merge forward window

@@ -121,6 +121,7 @@ _PRIORITY = [
     "tokenizer_vocab_coverage",
     "winnowing_incremental_new_docs",
     "streaming_quality_gate",
+    "asof_nearest_click",
     # --- already driver-green in r01-r04 (188 names) — tail, re-graded
     # only if the prefix budget allows
     "kafka_jsonschema_fastpath",

@@ -117,3 +117,37 @@ def test_band_join_epoch_micros_magnitude(spark):
     key = lambda r: (r["k"], r["lts"], r["rts"])
     assert sorted(map(key, got.collect())) == sorted(map(key, naive.collect()))
     assert got.count() >= 4
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    """Equidistant before/after candidates resolve to the BACKWARD row;
+    one-sided rows resolve to whichever side exists; no candidate -> NULL."""
+    import datetime as dt
+
+    from kwack_spark.operators import asof
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, s(100), 10), (2, s(100), 20), (3, s(100), 30), (4, s(100), 40)],
+        "k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, s(90), 91), (1, s(110), 111),   # tie -> backward (91)
+            (2, s(150), 201),                    # only forward
+            (3, s(10), 301),                     # only backward
+        ],
+        "k long, ts timestamp, rid long",
+    )
+    out = {
+        r.l_lid: (r.r_rid, r.asof_dir)
+        for r in asof.asof_join_nearest(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            right_vals=["rid", "ts"], left_vals=["lid"], right_ts_val="ts",
+        ).collect()
+    }
+    assert out[10] == (91, "backward")
+    assert out[20] == (201, "forward")
+    assert out[30] == (301, "backward")
+    assert out[40] == (None, None)
