@@ -296,3 +296,56 @@ def test_wav_trim_silence_edges(spark):
     # interior zero stays: lead=4, trail=2, kept=3 (7, 0, -7)
     assert (got[3].n_samples, got[3].lead_silence, got[3].trail_silence) == (9, 4, 2)
     assert got[4].n_samples is None and got[4].trimmed_ms is None
+
+def test_jpeg_restart_markers_reset_dc_predictors():
+    """A hand-assembled stream with DRI=1 (RST0 between the two MCUs):
+    the decoder must byte-realign, skip the marker, and RESET the DC
+    predictor — segments carry absolute DC values."""
+    import struct
+
+    import numpy as np
+
+    from kwack_spark.operators import multimodal as mm
+
+    ql = np.array(mm._JQ_LUMA, np.int32).reshape(8, 8)
+    dcmap = mm._huff_codes(*mm._JH_DC_LUMA)
+    acmap = mm._huff_codes(*mm._JH_AC_LUMA)
+
+    def qdc(v):
+        dc = 8 * (v - 128)
+        return ((2 * abs(dc) + 16) // 32) * (1 if dc >= 0 else -1)
+
+    segs = []
+    for v in (40, 200):
+        bw = mm._BitWriter()
+        diff = qdc(v)  # predictor resets at the restart -> absolute value
+        t = mm._jpeg_category(diff)
+        code, length = dcmap[t]
+        bw.write(code, length)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        code, length = acmap[0x00]
+        bw.write(code, length)  # EOB
+        segs.append(bw.flush())
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(int(ql[r, c]) for r, c in mm._JZZ))
+    out += seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, b"\x00" + bytes(mm._JH_DC_LUMA[0]) + bytes(mm._JH_DC_LUMA[1]))
+    out += seg(0xC4, b"\x10" + bytes(mm._JH_AC_LUMA[0]) + bytes(mm._JH_AC_LUMA[1]))
+    out += seg(0xDD, struct.pack(">H", 1))  # DRI = 1
+    out += seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    out += segs[0] + b"\xff\xd0" + segs[1] + b"\xff\xd9"
+
+    w, h, ch, px = mm._jpeg_decode(bytes(out))
+    assert (w, h, ch) == (16, 8, 1)
+
+    def recon(v):
+        return int(np.floor(qdc(v) * 16 / 8.0 + 128 + 0.5))
+
+    assert (px[:, :8] == recon(40)).all()
+    assert (px[:, 8:] == recon(200)).all()
