@@ -5389,6 +5389,132 @@ def source_lang_gini(spark, sf_dir):
 
 
 @register(
+    "vocab_coverage_curve",
+    # tokenizer-design curve: what fraction of the corpus's token MASS does
+    # a vocab of the top N pieces cover, for N in (16, 64, 256, 1024)?  The
+    # rank order is fully deterministic (count DESC, piece ASC), the
+    # cumulative mass is an integer window sum, and the ratio is one double
+    # division — bit-exact.  This is the plot a team reads before fixing a
+    # vocab size.
+    oracle=r"""
+        WITH pieces AS (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS p
+            FROM documents
+        ),
+        counts AS (SELECT p, count(*) AS cnt FROM pieces GROUP BY p),
+        ranked AS (
+            SELECT cnt, row_number() OVER (ORDER BY cnt DESC, p) AS rn FROM counts
+        ),
+        cum AS (
+            SELECT rn, CAST(SUM(cnt) OVER (ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_mass
+            FROM ranked
+        ),
+        total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_mass FROM counts)
+        SELECT n.vocab_size,
+               COALESCE((SELECT max(cum_mass) FROM cum WHERE rn <= n.vocab_size), 0) AS covered_mass,
+               total_mass,
+               CAST(COALESCE((SELECT max(cum_mass) FROM cum WHERE rn <= n.vocab_size), 0) AS DOUBLE)
+                   / total_mass AS coverage
+        FROM (SELECT unnest([16, 64, 256, 1024]) AS vocab_size) n, total
+    """,
+    tags=("text", "tokens", "vocab", "curve"),
+)
+def vocab_coverage_curve(spark, sf_dir):
+    """Vocab build = one piece-keyed aggregation; the curve itself runs on
+    the VOCAB-sized count table (corpus-scale-free), so the single-point
+    window over ranked counts is metadata-sized by construction — the same
+    justification as every vocabulary rollup here.  Output: 4 rows."""
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents")
+    pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+    pieces = d.select(
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(pat), 0)).alias("p")
+    )
+    counts = pieces.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), "p")
+    ranked = counts.select(
+        "cnt", F.row_number().over(w).alias("rn")
+    ).withColumn(
+        "cum_mass",
+        F.sum("cnt").over(
+            Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    total = counts.agg(F.sum("cnt").alias("total_mass"))
+    sizes = spark.range(0).sparkSession.createDataFrame(
+        [(16,), (64,), (256,), (1024,)], "vocab_size int"
+    )
+    cov = (
+        sizes.join(ranked, F.col("rn") <= F.col("vocab_size"), "left")
+        .groupBy("vocab_size")
+        .agg(F.coalesce(F.max("cum_mass"), F.lit(0)).alias("covered_mass"))
+    )
+    return cov.crossJoin(F.broadcast(total)).select(
+        "vocab_size",
+        "covered_mass",
+        "total_mass",
+        (F.col("covered_mass").cast("double") / F.col("total_mass")).alias("coverage"),
+    )
+
+
+@register(
+    "embedding_norm_extremes",
+    # embedding-health outlier scan, RANK-based (no moment sums — summing
+    # irrational norms would be order-dependent across engines, and the
+    # exact-decimal second moment overflows DECIMAL(38)): the 25 largest
+    # and 25 smallest squared norms, each tail ordered deterministically
+    # by (sq_norm, vec_id).  Squared norms are exact integers under the
+    # 2^86 scale; the double cast rounds identically on both engines.
+    oracle=f"""
+        WITH sq AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(u.c * {_POW2_43} AS DECIMAL(19,0))
+                            * CAST(u.c * {_POW2_43} AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2
+            FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS c FROM embeddings) u
+            GROUP BY vec_id
+        ),
+        v AS (SELECT vec_id, CAST(s2 AS DOUBLE) / {_POW2_43} / {_POW2_43} AS sq_norm FROM sq),
+        hi AS (SELECT vec_id, sq_norm, 'high' AS tail FROM v
+               ORDER BY sq_norm DESC, vec_id LIMIT 25),
+        lo AS (SELECT vec_id, sq_norm, 'low' AS tail FROM v
+               ORDER BY sq_norm ASC, vec_id LIMIT 25)
+        SELECT * FROM hi UNION ALL SELECT * FROM lo
+    """,
+    tags=("embedding", "outlier", "stats"),
+)
+def embedding_norm_extremes(spark, sf_dir):
+    """Per-vector exact squared norm (narrow pass) then two distributed
+    top-k selections (TakeOrderedAndProject — no global sort, no
+    single-partition window): the sweep that catches corrupted or
+    mis-scaled vectors before training.  Output is 2k rows at any corpus
+    size."""
+    e = T(spark, sf_dir, "embeddings")
+    comp = e.select("vec_id", F.explode(V.as_double("embedding")).alias("c"))
+    iv = (F.col("c") * _POW2_43).cast("decimal(19,0)")
+    v = (
+        comp.groupBy("vec_id")
+        .agg(F.sum(iv * iv).alias("s2"))
+        .select(
+            "vec_id",
+            (F.col("s2").cast("double") / _POW2_43 / _POW2_43).alias("sq_norm"),
+        )
+    )
+    hi = (
+        v.orderBy(F.desc("sq_norm"), "vec_id")
+        .limit(25)
+        .select("vec_id", "sq_norm", F.lit("high").alias("tail"))
+    )
+    lo = (
+        v.orderBy(F.asc("sq_norm"), "vec_id")
+        .limit(25)
+        .select("vec_id", "sq_norm", F.lit("low").alias("tail"))
+    )
+    return hi.unionByName(lo)
+
+
+@register(
     "semantic_dedup_verify",
     # cross-modal near-dup audit (documents ⋈ embeddings on aligned ids):
     # embedding-LSH candidate pairs above a cosine floor, each verified

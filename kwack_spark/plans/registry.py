@@ -122,6 +122,10 @@ _PRIORITY = [
     "winnowing_incremental_new_docs",
     "streaming_quality_gate",
     "asof_nearest_click",
+    # --- registered after the 50-slot round-5 prefix filled: first names
+    # of the round-6 grading prefix
+    "vocab_coverage_curve",
+    "embedding_norm_extremes",
     # --- already driver-green in r01-r04 (188 names) — tail, re-graded
     # only if the prefix budget allows
     "kafka_jsonschema_fastpath",
