@@ -5443,19 +5443,37 @@ def vocab_coverage_curve(spark, sf_dir):
         ),
     )
     total = counts.agg(F.sum("cnt").alias("total_mass"))
-    sizes = spark.range(0).sparkSession.createDataFrame(
-        [(16,), (64,), (256,), (1024,)], "vocab_size int"
+    # one conditional aggregation instead of a theta join: max(cum_mass)
+    # under each rn <= N predicate, then unpivoted to rows — no nested-loop
+    # join in the plan, and the agg input is the vocab-sized count table
+    sizes = [16, 64, 256, 1024]
+    covs = ranked.agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("rn") <= s, F.col("cum_mass"))), F.lit(0)
+            ).alias(f"c{s}")
+            for s in sizes
+        ]
     )
-    cov = (
-        sizes.join(ranked, F.col("rn") <= F.col("vocab_size"), "left")
-        .groupBy("vocab_size")
-        .agg(F.coalesce(F.max("cum_mass"), F.lit(0)).alias("covered_mass"))
-    )
-    return cov.crossJoin(F.broadcast(total)).select(
-        "vocab_size",
-        "covered_mass",
+    row = covs.crossJoin(F.broadcast(total))
+    curve = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("vocab_size"),
+                    F.col(f"c{s}").cast("long").alias("covered_mass"),
+                )
+                for s in sizes
+            ]
+        )
+    ).alias("e")
+    return row.select(curve, "total_mass").select(
+        F.col("e.vocab_size").alias("vocab_size"),
+        F.col("e.covered_mass").alias("covered_mass"),
         "total_mass",
-        (F.col("covered_mass").cast("double") / F.col("total_mass")).alias("coverage"),
+        (F.col("e.covered_mass").cast("double") / F.col("total_mass")).alias(
+            "coverage"
+        ),
     )
 
 
