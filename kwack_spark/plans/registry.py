@@ -53,130 +53,121 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # corpus per round, so the map is ordered to put never-driver-graded queries
 # first (every name below already passes the local oracle harness in
 # tests/test_oracle.py, and the scale-sensitive subset additionally passes
-# at sf0.1 via tests/test_scale_oracle.py).  Rounds 1-3 graded 139 distinct
-# names, all green.  Round 4's prefix (round-3 VERDICT ask #1) rotates the
-# never-driver-graded backlog to the front: the r04-new queries, the full
-# TPC-H suite, then the backlog in its curated order; the remainder of the
-# backlog sits at positions 50+ as round 5's planned prefix, and the 139
-# already-green names form the tail.  Names not listed keep registration
-# order after the listed ones; the list is advisory ordering only — every
-# query stays registered.
+# at sf0.1 via tests/test_scale_oracle.py).  Rounds 1-5 graded 238 distinct
+# names, 236 ever-green.  Round 6's rotation (r05 VERDICT asks #1/#2): the
+# two fixed r05 reds first, then the two never-graded names, then any
+# r06-new queries, then the whole green corpus ordered longest-ungraded
+# first (last-graded round ascending, curated order within a round).  Names
+# not listed keep registration order after the listed ones; the list is
+# advisory ordering only — every query stays registered.
 _PRIORITY = [
-    # --- round-5 graded prefix (positions 0-49): the 37 names never
-    # driver-graded in rounds 1-4 (sketch family, BM25/inverted index,
-    # adaptive/multi-table LSH, SemDeDup prune, sink round-trips, dialect
-    # stragglers), plus the re-grade of the round-4 hash-red
-    # text_token_stats (fixed: BIGINT-pinned total_tok_chars + NULL
-    # zero-token guards on both sides).  Remaining prefix slots are the
-    # round-5-new queries so they get driver evidence on first grading.
-    "user_path_trigrams",
-    "event_transition_matrix",
-    "length_bucketed_batches",
+    # --- round-6 grading prefix (r05 VERDICT ask #2): the two r05
+    # driver-reds, now fixed by stringifying their array outputs
+    # (concat_ws, oracle array_to_string), lead so CORRECTNESS_r06
+    # re-grades them first ...
     "prefix_duplicate_groups",
-    "daily_anomaly_zscore",
-    "sax_weekly_symbols",
-    "hll_audience_overlap",
-    "streaming_running_moments",
-    "bm25_topk_search",
-    "dedup_keep_best_in_cluster",
-    "textrank_keywords",
-    "k_anonymity_suppress",
-    "bpe_merge_candidates",
-    "join_positional",
-    "order_by_all",
-    "shard_manifest_hashes",
-    "agg_mode_manual",
-    "inverted_index_incremental",
-    "shard_compaction_plan",
-    "embedding_drift_by_label",
-    "langid_confusion_matrix",
-    "ann_lsh_adaptive",
-    "streaming_exactly_once_sink",
-    "sink_compaction_roundtrip",
-    "ann_lsh_multitable",
-    "hll_distinct_users",
-    "hll_merge_shards",
-    "bloom_decontaminate",
-    "quality_linear_score",
-    "cdc_chunk_dedup",
-    "streaming_hll_distinct",
-    "dedup_simhash_hamming",
-    "streaming_cms_counts",
     "inverted_index_build",
-    "semdedup_cluster_prune",
-    "cms_heavy_hitters",
-    "temperature_mixture_sample",
-    # re-grade after the round-5 fix (hash-red in r04)
-    "text_token_stats",
-    # round-5-new queries land here (registered below this line in the
-    # prefix as they are added)
-    "multimodal_jpeg_decode",
-    "winnowing_fingerprints",
-    "winnowing_common_spans",
-    "quality_ensemble_gate",
-    "audio_silence_trim",
-    "embedding_dim_stats",
-    "source_lang_gini",
-    "dedup_cluster_size_histogram",
-    "tokenizer_vocab_coverage",
-    "winnowing_incremental_new_docs",
-    "streaming_quality_gate",
-    "asof_nearest_click",
-    # --- registered after the 50-slot round-5 prefix filled: first names
-    # of the round-6 grading prefix
+    # ... then the two never-driver-graded names (registered post-prefix
+    # in r05; vocab_coverage_curve window now bounded via limit(1024)),
     "vocab_coverage_curve",
     "embedding_norm_extremes",
-    # --- already driver-green in r01-r04 (188 names) — tail, re-graded
-    # only if the prefix budget allows
-    "kafka_jsonschema_fastpath",
-    "kafka_jsonschema_union_roundtrip",
-    "kafka_poison_quarantine",
-    "multimodal_png_decode",
-    "ann_pq_distributed",
-    "ann_brute_force_distributed",
-    "sink_manifest_snapshot_read",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q4_priority_count",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_shipping",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "text_token_rarity",
-    "text_token_count_bpe",
-    "text_quality",
-    "text_lang_id",
-    "text_pii_redact",
-    "text_repetition_filter",
-    "window_tumbling_hourly",
-    "session_windows",
-    "multimodal_binary_meta",
-    "multimodal_fake_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "multimodal_byte_features",
-    "multimodal_wav_decode",
-    "streaming_window_counts",
-    "streaming_stateful_running_counts",
-    "streaming_dedup_keys",
-    "kafka_avro_fastpath",
-    "kafka_avro_key_roundtrip",
-    "quality_bucket_sample",
-    "cooccurrence_window_counts",
-    "hard_negative_mining",
-    "training_order_shuffle",
+    # --- round-6-new queries are inserted HERE as they are added so
+    # they get driver evidence on first grading ---
+    # --- then the full corpus, longest-ungraded-first: every name below
+    # is driver-green, ordered by the round it was last graded (r01
+    # first) so cumulative re-grade freshness rotates each round.
+    # last graded r01
+    "ann_brute_force_topk",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "scan_region",
+    "projection_compute",
+    "filter_predicates",
+    "agg_having",
+    "agg_filter_where",
+    "agg_minmax_by",
+    "agg_stats_manual",
+    "count_distinct",
+    "rollup_orders",
+    "cube_orders",
+    "join_inner",
+    "join_left",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta",
+    "q3_top_revenue",
+    "q5_region_revenue",
+    "window_ranking",
+    "window_offset",
+    "window_frame_moving",
+    "distinct_on_latest",
+    "sort_limit_offset",
+    "set_ops",
+    "set_except",
+    "set_union_all",
+    "distinct_rows",
+    "string_funcs",
+    "date_funcs",
+    "math_funcs",
+    "struct_funcs",
+    "explode_word_counts",
+    # last graded r02
+    "q1_pricing_summary",
+    "kafka_avro_roundtrip",
+    "kafka_json_schema_roundtrip",
+    "kafka_proto_roundtrip",
+    "kafka_rawjson_roundtrip",
+    "kafka_primitive_roundtrip",
+    "kafka_avro_evolution",
+    "kafka_proto_evolution",
+    "kafka_jsonschema_evolution",
+    "kafka_two_topic_join",
+    "kafka_rowinfo_metadata",
+    "kafka_tombstone_skip",
+    "kafka_poison_skip",
+    "streaming_lsh_neardup",
+    "streaming_static_enrich",
+    "streaming_session_counts",
+    "streaming_kafka_avro_decode",
+    "udx_chunk_vowels",
+    "scale_salted_join",
+    "scale_bucketed_join",
+    "scale_heavy_hitters",
+    "gopher_quality_rules",
+    "dedup_lsh_recall",
+    "star_dialect_exclude_replace",
+    "star_dialect_columns_regex",
+    "profile_table_stats",
+    "zorder_layout_key",
+    "funnel_three_step",
+    "retention_cohorts",
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "ann_lsh_bucketed",
+    "passage_dedup_rewrite",
+    "dedup_incremental_lsh",
+    "dedup_lsh_edit_verify",
+    "shard_assignment_stats",
+    "semantic_dedup_verify",
+    "text_bigram_logprob",
+    "dedup_containment",
+    "tfidf_top_terms",
+    "length_percentile_trim",
+    "approx_count_distinct",
+    "collect_list_sorted",
+    "grouping_sets",
+    "cte_scalar_subquery",
+    "correlated_in_subquery",
+    "array_funcs",
+    "higher_order_funcs",
+    "map_funcs",
+    "json_funcs",
+    # last graded r03
     "kafka_proto_msgindex",
     "ann_pq_recall",
     "ann_ivf_recall",
@@ -227,95 +218,105 @@ _PRIORITY = [
     "embedding_centroid_by_label",
     "embedding_quantize_int8",
     "ann_ivf_topk",
-    "q1_pricing_summary",
-    "kafka_avro_roundtrip",
-    "kafka_json_schema_roundtrip",
-    "kafka_proto_roundtrip",
-    "kafka_rawjson_roundtrip",
-    "kafka_primitive_roundtrip",
-    "kafka_avro_evolution",
-    "kafka_proto_evolution",
-    "kafka_jsonschema_evolution",
-    "kafka_two_topic_join",
-    "kafka_rowinfo_metadata",
-    "kafka_tombstone_skip",
-    "kafka_poison_skip",
-    "streaming_lsh_neardup",
-    "streaming_static_enrich",
-    "streaming_session_counts",
-    "streaming_kafka_avro_decode",
-    "udx_chunk_vowels",
-    "scale_salted_join",
-    "scale_bucketed_join",
-    "scale_heavy_hitters",
-    "gopher_quality_rules",
-    "dedup_lsh_recall",
-    "star_dialect_exclude_replace",
-    "star_dialect_columns_regex",
-    "profile_table_stats",
-    "zorder_layout_key",
-    "funnel_three_step",
-    "retention_cohorts",
-    "ann_pq_topk",
-    "ann_ivf_pq_topk",
-    "ann_brute_force_topk",
-    "ann_lsh_bucketed",
-    "passage_dedup_rewrite",
-    "dedup_incremental_lsh",
-    "dedup_lsh_edit_verify",
-    "shard_assignment_stats",
-    "semantic_dedup_verify",
-    "text_bigram_logprob",
-    "dedup_containment",
-    "tfidf_top_terms",
-    "length_percentile_trim",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "scan_region",
-    "projection_compute",
-    "filter_predicates",
-    "agg_having",
-    "agg_filter_where",
-    "agg_minmax_by",
-    "agg_stats_manual",
-    "count_distinct",
-    "approx_count_distinct",
-    "collect_list_sorted",
-    "rollup_orders",
-    "cube_orders",
-    "grouping_sets",
-    "join_inner",
-    "join_left",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_theta",
-    "q3_top_revenue",
-    "q5_region_revenue",
-    "window_ranking",
-    "window_offset",
-    "window_frame_moving",
-    "distinct_on_latest",
-    "sort_limit_offset",
-    "set_ops",
-    "set_except",
-    "set_union_all",
-    "distinct_rows",
-    "cte_scalar_subquery",
-    "correlated_in_subquery",
-    "string_funcs",
-    "date_funcs",
-    "math_funcs",
-    "array_funcs",
-    "higher_order_funcs",
-    "map_funcs",
-    "struct_funcs",
-    "json_funcs",
-    "explode_word_counts",
+    # last graded r04
+    "kafka_jsonschema_fastpath",
+    "kafka_jsonschema_union_roundtrip",
+    "kafka_poison_quarantine",
+    "multimodal_png_decode",
+    "ann_pq_distributed",
+    "ann_brute_force_distributed",
+    "sink_manifest_snapshot_read",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_priority_count",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "text_token_rarity",
+    "text_token_count_bpe",
+    "text_quality",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "window_tumbling_hourly",
+    "session_windows",
+    "multimodal_binary_meta",
+    "multimodal_fake_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_byte_features",
+    "multimodal_wav_decode",
+    "streaming_window_counts",
+    "streaming_stateful_running_counts",
+    "streaming_dedup_keys",
+    "kafka_avro_fastpath",
+    "kafka_avro_key_roundtrip",
+    "quality_bucket_sample",
+    "cooccurrence_window_counts",
+    "hard_negative_mining",
+    "training_order_shuffle",
+    # last graded r05
+    "user_path_trigrams",
+    "event_transition_matrix",
+    "length_bucketed_batches",
+    "daily_anomaly_zscore",
+    "sax_weekly_symbols",
+    "hll_audience_overlap",
+    "streaming_running_moments",
+    "bm25_topk_search",
+    "dedup_keep_best_in_cluster",
+    "textrank_keywords",
+    "k_anonymity_suppress",
+    "bpe_merge_candidates",
+    "join_positional",
+    "order_by_all",
+    "shard_manifest_hashes",
+    "agg_mode_manual",
+    "inverted_index_incremental",
+    "shard_compaction_plan",
+    "embedding_drift_by_label",
+    "langid_confusion_matrix",
+    "ann_lsh_adaptive",
+    "streaming_exactly_once_sink",
+    "sink_compaction_roundtrip",
+    "ann_lsh_multitable",
+    "hll_distinct_users",
+    "hll_merge_shards",
+    "bloom_decontaminate",
+    "quality_linear_score",
+    "cdc_chunk_dedup",
+    "streaming_hll_distinct",
+    "dedup_simhash_hamming",
+    "streaming_cms_counts",
+    "semdedup_cluster_prune",
+    "cms_heavy_hitters",
+    "temperature_mixture_sample",
+    "text_token_stats",
+    "multimodal_jpeg_decode",
+    "winnowing_fingerprints",
+    "winnowing_common_spans",
+    "quality_ensemble_gate",
+    "audio_silence_trim",
+    "embedding_dim_stats",
+    "source_lang_gini",
+    "dedup_cluster_size_histogram",
+    "tokenizer_vocab_coverage",
+    "winnowing_incremental_new_docs",
+    "streaming_quality_gate",
+    "asof_nearest_click",
 ]
 
 

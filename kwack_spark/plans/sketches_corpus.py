@@ -605,7 +605,7 @@ def streaming_cms_counts(spark, sf_dir):
         ),
         sharded AS (
             SELECT token, doc_id // 100 AS shard_id,
-                   list_sort(list(doc_id)) AS postings,
+                   array_to_string(list_sort(list(doc_id)), '|') AS postings,
                    count(*) AS n_docs
             FROM tok GROUP BY token, doc_id // 100
         ),
@@ -633,7 +633,13 @@ def inverted_index_build(spark, sf_dir):
     sharded = (
         tok.groupBy("token", F.expr("doc_id div 100").alias("shard_id"))
         .agg(
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda c: c.cast("string"),
+                ),
+            ).alias("postings"),
             F.count(F.lit(1)).alias("n_docs"),
         )
     )

@@ -38,8 +38,14 @@ def main(sf_dir: str = SF_ORACLE) -> int:
         try:
             sql = oracles.get(name)
             if sql is None:
-                n = fn(spark, sf_dir).count()
-                ok, detail = True, f"rows-only ({n} rows)"
+                df = fn(spark, sf_dir)
+                from tests.oracle_harness import ungradable_columns
+
+                bad = ungradable_columns(df.schema)
+                if bad:
+                    ok, detail = False, f"driver-ungradable columns {bad}"
+                else:
+                    ok, detail = True, f"rows-only ({df.count()} rows)"
             else:
                 ok, detail = compare_query(spark, con, fn, sql, sf_dir)
         except Exception as exc:  # noqa: BLE001

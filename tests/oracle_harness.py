@@ -57,9 +57,36 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def ungradable_columns(schema) -> list[str]:
+    """Top-level columns the real driver cannot grade.
+
+    The driver canonicalizes results through a pandas sort/factorize pass that
+    raises ``TypeError: unhashable type: 'list'`` on array- or map-typed
+    cells (how both r05 reds shipped: VERDICT r05 "What's wrong" #1/#2).  The
+    local harness used to tuple-ize lists (more lenient than the driver) —
+    this lint closes that contract gap: any top-level ArrayType/MapType output
+    column is rejected here, at pytest time.  Fix pattern:
+    ``concat_ws("|", sort_array(...))`` / ``array_to_string(list_sort(...))``.
+    """
+    from pyspark.sql import types as ST
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ST.ArrayType, ST.MapType))
+    ]
+
+
 def compare_query(spark, con, fn, sql, sf_dir: str):
     """Returns (ok, detail) for one query/oracle pair."""
     sdf = fn(spark, sf_dir)
+    bad = ungradable_columns(sdf.schema)
+    if bad:
+        return False, (
+            f"driver-ungradable output columns {bad}: top-level array/map "
+            "types break the driver's pandas canonicalizer — stringify with "
+            "concat_ws"
+        )
     srows = [tuple(r) for r in sdf.collect()]
     scols = [f.lower() for f in sdf.columns]
 

@@ -34,3 +34,28 @@ def test_rows_only_runs(spark, name):
     df = e.fn(spark, SF_ORACLE)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+    from tests.oracle_harness import ungradable_columns
+
+    bad = ungradable_columns(df.schema)
+    assert not bad, (
+        f"{name}: driver-ungradable output columns {bad} — stringify arrays"
+    )
+
+
+def test_lint_rejects_array_output(spark):
+    """The contract lint must fail an intentionally array-typed result."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle_harness import duck_connect, compare_query
+
+    def bad_fn(spark, sf_dir):
+        return spark.range(3).agg(F.collect_list("id").alias("ids"))
+
+    con = duck_connect(SF_ORACLE)
+    try:
+        ok, detail = compare_query(
+            spark, con, bad_fn, "SELECT [1,2,3] AS ids", SF_ORACLE
+        )
+    finally:
+        con.close()
+    assert not ok and "driver-ungradable" in detail

@@ -92,6 +92,12 @@ SCALE_SENSITIVE = [
     "quality_ensemble_gate",
     "tokenizer_vocab_coverage",
     "asof_nearest_click",
+    # round-6 additions (r05 VERDICT ask #6): the two fixed r05 reds are
+    # above already; vocab_coverage_curve's new limit(1024) bound must
+    # produce identical coverage at 10x the piece vocabulary, and the
+    # norm-extremes rank scan sees 10x the candidate tails
+    "vocab_coverage_curve",
+    "embedding_norm_extremes",
 ]
 
 pytestmark = pytest.mark.skipif(
