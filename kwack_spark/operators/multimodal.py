@@ -370,7 +370,11 @@ def decode_wav_features(df: DataFrame, payload_col: str, id_col: str) -> DataFra
             cid = payload[pos:pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)
             body = payload[pos + 8:pos + 8 + size]
-            if cid == b"fmt " and size >= 16:
+            if cid == b"fmt " and len(body) >= 16:
+                # len(body), not the declared size: a truncated payload can
+                # end mid-chunk, and unpack_from on a short slice would
+                # raise struct.error inside the Arrow kernel instead of
+                # degrading this frame to NULLs (r05 ADVICE)
                 audio_fmt, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
                 fmt_info = (audio_fmt, ch, rate, bits)
             elif cid == b"data":
@@ -379,7 +383,7 @@ def decode_wav_features(df: DataFrame, payload_col: str, id_col: str) -> DataFra
         if fmt_info is None or data is None:
             return None
         audio_fmt, ch, rate, bits = fmt_info
-        if audio_fmt != 1 or bits != 16 or ch < 1:
+        if audio_fmt != 1 or bits != 16 or ch < 1 or rate == 0:
             return None  # only uncompressed PCM16 here
         s = np.frombuffer(data[: (len(data) // (2 * ch)) * 2 * ch], dtype="<i2")
         n = len(s) // ch
@@ -1319,7 +1323,11 @@ def trim_wav_silence(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
             cid = payload[pos:pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)
             body = payload[pos + 8:pos + 8 + size]
-            if cid == b"fmt " and size >= 16:
+            if cid == b"fmt " and len(body) >= 16:
+                # len(body), not the declared size: a truncated payload can
+                # end mid-chunk, and unpack_from on a short slice would
+                # raise struct.error inside the Arrow kernel instead of
+                # degrading this frame to NULLs (r05 ADVICE)
                 audio_fmt, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
                 fmt_info = (audio_fmt, ch, rate, bits)
             elif cid == b"data":
@@ -1328,7 +1336,7 @@ def trim_wav_silence(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
         if fmt_info is None or data is None:
             return None
         audio_fmt, ch, rate, bits = fmt_info
-        if audio_fmt != 1 or bits != 16 or ch != 1:
+        if audio_fmt != 1 or bits != 16 or ch != 1 or rate == 0:
             return None
         s = np.frombuffer(data[: (len(data) // 2) * 2], dtype="<i2")
         n = len(s)

@@ -472,7 +472,7 @@ def decode_topic(
     # evolution — see sources/protobuf_jvm.py.
     if (
         value_is_struct
-        and value_serde.kind == "protobuf"
+        and value_serde.kind == "proto"
         and key_jvm_ok
         and on_error == "fail"
     ):

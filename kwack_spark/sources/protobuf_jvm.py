@@ -265,8 +265,10 @@ def _compat_reason(
 
 def eligible(value_serde, topic: str, registry) -> tuple[bool, str]:
     """Pure gate (no Spark needed): (ok, reason).  ``value_serde`` must be
-    the post-resolve_serde concrete serde (kind 'protobuf')."""
-    if value_serde.kind != "protobuf":
+    the post-resolve_serde concrete serde (kind 'proto' — the canonical
+    kind resolve_serde produces for PROTOBUF; r05 ADVICE found the previous
+    'protobuf' literal made this gate unreachable for real serdes)."""
+    if value_serde.kind != "proto":
         return False, f"serde kind {value_serde.kind!r}"
     if value_serde.tag is not None:
         return False, "key-field injection (;tag:) needs the Python path"

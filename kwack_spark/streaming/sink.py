@@ -115,14 +115,20 @@ def _check_disjoint_paths(base_path: str, out_path: str) -> None:
     import os
 
     def norm(p: str) -> str:
-        # file:// URIs address the local filesystem — strip the scheme so a
-        # file:///data/sink vs /data/sink mix compares in one namespace.
-        # Other URI schemes (hdfs://, s3a://) are compared textually after
-        # trailing-slash stripping; local paths get realpath so symlinked
-        # aliases of the same directory are caught too.
-        if p.startswith("file://"):
-            p = p[len("file://") :] or "/"
-        if "://" in p:
+        # file: URIs address the local filesystem — take urlparse's .path
+        # (not a literal-prefix strip, which fused any authority into the
+        # path: file://host/data -> "host/data"; r05 ADVICE) so all three
+        # JVM-accepted spellings (file:/x, file:///x, file://localhost/x)
+        # land in one namespace with plain /x.  Other URI schemes
+        # (hdfs://, s3a://) are compared textually after trailing-slash
+        # stripping; local paths get realpath so symlinked aliases of the
+        # same directory are caught too.
+        from urllib.parse import urlparse
+
+        u = urlparse(p)
+        if u.scheme == "file":
+            return os.path.realpath(u.path or "/")
+        if u.scheme:
             return p.rstrip("/")
         return os.path.realpath(p)
 

@@ -151,3 +151,43 @@ def test_asof_nearest_tie_goes_backward(spark):
     assert out[20] == (201, "forward")
     assert out[30] == (301, "backward")
     assert out[40] == (None, None)
+
+
+def test_asof_atomic_row_selection_with_null_right_vals(spark):
+    """Nullable right_vals columns must never blend across rows: the fill
+    is struct-atomic, so every returned right column (and the nearest
+    variant's tie-break timestamp) comes from the SAME right row (r05
+    ADVICE — per-column last/first(ignorenulls) mixed rows)."""
+    import datetime as dt
+
+    from kwack_spark.operators import asof
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, s(100), 10)], "k long, ts timestamp, lid long"
+    )
+    # older row has tag but null val; nearest/most-recent row has val but
+    # null tag — a per-column fill would return (val=V18, tag=T10)
+    right = spark.createDataFrame(
+        [(1, s(10), None, "T10"), (1, s(90), "V18", None)],
+        "k long, ts timestamp, val string, tag string",
+    )
+    row = asof.asof_join_backward(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        right_vals=["val", "tag"], left_vals=["lid"],
+    ).collect()[0]
+    assert (row.r_val, row.r_tag) == ("V18", None)
+
+    row = asof.asof_join_forward(
+        right.selectExpr("k", "ts", "1 as lid").limit(0).unionByName(left),
+        right, key="k", left_ts="ts", right_ts="ts",
+        right_vals=["val", "tag"], left_vals=["lid"],
+    ).collect()[0]
+    assert (row.r_val, row.r_tag) == (None, None)  # nothing at/after s(100)
+
+    row = asof.asof_join_nearest(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        right_vals=["ts", "val", "tag"], left_vals=["lid"], right_ts_val="ts",
+    ).collect()[0]
+    assert (row.r_val, row.r_tag, row.asof_dir) == ("V18", None, "backward")

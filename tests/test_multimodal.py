@@ -349,3 +349,23 @@ def test_jpeg_restart_markers_reset_dc_predictors():
 
     assert (px[:, :8] == recon(40)).all()
     assert (px[:, 8:] == recon(200)).all()
+
+
+def test_wav_truncated_fmt_chunk_yields_nulls(spark):
+    """A payload that ends mid-``fmt `` chunk (declared size 16, body cut
+    short) must degrade to NULL rows, not raise struct.error inside the
+    Arrow kernel (r05 ADVICE); zero-rate fmt headers likewise."""
+    good = _wav(_fmt(1, 8000) + _data([5, -5]))
+    # declared size 16 but only 6 bytes of body actually present
+    truncated = _wav(b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00\x40\x1f")
+    zero_rate = _wav(_fmt(1, 0) + _data([5, -5]))
+    out = _decode(spark, [good, truncated, zero_rate])
+    assert out[0].n_samples == 2
+    assert out[1].sample_rate is None and out[2].sample_rate is None
+
+    df = spark.createDataFrame(
+        list(enumerate([good, truncated, zero_rate])), "doc_id long, payload binary"
+    )
+    trim = {r.doc_id: r for r in mm.trim_wav_silence(df, "payload", "doc_id").collect()}
+    assert trim[0].n_samples == 2 and trim[0].lead_silence == 0
+    assert trim[1].n_samples is None and trim[2].n_samples is None

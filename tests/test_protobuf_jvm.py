@@ -31,7 +31,9 @@ message Event {
 
 
 def _serde(schema: str, **kw) -> Serde:
-    return Serde(kind="protobuf", schema_str=schema, **kw)
+    # "proto" is the canonical kind resolve_serde produces for PROTOBUF —
+    # the gate must be tested with the kind real code paths emit (r05 ADVICE)
+    return Serde(kind="proto", schema_str=schema, **kw)
 
 
 def test_eligible_simple_message():
@@ -217,3 +219,21 @@ def test_decode_topic_falls_back_to_python_path(spark):
 def test_decode_value_col_rejects_skip():
     with pytest.raises(ValueError, match="fail"):
         protobuf_jvm.decode_value_col(None, DEMO, "skip")
+
+
+def test_eligible_accepts_parse_serde_kind():
+    """The gate must accept exactly what parse_serde/resolve_serde produce
+    (kind 'proto') — r05 ADVICE: a 'protobuf' literal made the JVM fast
+    path unreachable for every real serde while tests masked it with a
+    hand-built kind no production path emits."""
+    s = parse_serde(f"proto:{DEMO}")
+    assert s.kind == "proto"
+    ok, why = protobuf_jvm.eligible(s, "t", None)
+    assert ok, why
+
+
+def test_eligible_rejects_legacy_protobuf_kind():
+    ok, why = protobuf_jvm.eligible(
+        Serde(kind="protobuf", schema_str=DEMO), "t", None
+    )
+    assert not ok and "serde kind" in why

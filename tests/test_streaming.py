@@ -770,3 +770,26 @@ def test_compact_sink_rejects_file_uri_alias_of_same_path(spark, tmp_path):
         with pytest.raises(ValueError, match="overlaps"):
             sk._check_disjoint_paths(bad_base, bad_out)
     sk._check_disjoint_paths(f"file://{land}", str(tmp_path / "elsewhere"))
+
+
+def test_compact_sink_guard_handles_uri_authority_and_single_slash(spark, tmp_path):
+    """All JVM-accepted file-URI spellings normalize to the same local path
+    for the overlap guard: file:/x (single slash), file:///x, and
+    file://localhost/x (authority present).  A literal "file://" prefix
+    strip used to fuse the authority into the path (r05 ADVICE), making
+    file://localhost/x compare as "localhost/x" and miss real overlaps."""
+    import pytest
+
+    from kwack_spark.streaming import sink as sk
+
+    land = str(tmp_path / "land")
+    for alias in (f"file:{land}", f"file://{land}", f"file://localhost{land}"):
+        with pytest.raises(ValueError, match="overlaps"):
+            sk._check_disjoint_paths(alias, f"{land}/out")
+        with pytest.raises(ValueError, match="overlaps"):
+            sk._check_disjoint_paths(land, alias)
+    # remote schemes stay textual — no false overlap with a local path of
+    # the same spelling, and nested remote paths are still caught
+    with pytest.raises(ValueError, match="overlaps"):
+        sk._check_disjoint_paths("hdfs://nn/sink", "hdfs://nn/sink/out")
+    sk._check_disjoint_paths("hdfs://nn/sink", "hdfs://nn/other")
