@@ -51,7 +51,9 @@ class KwackSpark:
     ):
         self.config = config or KwackConfig()
         self.spark = spark or get_session(extra_conf=self.config.spark_conf)
-        self.registry = registry or open_registry(self.config.registry_url)
+        self.registry = registry or open_registry(
+            self.config.registry_url, self.config.client_props
+        )
         self._initialized = False
         self._live_queries: dict[str, object] = {}
 

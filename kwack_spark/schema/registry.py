@@ -141,10 +141,39 @@ class HttpSchemaRegistry:
     resolution on executors only ever sees the broadcast snapshot, never the
     network."""
 
-    def __init__(self, base_url: str, timeout: float = 10.0):
+    def __init__(
+        self,
+        base_url: str,
+        timeout: float = 10.0,
+        auth: str | None = None,
+        ssl_context=None,
+    ):
+        """``auth`` is Confluent ``basic.auth.user.info`` ("user:pass" ->
+        Authorization: Basic); ``ssl_context`` an ``ssl.SSLContext`` for
+        https endpoints (CA bundle / client cert / verify toggle — the
+        Python-PEM equivalent of the reference's keystore/truststore block,
+        KwackConfig.java:100-150).  Secured registries are day-one in real
+        deployments; see open_registry for the property routing."""
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        self.ssl_context = ssl_context
+        self._auth_header: str | None = None
+        if auth:
+            import base64
+
+            self._auth_header = "Basic " + base64.b64encode(
+                auth.encode("utf-8")
+            ).decode("ascii")
         self._id_cache: dict[int, RegisteredSchema] = {}
+
+    def _open(self, req):
+        import urllib.request
+
+        if self._auth_header:
+            req.add_header("Authorization", self._auth_header)
+        return urllib.request.urlopen(
+            req, timeout=self.timeout, context=self.ssl_context
+        )
 
     def _get(self, path: str) -> dict:
         import json
@@ -154,7 +183,7 @@ class HttpSchemaRegistry:
             self.base_url + path,
             headers={"Accept": "application/vnd.schemaregistry.v1+json"},
         )
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+        with self._open(req) as resp:
             return json.loads(resp.read())
 
     def register(self, subject: str, schema_str: str, schema_type: str = "AVRO") -> int:
@@ -170,7 +199,7 @@ class HttpSchemaRegistry:
             method="POST",
             headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
         )
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+        with self._open(req) as resp:
             return json.loads(resp.read())["id"]
 
     @staticmethod
@@ -247,9 +276,74 @@ class HttpSchemaRegistry:
         }
 
 
-def open_registry(url: str | None):
+def _registry_prop(props: dict, key: str) -> str | None:
+    """Look up a registry client property, accepting both the bare
+    Confluent name and the ``schema.registry.``-prefixed spelling the Java
+    serdes forward (both route through the one -X/-F table,
+    config.py:apply_property -> client_props)."""
+    v = props.get("schema.registry." + key)
+    return v if v is not None else props.get(key)
+
+
+def _build_ssl_context(props: dict):
+    """TLS options -> ssl.SSLContext, or None when nothing TLS-related is
+    configured (urllib then uses its default verified context for https).
+
+    PEM-file surface (Python's ssl cannot read JKS), mirroring the
+    reference's keystore/truststore semantics (KwackConfig.java:100-150):
+      ssl.ca.location                        CA bundle (truststore.location)
+      ssl.certificate.location / ssl.key.location / ssl.key.password
+                                             client cert (keystore.*)
+      enable.ssl.certificate.verification    "false" disables verification
+                                             (explicit opt-out, like an
+                                             all-trusting truststore)
+    """
+    import ssl
+
+    ca = _registry_prop(props, "ssl.ca.location")
+    cert = _registry_prop(props, "ssl.certificate.location")
+    key = _registry_prop(props, "ssl.key.location")
+    key_pw = _registry_prop(props, "ssl.key.password")
+    verify = _registry_prop(props, "enable.ssl.certificate.verification")
+    if ca is None and cert is None and verify is None:
+        return None
+    ctx = ssl.create_default_context(cafile=ca)
+    if str(verify).lower() == "false":
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+    if cert:
+        ctx.load_cert_chain(cert, keyfile=key, password=key_pw)
+    return ctx
+
+
+def open_registry(url: str | None, props: dict | None = None):
     """-r URL -> client; None/mock:// -> in-process mock (the reference's
-    default when no -r is given, KwackMain.java:222-224)."""
+    default when no -r is given, KwackMain.java:222-224).  ``props`` (the
+    -X/-F client-property table) supplies Confluent basic auth and TLS:
+    ``basic.auth.user.info`` with ``basic.auth.credentials.source``
+    USER_INFO (default) or URL (credentials taken from the URL's userinfo,
+    which is stripped before use either way), plus the ssl.* keys
+    _build_ssl_context documents."""
     if not url or url.startswith("mock://"):
         return MockSchemaRegistry()
-    return HttpSchemaRegistry(url)
+    props = props or {}
+    from urllib.parse import urlsplit, urlunsplit
+
+    parts = urlsplit(url)
+    url_userinfo = None
+    if parts.username is not None:
+        url_userinfo = parts.username + ":" + (parts.password or "")
+        host = parts.hostname or ""
+        if parts.port:
+            host += f":{parts.port}"
+        url = urlunsplit((parts.scheme, host, parts.path, parts.query, ""))
+    source = (
+        _registry_prop(props, "basic.auth.credentials.source") or "USER_INFO"
+    ).upper()
+    if source == "URL":
+        auth = url_userinfo
+    else:
+        auth = _registry_prop(props, "basic.auth.user.info") or url_userinfo
+    return HttpSchemaRegistry(
+        url, auth=auth, ssl_context=_build_ssl_context(props)
+    )

@@ -157,3 +157,22 @@ def test_failfast_raises_on_poison_and_skip_stays_python(spark):
 def test_decode_value_col_rejects_skip():
     with pytest.raises(ValueError, match="fail"):
         jsonschema_jvm.decode_value_col(None, "{}", (), "skip")
+
+
+def test_noncanonical_integer_token_divergence_is_loud(spark, monkeypatch):
+    """KNOWN DIVERGENCE pin (jsonschema_jvm._compat_reason integer note,
+    r05 ADVICE carry-over): JSON Schema counts 5.0 as a conforming
+    'integer', and the lenient Python coercer decodes it to 5 — but the
+    JVM path's from_json FAILFAST over LongType RAISES on the
+    non-canonical token.  The contract is fail-loud, never
+    decode-differently: feeds with such producers must force the Python
+    path (on_error='skip' or gate off)."""
+    frame = ks.confluent_frame(json.dumps({"id": 5.0}).encode(), 7)
+    df = make_frames(spark, [frame])
+    with pytest.raises(Exception):
+        ks.decode_topic(df, "t1", _serde(PLAIN)).collect()
+    monkeypatch.setattr(
+        jsonschema_jvm, "eligible", lambda s: (False, "forced off for test")
+    )
+    rows = ks.decode_topic(df, "t1", _serde(PLAIN)).collect()
+    assert len(rows) == 1 and rows[0].id == 5
