@@ -191,3 +191,50 @@ def redact_pii(col) -> Column:
     for pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+# URL canonicalization: tracking query parameters dropped before the
+# remaining params are sorted — the CommonCrawl-style dedup key (the same
+# param lists crawl pipelines strip: UTM campaign tags, click ids).
+URL_TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref|_ga)="
+
+
+def canonical_url(col) -> Column:
+    """URL/domain-normalized dedup key — the canonicalization a crawl
+    pipeline applies before exact-dedup on page identity, entirely in
+    JVM-side regex/array functions (no UDF, no shuffle):
+
+      - drop the fragment (#...)
+      - drop the scheme (http/https/any RFC-3986 scheme, case-insensitive)
+      - hostname: lowercase, strip leading ``www.``, strip default ports
+        ``:80``/``:443`` (path/query case is preserved — only the host is
+        case-insensitive per RFC 3986)
+      - path: strip trailing slashes
+      - query: drop tracking params (utm_*, fbclid, gclid, msclkid, ref,
+        _ga), sort the remainder byte-wise, rejoin with ``&``
+
+    ``https://WWW.Ex.com:443/a/?b=2&a=1&utm_source=x#f`` ->
+    ``ex.com/a?a=1&b=2``."""
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    u = F.regexp_replace(u, "#.*$", "")
+    u = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    q = F.when(
+        u.contains("?"), F.regexp_replace(u, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    rest = F.regexp_replace(u, r"\?.*$", "")
+    host = F.regexp_extract(rest, "^([^/]*)", 1)
+    path = F.regexp_replace(rest, "^[^/]*", "")
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(host), r"^www\.", ""), ":(80|443)$", ""
+    )
+    path = F.regexp_replace(path, "/+$", "")
+
+    def with_q(qv: Column) -> Column:
+        params = F.filter(
+            F.split(qv, "&"),
+            lambda p: (F.length(p) > 0) & ~p.rlike(URL_TRACKING_PARAM_RE),
+        )
+        qs = F.array_join(F.sort_array(params), "&")
+        return F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit(""))
+
+    return F.concat(host, path, bind(q, with_q))

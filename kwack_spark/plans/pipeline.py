@@ -6314,3 +6314,219 @@ def embedding_drift_by_label(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: the two CommonCrawl-pipeline dedup gaps (r05 VERDICT ask #9) —
+# longest exact substring spans, and URL-canonical page identity.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_longest_common_span",
+    # suffix-array-style exact substring dedup, re-expressed for dataflow:
+    # position-tagged 8-token shingle hashes; cross-doc matches on rare
+    # hashes (2 <= df <= 10 — the frequency cap every pair join here uses);
+    # then longest-match extension as gaps-and-islands on the (pa - pb)
+    # DIAGONAL: a shared substring of L tokens is exactly a run of
+    # consecutive shingle matches on one diagonal, so max-run + 7 = L.
+    # This finds the long verbatim overlaps (licenses, boilerplate,
+    # syndicated paragraphs) that winnowing certifies only probabilistically.
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        g AS (SELECT doc_id,
+                CASE WHEN len(tk) >= 8
+                     THEN list_transform(range(1, len(tk) - 6),
+                            i -> {{'pos': i, 'h': md5(array_to_string(tk[i:i+7], ' '))}})
+                     ELSE [] END AS shs
+              FROM t),
+        sh AS (SELECT doc_id, CAST(u.s.pos AS INTEGER) AS pos, u.s.h AS h
+               FROM (SELECT doc_id, unnest(shs) AS s FROM g) u),
+        rare AS (SELECT h FROM sh GROUP BY h
+                 HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
+        m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+              FROM sh a JOIN sh b USING (h) JOIN rare USING (h)
+              WHERE a.doc_id < b.doc_id),
+        isl AS (SELECT id_a, id_b, pa - pb AS diag, pa,
+                       pa - row_number() OVER (
+                           PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
+                FROM m),
+        runs AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS run
+                 FROM isl GROUP BY id_a, id_b, diag, grp)
+        SELECT id_a, id_b,
+               CAST(max(run) + 7 AS BIGINT) AS max_span_tokens,
+               CAST(count(*) AS BIGINT) AS n_runs
+        FROM runs GROUP BY id_a, id_b
+        ORDER BY max_span_tokens DESC, id_a, id_b
+    """,
+    tags=("text", "dedup", "substring", "pairs"),
+)
+def dedup_longest_common_span(spark, sf_dir):
+    """100-TB shape: shingle extraction is a narrow 0-shuffle map (array
+    HOFs inside codegen, TX.bind against CollapseProject re-substitution);
+    the df cap bounds every hash group at 10 docs => <= 45 pairs per hash,
+    so the self-join output is linear in shingle count, never quadratic in
+    the corpus; island detection windows partition on (pair, diagonal) —
+    thousands of small groups, no global sort anywhere."""
+    from kwack_spark.operators.scale import widen_if_narrow
+    from pyspark.sql.window import Window
+
+    K = 8
+    d = widen_if_narrow(T(spark, sf_dir, "documents"))
+
+    def with_tk(tk):
+        return F.when(
+            F.size(tk) >= K,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - K + 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice(tk, i, K))).alias("h"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+
+    sh = (
+        d.select("doc_id", TX.bind(TX.tokens("text"), with_tk).alias("shs"))
+        .select("doc_id", F.explode("shs").alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    rare = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df").between(2, 10))
+        .select("h")
+    )
+    keyed = sh.join(rare, "h")
+    a = keyed.select("h", F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"))
+    b = keyed.select("h", F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"))
+    m = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            (F.max("run") + F.lit(K - 1)).cast("long").alias("max_span_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+        )
+        .orderBy(F.desc("max_span_tokens"), "id_a", "id_b")
+    )
+
+
+# The synthetic raw-URL column (documents carry no URL; the fixture derives
+# one deterministically from doc_id with every surface-form variation the
+# canonicalizer must collapse: scheme case, www., default ports, trailing
+# slash, tracking params, param order, fragments).  Docs sharing doc_id//3
+# are one logical page (same domain + path), so each family has 3 surface
+# forms that must collapse to ONE canonical key.
+_URL_DOM = "'example-' || CAST((doc_id // 3) % 7 AS VARCHAR) || '.com'"
+_URL_PG = "'/articles/' || CAST(doc_id // 3 AS VARCHAR)"
+_URL_RAW_SQL = f"""
+    CASE doc_id % 6
+      WHEN 0 THEN 'https://' || {_URL_DOM} || {_URL_PG}
+      WHEN 1 THEN 'http://www.' || {_URL_DOM} || {_URL_PG} || '/'
+      WHEN 2 THEN 'HTTPS://WWW.' || upper({_URL_DOM}) || {_URL_PG} || '#frag'
+      WHEN 3 THEN 'https://' || {_URL_DOM} || {_URL_PG}
+                  || '?utm_source=feed&b=2&a=1'
+      WHEN 4 THEN 'https://' || {_URL_DOM} || ':443' || {_URL_PG} || '?b=2&a=1'
+      ELSE 'http://' || {_URL_DOM} || ':80' || {_URL_PG}
+           || '/?a=1&b=2&gclid=zz#sec'
+    END
+"""
+
+# DuckDB mirror of functions/text.py:canonical_url as a CTE chain (same
+# regexes; RE2 and Java regex agree on this subset)
+_URL_CANON_CTES = r"""
+        s AS (SELECT doc_id, raw_url,
+                regexp_replace(regexp_replace(trim(raw_url), '#.*$', ''),
+                               '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS nofrag
+              FROM u),
+        parts AS (SELECT doc_id, raw_url,
+                regexp_replace(nofrag, '\?.*$', '') AS hostpath,
+                CASE WHEN contains(nofrag, '?')
+                     THEN regexp_replace(nofrag, '^[^?]*\?', '') ELSE '' END AS q
+              FROM s),
+        qs AS (SELECT doc_id, raw_url, hostpath,
+                -- coalesce: DuckDB's array_to_string over an EMPTY list is
+                -- NULL, which would null the whole concatenated key
+                coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+                    p -> len(p) > 0 AND NOT regexp_matches(p,
+                         '^(utm_[a-z]+|fbclid|gclid|msclkid|ref|_ga)='))), '&'), '') AS qsort
+              FROM parts),
+        c AS (SELECT doc_id, raw_url,
+                regexp_replace(regexp_replace(lower(
+                    regexp_extract(hostpath, '^([^/]*)', 1)),
+                    '^www\.', ''), ':(80|443)$', '')
+                || regexp_replace(regexp_replace(hostpath, '^[^/]*', ''),
+                                  '/+$', '')
+                || CASE WHEN qsort = '' THEN '' ELSE '?' || qsort END AS canon_url
+              FROM qs)
+"""
+
+
+@register(
+    "dedup_url_canonical",
+    # URL/domain-normalized page-identity dedup: canonicalize every raw
+    # URL (functions/text.py:canonical_url — scheme/fragment dropped, host
+    # lowercased, www./default ports stripped, trailing slash trimmed,
+    # tracking params removed, remaining params sorted), then exact-group
+    # on the canonical key.  The crawl-dedup step that runs BEFORE any
+    # content hashing: re-crawls of one page under cosmetic URL variants
+    # never reach the expensive text pipeline.
+    oracle=f"""
+        WITH u AS (SELECT doc_id, {_URL_RAW_SQL} AS raw_url FROM documents),
+        {_URL_CANON_CTES}
+        SELECT canon_url,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT raw_url) AS BIGINT) AS n_variants,
+               min(doc_id) AS keep_id
+        FROM c GROUP BY canon_url HAVING count(*) > 1
+        ORDER BY canon_url
+    """,
+    tags=("dedup", "url", "crawl"),
+)
+def dedup_url_canonical(spark, sf_dir):
+    """One narrow pass builds the canonical key (pure JVM regex/array
+    functions riding the scan — no UDF, no extra shuffle), one groupBy on
+    the canonical key (uniform string key, no skew beyond genuine
+    mega-duplicates, which AQE splits).  At 100 TB this is the cheapest
+    dedup stage in the pipeline and runs first."""
+    d = T(spark, sf_dir, "documents")
+    dom = F.concat(
+        F.lit("example-"),
+        (F.expr("doc_id div 3") % 7).cast("string"),
+        F.lit(".com"),
+    )
+    pg = F.concat(F.lit("/articles/"), F.expr("doc_id div 3").cast("string"))
+    v = F.col("doc_id") % 6
+    raw = (
+        F.when(v == 0, F.concat(F.lit("https://"), dom, pg))
+        .when(v == 1, F.concat(F.lit("http://www."), dom, pg, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("HTTPS://WWW."), F.upper(dom), pg, F.lit("#frag")))
+        .when(v == 3, F.concat(F.lit("https://"), dom, pg,
+                               F.lit("?utm_source=feed&b=2&a=1")))
+        .when(v == 4, F.concat(F.lit("https://"), dom, F.lit(":443"), pg,
+                               F.lit("?b=2&a=1")))
+        .otherwise(F.concat(F.lit("http://"), dom, F.lit(":80"), pg,
+                            F.lit("/?a=1&b=2&gclid=zz#sec")))
+    )
+    u = d.select("doc_id", raw.alias("raw_url"))
+    c = u.select("doc_id", "raw_url", TX.canonical_url("raw_url").alias("canon_url"))
+    return (
+        c.groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw_url").alias("n_variants"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("canon_url")
+    )

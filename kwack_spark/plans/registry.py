@@ -73,6 +73,8 @@ _PRIORITY = [
     "embedding_norm_extremes",
     # --- round-6-new queries are inserted HERE as they are added so
     # they get driver evidence on first grading ---
+    "dedup_longest_common_span",
+    "dedup_url_canonical",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

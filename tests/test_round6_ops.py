@@ -1,0 +1,143 @@
+"""Round-6 operator pins.
+
+- canonical_url: every normalization rule, one behavior per assert
+  (fragment, scheme, host case, www., default vs non-default ports,
+  trailing slash, tracking params, param sorting, path case preserved).
+- dedup_longest_common_span: golden spans on a tiny fixture — a planted
+  12-token verbatim overlap must surface as max_span_tokens == 12 via the
+  diagonal gaps-and-islands, and a shingle shared by too many docs (df cap)
+  must produce no pair.
+"""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from kwack_spark.functions import text as TX
+from kwack_spark.plans.registry import QUERIES, _load_all
+
+_load_all()
+
+
+def _canon(spark, urls: list[str]) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    return [r.c for r in df.select(TX.canonical_url("u").alias("c")).collect()]
+
+
+def test_canonical_url_rules(spark):
+    cases = {
+        # fragment + scheme + host case + www + default port + sort + utm
+        "https://WWW.Ex.com:443/a/?b=2&a=1&utm_source=x#f": "ex.com/a?a=1&b=2",
+        # scheme case-insensitive; bare host; trailing slash
+        "HTTP://Example.COM/": "example.com",
+        # non-default port preserved
+        "https://ex.com:8080/p": "ex.com:8080/p",
+        # path case preserved (only the host is case-insensitive)
+        "https://EX.com/CaseSensitive/Path": "ex.com/CaseSensitive/Path",
+        # all-tracking query collapses to no query at all
+        "http://ex.com/p?utm_medium=a&gclid=b&fbclid=c": "ex.com/p",
+        # empty-value and duplicate params survive, sorted byte-wise
+        "https://ex.com/p?z=&a=2&a=1": "ex.com/p?a=1&a=2&z=",
+        # www only stripped as a leading label
+        "https://www.ex.com/x": "ex.com/x",
+        "https://notwww.ex.com/x": "notwww.ex.com/x",
+        # no scheme at all still normalizes
+        "WWW.Ex.com/y/": "ex.com/y",
+        # ref and _ga are tracking params too
+        "https://ex.com/?ref=hn&_ga=1.2&q=spark": "ex.com?q=spark",
+    }
+    got = _canon(spark, list(cases))
+    for (raw, want), g in zip(cases.items(), got):
+        assert g == want, f"{raw!r}: got {g!r}, want {want!r}"
+
+
+def test_canonical_url_is_jvm_only(spark):
+    """The canonicalizer must stay inside codegen — no Python stage."""
+    df = spark.createDataFrame([("https://ex.com/a?b=1",)], "u string")
+    plan = (
+        df.select(TX.canonical_url("u").alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def _write_documents(tmp_path, rows):
+    path = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["s"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        f"{path}/documents.parquet",
+    )
+    return path
+
+
+# distinct ALPHABETIC words: the corpus tokenizer strips digits, so
+# "w0".."w39" would all collapse to the single token "w"
+import itertools as _it
+
+WORDS = [
+    "q" + a + b for a, b in _it.product("abcdefgh", repeat=2)
+][:40]
+_NATO = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+).split()
+
+
+def test_longest_common_span_golden(spark, tmp_path):
+    """Two docs share a verbatim 12-token run (planted at different
+    offsets) -> one pair with max_span_tokens == 12; an 8-token run shared
+    verbatim -> exactly 8; unrelated docs -> absent."""
+    shared12 = " ".join(_NATO[:12])
+    shared8 = " ".join("x" + w for w in _NATO[:8])
+    rows = [
+        (0, " ".join(WORDS[:10]) + " " + shared12 + " tail zero here now"),
+        (1, "alpha beta " + shared12 + " " + " ".join(WORDS[20:30])),
+        (2, " ".join(WORDS[10:20]) + " " + shared8 + " omega"),
+        (3, shared8 + " " + " ".join(WORDS[30:40])),
+        (4, " ".join(reversed(WORDS))),
+    ]
+    sf = _write_documents(tmp_path, rows)
+    got = {
+        (r.id_a, r.id_b): r.max_span_tokens
+        for r in QUERIES["dedup_longest_common_span"].fn(spark, sf).collect()
+    }
+    assert got[(0, 1)] == 12
+    assert got[(2, 3)] == 8
+    assert all(4 not in pair for pair in got)
+
+
+def test_longest_common_span_df_cap_blocks_boilerplate(spark, tmp_path):
+    """A 9-token boilerplate line pasted into 12 docs exceeds the df cap
+    (10) for its shingles -> no pairs from it."""
+    boiler = " ".join("z" + w for w in _NATO[:9])
+    # per-doc tails are DISJOINT word triples, so the only cross-doc
+    # shingles are the boilerplate ones (df = 12 > cap)
+    rows = [(i, boiler + " " + " ".join(WORDS[3 * i : 3 * i + 3])) for i in range(12)]
+    sf = _write_documents(tmp_path, rows)
+    out = QUERIES["dedup_longest_common_span"].fn(spark, sf).collect()
+    assert out == []
+
+
+def test_url_canonical_families_collapse(spark):
+    """Every surface-form family in the synthetic fixture collapses to one
+    canonical key with 3 distinct raw variants (the HAVING >1 keeps all
+    complete triples)."""
+    df = QUERIES["dedup_url_canonical"].fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows, "expected families"
+    # complete triples collapse fully; the corpus tail may leave one
+    # 2-doc family when the doc count is not a multiple of 3
+    assert all(r.n_docs in (2, 3) and r.n_variants == r.n_docs for r in rows)
+    assert sum(r.n_docs == 3 for r in rows) > len(rows) - 2
+    assert all("?" not in r.canon_url or "utm" not in r.canon_url for r in rows)

@@ -98,6 +98,10 @@ SCALE_SENSITIVE = [
     # norm-extremes rank scan sees 10x the candidate tails
     "vocab_coverage_curve",
     "embedding_norm_extremes",
+    # round-6-new: the span join's rare-hash cap and island windows shift
+    # shape with corpus size; URL families grow linearly with the corpus
+    "dedup_longest_common_span",
+    "dedup_url_canonical",
 ]
 
 pytestmark = pytest.mark.skipif(
