@@ -101,6 +101,13 @@ HEADLINE = [
     "winnowing_fingerprints",
     "winnowing_common_spans",
     "quality_ensemble_gate",
+    # round-12: exact-substring span extension (diagonal gaps-and-islands
+    # over df-capped shingle matches), URL-canonical page dedup (pure
+    # codegen regex/array key + one groupBy), and the bounded-window vocab
+    # coverage curve (TakeOrderedAndProject(1024) + 1-row total agg)
+    "dedup_longest_common_span",
+    "dedup_url_canonical",
+    "vocab_coverage_curve",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

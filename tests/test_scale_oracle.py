@@ -107,7 +107,7 @@ SCALE_SENSITIVE = [
 pytestmark = pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SCALE_TESTS"),
     reason="sf0.1 battery is opt-in (SPARK_GRAFT_SCALE_TESTS=1); "
-    "last full run: 50/50 green",
+    "last full run: 54/54 green",
 )
 
 _load_all()
