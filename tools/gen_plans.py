@@ -86,6 +86,19 @@ _NOTES = """
   subtree).
 - **chunk_documents**: tokenize -> sequence of chunk starts -> posexplode
   -> slice; fully narrow, zero shuffles — per-split parallel at any scale.
+- **vocab_coverage_curve**: the ranked input is bounded FIRST with
+  orderBy+limit(1024) (TakeOrderedAndProject — top-k merge, no global
+  sort); the row_number/cumsum windows then run over <=1024 rows.  The two
+  BNLJs are 1-row scalar cross-joins (total mass, coverage row fan-out).
+- **dedup_longest_common_span**: shingle extraction is narrow codegen; the
+  df-capped (<=10 docs) hash join bounds pair fan-out at 45/hash; island
+  windows partition on (id_a, id_b, diagonal) — thousands of small groups.
+  At sf0.01 AQE broadcasts the rare-hash set; beyond broadcast size it
+  degrades to the same shuffle join, still linear in shingle count.
+- **dedup_url_canonical**: canonical key is pure codegen regex/array work
+  riding the scan; 3 exchanges = the exact-countDistinct expansion
+  ((canon,raw) partial, canon final) plus the output sort, all map-side
+  combined on a uniform string key.
 """
 
 
