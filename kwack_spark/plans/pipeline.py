@@ -6530,3 +6530,117 @@ def dedup_url_canonical(spark, sf_dir):
         .filter(F.col("n_docs") > 1)
         .orderBy("canon_url")
     )
+
+
+@register(
+    "embedding_covariance_topk",
+    # cross-dimension covariance scan — the whitening/feature-correlation
+    # prep a training pipeline runs before PCA or decorrelation: the 25
+    # most-correlated dimension PAIRS (i < j) by |cov|.  Exactness: each
+    # component scales to an integer by 2^43 (power-of-two, no rounding);
+    # the pairwise product is DECIMAL(19,0)^2 -> DECIMAL(38,0) exact; the
+    # Gram sums and the per-dim linear sums are order-free integer
+    # arithmetic, so both engines feed IDENTICAL integers into the same
+    # IEEE double sequence (cast, /2^43 twice, /n, subtract mean product),
+    # rounded to 9dp.
+    oracle=f"""
+        WITH sv AS (
+            SELECT list_transform(embedding::DOUBLE[],
+                   c -> CAST(c * {_POW2_43} AS DECIMAL(19,0))) AS s
+            FROM embeddings
+        ),
+        p AS (
+            SELECT u.q.i AS i, u.q.j AS j, u.q.p AS p FROM (
+                SELECT unnest(flatten(list_transform(range(1, len(s) + 1),
+                       i -> list_transform(range(i, len(s) + 1),
+                       j -> struct_pack(i := i - 1, j := j - 1,
+                                        p := CAST(s[i] * s[j] AS DECIMAL(38,0))))))) AS q
+                FROM sv
+            ) u
+        ),
+        gram AS (SELECT i, j, SUM(p) AS sij FROM p GROUP BY i, j),
+        lin AS (
+            SELECT u.e.pos AS pos, SUM(u.e.sc) AS s1 FROM (
+                SELECT unnest(list_transform(s,
+                       (c, i) -> struct_pack(pos := i - 1, sc := c))) AS e
+                FROM sv
+            ) u GROUP BY pos
+        ),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+        cov AS (
+            SELECT g.i, g.j,
+                   round(CAST(g.sij AS DOUBLE) / {_POW2_43} / {_POW2_43} / n.n
+                         - (CAST(a.s1 AS DOUBLE) / {_POW2_43} / n.n)
+                           * (CAST(b.s1 AS DOUBLE) / {_POW2_43} / n.n), 9) AS cov
+            FROM gram g JOIN lin a ON a.pos = g.i
+                        JOIN lin b ON b.pos = g.j, n
+            WHERE g.i < g.j
+        )
+        SELECT i, j, cov FROM cov
+        ORDER BY abs(cov) DESC, i, j LIMIT 25
+    """,
+    tags=("embedding", "stats", "covariance"),
+)
+def embedding_covariance_topk(spark, sf_dir):
+    """100-TB shape: the per-row pair expansion (dim^2/2 products) happens
+    INSIDE codegen as array HOFs — no self-join, no pre-aggregation
+    shuffle of row-level pairs; the groupBy (i, j) partial-aggregates
+    map-side, so every partition ships at most dim^2/2 = 2080 rows (dim=64)
+    to ONE metadata-sized shuffle however large the corpus.  The per-dim
+    linear sums are the same rollup at O(dim); the final assembly joins
+    three dim-sized tables (broadcast) and TakeOrdereds 25 rows."""
+    e = T(spark, sf_dir, "embeddings")
+    scaled = F.transform(
+        V.as_double("embedding"), lambda c: (c * _POW2_43).cast("decimal(19,0)")
+    )
+
+    def with_s(s):
+        n = F.size(s)
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.transform(
+                    F.sequence(i, n),
+                    lambda j: F.struct(
+                        (i - 1).cast("int").alias("i"),
+                        (j - 1).cast("int").alias("j"),
+                        (F.element_at(s, i) * F.element_at(s, j))
+                        .cast("decimal(38,0)")
+                        .alias("p"),
+                    ),
+                ),
+            )
+        )
+
+    pairs = e.select(TX.bind(scaled, with_s).alias("ps"))
+    gram = (
+        pairs.select(F.explode("ps").alias("q"))
+        .select("q.i", "q.j", "q.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sij"))
+    )
+    lin = (
+        e.select(F.posexplode(scaled).alias("pos", "sc"))
+        .groupBy("pos")
+        .agg(F.sum("sc").alias("s1"))
+    )
+    n = e.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    a = lin.select(F.col("pos").alias("i"), F.col("s1").alias("si"))
+    b = lin.select(F.col("pos").alias("j"), F.col("s1").alias("sj"))
+    cov = (
+        gram.filter(F.col("i") < F.col("j"))
+        .join(F.broadcast(a), "i")
+        .join(F.broadcast(b), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("sij").cast("double") / _POW2_43 / _POW2_43 / F.col("n")
+                - (F.col("si").cast("double") / _POW2_43 / F.col("n"))
+                * (F.col("sj").cast("double") / _POW2_43 / F.col("n")),
+                9,
+            ).alias("cov"),
+        )
+    )
+    return cov.orderBy(F.abs(F.col("cov")).desc(), "i", "j").limit(25)

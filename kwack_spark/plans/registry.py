@@ -75,6 +75,7 @@ _PRIORITY = [
     # they get driver evidence on first grading ---
     "dedup_longest_common_span",
     "dedup_url_canonical",
+    "embedding_covariance_topk",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

@@ -141,3 +141,27 @@ def test_url_canonical_families_collapse(spark):
     assert all(r.n_docs in (2, 3) and r.n_variants == r.n_docs for r in rows)
     assert sum(r.n_docs == 3 for r in rows) > len(rows) - 2
     assert all("?" not in r.canon_url or "utm" not in r.canon_url for r in rows)
+
+
+def test_embedding_covariance_golden(spark, tmp_path):
+    """Hand-computed covariance on a 3-vector, 3-dim fixture: dims 0 and 1
+    are exactly collinear (cov = 28/3 - 8 = 4/3), dim 2 is constant zero
+    (cov 0 with everything); ordering is |cov| desc with (i, j) ties."""
+    vecs = [(0, [1.0, 2.0, 0.0]), (1, [2.0, 4.0, 0.0]), (2, [3.0, 6.0, 0.0])]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * 3, pa.int32()),
+            }
+        ),
+        f"{tmp_path}/embeddings.parquet",
+    )
+    rows = QUERIES["embedding_covariance_topk"].fn(spark, str(tmp_path)).collect()
+    got = {(r.i, r.j): r.cov for r in rows}
+    assert abs(got[(0, 1)] - 4.0 / 3.0) < 1e-8
+    assert got[(0, 2)] == 0.0 and got[(1, 2)] == 0.0
+    assert (rows[0].i, rows[0].j) == (0, 1)

@@ -102,6 +102,9 @@ SCALE_SENSITIVE = [
     # shape with corpus size; URL families grow linearly with the corpus
     "dedup_longest_common_span",
     "dedup_url_canonical",
+    # the Gram map-side combine must still ship only dim^2 rows per
+    # partition at 4x the vectors
+    "embedding_covariance_topk",
 ]
 
 pytestmark = pytest.mark.skipif(
