@@ -6532,19 +6532,14 @@ def dedup_url_canonical(spark, sf_dir):
     )
 
 
-@register(
-    "embedding_covariance_topk",
-    # cross-dimension covariance scan — the whitening/feature-correlation
-    # prep a training pipeline runs before PCA or decorrelation: the 25
-    # most-correlated dimension PAIRS (i < j) by |cov|.  Exactness: each
-    # component scales to an integer by 2^43 (power-of-two, no rounding);
-    # the pairwise product is DECIMAL(19,0)^2 -> DECIMAL(38,0) exact; the
-    # Gram sums and the per-dim linear sums are order-free integer
-    # arithmetic, so both engines feed IDENTICAL integers into the same
-    # IEEE double sequence (cast, /2^43 twice, /n, subtract mean product),
-    # rounded to 9dp.
-    oracle=f"""
-        WITH sv AS (
+# Upper-triangle (i <= j) covariance CTE chain, 9dp-rounded — shared by the
+# embedding_covariance_topk and embedding_top_pc oracles.  Exactness: each
+# component scales to an integer by 2^43 (power-of-two, no rounding); the
+# pairwise product is DECIMAL(19,0)^2 -> DECIMAL(38,0) exact; the Gram sums
+# and per-dim linear sums are order-free integer arithmetic, so both engines
+# feed IDENTICAL integers into the same IEEE double sequence.
+_COV_UPPER_CTES = f"""
+        sv AS (
             SELECT list_transform(embedding::DOUBLE[],
                    c -> CAST(c * {_POW2_43} AS DECIMAL(19,0))) AS s
             FROM embeddings
@@ -6574,21 +6569,14 @@ def dedup_url_canonical(spark, sf_dir):
                            * (CAST(b.s1 AS DOUBLE) / {_POW2_43} / n.n), 9) AS cov
             FROM gram g JOIN lin a ON a.pos = g.i
                         JOIN lin b ON b.pos = g.j, n
-            WHERE g.i < g.j
         )
-        SELECT i, j, cov FROM cov
-        ORDER BY abs(cov) DESC, i, j LIMIT 25
-    """,
-    tags=("embedding", "stats", "covariance"),
-)
-def embedding_covariance_topk(spark, sf_dir):
-    """100-TB shape: the per-row pair expansion (dim^2/2 products) happens
-    INSIDE codegen as array HOFs — no self-join, no pre-aggregation
-    shuffle of row-level pairs; the groupBy (i, j) partial-aggregates
-    map-side, so every partition ships at most dim^2/2 = 2080 rows (dim=64)
-    to ONE metadata-sized shuffle however large the corpus.  The per-dim
-    linear sums are the same rollup at O(dim); the final assembly joins
-    three dim-sized tables (broadcast) and TakeOrdereds 25 rows."""
+"""
+
+
+def _embedding_cov_upper(spark, sf_dir):
+    """Upper-triangle (i <= j) covariance entries, 9dp-rounded — shared by
+    embedding_covariance_topk and the power-iteration top-PC query.  See
+    embedding_covariance_topk's docstring for the 100-TB plan shape."""
     e = T(spark, sf_dir, "embeddings")
     scaled = F.transform(
         V.as_double("embedding"), lambda c: (c * _POW2_43).cast("decimal(19,0)")
@@ -6627,9 +6615,8 @@ def embedding_covariance_topk(spark, sf_dir):
     n = e.agg(F.count(F.lit(1)).cast("double").alias("n"))
     a = lin.select(F.col("pos").alias("i"), F.col("s1").alias("si"))
     b = lin.select(F.col("pos").alias("j"), F.col("s1").alias("sj"))
-    cov = (
-        gram.filter(F.col("i") < F.col("j"))
-        .join(F.broadcast(a), "i")
+    return (
+        gram.join(F.broadcast(a), "i")
         .join(F.broadcast(b), "j")
         .crossJoin(F.broadcast(n))
         .select(
@@ -6643,4 +6630,155 @@ def embedding_covariance_topk(spark, sf_dir):
             ).alias("cov"),
         )
     )
+
+
+@register(
+    "embedding_covariance_topk",
+    # cross-dimension covariance scan — the whitening/feature-correlation
+    # prep a training pipeline runs before PCA or decorrelation: the 25
+    # most-correlated dimension PAIRS (i < j) by |cov|.  Exactness: see
+    # _COV_UPPER_CTES.
+    oracle=f"""
+        WITH {_COV_UPPER_CTES}
+        SELECT i, j, cov FROM cov WHERE i < j
+        ORDER BY abs(cov) DESC, i, j LIMIT 25
+    """,
+    tags=("embedding", "stats", "covariance"),
+)
+def embedding_covariance_topk(spark, sf_dir):
+    """100-TB shape: the per-row pair expansion (dim^2/2 products) happens
+    INSIDE codegen as array HOFs — no self-join, no pre-aggregation
+    shuffle of row-level pairs; the groupBy (i, j) partial-aggregates
+    map-side, so every partition ships at most dim^2/2 = 2080 rows (dim=64)
+    to ONE metadata-sized shuffle however large the corpus.  The per-dim
+    linear sums are the same rollup at O(dim); the final assembly joins
+    three dim-sized tables (broadcast) and TakeOrdereds 25 rows."""
+    cov = _embedding_cov_upper(spark, sf_dir).filter(F.col("i") < F.col("j"))
     return cov.orderBy(F.abs(F.col("cov")).desc(), "i", "j").limit(25)
+
+
+# Power-iteration CTE chain for the top-PC oracle: 8 unrolled iterations,
+# each one pinned to exact cross-engine arithmetic (terms rounded to 1e-12
+# and summed as integers, squares as DECIMAL(38,0), one correctly-rounded
+# IEEE sqrt per step, loadings re-rounded to 12dp) — both engines run the
+# SAME rounded recurrence on the SAME 9dp matrix, so the output is
+# bit-identical whether or not the iteration has converged.
+_PC_ITERS = 8
+_PC_SCALE = "1000000000000.0"  # 1e12
+
+
+def _pc_iter_ctes() -> tuple[str, str]:
+    parts = []
+    prev = "v0"
+    for t in range(1, _PC_ITERS + 1):
+        parts.append(f"""
+        w{t} AS MATERIALIZED (SELECT f.i AS pos,
+                        SUM(CAST(round(f.cov * v.val * {_PC_SCALE}) AS BIGINT)) AS ws
+                 FROM cov_full f JOIN {prev} v ON v.pos = f.j GROUP BY f.i),
+        n{t} AS MATERIALIZED (SELECT SUM(CAST(ws AS DECIMAL(19,0))
+                            * CAST(ws AS DECIMAL(19,0))) AS n2 FROM w{t}),
+        v{t} AS MATERIALIZED (SELECT pos, round(CAST(ws AS DOUBLE)
+                                   / sqrt(CAST(n2 AS DOUBLE)), 12) AS val
+                 FROM w{t}, n{t})""")
+        prev = f"v{t}"
+    return ",".join(parts), prev
+
+
+_PC_ITER_SQL, _PC_LAST = _pc_iter_ctes()
+
+
+@register(
+    "embedding_top_pc",
+    # top principal component by POWER ITERATION over the exact covariance
+    # matrix — the PCA the pipeline runs after embedding_covariance_topk
+    # flags correlated dims (dominant direction of variance; whitening /
+    # dimensionality-reduction prep).  The iteration runs on the dim^2
+    # covariance table, NOT the corpus: like textrank's unrolled PageRank,
+    # the corpus is scanned once (the Gram build) and all 8 iterations are
+    # metadata-sized joins.
+    oracle=f"""
+        WITH {_COV_UPPER_CTES},
+        -- MATERIALIZED: DuckDB inlines plain CTEs per reference, so the
+        -- 8 unrolled iterations would otherwise re-expand the whole Gram
+        -- chain exponentially (the SQL twin of the Spark-side lineage
+        -- doubling this query checkpoints away)
+        cov_full AS MATERIALIZED (
+            SELECT i, j, cov FROM cov
+            UNION ALL SELECT j AS i, i AS j, cov FROM cov WHERE i <> j
+        ),
+        dims AS (SELECT DISTINCT i AS pos FROM cov_full),
+        dn AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM dims),
+        v0 AS (SELECT pos, round(1.0 / sqrt(dn.d), 12) AS val FROM dims, dn),
+        {_PC_ITER_SQL}
+        SELECT v.pos AS pos, v.val AS loading,
+               round(sqrt(CAST(n{_PC_ITERS}.n2 AS DOUBLE)) / {_PC_SCALE}, 9)
+                   AS eigval
+        FROM v{_PC_ITERS} v, n{_PC_ITERS}
+        ORDER BY pos
+    """,
+    tags=("embedding", "pca", "iterative"),
+)
+def embedding_top_pc(spark, sf_dir):
+    """100-TB shape: ONE corpus pass builds the exact Gram/covariance
+    (map-side combined to dim^2 rows — see embedding_covariance_topk);
+    every power-iteration step is then a broadcast join of the dim^2
+    covariance table against the 64-row vector plus a 1-row norm agg —
+    pure metadata dataflow, Catalyst reuses the covariance exchange across
+    all 8 unrolled steps.  Sign and values are deterministic because each
+    step's arithmetic is integer-pinned (see oracle comment)."""
+    upper = _embedding_cov_upper(spark, sf_dir)
+    full = upper.unionByName(
+        upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    )
+    # materialize the dim^2-row covariance ONCE (the one corpus pass) and
+    # truncate its lineage: without this, each unrolled iteration embeds
+    # another copy of the whole Gram subtree in the plan and the driver
+    # OOMs serializing it.  The checkpoint is the natural iterative-algo
+    # boundary — sketch once, iterate on the sketch (metadata-sized: 4096
+    # rows at dim=64 regardless of corpus size).
+    full = full.localCheckpoint(eager=True)
+    dims = full.select(F.col("i").alias("pos")).distinct()
+    dn = dims.agg(F.count(F.lit(1)).cast("double").alias("d"))
+    v = dims.crossJoin(F.broadcast(dn)).select(
+        "pos", F.round(F.lit(1.0) / F.sqrt(F.col("d")), 12).alias("val")
+    )
+    sc = float(_PC_SCALE)
+    n2 = None
+    for _ in range(_PC_ITERS):
+        w = (
+            full.join(F.broadcast(v), full["j"] == v["pos"])
+            .select(
+                "i",
+                F.round(F.col("cov") * F.col("val") * sc, 0)
+                .cast("long")
+                .alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").alias("ws"))
+        )
+        n2 = w.agg(
+            F.sum(
+                F.col("ws").cast("decimal(19,0)") * F.col("ws").cast("decimal(19,0)")
+            ).alias("n2")
+        )
+        v = w.crossJoin(F.broadcast(n2)).select(
+            F.col("i").alias("pos"),
+            F.round(
+                F.col("ws").cast("double") / F.sqrt(F.col("n2").cast("double")), 12
+            ).alias("val"),
+        )
+        # v references w twice (directly and through the n2 norm), so
+        # without truncation the lineage doubles per step (2^t plan
+        # growth); a 64-row checkpoint per iteration keeps every step
+        # constant-cost — the standard iterative-dataflow discipline
+        v = v.localCheckpoint(eager=True)
+    eig = n2.select(
+        F.round(F.sqrt(F.col("n2").cast("double")) / sc, 9).alias("eigval")
+    )
+    return (
+        v.crossJoin(F.broadcast(eig))
+        .select("pos", F.col("val").alias("loading"), "eigval")
+        .orderBy("pos")
+    )

@@ -76,6 +76,7 @@ _PRIORITY = [
     "dedup_longest_common_span",
     "dedup_url_canonical",
     "embedding_covariance_topk",
+    "embedding_top_pc",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

@@ -165,3 +165,31 @@ def test_embedding_covariance_golden(spark, tmp_path):
     assert abs(got[(0, 1)] - 4.0 / 3.0) < 1e-8
     assert got[(0, 2)] == 0.0 and got[(1, 2)] == 0.0
     assert (rows[0].i, rows[0].j) == (0, 1)
+
+
+def test_embedding_top_pc_golden(spark, tmp_path):
+    """Rank-1 covariance fixture (same vectors as the covariance golden):
+    C = outer((1,2,0)) * 2/3, so the top PC is (1,2,0)/sqrt(5) with
+    eigenvalue tr(C) = 10/3 — power iteration is exact after one step."""
+    import math
+
+    vecs = [(0, [1.0, 2.0, 0.0]), (1, [2.0, 4.0, 0.0]), (2, [3.0, 6.0, 0.0])]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * 3, pa.int32()),
+            }
+        ),
+        f"{tmp_path}/embeddings.parquet",
+    )
+    rows = QUERIES["embedding_top_pc"].fn(spark, str(tmp_path)).collect()
+    got = {r.pos: r.loading for r in rows}
+    s5 = math.sqrt(5.0)
+    assert abs(got[0] - 1.0 / s5) < 1e-6
+    assert abs(got[1] - 2.0 / s5) < 1e-6
+    assert abs(got[2]) < 1e-9
+    assert abs(rows[0].eigval - 10.0 / 3.0) < 1e-6

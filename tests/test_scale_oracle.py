@@ -103,8 +103,10 @@ SCALE_SENSITIVE = [
     "dedup_longest_common_span",
     "dedup_url_canonical",
     # the Gram map-side combine must still ship only dim^2 rows per
-    # partition at 4x the vectors
+    # partition at 4x the vectors; the power iteration must stay
+    # metadata-sized on top of it
     "embedding_covariance_topk",
+    "embedding_top_pc",
 ]
 
 pytestmark = pytest.mark.skipif(
