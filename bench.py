@@ -108,6 +108,10 @@ HEADLINE = [
     "dedup_longest_common_span",
     "dedup_url_canonical",
     "vocab_coverage_curve",
+    # round-13: the exact-integer Gram covariance scan (map-side combine to
+    # dim^2 rows) and the checkpointed power-iteration top PC over it
+    "embedding_covariance_topk",
+    "embedding_top_pc",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -215,26 +215,45 @@ def canonical_url(col) -> Column:
 
     ``https://WWW.Ex.com:443/a/?b=2&a=1&utm_source=x#f`` ->
     ``ex.com/a?a=1&b=2``."""
-    u = F.trim(F.col(col) if isinstance(col, str) else col)
-    u = F.regexp_replace(u, "#.*$", "")
-    u = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    q = F.when(
-        u.contains("?"), F.regexp_replace(u, r"^[^?]*\?", "")
-    ).otherwise(F.lit(""))
-    rest = F.regexp_replace(u, r"\?.*$", "")
-    host = F.regexp_extract(rest, "^([^/]*)", 1)
-    path = F.regexp_replace(rest, "^[^/]*", "")
-    host = F.regexp_replace(
-        F.regexp_replace(F.lower(host), r"^www\.", ""), ":(80|443)$", ""
+    raw = F.trim(F.col(col) if isinstance(col, str) else col)
+    stripped = F.regexp_replace(
+        F.regexp_replace(raw, "#.*$", ""), "^[A-Za-z][A-Za-z0-9+.-]*://", ""
     )
-    path = F.regexp_replace(path, "/+$", "")
 
-    def with_q(qv: Column) -> Column:
-        params = F.filter(
-            F.split(qv, "&"),
-            lambda p: (F.length(p) > 0) & ~p.rlike(URL_TRACKING_PARAM_RE),
-        )
-        qs = F.array_join(F.sort_array(params), "&")
-        return F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit(""))
+    # bind the shared intermediates once (see ``bind``): without it,
+    # CollapseProject re-inlines the trim+regexp chain into each of its
+    # ~4 use sites (q, rest, host, path), multiplying the per-row regex
+    # work of what should be the cheapest first-stage dedup pass
+    def with_u(u: Column) -> Column:
+        q = F.when(
+            u.contains("?"), F.regexp_replace(u, r"^[^?]*\?", "")
+        ).otherwise(F.lit(""))
 
-    return F.concat(host, path, bind(q, with_q))
+        def with_rest(rest: Column) -> Column:
+            host = F.regexp_replace(
+                F.regexp_replace(
+                    F.lower(F.regexp_extract(rest, "^([^/]*)", 1)), r"^www\.", ""
+                ),
+                ":(80|443)$",
+                "",
+            )
+            path = F.regexp_replace(
+                F.regexp_replace(rest, "^[^/]*", ""), "/+$", ""
+            )
+
+            def with_q(qv: Column) -> Column:
+                params = F.filter(
+                    F.split(qv, "&"),
+                    lambda p: (F.length(p) > 0)
+                    & ~p.rlike(URL_TRACKING_PARAM_RE),
+                )
+                qs = F.array_join(F.sort_array(params), "&")
+                return F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(
+                    F.lit("")
+                )
+
+            return F.concat(host, path, bind(q, with_q))
+
+        return bind(F.regexp_replace(u, r"\?.*$", ""), with_rest)
+
+    return bind(stripped, with_u)

@@ -107,32 +107,37 @@ def read_sink(spark: SparkSession, base_path: str) -> DataFrame:
     return spark.read.parquet(base_path).drop(PARTITION_COL)
 
 
+def _norm_path(p: str) -> str | None:
+    """Normalize a sink path into one comparable namespace.
+
+    file: URIs take urlparse's .path (not a literal-prefix strip, which
+    fused any authority into the path: file://host/data -> "host/data";
+    r05 ADVICE) so all three JVM-accepted spellings (file:/x, file:///x,
+    file://localhost/x) land on the realpath'd local path.  A string is
+    treated as a REMOTE URI only when it contains '://' — a bare urlparse
+    scheme check would misclassify a relative local path whose first
+    segment carries a colon ('run:1/sink') and skip realpath.  Remote URIs
+    compare textually after trailing-slash stripping; local paths realpath
+    so symlinked aliases of the same directory are caught.  Returns
+    (kind-tagged by caller usage) the normalized string; remote URIs keep
+    their scheme so they never collide with a local path."""
+    import os
+    from urllib.parse import urlparse
+
+    u = urlparse(p)
+    if u.scheme == "file":
+        return os.path.realpath(u.path or "/")
+    if "://" in p:
+        return p.rstrip("/")
+    return os.path.realpath(p)
+
+
 def _check_disjoint_paths(base_path: str, out_path: str) -> None:
     """Refuse in-place (or nested) compaction: overwriting a path Spark is
     concurrently reading fails or destroys the source batch directories.
     Raises ValueError when ``out_path`` equals, contains, or is contained
     in ``base_path`` after normalization."""
-    import os
-
-    def norm(p: str) -> str:
-        # file: URIs address the local filesystem — take urlparse's .path
-        # (not a literal-prefix strip, which fused any authority into the
-        # path: file://host/data -> "host/data"; r05 ADVICE) so all three
-        # JVM-accepted spellings (file:/x, file:///x, file://localhost/x)
-        # land in one namespace with plain /x.  Other URI schemes
-        # (hdfs://, s3a://) are compared textually after trailing-slash
-        # stripping; local paths get realpath so symlinked aliases of the
-        # same directory are caught too.
-        from urllib.parse import urlparse
-
-        u = urlparse(p)
-        if u.scheme == "file":
-            return os.path.realpath(u.path or "/")
-        if u.scheme:
-            return p.rstrip("/")
-        return os.path.realpath(p)
-
-    b, o = norm(base_path), norm(out_path)
+    b, o = _norm_path(base_path), _norm_path(out_path)
     if b == o or o.startswith(b + "/") or b.startswith(o + "/"):
         raise ValueError(
             f"compact_sink: out_path {out_path!r} overlaps base_path "
@@ -150,10 +155,10 @@ def _footer_row_count(base_path: str) -> int | None:
     URI without a mounted filesystem) so the caller can fall back."""
     import os
 
-    if "://" in base_path and not base_path.startswith("file://"):
-        return None
-    root = base_path[len("file://"):] if base_path.startswith("file://") else base_path
-    if not os.path.isdir(root):
+    # same normalization as the disjointness guard (file:/x and
+    # file://localhost/x walk locally; true remote schemes return None)
+    root = _norm_path(base_path)
+    if "://" in root or not os.path.isdir(root):
         return None
     try:
         import pyarrow.parquet as pq

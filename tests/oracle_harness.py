@@ -70,11 +70,16 @@ def ungradable_columns(schema) -> list[str]:
     """
     from pyspark.sql import types as ST
 
-    return [
-        f.name
-        for f in schema.fields
-        if isinstance(f.dataType, (ST.ArrayType, ST.MapType))
-    ]
+    def has_collection(dt) -> bool:
+        if isinstance(dt, (ST.ArrayType, ST.MapType)):
+            return True
+        # a collection NESTED in a struct is just as ungradable: the Row
+        # cell hashes fine until pandas factorize reaches the inner list
+        if isinstance(dt, ST.StructType):
+            return any(has_collection(f.dataType) for f in dt.fields)
+        return False
+
+    return [f.name for f in schema.fields if has_collection(f.dataType)]
 
 
 def compare_query(spark, con, fn, sql, sf_dir: str):

@@ -59,3 +59,16 @@ def test_lint_rejects_array_output(spark):
     finally:
         con.close()
     assert not ok and "driver-ungradable" in detail
+
+
+def test_lint_rejects_nested_struct_collection(spark):
+    """A collection nested INSIDE a struct column is just as ungradable as
+    a top-level one (pandas factorize reaches the inner list)."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle_harness import ungradable_columns
+
+    df = spark.range(3).agg(
+        F.struct(F.count("id").alias("n"), F.collect_list("id").alias("ids")).alias("g")
+    )
+    assert ungradable_columns(df.schema) == ["g"]

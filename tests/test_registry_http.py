@@ -341,3 +341,21 @@ def test_ssl_context_construction(tmp_path):
         {"schema.registry.enable.ssl.certificate.verification": "true"}
     )
     assert ctx.verify_mode == ssl.CERT_REQUIRED and ctx.check_hostname
+
+
+def test_url_userinfo_percent_encoding_and_ipv6(sr_auth_url):
+    """Percent-encoded userinfo must be decoded before the Basic header is
+    built, and stripping userinfo must not mangle the rest of the netloc
+    (urlsplit drops IPv6 brackets, so the rebuild must reuse netloc)."""
+    host = sr_auth_url[len("http://"):]
+    # password 'secret' spelled with a percent-encoded char ('%74' = 't')
+    reg = open_registry(f"http://user:secre%74@{host}", {})
+    assert reg.by_id(7).id == 7
+    # IPv6 literal: base_url must keep the brackets
+    reg6 = open_registry("https://u:p@[::1]:8081/ctx", {})
+    assert reg6.base_url == "https://[::1]:8081/ctx"
+
+
+def test_credentials_source_url_without_userinfo_raises(sr_auth_url):
+    with pytest.raises(ValueError, match="carries no userinfo"):
+        open_registry(sr_auth_url, {"basic.auth.credentials.source": "URL"})

@@ -793,3 +793,36 @@ def test_compact_sink_guard_handles_uri_authority_and_single_slash(spark, tmp_pa
     with pytest.raises(ValueError, match="overlaps"):
         sk._check_disjoint_paths("hdfs://nn/sink", "hdfs://nn/sink/out")
     sk._check_disjoint_paths("hdfs://nn/sink", "hdfs://nn/other")
+
+
+def test_compact_sink_guard_local_path_with_colon_segment(spark, tmp_path):
+    """A relative local path whose first segment contains a colon
+    ('run:1/sink') is NOT a remote URI: it must realpath and still catch
+    overlaps with its absolute spelling."""
+    import os
+
+    import pytest
+
+    from kwack_spark.streaming import sink as sk
+
+    d = tmp_path / "run:1" / "sink"
+    d.mkdir(parents=True)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        with pytest.raises(ValueError, match="overlaps"):
+            sk._check_disjoint_paths("run:1/sink", str(d / "out"))
+    finally:
+        os.chdir(cwd)
+
+
+def test_footer_row_count_accepts_file_uri_spellings(spark, tmp_path):
+    """_footer_row_count shares the guard's normalization: file:/x and
+    file://localhost/x walk the local directory; remote schemes -> None."""
+    from kwack_spark.streaming import sink as sk
+
+    land = tmp_path / "land"
+    spark.range(10).coalesce(1).write.parquet(str(land))
+    assert sk._footer_row_count(f"file:{land}") == 10
+    assert sk._footer_row_count(f"file://localhost{land}") == 10
+    assert sk._footer_row_count("hdfs://nn/x") is None
