@@ -6472,6 +6472,28 @@ _URL_CANON_CTES = r"""
 """
 
 
+def _url_raw_col():
+    """The synthetic raw-URL column (Spark twin of _URL_RAW_SQL)."""
+    dom = F.concat(
+        F.lit("example-"),
+        (F.expr("doc_id div 3") % 7).cast("string"),
+        F.lit(".com"),
+    )
+    pg = F.concat(F.lit("/articles/"), F.expr("doc_id div 3").cast("string"))
+    v = F.col("doc_id") % 6
+    return (
+        F.when(v == 0, F.concat(F.lit("https://"), dom, pg))
+        .when(v == 1, F.concat(F.lit("http://www."), dom, pg, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("HTTPS://WWW."), F.upper(dom), pg, F.lit("#frag")))
+        .when(v == 3, F.concat(F.lit("https://"), dom, pg,
+                               F.lit("?utm_source=feed&b=2&a=1")))
+        .when(v == 4, F.concat(F.lit("https://"), dom, F.lit(":443"), pg,
+                               F.lit("?b=2&a=1")))
+        .otherwise(F.concat(F.lit("http://"), dom, F.lit(":80"), pg,
+                            F.lit("/?a=1&b=2&gclid=zz#sec")))
+    )
+
+
 @register(
     "dedup_url_canonical",
     # URL/domain-normalized page-identity dedup: canonicalize every raw
@@ -6500,24 +6522,7 @@ def dedup_url_canonical(spark, sf_dir):
     mega-duplicates, which AQE splits).  At 100 TB this is the cheapest
     dedup stage in the pipeline and runs first."""
     d = T(spark, sf_dir, "documents")
-    dom = F.concat(
-        F.lit("example-"),
-        (F.expr("doc_id div 3") % 7).cast("string"),
-        F.lit(".com"),
-    )
-    pg = F.concat(F.lit("/articles/"), F.expr("doc_id div 3").cast("string"))
-    v = F.col("doc_id") % 6
-    raw = (
-        F.when(v == 0, F.concat(F.lit("https://"), dom, pg))
-        .when(v == 1, F.concat(F.lit("http://www."), dom, pg, F.lit("/")))
-        .when(v == 2, F.concat(F.lit("HTTPS://WWW."), F.upper(dom), pg, F.lit("#frag")))
-        .when(v == 3, F.concat(F.lit("https://"), dom, pg,
-                               F.lit("?utm_source=feed&b=2&a=1")))
-        .when(v == 4, F.concat(F.lit("https://"), dom, F.lit(":443"), pg,
-                               F.lit("?b=2&a=1")))
-        .otherwise(F.concat(F.lit("http://"), dom, F.lit(":80"), pg,
-                            F.lit("/?a=1&b=2&gclid=zz#sec")))
-    )
+    raw = _url_raw_col()
     u = d.select("doc_id", raw.alias("raw_url"))
     c = u.select("doc_id", "raw_url", TX.canonical_url("raw_url").alias("canon_url"))
     return (
@@ -6782,3 +6787,57 @@ def embedding_top_pc(spark, sf_dir):
         .select("pos", F.col("val").alias("loading"), "eigval")
         .orderBy("pos")
     )
+
+
+@register(
+    "streaming_url_dedup",
+    # crawl-frontier dedup AT INGEST: the canonical-URL key is computed
+    # in-stream (same pure-codegen canonicalizer as dedup_url_canonical)
+    # and dropDuplicates state admits each logical page once.  End-of-
+    # stream key set == batch DISTINCT over the canonical keys, so the
+    # oracle is exact; only the key set is emitted (which arrival within a
+    # micro-batch wins is scheduler-dependent, the set is not).
+    oracle=f"""
+        WITH u AS (SELECT doc_id, {_URL_RAW_SQL} AS raw_url FROM documents),
+        {_URL_CANON_CTES}
+        SELECT DISTINCT canon_url FROM c
+    """,
+    tags=("streaming", "dedup", "url"),
+)
+def streaming_url_dedup(spark, sf_dir):
+    """Streaming plan shape: canonicalization is narrow JVM regex work on
+    each micro-batch (no Python, no pre-state shuffle beyond the dedup
+    key); state is one entry per DISTINCT canonical page — the frontier
+    size, not the crawl size — and the watermark bounds it to the re-crawl
+    horizon in production (spanned fully here so the replay equals batch
+    DISTINCT)."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.streaming import ingest as si
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        _url_raw_col().alias("raw_url"),
+        F.timestamp_seconds(F.col("doc_id")).alias("ts"),
+    )
+    replay_dir = tempfile.mkdtemp(prefix="kwack_stream_url_")
+    d.repartition(3).write.mode("overwrite").parquet(replay_dir)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    canon = stream.select(
+        TX.canonical_url("raw_url").alias("canon_url"), "ts"
+    )
+    deduped = si.streaming_dedup(
+        canon, "ts", ["canon_url"], watermark="3650 days"
+    ).select("canon_url")
+    sink = f"strmurl_{uuid.uuid4().hex[:8]}"
+    with _few_shuffle_partitions(spark):
+        q = si.to_memory_sink(deduped, sink, output_mode="append")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_url_dedup: stream did not finish in 300s")
+    return spark.table(sink)

@@ -77,6 +77,7 @@ _PRIORITY = [
     "dedup_url_canonical",
     "embedding_covariance_topk",
     "embedding_top_pc",
+    "streaming_url_dedup",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

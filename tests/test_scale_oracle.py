@@ -107,6 +107,9 @@ SCALE_SENSITIVE = [
     # metadata-sized on top of it
     "embedding_covariance_topk",
     "embedding_top_pc",
+    # in-stream canonical-URL dedup state grows with the FRONTIER (distinct
+    # pages), which 10x's here — the state-size claim under test
+    "streaming_url_dedup",
 ]
 
 pytestmark = pytest.mark.skipif(
