@@ -199,7 +199,12 @@ def test_jpeg_roundtrip_property(w, h, ch, seed):
     for c in range(ch):
         lane_o = px[:, c::ch].mean()
         lane_d = pix[:, c::ch].astype(int).mean()
-        assert abs(lane_o - lane_d) <= 16
+        # tolerance is sample-size-aware: a lane of < 16 pixels sits in one
+        # 8x8 block whose edge-replication padding plus DC quantization can
+        # legitimately move a 4-pixel mean by ~20 (hypothesis found
+        # w=h=2/ch=3/seed=166 at 20.5); misalignment still lands ~60+
+        tol = 16 if px[:, c::ch].size >= 16 else 36
+        assert abs(lane_o - lane_d) <= tol
 
 
 @settings(max_examples=60, deadline=None)
