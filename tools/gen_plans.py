@@ -98,7 +98,18 @@ _NOTES = """
 - **dedup_url_canonical**: canonical key is pure codegen regex/array work
   riding the scan; 3 exchanges = the exact-countDistinct expansion
   ((canon,raw) partial, canon final) plus the output sort, all map-side
-  combined on a uniform string key.
+  combined on a uniform string key.  `streaming_url_dedup` is the same
+  canonicalizer inside a streaming plan (all-zero counts in the table
+  above because the returned DataFrame is the drained memory sink — the
+  streaming work happened under the streaming engine).
+- **embedding_covariance_topk / embedding_top_pc**: the dim^2/2 pair
+  products expand per-row inside codegen (no self-join) and the (i, j)
+  groupBy partial-aggregates map-side — at most dim^2 rows shipped per
+  partition; broadcasts are the dim-sized linear-sum/count tables and the
+  64-row iteration vector; the BNLJs are 1-row scalar cross-joins.  The
+  top-PC plan is shallow because each power-iteration step is cut by a
+  localCheckpoint (2^t lineage growth otherwise — see the query
+  docstring).
 """
 
 
