@@ -6581,8 +6581,13 @@ _COV_UPPER_CTES = f"""
 def _embedding_cov_upper(spark, sf_dir):
     """Upper-triangle (i <= j) covariance entries, 9dp-rounded — shared by
     embedding_covariance_topk and the power-iteration top-PC query.  See
-    embedding_covariance_topk's docstring for the 100-TB plan shape."""
-    e = T(spark, sf_dir, "embeddings")
+    embedding_covariance_topk's docstring for the 100-TB plan shape.
+    widen_if_narrow: the dim^2/2 decimal products per row are the
+    per-row-expensive stage, and the bench-scale embeddings parquet is a
+    single row group — one task — without it."""
+    from kwack_spark.operators.scale import widen_if_narrow
+
+    e = widen_if_narrow(T(spark, sf_dir, "embeddings"))
     scaled = F.transform(
         V.as_double("embedding"), lambda c: (c * _POW2_43).cast("decimal(19,0)")
     )
