@@ -6846,3 +6846,111 @@ def streaming_url_dedup(spark, sf_dir):
             q.stop()
             raise TimeoutError("streaming_url_dedup: stream did not finish in 300s")
     return spark.table(sink)
+
+
+@register(
+    "bpe_train_two_steps",
+    # TWO BPE training iterations, not just pair mining: pick the argmax
+    # merge from iteration 1 (count DESC, pair ASC — bpe_merge_candidates'
+    # exact criterion), APPLY it to the word-frequency table (greedy
+    # leftmost non-overlapping, via two global regex passes over the
+    # '|'-separated symbol string — pass 2 catches the shared-separator
+    # leftover in symbol runs; deterministic on both engines), then recount
+    # adjacent SYMBOL pairs.  Output: the chosen merge1 and the top-20
+    # second-iteration candidates ('+'-joined symbols, so multi-char
+    # symbols are unambiguous).
+    oracle=f"""
+        WITH words AS (SELECT unnest({_toks()}) AS w FROM documents),
+        wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY w),
+        prs AS (
+            SELECT substr(w, i, 2) AS pair, freq
+            FROM wf, unnest(range(1, greatest(length(w), 1))) AS t(i)
+        ),
+        top1 AS (
+            SELECT pair AS m1 FROM prs GROUP BY pair
+            ORDER BY SUM(freq) DESC, pair LIMIT 1
+        ),
+        applied AS (
+            SELECT regexp_replace(regexp_replace(
+                       '|' || regexp_replace(w, '(.)', '\\1|', 'g'),
+                       '\\|' || substr(m1, 1, 1) || '\\|' || substr(m1, 2, 1) || '\\|',
+                       '|' || m1 || '|', 'g'),
+                       '\\|' || substr(m1, 1, 1) || '\\|' || substr(m1, 2, 1) || '\\|',
+                       '|' || m1 || '|', 'g') AS sym,
+                   freq, m1
+            FROM wf, top1
+        ),
+        syms AS (
+            SELECT list_filter(string_split(sym, '|'), s -> len(s) > 0) AS ss,
+                   freq, m1
+            FROM applied
+        ),
+        p2 AS (
+            SELECT ss[i] || '+' || ss[i + 1] AS pair, freq, m1
+            FROM syms, unnest(range(1, greatest(len(ss), 1))) AS t(i)
+        )
+        SELECT m1 AS merge1, pair, CAST(SUM(freq) AS BIGINT) AS n
+        FROM p2 GROUP BY m1, pair
+        ORDER BY n DESC, pair LIMIT 20
+    """,
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def bpe_train_two_steps(spark, sf_dir):
+    """100-TB shape identical to bpe_merge_candidates: the corpus
+    collapses to the vocabulary-sized word-frequency table FIRST (one
+    map-side-combinable shuffle); both the merge application (regex over
+    vocab words) and both pair counts run on that tiny table; the chosen
+    merge is a 1-row broadcast, never a collect."""
+    d = T(spark, sf_dir, "documents")
+    words = d.select(F.explode(TX.tokens("text")).alias("w"))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    prs = wf.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) > 1 THEN transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2)) ELSE array() END"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    top1 = (
+        prs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("m1"))
+    )
+    pat = F.concat(
+        F.lit(r"\|"), F.substring("m1", 1, 1), F.lit(r"\|"),
+        F.substring("m1", 2, 1), F.lit(r"\|"),
+    )
+    repl = F.concat(F.lit("|"), F.col("m1"), F.lit("|"))
+    sym0 = F.concat(F.lit("|"), F.regexp_replace("w", F.lit("(.)"), F.lit("$1|")))
+    applied = wf.crossJoin(F.broadcast(top1)).select(
+        F.regexp_replace(F.regexp_replace(sym0, pat, repl), pat, repl).alias("sym"),
+        "freq",
+        "m1",
+    )
+    syms = applied.select(
+        F.filter(F.split("sym", r"\|"), lambda s: F.length(s) > 0).alias("ss"),
+        "freq",
+        "m1",
+    )
+    p2 = syms.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ss) > 1 THEN transform(sequence(1, size(ss) - 1), "
+                "i -> concat(element_at(ss, i), '+', element_at(ss, i + 1))) "
+                "ELSE array() END"
+            )
+        ).alias("pair"),
+        "freq",
+        "m1",
+    )
+    return (
+        p2.groupBy("m1", "pair")
+        .agg(F.sum("freq").alias("n"))
+        .select(F.col("m1").alias("merge1"), "pair", "n")
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )

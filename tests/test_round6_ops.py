@@ -193,3 +193,13 @@ def test_embedding_top_pc_golden(spark, tmp_path):
     assert abs(got[1] - 2.0 / s5) < 1e-6
     assert abs(got[2]) < 1e-9
     assert abs(rows[0].eigval - 10.0 / 3.0) < 1e-6
+
+
+def test_bpe_two_steps_run_semantics(spark, tmp_path):
+    """Pin the greedy two-pass merge on symbol RUNS: corpus of 'aa' x3 and
+    'aaaa' x1 picks merge1='aa' (count 6); applying it turns 'aaaa' into
+    [aa, aa] (leftmost non-overlapping — the shared-separator leftover is
+    caught by pass 2), so the only second-round pair is 'aa+aa'."""
+    sf = _write_documents(tmp_path, [(0, "aa aa aa aaaa")])
+    rows = QUERIES["bpe_train_two_steps"].fn(spark, sf).collect()
+    assert [(r.merge1, r.pair, r.n) for r in rows] == [("aa", "aa+aa", 1)]

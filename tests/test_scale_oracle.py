@@ -110,6 +110,8 @@ SCALE_SENSITIVE = [
     # in-stream canonical-URL dedup state grows with the FRONTIER (distinct
     # pages), which 10x's here — the state-size claim under test
     "streaming_url_dedup",
+    # second-iteration BPE pair counts shift with vocabulary growth
+    "bpe_train_two_steps",
 ]
 
 pytestmark = pytest.mark.skipif(
