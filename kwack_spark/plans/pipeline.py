@@ -6954,3 +6954,84 @@ def bpe_train_two_steps(spark, sf_dir):
         .orderBy(F.desc("n"), "pair")
         .limit(20)
     )
+
+
+@register(
+    "embedding_pc_residual_topk",
+    # embedding OUTLIER scan: the 25 vectors worst-explained by the top
+    # principal component — residual energy ||x||^2 - (x . v)^2 with v from
+    # the power iteration.  The anomaly/diversity signal a curation
+    # pipeline reads next to SemDeDup: high-residual vectors are the ones
+    # the dominant factor does not cover.  Determinism: both dot product
+    # and squared norm are STRICT LEFT FOLDS over the dimension order
+    # (Spark aggregate / DuckDB list_reduce — identical IEEE sequence), the
+    # projection is rounded to 9dp before squaring, the residual to 6dp.
+    oracle=f"""
+        WITH {_COV_UPPER_CTES},
+        cov_full AS MATERIALIZED (
+            SELECT i, j, cov FROM cov
+            UNION ALL SELECT j AS i, i AS j, cov FROM cov WHERE i <> j
+        ),
+        dims AS (SELECT DISTINCT i AS pos FROM cov_full),
+        dn AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM dims),
+        v0 AS (SELECT pos, round(1.0 / sqrt(dn.d), 12) AS val FROM dims, dn),
+        {_PC_ITER_SQL},
+        varr AS (SELECT list(val ORDER BY pos) AS v FROM v{_PC_ITERS}),
+        x AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        scored AS (
+            SELECT vec_id,
+                   round(list_reduce(list_transform(range(1, len(e) + 1),
+                         i -> e[i] * va.v[i]), (a, b) -> a + b), 9) AS proj,
+                   list_reduce(list_transform(range(1, len(e) + 1),
+                         i -> e[i] * e[i]), (a, b) -> a + b) AS nrm2
+            FROM x, varr va
+        )
+        SELECT vec_id, proj, round(nrm2 - proj * proj, 6) AS resid2
+        FROM scored ORDER BY resid2 DESC, vec_id LIMIT 25
+    """,
+    tags=("embedding", "pca", "outlier"),
+)
+def embedding_pc_residual_topk(spark, sf_dir):
+    """100-TB shape: the PC itself costs one corpus pass (see
+    embedding_top_pc); scoring is then a single narrow pass — the 64-float
+    component vector broadcasts to every task and both folds run inside
+    codegen per row — followed by TakeOrdered(25).  No shuffle touches
+    vector data."""
+    pc = embedding_top_pc(spark, sf_dir)
+    varr = pc.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "loading"))),
+            lambda s: s["loading"],
+        ).alias("v")
+    )
+    e = T(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", V.as_double("embedding").alias("x")).crossJoin(
+        F.broadcast(varr)
+    )
+
+    def with_x(x):
+        n = F.size(x)
+        dot = F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(x, i) * F.element_at(F.col("v"), i),
+        )
+        nrm2 = F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(x, i) * F.element_at(x, i),
+        )
+        return F.struct(
+            F.round(dot, 9).alias("proj"), nrm2.alias("nrm2")
+        )
+
+    scored = base.select(
+        "vec_id", TX.bind(F.col("x"), with_x).alias("s")
+    ).select(
+        "vec_id",
+        F.col("s.proj").alias("proj"),
+        F.round(F.col("s.nrm2") - F.col("s.proj") * F.col("s.proj"), 6).alias(
+            "resid2"
+        ),
+    )
+    return scored.orderBy(F.desc("resid2"), "vec_id").limit(25)

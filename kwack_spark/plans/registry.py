@@ -79,6 +79,7 @@ _PRIORITY = [
     "embedding_top_pc",
     "streaming_url_dedup",
     "bpe_train_two_steps",
+    "embedding_pc_residual_topk",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

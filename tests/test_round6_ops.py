@@ -203,3 +203,29 @@ def test_bpe_two_steps_run_semantics(spark, tmp_path):
     sf = _write_documents(tmp_path, [(0, "aa aa aa aaaa")])
     rows = QUERIES["bpe_train_two_steps"].fn(spark, sf).collect()
     assert [(r.merge1, r.pair, r.n) for r in rows] == [("aa", "aa+aa", 1)]
+
+
+def test_embedding_pc_residual_rank1_is_zero(spark, tmp_path):
+    """On the rank-1 fixture every vector lies ON the top PC, so the
+    residual energy is exactly 0 (to the 6dp round) and the projection
+    equals the vector norm (PC signs are positive from the uniform start
+    vector)."""
+    import math
+
+    vecs = [(0, [1.0, 2.0, 0.0]), (1, [2.0, 4.0, 0.0]), (2, [3.0, 6.0, 0.0])]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array([0] * 3, pa.int32()),
+            }
+        ),
+        f"{tmp_path}/embeddings.parquet",
+    )
+    rows = QUERIES["embedding_pc_residual_topk"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 3
+    assert all(r.resid2 == 0.0 for r in rows)
+    by_id = {r.vec_id: r.proj for r in rows}
+    assert abs(by_id[0] - math.sqrt(5.0)) < 1e-6
+    assert abs(by_id[2] - 3 * math.sqrt(5.0)) < 1e-6

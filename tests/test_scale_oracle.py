@@ -112,6 +112,8 @@ SCALE_SENSITIVE = [
     "streaming_url_dedup",
     # second-iteration BPE pair counts shift with vocabulary growth
     "bpe_train_two_steps",
+    # residual scoring rides the PC pipeline at 4x the vectors
+    "embedding_pc_residual_topk",
 ]
 
 pytestmark = pytest.mark.skipif(
