@@ -112,6 +112,8 @@ HEADLINE = [
     # dim^2 rows) and the checkpointed power-iteration top PC over it
     "embedding_covariance_topk",
     "embedding_top_pc",
+    # round-14: second-iteration BPE (vocab-sized merge apply + recount)
+    "bpe_train_two_steps",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -56,6 +56,12 @@ STRESS_QUERIES = [
     "tfidf_top_terms",
     "gopher_quality_rules",
     "text_quality",
+    # round-6: the df-capped span join (must stay ~linear in shingles, not
+    # pairs), the URL-canonical groupBy (linear control), and the Gram
+    # combine (corpus-linear map work into a constant-size shuffle)
+    "dedup_longest_common_span",
+    "dedup_url_canonical",
+    "embedding_covariance_topk",
 ]
 
 
