@@ -6853,9 +6853,10 @@ def streaming_url_dedup(spark, sf_dir):
     # TWO BPE training iterations, not just pair mining: pick the argmax
     # merge from iteration 1 (count DESC, pair ASC — bpe_merge_candidates'
     # exact criterion), APPLY it to the word-frequency table (greedy
-    # leftmost non-overlapping, via two global regex passes over the
-    # '|'-separated symbol string — pass 2 catches the shared-separator
-    # leftover in symbol runs; deterministic on both engines), then recount
+    # leftmost non-overlapping, via ONE global regex pass over a
+    # '||'-separated symbol string — the doubled separator lets adjacent
+    # matches in a run share boundaries, exact on runs of any length —
+    # identical regex semantics on both engines), then recount
     # adjacent SYMBOL pairs.  Output: the chosen merge1 and the top-20
     # second-iteration candidates ('+'-joined symbols, so multi-char
     # symbols are unambiguous).
@@ -6871,11 +6872,14 @@ def streaming_url_dedup(spark, sf_dir):
             ORDER BY SUM(freq) DESC, pair LIMIT 1
         ),
         applied AS (
-            SELECT regexp_replace(regexp_replace(
-                       '|' || regexp_replace(w, '(.)', '\\1|', 'g'),
-                       '\\|' || substr(m1, 1, 1) || '\\|' || substr(m1, 2, 1) || '\\|',
-                       '|' || m1 || '|', 'g'),
-                       '\\|' || substr(m1, 1, 1) || '\\|' || substr(m1, 2, 1) || '\\|',
+            -- DOUBLED-separator greedy merge: symbols joined by '||', the
+            -- pattern consumes one '|' from each side, so adjacent matches
+            -- in a symbol run share boundaries correctly and ONE global
+            -- pass is exactly leftmost non-overlapping BPE (a single-'|'
+            -- two-pass scheme under-merges runs >= 5)
+            SELECT regexp_replace(
+                       '||' || regexp_replace(w, '(.)', '\\1||', 'g'),
+                       '\\|' || substr(m1, 1, 1) || '\\|\\|' || substr(m1, 2, 1) || '\\|',
                        '|' || m1 || '|', 'g') AS sym,
                    freq, m1
             FROM wf, top1
@@ -6921,13 +6925,13 @@ def bpe_train_two_steps(spark, sf_dir):
         .select(F.col("pair").alias("m1"))
     )
     pat = F.concat(
-        F.lit(r"\|"), F.substring("m1", 1, 1), F.lit(r"\|"),
+        F.lit(r"\|"), F.substring("m1", 1, 1), F.lit(r"\|\|"),
         F.substring("m1", 2, 1), F.lit(r"\|"),
     )
     repl = F.concat(F.lit("|"), F.col("m1"), F.lit("|"))
-    sym0 = F.concat(F.lit("|"), F.regexp_replace("w", F.lit("(.)"), F.lit("$1|")))
+    sym0 = F.concat(F.lit("||"), F.regexp_replace("w", F.lit("(.)"), F.lit("$1||")))
     applied = wf.crossJoin(F.broadcast(top1)).select(
-        F.regexp_replace(F.regexp_replace(sym0, pat, repl), pat, repl).alias("sym"),
+        F.regexp_replace(sym0, pat, repl).alias("sym"),
         "freq",
         "m1",
     )

@@ -107,7 +107,7 @@ def read_sink(spark: SparkSession, base_path: str) -> DataFrame:
     return spark.read.parquet(base_path).drop(PARTITION_COL)
 
 
-def _norm_path(p: str) -> str | None:
+def _norm_path(p: str) -> str:
     """Normalize a sink path into one comparable namespace.
 
     file: URIs take urlparse's .path (not a literal-prefix strip, which
@@ -118,18 +118,26 @@ def _norm_path(p: str) -> str | None:
     scheme check would misclassify a relative local path whose first
     segment carries a colon ('run:1/sink') and skip realpath.  Remote URIs
     compare textually after trailing-slash stripping; local paths realpath
-    so symlinked aliases of the same directory are caught.  Returns
-    (kind-tagged by caller usage) the normalized string; remote URIs keep
-    their scheme so they never collide with a local path."""
+    so symlinked aliases of the same directory are caught.  Remote URIs
+    keep their scheme so they never collide with a local path."""
     import os
     from urllib.parse import urlparse
 
     u = urlparse(p)
-    if u.scheme == "file":
+    if u.scheme == "file" and _file_uri_is_local(p):
         return os.path.realpath(u.path or "/")
     if "://" in p:
         return p.rstrip("/")
     return os.path.realpath(p)
+
+
+def _file_uri_is_local(p: str) -> bool:
+    """True when a file: URI addresses THIS host (empty or localhost
+    authority).  file://nas-host/data names another machine's filesystem —
+    it must not be conflated with the local path /data."""
+    from urllib.parse import urlparse
+
+    return urlparse(p).netloc.lower() in ("", "localhost")
 
 
 def _check_disjoint_paths(base_path: str, out_path: str) -> None:

@@ -196,13 +196,19 @@ def test_embedding_top_pc_golden(spark, tmp_path):
 
 
 def test_bpe_two_steps_run_semantics(spark, tmp_path):
-    """Pin the greedy two-pass merge on symbol RUNS: corpus of 'aa' x3 and
-    'aaaa' x1 picks merge1='aa' (count 6); applying it turns 'aaaa' into
-    [aa, aa] (leftmost non-overlapping — the shared-separator leftover is
-    caught by pass 2), so the only second-round pair is 'aa+aa'."""
-    sf = _write_documents(tmp_path, [(0, "aa aa aa aaaa")])
+    """Pin greedy leftmost non-overlapping merging on symbol RUNS of every
+    parity: corpus dominated by 'aa' picks merge1='aa'; applying it gives
+    aaaa -> [aa, aa], aaaaa -> [aa, aa, a], aaaaaa -> [aa, aa, aa] (the
+    doubled-separator pass; a naive shared-separator replace under-merges
+    the even run and mis-orders the odd one)."""
+    sf = _write_documents(
+        tmp_path, [(0, "aa aa aa aa aa aa aaaa aaaaa aaaaaa")]
+    )
     rows = QUERIES["bpe_train_two_steps"].fn(spark, sf).collect()
-    assert [(r.merge1, r.pair, r.n) for r in rows] == [("aa", "aa+aa", 1)]
+    got = {r.pair: r.n for r in rows}
+    assert all(r.merge1 == "aa" for r in rows)
+    # aaaa: aa+aa (1); aaaaa: aa+aa, aa+a (1 each); aaaaaa: aa+aa x2
+    assert got == {"aa+aa": 4, "aa+a": 1}
 
 
 def test_embedding_pc_residual_rank1_is_zero(spark, tmp_path):

@@ -826,3 +826,16 @@ def test_footer_row_count_accepts_file_uri_spellings(spark, tmp_path):
     assert sk._footer_row_count(f"file:{land}") == 10
     assert sk._footer_row_count(f"file://localhost{land}") == 10
     assert sk._footer_row_count("hdfs://nn/x") is None
+
+
+def test_footer_row_count_rejects_remote_file_authority(spark, tmp_path):
+    """file://<other-host>/... names another machine's filesystem — the
+    footer walk must return None (fallback), not walk a same-named local
+    directory; the disjointness guard still compares such URIs textually."""
+    import pytest
+
+    from kwack_spark.streaming import sink as sk
+
+    assert sk._footer_row_count("file://nas-host/data") is None
+    with pytest.raises(ValueError, match="overlaps"):
+        sk._check_disjoint_paths("file://nas-host/data", "file://nas-host/data/out")
