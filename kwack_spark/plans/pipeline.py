@@ -7039,3 +7039,502 @@ def embedding_pc_residual_topk(spark, sf_dir):
         ),
     )
     return scored.orderBy(F.desc("resid2"), "vec_id").limit(25)
+
+
+@register(
+    "tfidf_cosine_topk",
+    # All-pairs sparse TF-IDF cosine, top-20 most-similar document pairs —
+    # the sparse-vector complement of dedup_embedding_cosine (dense) and
+    # dedup_ngram_jaccard (set overlap).  Determinism discipline (the
+    # tfidf_top_terms / bm25_topk_search pattern): each weight is rounded
+    # to 6dp BEFORE any sum (so ln()'s last ulp cannot leak), and every
+    # dot/norm accumulates through exact DECIMAL, so partial-aggregation
+    # order cannot change a bit.  Stop terms (df * 2 > N) are excluded —
+    # the same cap that bounds the self-join fan-out at scale.
+    oracle=f"""
+        WITH tok AS (SELECT doc_id, unnest({_toks()}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        w AS (
+            SELECT doc_id, term,
+                   CAST(round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6)
+                        AS DECIMAL(18,6)) AS w
+            FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+            WHERE d.df * 2 <= n.n_docs
+        ),
+        n2 AS (
+            SELECT doc_id,
+                   CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE) AS n2
+            FROM w GROUP BY 1
+        ),
+        dots AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,12))) AS DOUBLE) AS dot
+            FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+        FROM dots
+        JOIN n2 na ON na.doc_id = id_a
+        JOIN n2 nb ON nb.doc_id = id_b
+        ORDER BY cosine DESC, id_a, id_b LIMIT 20
+    """,
+    tags=("text", "tfidf", "similarity"),
+)
+def tfidf_cosine_topk(spark, sf_dir):
+    """Sparse all-pairs similarity via the inverted index: pair partial
+    products are generated ONLY where two docs share a term, i.e. a
+    self-equi-join of the (doc, term, w) posting table on the term key —
+    never a doc x doc cross product.  100-TB shape: tf shuffles once on
+    (doc, term); df is vocabulary-sized and broadcasts; the stop-term cap
+    (df <= N/2 here; production sets an absolute posting-length cap) bounds
+    the worst per-term fan-out, which is THE skew knob for all-pairs
+    similarity; norms are doc-count-sized and shuffle-join on doc id; the
+    final top-20 is a TakeOrdered.  Exact DECIMAL sums of 6dp-pre-rounded
+    weights keep Spark and DuckDB bit-identical."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") * 2 <= F.col("n_docs"))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    n2 = w.groupBy("doc_id").agg(
+        F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("n2")
+    )
+    dots = (
+        w.alias("a")
+        .join(
+            w.alias("b"),
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(
+            F.sum((F.col("a.w") * F.col("b.w")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    res = (
+        dots.join(
+            n2.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("n2a")),
+            "id_a",
+        )
+        .join(
+            n2.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("n2b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot") / (F.sqrt("n2a") * F.sqrt("n2b")), 6
+            ).alias("cosine"),
+        )
+    )
+    return res.orderBy(F.desc("cosine"), "id_a", "id_b").limit(20)
+
+
+@register(
+    "event_robust_outliers",
+    # Robust per-type outlier scan: median/MAD z-scores (the
+    # mean/stddev-free counterpart of daily_anomaly_zscore — a single
+    # corrupt shard cannot drag the center the way it drags a mean).
+    # Determinism: median on both engines is the same interpolated
+    # selection (avg of the two middle values — one IEEE add + halve on
+    # identical inputs); every downstream step is +,-,*,/ on identical
+    # doubles, rounded to 6dp at the end; mad = 0 groups are excluded
+    # (their z-score would be an infinity whose formatting differs).
+    oracle="""
+        WITH med AS (
+            SELECT event_type, median(value) AS med FROM events GROUP BY 1
+        ),
+        dev AS (
+            SELECT e.event_id, e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
+        SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+               round((d.value - d.med) / (1.4826 * m.mad), 6) AS rz
+        FROM dev d JOIN mad m USING (event_type)
+        WHERE m.mad > 0
+          AND abs((d.value - d.med) / (1.4826 * m.mad)) > 3.5
+    """,
+    tags=("quality", "outlier", "robust"),
+)
+def event_robust_outliers(spark, sf_dir):
+    """100-TB shape: two key-partitioned aggregations over the fact (the
+    per-type exact median; then the median of absolute deviations) with the
+    tiny per-type center/scale tables broadcast back — the fact shuffles on
+    the bounded event_type key only for the medians, and the scoring pass
+    is narrow map work.  At cluster scale the exact median swaps for
+    percentile_approx with a pinned accuracy — the plan shape (two
+    partial+final aggs + broadcast enrich) is unchanged."""
+    e = T(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    scored = dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        "mad",
+        F.round(
+            (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 6
+        ).alias("rz"),
+    )
+    return scored.filter(
+        (F.col("mad") > 0)
+        & (
+            F.abs(
+                (F.col("value") - F.col("med"))
+                / (F.lit(1.4826) * F.col("mad"))
+            )
+            > 3.5
+        )
+    )
+
+
+@register(
+    "bitext_margin_mining",
+    # Margin-based parallel-corpus mining (the CCMatrix/LASER shape): for
+    # every "source-language" vector (label 0) find its best
+    # "target-language" match (label 1) and score it by the DISTANCE
+    # MARGIN — top-1 cosine minus the mean of the top-4 cosines — so a
+    # vector that is merely close to everything (a hub) ranks below one
+    # with a single standout match.  Determinism: cosines are the shared
+    # strict-left-fold kernel (bit-equal across engines, so rank order
+    # needs no rounding; ties break on tgt id); the top-4 mean sums
+    # 9dp-pre-rounded cosines through exact DECIMAL; outputs round to 6dp.
+    oracle=f"""
+        WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (SELECT vec_id, v FROM v WHERE label = 0),
+        t AS (SELECT vec_id, v FROM v WHERE label = 1),
+        pairs AS (
+            SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+                   {_cos_sql("s", "t")} AS cos
+            FROM s CROSS JOIN t
+        ),
+        ranked AS (
+            SELECT src_id, tgt_id, cos,
+                   row_number() OVER (PARTITION BY src_id
+                                      ORDER BY cos DESC, tgt_id) AS rnk
+            FROM pairs
+        ),
+        top4 AS (
+            SELECT src_id,
+                   CAST(SUM(CAST(round(cos, 9) AS DECIMAL(12,9))) AS DOUBLE)
+                       / 4 AS mean4
+            FROM ranked WHERE rnk <= 4 GROUP BY 1
+        ),
+        top1 AS (SELECT src_id, tgt_id, cos FROM ranked WHERE rnk = 1)
+        SELECT t1.src_id, t1.tgt_id,
+               round(t1.cos, 6) AS cos_top1,
+               round(t1.cos - t4.mean4, 6) AS margin
+        FROM top1 t1 JOIN top4 t4 USING (src_id)
+        ORDER BY margin DESC, src_id LIMIT 25
+    """,
+    tags=("embedding", "similarity", "mining"),
+)
+def bitext_margin_mining(spark, sf_dir):
+    """100-TB shape: one language side is usually orders smaller (or
+    IVF-blocked first — ann_ivf_topk is the candidate generator at scale),
+    so the target side broadcasts and the source side streams
+    partition-parallel: per-source scoring is narrow map work inside
+    codegen, the per-source window runs after a shuffle on src_id whose
+    width is k-bounded (only rnk <= 4 survives the aggregate), and the
+    final top-25 is a TakeOrdered."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", V.as_double("embedding").alias("v"))
+    s = v.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("src_id"), F.col("v").alias("sv")
+    )
+    t = v.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("tgt_id"), F.col("v").alias("tv")
+    )
+    pairs = s.crossJoin(F.broadcast(t)).select(
+        "src_id",
+        "tgt_id",
+        V.cosine(F.col("sv"), F.col("tv")).alias("cos"),
+    )
+    wnd = Window.partitionBy("src_id").orderBy(F.desc("cos"), "tgt_id")
+    ranked = pairs.select(
+        "src_id", "tgt_id", "cos", F.row_number().over(wnd).alias("rnk")
+    )
+    top4 = (
+        ranked.filter(F.col("rnk") <= 4)
+        .groupBy("src_id")
+        .agg(
+            (
+                F.sum(F.round(F.col("cos"), 9).cast("decimal(12,9)")).cast(
+                    "double"
+                )
+                / 4
+            ).alias("mean4")
+        )
+    )
+    top1 = ranked.filter(F.col("rnk") == 1).select("src_id", "tgt_id", "cos")
+    res = top1.join(top4, "src_id").select(
+        "src_id",
+        "tgt_id",
+        F.round(F.col("cos"), 6).alias("cos_top1"),
+        F.round(F.col("cos") - F.col("mean4"), 6).alias("margin"),
+    )
+    return res.orderBy(F.desc("margin"), "src_id").limit(25)
+
+
+@register(
+    "streaming_click_purchase_join",
+    # STREAM-STREAM inner interval join — the one stateful-join shape the
+    # streaming corpus did not yet cover (streaming_static_enrich is
+    # stream-STATIC).  Clicks and purchases replay as two independent file
+    # streams; each side is watermarked so the state store can expire
+    # buffered rows once event time passes the join window; the joined
+    # append-mode output must equal the batch interval join.
+    oracle="""
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.ts AS click_ts,
+               p.ts AS purchase_ts
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND p.event_type = 'purchase'
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join", "interval"),
+)
+def streaming_click_purchase_join(spark, sf_dir):
+    """Structured Streaming stream-stream join under the correctness gate.
+    100-TB shape: both sides shuffle on the join key (user_id) so matching
+    rows co-locate per state-store partition; the 1-hour watermark plus the
+    30-minute interval bound the buffered state per key to a sliding
+    window — without them the state store grows without limit, which is
+    the scale failure mode of unconstrained stream joins.  Append mode:
+    matches emit as soon as both sides arrive; end-of-replay equals the
+    batch interval join bit-for-bit."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.streaming import ingest as si
+
+    e = T(spark, sf_dir, "events")
+    replay_dir = tempfile.mkdtemp(prefix="kwack_ssjoin_replay_")
+    e.write.mode("overwrite").parquet(replay_dir)
+
+    def side(event_type, id_alias, ts_alias, user_alias):
+        s = spark.readStream.schema(e.schema).parquet(replay_dir)
+        return (
+            s.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(user_alias),
+                F.col("event_id").alias(id_alias),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "1 hour")
+        )
+
+    clicks = side("click", "click_id", "click_ts", "c_user")
+    purchases = side("purchase", "purchase_id", "purchase_ts", "p_user")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + interval 30 minutes"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+    )
+    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    with _few_shuffle_partitions(spark):
+        q = si.to_memory_sink(joined, sink, output_mode="append")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_click_purchase_join: stream did not finish in 300s"
+            )
+    return spark.table(sink).select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"
+    )
+
+
+@register(
+    "pagerank_dup_graph",
+    # Link analysis over the near-duplicate graph: two PageRank iterations
+    # (alpha = 0.85, dangling mass redistributed uniformly) on the
+    # undirected LSH pair graph — surfaces template/boilerplate HUBS whose
+    # influence a per-pair dedup verdict can't see.  Exact iterative
+    # kernel (the embedding_top_pc discipline): per-edge contributions are
+    # rounded to 12dp BEFORE summing and accumulate through exact DECIMAL,
+    # dangling mass likewise, and each iteration's rank is re-rounded to
+    # 12dp — so both engines walk bit-identical rank vectors.
+    oracle=f"""
+        WITH {_LSH_CTES},
+        pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        nodes AS (SELECT doc_id FROM documents),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+        r0 AS (SELECT doc_id, 1.0 / n.n AS r FROM nodes, n),
+        c1 AS (
+            SELECT e.v, CAST(round(r.r / g.d, 12) AS DECIMAL(16,12)) AS c
+            FROM edges e JOIN r0 r ON r.doc_id = e.u JOIN deg g ON g.u = e.u
+        ),
+        in1 AS (SELECT v, CAST(SUM(c) AS DOUBLE) AS inflow FROM c1 GROUP BY 1),
+        dang1 AS (
+            SELECT COALESCE(CAST(SUM(CAST(round(r.r, 12) AS DECIMAL(16,12)))
+                                 AS DOUBLE), 0.0) AS dang
+            FROM r0 r LEFT JOIN deg g ON g.u = r.doc_id WHERE g.u IS NULL
+        ),
+        r1 AS (
+            SELECT nd.doc_id,
+                   round(0.15 / n.n + 0.85 * (COALESCE(i.inflow, 0.0)
+                         + dang1.dang / n.n), 12) AS r
+            FROM nodes nd CROSS JOIN n CROSS JOIN dang1
+            LEFT JOIN in1 i ON i.v = nd.doc_id
+        ),
+        c2 AS (
+            SELECT e.v, CAST(round(r.r / g.d, 12) AS DECIMAL(16,12)) AS c
+            FROM edges e JOIN r1 r ON r.doc_id = e.u JOIN deg g ON g.u = e.u
+        ),
+        in2 AS (SELECT v, CAST(SUM(c) AS DOUBLE) AS inflow FROM c2 GROUP BY 1),
+        dang2 AS (
+            SELECT COALESCE(CAST(SUM(CAST(round(r.r, 12) AS DECIMAL(16,12)))
+                                 AS DOUBLE), 0.0) AS dang
+            FROM r1 r LEFT JOIN deg g ON g.u = r.doc_id WHERE g.u IS NULL
+        ),
+        r2 AS (
+            SELECT nd.doc_id,
+                   round(0.15 / n.n + 0.85 * (COALESCE(i.inflow, 0.0)
+                         + dang2.dang / n.n), 12) AS r
+            FROM nodes nd CROSS JOIN n CROSS JOIN dang2
+            LEFT JOIN in2 i ON i.v = nd.doc_id
+        )
+        SELECT r2.doc_id, COALESCE(g.d, 0) AS degree,
+               round(r2.r, 9) AS pr
+        FROM r2 LEFT JOIN deg g ON g.u = r2.doc_id
+        ORDER BY pr DESC, doc_id LIMIT 25
+    """,
+    tags=("graph", "pagerank", "dedup"),
+)
+def pagerank_dup_graph(spark, sf_dir):
+    """100-TB shape: the edge list (LSH candidate pairs — already bounded
+    by dedup_minhash_lsh's banding) shuffles once on the source node to
+    attach (rank, degree), once on the destination to sum inflow — the
+    classic Pregel message exchange as two key-partitioned joins per
+    iteration; the dangling-mass and 1/N scalars are one-row aggregates
+    that broadcast.  Iterations compose lazily into one Catalyst plan; a
+    production run checkpoints the rank vector every few iterations to cut
+    lineage."""
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=8, bands=2, threshold=0.5
+    ).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    nodes = d.select("doc_id")
+    n = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    rank = nodes.crossJoin(F.broadcast(n)).select(
+        "doc_id", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(2):
+        contrib = (
+            edges.join(rank.withColumnRenamed("doc_id", "u"), "u")
+            .join(deg, "u")
+            .select(
+                "v",
+                F.round(F.col("r") / F.col("d"), 12)
+                .cast("decimal(16,12)")
+                .alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("v").agg(
+            F.sum("c").cast("double").alias("inflow")
+        )
+        dang = (
+            rank.join(deg, rank["doc_id"] == deg["u"], "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.round(F.col("r"), 12).cast("decimal(16,12)")).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                ).alias("dang")
+            )
+        )
+        rank = (
+            nodes.crossJoin(F.broadcast(n))
+            .crossJoin(F.broadcast(dang))
+            .join(
+                inflow.withColumnRenamed("v", "doc_id"), "doc_id", "left"
+            )
+            .select(
+                "doc_id",
+                F.round(
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dang") / F.col("n")
+                    ),
+                    12,
+                ).alias("r"),
+            )
+        )
+    res = rank.join(
+        deg.withColumnRenamed("u", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("d"), F.lit(0)).alias("degree"),
+        F.round(F.col("r"), 9).alias("pr"),
+    )
+    return res.orderBy(F.desc("pr"), "doc_id").limit(25)

@@ -80,6 +80,11 @@ _PRIORITY = [
     "streaming_url_dedup",
     "bpe_train_two_steps",
     "embedding_pc_residual_topk",
+    "tfidf_cosine_topk",
+    "event_robust_outliers",
+    "bitext_margin_mining",
+    "streaming_click_purchase_join",
+    "pagerank_dup_graph",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

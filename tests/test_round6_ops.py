@@ -235,3 +235,146 @@ def test_embedding_pc_residual_rank1_is_zero(spark, tmp_path):
     by_id = {r.vec_id: r.proj for r in rows}
     assert abs(by_id[0] - math.sqrt(5.0)) < 1e-6
     assert abs(by_id[2] - 3 * math.sqrt(5.0)) < 1e-6
+
+
+# --- round-6 wave 2: sparse cosine, robust outliers, bitext margin,
+# stream-stream join, duplicate-graph PageRank ------------------------------
+
+
+def _write_embeddings(tmp_path, vecs, labels=None):
+    labels = labels or [0] * len(vecs)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        f"{tmp_path}/embeddings.parquet",
+    )
+    return str(tmp_path)
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts_iso, user_id, event_type, value)."""
+    import datetime as dt
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime.fromisoformat(r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_tfidf_cosine_only_term_sharing_pairs(spark, tmp_path):
+    """Docs 0/1 share two rare terms -> the ONLY emitted pair, with the
+    hand-computed 6dp-rounded-weight cosine; docs 2/3 share nothing.  The
+    df cap (df*2 <= N) is exercised by N=4: df=2 terms survive."""
+    import math
+
+    rows = [
+        (0, "qaa qab qac"),
+        (1, "qaa qab qad"),
+        (2, "qae qaf"),
+        (3, "qag qah"),
+    ]
+    sf = _write_documents(tmp_path, rows)
+    out = QUERIES["tfidf_cosine_topk"].fn(spark, sf).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
+    w2 = round(math.log(4 / 2), 6)  # shared terms, df=2
+    w1 = round(math.log(4 / 1), 6)  # unique terms, df=1
+    want = round(2 * w2 * w2 / (2 * w2 * w2 + w1 * w1), 6)
+    assert abs(out[0].cosine - want) < 1e-9
+
+
+def test_event_robust_outliers_golden(spark, tmp_path):
+    """Values 1..9 plus a 100 spike: median 5.5, MAD 2.5 -> only the spike
+    crosses |z| > 3.5, and its z matches the hand formula."""
+    base = "2024-01-01T00:{:02d}:00"
+    rows = [
+        (i, base.format(i), 1, "click", float(v))
+        for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100])
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = QUERIES["event_robust_outliers"].fn(spark, sf).collect()
+    assert [(r.event_id, r.value) for r in out] == [(9, 100.0)]
+    r = out[0]
+    assert r.med == 5.5 and r.mad == 2.5
+    assert abs(r.rz - round((100 - 5.5) / (1.4826 * 2.5), 6)) < 1e-9
+
+
+def test_bitext_margin_standout_beats_hub(spark, tmp_path):
+    """A source vector with ONE perfect target match (margin 1 - 0.25)
+    outranks a hub source equally close to every target (margin 0)."""
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),  # src A: standout match to tgt 10
+        (1, [0.5, 0.5, 0.5, 0.5]),  # src B: hub, cos 0.5 with every tgt
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [0.0, 1.0, 0.0, 0.0]),
+        (12, [0.0, 0.0, 1.0, 0.0]),
+        (13, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    sf = _write_embeddings(tmp_path, vecs, labels=[0, 0, 1, 1, 1, 1])
+    rows = QUERIES["bitext_margin_mining"].fn(spark, sf).collect()
+    by_src = {r.src_id: r for r in rows}
+    assert by_src[0].tgt_id == 10 and by_src[0].cos_top1 == 1.0
+    assert abs(by_src[0].margin - 0.75) < 1e-9
+    assert abs(by_src[1].margin) < 1e-9
+    assert rows[0].src_id == 0  # ordered by margin desc
+
+
+def test_streaming_ss_join_window_semantics(spark, tmp_path):
+    """Stream-stream interval join: purchase within [click, click+30m]
+    matches; a later purchase and a purchase BEFORE the click do not."""
+    rows = [
+        (0, "2024-01-01T10:00:00", 1, "click", 1.0),
+        (1, "2024-01-01T10:10:00", 1, "purchase", 1.0),  # match
+        (2, "2024-01-01T10:45:00", 1, "purchase", 1.0),  # outside window
+        (3, "2024-01-01T09:00:00", 2, "purchase", 1.0),  # before click
+        (4, "2024-01-01T09:30:00", 2, "click", 1.0),
+        (5, "2024-01-01T11:00:00", 3, "click", 1.0),  # no purchase
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = QUERIES["streaming_click_purchase_join"].fn(spark, sf).collect()
+    assert [(r.user_id, r.click_id, r.purchase_id) for r in out] == [(1, 0, 1)]
+
+
+def test_pagerank_components_and_dangling(spark, tmp_path):
+    """Triangle (3 identical docs) + pair (2 identical docs) + 2 singletons:
+    regular components keep uniform rank, connected nodes outrank dangling
+    singletons, degrees are exact, and total mass stays ~1."""
+    tri = " ".join(_NATO[:12])
+    pair = " ".join("x" + w for w in _NATO[:12])
+    rows = [
+        (0, tri), (1, tri), (2, tri),
+        (3, pair), (4, pair),
+        (5, " ".join(WORDS[:12])),
+        (6, " ".join(reversed(WORDS))),
+    ]
+    sf = _write_documents(tmp_path, rows)
+    out = QUERIES["pagerank_dup_graph"].fn(spark, sf).collect()
+    assert len(out) == 7
+    by_id = {r.doc_id: r for r in out}
+    assert {i: by_id[i].degree for i in range(7)} == {
+        0: 2, 1: 2, 2: 2, 3: 1, 4: 1, 5: 0, 6: 0,
+    }
+    assert by_id[0].pr == by_id[1].pr == by_id[2].pr
+    assert by_id[3].pr == by_id[4].pr
+    assert by_id[5].pr == by_id[6].pr
+    assert by_id[0].pr > by_id[5].pr and by_id[3].pr > by_id[5].pr
+    assert abs(sum(r.pr for r in out) - 1.0) < 1e-6
