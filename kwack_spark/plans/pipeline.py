@@ -7115,6 +7115,10 @@ def tfidf_cosine_topk(spark, sf_dir):
             .alias("w"),
         )
     )
+    # the posting table feeds three subtrees (both sides of the pair join
+    # + the norms) — persist it once or the tokenize+tf+df pipeline runs
+    # 3x (the minhash_lsh_pairs shingle-set discipline)
+    w = similarity._persist_rotating("tfidf_cos_w", w)
     n2 = w.groupBy("doc_id").agg(
         F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)"))
         .cast("double")
@@ -7477,64 +7481,95 @@ def pagerank_dup_graph(spark, sf_dir):
     pairs = dedup.minhash_lsh_pairs(
         d, "doc_id", "text", k=8, bands=2, threshold=0.5
     ).select("id_a", "id_b")
+    # persist the PAIR list (not the unioned edge list): the union reads
+    # pairs through two projection branches, so persisting upstream of it
+    # runs the whole LSH shingle/signature pipeline once instead of twice;
+    # every iteration then reads the cached pairs, never the corpus
+    pairs = similarity._persist_rotating("pagerank_pairs", pairs)
     edges = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
     nodes = d.select("doc_id")
-    n = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # n is a SCALAR — resolve it driver-side once (Python float division
+    # is the same IEEE-754 double op both engines run) instead of carrying
+    # a one-row broadcast subquery through every iteration
+    n = float(nodes.count())
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    rank = nodes.crossJoin(F.broadcast(n)).select(
-        "doc_id", (F.lit(1.0) / F.col("n")).alias("r")
+    # the STATIC per-node degree rides inside the checkpointed rank frame
+    # (doc_id, d, r): each iteration then needs no degree join at all —
+    # contributions read r/d off one row, and the dangling mass is a
+    # filter-aggregate over the checkpoint (d = 0), not an anti-join
+    rank = (
+        nodes.join(deg.withColumnRenamed("u", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+            F.lit(1.0 / n).alias("r"),
+        )
+        .localCheckpoint(eager=True)
     )
-    for _ in range(2):
-        contrib = (
-            edges.join(rank.withColumnRenamed("doc_id", "u"), "u")
-            .join(deg, "u")
-            .select(
-                "v",
-                F.round(F.col("r") / F.col("d"), 12)
-                .cast("decimal(16,12)")
-                .alias("c"),
-            )
-        )
-        inflow = contrib.groupBy("v").agg(
-            F.sum("c").cast("double").alias("inflow")
-        )
-        dang = (
-            rank.join(deg, rank["doc_id"] == deg["u"], "left_anti")
-            .agg(
-                F.coalesce(
-                    F.sum(F.round(F.col("r"), 12).cast("decimal(16,12)")).cast(
-                        "double"
-                    ),
-                    F.lit(0.0),
-                ).alias("dang")
-            )
-        )
-        rank = (
-            nodes.crossJoin(F.broadcast(n))
-            .crossJoin(F.broadcast(dang))
-            .join(
-                inflow.withColumnRenamed("v", "doc_id"), "doc_id", "left"
-            )
-            .select(
-                "doc_id",
-                F.round(
-                    F.lit(0.15) / F.col("n")
-                    + F.lit(0.85)
-                    * (
-                        F.coalesce(F.col("inflow"), F.lit(0.0))
-                        + F.col("dang") / F.col("n")
-                    ),
-                    12,
-                ).alias("r"),
-            )
-        )
-    res = rank.join(
-        deg.withColumnRenamed("u", "doc_id"), "doc_id", "left"
-    ).select(
+    # iteration rounds run at graph width, not corpus width: the rank/edge
+    # exchanges here carry node- and edge-count rows, far below the scan's
+    # data volume — the dedup_cluster_components sizing rule.  A cluster
+    # deployment sets this to the graph's own scale instead.
+    with _few_shuffle_partitions(spark):
+        for _ in range(2):
+            rank = _pagerank_step(edges, n, rank)
+    res = rank.select(
         "doc_id",
-        F.coalesce(F.col("d"), F.lit(0)).alias("degree"),
+        F.col("d").alias("degree"),
         F.round(F.col("r"), 9).alias("pr"),
     )
     return res.orderBy(F.desc("pr"), "doc_id").limit(25)
+
+
+def _pagerank_step(edges, n, rank):
+    """One exact PageRank iteration (alpha = 0.85): 12dp-pre-rounded
+    per-edge contributions summed through DECIMAL, dangling mass as a
+    driver-side scalar filter-aggregate off the checkpointed rank
+    (degree rides in the frame), rank re-rounded to 12dp — then
+    lineage-truncated.  The update joins inflow back onto the checkpointed
+    rank itself (it carries every node), so no step touches the corpus
+    scan again."""
+    contrib = edges.join(rank.withColumnRenamed("doc_id", "u"), "u").select(
+        "v",
+        F.round(F.col("r") / F.col("d"), 12).cast("decimal(16,12)").alias("c"),
+    )
+    inflow = contrib.groupBy("v").agg(
+        F.sum("c").cast("double").alias("inflow")
+    )
+    # one-row scalar aggregate over the checkpoint: collect it rather than
+    # carrying a broadcast-subquery stage through the plan.  The downstream
+    # arithmetic applies the SAME IEEE op tree as the oracle: 0.15/n,
+    # dang/n, inflow + dm, *0.85, +jump.
+    dang = (
+        rank.filter(F.col("d") == 0)
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("r"), 12).cast("decimal(16,12)")).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            ).alias("dang")
+        )
+        .collect()[0][0]
+    )
+    jump = 0.15 / n
+    dm = dang / n
+    out = rank.join(
+        inflow.withColumnRenamed("v", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "d",
+        F.round(
+            F.lit(jump)
+            + F.lit(0.85)
+            * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dm)),
+            12,
+        ).alias("r"),
+    )
+    # rank is referenced three times next iteration (contrib, dangling,
+    # output) and embeds inflow which references the PREVIOUS rank —
+    # truncate lineage per step (the embedding_top_pc discipline) or the
+    # plan doubles per iteration
+    return out.localCheckpoint(eager=True)

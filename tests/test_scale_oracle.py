@@ -114,6 +114,17 @@ SCALE_SENSITIVE = [
     "bpe_train_two_steps",
     # residual scoring rides the PC pipeline at 4x the vectors
     "embedding_pc_residual_topk",
+    # round-6 wave 2: the posting self-join's stop-term cap and pair
+    # volume shift with corpus size; the dup-graph's edge list and
+    # dangling mass come off the LSH pair distribution at 10x; the
+    # stream-stream join buffers 10x the per-key state under the same
+    # watermark; margin mining's top-4 pool deepens with the target side;
+    # exact medians see 10x the per-type values
+    "tfidf_cosine_topk",
+    "pagerank_dup_graph",
+    "streaming_click_purchase_join",
+    "bitext_margin_mining",
+    "event_robust_outliers",
 ]
 
 pytestmark = pytest.mark.skipif(
