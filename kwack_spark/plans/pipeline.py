@@ -7573,3 +7573,109 @@ def _pagerank_step(edges, n, rank):
     # truncate lineage per step (the embedding_top_pc discipline) or the
     # plan doubles per iteration
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "dup_graph_triangles",
+    # Triangle census of the near-duplicate graph: per-node triangle
+    # counts + local clustering coefficient — distinguishes tight
+    # template cliques (coefficient ~1: safe to collapse to one keeper)
+    # from chain-like spurious LSH paths (coefficient ~0: verify before
+    # collapsing).  Complements dedup_cluster_components (membership) and
+    # pagerank_dup_graph (centrality).  Exact: triangle enumeration is
+    # id-ordered (a < b < c, each triangle counted once), the coefficient
+    # is one IEEE divide of integers, rounded to 6dp.
+    oracle=f"""
+        WITH {_LSH_CTES},
+        pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+        ),
+        tri AS (
+            SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+            FROM pairs p1
+            JOIN pairs p2 ON p2.id_a = p1.id_b
+            JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+        ),
+        tn AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY node
+        ),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT id_a AS node FROM pairs
+                UNION ALL SELECT id_b FROM pairs
+            ) GROUP BY node
+        )
+        SELECT g.node AS doc_id, g.d AS degree,
+               COALESCE(t.n_tri, 0) AS n_triangles,
+               round(2.0 * COALESCE(t.n_tri, 0) / (g.d * (g.d - 1)), 6)
+                   AS clustering
+        FROM deg g LEFT JOIN tn t USING (node)
+        WHERE g.d >= 2
+        ORDER BY n_triangles DESC, doc_id LIMIT 25
+    """,
+    tags=("graph", "dedup", "triangles"),
+)
+def dup_graph_triangles(spark, sf_dir):
+    """100-TB shape: the pair list is the persisted LSH sketch (built
+    once); triangle enumeration is two self-joins on a shared vertex with
+    the a < b < c orientation so each triangle materializes exactly once —
+    at cluster scale the standard refinement is degree-ordered orientation
+    (direct each edge toward the higher-degree endpoint), which bounds the
+    join fan-out by arboricity instead of max degree; the node-level
+    rollup shuffles triangle-count rows, not the corpus."""
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=8, bands=2, threshold=0.5
+    ).select("id_a", "id_b")
+    pairs = similarity._persist_rotating("tri_pairs", pairs)
+    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
+    tri = (
+        p1.join(p2, F.col("p2.id_a") == F.col("p1.id_b"))
+        .join(
+            p3,
+            (F.col("p3.id_a") == F.col("p1.id_a"))
+            & (F.col("p3.id_b") == F.col("p2.id_b")),
+        )
+        .select(
+            F.col("p1.id_a").alias("a"),
+            F.col("p1.id_b").alias("b"),
+            F.col("p2.id_b").alias("c"),
+        )
+    )
+    tn = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        pairs.select(F.col("id_a").alias("node"))
+        .unionAll(pairs.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    res = (
+        deg.join(tn, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("n_tri"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering"),
+        )
+    )
+    return res.orderBy(F.desc("n_triangles"), "doc_id").limit(25)

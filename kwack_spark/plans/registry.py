@@ -85,6 +85,7 @@ _PRIORITY = [
     "bitext_margin_mining",
     "streaming_click_purchase_join",
     "pagerank_dup_graph",
+    "dup_graph_triangles",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

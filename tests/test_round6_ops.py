@@ -378,3 +378,21 @@ def test_pagerank_components_and_dangling(spark, tmp_path):
     assert by_id[5].pr == by_id[6].pr
     assert by_id[0].pr > by_id[5].pr and by_id[3].pr > by_id[5].pr
     assert abs(sum(r.pr for r in out) - 1.0) < 1e-6
+
+
+def test_triangles_k4_clique_golden(spark, tmp_path):
+    """Four identical docs form K4: every node has degree 3, sits in
+    C(3,2)=3 triangles, clustering coefficient exactly 1.  A 2-doc pair
+    (degree 1) is excluded by the d >= 2 filter; singletons never appear."""
+    k4 = " ".join(_NATO[:12])
+    pair = " ".join("x" + w for w in _NATO[:12])
+    rows = [
+        (0, k4), (1, k4), (2, k4), (3, k4),
+        (4, pair), (5, pair),
+        (6, " ".join(WORDS[:12])),
+    ]
+    sf = _write_documents(tmp_path, rows)
+    out = QUERIES["dup_graph_triangles"].fn(spark, sf).collect()
+    assert [(r.doc_id, r.degree, r.n_triangles, r.clustering) for r in out] == [
+        (i, 3, 3, 1.0) for i in range(4)
+    ]

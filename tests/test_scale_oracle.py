@@ -125,6 +125,9 @@ SCALE_SENSITIVE = [
     "streaming_click_purchase_join",
     "bitext_margin_mining",
     "event_robust_outliers",
+    # the triangle census' two-hop self-join fan-out grows with the LSH
+    # pair distribution at 10x
+    "dup_graph_triangles",
 ]
 
 pytestmark = pytest.mark.skipif(
