@@ -114,6 +114,17 @@ HEADLINE = [
     "embedding_top_pc",
     # round-14: second-iteration BPE (vocab-sized merge apply + recount)
     "bpe_train_two_steps",
+    # round-15: the sparse all-pairs similarity join (stop-term-capped
+    # posting self-join), two exact PageRank iterations over the LSH dup
+    # graph (persisted pair sketch + checkpointed rank), margin-based
+    # bitext mining (broadcast target side), median/MAD robust outliers,
+    # and the watermarked stream-stream interval join replay
+    "tfidf_cosine_topk",
+    "pagerank_dup_graph",
+    "bitext_margin_mining",
+    "event_robust_outliers",
+    "streaming_click_purchase_join",
+    "dup_graph_triangles",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

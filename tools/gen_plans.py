@@ -110,6 +110,27 @@ _NOTES = """
   top-PC plan is shallow because each power-iteration step is cut by a
   localCheckpoint (2^t lineage growth otherwise — see the query
   docstring).
+- **tfidf_cosine_topk**: pair partials exist only where two docs share a
+  term — a posting-table self-equi-join on the term key, never doc x doc;
+  the persisted posting table feeds the norms and both join sides, the
+  df table broadcasts, and the stop-term cap (df <= N/2) bounds per-term
+  fan-out (THE skew knob for sparse all-pairs similarity).
+- **pagerank_dup_graph / dup_graph_triangles**: both iterate/join on the
+  persisted LSH pair sketch, so the corpus is scanned once; PageRank's
+  shallow final plan is the checkpointed rank frame (degree rides in it —
+  no per-iteration degree join; dangling mass is a scalar filter-agg off
+  the checkpoint), triangles are two id-oriented self-joins on pair rows.
+- **bitext_margin_mining**: target side broadcasts (one language side is
+  orders smaller, or IVF-blocked first), scoring is codegen fold work per
+  source row, and the per-source window shuffles only k-bounded rows.
+- **streaming_click_purchase_join**: all-zero counts like the other
+  streaming rows — the watermarked stream-stream interval join ran under
+  the streaming engine; both sides shuffle on user_id into the join state
+  store, state bounded by watermark + interval.
+- **event_robust_outliers**: two key-partitioned exact-median aggs over
+  the bounded event_type key with the per-type center/scale broadcast
+  back; at cluster scale the exact median swaps for percentile_approx
+  with the same plan shape.
 """
 
 

@@ -62,6 +62,14 @@ STRESS_QUERIES = [
     "dedup_longest_common_span",
     "dedup_url_canonical",
     "embedding_covariance_topk",
+    # round-6 wave 2: the stop-term-capped posting self-join (must stay
+    # near-linear — the df cap is the blocking knob), the two dup-graph
+    # ops (edge list grows ~K because replicas are similarity-broken),
+    # and margin mining (target side fixed-broadcast, source streams)
+    "tfidf_cosine_topk",
+    "pagerank_dup_graph",
+    "dup_graph_triangles",
+    "bitext_margin_mining",
 ]
 
 
