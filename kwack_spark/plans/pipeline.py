@@ -7679,3 +7679,207 @@ def dup_graph_triangles(spark, sf_dir):
         )
     )
     return res.orderBy(F.desc("n_triangles"), "doc_id").limit(25)
+
+
+@register(
+    "streaming_latest_per_key",
+    # keyed UPSERT as a streaming materialized view: the per-user "current
+    # row" (latest event by ts, tie -> highest event_id) plus a lifetime
+    # event count, maintained by the stateful engine in complete mode and
+    # equal to the batch DISTINCT ON at end-of-replay.  The streaming twin
+    # of distinct_on_latest — kwack's live-table surface is exactly this
+    # shape (a continuously-updated latest-state table readers query).
+    oracle="""
+        WITH r AS (
+            SELECT user_id, ts, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn,
+                   CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                       AS n_events
+            FROM events
+        )
+        SELECT user_id, ts AS latest_ts, event_id AS latest_event_id,
+               value AS latest_value, n_events
+        FROM r WHERE rn = 1
+    """,
+    tags=("streaming", "upsert", "state"),
+)
+def streaming_latest_per_key(spark, sf_dir):
+    """100-TB shape: state is ONE row per key (the max_by pair and a
+    counter — constant per key regardless of replay length), partitioned
+    by user_id across the state store; each micro-batch folds its rows
+    into the per-key maxima map-side before the state update.  The
+    (ts, event_id) struct ordering makes the tie-break total, so the
+    landed view is bit-equal to the batch window."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.streaming import ingest as si
+
+    e = T(spark, sf_dir, "events")
+    replay_dir = tempfile.mkdtemp(prefix="kwack_latest_replay_")
+    e.write.mode("overwrite").parquet(replay_dir)
+    stream = spark.readStream.schema(e.schema).parquet(replay_dir)
+    ord_key = F.struct("ts", "event_id")
+    agg = stream.groupBy("user_id").agg(
+        F.max("ts").alias("latest_ts"),
+        F.max_by("event_id", ord_key).alias("latest_event_id"),
+        F.max_by("value", ord_key).alias("latest_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    sink = f"latest_{uuid.uuid4().hex[:8]}"
+    with _few_shuffle_partitions(spark):
+        q = si.to_memory_sink(agg, sink, output_mode="complete")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_latest_per_key: stream did not finish in 300s"
+            )
+    return spark.table(sink).select(
+        "user_id", "latest_ts", "latest_event_id", "latest_value", "n_events"
+    )
+
+
+_JL_PLANES = range(100, 116)  # 16 independent md5-parity component sets
+
+# one projected coordinate: STRICT left-fold of v[j] * (+/-1 from md5
+# parity) in index order — list_reduce, not list_sum (list_sum's summation
+# order is unspecified, fine for the LSH sign threshold but not for
+# bit-exact sketch ranks); Spark's F.aggregate init of 0.0 is absorbed
+# exactly by the first add
+_JL_COORD_SQL = (
+    "list_reduce([v[j] * (CASE WHEN substr(md5({p}::VARCHAR || ':' || (j-1)::VARCHAR),"
+    " 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END)"
+    " for j in generate_series(1, 64)], (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "jl_projection_recall",
+    # Johnson-Lindenstrauss sketch quality, measured: project 64-dim
+    # embeddings to 16 dims through deterministic md5-parity +/-1
+    # components (the LSH plane kernel without the sign threshold), rank
+    # neighbors in the sketch space, and report top-5 recall against the
+    # exact ranking per query — the dimensionality-reduction counterpart
+    # of ann_pq_recall / ann_ivf_recall.  Every projected coordinate is
+    # the same strict left fold on both engines, so sketch cosines (and
+    # therefore sketch ranks) are bit-identical; ties break on corpus id.
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+            SELECT vec_id,
+                   [{_JL_COORD_SQL.format(p='pp')} for pp in generate_series(100, 115)]
+                       AS y
+            FROM v
+        ),
+        q AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+        ex AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_cos_sql("a", "b")} DESC, c.vec_id
+                   ) AS rnk
+            FROM q JOIN v a ON a.vec_id = q.vec_id
+            JOIN v b ON b.vec_id <> q.vec_id
+            JOIN v c ON c.vec_id = b.vec_id
+        ),
+        sk AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(a.y, b.y)
+                                / (sqrt(list_dot_product(a.y, a.y))
+                                   * sqrt(list_dot_product(b.y, b.y))) DESC,
+                                c.vec_id
+                   ) AS rnk
+            FROM q JOIN p a ON a.vec_id = q.vec_id
+            JOIN p b ON b.vec_id <> q.vec_id
+            JOIN p c ON c.vec_id = b.vec_id
+        )
+        SELECT q.vec_id AS query_id,
+               COALESCE(o.n, 0) AS n_overlap,
+               CAST(COALESCE(o.n, 0) AS DOUBLE) / 5 AS recall_at_5
+        FROM q LEFT JOIN (
+            SELECT e.query_id, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT query_id, corpus_id FROM ex WHERE rnk <= 5) e
+            JOIN (SELECT query_id, corpus_id FROM sk WHERE rnk <= 5) s
+              ON s.query_id = e.query_id AND s.corpus_id = e.corpus_id
+            GROUP BY e.query_id
+        ) o ON o.query_id = q.vec_id
+    """,
+    tags=("embedding", "ann", "sketch", "recall"),
+)
+def jl_projection_recall(spark, sf_dir):
+    """100-TB shape: the 16x64 sign matrix is a compile-time constant baked
+    into codegen (no table, nothing broadcast); projection is one narrow
+    pass producing a 4x-smaller sketch column, the sketch ranking scans
+    16-float vectors instead of 64, and the recall join touches only the
+    two k-bounded top-5 lists per query.  The query batch is fixed-size,
+    so both rankings are broadcast-side joins against the streamed
+    corpus."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", V.as_double("embedding").alias("v"))
+
+    hexhi = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+    # bind the plane id through a factory, NOT `lambda j, p=p: ...` — a
+    # two-parameter lambda makes F.transform pass the ELEMENT INDEX as the
+    # second argument, silently clobbering the default
+    def plane_comp(p):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{p}:"), j.cast("string"))), 1, 1
+                ).isin(*hexhi),
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+
+    def jl(vec):
+        return F.array(*[V.dot(vec, plane_comp(p)) for p in _JL_PLANES])
+
+    proj = v.select("vec_id", jl(F.col("v")).alias("y"))
+    proj = similarity._persist_rotating("jl_proj", proj)
+    q_ids = v.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("query_id")
+    )
+
+    def top5(tbl, col):
+        a = tbl.select(F.col("vec_id").alias("query_id"), F.col(col).alias("qa"))
+        b = tbl.select(F.col("vec_id").alias("corpus_id"), F.col(col).alias("qb"))
+        pairs = (
+            q_ids.join(a, "query_id")
+            .crossJoin(b)
+            .filter(F.col("corpus_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "corpus_id",
+                V.cosine(F.col("qa"), F.col("qb")).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "corpus_id")
+        return (
+            pairs.select(
+                "query_id", "corpus_id", F.row_number().over(w).alias("rnk")
+            )
+            .filter(F.col("rnk") <= 5)
+            .select("query_id", "corpus_id")
+        )
+
+    ex = top5(v, "v")
+    sk = top5(proj, "y")
+    overlap = (
+        ex.join(sk, ["query_id", "corpus_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return q_ids.join(overlap, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_overlap"),
+        (F.coalesce(F.col("n"), F.lit(0)).cast("double") / 5).alias(
+            "recall_at_5"
+        ),
+    )

@@ -86,6 +86,8 @@ _PRIORITY = [
     "streaming_click_purchase_join",
     "pagerank_dup_graph",
     "dup_graph_triangles",
+    "streaming_latest_per_key",
+    "jl_projection_recall",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

@@ -396,3 +396,42 @@ def test_triangles_k4_clique_golden(spark, tmp_path):
     assert [(r.doc_id, r.degree, r.n_triangles, r.clustering) for r in out] == [
         (i, 3, 3, 1.0) for i in range(4)
     ]
+
+
+def test_streaming_latest_per_key_upsert_semantics(spark, tmp_path):
+    """The streamed latest-state view picks the max-(ts, event_id) row per
+    user — including the tie on ts, which must resolve to the higher
+    event_id — and counts lifetime events."""
+    rows = [
+        (0, "2024-01-01T10:00:00", 1, "click", 1.5),
+        (1, "2024-01-01T11:00:00", 1, "view", 2.5),   # latest for user 1
+        (2, "2024-01-01T09:00:00", 1, "click", 0.5),
+        (3, "2024-01-01T10:00:00", 2, "click", 7.0),
+        (4, "2024-01-01T10:00:00", 2, "view", 8.0),   # ts tie -> id 4 wins
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = {
+        r.user_id: r
+        for r in QUERIES["streaming_latest_per_key"].fn(spark, sf).collect()
+    }
+    assert out[1].latest_event_id == 1 and out[1].latest_value == 2.5
+    assert out[1].n_events == 3
+    assert out[2].latest_event_id == 4 and out[2].latest_value == 8.0
+    assert out[2].n_events == 2
+
+
+def test_jl_projection_identical_vectors_full_recall(spark, tmp_path):
+    """Vectors that are exact copies keep recall 1.0 under ANY linear
+    projection: with 9 vectors = 3 groups of 3 identical embeddings, each
+    query's exact top-2 (its two copies, cos = 1) survives the sketch, so
+    n_overlap >= 2 for every query."""
+    base = [
+        [1.0 if i == k else 0.1 * ((i * 7 + k) % 5) for i in range(64)]
+        for k in range(3)
+    ]
+    vecs = [(i, base[i % 3]) for i in range(9)]
+    sf = _write_embeddings(tmp_path, vecs)
+    rows = QUERIES["jl_projection_recall"].fn(spark, sf).collect()
+    assert len(rows) == 8
+    assert all(r.n_overlap >= 2 for r in rows)
+    assert all(abs(r.recall_at_5 - r.n_overlap / 5.0) < 1e-12 for r in rows)

@@ -128,6 +128,11 @@ SCALE_SENSITIVE = [
     # the triangle census' two-hop self-join fan-out grows with the LSH
     # pair distribution at 10x
     "dup_graph_triangles",
+    # the latest-state view holds one state row per DISTINCT user (the
+    # state-size claim under test at 10x the keys); the JL sketch must
+    # keep exact-vs-sketch rank agreement over 4x the corpus tails
+    "streaming_latest_per_key",
+    "jl_projection_recall",
 ]
 
 pytestmark = pytest.mark.skipif(

@@ -158,7 +158,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
                 )
             )
         )
-        bcast = plan.count("BroadcastExchange")
+        # same dedup for broadcasts: cached subtrees reprint per consumer
+        bcast = len(
+            set(re.findall(r"BroadcastExchange .*?\[plan_id=(\d+)\]", plan))
+        ) or plan.count("BroadcastExchange")
         py = plan.count("InPandas") + plan.count("ArrowEvalPython")
         bhj = plan.count("BroadcastHashJoin")
         smj = plan.count("SortMergeJoin")
