@@ -7049,8 +7049,11 @@ def embedding_pc_residual_topk(spark, sf_dir):
     # tfidf_top_terms / bm25_topk_search pattern): each weight is rounded
     # to 6dp BEFORE any sum (so ln()'s last ulp cannot leak), and every
     # dot/norm accumulates through exact DECIMAL, so partial-aggregation
-    # order cannot change a bit.  Stop terms (df * 2 > N) are excluded —
-    # the same cap that bounds the self-join fan-out at scale.
+    # order cannot change a bit.  Stop terms are excluded by an ABSOLUTE
+    # posting-length cap (df <= 256): per-term self-join fan-out is df^2,
+    # so a relative cap (df <= N/2) lets the worst term's pair volume grow
+    # quadratically with the corpus — the absolute cap is what production
+    # all-pairs systems ship, and it bounds every term's work at any N.
     oracle=f"""
         WITH tok AS (SELECT doc_id, unnest({_toks()}) AS term FROM documents),
         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -7061,7 +7064,7 @@ def embedding_pc_residual_topk(spark, sf_dir):
                    CAST(round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6)
                         AS DECIMAL(18,6)) AS w
             FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
-            WHERE d.df * 2 <= n.n_docs
+            WHERE d.df <= 256
         ),
         n2 AS (
             SELECT doc_id,
@@ -7088,11 +7091,13 @@ def tfidf_cosine_topk(spark, sf_dir):
     products are generated ONLY where two docs share a term, i.e. a
     self-equi-join of the (doc, term, w) posting table on the term key —
     never a doc x doc cross product.  100-TB shape: tf shuffles once on
-    (doc, term); df is vocabulary-sized and broadcasts; the stop-term cap
-    (df <= N/2 here; production sets an absolute posting-length cap) bounds
-    the worst per-term fan-out, which is THE skew knob for all-pairs
-    similarity; norms are doc-count-sized and shuffle-join on doc id; the
-    final top-20 is a TakeOrdered.  Exact DECIMAL sums of 6dp-pre-rounded
+    (doc, term); df is vocabulary-sized and broadcasts; the ABSOLUTE
+    posting-length cap (df <= 256) bounds every term's self-join fan-out
+    at 256^2 pair partials regardless of corpus size — THE skew knob for
+    all-pairs similarity (a relative N/2 cap measured ~quadratic under
+    tools/scale_stress.py replication; absolute cap restored ~linear);
+    norms are doc-count-sized and shuffle-join on doc id; the final
+    top-20 is a TakeOrdered.  Exact DECIMAL sums of 6dp-pre-rounded
     weights keep Spark and DuckDB bit-identical."""
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
     tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
@@ -7102,7 +7107,7 @@ def tfidf_cosine_topk(spark, sf_dir):
     w = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n))
-        .filter(F.col("df") * 2 <= F.col("n_docs"))
+        .filter(F.col("df") <= 256)
         .select(
             "doc_id",
             "term",

@@ -72,3 +72,14 @@ def test_lint_rejects_nested_struct_collection(spark):
         F.struct(F.count("id").alias("n"), F.collect_list("id").alias("ids")).alias("g")
     )
     assert ungradable_columns(df.schema) == ["g"]
+
+
+def test_registry_names_match_functions():
+    """Decorator-trap lint (no Spark needed): a helper def inserted
+    between @register(...) and the query def silently registers the
+    helper under the query's name — caught here by auditing that every
+    registered entry's function really is the named query."""
+    from kwack_spark.plans.registry import QUERIES
+
+    bad = [n for n, e in QUERIES.items() if e.fn.__name__ != n]
+    assert not bad, f"registered name != function name: {bad}"

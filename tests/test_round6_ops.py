@@ -283,8 +283,7 @@ def _write_events(tmp_path, rows):
 
 def test_tfidf_cosine_only_term_sharing_pairs(spark, tmp_path):
     """Docs 0/1 share two rare terms -> the ONLY emitted pair, with the
-    hand-computed 6dp-rounded-weight cosine; docs 2/3 share nothing.  The
-    df cap (df*2 <= N) is exercised by N=4: df=2 terms survive."""
+    hand-computed 6dp-rounded-weight cosine; docs 2/3 share nothing."""
     import math
 
     rows = [
@@ -435,3 +434,27 @@ def test_jl_projection_identical_vectors_full_recall(spark, tmp_path):
     assert len(rows) == 8
     assert all(r.n_overlap >= 2 for r in rows)
     assert all(abs(r.recall_at_5 - r.n_overlap / 5.0) < 1e-12 for r in rows)
+
+
+def test_tfidf_cosine_absolute_df_cap(spark, tmp_path):
+    """A term pasted into 300 docs exceeds the absolute posting cap
+    (df > 256) and must generate NO pairs, while a rare shared term still
+    does — the fan-out bound that keeps the self-join linear at scale."""
+    rows = [(i, "qzz" + str_suffix(i)) for i in range(300)]
+    # give docs 0 and 1 an extra rare shared term
+    rows[0] = (0, rows[0][1] + " qrare")
+    rows[1] = (1, rows[1][1] + " qrare")
+    sf = _write_documents(tmp_path, rows)
+    out = QUERIES["tfidf_cosine_topk"].fn(spark, sf).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
+
+
+def str_suffix(i):
+    # distinct ALPHABETIC per-doc filler (digits are stripped by the
+    # tokenizer): base-26 letters
+    s = ""
+    i += 1
+    while i:
+        s += chr(ord("a") + i % 26)
+        i //= 26
+    return " qf" + s
