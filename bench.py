@@ -125,6 +125,14 @@ HEADLINE = [
     "event_robust_outliers",
     "streaming_click_purchase_join",
     "dup_graph_triangles",
+    # round-16 (wave 4): one exact-decimal Lloyd iteration (broadcast k-row
+    # centroids, k-bounded argmin, (cid,pos)-keyed update), single-pass
+    # 256-bin quantile estimation vs the exact-sort baseline, the hour-bin
+    # bucketed interval-overlap join, and the Zipf head fit
+    "embedding_kmeans_refine",
+    "histogram_quantile_estimate",
+    "interval_overlap_join",
+    "zipf_fit_slope",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

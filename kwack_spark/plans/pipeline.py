@@ -7888,3 +7888,409 @@ def jl_projection_recall(spark, sf_dir):
             "recall_at_5"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 wave 4: k-means refinement, histogram quantiles, interval overlap,
+# Zipf fit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_kmeans_refine",
+    # One distributed Lloyd iteration of k-means (k=8) — the training step
+    # behind every IVF coarse quantizer.  Determinism: seeds are the 8
+    # vectors with the smallest md5(vec_id) (hash order, no RNG);
+    # assignment uses squared L2 expanded as x.x - 2*x.c + c.c over the
+    # shared strict-left-fold dot kernel (bit-equal across engines), so the
+    # argmin with (d2, cid) tie-break picks identical clusters; the update
+    # is the exact-decimal centroid mean (comp * 2^43 is an integer, sum is
+    # order-free).
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v
+            FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, v
+                  FROM v ORDER BY h, vec_id LIMIT 8)
+        ),
+        assign AS MATERIALIZED (
+            SELECT vec_id, cid, v FROM (
+                SELECT x.vec_id, s.cid, x.v,
+                       row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                           list_dot_product(x.v, x.v)
+                           - 2 * list_dot_product(x.v, s.v)
+                           + list_dot_product(s.v, s.v), s.cid) AS rnk
+                FROM v x CROSS JOIN seeds s
+            ) WHERE rnk = 1
+        ),
+        c AS (
+            SELECT cid, u.e.pos AS pos, u.e.comp AS comp FROM (
+                SELECT cid,
+                       unnest(list_transform(v, (c, i) ->
+                           struct_pack(pos := i - 1, comp := c))) AS e
+                FROM assign
+            ) u
+        )
+        SELECT cid, pos,
+               CAST(SUM(CAST(comp * {_POW2_43} AS DECIMAL(38,0))) AS DOUBLE)
+                   / {_POW2_43} / COUNT(*) AS mean_val,
+               COUNT(*) AS n
+        FROM c GROUP BY cid, pos
+    """,
+    tags=("embedding", "kmeans", "similarity"),
+)
+def embedding_kmeans_refine(spark, sf_dir):
+    """One Lloyd iteration of distributed k-means (k=8).  100-TB shape:
+    seeding is a TakeOrderedAndProject (k rows, never a full-table window);
+    the k-row centroid table broadcasts; per-vector assignment is narrow
+    map work plus a k-bounded row_number keyed on vec_id; the update step
+    is one partial+final aggregation on (cid, pos) -> k*dim output rows at
+    any corpus size.  Iterating = feeding mean_val back in as next round's
+    seeds (operators/similarity.py trains IVF lists with this step)."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", V.as_double("embedding").alias("v"))
+    topk = (
+        v.select(F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "v")
+        .orderBy("h", "vec_id")
+        .limit(8)
+    )
+    seeds = topk.select(
+        (F.row_number().over(Window.orderBy("h", "vec_id")) - 1).alias("cid"),
+        F.col("v").alias("cv"),
+    )
+    pairs = v.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cid",
+        "v",
+        (
+            V.dot(F.col("v"), F.col("v"))
+            - 2 * V.dot(F.col("v"), F.col("cv"))
+            + V.dot(F.col("cv"), F.col("cv"))
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assign = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("cid", "v")
+    )
+    x = assign.select("cid", F.posexplode("v").alias("pos", "comp"))
+    return x.groupBy("cid", "pos").agg(
+        (
+            F.sum((F.col("comp") * _POW2_43).cast("decimal(38,0)")).cast("double")
+            / _POW2_43
+            / F.count(F.lit(1))
+        ).alias("mean_val"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "histogram_quantile_estimate",
+    # Single-pass binned quantile estimation audited against the exact
+    # percentile — the scale pattern for quantiles over data too large to
+    # sort: one min/max pass, one 256-bin histogram pass (bounded rollup),
+    # linear interpolation inside the crossing bin.  Both engines run the
+    # identical double expression sequence over the identical integer bin
+    # counts; exact percentiles interpolate the same two order statistics
+    # and are rounded to 6dp to absorb formula-form low bits.
+    oracle="""
+        WITH s AS MATERIALIZED (
+            SELECT min(value) AS lo, max(value) AS hi, count(*) AS n FROM events
+        ),
+        hist AS MATERIALIZED (
+            SELECT least(CAST(floor((value - lo) / (hi - lo) * 256) AS INT),
+                         255) AS bin,
+                   count(*) AS cnt
+            FROM events, s GROUP BY 1
+        ),
+        cum AS (
+            SELECT bin, cnt,
+                   SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+            FROM hist
+        ),
+        probes(qi, q) AS (VALUES (0, 0.25), (1, 0.5), (2, 0.75),
+                                 (3, 0.9), (4, 0.99)),
+        est AS (
+            SELECT qi, q,
+                   lo + (bin + (q * n - (cum - cnt)) / cnt) * (hi - lo) / 256
+                       AS est_raw
+            FROM probes, cum, s
+            WHERE cum >= q * n AND cum - cnt < q * n
+        ),
+        ex AS (
+            SELECT u.x.qi AS qi, u.x.ex AS ex FROM (
+                SELECT unnest(list_transform(
+                           quantile_cont(value, [0.25, 0.5, 0.75, 0.9, 0.99]),
+                           (e, i) -> struct_pack(qi := i - 1, ex := e))) AS x
+                FROM events
+            ) u
+        )
+        SELECT CAST(q AS DOUBLE) AS q, round(est_raw, 6) AS est_q,
+               round(ex, 6) AS exact_q,
+               round(abs(est_raw - ex), 6) AS abs_err
+        FROM est JOIN ex USING (qi)
+    """,
+    tags=("quantile", "sketch", "scale"),
+)
+def histogram_quantile_estimate(spark, sf_dir):
+    """Approximate quantiles from a 256-bin histogram, audited against the
+    exact percentile.  100-TB shape: the estimate needs two narrow scans
+    (min/max, then bin counts -> a 256-row rollup) and never sorts the
+    fact; the exact side is the audit baseline (at cluster scale it swaps
+    for percentile_approx with pinned accuracy — the histogram path is the
+    answer to 'quantiles without a sort')."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    s = e.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    hist = (
+        e.join(F.broadcast(s))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 256
+                ).cast("int"),
+                F.lit(255),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    probes = spark.createDataFrame(
+        [(0, 0.25), (1, 0.5), (2, 0.75), (3, 0.9), (4, 0.99)], "qi int, q double"
+    )
+    est = (
+        probes.crossJoin(F.broadcast(cum))
+        .crossJoin(F.broadcast(s))
+        .filter(
+            (F.col("cum") >= F.col("q") * F.col("n"))
+            & (F.col("cum") - F.col("cnt") < F.col("q") * F.col("n"))
+        )
+        .select(
+            "qi",
+            "q",
+            (
+                F.col("lo")
+                + (
+                    F.col("bin")
+                    + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
+                    / F.col("cnt")
+                )
+                * (F.col("hi") - F.col("lo"))
+                / 256
+            ).alias("est_raw"),
+        )
+    )
+    ex = (
+        e.agg(
+            F.percentile(
+                "value", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9, 0.99)])
+            ).alias("exs")
+        )
+        .select(F.posexplode("exs").alias("qi", "ex"))
+    )
+    return est.join(ex, "qi").select(
+        "q",
+        F.round("est_raw", 6).alias("est_q"),
+        F.round("ex", 6).alias("exact_q"),
+        F.round(F.abs(F.col("est_raw") - F.col("ex")), 6).alias("abs_err"),
+    )
+
+
+@register(
+    "interval_overlap_join",
+    # Interval-overlap join WITHOUT a range cross-join: gap-sessionized
+    # user sessions joined to the 3 busiest campaign hours by exploding
+    # each session into the hour bins it covers and equi-joining on the
+    # bin key.  Overlap is computed in integral epoch-microseconds, so the
+    # compare is exact.  Session end = last event + 30min (the
+    # F.session_window contract, mirrored by the gap-CTE here).
+    oracle="""
+        WITH m AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             < INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS new_s
+            FROM events
+        ),
+        sid AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        ),
+        sess AS MATERIALIZED (
+            SELECT user_id, min(ts) AS s,
+                   max(ts) + INTERVAL 30 MINUTE AS en,
+                   count(*) AS n_events
+            FROM sid GROUP BY user_id, sid
+        ),
+        camp AS MATERIALIZED (
+            SELECT date_trunc('hour', ts) AS h FROM events
+            GROUP BY 1 ORDER BY count(*) DESC, h LIMIT 3
+        ),
+        bins AS (
+            SELECT user_id, s, en, n_events,
+                   unnest(generate_series(date_trunc('hour', s),
+                                          date_trunc('hour', en),
+                                          INTERVAL 1 HOUR)) AS hb
+            FROM sess
+        )
+        SELECT user_id, s AS session_start, c.h AS campaign_hour,
+               least(epoch_us(en), epoch_us(c.h + INTERVAL 1 HOUR))
+                   - greatest(epoch_us(s), epoch_us(c.h)) AS overlap_us,
+               n_events
+        FROM bins b JOIN camp c ON b.hb = c.h
+        WHERE least(epoch_us(en), epoch_us(c.h + INTERVAL 1 HOUR))
+                  - greatest(epoch_us(s), epoch_us(c.h)) > 0
+    """,
+    tags=("join", "interval", "session"),
+)
+def interval_overlap_join(spark, sf_dir):
+    """Interval-overlap join via hour-bin bucketing.  100-TB shape: the
+    classic overlap predicate (s < h_end AND en > h) is a range theta-join
+    that degenerates to a cartesian at scale; binning each session into
+    the hour buckets it covers (explode factor = session length / bin
+    width, bounded) turns it into an equi-join on the bin key — shuffle on
+    a uniform key, campaign side broadcast.  Overlap math is integral
+    epoch-microseconds (exact)."""
+    e = T(spark, sf_dir, "events")
+    sess = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("en"),
+            "n_events",
+        )
+    )
+    camp = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("hn"))
+        .orderBy(F.desc("hn"), "h")
+        .limit(3)
+        .select("h")
+    )
+    bins = sess.select(
+        "user_id",
+        "s",
+        "en",
+        "n_events",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s"),
+                F.date_trunc("hour", "en"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("hb"),
+    )
+    overlap = F.least(
+        F.unix_micros("en"), F.unix_micros(F.col("h") + F.expr("interval 1 hour"))
+    ) - F.greatest(F.unix_micros("s"), F.unix_micros("h"))
+    return (
+        bins.join(F.broadcast(camp), F.col("hb") == F.col("h"))
+        .select(
+            "user_id",
+            F.col("s").alias("session_start"),
+            F.col("h").alias("campaign_hour"),
+            overlap.alias("overlap_us"),
+            "n_events",
+        )
+        .filter(F.col("overlap_us") > 0)
+    )
+
+
+@register(
+    "zipf_fit_slope",
+    # Zipf's-law fit over the top-100 corpus terms: OLS of ln(freq) on
+    # ln(rank).  Determinism: ln() is not correctly-rounded, so both
+    # engines round ln to 6dp FIRST and sum through exact DECIMAL (the
+    # established discipline); the closed-form slope/intercept/r2 then run
+    # the identical double sequence over identical decimal sums.
+    oracle=f"""
+        WITH tf AS MATERIALIZED (
+            SELECT t AS term, count(*) AS cnt
+            FROM (SELECT unnest({_toks()}) AS t FROM documents)
+            GROUP BY 1 ORDER BY cnt DESC, term LIMIT 100
+        ),
+        xy AS (
+            SELECT CAST(round(ln(row_number()
+                       OVER (ORDER BY cnt DESC, term)), 6)
+                       AS DECIMAL(12,6)) AS x,
+                   CAST(round(ln(cnt), 6) AS DECIMAL(12,6)) AS y
+            FROM tf
+        ),
+        s AS (
+            SELECT count(*) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                   CAST(SUM(y * y) AS DOUBLE) AS syy
+            FROM xy
+        )
+        SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                     6) AS intercept,
+               round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        FROM s
+    """,
+    tags=("text", "stats", "corpus"),
+)
+def zipf_fit_slope(spark, sf_dir):
+    """Zipf fit over the term-frequency head.  100-TB shape: one
+    token-explode + term rollup (partial+final agg on the term key), a
+    TakeOrderedAndProject top-100 head, then rank/regression on the
+    bounded 100-row table — the corpus is scanned once and everything
+    downstream is metadata-sized."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(100)
+    )
+    xy = tf.select(
+        F.round(F.log(F.row_number().over(Window.orderBy(F.desc("cnt"), "term"))), 6)
+        .cast("decimal(12,6)")
+        .alias("x"),
+        F.round(F.log("cnt"), 6).cast("decimal(12,6)").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

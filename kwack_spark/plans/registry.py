@@ -88,6 +88,10 @@ _PRIORITY = [
     "dup_graph_triangles",
     "streaming_latest_per_key",
     "jl_projection_recall",
+    "embedding_kmeans_refine",
+    "histogram_quantile_estimate",
+    "interval_overlap_join",
+    "zipf_fit_slope",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

@@ -133,6 +133,10 @@ SCALE_SENSITIVE = [
     # keep exact-vs-sketch rank agreement over 4x the corpus tails
     "streaming_latest_per_key",
     "jl_projection_recall",
+    "embedding_kmeans_refine",
+    "histogram_quantile_estimate",
+    "interval_overlap_join",
+    "zipf_fit_slope",
 ]
 
 pytestmark = pytest.mark.skipif(
