@@ -133,6 +133,11 @@ HEADLINE = [
     "histogram_quantile_estimate",
     "interval_overlap_join",
     "zipf_fit_slope",
+    # round-17 (wave 5): LSH band-parameter sweep over one shared signature
+    # table, and the first-occurrence novelty curve (shingle-keyed min-agg +
+    # rejoin, decile via broadcast max — no window)
+    "minhash_band_calibration",
+    "ngram_novelty_curve",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

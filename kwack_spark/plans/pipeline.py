@@ -8294,3 +8294,238 @@ def zipf_fit_slope(spark, sf_dir):
             6,
         ).alias("r2"),
     )
+
+
+# --- LSH band-parameter calibration --------------------------------------
+
+# The (bands, rows-per-band) grid evaluated over the shared k=8 signature,
+# with the S-curve threshold (1/b)^(1/r) computed ONCE here and injected
+# into both engines as the same literal (pow is not correctly-rounded).
+_BAND_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]
+_BAND_THRESHOLDS = {b: (1.0 / b) ** (1.0 / r) for b, r in _BAND_CONFIGS}
+
+
+def _band_keys_sql(b: int, r: int) -> str:
+    keys = ", ".join(
+        f"'{b}:{j}:' || md5(concat_ws('|', "
+        + ", ".join(f"mh{j * r + t}" for t in range(r))
+        + "))"
+        for j in range(b)
+    )
+    return f"SELECT doc_id, {b} AS b, unnest([{keys}]) AS band_key FROM sigs"
+
+
+@register(
+    "minhash_band_calibration",
+    # LSH parameter sweep: for every (bands, rows-per-band) split of the
+    # k=8 MinHash signature, count the candidate pairs the banding emits
+    # and how many survive exact-Jaccard >= 0.5 verification — the
+    # precision/recall trade the S-curve threshold (1/b)^(1/r) predicts.
+    # This is the tuning table a dedup pipeline builds on a sample before
+    # committing a band config to the full corpus.
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        shs AS (SELECT doc_id, ({_SHINGLES}) AS sh FROM toks),
+        sigs AS MATERIALIZED (
+            SELECT doc_id, {", ".join(_mh_sql(i) for i in range(8))} FROM shs
+        ),
+        ex AS ({" UNION ALL ".join(_band_keys_sql(b, r) for b, r in _BAND_CONFIGS)}),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT a.b, a.doc_id AS id_a, b2.doc_id AS id_b
+            FROM ex a JOIN ex b2
+              ON a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+        ),
+        pairs AS MATERIALIZED (
+            SELECT DISTINCT id_a, id_b FROM cand
+        ),
+        ssets AS (SELECT doc_id, list_distinct(sh) AS s FROM shs),
+        jac AS MATERIALIZED (
+            SELECT p.id_a, p.id_b,
+                   CASE WHEN {_JAC} >= 0.5 THEN 1 ELSE 0 END AS is_true
+            FROM pairs p
+            JOIN ssets x ON x.doc_id = p.id_a
+            JOIN ssets y ON y.doc_id = p.id_b
+        ),
+        cfg(b, r, est_threshold) AS (VALUES {", ".join(
+            f"({b}, {r}, {_BAND_THRESHOLDS[b]!r})" for b, r in _BAND_CONFIGS)}),
+        agg AS (
+            SELECT c.b, count(*) AS n_candidates,
+                   SUM(j.is_true) AS n_true
+            FROM cand c JOIN jac j USING (id_a, id_b) GROUP BY c.b
+        )
+        SELECT cfg.b AS bands, cfg.r AS rows_per_band,
+               coalesce(agg.n_candidates, 0) AS n_candidates,
+               coalesce(agg.n_true, 0) AS n_true,
+               round(CAST(coalesce(agg.n_true, 0) AS DOUBLE)
+                     / coalesce(agg.n_candidates, 1), 6) AS precision_at_05,
+               CAST(cfg.est_threshold AS DOUBLE) AS est_threshold
+        FROM cfg LEFT JOIN agg ON agg.b = cfg.b
+    """,
+    tags=("dedup", "minhash", "lsh", "tuning"),
+)
+def minhash_band_calibration(spark, sf_dir):
+    """LSH band-config sweep over one shared signature table.  100-TB
+    shape: this runs on a SAMPLE (the tuning step), but the plan is
+    scale-clean anyway — signatures are one explode + min-agg, each config
+    adds b rows per doc to ONE banded self-join keyed on the (config-
+    prefixed) band key, the exact-Jaccard verify touches only the union of
+    candidates, and the output is 4 rows.  The chosen config then drives
+    dedup_minhash_lsh on the full corpus."""
+    from pyspark import StorageLevel
+
+    d = T(spark, sf_dir, "documents")
+    shingle_sets = d.select(
+        "doc_id",
+        F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    exploded_sh = shingle_sets.select("doc_id", F.explode("sh").alias("s"))
+
+    def _member(i: int):
+        seed, off = TX.minhash_seed_slice(i)
+        return F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("s"))), off, 8)
+        ).alias(f"mh{i}")
+
+    sigs = exploded_sh.groupBy("doc_id").agg(*[_member(i) for i in range(8)])
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _band_rows(b: int, r: int):
+        keys = F.array(
+            *[
+                F.concat(
+                    F.lit(f"{b}:{j}:"),
+                    F.md5(
+                        F.concat_ws("|", *[F.col(f"mh{j * r + t}") for t in range(r)])
+                    ),
+                )
+                for j in range(b)
+            ]
+        )
+        return sigs.select(
+            "doc_id", F.lit(b).alias("b"), F.explode(keys).alias("band_key")
+        )
+
+    ex = None
+    for b, r in _BAND_CONFIGS:
+        part = _band_rows(b, r)
+        ex = part if ex is None else ex.unionAll(part)
+    a = ex.alias("a")
+    b2 = ex.alias("b2")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band_key") == F.col("b2.band_key"))
+            & (F.col("a.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("a.b").alias("b"),
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b2.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    pairs = cand.select("id_a", "id_b").distinct()
+    sa = shingle_sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shingle_sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac_expr = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    jac = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(jac_expr >= 0.5, F.lit(1)).otherwise(F.lit(0)).alias("is_true"),
+        )
+    )
+    agg = cand.join(jac, ["id_a", "id_b"]).groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("is_true").alias("n_true"),
+    )
+    cfg = spark.createDataFrame(
+        [(b, r, _BAND_THRESHOLDS[b]) for b, r in _BAND_CONFIGS],
+        "b int, r int, est_threshold double",
+    )
+    return cfg.join(agg, "b", "left").select(
+        F.col("b").alias("bands"),
+        F.col("r").alias("rows_per_band"),
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        F.coalesce("n_true", F.lit(0)).alias("n_true"),
+        F.round(
+            F.coalesce("n_true", F.lit(0)).cast("double")
+            / F.coalesce("n_candidates", F.lit(1)),
+            6,
+        ).alias("precision_at_05"),
+        "est_threshold",
+    )
+
+
+@register(
+    "ngram_novelty_curve",
+    # Corpus-saturation curve: bucket documents into 10 ingestion-order
+    # deciles (doc_id ranges, no window) and measure the fraction of each
+    # decile's distinct 3-gram shingles seen for the FIRST time there —
+    # the diminishing-novelty signal a data-mixing pipeline watches to
+    # decide when another crawl snapshot stops adding information.
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        shs AS (SELECT doc_id, ({_SHINGLES}) AS sh FROM toks),
+        ex AS MATERIALIZED (
+            SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shs
+        ),
+        first AS (SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY s),
+        per_doc AS (
+            SELECT e.doc_id, count(*) AS n_sh,
+                   SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                       AS n_novel
+            FROM ex e JOIN first f USING (s) GROUP BY 1
+        ),
+        mx AS (SELECT max(doc_id) AS mx FROM documents)
+        SELECT CAST(floor(doc_id * 10 / (mx + 1)) AS BIGINT) AS decile,
+               count(*) AS n_docs,
+               SUM(n_sh) AS n_shingles,
+               SUM(n_novel) AS n_novel,
+               CAST(SUM(n_novel) AS DOUBLE) / SUM(n_sh) AS novelty_rate
+        FROM per_doc, mx
+        GROUP BY 1
+    """,
+    tags=("text", "dedup", "corpus"),
+)
+def ngram_novelty_curve(spark, sf_dir):
+    """Novelty-by-decile.  100-TB shape: one explode + min-agg on the
+    shingle key (uniform md5-like distribution), one equi-join back on the
+    same key (the shuffle is reused), then a doc-keyed rollup into a
+    10-row output; deciles come from doc_id ranges against a broadcast
+    1-row max — no full-table window anywhere."""
+    d = T(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.shingles(TX.tokens("text"), 3))).alias("s"),
+    )
+    first = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        ex.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    return (
+        per_doc.join(F.broadcast(mx))
+        .groupBy(
+            F.floor(F.col("doc_id") * 10 / (F.col("mx") + 1))
+            .cast("bigint")
+            .alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sh").alias("n_shingles"),
+            F.sum("n_novel").alias("n_novel"),
+            (F.sum("n_novel").cast("double") / F.sum("n_sh")).alias("novelty_rate"),
+        )
+    )

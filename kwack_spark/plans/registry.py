@@ -92,6 +92,8 @@ _PRIORITY = [
     "histogram_quantile_estimate",
     "interval_overlap_join",
     "zipf_fit_slope",
+    "minhash_band_calibration",
+    "ngram_novelty_curve",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

@@ -137,6 +137,8 @@ SCALE_SENSITIVE = [
     "histogram_quantile_estimate",
     "interval_overlap_join",
     "zipf_fit_slope",
+    "minhash_band_calibration",
+    "ngram_novelty_curve",
 ]
 
 pytestmark = pytest.mark.skipif(
