@@ -138,6 +138,12 @@ HEADLINE = [
     # rejoin, decile via broadcast max — no window)
     "minhash_band_calibration",
     "ngram_novelty_curve",
+    # round-18 (wave 6): IVF probe-budget sweep (one shared index, rank-
+    # tagged candidates), lexical-vs-semantic dedup agreement census, and
+    # the diagonal-Mahalanobis outlier scan
+    "ann_probe_recall_curve",
+    "dedup_lexical_semantic_agreement",
+    "embedding_outlier_mahalanobis",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

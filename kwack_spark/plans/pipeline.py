@@ -8529,3 +8529,278 @@ def ngram_novelty_curve(spark, sf_dir):
             (F.sum("n_novel").cast("double") / F.sum("n_sh")).alias("novelty_rate"),
         )
     )
+
+
+# --- wave 6: ANN probe tuning, dedup-strategy agreement, embedding outliers
+
+
+@register(
+    "ann_probe_recall_curve",
+    # recall@3 as a function of n_probe in {1,2,4,8} over ONE shared IVF
+    # index (same deterministic centroids as ann_ivf_topk) — the tuning
+    # curve that picks the probe budget: candidates are generated once at
+    # the max probe depth with their probe rank attached, each config is a
+    # filter + k-bounded re-rank, and the exact truth set reuses the
+    # registered brute-force oracle so all stay in lockstep.
+    oracle=f"""
+        WITH {_IVF_ASSIGNED_CTES},
+        probes AS (
+            SELECT query_id, qv, cid AS list_id, rn AS probe_rank FROM (
+                SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.v, c.cv)
+                                    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                    c.cid
+                       ) AS rn
+                FROM v q CROSS JOIN cents c
+            ) WHERE rn <= 8
+        ),
+        cand AS MATERIALIZED (
+            SELECT p.query_id, a.corpus_id, p.probe_rank,
+                   list_dot_product(p.qv, a.v)
+                       / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cosine
+            FROM probes p JOIN assigned a USING (list_id)
+            WHERE p.query_id <> a.corpus_id
+        ),
+        cfg(p) AS (VALUES (1), (2), (4), (8)),
+        ranked AS (
+            SELECT cfg.p, query_id, corpus_id,
+                   row_number() OVER (PARTITION BY cfg.p, query_id
+                                      ORDER BY cosine DESC, corpus_id) AS rnk
+            FROM cand JOIN cfg ON cand.probe_rank <= cfg.p
+        ),
+        exact AS MATERIALIZED (
+            SELECT query_id, corpus_id FROM ({_Q["ann_brute_force_topk"].oracle}) x
+        ),
+        m AS (
+            SELECT p, count(*) AS n_matched
+            FROM ranked r JOIN exact e USING (query_id, corpus_id)
+            WHERE r.rnk <= 3 GROUP BY p
+        ),
+        t AS (SELECT count(*) AS n_exact FROM exact)
+        SELECT cfg.p AS n_probe, coalesce(m.n_matched, 0) AS n_matched,
+               t.n_exact,
+               CAST(coalesce(m.n_matched, 0) AS DOUBLE) / t.n_exact AS recall
+        FROM cfg LEFT JOIN m ON m.p = cfg.p CROSS JOIN t
+    """,
+    tags=("similarity", "ann", "ivf", "tuning"),
+)
+def ann_probe_recall_curve(spark, sf_dir):
+    """IVF probe-budget sweep.  100-TB shape: the index (centroids +
+    assignment) is built once; candidate generation runs once at the
+    deepest probe rank with the rank attached, so each additional config
+    costs only a filter plus a per-(config, query) k-bounded window — the
+    corpus is never re-scanned per config.  The exact side is the sampled
+    audit baseline (ann_ivf_recall's single-point check, widened to a
+    curve)."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "embeddings")
+    cents, assigned = similarity.ivf_assign(
+        e, "vec_id", "embedding", n_lists=16, refine_iters=1
+    )
+    assigned = assigned.withColumn("nv", V.norm(F.col("v")))
+    q = e.select(
+        F.col("vec_id").alias("query_id"), V.as_double("embedding").alias("qv")
+    ).withColumn("nqv", V.norm(F.col("qv")))
+    pr = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        "nqv",
+        "cid",
+        (V.dot(F.col("qv"), F.col("cv")) / (F.col("nqv") * F.col("ncv"))).alias("cc"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("cc"), "cid")
+    probes = (
+        pr.withColumn("probe_rank", F.row_number().over(wp))
+        .filter(F.col("probe_rank") <= 8)
+        .select("query_id", "qv", "nqv", F.col("cid").alias("list_id"), "probe_rank")
+    )
+    cand = (
+        probes.join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            "probe_rank",
+            (V.dot(F.col("qv"), F.col("v")) / (F.col("nqv") * F.col("nv"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    cfg = spark.createDataFrame([(1,), (2,), (4,), (8,)], "p int")
+    wr = Window.partitionBy("p", "query_id").orderBy(F.desc("cosine"), "corpus_id")
+    ranked = (
+        cand.join(F.broadcast(cfg), F.col("probe_rank") <= F.col("p"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select("p", "query_id", "corpus_id")
+    )
+    bf = _Q["ann_brute_force_topk"].fn(spark, sf_dir).select("query_id", "corpus_id")
+    m = ranked.join(bf, ["query_id", "corpus_id"]).groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    t = bf.agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        cfg.join(m, "p", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("p").alias("n_probe"),
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            "n_exact",
+            (
+                F.coalesce("n_matched", F.lit(0)).cast("double") / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )
+
+
+@register(
+    "dedup_lexical_semantic_agreement",
+    # Cross-validation of the two dedup strategies: the MinHash-LSH lexical
+    # pair set (3-gram Jaccard >= 0.5 on documents) full-outer-joined with
+    # the hyperplane-LSH semantic pair set (cosine >= 0.35 on embeddings;
+    # vec_id i is doc i's embedding in this fixture) -> a 3-row agreement
+    # census.  Both pair CTEs are the registered queries' own oracles, so
+    # the census stays in lockstep with them by construction.
+    oracle=f"""
+        WITH {_LSH_CTES},
+        lex AS MATERIALIZED (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+        ),
+        ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        esig AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(4))} AS bucket FROM ev v),
+        sem AS MATERIALIZED (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM esig a JOIN esig b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE {_DUP_COS} >= 0.35
+        )
+        SELECT CASE WHEN lex.id_a IS NOT NULL AND sem.id_a IS NOT NULL
+                    THEN 'both'
+                    WHEN lex.id_a IS NOT NULL THEN 'lexical_only'
+                    ELSE 'semantic_only' END AS category,
+               count(*) AS n_pairs
+        FROM lex FULL OUTER JOIN sem
+          ON lex.id_a = sem.id_a AND lex.id_b = sem.id_b
+        GROUP BY 1
+    """,
+    tags=("dedup", "minhash", "embedding", "audit"),
+)
+def dedup_lexical_semantic_agreement(spark, sf_dir):
+    """Agreement census between lexical (MinHash-LSH) and semantic
+    (embedding hyperplane-LSH) near-dup detection.  100-TB shape: both
+    pair generators are the already-bucketed pipelines (never all-pairs);
+    the census is a full outer join on the (id_a, id_b) pair key — pair
+    sets are tiny relative to the corpus — into a 3-row rollup.  The
+    'semantic_only' bucket is the paraphrase set lexical dedup misses;
+    'lexical_only' is boilerplate the embeddings consider distinct."""
+    d = T(spark, sf_dir, "documents")
+    e = T(spark, sf_dir, "embeddings")
+    lex = (
+        dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
+        .select("id_a", "id_b")
+        .withColumn("lex", F.lit(1))
+    )
+    sem = (
+        similarity.lsh_bucketed_pairs(
+            e, "vec_id", "embedding", planes=4, dim=64, threshold=0.35
+        )
+        .select("id_a", "id_b")
+        .withColumn("sem", F.lit(1))
+    )
+    j = lex.join(sem, ["id_a", "id_b"], "full")
+    return j.groupBy(
+        F.when(F.col("lex").isNotNull() & F.col("sem").isNotNull(), "both")
+        .when(F.col("lex").isNotNull(), "lexical_only")
+        .otherwise("semantic_only")
+        .alias("category")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "embedding_outlier_mahalanobis",
+    # Top-20 embedding outliers by DIAGONAL Mahalanobis distance — the
+    # distribution-aware anomaly scan (vs embedding_norm_extremes' raw
+    # norms): per-dimension mean/variance come from the exact-decimal
+    # moment pipeline (order-free), each dimension's standardized square is
+    # rounded to 9dp and summed through DECIMAL (order-free again), so the
+    # top-20 cut is bit-deterministic; zero-variance dims carry no signal
+    # and are excluded on both engines.
+    oracle=f"""
+        WITH c AS (
+            SELECT vec_id, u.e.pos AS pos, u.e.comp AS comp FROM (
+                SELECT vec_id,
+                       unnest(list_transform(embedding::DOUBLE[],
+                              (c, i) -> struct_pack(pos := i - 1, comp := c))) AS e
+                FROM embeddings
+            ) u
+        ),
+        s AS MATERIALIZED (
+            SELECT pos, COUNT(*) AS n,
+                   SUM(CAST(comp * {_POW2_43} AS DECIMAL(19,0))) AS s1,
+                   SUM(CAST(comp * {_POW2_43} AS DECIMAL(19,0))
+                       * CAST(comp * {_POW2_43} AS DECIMAL(19,0))) AS s2
+            FROM c GROUP BY pos
+        ),
+        mv AS (
+            SELECT pos,
+                   CAST(s1 AS DOUBLE) / {_POW2_43} / n AS mean_val,
+                   CAST(s2 AS DOUBLE) / {_POW2_43} / {_POW2_43} / n
+                       - (CAST(s1 AS DOUBLE) / {_POW2_43} / n)
+                         * (CAST(s1 AS DOUBLE) / {_POW2_43} / n) AS var_val
+            FROM s
+        ),
+        md AS (
+            SELECT c.vec_id,
+                   round(CAST(SUM(CAST(round(
+                       (c.comp - mv.mean_val) * (c.comp - mv.mean_val)
+                           / mv.var_val, 9) AS DECIMAL(20,9))) AS DOUBLE), 6)
+                       AS mahalanobis
+            FROM c JOIN mv USING (pos)
+            WHERE mv.var_val > 0
+            GROUP BY c.vec_id
+        )
+        SELECT vec_id, mahalanobis FROM md
+        ORDER BY mahalanobis DESC, vec_id LIMIT 20
+    """,
+    tags=("embedding", "anomaly", "stats"),
+)
+def embedding_outlier_mahalanobis(spark, sf_dir):
+    """Diagonal-Mahalanobis outlier scan.  100-TB shape: one posexplode +
+    (pos)-keyed exact-moment rollup (dim rows), broadcast back over a
+    second narrow pass, a vec-keyed rollup, and a TakeOrderedAndProject
+    top-20 — two corpus scans, no window over the full table."""
+    e = T(spark, sf_dir, "embeddings")
+    c = e.select("vec_id", F.posexplode(V.as_double("embedding")).alias("pos", "comp"))
+    iv = (F.col("comp") * _POW2_43).cast("decimal(19,0)")
+    s = c.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(iv).alias("s1"),
+        F.sum(iv * iv).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / _POW2_43 / F.col("n")
+    var = (
+        F.col("s2").cast("double") / _POW2_43 / _POW2_43 / F.col("n")
+        - (F.col("s1").cast("double") / _POW2_43 / F.col("n"))
+        * (F.col("s1").cast("double") / _POW2_43 / F.col("n"))
+    )
+    mv = s.select("pos", mean.alias("mean_val"), var.alias("var_val"))
+    term = F.round(
+        (F.col("comp") - F.col("mean_val"))
+        * (F.col("comp") - F.col("mean_val"))
+        / F.col("var_val"),
+        9,
+    ).cast("decimal(20,9)")
+    md = (
+        c.join(F.broadcast(mv), "pos")
+        .filter(F.col("var_val") > 0)
+        .groupBy("vec_id")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("mahalanobis"))
+    )
+    return md.orderBy(F.desc("mahalanobis"), "vec_id").limit(20)

@@ -94,6 +94,9 @@ _PRIORITY = [
     "zipf_fit_slope",
     "minhash_band_calibration",
     "ngram_novelty_curve",
+    "ann_probe_recall_curve",
+    "dedup_lexical_semantic_agreement",
+    "embedding_outlier_mahalanobis",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

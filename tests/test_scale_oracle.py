@@ -139,6 +139,9 @@ SCALE_SENSITIVE = [
     "zipf_fit_slope",
     "minhash_band_calibration",
     "ngram_novelty_curve",
+    "ann_probe_recall_curve",
+    "dedup_lexical_semantic_agreement",
+    "embedding_outlier_mahalanobis",
 ]
 
 pytestmark = pytest.mark.skipif(
