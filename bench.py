@@ -144,6 +144,14 @@ HEADLINE = [
     "ann_probe_recall_curve",
     "dedup_lexical_semantic_agreement",
     "embedding_outlier_mahalanobis",
+    # round-19 (wave 7): PMI collocations (in-array bigrams, vocab-keyed
+    # joins), market-basket lift (basket-bounded self-join), the Markov
+    # stationary distribution (4 metadata-sized power steps), and
+    # per-source term entropy
+    "cooccurrence_pmi_topk",
+    "market_basket_lift",
+    "markov_stationary_power",
+    "term_entropy_by_source",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -8804,3 +8804,323 @@ def embedding_outlier_mahalanobis(spark, sf_dir):
         .agg(F.round(F.sum(term).cast("double"), 6).alias("mahalanobis"))
     )
     return md.orderBy(F.desc("mahalanobis"), "vec_id").limit(20)
+
+
+# --- wave 7: PMI associations, market-basket lift, Markov stationary
+# distribution, per-source term entropy
+
+
+@register(
+    "cooccurrence_pmi_topk",
+    # Top-25 adjacent-bigram associations by pointwise mutual information —
+    # the collocation ranking (word2vec-era phrase mining) built from the
+    # same in-array bigrams as cooccurrence_window_counts.  Determinism:
+    # every count is an exact integer; PMI combines six 6dp-pre-rounded
+    # ln() values in one fixed left-to-right expression, so the ranking is
+    # bit-identical across engines (ties break on the words).
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        bi AS (
+            SELECT unnest([struct_pack(w1 := tk[i], w2 := tk[i + 1])
+                           FOR i IN range(1, greatest(len(tk), 1))],
+                          recursive := true)
+            FROM toks
+        ),
+        c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM bi GROUP BY w1, w2),
+        uni AS (
+            SELECT t AS w, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t
+        ),
+        tot AS (
+            SELECT CAST(SUM(len(tk)) AS BIGINT) AS ntok,
+                   CAST(SUM(greatest(len(tk) - 1, 0)) AS BIGINT) AS nbig
+            FROM toks
+        )
+        SELECT w1, w2, c12,
+               round(round(ln(c12), 6) - round(ln(nbig), 6)
+                     - round(ln(a.c), 6) - round(ln(b.c), 6)
+                     + round(ln(ntok), 6) + round(ln(ntok), 6), 6) AS pmi
+        FROM c12
+        JOIN uni a ON a.w = c12.w1
+        JOIN uni b ON b.w = c12.w2
+        CROSS JOIN tot
+        WHERE c12 >= 5
+        ORDER BY pmi DESC, w1, w2 LIMIT 25
+    """,
+    tags=("text", "cooccurrence", "stats"),
+)
+def cooccurrence_pmi_topk(spark, sf_dir):
+    """PMI collocations.  100-TB shape: bigrams ride the scan in-array (no
+    join), the count tables are vocabulary-sized rollups, the unigram
+    joins hit vocab-keyed tables, the two totals are a broadcast 1-row
+    aggregate, and the final cut is a TakeOrderedAndProject top-25."""
+    toks = T(spark, sf_dir, "documents").select(TX.tokens("text").alias("tk"))
+    bi_expr = (
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk) - 2), "
+        "i -> struct(tk[i] AS w1, tk[i + 1] AS w2)) ELSE array() END"
+    )
+    c12 = (
+        toks.select(F.explode(F.expr(bi_expr)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = toks.agg(
+        F.sum(F.size("tk")).alias("ntok"),
+        F.sum(F.greatest(F.size("tk") - 1, F.lit(0))).alias("nbig"),
+    )
+    rln = lambda c: F.round(F.log(c), 6)  # noqa: E731
+    pmi = F.round(
+        rln(F.col("c12"))
+        - rln(F.col("nbig"))
+        - rln(F.col("ca"))
+        - rln(F.col("cb"))
+        + rln(F.col("ntok"))
+        + rln(F.col("ntok")),
+        6,
+    )
+    return (
+        c12.filter(F.col("c12") >= 5)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("ca")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("cb")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(25)
+    )
+
+
+@register(
+    "market_basket_lift",
+    # Top-25 co-purchased part pairs by lift — the association-rule scan
+    # over order baskets (support >= 2).  Lift divides exact integers in
+    # one fixed double sequence ((pair * n_orders) / cnt_a) / cnt_b, so
+    # the ranking is deterministic; ties break on the part keys.
+    oracle="""
+        WITH items AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(count(*) AS BIGINT) AS pair_cnt
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        icnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+                 FROM items GROUP BY 1),
+        t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+              FROM items)
+        SELECT part_a, part_b, pair_cnt,
+               round(CAST(pair_cnt AS DOUBLE) * n_orders / a.c / b.c, 6) AS lift
+        FROM pairs
+        JOIN icnt a ON a.l_partkey = part_a
+        JOIN icnt b ON b.l_partkey = part_b
+        CROSS JOIN t
+        WHERE pair_cnt >= 2
+        ORDER BY lift DESC, part_a, part_b LIMIT 25
+    """,
+    tags=("join", "mining", "tpch"),
+)
+def market_basket_lift(spark, sf_dir):
+    """Market-basket lift over order baskets.  100-TB shape: the in-basket
+    self-join is keyed on l_orderkey and bounded by basket size squared
+    (TPC-H baskets are <= 7 lines), pair counting is a uniform-key rollup,
+    the per-part counts join on the part key, the order total broadcasts,
+    and the cut is a TakeOrderedAndProject top-25 — never an all-pairs
+    part join."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    icnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    t = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    lift = F.round(
+        F.col("pair_cnt").cast("double")
+        * F.col("n_orders")
+        / F.col("ca")
+        / F.col("cb"),
+        6,
+    )
+    return (
+        pairs.join(
+            icnt.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca")),
+            "part_a",
+        )
+        .join(
+            icnt.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(t))
+        .select("part_a", "part_b", "pair_cnt", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+# shared transition-probability CTE chain (same ordered-bigram build as
+# event_transition_matrix) for the stationary-distribution power iteration
+_TRANS_CTES = """seqs AS (
+            SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        ),
+        bi AS (
+            SELECT unnest([struct_pack(src := seq[i], dst := seq[i+1])
+                           FOR i IN range(1, greatest(len(seq), 1))],
+                          recursive := true)
+            FROM seqs
+        ),
+        cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+                FROM bi GROUP BY src, dst),
+        tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS total FROM cnt GROUP BY src),
+        p AS MATERIALIZED (
+            SELECT c.src, c.dst, CAST(c.n AS DOUBLE) / t.total AS p
+            FROM cnt c JOIN tot t USING (src)
+        ),
+        k AS (SELECT count(DISTINCT src) AS k FROM p),
+        v0 AS (SELECT src AS t, 1.0 / k AS v FROM (SELECT DISTINCT src FROM p), k)"""
+
+_STEP_SQL = """v{i} AS MATERIALIZED (
+            SELECT p.dst AS t,
+                   CAST(SUM(CAST(round(v.v * p.p, 12) AS DECIMAL(16,12)))
+                       AS DOUBLE) AS v
+            FROM v{j} v JOIN p ON p.src = v.t GROUP BY p.dst
+        )"""
+
+
+@register(
+    "markov_stationary_power",
+    # stationary distribution of the per-user event-type Markov chain via
+    # 4 unrolled power-iteration steps over the transition matrix (the
+    # long-run occupancy forecast behind event_transition_matrix).
+    # Determinism: transition probabilities are bigint/bigint doubles; each
+    # step's mass products are rounded to 12dp and summed through exact
+    # DECIMAL, so every iterate is bit-identical across engines.
+    oracle=f"""
+        WITH {_TRANS_CTES},
+        {", ".join(_STEP_SQL.format(i=i, j=i - 1 if i > 1 else 0) for i in range(1, 5))}
+        SELECT t AS event_type, round(v, 6) AS stationary_prob FROM v4
+    """,
+    tags=("events", "markov", "analytics"),
+)
+def markov_stationary_power(spark, sf_dir):
+    """Power iteration to the stationary distribution.  100-TB shape: one
+    corpus-sized pass builds the |event_types|²-row transition matrix;
+    every iteration thereafter joins two type-keyed metadata tables —
+    iteration cost is independent of corpus size (the same argument as
+    textrank/pagerank, on an even smaller graph)."""
+    e = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seqs = (
+        e.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("s")
+        )
+        .select(F.expr("transform(s, x -> x.event_type)").alias("seq"))
+    )
+    bi_expr = (
+        "CASE WHEN size(seq) >= 2 THEN transform(sequence(0, size(seq) - 2), "
+        "i -> struct(seq[i] AS src, seq[i + 1] AS dst)) ELSE array() END"
+    )
+    cnt = (
+        seqs.select(F.explode(F.expr(bi_expr)).alias("b"))
+        .select("b.src", "b.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.groupBy("src").agg(F.sum("n").alias("total"))
+    p = (
+        cnt.join(F.broadcast(tot), "src")
+        .select("src", "dst", (F.col("n").cast("double") / F.col("total")).alias("p"))
+        .persist()
+    )
+    k = p.agg(F.countDistinct("src").alias("k"))
+    v = (
+        p.select("src").distinct()
+        .crossJoin(F.broadcast(k))
+        .select(F.col("src").alias("t"), (F.lit(1.0) / F.col("k")).alias("v"))
+    )
+    for _ in range(4):
+        v = (
+            v.join(p, F.col("t") == F.col("src"))
+            .groupBy(F.col("dst"))
+            .agg(
+                F.sum(
+                    F.round(F.col("v") * F.col("p"), 12).cast("decimal(16,12)")
+                )
+                .cast("double")
+                .alias("v")
+            )
+            .select(F.col("dst").alias("t"), "v")
+        )
+    return v.select(
+        F.col("t").alias("event_type"), F.round("v", 6).alias("stationary_prob")
+    )
+
+
+@register(
+    "term_entropy_by_source",
+    # Shannon entropy of each source's term distribution — the diversity
+    # check a mixture designer runs per corpus slice (low entropy =
+    # templated/boilerplate source).  Determinism: p is bigint/bigint;
+    # each p*ln(p) term pre-rounds ln to 6dp, rounds the product to 12dp
+    # and sums through exact DECIMAL; entropy rounds to 6dp.
+    oracle=f"""
+        WITH tf AS (
+            SELECT source, t AS term, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT source, unnest({_toks()}) AS t FROM documents)
+            GROUP BY 1, 2
+        ),
+        st AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot
+               FROM tf GROUP BY source)
+        SELECT tf.source, count(*) AS n_terms,
+               round(-CAST(SUM(CAST(round(
+                   (CAST(cnt AS DOUBLE) / tot)
+                       * round(ln(CAST(cnt AS DOUBLE) / tot), 6), 12)
+                   AS DECIMAL(16,12))) AS DOUBLE), 6) AS entropy
+        FROM tf JOIN st USING (source)
+        GROUP BY tf.source
+    """,
+    tags=("text", "stats", "mixture"),
+)
+def term_entropy_by_source(spark, sf_dir):
+    """Per-source term entropy.  100-TB shape: one token explode into a
+    (source, term)-keyed rollup (vocabulary-sized per source), source
+    totals broadcast back, and a source-keyed final rollup — output is
+    |sources| rows at any corpus size."""
+    d = T(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    st = tf.groupBy("source").agg(F.sum("cnt").alias("tot"))
+    pcol = F.col("cnt").cast("double") / F.col("tot")
+    term = F.round(pcol * F.round(F.log(pcol), 6), 12).cast("decimal(16,12)")
+    return (
+        tf.join(F.broadcast(st), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(-F.sum(term).cast("double"), 6).alias("entropy"),
+        )
+    )

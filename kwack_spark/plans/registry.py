@@ -97,6 +97,10 @@ _PRIORITY = [
     "ann_probe_recall_curve",
     "dedup_lexical_semantic_agreement",
     "embedding_outlier_mahalanobis",
+    "cooccurrence_pmi_topk",
+    "market_basket_lift",
+    "markov_stationary_power",
+    "term_entropy_by_source",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

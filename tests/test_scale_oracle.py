@@ -142,6 +142,10 @@ SCALE_SENSITIVE = [
     "ann_probe_recall_curve",
     "dedup_lexical_semantic_agreement",
     "embedding_outlier_mahalanobis",
+    "cooccurrence_pmi_topk",
+    "market_basket_lift",
+    "markov_stationary_power",
+    "term_entropy_by_source",
 ]
 
 pytestmark = pytest.mark.skipif(
