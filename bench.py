@@ -152,6 +152,12 @@ HEADLINE = [
     "market_basket_lift",
     "markov_stationary_power",
     "term_entropy_by_source",
+    # round-20 (wave 8): term burstiness (integer-exact VMR), RFM quartile
+    # segmentation (percentile boundaries, no ntile window), and the JL
+    # sketch-width recall curve (one projection, prefix-slice ranking)
+    "text_burstiness",
+    "rfm_segmentation",
+    "jl_recall_vs_dim_curve",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

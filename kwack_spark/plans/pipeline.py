@@ -9124,3 +9124,300 @@ def term_entropy_by_source(spark, sf_dir):
             F.round(-F.sum(term).cast("double"), 6).alias("entropy"),
         )
     )
+
+
+# --- wave 8: term burstiness, RFM segmentation, JL dimension curve
+
+
+@register(
+    "text_burstiness",
+    # Top-25 bursty terms by variance-to-mean ratio of per-document counts
+    # (df >= 20): VMR ~1 is Poisson background (function words), VMR >> 1
+    # is topical clustering — the statistic behind content-word weighting
+    # and boilerplate screens.  All moments are exact integers (count,
+    # sum, sum of squares over bigints); the VMR double expression runs in
+    # one fixed order and rounds to 6dp; ties break on the term.
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest({_toks()}) AS t FROM documents)
+            GROUP BY 1, 2
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        st AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   CAST(SUM(c) AS BIGINT) AS tf_total,
+                   CAST(SUM(c * c) AS BIGINT) AS tf_sq
+            FROM tf GROUP BY term
+        )
+        SELECT term, df, tf_total,
+               round((CAST(tf_sq AS DOUBLE) / n_docs
+                      - (CAST(tf_total AS DOUBLE) / n_docs)
+                        * (CAST(tf_total AS DOUBLE) / n_docs))
+                     / (CAST(tf_total AS DOUBLE) / n_docs), 6) AS vmr
+        FROM st, n
+        WHERE df >= 20
+        ORDER BY vmr DESC, term LIMIT 25
+    """,
+    tags=("text", "stats", "quality"),
+)
+def text_burstiness(spark, sf_dir):
+    """Term burstiness (VMR).  100-TB shape: one token explode into a
+    (doc, term) rollup, a term-keyed moment rollup (vocabulary-sized), a
+    broadcast 1-row corpus count, and a TakeOrderedAndProject top-25 —
+    single corpus scan, integer-exact moments."""
+    d = T(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    st = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("tf_total"),
+        F.sum(F.col("c") * F.col("c")).alias("tf_sq"),
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    mean = F.col("tf_total").cast("double") / F.col("n_docs")
+    vmr = F.round(
+        (F.col("tf_sq").cast("double") / F.col("n_docs") - mean * mean) / mean, 6
+    )
+    return (
+        st.filter(F.col("df") >= 20)
+        .crossJoin(F.broadcast(n))
+        .select("term", "df", "tf_total", vmr.alias("vmr"))
+        .orderBy(F.desc("vmr"), "term")
+        .limit(25)
+    )
+
+
+@register(
+    "rfm_segmentation",
+    # Classic RFM customer segmentation with quartile boundaries from
+    # percentiles instead of an ntile window: the three per-customer
+    # metrics (days since epoch of last order, order count, exact-decimal
+    # spend) are quartiled against a broadcast 1-row boundary table, so no
+    # full-table sort/window exists anywhere.  Segment assignment is three
+    # integer comparisons against identical boundary doubles (percentile
+    # interpolation parity is pinned by histogram_quantile_estimate).
+    oracle="""
+        WITH cust AS MATERIALIZED (
+            SELECT o_custkey,
+                   CAST(date_diff('day', DATE '1992-01-01',
+                                  CAST(max(o_orderdate) AS DATE)) AS BIGINT)
+                       AS rec_days,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        q AS (
+            SELECT quantile_cont(CAST(rec_days AS DOUBLE), [0.25, 0.5, 0.75]) AS qr,
+                   quantile_cont(CAST(freq AS DOUBLE), [0.25, 0.5, 0.75]) AS qf,
+                   quantile_cont(monetary, [0.25, 0.5, 0.75]) AS qm
+            FROM cust
+        )
+        SELECT (1 + CASE WHEN rec_days > qr[1] THEN 1 ELSE 0 END
+                  + CASE WHEN rec_days > qr[2] THEN 1 ELSE 0 END
+                  + CASE WHEN rec_days > qr[3] THEN 1 ELSE 0 END) AS r_seg,
+               (1 + CASE WHEN freq > qf[1] THEN 1 ELSE 0 END
+                  + CASE WHEN freq > qf[2] THEN 1 ELSE 0 END
+                  + CASE WHEN freq > qf[3] THEN 1 ELSE 0 END) AS f_seg,
+               (1 + CASE WHEN monetary > qm[1] THEN 1 ELSE 0 END
+                  + CASE WHEN monetary > qm[2] THEN 1 ELSE 0 END
+                  + CASE WHEN monetary > qm[3] THEN 1 ELSE 0 END) AS m_seg,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_monetary
+        FROM cust, q
+        GROUP BY 1, 2, 3
+    """,
+    tags=("tpch", "analytics", "segmentation"),
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM quartile segmentation.  100-TB shape: one customer-keyed rollup
+    over the fact, one 1-row percentile aggregate broadcast back, narrow
+    segment assignment, and a <=64-row final rollup — the ntile-window
+    formulation this replaces would single-partition-sort every customer
+    three times."""
+    o = T(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("rec_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    probs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    q = cust.agg(
+        F.percentile(F.col("rec_days").cast("double"), probs).alias("qr"),
+        F.percentile(F.col("freq").cast("double"), probs).alias("qf"),
+        F.percentile("monetary", probs).alias("qm"),
+    )
+
+    def seg(v, b):
+        return (
+            F.lit(1)
+            + (F.col(v) > F.col(b)[0]).cast("int")
+            + (F.col(v) > F.col(b)[1]).cast("int")
+            + (F.col(v) > F.col(b)[2]).cast("int")
+        )
+
+    return (
+        cust.crossJoin(F.broadcast(q))
+        .groupBy(
+            seg("rec_days", "qr").alias("r_seg"),
+            seg("freq", "qf").alias("f_seg"),
+            seg("monetary", "qm").alias("m_seg"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("monetary").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_monetary"),
+        )
+    )
+
+
+@register(
+    "jl_recall_vs_dim_curve",
+    # top-5 recall as a function of sketch width m in {4, 8, 16}: the JL
+    # sketch is projected ONCE at 16 dims and each narrower config ranks
+    # by the PREFIX slice (a JL matrix's first m rows are themselves a JL
+    # matrix), so the curve costs one projection pass + three fold widths
+    # over the same fixed-query pair table — jl_projection_recall's single
+    # point widened into the dimension-budget tuning curve.
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+            SELECT vec_id,
+                   [{_JL_COORD_SQL.format(p='pp')} for pp in generate_series(100, 115)]
+                       AS y
+            FROM v
+        ),
+        q AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+        ex AS (
+            SELECT query_id, corpus_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_cos_sql("a", "b")} DESC, c.vec_id
+                       ) AS rnk
+                FROM q JOIN v a ON a.vec_id = q.vec_id
+                JOIN v b ON b.vec_id <> q.vec_id
+                JOIN v c ON c.vec_id = b.vec_id
+            ) WHERE rnk <= 5
+        ),
+        cfg(m) AS (VALUES (4), (8), (16)),
+        sk AS (
+            SELECT m, query_id, corpus_id FROM (
+                SELECT cfg.m, q.vec_id AS query_id, c.vec_id AS corpus_id,
+                       row_number() OVER (
+                           PARTITION BY cfg.m, q.vec_id
+                           ORDER BY list_dot_product(a.y[1:cfg.m], b.y[1:cfg.m])
+                                    / (sqrt(list_dot_product(a.y[1:cfg.m], a.y[1:cfg.m]))
+                                       * sqrt(list_dot_product(b.y[1:cfg.m], b.y[1:cfg.m]))) DESC,
+                                    c.vec_id
+                       ) AS rnk
+                FROM cfg, q
+                JOIN p a ON a.vec_id = q.vec_id
+                JOIN p b ON b.vec_id <> q.vec_id
+                JOIN p c ON c.vec_id = b.vec_id
+            ) WHERE rnk <= 5
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+        mt AS (
+            SELECT m, CAST(count(*) AS BIGINT) AS n_matched
+            FROM sk JOIN ex USING (query_id, corpus_id) GROUP BY m
+        )
+        SELECT cfg.m AS sketch_dim, coalesce(mt.n_matched, 0) AS n_matched,
+               t.n_exact,
+               CAST(coalesce(mt.n_matched, 0) AS DOUBLE) / t.n_exact AS recall
+        FROM cfg LEFT JOIN mt ON mt.m = cfg.m CROSS JOIN t
+    """,
+    tags=("embedding", "ann", "sketch", "tuning"),
+)
+def jl_recall_vs_dim_curve(spark, sf_dir):
+    """JL dimension-budget sweep.  100-TB shape: one narrow projection
+    pass (compile-time sign matrix), a fixed 8-query batch so the pair
+    table is 8xN per config, per-config ranking k-bounded by the window
+    filter, and the recall join touches only top-5 lists.  Widening
+    jl_projection_recall's single operating point into the curve that
+    picks the sketch width."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", V.as_double("embedding").alias("v"))
+
+    hexhi = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+    def plane_comp(p):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{p}:"), j.cast("string"))), 1, 1
+                ).isin(*hexhi),
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+
+    proj = v.select(
+        "vec_id", F.array(*[V.dot(F.col("v"), plane_comp(p)) for p in _JL_PLANES]).alias("y")
+    )
+    proj = similarity._persist_rotating("jl_curve_proj", proj)
+    q_ids = v.orderBy("vec_id").limit(8).select(F.col("vec_id").alias("query_id"))
+
+    ex_pairs = (
+        q_ids.join(v.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qa")), "query_id")
+        .crossJoin(v.select(F.col("vec_id").alias("corpus_id"), F.col("v").alias("qb")))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id", V.cosine(F.col("qa"), F.col("qb")).alias("cos"))
+    )
+    wex = Window.partitionBy("query_id").orderBy(F.desc("cos"), "corpus_id")
+    ex = (
+        ex_pairs.select("query_id", "corpus_id", F.row_number().over(wex).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "corpus_id")
+    )
+
+    cfg = spark.createDataFrame([(4,), (8,), (16,)], "m int")
+    sk_pairs = (
+        q_ids.join(proj.select(F.col("vec_id").alias("query_id"), F.col("y").alias("ya")), "query_id")
+        .crossJoin(proj.select(F.col("vec_id").alias("corpus_id"), F.col("y").alias("yb")))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(cfg))
+        .select(
+            "m",
+            "query_id",
+            "corpus_id",
+            V.cosine(
+                F.slice("ya", F.lit(1), F.col("m")),
+                F.slice("yb", F.lit(1), F.col("m")),
+            ).alias("cos"),
+        )
+    )
+    wsk = Window.partitionBy("m", "query_id").orderBy(F.desc("cos"), "corpus_id")
+    sk = (
+        sk_pairs.select("m", "query_id", "corpus_id", F.row_number().over(wsk).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+        .select("m", "query_id", "corpus_id")
+    )
+    t = ex.agg(F.count(F.lit(1)).alias("n_exact"))
+    mt = sk.join(ex, ["query_id", "corpus_id"]).groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    return (
+        cfg.join(mt, "m", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("m").alias("sketch_dim"),
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            "n_exact",
+            (
+                F.coalesce("n_matched", F.lit(0)).cast("double") / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )

@@ -101,6 +101,9 @@ _PRIORITY = [
     "market_basket_lift",
     "markov_stationary_power",
     "term_entropy_by_source",
+    "text_burstiness",
+    "rfm_segmentation",
+    "jl_recall_vs_dim_curve",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

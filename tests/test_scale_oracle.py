@@ -146,6 +146,9 @@ SCALE_SENSITIVE = [
     "market_basket_lift",
     "markov_stationary_power",
     "term_entropy_by_source",
+    "text_burstiness",
+    "rfm_segmentation",
+    "jl_recall_vs_dim_curve",
 ]
 
 pytestmark = pytest.mark.skipif(

@@ -70,6 +70,17 @@ STRESS_QUERIES = [
     "pagerank_dup_graph",
     "dup_graph_triangles",
     "bitext_margin_mining",
+    # round-6 waves 4-7: the band-parameter sweep (4 configs over one
+    # signature table must stay ~linear), first-occurrence novelty (two
+    # shingle-keyed shuffles), one Lloyd step (k-bounded argmin), PMI
+    # collocations and per-source entropy (vocab-keyed rollups), and the
+    # Mahalanobis scan (two narrow passes + dim-keyed moments)
+    "minhash_band_calibration",
+    "ngram_novelty_curve",
+    "embedding_kmeans_refine",
+    "cooccurrence_pmi_topk",
+    "term_entropy_by_source",
+    "embedding_outlier_mahalanobis",
 ]
 
 
