@@ -158,6 +158,11 @@ HEADLINE = [
     "text_burstiness",
     "rfm_segmentation",
     "jl_recall_vs_dim_curve",
+    # round-21 (wave 9): integer-exact CUSUM change points, the session
+    # survival grid, and top-decile revenue concentration
+    "events_change_point",
+    "session_duration_survival",
+    "orders_pareto_share",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

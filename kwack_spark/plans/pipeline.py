@@ -9421,3 +9421,203 @@ def jl_recall_vs_dim_curve(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+# --- wave 9: CUSUM change points, session survival, Pareto share
+
+
+@register(
+    "events_change_point",
+    # CUSUM change-point detection per event type over daily counts.  The
+    # cumulative sum of (count - mean) is kept INTEGER-EXACT by scaling by
+    # n_days: S_d * n_days = n_days * cumsum(cnt) - rank_d * total, all
+    # bigints, so the argmax day is deterministic without any double
+    # accumulation; the reported cusum divides back down once.  The only
+    # windows are partitioned by event_type over day-count rows.
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY event_type
+        ),
+        cum AS (
+            SELECT d.event_type, d.d,
+                   t.n_days * SUM(d.cnt) OVER (PARTITION BY d.event_type
+                                               ORDER BY d.d
+                                               ROWS UNBOUNDED PRECEDING)
+                       - (row_number() OVER (PARTITION BY d.event_type
+                                             ORDER BY d.d)) * t.total
+                       AS s_scaled,
+                   t.n_days, t.total
+            FROM daily d JOIN tot t USING (event_type)
+        )
+        SELECT event_type, d AS change_day, s_scaled,
+               CAST(s_scaled AS DOUBLE) / n_days AS cusum
+        FROM (
+            SELECT event_type, d, s_scaled, n_days,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY abs(s_scaled) DESC, d) AS rnk
+            FROM cum
+        ) WHERE rnk = 1
+    """,
+    tags=("events", "timeseries", "anomaly"),
+)
+def events_change_point(spark, sf_dir):
+    """CUSUM change points.  100-TB shape: one corpus pass into a
+    (type, day) rollup; everything after runs on day-count-sized tables
+    with type-partitioned windows (never unpartitioned); the scaled-integer
+    trick keeps the cumulative statistic order-free so partial aggregation
+    cannot perturb the argmax."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    cum = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        (
+            F.col("n_days") * F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            - F.row_number().over(w) * F.col("total")
+        ).alias("s_scaled"),
+        "n_days",
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc(F.abs(F.col("s_scaled"))), "d")
+    return (
+        cum.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("change_day"),
+            "s_scaled",
+            (F.col("s_scaled").cast("double") / F.col("n_days")).alias("cusum"),
+        )
+    )
+
+
+@register(
+    "session_duration_survival",
+    # Survival curve of session durations on a fixed time grid: the
+    # fraction of sessions still active at t in {0, 1, 5, 15, 30} minutes.
+    # Durations are integral epoch-microsecond spans (last event - first
+    # event within the 30-min-gap session), so every count and ratio is
+    # exact.
+    oracle="""
+        WITH m AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             < INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS new_s
+            FROM events
+        ),
+        sid AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        ),
+        sess AS MATERIALIZED (
+            SELECT user_id, epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+            FROM sid GROUP BY user_id, sid
+        ),
+        grid(t_seconds) AS (VALUES (0), (60), (300), (900), (1800)),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM sess)
+        SELECT t_seconds,
+               CAST(SUM(CASE WHEN dur_us >= t_seconds * 1000000::BIGINT
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving,
+               n_sessions,
+               CAST(SUM(CASE WHEN dur_us >= t_seconds * 1000000::BIGINT
+                        THEN 1 ELSE 0 END) AS DOUBLE) / n_sessions
+                   AS survival_rate
+        FROM grid, sess, t
+        GROUP BY t_seconds, n_sessions
+    """,
+    tags=("events", "session", "timeseries"),
+)
+def session_duration_survival(spark, sf_dir):
+    """Session survival curve.  100-TB shape: sessionize once (the same
+    user-keyed session_window aggregation every session op shares), then a
+    5-point grid cross-joins against the session table into a 5-row
+    rollup — counts and ratios are integer-exact."""
+    e = T(spark, sf_dir, "events")
+    sess = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us")
+        )
+        .select("dur_us")
+    )
+    grid = spark.createDataFrame([(0,), (60,), (300,), (900,), (1800,)], "t_seconds int")
+    t = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
+    surv = F.sum(
+        F.when(F.col("dur_us") >= F.col("t_seconds").cast("bigint") * 1000000, 1).otherwise(0)
+    )
+    return (
+        sess.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(t))
+        .groupBy("t_seconds", "n_sessions")
+        .agg(
+            surv.alias("n_surviving"),
+            (surv.cast("double") / F.col("n_sessions")).alias("survival_rate"),
+        )
+        .select("t_seconds", "n_surviving", "n_sessions", "survival_rate")
+    )
+
+
+@register(
+    "orders_pareto_share",
+    # Pareto concentration check: what revenue share the top decile of
+    # customers holds.  Per-customer revenue sums through exact DECIMAL;
+    # the decile boundary is a percentile against the customer-level
+    # table (interpolation parity pinned by histogram_quantile_estimate);
+    # the share divides two exact decimal sums cast to double once.
+    oracle="""
+        WITH cust AS MATERIALIZED (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY o_custkey
+        ),
+        q AS (SELECT quantile_cont(CAST(rev AS DOUBLE), 0.9) AS q90 FROM cust)
+        SELECT CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CASE WHEN CAST(rev AS DOUBLE) > q90 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_top,
+               round(ANY_VALUE(q90), 6) AS q90_revenue,
+               CAST(SUM(CASE WHEN CAST(rev AS DOUBLE) > q90 THEN rev
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   / CAST(SUM(rev) AS DOUBLE) AS top_decile_share
+        FROM cust, q
+    """,
+    tags=("tpch", "analytics", "stats"),
+)
+def orders_pareto_share(spark, sf_dir):
+    """Top-decile revenue concentration.  100-TB shape: one customer-keyed
+    rollup, a broadcast 1-row percentile, and a 1-row final aggregate —
+    no sort, no window."""
+    o = T(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    q = cust.agg(F.percentile(F.col("rev").cast("double"), F.lit(0.9)).alias("q90"))
+    top = F.col("rev").cast("double") > F.col("q90")
+    return (
+        cust.crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(top, 1).otherwise(0)).alias("n_top"),
+            F.round(F.first("q90"), 6).alias("q90_revenue"),
+            (
+                F.sum(F.when(top, F.col("rev")).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+                / F.sum("rev").cast("double")
+            ).alias("top_decile_share"),
+        )
+    )

@@ -104,6 +104,9 @@ _PRIORITY = [
     "text_burstiness",
     "rfm_segmentation",
     "jl_recall_vs_dim_curve",
+    "events_change_point",
+    "session_duration_survival",
+    "orders_pareto_share",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

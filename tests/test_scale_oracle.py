@@ -149,6 +149,9 @@ SCALE_SENSITIVE = [
     "text_burstiness",
     "rfm_segmentation",
     "jl_recall_vs_dim_curve",
+    "events_change_point",
+    "session_duration_survival",
+    "orders_pareto_share",
 ]
 
 pytestmark = pytest.mark.skipif(
