@@ -163,6 +163,12 @@ HEADLINE = [
     "events_change_point",
     "session_duration_survival",
     "orders_pareto_share",
+    # round-22 (wave 10): the shingle-width sweep (third dedup tuning
+    # knob), the 2-core peel census (localCheckpoint per round), and the
+    # near-dup vs quality cross-tab
+    "dedup_shingle_size_sensitivity",
+    "graph_k_core",
+    "dup_quality_contrast",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

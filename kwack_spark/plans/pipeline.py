@@ -9621,3 +9621,287 @@ def orders_pareto_share(spark, sf_dir):
             ).alias("top_decile_share"),
         )
     )
+
+
+# --- wave 10: shingle-width sensitivity, k-core peel, dup-vs-quality
+
+
+def _lsh_n_ctes(n: int) -> str:
+    """Per-shingle-width copy of the MinHash-LSH candidate chain (k=8,
+    2 bands), CTE names suffixed with the width so three widths coexist
+    in one oracle."""
+    w = n - 1
+    sh = (
+        f"CASE WHEN len(tk) >= {n} THEN [array_to_string(tk[i:i+{w}], ' ') "
+        f"for i in generate_series(1, len(tk) - {w})] "
+        f"ELSE [array_to_string(tk, ' ')] END"
+    )
+    mh = ", ".join(_mh_sql(i) for i in range(8))
+    jac = (
+        "CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(x.s, y.s)))"
+    )
+    return f"""shs{n} AS (SELECT doc_id, ({sh}) AS sh FROM toks),
+        sigs{n} AS (SELECT doc_id, {mh} FROM shs{n}),
+        banded{n} AS (
+            SELECT doc_id,
+                   md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS band0,
+                   md5(concat_ws('|', mh4, mh5, mh6, mh7)) AS band1
+            FROM sigs{n}
+        ),
+        exploded{n} AS (
+            SELECT doc_id, unnest(['0:' || band0, '1:' || band1]) AS band_key
+            FROM banded{n}
+        ),
+        cand{n} AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM exploded{n} a JOIN exploded{n} b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        ssets{n} AS (SELECT doc_id, list_distinct(sh) AS s FROM shs{n}),
+        row{n} AS (
+            SELECT {n} AS shingle_n,
+                   CAST(count(*) AS BIGINT) AS n_candidates,
+                   CAST(SUM(CASE WHEN {jac} >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_verified,
+                   CASE WHEN count(*) > 0
+                        THEN round(CAST(SUM(CASE WHEN {jac} >= 0.5
+                                          THEN 1 ELSE 0 END) AS DOUBLE)
+                                   / count(*), 6) END AS precision_at_05
+            FROM cand{n} c
+            JOIN ssets{n} x ON x.doc_id = c.id_a
+            JOIN ssets{n} y ON y.doc_id = c.id_b
+        )"""
+
+
+@register(
+    "dedup_shingle_size_sensitivity",
+    # The shingle-width knob measured: candidate volume and exact-Jaccard
+    # precision of the same k=8 / 2-band MinHash-LSH pipeline at word
+    # shingle widths 2, 3, and 5 — narrower shingles recall more (and
+    # flood the verifier), wider shingles are precise but brittle.
+    # Completes the dedup tuning family next to minhash_band_calibration
+    # (band knob) and ann_probe_recall_curve (probe knob).
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        {", ".join(_lsh_n_ctes(n) for n in (2, 3, 5))}
+        SELECT * FROM row2
+        UNION ALL SELECT * FROM row3
+        UNION ALL SELECT * FROM row5
+    """,
+    tags=("dedup", "minhash", "lsh", "tuning"),
+)
+def dedup_shingle_size_sensitivity(spark, sf_dir):
+    """Shingle-width sweep.  100-TB shape: a tuning job run on a sample,
+    but scale-clean regardless — each width is one independent banded
+    pipeline (explode + min-agg signatures, band-key self-join, verify
+    join on candidates only) whose outputs collapse to a single summary
+    row before the 3-row union."""
+    d = T(spark, sf_dir, "documents")
+    parts = []
+    for n in (2, 3, 5):
+        pairs = dedup.minhash_lsh_pairs(
+            d, "doc_id", "text", k=8, bands=2, shingle_n=n, threshold=0.0
+        )
+        parts.append(
+            pairs.agg(
+                F.lit(n).alias("shingle_n"),
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)).alias(
+                    "n_verified"
+                ),
+                F.when(
+                    F.count(F.lit(1)) > 0,
+                    F.round(
+                        F.sum(
+                            F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)
+                        ).cast("double")
+                        / F.count(F.lit(1)),
+                        6,
+                    ),
+                ).alias("precision_at_05"),
+            ).select("shingle_n", "n_candidates", "n_verified", "precision_at_05")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@register(
+    "graph_k_core",
+    # 2-core peel of the near-dup graph, 3 unrolled rounds: repeatedly
+    # drop degree-<2 nodes (and their edges) and report the shrinking
+    # (nodes, edges) census per round — the structure pass that separates
+    # tight duplicate cliques from hub-and-spoke false positives before
+    # choosing cluster keepers.  All counts are integers.
+    oracle=f"""
+        WITH {_LSH_CTES},
+        pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+        ),
+        e0 AS MATERIALIZED (
+            SELECT id_a AS u, id_b AS v FROM pairs
+        ),
+        n1 AS (SELECT node FROM (
+                   SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+               ) GROUP BY node HAVING count(*) >= 2),
+        e1 AS MATERIALIZED (
+            SELECT u, v FROM e0
+            WHERE u IN (SELECT node FROM n1) AND v IN (SELECT node FROM n1)
+        ),
+        n2 AS (SELECT node FROM (
+                   SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1
+               ) GROUP BY node HAVING count(*) >= 2),
+        e2 AS MATERIALIZED (
+            SELECT u, v FROM e1
+            WHERE u IN (SELECT node FROM n2) AND v IN (SELECT node FROM n2)
+        ),
+        n3 AS (SELECT node FROM (
+                   SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2
+               ) GROUP BY node HAVING count(*) >= 2),
+        e3 AS MATERIALIZED (
+            SELECT u, v FROM e2
+            WHERE u IN (SELECT node FROM n3) AND v IN (SELECT node FROM n3)
+        )
+        SELECT 1 AS round, (SELECT count(*) FROM n1) AS n_nodes,
+               (SELECT count(*) FROM e1) AS n_edges
+        UNION ALL
+        SELECT 2, (SELECT count(*) FROM n2), (SELECT count(*) FROM e2)
+        UNION ALL
+        SELECT 3, (SELECT count(*) FROM n3), (SELECT count(*) FROM e3)
+    """,
+    tags=("dedup", "graph"),
+)
+def graph_k_core(spark, sf_dir):
+    """2-core peel census.  100-TB shape: the graph is the (already
+    blocked) LSH pair set — edge-list sized, not corpus sized; each round
+    is one degree rollup plus two semi-joins on the node key.  The edge
+    frame is localCheckpoint-ed per round (edges feed both the degree
+    rollup and the semi-joins, so un-truncated lineage doubles every
+    round — the same trap pagerank_dup_graph documents), and the per-round
+    census counts are exact integers collected as 1-row scalars."""
+    d = T(spark, sf_dir, "documents")
+    edges = (
+        dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .localCheckpoint()
+    )
+    stats = []
+    for rnd in (1, 2, 3):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 2)
+            .select("node")
+            .localCheckpoint()
+        )
+        edges = (
+            edges.join(deg.withColumnRenamed("node", "u"), "u", "semi")
+            .join(deg.withColumnRenamed("node", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        stats.append((rnd, deg.count(), edges.count()))
+    import pyspark.sql.types as T_
+
+    return spark.createDataFrame(
+        stats,
+        T_.StructType(
+            [
+                T_.StructField("round", T_.IntegerType(), False),
+                T_.StructField("n_nodes", T_.LongType(), False),
+                T_.StructField("n_edges", T_.LongType(), False),
+            ]
+        ),
+    )
+
+
+@register(
+    "dup_quality_contrast",
+    # Do near-duplicates skew low-quality?  Split the corpus into docs
+    # that participate in any verified LSH near-dup pair vs the rest, and
+    # cross-tabulate against the text_quality label with exact-integer
+    # token-count means (sum/count via DECIMAL-free bigints, divided once)
+    # — the audit that decides whether dedup doubles as a quality filter.
+    oracle=f"""
+        WITH {_LSH_CTES},
+        pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+        ),
+        dup_ids AS MATERIALIZED (
+            SELECT DISTINCT id_a AS doc_id FROM pairs
+            UNION SELECT DISTINCT id_b FROM pairs
+        ),
+        q AS (
+            SELECT doc_id, len(tk) AS n_tokens,
+                   CASE WHEN len(tk) >= 10
+                             AND CAST(length(lower(text))
+                                      - length({_NORM.format(c='text')}) AS DOUBLE)
+                                 / length(lower(text)) < 0.1
+                             AND CAST(len(list_filter(tk, t -> t IN
+                                 ('the','a','of','and','to','in','is','it','for','on')))
+                                 AS DOUBLE) / len(tk) > 0.05
+                        THEN 'good'
+                        WHEN len(tk) >= 5 THEN 'fair'
+                        ELSE 'poor' END AS quality
+            FROM (SELECT doc_id, text, {_toks()} AS tk FROM documents)
+        )
+        SELECT CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+               quality,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS DOUBLE) / count(*) AS mean_tokens
+        FROM q LEFT JOIN dup_ids d USING (doc_id)
+        GROUP BY 1, 2
+    """,
+    tags=("dedup", "quality", "audit"),
+)
+def dup_quality_contrast(spark, sf_dir):
+    """Near-dup vs quality cross-tab.  100-TB shape: the dup-id set is
+    pair-list sized (broadcast or shuffle-joined on doc_id), the quality
+    labels ride the corpus scan, and the output is a <=6-row rollup."""
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+    tk = TX.tokens("text")
+    q = d.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        F.when(
+            (F.size(tk) >= 10)
+            & (TX.punct_ratio("text") < 0.1)
+            & (TX.stopword_ratio("text") > 0.05),
+            "good",
+        )
+        .when(F.size(tk) >= 5, "fair")
+        .otherwise("poor")
+        .alias("quality"),
+    )
+    return (
+        q.join(dup_ids, "doc_id", "left")
+        .groupBy(
+            F.when(F.col("dup").isNotNull(), 1).otherwise(0).alias("is_dup"),
+            "quality",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+                "mean_tokens"
+            ),
+        )
+    )

@@ -107,6 +107,9 @@ _PRIORITY = [
     "events_change_point",
     "session_duration_survival",
     "orders_pareto_share",
+    "dedup_shingle_size_sensitivity",
+    "graph_k_core",
+    "dup_quality_contrast",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

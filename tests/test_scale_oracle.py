@@ -152,6 +152,9 @@ SCALE_SENSITIVE = [
     "events_change_point",
     "session_duration_survival",
     "orders_pareto_share",
+    "dedup_shingle_size_sensitivity",
+    "graph_k_core",
+    "dup_quality_contrast",
 ]
 
 pytestmark = pytest.mark.skipif(
