@@ -169,6 +169,14 @@ HEADLINE = [
     "dedup_shingle_size_sensitivity",
     "graph_k_core",
     "dup_quality_contrast",
+    # round-23 (wave 11): the mutual-kNN hubness audit and the streaming
+    # CUSUM monitor (day-map state; replay-order-proof).
+    # dedup_incremental_simhash is correctness-graded but not benched: the
+    # synthetic corpus's template vocabulary makes 32-bit simhashes
+    # collide massively at sf0.1 (~130k verified pairs), so the query is
+    # output-bound here, not plan-bound (same reason ann_ivf_topk sits out)
+    "ann_reciprocal_rate",
+    "streaming_change_point",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

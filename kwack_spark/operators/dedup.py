@@ -459,3 +459,73 @@ def simhash_hamming_pairs(
     return cand.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def incremental_simhash_new_dups(
+    history: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Incremental SimHash near-dup detection: which ``batch`` documents are
+    within ``max_hamming`` bit flips of a ``history`` document?  The Hamming
+    twin of ``incremental_lsh_new_dups``: history's sliced fingerprints are
+    the persisted index (written once at 100 TB, not rebuilt per batch);
+    the arriving batch probes it with ``blocks`` (slice_idx, slice_bits)
+    equi-joins (pigeonhole: distance < blocks forces an exact slice match),
+    and only collisions pay the O(bits) Hamming verify."""
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"pigeonhole blocking needs max_hamming < blocks "
+            f"(got {max_hamming} >= {blocks})"
+        )
+    width = bits // blocks
+
+    def sliced(df: DataFrame, side: str) -> DataFrame:
+        fps = simhash_fingerprints(df, id_col, text_col, bits)
+        return fps.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.col("simhash").alias(f"sh_{side}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("blk"),
+                            F.substring("simhash", b * width + 1, width).alias(
+                                "bitsv"
+                            ),
+                        )
+                        for b in range(blocks)
+                    ]
+                )
+            ).alias("s"),
+        ).select(
+            f"id_{side}",
+            f"sh_{side}",
+            F.col("s.blk").alias("blk"),
+            F.col("s.bitsv").alias("bitsv"),
+        )
+
+    cand = (
+        sliced(batch, "b")
+        .join(sliced(history, "h"), ["blk", "bitsv"])
+        .select("id_b", "id_h", "sh_b", "sh_h")
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda i: F.substring("sh_b", i, 1) != F.substring("sh_h", i, 1),
+        )
+    )
+    return (
+        cand.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_h").alias("hist_id"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

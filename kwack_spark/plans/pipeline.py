@@ -9905,3 +9905,196 @@ def dup_quality_contrast(spark, sf_dir):
             ),
         )
     )
+
+
+# --- wave 11: incremental SimHash, reciprocal-kNN audit, streaming CUSUM
+
+
+_ISIM_SPLIT = "substr(md5('isim:' || doc_id::VARCHAR), 1, 4)"
+
+
+@register(
+    "dedup_incremental_simhash",
+    # incremental Hamming near-dup: the arriving batch (hash-split ~20%)
+    # probes the historical corpus's persisted sliced-fingerprint index
+    # (Manku pigeonhole: distance <= 3 of a 32-bit simhash forces an exact
+    # match on one of 4 slices) — the Hamming twin of dedup_incremental_lsh.
+    # Exact md5 bit arithmetic on both engines covers blocking AND verify.
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, text,
+                   CASE WHEN {_ISIM_SPLIT} < '3334' THEN 'b' ELSE 'h' END AS side
+            FROM documents
+        ),
+        toks AS (SELECT doc_id, side, {_toks()} AS tk FROM docs),
+        fps AS (SELECT doc_id, side, {_simhash_sql(32)} AS simhash FROM toks),
+        sliced AS (
+            SELECT doc_id, side, simhash, blk,
+                   substr(simhash, blk * 8 + 1, 8) AS bitsv
+            FROM fps, (SELECT unnest([0, 1, 2, 3]) AS blk)
+        ),
+        cand AS (
+            SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS hist_id,
+                   b.simhash AS sh_b, h.simhash AS sh_h
+            FROM sliced b JOIN sliced h
+              ON b.blk = h.blk AND b.bitsv = h.bitsv
+             AND b.side = 'b' AND h.side = 'h'
+        )
+        SELECT doc_id, hist_id,
+               CAST(len(list_filter(generate_series(1, 32),
+                    i -> substr(sh_b, i, 1) <> substr(sh_h, i, 1))) AS INT)
+                   AS hamming
+        FROM cand
+        WHERE len(list_filter(generate_series(1, 32),
+                  i -> substr(sh_b, i, 1) <> substr(sh_h, i, 1))) <= 3
+    """,
+    tags=("dedup", "simhash", "incremental"),
+)
+def dedup_incremental_simhash(spark, sf_dir):
+    """Daily-ingest Hamming near-dup rejection.  100-TB shape: history's
+    sliced fingerprints are a persisted index written once; per batch the
+    work is O(|batch| * blocks) probe rows into a slice-keyed equi-join,
+    and the Hamming verify runs only on collisions
+    (operators/dedup.py:incremental_simhash_new_dups)."""
+    d = T(spark, sf_dir, "documents")
+    split = F.substring(
+        F.md5(F.concat(F.lit("isim:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    hist = d.filter(split >= "3334")
+    batch = d.filter(split < "3334")
+    return dedup.incremental_simhash_new_dups(
+        hist, batch, "doc_id", "text", bits=32, max_hamming=3, blocks=4
+    )
+
+
+@register(
+    "ann_reciprocal_rate",
+    # Mutual-kNN audit: the fraction of exact top-3 edges that are
+    # reciprocated (a is in b's top-3 AND b is in a's top-3).  Hubness
+    # diagnostic for the embedding space — a low rate means asymmetric hub
+    # vectors dominate neighborhoods, which degrades kNN-graph dedup and
+    # hard-negative mining.  Integer-ratio exact, composed from the
+    # registered brute-force oracle.
+    oracle=f"""
+        WITH bf AS MATERIALIZED (
+            SELECT query_id, corpus_id FROM ({_Q["ann_brute_force_topk"].oracle}) x
+        )
+        SELECT CAST((SELECT count(*) FROM bf) AS BIGINT) AS n_edges,
+               CAST(count(*) AS BIGINT) AS n_mutual,
+               CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM bf)
+                   AS reciprocal_rate
+        FROM bf a JOIN bf b
+          ON a.query_id = b.corpus_id AND a.corpus_id = b.query_id
+    """,
+    tags=("similarity", "ann", "audit"),
+)
+def ann_reciprocal_rate(spark, sf_dir):
+    """Reciprocal-kNN rate.  100-TB shape: the edge list is k rows per
+    query (k-bounded, never corpus-sized); the reversal join is an
+    equi-join on the pair key against itself."""
+    bf = _Q["ann_brute_force_topk"].fn(spark, sf_dir).select("query_id", "corpus_id")
+    bf = similarity._persist_rotating("recip_bf", bf)
+    rev = bf.select(
+        F.col("corpus_id").alias("query_id"), F.col("query_id").alias("corpus_id")
+    )
+    mutual = bf.join(rev, ["query_id", "corpus_id"]).agg(
+        F.count(F.lit(1)).alias("n_mutual")
+    )
+    t = bf.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        t.crossJoin(F.broadcast(mutual))
+        .select(
+            "n_edges",
+            "n_mutual",
+            (F.col("n_mutual").cast("double") / F.col("n_edges")).alias(
+                "reciprocal_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "streaming_change_point",
+    # the STREAMING CUSUM monitor against the batch oracle: events replay
+    # as 4 micro-batches, each event type's per-day counts merge into the
+    # state store, and every emission recomputes the scaled-integer CUSUM
+    # argmax from the full day map — so the final state equals the batch
+    # events_change_point result regardless of arrival order (a prefix-max
+    # over the raw stream would NOT be replay-stable; the day-map state is).
+    # (same SQL as events_change_point: the streaming state must decode to
+    # the batch result exactly)
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY event_type
+        ),
+        cum AS (
+            SELECT d.event_type, d.d,
+                   t.n_days * SUM(d.cnt) OVER (PARTITION BY d.event_type
+                                               ORDER BY d.d
+                                               ROWS UNBOUNDED PRECEDING)
+                       - (row_number() OVER (PARTITION BY d.event_type
+                                             ORDER BY d.d)) * t.total
+                       AS s_scaled,
+                   t.n_days, t.total
+            FROM daily d JOIN tot t USING (event_type)
+        )
+        SELECT event_type, d AS change_day, s_scaled,
+               CAST(s_scaled AS DOUBLE) / n_days AS cusum
+        FROM (
+            SELECT event_type, d, s_scaled, n_days,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY abs(s_scaled) DESC, d) AS rnk
+            FROM cum
+        ) WHERE rnk = 1
+    """,
+    tags=("streaming", "stateful", "anomaly"),
+)
+def streaming_change_point(spark, sf_dir):
+    """Streaming CUSUM change points under the correctness gate: replay
+    events as 4 micro-batches through applyInPandasWithState
+    (streaming/ingest.py:stateful_cusum_days), take each type's last
+    emission, and decode the day ordinal back to the timestamp the batch
+    query reports."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.streaming import ingest as si
+
+    e = T(spark, sf_dir, "events").select("event_type", "ts")
+    replay_dir = tempfile.mkdtemp(prefix="kwack_cusum_replay_")
+    e.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    states = si.stateful_cusum_days(stream, "event_type", "ts")
+    sink = f"cusum_{uuid.uuid4().hex[:8]}"
+    with _few_shuffle_partitions(spark):
+        q = si.to_memory_sink(states, sink, output_mode="update")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("cusum stream did not finish in 300s")
+    last = (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.struct("total", "change_day_ord", "s_scaled", "n_days")
+            ).alias("m")
+        )
+        .select("event_type", "m.change_day_ord", "m.s_scaled", "m.n_days")
+    )
+    return last.select(
+        "event_type",
+        F.timestamp_seconds(F.col("change_day_ord") * 86400).alias("change_day"),
+        "s_scaled",
+        (F.col("s_scaled").cast("double") / F.col("n_days")).alias("cusum"),
+    )

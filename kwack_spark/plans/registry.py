@@ -110,6 +110,9 @@ _PRIORITY = [
     "dedup_shingle_size_sensitivity",
     "graph_k_core",
     "dup_quality_contrast",
+    "dedup_incremental_simhash",
+    "ann_reciprocal_rate",
+    "streaming_change_point",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

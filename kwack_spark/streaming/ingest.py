@@ -343,3 +343,64 @@ def to_memory_sink(
     elif processing_time is not None:
         w = w.trigger(processingTime=processing_time)
     return w.start()
+
+
+def stateful_cusum_days(
+    df: DataFrame, key: str, ts_col: str = "ts"
+) -> DataFrame:
+    """Per-key streaming CUSUM change-point state: the state store holds
+    each key's per-DAY event counts (two parallel arrays — day ordinal,
+    count), merged across micro-batches; every emission recomputes the
+    scaled-integer CUSUM argmax (S_d * n_days = n_days * cumsum - rank *
+    total, all ints) from the full day map, so the result is independent
+    of arrival order — unlike a prefix-max over the raw stream, which
+    would depend on row order inside a batch.  The last emission per key
+    (max total) equals the batch CUSUM exactly."""
+    import datetime as _dt
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = df.schema[key].dataType.simpleString()
+    out_schema = (
+        f"{key} {key_type}, total long, change_day_ord long, s_scaled long, "
+        "n_days long"
+    )
+    state_schema = "d array<long>, c array<long>"
+    epoch = _dt.date(1970, 1, 1)
+
+    def update(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        counts: dict[int, int] = {}
+        if state.exists:
+            ds, cs = state.get
+            counts = dict(zip(ds, cs))
+        for pdf in pdfs:
+            for t in pdf[ts_col]:
+                day = (pd.Timestamp(t).date() - epoch).days
+                counts[day] = counts.get(day, 0) + 1
+        days = sorted(counts)
+        state.update((list(days), [counts[d] for d in days]))
+        n_days = len(days)
+        total = sum(counts.values())
+        best = None  # (-|s|, day_ord, s)
+        cum = 0
+        for rank, day in enumerate(days, start=1):
+            cum += counts[day]
+            s = n_days * cum - rank * total
+            cand = (-abs(s), day, s)
+            if best is None or cand < best:
+                best = cand
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "total": [total],
+                "change_day_ord": [best[1]],
+                "s_scaled": [best[2]],
+                "n_days": [n_days],
+            }
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

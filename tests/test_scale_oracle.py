@@ -155,6 +155,9 @@ SCALE_SENSITIVE = [
     "dedup_shingle_size_sensitivity",
     "graph_k_core",
     "dup_quality_contrast",
+    "dedup_incremental_simhash",
+    "ann_reciprocal_rate",
+    "streaming_change_point",
 ]
 
 pytestmark = pytest.mark.skipif(
