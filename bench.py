@@ -177,6 +177,11 @@ HEADLINE = [
     # output-bound here, not plan-bound (same reason ann_ivf_topk sits out)
     "ann_reciprocal_rate",
     "streaming_change_point",
+    # round-24 (wave 12): IVF cluster label purity, per-source dup rate,
+    # and weekly-seasonality autocorrelation (scaled-integer moments)
+    "embedding_cluster_purity",
+    "source_dedup_rate",
+    "events_periodicity_autocorr",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -10098,3 +10098,205 @@ def streaming_change_point(spark, sf_dir):
         "s_scaled",
         (F.col("s_scaled").cast("double") / F.col("n_days")).alias("cusum"),
     )
+
+
+# --- wave 12: cluster purity, per-source dup rate, daily autocorrelation
+
+
+@register(
+    "embedding_cluster_purity",
+    # Label purity of the deterministic IVF clustering (the same refined
+    # centroids ann_ivf_topk probes): per list, the majority-label share —
+    # the unsupervised-quality audit run after every index rebuild, and
+    # the quantitative check that SemDeDup-style semantic pruning operates
+    # on label-coherent clusters.  Counts are integers; purity divides two
+    # bigints once; majority ties break on the label.
+    oracle=f"""
+        WITH {_IVF_ASSIGNED_CTES},
+        lab AS (SELECT vec_id, label FROM embeddings),
+        per AS (
+            SELECT a.list_id, l.label, CAST(count(*) AS BIGINT) AS c
+            FROM assigned a JOIN lab l ON l.vec_id = a.corpus_id
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT list_id, CAST(SUM(c) AS BIGINT) AS n FROM per GROUP BY 1),
+        top AS (
+            SELECT list_id, label AS top_label, c AS n_top FROM (
+                SELECT list_id, label, c,
+                       row_number() OVER (PARTITION BY list_id
+                                          ORDER BY c DESC, label) AS rnk
+                FROM per
+            ) WHERE rnk = 1
+        )
+        SELECT t.list_id, tot.n, t.top_label, t.n_top,
+               CAST(t.n_top AS DOUBLE) / tot.n AS purity
+        FROM top t JOIN tot USING (list_id)
+    """,
+    tags=("embedding", "kmeans", "audit"),
+)
+def embedding_cluster_purity(spark, sf_dir):
+    """IVF cluster label purity.  100-TB shape: the assignment is the
+    shared broadcast-centroid pipeline; everything downstream is keyed on
+    (list_id, label) — at most n_lists * n_labels rows — with a k-bounded
+    argmax window."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "embeddings")
+    _, assigned = similarity.ivf_assign(
+        e, "vec_id", "embedding", n_lists=16, refine_iters=1
+    )
+    per = (
+        assigned.join(
+            e.select(F.col("vec_id").alias("corpus_id"), "label"), "corpus_id"
+        )
+        .groupBy("list_id", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = per.groupBy("list_id").agg(F.sum("c").alias("n"))
+    w = Window.partitionBy("list_id").orderBy(F.desc("c"), "label")
+    top = (
+        per.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("list_id", F.col("label").alias("top_label"), F.col("c").alias("n_top"))
+    )
+    return top.join(tot, "list_id").select(
+        "list_id",
+        "n",
+        "top_label",
+        "n_top",
+        (F.col("n_top").cast("double") / F.col("n")).alias("purity"),
+    )
+
+
+@register(
+    "source_dedup_rate",
+    # Per-source near-duplicate rate: which crawl sources are redundant —
+    # the table that reweights (or drops) feeds in the next mixture.  Dup
+    # membership is the verified MinHash-LSH pair set's id union; counts
+    # and the rate are integer-exact.
+    oracle=f"""
+        WITH {_LSH_CTES},
+        pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+        ),
+        dup_ids AS MATERIALIZED (
+            SELECT DISTINCT id_a AS doc_id FROM pairs
+            UNION SELECT DISTINCT id_b FROM pairs
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN du.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup,
+               CAST(SUM(CASE WHEN du.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS dup_rate
+        FROM documents d LEFT JOIN dup_ids du USING (doc_id)
+        GROUP BY d.source
+    """,
+    tags=("dedup", "mixture", "audit"),
+)
+def source_dedup_rate(spark, sf_dir):
+    """Per-source dup rate.  100-TB shape: the dup-id set is pair-list
+    sized, joined back on doc_id; the output is |sources| rows."""
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(dup_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("dup").isNotNull(), 1).otherwise(0)).alias("n_dup"),
+            (
+                F.sum(F.when(F.col("dup").isNotNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@register(
+    "events_periodicity_autocorr",
+    # Autocorrelation of the daily event-count series at lags 1..7 — the
+    # weekly-seasonality detector.  Exactness: with x the daily counts,
+    # r_L = Σ(n·x_d − T)(n·x_{d−L} − T) / Σ(n·x_d − T)² where T = Σx —
+    # every factor is an integer (scaled by n, the day count), products
+    # sum through DECIMAL(38,0), and the single ratio rounds to 6dp.
+    oracle="""
+        WITH daily AS MATERIALIZED (
+            SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+                       AS dint,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        t AS (SELECT CAST(SUM(x) AS BIGINT) AS tot,
+                     CAST(count(*) AS BIGINT) AS n FROM daily),
+        lags(lag) AS (VALUES (1), (2), (3), (4), (5), (6), (7)),
+        den AS (
+            SELECT SUM(CAST((n * x - tot) AS DECIMAL(38,0))
+                       * CAST((n * x - tot) AS DECIMAL(38,0))) AS den
+            FROM daily, t
+        ),
+        num AS (
+            SELECT lag,
+                   SUM(CAST((t.n * a.x - t.tot) AS DECIMAL(38,0))
+                       * CAST((t.n * b.x - t.tot) AS DECIMAL(38,0))) AS num
+            FROM lags, daily a
+            JOIN daily b ON b.dint = a.dint - lag
+            CROSS JOIN t
+            GROUP BY lag
+        )
+        SELECT lags.lag,
+               round(CAST(coalesce(num.num, 0) AS DOUBLE)
+                     / CAST(den.den AS DOUBLE), 6) AS autocorr
+        FROM lags LEFT JOIN num USING (lag) CROSS JOIN den
+    """,
+    tags=("events", "timeseries", "stats"),
+)
+def events_periodicity_autocorr(spark, sf_dir):
+    """Daily-count autocorrelation.  100-TB shape: one corpus pass into the
+    day rollup; the lag joins and moment sums run on the day-count table
+    (weeks of days, not events).  The scaled-integer trick keeps both
+    moments order-free, so partial aggregation cannot move the ratio."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(
+        (F.unix_micros(F.date_trunc("day", "ts")) / F.lit(86400000000))
+        .cast("bigint")
+        .alias("dint")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    t = daily.agg(F.sum("x").alias("tot"), F.count(F.lit(1)).alias("n"))
+    dt = daily.crossJoin(F.broadcast(t))
+    dev = (F.col("n") * F.col("x") - F.col("tot")).cast("decimal(38,0)")
+    den = dt.agg(F.sum(dev * dev).alias("den"))
+    lags = spark.createDataFrame([(i,) for i in range(1, 8)], "lag int")
+    a = dt.select("dint", "x", "tot", "n")
+    b = daily.select(F.col("dint").alias("dint_b"), F.col("x").alias("xb"))
+    deva = (F.col("n") * F.col("x") - F.col("tot")).cast("decimal(38,0)")
+    devb = (F.col("n") * F.col("xb") - F.col("tot")).cast("decimal(38,0)")
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("dint_b") == F.col("dint") - F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(deva * devb).alias("num"))
+    )
+    return (
+        lags.join(num, "lag", "left")
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            F.round(
+                F.coalesce(F.col("num"), F.lit(0)).cast("double")
+                / F.col("den").cast("double"),
+                6,
+            ).alias("autocorr"),
+        )
+    )

@@ -113,6 +113,9 @@ _PRIORITY = [
     "dedup_incremental_simhash",
     "ann_reciprocal_rate",
     "streaming_change_point",
+    "embedding_cluster_purity",
+    "source_dedup_rate",
+    "events_periodicity_autocorr",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

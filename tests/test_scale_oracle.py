@@ -158,6 +158,9 @@ SCALE_SENSITIVE = [
     "dedup_incremental_simhash",
     "ann_reciprocal_rate",
     "streaming_change_point",
+    "embedding_cluster_purity",
+    "source_dedup_rate",
+    "events_periodicity_autocorr",
 ]
 
 pytestmark = pytest.mark.skipif(
