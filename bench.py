@@ -182,6 +182,13 @@ HEADLINE = [
     "embedding_cluster_purity",
     "source_dedup_rate",
     "events_periodicity_autocorr",
+    # round-25 (wave 13): windowed audio energy through the real PCM16
+    # chunk-walk, the semantic-dedup threshold sweep (one blocked pair
+    # table, conditional counts), the weekly heatmap, and per-source OOV
+    "multimodal_audio_rms_windows",
+    "embedding_dedup_threshold_sweep",
+    "event_hour_dow_heatmap",
+    "token_oov_rate_by_source",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -1363,3 +1363,141 @@ def trim_wav_silence(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
         [ST.StructField(id_col, ST.LongType())] + list(WAV_TRIM_SCHEMA.fields)
     )
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+def synth_wav_stepped(
+    df: DataFrame,
+    id_col: str,
+    n_windows: int = 8,
+    win: int = 128,
+    rate: int = 8000,
+) -> DataFrame:
+    """Deterministic stepped-amplitude WAV fixture: window ``w`` (of
+    ``n_windows``, each ``win`` samples) is a square wave alternating
+    ±(id % 500 + 1 + w), so every window's RMS and peak have the closed
+    form ``id % 500 + 1 + w`` — the fixture for windowed audio features
+    (energy contours, VAD).  Same RIFF structure as synth_wav_pcm16,
+    including the junk LIST chunk a parser must skip."""
+    import struct
+
+    import pandas as pd
+
+    def kernel(batches) -> Iterator:
+        for pdf in batches:
+            ids, outs = [], []
+            for rec in pdf.itertuples(index=False):
+                i = int(getattr(rec, id_col))
+                base = i % 500 + 1
+                frames = b"".join(
+                    struct.pack(
+                        "<h",
+                        (base + w) if k % 2 == 0 else -(base + w),
+                    )
+                    for w in range(n_windows)
+                    for k in range(win)
+                )
+                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+                junk = b"JUNKJUNK"
+                chunks = (
+                    b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"LIST" + struct.pack("<I", len(junk)) + junk
+                    + b"data" + struct.pack("<I", len(frames)) + frames
+                )
+                payload = (
+                    b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+                )
+                ids.append(i)
+                outs.append(payload)
+            yield pd.DataFrame({id_col: ids, "payload": outs})
+
+    out_schema = ST.StructType(
+        [
+            ST.StructField(id_col, ST.LongType(), False),
+            ST.StructField("payload", ST.BinaryType(), False),
+        ]
+    )
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def _pcm16_samples(payload: bytes):
+    """Chunk-walk a RIFF/WAVE payload to (rate, channels, int16 samples);
+    None on any malformation — the same guarded parse discipline as
+    decode_wav_features (truncated fmt bodies degrade to None, odd chunk
+    sizes honor the pad byte)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt_info, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_fmt, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
+            fmt_info = (audio_fmt, ch, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt_info is None or data is None:
+        return None
+    audio_fmt, ch, rate, bits = fmt_info
+    if audio_fmt != 1 or bits != 16 or ch < 1 or rate == 0:
+        return None
+    s = np.frombuffer(data[: (len(data) // (2 * ch)) * 2 * ch], dtype="<i2")
+    return (rate, ch, s)
+
+
+def wav_rms_windows(
+    df: DataFrame, payload_col: str, id_col: str, win: int = 128
+) -> DataFrame:
+    """Windowed audio energy: decode PCM16 and emit per-window RMS/peak
+    over fixed ``win``-sample windows (the energy-contour / VAD front
+    end).  RMS of an integer square wave is exact in IEEE (integer
+    squares sum exactly, the window length is a power of two, sqrt of a
+    perfect square is exact), so the closed-form oracle holds bit-for-bit.
+    Malformed payloads yield no rows for that id (skip quarantine)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches) -> Iterator:
+        for pdf in batches:
+            ids, wids, ns, rmss, peaks = [], [], [], [], []
+            for rec in pdf.itertuples(index=False):
+                parsed = _pcm16_samples(bytes(getattr(rec, payload_col)))
+                if parsed is None:
+                    continue
+                _rate, ch, s = parsed
+                if ch != 1:
+                    continue
+                i = int(getattr(rec, id_col))
+                n_win = len(s) // win
+                for w in range(n_win):
+                    x = s[w * win:(w + 1) * win].astype(np.float64)
+                    ids.append(i)
+                    wids.append(w)
+                    ns.append(win)
+                    rmss.append(float(np.sqrt(np.mean(x * x))))
+                    peaks.append(int(np.max(np.abs(x))))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "window_id": wids,
+                    "n_samples": ns,
+                    "rms": rmss,
+                    "peak": peaks,
+                }
+            )
+
+    out_schema = ST.StructType(
+        [
+            ST.StructField(id_col, ST.LongType(), False),
+            ST.StructField("window_id", ST.IntegerType(), False),
+            ST.StructField("n_samples", ST.IntegerType(), False),
+            ST.StructField("rms", ST.DoubleType(), False),
+            ST.StructField("peak", ST.IntegerType(), False),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)

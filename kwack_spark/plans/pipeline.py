@@ -10300,3 +10300,176 @@ def events_periodicity_autocorr(spark, sf_dir):
             ).alias("autocorr"),
         )
     )
+
+
+# --- wave 13: windowed audio energy, semantic threshold sweep, time
+# heatmap, OOV rate
+
+
+@register(
+    "multimodal_audio_rms_windows",
+    # Windowed audio energy over a REAL decode: the stepped fixture's
+    # window w is a square wave at ±(doc_id % 500 + 1 + w), so per-window
+    # RMS and peak have the closed form the oracle states independently of
+    # the bytes (integer squares sum exactly over the 128-sample window,
+    # /2^7 is exact, sqrt of a perfect square is exact).  The kernel must
+    # chunk-walk the RIFF (junk LIST before data) and slice fixed windows.
+    oracle="""
+        SELECT doc_id, CAST(w AS INTEGER) AS window_id,
+               CAST(128 AS INTEGER) AS n_samples,
+               CAST(doc_id % 500 + 1 + w AS DOUBLE) AS rms,
+               CAST(doc_id % 500 + 1 + w AS INTEGER) AS peak
+        FROM documents, (SELECT unnest(range(0, 8)) AS w)
+    """,
+    tags=("multimodal", "audio", "window"),
+)
+def multimodal_audio_rms_windows(spark, sf_dir):
+    """Per-window RMS/peak (energy contour / VAD front end) through the
+    real PCM16 chunk-walk (operators/multimodal.py:wav_rms_windows).
+    100-TB shape: two narrow Arrow-batched stages (synth stands in for the
+    payload read), no payload shuffle, output 8 rows per file."""
+    from kwack_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    wav = mm.synth_wav_stepped(d, "doc_id")
+    return mm.wav_rms_windows(wav, "payload", "doc_id")
+
+
+@register(
+    "embedding_dedup_threshold_sweep",
+    # Semantic-dedup threshold curve: verified pair counts of the
+    # hyperplane-LSH blocked pair set at cosine thresholds
+    # 0.3/0.5/0.7/0.9 — the knob table that picks the semantic dedup
+    # operating point (the embedding-side sibling of
+    # dedup_shingle_size_sensitivity).  Cosines are the shared fold kernel
+    # (bit-equal), so the conditional counts are exact integers.
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(4))} AS bucket FROM v),
+        pairs AS MATERIALIZED (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DUP_COS} AS cosine
+            FROM sig a JOIN sig b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ),
+        thr(threshold) AS (VALUES (0.3), (0.5), (0.7), (0.9))
+        SELECT CAST(threshold AS DOUBLE) AS threshold,
+               CAST(SUM(CASE WHEN cosine >= threshold THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_pairs
+        FROM thr, pairs
+        GROUP BY threshold
+    """,
+    tags=("dedup", "embedding", "tuning"),
+)
+def embedding_dedup_threshold_sweep(spark, sf_dir):
+    """Semantic threshold sweep.  100-TB shape: ONE blocked pair table
+    (bucket self-join, never all-pairs) scanned once against the 4-row
+    threshold table — each extra threshold is a conditional count, not a
+    new pair join."""
+    e = T(spark, sf_dir, "embeddings")
+    pairs = similarity.lsh_bucketed_pairs(
+        e, "vec_id", "embedding", planes=4, dim=64, threshold=0.0
+    ).select("cosine")
+    thr = spark.createDataFrame([(0.3,), (0.5,), (0.7,), (0.9,)], "threshold double")
+    return (
+        pairs.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("cosine") >= F.col("threshold"), 1).otherwise(0)
+            ).alias("n_pairs")
+        )
+    )
+
+
+@register(
+    "event_hour_dow_heatmap",
+    # The weekly activity heatmap: event counts by (ISO day-of-week, hour
+    # of day) with each cell's share of the total — 168 rows whatever the
+    # corpus size.  ISO day numbering is used on BOTH engines (Spark
+    # dayofweek() and DuckDB dow() disagree on Sunday; isodow/
+    # DAYOFWEEK_ISO agree).
+    oracle="""
+        WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+        SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+               CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) AS DOUBLE) / ANY_VALUE(total) AS share
+        FROM events, t
+        GROUP BY 1, 2
+    """,
+    tags=("events", "timeseries", "analytics"),
+)
+def event_hour_dow_heatmap(spark, sf_dir):
+    """Hour × weekday heatmap.  100-TB shape: one partial+final rollup on
+    a 168-value key, total via a broadcast 1-row aggregate."""
+    e = T(spark, sf_dir, "events")
+    t = e.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        e.crossJoin(F.broadcast(t))
+        .groupBy(
+            F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)).cast("double") / F.first("total")).alias("share"),
+        )
+    )
+
+
+@register(
+    "token_oov_rate_by_source",
+    # Out-of-vocabulary rate per source against the global top-1024 term
+    # vocabulary — the per-feed tokenizer-coverage audit (a source whose
+    # OOV spikes is drifting away from the trained vocab).  The vocab cut
+    # is a TakeOrdered head; counts and rates are integer-exact.
+    oracle=f"""
+        WITH tf AS (
+            SELECT source, t AS term
+            FROM (SELECT source, unnest({_toks()}) AS t FROM documents)
+        ),
+        vocab AS MATERIALIZED (
+            SELECT term FROM (
+                SELECT term, count(*) AS cnt FROM tf GROUP BY term
+            ) ORDER BY cnt DESC, term LIMIT 1024
+        )
+        SELECT tf.source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS oov_rate
+        FROM tf LEFT JOIN vocab v USING (term)
+        GROUP BY tf.source
+    """,
+    tags=("text", "tokenizer", "audit"),
+)
+def token_oov_rate_by_source(spark, sf_dir):
+    """Per-source OOV rate.  100-TB shape: one token explode feeding both
+    the vocab head (term rollup + TakeOrdered) and the broadcast-vocab
+    left join; output is |sources| rows."""
+    d = T(spark, sf_dir, "documents")
+    tf = d.select("source", F.explode(TX.tokens("text")).alias("term"))
+    vocab = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(1024)
+        .select("term")
+        .withColumn("in_vocab", F.lit(1))
+    )
+    return (
+        tf.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+            (
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )

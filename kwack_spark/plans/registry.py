@@ -116,6 +116,10 @@ _PRIORITY = [
     "embedding_cluster_purity",
     "source_dedup_rate",
     "events_periodicity_autocorr",
+    "multimodal_audio_rms_windows",
+    "embedding_dedup_threshold_sweep",
+    "event_hour_dow_heatmap",
+    "token_oov_rate_by_source",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

@@ -161,6 +161,10 @@ SCALE_SENSITIVE = [
     "embedding_cluster_purity",
     "source_dedup_rate",
     "events_periodicity_autocorr",
+    "multimodal_audio_rms_windows",
+    "embedding_dedup_threshold_sweep",
+    "event_hour_dow_heatmap",
+    "token_oov_rate_by_source",
 ]
 
 pytestmark = pytest.mark.skipif(
