@@ -189,6 +189,12 @@ HEADLINE = [
     "embedding_dedup_threshold_sweep",
     "event_hour_dow_heatmap",
     "token_oov_rate_by_source",
+    # round-26 (wave 14): SCD-2 interval build (user-keyed change
+    # compression), per-group histogram quantiles, and the cohort LTV
+    # matrix (integer month arithmetic)
+    "scd2_user_state_intervals",
+    "grouped_quantile_estimate",
+    "cohort_revenue_matrix",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -8030,7 +8030,7 @@ def embedding_kmeans_refine(spark, sf_dir):
         )
         SELECT CAST(q AS DOUBLE) AS q, round(est_raw, 6) AS est_q,
                round(ex, 6) AS exact_q,
-               round(abs(est_raw - ex), 6) AS abs_err
+               round(abs(round(est_raw, 6) - round(ex, 6)), 6) AS abs_err
         FROM est JOIN ex USING (qi)
     """,
     tags=("quantile", "sketch", "scale"),
@@ -8106,7 +8106,7 @@ def histogram_quantile_estimate(spark, sf_dir):
         "q",
         F.round("est_raw", 6).alias("est_q"),
         F.round("ex", 6).alias("exact_q"),
-        F.round(F.abs(F.col("est_raw") - F.col("ex")), 6).alias("abs_err"),
+        F.round(F.abs(F.round("est_raw", 6) - F.round("ex", 6)), 6).alias("abs_err"),
     )
 
 
@@ -10471,5 +10471,227 @@ def token_oov_rate_by_source(spark, sf_dir):
                 )
                 / F.count(F.lit(1))
             ).alias("oov_rate"),
+        )
+    )
+
+
+# --- wave 14: SCD-2 intervals, grouped quantiles, cohort revenue
+
+
+@register(
+    "scd2_user_state_intervals",
+    # Slowly-changing-dimension type-2 build: compress each user's event
+    # stream to state-CHANGE rows (event_type != previous) and emit
+    # validity intervals [valid_from, valid_to) with NULL valid_to on the
+    # current state — the warehouse dimension-maintenance primitive.
+    # Ordering ties break on event_id, so lag/lead agree across engines.
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        changes AS (
+            SELECT user_id, event_type AS state, ts AS valid_from
+            FROM o WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id, state, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from) AS valid_to
+        FROM changes
+    """,
+    tags=("events", "scd", "warehouse"),
+)
+def scd2_user_state_intervals(spark, sf_dir):
+    """SCD-2 interval build.  100-TB shape: both windows are keyed on
+    user_id (never unpartitioned); the change compression collapses
+    per-user volume before the second window, so the interval table is
+    state-change sized."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", F.col("event_type").alias("state"), F.col("ts").alias("valid_from"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+
+
+@register(
+    "grouped_quantile_estimate",
+    # Per-group single-pass quantiles: the 64-bin histogram estimate vs the
+    # exact percentile, PER EVENT TYPE — the grouped version of
+    # histogram_quantile_estimate (the realistic shape: one tiny rollup
+    # per group, cumulated inside the group key, never a global sort).
+    oracle="""
+        WITH s AS MATERIALIZED (
+            SELECT event_type, min(value) AS lo, max(value) AS hi,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        ),
+        hist AS MATERIALIZED (
+            SELECT e.event_type,
+                   least(CAST(floor((value - lo) / (hi - lo) * 64) AS INT), 63)
+                       AS bin,
+                   count(*) AS cnt
+            FROM events e JOIN s USING (event_type)
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM hist
+        ),
+        probes(qi, q) AS (VALUES (0, 0.5), (1, 0.9)),
+        est AS (
+            SELECT s.event_type, qi, q,
+                   lo + (bin + (q * n - (cum - cnt)) / cnt) * (hi - lo) / 64
+                       AS est_raw
+            FROM probes, cum
+            JOIN s USING (event_type)
+            WHERE cum >= q * n AND cum - cnt < q * n
+        ),
+        ex AS (
+            SELECT event_type, u.x.qi AS qi, u.x.ex AS ex FROM (
+                SELECT event_type,
+                       unnest(list_transform(quantile_cont(value, [0.5, 0.9]),
+                              (e, i) -> struct_pack(qi := i - 1, ex := e))) AS x
+                FROM events GROUP BY event_type
+            ) u
+        )
+        SELECT est.event_type, CAST(q AS DOUBLE) AS q,
+               round(est_raw, 6) AS est_q, round(ex, 6) AS exact_q,
+               round(abs(round(est_raw, 6) - round(ex, 6)), 6) AS abs_err
+        FROM est JOIN ex USING (event_type, qi)
+    """,
+    tags=("quantile", "sketch", "scale"),
+)
+def grouped_quantile_estimate(spark, sf_dir):
+    """Per-type histogram quantiles vs exact.  100-TB shape: two narrow
+    scans into (type)- and (type, bin)-keyed rollups, the cumulation
+    window partitioned by the group key over <=64 rows per group, and the
+    exact side one percentile aggregate per group for the audit."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    hist = (
+        e.join(F.broadcast(s), "event_type")
+        .select(
+            "event_type",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 64
+                ).cast("int"),
+                F.lit(63),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("event_type")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    probes = spark.createDataFrame([(0, 0.5), (1, 0.9)], "qi int, q double")
+    est = (
+        probes.crossJoin(F.broadcast(cum))
+        .join(F.broadcast(s), "event_type")
+        .filter(
+            (F.col("cum") >= F.col("q") * F.col("n"))
+            & (F.col("cum") - F.col("cnt") < F.col("q") * F.col("n"))
+        )
+        .select(
+            "event_type",
+            "qi",
+            "q",
+            (
+                F.col("lo")
+                + (
+                    F.col("bin")
+                    + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
+                    / F.col("cnt")
+                )
+                * (F.col("hi") - F.col("lo"))
+                / 64
+            ).alias("est_raw"),
+        )
+    )
+    ex = (
+        e.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.array(F.lit(0.5), F.lit(0.9))).alias("exs")
+        )
+        .select("event_type", F.posexplode("exs").alias("qi", "ex"))
+    )
+    return est.join(ex, ["event_type", "qi"]).select(
+        "event_type",
+        "q",
+        F.round("est_raw", 6).alias("est_q"),
+        F.round("ex", 6).alias("exact_q"),
+        F.round(F.abs(F.round("est_raw", 6) - F.round("ex", 6)), 6).alias("abs_err"),
+    )
+
+
+@register(
+    "cohort_revenue_matrix",
+    # Cohort lifetime-value matrix: customers bucketed by first-order
+    # month, revenue per (cohort_month, month_offset) through exact
+    # DECIMAL — the revenue twin of retention_cohorts.  Month arithmetic
+    # is integer (year*12+month), so offsets agree across engines.
+    oracle="""
+        WITH first_order AS (
+            SELECT o_custkey,
+                   CAST(min(year(o_orderdate) * 12 + month(o_orderdate))
+                       AS BIGINT) AS cohort_m
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT f.cohort_m,
+               CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                    AS BIGINT) - f.cohort_m AS month_offset,
+               CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders o JOIN first_order f USING (o_custkey)
+        GROUP BY 1, 2
+    """,
+    tags=("tpch", "analytics", "retention"),
+)
+def cohort_revenue_matrix(spark, sf_dir):
+    """Cohort LTV matrix.  100-TB shape: one customer-keyed first-order
+    rollup joined back on the customer key, then a (cohort, offset)-keyed
+    rollup — the matrix is months², not order-volume, sized."""
+    o = T(spark, sf_dir, "orders")
+    mexpr = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    first = o.groupBy("o_custkey").agg(F.min(mexpr).alias("cohort_m"))
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(
+            "cohort_m",
+            (mexpr - F.col("cohort_m")).alias("month_offset"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
         )
     )

@@ -120,6 +120,9 @@ _PRIORITY = [
     "embedding_dedup_threshold_sweep",
     "event_hour_dow_heatmap",
     "token_oov_rate_by_source",
+    "scd2_user_state_intervals",
+    "grouped_quantile_estimate",
+    "cohort_revenue_matrix",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

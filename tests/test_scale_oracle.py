@@ -165,6 +165,9 @@ SCALE_SENSITIVE = [
     "embedding_dedup_threshold_sweep",
     "event_hour_dow_heatmap",
     "token_oov_rate_by_source",
+    "scd2_user_state_intervals",
+    "grouped_quantile_estimate",
+    "cohort_revenue_matrix",
 ]
 
 pytestmark = pytest.mark.skipif(
