@@ -195,6 +195,11 @@ HEADLINE = [
     "scd2_user_state_intervals",
     "grouped_quantile_estimate",
     "cohort_revenue_matrix",
+    # round-27 (wave 15): cross-modal mass-vs-length Pearson, per-user
+    # behavioral entropy, and the one-row corpus data card
+    "embedding_mass_length_corr",
+    "events_user_entropy",
+    "corpus_data_card",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

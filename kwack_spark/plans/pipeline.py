@@ -10695,3 +10695,226 @@ def cohort_revenue_matrix(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+# --- wave 15: cross-modal correlation, user entropy, corpus data card
+
+
+@register(
+    "embedding_mass_length_corr",
+    # Cross-modal audit: Pearson correlation between a document's
+    # embedding component sum ("mass" — the norms are unit here, so the
+    # sum is the discriminative scalar) and its token count (vec_id i is
+    # doc i's embedding in this fixture) — the sanity check that catches
+    # length-biased embeddings before they skew cosine dedup.  The sum is
+    # the shared strict-left-fold kernel rounded to 6dp; every moment then
+    # sums through exact DECIMAL; the closed-form r runs one fixed double
+    # sequence with a zero-variance guard on both engines.
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id AS doc_id,
+                   CAST(round(list_reduce(embedding::DOUBLE[],
+                                          (acc, x) -> acc + x), 6)
+                        AS DECIMAL(12,6)) AS x
+            FROM embeddings
+        ),
+        d AS (
+            SELECT doc_id, CAST(len({_toks()}) AS DECIMAL(12,0)) AS y
+            FROM documents
+        ),
+        s AS (
+            SELECT count(*) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                   CAST(SUM(y * y) AS DOUBLE) AS syy
+            FROM v JOIN d USING (doc_id)
+        )
+        SELECT n,
+               CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                    THEN NULL
+                    ELSE round((n * sxy - sx * sy)
+                               / (sqrt(n * sxx - sx * sx)
+                                  * sqrt(n * syy - sy * sy)), 6)
+               END AS pearson_r
+        FROM s
+    """,
+    tags=("embedding", "text", "audit", "stats"),
+)
+def embedding_mass_length_corr(spark, sf_dir):
+    """Mass-vs-length Pearson.  100-TB shape: two narrow scans joined on
+    the id key, one 1-row exact-decimal moment aggregate, closed-form r.
+    The fold x0 differs from V.dot only by the 0.0 init (0.0 + x == x in
+    IEEE), so both engines see identical sums."""
+    e = T(spark, sf_dir, "embeddings")
+    d = T(spark, sf_dir, "documents")
+    mass = F.aggregate(
+        V.as_double("embedding"), F.lit(0.0), lambda acc, x: acc + x
+    )
+    v = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(mass, 6).cast("decimal(12,6)").alias("x"),
+    )
+    dd = d.select("doc_id", F.size(TX.tokens("text")).cast("decimal(12,0)").alias("y"))
+    s = v.join(dd, "doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return s.select(
+        "n",
+        F.when(
+            (vx == 0) | (vy == 0), F.lit(None).cast("double")
+        ).otherwise(
+            F.round((n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)), 6)
+        ).alias("pearson_r"),
+    )
+
+
+@register(
+    "events_user_entropy",
+    # Per-user event-type Shannon entropy — the exploration-vs-habit
+    # behavioral feature (and the same decimal-summed p*ln(p) discipline
+    # as term_entropy_by_source, keyed by user instead of source).
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS tot
+              FROM c GROUP BY user_id)
+        SELECT c.user_id, count(*) AS n_types,
+               round(-CAST(SUM(CAST(round(
+                   (CAST(cnt AS DOUBLE) / tot)
+                       * round(ln(CAST(cnt AS DOUBLE) / tot), 6), 12)
+                   AS DECIMAL(16,12))) AS DOUBLE), 6) AS entropy
+        FROM c JOIN t USING (user_id)
+        GROUP BY c.user_id
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def events_user_entropy(spark, sf_dir):
+    """Per-user behavioral entropy.  100-TB shape: one (user, type)-keyed
+    rollup (types are bounded, so this is ~users-sized), totals joined
+    back on the user key, one more user-keyed rollup."""
+    e = T(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy("user_id").agg(F.sum("cnt").alias("tot"))
+    pcol = F.col("cnt").cast("double") / F.col("tot")
+    term = F.round(pcol * F.round(F.log(pcol), 6), 12).cast("decimal(16,12)")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(-F.sum(term).cast("double"), 6).alias("entropy"),
+        )
+    )
+
+
+@register(
+    "corpus_data_card",
+    # The one-row dataset card: corpus size, token volume, vocabulary,
+    # near-dup rate, language/source spread — the summary block a dataset
+    # release publishes, composed from the pipeline's own primitives
+    # (exact integers; the dup-id set is the verified LSH pair union).
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        shs AS (SELECT doc_id, ({_SHINGLES}) AS sh FROM toks),
+        sigs AS (
+            SELECT doc_id, {", ".join(_mh_sql(i) for i in range(8))} FROM shs
+        ),
+        banded AS (
+            SELECT doc_id,
+                   md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS band0,
+                   md5(concat_ws('|', mh4, mh5, mh6, mh7)) AS band1
+            FROM sigs
+        ),
+        exploded AS (
+            SELECT doc_id, unnest(['0:' || band0, '1:' || band1]) AS band_key
+            FROM banded
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM exploded a JOIN exploded b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        ssets AS (SELECT doc_id, list_distinct(sh) AS s FROM shs),
+        dup_ids AS (
+            SELECT DISTINCT id_a AS doc_id FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+            UNION
+            SELECT DISTINCT id_b FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+        ),
+        tok_stats AS (
+            SELECT CAST(SUM(len(tk)) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM toks
+        ),
+        vocab AS (
+            SELECT CAST(count(DISTINCT t) AS BIGINT) AS n_vocab
+            FROM (SELECT unnest(tk) AS t FROM toks)
+        ),
+        spread AS (
+            SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM documents
+        ),
+        dups AS (SELECT CAST(count(*) AS BIGINT) AS n_dup FROM dup_ids)
+        SELECT n_docs, n_tokens, n_vocab, n_langs, n_sources, n_dup,
+               CAST(n_dup AS DOUBLE) / n_docs AS dup_rate,
+               CAST(n_tokens AS DOUBLE) / n_docs AS mean_tokens
+        FROM tok_stats, vocab, spread, dups
+    """,
+    tags=("text", "audit", "analytics"),
+)
+def corpus_data_card(spark, sf_dir):
+    """One-row dataset card.  100-TB shape: each block is an independent
+    bounded rollup (1-row aggregates, a vocab distinct count, the blocked
+    dup pipeline); the final assembly is a cross join of 1-row frames."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens("text").alias("tk"))
+    tok_stats = toks.agg(
+        F.sum(F.size("tk")).alias("n_tokens"), F.count(F.lit(1)).alias("n_docs")
+    )
+    vocab = toks.select(F.explode("tk").alias("t")).agg(
+        F.countDistinct("t").alias("n_vocab")
+    )
+    spread = d.agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
+    dups = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        tok_stats.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(spread))
+        .crossJoin(F.broadcast(dups))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_vocab",
+            "n_langs",
+            "n_sources",
+            "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_docs")).alias("dup_rate"),
+            (F.col("n_tokens").cast("double") / F.col("n_docs")).alias("mean_tokens"),
+        )
+    )

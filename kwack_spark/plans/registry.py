@@ -123,6 +123,9 @@ _PRIORITY = [
     "scd2_user_state_intervals",
     "grouped_quantile_estimate",
     "cohort_revenue_matrix",
+    "embedding_mass_length_corr",
+    "events_user_entropy",
+    "corpus_data_card",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

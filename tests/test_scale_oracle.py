@@ -168,6 +168,9 @@ SCALE_SENSITIVE = [
     "scd2_user_state_intervals",
     "grouped_quantile_estimate",
     "cohort_revenue_matrix",
+    "embedding_mass_length_corr",
+    "events_user_entropy",
+    "corpus_data_card",
 ]
 
 pytestmark = pytest.mark.skipif(
