@@ -200,6 +200,10 @@ HEADLINE = [
     "embedding_mass_length_corr",
     "events_user_entropy",
     "corpus_data_card",
+    # round-28 (wave 16): the candidate-pair Jaccard spectrum and the
+    # Tukey boxplot-rule outlier census
+    "dedup_pair_jaccard_histogram",
+    "events_tukey_fences",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

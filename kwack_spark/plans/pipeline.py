@@ -10918,3 +10918,99 @@ def corpus_data_card(spark, sf_dir):
             (F.col("n_tokens").cast("double") / F.col("n_docs")).alias("mean_tokens"),
         )
     )
+
+
+# --- wave 16: Jaccard histogram, Tukey fences
+
+
+@register(
+    "dedup_pair_jaccard_histogram",
+    # Distribution of the LSH candidate pairs' exact Jaccard in 10 bins —
+    # the similarity spectrum the threshold knob cuts (the lexical sibling
+    # of embedding_dedup_threshold_sweep).  Jaccard is a ratio of integers
+    # (identical double on both engines), binning is floor(j*10) capped at
+    # 9, counts are exact.
+    oracle=f"""
+        WITH {_LSH_CTES}
+        SELECT least(CAST(floor({_JAC} * 10) AS INT), 9) AS bin,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM cand c
+        JOIN ssets x ON x.doc_id = c.id_a
+        JOIN ssets y ON y.doc_id = c.id_b
+        GROUP BY 1
+    """,
+    tags=("dedup", "minhash", "stats"),
+)
+def dedup_pair_jaccard_histogram(spark, sf_dir):
+    """Candidate-pair Jaccard spectrum.  100-TB shape: the pair set is the
+    already-blocked candidate list; the histogram is a 10-key rollup."""
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=8, bands=2, threshold=0.0
+    )
+    return (
+        pairs.groupBy(
+            F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9)).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "events_tukey_fences",
+    # Tukey-fence outlier census per event type: counts outside
+    # [q1 - 1.5*IQR, q3 + 1.5*IQR] — the boxplot rule, complementing
+    # event_robust_outliers' median/MAD z-scores.  Quartiles come from the
+    # parity-pinned percentile; fence comparisons run against identical
+    # boundary doubles, so the counts are exact integers.
+    oracle="""
+        WITH q AS MATERIALIZED (
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS q1,
+                   quantile_cont(value, 0.75) AS q3
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value < q1 - 1.5 * (q3 - q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+               CAST(SUM(CASE WHEN value > q3 + 1.5 * (q3 - q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+               round(q1 - 1.5 * (q3 - q1), 6) AS lo_fence,
+               round(q3 + 1.5 * (q3 - q1), 6) AS hi_fence
+        FROM events e JOIN q USING (event_type)
+        GROUP BY e.event_type, q1, q3
+    """,
+    tags=("events", "anomaly", "stats"),
+)
+def events_tukey_fences(spark, sf_dir):
+    """Boxplot-rule outlier counts.  100-TB shape: one percentile rollup
+    per type broadcast back over a second narrow pass — same two-pass
+    broadcast-enrich shape as event_robust_outliers."""
+    e = T(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("value") < F.col("q1") - 1.5 * iqr, 1).otherwise(0)
+            ).alias("n_low"),
+            F.sum(
+                F.when(F.col("value") > F.col("q3") + 1.5 * iqr, 1).otherwise(0)
+            ).alias("n_high"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_low",
+            "n_high",
+            F.round(F.col("q1") - 1.5 * iqr, 6).alias("lo_fence"),
+            F.round(F.col("q3") + 1.5 * iqr, 6).alias("hi_fence"),
+        )
+    )

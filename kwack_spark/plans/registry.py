@@ -126,6 +126,8 @@ _PRIORITY = [
     "embedding_mass_length_corr",
     "events_user_entropy",
     "corpus_data_card",
+    "dedup_pair_jaccard_histogram",
+    "events_tukey_fences",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

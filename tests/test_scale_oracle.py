@@ -171,6 +171,8 @@ SCALE_SENSITIVE = [
     "embedding_mass_length_corr",
     "events_user_entropy",
     "corpus_data_card",
+    "dedup_pair_jaccard_histogram",
+    "events_tukey_fences",
 ]
 
 pytestmark = pytest.mark.skipif(
