@@ -204,6 +204,10 @@ HEADLINE = [
     # Tukey boxplot-rule outlier census
     "dedup_pair_jaccard_histogram",
     "events_tukey_fences",
+    # round-29 (wave 17): monthly priority-mix L1 drift and the
+    # inter-event gap census (sessionization/watermark sizing table)
+    "orders_priority_mix_shift",
+    "user_interevent_gap_histogram",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

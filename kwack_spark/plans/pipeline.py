@@ -11014,3 +11014,117 @@ def events_tukey_fences(spark, sf_dir):
             F.round(F.col("q3") + 1.5 * iqr, 6).alias("hi_fence"),
         )
     )
+
+
+# --- wave 17: priority mix drift, inter-event gap histogram
+
+
+@register(
+    "orders_priority_mix_shift",
+    # Categorical distribution drift: each month's order-priority mix
+    # versus the global mix, scored by L1 distance — the relational twin
+    # of embedding_drift_by_label (is this month's traffic composed
+    # differently?).  Shares are bigint ratios; the L1 sum pre-rounds each
+    # |share - global_share| to 9dp and sums through exact DECIMAL.
+    oracle="""
+        WITH m AS (
+            SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                       AS ym,
+                   o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1, 2
+        ),
+        mt AS (SELECT ym, CAST(SUM(c) AS BIGINT) AS mtot FROM m GROUP BY ym),
+        g AS (
+            SELECT pri, CAST(SUM(c) AS BIGINT) AS gc FROM m GROUP BY pri
+        ),
+        gt AS (SELECT CAST(SUM(gc) AS BIGINT) AS gtot FROM g)
+        SELECT m.ym, mt.mtot AS n_orders,
+               round(CAST(SUM(CAST(round(abs(
+                   CAST(m.c AS DOUBLE) / mt.mtot
+                       - CAST(g.gc AS DOUBLE) / gt.gtot), 9)
+                   AS DECIMAL(12,9))) AS DOUBLE), 6) AS l1_drift
+        FROM m
+        JOIN mt USING (ym)
+        JOIN g USING (pri)
+        CROSS JOIN gt
+        GROUP BY m.ym, mt.mtot
+    """,
+    tags=("tpch", "drift", "analytics"),
+)
+def orders_priority_mix_shift(spark, sf_dir):
+    """Monthly priority-mix L1 drift.  100-TB shape: one (month, priority)
+    rollup, month/global totals broadcast back, a month-keyed final
+    rollup — everything after the first pass is months x priorities
+    sized."""
+    o = T(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    m = o.groupBy(ym.alias("ym"), F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mt = m.groupBy("ym").agg(F.sum("c").alias("mtot"))
+    g = m.groupBy("pri").agg(F.sum("c").alias("gc"))
+    gt = g.agg(F.sum("gc").alias("gtot"))
+    term = F.round(
+        F.abs(
+            F.col("c").cast("double") / F.col("mtot")
+            - F.col("gc").cast("double") / F.col("gtot")
+        ),
+        9,
+    ).cast("decimal(12,9)")
+    return (
+        m.join(F.broadcast(mt), "ym")
+        .join(F.broadcast(g), "pri")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("ym", F.col("mtot").alias("n_orders"))
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("l1_drift"))
+    )
+
+
+@register(
+    "user_interevent_gap_histogram",
+    # Arrival-process profile: the distribution of per-user inter-event
+    # gaps over fixed integral-microsecond buckets (<1s, <1m, <10m, <1h,
+    # >=1h) — the table that picks sessionization gaps and watermark
+    # widths.  Gaps are exact integers; bucket edges are literals, so the
+    # census is bit-free.
+    oracle="""
+        WITH g AS (
+            SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+            FROM events
+        )
+        SELECT CASE WHEN gap_us < 1000000 THEN 'a_lt_1s'
+                    WHEN gap_us < 60000000 THEN 'b_lt_1m'
+                    WHEN gap_us < 600000000 THEN 'c_lt_10m'
+                    WHEN gap_us < 3600000000 THEN 'd_lt_1h'
+                    ELSE 'e_ge_1h' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+               CAST(max(gap_us) AS BIGINT) AS max_gap_us
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY 1
+    """,
+    tags=("events", "session", "stats"),
+)
+def user_interevent_gap_histogram(spark, sf_dir):
+    """Inter-event gap census.  100-TB shape: one user-keyed lag window
+    (key-partitioned, never global) into a 5-key rollup."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    bucket = (
+        F.when(F.col("gap_us") < 1000000, "a_lt_1s")
+        .when(F.col("gap_us") < 60000000, "b_lt_1m")
+        .when(F.col("gap_us") < 600000000, "c_lt_10m")
+        .when(F.col("gap_us") < 3600000000, "d_lt_1h")
+        .otherwise("e_ge_1h")
+    )
+    return g.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )

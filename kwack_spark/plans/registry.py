@@ -128,6 +128,8 @@ _PRIORITY = [
     "corpus_data_card",
     "dedup_pair_jaccard_histogram",
     "events_tukey_fences",
+    "orders_priority_mix_shift",
+    "user_interevent_gap_histogram",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

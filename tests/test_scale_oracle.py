@@ -173,6 +173,8 @@ SCALE_SENSITIVE = [
     "corpus_data_card",
     "dedup_pair_jaccard_histogram",
     "events_tukey_fences",
+    "orders_priority_mix_shift",
+    "user_interevent_gap_histogram",
 ]
 
 pytestmark = pytest.mark.skipif(
