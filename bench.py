@@ -208,6 +208,10 @@ HEADLINE = [
     # inter-event gap census (sessionization/watermark sizing table)
     "orders_priority_mix_shift",
     "user_interevent_gap_histogram",
+    # round-30 (wave 18): quantization bit-width error curve and the
+    # per-nation supplier-revenue HHI concentration audit
+    "embedding_quant_bits_sweep",
+    "nation_revenue_hhi",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -11128,3 +11128,127 @@ def user_interevent_gap_histogram(spark, sf_dir):
         F.min("gap_us").alias("min_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+# --- wave 18: quantization-bits sweep, revenue concentration
+
+
+@register(
+    "embedding_quant_bits_sweep",
+    # Symmetric-quantization error as a function of bit width b in
+    # {4, 6, 8}: per vector, scale = max|v| / (2^(b-1) - 1), q_i =
+    # round(v_i / scale), err_i = |q_i * scale - v_i| — the storage-vs-
+    # fidelity curve that picks the embedding wire format (the int8
+    # operating point embedding_quantize_int8 ships is one row of it).
+    # Every step is the same IEEE double sequence on both engines; the
+    # mean error pre-rounds to 12dp and sums through exact DECIMAL.
+    oracle="""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cfg(bits, qmax) AS (VALUES (4, 7.0), (6, 31.0), (8, 127.0)),
+        pv AS (
+            SELECT bits,
+                   list_max(list_transform(v, x -> abs(x))) / qmax AS scale, v
+            FROM v, cfg
+        ),
+        e AS (
+            SELECT bits,
+                   unnest(list_transform(v, x ->
+                       abs(round(x / scale) * scale - x))) AS err
+            FROM pv
+        )
+        SELECT bits,
+               CAST(count(*) AS BIGINT) AS n_components,
+               round(CAST(SUM(CAST(round(err, 12) AS DECIMAL(16,12)))
+                          AS DOUBLE) / count(*), 9) AS mean_abs_err,
+               round(max(err), 9) AS max_abs_err
+        FROM e GROUP BY bits
+    """,
+    tags=("embedding", "quantize", "tuning"),
+)
+def embedding_quant_bits_sweep(spark, sf_dir):
+    """Quantization bit-width sweep.  100-TB shape: one narrow pass per
+    config over the same scan (no shuffle until the 3-key rollup); the
+    curve says how many bits the corpus actually needs before the 4x-32x
+    storage cut distorts neighborhoods."""
+    e = T(spark, sf_dir, "embeddings")
+    v = e.select(V.as_double("embedding").alias("v"))
+    cfg = spark.createDataFrame([(4, 7.0), (6, 31.0), (8, 127.0)], "bits int, qmax double")
+    pv = v.crossJoin(F.broadcast(cfg)).select(
+        "bits",
+        (F.array_max(F.transform("v", lambda x: F.abs(x))) / F.col("qmax")).alias(
+            "scale"
+        ),
+        "v",
+    )
+    err = pv.select(
+        "bits",
+        F.explode(
+            F.expr("transform(v, x -> abs(round(x / scale) * scale - x))")
+        ).alias("err"),
+    )
+    return err.groupBy("bits").agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.round(
+            F.sum(F.round(F.col("err"), 12).cast("decimal(16,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mean_abs_err"),
+        F.round(F.max("err"), 9).alias("max_abs_err"),
+    )
+
+
+@register(
+    "nation_revenue_hhi",
+    # Market-concentration audit: the Herfindahl-Hirschman index of
+    # supplier revenue shares within each nation (lineitem x supplier x
+    # nation, the q5-family join tree).  Revenue sums through exact
+    # DECIMAL; each squared share pre-rounds to 12dp and sums through
+    # DECIMAL, so the index is deterministic.
+    oracle="""
+        WITH sr AS MATERIALIZED (
+            SELECT s.s_nationkey, l.l_suppkey,
+                   SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(18,4))) AS rev
+            FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            GROUP BY 1, 2
+        ),
+        nt AS (SELECT s_nationkey, SUM(rev) AS tot FROM sr GROUP BY 1)
+        SELECT n.n_name,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               round(CAST(SUM(CAST(round(
+                   (CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE))
+                       * (CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE)), 12)
+                   AS DECIMAL(16,12))) AS DOUBLE), 6) AS hhi
+        FROM sr
+        JOIN nt USING (s_nationkey)
+        JOIN nation n ON n.n_nationkey = sr.s_nationkey
+        GROUP BY n.n_name
+    """,
+    tags=("tpch", "analytics", "stats"),
+)
+def nation_revenue_hhi(spark, sf_dir):
+    """Per-nation supplier-revenue HHI.  100-TB shape: the fact rolls up
+    on (nation, supplier) first (partial+final agg), nation totals and the
+    25-row nation dim broadcast back, and the index is a nation-keyed
+    rollup of squared shares."""
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    sr = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    nt = sr.groupBy("s_nationkey").agg(F.sum("rev").alias("tot"))
+    share = F.col("rev").cast("double") / F.col("tot").cast("double")
+    term = F.round(share * share, 12).cast("decimal(16,12)")
+    return (
+        sr.join(F.broadcast(nt), "s_nationkey")
+        .join(F.broadcast(n), sr.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(term).cast("double"), 6).alias("hhi"),
+        )
+    )

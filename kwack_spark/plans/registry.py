@@ -130,6 +130,8 @@ _PRIORITY = [
     "events_tukey_fences",
     "orders_priority_mix_shift",
     "user_interevent_gap_histogram",
+    "embedding_quant_bits_sweep",
+    "nation_revenue_hhi",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

@@ -175,6 +175,8 @@ SCALE_SENSITIVE = [
     "events_tukey_fences",
     "orders_priority_mix_shift",
     "user_interevent_gap_histogram",
+    "embedding_quant_bits_sweep",
+    "nation_revenue_hhi",
 ]
 
 pytestmark = pytest.mark.skipif(
