@@ -212,6 +212,9 @@ HEADLINE = [
     # per-nation supplier-revenue HHI concentration audit
     "embedding_quant_bits_sweep",
     "nation_revenue_hhi",
+    # round-31 (wave 19): the one-row dedup impact report (composes the
+    # component walk with exact corpus volumes)
+    "dedup_impact_report",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -11252,3 +11252,90 @@ def nation_revenue_hhi(spark, sf_dir):
             F.round(F.sum(term).cast("double"), 6).alias("hhi"),
         )
     )
+
+
+# --- wave 19: dedup impact report
+
+
+@register(
+    "dedup_impact_report",
+    # The dedup IMPACT line a curation run publishes: how many documents,
+    # tokens, and characters transitive-closure near-dup resolution
+    # actually removes (removed = clustered doc that is not its
+    # component's keeper).  Composes the registered component semantics
+    # (_COMP_CTES — the same recursive walk dedup_cluster_components
+    # grades) with exact-integer corpus volumes.
+    oracle=f"""
+        WITH RECURSIVE {_LSH_CTES},
+        {_COMP_CTES},
+        removed AS MATERIALIZED (
+            SELECT node AS doc_id FROM comp WHERE node <> keep_id
+        ),
+        vol AS (
+            SELECT d.doc_id, len({_toks()}) AS n_tokens, length(text) AS n_chars
+            FROM documents d
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars
+            FROM vol
+        ),
+        rem AS (
+            SELECT CAST(count(*) AS BIGINT) AS r_docs,
+                   CAST(coalesce(SUM(n_tokens), 0) AS BIGINT) AS r_tokens,
+                   CAST(coalesce(SUM(n_chars), 0) AS BIGINT) AS r_chars
+            FROM vol JOIN removed USING (doc_id)
+        )
+        SELECT n_docs, r_docs AS docs_removed,
+               r_tokens AS tokens_removed, r_chars AS chars_removed,
+               CAST(r_docs AS DOUBLE) / n_docs AS pct_docs_removed,
+               CAST(r_chars AS DOUBLE) / n_chars AS pct_chars_removed
+        FROM tot, rem
+    """,
+    tags=("dedup", "audit", "analytics"),
+)
+def dedup_impact_report(spark, sf_dir):
+    """One-row dedup impact report.  100-TB shape: the removed-id set is
+    component-list sized (the blocked pair graph's min-label iteration,
+    operators/graph.py); volumes ride one corpus scan; the report is a
+    cross join of 1-row aggregates."""
+    from kwack_spark.operators import graph
+
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=8, bands=2, threshold=0.5
+    ).select("id_a", "id_b")
+    with _few_shuffle_partitions(spark):
+        clusters = graph.dedup_clusters(pairs)
+    removed = clusters.filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
+    vol = d.select(
+        "doc_id",
+        F.size(TX.tokens("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    tot = vol.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    rem = vol.join(removed, "doc_id").agg(
+        F.count(F.lit(1)).alias("docs_removed"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens_removed"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars_removed"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(rem))
+        .select(
+            "n_docs",
+            "docs_removed",
+            "tokens_removed",
+            "chars_removed",
+            (F.col("docs_removed").cast("double") / F.col("n_docs")).alias(
+                "pct_docs_removed"
+            ),
+            (F.col("chars_removed").cast("double") / F.col("n_chars")).alias(
+                "pct_chars_removed"
+            ),
+        )
+    )

@@ -132,6 +132,7 @@ _PRIORITY = [
     "user_interevent_gap_histogram",
     "embedding_quant_bits_sweep",
     "nation_revenue_hhi",
+    "dedup_impact_report",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

@@ -177,6 +177,7 @@ SCALE_SENSITIVE = [
     "user_interevent_gap_histogram",
     "embedding_quant_bits_sweep",
     "nation_revenue_hhi",
+    "dedup_impact_report",
 ]
 
 pytestmark = pytest.mark.skipif(
