@@ -9955,7 +9955,11 @@ def dedup_incremental_simhash(spark, sf_dir):
     sliced fingerprints are a persisted index written once; per batch the
     work is O(|batch| * blocks) probe rows into a slice-keyed equi-join,
     and the Hamming verify runs only on collisions
-    (operators/dedup.py:incremental_simhash_new_dups)."""
+    (operators/dedup.py:incremental_simhash_new_dups).  Width scaling
+    (SCALING.md, measured exponent 1.27 at the pinned 32 bits): 8-bit
+    slices saturate at 256 buckets, so production grows bits with the
+    corpus (~2*log2(n); 64-bit fingerprints -> 16-bit slices) to keep
+    bucket occupancy — and the verify volume — flat."""
     d = T(spark, sf_dir, "documents")
     split = F.substring(
         F.md5(F.concat(F.lit("isim:"), F.col("doc_id").cast("string"))), 1, 4
