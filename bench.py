@@ -215,6 +215,9 @@ HEADLINE = [
     # round-31 (wave 19): the one-row dedup impact report (composes the
     # component walk with exact corpus volumes)
     "dedup_impact_report",
+    # round-32 (wave 20): Heaps-law vocabulary-growth fit (Zipf's
+    # companion; first-occurrence deciles + log-log OLS)
+    "heaps_law_fit",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

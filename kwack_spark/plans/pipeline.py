@@ -11343,3 +11343,134 @@ def dedup_impact_report(spark, sf_dir):
             ),
         )
     )
+
+
+# --- wave 20: Heaps' law fit
+
+
+@register(
+    "heaps_law_fit",
+    # Heaps' law (vocabulary growth V ~ K * T^beta) fitted over 10
+    # ingestion-order deciles: cumulative distinct terms vs cumulative
+    # tokens, OLS in log-log space — Zipf's companion corpus statistic and
+    # the vocabulary-budget forecast for tokenizer training.  Both axes
+    # are exact integers (first-occurrence counting, the novelty-curve
+    # machinery); the fit pre-rounds ln to 6dp and sums through DECIMAL.
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        mx AS (SELECT max(doc_id) AS mx FROM documents),
+        per_doc AS (
+            SELECT CAST(floor(doc_id * 10 / (mx + 1)) AS BIGINT) AS decile,
+                   doc_id, tk
+            FROM toks, mx
+        ),
+        tok_cum AS (
+            SELECT decile, SUM(SUM(len(tk))) OVER (ORDER BY decile
+                       ROWS UNBOUNDED PRECEDING) AS t_cum
+            FROM per_doc GROUP BY decile
+        ),
+        first AS (
+            SELECT t, min(doc_id) AS first_doc
+            FROM (SELECT doc_id, unnest(tk) AS t FROM per_doc)
+            GROUP BY t
+        ),
+        voc AS (
+            SELECT CAST(floor(first_doc * 10 / (mx + 1)) AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS new_terms
+            FROM first, mx GROUP BY 1
+        ),
+        voc_cum AS (
+            SELECT t.decile,
+                   SUM(coalesce(v.new_terms, 0)) OVER (ORDER BY t.decile
+                       ROWS UNBOUNDED PRECEDING) AS v_cum
+            FROM tok_cum t LEFT JOIN voc v USING (decile)
+        ),
+        xy AS (
+            SELECT CAST(round(ln(t_cum), 6) AS DECIMAL(12,6)) AS x,
+                   CAST(round(ln(v_cum), 6) AS DECIMAL(12,6)) AS y
+            FROM tok_cum JOIN voc_cum USING (decile)
+            WHERE v_cum > 0
+        ),
+        s AS (
+            SELECT count(*) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx
+            FROM xy
+        )
+        SELECT n AS n_points,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               END AS beta,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE round(exp((sy - (n * sxy - sx * sy)
+                                    / (n * sxx - sx * sx) * sx) / n), 6)
+               END AS k
+        FROM s
+    """,
+    tags=("text", "stats", "corpus"),
+)
+def heaps_law_fit(spark, sf_dir):
+    """Heaps' law fit.  100-TB shape: one token pass for decile token
+    counts, one first-occurrence rollup on the term key (the novelty-curve
+    shuffle), then 10-row cumulations and a closed-form OLS — deciles via
+    broadcast max, no full-table window anywhere."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    toks = d.select("doc_id", TX.tokens("text").alias("tk")).crossJoin(
+        F.broadcast(mx)
+    )
+    dec = F.floor(F.col("doc_id") * 10 / (F.col("mx") + 1)).cast("bigint")
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tok_cum = (
+        toks.groupBy(dec.alias("decile"))
+        .agg(F.sum(F.size("tk")).alias("t"))
+        .withColumn("t_cum", F.sum("t").over(w))
+    )
+    first = (
+        toks.select("doc_id", F.explode("tk").alias("t"))
+        .groupBy("t")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    voc = (
+        first.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.floor(F.col("first_doc") * 10 / (F.col("mx") + 1))
+            .cast("bigint")
+            .alias("decile")
+        )
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    # forward-fill: cumulative vocab at every TOKEN decile (a tiny corpus
+    # can first-see every term in decile 0)
+    voc_cum = (
+        tok_cum.select("decile")
+        .join(voc, "decile", "left")
+        .withColumn("v_cum", F.sum(F.coalesce("new_terms", F.lit(0))).over(w))
+    )
+    xy = tok_cum.join(voc_cum.filter(F.col("v_cum") > 0), "decile").select(
+        F.round(F.log("t_cum"), 6).cast("decimal(12,6)").alias("x"),
+        F.round(F.log("v_cum"), 6).cast("decimal(12,6)").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    vx = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / vx
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.when(vx == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(slope, 6))
+        .alias("beta"),
+        F.when(vx == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.exp((sy - slope * sx) / n), 6))
+        .alias("k"),
+    )

@@ -133,6 +133,7 @@ _PRIORITY = [
     "embedding_quant_bits_sweep",
     "nation_revenue_hhi",
     "dedup_impact_report",
+    "heaps_law_fit",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

@@ -178,6 +178,7 @@ SCALE_SENSITIVE = [
     "embedding_quant_bits_sweep",
     "nation_revenue_hhi",
     "dedup_impact_report",
+    "heaps_law_fit",
 ]
 
 pytestmark = pytest.mark.skipif(
