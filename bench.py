@@ -218,6 +218,10 @@ HEADLINE = [
     # round-32 (wave 20): Heaps-law vocabulary-growth fit (Zipf's
     # companion; first-occurrence deciles + log-log OLS)
     "heaps_law_fit",
+    # round-33 (wave 21): the join-key skew diagnostic (diagnosis for
+    # scale_salted_join's treatment) and the MinHash estimator-error audit
+    "join_key_skew_profile",
+    "minhash_estimate_error",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

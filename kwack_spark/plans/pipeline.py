@@ -11474,3 +11474,148 @@ def heaps_law_fit(spark, sf_dir):
         .otherwise(F.round(F.exp((sy - slope * sx) / n), 6))
         .alias("k"),
     )
+
+
+# --- wave 21: join-key skew profile, MinHash estimator audit
+
+
+@register(
+    "join_key_skew_profile",
+    # The skew diagnostic run BEFORE a big join: per-key frequency profile
+    # of lineitem's order key — row count, distinct keys, max/mean
+    # frequency, the skew factor that decides between a plain shuffle
+    # join, AQE skew splitting, or salting (scale_salted_join is the
+    # treatment; this is the diagnosis).  All counts are integers; the
+    # ratios divide exact bigints once.
+    oracle="""
+        WITH c AS MATERIALIZED (
+            SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(cnt) AS BIGINT) AS max_cnt,
+               CAST(SUM(cnt) AS DOUBLE) / count(*) AS mean_cnt,
+               round(CAST(max(cnt) AS DOUBLE)
+                     / (CAST(SUM(cnt) AS DOUBLE) / count(*)), 6) AS skew_factor,
+               round(quantile_cont(CAST(cnt AS DOUBLE), 0.99), 6) AS p99_cnt
+        FROM c
+    """,
+    tags=("join", "scale", "stats"),
+)
+def join_key_skew_profile(spark, sf_dir):
+    """Join-key skew profile.  100-TB shape: one partial+final rollup on
+    the join key, then a 1-row aggregate over the key-cardinality-sized
+    count table — the cheap pass that decides the join strategy."""
+    li = T(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("mean_cnt"),
+        F.round(
+            F.max("cnt").cast("double")
+            / (F.sum("cnt").cast("double") / F.count(F.lit(1))),
+            6,
+        ).alias("skew_factor"),
+        F.round(F.percentile(F.col("cnt").cast("double"), F.lit(0.99)), 6).alias(
+            "p99_cnt"
+        ),
+    )
+
+
+@register(
+    "minhash_estimate_error",
+    # MinHash estimator quality: for every verified candidate pair, the
+    # signature-estimated Jaccard (matching members / 8) against the exact
+    # shingle-set Jaccard, rolled up by estimate bucket — the audit that
+    # says whether k=8 members are enough before trusting banding recall.
+    # Matches and Jaccards are exact integers/ratios; the mean absolute
+    # error pre-rounds each |est - exact| to 9dp and sums through DECIMAL.
+    oracle=f"""
+        WITH {_LSH_CTES},
+        est AS (
+            SELECT c.id_a, c.id_b,
+                   ({" + ".join(
+                       f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+                       for i in range(8))}) AS n_match,
+                   {_JAC} AS jac
+            FROM cand c
+            JOIN sigs a ON a.doc_id = c.id_a
+            JOIN sigs b ON b.doc_id = c.id_b
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+        )
+        SELECT n_match,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(CAST(SUM(CAST(round(abs(CAST(n_match AS DOUBLE) / 8 - jac), 9)
+                              AS DECIMAL(12,9))) AS DOUBLE) / count(*), 6)
+                   AS mean_abs_err
+        FROM est GROUP BY n_match
+    """,
+    tags=("dedup", "minhash", "audit"),
+)
+def minhash_estimate_error(spark, sf_dir):
+    """MinHash estimator error by match count.  100-TB shape: candidates
+    are the already-blocked pair set; signatures and shingle sets join on
+    the id key; output is <=9 rows (one per possible match count)."""
+    from pyspark import StorageLevel
+
+    d = T(spark, sf_dir, "documents")
+    shingle_sets = d.select(
+        "doc_id",
+        F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    exploded = dedup.lsh_band_keys(shingle_sets, "doc_id", k=8, bands=2)
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ex_sh = shingle_sets.select("doc_id", F.explode("sh").alias("s"))
+
+    def _member(i: int):
+        seed, off = TX.minhash_seed_slice(i)
+        return F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("s"))), off, 8)
+        ).alias(f"mh{i}")
+
+    sigs = ex_sh.groupBy("doc_id").agg(*[_member(i) for i in range(8)])
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)]
+    )
+    xa = shingle_sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    xb = shingle_sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).cast("double")
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(xa, "id_a")
+        .join(xb, "id_b")
+        .select(n_match.alias("n_match"), jac.alias("jac"))
+    )
+    term = F.round(F.abs(F.col("n_match").cast("double") / 8 - F.col("jac")), 9).cast(
+        "decimal(12,9)"
+    )
+    return est.groupBy("n_match").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum(term).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_abs_err"
+        ),
+    )

@@ -134,6 +134,8 @@ _PRIORITY = [
     "nation_revenue_hhi",
     "dedup_impact_report",
     "heaps_law_fit",
+    "join_key_skew_profile",
+    "minhash_estimate_error",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

@@ -179,6 +179,8 @@ SCALE_SENSITIVE = [
     "nation_revenue_hhi",
     "dedup_impact_report",
     "heaps_law_fit",
+    "join_key_skew_profile",
+    "minhash_estimate_error",
 ]
 
 pytestmark = pytest.mark.skipif(
