@@ -222,6 +222,10 @@ HEADLINE = [
     # scale_salted_join's treatment) and the MinHash estimator-error audit
     "join_key_skew_profile",
     "minhash_estimate_error",
+    # round-34 (wave 22): monthly order-to-ship lead time (fact-fact join
+    # on the order key) and the temporal centroid-drift trigger
+    "order_to_ship_leadtime",
+    "embedding_temporal_drift",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -11619,3 +11619,128 @@ def minhash_estimate_error(spark, sf_dir):
             "mean_abs_err"
         ),
     )
+
+
+# --- wave 22: order-to-ship lead time, temporal embedding drift
+
+
+@register(
+    "order_to_ship_leadtime",
+    # Order-to-ship lead time by order month: lineitem joined back to its
+    # order, whole-day lead = ship date - order date (exact integers),
+    # mean through DECIMAL and exact median (6dp-rounded interpolation) —
+    # the fulfillment-SLA trend line.
+    oracle="""
+        SELECT CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+                   AS ym,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                       CAST(l.l_shipdate AS DATE))
+                        AS DECIMAL(18,0))) AS DOUBLE) / count(*)
+                   AS mean_lead_days,
+               round(median(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                      CAST(l.l_shipdate AS DATE))), 6)
+                   AS median_lead_days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1
+    """,
+    tags=("tpch", "analytics", "timeseries"),
+)
+def order_to_ship_leadtime(spark, sf_dir):
+    """Monthly fulfillment lead time.  100-TB shape: the fact-fact join
+    shuffles on the shared order key (or rides bucketing when both sides
+    are bucketed by it — scale_bucketed_join is the layout), then a
+    months-sized rollup with integer-exact day arithmetic."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    lead = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("ym")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.sum(lead.cast("decimal(18,0)")).cast("double") / F.count(F.lit(1))
+            ).alias("mean_lead_days"),
+            F.round(F.median(lead), 6).alias("median_lead_days"),
+        )
+    )
+
+
+@register(
+    "embedding_temporal_drift",
+    # Temporal embedding drift: the L2 distance between the centroid of
+    # the first half of the corpus (by vec_id, the ingestion order) and
+    # the second half, per the exact-decimal mean pipeline — the
+    # re-embedding trigger for a drifting encoder or corpus (the temporal
+    # twin of embedding_drift_by_label).  Per-dim means are exact; each
+    # squared diff rounds to 12dp and sums through DECIMAL; the distance
+    # rounds to 6dp.
+    oracle=f"""
+        WITH mx AS (SELECT max(vec_id) AS mx FROM embeddings),
+        c AS (
+            SELECT CASE WHEN vec_id * 2 <= mx THEN 0 ELSE 1 END AS half,
+                   u.e.pos AS pos, u.e.comp AS comp FROM (
+                SELECT vec_id,
+                       unnest(list_transform(embedding::DOUBLE[],
+                              (c, i) -> struct_pack(pos := i - 1, comp := c))) AS e
+                FROM embeddings
+            ) u, mx
+        ),
+        m AS (
+            SELECT half, pos,
+                   CAST(SUM(CAST(comp * {_POW2_43} AS DECIMAL(38,0))) AS DOUBLE)
+                       / {_POW2_43} / COUNT(*) AS mean_val
+            FROM c GROUP BY half, pos
+        ),
+        d AS (
+            SELECT a.pos,
+                   CAST(round((a.mean_val - b.mean_val)
+                              * (a.mean_val - b.mean_val), 12)
+                        AS DECIMAL(16,12)) AS sq
+            FROM m a JOIN m b ON a.pos = b.pos AND a.half = 0 AND b.half = 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_dims,
+               round(sqrt(CAST(SUM(sq) AS DOUBLE)), 6) AS centroid_l2_shift
+        FROM d
+    """,
+    tags=("embedding", "drift", "audit"),
+)
+def embedding_temporal_drift(spark, sf_dir):
+    """First-half vs second-half centroid shift.  100-TB shape: one
+    posexplode into a (half, pos)-keyed exact-decimal mean (2*dim output
+    rows), a dim-keyed self-join, and a 1-row distance."""
+    e = T(spark, sf_dir, "embeddings")
+    mx = e.agg(F.max("vec_id").alias("mx"))
+    c = (
+        e.crossJoin(F.broadcast(mx))
+        .select(
+            F.when(F.col("vec_id") * 2 <= F.col("mx"), 0).otherwise(1).alias("half"),
+            F.posexplode(V.as_double("embedding")).alias("pos", "comp"),
+        )
+    )
+    m = c.groupBy("half", "pos").agg(
+        (
+            F.sum((F.col("comp") * _POW2_43).cast("decimal(38,0)")).cast("double")
+            / _POW2_43
+            / F.count(F.lit(1))
+        ).alias("mean_val")
+    )
+    a = m.filter(F.col("half") == 0).select("pos", F.col("mean_val").alias("ma"))
+    b = m.filter(F.col("half") == 1).select("pos", F.col("mean_val").alias("mb"))
+    sq = F.round((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")), 12).cast(
+        "decimal(16,12)"
+    )
+    return (
+        a.join(b, "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.round(F.sqrt(F.sum(sq).cast("double")), 6).alias("centroid_l2_shift"),
+        )
+    )

@@ -136,6 +136,8 @@ _PRIORITY = [
     "heaps_law_fit",
     "join_key_skew_profile",
     "minhash_estimate_error",
+    "order_to_ship_leadtime",
+    "embedding_temporal_drift",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

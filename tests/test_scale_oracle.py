@@ -181,6 +181,8 @@ SCALE_SENSITIVE = [
     "heaps_law_fit",
     "join_key_skew_profile",
     "minhash_estimate_error",
+    "order_to_ship_leadtime",
+    "embedding_temporal_drift",
 ]
 
 pytestmark = pytest.mark.skipif(
