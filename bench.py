@@ -226,6 +226,10 @@ HEADLINE = [
     # on the order key) and the temporal centroid-drift trigger
     "order_to_ship_leadtime",
     "embedding_temporal_drift",
+    # round-35 (wave 23): MinHash-vs-SimHash pair agreement census and the
+    # lognormal doc-length fit
+    "dedup_method_agreement",
+    "doc_length_lognormal_fit",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -11744,3 +11744,127 @@ def embedding_temporal_drift(spark, sf_dir):
             F.round(F.sqrt(F.sum(sq).cast("double")), 6).alias("centroid_l2_shift"),
         )
     )
+
+
+# --- wave 23: lexical method agreement, length lognormal fit
+
+
+@register(
+    "dedup_method_agreement",
+    # Agreement census between the two LEXICAL near-dup detectors: the
+    # MinHash-LSH pair set (3-gram Jaccard >= 0.5) full-outer-joined with
+    # the SimHash pigeonhole pair set (hamming <= 3 over 32 bits) — which
+    # pairs each hash family sees that the other misses (the within-text
+    # sibling of dedup_lexical_semantic_agreement).
+    oracle=f"""
+        WITH {_LSH_CTES},
+        lex AS MATERIALIZED (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+        ),
+        fps AS (SELECT doc_id, {_simhash_sql(32)} AS simhash FROM toks),
+        sliced AS (
+            SELECT doc_id, simhash, blk, substr(simhash, blk * 8 + 1, 8) AS bitsv
+            FROM fps, (SELECT unnest([0, 1, 2, 3]) AS blk)
+        ),
+        scand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM sliced a JOIN sliced b
+              ON a.blk = b.blk AND a.bitsv = b.bitsv AND a.doc_id < b.doc_id
+        ),
+        sim AS MATERIALIZED (
+            SELECT id_a, id_b FROM scand
+            WHERE len(list_filter(generate_series(1, 32),
+                      i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) <= 3
+        )
+        SELECT CASE WHEN lex.id_a IS NOT NULL AND sim.id_a IS NOT NULL
+                    THEN 'both'
+                    WHEN lex.id_a IS NOT NULL THEN 'minhash_only'
+                    ELSE 'simhash_only' END AS category,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM lex FULL OUTER JOIN sim
+          ON lex.id_a = sim.id_a AND lex.id_b = sim.id_b
+        GROUP BY 1
+    """,
+    tags=("dedup", "minhash", "simhash", "audit"),
+)
+def dedup_method_agreement(spark, sf_dir):
+    """MinHash-vs-SimHash pair agreement.  100-TB shape: both pair
+    generators are the registered blocked pipelines; the census is a full
+    outer join on the pair key into a 3-row rollup.  'minhash_only' pairs
+    share long n-grams with different word mixes; 'simhash_only' pairs
+    share the word distribution with shuffled order."""
+    d = T(spark, sf_dir, "documents")
+    lex = (
+        dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
+        .select("id_a", "id_b")
+        .withColumn("lex", F.lit(1))
+    )
+    sim = (
+        dedup.simhash_hamming_pairs(
+            d, "doc_id", "text", bits=32, max_hamming=3, blocks=4
+        )
+        .select("id_a", "id_b")
+        .withColumn("sim", F.lit(1))
+    )
+    j = lex.join(sim, ["id_a", "id_b"], "full")
+    return j.groupBy(
+        F.when(F.col("lex").isNotNull() & F.col("sim").isNotNull(), "both")
+        .when(F.col("lex").isNotNull(), "minhash_only")
+        .otherwise("simhash_only")
+        .alias("category")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "doc_length_lognormal_fit",
+    # Lognormal fit of the document token-length distribution (the
+    # standard length prior for web corpora): mu and sigma of ln(length)
+    # with 6dp-pre-rounded logs decimal-summed, plus the min/max for the
+    # support — the parameters a length-based quality filter is tuned
+    # against.
+    oracle=f"""
+        WITH x AS (
+            SELECT CAST(round(ln(len({_toks()})), 6) AS DECIMAL(12,6)) AS lx,
+                   len({_toks()}) AS n_tokens
+            FROM documents
+            WHERE len({_toks()}) > 0
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               round(CAST(SUM(lx) AS DOUBLE) / count(*), 6) AS mu,
+               round(sqrt(CAST(SUM(lx * lx) AS DOUBLE) / count(*)
+                          - (CAST(SUM(lx) AS DOUBLE) / count(*))
+                            * (CAST(SUM(lx) AS DOUBLE) / count(*))), 6) AS sigma,
+               CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+               CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        FROM x
+    """,
+    tags=("text", "stats", "quality"),
+)
+def doc_length_lognormal_fit(spark, sf_dir):
+    """Lognormal length fit.  100-TB shape: one narrow scan into a 1-row
+    exact-decimal moment aggregate."""
+    d = T(spark, sf_dir, "documents")
+    n = F.size(TX.tokens("text"))
+    x = d.select(
+        F.round(F.log(n), 6).cast("decimal(12,6)").alias("lx"),
+        n.alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    cnt = F.count(F.lit(1))
+    mean = F.sum("lx").cast("double") / cnt
+    return x.agg(
+        cnt.alias("n_docs"),
+        F.round(mean, 6).alias("mu"),
+        F.round(
+            F.sqrt(
+                F.sum(F.col("lx") * F.col("lx")).cast("double") / cnt - mean * mean
+            ),
+            6,
+        ).alias("sigma"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )

@@ -138,6 +138,8 @@ _PRIORITY = [
     "minhash_estimate_error",
     "order_to_ship_leadtime",
     "embedding_temporal_drift",
+    "dedup_method_agreement",
+    "doc_length_lognormal_fit",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

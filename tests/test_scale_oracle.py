@@ -183,6 +183,8 @@ SCALE_SENSITIVE = [
     "minhash_estimate_error",
     "order_to_ship_leadtime",
     "embedding_temporal_drift",
+    "dedup_method_agreement",
+    "doc_length_lognormal_fit",
 ]
 
 pytestmark = pytest.mark.skipif(
