@@ -230,6 +230,9 @@ HEADLINE = [
     # lognormal doc-length fit
     "dedup_method_agreement",
     "doc_length_lognormal_fit",
+    # round-36 (wave 24): pairwise source vocabulary Jaccard (mixture
+    # redundancy at the vocab level)
+    "source_vocab_overlap",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -11868,3 +11868,79 @@ def doc_length_lognormal_fit(spark, sf_dir):
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+# --- wave 24: pairwise source vocabulary overlap
+
+
+@register(
+    "source_vocab_overlap",
+    # Pairwise vocabulary Jaccard between sources (top-20 most-overlapping
+    # pairs): which feeds speak the same language about the same things —
+    # the vocabulary-level redundancy diagnostic that complements
+    # source_dedup_rate's document-level one.  Incidence sets are exact;
+    # Jaccard is a bigint ratio; ties break on the pair.
+    oracle=f"""
+        WITH inc AS MATERIALIZED (
+            SELECT DISTINCT source, t AS term
+            FROM (SELECT source, unnest({_toks()}) AS t FROM documents)
+        ),
+        sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM inc GROUP BY 1),
+        inter AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM inc a JOIN inc b
+              ON a.term = b.term AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT src_a, src_b, n_common,
+               sa.n AS n_a, sb.n AS n_b,
+               round(CAST(n_common AS DOUBLE)
+                     / (sa.n + sb.n - n_common), 6) AS vocab_jaccard
+        FROM inter
+        JOIN sz sa ON sa.source = src_a
+        JOIN sz sb ON sb.source = src_b
+        ORDER BY vocab_jaccard DESC, src_a, src_b LIMIT 20
+    """,
+    tags=("text", "mixture", "audit"),
+)
+def source_vocab_overlap(spark, sf_dir):
+    """Pairwise source vocabulary Jaccard.  100-TB shape: the incidence
+    table is |sources| x vocab (distinct-collapsed early), the self-join
+    shuffles on the term key with per-term fan-out bounded by the source
+    count, and the cut is a TakeOrderedAndProject top-20."""
+    d = T(spark, sf_dir, "documents")
+    inc = d.select("source", F.explode(TX.tokens("text")).alias("term")).distinct()
+    sz = inc.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = inc.select(F.col("source").alias("src_a"), "term")
+    b = inc.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy(F.desc("vocab_jaccard"), "src_a", "src_b")
+        .limit(20)
+    )

@@ -140,6 +140,7 @@ _PRIORITY = [
     "embedding_temporal_drift",
     "dedup_method_agreement",
     "doc_length_lognormal_fit",
+    "source_vocab_overlap",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

@@ -185,6 +185,7 @@ SCALE_SENSITIVE = [
     "embedding_temporal_drift",
     "dedup_method_agreement",
     "doc_length_lognormal_fit",
+    "source_vocab_overlap",
 ]
 
 pytestmark = pytest.mark.skipif(
