@@ -233,6 +233,10 @@ HEADLINE = [
     # round-36 (wave 24): pairwise source vocabulary Jaccard (mixture
     # redundancy at the vocab level)
     "source_vocab_overlap",
+    # round-37 (wave 25): monthly trend/residual decomposition (bounded
+    # month window) and the balance-vs-revenue Pearson probe
+    "orders_seasonal_ma_decompose",
+    "customer_balance_revenue_corr",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

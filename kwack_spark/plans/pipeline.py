@@ -11944,3 +11944,130 @@ def source_vocab_overlap(spark, sf_dir):
         .orderBy(F.desc("vocab_jaccard"), "src_a", "src_b")
         .limit(20)
     )
+
+
+# --- wave 25: seasonal MA decomposition, balance-revenue correlation
+
+
+@register(
+    "orders_seasonal_ma_decompose",
+    # Classical decomposition of the monthly order-count series: a
+    # centered 3-month moving average as the trend and the residual
+    # against it.  Counts are integers; the MA multiplies by 3 instead of
+    # dividing (trend3 = sum of the window, an exact integer), so trend
+    # and residual are emitted as exact scaled integers plus one final
+    # double division — bit-free on both engines.  The month table is
+    # bounded, so its window is metadata-sized by construction.
+    oracle="""
+        WITH m AS (
+            SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                       AS ym,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        ),
+        w AS (
+            SELECT ym, n,
+                   CAST(SUM(n) OVER (ORDER BY ym ROWS BETWEEN 1 PRECEDING
+                                     AND 1 FOLLOWING) AS BIGINT) AS win_sum,
+                   CAST(count(*) OVER (ORDER BY ym ROWS BETWEEN 1 PRECEDING
+                                       AND 1 FOLLOWING) AS BIGINT) AS win_n
+            FROM m
+        )
+        SELECT ym, n,
+               CAST(win_sum AS DOUBLE) / win_n AS trend,
+               n - CAST(win_sum AS DOUBLE) / win_n AS residual
+        FROM w
+    """,
+    tags=("tpch", "timeseries", "analytics"),
+)
+def orders_seasonal_ma_decompose(spark, sf_dir):
+    """Monthly trend/residual decomposition.  100-TB shape: one corpus
+    pass into the months-sized rollup; the centered-window stage runs on
+    the bounded month table (the same bounded-input exemption
+    vocab_coverage_curve uses)."""
+    from pyspark.sql import Window
+
+    o = T(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint").alias("ym")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("ym").rowsBetween(-1, 1)
+    trend = F.sum("n").over(w).cast("double") / F.count(F.lit(1)).over(w)
+    return m.select(
+        "ym",
+        "n",
+        trend.alias("trend"),
+        (F.col("n") - trend).alias("residual"),
+    )
+
+
+@register(
+    "customer_balance_revenue_corr",
+    # Does a customer's account balance predict their spend?  Pearson
+    # between c_acctbal and total order revenue over the customer-key
+    # join, with both variables carried as exact DECIMAL into the moment
+    # sums — the cross-table feature-correlation probe (customers with no
+    # orders contribute zero revenue via the left join).
+    oracle="""
+        WITH cr AS MATERIALIZED (
+            SELECT c.c_custkey,
+                   CAST(c.c_acctbal AS DECIMAL(18,2)) AS x,
+                   coalesce(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))),
+                            CAST(0 AS DECIMAL(18,2))) AS y
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_acctbal
+        ),
+        s AS (
+            SELECT count(*) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                   CAST(SUM(y * y) AS DOUBLE) AS syy
+            FROM cr
+        )
+        SELECT n AS n_customers,
+               CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                    THEN NULL
+                    ELSE round((n * sxy - sx * sy)
+                               / (sqrt(n * sxx - sx * sx)
+                                  * sqrt(n * syy - sy * sy)), 6)
+               END AS pearson_r
+        FROM s
+    """,
+    tags=("tpch", "stats", "analytics"),
+)
+def customer_balance_revenue_corr(spark, sf_dir):
+    """Balance-vs-revenue Pearson.  100-TB shape: one customer-keyed
+    rollup over the left join, one 1-row exact-decimal moment aggregate,
+    closed-form r with a zero-variance guard."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    cr = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                F.lit(0).cast("decimal(18,2)"),
+            ).alias("y")
+        )
+        .select(F.col("c_acctbal").cast("decimal(18,2)").alias("x"), "y")
+    )
+    s = cr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.when((vx == 0) | (vy == 0), F.lit(None).cast("double"))
+        .otherwise(F.round((n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)), 6))
+        .alias("pearson_r"),
+    )

@@ -141,6 +141,8 @@ _PRIORITY = [
     "dedup_method_agreement",
     "doc_length_lognormal_fit",
     "source_vocab_overlap",
+    "orders_seasonal_ma_decompose",
+    "customer_balance_revenue_corr",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

@@ -186,6 +186,8 @@ SCALE_SENSITIVE = [
     "dedup_method_agreement",
     "doc_length_lognormal_fit",
     "source_vocab_overlap",
+    "orders_seasonal_ma_decompose",
+    "customer_balance_revenue_corr",
 ]
 
 pytestmark = pytest.mark.skipif(
