@@ -237,6 +237,10 @@ HEADLINE = [
     # month window) and the balance-vs-revenue Pearson probe
     "orders_seasonal_ma_decompose",
     "customer_balance_revenue_corr",
+    # round-38 (wave 26): DAU/MAU stickiness and the Benford first-digit
+    # audit (expected frequencies injected as shared literals)
+    "dau_mau_stickiness",
+    "benford_first_digit",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -12071,3 +12071,125 @@ def customer_balance_revenue_corr(spark, sf_dir):
         .otherwise(F.round((n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)), 6))
         .alias("pearson_r"),
     )
+
+
+# --- wave 26: DAU/MAU stickiness, Benford audit
+
+
+@register(
+    "dau_mau_stickiness",
+    # The growth-analytics stickiness table: per month, distinct monthly
+    # actives (MAU), the mean daily-active count (sum of per-day DAU over
+    # days, exact integers), and their ratio — how much of the monthly
+    # audience shows up on an average day.
+    oracle="""
+        WITH dau AS (
+            SELECT CAST(year(ts) * 12 + month(ts) AS BIGINT) AS ym,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+            FROM events GROUP BY 1, 2
+        ),
+        mau AS (
+            SELECT CAST(year(ts) * 12 + month(ts) AS BIGINT) AS ym,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+            FROM events GROUP BY 1
+        )
+        SELECT dau.ym, ANY_VALUE(mau.mau) AS mau,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(SUM(dau.dau) AS DOUBLE) / count(*) AS mean_dau,
+               round(CAST(SUM(dau.dau) AS DOUBLE) / count(*)
+                     / ANY_VALUE(mau.mau), 6) AS stickiness
+        FROM dau JOIN mau USING (ym)
+        GROUP BY dau.ym
+    """,
+    tags=("events", "retention", "analytics"),
+)
+def dau_mau_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness.  100-TB shape: two distinct-user rollups (day
+    and month keys — partial aggregation collapses per-user volume early),
+    joined on the month key into a months-sized output."""
+    e = T(spark, sf_dir, "events")
+    ym = (F.year("ts") * 12 + F.month("ts")).cast("bigint")
+    dau = e.groupBy(
+        ym.alias("ym"), F.date_trunc("day", "ts").alias("d")
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    mau = e.groupBy(ym.alias("ym")).agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(F.broadcast(mau), "ym")
+        .groupBy("ym")
+        .agg(
+            F.first("mau").alias("mau"),
+            F.count(F.lit(1)).alias("n_days"),
+            (F.sum("dau").cast("double") / F.count(F.lit(1))).alias("mean_dau"),
+            F.round(
+                F.sum("dau").cast("double") / F.count(F.lit(1)) / F.first("mau"), 6
+            ).alias("stickiness"),
+        )
+    )
+
+
+# Benford expected frequencies log10(1 + 1/d), computed once here and
+# injected into both engines as identical literals (log10 is not
+# correctly-rounded, so neither engine computes it at query time)
+_BENFORD = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+
+@register(
+    "benford_first_digit",
+    # Benford's-law audit of order totals: observed first-significant-
+    # digit frequencies against the expected log10(1 + 1/d) — the
+    # fabricated-data screen.  The digit extracts from the decimal's text
+    # form (exact); expected frequencies are module-level literals shared
+    # by both engines; the deviation differences two 6dp-rounded values.
+    oracle=f"""
+        WITH d AS (
+            SELECT CAST(substr(regexp_extract(
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                       '[1-9]', 0), 1, 1) AS INT) AS digit
+            FROM orders
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        exp_f(digit, expected) AS (VALUES {", ".join(
+            f"({k}, {v!r})" for k, v in _BENFORD.items())})
+        SELECT e.digit,
+               CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_obs,
+               round(CAST(coalesce(c.cnt, 0) AS DOUBLE) / t.n, 6) AS observed,
+               round(CAST(e.expected AS DOUBLE), 6) AS expected,
+               round(abs(round(CAST(coalesce(c.cnt, 0) AS DOUBLE) / t.n, 6)
+                         - round(CAST(e.expected AS DOUBLE), 6)), 6) AS abs_dev
+        FROM exp_f e
+        LEFT JOIN (SELECT digit, CAST(count(*) AS BIGINT) AS cnt
+                   FROM d GROUP BY digit) c USING (digit)
+        CROSS JOIN t
+    """,
+    tags=("tpch", "audit", "stats"),
+)
+def benford_first_digit(spark, sf_dir):
+    """Benford first-digit audit.  100-TB shape: one narrow digit-extract
+    pass into a 9-key rollup against a broadcast literal table."""
+    o = T(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.regexp_extract(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), "[1-9]", 0
+        ),
+        1,
+        1,
+    ).cast("int")
+    d = o.select(digit.alias("digit"))
+    t = d.agg(F.count(F.lit(1)).alias("n"))
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    exp_f = spark.createDataFrame(
+        [(k, v) for k, v in _BENFORD.items()], "digit int, expected double"
+    )
+    obs = F.round(F.coalesce("cnt", F.lit(0)).cast("double") / F.col("n"), 6)
+    return (
+        exp_f.join(c, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce("cnt", F.lit(0)).alias("n_obs"),
+            obs.alias("observed"),
+            F.round("expected", 6).alias("expected"),
+            F.round(F.abs(obs - F.round("expected", 6)), 6).alias("abs_dev"),
+        )
+    )

@@ -143,6 +143,8 @@ _PRIORITY = [
     "source_vocab_overlap",
     "orders_seasonal_ma_decompose",
     "customer_balance_revenue_corr",
+    "dau_mau_stickiness",
+    "benford_first_digit",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

@@ -188,6 +188,8 @@ SCALE_SENSITIVE = [
     "source_vocab_overlap",
     "orders_seasonal_ma_decompose",
     "customer_balance_revenue_corr",
+    "dau_mau_stickiness",
+    "benford_first_digit",
 ]
 
 pytestmark = pytest.mark.skipif(
