@@ -241,6 +241,8 @@ HEADLINE = [
     # audit (expected frequencies injected as shared literals)
     "dau_mau_stickiness",
     "benford_first_digit",
+    # round-39 (wave 27): the 1-NN label probe (embedding-quality eval)
+    "embedding_knn_label_probe",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -12193,3 +12193,65 @@ def benford_first_digit(spark, sf_dir):
             F.round(F.abs(obs - F.round("expected", 6)), 6).alias("abs_dev"),
         )
     )
+
+
+# --- wave 27: 1-NN label probe
+
+
+@register(
+    "embedding_knn_label_probe",
+    # The 1-NN classification probe: does each vector's exact nearest
+    # neighbor share its label?  Per-label accuracy — the standard quick
+    # eval of embedding quality before training anything (and the
+    # pass/fail gate on a re-embedding).  Composes the registered
+    # brute-force oracle's rank-1 rows with the label column; counts and
+    # the accuracy ratio are exact integers.
+    oracle=f"""
+        WITH nn AS MATERIALIZED (
+            SELECT query_id, corpus_id
+            FROM ({_Q["ann_brute_force_topk"].oracle}) x WHERE rank = 1
+        ),
+        lab AS (SELECT vec_id, label FROM embeddings)
+        SELECT a.label,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(CASE WHEN a.label = b.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               CAST(SUM(CASE WHEN a.label = b.label THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS accuracy
+        FROM nn
+        JOIN lab a ON a.vec_id = nn.query_id
+        JOIN lab b ON b.vec_id = nn.corpus_id
+        GROUP BY a.label
+    """,
+    tags=("embedding", "similarity", "audit"),
+)
+def embedding_knn_label_probe(spark, sf_dir):
+    """1-NN label accuracy per class.  100-TB shape: the neighbor list is
+    1 row per query (k-bounded); the label joins hit the id key; output is
+    |labels| rows.  At cluster scale the exact top-1 swaps for the IVF
+    candidate path — the probe's plan shape is unchanged."""
+    bf = (
+        _Q["ann_brute_force_topk"].fn(spark, sf_dir)
+        .filter(F.col("rank") == 1)
+        .select("query_id", "corpus_id")
+    )
+    e = T(spark, sf_dir, "embeddings")
+    la = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("label"))
+    lb = e.select(F.col("vec_id").alias("corpus_id"), F.col("label").alias("nn_label"))
+    return (
+        bf.join(la, "query_id")
+        .join(lb, "corpus_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("label") == F.col("nn_label"), 1).otherwise(0)).alias(
+                "n_correct"
+            ),
+            (
+                F.sum(
+                    F.when(F.col("label") == F.col("nn_label"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("accuracy"),
+        )
+    )

@@ -145,6 +145,7 @@ _PRIORITY = [
     "customer_balance_revenue_corr",
     "dau_mau_stickiness",
     "benford_first_digit",
+    "embedding_knn_label_probe",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

@@ -190,6 +190,7 @@ SCALE_SENSITIVE = [
     "customer_balance_revenue_corr",
     "dau_mau_stickiness",
     "benford_first_digit",
+    "embedding_knn_label_probe",
 ]
 
 pytestmark = pytest.mark.skipif(
