@@ -243,6 +243,10 @@ HEADLINE = [
     "benford_first_digit",
     # round-39 (wave 27): the 1-NN label probe (embedding-quality eval)
     "embedding_knn_label_probe",
+    # round-40 (wave 28): token length spectrum and the engagement-depth
+    # (sessions-per-user) histogram
+    "word_length_distribution",
+    "sessions_per_user_distribution",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -12255,3 +12255,100 @@ def embedding_knn_label_probe(spark, sf_dir):
             ).alias("accuracy"),
         )
     )
+
+
+# --- wave 28: word-length distribution, sessions-per-user distribution
+
+
+@register(
+    "word_length_distribution",
+    # Token length spectrum (1..9, 10+ capped): the tokenizer-facing
+    # character-length profile (subword fertility and byte-fallback rates
+    # track it).  Pure integer counts with an exact share ratio.
+    oracle=f"""
+        WITH w AS (
+            SELECT least(length(t), 10) AS wlen
+            FROM (SELECT unnest({_toks()}) AS t FROM documents)
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM w)
+        SELECT wlen, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS DOUBLE) / ANY_VALUE(total) AS share
+        FROM w, t GROUP BY wlen
+    """,
+    tags=("text", "tokenizer", "stats"),
+)
+def word_length_distribution(spark, sf_dir):
+    """Token length spectrum.  100-TB shape: one explode into a 10-key
+    rollup with a broadcast total."""
+    d = T(spark, sf_dir, "documents")
+    w = d.select(F.explode(TX.tokens("text")).alias("t")).select(
+        F.least(F.length("t"), F.lit(10)).alias("wlen")
+    )
+    t = w.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        w.crossJoin(F.broadcast(t))
+        .groupBy("wlen")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.count(F.lit(1)).cast("double") / F.first("total")).alias("share"),
+        )
+    )
+
+
+@register(
+    "sessions_per_user_distribution",
+    # How many 30-min sessions a user generates over the window — the
+    # engagement-depth histogram (1, 2-5, 6-20, 21+ buckets) built on the
+    # same gap-sessionization every session operator shares.  Counts are
+    # exact integers.
+    oracle="""
+        WITH m AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             < INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS new_s
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions
+            FROM m GROUP BY user_id
+        )
+        SELECT CASE WHEN n_sessions = 1 THEN 'a_1'
+                    WHEN n_sessions <= 5 THEN 'b_2_5'
+                    WHEN n_sessions <= 20 THEN 'c_6_20'
+                    ELSE 'd_21_plus' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(SUM(n_sessions) AS BIGINT) AS n_sessions
+        FROM per_user GROUP BY 1
+    """,
+    tags=("events", "session", "analytics"),
+)
+def sessions_per_user_distribution(spark, sf_dir):
+    """Engagement-depth histogram.  100-TB shape: the user-keyed lag
+    window (key-partitioned) collapses to one row per user, then a 4-key
+    rollup."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    m = e.select(
+        "user_id",
+        F.when(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            < 1800 * 1000000,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_s"),
+    )
+    per_user = m.groupBy("user_id").agg(F.sum("new_s").alias("n_sessions"))
+    bucket = (
+        F.when(F.col("n_sessions") == 1, "a_1")
+        .when(F.col("n_sessions") <= 5, "b_2_5")
+        .when(F.col("n_sessions") <= 20, "c_6_20")
+        .otherwise("d_21_plus")
+    )
+    return per_user.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_sessions").alias("n_sessions"),
+    )

@@ -146,6 +146,8 @@ _PRIORITY = [
     "dau_mau_stickiness",
     "benford_first_digit",
     "embedding_knn_label_probe",
+    "word_length_distribution",
+    "sessions_per_user_distribution",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

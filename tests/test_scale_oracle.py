@@ -191,6 +191,8 @@ SCALE_SENSITIVE = [
     "dau_mau_stickiness",
     "benford_first_digit",
     "embedding_knn_label_probe",
+    "word_length_distribution",
+    "sessions_per_user_distribution",
 ]
 
 pytestmark = pytest.mark.skipif(
