@@ -247,6 +247,10 @@ HEADLINE = [
     # (sessions-per-user) histogram
     "word_length_distribution",
     "sessions_per_user_distribution",
+    # round-41 (wave 29): click-to-purchase lag spectrum (attribution
+    # window sizing) and the retention half-life fit
+    "conversion_lag_distribution",
+    "retention_halflife_fit",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -12352,3 +12352,179 @@ def sessions_per_user_distribution(spark, sf_dir):
         F.count(F.lit(1)).alias("n_users"),
         F.sum("n_sessions").alias("n_sessions"),
     )
+
+
+# --- wave 29: conversion lag distribution, retention half-life
+
+
+@register(
+    "conversion_lag_distribution",
+    # Click-to-purchase lag spectrum: for every purchase, the most recent
+    # strictly-earlier click by the same user (the attribution pairing),
+    # bucketed by exact microsecond lag — the table that sizes attribution
+    # windows.  The last-click lookup is a user-keyed running max over
+    # (ts, event_id) order excluding the current row, identical on both
+    # engines; unattributed purchases land in their own bucket.
+    oracle="""
+        WITH u AS (
+            SELECT user_id, ts, event_id, event_type
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        w AS (
+            SELECT user_id, ts, event_id, event_type,
+                   max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_click_us
+            FROM u
+        ),
+        lags AS (
+            SELECT epoch_us(ts) - last_click_us AS lag_us
+            FROM w WHERE event_type = 'purchase'
+        )
+        SELECT CASE WHEN lag_us IS NULL THEN 'z_no_click'
+                    WHEN lag_us < 60000000 THEN 'a_lt_1m'
+                    WHEN lag_us < 600000000 THEN 'b_lt_10m'
+                    WHEN lag_us < 3600000000 THEN 'c_lt_1h'
+                    WHEN lag_us < 21600000000 THEN 'd_lt_6h'
+                    ELSE 'e_ge_6h' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_purchases
+        FROM lags GROUP BY 1
+    """,
+    tags=("events", "asof", "analytics"),
+)
+def conversion_lag_distribution(spark, sf_dir):
+    """Attribution-lag spectrum.  100-TB shape: one user-keyed window over
+    the click/purchase subset (filter pushed to the scan), then a 6-key
+    rollup — the distribution behind asof_purchase_attribution's pairing."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    u = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lag_us = F.unix_micros("ts") - F.max(
+        F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    ).over(w)
+    lags = (
+        u.withColumn("lag_us", lag_us)
+        .filter(F.col("event_type") == "purchase")
+        .select("lag_us")
+    )
+    bucket = (
+        F.when(F.col("lag_us").isNull(), "z_no_click")
+        .when(F.col("lag_us") < 60000000, "a_lt_1m")
+        .when(F.col("lag_us") < 600000000, "b_lt_10m")
+        .when(F.col("lag_us") < 3600000000, "c_lt_1h")
+        .when(F.col("lag_us") < 21600000000, "d_lt_6h")
+        .otherwise("e_ge_6h")
+    )
+    return lags.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+
+
+_LN2 = 0.6931471805599453  # ln(2), shared literal for both engines
+
+
+@register(
+    "retention_halflife_fit",
+    # Retention half-life: the share of the user base active at day
+    # offset d (0..20) from each user's first-seen day, fitted as
+    # ln(share) ~ d — the exponential-decay summary of the retention
+    # matrix (retention_cohorts is the full table; this is its one-number
+    # forecast).  Shares are bigint ratios, ln pre-rounds to 6dp into
+    # DECIMAL sums, ln(2) is a shared literal, and a non-negative-slope
+    # guard returns NULL half-life on both engines.
+    oracle=f"""
+        WITH first_seen AS (
+            SELECT user_id, CAST(min(ts) AS DATE) AS d0 FROM events
+            GROUP BY user_id
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM first_seen),
+        act AS (
+            SELECT DISTINCT e.user_id,
+                   datediff('day', f.d0, CAST(e.ts AS DATE)) AS off
+            FROM events e JOIN first_seen f USING (user_id)
+        ),
+        sh AS (
+            SELECT off, CAST(count(*) AS BIGINT) AS n_active FROM act
+            WHERE off BETWEEN 0 AND 20 GROUP BY off
+        ),
+        xy AS (
+            SELECT CAST(off AS DECIMAL(12,6)) AS x,
+                   CAST(round(ln(CAST(n_active AS DOUBLE) / n_users), 6)
+                        AS DECIMAL(12,6)) AS y
+            FROM sh, t WHERE n_active > 0
+        ),
+        s AS (
+            SELECT count(*) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx
+            FROM xy
+        )
+        SELECT n AS n_points,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               CASE WHEN (n * sxy - sx * sy) / (n * sxx - sx * sx) >= 0
+                    THEN NULL
+                    ELSE round(-{_LN2!r}
+                               / ((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6)
+               END AS halflife_days
+        FROM s
+    """,
+    tags=("events", "retention", "stats"),
+)
+def retention_halflife_fit(spark, sf_dir):
+    """Retention half-life.  100-TB shape: the same two shuffles as
+    retention_cohorts (user key, then the offset rollup), a 21-row fit
+    table, closed-form OLS."""
+    e = T(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min("ts").cast("date").alias("d0"))
+    t = first.agg(F.count(F.lit(1)).alias("n_users"))
+    act = (
+        e.join(first, "user_id")
+        .select(
+            "user_id", F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("off")
+        )
+        .distinct()
+    )
+    sh = (
+        act.filter((F.col("off") >= 0) & (F.col("off") <= 20))
+        .groupBy("off")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    xy = (
+        sh.crossJoin(F.broadcast(t))
+        .filter(F.col("n_active") > 0)
+        .select(
+            F.col("off").cast("decimal(12,6)").alias("x"),
+            F.round(
+                F.log(F.col("n_active").cast("double") / F.col("n_users")), 6
+            )
+            .cast("decimal(12,6)")
+            .alias("y"),
+        )
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.when(slope >= 0, F.lit(None).cast("double"))
+        .otherwise(F.round(-F.lit(_LN2) / slope, 6))
+        .alias("halflife_days"),
+    )

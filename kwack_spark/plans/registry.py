@@ -148,6 +148,8 @@ _PRIORITY = [
     "embedding_knn_label_probe",
     "word_length_distribution",
     "sessions_per_user_distribution",
+    "conversion_lag_distribution",
+    "retention_halflife_fit",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

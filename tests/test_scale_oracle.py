@@ -193,6 +193,8 @@ SCALE_SENSITIVE = [
     "embedding_knn_label_probe",
     "word_length_distribution",
     "sessions_per_user_distribution",
+    "conversion_lag_distribution",
+    "retention_halflife_fit",
 ]
 
 pytestmark = pytest.mark.skipif(
