@@ -251,6 +251,10 @@ HEADLINE = [
     # window sizing) and the retention half-life fit
     "conversion_lag_distribution",
     "retention_halflife_fit",
+    # round-42 (wave 30): week-over-week value growth and per-source
+    # hapax-legomena share
+    "weekly_value_wow_growth",
+    "hapax_ratio_by_source",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

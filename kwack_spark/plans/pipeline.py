@@ -12528,3 +12528,86 @@ def retention_halflife_fit(spark, sf_dir):
         .otherwise(F.round(-F.lit(_LN2) / slope, 6))
         .alias("halflife_days"),
     )
+
+
+# --- wave 30: week-over-week growth, hapax ratio
+
+
+@register(
+    "weekly_value_wow_growth",
+    # Week-over-week growth of total event value: weekly exact-DECIMAL
+    # sums with the previous week's total lagged over the bounded week
+    # table — the growth dashboard line.  The ratio divides two exact
+    # decimal-derived doubles once and rounds to 6dp; the first week emits
+    # NULL growth on both engines.
+    oracle="""
+        WITH wk AS (
+            SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+                   SUM(CAST(value AS DECIMAL(18,3))) AS total
+            FROM events GROUP BY 1
+        )
+        SELECT week_start,
+               CAST(total AS DOUBLE) AS total_value,
+               round(CAST(total AS DOUBLE)
+                     / lag(CAST(total AS DOUBLE)) OVER (ORDER BY week_start)
+                     - 1, 6) AS wow_growth
+        FROM wk
+    """,
+    tags=("events", "timeseries", "analytics"),
+)
+def weekly_value_wow_growth(spark, sf_dir):
+    """Week-over-week value growth.  100-TB shape: one corpus pass into
+    the weeks-sized rollup; the lag window runs on the bounded week
+    table."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    wk = e.groupBy(F.date_trunc("week", "ts").alias("week_start")).agg(
+        F.sum(F.col("value").cast("decimal(18,3)")).alias("total")
+    )
+    w = Window.orderBy("week_start")
+    total_d = F.col("total").cast("double")
+    return wk.select(
+        "week_start",
+        total_d.alias("total_value"),
+        F.round(total_d / F.lag(total_d).over(w) - 1, 6).alias("wow_growth"),
+    )
+
+
+@register(
+    "hapax_ratio_by_source",
+    # Hapax legomena share per source: the fraction of each source's
+    # vocabulary seen exactly once IN THAT SOURCE — high hapax with low
+    # entropy flags noisy/garbled feeds; low hapax flags templated ones.
+    # Pure integer counts and one exact ratio.
+    oracle=f"""
+        WITH tf AS (
+            SELECT source, t AS term, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT source, unnest({_toks()}) AS t FROM documents)
+            GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS hapax_ratio
+        FROM tf GROUP BY source
+    """,
+    tags=("text", "stats", "quality"),
+)
+def hapax_ratio_by_source(spark, sf_dir):
+    """Per-source hapax share.  100-TB shape: one (source, term) rollup
+    (vocabulary-sized per source) into a source-keyed census."""
+    d = T(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hap = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+    return tf.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        hap.alias("n_hapax"),
+        (hap.cast("double") / F.count(F.lit(1))).alias("hapax_ratio"),
+    )

@@ -150,6 +150,8 @@ _PRIORITY = [
     "sessions_per_user_distribution",
     "conversion_lag_distribution",
     "retention_halflife_fit",
+    "weekly_value_wow_growth",
+    "hapax_ratio_by_source",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

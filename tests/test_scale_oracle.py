@@ -195,6 +195,8 @@ SCALE_SENSITIVE = [
     "sessions_per_user_distribution",
     "conversion_lag_distribution",
     "retention_halflife_fit",
+    "weekly_value_wow_growth",
+    "hapax_ratio_by_source",
 ]
 
 pytestmark = pytest.mark.skipif(
