@@ -255,6 +255,8 @@ HEADLINE = [
     # hapax-legomena share
     "weekly_value_wow_growth",
     "hapax_ratio_by_source",
+    # round-43 (wave 31): the price-vs-size OLS probe
+    "part_size_price_regression",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -12611,3 +12611,81 @@ def hapax_ratio_by_source(spark, sf_dir):
         hap.alias("n_hapax"),
         (hap.cast("double") / F.count(F.lit(1))).alias("hapax_ratio"),
     )
+
+
+# --- wave 31: part size-price regression
+
+
+@register(
+    "part_size_price_regression",
+    # OLS of retail price on part size — the quick pricing-curve probe
+    # (and the relational sibling of zipf/heaps' closed-form fits).  Both
+    # variables enter as exact DECIMAL, so the moment sums are order-free;
+    # slope/intercept/r2 run one fixed double sequence with a
+    # zero-variance guard.
+    oracle="""
+        WITH xy AS (
+            SELECT CAST(p_size AS DECIMAL(12,2)) AS x,
+                   CAST(p_retailprice AS DECIMAL(18,2)) AS y
+            FROM part
+        ),
+        s AS (
+            SELECT count(*) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                   CAST(SUM(y * y) AS DOUBLE) AS syy
+            FROM xy
+        )
+        SELECT n AS n_parts,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               END AS slope,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE round((sy - (n * sxy - sx * sy)
+                                / (n * sxx - sx * sx) * sx) / n, 6)
+               END AS intercept,
+               CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                    THEN NULL
+                    ELSE round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               END AS r2
+        FROM s
+    """,
+    tags=("tpch", "stats", "analytics"),
+)
+def part_size_price_regression(spark, sf_dir):
+    """Price-vs-size OLS.  100-TB shape: one narrow scan into a 1-row
+    exact-decimal moment aggregate, closed-form fit."""
+    p = T(spark, sf_dir, "part")
+    xy = p.select(
+        F.col("p_size").cast("decimal(12,2)").alias("x"),
+        F.col("p_retailprice").cast("decimal(18,2)").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    slope = (n * sxy - sx * sy) / vx
+    return s.select(
+        F.col("n").alias("n_parts"),
+        F.when(vx == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(slope, 6))
+        .alias("slope"),
+        F.when(vx == 0, F.lit(None).cast("double"))
+        .otherwise(F.round((sy - slope * sx) / n, 6))
+        .alias("intercept"),
+        F.when((vx == 0) | (vy == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round((n * sxy - sx * sy) * (n * sxy - sx * sy) / (vx * vy), 6)
+        )
+        .alias("r2"),
+    )

@@ -197,6 +197,7 @@ SCALE_SENSITIVE = [
     "retention_halflife_fit",
     "weekly_value_wow_growth",
     "hapax_ratio_by_source",
+    "part_size_price_regression",
 ]
 
 pytestmark = pytest.mark.skipif(
