@@ -257,6 +257,10 @@ HEADLINE = [
     "hapax_ratio_by_source",
     # round-43 (wave 31): the price-vs-size OLS probe
     "part_size_price_regression",
+    # round-44 (wave 32): the two-NN intrinsic-dimension estimate and the
+    # error-purchase co-occurrence lift
+    "embedding_intrinsic_dimension",
+    "error_purchase_cooccurrence",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

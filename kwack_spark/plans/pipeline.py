@@ -12689,3 +12689,117 @@ def part_size_price_regression(spark, sf_dir):
         )
         .alias("r2"),
     )
+
+
+# --- wave 32: intrinsic dimension, error-purchase co-occurrence
+
+
+@register(
+    "embedding_intrinsic_dimension",
+    # Two-NN intrinsic-dimension estimate (Facco et al.): ID =
+    # 1 / mean(ln(d2/d1)) over the exact top-2 cosine-distance neighbors —
+    # the manifold-dimensionality probe that says how compressible the
+    # embedding space really is (JL/PQ budgets key off it).  Distances
+    # derive from the shared fold-kernel cosines (bit-equal); each
+    # ln(d2/d1) pre-rounds to 9dp into DECIMAL sums; queries with d1 = 0
+    # (exact duplicates) are excluded on both engines.
+    oracle=f"""
+        WITH top2 AS MATERIALIZED (
+            SELECT query_id,
+                   max(CASE WHEN rank = 1 THEN 1.0 - cosine END) AS d1,
+                   max(CASE WHEN rank = 2 THEN 1.0 - cosine END) AS d2
+            FROM ({_Q["ann_brute_force_topk"].oracle}) x
+            WHERE rank <= 2 GROUP BY query_id
+        ),
+        r AS (
+            SELECT CAST(round(ln(d2 / d1), 9) AS DECIMAL(16,9)) AS lr
+            FROM top2 WHERE d1 > 0 AND d2 > 0
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               round(CAST(SUM(lr) AS DOUBLE) / count(*), 6) AS mean_log_ratio,
+               round(CAST(count(*) AS DOUBLE) / CAST(SUM(lr) AS DOUBLE), 6)
+                   AS intrinsic_dim
+        FROM r
+    """,
+    tags=("embedding", "stats", "similarity"),
+)
+def embedding_intrinsic_dimension(spark, sf_dir):
+    """Two-NN intrinsic dimension.  100-TB shape: the neighbor list is
+    2 rows per query (k-bounded; at cluster scale the exact top-2 swaps
+    for the IVF path); the estimate is a 1-row exact-decimal aggregate."""
+    bf = _Q["ann_brute_force_topk"].fn(spark, sf_dir).filter(F.col("rank") <= 2)
+    top2 = bf.groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 1, 1.0 - F.col("cosine"))).alias("d1"),
+        F.max(F.when(F.col("rank") == 2, 1.0 - F.col("cosine"))).alias("d2"),
+    )
+    r = (
+        top2.filter((F.col("d1") > 0) & (F.col("d2") > 0))
+        .select(
+            F.round(F.log(F.col("d2") / F.col("d1")), 9)
+            .cast("decimal(16,9)")
+            .alias("lr")
+        )
+    )
+    return r.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.sum("lr").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_log_ratio"
+        ),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("lr").cast("double"), 6
+        ).alias("intrinsic_dim"),
+    )
+
+
+@register(
+    "error_purchase_cooccurrence",
+    # Do errors cluster around purchases?  The (user, hour) contingency
+    # table of error-vs-purchase presence with the lift of observing both
+    # — the reliability-impact probe (errors co-occurring with revenue
+    # hours matter more).  All cell counts are integers; lift divides
+    # exact bigint products in one fixed double sequence.
+    oracle="""
+        WITH uh AS (
+            SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                   CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS has_err,
+                   CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS has_buy
+            FROM events GROUP BY 1, 2
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_user_hours,
+               CAST(SUM(has_err) AS BIGINT) AS n_err,
+               CAST(SUM(has_buy) AS BIGINT) AS n_buy,
+               CAST(SUM(has_err * has_buy) AS BIGINT) AS n_both,
+               round(CAST(SUM(has_err * has_buy) AS DOUBLE) * count(*)
+                     / SUM(has_err) / SUM(has_buy), 6) AS lift
+        FROM uh
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def error_purchase_cooccurrence(spark, sf_dir):
+    """Error-purchase lift over (user, hour) cells.  100-TB shape: one
+    (user, hour)-keyed rollup collapsing event volume, then a 1-row
+    contingency aggregate."""
+    e = T(spark, sf_dir, "events")
+    uh = e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "has_err"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_buy"
+        ),
+    )
+    return uh.agg(
+        F.count(F.lit(1)).alias("n_user_hours"),
+        F.sum("has_err").alias("n_err"),
+        F.sum("has_buy").alias("n_buy"),
+        F.sum(F.col("has_err") * F.col("has_buy")).alias("n_both"),
+        F.round(
+            F.sum(F.col("has_err") * F.col("has_buy")).cast("double")
+            * F.count(F.lit(1))
+            / F.sum("has_err")
+            / F.sum("has_buy"),
+            6,
+        ).alias("lift"),
+    )

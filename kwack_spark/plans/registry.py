@@ -153,6 +153,8 @@ _PRIORITY = [
     "weekly_value_wow_growth",
     "hapax_ratio_by_source",
     "part_size_price_regression",
+    "embedding_intrinsic_dimension",
+    "error_purchase_cooccurrence",
     # --- then the full corpus, longest-ungraded-first: every name below
     # is driver-green, ordered by the round it was last graded (r01
     # first) so cumulative re-grade freshness rotates each round.

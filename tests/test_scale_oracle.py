@@ -198,6 +198,8 @@ SCALE_SENSITIVE = [
     "weekly_value_wow_growth",
     "hapax_ratio_by_source",
     "part_size_price_regression",
+    "embedding_intrinsic_dimension",
+    "error_purchase_cooccurrence",
 ]
 
 pytestmark = pytest.mark.skipif(
