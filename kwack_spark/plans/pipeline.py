@@ -8355,7 +8355,7 @@ def _band_keys_sql(b: int, r: int) -> str:
         )
         SELECT cfg.b AS bands, cfg.r AS rows_per_band,
                coalesce(agg.n_candidates, 0) AS n_candidates,
-               coalesce(agg.n_true, 0) AS n_true,
+               CAST(coalesce(agg.n_true, 0) AS BIGINT) AS n_true,
                round(CAST(coalesce(agg.n_true, 0) AS DOUBLE)
                      / coalesce(agg.n_candidates, 1), 6) AS precision_at_05,
                CAST(cfg.est_threshold AS DOUBLE) AS est_threshold
@@ -8484,8 +8484,8 @@ def minhash_band_calibration(spark, sf_dir):
         mx AS (SELECT max(doc_id) AS mx FROM documents)
         SELECT CAST(floor(doc_id * 10 / (mx + 1)) AS BIGINT) AS decile,
                count(*) AS n_docs,
-               SUM(n_sh) AS n_shingles,
-               SUM(n_novel) AS n_novel,
+               CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+               CAST(SUM(n_novel) AS BIGINT) AS n_novel,
                CAST(SUM(n_novel) AS DOUBLE) / SUM(n_sh) AS novelty_rate
         FROM per_doc, mx
         GROUP BY 1
@@ -9456,7 +9456,8 @@ def jl_recall_vs_dim_curve(spark, sf_dir):
                    t.n_days, t.total
             FROM daily d JOIN tot t USING (event_type)
         )
-        SELECT event_type, d AS change_day, s_scaled,
+        SELECT event_type, d AS change_day,
+               CAST(s_scaled AS BIGINT) AS s_scaled,
                CAST(s_scaled AS DOUBLE) / n_days AS cusum
         FROM (
             SELECT event_type, d, s_scaled, n_days,
@@ -10049,7 +10050,8 @@ def ann_reciprocal_rate(spark, sf_dir):
                    t.n_days, t.total
             FROM daily d JOIN tot t USING (event_type)
         )
-        SELECT event_type, d AS change_day, s_scaled,
+        SELECT event_type, d AS change_day,
+               CAST(s_scaled AS BIGINT) AS s_scaled,
                CAST(s_scaled AS DOUBLE) / n_days AS cusum
         FROM (
             SELECT event_type, d, s_scaled, n_days,

@@ -53,72 +53,24 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # corpus per round, so the map is ordered to put never-driver-graded queries
 # first (every name below already passes the local oracle harness in
 # tests/test_oracle.py, and the scale-sensitive subset additionally passes
-# at sf0.1 via tests/test_scale_oracle.py).  Rounds 1-5 graded 238 distinct
-# names, 236 ever-green.  Round 6's rotation (r05 VERDICT asks #1/#2): the
-# two fixed r05 reds first, then the two never-graded names, then any
-# r06-new queries, then the whole green corpus ordered longest-ungraded
-# first (last-graded round ascending, curated order within a round).  Names
-# not listed keep registration order after the listed ones; the list is
-# advisory ordering only — every query stays registered.
+# at sf0.1 via tests/test_scale_oracle.py).  Rounds 1-6 graded 286 distinct
+# names, 282 green (the 4 reds were oracle-dtype-only, fixed r07).  Round
+# 7's rotation (r06 VERDICT ask #2) lists the FULL corpus explicitly: the
+# four fixed reds, then all 36 never-graded names, then the green corpus
+# longest-ungraded-first (last-graded round ascending, stable order within
+# a round).  The list is advisory ordering only — every query stays
+# registered; names missing from it would keep registration order after it.
 _PRIORITY = [
-    # --- round-6 grading prefix (r05 VERDICT ask #2): the two r05
-    # driver-reds, now fixed by stringifying their array outputs
-    # (concat_ws, oracle array_to_string), lead so CORRECTNESS_r06
-    # re-grades them first ...
-    "prefix_duplicate_groups",
-    "inverted_index_build",
-    # ... then the two never-driver-graded names (registered post-prefix
-    # in r05; vocab_coverage_curve window now bounded via limit(1024)),
-    "vocab_coverage_curve",
-    "embedding_norm_extremes",
-    # --- round-6-new queries are inserted HERE as they are added so
-    # they get driver evidence on first grading ---
-    "dedup_longest_common_span",
-    "dedup_url_canonical",
-    "embedding_covariance_topk",
-    "embedding_top_pc",
-    "streaming_url_dedup",
-    "bpe_train_two_steps",
-    "embedding_pc_residual_topk",
-    "tfidf_cosine_topk",
-    "event_robust_outliers",
-    "bitext_margin_mining",
-    "streaming_click_purchase_join",
-    "pagerank_dup_graph",
-    "dup_graph_triangles",
-    "streaming_latest_per_key",
-    "jl_projection_recall",
-    "embedding_kmeans_refine",
-    "histogram_quantile_estimate",
-    "interval_overlap_join",
-    "zipf_fit_slope",
+    # --- round-7 grading prefix (r06 VERDICT ask #2): the four r06
+    # driver-reds first — fixed this round by CAST(... AS BIGINT) on their
+    # oracles' HUGEINT columns (values already matched bit-level) —
     "minhash_band_calibration",
     "ngram_novelty_curve",
-    "ann_probe_recall_curve",
-    "dedup_lexical_semantic_agreement",
-    "embedding_outlier_mahalanobis",
-    "cooccurrence_pmi_topk",
-    "market_basket_lift",
-    "markov_stationary_power",
-    "term_entropy_by_source",
-    "text_burstiness",
-    "rfm_segmentation",
-    "jl_recall_vs_dim_curve",
     "events_change_point",
-    "session_duration_survival",
-    "orders_pareto_share",
-    "dedup_shingle_size_sensitivity",
-    "graph_k_core",
-    "dup_quality_contrast",
-    "dedup_incremental_simhash",
-    "ann_reciprocal_rate",
     "streaming_change_point",
-    "embedding_cluster_purity",
-    "source_dedup_rate",
-    "events_periodicity_autocorr",
-    "multimodal_audio_rms_windows",
-    "embedding_dedup_threshold_sweep",
-    "event_hour_dow_heatmap",
+    # ... then ALL 36 never-driver-graded names (wave-19+ additions that
+    # sat at positions 50-85 of the r06 order, outside the ~50-query
+    # grading window), so CORRECTNESS_r07 completes 322/322 coverage ...
     "token_oov_rate_by_source",
     "scd2_user_state_intervals",
     "grouped_quantile_estimate",
@@ -155,10 +107,9 @@ _PRIORITY = [
     "part_size_price_regression",
     "embedding_intrinsic_dimension",
     "error_purchase_cooccurrence",
-    # --- then the full corpus, longest-ungraded-first: every name below
-    # is driver-green, ordered by the round it was last graded (r01
-    # first) so cumulative re-grade freshness rotates each round.
-    # last graded r01
+    # ... then the green corpus longest-ungraded-first (last-graded round
+    # ascending, stable registration order within a round) so rotation
+    # continues to refresh the oldest evidence in later rounds.
     "ann_brute_force_topk",
     "dedup_exact",
     "dedup_minhash_signatures",
@@ -198,7 +149,6 @@ _PRIORITY = [
     "math_funcs",
     "struct_funcs",
     "explode_word_counts",
-    # last graded r02
     "q1_pricing_summary",
     "kafka_avro_roundtrip",
     "kafka_json_schema_roundtrip",
@@ -249,7 +199,6 @@ _PRIORITY = [
     "higher_order_funcs",
     "map_funcs",
     "json_funcs",
-    # last graded r03
     "kafka_proto_msgindex",
     "ann_pq_recall",
     "ann_ivf_recall",
@@ -300,7 +249,6 @@ _PRIORITY = [
     "embedding_centroid_by_label",
     "embedding_quantize_int8",
     "ann_ivf_topk",
-    # last graded r04
     "kafka_jsonschema_fastpath",
     "kafka_jsonschema_union_roundtrip",
     "kafka_poison_quarantine",
@@ -350,7 +298,6 @@ _PRIORITY = [
     "cooccurrence_window_counts",
     "hard_negative_mining",
     "training_order_shuffle",
-    # last graded r05
     "user_path_trigrams",
     "event_transition_matrix",
     "length_bucketed_batches",
@@ -399,6 +346,52 @@ _PRIORITY = [
     "winnowing_incremental_new_docs",
     "streaming_quality_gate",
     "asof_nearest_click",
+    "prefix_duplicate_groups",
+    "inverted_index_build",
+    "vocab_coverage_curve",
+    "embedding_norm_extremes",
+    "dedup_longest_common_span",
+    "dedup_url_canonical",
+    "embedding_covariance_topk",
+    "embedding_top_pc",
+    "streaming_url_dedup",
+    "bpe_train_two_steps",
+    "embedding_pc_residual_topk",
+    "tfidf_cosine_topk",
+    "event_robust_outliers",
+    "bitext_margin_mining",
+    "streaming_click_purchase_join",
+    "pagerank_dup_graph",
+    "dup_graph_triangles",
+    "streaming_latest_per_key",
+    "jl_projection_recall",
+    "embedding_kmeans_refine",
+    "histogram_quantile_estimate",
+    "interval_overlap_join",
+    "zipf_fit_slope",
+    "ann_probe_recall_curve",
+    "dedup_lexical_semantic_agreement",
+    "embedding_outlier_mahalanobis",
+    "cooccurrence_pmi_topk",
+    "market_basket_lift",
+    "markov_stationary_power",
+    "term_entropy_by_source",
+    "text_burstiness",
+    "rfm_segmentation",
+    "jl_recall_vs_dim_curve",
+    "session_duration_survival",
+    "orders_pareto_share",
+    "dedup_shingle_size_sensitivity",
+    "graph_k_core",
+    "dup_quality_contrast",
+    "dedup_incremental_simhash",
+    "ann_reciprocal_rate",
+    "embedding_cluster_purity",
+    "source_dedup_rate",
+    "events_periodicity_autocorr",
+    "multimodal_audio_rms_windows",
+    "embedding_dedup_threshold_sweep",
+    "event_hour_dow_heatmap",
 ]
 
 

@@ -74,6 +74,47 @@ def test_lint_rejects_nested_struct_collection(spark):
     assert ungradable_columns(df.schema) == ["g"]
 
 
+def test_lint_rejects_hugeint_oracle(spark):
+    """The dtype lint must fail an oracle whose un-CAST SUM emits HUGEINT —
+    the exact class that shipped the four r06 driver-reds."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle_harness import duck_connect, compare_query
+
+    def fn(spark, sf_dir):
+        return spark.range(3).agg(F.sum("id").alias("s"))
+
+    con = duck_connect(SF_ORACLE)
+    try:
+        ok, detail = compare_query(
+            spark, con, fn, "SELECT SUM(x) AS s FROM (VALUES (0),(1),(2)) t(x)",
+            SF_ORACLE,
+        )
+    finally:
+        con.close()
+    assert not ok and "HUGEINT" in detail
+
+
+def test_lint_rejects_int_float_class_mismatch(spark):
+    """Oracle BIGINT against a Spark double column (or vice versa) hashes
+    differently at the driver even when values are numerically equal."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle_harness import duck_connect, compare_query
+
+    def fn(spark, sf_dir):
+        return spark.range(3).agg(F.count("id").cast("double").alias("n"))
+
+    con = duck_connect(SF_ORACLE)
+    try:
+        ok, detail = compare_query(
+            spark, con, fn, "SELECT CAST(3 AS BIGINT) AS n", SF_ORACLE
+        )
+    finally:
+        con.close()
+    assert not ok and "oracle-dtype" in detail
+
+
 def test_registry_names_match_functions():
     """Decorator-trap lint (no Spark needed): a helper def inserted
     between @register(...) and the query def silently registers the
