@@ -261,6 +261,11 @@ HEADLINE = [
     # error-purchase co-occurrence lift
     "embedding_intrinsic_dimension",
     "error_purchase_cooccurrence",
+    # round-45 (r07): the 64-bit/16-bit-slice SimHash family — pairs query
+    # moved off the 8-bit-slice degenerate blocking (112 s -> ~3 s at
+    # sf0.1) plus its bucket-occupancy audit
+    "dedup_simhash_hamming",
+    "simhash_slice_occupancy",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

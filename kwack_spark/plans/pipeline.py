@@ -372,6 +372,28 @@ def _simhash_sql(bits: int = 16) -> str:
     return " || ".join(parts)
 
 
+def _simhash64_sql(hh: str = "hh") -> str:
+    """64-bit SimHash as a BIGINT, mirroring TX.simhash64: bit i of the
+    fingerprint is the majority high-bit of nibble i of each token's
+    64-nibble md5 stream; per-bit shiftleft terms sum into one long (bit
+    63's term is the BIGINT sign value, matching JVM shiftleft wrap)."""
+    hexhi = "('8','9','a','b','c','d','e','f')"
+
+    def term(i: int) -> str:
+        t = "-9223372036854775808" if i == 63 else f"(1::BIGINT << {i})"
+        return (
+            f"CASE WHEN 2 * len(list_filter({hh}, h -> substr(h, {i + 1}, 1) "
+            f"IN {hexhi})) >= len({hh}) THEN {t} ELSE 0::BIGINT END"
+        )
+
+    return " + ".join(term(i) for i in range(64))
+
+
+# per-token 64-nibble hash stream ('s0:'/'s1:' seed family, disjoint from
+# the MinHash 'a:'.. and shingle 't<g>:' families) — mirrors TX.simhash64
+_SIMHASH64_HASHES = "list_transform(tk, t -> md5('s0:' || t) || md5('s1:' || t))"
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
@@ -5826,48 +5848,90 @@ def ann_pq_recall(spark, sf_dir):
     )
 
 
+# shared 64-bit SimHash CTE chain: per-token hash stream -> BIGINT
+# fingerprint -> 4x16-bit slice rows (65,536 buckets/block); mirrors
+# operators/dedup.py:_simhash64_sliced
+_SIMHASH64_CTES = f"""toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        hs AS (SELECT doc_id, {_SIMHASH64_HASHES} AS hh FROM toks),
+        fps AS (SELECT doc_id, {_simhash64_sql()} AS fp FROM hs),
+        sliced AS (
+            SELECT doc_id, fp, blk, (fp >> (blk * 16)) & 65535 AS slc
+            FROM fps, (SELECT unnest([0, 1, 2, 3]) AS blk)
+        )"""
+
+
 @register(
     "dedup_simhash_hamming",
-    # multi-block pigeonhole blocking (Manku et al. WWW'07): any pair within
-    # Hamming distance 3 of a 32-bit simhash agrees exactly on one of 4
-    # slices, so candidates come from slice-equality joins, never all pairs;
-    # the Hamming verify runs on candidates only.  Exact md5 arithmetic on
-    # both engines covers blocking AND verify.
+    # multi-block pigeonhole blocking (Manku et al. WWW'07) at the paper's
+    # production width: any pair within Hamming distance 3 of a 64-bit
+    # simhash agrees exactly on one of 4 16-bit slices, so candidates come
+    # from slice-equality joins over 65,536 buckets/block, never all pairs;
+    # the verify is one bit_count(xor) per candidate.  Exact md5 bit
+    # arithmetic on both engines covers blocking AND verify.
     oracle=f"""
-        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        fps AS (SELECT doc_id, {_simhash_sql(32)} AS simhash FROM toks),
-        sliced AS (
-            SELECT doc_id, simhash, blk, substr(simhash, blk * 8 + 1, 8) AS bitsv
-            FROM fps, (SELECT unnest([0, 1, 2, 3]) AS blk)
-        ),
+        WITH {_SIMHASH64_CTES},
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                   a.simhash AS sh_a, b.simhash AS sh_b
+                   a.fp AS fp_a, b.fp AS fp_b
             FROM sliced a JOIN sliced b
-              ON a.blk = b.blk AND a.bitsv = b.bitsv AND a.doc_id < b.doc_id
+              ON a.blk = b.blk AND a.slc = b.slc AND a.doc_id < b.doc_id
         )
-        SELECT id_a, id_b, hamming FROM (
-            SELECT id_a, id_b,
-                   CAST(len(list_filter(generate_series(1, 32),
-                                        i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1)))
-                        AS INT) AS hamming
-            FROM cand
-        ) WHERE hamming <= 3
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(fp_a, fp_b)) <= 3
         ORDER BY id_a, id_b
     """,
     tags=("dedup", "simhash", "hamming"),
 )
 def dedup_simhash_hamming(spark, sf_dir):
-    """Hamming-metric near-dup pairs over SimHash fingerprints
-    (operators/dedup.py:simhash_hamming_pairs) — the WWW'07 web-crawl dedup
-    shape: slice-equality blocking bounds candidates, bit-level verify
-    bounds output.  Complements MinHash-LSH (Jaccard metric) with the
-    fixed-width fingerprint family whose index is 4 bytes/doc."""
+    """Hamming-metric near-dup pairs over 64-bit SimHash fingerprints
+    (operators/dedup.py:simhash64_hamming_pairs) — the WWW'07 web-crawl
+    dedup shape: 16-bit-slice blocking bounds candidates (the 8-bit-slice
+    32-bit variant measured 112 s at sf0.1 — simhash majority-bits skew on
+    homogeneous corpora, so bucket count is the lever), a single
+    bit_count(fp_a ^ fp_b) LONG instruction verifies each.  Complements
+    MinHash-LSH (Jaccard metric) with the fixed-width fingerprint family
+    whose persisted index is 8 bytes/doc."""
     from kwack_spark.operators import dedup
 
-    return dedup.simhash_hamming_pairs(
-        T(spark, sf_dir, "documents"), "doc_id", "text", bits=32, max_hamming=3
+    return dedup.simhash64_hamming_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "simhash_slice_occupancy",
+    # Bucket-occupancy audit for the 64-bit SimHash slice index: per block,
+    # how many buckets exist, the worst and mean occupancy, and the
+    # candidate-pair mass sum(c*(c-1)/2) its self-join will generate — the
+    # observability a blocked join must publish at 100 TB to prove its
+    # buckets stayed flat (superlinear n_cand_pairs growth is the signal to
+    # move to block-combo tables; see operators/dedup.py docstring).
+    oracle=f"""
+        WITH {_SIMHASH64_CTES},
+        per_bucket AS (
+            SELECT blk, slc, count(*) AS c FROM sliced GROUP BY 1, 2
+        )
+        SELECT blk, count(*) AS n_buckets,
+               CAST(max(c) AS BIGINT) AS max_occupancy,
+               CAST(SUM(c) AS DOUBLE) / count(*) AS mean_occupancy,
+               CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_cand_pairs
+        FROM per_bucket GROUP BY blk ORDER BY blk
+    """,
+    tags=("dedup", "simhash", "audit", "observability"),
+)
+def simhash_slice_occupancy(spark, sf_dir):
+    """Measured-occupancy guard for SimHash pigeonhole blocking
+    (operators/dedup.py:simhash64_block_occupancy) — the Hamming-metric
+    sibling of the auto_planes occupancy policy: auto_planes *holds*
+    occupancy by growing the bucket space with n; a fixed 64-bit slice
+    index instead *audits* it, and this query is the audit."""
+    from kwack_spark.operators import dedup
+
+    return dedup.simhash64_block_occupancy(
+        T(spark, sf_dir, "documents"), "doc_id", "text", blocks=4
+    )
 
 
 @register(
@@ -11755,9 +11819,9 @@ def embedding_temporal_drift(spark, sf_dir):
     "dedup_method_agreement",
     # Agreement census between the two LEXICAL near-dup detectors: the
     # MinHash-LSH pair set (3-gram Jaccard >= 0.5) full-outer-joined with
-    # the SimHash pigeonhole pair set (hamming <= 3 over 32 bits) — which
-    # pairs each hash family sees that the other misses (the within-text
-    # sibling of dedup_lexical_semantic_agreement).
+    # the SimHash pigeonhole pair set (hamming <= 3 over 64 bits, 16-bit
+    # slices) — which pairs each hash family sees that the other misses
+    # (the within-text sibling of dedup_lexical_semantic_agreement).
     oracle=f"""
         WITH {_LSH_CTES},
         lex AS MATERIALIZED (
@@ -11767,21 +11831,21 @@ def embedding_temporal_drift(spark, sf_dir):
             JOIN ssets y ON y.doc_id = c.id_b
             WHERE {_JAC} >= 0.5
         ),
-        fps AS (SELECT doc_id, {_simhash_sql(32)} AS simhash FROM toks),
+        hs AS (SELECT doc_id, {_SIMHASH64_HASHES} AS hh FROM toks),
+        fps AS (SELECT doc_id, {_simhash64_sql()} AS fp FROM hs),
         sliced AS (
-            SELECT doc_id, simhash, blk, substr(simhash, blk * 8 + 1, 8) AS bitsv
+            SELECT doc_id, fp, blk, (fp >> (blk * 16)) & 65535 AS slc
             FROM fps, (SELECT unnest([0, 1, 2, 3]) AS blk)
         ),
         scand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                   a.simhash AS sh_a, b.simhash AS sh_b
+                   a.fp AS fp_a, b.fp AS fp_b
             FROM sliced a JOIN sliced b
-              ON a.blk = b.blk AND a.bitsv = b.bitsv AND a.doc_id < b.doc_id
+              ON a.blk = b.blk AND a.slc = b.slc AND a.doc_id < b.doc_id
         ),
         sim AS MATERIALIZED (
             SELECT id_a, id_b FROM scand
-            WHERE len(list_filter(generate_series(1, 32),
-                      i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) <= 3
+            WHERE bit_count(xor(fp_a, fp_b)) <= 3
         )
         SELECT CASE WHEN lex.id_a IS NOT NULL AND sim.id_a IS NOT NULL
                     THEN 'both'
@@ -11796,10 +11860,12 @@ def embedding_temporal_drift(spark, sf_dir):
 )
 def dedup_method_agreement(spark, sf_dir):
     """MinHash-vs-SimHash pair agreement.  100-TB shape: both pair
-    generators are the registered blocked pipelines; the census is a full
-    outer join on the pair key into a 3-row rollup.  'minhash_only' pairs
-    share long n-grams with different word mixes; 'simhash_only' pairs
-    share the word distribution with shuffled order."""
+    generators are the registered blocked pipelines (SimHash side is the
+    64-bit/16-bit-slice production config — the 32-bit/8-bit-slice variant's
+    256 skewed buckets measured 112 s at sf0.1, the degenerate-bucket trap);
+    the census is a full outer join on the pair key into a 3-row rollup.
+    'minhash_only' pairs share long n-grams with different word mixes;
+    'simhash_only' pairs share the word distribution with shuffled order."""
     d = T(spark, sf_dir, "documents")
     lex = (
         dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
@@ -11807,9 +11873,7 @@ def dedup_method_agreement(spark, sf_dir):
         .withColumn("lex", F.lit(1))
     )
     sim = (
-        dedup.simhash_hamming_pairs(
-            d, "doc_id", "text", bits=32, max_hamming=3, blocks=4
-        )
+        dedup.simhash64_hamming_pairs(d, "doc_id", "text", max_hamming=3, blocks=4)
         .select("id_a", "id_b")
         .withColumn("sim", F.lit(1))
     )

@@ -200,6 +200,17 @@ SCALE_SENSITIVE = [
     "part_size_price_regression",
     "embedding_intrinsic_dimension",
     "error_purchase_cooccurrence",
+    # r07: the new occupancy audit (bucket skew IS the thing it measures,
+    # so it must be checked where skew exists), plus the r01-graded basics
+    # that sit inside the r07 grading prefix — the battery stays a strict
+    # superset of the driver's prefix (r06 VERDICT ask #7)
+    "simhash_slice_occupancy",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "scan_region",
+    "projection_compute",
+    "filter_predicates",
+    "agg_having",
 ]
 
 pytestmark = pytest.mark.skipif(
