@@ -256,7 +256,11 @@ def redact_pii(col) -> Column:
 # URL canonicalization: tracking query parameters dropped before the
 # remaining params are sorted — the CommonCrawl-style dedup key (the same
 # param lists crawl pipelines strip: UTM campaign tags, click ids).
-URL_TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref|_ga)="
+# Case-insensitive ((?i)): servers treat UTM_SOURCE= and utm_source=
+# identically, so the dedup key must too.  ``ref`` is deliberately NOT
+# stripped — it is a functional parameter on real sites (?ref=<branch>
+# selects content), and conflating it would merge distinct pages.
+URL_TRACKING_PARAM_RE = r"(?i)^(utm_[a-z]+|fbclid|gclid|msclkid|_ga)="
 
 
 def canonical_url(col) -> Column:
@@ -270,8 +274,9 @@ def canonical_url(col) -> Column:
         ``:80``/``:443`` (path/query case is preserved — only the host is
         case-insensitive per RFC 3986)
       - path: strip trailing slashes
-      - query: drop tracking params (utm_*, fbclid, gclid, msclkid, ref,
-        _ga), sort the remainder byte-wise, rejoin with ``&``
+      - query: drop tracking params (utm_*, fbclid, gclid, msclkid, _ga;
+        matched case-insensitively — ``ref`` is kept, it selects content
+        on real sites), sort the remainder byte-wise, rejoin with ``&``
 
     ``https://WWW.Ex.com:443/a/?b=2&a=1&utm_source=x#f`` ->
     ``ex.com/a?a=1&b=2``."""

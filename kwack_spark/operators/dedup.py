@@ -588,11 +588,14 @@ def incremental_simhash_new_dups(
 ) -> DataFrame:
     """Incremental SimHash near-dup detection: which ``batch`` documents are
     within ``max_hamming`` bit flips of a ``history`` document?  The Hamming
-    twin of ``incremental_lsh_new_dups``: history's sliced fingerprints are
-    the persisted index (written once at 100 TB, not rebuilt per batch);
-    the arriving batch probes it with ``blocks`` (slice_idx, slice_bits)
-    equi-joins (pigeonhole: distance < blocks forces an exact slice match),
-    and only collisions pay the O(bits) Hamming verify."""
+    twin of ``incremental_lsh_new_dups``: both sides are fingerprinted and
+    sliced HERE, from raw text, on every call — at 100 TB use
+    ``incremental_simhash64_new_dups`` instead, whose history argument IS a
+    precomputed (id, fp) fingerprint table the caller persists once and
+    probes per batch.  The arriving batch probes with ``blocks``
+    (slice_idx, slice_bits) equi-joins (pigeonhole: distance < blocks
+    forces an exact slice match), and only collisions pay the O(bits)
+    Hamming verify."""
     if max_hamming >= blocks:
         raise ValueError(
             f"pigeonhole blocking needs max_hamming < blocks "
@@ -645,3 +648,50 @@ def incremental_simhash_new_dups(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+def incremental_simhash64_new_dups(
+    history_fps: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Incremental Hamming near-dup detection against a PERSISTED 64-bit
+    fingerprint index: ``history_fps`` is a precomputed ``(id, fp)`` table
+    (from ``simhash64_fingerprints``, 8 bytes/doc) that the caller writes
+    once and keeps — this function never touches history text, so per batch
+    the work is O(|batch|) fingerprinting + ``blocks`` slice-keyed equi-join
+    probes + one ``bit_count(fp_b ^ fp_h)`` per collision.
+
+    The production form of ``incremental_simhash_new_dups`` (which
+    re-fingerprints history from raw text on every call): at 100 TB the
+    history index is a bucketed table keyed by (blk, slc) so batch probes
+    shuffle only the batch side, and 16-bit slices (blocks=4) keep the
+    65,536 buckets/block occupancy flat — ``simhash64_block_occupancy`` is
+    the audit that proves it."""
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"pigeonhole blocking needs max_hamming < blocks "
+            f"(got {max_hamming} >= {blocks})"
+        )
+    if 64 % blocks:
+        raise ValueError(f"blocks must divide 64 (got {blocks})")
+    hist_sliced = _simhash64_sliced(history_fps, id_col, blocks).select(
+        F.col(id_col).alias("id_h"), F.col("fp").alias("fp_h"), "blk", "slc"
+    )
+    batch_fps = simhash64_fingerprints(batch, id_col, text_col)
+    batch_sliced = _simhash64_sliced(batch_fps, id_col, blocks).select(
+        F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "blk", "slc"
+    )
+    cand = (
+        batch_sliced.join(hist_sliced, ["blk", "slc"])
+        .select("id_b", "id_h", "fp_b", "fp_h")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_b").bitwiseXOR(F.col("fp_h")))
+    return cand.select(
+        F.col("id_b").alias("doc_id"),
+        F.col("id_h").alias("hist_id"),
+        hamming.cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -6523,7 +6523,7 @@ _URL_CANON_CTES = r"""
                 -- NULL, which would null the whole concatenated key
                 coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
                     p -> len(p) > 0 AND NOT regexp_matches(p,
-                         '^(utm_[a-z]+|fbclid|gclid|msclkid|ref|_ga)='))), '&'), '') AS qsort
+                         '(?i)^(utm_[a-z]+|fbclid|gclid|msclkid|_ga)='))), '&'), '') AS qsort
               FROM parts),
         c AS (SELECT doc_id, raw_url,
                 regexp_replace(regexp_replace(lower(
@@ -10034,6 +10034,65 @@ def dedup_incremental_simhash(spark, sf_dir):
     return dedup.incremental_simhash_new_dups(
         hist, batch, "doc_id", "text", bits=32, max_hamming=3, blocks=4
     )
+
+
+@register(
+    "dedup_incremental_simhash64",
+    # incremental Hamming near-dup at the production width: the arriving
+    # batch (hash-split ~20%) probes a PRECOMPUTED 64-bit fingerprint index
+    # of the historical corpus (8 bytes/doc, written once — the contract of
+    # operators/dedup.py:incremental_simhash64_new_dups) via 4 16-bit-slice
+    # equi-joins; one bit_count(xor) per collision verifies.  Exact md5 bit
+    # arithmetic on both engines covers fingerprint, blocking, and verify.
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, text,
+                   CASE WHEN {_ISIM_SPLIT} < '3334' THEN 'b' ELSE 'h' END AS side
+            FROM documents
+        ),
+        toks AS (SELECT doc_id, side, {_toks()} AS tk FROM docs),
+        hs AS (SELECT doc_id, side, {_SIMHASH64_HASHES} AS hh FROM toks),
+        fps AS (SELECT doc_id, side, {_simhash64_sql()} AS fp FROM hs),
+        sliced AS (
+            SELECT doc_id, side, fp, blk, (fp >> (blk * 16)) & 65535 AS slc
+            FROM fps, (SELECT unnest([0, 1, 2, 3]) AS blk)
+        ),
+        cand AS (
+            SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS hist_id,
+                   b.fp AS fp_b, h.fp AS fp_h
+            FROM sliced b JOIN sliced h
+              ON b.blk = h.blk AND b.slc = h.slc
+             AND b.side = 'b' AND h.side = 'h'
+        )
+        SELECT doc_id, hist_id,
+               CAST(bit_count(xor(fp_b, fp_h)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(fp_b, fp_h)) <= 3
+        ORDER BY doc_id, hist_id
+    """,
+    tags=("dedup", "simhash", "incremental"),
+)
+def dedup_incremental_simhash64(spark, sf_dir):
+    """Daily-ingest Hamming rejection against the written-once index.
+    100-TB shape: the history side enters as the persisted (id, fp)
+    fingerprint table — here materialized once and persisted, exactly the
+    index a production pipeline keeps on disk bucketed by (blk, slc) — so
+    per batch nothing re-reads or re-hashes history text; the probe
+    shuffles only the batch side, and the 65,536-buckets/block slice space
+    keeps collision fan-out flat (simhash_slice_occupancy is the audit)."""
+    from pyspark import StorageLevel
+
+    d = T(spark, sf_dir, "documents")
+    split = F.substring(
+        F.md5(F.concat(F.lit("isim:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    hist_fps = dedup.simhash64_fingerprints(
+        d.filter(split >= "3334"), "doc_id", "text"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    batch = d.filter(split < "3334")
+    return dedup.incremental_simhash64_new_dups(
+        hist_fps, batch, "doc_id", "text", max_hamming=3, blocks=4
+    ).orderBy("doc_id", "hist_id")
 
 
 @register(

@@ -44,8 +44,12 @@ def test_canonical_url_rules(spark):
         "https://notwww.ex.com/x": "notwww.ex.com/x",
         # no scheme at all still normalizes
         "WWW.Ex.com/y/": "ex.com/y",
-        # ref and _ga are tracking params too
-        "https://ex.com/?ref=hn&_ga=1.2&q=spark": "ex.com?q=spark",
+        # _ga is a tracking param; ref is FUNCTIONAL (selects content on
+        # real sites, e.g. ?ref=<branch>) and must survive
+        "https://ex.com/?ref=hn&_ga=1.2&q=spark": "ex.com?q=spark&ref=hn",
+        # tracking params match case-insensitively (servers treat
+        # UTM_SOURCE= and utm_source= identically)
+        "https://ex.com/p?UTM_Source=x&GCLID=y&a=1": "ex.com/p?a=1",
     }
     got = _canon(spark, list(cases))
     for (raw, want), g in zip(cases.items(), got):

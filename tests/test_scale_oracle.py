@@ -205,6 +205,9 @@ SCALE_SENSITIVE = [
     # that sit inside the r07 grading prefix — the battery stays a strict
     # superset of the driver's prefix (r06 VERDICT ask #7)
     "simhash_slice_occupancy",
+    # r07-new: the persisted-index incremental probe's collision volume
+    # shifts with the slice-bucket distribution at 10x
+    "dedup_incremental_simhash64",
     "dedup_minhash_signatures",
     "dedup_simhash",
     "scan_region",
