@@ -266,6 +266,13 @@ HEADLINE = [
     # sf0.1) plus its bucket-occupancy audit
     "dedup_simhash_hamming",
     "simhash_slice_occupancy",
+    # the 64-bit persisted-index incremental probe (unlike the 32-bit
+    # dedup_incremental_simhash above it, 16-bit slices keep the collision
+    # set plan-bound at sf0.1, so the timing measures the probe, not output)
+    "dedup_incremental_simhash64",
+    # and the family's streaming member: micro-batch replay through the
+    # (blk, slc)-bucketed state index
+    "streaming_simhash_neardup",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

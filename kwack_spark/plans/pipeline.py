@@ -10096,6 +10096,64 @@ def dedup_incremental_simhash64(spark, sf_dir):
 
 
 @register(
+    "streaming_simhash_neardup",
+    # streaming Hamming near-dup: the state store is the sliced 64-bit
+    # fingerprint index.  Docs replayed over 3 micro-batches; each (blk,
+    # slc) bucket's state holds (id, fp) pairs and arriving docs are
+    # bit_count-verified against it.  End-of-stream pair set == the batch
+    # slice self-join, so the oracle is the same as dedup_simhash_hamming's.
+    oracle=f"""
+        WITH {_SIMHASH64_CTES},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.fp AS fp_a, b.fp AS fp_b
+            FROM sliced a JOIN sliced b
+              ON a.blk = b.blk AND a.slc = b.slc AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(fp_a, fp_b)) <= 3
+    """,
+    tags=("streaming", "dedup", "simhash", "stateful"),
+)
+def streaming_simhash_neardup(spark, sf_dir):
+    """64-bit SimHash near-dup as a STREAMING stateful operator
+    (streaming/ingest.py:stateful_simhash_neardup) — completing the
+    batch/incremental/streaming trio that shares one fingerprint family:
+    fingerprint + 16-bit slices are pure projections (legal ahead of the
+    stateful operator), the stream shuffles once on (blk, slc), and each
+    bucket Hamming-verifies arrivals against its 16B/doc state.  A pair
+    agreeing on several slices is emitted by each, so the trailing
+    .distinct() restores set semantics; arrival order doesn't matter, so
+    the final pair set equals the batch self-join bit-for-bit."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.streaming import ingest as si
+
+    d = T(spark, sf_dir, "documents")
+    prep = dedup._simhash64_sliced(
+        dedup.simhash64_fingerprints(d, "doc_id", "text"), "doc_id", blocks=4
+    )
+    replay_dir = tempfile.mkdtemp(prefix="kwack_simhash_replay_")
+    prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
+    stream = (
+        spark.readStream.schema(prep.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    pairs = si.stateful_simhash_neardup(stream, max_hamming=3)
+    sink = f"strmsh_{uuid.uuid4().hex[:8]}"
+    with _few_shuffle_partitions(spark):
+        q = si.to_memory_sink(pairs, sink, output_mode="append")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_simhash_neardup: stream did not finish in 300s")
+    return spark.table(sink).distinct()
+
+
+@register(
     "ann_reciprocal_rate",
     # Mutual-kNN audit: the fraction of exact top-3 edges that are
     # reciprocated (a is in b's top-3 AND b is in a's top-3).  Hubness

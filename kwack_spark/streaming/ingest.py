@@ -318,6 +318,75 @@ def stateful_lsh_neardup(
     )
 
 
+def stateful_simhash_neardup(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Streaming 64-bit SimHash near-dup detection: the state store IS the
+    sliced fingerprint index — the streaming member of the simhash64 family
+    (batch: operators/dedup.py:simhash64_hamming_pairs; incremental:
+    incremental_simhash64_new_dups; all three share the TX.simhash64
+    fingerprint, so their indexes are interchangeable).
+
+    Input rows are ``(doc_id, fp long, blk int, slc long)`` — the fingerprint
+    and its 16-bit slices are pure per-row projections (no aggregation), so
+    the only pre-state exchange is the groupBy on (blk, slc).  Per slice
+    bucket, arriving docs are Hamming-verified against every doc already in
+    the bucket's state (and earlier docs of the same batch, in doc_id
+    order): ``bit_count((fp_a ^ fp_b) & 2^64-1) <= max_hamming`` emits
+    ``(id_a, id_b, hamming)`` with id_a < id_b.
+
+    A pair within distance ``max_hamming < 4`` agrees exactly on >= 1 of the
+    4 slices (Manku WWW'07 pigeonhole), so the union over buckets is the
+    complete pair set; a pair agreeing on SEVERAL slices is emitted once per
+    bucket (independent state groups), so callers apply ``.distinct()``
+    downstream — modulo that, the end-of-stream pair set equals the batch
+    self-join's, whatever the arrival order.
+
+    State bound: 8 bytes fp + 8 bytes id per doc per slice bucket (the same
+    4x8B/doc the batch index pays), columnar in two Arrow arrays.  At 100 TB
+    the production stream bounds it with the same horizon policy as
+    stateful_lsh_neardup's ttl_ms (left out here: bounded replays must not
+    arm processing-time timeouts — see that docstring's AvailableNow
+    caveat)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "id_a long, id_b long, hamming int"
+    state_schema = "ids array<long>, fps array<long>"
+    mask = (1 << 64) - 1
+
+    def update(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            ids = [int(i) for i in state.get[0]]
+            fps = [int(f) for f in state.get[1]]
+        else:
+            ids, fps = [], []
+        hist: list[tuple[int, int]] = list(zip(ids, fps))
+        batch: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            for did, fp in zip(pdf["doc_id"], pdf["fp"]):
+                batch.append((int(did), int(fp)))
+        batch.sort(key=lambda t: t[0])
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_h: list[int] = []
+        for did, fp in batch:
+            for hid, hfp in hist:
+                h = ((fp ^ hfp) & mask).bit_count()
+                if h <= max_hamming and hid != did:
+                    out_a.append(min(did, hid))
+                    out_b.append(max(did, hid))
+                    out_h.append(h)
+            hist.append((did, fp))
+            ids.append(did)
+            fps.append(fp)
+        state.update((ids, fps))
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+
+    return df.groupBy("blk", "slc").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def to_memory_sink(
     df: DataFrame,
     name: str,

@@ -206,8 +206,10 @@ SCALE_SENSITIVE = [
     # superset of the driver's prefix (r06 VERDICT ask #7)
     "simhash_slice_occupancy",
     # r07-new: the persisted-index incremental probe's collision volume
-    # shifts with the slice-bucket distribution at 10x
+    # shifts with the slice-bucket distribution at 10x, and the streaming
+    # twin's per-bucket state grows with the same distribution
     "dedup_incremental_simhash64",
+    "streaming_simhash_neardup",
     "dedup_minhash_signatures",
     "dedup_simhash",
     "scan_region",
