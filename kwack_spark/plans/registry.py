@@ -56,10 +56,12 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # at sf0.1 via tests/test_scale_oracle.py).  Rounds 1-6 graded 286 distinct
 # names, 282 green (the 4 reds were oracle-dtype-only, fixed r07).  Round
 # 7's rotation (r06 VERDICT ask #2) lists the FULL corpus explicitly: the
-# four fixed reds, then all 36 never-graded names, then the green corpus
-# longest-ungraded-first (last-graded round ascending, stable order within
-# a round).  The list is advisory ordering only — every query stays
-# registered; names missing from it would keep registration order after it.
+# four fixed reds, then the three r07-new queries, then all 36 names the
+# r06 window missed, then the green corpus longest-ungraded-first
+# (last-graded round ascending, stable order within a round) — 4 + 3 + 36
+# = 43 priority slots of the ~50-query window, so every never-graded name
+# lands inside it.  The list is advisory ordering only — every query stays registered;
+# names missing from it would keep registration order after it.
 _PRIORITY = [
     # --- round-7 grading prefix (r06 VERDICT ask #2): the four r06
     # driver-reds first — fixed this round by CAST(... AS BIGINT) on their
