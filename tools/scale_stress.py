@@ -81,6 +81,14 @@ STRESS_QUERIES = [
     "cooccurrence_pmi_topk",
     "term_entropy_by_source",
     "embedding_outlier_mahalanobis",
+    # round-7: the 64-bit SimHash family — the slice self-join must stay
+    # near-linear (65,536 buckets/block hold occupancy flat where the
+    # 8-bit-slice variant saturated at 256 and went ~quadratic), the
+    # incremental probe is O(batch) against the persisted index, and the
+    # occupancy audit is two bounded rollups off the same sliced frame
+    "dedup_simhash_hamming",
+    "dedup_incremental_simhash64",
+    "simhash_slice_occupancy",
 ]
 
 
