@@ -268,6 +268,14 @@ def ivf_assign(
             )
         ).withColumn("ncv", V.norm(F.col("cv")))  # refreshed centroids' norms
 
+    if refine_iters:
+        # the refined centroid table is n_lists rows but its lineage is a
+        # full Lloyd pipeline (corpus assign + decimal component means);
+        # every consumer (the final _assign here, plus any caller probing
+        # the same index) would otherwise re-execute that pipeline per use
+        from pyspark import StorageLevel
+
+        cents = cents.persist(StorageLevel.MEMORY_AND_DISK)
     return cents, _assign(cents)
 
 

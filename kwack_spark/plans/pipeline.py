@@ -8693,15 +8693,37 @@ def ann_probe_recall_curve(spark, sf_dir):
             ),
         )
     )
+    # pre-top-3 per (query, probe_rank) BEFORE the config fan-out: any
+    # config's top-3 is a subset of the union of its probe buckets' top-3s
+    # (an element ranked 4th+ in its own bucket has >= 3 bucket-mates ahead
+    # of it globally, same (cosine desc, corpus_id) tiebreak), so the 4x
+    # cfg fan-out + window runs over <= 3*8 rows per query instead of the
+    # full candidate set — the window sort volume drops ~25x
+    wb = Window.partitionBy("query_id", "probe_rank").orderBy(
+        F.desc("cosine"), "corpus_id"
+    )
+    shortlist = (
+        cand.withColumn("brnk", F.row_number().over(wb))
+        .filter(F.col("brnk") <= 3)
+        .select("query_id", "corpus_id", "probe_rank", "cosine")
+    )
     cfg = spark.createDataFrame([(1,), (2,), (4,), (8,)], "p int")
     wr = Window.partitionBy("p", "query_id").orderBy(F.desc("cosine"), "corpus_id")
     ranked = (
-        cand.join(F.broadcast(cfg), F.col("probe_rank") <= F.col("p"))
+        shortlist.join(F.broadcast(cfg), F.col("probe_rank") <= F.col("p"))
         .withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= 3)
         .select("p", "query_id", "corpus_id")
     )
-    bf = _Q["ann_brute_force_topk"].fn(spark, sf_dir).select("query_id", "corpus_id")
+    from pyspark import StorageLevel
+
+    # the exact truth set feeds BOTH the per-config match count and the
+    # 1-row total; without the persist the brute-force scan runs twice
+    bf = (
+        _Q["ann_brute_force_topk"].fn(spark, sf_dir)
+        .select("query_id", "corpus_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     m = ranked.join(bf, ["query_id", "corpus_id"]).groupBy("p").agg(
         F.count(F.lit(1)).alias("n_matched")
     )
