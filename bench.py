@@ -273,6 +273,10 @@ HEADLINE = [
     # and the family's streaming member: micro-batch replay through the
     # (blk, slc)-bucketed state index
     "streaming_simhash_neardup",
+    # round-46 (wave 33): cross-source leakage census riding the LSH pair
+    # set, and the per-language tokenizer fertility table (linear control)
+    "dedup_cross_source_leakage",
+    "tokenizer_fertility_by_lang",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

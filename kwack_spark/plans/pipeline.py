@@ -13008,3 +13008,132 @@ def error_purchase_cooccurrence(spark, sf_dir):
             6,
         ).alias("lift"),
     )
+
+
+# --- wave 33 (r07): cross-source leakage census, tokenizer fertility
+
+
+@register(
+    "dedup_cross_source_leakage",
+    # Train/test contamination shape: the MinHash-LSH near-dup pair set
+    # (same CTEs as dedup_minhash_lsh, so the two stay in lockstep) joined
+    # back to each document's source and rolled up per unordered source
+    # pair — which source pairs leak near-duplicate content into each
+    # other, how many docs sit on each side, and how near the worst pair
+    # is.  The census a curation pipeline runs BEFORE declaring a held-out
+    # source clean.  max() not mean() for the jaccard summary: max of
+    # exact int-ratio doubles is order-independent, a double mean is not.
+    oracle=f"""
+        WITH {_LSH_CTES},
+        pairs AS (
+            SELECT c.id_a, c.id_b, {_JAC} AS jaccard
+            FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+        ),
+        src AS (SELECT doc_id, source FROM documents),
+        tagged AS (
+            SELECT least(sa.source, sb.source) AS src_lo,
+                   greatest(sa.source, sb.source) AS src_hi,
+                   p.id_a, p.id_b, p.jaccard
+            FROM pairs p
+            JOIN src sa ON sa.doc_id = p.id_a
+            JOIN src sb ON sb.doc_id = p.id_b
+        )
+        SELECT src_lo, src_hi,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT id_a) AS BIGINT) AS n_docs_a,
+               CAST(count(DISTINCT id_b) AS BIGINT) AS n_docs_b,
+               max(jaccard) AS max_jaccard
+        FROM tagged GROUP BY src_lo, src_hi ORDER BY src_lo, src_hi
+    """,
+    tags=("dedup", "lsh", "governance", "leakage"),
+)
+def dedup_cross_source_leakage(spark, sf_dir):
+    """Cross-source near-dup leakage census.  100-TB shape: rides the
+    already-blocked LSH pair set (operators/dedup.py:minhash_lsh_pairs —
+    candidates come from band buckets, never all-pairs); the source tags
+    join against a (doc_id, source) projection of the corpus scan, and the
+    rollup is bounded by |sources|² rows.  A diagonal entry (src_lo ==
+    src_hi) is within-source duplication; off-diagonal entries are the
+    contamination paths that invalidate a held-out split."""
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=8, bands=2, threshold=0.5
+    )
+    src = d.select("doc_id", "source")
+    tagged = (
+        pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
+        .select(
+            F.least("sa", "sb").alias("src_lo"),
+            F.greatest("sa", "sb").alias("src_hi"),
+            "id_a",
+            "id_b",
+            "jaccard",
+        )
+    )
+    return (
+        tagged.groupBy("src_lo", "src_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("id_a").alias("n_docs_a"),
+            F.countDistinct("id_b").alias("n_docs_b"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("src_lo", "src_hi")
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    # Tokenizer fertility (pieces per word) by language — the standard
+    # multilingual tokenizer-eval table (a language whose fertility is 2x
+    # another's pays 2x the context budget for the same text).  Words are
+    # whitespace tokens; pieces are the BPE pre-tokenization classes
+    # (letter runs / digit runs / single punctuation), the same regex as
+    # text_token_count_bpe.  All counts exact ints; the two ratios are one
+    # int/int division each — bit-identical across engines.
+    oracle=r"""
+        WITH m AS (
+            SELECT lang,
+                   len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_w,
+                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_p
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_w) AS BIGINT) AS n_words,
+               CAST(SUM(n_p) AS BIGINT) AS n_pieces,
+               CAST(SUM(n_p) AS DOUBLE) / SUM(n_w) AS fertility,
+               CAST(SUM(n_p) AS DOUBLE) / count(*) AS pieces_per_doc
+        FROM m GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "tokens", "tokenizer", "eval"),
+)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """Per-language tokenizer fertility.  100-TB shape: two per-row regex
+    counts riding the corpus scan, then a |langs|-keyed rollup with
+    map-side partial aggregation — no shuffle carries row-level data."""
+    d = T(spark, sf_dir, "documents")
+    words = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    )
+    pieces = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    )
+    m = d.select("lang", words.alias("n_w"), pieces.alias("n_p"))
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_w").alias("n_words"),
+            F.sum("n_p").alias("n_pieces"),
+            (F.sum("n_p").cast("double") / F.sum("n_w")).alias("fertility"),
+            (F.sum("n_p").cast("double") / F.count(F.lit(1))).alias(
+                "pieces_per_doc"
+            ),
+        )
+        .orderBy("lang")
+    )

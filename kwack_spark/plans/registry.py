@@ -74,6 +74,8 @@ _PRIORITY = [
     "simhash_slice_occupancy",
     "dedup_incremental_simhash64",
     "streaming_simhash_neardup",
+    "dedup_cross_source_leakage",
+    "tokenizer_fertility_by_lang",
     # ... then ALL 36 never-driver-graded names (wave-19+ additions that
     # sat at positions 50-85 of the r06 order, outside the ~50-query
     # grading window), so CORRECTNESS_r07 completes 322/322 coverage ...

@@ -210,6 +210,10 @@ SCALE_SENSITIVE = [
     # twin's per-bucket state grows with the same distribution
     "dedup_incremental_simhash64",
     "streaming_simhash_neardup",
+    # the leakage census rides the LSH pair distribution (pair volume and
+    # source mixing both shift at 10x); fertility is a linear control
+    "dedup_cross_source_leakage",
+    "tokenizer_fertility_by_lang",
     "dedup_minhash_signatures",
     "dedup_simhash",
     "scan_region",
