@@ -131,6 +131,18 @@ _NOTES = """
   the bounded event_type key with the per-type center/scale broadcast
   back; at cluster scale the exact median swaps for percentile_approx
   with the same plan shape.
+- **simhash64 family** (`dedup_simhash_hamming`, `dedup_incremental_simhash64`,
+  `simhash_slice_occupancy`, `streaming_simhash_neardup`): the fingerprint
+  is one codegen projection (64 array-filter bit votes into a LONG) riding
+  the scan; blocking shuffles on (blk, slc) with 65,536 buckets/block, and
+  the verify is a single bit_count per collision.  The incremental probe's
+  history side is the persisted 8 B/doc fingerprint table — its plan never
+  touches history text.  The streaming row shows 2 exchanges (replay-prep
+  write); the stateful work ran under the streaming engine.
+- **dedup_cross_source_leakage**: inherits dedup_minhash_lsh's blocked pair
+  plan (persisted shingle sets feed signatures + both verify sides); its
+  own additions are two (doc_id, source) broadcast enrich joins and a
+  |sources|²-bounded rollup — the pair set is never rescanned per source.
 """
 
 
