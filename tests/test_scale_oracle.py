@@ -226,7 +226,8 @@ pytestmark = pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SCALE_TESTS"),
     reason="sf0.1 battery is opt-in (SPARK_GRAFT_SCALE_TESTS=1); "
     "last full run (r07, after the dtype lint + prefix rotation): "
-    "143/143 green in 552 s",
+    "143/143 green in 552 s, plus the 2 wave-33 additions green in a "
+    "targeted run (145/145 total)",
 )
 
 _load_all()
