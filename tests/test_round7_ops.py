@@ -106,3 +106,91 @@ def test_simhash64_occupancy_accounts_candidates(spark):
     )
     assert sum(r.n_cand_pairs for r in occ) == n_directed
     assert [r.blk for r in occ] == [0, 1, 2, 3]
+
+
+def test_incremental_simhash64_equals_batch_restriction(spark):
+    """The persisted-index probe must emit exactly the batch pair set
+    restricted to (batch doc, history doc) — nothing lost by probing a
+    precomputed (id, fp) table instead of re-fingerprinting history."""
+    d = spark.createDataFrame(DOCS, "doc_id long, text string")
+    hist = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    hist_fps = dedup.simhash64_fingerprints(hist, "doc_id", "text")
+    inc = {
+        (r.doc_id, r.hist_id): r.hamming
+        for r in dedup.incremental_simhash64_new_dups(
+            hist_fps, batch, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    full = dedup.simhash64_hamming_pairs(d, "doc_id", "text", max_hamming=3)
+    want = {}
+    for r in full.collect():
+        # orient each cross-subset pair as (batch, hist)
+        if r.id_a % 2 == 1 and r.id_b % 2 == 0:
+            want[(r.id_a, r.id_b)] = r.hamming
+        elif r.id_b % 2 == 1 and r.id_a % 2 == 0:
+            want[(r.id_b, r.id_a)] = r.hamming
+    assert inc == want and want, "expected non-empty cross-subset pair set"
+
+
+def test_incremental_simhash64_never_touches_history_text(spark):
+    """The probe's plan must read history only through the supplied
+    fingerprint table: with history given as a literal (id, fp) frame,
+    the operator runs with no access to any history text column."""
+    d = spark.createDataFrame(DOCS, "doc_id long, text string")
+    hist_fps_rows = dedup.simhash64_fingerprints(
+        d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+    ).collect()
+    # literal index frame — the shape a production caller reads off disk
+    idx = spark.createDataFrame(
+        [(r.doc_id, r.fp) for r in hist_fps_rows], "doc_id long, fp long"
+    )
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    out = dedup.incremental_simhash64_new_dups(
+        idx, batch, "doc_id", "text", max_hamming=3
+    )
+    got = {(r.doc_id, r.hist_id, r.hamming) for r in out.collect()}
+    via_text = dedup.incremental_simhash64_new_dups(
+        dedup.simhash64_fingerprints(
+            d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+        ),
+        batch,
+        "doc_id",
+        "text",
+        max_hamming=3,
+    )
+    assert got == {(r.doc_id, r.hist_id, r.hamming) for r in via_text.collect()}
+
+
+def test_stateful_simhash_neardup_equals_batch(spark):
+    """End-of-stream pair set of the streaming member must equal the batch
+    slice self-join bit-for-bit, regardless of micro-batch arrival order."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.streaming import ingest as si
+
+    d = spark.createDataFrame(DOCS, "doc_id long, text string")
+    prep = dedup._simhash64_sliced(
+        dedup.simhash64_fingerprints(d, "doc_id", "text"), "doc_id", blocks=4
+    )
+    replay = tempfile.mkdtemp(prefix="kwack_t7_simhash_")
+    # reversed-id order across 2 files: arrival order must not matter
+    prep.orderBy(F.desc("doc_id")).repartition(2).write.mode("overwrite").parquet(
+        replay
+    )
+    stream = (
+        spark.readStream.schema(prep.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    sink = f"t7sh_{uuid.uuid4().hex[:8]}"
+    q = si.to_memory_sink(
+        si.stateful_simhash_neardup(stream, max_hamming=3), sink, "append"
+    )
+    assert q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table(sink).distinct().collect()))
+    want = sorted(
+        map(tuple, dedup.simhash64_hamming_pairs(d, "doc_id", "text").collect())
+    )
+    assert got == want and want
