@@ -277,6 +277,9 @@ HEADLINE = [
     # set, and the per-language tokenizer fertility table (linear control)
     "dedup_cross_source_leakage",
     "tokenizer_fertility_by_lang",
+    # round-47: block-combo blocking at Hamming budget 6 (28 slice-pair
+    # tables, 16-bit keys — the documented escape hatch, now measured)
+    "dedup_simhash_hamming_d6",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -695,3 +695,69 @@ def incremental_simhash64_new_dups(
         F.col("id_h").alias("hist_id"),
         hamming.cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+def simhash64_hamming_pairs_combo(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    blocks: int = 8,
+) -> DataFrame:
+    """Near-dup pairs for Hamming budgets BEYOND the single-slice pigeonhole
+    (Manku/Jain/Sarma WWW'07 §3's block-combination tables): split the
+    64-bit fingerprint into ``blocks`` slices and key candidates on every
+    PAIR of slices (C(blocks, 2) tables, key = both slices' bits).  A pair
+    within distance ``max_hamming <= blocks - 2`` has >= 2 untouched slices
+    (pigeonhole), so some slice pair matches exactly — the blocking stays
+    lossless at budgets where the single-slice scheme would need so few,
+    so-wide slices that buckets degenerate.
+
+    With blocks=8: 28 combo tables, each keyed by 16 bits (two 8-bit
+    slices) — the same 65,536-bucket width that keeps the d<=3 family's
+    fan-out flat, now for d<=6.  Work is C(blocks,2)/blocks times the
+    single-slice explode (3.5x at 8 blocks) but still n-linear; the verify
+    stays one bit_count(a ^ b) per distinct collision.  This is the
+    documented escape hatch for when a corpus outgrows the slice space
+    (``simhash64_block_occupancy`` turning superlinear is the trigger)."""
+    if max_hamming > blocks - 2:
+        raise ValueError(
+            f"combo blocking needs max_hamming <= blocks - 2 "
+            f"(got {max_hamming} > {blocks - 2}): a pair could touch all "
+            "but one slice, leaving no matching slice PAIR"
+        )
+    if 64 % blocks:
+        raise ValueError(f"blocks must divide 64 (got {blocks})")
+    from pyspark import StorageLevel
+
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    fps = simhash64_fingerprints(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    def slc(b: int):
+        return F.shiftright("fp", b * width).bitwiseAND(F.lit(mask))
+
+    combos = [
+        F.struct(
+            F.lit(b1 * blocks + b2).alias("combo"),
+            (slc(b1) * F.lit(mask + 1) + slc(b2)).alias("key"),
+        )
+        for b1 in range(blocks)
+        for b2 in range(b1 + 1, blocks)
+    ]
+    sliced = fps.select(
+        id_col, "fp", F.explode(F.array(*combos)).alias("s")
+    ).select(id_col, "fp", F.col("s.combo").alias("combo"), F.col("s.key").alias("key"))
+    a = sliced.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "combo", "key")
+    b = sliced.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "combo", "key")
+    cand = (
+        a.join(b, ["combo", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -5901,6 +5901,54 @@ def dedup_simhash_hamming(spark, sf_dir):
 
 
 @register(
+    "dedup_simhash_hamming_d6",
+    # block-combination blocking (Manku WWW'07 §3) for Hamming budgets the
+    # single-slice pigeonhole can't reach: distance <= 6 of a 64-bit
+    # simhash leaves >= 2 of 8 8-bit slices untouched, so some slice PAIR
+    # matches exactly — C(8,2)=28 combo tables, each keyed by the same
+    # 16 bits that keep the d<=3 family's buckets flat.  Exact md5 bit
+    # arithmetic on both engines covers blocking AND verify.
+    oracle=f"""
+        WITH {_SIMHASH64_CTES},
+        combo AS (
+            SELECT f.doc_id, f.fp, b1.blk AS c1, b2.blk AS c2,
+                   ((f.fp >> (b1.blk * 8)) & 255) * 256
+                   + ((f.fp >> (b2.blk * 8)) & 255) AS key
+            FROM fps f,
+                 (SELECT unnest([0,1,2,3,4,5,6,7]) AS blk) b1,
+                 (SELECT unnest([0,1,2,3,4,5,6,7]) AS blk) b2
+            WHERE b1.blk < b2.blk
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.fp AS fp_a, b.fp AS fp_b
+            FROM combo a JOIN combo b
+              ON a.c1 = b.c1 AND a.c2 = b.c2 AND a.key = b.key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(fp_a, fp_b)) <= 6
+        ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "simhash", "hamming", "combo"),
+)
+def dedup_simhash_hamming_d6(spark, sf_dir):
+    """Wider-budget Hamming near-dup via block-combo tables
+    (operators/dedup.py:simhash64_hamming_pairs_combo) — the escape hatch
+    the d<=3 family's docstrings promise for when a corpus outgrows its
+    slice space: 28 combo tables hold the 65,536-bucket key width while
+    reaching distance 6.  Work is 3.5x the single-slice explode but still
+    n-linear; one bit_count verifies each distinct collision."""
+    from kwack_spark.operators import dedup
+
+    return dedup.simhash64_hamming_pairs_combo(
+        T(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6, blocks=8
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "simhash_slice_occupancy",
     # Bucket-occupancy audit for the 64-bit SimHash slice index: per block,
     # how many buckets exist, the worst and mean occupancy, and the

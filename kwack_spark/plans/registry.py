@@ -76,6 +76,7 @@ _PRIORITY = [
     "streaming_simhash_neardup",
     "dedup_cross_source_leakage",
     "tokenizer_fertility_by_lang",
+    "dedup_simhash_hamming_d6",
     # ... then ALL 36 never-driver-graded names (wave-19+ additions that
     # sat at positions 50-85 of the r06 order, outside the ~50-query
     # grading window), so CORRECTNESS_r07 completes 322/322 coverage ...

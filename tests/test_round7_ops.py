@@ -194,3 +194,49 @@ def test_stateful_simhash_neardup_equals_batch(spark):
         map(tuple, dedup.simhash64_hamming_pairs(d, "doc_id", "text").collect())
     )
     assert got == want and want
+
+
+def test_simhash64_combo_blocking_is_lossless(spark):
+    """Slice-PAIR blocking must find every pair within distance 6 —
+    compared against the brute-force bit_count all-pairs join."""
+    d = spark.createDataFrame(DOCS, "doc_id long, text string")
+    blocked = dedup.simhash64_hamming_pairs_combo(
+        d, "doc_id", "text", max_hamming=6, blocks=8
+    )
+    fps = dedup.simhash64_fingerprints(d, "doc_id", "text")
+    a = fps.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = fps.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+    got = sorted(map(tuple, blocked.collect()))
+    want = sorted(map(tuple, brute.collect()))
+    assert got == want and want
+    # and the d<=6 set must be a superset of the d<=3 single-slice set
+    d3 = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash64_hamming_pairs(d, "doc_id", "text").collect()
+    }
+    assert d3 <= {(ia, ib) for ia, ib, _ in got}
+
+
+def test_simhash64_combo_rejects_unsound_config():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="combo blocking"):
+        dedup.simhash64_hamming_pairs_combo(
+            None, "doc_id", "text", max_hamming=7, blocks=8
+        )
+    with _pytest.raises(ValueError, match="divide"):
+        dedup.simhash64_hamming_pairs_combo(
+            None, "doc_id", "text", max_hamming=3, blocks=7
+        )
