@@ -9511,10 +9511,15 @@ def jl_recall_vs_dim_curve(spark, sf_dir):
         .select("query_id", "corpus_id", V.cosine(F.col("qa"), F.col("qb")).alias("cos"))
     )
     wex = Window.partitionBy("query_id").orderBy(F.desc("cos"), "corpus_id")
-    ex = (
-        ex_pairs.select("query_id", "corpus_id", F.row_number().over(wex).alias("rnk"))
+    # persisted: the 40-row exact top-5 feeds both the recall join and the
+    # 1-row total — without it the 8xN exact-cosine scan runs twice
+    ex = similarity._persist_rotating(
+        "jl_curve_exact",
+        ex_pairs.select(
+            "query_id", "corpus_id", F.row_number().over(wex).alias("rnk")
+        )
         .filter(F.col("rnk") <= 5)
-        .select("query_id", "corpus_id")
+        .select("query_id", "corpus_id"),
     )
 
     cfg = spark.createDataFrame([(4,), (8,), (16,)], "m int")
