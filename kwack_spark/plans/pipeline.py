@@ -7767,6 +7767,9 @@ def dup_graph_triangles(spark, sf_dir):
             F.col("p2.id_b").alias("c"),
         )
     )
+    # the triangle list feeds THREE unionAll branches (one per corner);
+    # unpersisted, the two-hop self-join executes three times
+    tri = similarity._persist_rotating("tri_tri", tri)
     tn = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))
