@@ -95,6 +95,26 @@ def test_lint_rejects_hugeint_oracle(spark):
     assert not ok and "HUGEINT" in detail
 
 
+def test_lint_rejects_unsigned_oracle(spark):
+    """Unsigned DuckDB ints slip through the same crack as HUGEINT (pandas
+    uint64 vs Spark int64) — the lint must reject them outright."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle_harness import duck_connect, compare_query
+
+    def fn(spark, sf_dir):
+        return spark.range(1).select(F.lit(1).cast("long").alias("n"))
+
+    con = duck_connect(SF_ORACLE)
+    try:
+        ok, detail = compare_query(
+            spark, con, fn, "SELECT CAST(1 AS UBIGINT) AS n", SF_ORACLE
+        )
+    finally:
+        con.close()
+    assert not ok and "UBIGINT" in detail
+
+
 def test_lint_rejects_int_float_class_mismatch(spark):
     """Oracle BIGINT against a Spark double column (or vice versa) hashes
     differently at the driver even when values are numerically equal."""
