@@ -228,9 +228,9 @@ SCALE_SENSITIVE = [
 pytestmark = pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SCALE_TESTS"),
     reason="sf0.1 battery is opt-in (SPARK_GRAFT_SCALE_TESTS=1); "
-    "last full run (r07, after the dtype lint + prefix rotation): "
-    "143/143 green in 552 s, plus the 3 wave-33/combo additions green in "
-    "targeted runs (146/146 total)",
+    "last full run (end of r07, after the dtype lint, prefix rotation, "
+    "all wave-33/combo additions, and the ivf/jl/triangle persists): "
+    "146/146 green in 430 s",
 )
 
 _load_all()
