@@ -89,6 +89,12 @@ STRESS_QUERIES = [
     "dedup_simhash_hamming",
     "dedup_incremental_simhash64",
     "simhash_slice_occupancy",
+    # the combo-table census (3.5x constant-factor explode, same growth
+    # rate), the leakage census riding the banded pipeline, and the
+    # fertility rollup as a linear control
+    "dedup_simhash_hamming_d6",
+    "dedup_cross_source_leakage",
+    "tokenizer_fertility_by_lang",
 ]
 
 
