@@ -135,7 +135,12 @@ def brute_force_topk_vectorized(
                     out_c.extend(c_ids[mask][order])
                 yield pd.DataFrame({"query_id": out_q, "corpus_id": out_c})
 
-        q_in = queries.select(*sel) if label_col else queries
+        from kwack_spark.operators.scale import widen_if_narrow
+
+        # per-Arrow-batch matmuls run where the scan's splits are — widen a
+        # single-row-group bench scan so batches use every core (no-op at
+        # scale); per-query output is independent of batch composition
+        q_in = widen_if_narrow(queries.select(*sel) if label_col else queries)
         cand = q_in.mapInPandas(topk_ids, "query_id long, corpus_id long")
     else:
         # Beyond the cap the roles invert (mirror of pq_topk's distributed
@@ -184,8 +189,13 @@ def brute_force_topk_vectorized(
                     out_c.extend(c_ids[mask][order])
                 yield pd.DataFrame({"query_id": out_q, "corpus_id": out_c})
 
+        from kwack_spark.operators.scale import widen_if_narrow
+
         # no dedup needed: each corpus row lives in exactly one Arrow batch
-        cand = corpus.select(*sel).mapInPandas(
+        # (widening only re-places rows; the per-batch local top-k union is
+        # a superset of the global top-k for ANY batching, and the exact
+        # re-score + window below restore the global ranking)
+        cand = widen_if_narrow(corpus.select(*sel)).mapInPandas(
             batch_topk, "query_id long, corpus_id long"
         )
     qv = queries.select(F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qvec"))
@@ -209,11 +219,28 @@ def brute_force_topk_vectorized(
 POW2_43 = 8796093022208.0  # 2^43: scales float32-derived doubles to integers
 
 
+def auto_n_lists(n_rows: int, floor: int = 16) -> int:
+    """IVF list count that keeps probe cost sublinear as the corpus grows
+    (r07 VERDICT ask #3 — the IVF sibling of ``auto_planes``): the smallest
+    power of two P >= ``floor`` with P*P >= n, i.e. sqrt(n) rounded up to a
+    power of two.  With FIXED n_lists, each probed list holds n/n_lists
+    vectors, so probing a constant list count scans a constant FRACTION of
+    the corpus — O(n) per query forever.  At P ~ sqrt(n) both the centroid
+    scan (P) and the probed candidate count (n_probe * n/P) grow as
+    sqrt(n) — the classic IVF balance point.  Pure integer arithmetic (no
+    log2/sqrt floats) so Spark, Python, and the DuckDB oracle agree on the
+    boundary exactly."""
+    p = floor
+    while p * p < n_rows:
+        p *= 2
+    return p
+
+
 def ivf_assign(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 16,
+    n_lists: int | str = 16,
     refine_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic IVF clustering -> (centroids(cid, cv),
@@ -221,13 +248,24 @@ def ivf_assign(
     vectors; each ``refine_iters`` Lloyd iteration computes per-list means
     with exact integer arithmetic (components scaled by 2^43, summed as
     DECIMAL) so centroids are bit-identical across engines.  Shared by
-    ivf_topk (probe + rerank) and semdedup_prune (cluster + prune)."""
+    ivf_topk (probe + rerank) and semdedup_prune (cluster + prune).
+
+    ``n_lists="auto"`` sizes the index from the corpus row count via
+    ``auto_n_lists`` (one count() action — parquet metadata at scale; the
+    seed take is then a distributed TakeOrdered of ~sqrt(n) rows, the same
+    bounded collect a production k-means trainer samples)."""
+    if n_lists == "auto":
+        n_lists = auto_n_lists(corpus.count())
+    from kwack_spark.operators.scale import widen_if_narrow
+
     cents = (
         corpus.orderBy(id_col)
         .limit(n_lists)
         .select(F.col(id_col).alias("cid"), V.as_double(vec_col).alias("cv"))
     ).withColumn("ncv", V.norm(F.col("cv")))
-    c = corpus.select(
+    # the per-(vector, centroid) fold stage is the expensive pass; a
+    # single-row-group bench scan would run it on one task (no-op at scale)
+    c = widen_if_narrow(corpus).select(
         F.col(id_col).alias("corpus_id"), V.as_double(vec_col).alias("v")
     ).withColumn("nv", V.norm(F.col("v")))  # once per vector, not per centroid
 
@@ -272,10 +310,10 @@ def ivf_assign(
         # the refined centroid table is n_lists rows but its lineage is a
         # full Lloyd pipeline (corpus assign + decimal component means);
         # every consumer (the final _assign here, plus any caller probing
-        # the same index) would otherwise re-execute that pipeline per use
-        from pyspark import StorageLevel
-
-        cents = cents.persist(StorageLevel.MEMORY_AND_DISK)
+        # the same index) would otherwise re-execute that pipeline per use.
+        # Rotating persist (r07 ADVICE #2): at most one cached centroid
+        # table stays pinned across repeated calls in a long-lived session.
+        cents = _persist_rotating("ivf_cents", cents)
     return cents, _assign(cents)
 
 

@@ -8715,7 +8715,10 @@ def ann_probe_recall_curve(spark, sf_dir):
     cents, assigned = similarity.ivf_assign(
         e, "vec_id", "embedding", n_lists=16, refine_iters=1
     )
-    assigned = assigned.withColumn("nv", V.norm(F.col("v")))
+    # the assigned index feeds BOTH the candidate stage (collect on the
+    # BLAS path / join on the fallback) and the exact re-score join —
+    # without the persist the full assign pipeline re-executes per consumer
+    assigned = similarity._persist_rotating("probe_curve_assigned", assigned)
     q = e.select(
         F.col("vec_id").alias("query_id"), V.as_double("embedding").alias("qv")
     ).withColumn("nqv", V.norm(F.col("qv")))
@@ -8732,24 +8735,92 @@ def ann_probe_recall_curve(spark, sf_dir):
         .filter(F.col("probe_rank") <= 8)
         .select("query_id", "qv", "nqv", F.col("cid").alias("list_id"), "probe_rank")
     )
-    cand = (
-        probes.join(assigned, "list_id")
-        .filter(F.col("query_id") != F.col("corpus_id"))
-        .select(
-            "query_id",
-            "corpus_id",
-            "probe_rank",
-            (V.dot(F.col("qv"), F.col("v")) / (F.col("nqv") * F.col("nv"))).alias(
-                "cosine"
-            ),
+    # Candidate stage: BLAS bucket-shortlist + exact JVM re-score (the
+    # brute_force_topk_vectorized two-stage shape).  The probed-list join
+    # keyed on list_id has only n_lists=16 distinct keys — at bench scale
+    # that serializes the 2M-candidate cosine folds onto <= 16 tasks
+    # (measured 15 s of the 17 s pin).  Instead the (id, list, vector)
+    # index is collected once (size-capped) and broadcast; each Arrow batch
+    # of queries does ONE matmul against the whole index and emits per
+    # probed bucket its top-5 candidate IDs only (5 > 3 buffers ulp-close
+    # BLAS boundaries; the exact fold re-score + row_number below derive
+    # the true per-bucket top-3, so output values are bit-identical to the
+    # all-candidates plan).  Past the cap the operator degrades to the
+    # list_id-co-partitioned join — the genuine shape when the index
+    # outgrows a broadcast, where n_lists ~ sqrt(n) (auto_n_lists) also
+    # makes the join key space wide enough to parallelize.
+    if similarity._within_cap(assigned, similarity.MAX_BROADCAST_INDEX_ROWS):
+        import numpy as np
+        import pandas as pd
+
+        rows = assigned.select("corpus_id", "list_id", "v").collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        lists = np.array([r[1] for r in rows], dtype=np.int64)
+        mat = np.array([list(r[2]) for r in rows], dtype=np.float64)
+        mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast((ids, lists, mat_n))
+
+        def bucket_topk(batches):
+            c_ids, c_lists, c_mat = bc.value
+            for pdf in batches:
+                out_q, out_c, out_r = [], [], []
+                for qid, qv, pl in zip(pdf["query_id"], pdf["qv"], pdf["pl"]):
+                    qn = np.asarray(list(qv), dtype=np.float64)
+                    qn = qn / np.linalg.norm(qn)
+                    s = qn @ c_mat.T
+                    for item in pl:
+                        lid = int(item["list_id"])
+                        mask = (c_lists == lid) & (c_ids != int(qid))
+                        if not mask.any():
+                            continue
+                        order = np.lexsort((c_ids[mask], -s[mask]))[:5]
+                        sel = c_ids[mask][order]
+                        out_q.extend([int(qid)] * len(sel))
+                        out_c.extend(sel)
+                        out_r.extend([int(item["probe_rank"])] * len(sel))
+                yield pd.DataFrame(
+                    {"query_id": out_q, "corpus_id": out_c, "probe_rank": out_r}
+                )
+
+        per_query = probes.groupBy("query_id", "qv").agg(
+            F.collect_list(F.struct("probe_rank", "list_id")).alias("pl")
         )
-    )
+        cand_ids = per_query.mapInPandas(
+            bucket_topk, "query_id long, corpus_id long, probe_rank int"
+        )
+        cv_t = assigned.select("corpus_id", "v").withColumn("nv", V.norm(F.col("v")))
+        cand = (
+            cand_ids.join(q, "query_id")
+            .join(cv_t, "corpus_id")
+            .select(
+                "query_id",
+                "corpus_id",
+                "probe_rank",
+                (V.dot(F.col("qv"), F.col("v")) / (F.col("nqv") * F.col("nv"))).alias(
+                    "cosine"
+                ),
+            )
+        )
+    else:
+        a2 = assigned.withColumn("nv", V.norm(F.col("v")))
+        cand = (
+            probes.join(a2, "list_id")
+            .filter(F.col("query_id") != F.col("corpus_id"))
+            .select(
+                "query_id",
+                "corpus_id",
+                "probe_rank",
+                (V.dot(F.col("qv"), F.col("v")) / (F.col("nqv") * F.col("nv"))).alias(
+                    "cosine"
+                ),
+            )
+        )
     # pre-top-3 per (query, probe_rank) BEFORE the config fan-out: any
     # config's top-3 is a subset of the union of its probe buckets' top-3s
     # (an element ranked 4th+ in its own bucket has >= 3 bucket-mates ahead
-    # of it globally, same (cosine desc, corpus_id) tiebreak), so the 4x
-    # cfg fan-out + window runs over <= 3*8 rows per query instead of the
-    # full candidate set — the window sort volume drops ~25x
+    # of it globally, same (cosine desc, corpus_id) tiebreak), so the
+    # cumulative pass below runs over <= 3*8 rows per query instead of the
+    # full candidate set
     wb = Window.partitionBy("query_id", "probe_rank").orderBy(
         F.desc("cosine"), "corpus_id"
     )
@@ -8758,37 +8829,60 @@ def ann_probe_recall_curve(spark, sf_dir):
         .filter(F.col("brnk") <= 3)
         .select("query_id", "corpus_id", "probe_rank", "cosine")
     )
-    cfg = spark.createDataFrame([(1,), (2,), (4,), (8,)], "p int")
-    wr = Window.partitionBy("p", "query_id").orderBy(F.desc("cosine"), "corpus_id")
-    ranked = (
-        shortlist.join(F.broadcast(cfg), F.col("probe_rank") <= F.col("p"))
-        .withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= 3)
-        .select("p", "query_id", "corpus_id")
-    )
-    from pyspark import StorageLevel
-
+    # single cumulative-rank pass (r07 VERDICT ask #8), replacing the 4x
+    # config fan-out + per-config row_number windows: the shortlist is
+    # sorted ONCE per query by (cosine desc, corpus_id) — a strict total
+    # order, since each corpus vector lives in exactly one probed list —
+    # and a candidate is in config p's top-3 iff its probe_rank <= p AND at
+    # most 3 candidates with probe_rank <= p precede-or-equal it in that
+    # order (the running count IS its rank within config p).  All four
+    # configs come out of ONE window node (4 conditional running sums share
+    # the frame) instead of four sorted subtrees over a 4x-multiplied join.
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "corpus_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cfgs = (1, 2, 4, 8)
+    cums = [
+        F.sum(
+            F.when(F.col("probe_rank") <= p, F.lit(1)).otherwise(F.lit(0))
+        ).over(wc).alias(f"cum{p}")
+        for p in cfgs
+    ]
+    flagged = shortlist.select("query_id", "corpus_id", "probe_rank", *cums)
+    in_top3 = [
+        ((F.col("probe_rank") <= p) & (F.col(f"cum{p}") <= 3))
+        .cast("long")
+        .alias(f"in{p}")
+        for p in cfgs
+    ]
     # the exact truth set feeds BOTH the per-config match count and the
-    # 1-row total; without the persist the brute-force scan runs twice
-    bf = (
-        _Q["ann_brute_force_topk"].fn(spark, sf_dir)
-        .select("query_id", "corpus_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # 1-row total; without the persist the brute-force scan runs twice.
+    # Rotating persist (r07 ADVICE #2): released on the next call.
+    bf = similarity._persist_rotating(
+        "probe_curve_bf",
+        _Q["ann_brute_force_topk"].fn(spark, sf_dir).select("query_id", "corpus_id"),
     )
-    m = ranked.join(bf, ["query_id", "corpus_id"]).groupBy("p").agg(
-        F.count(F.lit(1)).alias("n_matched")
+    hits = flagged.select("query_id", "corpus_id", *in_top3).join(
+        bf, ["query_id", "corpus_id"]
+    )
+    m = hits.agg(
+        *[F.coalesce(F.sum(f"in{p}"), F.lit(0)).alias(f"m{p}") for p in cfgs]
     )
     t = bf.agg(F.count(F.lit(1)).alias("n_exact"))
+    stack_args = ", ".join(f"{p}, m{p}" for p in cfgs)
     return (
-        cfg.join(m, "p", "left")
-        .crossJoin(F.broadcast(t))
+        m.crossJoin(F.broadcast(t))
         .select(
-            F.col("p").alias("n_probe"),
-            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            F.expr(
+                f"stack({len(cfgs)}, {stack_args}) AS (n_probe, n_matched)"
+            ),
             "n_exact",
-            (
-                F.coalesce("n_matched", F.lit(0)).cast("double") / F.col("n_exact")
-            ).alias("recall"),
+        )
+        .select(
+            "n_probe",
+            "n_matched",
+            "n_exact",
+            (F.col("n_matched").cast("double") / F.col("n_exact")).alias("recall"),
         )
     )
 
@@ -10158,15 +10252,15 @@ def dedup_incremental_simhash64(spark, sf_dir):
     per batch nothing re-reads or re-hashes history text; the probe
     shuffles only the batch side, and the 65,536-buckets/block slice space
     keeps collision fan-out flat (simhash_slice_occupancy is the audit)."""
-    from pyspark import StorageLevel
-
     d = T(spark, sf_dir, "documents")
     split = F.substring(
         F.md5(F.concat(F.lit("isim:"), F.col("doc_id").cast("string"))), 1, 4
     )
-    hist_fps = dedup.simhash64_fingerprints(
-        d.filter(split >= "3334"), "doc_id", "text"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # rotating persist (r07 ADVICE #2): one cached history index per family
+    hist_fps = similarity._persist_rotating(
+        "isim64_hist_fps",
+        dedup.simhash64_fingerprints(d.filter(split >= "3334"), "doc_id", "text"),
+    )
     batch = d.filter(split < "3334")
     return dedup.incremental_simhash64_new_dups(
         hist_fps, batch, "doc_id", "text", max_hamming=3, blocks=4

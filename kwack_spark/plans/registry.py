@@ -50,81 +50,31 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # Grading priority: the driver checks a bounded ~50-query prefix of the
-# corpus per round, so the map is ordered to put never-driver-graded queries
-# first (every name below already passes the local oracle harness in
-# tests/test_oracle.py, and the scale-sensitive subset additionally passes
-# at sf0.1 via tests/test_scale_oracle.py).  Rounds 1-6 graded 286 distinct
-# names, 282 green (the 4 reds were oracle-dtype-only, fixed r07).  Round
-# 7's rotation (r06 VERDICT ask #2) lists the FULL corpus explicitly: the
-# four fixed reds, then the three r07-new queries, then all 36 names the
-# r06 window missed, then the green corpus longest-ungraded-first
-# (last-graded round ascending, stable order within a round) — 4 + 3 + 36
-# = 43 priority slots of the ~50-query window, so every never-graded name
-# lands inside it.  The list is advisory ordering only — every query stays registered;
-# names missing from it would keep registration order after it.
+# corpus per round, so the map is ordered longest-ungraded-first (every name
+# below already passes the local oracle harness in tests/test_oracle.py, and
+# the scale-sensitive subset additionally passes at sf0.1 via
+# tests/test_scale_oracle.py).  After r07 ALL 328 then-registered names had
+# been driver-graded at least once with every latest grade green.  Round 8's
+# rotation (r07 VERDICT ask #1): the r08-new queries first (never graded),
+# then the queries whose implementation changed this round (IVF family —
+# adaptive n_lists + the fused probe-curve pass), then the 35 names last
+# graded in r01, then the 50 names last graded in r02 — so the ~50-query
+# window re-grades the stalest evidence, and the tail continues
+# last-graded-round ascending for the r09+ rotations.  The list is advisory
+# ordering only — every query stays registered; names missing from it would
+# keep registration order after it.
 _PRIORITY = [
-    # --- round-7 grading prefix (r06 VERDICT ask #2): the four r06
-    # driver-reds first — fixed this round by CAST(... AS BIGINT) on their
-    # oracles' HUGEINT columns (values already matched bit-level) —
-    "minhash_band_calibration",
-    "ngram_novelty_curve",
-    "events_change_point",
-    "streaming_change_point",
-    # --- r07-new queries (never graded; inserted before the backlog) ---
-    "simhash_slice_occupancy",
-    "dedup_incremental_simhash64",
-    "streaming_simhash_neardup",
-    "dedup_cross_source_leakage",
-    "tokenizer_fertility_by_lang",
-    "dedup_simhash_hamming_d6",
-    # ... then ALL 36 never-driver-graded names (wave-19+ additions that
-    # sat at positions 50-85 of the r06 order, outside the ~50-query
-    # grading window), so CORRECTNESS_r07 completes 322/322 coverage ...
-    "token_oov_rate_by_source",
-    "scd2_user_state_intervals",
-    "grouped_quantile_estimate",
-    "cohort_revenue_matrix",
-    "embedding_mass_length_corr",
-    "events_user_entropy",
-    "corpus_data_card",
-    "dedup_pair_jaccard_histogram",
-    "events_tukey_fences",
-    "orders_priority_mix_shift",
-    "user_interevent_gap_histogram",
-    "embedding_quant_bits_sweep",
-    "nation_revenue_hhi",
-    "dedup_impact_report",
-    "heaps_law_fit",
-    "join_key_skew_profile",
-    "minhash_estimate_error",
-    "order_to_ship_leadtime",
-    "embedding_temporal_drift",
-    "dedup_method_agreement",
-    "doc_length_lognormal_fit",
-    "source_vocab_overlap",
-    "orders_seasonal_ma_decompose",
-    "customer_balance_revenue_corr",
-    "dau_mau_stickiness",
-    "benford_first_digit",
-    "embedding_knn_label_probe",
-    "word_length_distribution",
-    "sessions_per_user_distribution",
-    "conversion_lag_distribution",
-    "retention_halflife_fit",
-    "weekly_value_wow_growth",
-    "hapax_ratio_by_source",
-    "part_size_price_regression",
-    "embedding_intrinsic_dimension",
-    "error_purchase_cooccurrence",
-    # ... then the green corpus longest-ungraded-first (last-graded round
-    # ascending, stable registration order within a round) so rotation
-    # continues to refresh the oldest evidence in later rounds.
-    "ann_brute_force_topk",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
+    # --- r08-new queries (never graded; must land in the window) ---
+    "dedup_suffix_exact_spans",
+    "multimodal_phash_dedup",
+    "corpus_curation_e2e",
+    "ann_ivf_adaptive_recall",
+    # --- implementations changed this round (IVF probe-curve fusion;
+    # adaptive-n_lists plumbing in ivf_assign) — re-grade with the change ---
+    "ann_probe_recall_curve",
+    "ann_ivf_recall",
+    "ann_ivf_topk",
+    # --- last driver grade: r01 ---
     "scan_region",
     "projection_compute",
     "filter_predicates",
@@ -158,6 +108,9 @@ _PRIORITY = [
     "math_funcs",
     "struct_funcs",
     "explode_word_counts",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    # --- last driver grade: r02 ---
     "q1_pricing_summary",
     "kafka_avro_roundtrip",
     "kafka_json_schema_roundtrip",
@@ -165,16 +118,24 @@ _PRIORITY = [
     "kafka_rawjson_roundtrip",
     "kafka_primitive_roundtrip",
     "kafka_avro_evolution",
-    "kafka_proto_evolution",
-    "kafka_jsonschema_evolution",
     "kafka_two_topic_join",
     "kafka_rowinfo_metadata",
     "kafka_tombstone_skip",
+    "grouping_sets",
+    "cte_scalar_subquery",
+    "correlated_in_subquery",
+    "json_funcs",
+    "collect_list_sorted",
+    "array_funcs",
+    "higher_order_funcs",
+    "map_funcs",
+    "approx_count_distinct",
+    "ann_lsh_bucketed",
+    "kafka_proto_evolution",
+    "kafka_jsonschema_evolution",
     "kafka_poison_skip",
     "streaming_lsh_neardup",
     "streaming_static_enrich",
-    "streaming_session_counts",
-    "streaming_kafka_avro_decode",
     "udx_chunk_vowels",
     "scale_salted_join",
     "scale_bucketed_join",
@@ -189,28 +150,20 @@ _PRIORITY = [
     "retention_cohorts",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
-    "ann_lsh_bucketed",
     "passage_dedup_rewrite",
     "dedup_incremental_lsh",
     "dedup_lsh_edit_verify",
     "shard_assignment_stats",
     "semantic_dedup_verify",
+    "streaming_session_counts",
+    "streaming_kafka_avro_decode",
     "text_bigram_logprob",
     "dedup_containment",
     "tfidf_top_terms",
     "length_percentile_trim",
-    "approx_count_distinct",
-    "collect_list_sorted",
-    "grouping_sets",
-    "cte_scalar_subquery",
-    "correlated_in_subquery",
-    "array_funcs",
-    "higher_order_funcs",
-    "map_funcs",
-    "json_funcs",
+    # --- last driver grade: r03 ---
     "kafka_proto_msgindex",
     "ann_pq_recall",
-    "ann_ivf_recall",
     "asof_purchase_attribution",
     "asof_forward_next_purchase",
     "range_join_clicks_before_purchase",
@@ -257,7 +210,7 @@ _PRIORITY = [
     "mixture_rebalance",
     "embedding_centroid_by_label",
     "embedding_quantize_int8",
-    "ann_ivf_topk",
+    # --- last driver grade: r04 ---
     "kafka_jsonschema_fastpath",
     "kafka_jsonschema_union_roundtrip",
     "kafka_poison_quarantine",
@@ -307,6 +260,7 @@ _PRIORITY = [
     "cooccurrence_window_counts",
     "hard_negative_mining",
     "training_order_shuffle",
+    # --- last driver grade: r05 ---
     "user_path_trigrams",
     "event_transition_matrix",
     "length_bucketed_batches",
@@ -355,6 +309,7 @@ _PRIORITY = [
     "winnowing_incremental_new_docs",
     "streaming_quality_gate",
     "asof_nearest_click",
+    # --- last driver grade: r06 ---
     "prefix_duplicate_groups",
     "inverted_index_build",
     "vocab_coverage_curve",
@@ -378,7 +333,6 @@ _PRIORITY = [
     "histogram_quantile_estimate",
     "interval_overlap_join",
     "zipf_fit_slope",
-    "ann_probe_recall_curve",
     "dedup_lexical_semantic_agreement",
     "embedding_outlier_mahalanobis",
     "cooccurrence_pmi_topk",
@@ -401,8 +355,58 @@ _PRIORITY = [
     "multimodal_audio_rms_windows",
     "embedding_dedup_threshold_sweep",
     "event_hour_dow_heatmap",
+    # --- last driver grade: r07 ---
+    "minhash_band_calibration",
+    "ngram_novelty_curve",
+    "events_change_point",
+    "streaming_change_point",
+    "simhash_slice_occupancy",
+    "dedup_incremental_simhash64",
+    "streaming_simhash_neardup",
+    "dedup_cross_source_leakage",
+    "tokenizer_fertility_by_lang",
+    "dedup_simhash_hamming_d6",
+    "token_oov_rate_by_source",
+    "scd2_user_state_intervals",
+    "grouped_quantile_estimate",
+    "cohort_revenue_matrix",
+    "embedding_mass_length_corr",
+    "events_user_entropy",
+    "corpus_data_card",
+    "dedup_pair_jaccard_histogram",
+    "events_tukey_fences",
+    "orders_priority_mix_shift",
+    "user_interevent_gap_histogram",
+    "embedding_quant_bits_sweep",
+    "nation_revenue_hhi",
+    "dedup_impact_report",
+    "heaps_law_fit",
+    "join_key_skew_profile",
+    "minhash_estimate_error",
+    "order_to_ship_leadtime",
+    "embedding_temporal_drift",
+    "dedup_method_agreement",
+    "doc_length_lognormal_fit",
+    "source_vocab_overlap",
+    "orders_seasonal_ma_decompose",
+    "customer_balance_revenue_corr",
+    "dau_mau_stickiness",
+    "benford_first_digit",
+    "embedding_knn_label_probe",
+    "word_length_distribution",
+    "sessions_per_user_distribution",
+    "conversion_lag_distribution",
+    "retention_halflife_fit",
+    "weekly_value_wow_growth",
+    "hapax_ratio_by_source",
+    "part_size_price_regression",
+    "embedding_intrinsic_dimension",
+    "error_purchase_cooccurrence",
+    "ann_brute_force_topk",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
 ]
-
 
 def _ordered() -> dict[str, Entry]:
     _load_all()

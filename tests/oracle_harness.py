@@ -104,7 +104,12 @@ def oracle_dtype_mismatches(spark_schema, duck_cols, duck_types) -> list[str]:
       (fix pattern: ``CAST(... AS BIGINT)`` in the oracle SQL);
     - an integral-vs-floating class disagreement between the oracle column
       and the same-named Spark column is rejected (fix: CAST one side so the
-      classes agree — the driver's int64 and float64 hash streams never meet).
+      classes agree — the driver's int64 and float64 hash streams never meet);
+    - a DECIMAL oracle column is allowed ONLY against a Spark DecimalType
+      column (r07 ADVICE #3): an un-CAST decimal SUM/round against a Spark
+      double or long materializes as object/float64 in ``fetch_df()`` — the
+      same hash-mismatch class as HUGEINT.  Fix: CAST the oracle to
+      DOUBLE/BIGINT matching the Spark column's class.
     """
     from pyspark.sql import types as ST
 
@@ -116,6 +121,8 @@ def oracle_dtype_mismatches(spark_schema, duck_cols, duck_types) -> list[str]:
             spark_class[f.name.lower()] = "int"
         elif isinstance(f.dataType, (ST.FloatType, ST.DoubleType)):
             spark_class[f.name.lower()] = "float"
+        elif isinstance(f.dataType, ST.DecimalType):
+            spark_class[f.name.lower()] = "decimal"
         else:
             spark_class[f.name.lower()] = None
 
@@ -130,6 +137,14 @@ def oracle_dtype_mismatches(spark_schema, duck_cols, duck_types) -> list[str]:
             )
             continue
         sc = spark_class.get(name.lower())
+        if base == "DECIMAL" and sc != "decimal":
+            problems.append(
+                f"{name}: oracle emits DECIMAL against a non-decimal Spark "
+                "column — driver fetch_df() materializes it as object/float64, "
+                "never hash-matching; CAST the oracle to DOUBLE/BIGINT to "
+                "match the Spark column's class"
+            )
+            continue
         if sc == "int" and base in _DUCK_FLOATING:
             problems.append(
                 f"{name}: oracle {base} vs Spark integral column — CAST one "

@@ -115,6 +115,50 @@ def test_lint_rejects_unsigned_oracle(spark):
     assert not ok and "UBIGINT" in detail
 
 
+def test_lint_rejects_decimal_oracle_vs_double(spark):
+    """A DuckDB DECIMAL oracle column (un-CAST SUM/round over decimals)
+    against a Spark double column passes the integral/floating rules but
+    materializes as object/float64 at the driver — the lint must reject it
+    (r07 ADVICE #3)."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle_harness import duck_connect, compare_query
+
+    def fn(spark, sf_dir):
+        return spark.range(1).select(F.lit(1.5).alias("n"))
+
+    con = duck_connect(SF_ORACLE)
+    try:
+        ok, detail = compare_query(
+            spark, con, fn, "SELECT CAST(1.5 AS DECIMAL(10,2)) AS n", SF_ORACLE
+        )
+    finally:
+        con.close()
+    assert not ok and "DECIMAL" in detail
+
+
+def test_lint_allows_decimal_oracle_vs_decimal(spark):
+    """DECIMAL-vs-DecimalType is the one legal DECIMAL pairing: both sides
+    canonicalize through decimal.Decimal, so the lint must not reject it."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle_harness import duck_connect, compare_query
+
+    def fn(spark, sf_dir):
+        return spark.range(1).select(
+            F.lit("1.50").cast("decimal(10,2)").alias("n")
+        )
+
+    con = duck_connect(SF_ORACLE)
+    try:
+        ok, detail = compare_query(
+            spark, con, fn, "SELECT CAST(1.5 AS DECIMAL(10,2)) AS n", SF_ORACLE
+        )
+    finally:
+        con.close()
+    assert ok, detail
+
+
 def test_lint_rejects_int_float_class_mismatch(spark):
     """Oracle BIGINT against a Spark double column (or vice versa) hashes
     differently at the driver even when values are numerically equal."""
