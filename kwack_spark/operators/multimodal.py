@@ -657,6 +657,131 @@ def decode_png_features(df: DataFrame, payload_col: str, id_col: str) -> DataFra
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 
 
+def _blocky_grid(g: int, v: int):
+    """9x8 block-value grid of image class (g, v): base value of block
+    (j, i) is the first md5 byte of 'ph:g:j:i' (md5 — decorrelated across
+    classes, available in SQL so the oracle restates it); variant v > 0
+    inverts (255 - value) the single cell (j = v-1, i = 0).  Shared by the
+    encoder fixture; the dHash oracle states the same form in SQL."""
+    import hashlib
+
+    import numpy as np
+
+    grid = np.empty((8, 9), np.int32)
+    for j in range(8):
+        for i in range(9):
+            grid[j, i] = int(
+                hashlib.md5(f"ph:{g}:{j}:{i}".encode()).hexdigest()[:2], 16
+            )
+    if v > 0:
+        grid[v - 1, 0] = 255 - grid[v - 1, 0]
+    return grid
+
+
+def synth_png_blocky(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic perceptual-dedup PNG fixture (real encoder): per id d,
+    an 18x16 GRAYSCALE image that is constant within each 2x2 pixel block,
+    so the dHash downsample below reconstructs the 9x8 block grid EXACTLY
+    and the fingerprint has a closed form the oracle states independently
+    of the bytes.  Image class: g = d % 128 picks an md5-derived base grid
+    (``_blocky_grid`` — md5 bytes, so classes are statistically independent
+    and cross-class dHash collisions within distance 3 are ~2^-64-scale
+    rare), v = (d // 128) % 4 the variant, inverting one cell in column 0:
+    ids sharing (g, v) are pixel-identical (dHash distance 0), different
+    variants of one g differ in <= 2 dHash bits (a column-0 cell feeds only
+    its row's first comparison) — real near-duplicates for the Hamming
+    blocking to find, never an all-pairs explosion."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches) -> Iterator:
+        cache: dict = {}
+        for pdf in batches:
+            ids, outs = [], []
+            for rec in pdf.itertuples(index=False):
+                d = int(getattr(rec, id_col))
+                g, v = d % 128, (d // 128) % 4
+                png = cache.get((g, v))
+                if png is None:
+                    px = np.repeat(
+                        np.repeat(_blocky_grid(g, v), 2, axis=0), 2, axis=1
+                    )
+                    png = _png_encode(px.astype(np.int32), 1)
+                    cache[(g, v)] = png
+                ids.append(d)
+                outs.append(png)
+            yield pd.DataFrame({id_col: ids, "payload": outs})
+
+    out_schema = ST.StructType(
+        [
+            ST.StructField(id_col, ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def dhash64(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """64-bit perceptual difference hash (dHash) from REAL image decode:
+    full PNG decode (``_png_decode`` — CRC chunk walk, inflate, all five
+    unfilters), luma plane (gray directly; RGB via integer-exact
+    (77R + 150G + 29B) >> 8), 2x2 integer box downsample to a 9-column x
+    8-row grid, then bit (j*8 + i) = 1 iff grid[j][i] < grid[j][i+1] —
+    brightness-gradient signs, the classic crop/re-encode-robust image
+    fingerprint.  Returns ``(id, fp)`` with fp a signed LONG (bit 63 wraps
+    to the sign bit, matching Spark/DuckDB BIGINT), ready for
+    ``dedup.fingerprint_hamming_pairs``'s pigeonhole blocking.  Malformed
+    or wrongly-shaped payloads yield NULL, never a wrong fingerprint.
+    Scale shape: one narrow Arrow-batched pass; only 8 bytes/image leave
+    it (the payload never shuffles)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches) -> Iterator:
+        for pdf in batches:
+            ids, fps = [], []
+            for rec in pdf.itertuples(index=False):
+                parsed = _png_decode(bytes(getattr(rec, payload_col)))
+                ids.append(getattr(rec, id_col))
+                if parsed is None:
+                    fps.append(None)
+                    continue
+                w, h, ch, _depth, px = parsed
+                if w % 9 or h % 8:  # not box-reducible to the 9x8 grid
+                    fps.append(None)
+                    continue
+                if ch == 1:
+                    luma = px.astype(np.int64)
+                elif ch == 3:
+                    p = px.astype(np.int64)
+                    luma = (77 * p[:, 0::3] + 150 * p[:, 1::3] + 29 * p[:, 2::3]) >> 8
+                else:
+                    fps.append(None)
+                    continue
+                by, bx = h // 8, w // 9
+                grid = (
+                    luma.reshape(8, by, 9, bx).sum(axis=(1, 3), dtype=np.int64)
+                    // (by * bx)
+                )
+                fp = 0
+                for j in range(8):
+                    for i in range(8):
+                        if grid[j, i] < grid[j, i + 1]:
+                            fp |= 1 << (j * 8 + i)
+                if fp >= 1 << 63:
+                    fp -= 1 << 64
+                fps.append(fp)
+            yield pd.DataFrame({id_col: ids, "fp": pd.array(fps, dtype="Int64")})
+
+    out_schema = ST.StructType(
+        [
+            ST.StructField(id_col, ST.LongType()),
+            ST.StructField("fp", ST.LongType(), True),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
 def drop_payload_early(df: DataFrame, payload_col: str, feature_cols: list[str]) -> DataFrame:
     """The shuffle-hygiene pattern: project features and DROP the payload
     before any wide operation, so raw bytes never cross the network."""
