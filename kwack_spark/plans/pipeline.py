@@ -1553,18 +1553,11 @@ def doc_fingerprints(spark, sf_dir):
     )
 
 
-@register(
-    "quality_ensemble_gate",
-    # The assembled curation gate a production pipeline actually ships:
-    # three independent signals — the Gopher structural rules, the hashed
-    # bag-of-words linear score (quality_linear_score's model, applied to
-    # ALL docs), and the stopword-density fluency check — combined into one
-    # keep/drop verdict with a reject-reason BITMASK (bit0 gopher, bit1
-    # negative model score, bit2 stopword density), so downstream audits
-    # can count WHY documents were dropped, not just how many.  NULL
-    # signals (empty docs) fail closed via COALESCE(..., FALSE).
-    oracle=f"""
-        WITH w AS (
+# quality-ensemble CTE chain ending in j(doc_id, n_words, score, stop_ratio,
+# gopher_pass, score_ok, stop_ok) — shared by quality_ensemble_gate and the
+# corpus_curation_e2e composition so both oracles hold ONE copy of the gate
+# semantics
+_ENSEMBLE_CTES = f"""w AS (
             SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ws
             FROM documents
         ),
@@ -1613,7 +1606,21 @@ def doc_fingerprints(spark, sf_dir):
                    COALESCE(sc.score >= 0.0, FALSE) AS score_ok,
                    COALESCE(st.stop_ratio > 0.05, FALSE) AS stop_ok
             FROM g JOIN st USING (doc_id) LEFT JOIN sc USING (doc_id)
-        )
+        )"""
+
+
+@register(
+    "quality_ensemble_gate",
+    # The assembled curation gate a production pipeline actually ships:
+    # three independent signals — the Gopher structural rules, the hashed
+    # bag-of-words linear score (quality_linear_score's model, applied to
+    # ALL docs), and the stopword-density fluency check — combined into one
+    # keep/drop verdict with a reject-reason BITMASK (bit0 gopher, bit1
+    # negative model score, bit2 stopword density), so downstream audits
+    # can count WHY documents were dropped, not just how many.  NULL
+    # signals (empty docs) fail closed via COALESCE(..., FALSE).
+    oracle=f"""
+        WITH {_ENSEMBLE_CTES}
         SELECT doc_id, n_words, score, stop_ratio, gopher_pass,
                (gopher_pass AND score_ok AND stop_ok) AS keep,
                CAST((CASE WHEN gopher_pass THEN 0 ELSE 1 END)
@@ -1630,7 +1637,14 @@ def quality_ensemble_gate(spark, sf_dir):
     combinable sum); the final assembly is a doc_id join of a corpus-sized
     but column-thin signal table.  The weight table is O(D)=1024 rows
     regardless of corpus size — always a broadcast."""
-    d = T(spark, sf_dir, "documents")
+    return _ensemble_gate_df(spark, T(spark, sf_dir, "documents"))
+
+
+def _ensemble_gate_df(spark, d):
+    """The ensemble gate over an arbitrary (doc_id, text) frame — shared by
+    quality_ensemble_gate (full corpus) and corpus_curation_e2e (gating the
+    dedup survivors only; the gate is per-doc pure, so restricting its
+    input restricts its output identically)."""
     ws = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
     base = d.select("doc_id", "text", ws.alias("ws"))
     n = F.size("ws")
@@ -6918,6 +6932,290 @@ def dedup_url_canonical(spark, sf_dir):
         .filter(F.col("n_docs") > 1)
         .orderBy("canon_url")
     )
+
+
+# corpus_curation_e2e's oracle is assembled from the SAME CTE chains its
+# component queries grade in isolation (URL canon, LSH + components,
+# ensemble gate), so the composition stays in lockstep with them.  The LSH
+# chain is re-rooted onto the URL-dedup survivor set and the gate onto the
+# near-dup survivor set (the gate is per-doc pure, so restricting its input
+# restricts its output identically — and skips 2/3 of the corpus).
+_E2E_LSH_CTES = _LSH_CTES.replace(
+    "FROM documents", "FROM documents JOIN s1k USING (doc_id)"
+)
+_E2E_ENSEMBLE_CTES = _ENSEMBLE_CTES.replace(
+    "FROM documents", "FROM documents JOIN s2k USING (doc_id)"
+)
+# 5-gram decontamination shingles: benchmark contamination means sharing a
+# CONTIGUOUS 5-token phrase — specific enough that topical 3-gram overlap
+# in a homogeneous corpus does not mass-flag clean documents (measured: 3-
+# grams at >= 3 shared drop 94% of sf0.1 survivors; 5-grams drop the 2
+# genuine near-copies).  Real pipelines use 8-13-gram windows for the same
+# reason.
+_SHINGLES_5 = """
+    CASE WHEN len(tk) >= 5
+         THEN [array_to_string(tk[i:i+4], ' ') for i in generate_series(1, len(tk) - 4)]
+         ELSE [array_to_string(tk, ' ')] END
+"""
+
+
+@register(
+    "corpus_curation_e2e",
+    # the full production curation DAG as ONE oracled plan (r07 VERDICT ask
+    # #5): URL-canonical dedup -> MinHash-LSH near-dup keep-best (longest
+    # doc per connected component) -> Gopher/ensemble quality gate ->
+    # benchmark decontamination (eval = doc_id % 97 == 0; >= 3 shared
+    # 3-gram shingles drops the doc — the Spark side reaches the same set
+    # through a Bloom prefilter + exact verify, sound because Bloom never
+    # misses) -> temperature (T=2) mixture rebalance -> shard manifest with
+    # order-independent content sums.  The manifest's exact content_sum
+    # pins the final survivor set bit-for-bit, so a wrong drop at ANY stage
+    # fails the hash.
+    oracle=f"""
+        WITH RECURSIVE
+        u AS (SELECT doc_id, {_URL_RAW_SQL} AS raw_url FROM documents),
+        {_URL_CANON_CTES},
+        s1k AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canon_url),
+        {_E2E_LSH_CTES},
+        {_COMP_CTES},
+        ranked2 AS (
+            SELECT cm.keep_id, cm.node,
+                   row_number() OVER (PARTITION BY cm.keep_id
+                                      ORDER BY dd.n_chars DESC, cm.node) AS rn
+            FROM comp cm JOIN documents dd ON dd.doc_id = cm.node
+        ),
+        drop2 AS (SELECT node AS doc_id FROM ranked2 WHERE rn > 1),
+        s2k AS (
+            SELECT doc_id FROM s1k
+            WHERE doc_id NOT IN (SELECT doc_id FROM drop2)
+        ),
+        {_E2E_ENSEMBLE_CTES},
+        s3k AS (
+            SELECT doc_id FROM j
+            WHERE j.gopher_pass AND j.score_ok AND j.stop_ok
+        ),
+        toks4 AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        sh4 AS (SELECT doc_id, ({_SHINGLES_5}) AS sh FROM toks4),
+        bench4 AS (
+            SELECT DISTINCT unnest(sh) AS s FROM sh4 WHERE doc_id % 97 = 0
+        ),
+        hits4 AS (
+            SELECT c4.doc_id, count(*) AS n_hits
+            FROM (SELECT sh4.doc_id, unnest(list_distinct(sh4.sh)) AS s
+                  FROM sh4 JOIN s3k USING (doc_id)
+                  WHERE sh4.doc_id % 97 <> 0) c4
+            JOIN bench4 b4 ON c4.s = b4.s
+            GROUP BY c4.doc_id
+        ),
+        s4k AS (
+            SELECT doc_id FROM s3k
+            WHERE doc_id % 97 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM hits4 WHERE n_hits >= 3)
+        ),
+        d5 AS (
+            SELECT d.doc_id, d.lang FROM documents d JOIN s4k USING (doc_id)
+        ),
+        counts5 AS (
+            SELECT lang, count(*) AS c5,
+                   CAST(round(sqrt(count(*)) * 1048576) AS BIGINT) AS s_int
+            FROM d5 GROUP BY lang
+        ),
+        norm5 AS (SELECT SUM(s_int) AS n_int FROM counts5),
+        shares5 AS (
+            SELECT lang, c5, CAST(s_int AS DOUBLE) / CAST(n_int AS DOUBLE) AS t
+            FROM counts5 CROSS JOIN norm5
+        ),
+        budget5 AS (SELECT min(floor(c5 / t)) AS b FROM shares5),
+        quota5 AS (
+            SELECT lang, CAST(floor(b * t) AS BIGINT) AS quota
+            FROM shares5 CROSS JOIN budget5
+        ),
+        ranked5 AS (
+            SELECT d5.lang, d5.doc_id, q5.quota,
+                   row_number() OVER (PARTITION BY d5.lang
+                                      ORDER BY md5(CAST(d5.doc_id AS VARCHAR)),
+                                               d5.doc_id) AS rn
+            FROM d5 JOIN quota5 q5 USING (lang)
+        ),
+        s5k AS (SELECT doc_id FROM ranked5 WHERE rn <= quota),
+        rows_h AS (
+            SELECT d.doc_id // 100 AS shard_id, d.doc_id,
+                   CAST(('0x' || substr(md5('mft:' || d.doc_id::VARCHAR || ':'
+                                            || d.n_chars::VARCHAR), 1, 12))::BIGINT
+                        AS DECIMAL(38,0)) AS h
+            FROM documents d JOIN s5k USING (doc_id)
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(doc_id) AS min_id,
+               max(doc_id) AS max_id,
+               CAST(SUM(h) AS VARCHAR) AS content_sum
+        FROM rows_h
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
+    tags=("pipeline", "curation", "e2e", "composition"),
+)
+def corpus_curation_e2e(spark, sf_dir):
+    """End-to-end curation composition — every stage is a registered
+    operator, chained into one DAG over the survivor set:
+
+    1. URL-canonical dedup (TX.canonical_url; cheapest, runs first —
+       narrow regex projection + one uniform-key groupBy);
+    2. MinHash-LSH near-dup keep-best (minhash_lsh_pairs ->
+       graph.dedup_clusters -> longest-doc-per-cluster policy; the pair
+       and component stages run on the ALREADY URL-deduped third of the
+       corpus);
+    3. ensemble quality gate (quality_ensemble_gate's keep verdict — the
+       gate is per-doc pure, so the registered operator is reused verbatim
+       and semi-joined);
+    4. benchmark decontamination behind a BLOOM prefilter with exact
+       verify of the bloom-positive remainder (sketches_corpus._bf_pos
+       bitmap, 4096 bits broadcast): Bloom never misses, so the surviving
+       set equals the oracle's plain exact-overlap rule while the probe
+       side stays a narrow broadcast lookup at 100 TB;
+    5. temperature (T=2) mixture rebalance over the survivors' languages
+       (sqrt-share quotas, md5-ordered deterministic take);
+    6. shard manifest (order-independent md5-prefix content sums) — the
+       publish artifact a consumer verifies.
+
+    100-TB shape: stages 1/3/4 are narrow projections + broadcast joins
+    riding the scan; the only corpus-keyed shuffles are the canon-url
+    groupBy, the LSH band join (on the reduced survivor set), and the
+    final shard rollup.  Each stage's semantics are independently graded
+    by its component query; this query grades that they COMPOSE."""
+    from pyspark.sql import Window
+
+    from kwack_spark.operators import graph
+    from kwack_spark.plans.sketches_corpus import _BF_K, _bf_pos
+
+    d = T(spark, sf_dir, "documents")
+    # --- stage 1: URL-canonical dedup ---
+    canon = d.select(
+        "doc_id", TX.canonical_url(_url_raw_col()).alias("canon_url")
+    )
+    keep1 = (
+        canon.groupBy("canon_url").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = d.join(keep1, "doc_id")
+    # --- stage 2: MinHash-LSH keep-best (longest per component) ---
+    pairs = dedup.minhash_lsh_pairs(
+        s1, "doc_id", "text", k=8, bands=2, threshold=0.5
+    ).select("id_a", "id_b")
+    with _few_shuffle_partitions(spark):
+        comp = graph.dedup_clusters(pairs).select("doc_id", "keep_id")
+        ranked2 = comp.join(d.select("doc_id", "n_chars"), "doc_id").withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("keep_id").orderBy(F.desc("n_chars"), "doc_id")
+            ),
+        )
+        drop2 = ranked2.filter(F.col("rn") > 1).select("doc_id")
+    # each survivor frame feeds >= 2 downstream subtrees (the gate AND the
+    # semi-join; the decon grams AND the main branch; the mixture counts
+    # AND the quota join) — persist them (rotating) or every consumer
+    # re-executes the whole upstream funnel
+    s2 = similarity._persist_rotating(
+        "e2e_s2", s1.join(drop2, "doc_id", "left_anti")
+    )
+    # --- stage 3: ensemble quality gate (shared operator body, applied to
+    # the dedup survivors only — the gate is per-doc pure) ---
+    gate = (
+        _ensemble_gate_df(spark, s2.select("doc_id", "text"))
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    s3 = similarity._persist_rotating("e2e_s3", s2.join(gate, "doc_id"))
+    # --- stage 4: Bloom-prefiltered decontamination, exact-verified
+    # (5-gram windows: contiguous-phrase specificity, see _SHINGLES_5) ---
+    grams = F.explode(F.array_distinct(TX.shingles(TX.tokens("text"), 5))).alias("s")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select(grams).distinct()
+    bits = bench.select(
+        F.explode(F.array(*[_bf_pos(F.col("s"), i) for i in range(_BF_K)])).alias(
+            "pos"
+        )
+    ).distinct()
+    corpus4 = s3.filter(F.col("doc_id") % 97 != 0).select("doc_id", grams)
+    probes = corpus4.select(
+        "doc_id",
+        "s",
+        F.explode(F.array(*[_bf_pos(F.col("s"), i) for i in range(_BF_K)])).alias(
+            "pos"
+        ),
+    )
+    bloom_pos = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("k_set"))
+        .filter(F.col("k_set") == _BF_K)
+    )
+    contaminated = (
+        bloom_pos.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= 3)
+        .select("doc_id")
+    )
+    s4 = similarity._persist_rotating(
+        "e2e_s4",
+        s3.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars"),
+    )
+    # --- stage 5: temperature (T=2) mixture rebalance ---
+    counts = s4.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("c5"),
+        F.round(F.sqrt(F.count(F.lit(1))) * 1048576).cast("long").alias("s_int"),
+    )
+    norm = counts.agg(F.sum("s_int").alias("n_int"))
+    shares = counts.crossJoin(F.broadcast(norm)).select(
+        "lang",
+        "c5",
+        (F.col("s_int").cast("double") / F.col("n_int").cast("double")).alias("t"),
+    )
+    budget = shares.agg(F.min(F.floor(F.col("c5") / F.col("t"))).alias("b"))
+    quota = shares.crossJoin(F.broadcast(budget)).select(
+        "lang", F.floor(F.col("b") * F.col("t")).cast("long").alias("quota")
+    )
+    w5 = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    s5 = (
+        s4.join(F.broadcast(quota), "lang")
+        .withColumn("rn", F.row_number().over(w5))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "n_chars")
+    )
+    # --- stage 6: shard manifest (order-independent content sums) ---
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("mft:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return (
+        s5.select(F.expr("doc_id div 100").alias("shard_id"), "doc_id", h.alias("h"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("h").cast("decimal(38,0)").cast("string").alias("content_sum"),
+        )
+        .orderBy("shard_id")
+    )
+
 
 
 # Upper-triangle (i <= j) covariance CTE chain, 9dp-rounded — shared by the
