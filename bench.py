@@ -280,6 +280,16 @@ HEADLINE = [
     # round-47: block-combo blocking at Hamming budget 6 (28 slice-pair
     # tables, 16-bit keys — the documented escape hatch, now measured)
     "dedup_simhash_hamming_d6",
+    # round-48 (r08): exact-substring span dedup (anchor-hash groupBy +
+    # candidate verify + islands merge), perceptual image dedup (real PNG
+    # decode -> dHash -> 16-bit-slice Hamming blocking), the six-stage
+    # curation composition, and the adaptive-n_lists IVF audit.
+    # (ann_probe_recall_curve is already benched above; r08 rebuilt it on a
+    # BLAS bucket shortlist + cumulative-rank fusion, 17.1 s -> ~8.6 s.)
+    "dedup_suffix_exact_spans",
+    "multimodal_phash_dedup",
+    "corpus_curation_e2e",
+    "ann_ivf_adaptive_recall",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -5979,15 +5979,16 @@ _IVF_COS = (
     # the ADAPTIVE-n_lists IVF audit (r07 VERDICT ask #3, the IVF sibling
     # of ann_lsh_adaptive): n_lists = smallest power of two P >= 16 with
     # P*P >= corpus rows (sqrt(n) rounded up — pure INTEGER arithmetic so
-    # both engines agree on the boundary, no float log2), n_probe =
-    # n_lists/4 so the probe FRACTION stays 1/4 while the probed candidate
-    # count per query scales as sqrt(n) instead of n.  Recall is measured
-    # against the registered brute-force oracle so the three stay in
-    # lockstep.
+    # both engines agree on the boundary, no float log2) with a FIXED
+    # n_probe = 8 budget, so each query's candidate count is
+    # n_probe * n / n_lists ~ 8 * sqrt(n) — sublinear in the corpus, where
+    # fixed n_lists scans a constant FRACTION (O(n) per query forever).
+    # The recall trade of the shrinking probed fraction is exactly what
+    # this query measures, against the registered brute-force oracle.
     oracle=f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         prm AS (
-            SELECT MIN(p) AS n_lists, MIN(p) // 4 AS n_probe
+            SELECT MIN(p) AS n_lists, 8 AS n_probe
             FROM (SELECT unnest([16,32,64,128,256,512,1024,2048,4096,8192,
                                  16384,32768,65536]) AS p),
                  (SELECT count(*) AS n FROM v)
@@ -6053,15 +6054,16 @@ def ann_ivf_adaptive_recall(spark, sf_dir):
     FIXED n_lists=16 each query's probe set holds n_probe/16 of the CORPUS
     — probing is O(n) per query forever, and the per-list candidate join
     has only 16 distinct keys to parallelize over.  At n_lists ~ sqrt(n)
-    the centroid scan and the probed candidate count both grow as sqrt(n),
-    and the list_id join key space widens with the data (the skew fix the
-    fixed variant can't have).  The one count() the sizing needs is a
-    parquet-metadata action; the seed take is a distributed TakeOrdered of
-    ~sqrt(n) rows.  SCALING.md records the measured exponent vs the fixed
-    variant (tools/scale_stress.py)."""
+    with a FIXED n_probe budget, the centroid scan and the probed
+    candidate count both grow as sqrt(n), and the list_id join key space
+    widens with the data (the skew fix the fixed variant can't have).
+    The one count() the sizing needs is a parquet-metadata action; the
+    seed take is a distributed TakeOrdered of ~sqrt(n) rows.  SCALING.md
+    records the measured exponent vs the fixed variant
+    (tools/scale_stress.py)."""
     e = T(spark, sf_dir, "embeddings")
     n_lists = similarity.auto_n_lists(e.count())
-    n_probe = n_lists // 4
+    n_probe = 8
     ivf = similarity.ivf_topk(
         e, e, "vec_id", "embedding",
         k=3, n_lists=n_lists, n_probe=n_probe, refine_iters=0,

@@ -95,6 +95,37 @@ STRESS_QUERIES = [
     "dedup_simhash_hamming_d6",
     "dedup_cross_source_leakage",
     "tokenizer_fertility_by_lang",
+    # round-8: exact-substring span dedup (anchor-hash groupBy + candidate
+    # verify — must stay ~linear in tokens, never in pairs), perceptual
+    # image dedup (decode kernel is pure map work; the pair join rides the
+    # 16-bit-slice blocking), and the full curation composition
+    "dedup_suffix_exact_spans",
+    "multimodal_phash_dedup",
+    "corpus_curation_e2e",
+    # the fixed-vs-adaptive IVF probe pair (custom entries below): fixed
+    # n_lists scans a constant corpus FRACTION per query (O(n)); adaptive
+    # n_lists ~ sqrt(n) with a fixed probe budget scans ~8*sqrt(n)
+    "ann_ivf_fixed_probe_topk",
+    "ann_ivf_adaptive_probe_topk",
+]
+
+# The decade-2 set (factors 10/100 — sf1-equivalent and beyond): the
+# dedup/ANN/simhash64 families whose blocking claims matter most at scale,
+# per r07 VERDICT ask #6.  Kept focused because x100 is 500k docs / 200k
+# vectors on local[32].
+DECADE2_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_scaled_planes",
+    "dedup_simhash_hamming",
+    "dedup_incremental_simhash64",
+    "simhash_slice_occupancy",
+    "dedup_simhash_hamming_d6",
+    "dedup_suffix_exact_spans",
+    "multimodal_phash_dedup",
+    "ann_ivf_fixed_probe_topk",
+    "ann_ivf_adaptive_probe_topk",
 ]
 
 
@@ -191,6 +222,8 @@ def main() -> None:
     ap.add_argument("--queries", nargs="+", default=STRESS_QUERIES)
     args = ap.parse_args()
 
+    from pyspark.sql import functions as F
+
     from kwack_spark.plans.registry import query_map
     from kwack_spark.session import get_session
 
@@ -280,9 +313,40 @@ def main() -> None:
         finally:
             _sh.rmtree(replay_dir, ignore_errors=True)
 
+    # Fixed-vs-adaptive IVF probe cost over a FIXED 200-query batch (the
+    # self-join regime would make both O(n^2) by output definition; a fixed
+    # batch isolates per-query probe cost).  Fixed n_lists=16, n_probe=8
+    # scans n/2 candidates per query — O(n) however big the corpus.
+    # Adaptive n_lists ~ sqrt(n) (similarity.auto_n_lists) at the same
+    # n_probe=8 budget scans ~8*sqrt(n) — and widens the list_id join key
+    # space with the data.
+    def ann_ivf_fixed_probe_topk(spark, sf_dir):
+        from kwack_spark.operators import similarity
+        from kwack_spark.sources.parquet import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") < 200)
+        return similarity.ivf_topk(
+            e, q, "vec_id", "embedding", k=3, n_lists=16, n_probe=8,
+            refine_iters=0,
+        )
+
+    def ann_ivf_adaptive_probe_topk(spark, sf_dir):
+        from kwack_spark.operators import similarity
+        from kwack_spark.sources.parquet import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") < 200)
+        return similarity.ivf_topk(
+            e, q, "vec_id", "embedding", k=3, n_lists="auto", n_probe=8,
+            refine_iters=0,
+        )
+
     qmap = dict(qmap)
     qmap["ann_lsh_scaled_planes"] = ann_lsh_scaled_planes
     qmap["streaming_lsh_neardup_ttl"] = streaming_lsh_neardup_ttl
+    qmap["ann_ivf_fixed_probe_topk"] = ann_ivf_fixed_probe_topk
+    qmap["ann_ivf_adaptive_probe_topk"] = ann_ivf_adaptive_probe_topk
 
     results: dict[int, dict[str, float]] = {}
     for factor in args.factors:
