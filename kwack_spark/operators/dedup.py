@@ -99,8 +99,20 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    sa = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # verify joins are PINNED to shuffle-hash: the shingle-set side carries
+    # the corpus's full shingle arrays, and AQE — misled by the band
+    # self-join's pessimistic output estimate for `cand` — can pick that
+    # array-heavy side for a broadcast, which overruns a single-box driver
+    # at 500k docs (measured: OOM or 130 s mis-broadcast vs 19 s shuffled
+    # at x100, SCALING.md).  At 100 TB the shuffle join is the only right
+    # plan anyway (both sides are corpus-scale); at bench scale the extra
+    # id-keyed exchange is noise.
+    sa = shingle_sets.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    ).hint("shuffle_hash")
+    sb = shingle_sets.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+    ).hint("shuffle_hash")
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
         cand.join(sa, "id_a")
@@ -564,16 +576,22 @@ def fingerprint_hamming_pairs(
     sliced = _simhash64_sliced(fps, id_col, blocks)
     a = sliced.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "blk", "slc")
     b = sliced.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "blk", "slc")
-    cand = (
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    # verify BEFORE the dedup shuffle: bit_count(xor) is one instruction per
+    # collision, while distinct is a full shuffle of the collision set — at
+    # 500k docs the slice self-join emits ~60M candidate rows but only the
+    # true <= max_hamming pairs (orders of magnitude fewer) need to travel.
+    # Filter-then-distinct equals distinct-then-filter for a deterministic
+    # row-level predicate; measured second-decade exponent drops from 1.13
+    # to ~linear (SCALING.md).
+    return (
         a.join(b, ["blk", "slc"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
+        .filter(
+            (F.col("id_a") < F.col("id_b")) & (hamming <= max_hamming)
+        )
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .distinct()
     )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return cand.select(
-        "id_a", "id_b", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 def simhash64_block_occupancy(
@@ -709,17 +727,18 @@ def incremental_simhash64_new_dups(
     batch_sliced = _simhash64_sliced(batch_fps, id_col, blocks).select(
         F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "blk", "slc"
     )
-    cand = (
+    hamming = F.bit_count(F.col("fp_b").bitwiseXOR(F.col("fp_h")))
+    # verify before the dedup shuffle (see fingerprint_hamming_pairs)
+    return (
         batch_sliced.join(hist_sliced, ["blk", "slc"])
-        .select("id_b", "id_h", "fp_b", "fp_h")
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_h").alias("hist_id"),
+            hamming.cast("int").alias("hamming"),
+        )
         .distinct()
     )
-    hamming = F.bit_count(F.col("fp_b").bitwiseXOR(F.col("fp_h")))
-    return cand.select(
-        F.col("id_b").alias("doc_id"),
-        F.col("id_h").alias("hist_id"),
-        hamming.cast("int").alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
 
 def exact_duplicate_spans(
     df: DataFrame,
@@ -874,13 +893,15 @@ def simhash64_hamming_pairs_combo(
     ).select(id_col, "fp", F.col("s.combo").alias("combo"), F.col("s.key").alias("key"))
     a = sliced.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "combo", "key")
     b = sliced.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "combo", "key")
-    cand = (
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    # verify before the dedup shuffle (see fingerprint_hamming_pairs): the
+    # 28-table explode multiplies collision volume 3.5x, so shuffling only
+    # verified pairs matters even more here
+    return (
         a.join(b, ["combo", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
+        .filter(
+            (F.col("id_a") < F.col("id_b")) & (hamming <= max_hamming)
+        )
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .distinct()
     )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return cand.select(
-        "id_a", "id_b", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)

@@ -398,6 +398,26 @@ def ivf_topk(
     fraction stays constant.
     """
     cents, assigned = ivf_assign(corpus, id_col, vec_col, n_lists, refine_iters)
+    return ivf_probe_topk(cents, assigned, queries, id_col, vec_col, k, n_probe)
+
+
+def ivf_probe_topk(
+    cents: DataFrame,
+    assigned: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 4,
+) -> DataFrame:
+    """The PROBE half of IVF top-k against a PREBUILT index — ``cents``
+    (cid, cv[, ncv]) and ``assigned`` (corpus_id, v, list_id) as produced
+    by ``ivf_assign`` and, in production, written once and read per query
+    batch (the index is built/trained once and amortized over the query
+    stream; tools/scale_stress.py measures exactly this split).  Identical
+    results to ``ivf_topk``, which composes assign + probe."""
+    if "ncv" not in cents.columns:  # a parquet-roundtripped index drops it
+        cents = cents.withColumn("ncv", V.norm(F.col("cv")))
     assigned = assigned.withColumn("nv", V.norm(F.col("v")))
     q = queries.select(
         F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv")
