@@ -466,15 +466,24 @@ _ACTIVE_CACHE_LOCK = _threading.Lock()
 
 def _persist_rotating(tag: str, df: DataFrame) -> DataFrame:
     """Persist ``df``, releasing the PREVIOUS persisted frame under ``tag``
-    within the same SparkSession.
+    within the same SparkSession — unless the previous frame has the SAME
+    analyzed plan, in which case it is returned as-is (cache REUSE).
 
     DataFrame.persist pins the plan in the session CacheManager until an
     explicit unpersist — garbage collection never frees it — so a
     long-lived session calling a PQ operator repeatedly would accumulate
     one full reconstructed-index cache per call.  Rotating keeps at most
-    ONE outstanding cache per operator family per session: by the time the
-    next call arrives, the prior call's consumers have executed, and a
-    still-held old result simply recomputes uncached if re-executed."""
+    ONE outstanding cache per operator family per session.
+
+    The sameResult reuse matters for repeated identical calls (bench reps,
+    a session re-running one query): a plain pinned ``persist`` gets this
+    for free (the CacheManager dedupes identical plans — the pre-rotation
+    behavior), and naive rotation would unpersist-then-recompute the very
+    cache it could have reused, measured 2-4x on the SimHash64 bench
+    family.  Caveat: plan equality over file sources reflects the files at
+    read time — callers whose INPUT FILES mutate between calls must not
+    share a tag (every current caller reads the immutable testdata or a
+    frame derived from it)."""
     from pyspark import StorageLevel
 
     spark = df.sparkSession
@@ -483,7 +492,16 @@ def _persist_rotating(tag: str, df: DataFrame) -> DataFrame:
         if per_session is None:
             per_session = {}
             _ACTIVE_CACHE[spark] = per_session
-        prev = per_session.pop(tag, None)
+        prev = per_session.get(tag)
+        if prev is not None:
+            try:
+                if prev._jdf.queryExecution().analyzed().sameResult(
+                    df._jdf.queryExecution().analyzed()
+                ):
+                    return prev
+            except Exception:
+                pass
+        per_session.pop(tag, None)
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
         per_session[tag] = out
     if prev is not None:
