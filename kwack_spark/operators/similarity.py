@@ -495,7 +495,15 @@ def _persist_rotating(tag: str, df: DataFrame) -> DataFrame:
         prev = per_session.get(tag)
         if prev is not None:
             try:
-                if prev._jdf.queryExecution().analyzed().sameResult(
+                # reuse only while the held frame is STILL cached: an
+                # external spark.catalog.clearCache() (bench/stress
+                # harnesses evict between queries) unpins it behind our
+                # back, and returning an unpersisted frame would make the
+                # caller's self-join recompute the subtree once per side
+                still_cached = (
+                    prev.storageLevel.useMemory or prev.storageLevel.useDisk
+                )
+                if still_cached and prev._jdf.queryExecution().analyzed().sameResult(
                     df._jdf.queryExecution().analyzed()
                 ):
                     return prev
