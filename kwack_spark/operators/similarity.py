@@ -510,13 +510,21 @@ def _persist_rotating(tag: str, df: DataFrame) -> DataFrame:
             except Exception:
                 pass
         per_session.pop(tag, None)
+        # Unpersist the displaced frame BEFORE persisting the new one.
+        # Spark's CacheManager keys entries by plan equality, so when the
+        # held frame was evicted externally (spark.catalog.clearCache()
+        # between bench reps) and the incoming frame has the SAME plan,
+        # persisting first and unpersisting after would destroy the entry
+        # just created — the caller's self-join then recomputes the whole
+        # fingerprint subtree once per side (measured 2.3 s/rep with the
+        # cache vs 8.3 s/rep without on dedup_simhash_hamming).
+        if prev is not None:
+            try:
+                prev.unpersist(False)
+            except Exception:
+                pass
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
         per_session[tag] = out
-    if prev is not None:
-        try:
-            prev.unpersist(False)
-        except Exception:
-            pass
     return out
 
 
