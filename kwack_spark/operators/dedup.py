@@ -746,21 +746,28 @@ def exact_duplicate_spans(
     text_col: str,
     min_tokens: int = 50,
 ) -> DataFrame:
-    """Exact-substring (suffix-array-style) dedup: every MAXIMAL token span
-    of >= ``min_tokens`` tokens that occurs verbatim more than once in the
-    corpus (Lee et al. 2022, "Deduplicating Training Data Makes Language
-    Models Better" — the ExactSubstr operator; r07 VERDICT ask #2).
-    Returns one row per maximal duplicated region:
+    """Exact-substring (suffix-array-style) dedup in the spirit of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better"
+    (the ExactSubstr operator; r07 VERDICT ask #2).  Returns one row per
+    MAXIMAL run of tokens in which EVERY width-``min_tokens`` window is
+    duplicated corpus-wide:
     ``(id, span_start, span_tokens, span_text)`` (token positions 1-based).
 
-    Equivalence to the suffix-array formulation: a span of length L >=
-    ``min_tokens`` is duplicated iff EVERY width-``min_tokens`` window
-    inside it is duplicated, so the set of duplicated-anchor positions
-    (windows occurring >= 2 times corpus-wide) determines the maximal
-    spans exactly — merge runs of consecutive duplicated positions p..q
-    into the span [p, q + min_tokens - 1].  A single-node suffix array
-    finds the same windows by sorting all suffixes; here the "sort" is a
-    distributed hash bucket groupBy over the window anchors.
+    Semantics, precisely: a token position p is a duplicated ANCHOR when
+    the width-``min_tokens`` window starting at p occurs >= 2 times in the
+    corpus; runs of consecutive anchors p..q merge into the emitted span
+    [p, q + min_tokens - 1].  Every verbatim-duplicated span of length >=
+    ``min_tokens`` is contained in an emitted span (all its windows are
+    duplicated), so the output is a SUPERSET of verbatim duplicates — but
+    an emitted span need not itself occur verbatim twice as a whole:
+    consecutive anchors may chain overlapping matches against DIFFERENT
+    partner documents (doc A shares its first 8 windows with doc B and the
+    next one with doc C — the merged 9-window span exists only in A).
+    This is the same over-merge Lee et al.'s run-merging exhibits, and the
+    right dedup behavior: every token inside the span sits in SOME
+    duplicated window.  A single-node suffix array finds the same windows
+    by sorting all suffixes; here the "sort" is a distributed hash bucket
+    groupBy over the window anchors.
 
     Distributed shape (never a global suffix array):
     1. anchor stage — one narrow pass emits md5(window) per token position

@@ -2031,8 +2031,10 @@ def cross_doc_repeated_ngrams(spark, sf_dir):
 @register(
     "dedup_suffix_exact_spans",
     # exact-substring dedup (Lee et al. 2022 ExactSubstr; r07 VERDICT ask
-    # #2): every MAXIMAL token span >= 50 tokens occurring verbatim more
-    # than once in the corpus, with its exact text.  The oracle replays the
+    # #2): every MAXIMAL token run in which each width-50 window occurs
+    # verbatim >= 2 times corpus-wide, with its exact text (a SUPERSET of
+    # spans that duplicate as a whole — consecutive anchors may chain
+    # matches against different partners).  The oracle replays the
     # same anchor -> verify -> islands pipeline: width-50 window hashes per
     # position, windows seen >= 2x, full-string verify, consecutive
     # positions merged by gaps-and-islands, span text sliced back out.
@@ -6049,7 +6051,7 @@ _IVF_COS = (
 )
 def ann_ivf_adaptive_recall(spark, sf_dir):
     """recall@3 of the auto-sized IVF index (similarity.auto_n_lists —
-    n_lists ~ sqrt(n) rounded up to a power of two, n_probe = n_lists/4)
+    n_lists ~ sqrt(n) rounded up to a power of two, FIXED n_probe=8)
     vs the exact brute-force top-3.  Why adaptive matters at 100 TB: with
     FIXED n_lists=16 each query's probe set holds n_probe/16 of the CORPUS
     — probing is O(n) per query forever, and the per-list candidate join
@@ -9325,6 +9327,13 @@ def ann_probe_recall_curve(spark, sf_dir):
         import pandas as pd
 
         rows = assigned.select("corpus_id", "list_id", "v").collect()
+        if not rows:
+            # 0 rows passes _within_cap but np.array([]) is 1-D and the
+            # axis=1 norm would raise; an empty corpus has an empty curve
+            return spark.createDataFrame(
+                [],
+                "n_probe int, n_matched bigint, n_exact bigint, recall double",
+            )
         ids = np.array([r[0] for r in rows], dtype=np.int64)
         lists = np.array([r[1] for r in rows], dtype=np.int64)
         mat = np.array([list(r[2]) for r in rows], dtype=np.float64)
