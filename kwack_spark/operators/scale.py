@@ -383,3 +383,141 @@ def widen_if_narrow(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+# --- mergeable quantile sketch (KLL family, deterministic) --------------------
+
+KLL_DEFAULT_K = 64
+
+
+def _kll_rank(id_col: str, seed: str) -> Column:
+    """Deterministic 60-bit integer hash rank per row: the first 15 hex
+    chars of md5(seed:id) parsed as an integer.  Replaces KLL's random
+    coin so the sketch is bit-reproducible and oracle-checkable (same
+    reasoning as the HLL/CMS registers above)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def kll_threshold(n: int, k: int = KLL_DEFAULT_K) -> int | None:
+    """Hash-rank prefilter threshold for an n-row input: keep rows with
+    rank < T where T targets ~8k expected survivors (8x oversampling makes
+    P[< k survivors] astronomically small).  None when n <= 8k (keep all).
+    Exact integer arithmetic — DuckDB reproduces it as
+    (HUGEINT 2^60 * 8k) // n, bit-identically."""
+    if n <= 8 * k:
+        return None
+    return ((1 << 60) * 8 * k) // n
+
+
+def kll_sketch(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    k: int = KLL_DEFAULT_K,
+    by: tuple[str, ...] = (),
+    seed: str = "kll",
+    n_hint: int | None = None,
+) -> DataFrame:
+    """Constant-size mergeable quantile sketch: the KLL-family member with
+    the random compaction coin replaced by a deterministic md5 rank — the
+    register table is the k rows with the SMALLEST hash rank per ``by``
+    group (a hash-ranked uniform sample, KMV-style bottom-k).  Columns
+    ``(*by, hr, rid, v)``; at most k rows per group whatever the input
+    cardinality, so percentile state for a 100 TB column is a few KB that
+    merges across shards/days exactly like the HLL/CMS registers.
+
+    Single-level trade-off vs multi-level KLL: rank error is O(1/sqrt(k))
+    instead of O(1/k), bought back by determinism — sketch(A) is a pure
+    function of A's rows, so merge-invariance (sketch(A) merged with
+    sketch(B) == sketch(A u B), exactly — bottom-k is a monoid) is
+    testable bit-for-bit against a SQL oracle rather than only in
+    distribution.
+
+    100-TB shape: when ``n_hint`` is given (a count the caller already
+    has), the hash-rank prefilter ``hr < kll_threshold(n)`` rides the scan
+    as a narrow predicate and discards all but ~8k rows BEFORE the
+    per-group top-k shuffle — the sort ranks a vanishing sample, never the
+    corpus.  Without a hint every row reaches the (still map-side
+    bounded) top-k."""
+    from pyspark.sql import Window
+
+    hr = _kll_rank(id_col, seed)
+    rows = df.select(
+        *by,
+        hr.alias("hr"),
+        F.col(id_col).cast("long").alias("rid"),
+        F.col(value_col).alias("v"),
+    )
+    if n_hint is not None:
+        t = kll_threshold(int(n_hint), k)
+        if t is not None:
+            rows = rows.filter(F.col("hr") < F.lit(t))
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("hr", "rid")
+    return (
+        rows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kll_merge(
+    *sketches: DataFrame, k: int = KLL_DEFAULT_K, by: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge register tables built with the same (k, seed, by): union then
+    re-take the k smallest ranks per group.  Bottom-k is idempotent,
+    commutative, and associative, and — because membership is a pure
+    function of the row — merging per-shard sketches equals sketching the
+    union EXACTLY (the merge-invariance gate sketch_quantile_lengths
+    grades), making the register table safe running state under
+    at-least-once ingest."""
+    from pyspark.sql import Window
+
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("hr", "rid")
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kll_quantile(
+    sketch: DataFrame, qs: tuple[float, ...], by: tuple[str, ...] = ()
+) -> DataFrame:
+    """Quantile estimates from a register table: per group the <= k sample
+    values are sorted and q maps to the deterministic 1-based index
+    ceil(q * n_sample) (clamped to >= 1) — integer indexing, no
+    interpolation, so both engines pick the identical element.  Emits
+    ``(*by, q, q_est, n_sample)``.  The collect_list is bounded by k per
+    group — constant memory however large the sketched input was."""
+    agg = sketch.groupBy(*[F.col(c) for c in by]).agg(
+        F.sort_array(F.collect_list("v")).alias("vs"),
+        F.count(F.lit(1)).alias("n_sample"),
+    )
+    return (
+        agg.select(
+            *by,
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+            "vs",
+            "n_sample",
+        )
+        .select(
+            *by,
+            "q",
+            F.element_at(
+                "vs",
+                F.greatest(
+                    F.lit(1), F.ceil(F.col("q") * F.col("n_sample"))
+                ).cast("int"),
+            ).cast("long").alias("q_est"),
+            "n_sample",
+        )
+    )

@@ -928,3 +928,133 @@ def inverted_index_incremental(spark, sf_dir):
             F.broadcast(matching.agg(F.count(F.lit(1)).alias("matching_rows")))
         )
     )
+
+
+@register(
+    "sketch_quantile_lengths",
+    # mergeable quantile sketch (r08 VERDICT ask #6): per-lang p50/p90/p99
+    # of n_chars from a constant-size KLL-family register table
+    # (operators/scale.py:kll_sketch — deterministic md5 rank replaces the
+    # random compaction coin, so the k=64 bottom-rank sample is
+    # bit-reproducible), WITH the merge-invariance gate graded in-query:
+    # the full-table sketch must equal the merge of two half-table
+    # sketches register-for-register (bottom-k is a monoid), surfaced as
+    # the merge_invariant column every row must carry as true.  The
+    # hash-rank prefilter (keep hr < 2^60*8k/n when n > 8k) is active at
+    # sf0.1 and inactive at sf0.01, so both paths are oracle-graded.
+    oracle="""
+        WITH d AS (SELECT lang, doc_id, n_chars FROM documents),
+        prm AS (SELECT count(*) AS n FROM d),
+        r AS (
+            SELECT lang, doc_id AS rid, n_chars AS v,
+                   ('0x' || substr(md5('kllq:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       AS hr
+            FROM d
+        ),
+        filt AS (
+            SELECT r.* FROM r CROSS JOIN prm
+            WHERE n <= 512
+               OR hr < (CAST(1152921504606846976 AS HUGEINT) * 512) // n
+        ),
+        fullk AS (
+            SELECT lang, hr, rid, v FROM (
+                SELECT *, row_number() OVER (PARTITION BY lang
+                                             ORDER BY hr, rid) AS rn
+                FROM filt
+            ) WHERE rn <= 64
+        ),
+        h0 AS (
+            SELECT lang, hr, rid, v FROM (
+                SELECT *, row_number() OVER (PARTITION BY lang
+                                             ORDER BY hr, rid) AS rn
+                FROM filt WHERE rid % 2 = 0
+            ) WHERE rn <= 64
+        ),
+        h1 AS (
+            SELECT lang, hr, rid, v FROM (
+                SELECT *, row_number() OVER (PARTITION BY lang
+                                             ORDER BY hr, rid) AS rn
+                FROM filt WHERE rid % 2 = 1
+            ) WHERE rn <= 64
+        ),
+        mrg AS (
+            SELECT lang, hr, rid, v FROM (
+                SELECT *, row_number() OVER (PARTITION BY lang
+                                             ORDER BY hr, rid) AS rn
+                FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1)
+            ) WHERE rn <= 64
+        ),
+        mism AS (
+            SELECT count(*) AS mism FROM (
+                (SELECT lang, hr, rid FROM fullk
+                 EXCEPT ALL SELECT lang, hr, rid FROM mrg)
+                UNION ALL
+                (SELECT lang, hr, rid FROM mrg
+                 EXCEPT ALL SELECT lang, hr, rid FROM fullk)
+            )
+        ),
+        ag AS (
+            SELECT lang, list_sort(list(v)) AS vs, count(*) AS c
+            FROM fullk GROUP BY lang
+        )
+        SELECT lang, q,
+               CAST(vs[greatest(1, CAST(ceil(q * c) AS INTEGER))] AS BIGINT)
+                   AS q_est,
+               CAST(c AS BIGINT) AS n_sample,
+               (SELECT mism FROM mism) = 0 AS merge_invariant
+        FROM ag, (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                                 CAST(0.99 AS DOUBLE)]) AS q)
+        ORDER BY lang, q
+    """,
+    tags=("sketch", "quantile", "kll", "mergeable"),
+)
+def sketch_quantile_lengths(spark, sf_dir):
+    """Per-lang length percentiles from the mergeable quantile sketch —
+    the missing member of the sketch family (HLL = distinct, CMS =
+    frequency, KLL = rank): at 100 TB a latency/length percentile must
+    come from constant-size mergeable state, not an exact per-group sort.
+
+    Plan shape: the hash rank and prefilter ride the scan as a narrow
+    projection + predicate (no UDF); the per-group top-64 shuffles only
+    the ~8k prefilter survivors; quantile extraction sorts <= 64 values
+    per group.  The merge-invariance gate builds the same sketch from the
+    two doc_id-parity halves (same threshold, so membership is the same
+    pure function) and full-outer-diffs the register sets — 0 mismatches
+    is part of the graded output, so a broken merge fails correctness,
+    not just a unit test."""
+    from kwack_spark.operators.similarity import _persist_rotating
+
+    d = T(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    n = d.count()  # 1-row scalar action; parquet metadata at scan time
+    kw = dict(k=64, by=("lang",), seed="kllq", n_hint=n)
+    # the full sketch feeds the quantile AND the invariance diff — persist
+    # (rotating) or the scan + top-k runs once per consumer
+    full = _persist_rotating(
+        "kll_full", scale.kll_sketch(d, "doc_id", "n_chars", **kw)
+    )
+    h0 = scale.kll_sketch(
+        d.filter(F.col("doc_id") % 2 == 0), "doc_id", "n_chars", **kw
+    )
+    h1 = scale.kll_sketch(
+        d.filter(F.col("doc_id") % 2 == 1), "doc_id", "n_chars", **kw
+    )
+    merged = scale.kll_merge(h0, h1, k=64, by=("lang",))
+    a = full.select("lang", "hr", "rid")
+    b = merged.select("lang", "hr", "rid")
+    mism = (
+        a.exceptAll(b)
+        .union(b.exceptAll(a))
+        .agg(F.count(F.lit(1)).alias("mism"))
+    )
+    est = scale.kll_quantile(full, (0.5, 0.9, 0.99), by=("lang",))
+    return (
+        est.crossJoin(F.broadcast(mism))
+        .select(
+            "lang",
+            "q",
+            "q_est",
+            "n_sample",
+            (F.col("mism") == 0).alias("merge_invariant"),
+        )
+        .orderBy("lang", "q")
+    )

@@ -64,3 +64,65 @@ def test_persist_rotating_rotates_distinct_plans(spark):
     assert b.storageLevel.useMemory
     b.unpersist(False)
     del _ACTIVE_CACHE[spark]["t_rot"]
+
+
+# --- KLL mergeable quantile sketch --------------------------------------------
+
+
+def test_kll_threshold_policy():
+    from kwack_spark.operators.scale import kll_threshold
+
+    assert kll_threshold(512, 64) is None       # n == 8k: keep all
+    assert kll_threshold(100, 64) is None
+    t = kll_threshold(513, 64)
+    assert t == ((1 << 60) * 512) // 513        # exact integer arithmetic
+    assert kll_threshold(5000, 64) == ((1 << 60) * 512) // 5000
+
+
+def test_kll_sketch_bounded_and_merge_invariant(spark):
+    """Register table holds <= k rows per group; merging the two parity
+    halves equals sketching the whole input, register-for-register."""
+    from kwack_spark.operators import scale
+
+    rows = [(i, "g%d" % (i % 3), (i * 37) % 1000) for i in range(500)]
+    d = spark.createDataFrame(rows, "doc_id long, g string, v long")
+    kw = dict(k=16, by=("g",), seed="t9")
+    full = scale.kll_sketch(d, "doc_id", "v", **kw)
+    got = full.collect()
+    from collections import Counter
+
+    per_group = Counter(r.g for r in got)
+    assert all(c <= 16 for c in per_group.values()) and len(per_group) == 3
+    h0 = scale.kll_sketch(d.filter("doc_id % 2 = 0"), "doc_id", "v", **kw)
+    h1 = scale.kll_sketch(d.filter("doc_id % 2 = 1"), "doc_id", "v", **kw)
+    merged = scale.kll_merge(h0, h1, k=16, by=("g",)).collect()
+    key = lambda r: (r.g, r.hr, r.rid, r.v)
+    assert sorted(map(key, merged)) == sorted(map(key, got))
+
+
+def test_kll_quantile_exact_on_small_input(spark):
+    """With n <= k the sketch IS the data, so the quantile estimate must
+    equal the exact deterministic-index percentile."""
+    from kwack_spark.operators import scale
+
+    rows = [(i, "a", v) for i, v in enumerate([10, 20, 30, 40, 50, 60, 70, 80, 90, 100])]
+    d = spark.createDataFrame(rows, "doc_id long, g string, v long")
+    sk = scale.kll_sketch(d, "doc_id", "v", k=64, by=("g",), seed="t9")
+    est = {r.q: r.q_est for r in scale.kll_quantile(sk, (0.5, 0.9), by=("g",)).collect()}
+    # ceil(0.5*10)=5 -> 50; ceil(0.9*10)=9 -> 90
+    assert est == {0.5: 50, 0.9: 90}
+
+
+def test_kll_prefilter_preserves_topk(spark):
+    """The hash-rank prefilter must not change the register set (8x
+    oversampling: the k smallest ranks always survive hr < 2^60*8k/n in
+    any realistic draw — pinned on a concrete input)."""
+    from kwack_spark.operators import scale
+
+    rows = [(i, "a", i) for i in range(2000)]
+    d = spark.createDataFrame(rows, "doc_id long, g string, v long")
+    kw = dict(k=32, by=("g",), seed="t9p")
+    plain = scale.kll_sketch(d, "doc_id", "v", **kw).collect()
+    filt = scale.kll_sketch(d, "doc_id", "v", n_hint=2000, **kw).collect()
+    key = lambda r: (r.hr, r.rid)
+    assert sorted(map(key, filt)) == sorted(map(key, plain))
