@@ -6515,6 +6515,136 @@ def bpe_merge_candidates(spark, sf_dir):
     )
 
 
+# 5-step BPE training oracle: the word-frequency table (ONE corpus scan)
+# is re-expressed as canonical symbol strings (2-space separators, 2-space
+# wrapped: '  a  b  c  ' — a match of ' a  b ' then forces both symbols to
+# be COMPLETE, and the shared boundary keeps one space per side so greedy
+# left-to-right replace() preserves the canonical form), then five chained
+# (pairs -> argmax -> replace) blocks apply each winning merge before
+# counting the next — real BPE iteration, not five independent censuses.
+def _bpe_steps_sql(steps: int) -> str:
+    blocks = []
+    for i in range(1, steps + 1):
+        blocks.append(f"""
+        p{i} AS (
+            SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+                SELECT unnest([syms[i] || ' ' || syms[i+1]
+                               for i in generate_series(1, len(syms) - 1)])
+                           AS pair,
+                       freq
+                FROM (SELECT string_split(trim(s), '  ') AS syms, freq
+                      FROM s{i - 1})
+            ) GROUP BY pair
+        ),
+        w{i} AS (SELECT pair, n FROM p{i} ORDER BY n DESC, pair LIMIT 1),
+        s{i} AS (
+            SELECT replace(s, ' ' || replace(pair, ' ', '  ') || ' ',
+                              ' ' || replace(pair, ' ', '') || ' ') AS s,
+                   freq
+            FROM s{i - 1} CROSS JOIN w{i}
+        )""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, pair, n FROM w{i}"
+        for i in range(1, steps + 1)
+    )
+    return ",".join(blocks) + f"""
+        SELECT step, pair, n FROM ({union}) ORDER BY step
+    """
+
+
+@register(
+    "bpe_merge_training_5steps",
+    # iterated BPE trainer (r08 VERDICT ask #8): unroll 5 training
+    # iterations — each step counts adjacent symbol pairs over the
+    # vocabulary-sized word-frequency state, picks the argmax merge
+    # (count DESC, pair ASC — bpe_merge_candidates' tiebreak), and APPLIES
+    # it before the next count, producing the actual ordered merge list a
+    # tokenizer would ship.  The corpus is scanned exactly once (the wf
+    # CTE); every iteration is vocabulary-sized.
+    oracle=f"""
+        WITH wf AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest({{toks}}) AS w FROM documents) GROUP BY w
+        ),
+        s0 AS (
+            SELECT regexp_replace(w, '(.)', '  \\1', 'g') || '  ' AS s, freq
+            FROM wf
+        ),{{steps}}
+    """.format(toks=_toks(), steps=_bpe_steps_sql(5)),
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def bpe_merge_training_5steps(spark, sf_dir):
+    """Five APPLIED BPE merge iterations (TextRank-style unroll): state is
+    the word-frequency table re-coded as canonical symbol strings
+    ('  a  b  ' — 2-space separators so replace(' a  b ', ' ab ') matches
+    only complete symbols, consumes one boundary space per side, and
+    therefore applies the merge greedily left-to-right while preserving
+    the canonical form — exactly BPE's leftmost-first merge order, with
+    overlapping runs like 'a a a' merging (1,2) and leaving 3).
+
+    100-TB shape identical to bpe_merge_candidates: the corpus is scanned
+    ONCE into the vocabulary-sized (word, freq) state (map-side
+    combinable groupBy); each of the 5 iterations is a pair-explode +
+    groupBy over the vocabulary (thousands of rows at any corpus size),
+    and the 1-row argmax per step is the allowed scalar collect (the
+    merge must be known to build the next step's plan — same pattern as
+    ann_ivf_adaptive_recall's count).  The state frame is persisted once;
+    steps 2-5 recompute only k cheap vocabulary-sized replaces from that
+    cache, never the corpus scan."""
+    d = T(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(TX.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    state = similarity._persist_rotating(
+        "bpe_state0",
+        wf.select(
+            F.concat(
+                F.regexp_replace("w", "(.)", "  $1"), F.lit("  ")
+            ).alias("s"),
+            "freq",
+        ),
+    )
+    merges: list[tuple[int, str, int]] = []
+    for step in range(1, 6):
+        prs = state.select(
+            F.split(F.trim("s"), "  ").alias("syms"), "freq"
+        ).select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) > 1 THEN "
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> concat(element_at(syms, i), ' ', "
+                    "element_at(syms, i + 1))) "
+                    "ELSE array() END"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        top = (
+            prs.groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, n = top[0]["pair"], int(top[0]["n"])
+        merges.append((step, pair, n))
+        a, b = pair.split(" ")
+        state = state.select(
+            F.replace(
+                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            ).alias("s"),
+            "freq",
+        )
+    return spark.createDataFrame(
+        merges, "step bigint, pair string, n bigint"
+    ).orderBy("step")
+
+
 @register(
     "shard_manifest_hashes",
     # dataset-publish manifest: per output shard, row count, key range, and

@@ -126,3 +126,81 @@ def test_kll_prefilter_preserves_topk(spark):
     filt = scale.kll_sketch(d, "doc_id", "v", n_hint=2000, **kw).collect()
     key = lambda r: (r.hr, r.rid)
     assert sorted(map(key, filt)) == sorted(map(key, plain))
+
+
+# --- iterated BPE merge application -------------------------------------------
+
+
+def _py_bpe(word_freq, steps):
+    """Independent reference: classic BPE training loop over symbol tuples
+    with greedy leftmost-first merge application."""
+    state = {tuple(w): f for w, f in word_freq.items()}
+    out = []
+    for step in range(1, steps + 1):
+        counts = {}
+        for syms, f in state.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((step, f"{a} {b}", n))
+        nxt = {}
+        for syms, f in state.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            key = tuple(merged)
+            nxt[key] = nxt.get(key, 0) + f
+        state = nxt
+    return out
+
+
+def test_bpe_training_matches_python_reference(spark, tmp_path):
+    """The 5-step trainer on an engineered corpus (overlapping runs,
+    multi-char merges chaining into longer symbols) must equal the classic
+    Python BPE loop."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kwack_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    docs = [
+        "aaa abab banana banana bandana",
+        "aaaa abab cabbage banana",
+        "the theme there then banana band",
+    ]
+    texts = []
+    for i, t in enumerate(docs):
+        texts.append((i, t))
+    # minimal documents.parquet the query's loader accepts
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in texts], pa.int64()),
+            "text": pa.array([t for _, t in texts]),
+            "lang": pa.array(["en"] * len(texts)),
+            "n_chars": pa.array([len(t) for _, t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = [
+        (r.step, r.pair, r.n)
+        for r in QUERIES["bpe_merge_training_5steps"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    ]
+    wf = {}
+    import re
+
+    for _, t in texts:
+        for w in re.sub(r"[^a-z ]", "", t.lower()).split():
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    assert got == _py_bpe(wf, 5)
