@@ -3682,24 +3682,11 @@ _DHASH_CELL = (
     "|| j::VARCHAR || ':' || i::VARCHAR), 2, 1)) - 1)"
 )
 
-
-@register(
-    "multimodal_phash_dedup",
-    # perceptual image dedup (r07 VERDICT ask #4): REAL PNG decode -> luma
-    # box-downsample -> 64-bit dHash -> pigeonhole Hamming blocking.  The
-    # fixture (multimodal.py:synth_png_blocky) is 2x2-block-constant, so
-    # the decoded-and-downsampled 9x8 grid — and therefore the fingerprint
-    # — has the closed md5 form this oracle states INDEPENDENTLY of the
-    # bytes (same contract as multimodal_png_decode): a decoder that
-    # mis-unfilters any scanline or a downsampler that mis-averages any
-    # block changes fingerprints and fails the hash.  fp = CAST(SUM(term)
-    # AS BIGINT): every per-bit term is in BIGINT range and the true
-    # fingerprint fits int64, so the HUGEINT sum collapses exactly (bit
-    # 63's term is the sign value, matching JVM shiftleft wrap).  The
-    # oracle pairs by brute force (fixture-sized); Spark uses the blocked
-    # join.
-    oracle=f"""
-        WITH p AS (
+# closed-form dHash fingerprint chain (p -> grid -> bits -> fp), shared by
+# multimodal_phash_dedup and corpus_curation_multimodal (one copy of the
+# fingerprint semantics, re-rooted onto a survivor set via .replace on the
+# FROM clause — the same composition idiom as _E2E_LSH_CTES)
+_DHASH_FP_CTES = f"""p AS (
             SELECT doc_id, doc_id % 128 AS g, (doc_id // 128) % 4 AS v
             FROM documents
         ),
@@ -3726,7 +3713,26 @@ _DHASH_CELL = (
         fp AS (
             SELECT doc_id, CAST(SUM(term) AS BIGINT) AS fp
             FROM bits GROUP BY doc_id
-        )
+        )"""
+
+
+@register(
+    "multimodal_phash_dedup",
+    # perceptual image dedup (r07 VERDICT ask #4): REAL PNG decode -> luma
+    # box-downsample -> 64-bit dHash -> pigeonhole Hamming blocking.  The
+    # fixture (multimodal.py:synth_png_blocky) is 2x2-block-constant, so
+    # the decoded-and-downsampled 9x8 grid — and therefore the fingerprint
+    # — has the closed md5 form this oracle states INDEPENDENTLY of the
+    # bytes (same contract as multimodal_png_decode): a decoder that
+    # mis-unfilters any scanline or a downsampler that mis-averages any
+    # block changes fingerprints and fails the hash.  fp = CAST(SUM(term)
+    # AS BIGINT): every per-bit term is in BIGINT range and the true
+    # fingerprint fits int64, so the HUGEINT sum collapses exactly (bit
+    # 63's term is the sign value, matching JVM shiftleft wrap).  The
+    # oracle pairs by brute force (fixture-sized); Spark uses the blocked
+    # join.
+    oracle=f"""
+        WITH {_DHASH_FP_CTES}
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -7093,6 +7099,91 @@ _SHINGLES_5 = """
 """
 
 
+def _curation_text_funnel(spark, d):
+    """Stages 1-3 of the curation funnel (URL-canonical dedup ->
+    MinHash-LSH keep-best -> ensemble quality gate), shared verbatim by
+    corpus_curation_e2e and corpus_curation_multimodal so the two
+    compositions cannot drift.  Returns the gate-surviving document frame
+    (all source columns), persisted rotating — callers fan it into >= 2
+    subtrees."""
+    from pyspark.sql import Window
+
+    from kwack_spark.operators import graph
+
+    # --- stage 1: URL-canonical dedup ---
+    canon = d.select(
+        "doc_id", TX.canonical_url(_url_raw_col()).alias("canon_url")
+    )
+    keep1 = (
+        canon.groupBy("canon_url").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = d.join(keep1, "doc_id")
+    # --- stage 2: MinHash-LSH keep-best (longest per component) ---
+    pairs = dedup.minhash_lsh_pairs(
+        s1, "doc_id", "text", k=8, bands=2, threshold=0.5
+    ).select("id_a", "id_b")
+    with _few_shuffle_partitions(spark):
+        comp = graph.dedup_clusters(pairs).select("doc_id", "keep_id")
+        ranked2 = comp.join(d.select("doc_id", "n_chars"), "doc_id").withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("keep_id").orderBy(F.desc("n_chars"), "doc_id")
+            ),
+        )
+        drop2 = ranked2.filter(F.col("rn") > 1).select("doc_id")
+    # each survivor frame feeds >= 2 downstream subtrees (the gate AND the
+    # semi-join; the decon grams AND the main branch; the mixture counts
+    # AND the quota join) — persist them (rotating) or every consumer
+    # re-executes the whole upstream funnel
+    s2 = similarity._persist_rotating(
+        "e2e_s2", s1.join(drop2, "doc_id", "left_anti")
+    )
+    # --- stage 3: ensemble quality gate (shared operator body, applied to
+    # the dedup survivors only — the gate is per-doc pure) ---
+    gate = (
+        _ensemble_gate_df(spark, s2.select("doc_id", "text"))
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    return similarity._persist_rotating("e2e_s3", s2.join(gate, "doc_id"))
+
+
+def _shard_manifest(survivors):
+    """Order-independent shard manifest over a ``(doc_id, n_chars)``
+    survivor frame — the publish artifact whose exact integer content_sum
+    pins the survivor SET bit-for-bit (shard_manifest_hashes' form)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("mft:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return (
+        survivors.select(
+            F.expr("doc_id div 100").alias("shard_id"), "doc_id", h.alias("h")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("h").cast("decimal(38,0)").cast("string").alias("content_sum"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 @register(
     "corpus_curation_e2e",
     # the full production curation DAG as ONE oracled plan (r07 VERDICT ask
@@ -7220,47 +7311,12 @@ def corpus_curation_e2e(spark, sf_dir):
     by its component query; this query grades that they COMPOSE."""
     from pyspark.sql import Window
 
-    from kwack_spark.operators import graph
     from kwack_spark.plans.sketches_corpus import _BF_K, _bf_pos
 
     d = T(spark, sf_dir, "documents")
-    # --- stage 1: URL-canonical dedup ---
-    canon = d.select(
-        "doc_id", TX.canonical_url(_url_raw_col()).alias("canon_url")
-    )
-    keep1 = (
-        canon.groupBy("canon_url").agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    s1 = d.join(keep1, "doc_id")
-    # --- stage 2: MinHash-LSH keep-best (longest per component) ---
-    pairs = dedup.minhash_lsh_pairs(
-        s1, "doc_id", "text", k=8, bands=2, threshold=0.5
-    ).select("id_a", "id_b")
-    with _few_shuffle_partitions(spark):
-        comp = graph.dedup_clusters(pairs).select("doc_id", "keep_id")
-        ranked2 = comp.join(d.select("doc_id", "n_chars"), "doc_id").withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("keep_id").orderBy(F.desc("n_chars"), "doc_id")
-            ),
-        )
-        drop2 = ranked2.filter(F.col("rn") > 1).select("doc_id")
-    # each survivor frame feeds >= 2 downstream subtrees (the gate AND the
-    # semi-join; the decon grams AND the main branch; the mixture counts
-    # AND the quota join) — persist them (rotating) or every consumer
-    # re-executes the whole upstream funnel
-    s2 = similarity._persist_rotating(
-        "e2e_s2", s1.join(drop2, "doc_id", "left_anti")
-    )
-    # --- stage 3: ensemble quality gate (shared operator body, applied to
-    # the dedup survivors only — the gate is per-doc pure) ---
-    gate = (
-        _ensemble_gate_df(spark, s2.select("doc_id", "text"))
-        .filter(F.col("keep"))
-        .select("doc_id")
-    )
-    s3 = similarity._persist_rotating("e2e_s3", s2.join(gate, "doc_id"))
+    # --- stages 1-3: shared text funnel (URL dedup -> LSH keep-best ->
+    # ensemble gate) ---
+    s3 = _curation_text_funnel(spark, d)
     # --- stage 4: Bloom-prefiltered decontamination, exact-verified
     # (5-gram windows: contiguous-phrase specificity, see _SHINGLES_5) ---
     grams = F.explode(F.array_distinct(TX.shingles(TX.tokens("text"), 5))).alias("s")
@@ -7322,34 +7378,105 @@ def corpus_curation_e2e(spark, sf_dir):
         .select("doc_id", "n_chars")
     )
     # --- stage 6: shard manifest (order-independent content sums) ---
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("mft:"),
-                    F.col("doc_id").cast("string"),
-                    F.lit(":"),
-                    F.col("n_chars").cast("string"),
-                )
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("decimal(38,0)")
-    return (
-        s5.select(F.expr("doc_id div 100").alias("shard_id"), "doc_id", h.alias("h"))
-        .groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("doc_id").alias("min_id"),
-            F.max("doc_id").alias("max_id"),
-            F.sum("h").cast("decimal(38,0)").cast("string").alias("content_sum"),
-        )
-        .orderBy("shard_id")
-    )
+    return _shard_manifest(s5)
 
+
+@register(
+    "corpus_curation_multimodal",
+    # cross-modal curation composition (r08 VERDICT ask #7): the text
+    # funnel (URL dedup -> LSH keep-best -> ensemble gate — the SAME
+    # s1k/s2k/s3k CTE chain corpus_curation_e2e grades) extended with an
+    # IMAGE leg: each gate survivor's image is fingerprinted (the
+    # multimodal_phash_dedup dHash chain, re-rooted onto s3k), near-dup
+    # pairs within Hamming 3 drop the larger id (keep-first greedy, the
+    # exact-dedup keep-min policy), and the manifest's exact content_sum
+    # pins the final text+image-deduped survivor set bit-for-bit.
+    oracle=f"""
+        WITH RECURSIVE
+        u AS (SELECT doc_id, {_URL_RAW_SQL} AS raw_url FROM documents),
+        {_URL_CANON_CTES},
+        s1k AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canon_url),
+        {_E2E_LSH_CTES},
+        {_COMP_CTES},
+        ranked2 AS (
+            SELECT cm.keep_id, cm.node,
+                   row_number() OVER (PARTITION BY cm.keep_id
+                                      ORDER BY dd.n_chars DESC, cm.node) AS rn
+            FROM comp cm JOIN documents dd ON dd.doc_id = cm.node
+        ),
+        drop2 AS (SELECT node AS doc_id FROM ranked2 WHERE rn > 1),
+        s2k AS (
+            SELECT doc_id FROM s1k
+            WHERE doc_id NOT IN (SELECT doc_id FROM drop2)
+        ),
+        {_E2E_ENSEMBLE_CTES},
+        s3k AS (
+            SELECT doc_id FROM j
+            WHERE j.gopher_pass AND j.score_ok AND j.stop_ok
+        ),
+        {_DHASH_FP_CTES.replace(
+            "FROM documents", "FROM documents JOIN s3k USING (doc_id)"
+        )},
+        drop4 AS (
+            SELECT DISTINCT b.doc_id
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        ),
+        s4k AS (
+            SELECT doc_id FROM s3k
+            WHERE doc_id NOT IN (SELECT doc_id FROM drop4)
+        ),
+        rows_h AS (
+            SELECT d.doc_id // 100 AS shard_id, d.doc_id,
+                   CAST(('0x' || substr(md5('mft:' || d.doc_id::VARCHAR || ':'
+                                            || d.n_chars::VARCHAR), 1, 12))::BIGINT
+                        AS DECIMAL(38,0)) AS h
+            FROM documents d JOIN s4k USING (doc_id)
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(doc_id) AS min_id,
+               max(doc_id) AS max_id,
+               CAST(SUM(h) AS VARCHAR) AS content_sum
+        FROM rows_h
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
+    tags=("pipeline", "curation", "multimodal", "composition"),
+)
+def corpus_curation_multimodal(spark, sf_dir):
+    """Text+image curation in ONE DAG: the shared text funnel
+    (_curation_text_funnel — URL dedup, LSH keep-best, ensemble gate),
+    then perceptual image dedup ON THE FUNNEL SURVIVORS (synth ->
+    real PNG decode -> dHash64 -> pigeonhole-blocked Hamming <= 3 pairs
+    -> drop the larger id of every pair), then the shard manifest whose
+    exact content sums pin the final survivor set.
+
+    100-TB shape: the image leg runs AFTER the text funnel has collapsed
+    the corpus (~3% survive the gate at sf0.1), so the decode kernel
+    fingerprints only survivors and emits 8 bytes each — image payloads
+    never shuffle, and the blocked fingerprint self-join is
+    survivor-sized, not corpus-sized.  The keep-first drop rule is
+    per-pair local (no connected components needed): any doc with a
+    smaller-id near-duplicate image is dropped, so the kept set is
+    exactly the ids with no smaller neighbor."""
+    from kwack_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents")
+    s3 = _curation_text_funnel(spark, d)
+    # --- stage 4: image near-dup keep-min over the survivors ---
+    ids = s3.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    png = mm.synth_png_blocky(ids, "doc_id")
+    fps = similarity._persist_rotating(
+        "mm_cur_fps", mm.dhash64(png, "payload", "doc_id")
+    )
+    pairs4 = dedup.fingerprint_hamming_pairs(fps, "doc_id", max_hamming=3, blocks=4)
+    drop4 = pairs4.select(F.col("id_b").alias("doc_id")).distinct()
+    s4 = s3.join(drop4, "doc_id", "left_anti").select("doc_id", "n_chars")
+    # --- stage 5: shard manifest pins the text+image survivor set ---
+    return _shard_manifest(s4)
 
 
 # Upper-triangle (i <= j) covariance CTE chain, 9dp-rounded — shared by the
