@@ -290,6 +290,13 @@ HEADLINE = [
     "multimodal_phash_dedup",
     "corpus_curation_e2e",
     "ann_ivf_adaptive_recall",
+    # round-49 (r09): mergeable KLL quantile sketch (merge-invariance gate
+    # in-query), 5-step applied BPE training loop (one corpus scan +
+    # vocabulary-sized iterations), text+image curation composition (image
+    # leg fingerprints only the text-funnel survivors).
+    "sketch_quantile_lengths",
+    "bpe_merge_training_5steps",
+    "corpus_curation_multimodal",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -233,6 +233,12 @@ SCALE_SENSITIVE = [
     "multimodal_phash_dedup",
     "corpus_curation_e2e",
     "ann_ivf_adaptive_recall",
+    # r09: the KLL quantile sketch's hash-rank prefilter only activates at
+    # sf0.1 (n=5000 > 8k=512); the iterated BPE trainer's merge list and
+    # the text+image curation funnel both re-shape with volume
+    "sketch_quantile_lengths",
+    "bpe_merge_training_5steps",
+    "corpus_curation_multimodal",
     # r08: the probe-curve + recall audits' implementations changed (BLAS
     # bucket shortlist + cumulative-rank fusion; shared widened ivf_assign)
     "ann_probe_recall_curve",
