@@ -107,6 +107,14 @@ STRESS_QUERIES = [
     # n_lists ~ sqrt(n) with a fixed probe budget scans ~8*sqrt(n)
     "ann_ivf_fixed_probe_topk",
     "ann_ivf_adaptive_probe_topk",
+    # round-9: the KLL sketch (prefilter + constant-k registers — the scan
+    # should dominate, exponent ~linear with a tiny constant), the iterated
+    # BPE trainer (one corpus scan into vocabulary-sized state; the 5
+    # iterations are corpus-size-independent), and the text+image curation
+    # funnel (image kernel sized by gate survivors, ~3% of the corpus)
+    "sketch_quantile_lengths",
+    "bpe_merge_training_5steps",
+    "corpus_curation_multimodal",
 ]
 
 # The decade-2 set (factors 10/100 — sf1-equivalent and beyond): the
@@ -129,6 +137,9 @@ DECADE2_QUERIES = [
     "dedup_suffix_exact_spans",
     "ann_ivf_fixed_probe_topk",
     "ann_ivf_adaptive_probe_topk",
+    # round-9: the trainer's vocabulary-sized-iterations claim is exactly a
+    # decade-2 claim (vocab grows ~log n while the corpus grows n)
+    "bpe_merge_training_5steps",
 ]
 
 
