@@ -297,6 +297,11 @@ HEADLINE = [
     "sketch_quantile_lengths",
     "bpe_merge_training_5steps",
     "corpus_curation_multimodal",
+    # round-9 wave 2
+    "multimodal_audio_fingerprint_dedup",
+    "text_kneser_ney_bigram",
+    "mmr_diverse_topk",
+    "streaming_quantile_sketch",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

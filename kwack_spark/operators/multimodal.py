@@ -347,6 +347,41 @@ def synth_wav_pcm16(
     return df.select(id_col).mapInPandas(kernel, out_schema)
 
 
+def _wav_pcm16_parse(payload: bytes):
+    """Chunk-walk a RIFF/WAVE payload and return ``(rate, channels,
+    samples)`` with samples the raw interleaved int16 array, or None for
+    anything malformed / non-PCM16.  Shared by the feature and fingerprint
+    kernels — one copy of the byte-level parser."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt_info, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            # len(body), not the declared size: a truncated payload can
+            # end mid-chunk, and unpack_from on a short slice would
+            # raise struct.error inside the Arrow kernel instead of
+            # degrading this frame to NULLs (r05 ADVICE)
+            audio_fmt, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
+            fmt_info = (audio_fmt, ch, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # odd chunk sizes are padded
+    if fmt_info is None or data is None:
+        return None
+    audio_fmt, ch, rate, bits = fmt_info
+    if audio_fmt != 1 or bits != 16 or ch < 1 or rate == 0:
+        return None  # only uncompressed PCM16 here
+    s = np.frombuffer(data[: (len(data) // (2 * ch)) * 2 * ch], dtype="<i2")
+    return (rate, ch, s)
+
+
 def decode_wav_features(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     """REAL audio decode kernel — not a stub: RIFF/WAVE PCM16 parsing is
     pure byte arithmetic (struct + numpy), so unlike image decode it needs
@@ -357,35 +392,14 @@ def decode_wav_features(df: DataFrame, payload_col: str, id_col: str) -> DataFra
     peak.  Malformed payloads yield NULL features instead of failing the
     batch (the multimodal analogue of decode_topic's on_error='skip').
     Same narrow Arrow-batched plan shape as every kernel in this module."""
-    import struct
-
     import numpy as np
     import pandas as pd
 
     def parse(payload: bytes):
-        if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        parsed = _wav_pcm16_parse(payload)
+        if parsed is None:
             return None
-        pos, fmt_info, data = 12, None, None
-        while pos + 8 <= len(payload):
-            cid = payload[pos:pos + 4]
-            (size,) = struct.unpack_from("<I", payload, pos + 4)
-            body = payload[pos + 8:pos + 8 + size]
-            if cid == b"fmt " and len(body) >= 16:
-                # len(body), not the declared size: a truncated payload can
-                # end mid-chunk, and unpack_from on a short slice would
-                # raise struct.error inside the Arrow kernel instead of
-                # degrading this frame to NULLs (r05 ADVICE)
-                audio_fmt, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
-                fmt_info = (audio_fmt, ch, rate, bits)
-            elif cid == b"data":
-                data = body
-            pos += 8 + size + (size & 1)  # odd chunk sizes are padded
-        if fmt_info is None or data is None:
-            return None
-        audio_fmt, ch, rate, bits = fmt_info
-        if audio_fmt != 1 or bits != 16 or ch < 1 or rate == 0:
-            return None  # only uncompressed PCM16 here
-        s = np.frombuffer(data[: (len(data) // (2 * ch)) * 2 * ch], dtype="<i2")
+        rate, ch, s = parsed
         n = len(s) // ch
         x = s.astype(np.float64)
         rms = float(np.sqrt(np.mean(x * x))) if len(s) else 0.0
@@ -404,6 +418,135 @@ def decode_wav_features(df: DataFrame, payload_col: str, id_col: str) -> DataFra
 
     out_schema = ST.StructType(
         [ST.StructField(id_col, ST.LongType())] + list(WAV_FEATURES_SCHEMA.fields)
+    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+def synth_wav_am(
+    df: DataFrame,
+    id_col: str,
+    n_windows: int = 65,
+    window: int = 64,
+    rate: int = 8000,
+) -> DataFrame:
+    """Deterministic acoustic-dedup WAV fixture (same real RIFF encoder
+    shape as ``synth_wav_pcm16``, junk LIST chunk included): per id d, a
+    mono PCM16 square wave whose per-window amplitude walks up or down by
+    a fixed step so the 64 energy-delta signs the fingerprint below reads
+    have a closed form.  Audio class: g = d % 128 picks the 64-bit
+    pattern bit j = (g >> (j % 7)) & 1 (two distinct classes differ in
+    >= 9 of the 64 bits — 64/7 positions per differing g-bit — so no
+    cross-class pair survives a Hamming<=3 gate), v = (d // 128) % 4 the
+    near-dup variant, flipping only walk step v-1: ids sharing (g, v)
+    fingerprint identically, v=0 vs v>0 differ in exactly 1 bit, two
+    nonzero variants in exactly 2.  A per-(id, window) jitter of
+    0..7 < step/2 keeps every payload distinct without ever flipping a
+    delta sign."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    signs = None  # built once per executor below (length depends on args)
+
+    def kernel(batches) -> Iterator:
+        nonlocal signs
+        total = n_windows * window
+        if signs is None:
+            signs = np.tile(np.array([1, -1], np.int64), total // 2 + 1)[:total]
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        junk = b"JUNKJUNK"
+        for pdf in batches:
+            ids, outs = [], []
+            for rec in pdf.itertuples(index=False):
+                d = int(getattr(rec, id_col))
+                g, v = d % 128, (d // 128) % 4
+                bits = np.array(
+                    [(g >> (j % 7)) & 1 for j in range(n_windows - 1)], np.int64
+                )
+                if v > 0:
+                    bits[v - 1] ^= 1
+                steps = np.concatenate(([0], np.where(bits == 1, 1, -1)))
+                walk = np.cumsum(steps)  # s_w, |s_w| <= 64
+                jitter = (d * (np.arange(n_windows, dtype=np.int64) + 1)) % 8
+                amps = 2000 + 24 * walk + jitter  # 464..3543, fits int16
+                samples = (np.repeat(amps, window) * signs).astype("<i2")
+                frames = samples.tobytes()
+                chunks = (
+                    b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"LIST" + struct.pack("<I", len(junk)) + junk
+                    + b"data" + struct.pack("<I", len(frames)) + frames
+                )
+                payload = (
+                    b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+                )
+                ids.append(d)
+                outs.append(payload)
+            yield pd.DataFrame({id_col: ids, "payload": outs})
+
+    out_schema = ST.StructType(
+        [
+            ST.StructField(id_col, ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def audio_fingerprint64(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    window: int = 64,
+) -> DataFrame:
+    """64-bit acoustic fingerprint from REAL audio decode — the audio
+    sibling of ``dhash64``: RIFF/PCM16 chunk-walk parse
+    (``_wav_pcm16_parse``), per-window RMS energy over fixed
+    ``window``-sample frames, then bit j = 1 iff energy[j+1] > energy[j] —
+    the energy-delta-sign fingerprint (the time-domain core of
+    Shazam/Chromaprint-style audio hashing; a production kernel swaps
+    band-filtered energies into the same signature).  Needs mono PCM16
+    with >= 65 full windows (the first 65 are read); anything else —
+    malformed bytes, multi-channel, too short — yields NULL, never a
+    wrong fingerprint.  Returns ``(id, fp)`` with fp a signed LONG (bit
+    63 wraps to the sign bit, matching BIGINT), ready for
+    ``dedup.fingerprint_hamming_pairs``.  Scale shape: one narrow
+    Arrow-batched pass, 8 bytes/clip leave it — payloads never shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches) -> Iterator:
+        for pdf in batches:
+            ids, fps = [], []
+            for rec in pdf.itertuples(index=False):
+                parsed = _wav_pcm16_parse(bytes(getattr(rec, payload_col)))
+                ids.append(getattr(rec, id_col))
+                if parsed is None:
+                    fps.append(None)
+                    continue
+                _rate, ch, s = parsed
+                if ch != 1 or len(s) < 65 * window:
+                    fps.append(None)
+                    continue
+                x = s[: 65 * window].astype(np.float64)
+                # RMS per window: the fixture's per-window square wave makes
+                # each value an exact integer (sqrt of a perfect square);
+                # real audio just gets honest floats
+                e = np.sqrt(np.mean(x.reshape(65, window) ** 2, axis=1))
+                fp = 0
+                for j in range(64):
+                    if e[j + 1] > e[j]:
+                        fp |= 1 << j
+                if fp >= 1 << 63:
+                    fp -= 1 << 64
+                fps.append(fp)
+            yield pd.DataFrame({id_col: ids, "fp": pd.array(fps, dtype="Int64")})
+
+    out_schema = ST.StructType(
+        [
+            ST.StructField(id_col, ST.LongType()),
+            ST.StructField("fp", ST.LongType(), True),
+        ]
     )
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 

@@ -2916,6 +2916,96 @@ def streaming_running_moments(spark, sf_dir):
 
 
 @register(
+    "streaming_quantile_sketch",
+    # streaming quantile-sketch state == batch sketch: per-lang bottom-64
+    # (hr, rid) KLL registers folded across 4 micro-batches in the state
+    # store must decode to exactly the percentiles the one-shot batch
+    # sketch yields (bottom-k is a monoid — arrival order cannot change
+    # membership).  Same register/indexing SQL as sketch_quantile_lengths,
+    # without the prefilter: running state cannot know n upfront, so the
+    # streaming sketch ranks every row (still map-side bounded).
+    oracle="""
+        WITH r AS (
+            SELECT lang, doc_id AS rid, n_chars AS v,
+                   ('0x' || substr(md5('klls:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       AS hr
+            FROM documents
+        ),
+        fullk AS (
+            SELECT lang, hr, rid, v FROM (
+                SELECT *, row_number() OVER (PARTITION BY lang
+                                             ORDER BY hr, rid) AS rn
+                FROM r
+            ) WHERE rn <= 64
+        ),
+        ag AS (
+            SELECT lang, list_sort(list(v)) AS vs, count(*) AS c
+            FROM fullk GROUP BY lang
+        )
+        SELECT lang, q,
+               CAST(vs[greatest(1, CAST(ceil(q * c) AS INTEGER))] AS BIGINT)
+                   AS q_est,
+               CAST(c AS BIGINT) AS n_sample
+        FROM ag, (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                                 CAST(0.99 AS DOUBLE)]) AS q)
+        ORDER BY lang, q
+    """,
+    tags=("streaming", "sketch", "quantile", "kll", "stateful"),
+)
+def streaming_quantile_sketch(spark, sf_dir):
+    """Per-lang p50/p90/p99 from STREAMING quantile-sketch state
+    (streaming/ingest.py:stateful_kll_registers): documents replay as 4
+    micro-batches, the md5 hash rank rides the stream JVM-side, and the
+    state store folds bottom-64 registers per lang — the percentile
+    monitoring a 100 TB ingest runs continuously, with O(k) state per key
+    and a closing extraction identical to the batch sketch's
+    (operators/scale.py:kll_quantile)."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.operators import scale
+    from kwack_spark.streaming import ingest as si
+
+    d = T(spark, sf_dir, "documents").select(
+        "lang",
+        scale._kll_rank("doc_id", "klls").alias("hr"),
+        F.col("doc_id").cast("long").alias("rid"),
+        F.col("n_chars").cast("long").alias("v"),
+    )
+    replay_dir = tempfile.mkdtemp(prefix="kwack_kll_replay_")
+    d.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    regs = si.stateful_kll_registers(stream, "lang", k=64)
+    sink = f"kll_{uuid.uuid4().hex[:8]}"
+    with _few_shuffle_partitions(spark):
+        q = si.to_memory_sink(regs, sink, output_mode="update")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("kll sketch stream did not finish in 300s")
+    last = (
+        spark.table(sink)
+        .groupBy("lang")
+        .agg(F.max(F.struct("n_seen", "hrs", "rids", "vs")).alias("m"))
+        .select("lang", F.arrays_zip("m.hrs", "m.rids", "m.vs").alias("z"))
+    )
+    sketch = last.select(
+        "lang", F.explode("z").alias("r")
+    ).select(
+        "lang",
+        F.col("r.hrs").alias("hr"),
+        F.col("r.rids").alias("rid"),
+        F.col("r.vs").alias("v"),
+    )
+    return scale.kll_quantile(sketch, (0.5, 0.9, 0.99), by=("lang",)).orderBy(
+        "lang", "q"
+    )
+
+
+@register(
     "streaming_dedup_keys",
     # streaming exact dedup must emit each key exactly once == batch DISTINCT
     oracle="""
@@ -3763,6 +3853,194 @@ def multimodal_phash_dedup(spark, sf_dir):
         "phash_fps", mm.dhash64(png, "payload", "doc_id")
     )
     return dedup.fingerprint_hamming_pairs(fps, "doc_id", max_hamming=3, blocks=4)
+
+
+@register(
+    "multimodal_audio_fingerprint_dedup",
+    # acoustic near-dup dedup, the audio leg of the perceptual family:
+    # REAL RIFF/PCM16 decode -> per-window RMS energy -> 64-bit
+    # energy-delta-sign fingerprint -> the SAME pigeonhole Hamming
+    # blocking as text SimHash and image dHash.  The fixture
+    # (multimodal.py:synth_wav_am) walks window amplitudes by the bits of
+    # pattern(g = doc_id % 128), bit j = (g >> (j % 7)) & 1 — so the
+    # fingerprint, and therefore the pair set and each pair's distance,
+    # has the closed form this oracle states INDEPENDENTLY of the bytes:
+    # same (g, v) clips collide at distance 0, variant v>0 flips exactly
+    # walk step v-1 (1 bit vs v=0, 2 bits between nonzero variants), and
+    # distinct classes differ in >= 9 of 64 bits (64/7 positions per
+    # differing g-bit), so Hamming<=3 emits exactly the same-g pairs.  A
+    # kernel that mis-walks the chunk list, mis-frames the windows, or
+    # mis-averages an energy changes fingerprints and fails the hash.
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, doc_id % 128 AS g, (doc_id // 128) % 4 AS v
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(CASE WHEN a.v = b.v THEN 0
+                         WHEN a.v = 0 OR b.v = 0 THEN 1
+                         ELSE 2 END AS INTEGER) AS hamming
+        FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
+    """,
+    tags=("multimodal", "audio", "dedup", "fingerprint", "hamming"),
+)
+def multimodal_audio_fingerprint_dedup(spark, sf_dir):
+    """Audio near-duplicate pairs within Hamming distance 3 of a 64-bit
+    energy-delta fingerprint computed from REAL PCM decode
+    (multimodal.py:audio_fingerprint64), blocked by the same pigeonhole
+    slice machinery as text SimHash and image dHash
+    (dedup.fingerprint_hamming_pairs) — the third modality riding one
+    Hamming kernel.  100-TB shape identical to multimodal_phash_dedup:
+    the decode kernel emits 8 bytes/clip (payloads never shuffle), the
+    fingerprint index persists once (rotating) and self-joins on 16-bit
+    slices, never all-pairs."""
+    from kwack_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents")
+    # fan ids across cores before the synth+decode kernel (single split at
+    # bench scale; no-op where the scan has real splits)
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    wav = mm.synth_wav_am(d, "doc_id")
+    fps = similarity._persist_rotating(
+        "audio_fp_fps", mm.audio_fingerprint64(wav, "payload", "doc_id")
+    )
+    return dedup.fingerprint_hamming_pairs(fps, "doc_id", max_hamming=3, blocks=4)
+
+
+# 6-step greedy MMR oracle: each step is a CTE picking the argmax of
+# 0.7*rel - 0.3*max(sim to everything already selected) over the not-yet-
+# selected pool, exactly the Spark loop below — the bpe_merge_training
+# unroll pattern applied to diverse selection.
+def _mmr_steps_sql(k: int) -> str:
+    blocks = []
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, i)
+        )
+        blocks.append(f"""
+        s{i} AS (
+            SELECT p.vec_id,
+                   0.7::DOUBLE * p.rel - 0.3::DOUBLE * (
+                       SELECT max(s.cos) FROM sims s
+                       WHERE s.ia = p.vec_id AND s.ib IN ({prev})
+                   ) AS score
+            FROM pool p
+            WHERE p.vec_id NOT IN ({prev})
+            ORDER BY score DESC, p.vec_id LIMIT 1
+        )""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id, score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return ",".join(blocks) + f"""
+        SELECT rank, vec_id, score FROM ({union}) ORDER BY rank
+    """
+
+
+@register(
+    "mmr_diverse_topk",
+    # maximal marginal relevance: the diverse-selection pass an eval-set or
+    # few-shot-example curator runs after retrieval — greedily pick k items
+    # maximizing lambda*relevance - (1-lambda)*max-similarity-to-selected
+    # (Carbonell & Goldstein 1998), lambda=0.7, k=6, over the top-24
+    # retrieval pool for the lowest-id probe vector.  Scores stay
+    # bit-comparable because both engines evaluate the same cosine form
+    # (list_dot_product order) and the same 0.7*rel - 0.3*maxsim shape;
+    # ties break on vec_id.
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 1),
+        rel AS (
+            SELECT c.vec_id, {_cos_sql("q", "c")} AS rel, c.v
+            FROM v c, q WHERE c.vec_id <> q.vec_id
+        ),
+        pool AS (
+            SELECT vec_id, rel, v FROM rel ORDER BY rel DESC, vec_id LIMIT 24
+        ),
+        sims AS (
+            SELECT a.vec_id AS ia, b.vec_id AS ib, {_cos_sql("a", "b")} AS cos
+            FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+        ),
+        s1 AS (
+            SELECT vec_id, 0.7::DOUBLE * rel - 0.3::DOUBLE * 0.0 AS score
+            FROM pool ORDER BY score DESC, vec_id LIMIT 1
+        ),{_mmr_steps_sql(6)}
+    """,
+    tags=("similarity", "curation", "mmr", "iterative"),
+)
+def mmr_diverse_topk(spark, sf_dir):
+    """Greedy MMR selection (k=6, lambda=0.7) over the top-24 cosine
+    retrieval pool of the lowest-id probe vector — the diversity-aware
+    re-rank between ANN retrieval and human/LLM consumption.  100-TB
+    shape: relevance is ONE broadcast-probe scan of the corpus (in
+    production the ANN index supplies the pool instead), the pool is a
+    constant-size exact top-k (TakeOrdered — no global sort), and the
+    greedy loop runs entirely on the CONSTANT-sized pool: a 24x24
+    similarity table persisted once, then k 1-row argmax collects (the
+    BPE-trainer scalar-per-step pattern — the merge/selection must be
+    known to build the next step's plan).  The corpus is never touched
+    again after the pool cut."""
+    # 0.3 stated literally: Python's 1 - 0.7 is 0.30000000000000004,
+    # one ULP off the SQL's 0.3::DOUBLE
+    lam, mu, k, pool_n = 0.7, 0.3, 6, 24
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double("embedding").alias("v")
+    )
+    qrow = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    )
+    rel = (
+        emb.crossJoin(F.broadcast(qrow))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "vec_id", "v", V.cosine(F.col("v"), F.col("qv")).alias("rel")
+        )
+    )
+    pool = similarity._persist_rotating(
+        "mmr_pool", rel.orderBy(F.desc("rel"), "vec_id").limit(pool_n)
+    )
+    a = pool.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = pool.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    sims = similarity._persist_rotating(
+        "mmr_sims",
+        a.join(b, F.col("ia") != F.col("ib")).select(
+            "ia", "ib", V.cosine(F.col("va"), F.col("vb")).alias("cos")
+        ),
+    )
+    selected: list[int] = []
+    rows: list[tuple[int, int, float]] = []
+    for step in range(1, k + 1):
+        if not selected:
+            scored = pool.select(
+                "vec_id",
+                (F.lit(lam) * F.col("rel") - F.lit(mu) * F.lit(0.0)).alias(
+                    "score"
+                ),
+            )
+        else:
+            ms = (
+                sims.where(F.col("ib").isin(selected))
+                .groupBy("ia")
+                .agg(F.max("cos").alias("maxsim"))
+            )
+            scored = (
+                pool.where(~F.col("vec_id").isin(selected))
+                .join(ms, F.col("vec_id") == F.col("ia"))
+                .select(
+                    "vec_id",
+                    (
+                        F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("maxsim")
+                    ).alias("score"),
+                )
+            )
+        top = scored.orderBy(F.desc("score"), "vec_id").limit(1).collect()
+        rows.append((step, int(top[0]["vec_id"]), float(top[0]["score"])))
+        selected.append(int(top[0]["vec_id"]))
+    return spark.createDataFrame(
+        rows, "rank bigint, vec_id bigint, score double"
+    ).orderBy("rank")
 
 
 @register(
@@ -5922,6 +6200,104 @@ def text_bigram_logprob(spark, sf_dir):
         (
             F.sum("p_scaled").cast("double") / 1_000_000_000.0 / F.count(F.lit(1))
         ).alias("mean_condprob"),
+    )
+
+
+@register(
+    "text_kneser_ney_bigram",
+    # interpolated Kneser-Ney bigram scoring — the smoothing the
+    # CCNet/KenLM quality filter actually ships (absolute discount
+    # D=0.75, continuation probability from distinct-predecessor counts):
+    #   P_kn(w2|w1) = max(c(w1w2) - D, 0)/c(w1.)
+    #               + (D * N1+(w1,.)/c(w1.)) * (N1+(.,w2) / N1+(..))
+    # Every input is an integer count, the probability is ONE fixed-shape
+    # IEEE expression evaluated identically here and in Spark, and each
+    # per-bigram value is round-scaled to an integer (1e9) so the per-doc
+    # sum is order-independent — the text_bigram_logprob determinism
+    # recipe applied to a smoothed model.
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        bg AS (
+            SELECT doc_id, unnest(({_SHINGLES_2})) AS bg
+            FROM toks WHERE len(tk) >= 2
+        ),
+        bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY bg),
+        ctx AS (
+            SELECT string_split(bg, ' ')[1] AS w1,
+                   CAST(sum(c2) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS nf
+            FROM bgc GROUP BY 1
+        ),
+        prec AS (
+            SELECT string_split(bg, ' ')[2] AS w2,
+                   CAST(count(*) AS BIGINT) AS np
+            FROM bgc GROUP BY 1
+        ),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM bgc),
+        scored AS (
+            SELECT b.doc_id,
+                   CAST(round(1000000000.0 * (
+                       greatest(CAST(c.c2 AS DOUBLE) - 0.75, 0.0)
+                           / CAST(x.c1 AS DOUBLE)
+                       + ((0.75 * CAST(x.nf AS DOUBLE)) / CAST(x.c1 AS DOUBLE))
+                           * (CAST(p.np AS DOUBLE) / CAST(t.nt AS DOUBLE))
+                   )) AS BIGINT) AS p_scaled
+            FROM bg b
+            JOIN bgc c USING (bg)
+            JOIN ctx x ON x.w1 = string_split(b.bg, ' ')[1]
+            JOIN prec p ON p.w2 = string_split(b.bg, ' ')[2]
+            CROSS JOIN nt t
+        )
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               CAST(sum(p_scaled) AS DOUBLE) / 1000000000.0 / count(*)
+                   AS mean_kn_prob
+        FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "quality", "lm", "smoothing"),
+)
+def text_kneser_ney_bigram(spark, sf_dir):
+    """Per-document mean interpolated Kneser-Ney bigram probability — the
+    smoothed upgrade of text_bigram_logprob (raw conditional probability
+    assigns mass only to seen bigrams; KN's continuation term is what
+    makes an LM-based quality filter usable on held-out text).  Scale
+    shape unchanged from the sibling: the bigram-type, context, and
+    predecessor tables are all VOCABULARY-sized (broadcastable at 100 TB
+    — they grow ~Heaps, not with the corpus), the type total is a 1-row
+    broadcast, and the corpus side is one explode feeding broadcast-hash
+    joins into a single per-doc rollup shuffle."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens("text").alias("tk")).where(F.size("tk") >= 2)
+    bg = toks.select("doc_id", F.explode(TX.shingles(F.col("tk"), 2)).alias("bg"))
+    bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    w1 = F.element_at(F.split(F.col("bg"), " "), 1)
+    w2 = F.element_at(F.split(F.col("bg"), " "), 2)
+    ctx = bgc.groupBy(w1.alias("w1")).agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("nf")
+    )
+    prec = bgc.groupBy(w2.alias("w2")).agg(F.count(F.lit(1)).alias("np"))
+    nt = bgc.agg(F.count(F.lit(1)).alias("nt"))
+    pkn = (
+        F.greatest(F.col("c2").cast("double") - 0.75, F.lit(0.0))
+        / F.col("c1").cast("double")
+        + ((0.75 * F.col("nf").cast("double")) / F.col("c1").cast("double"))
+        * (F.col("np").cast("double") / F.col("nt").cast("double"))
+    )
+    scored = (
+        bg.join(F.broadcast(bgc), "bg")
+        .join(F.broadcast(ctx), w1 == F.col("w1"))
+        .join(F.broadcast(prec), w2 == F.col("w2"))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "doc_id",
+            F.round(F.lit(1_000_000_000.0) * pkn).cast("bigint").alias("p_scaled"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum("p_scaled").cast("double") / 1_000_000_000.0 / F.count(F.lit(1))
+        ).alias("mean_kn_prob"),
     )
 
 

@@ -72,6 +72,10 @@ _PRIORITY = [
     "bpe_merge_training_5steps",
     "corpus_curation_multimodal",
     "sketch_quantile_lengths",
+    "multimodal_audio_fingerprint_dedup",
+    "text_kneser_ney_bigram",
+    "mmr_diverse_topk",
+    "streaming_quantile_sketch",
     # --- last driver grade: r02 ---
     "approx_count_distinct",
     "collect_list_sorted",

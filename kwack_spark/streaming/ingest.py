@@ -414,6 +414,68 @@ def to_memory_sink(
     return w.start()
 
 
+def stateful_kll_registers(df: DataFrame, key: str, k: int = 64) -> DataFrame:
+    """Per-key streaming KLL-family quantile-sketch state — the streaming
+    half of operators/scale.py:kll_sketch: the state store holds the k
+    register rows with the smallest (hr, rid) seen so far (bottom-k is a
+    monoid, so folding micro-batches in ANY arrival order yields exactly
+    the batch sketch — the same merge-invariance the batch query grades).
+    Input needs columns (key, hr, rid, v) with hr the deterministic md5
+    rank (scale._kll_rank), computed JVM-side BEFORE this operator so the
+    stateful Python stage only compares longs.
+
+    Emits one (key, n_seen, hrs, rids, vs) row per key per micro-batch
+    ('update' mode); the emission with the largest n_seen is the final
+    state.  State is O(k) longs per key — constant however long the
+    stream runs."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = df.schema[key].dataType.simpleString()
+    out_schema = (
+        f"{key} {key_type}, n_seen long, "
+        "hrs array<long>, rids array<long>, vs array<long>"
+    )
+    state_schema = "n_seen long, hrs array<long>, rids array<long>, vs array<long>"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            n_seen, hrs, rids, vs = state.get
+            regs = [
+                (int(h), int(r), int(v)) for h, r, v in zip(hrs, rids, vs)
+            ]
+        else:
+            n_seen, regs = 0, []
+        for pdf in pdfs:
+            for h, r, v in zip(pdf["hr"], pdf["rid"], pdf["v"]):
+                regs.append((int(h), int(r), int(v)))
+                n_seen += 1
+        regs.sort()  # (hr, rid) unique per row -> total order
+        del regs[k:]
+        state.update(
+            (
+                n_seen,
+                [r[0] for r in regs],
+                [r[1] for r in regs],
+                [r[2] for r in regs],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "n_seen": [n_seen],
+                "hrs": [[r[0] for r in regs]],
+                "rids": [[r[1] for r in regs]],
+                "vs": [[r[2] for r in regs]],
+            }
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stateful_cusum_days(
     df: DataFrame, key: str, ts_col: str = "ts"
 ) -> DataFrame:

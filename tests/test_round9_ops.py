@@ -204,3 +204,203 @@ def test_bpe_training_matches_python_reference(spark, tmp_path):
             if w:
                 wf[w] = wf.get(w, 0) + 1
     assert got == _py_bpe(wf, 5)
+
+
+# --- r09 wave 2: audio fingerprint, Kneser-Ney, MMR ------------------------
+
+
+def _expected_audio_fp(d: int) -> int:
+    """Closed-form fingerprint of synth_wav_am clip d: bit j is pattern bit
+    (g >> (j % 7)) & 1 for g = d % 128, with variant v = (d // 128) % 4
+    flipping bit v-1 — the fixture's walk makes energy[j+1] > energy[j]
+    exactly when the bit is set."""
+    g, v = d % 128, (d // 128) % 4
+    bits = [(g >> (j % 7)) & 1 for j in range(64)]
+    if v > 0:
+        bits[v - 1] ^= 1
+    fp = 0
+    for j, b in enumerate(bits):
+        if b:
+            fp |= 1 << j
+    return fp - (1 << 64) if fp >= 1 << 63 else fp
+
+
+def test_audio_fingerprint_closed_form(spark):
+    """audio_fingerprint64 over the AM fixture must equal the closed form
+    for ids across classes and variants (incl. bit-63 sign wrap at
+    g = 127)."""
+    from kwack_spark.operators import multimodal as mm
+
+    ids = [0, 1, 5, 63, 64, 127, 128, 200, 300, 511]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    wav = mm.synth_wav_am(df, "doc_id")
+    got = {
+        r.doc_id: r.fp
+        for r in mm.audio_fingerprint64(wav, "payload", "doc_id").collect()
+    }
+    assert got == {i: _expected_audio_fp(i) for i in ids}
+
+
+def test_audio_fingerprint_malformed_null(spark):
+    """Garbage bytes, non-RIFF, and too-short PCM must fingerprint NULL —
+    never a wrong value."""
+    import struct
+
+    from kwack_spark.operators import multimodal as mm
+
+    short = mm.synth_wav_pcm16(  # 1024 samples < the 65*64 the kernel needs
+        spark.createDataFrame([(7,)], "doc_id long"), "doc_id"
+    ).collect()[0]["payload"]
+    rows = [
+        (1, b"not audio at all"),
+        (2, b"RIFF" + struct.pack("<I", 4) + b"WAVE"),  # no chunks
+        (3, bytes(short)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: r.fp
+        for r in mm.audio_fingerprint64(df, "payload", "doc_id").collect()
+    }
+    assert got == {1: None, 2: None, 3: None}
+
+
+def test_audio_pairs_match_bruteforce(spark):
+    """The pigeonhole-blocked pair set over the AM fixture must equal the
+    brute-force Hamming<=3 pair set of the closed-form fingerprints."""
+    from kwack_spark.operators import dedup, multimodal as mm
+
+    n = 160
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    fps = mm.audio_fingerprint64(
+        mm.synth_wav_am(df, "doc_id"), "payload", "doc_id"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.fingerprint_hamming_pairs(
+            fps, "doc_id", max_hamming=3, blocks=4
+        ).collect()
+    }
+    exp = set()
+    for a in range(n):
+        for b in range(a + 1, n):
+            h = bin(
+                (_expected_audio_fp(a) ^ _expected_audio_fp(b)) & ((1 << 64) - 1)
+            ).count("1")
+            if h <= 3:
+                exp.add((a, b, h))
+    assert got == exp
+
+
+def test_kneser_ney_matches_python_reference(spark, tmp_path):
+    """text_kneser_ney_bigram must equal a direct Python implementation of
+    interpolated KN (D=0.75) with the same 1e9 round-scale, on a toy corpus
+    with repeated and singleton bigrams."""
+    import math
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kwack_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    docs = [
+        "the cat sat on the mat",
+        "the cat ate the fish",
+        "a dog sat on a log",
+        "fish and chips and fish",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs),
+            "lang": pa.array(["en"] * len(docs)),
+            "n_chars": pa.array([len(t) for t in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_kn_prob)
+        for r in QUERIES["text_kneser_ney_bigram"].fn(spark, str(tmp_path)).collect()
+    }
+    # Python reference
+    toks = {
+        i: [w for w in re.sub(r"[^a-z ]", "", t.lower()).split() if w]
+        for i, t in enumerate(docs)
+    }
+    bgs = {i: [f"{tk[j]} {tk[j+1]}" for j in range(len(tk) - 1)]
+           for i, tk in toks.items() if len(tk) >= 2}
+    from collections import Counter
+
+    bgc = Counter(b for bl in bgs.values() for b in bl)
+    c1, nf, np_ = Counter(), Counter(), Counter()
+    for bg, c in bgc.items():
+        w1, w2 = bg.split(" ")
+        c1[w1] += c
+        nf[w1] += 1
+        np_[w2] += 1
+    nt = len(bgc)
+    exp = {}
+    for i, bl in bgs.items():
+        tot = 0
+        for bg in bl:
+            w1, w2 = bg.split(" ")
+            p = (
+                max(float(bgc[bg]) - 0.75, 0.0) / float(c1[w1])
+                + ((0.75 * float(nf[w1])) / float(c1[w1]))
+                * (float(np_[w2]) / float(nt))
+            )
+            tot += int(math.floor(1e9 * p + 0.5))
+        exp[i] = (len(bl), float(tot) / 1e9 / len(bl))
+    assert got == exp
+
+
+def test_mmr_diversifies_and_matches_python_greedy(spark):
+    """mmr_diverse_topk on the real embeddings fixture must equal a direct
+    Python greedy MMR with left-fold cosine arithmetic, and its selection
+    must actually differ from the pure relevance top-k (the diversity term
+    does work on this data)."""
+    from tests.conftest import SF_ORACLE
+
+    import duckdb
+
+    from kwack_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    got = [
+        (r.rank, r.vec_id, r.score)
+        for r in QUERIES["mmr_diverse_topk"].fn(spark, SF_ORACLE).collect()
+    ]
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_ORACLE}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    vecs = {int(i): [float(x) for x in v] for i, v in rows}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def cos(a, b):
+        import math
+
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    qid = min(vecs)
+    rel = {i: cos(v, vecs[qid]) for i, v in vecs.items() if i != qid}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:24]
+    sel, exp = [], []
+    for step in range(1, 7):
+        best = None
+        for i in pool:
+            if i in sel:
+                continue
+            ms = max(cos(vecs[i], vecs[s]) for s in sel) if sel else 0.0
+            sc = 0.7 * rel[i] - 0.3 * ms
+            if best is None or sc > best[1] or (sc == best[1] and i < best[0]):
+                best = (i, sc)
+        exp.append((step, best[0], best[1]))
+        sel.append(best[0])
+    assert got == exp
+    assert [v for _, v, _ in got] != pool[:6], "MMR must reorder vs pure top-k"

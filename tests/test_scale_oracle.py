@@ -239,6 +239,13 @@ SCALE_SENSITIVE = [
     "sketch_quantile_lengths",
     "bpe_merge_training_5steps",
     "corpus_curation_multimodal",
+    # r09 wave 2: the audio fingerprint's pair output and the KLL stream's
+    # per-batch state only stress at volume; KN's broadcast count tables
+    # and MMR's pool cut re-shape with corpus size
+    "multimodal_audio_fingerprint_dedup",
+    "text_kneser_ney_bigram",
+    "mmr_diverse_topk",
+    "streaming_quantile_sketch",
     # r08: the probe-curve + recall audits' implementations changed (BLAS
     # bucket shortlist + cumulative-rank fusion; shared widened ivf_assign)
     "ann_probe_recall_curve",
