@@ -115,6 +115,14 @@ STRESS_QUERIES = [
     "sketch_quantile_lengths",
     "bpe_merge_training_5steps",
     "corpus_curation_multimodal",
+    # round-9 wave 2: the audio fingerprint (decode is pure map work; the
+    # pair join rides the slice blocking — pair OUTPUT grows ~n² by fixture
+    # design exactly like phash, so it stays out of the decade-2 set), the
+    # KN scorer (vocab-sized broadcasts; the corpus side must stay linear),
+    # and the streaming KLL fold (constant state per key, replay-bounded)
+    "multimodal_audio_fingerprint_dedup",
+    "text_kneser_ney_bigram",
+    "streaming_quantile_sketch",
 ]
 
 # The decade-2 set (factors 10/100 — sf1-equivalent and beyond): the
