@@ -302,6 +302,9 @@ HEADLINE = [
     "text_kneser_ney_bigram",
     "mmr_diverse_topk",
     "streaming_quantile_sketch",
+    "multimodal_audio_incremental",
+    "decontaminate_semantic",
+    "embedding_matryoshka_recall",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -713,6 +713,26 @@ def incremental_simhash64_new_dups(
     shuffle only the batch side, and 16-bit slices (blocks=4) keep the
     65,536 buckets/block occupancy flat — ``simhash64_block_occupancy`` is
     the audit that proves it."""
+    batch_fps = simhash64_fingerprints(batch, id_col, text_col)
+    return fingerprint_hamming_probe(
+        history_fps, batch_fps, id_col, max_hamming, blocks
+    )
+
+
+def fingerprint_hamming_probe(
+    history_fps: DataFrame,
+    batch_fps: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Cross-table Hamming probe over two PRECOMPUTED 64-bit ``(id, fp)``
+    tables — the incremental core of ``incremental_simhash64_new_dups``,
+    factored out (like ``fingerprint_hamming_pairs`` for the self-join
+    case) so any 64-bit perceptual fingerprint — text SimHash, image
+    dHash, audio energy hash — probes a persisted index with the same
+    pigeonhole slice machinery.  Emits ``(doc_id, hist_id, hamming)`` for
+    every batch row within ``max_hamming`` of a history row."""
     if max_hamming >= blocks:
         raise ValueError(
             f"pigeonhole blocking needs max_hamming < blocks "
@@ -723,7 +743,6 @@ def incremental_simhash64_new_dups(
     hist_sliced = _simhash64_sliced(history_fps, id_col, blocks).select(
         F.col(id_col).alias("id_h"), F.col("fp").alias("fp_h"), "blk", "slc"
     )
-    batch_fps = simhash64_fingerprints(batch, id_col, text_col)
     batch_sliced = _simhash64_sliced(batch_fps, id_col, blocks).select(
         F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "blk", "slc"
     )

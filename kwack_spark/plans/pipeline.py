@@ -3907,6 +3907,63 @@ def multimodal_audio_fingerprint_dedup(spark, sf_dir):
     return dedup.fingerprint_hamming_pairs(fps, "doc_id", max_hamming=3, blocks=4)
 
 
+@register(
+    "multimodal_audio_incremental",
+    # incremental acoustic dedup: new clips (fixture variants 2-3) probe
+    # a PERSISTED fingerprint index of the history (variants 0-1) — the
+    # audio instance of the written-once-index pattern the text family
+    # runs (incremental_simhash64_new_dups), riding the factored
+    # cross-table probe.  The split is by variant, not doc_id parity: the
+    # class stride (128) is even, so a parity split would never cross a
+    # class and the probe would be vacuously empty.  Hit set = same-class
+    # cross-variant pairs; history v=0 is 1 bit from any batch variant,
+    # v=1 is 2 bits.
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, doc_id % 128 AS g, (doc_id // 128) % 4 AS v
+            FROM documents
+        )
+        SELECT b.doc_id AS doc_id, h.doc_id AS hist_id,
+               CAST(CASE WHEN h.v = 0 THEN 1 ELSE 2 END AS INTEGER) AS hamming
+        FROM p b JOIN p h
+          ON b.g = h.g AND b.v IN (2, 3) AND h.v IN (0, 1)
+    """,
+    tags=("multimodal", "audio", "dedup", "incremental", "hamming"),
+)
+def multimodal_audio_incremental(spark, sf_dir):
+    """Which arriving audio clips near-duplicate the history?  History
+    fingerprints (8 B/clip) persist once (the rotating cache stands in for
+    the written-once bucketed index a production session keeps); each
+    batch pays O(|batch|) decode + ``blocks`` slice-keyed probes — the
+    history payload bytes are never re-read.  One probe kernel
+    (dedup.fingerprint_hamming_probe) now serves text SimHash and audio
+    fingerprints alike."""
+    from kwack_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    hist = similarity._persist_rotating(
+        "audio_inc_hist",
+        mm.audio_fingerprint64(
+            mm.synth_wav_am(
+                d.filter((F.col("doc_id") / 128).cast("long") % 4 < 2), "doc_id"
+            ),
+            "payload",
+            "doc_id",
+        ),
+    )
+    batch = mm.audio_fingerprint64(
+        mm.synth_wav_am(
+            d.filter((F.col("doc_id") / 128).cast("long") % 4 >= 2), "doc_id"
+        ),
+        "payload",
+        "doc_id",
+    )
+    return dedup.fingerprint_hamming_probe(
+        hist, batch, "doc_id", max_hamming=3, blocks=4
+    )
+
+
 # 6-step greedy MMR oracle: each step is a CTE picking the argmax of
 # 0.7*rel - 0.3*max(sim to everything already selected) over the not-yet-
 # selected pool, exactly the Spark loop below — the bpe_merge_training
@@ -4041,6 +4098,192 @@ def mmr_diverse_topk(spark, sf_dir):
     return spark.createDataFrame(
         rows, "rank bigint, vec_id bigint, score double"
     ).orderBy("rank")
+
+
+@register(
+    "decontaminate_semantic",
+    # SEMANTIC decontamination: the embedding-space screen that catches
+    # paraphrased eval contamination the n-gram/Bloom passes
+    # (decontaminate_ngram_overlap, bloom_decontaminate) structurally
+    # cannot — per corpus vector, the nearest EVAL-set vector by cosine
+    # and a threshold flag.  Eval set = vec_id % 97 == 0 (the held-out
+    # benchmark stand-in); tau = 0.4 is keyed to the synthetic embedding
+    # distribution so both flag values occur (a production run calibrates
+    # tau on known-contaminated pairs).  Ranking ties break on eval id.
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT * FROM v WHERE vec_id % 97 <> 0),
+        c AS (SELECT * FROM v WHERE vec_id % 97 = 0),
+        pairs AS (
+            SELECT q.vec_id AS vec_id, c.vec_id AS eval_id, {_COS} AS cosine
+            FROM q JOIN c ON true
+        ),
+        ranked AS (
+            SELECT vec_id, eval_id, cosine,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cosine DESC, eval_id) AS rnk
+            FROM pairs
+        )
+        SELECT vec_id, eval_id, cosine AS max_cos,
+               cosine >= 0.4 AS contaminated
+        FROM ranked WHERE rnk = 1
+    """,
+    tags=("decontamination", "embedding", "similarity", "quality-gate"),
+)
+def decontaminate_semantic(spark, sf_dir):
+    """Embedding-space train/eval decontamination: every corpus vector
+    reports its nearest eval-set vector and whether it crosses the
+    contamination threshold.  100-TB shape: the eval set is SMALL by
+    nature (benchmarks are thousands of rows) — it broadcasts as the
+    index side of brute_force_topk_vectorized's BLAS scan and the corpus
+    streams through in Arrow batches emitting one row each; no
+    corpus-keyed shuffle at all.  The same call degrades gracefully past
+    the broadcast cap (role inversion) like every ANN entry point."""
+    e = T(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") % 97 == 0)
+    corpus = e.filter(F.col("vec_id") % 97 != 0)
+    top = similarity.brute_force_topk_vectorized(
+        ev, corpus, "vec_id", "embedding", k=1
+    )
+    return top.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("corpus_id").alias("eval_id"),
+        F.col("cosine").alias("max_cos"),
+        (F.col("cosine") >= 0.4).alias("contaminated"),
+    )
+
+
+@register(
+    "embedding_matryoshka_recall",
+    # Matryoshka-truncation audit (Kusupati et al. 2022 MRL): top-5 recall
+    # when ranking by the embedding's PREFIX dims m in {8, 16, 32} vs the
+    # full-64-dim exact top-5, fixed 8-query batch — the storage/recall
+    # trade curve for truncating a nested-trained embedding column, the
+    # deployment decision MRL exists for.  The JL curve
+    # (jl_recall_vs_dim_curve) answers the same question for a RANDOM
+    # projection of a non-nested embedding; this one slices the raw
+    # learned coordinates, no projection pass at all.
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+        ex AS (
+            SELECT query_id, corpus_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_cos_sql("a", "b")} DESC, c.vec_id
+                       ) AS rnk
+                FROM q JOIN v a ON a.vec_id = q.vec_id
+                JOIN v b ON b.vec_id <> q.vec_id
+                JOIN v c ON c.vec_id = b.vec_id
+            ) WHERE rnk <= 5
+        ),
+        cfg(m) AS (VALUES (8), (16), (32)),
+        sk AS (
+            SELECT m, query_id, corpus_id FROM (
+                SELECT cfg.m, q.vec_id AS query_id, c.vec_id AS corpus_id,
+                       row_number() OVER (
+                           PARTITION BY cfg.m, q.vec_id
+                           ORDER BY list_dot_product(a.v[1:cfg.m], b.v[1:cfg.m])
+                                    / (sqrt(list_dot_product(a.v[1:cfg.m], a.v[1:cfg.m]))
+                                       * sqrt(list_dot_product(b.v[1:cfg.m], b.v[1:cfg.m]))) DESC,
+                                    c.vec_id
+                       ) AS rnk
+                FROM cfg, q
+                JOIN v a ON a.vec_id = q.vec_id
+                JOIN v b ON b.vec_id <> q.vec_id
+                JOIN v c ON c.vec_id = b.vec_id
+            ) WHERE rnk <= 5
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+        mt AS (
+            SELECT m, CAST(count(*) AS BIGINT) AS n_matched
+            FROM sk JOIN ex USING (query_id, corpus_id) GROUP BY m
+        )
+        SELECT cfg.m AS trunc_dim, coalesce(mt.n_matched, 0) AS n_matched,
+               t.n_exact,
+               CAST(coalesce(mt.n_matched, 0) AS DOUBLE) / t.n_exact AS recall
+        FROM cfg LEFT JOIN mt ON mt.m = cfg.m CROSS JOIN t
+    """,
+    tags=("embedding", "ann", "truncation", "tuning"),
+)
+def embedding_matryoshka_recall(spark, sf_dir):
+    """Prefix-truncation recall curve over the raw embedding coordinates.
+    100-TB shape: NO projection pass (truncation is a zero-cost slice in
+    the ranking expression), fixed 8-query batch keeps the pair table
+    8xN per config, ranking is k-bounded by the window filter, and the
+    recall join touches only top-5 lists; the exact top-5 truth set is
+    persisted once and shared by all three configs."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", V.as_double("embedding").alias("v"))
+    q_ids = v.orderBy("vec_id").limit(8).select(F.col("vec_id").alias("query_id"))
+
+    ex_pairs = (
+        q_ids.join(
+            v.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qa")),
+            "query_id",
+        )
+        .crossJoin(v.select(F.col("vec_id").alias("corpus_id"), F.col("v").alias("qb")))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id", "corpus_id", V.cosine(F.col("qa"), F.col("qb")).alias("cos")
+        )
+    )
+    wex = Window.partitionBy("query_id").orderBy(F.desc("cos"), "corpus_id")
+    ex = similarity._persist_rotating(
+        "mrl_exact",
+        ex_pairs.select(
+            "query_id", "corpus_id", F.row_number().over(wex).alias("rnk")
+        )
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "corpus_id"),
+    )
+
+    cfg = spark.createDataFrame([(8,), (16,), (32,)], "m int")
+    sk_pairs = (
+        q_ids.join(
+            v.select(F.col("vec_id").alias("query_id"), F.col("v").alias("ya")),
+            "query_id",
+        )
+        .crossJoin(v.select(F.col("vec_id").alias("corpus_id"), F.col("v").alias("yb")))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(cfg))
+        .select(
+            "m",
+            "query_id",
+            "corpus_id",
+            V.cosine(
+                F.slice("ya", F.lit(1), F.col("m")),
+                F.slice("yb", F.lit(1), F.col("m")),
+            ).alias("cos"),
+        )
+    )
+    wsk = Window.partitionBy("m", "query_id").orderBy(F.desc("cos"), "corpus_id")
+    sk = (
+        sk_pairs.select(
+            "m", "query_id", "corpus_id", F.row_number().over(wsk).alias("rnk")
+        )
+        .filter(F.col("rnk") <= 5)
+        .select("m", "query_id", "corpus_id")
+    )
+    t = ex.agg(F.count(F.lit(1)).alias("n_exact"))
+    mt = sk.join(ex, ["query_id", "corpus_id"]).groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    return (
+        cfg.join(mt, "m", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("m").alias("trunc_dim"),
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            "n_exact",
+            (
+                F.coalesce("n_matched", F.lit(0)).cast("double") / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )
 
 
 @register(

@@ -76,6 +76,9 @@ _PRIORITY = [
     "text_kneser_ney_bigram",
     "mmr_diverse_topk",
     "streaming_quantile_sketch",
+    "multimodal_audio_incremental",
+    "decontaminate_semantic",
+    "embedding_matryoshka_recall",
     # --- last driver grade: r02 ---
     "approx_count_distinct",
     "collect_list_sorted",

@@ -404,3 +404,70 @@ def test_mmr_diversifies_and_matches_python_greedy(spark):
         sel.append(best[0])
     assert got == exp
     assert [v for _, v, _ in got] != pool[:6], "MMR must reorder vs pure top-k"
+
+
+def test_fingerprint_hamming_probe_matches_pairs(spark):
+    """The cross-table probe must equal the self-join pair set restricted
+    to (batch, history) pairs, on an arbitrary fp table."""
+    from kwack_spark.operators import dedup
+
+    rows = [(i, ((i % 11) << 16) | (i % 3)) for i in range(60)]
+    fps = spark.createDataFrame(rows, "doc_id long, fp long")
+    hist = fps.filter("doc_id % 2 = 0")
+    batch = fps.filter("doc_id % 2 = 1")
+    got = {
+        (r.doc_id, r.hist_id, r.hamming)
+        for r in dedup.fingerprint_hamming_probe(
+            hist, batch, "doc_id", max_hamming=3, blocks=4
+        ).collect()
+    }
+    allp = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.fingerprint_hamming_pairs(
+            fps, "doc_id", max_hamming=3, blocks=4
+        ).collect()
+    }
+    exp = set()
+    for a, b, h in allp:
+        if a % 2 == 1 and b % 2 == 0:
+            exp.add((a, b, h))
+        elif b % 2 == 1 and a % 2 == 0:
+            exp.add((b, a, h))
+    assert got == exp
+
+
+def test_audio_incremental_closed_form(spark, tmp_path):
+    """multimodal_audio_incremental's probe hits must equal the fixture's
+    closed form: same-class (g) pairs, batch variants 2-3 vs history
+    variants 0-1, hamming 1 iff history v=0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kwack_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    n = 520  # ids cover all 4 variants of classes 0..7
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(["en"] * n),
+            "n_chars": pa.array([1] * n, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {
+        (r.doc_id, r.hist_id, r.hamming)
+        for r in QUERIES["multimodal_audio_incremental"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    exp = set()
+    for b in range(n):
+        if (b // 128) % 4 < 2:
+            continue
+        for h in range(n):
+            if (h // 128) % 4 >= 2 or h % 128 != b % 128:
+                continue
+            exp.add((b, h, 1 if (h // 128) % 4 == 0 else 2))
+    assert got == exp

@@ -246,6 +246,9 @@ SCALE_SENSITIVE = [
     "text_kneser_ney_bigram",
     "mmr_diverse_topk",
     "streaming_quantile_sketch",
+    "multimodal_audio_incremental",
+    "decontaminate_semantic",
+    "embedding_matryoshka_recall",
     # r08: the probe-curve + recall audits' implementations changed (BLAS
     # bucket shortlist + cumulative-rank fusion; shared widened ivf_assign)
     "ann_probe_recall_curve",

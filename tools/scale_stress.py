@@ -123,6 +123,11 @@ STRESS_QUERIES = [
     "multimodal_audio_fingerprint_dedup",
     "text_kneser_ney_bigram",
     "streaming_quantile_sketch",
+    # wave 3: the incremental audio probe (O(batch) decode + slice probes
+    # against the persisted index) and the eval-set decontamination scan
+    # (eval side broadcast, corpus streams — must stay linear, no shuffle)
+    "multimodal_audio_incremental",
+    "decontaminate_semantic",
 ]
 
 # The decade-2 set (factors 10/100 — sf1-equivalent and beyond): the
