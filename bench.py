@@ -305,6 +305,9 @@ HEADLINE = [
     "multimodal_audio_incremental",
     "decontaminate_semantic",
     "embedding_matryoshka_recall",
+    "bpe_apply_merges",
+    "ann_index_persist_roundtrip",
+    "length_trim_sketch_gated",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -6595,6 +6595,50 @@ def ann_ivf_recall(spark, sf_dir):
     )
 
 
+@register(
+    "ann_index_persist_roundtrip",
+    # the index-as-artifact contract: ivf_assign's centroids + assignment
+    # tables land as PLAIN PARQUET, a fresh session reads them back, and
+    # the probe over the reloaded index must return EXACTLY what the
+    # in-memory compose returns — same oracle as ann_ivf_topk, so any
+    # loss in the roundtrip (dropped norm column, float truncation, row
+    # reorder) fails the hash.  This is the operational path at 100 TB:
+    # build/train once, write, amortize over every query batch.
+    oracle=None,  # set right below to ann_ivf_topk's oracle verbatim
+    tags=("similarity", "ann", "index", "persistence"),
+)
+def ann_index_persist_roundtrip(spark, sf_dir):
+    """IVF index persistence roundtrip: assign (n_lists=16, 1 Lloyd
+    refine — the exact configuration ann_ivf_topk composes), write the
+    (cid, cv) and (corpus_id, v, list_id) tables to parquet, read them
+    back, probe with n_probe=6.  ivf_probe_topk re-derives the norm
+    column a parquet roundtrip drops, so the reloaded index is
+    bit-equivalent; at scale the assigned table would land BUCKETED on
+    list_id so probes co-locate."""
+    import tempfile
+
+    e = T(spark, sf_dir, "embeddings")
+    cents, assigned = similarity.ivf_assign(
+        e, "vec_id", "embedding", n_lists=16, refine_iters=1
+    )
+    idx_dir = tempfile.mkdtemp(prefix="kwack_ivf_idx_")
+    cents.select("cid", "cv").write.mode("overwrite").parquet(f"{idx_dir}/cents")
+    assigned.write.mode("overwrite").parquet(f"{idx_dir}/assigned")
+    cents_r = spark.read.parquet(f"{idx_dir}/cents")
+    assigned_r = spark.read.parquet(f"{idx_dir}/assigned")
+    return similarity.ivf_probe_topk(
+        cents_r, assigned_r, e, "vec_id", "embedding", k=3, n_probe=6
+    )
+
+
+# the roundtrip must answer exactly what the in-memory index answers
+_Q["ann_index_persist_roundtrip"] = type(_Q["ann_ivf_topk"])(
+    fn=_Q["ann_index_persist_roundtrip"].fn,
+    oracle=_Q["ann_ivf_topk"].oracle,
+    tags=_Q["ann_index_persist_roundtrip"].tags,
+)
+
+
 _IVF_COS = (
     "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
     "* sqrt(list_dot_product({b}, {b})))"
@@ -7147,7 +7191,12 @@ def bpe_merge_candidates(spark, sf_dir):
 # left-to-right replace() preserves the canonical form), then five chained
 # (pairs -> argmax -> replace) blocks apply each winning merge before
 # counting the next — real BPE iteration, not five independent censuses.
-def _bpe_steps_sql(steps: int) -> str:
+def _bpe_step_ctes(steps: int, carry_w: bool = False) -> str:
+    """The k chained (pairs -> argmax -> replace) CTE blocks; with
+    ``carry_w`` each state row keeps its word, so a consumer can read the
+    final per-word segmentation (the apply pass) instead of the merge
+    list (the trainer)."""
+    keep = "w, " if carry_w else ""
     blocks = []
     for i in range(1, steps + 1):
         blocks.append(f"""
@@ -7163,16 +7212,20 @@ def _bpe_steps_sql(steps: int) -> str:
         ),
         w{i} AS (SELECT pair, n FROM p{i} ORDER BY n DESC, pair LIMIT 1),
         s{i} AS (
-            SELECT replace(s, ' ' || replace(pair, ' ', '  ') || ' ',
+            SELECT {keep}replace(s, ' ' || replace(pair, ' ', '  ') || ' ',
                               ' ' || replace(pair, ' ', '') || ' ') AS s,
                    freq
             FROM s{i - 1} CROSS JOIN w{i}
         )""")
+    return ",".join(blocks)
+
+
+def _bpe_steps_sql(steps: int) -> str:
     union = "\n            UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS step, pair, n FROM w{i}"
         for i in range(1, steps + 1)
     )
-    return ",".join(blocks) + f"""
+    return _bpe_step_ctes(steps) + f"""
         SELECT step, pair, n FROM ({union}) ORDER BY step
     """
 
@@ -7268,6 +7321,112 @@ def bpe_merge_training_5steps(spark, sf_dir):
     return spark.createDataFrame(
         merges, "step bigint, pair string, n bigint"
     ).orderBy("step")
+
+
+@register(
+    "bpe_apply_merges",
+    # the APPLY half of the tokenizer story (train -> apply): the 5 trained
+    # merges re-segment every word, and each document reports its token
+    # count under the trained tokenizer plus chars-per-token — the
+    # compression measurement that decides whether a merge list ships.
+    # The oracle reuses the trainer's own CTE chain carrying the word
+    # column, so trainer and applier stay in lockstep by construction.
+    oracle=f"""
+        WITH wf AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest({{toks}}) AS w FROM documents) GROUP BY w
+        ),
+        s0 AS (
+            SELECT w, regexp_replace(w, '(.)', '  \\1', 'g') || '  ' AS s, freq
+            FROM wf
+        ),{{steps}},
+        seg AS (
+            SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sym
+            FROM s5
+        ),
+        docw AS (SELECT doc_id, unnest({{toks}}) AS w FROM documents)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_sym) AS BIGINT) AS n_tokens,
+               CAST(sum(len(w)) AS DOUBLE) / sum(n_sym) AS chars_per_token
+        FROM docw JOIN seg USING (w)
+        GROUP BY doc_id
+    """.format(toks=_toks(), steps=_bpe_step_ctes(5, carry_w=True)),
+    tags=("text", "tokenizer", "bpe", "apply"),
+)
+def bpe_apply_merges(spark, sf_dir):
+    """Apply the 5 trained BPE merges back to the corpus: per document, the
+    token count under the trained tokenizer and the chars-per-token
+    compression it buys.  100-TB shape — the part that actually runs at
+    scale: training state is vocabulary-sized (one corpus scan, then 5
+    vocab-sized iterations, same as the trainer); the APPLY is a
+    word -> n_symbols segmentation map BROADCAST to one exploded-corpus
+    pass with a per-doc rollup — the corpus never sees the merge loop, and
+    a production tokenizer service does exactly this with its shipped
+    merge table."""
+    d = T(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(TX.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    state = similarity._persist_rotating(
+        "bpe_apply_state0",
+        wf.select(
+            "w",
+            F.concat(
+                F.regexp_replace("w", "(.)", "  $1"), F.lit("  ")
+            ).alias("s"),
+            "freq",
+        ),
+    )
+    for _step in range(5):
+        prs = state.select(
+            F.split(F.trim("s"), "  ").alias("syms"), "freq"
+        ).select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) > 1 THEN "
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> concat(element_at(syms, i), ' ', "
+                    "element_at(syms, i + 1))) "
+                    "ELSE array() END"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        top = (
+            prs.groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["pair"].split(" ")
+        state = state.select(
+            "w",
+            F.replace(
+                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            ).alias("s"),
+            "freq",
+        )
+    seg = state.select(
+        "w", F.size(F.split(F.trim("s"), "  ")).cast("long").alias("n_sym")
+    )
+    docw = d.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
+    return (
+        docw.join(F.broadcast(seg), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_tokens"),
+            (
+                F.sum(F.length("w")).cast("double") / F.sum("n_sym")
+            ).alias("chars_per_token"),
+        )
+    )
 
 
 @register(

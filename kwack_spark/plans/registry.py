@@ -79,6 +79,9 @@ _PRIORITY = [
     "multimodal_audio_incremental",
     "decontaminate_semantic",
     "embedding_matryoshka_recall",
+    "bpe_apply_merges",
+    "ann_index_persist_roundtrip",
+    "length_trim_sketch_gated",
     # --- last driver grade: r02 ---
     "approx_count_distinct",
     "collect_list_sorted",

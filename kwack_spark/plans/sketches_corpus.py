@@ -1058,3 +1058,93 @@ def sketch_quantile_lengths(spark, sf_dir):
         )
         .orderBy("lang", "q")
     )
+
+
+@register(
+    "length_trim_sketch_gated",
+    # the sketch family actually DRIVING the pipeline, not just reporting:
+    # per-lang p10/p90 come from the constant-size KLL register table
+    # (same rank/threshold recipe as sketch_quantile_lengths, seed kllt)
+    # and gate the corpus — keep documents whose n_chars lies inside
+    # [p10, p90] of their language.  At 100 TB the exact per-group sort
+    # this replaces (length_percentile_trim) is a corpus-wide shuffle;
+    # here the gate costs one ~8k-row sketch plus a broadcast join of 2
+    # numbers per language.
+    oracle="""
+        WITH d AS (SELECT lang, doc_id, n_chars FROM documents),
+        prm AS (SELECT count(*) AS n FROM d),
+        r AS (
+            SELECT lang, doc_id AS rid, n_chars AS v,
+                   ('0x' || substr(md5('kllt:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       AS hr
+            FROM d
+        ),
+        filt AS (
+            SELECT r.* FROM r CROSS JOIN prm
+            WHERE n <= 512
+               OR hr < (CAST(1152921504606846976 AS HUGEINT) * 512) // n
+        ),
+        fullk AS (
+            SELECT lang, hr, rid, v FROM (
+                SELECT *, row_number() OVER (PARTITION BY lang
+                                             ORDER BY hr, rid) AS rn
+                FROM filt
+            ) WHERE rn <= 64
+        ),
+        ag AS (
+            SELECT lang, list_sort(list(v)) AS vs, count(*) AS c
+            FROM fullk GROUP BY lang
+        ),
+        qs AS (
+            SELECT lang,
+                   CAST(vs[greatest(1, CAST(ceil(CAST(0.1 AS DOUBLE) * c) AS INTEGER))]
+                        AS BIGINT) AS p10,
+                   CAST(vs[greatest(1, CAST(ceil(CAST(0.9 AS DOUBLE) * c) AS INTEGER))]
+                        AS BIGINT) AS p90
+            FROM ag
+        )
+        SELECT d.lang, qs.p10 AS p10_est, qs.p90 AS p90_est,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN d.n_chars BETWEEN qs.p10 AND qs.p90
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM d JOIN qs USING (lang)
+        GROUP BY d.lang, qs.p10, qs.p90
+        ORDER BY d.lang
+    """,
+    tags=("sketch", "quantile", "kll", "trim", "quality-gate"),
+)
+def length_trim_sketch_gated(spark, sf_dir):
+    """Sketch-driven length trim: per-language p10/p90 from the KLL
+    register table gate the corpus, reporting kept/total per language.
+    Plan shape: the rank + prefilter ride the scan (narrow), the register
+    top-64 shuffles ~8k prefilter survivors, the two quantiles per
+    language broadcast back onto one corpus pass with a per-lang rollup —
+    the exact-sort percentile trim's semantics at constant sketch cost."""
+    from kwack_spark.operators.similarity import _persist_rotating
+
+    d = T(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    n = d.count()  # 1-row scalar action; parquet metadata at scan time
+    full = _persist_rotating(
+        "kll_trim",
+        scale.kll_sketch(
+            d, "doc_id", "n_chars", k=64, by=("lang",), seed="kllt", n_hint=n
+        ),
+    )
+    est = scale.kll_quantile(full, (0.1, 0.9), by=("lang",))
+    qs = est.groupBy("lang").agg(
+        F.max(F.when(F.col("q") == 0.1, F.col("q_est"))).alias("p10_est"),
+        F.max(F.when(F.col("q") == 0.9, F.col("q_est"))).alias("p90_est"),
+    )
+    return (
+        d.join(F.broadcast(qs), "lang")
+        .groupBy("lang", "p10_est", "p90_est")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(
+                    F.col("n_chars").between(F.col("p10_est"), F.col("p90_est")), 1
+                ).otherwise(0)
+            ).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

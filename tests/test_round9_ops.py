@@ -471,3 +471,87 @@ def test_audio_incremental_closed_form(spark, tmp_path):
                 continue
             exp.add((b, h, 1 if (h // 128) % 4 == 0 else 2))
     assert got == exp
+
+
+def test_bpe_apply_matches_python(spark, tmp_path):
+    """bpe_apply_merges must equal a direct Python train-then-apply: same
+    5 merges as the trainer, then per-word segmentation re-joined to the
+    corpus."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kwack_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    docs = [
+        "aaa abab banana banana bandana",
+        "aaaa abab cabbage banana",
+        "the theme there then banana band",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs),
+            "lang": pa.array(["en"] * len(docs)),
+            "n_chars": pa.array([len(t) for t in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.chars_per_token)
+        for r in QUERIES["bpe_apply_merges"].fn(spark, str(tmp_path)).collect()
+    }
+    # Python reference: train on word freqs keeping per-word segmentation
+    doc_words = {
+        i: [w for w in re.sub(r"[^a-z ]", "", t.lower()).split() if w]
+        for i, t in enumerate(docs)
+    }
+    wf = {}
+    for ws in doc_words.values():
+        for w in ws:
+            wf[w] = wf.get(w, 0) + 1
+    seg = {w: list(w) for w in wf}
+    for _ in range(5):
+        counts = {}
+        for w, syms in seg.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + wf[w]
+        if not counts:
+            break
+        (a, b), _n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in seg.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            seg[w] = merged
+    exp = {}
+    for i, ws in doc_words.items():
+        if not ws:
+            continue
+        n_tok = sum(len(seg[w]) for w in ws)
+        exp[i] = (len(ws), n_tok, float(sum(len(w) for w in ws)) / n_tok)
+    assert got == exp
+
+
+def test_ivf_roundtrip_equals_in_memory(spark):
+    """The parquet-persisted-and-reloaded IVF index must answer exactly
+    what the in-memory compose answers."""
+    from tests.conftest import SF_ORACLE
+
+    from kwack_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    rt = {
+        tuple(r)
+        for r in QUERIES["ann_index_persist_roundtrip"].fn(spark, SF_ORACLE).collect()
+    }
+    im = {tuple(r) for r in QUERIES["ann_ivf_topk"].fn(spark, SF_ORACLE).collect()}
+    assert rt == im

@@ -249,6 +249,11 @@ SCALE_SENSITIVE = [
     "multimodal_audio_incremental",
     "decontaminate_semantic",
     "embedding_matryoshka_recall",
+    # wave 4: the sketch-gated trim's prefilter activates only at sf0.1;
+    # the BPE apply and the index roundtrip re-shape with volume
+    "bpe_apply_merges",
+    "ann_index_persist_roundtrip",
+    "length_trim_sketch_gated",
     # r08: the probe-curve + recall audits' implementations changed (BLAS
     # bucket shortlist + cumulative-rank fusion; shared widened ivf_assign)
     "ann_probe_recall_curve",

@@ -128,6 +128,11 @@ STRESS_QUERIES = [
     # (eval side broadcast, corpus streams — must stay linear, no shuffle)
     "multimodal_audio_incremental",
     "decontaminate_semantic",
+    # wave 4: the BPE apply pass (vocab-sized train loop + one broadcast
+    # corpus pass — the at-scale half), and the sketch-gated trim (the
+    # percentile gate at constant sketch cost)
+    "bpe_apply_merges",
+    "length_trim_sketch_gated",
 ]
 
 # The decade-2 set (factors 10/100 — sf1-equivalent and beyond): the
