@@ -308,6 +308,7 @@ HEADLINE = [
     "bpe_apply_merges",
     "ann_index_persist_roundtrip",
     "length_trim_sketch_gated",
+    "streaming_audio_neardup",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

@@ -11941,6 +11941,68 @@ def streaming_simhash_neardup(spark, sf_dir):
 
 
 @register(
+    "streaming_audio_neardup",
+    # streaming acoustic near-dup: the SAME stateful Hamming kernel as
+    # streaming_simhash_neardup (the state store is the sliced index),
+    # fed 64-bit audio energy fingerprints instead of text SimHash —
+    # fingerprints replayed over 3 micro-batches, end-of-stream pair set
+    # == the batch audio pair query's closed form (the kernel is
+    # fingerprint-agnostic; only the narrow projection ahead of the
+    # stateful stage changes).
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, doc_id % 128 AS g, (doc_id // 128) % 4 AS v
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(CASE WHEN a.v = b.v THEN 0
+                         WHEN a.v = 0 OR b.v = 0 THEN 1
+                         ELSE 2 END AS INTEGER) AS hamming
+        FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
+    """,
+    tags=("streaming", "multimodal", "audio", "dedup", "stateful"),
+)
+def streaming_audio_neardup(spark, sf_dir):
+    """Audio near-dup as a STREAMING stateful operator: REAL PCM decode
+    emits 8 B/clip fingerprints (narrow, payloads never reach the
+    stream), 16-bit slices are pure projections, and each (blk, slc)
+    bucket Hamming-verifies arrivals against its state — one stateful
+    kernel (streaming/ingest.py:stateful_simhash_neardup) now serves
+    text, image, and audio fingerprints in batch, incremental, AND
+    streaming mode.  Arrival order cannot change the end-of-stream pair
+    set; the trailing .distinct() collapses multi-slice agreements."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.operators import multimodal as mm
+    from kwack_spark.streaming import ingest as si
+
+    d = T(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    fps = mm.audio_fingerprint64(
+        mm.synth_wav_am(d, "doc_id"), "payload", "doc_id"
+    )
+    prep = dedup._simhash64_sliced(fps, "doc_id", blocks=4)
+    replay_dir = tempfile.mkdtemp(prefix="kwack_audiosh_replay_")
+    prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
+    stream = (
+        spark.readStream.schema(prep.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    pairs = si.stateful_simhash_neardup(stream, max_hamming=3)
+    sink = f"strmau_{uuid.uuid4().hex[:8]}"
+    with _few_shuffle_partitions(spark):
+        q = si.to_memory_sink(pairs, sink, output_mode="append")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_audio_neardup: stream did not finish in 300s"
+            )
+    return spark.table(sink).distinct()
+
+
+@register(
     "ann_reciprocal_rate",
     # Mutual-kNN audit: the fraction of exact top-3 edges that are
     # reciprocated (a is in b's top-3 AND b is in a's top-3).  Hubness

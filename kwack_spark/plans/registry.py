@@ -82,6 +82,7 @@ _PRIORITY = [
     "bpe_apply_merges",
     "ann_index_persist_roundtrip",
     "length_trim_sketch_gated",
+    "streaming_audio_neardup",
     # --- last driver grade: r02 ---
     "approx_count_distinct",
     "collect_list_sorted",

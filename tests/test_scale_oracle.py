@@ -254,6 +254,7 @@ SCALE_SENSITIVE = [
     "bpe_apply_merges",
     "ann_index_persist_roundtrip",
     "length_trim_sketch_gated",
+    "streaming_audio_neardup",
     # r08: the probe-curve + recall audits' implementations changed (BLAS
     # bucket shortlist + cumulative-rank fusion; shared widened ivf_assign)
     "ann_probe_recall_curve",

@@ -143,6 +143,38 @@ _NOTES = """
   plan (persisted shingle sets feed signatures + both verify sides); its
   own additions are two (doc_id, source) broadcast enrich joins and a
   |sources|²-bounded rollup — the pair set is never rescanned per source.
+- **audio fingerprint family** (`multimodal_audio_fingerprint_dedup`,
+  `multimodal_audio_incremental`): two narrow Arrow stages (synth, decode
+  — 8 B/clip leaves the kernel, payloads never shuffle) feeding the SAME
+  (blk, slc) blocking as the text/image Hamming queries; the incremental
+  probe's history side is the persisted fingerprint table.
+- **text_kneser_ney_bigram / text_bigram_logprob**: one corpus explode
+  into vocabulary-sized broadcast-hash joins (bigram/context/predecessor
+  count tables + a 1-row type total) and a single per-doc rollup shuffle.
+- **mmr_diverse_topk**: relevance is one broadcast-probe pass + a
+  TakeOrdered pool cut; the greedy loop's plans run on the persisted
+  24-row pool and 24x24 sim table — per-step exchanges are constant-size.
+- **streaming_quantile_sketch** executes under the streaming engine (the
+  batch-plan row shows the replay-prep write + final explode/quantile);
+  state is bottom-64 registers per key, folded per micro-batch.
+- **decontaminate_semantic**: the eval set broadcasts through the BLAS
+  top-1 scan (one narrow Python stage over Arrow batches); the corpus is
+  never shuffled — only the k-row-per-vector re-score joins appear.
+- **embedding_matryoshka_recall**: prefix truncation is a zero-cost slice
+  inside the ranking expression — same fixed-8-query pair-table shape as
+  the JL curve with NO projection stage; the exact truth set persists
+  once and feeds all three configs.
+- **bpe_apply_merges**: the train loop's per-step exchanges are
+  vocabulary-sized (persisted (word, symbols, freq) state); the corpus
+  appears exactly twice — once in the wf scan, once in the apply explode
+  feeding a broadcast segmentation join + per-doc rollup.
+- **ann_index_persist_roundtrip**: ann_ivf_topk's probe plan re-rooted on
+  parquet scans of the landed index — the extra exchanges are the two
+  index writes; the probe itself is unchanged (norm column re-derived).
+- **length_trim_sketch_gated**: the KLL register build (narrow rank +
+  prefilter, ~8k-row top-64 shuffle) plus ONE corpus pass gated by a
+  2-numbers-per-lang broadcast — the exact-sort trim's corpus-wide
+  sort/window is gone.
 """
 
 
