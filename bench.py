@@ -309,6 +309,9 @@ HEADLINE = [
     "ann_index_persist_roundtrip",
     "length_trim_sketch_gated",
     "streaming_audio_neardup",
+    "quality_perceptron_step",
+    "split_leakage_safe",
+    "cms_merge_shards",
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set

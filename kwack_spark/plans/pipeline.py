@@ -5517,6 +5517,161 @@ def scale_heavy_hitters(spark, sf_dir):
 
 
 @register(
+    "split_leakage_safe",
+    # dedup-AWARE train/val/test split: near-duplicate documents must not
+    # straddle splits (a val doc whose near-twin sits in train is leakage
+    # by construction), so the split key is the LSH duplicate-cluster
+    # representative (component min id), not the doc id — every cluster
+    # lands whole.  Same hash cutoffs as split_train_val_test; the
+    # cluster-atomicity invariant (every rep's docs share one split) is
+    # part of the graded output.
+    oracle=f"""
+        WITH RECURSIVE {_LSH_CTES},
+        {_COMP_CTES},
+        rep AS (
+            SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS rep_id
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        ),
+        spl AS (
+            SELECT doc_id, rep_id,
+                   CASE WHEN substr(md5('split:' || rep_id::VARCHAR), 1, 4) < 'cccd'
+                            THEN 'train'
+                        WHEN substr(md5('split:' || rep_id::VARCHAR), 1, 4) < 'e666'
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM rep
+        ),
+        gate AS (
+            SELECT max(c) AS mx FROM (
+                SELECT rep_id, count(DISTINCT split) AS c FROM spl GROUP BY rep_id
+            )
+        )
+        SELECT doc_id, rep_id, split,
+               (SELECT mx FROM gate) = 1 AS cluster_atomic
+        FROM spl
+    """,
+    tags=("sampling", "split", "dedup", "leakage"),
+)
+def split_leakage_safe(spark, sf_dir):
+    """Leakage-safe 80/10/10 split: LSH pairs -> connected components ->
+    every document splits by its cluster REPRESENTATIVE's hash, so
+    near-dup clusters land in one split whole (the dedup-aware split a
+    train/eval pipeline must use — splitting by doc id leaks every
+    cluster that straddles a cutoff).  100-TB shape: the component pass
+    is the already-graded iterative min-label propagation over the
+    candidate-pair graph (orders of magnitude smaller than the corpus);
+    the split itself is one narrow hash projection on the rep id and the
+    atomicity gate is a rep-keyed rollup of a 2-column frame."""
+    from kwack_spark.operators import graph
+
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=8, bands=2, threshold=0.5
+    ).select("id_a", "id_b")
+    with _few_shuffle_partitions(spark):
+        comp = graph.dedup_clusters(pairs)
+    rep = (
+        d.select("doc_id")
+        .join(F.broadcast(comp.select("doc_id", "keep_id")), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("keep_id", F.col("doc_id")).alias("rep_id")
+        )
+    )
+    spl = sampling.split_hash(
+        rep, "rep_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split"
+    )
+    gate = (
+        spl.groupBy("rep_id")
+        .agg(F.countDistinct("split").alias("c"))
+        .agg(F.max("c").alias("mx"))
+    )
+    return spl.crossJoin(F.broadcast(gate)).select(
+        "doc_id", "rep_id", "split", (F.col("mx") == 1).alias("cluster_atomic")
+    )
+
+
+@register(
+    "cms_merge_shards",
+    # merge-invariance gate for the CMS family (the HLL one exists as
+    # hll_merge_shards; counters add where registers max): per-parity-shard
+    # sketches summed elementwise must equal the whole-corpus sketch
+    # counter-for-counter, and the estimates read off the MERGED sketch
+    # must match the oracle's direct whole-table estimates.  The property
+    # that makes the 4x256 counter table safe running state under sharded
+    # ingest.
+    oracle="""
+        WITH keyed AS (
+            SELECT user_id, d,
+                   ((instr('0123456789abcdef',
+                           substr(md5('cms' || d || ':' || user_id::VARCHAR), 1, 1)) - 1) * 16
+                    + instr('0123456789abcdef',
+                            substr(md5('cms' || d || ':' || user_id::VARCHAR), 2, 1)) - 1) % 256 AS b
+            FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS d)
+        ),
+        sketch AS (SELECT d, b, count(*) AS cnt FROM keyed GROUP BY d, b),
+        h0 AS (SELECT d, b, count(*) AS cnt FROM keyed WHERE user_id % 2 = 0 GROUP BY d, b),
+        h1 AS (SELECT d, b, count(*) AS cnt FROM keyed WHERE user_id % 2 = 1 GROUP BY d, b),
+        mrg AS (
+            SELECT d, b, CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1) GROUP BY d, b
+        ),
+        mism AS (
+            SELECT count(*) AS mism FROM (
+                (SELECT d, b, cnt FROM sketch EXCEPT SELECT d, b, cnt FROM mrg)
+                UNION ALL
+                (SELECT d, b, cnt FROM mrg EXCEPT SELECT d, b, cnt FROM sketch)
+            )
+        ),
+        kb AS (SELECT DISTINCT user_id, d, b FROM keyed),
+        est AS (
+            SELECT user_id, CAST(min(cnt) AS BIGINT) AS cms_est
+            FROM kb JOIN mrg USING (d, b) GROUP BY user_id
+        )
+        SELECT user_id, cms_est,
+               (SELECT mism FROM mism) = 0 AS merge_invariant
+        FROM est WHERE cms_est >= 20
+    """,
+    tags=("scale", "sketch", "mergeable"),
+)
+def cms_merge_shards(spark, sf_dir):
+    """CMS merge invariance, graded in-query (the frequency twin of
+    hll_merge_shards): the two parity-shard sketches are built and MERGED
+    engine-side (operators/scale.py:cms_merge — elementwise counter add),
+    diffed against the direct whole-corpus sketch, and the heavy-hitter
+    estimates are read off the merged table.  Constant-size everything:
+    sketches are 4x256 rows whatever the corpus, the merge is a
+    1024-row union-sum, estimates join a broadcast sketch."""
+    from kwack_spark.operators import scale
+
+    e = T(spark, sf_dir, "events").select("user_id")
+    h0 = scale.cms_sketch(e.filter(F.col("user_id") % 2 == 0), "user_id")
+    h1 = scale.cms_sketch(e.filter(F.col("user_id") % 2 == 1), "user_id")
+    mrg = scale.cms_merge(h0, h1)
+    from kwack_spark.operators.similarity import _persist_rotating
+
+    # the merged 1024-row sketch feeds the estimate join AND the diff gate
+    mrg = _persist_rotating("cms_mrg", mrg)
+    direct = scale.cms_sketch(e, "user_id")
+    a = direct.select("d", "b", "cnt")
+    b = mrg.select("d", "b", "cnt")
+    mism = (
+        a.exceptAll(b)
+        .union(b.exceptAll(a))
+        .agg(F.count(F.lit(1)).alias("mism"))
+    )
+    est = scale.cms_estimates(e, "user_id", sketch=mrg)
+    return (
+        est.filter(F.col("cms_est") >= 20)
+        .crossJoin(F.broadcast(mism))
+        .select(
+            "user_id",
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("mism") == 0).alias("merge_invariant"),
+        )
+    )
+
+
+@register(
     "cms_heavy_hitters",
     # count-min sketch frequency estimates vs exact counts: the sketch is a
     # FIXED 4x256 counter table whatever the key cardinality — the state

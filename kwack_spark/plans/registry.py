@@ -83,6 +83,9 @@ _PRIORITY = [
     "ann_index_persist_roundtrip",
     "length_trim_sketch_gated",
     "streaming_audio_neardup",
+    "quality_perceptron_step",
+    "split_leakage_safe",
+    "cms_merge_shards",
     # --- last driver grade: r02 ---
     "approx_count_distinct",
     "collect_list_sorted",

@@ -1148,3 +1148,119 @@ def length_trim_sketch_gated(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "quality_perceptron_step",
+    # a TRAINING step inside the engine (model-as-data, the other
+    # direction): one perceptron update of the hashed bag-of-words scorer
+    # against labels from the lang gate (distilling an upstream gate into
+    # the cheap linear proxy — the standard way a fasttext-style quality
+    # classifier is bootstrapped).  Everything is exact integers: the
+    # md5-seeded milli-weights, the per-(doc, bucket) token counts, the
+    # margin y * score, and the gradient sum over misclassified docs
+    # g_b = sum(y * c_b) — so the updated weight table is bit-identical
+    # on both engines, no learning-rate floats anywhere (lr = 1 milli).
+    oracle=f"""
+        WITH weights AS (
+            SELECT b, (({_NIB.format(h="md5('w:' || b::VARCHAR)", i=1)} * 256
+                        + {_NIB.format(h="md5('w:' || b::VARCHAR)", i=2)} * 16
+                        + {_NIB.format(h="md5('w:' || b::VARCHAR)", i=3)}) % 2001) - 1000
+                     AS w_mill
+            FROM (SELECT unnest(range(0, {_BOW_D})) AS b)
+        ),
+        tok AS (
+            SELECT doc_id, unnest(list_filter(
+                       string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                       t -> length(t) > 0)) AS t
+            FROM documents
+        ),
+        cnts AS (
+            SELECT doc_id,
+                   ({_NIB.format(h='md5(t)', i=1)} * 256
+                    + {_NIB.format(h='md5(t)', i=2)} * 16
+                    + {_NIB.format(h='md5(t)', i=3)}) % {_BOW_D} AS b,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2
+        ),
+        lab AS (
+            SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+            FROM documents
+        ),
+        margin AS (
+            SELECT c.doc_id, l.y, SUM(c.c * w.w_mill) AS s_int
+            FROM cnts c JOIN weights w USING (b) JOIN lab l USING (doc_id)
+            GROUP BY c.doc_id, l.y
+        ),
+        mis AS (SELECT doc_id, y FROM margin WHERE y * s_int <= 0),
+        grad AS (
+            SELECT c.b, CAST(SUM(m.y * c.c) AS BIGINT) AS g
+            FROM cnts c JOIN mis m USING (doc_id)
+            GROUP BY c.b
+        )
+        SELECT w.b, CAST(w.w_mill AS BIGINT) AS w_old,
+               coalesce(g.g, 0) AS grad,
+               CAST(w.w_mill + coalesce(g.g, 0) AS BIGINT) AS w_new
+        FROM weights w LEFT JOIN grad g USING (b)
+        ORDER BY w.b
+    """,
+    tags=("quality", "model", "training", "perceptron"),
+)
+def quality_perceptron_step(spark, sf_dir):
+    """One perceptron training step of the hashed-BOW quality scorer
+    (quality_linear_score's model form), labels distilled from the lang
+    gate.  100-TB shape: the weight table is O(D) and broadcasts both
+    ways; the corpus contributes one tokenize/bucket pass into per-doc
+    margins (doc-keyed, map-side combinable) and the misclassified
+    subset's second pass aggregates into the D-bounded gradient — the
+    full-batch gradient a distributed trainer computes per epoch, with
+    the corpus scanned twice and shuffled only at doc/bucket grain."""
+    spark_range = spark.range(_BOW_D).select(F.col("id").cast("int").alias("b"))
+    h = F.md5(F.concat(F.lit("w:"), F.col("b").cast("string")))
+    nib = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1  # noqa: E731
+    weights = spark_range.select(
+        "b", (((nib(1) * 256 + nib(2) * 16 + nib(3)) % 2001) - 1000).alias("w_mill")
+    )
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("t"))
+    ht = F.md5(F.col("t"))
+    nibt = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring(ht, p, 1)) - 1  # noqa: E731
+    cnts = (
+        tok.select(
+            "doc_id", ((nibt(1) * 256 + nibt(2) * 16 + nibt(3)) % _BOW_D).alias("b")
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from kwack_spark.operators.similarity import _persist_rotating
+
+    # both the margin pass and the gradient pass read the (doc, bucket)
+    # counts — persist (rotating) so the tokenize/bucket scan runs once
+    cnts = _persist_rotating("perceptron_cnts", cnts)
+    lab = d.select(
+        "doc_id", F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y")
+    )
+    margin = (
+        cnts.join(F.broadcast(weights), "b")
+        .join(F.broadcast(lab), "doc_id")
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.col("c") * F.col("w_mill")).alias("s_int"))
+    )
+    mis = margin.filter(F.col("y") * F.col("s_int") <= 0).select("doc_id", "y")
+    grad = (
+        cnts.join(F.broadcast(mis), "doc_id")
+        .groupBy("b")
+        .agg(F.sum(F.col("y") * F.col("c")).alias("g"))
+    )
+    return (
+        weights.join(grad, "b", "left")
+        .select(
+            "b",
+            F.col("w_mill").cast("bigint").alias("w_old"),
+            F.coalesce("g", F.lit(0)).cast("bigint").alias("grad"),
+            (F.col("w_mill") + F.coalesce("g", F.lit(0)))
+            .cast("bigint")
+            .alias("w_new"),
+        )
+        .orderBy("b")
+    )

@@ -555,3 +555,94 @@ def test_ivf_roundtrip_equals_in_memory(spark):
     }
     im = {tuple(r) for r in QUERIES["ann_ivf_topk"].fn(spark, SF_ORACLE).collect()}
     assert rt == im
+
+
+def test_perceptron_step_matches_python(spark, tmp_path):
+    """quality_perceptron_step must equal a direct Python full-batch
+    perceptron update with the same md5 buckets/weights and lang labels."""
+    import hashlib
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kwack_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    docs = [
+        (0, "the quick brown fox jumps", "en"),
+        (1, "le renard brun rapide saute", "fr"),
+        (2, "the lazy dog sleeps all day", "en"),
+        (3, "der schnelle braune fuchs", "de"),
+        (4, "fox and dog and fox again", "en"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t, _ in docs]),
+            "lang": pa.array([l for _, _, l in docs]),
+            "n_chars": pa.array([len(t) for _, t, _ in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {
+        r.b: (r.w_old, r.grad, r.w_new)
+        for r in QUERIES["quality_perceptron_step"].fn(spark, str(tmp_path)).collect()
+    }
+
+    def nib3(h):
+        n = lambda i: int(h[i], 16)
+        return (n(0) * 256 + n(1) * 16 + n(2)) % 1024
+
+    D = 1024
+    w = {}
+    for b in range(D):
+        h = hashlib.md5(f"w:{b}".encode()).hexdigest()
+        w[b] = ((int(h[0], 16) * 256 + int(h[1], 16) * 16 + int(h[2], 16)) % 2001) - 1000
+    cnts, labels = {}, {}
+    for d, t, l in docs:
+        labels[d] = 1 if l == "en" else -1
+        for tok in re.sub(r"[^a-z ]", "", t.lower()).split():
+            if tok:
+                b = nib3(hashlib.md5(tok.encode()).hexdigest())
+                cnts[(d, b)] = cnts.get((d, b), 0) + 1
+    margins = {}
+    for (d, b), c in cnts.items():
+        margins[d] = margins.get(d, 0) + c * w[b]
+    grad = {}
+    for (d, b), c in cnts.items():
+        if labels[d] * margins[d] <= 0:
+            grad[b] = grad.get(b, 0) + labels[d] * c
+    exp = {b: (w[b], grad.get(b, 0), w[b] + grad.get(b, 0)) for b in range(D)}
+    assert got == exp
+
+
+def test_split_leakage_safe_cluster_atomic(spark, tmp_path):
+    """Near-dup documents must land in the SAME split, keyed by their
+    cluster representative; unclustered docs split by their own id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kwack_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    dup = "the exact same long document body repeated across ids " * 3
+    rows = [(i, dup, "en") for i in range(4)] + [
+        (i, f"unique document number {i} with its own words entirely", "en")
+        for i in range(4, 10)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t, _ in rows]),
+            "lang": pa.array([l for _, _, l in rows]),
+            "n_chars": pa.array([len(t) for _, t, _ in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = QUERIES["split_leakage_safe"].fn(spark, str(tmp_path)).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert all(r.cluster_atomic for r in out)
+    # the 4 duplicates share rep 0 and therefore one split
+    assert {by_id[i].rep_id for i in range(4)} == {0}
+    assert len({by_id[i].split for i in range(4)}) == 1

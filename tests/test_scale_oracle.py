@@ -255,6 +255,9 @@ SCALE_SENSITIVE = [
     "ann_index_persist_roundtrip",
     "length_trim_sketch_gated",
     "streaming_audio_neardup",
+    "quality_perceptron_step",
+    "split_leakage_safe",
+    "cms_merge_shards",
     # r08: the probe-curve + recall audits' implementations changed (BLAS
     # bucket shortlist + cumulative-rank fusion; shared widened ivf_assign)
     "ann_probe_recall_curve",

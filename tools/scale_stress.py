@@ -133,6 +133,11 @@ STRESS_QUERIES = [
     # percentile gate at constant sketch cost)
     "bpe_apply_merges",
     "length_trim_sketch_gated",
+    # wave 6: the full-batch perceptron step (two corpus passes into a
+    # D-bounded gradient) and the leakage-safe split (component pass over
+    # the pair graph + one narrow hash projection)
+    "quality_perceptron_step",
+    "split_leakage_safe",
 ]
 
 # The decade-2 set (factors 10/100 — sf1-equivalent and beyond): the
