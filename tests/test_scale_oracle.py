@@ -307,9 +307,11 @@ SCALE_SENSITIVE = [
 pytestmark = pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SCALE_TESTS"),
     reason="sf0.1 battery is opt-in (SPARK_GRAFT_SCALE_TESTS=1); "
-    "last full run (end of r07, after the dtype lint, prefix rotation, "
-    "all wave-33/combo additions, and the ivf/jl/triangle persists): "
-    "146/146 green in 430 s",
+    "last full run (end of r09, after the rotating-persist fix and all "
+    "13 round-9 additions — audio fingerprint family, KN, MMR, streaming "
+    "KLL, decontamination, matryoshka, BPE apply, index roundtrip, "
+    "sketch trim, perceptron, leakage split, CMS merge): "
+    "206/206 green in 668 s",
 )
 
 _load_all()
