@@ -306,12 +306,17 @@ HEADLINE = [
     "decontaminate_semantic",
     "embedding_matryoshka_recall",
     "bpe_apply_merges",
-    "ann_index_persist_roundtrip",
     "length_trim_sketch_gated",
     "streaming_audio_neardup",
     "quality_perceptron_step",
     "split_leakage_safe",
     "cms_merge_shards",
+    # ann_index_persist_roundtrip is correctness-graded but not benched:
+    # it is ann_ivf_topk's probe re-rooted on a landed index, so it pays
+    # the same all-queries probe cost that keeps ann_ivf_topk itself out
+    # of the bench (see the note below) plus two parquet writes — ~14 s
+    # of pure audit at sf0.1 with no plan insight the correctness gate
+    # doesn't already give.
 ]
 # ann_ivf_topk is correctness-graded but not benched here: at sf0.1's 2k
 # vectors a probed list still holds n/16 vectors, so IVF's candidate set
