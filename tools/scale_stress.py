@@ -163,6 +163,18 @@ DECADE2_QUERIES = [
     # round-9: the trainer's vocabulary-sized-iterations claim is exactly a
     # decade-2 claim (vocab grows ~log n while the corpus grows n)
     "bpe_merge_training_5steps",
+    # round-9 wave 2+: every "vocabulary-sized / constant-state" claim is a
+    # decade-2 claim — the KN scorer's count tables must keep broadcasting
+    # at 500k docs, the sketch trim and decontamination scan must stay
+    # ~flat/linear, the perceptron's gradient stays D-bounded, the apply
+    # pass is one broadcast-join corpus pass, and the leakage split's
+    # component pass rides the ~K-growing pair graph
+    "text_kneser_ney_bigram",
+    "decontaminate_semantic",
+    "bpe_apply_merges",
+    "length_trim_sketch_gated",
+    "quality_perceptron_step",
+    "split_leakage_safe",
 ]
 
 
