@@ -311,6 +311,7 @@ HEADLINE = [
     "quality_perceptron_step",
     "split_leakage_safe",
     "cms_merge_shards",
+    "multimodal_video_keyframe_dedup",
     # ann_index_persist_roundtrip is correctness-graded but not benched:
     # it is ann_ivf_topk's probe re-rooted on a landed index, so it pays
     # the same all-queries probe cost that keeps ann_ivf_topk itself out

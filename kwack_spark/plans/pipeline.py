@@ -3908,6 +3908,92 @@ def multimodal_audio_fingerprint_dedup(spark, sf_dir):
 
 
 @register(
+    "multimodal_video_keyframe_dedup",
+    # video near-dup — the FOURTH modality: videos are near-duplicates when
+    # their sampled keyframes mostly coincide, so the blocking key is the
+    # frame hash itself (every shared keyframe puts the pair in one
+    # bucket; videos sharing nothing never meet — no all-pairs).  The
+    # fixture synthesizes a 32-frame/16-byte "video" per doc ENTIRELY in
+    # JVM expressions: frame i = unhex(md5('vf:g:i')) for class
+    # g = doc_id % 64, variant v = (doc_id // 64) % 4 replacing sampled
+    # frame 4*(v-1) — so with every-4th sampling (8 keyframes) the shared
+    # count has a closed form: 8 same-variant, 7 against v=0, 6 between
+    # distinct nonzero variants, 0 across classes (md5 frames).  Pairs
+    # keep >= 6 shared (Jaccard >= 0.6 on the 8+8 multiset union).
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, doc_id % 64 AS g, (doc_id // 64) % 4 AS v
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(CASE WHEN a.v = b.v THEN 8
+                         WHEN a.v = 0 OR b.v = 0 THEN 7
+                         ELSE 6 END AS BIGINT) AS n_shared,
+               CAST(CASE WHEN a.v = b.v THEN 8
+                         WHEN a.v = 0 OR b.v = 0 THEN 7
+                         ELSE 6 END AS DOUBLE)
+                   / (16 - CASE WHEN a.v = b.v THEN 8
+                                WHEN a.v = 0 OR b.v = 0 THEN 7
+                                ELSE 6 END) AS jaccard
+        FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
+    """,
+    tags=("multimodal", "video", "dedup", "keyframe"),
+)
+def multimodal_video_keyframe_dedup(spark, sf_dir):
+    """Video near-duplicate pairs by sampled-keyframe hash overlap — the
+    standard shape for video dedup at scale: sample every Nth frame
+    (multimodal.py:sample_frames — JVM posexplode, no Python), hash each
+    16-byte frame, and block the pair join ON the frame hash, so a pair
+    is generated once per shared keyframe and counted into n_shared /
+    Jaccard.  100-TB shape: only (video_id, frame_md5) rows shuffle —
+    16 B + id per sampled frame, the payload never leaves the scan; the
+    frame-hash buckets hold exactly the videos sharing that keyframe
+    (duplicate-cluster-sized, never corpus-sized), and the >= 6-shared
+    filter rides the pair aggregation."""
+    from kwack_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") % 64).cast("string")
+    v = (F.col("doc_id") / 64).cast("long") % 4
+    idx = F.sequence(F.lit(0), F.lit(31))
+    frames = F.transform(
+        idx,
+        lambda i: F.when(
+            (v > 0) & (i == (v - 1) * 4),
+            F.unhex(
+                F.md5(F.concat(F.lit("vv:"), g, F.lit(":"), v.cast("string")))
+            ),
+        ).otherwise(
+            F.unhex(F.md5(F.concat(F.lit("vf:"), g, F.lit(":"), i.cast("string"))))
+        ),
+    )
+    vid = d.select(
+        "doc_id",
+        F.aggregate(frames, F.lit(b""), lambda acc, x: F.concat(acc, x)).alias(
+            "payload"
+        ),
+    )
+    kf = mm.sample_frames(vid, "payload", "doc_id", frame_size=16, every_n=4)
+    a = kf.select(F.col("doc_id").alias("id_a"), "frame_md5")
+    b = kf.select(F.col("doc_id").alias("id_b"), "frame_md5")
+    return (
+        a.join(b, "frame_md5")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 6)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double") / (16 - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
     "multimodal_audio_incremental",
     # incremental acoustic dedup: new clips (fixture variants 2-3) probe
     # a PERSISTED fingerprint index of the history (variants 0-1) — the

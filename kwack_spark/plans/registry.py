@@ -86,6 +86,7 @@ _PRIORITY = [
     "quality_perceptron_step",
     "split_leakage_safe",
     "cms_merge_shards",
+    "multimodal_video_keyframe_dedup",
     # --- last driver grade: r02 ---
     "approx_count_distinct",
     "collect_list_sorted",

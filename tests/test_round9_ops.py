@@ -646,3 +646,39 @@ def test_split_leakage_safe_cluster_atomic(spark, tmp_path):
     # the 4 duplicates share rep 0 and therefore one split
     assert {by_id[i].rep_id for i in range(4)} == {0}
     assert len({by_id[i].split for i in range(4)}) == 1
+
+
+def test_video_keyframe_closed_form(spark, tmp_path):
+    """multimodal_video_keyframe_dedup's shared-keyframe counts must equal
+    the fixture's closed form across variants (8 same-v, 7 vs v=0, 6
+    between distinct nonzero variants, nothing cross-class)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kwack_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    n = 260  # ids cover all 4 variants of classes 0..3
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(["en"] * n),
+            "n_chars": pa.array([1] * n, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in QUERIES["multimodal_video_keyframe_dedup"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    exp = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            if a % 64 != b % 64:
+                continue
+            va, vb = (a // 64) % 4, (b // 64) % 4
+            exp[(a, b)] = 8 if va == vb else (7 if 0 in (va, vb) else 6)
+    assert got == exp

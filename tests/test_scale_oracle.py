@@ -258,6 +258,7 @@ SCALE_SENSITIVE = [
     "quality_perceptron_step",
     "split_leakage_safe",
     "cms_merge_shards",
+    "multimodal_video_keyframe_dedup",
     # r08: the probe-curve + recall audits' implementations changed (BLAS
     # bucket shortlist + cumulative-rank fusion; shared widened ivf_assign)
     "ann_probe_recall_curve",

@@ -138,6 +138,10 @@ STRESS_QUERIES = [
     # the pair graph + one narrow hash projection)
     "quality_perceptron_step",
     "split_leakage_safe",
+    # video keyframe dedup: frame-hash-blocked pair join — OUTPUT grows
+    # ~n² by fixture design (classes keyed doc_id % 64 regardless of
+    # replica, like phash/audio), so first-decade factors only
+    "multimodal_video_keyframe_dedup",
 ]
 
 # The decade-2 set (factors 10/100 — sf1-equivalent and beyond): the
