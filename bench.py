@@ -312,6 +312,7 @@ HEADLINE = [
     "split_leakage_safe",
     "cms_merge_shards",
     "multimodal_video_keyframe_dedup",
+    "streaming_video_neardup",
     # ann_index_persist_roundtrip is correctness-graded but not benched:
     # it is ann_ivf_topk's probe re-rooted on a landed index, so it pays
     # the same all-queries probe cost that keeps ann_ivf_topk itself out

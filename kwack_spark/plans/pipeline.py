@@ -3907,6 +3907,55 @@ def multimodal_audio_fingerprint_dedup(spark, sf_dir):
     return dedup.fingerprint_hamming_pairs(fps, "doc_id", max_hamming=3, blocks=4)
 
 
+def _video_keyframes(spark, sf_dir):
+    """The synthetic-video keyframe table (doc_id, frame_no, frame,
+    frame_md5) shared by the batch and streaming video-dedup queries —
+    one copy of the fixture semantics the closed-form oracles state."""
+    from kwack_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") % 64).cast("string")
+    v = (F.col("doc_id") / 64).cast("long") % 4
+    idx = F.sequence(F.lit(0), F.lit(31))
+    frames = F.transform(
+        idx,
+        lambda i: F.when(
+            (v > 0) & (i == (v - 1) * 4),
+            F.unhex(
+                F.md5(F.concat(F.lit("vv:"), g, F.lit(":"), v.cast("string")))
+            ),
+        ).otherwise(
+            F.unhex(F.md5(F.concat(F.lit("vf:"), g, F.lit(":"), i.cast("string"))))
+        ),
+    )
+    vid = d.select(
+        "doc_id",
+        F.aggregate(frames, F.lit(b""), lambda acc, x: F.concat(acc, x)).alias(
+            "payload"
+        ),
+    )
+    return mm.sample_frames(vid, "payload", "doc_id", frame_size=16, every_n=4)
+
+
+def _video_pair_rollup(pairs):
+    """(id_a, id_b) rows, one per shared keyframe -> the graded pair table
+    (n_shared >= 6 gate + Jaccard over the 8+8 multiset union)."""
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 6)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double") / (16 - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+
 @register(
     "multimodal_video_keyframe_dedup",
     # video near-dup — the FOURTH modality: videos are near-duplicates when
@@ -3950,47 +3999,73 @@ def multimodal_video_keyframe_dedup(spark, sf_dir):
     frame-hash buckets hold exactly the videos sharing that keyframe
     (duplicate-cluster-sized, never corpus-sized), and the >= 6-shared
     filter rides the pair aggregation."""
-    from kwack_spark.operators import multimodal as mm
-
-    d = T(spark, sf_dir, "documents").select("doc_id")
-    g = (F.col("doc_id") % 64).cast("string")
-    v = (F.col("doc_id") / 64).cast("long") % 4
-    idx = F.sequence(F.lit(0), F.lit(31))
-    frames = F.transform(
-        idx,
-        lambda i: F.when(
-            (v > 0) & (i == (v - 1) * 4),
-            F.unhex(
-                F.md5(F.concat(F.lit("vv:"), g, F.lit(":"), v.cast("string")))
-            ),
-        ).otherwise(
-            F.unhex(F.md5(F.concat(F.lit("vf:"), g, F.lit(":"), i.cast("string"))))
-        ),
-    )
-    vid = d.select(
-        "doc_id",
-        F.aggregate(frames, F.lit(b""), lambda acc, x: F.concat(acc, x)).alias(
-            "payload"
-        ),
-    )
-    kf = mm.sample_frames(vid, "payload", "doc_id", frame_size=16, every_n=4)
+    kf = _video_keyframes(spark, sf_dir)
     a = kf.select(F.col("doc_id").alias("id_a"), "frame_md5")
     b = kf.select(F.col("doc_id").alias("id_b"), "frame_md5")
-    return (
-        a.join(b, "frame_md5")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= 6)
-        .select(
-            "id_a",
-            "id_b",
-            "n_shared",
-            (
-                F.col("n_shared").cast("double") / (16 - F.col("n_shared"))
-            ).alias("jaccard"),
-        )
+    return _video_pair_rollup(
+        a.join(b, "frame_md5").filter(F.col("id_a") < F.col("id_b"))
     )
+
+
+@register(
+    "streaming_video_neardup",
+    # streaming video near-dup: keyframe hashes replayed over 3
+    # micro-batches through the generic stateful key-collision kernel
+    # (state per frame-hash bucket = the id list; each arrival emits one
+    # pair row per earlier same-key id), then the SAME >= 6-shared rollup
+    # as the batch query — a pair sharing k keyframes is emitted k times,
+    # so the count recovers n_shared and end-of-stream equals the batch
+    # pair table under any arrival order.  Same closed-form oracle.
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, doc_id % 64 AS g, (doc_id // 64) % 4 AS v
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(CASE WHEN a.v = b.v THEN 8
+                         WHEN a.v = 0 OR b.v = 0 THEN 7
+                         ELSE 6 END AS BIGINT) AS n_shared,
+               CAST(CASE WHEN a.v = b.v THEN 8
+                         WHEN a.v = 0 OR b.v = 0 THEN 7
+                         ELSE 6 END AS DOUBLE)
+                   / (16 - CASE WHEN a.v = b.v THEN 8
+                                WHEN a.v = 0 OR b.v = 0 THEN 7
+                                ELSE 6 END) AS jaccard
+        FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
+    """,
+    tags=("streaming", "multimodal", "video", "dedup", "stateful"),
+)
+def streaming_video_neardup(spark, sf_dir):
+    """Video keyframe dedup as a STREAMING stateful operator — with this,
+    all four modalities (text SimHash, image dHash, audio energy hash,
+    video keyframes) run their near-dup in batch AND streaming form.
+    The stream shuffles once on the frame hash; each bucket's state is
+    its id list (streaming/ingest.py:stateful_key_collision_pairs), and
+    the shared-count rollup runs on the emitted pair rows exactly as the
+    batch join's."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.streaming import ingest as si
+
+    kf = _video_keyframes(spark, sf_dir).select("doc_id", "frame_md5")
+    replay_dir = tempfile.mkdtemp(prefix="kwack_video_replay_")
+    kf.repartition(3).write.mode("overwrite").parquet(replay_dir)
+    stream = (
+        spark.readStream.schema(kf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    pairs = si.stateful_key_collision_pairs(stream, "frame_md5", "doc_id")
+    sink = f"strmvid_{uuid.uuid4().hex[:8]}"
+    with _few_shuffle_partitions(spark):
+        q = si.to_memory_sink(pairs, sink, output_mode="append")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_video_neardup: stream did not finish in 300s"
+            )
+    return _video_pair_rollup(spark.table(sink))
 
 
 @register(

@@ -87,6 +87,7 @@ _PRIORITY = [
     "split_leakage_safe",
     "cms_merge_shards",
     "multimodal_video_keyframe_dedup",
+    "streaming_video_neardup",
     # --- last driver grade: r02 ---
     "approx_count_distinct",
     "collect_list_sorted",

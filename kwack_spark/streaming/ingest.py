@@ -387,6 +387,44 @@ def stateful_simhash_neardup(df: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def stateful_key_collision_pairs(df: DataFrame, key: str, id_col: str) -> DataFrame:
+    """Streaming exact-key collision pairs: per ``key`` bucket the state is
+    the id list seen so far, and each arrival emits one ``(id_a, id_b)``
+    row per earlier same-key id (id_a < id_b) — the generic core under any
+    hash-blocked streaming dedup where the blocking key IS the evidence
+    (video keyframe hashes, exact content hashes): a pair sharing k keys
+    is emitted k times, so a downstream count per pair recovers the
+    shared-key count and end-of-stream equals the batch key self-join
+    under any arrival order.  State is one id list per key, columnar."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "id_a long, id_b long"
+    state_schema = "ids array<long>"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        ids = [int(i) for i in state.get[0]] if state.exists else []
+        batch: list[int] = []
+        for pdf in pdfs:
+            batch.extend(int(i) for i in pdf[id_col])
+        batch.sort()
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for did in batch:
+            for hid in ids:
+                if hid != did:
+                    out_a.append(min(did, hid))
+                    out_b.append(max(did, hid))
+            ids.append(did)
+        state.update((ids,))
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return df.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def to_memory_sink(
     df: DataFrame,
     name: str,

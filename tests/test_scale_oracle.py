@@ -259,6 +259,7 @@ SCALE_SENSITIVE = [
     "split_leakage_safe",
     "cms_merge_shards",
     "multimodal_video_keyframe_dedup",
+    "streaming_video_neardup",
     # r08: the probe-curve + recall audits' implementations changed (BLAS
     # bucket shortlist + cumulative-rank fusion; shared widened ivf_assign)
     "ann_probe_recall_curve",
