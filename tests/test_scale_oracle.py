@@ -313,7 +313,8 @@ pytestmark = pytest.mark.skipif(
     "13 round-9 additions — audio fingerprint family, KN, MMR, streaming "
     "KLL, decontamination, matryoshka, BPE apply, index roundtrip, "
     "sketch trim, perceptron, leakage split, CMS merge): "
-    "206/206 green in 668 s",
+    "206/206 green in 668 s; re-run at final HEAD with the video pair "
+    "and streaming-video additions: 208/208 green in 712 s",
 )
 
 _load_all()
