@@ -313,6 +313,10 @@ HEADLINE = [
     "cms_merge_shards",
     "multimodal_video_keyframe_dedup",
     "streaming_video_neardup",
+    # round-10 (r10): the frame-hash bucket-occupancy audit (the video
+    # sibling of simhash_slice_occupancy — watches the keyframe join's
+    # df-cap), sharing the one frame_md5 shuffle with the pair join above
+    "video_keyframe_occupancy",
     # ann_index_persist_roundtrip is correctness-graded but not benched:
     # it is ann_ivf_topk's probe re-rooted on a landed index, so it pays
     # the same all-queries probe cost that keeps ann_ivf_topk itself out

@@ -620,6 +620,68 @@ def simhash64_block_occupancy(
     )
 
 
+def key_collision_pairs(
+    df: DataFrame, key_col: str, id_col: str, max_key_df: int = 4096
+) -> DataFrame:
+    """Exact-key collision pairs with a hot-key guard — the batch twin of
+    ``streaming/ingest.py:stateful_key_collision_pairs`` and the generic
+    core under any hash-blocked dedup where the blocking key IS the
+    evidence (video keyframe hashes, exact content hashes): one
+    ``(id_a, id_b)`` row per shared key, so a downstream count per pair
+    recovers the shared-key count.
+
+    ``max_key_df`` drops keys appearing in more than that many ids BEFORE
+    the self-join — the stop-word control of hash blocking: a ubiquitous
+    key (a black video frame, a studio logo card, boilerplate content)
+    carries no dedup signal and would otherwise generate O(df²) pairs on
+    one shuffle key.  Same policy as winnowing's fingerprint df-cap and
+    the streaming kernel's ``max_ids`` state bound.  100-TB shape: ONE
+    shuffle keyed on ``key_col`` covers both the frequency count and the
+    pair join (the count broadcasts back onto the co-partitioned side)."""
+    ids = df.select(F.col(id_col), F.col(key_col)).distinct()
+    rare = (
+        ids.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_key_df)
+        .select(key_col)
+    )
+    a = ids.select(F.col(id_col).alias("id_a"), key_col)
+    b = ids.select(F.col(id_col).alias("id_b"), key_col)
+    return (
+        a.join(b, key_col)
+        .join(rare, key_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def key_occupancy_audit(
+    df: DataFrame, key_col: str, max_key_df: int = 4096
+) -> DataFrame:
+    """One-row bucket-occupancy audit for an exact-key blocking index —
+    ``simhash64_block_occupancy`` generalized to ANY blocking key (video
+    frame hashes, content hashes, LSH band keys): bucket count, max and
+    mean occupancy, the candidate-pair mass ``sum(c*(c-1)/2)`` an
+    UNCAPPED self-join would generate, and how many buckets the
+    ``max_key_df`` cap would drop.  At 100 TB this is the observability
+    run BEFORE the pair join: n_cand_pairs growing superlinearly in
+    corpus size, or n_over_cap leaving zero, is the signal that the key
+    is saturating (ubiquitous frames / boilerplate) and the cap is load-
+    bearing rather than dormant."""
+    per = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("c").alias("max_occupancy"),
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("mean_occupancy"),
+        F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("n_cand_pairs"),
+        F.sum((F.col("c") > max_key_df).cast("long"))
+        .cast("long")
+        .alias("n_over_cap"),
+    )
+
+
 def incremental_simhash_new_dups(
     history: DataFrame,
     batch: DataFrame,

@@ -434,9 +434,11 @@ def synth_wav_am(
     mono PCM16 square wave whose per-window amplitude walks up or down by
     a fixed step so the 64 energy-delta signs the fingerprint below reads
     have a closed form.  Audio class: g = d % 128 picks the 64-bit
-    pattern bit j = (g >> (j % 7)) & 1 (two distinct classes differ in
-    >= 9 of the 64 bits — 64/7 positions per differing g-bit — so no
-    cross-class pair survives a Hamming<=3 gate), v = (d // 128) % 4 the
+    pattern bit j = (g >> (j % 7)) & 1 (two distinct class PATTERNS differ
+    in >= 9 of the 64 bits — 64/7 positions per differing g-bit — and the
+    variant flips below cost at most 1 bit per side, so any cross-class
+    fingerprint pair stays >= 7 apart and none survives a Hamming<=3
+    gate), v = (d // 128) % 4 the
     near-dup variant, flipping only walk step v-1: ids sharing (g, v)
     fingerprint identically, v=0 vs v>0 differ in exactly 1 bit, two
     nonzero variants in exactly 2.  A per-(id, window) jitter of

@@ -3996,15 +3996,66 @@ def multimodal_video_keyframe_dedup(spark, sf_dir):
     is generated once per shared keyframe and counted into n_shared /
     Jaccard.  100-TB shape: only (video_id, frame_md5) rows shuffle —
     16 B + id per sampled frame, the payload never leaves the scan; the
-    frame-hash buckets hold exactly the videos sharing that keyframe
-    (duplicate-cluster-sized, never corpus-sized), and the >= 6-shared
-    filter rides the pair aggregation."""
+    pair join rides dedup.key_collision_pairs, whose df-cap drops frame
+    hashes shared by > 4096 videos (a ubiquitous keyframe — black frame,
+    studio logo, intro card — is the stop-word of frame blocking: no
+    dedup signal, O(df²) pair blowup), so buckets are duplicate-cluster-
+    sized BY CONSTRUCTION, not by hope; video_keyframe_occupancy is the
+    audit that watches the cap.  The >= 6-shared filter rides the pair
+    aggregation."""
+    from kwack_spark.operators import dedup
+
     kf = _video_keyframes(spark, sf_dir)
-    a = kf.select(F.col("doc_id").alias("id_a"), "frame_md5")
-    b = kf.select(F.col("doc_id").alias("id_b"), "frame_md5")
     return _video_pair_rollup(
-        a.join(b, "frame_md5").filter(F.col("id_a") < F.col("id_b"))
+        dedup.key_collision_pairs(kf, "frame_md5", "doc_id", max_key_df=4096)
     )
+
+
+@register(
+    "video_keyframe_occupancy",
+    # the hot-bucket audit for the video keyframe family (the
+    # simhash_slice_occupancy sibling on frame-hash buckets): bucket
+    # count, max/mean occupancy, uncapped candidate-pair mass, and how
+    # many buckets the df-cap would drop.  Closed-form oracle: the
+    # fixture's keyframe table is (doc, 8 sampled positions), with
+    # variant v > 0 swapping position 4*(v-1) for the variant frame —
+    # bucket structure over the synthetic keys equals the engine's over
+    # the md5 frame bytes (the key -> frame-bytes map is injective).
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, doc_id % 64 AS g, (doc_id // 64) % 4 AS v
+            FROM documents
+        ),
+        kf AS (
+            SELECT doc_id,
+                   CASE WHEN v > 0 AND i = 4 * (v - 1)
+                        THEN 'vv:' || g::VARCHAR || ':' || v::VARCHAR
+                        ELSE 'vf:' || g::VARCHAR || ':' || i::VARCHAR
+                   END AS fkey
+            FROM p, unnest([0, 4, 8, 12, 16, 20, 24, 28]) AS t(i)
+        ),
+        per AS (SELECT fkey, count(*) AS c FROM kf GROUP BY fkey)
+        SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(max(c) AS BIGINT) AS max_occupancy,
+               CAST(sum(c) AS DOUBLE) / count(*) AS mean_occupancy,
+               CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_cand_pairs,
+               CAST(count(*) FILTER (WHERE c > 4096) AS BIGINT) AS n_over_cap
+        FROM per
+    """,
+    tags=("multimodal", "video", "dedup", "audit", "observability"),
+)
+def video_keyframe_occupancy(spark, sf_dir):
+    """Measured-occupancy guard for frame-hash blocking
+    (operators/dedup.py:key_occupancy_audit) — the video instance of the
+    simhash_slice_occupancy audit: frame-hash bucket occupancy decides
+    whether the keyframe join's df-cap is dormant (healthy corpus) or
+    load-bearing (ubiquitous frames saturating buckets).  At 100 TB this
+    runs BEFORE the pair join on the same one shuffle key; n_cand_pairs
+    turning superlinear in corpus size is the escalation trigger."""
+    from kwack_spark.operators import dedup
+
+    kf = _video_keyframes(spark, sf_dir).select("doc_id", "frame_md5").distinct()
+    return dedup.key_occupancy_audit(kf, "frame_md5", max_key_df=4096)
 
 
 @register(
@@ -4056,7 +4107,12 @@ def streaming_video_neardup(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(replay_dir)
     )
-    pairs = si.stateful_key_collision_pairs(stream, "frame_md5", "doc_id")
+    # max_ids matches the batch join's df-cap: a frame-hash bucket past
+    # 4096 videos stops emitting (no dedup signal) and its state stays
+    # bounded — the streaming leg of the hot-bucket guard
+    pairs = si.stateful_key_collision_pairs(
+        stream, "frame_md5", "doc_id", max_ids=4096
+    )
     sink = f"strmvid_{uuid.uuid4().hex[:8]}"
     with _few_shuffle_partitions(spark):
         q = si.to_memory_sink(pairs, sink, output_mode="append")
@@ -7511,7 +7567,11 @@ def _bpe_step_ctes(steps: int, carry_w: bool = False) -> str:
     """The k chained (pairs -> argmax -> replace) CTE blocks; with
     ``carry_w`` each state row keeps its word, so a consumer can read the
     final per-word segmentation (the apply pass) instead of the merge
-    list (the trainer)."""
+    list (the trainer).  Each replace LEFT JOINs its (0-or-1-row) argmax
+    and no-ops on NULL, so a corpus that exhausts merges in fewer than
+    ``steps`` iterations carries its state through the remaining blocks
+    unchanged — matching the engine's early loop break — instead of a
+    CROSS JOIN against an empty argmax emptying the state."""
     keep = "w, " if carry_w else ""
     blocks = []
     for i in range(1, steps + 1):
@@ -7528,10 +7588,11 @@ def _bpe_step_ctes(steps: int, carry_w: bool = False) -> str:
         ),
         w{i} AS (SELECT pair, n FROM p{i} ORDER BY n DESC, pair LIMIT 1),
         s{i} AS (
-            SELECT {keep}replace(s, ' ' || replace(pair, ' ', '  ') || ' ',
-                              ' ' || replace(pair, ' ', '') || ' ') AS s,
+            SELECT {keep}CASE WHEN pair IS NULL THEN s ELSE
+                       replace(s, ' ' || replace(pair, ' ', '  ') || ' ',
+                               ' ' || replace(pair, ' ', '') || ' ') END AS s,
                    freq
-            FROM s{i - 1} CROSS JOIN w{i}
+            FROM s{i - 1} LEFT JOIN w{i} ON TRUE
         )""")
     return ",".join(blocks)
 

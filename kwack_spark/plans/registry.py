@@ -68,6 +68,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # space.)  The list is advisory ordering only — every query stays
 # registered; names missing from it would keep registration order after it.
 _PRIORITY = [
+    # --- r10-new queries (never graded; must land in the window) ---
+    "video_keyframe_occupancy",
     # --- r09-new queries (never graded; must land in the window) ---
     "bpe_merge_training_5steps",
     "corpus_curation_multimodal",

@@ -387,15 +387,32 @@ def stateful_simhash_neardup(df: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def stateful_key_collision_pairs(df: DataFrame, key: str, id_col: str) -> DataFrame:
+def stateful_key_collision_pairs(
+    df: DataFrame, key: str, id_col: str, max_ids: int = 4096
+) -> DataFrame:
     """Streaming exact-key collision pairs: per ``key`` bucket the state is
-    the id list seen so far, and each arrival emits one ``(id_a, id_b)``
+    the id SET seen so far, and each NEW arrival emits one ``(id_a, id_b)``
     row per earlier same-key id (id_a < id_b) — the generic core under any
     hash-blocked streaming dedup where the blocking key IS the evidence
     (video keyframe hashes, exact content hashes): a pair sharing k keys
     is emitted k times, so a downstream count per pair recovers the
     shared-key count and end-of-stream equals the batch key self-join
-    under any arrival order.  State is one id list per key, columnar."""
+    under any arrival order.
+
+    Idempotent per (key, id): an id already in the bucket's state is
+    skipped — it neither re-emits pairs nor grows state — so at-least-once
+    redelivery of a (key, id) row cannot inflate the downstream
+    shared-key counts (unlike the simhash kernel, whose downstream
+    .distinct() absorbs duplicates, a count rollup cannot).
+
+    Hot-bucket guard: a bucket whose id set reaches ``max_ids`` stops
+    accepting ids — a key shared by that many items carries no dedup
+    signal (the stop-word of hash blocking: a ubiquitous video keyframe,
+    a boilerplate content hash) and would otherwise emit O(bucket²) pairs
+    and grow state without bound.  Truncation is one-sided (pairs already
+    emitted stand; append mode cannot retract), matching the batch df-cap
+    policy of dropping over-frequent keys.  State is therefore bounded at
+    ``max_ids`` longs per key, columnar."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "id_a long, id_b long"
@@ -405,6 +422,7 @@ def stateful_key_collision_pairs(df: DataFrame, key: str, id_col: str) -> DataFr
         import pandas as pd
 
         ids = [int(i) for i in state.get[0]] if state.exists else []
+        seen = set(ids)
         batch: list[int] = []
         for pdf in pdfs:
             batch.extend(int(i) for i in pdf[id_col])
@@ -412,11 +430,13 @@ def stateful_key_collision_pairs(df: DataFrame, key: str, id_col: str) -> DataFr
         out_a: list[int] = []
         out_b: list[int] = []
         for did in batch:
+            if did in seen or len(ids) >= max_ids:
+                continue
             for hid in ids:
-                if hid != did:
-                    out_a.append(min(did, hid))
-                    out_b.append(max(did, hid))
+                out_a.append(min(did, hid))
+                out_b.append(max(did, hid))
             ids.append(did)
+            seen.add(did)
         state.update((ids,))
         yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
@@ -465,7 +485,17 @@ def stateful_kll_registers(df: DataFrame, key: str, k: int = 64) -> DataFrame:
     Emits one (key, n_seen, hrs, rids, vs) row per key per micro-batch
     ('update' mode); the emission with the largest n_seen is the final
     state.  State is O(k) longs per key — constant however long the
-    stream runs."""
+    stream runs.
+
+    Registers are deduplicated on (hr, rid), so at-least-once redelivery
+    of a row can never duplicate a register: the sketch stays bit-exactly
+    merge-invariant under replays of rows whose (hr, rid) lands in the
+    kept bottom-k.  ``n_seen`` is the one redelivery-sensitive field — a
+    replayed row whose rank fell OUTSIDE the k kept registers is
+    indistinguishable from a new row with O(k) state, so n_seen is exact
+    only under exactly-once micro-batch delivery (Spark's default sink
+    contract here); the quantile registers themselves need no such
+    assumption."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     key_type = df.schema[key].dataType.simpleString()
@@ -480,16 +510,19 @@ def stateful_kll_registers(df: DataFrame, key: str, k: int = 64) -> DataFrame:
 
         if state.exists:
             n_seen, hrs, rids, vs = state.get
-            regs = [
-                (int(h), int(r), int(v)) for h, r, v in zip(hrs, rids, vs)
-            ]
+            by_reg = {
+                (int(h), int(r)): int(v) for h, r, v in zip(hrs, rids, vs)
+            }
         else:
-            n_seen, regs = 0, []
+            n_seen, by_reg = 0, {}
         for pdf in pdfs:
             for h, r, v in zip(pdf["hr"], pdf["rid"], pdf["v"]):
-                regs.append((int(h), int(r), int(v)))
-                n_seen += 1
-        regs.sort()  # (hr, rid) unique per row -> total order
+                # keyed on (hr, rid): a redelivered row overwrites its own
+                # register instead of duplicating it
+                if (int(h), int(r)) not in by_reg:
+                    n_seen += 1
+                by_reg[(int(h), int(r))] = int(v)
+        regs = sorted((h, r, v) for (h, r), v in by_reg.items())
         del regs[k:]
         state.update(
             (
