@@ -315,8 +315,13 @@ HEADLINE = [
     "streaming_video_neardup",
     # round-10 (r10): the frame-hash bucket-occupancy audit (the video
     # sibling of simhash_slice_occupancy — watches the keyframe join's
-    # df-cap), sharing the one frame_md5 shuffle with the pair join above
+    # df-cap), sharing the one frame_md5 shuffle with the pair join above,
+    # and the real-codec video leg (MJPEG marker-walk split -> full
+    # baseline-JPEG keyframe decode -> dHash -> Hamming blocking) — the
+    # heaviest per-byte multimodal kernel in the suite (~1M Huffman+IDCT
+    # block decodes at sf0.1), decode-bound by design
     "video_keyframe_occupancy",
+    "multimodal_video_dhash_dedup",
     # ann_index_persist_roundtrip is correctness-graded but not benched:
     # it is ann_ivf_topk's probe re-rooted on a landed index, so it pays
     # the same all-queries probe cost that keeps ann_ivf_topk itself out

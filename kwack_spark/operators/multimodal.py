@@ -866,6 +866,40 @@ def synth_png_blocky(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(id_col).mapInPandas(kernel, out_schema)
 
 
+def _dhash64_from_px(w: int, h: int, ch: int, px):
+    """64-bit dHash from an already-decoded pixel matrix (h, w*ch):
+    luma plane (gray directly; RGB via integer-exact (77R+150G+29B) >> 8),
+    integer box downsample to a 9-column x 8-row grid, bit (j*8 + i) = 1
+    iff grid[j][i] < grid[j][i+1].  Returns a signed LONG (bit 63 wraps to
+    the sign bit, matching Spark/DuckDB BIGINT) or None for shapes not
+    box-reducible to the 9x8 grid — shared by the PNG path (``dhash64``)
+    and the MJPEG keyframe path (``mjpeg_keyframes``)."""
+    import numpy as np
+
+    if w % 9 or h % 8:
+        return None
+    if ch == 1:
+        luma = px.astype(np.int64)
+    elif ch == 3:
+        p = px.astype(np.int64)
+        luma = (77 * p[:, 0::3] + 150 * p[:, 1::3] + 29 * p[:, 2::3]) >> 8
+    else:
+        return None
+    by, bx = h // 8, w // 9
+    grid = (
+        luma.reshape(8, by, 9, bx).sum(axis=(1, 3), dtype=np.int64)
+        // (by * bx)
+    )
+    fp = 0
+    for j in range(8):
+        for i in range(8):
+            if grid[j, i] < grid[j, i + 1]:
+                fp |= 1 << (j * 8 + i)
+    if fp >= 1 << 63:
+        fp -= 1 << 64
+    return fp
+
+
 def dhash64(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     """64-bit perceptual difference hash (dHash) from REAL image decode:
     full PNG decode (``_png_decode`` — CRC chunk walk, inflate, all five
@@ -879,7 +913,6 @@ def dhash64(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     or wrongly-shaped payloads yield NULL, never a wrong fingerprint.
     Scale shape: one narrow Arrow-batched pass; only 8 bytes/image leave
     it (the payload never shuffles)."""
-    import numpy as np
     import pandas as pd
 
     def kernel(batches) -> Iterator:
@@ -892,30 +925,7 @@ def dhash64(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
                     fps.append(None)
                     continue
                 w, h, ch, _depth, px = parsed
-                if w % 9 or h % 8:  # not box-reducible to the 9x8 grid
-                    fps.append(None)
-                    continue
-                if ch == 1:
-                    luma = px.astype(np.int64)
-                elif ch == 3:
-                    p = px.astype(np.int64)
-                    luma = (77 * p[:, 0::3] + 150 * p[:, 1::3] + 29 * p[:, 2::3]) >> 8
-                else:
-                    fps.append(None)
-                    continue
-                by, bx = h // 8, w // 9
-                grid = (
-                    luma.reshape(8, by, 9, bx).sum(axis=(1, 3), dtype=np.int64)
-                    // (by * bx)
-                )
-                fp = 0
-                for j in range(8):
-                    for i in range(8):
-                        if grid[j, i] < grid[j, i + 1]:
-                            fp |= 1 << (j * 8 + i)
-                if fp >= 1 << 63:
-                    fp -= 1 << 64
-                fps.append(fp)
+                fps.append(_dhash64_from_px(w, h, ch, px))
             yield pd.DataFrame({id_col: ids, "fp": pd.array(fps, dtype="Int64")})
 
     out_schema = ST.StructType(
@@ -1520,6 +1530,177 @@ def synth_jpeg(df: DataFrame, id_col: str) -> DataFrame:
         ]
     )
     return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def synth_mjpeg(
+    df: DataFrame, id_col: str, n_frames: int = 12, every_n: int = 4
+) -> DataFrame:
+    """Deterministic MJPEG-style video fixture (REAL encoder): per id d, a
+    video that is the concatenation of ``n_frames`` baseline JPEGs — each
+    frame a 72x64 grayscale image, block-constant per 8x8 JPEG block (so
+    the constant-block FDCT/IDCT roundtrip is exact and the decoded frame
+    is bit-identical to the source grid), with block (j, i) = first md5
+    byte of 'vd:g:t:j:i' for video class g = d % 64 and frame index t.
+    Two cells are pinned so the dHash downstream has a closed form: cell
+    (0, 0) is 0 on a base frame and 255 on a modified one, cell (0, 1) is
+    always 128 — so modifying a frame flips dHash bit (0, 0) EXACTLY
+    (0 < 128 vs 255 < 128), a guaranteed Hamming distance of 1 (the PNG
+    fixture's '<= 2 bits' hedge, tightened to an equality the pair-level
+    oracle can state).  Variant v = (d // 64) % 4 > 0 modifies exactly one
+    SAMPLED frame, t = every_n * (v - 1): ids sharing (g, v) are
+    byte-identical; v=0 vs v>0 differ in one keyframe's single bit; two
+    nonzero variants differ in two keyframes, one bit each."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def frame_grid(g: int, t: int, modified: bool):
+        grid = np.empty((8, 9), np.int32)
+        for j in range(8):
+            for i in range(9):
+                grid[j, i] = int(
+                    hashlib.md5(f"vd:{g}:{t}:{j}:{i}".encode()).hexdigest()[:2],
+                    16,
+                )
+        grid[0, 0] = 255 if modified else 0
+        grid[0, 1] = 128
+        return grid
+
+    def kernel(batches) -> Iterator:
+        cache: dict = {}
+        for pdf in batches:
+            ids, outs = [], []
+            for rec in pdf.itertuples(index=False):
+                d = int(getattr(rec, id_col))
+                g, v = d % 64, (d // 64) % 4
+                payload = cache.get((g, v))
+                if payload is None:
+                    frames = []
+                    for t in range(n_frames):
+                        mod = v > 0 and t == every_n * (v - 1)
+                        px = np.repeat(
+                            np.repeat(frame_grid(g, t, mod), 8, axis=0),
+                            8,
+                            axis=1,
+                        )
+                        frames.append(_jpeg_encode(px.astype(np.int32), 1))
+                    payload = b"".join(frames)
+                    cache[(g, v)] = payload
+                ids.append(d)
+                outs.append(payload)
+            yield pd.DataFrame({id_col: ids, "payload": outs})
+
+    out_schema = ST.StructType(
+        [
+            ST.StructField(id_col, ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def _mjpeg_split(payload: bytes):
+    """Split a concatenated-baseline-JPEG (MJPEG-style) payload into its
+    frames by walking JPEG markers — NOT by byte-scanning for EOI:
+    header-segment lengths skip table bodies (where a stray FFD9 byte may
+    legally occur), and the post-SOS entropy stream is FF-stuffed by the
+    standard, so the first FF followed by neither 00 nor RSTn is the
+    frame's closing marker.  Returns the list of frame byte slices, or
+    None if the payload is not a clean frame concatenation."""
+    frames = []
+    pos, n = 0, len(payload)
+    while pos < n:
+        if payload[pos : pos + 2] != b"\xff\xd8":
+            return None
+        start, p, end = pos, pos + 2, None
+        while p + 2 <= n:
+            if payload[p] != 0xFF:
+                return None
+            marker = payload[p + 1]
+            if marker == 0xFF:
+                p += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                p += 2
+                continue
+            if marker == 0xD9:  # EOI before SOS: degenerate but delimited
+                end = p + 2
+                break
+            if p + 4 > n:
+                return None
+            seg_len = int.from_bytes(payload[p + 2 : p + 4], "big")
+            if marker == 0xDA:  # SOS: entropy runs to the next real marker
+                q = p + 2 + seg_len
+                while q + 1 < n:
+                    nxt = payload[q + 1]
+                    if payload[q] == 0xFF and nxt != 0x00 and not (
+                        0xD0 <= nxt <= 0xD7
+                    ):
+                        break
+                    q += 1
+                if q + 1 >= n or payload[q + 1] != 0xD9:
+                    return None
+                end = q + 2
+                break
+            p += 2 + seg_len
+        if end is None:
+            return None
+        frames.append(payload[start:end])
+        pos = end
+    return frames
+
+
+def mjpeg_keyframes(
+    df: DataFrame, payload_col: str, id_col: str, every_n: int = 4
+) -> DataFrame:
+    """MJPEG keyframe extraction with REAL codec decode — the video leg of
+    the perceptual-fingerprint family: split the payload into frames on
+    the JPEG marker walk (``_mjpeg_split``), keep every Nth frame, run the
+    full baseline decode (``_jpeg_decode`` — stream-defined Huffman
+    tables, entropy decode, dequantize, IDCT) on each kept frame, and
+    fingerprint it with the SAME 64-bit dHash the image family uses
+    (``_dhash64_from_px``).  Output: one ``(id, frame_no, fp)`` row per
+    sampled frame — 8 bytes/keyframe leave the kernel, the video payload
+    never shuffles.  Malformed payloads or undecodable frames yield NULL
+    fingerprints, never wrong ones."""
+    import pandas as pd
+
+    def kernel(batches) -> Iterator:
+        for pdf in batches:
+            ids, nos, fps = [], [], []
+            for rec in pdf.itertuples(index=False):
+                did = getattr(rec, id_col)
+                frames = _mjpeg_split(bytes(getattr(rec, payload_col)))
+                if frames is None:
+                    ids.append(did)
+                    nos.append(None)
+                    fps.append(None)
+                    continue
+                for t in range(0, len(frames), every_n):
+                    parsed = _jpeg_decode(frames[t])
+                    fp = (
+                        _dhash64_from_px(*parsed) if parsed is not None else None
+                    )
+                    ids.append(did)
+                    nos.append(t)
+                    fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_no": pd.array(nos, dtype="Int32"),
+                    "fp": pd.array(fps, dtype="Int64"),
+                }
+            )
+
+    out_schema = ST.StructType(
+        [
+            ST.StructField(id_col, ST.LongType()),
+            ST.StructField("frame_no", ST.IntegerType(), True),
+            ST.StructField("fp", ST.LongType(), True),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 
 
 def decode_jpeg_features(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:

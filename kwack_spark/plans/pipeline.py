@@ -4059,6 +4059,91 @@ def video_keyframe_occupancy(spark, sf_dir):
 
 
 @register(
+    "multimodal_video_dhash_dedup",
+    # video near-dup through a REAL codec end to end — the leg that gives
+    # video the same standing as PNG/WAV/JPEG: the fixture
+    # (multimodal.py:synth_mjpeg) is a concatenation of 12 REAL baseline
+    # JPEGs; the engine splits frames on the JPEG marker walk, samples
+    # every 4th, runs the full baseline decode (Huffman entropy decode +
+    # IDCT), dHashes each keyframe, and pairs (video, slot) fingerprints
+    # through the SAME pigeonhole Hamming blocking as text/image/audio.
+    # Closed-form oracle: block-constant frames decode exactly, and the
+    # fixture pins dHash cell (0,0) to 0 (base) / 255 (modified) against
+    # a constant 128 neighbor, so a modified keyframe is EXACTLY 1 dHash
+    # bit away — per-slot distance is 0 (same modification state) or 1,
+    # all <= 3, so every same-class pair matches on all 3 keyframe slots
+    # and total_hamming counts the slots where exactly one side is
+    # modified: 0 same variant, 1 against v=0, 2 between distinct nonzero
+    # variants.  Cross-class/cross-slot grids are independent md5 (~32
+    # bits apart — the same statistical-zero contract as
+    # multimodal_phash_dedup's oracle).
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, doc_id % 64 AS g, (doc_id // 64) % 4 AS v
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(3 AS BIGINT) AS n_frames_matched,
+               CAST(CASE WHEN a.v = b.v THEN 0
+                         WHEN a.v = 0 OR b.v = 0 THEN 1
+                         ELSE 2 END AS BIGINT) AS total_hamming
+        FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
+    """,
+    tags=("multimodal", "video", "dedup", "dhash", "hamming"),
+)
+def multimodal_video_dhash_dedup(spark, sf_dir):
+    """Video near-duplicate pairs from REAL MJPEG decode: marker-walk frame
+    split -> every-4th sampling -> full baseline-JPEG pixel decode ->
+    64-bit dHash per keyframe (multimodal.py:mjpeg_keyframes), then the
+    (video, slot) fingerprints ride dedup.fingerprint_hamming_pairs — the
+    one Hamming kernel now serving all four modalities with a real
+    decoder in front.  Videos pair when >= 2 of 3 keyframes match within
+    Hamming 3 (majority agreement — robust to one re-encoded or replaced
+    frame, which exact frame-hash keying would miss).  100-TB shape: the
+    decode kernel emits 8 bytes/keyframe (payloads never shuffle), the
+    fingerprint index persists once (rotating) and self-joins on 16-bit
+    slices, never all-pairs."""
+    from kwack_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    # fan ids across cores keyed on the (class, variant) the synth kernel
+    # caches on, so each of the 256 distinct videos is ENCODED exactly once
+    # per partition it lands in (= once) — the encode is fixture overhead,
+    # not the measured work; the per-video DECODE below still runs for
+    # every video, like a real corpus scan would
+    d = d.repartition(
+        spark.sparkContext.defaultParallelism,
+        F.expr("(doc_id % 64) * 4 + (doc_id div 64) % 4"),
+    )
+    vids = mm.synth_mjpeg(d, "doc_id")
+    kf = mm.mjpeg_keyframes(vids, "payload", "doc_id", every_n=4)
+    # composite (video, slot) id: slots 0..2 fit far below the 16 stride,
+    # so kfid order preserves video order and id_a < id_b never straddles
+    kfid = kf.select(
+        (F.col("doc_id") * 16 + (F.col("frame_no") / 4).cast("long")).alias(
+            "kfid"
+        ),
+        "fp",
+    )
+    fps = similarity._persist_rotating("video_dhash_fps", kfid)
+    pairs = dedup.fingerprint_hamming_pairs(fps, "kfid", max_hamming=3, blocks=4)
+    return (
+        pairs.select(
+            F.expr("id_a div 16").alias("id_a"),
+            F.expr("id_b div 16").alias("id_b"),
+            "hamming",
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_matched"),
+            F.sum("hamming").alias("total_hamming"),
+        )
+        .filter(F.col("n_frames_matched") >= 2)
+    )
+
+
+@register(
     "streaming_video_neardup",
     # streaming video near-dup: keyframe hashes replayed over 3
     # micro-batches through the generic stateful key-collision kernel

@@ -70,6 +70,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 _PRIORITY = [
     # --- r10-new queries (never graded; must land in the window) ---
     "video_keyframe_occupancy",
+    "multimodal_video_dhash_dedup",
     # --- r09-new queries (never graded; must land in the window) ---
     "bpe_merge_training_5steps",
     "corpus_curation_multimodal",

@@ -123,6 +123,58 @@ def test_stateful_kll_registers_dedupe_redelivery(spark, tmp_path):
             assert len(base) <= final.n_seen <= 2 * len(base)
 
 
+def test_mjpeg_split_roundtrip_and_malformed():
+    """The marker-walk splitter recovers exactly the concatenated frames
+    and rejects non-JPEG / truncated payloads instead of guessing."""
+    import numpy as np
+
+    from kwack_spark.operators.multimodal import (
+        _dhash64_from_px,
+        _jpeg_decode,
+        _jpeg_encode,
+        _mjpeg_split,
+    )
+
+    frames = []
+    for t in range(3):
+        px = np.full((16, 16), 10 + 40 * t, np.int32)
+        frames.append(_jpeg_encode(px, 1))
+    payload = b"".join(frames)
+    got = _mjpeg_split(payload)
+    assert got == frames
+    # each split frame decodes standalone to the constant source
+    for t, fr in enumerate(got):
+        w, h, ch, px = _jpeg_decode(fr)
+        assert (w, h, ch) == (16, 16, 1)
+        assert int(px[0, 0]) == 10 + 40 * t
+    assert _mjpeg_split(b"notajpeg") is None
+    assert _mjpeg_split(payload[:-4]) is None  # truncated final frame
+    # 16x16 is not 9-column reducible -> dHash refuses, never wrong
+    assert _dhash64_from_px(16, 16, 1, px) is None
+
+
+def test_mjpeg_keyframes_samples_and_decodes(spark):
+    """mjpeg_keyframes keeps every Nth frame of the synthetic video and
+    fingerprints it via the real decode: same (g, v) videos collide at
+    distance 0, a modified keyframe is exactly 1 bit away."""
+    from kwack_spark.operators import multimodal as mm
+
+    # doc 3 and 67: same class g=3, variants v=0 and v=1
+    d = spark.createDataFrame([(3,), (67,), (3 + 256,)], "doc_id long")
+    vids = mm.synth_mjpeg(d, "doc_id", n_frames=12, every_n=4)
+    kf = mm.mjpeg_keyframes(vids, "payload", "doc_id", every_n=4)
+    rows = {(r.doc_id, r.frame_no): r.fp for r in kf.collect()}
+    assert sorted(t for (did, t) in rows if did == 3) == [0, 4, 8]
+    # same (g, v): identical fingerprints on every slot
+    for t in (0, 4, 8):
+        assert rows[(3, t)] == rows[(3 + 256, t)]
+    # v=1 modifies slot 0 by exactly one bit, leaves slots 1-2 untouched
+    mask = (1 << 64) - 1
+    assert ((rows[(3, 0)] ^ rows[(67, 0)]) & mask).bit_count() == 1
+    assert rows[(3, 4)] == rows[(67, 4)]
+    assert rows[(3, 8)] == rows[(67, 8)]
+
+
 def test_video_keyframe_dedup_cap_preserves_fixture(spark):
     """The df-capped video join equals the uncapped join on the fixture
     (max bucket ~8 at sf0.01 << 4096): the cap is dormant until a

@@ -260,6 +260,11 @@ SCALE_SENSITIVE = [
     "cms_merge_shards",
     "multimodal_video_keyframe_dedup",
     "streaming_video_neardup",
+    # r10: the video hot-bucket audit and the real-codec MJPEG dHash leg —
+    # class buckets grow 8 -> ~79 between sf0.01 and sf0.1, so both the
+    # occupancy numbers and the pair sets are scale-sensitive
+    "video_keyframe_occupancy",
+    "multimodal_video_dhash_dedup",
     # r08: the probe-curve + recall audits' implementations changed (BLAS
     # bucket shortlist + cumulative-rank fusion; shared widened ivf_assign)
     "ann_probe_recall_curve",
