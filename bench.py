@@ -322,6 +322,10 @@ HEADLINE = [
     # block decodes at sf0.1), decode-bound by design
     "video_keyframe_occupancy",
     "multimodal_video_dhash_dedup",
+    # and the four-modality curation DAG (text funnel + image/audio/video
+    # keep-min legs + manifest): wall time is the shared text funnel — the
+    # survivor-only modality legs add ~3 s on 417 survivors at sf0.1
+    "corpus_curation_all_modalities",
     # ann_index_persist_roundtrip is correctness-graded but not benched:
     # it is ann_ivf_topk's probe re-rooted on a landed index, so it pays
     # the same all-queries probe cost that keeps ann_ivf_topk itself out

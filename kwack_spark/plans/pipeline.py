@@ -3911,9 +3911,16 @@ def _video_keyframes(spark, sf_dir):
     """The synthetic-video keyframe table (doc_id, frame_no, frame,
     frame_md5) shared by the batch and streaming video-dedup queries —
     one copy of the fixture semantics the closed-form oracles state."""
+    return _video_keyframes_from(
+        T(spark, sf_dir, "documents").select("doc_id")
+    )
+
+
+def _video_keyframes_from(d):
+    """_video_keyframes re-rooted on an arbitrary doc_id frame (the
+    curation DAG samples keyframes for funnel SURVIVORS only)."""
     from kwack_spark.operators import multimodal as mm
 
-    d = T(spark, sf_dir, "documents").select("doc_id")
     g = (F.col("doc_id") % 64).cast("string")
     v = (F.col("doc_id") / 64).cast("long") % 4
     idx = F.sequence(F.lit(0), F.lit(31))
@@ -8717,6 +8724,154 @@ def corpus_curation_multimodal(spark, sf_dir):
     s4 = s3.join(drop4, "doc_id", "left_anti").select("doc_id", "n_chars")
     # --- stage 5: shard manifest pins the text+image survivor set ---
     return _shard_manifest(s4)
+
+
+@register(
+    "corpus_curation_all_modalities",
+    # the four-modality curation DAG (r09 VERDICT ask #4): the text funnel
+    # (URL dedup -> LSH keep-best -> ensemble gate, the SAME s1k/s2k/s3k
+    # chain corpus_curation_e2e grades), then per-modality near-dup
+    # keep-min legs IN SEQUENCE, each fingerprinting only the previous
+    # stage's survivors: image (real PNG decode -> dHash, Hamming <= 3),
+    # audio (real PCM decode -> energy fingerprint, Hamming <= 3), video
+    # (keyframe hashes -> df-capped collision join, >= 6 shared).  The
+    # closed fixture forms collapse each leg's pair set to a class join —
+    # image drops to the dHash CTE pairs, audio Hamming <= 3 pairs are
+    # exactly same-(doc%128), video >= 6-shared pairs exactly
+    # same-(doc%64) — so the oracle chains three keep-min set
+    # subtractions and the manifest's exact content_sum pins the final
+    # survivor set bit-for-bit.
+    oracle=f"""
+        WITH RECURSIVE
+        u AS (SELECT doc_id, {_URL_RAW_SQL} AS raw_url FROM documents),
+        {_URL_CANON_CTES},
+        s1k AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canon_url),
+        {_E2E_LSH_CTES},
+        {_COMP_CTES},
+        ranked2 AS (
+            SELECT cm.keep_id, cm.node,
+                   row_number() OVER (PARTITION BY cm.keep_id
+                                      ORDER BY dd.n_chars DESC, cm.node) AS rn
+            FROM comp cm JOIN documents dd ON dd.doc_id = cm.node
+        ),
+        drop2 AS (SELECT node AS doc_id FROM ranked2 WHERE rn > 1),
+        s2k AS (
+            SELECT doc_id FROM s1k
+            WHERE doc_id NOT IN (SELECT doc_id FROM drop2)
+        ),
+        {_E2E_ENSEMBLE_CTES},
+        s3k AS (
+            SELECT doc_id FROM j
+            WHERE j.gopher_pass AND j.score_ok AND j.stop_ok
+        ),
+        {_DHASH_FP_CTES.replace(
+            "FROM documents", "FROM documents JOIN s3k USING (doc_id)"
+        )},
+        drop4 AS (
+            SELECT DISTINCT b.doc_id
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        ),
+        s4k AS (
+            SELECT doc_id FROM s3k
+            WHERE doc_id NOT IN (SELECT doc_id FROM drop4)
+        ),
+        drop5 AS (
+            SELECT DISTINCT b.doc_id
+            FROM s4k a JOIN s4k b
+              ON a.doc_id % 128 = b.doc_id % 128 AND a.doc_id < b.doc_id
+        ),
+        s5k AS (
+            SELECT doc_id FROM s4k
+            WHERE doc_id NOT IN (SELECT doc_id FROM drop5)
+        ),
+        drop6 AS (
+            SELECT DISTINCT b.doc_id
+            FROM s5k a JOIN s5k b
+              ON a.doc_id % 64 = b.doc_id % 64 AND a.doc_id < b.doc_id
+        ),
+        s6k AS (
+            SELECT doc_id FROM s5k
+            WHERE doc_id NOT IN (SELECT doc_id FROM drop6)
+        ),
+        rows_h AS (
+            SELECT d.doc_id // 100 AS shard_id, d.doc_id,
+                   CAST(('0x' || substr(md5('mft:' || d.doc_id::VARCHAR || ':'
+                                            || d.n_chars::VARCHAR), 1, 12))::BIGINT
+                        AS DECIMAL(38,0)) AS h
+            FROM documents d JOIN s6k USING (doc_id)
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(doc_id) AS min_id,
+               max(doc_id) AS max_id,
+               CAST(SUM(h) AS VARCHAR) AS content_sum
+        FROM rows_h
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
+    tags=("pipeline", "curation", "multimodal", "composition", "video", "audio"),
+)
+def corpus_curation_all_modalities(spark, sf_dir):
+    """ALL FOUR modalities composed in one curation DAG: the shared text
+    funnel, then image (PNG decode -> dHash64 -> Hamming keep-min), audio
+    (PCM decode -> energy fingerprint -> Hamming keep-min), and video
+    (keyframe hashes -> df-capped collision join -> >= 6-shared keep-min)
+    legs in sequence, then the shard manifest pinning the final survivor
+    set.
+
+    100-TB shape: each modality leg fingerprints ONLY the previous
+    stage's survivors (the funnel collapses the corpus first, then every
+    drop shrinks the next leg's input), every fingerprint is 8 bytes
+    (payloads never shuffle — decode kernels emit fingerprints, not
+    pixels/samples/frames), every pair join is blocked (16-bit slices /
+    df-capped frame buckets, never all-pairs), and the keep-first drop
+    rule stays per-pair local (no components pass needed)."""
+    from kwack_spark.operators import multimodal as mm
+
+    par = spark.sparkContext.defaultParallelism
+    d = T(spark, sf_dir, "documents")
+    s3 = _curation_text_funnel(spark, d)
+    # --- stage 4: image near-dup keep-min over the funnel survivors ---
+    ids3 = s3.select("doc_id").repartition(par, "doc_id")
+    png = mm.synth_png_blocky(ids3, "doc_id")
+    fpi = similarity._persist_rotating(
+        "cur_all_img_fps", mm.dhash64(png, "payload", "doc_id")
+    )
+    drop4 = (
+        dedup.fingerprint_hamming_pairs(fpi, "doc_id", max_hamming=3, blocks=4)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s4 = similarity._persist_rotating(
+        "cur_all_s4", s3.join(drop4, "doc_id", "left_anti")
+    )
+    # --- stage 5: audio near-dup keep-min over the image survivors ---
+    ids4 = s4.select("doc_id").repartition(par, "doc_id")
+    wav = mm.synth_wav_am(ids4, "doc_id")
+    fpa = similarity._persist_rotating(
+        "cur_all_aud_fps", mm.audio_fingerprint64(wav, "payload", "doc_id")
+    )
+    drop5 = (
+        dedup.fingerprint_hamming_pairs(fpa, "doc_id", max_hamming=3, blocks=4)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s5 = similarity._persist_rotating(
+        "cur_all_s5", s4.join(drop5, "doc_id", "left_anti")
+    )
+    # --- stage 6: video keyframe keep-min over the audio survivors ---
+    kf = _video_keyframes_from(s5.select("doc_id"))
+    drop6 = (
+        _video_pair_rollup(
+            dedup.key_collision_pairs(kf, "frame_md5", "doc_id", max_key_df=4096)
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s6 = s5.join(drop6, "doc_id", "left_anti").select("doc_id", "n_chars")
+    # --- stage 7: shard manifest pins the four-modality survivor set ---
+    return _shard_manifest(s6)
 
 
 # Upper-triangle (i <= j) covariance CTE chain, 9dp-rounded — shared by the

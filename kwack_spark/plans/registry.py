@@ -71,6 +71,7 @@ _PRIORITY = [
     # --- r10-new queries (never graded; must land in the window) ---
     "video_keyframe_occupancy",
     "multimodal_video_dhash_dedup",
+    "corpus_curation_all_modalities",
     # --- r09-new queries (never graded; must land in the window) ---
     "bpe_merge_training_5steps",
     "corpus_curation_multimodal",

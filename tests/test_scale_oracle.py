@@ -265,6 +265,7 @@ SCALE_SENSITIVE = [
     # occupancy numbers and the pair sets are scale-sensitive
     "video_keyframe_occupancy",
     "multimodal_video_dhash_dedup",
+    "corpus_curation_all_modalities",
     # r08: the probe-curve + recall audits' implementations changed (BLAS
     # bucket shortlist + cumulative-rank fusion; shared widened ivf_assign)
     "ann_probe_recall_curve",
