@@ -60,7 +60,60 @@ def build_parser() -> argparse.ArgumentParser:
         "Kafka client property)",
     )
     p.add_argument("--parquet-dir", help="register parquet tables from this directory")
+    # named SSL/security flags (reference surface: KwackConfig.java:100-191
+    # first-class ssl.* options) — each routes into the same Kafka
+    # client-prop table the -X passthrough uses, emitted as kafka.<key>
+    # reader options; --ssl-client-authentication is validated like the
+    # reference's ValidString(NONE, REQUESTED, REQUIRED)
+    ssl = p.add_argument_group("SSL/security (named equivalents of -X ssl.*=...)")
+    ssl.add_argument("--security-protocol", dest="ssl_security_protocol",
+                     metavar="<proto>", help="e.g. SSL, SASL_SSL")
+    ssl.add_argument("--ssl-keystore-location", metavar="<path>",
+                     help="location of the keystore file")
+    ssl.add_argument("--ssl-keystore-password", metavar="<pw>",
+                     help="store password for the keystore file")
+    ssl.add_argument("--ssl-key-password", metavar="<pw>",
+                     help="password of the private key in the keystore")
+    ssl.add_argument("--ssl-keystore-type", metavar="<type>",
+                     help="keystore file type (e.g. JKS, PKCS12)")
+    ssl.add_argument("--ssl-truststore-location", metavar="<path>",
+                     help="location of the truststore file")
+    ssl.add_argument("--ssl-truststore-password", metavar="<pw>",
+                     help="store password for the truststore file")
+    ssl.add_argument("--ssl-truststore-type", metavar="<type>",
+                     help="truststore file type")
+    ssl.add_argument("--ssl-protocol", metavar="<proto>",
+                     help="SSL protocol (e.g. TLSv1.3)")
+    ssl.add_argument("--ssl-enabled-protocols", metavar="<list>",
+                     help="comma list of enabled SSL protocols")
+    ssl.add_argument("--ssl-cipher-suites", metavar="<list>",
+                     help="comma list of SSL cipher suites")
+    ssl.add_argument("--ssl-client-authentication",
+                     choices=["NONE", "REQUESTED", "REQUIRED"],
+                     help="SSL mutual auth mode")
+    ssl.add_argument("--ssl-endpoint-identification-algorithm",
+                     metavar="<alg>",
+                     help="endpoint identification algorithm (e.g. https)")
     return p
+
+
+# argparse dest -> Kafka client property key for the named SSL flags
+_SSL_FLAG_PROPS = {
+    "ssl_security_protocol": "security.protocol",
+    "ssl_keystore_location": "ssl.keystore.location",
+    "ssl_keystore_password": "ssl.keystore.password",
+    "ssl_key_password": "ssl.key.password",
+    "ssl_keystore_type": "ssl.keystore.type",
+    "ssl_truststore_location": "ssl.truststore.location",
+    "ssl_truststore_password": "ssl.truststore.password",
+    "ssl_truststore_type": "ssl.truststore.type",
+    "ssl_protocol": "ssl.protocol",
+    "ssl_enabled_protocols": "ssl.enabled.protocols",
+    "ssl_cipher_suites": "ssl.cipher.suites",
+    "ssl_client_authentication": "ssl.client.authentication",
+    "ssl_endpoint_identification_algorithm":
+        "ssl.endpoint.identification.algorithm",
+}
 
 
 def config_from_args(args: argparse.Namespace) -> KwackConfig:
@@ -97,6 +150,12 @@ def config_from_args(args: argparse.Namespace) -> KwackConfig:
         cfg.parquet_dir = args.parquet_dir
     if args.metadata_timeout is not None:
         cfg.metadata_timeout_ms = args.metadata_timeout
+    # named SSL flags apply BEFORE -X so an explicit -X ssl.*=... can still
+    # override them (most-specific-last, the reference's property order)
+    for dest, prop in _SSL_FLAG_PROPS.items():
+        val = getattr(args, dest, None)
+        if val is not None:
+            cfg.apply_property(prop, val)
     for item in args.property:
         k, sep, v = item.partition("=")
         if not sep or not k.strip():

@@ -121,6 +121,33 @@ DEFAULT_ROW_ATTRIBUTES = ("rowkey", "ksi", "vsi", "par", "off", "ts", "hdr")
 ALL_ROW_ATTRIBUTES = ("rowkey", "ksi", "vsi", "top", "par", "off", "ts", "tst", "epo", "hdr")
 
 
+# Named SSL/security options (KwackConfig.java:100-191 defines these as
+# first-class config keys with docs/validators; Spark-side they are raw
+# Kafka client properties, emitted as ``kafka.<key>`` source options like
+# every other -X passthrough — one routing, two spellings).
+SSL_CONFIG_KEYS = (
+    "security.protocol",
+    "ssl.keystore.location",
+    "ssl.keystore.password",
+    "ssl.key.password",
+    "ssl.keystore.type",
+    "ssl.keymanager.algorithm",
+    "ssl.truststore.location",
+    "ssl.truststore.password",
+    "ssl.truststore.type",
+    "ssl.trustmanager.algorithm",
+    "ssl.protocol",
+    "ssl.provider",
+    "ssl.client.authentication",
+    "ssl.enabled.protocols",
+    "ssl.cipher.suites",
+    "ssl.endpoint.identification.algorithm",
+)
+
+# KwackConfig.java:172-177 SSL_CLIENT_AUTHENTICATION_VALIDATOR
+SSL_CLIENT_AUTH_VALUES = ("NONE", "REQUESTED", "REQUIRED")
+
+
 @dataclass
 class KwackConfig:
     """The engine's config surface (subset of KwackConfig.java that applies
@@ -205,4 +232,12 @@ class KwackConfig:
         elif key.startswith("spark."):
             self.spark_conf[key] = value
         else:
+            if key == "ssl.client.authentication":
+                # the one enum-valued SSL option the reference validates
+                # (KwackConfig.java SSL_CLIENT_AUTHENTICATION_VALIDATOR)
+                if value not in SSL_CLIENT_AUTH_VALUES:
+                    raise ValueError(
+                        f"ssl.client.authentication must be one of "
+                        f"{SSL_CLIENT_AUTH_VALUES}, got {value!r}"
+                    )
             self.client_props[key] = value

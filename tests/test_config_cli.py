@@ -454,3 +454,74 @@ def test_property_flag_requires_key_value():
     with _pt.raises(SystemExit) as ei:
         main(["-X", "skip.bytes"])
     assert ei.value.code == 2
+
+
+def test_named_ssl_flags_land_in_reader_options():
+    """The named SSL flags (reference surface KwackConfig.java:100-191)
+    route into the same client-prop table as -X and come out as
+    kafka.<key> Spark reader options; the enum-valued one is validated."""
+    from kwack_spark.config import parse_offset
+    from kwack_spark.sources.kafka import kafka_reader_options
+
+    args = build_parser().parse_args(
+        [
+            "-b", "broker:9092", "-t", "t1",
+            "--security-protocol", "SSL",
+            "--ssl-keystore-location", "/etc/kwack/client.jks",
+            "--ssl-keystore-password", "kspw",
+            "--ssl-key-password", "keypw",
+            "--ssl-keystore-type", "PKCS12",
+            "--ssl-truststore-location", "/etc/kwack/trust.jks",
+            "--ssl-truststore-password", "tspw",
+            "--ssl-truststore-type", "JKS",
+            "--ssl-protocol", "TLSv1.3",
+            "--ssl-enabled-protocols", "TLSv1.2,TLSv1.3",
+            "--ssl-cipher-suites", "TLS_AES_256_GCM_SHA384",
+            "--ssl-client-authentication", "REQUIRED",
+            "--ssl-endpoint-identification-algorithm", "https",
+        ]
+    )
+    cfg = config_from_args(args)
+    assert cfg.client_props["security.protocol"] == "SSL"
+    assert cfg.client_props["ssl.keystore.location"] == "/etc/kwack/client.jks"
+    assert cfg.client_props["ssl.truststore.password"] == "tspw"
+    assert cfg.client_props["ssl.client.authentication"] == "REQUIRED"
+
+    o = kafka_reader_options(
+        cfg.kafka_bootstrap, "t1",
+        offset_spec=parse_offset("beginning"),
+        client_props=cfg.client_props,
+    )
+    assert o["kafka.security.protocol"] == "SSL"
+    assert o["kafka.ssl.keystore.location"] == "/etc/kwack/client.jks"
+    assert o["kafka.ssl.keystore.password"] == "kspw"
+    assert o["kafka.ssl.key.password"] == "keypw"
+    assert o["kafka.ssl.keystore.type"] == "PKCS12"
+    assert o["kafka.ssl.truststore.location"] == "/etc/kwack/trust.jks"
+    assert o["kafka.ssl.truststore.type"] == "JKS"
+    assert o["kafka.ssl.protocol"] == "TLSv1.3"
+    assert o["kafka.ssl.enabled.protocols"] == "TLSv1.2,TLSv1.3"
+    assert o["kafka.ssl.cipher.suites"] == "TLS_AES_256_GCM_SHA384"
+    assert o["kafka.ssl.client.authentication"] == "REQUIRED"
+    assert o["kafka.ssl.endpoint.identification.algorithm"] == "https"
+
+
+def test_ssl_flag_x_override_and_validation():
+    """-X ssl.*=... still overrides the named flag (most-specific-last),
+    and the enum option rejects values outside the reference validator."""
+    args = build_parser().parse_args(
+        [
+            "-b", "b:9092", "-t", "t",
+            "--ssl-protocol", "TLSv1.2",
+            "-X", "ssl.protocol=TLSv1.3",
+        ]
+    )
+    cfg = config_from_args(args)
+    assert cfg.client_props["ssl.protocol"] == "TLSv1.3"
+
+    cfg2 = KwackConfig()
+    with pytest.raises(ValueError, match="ssl.client.authentication"):
+        cfg2.apply_property("ssl.client.authentication", "sometimes")
+    # properties-file route hits the same validation
+    cfg2.apply_property("ssl.client.authentication", "NONE")
+    assert cfg2.client_props["ssl.client.authentication"] == "NONE"
