@@ -7405,6 +7405,116 @@ def simhash_slice_occupancy(spark, sf_dir):
 
 
 @register(
+    "streaming_state_observability",
+    # state-store observability for the stateful streaming kernels: after
+    # draining a replayed stream, the query's OWN progress metrics
+    # (StreamingQueryProgress.stateOperators.numRowsTotal — what a
+    # production monitor scrapes) are compared against the batch-computed
+    # distinct key count, proving the bounded-state invariant the 100-TB
+    # claims rest on: one state row per (blk, slc) bucket for the sliced
+    # Hamming kernel, one per frame-hash bucket for the key-collision
+    # kernel — state tracks DISTINCT KEYS, never stream length.  The
+    # oracle states the exact key counts in closed form (the keyframe
+    # fixture + the simhash slice chain), so a kernel that leaked state
+    # rows (e.g. per-arrival rows instead of per-key) fails the hash.
+    oracle=f"""
+        WITH {_SIMHASH64_CTES},
+        p AS (
+            SELECT doc_id, doc_id % 64 AS g, (doc_id // 64) % 4 AS v
+            FROM documents
+        ),
+        kf AS (
+            SELECT doc_id,
+                   CASE WHEN v > 0 AND i = 4 * (v - 1)
+                        THEN 'vv:' || g::VARCHAR || ':' || v::VARCHAR
+                        ELSE 'vf:' || g::VARCHAR || ':' || i::VARCHAR
+                   END AS fkey
+            FROM p, unnest([0, 4, 8, 12, 16, 20, 24, 28]) AS t(i)
+        ),
+        vk AS (SELECT CAST(count(DISTINCT fkey) AS BIGINT) AS n FROM kf),
+        sk AS (
+            SELECT CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT DISTINCT blk, slc FROM sliced)
+        )
+        SELECT 'key_collision' AS kernel, n AS state_rows, n AS n_keys,
+               TRUE AS state_bounded
+        FROM vk
+        UNION ALL
+        SELECT 'simhash_sliced' AS kernel, n AS state_rows, n AS n_keys,
+               TRUE AS state_bounded
+        FROM sk
+        ORDER BY kernel
+    """,
+    tags=("streaming", "stateful", "audit", "observability"),
+)
+def streaming_state_observability(spark, sf_dir):
+    """Measured state-store growth for the two id-set stateful kernels
+    (streaming/ingest.py:stateful_key_collision_pairs,
+    stateful_simhash_neardup): replay each kernel's stream, then read the
+    final StreamingQueryProgress stateOperators.numRowsTotal — the number
+    the state store actually holds — and emit it against the
+    batch-computed distinct-key count.  state_bounded asserts
+    state_rows <= n_keys; the oracle pins equality (every key stores
+    exactly one row), so the graded artifact MEASURES the bounded-state
+    claim instead of arguing it.  The scalar collects here are one count
+    and one progress dict per kernel — constant-size observability, not
+    data."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.streaming import ingest as si
+
+    def drain(prep, build_stateful):
+        replay_dir = tempfile.mkdtemp(prefix="kwack_stateobs_")
+        prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
+        stream = (
+            spark.readStream.schema(prep.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay_dir)
+        )
+        sink = f"obs_{uuid.uuid4().hex[:8]}"
+        with _few_shuffle_partitions(spark):
+            q = si.to_memory_sink(
+                build_stateful(stream), sink, output_mode="append"
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "streaming_state_observability: stream did not finish"
+                )
+        progress = q.lastProgress
+        return int(progress["stateOperators"][0]["numRowsTotal"])
+
+    rows = []
+    kf = _video_keyframes(spark, sf_dir).select("doc_id", "frame_md5")
+    n_keys_v = kf.select("frame_md5").distinct().count()
+    state_v = drain(
+        kf,
+        lambda s: si.stateful_key_collision_pairs(
+            s, "frame_md5", "doc_id", max_ids=4096
+        ),
+    )
+    rows.append(("key_collision", state_v, n_keys_v, state_v <= n_keys_v))
+
+    prep = dedup._simhash64_sliced(
+        dedup.simhash64_fingerprints(
+            T(spark, sf_dir, "documents"), "doc_id", "text"
+        ),
+        "doc_id",
+        blocks=4,
+    )
+    n_keys_s = prep.select("blk", "slc").distinct().count()
+    state_s = drain(
+        prep, lambda s: si.stateful_simhash_neardup(s, max_hamming=3)
+    )
+    rows.append(("simhash_sliced", state_s, n_keys_s, state_s <= n_keys_s))
+
+    return spark.createDataFrame(
+        rows, "kernel string, state_rows long, n_keys long, state_bounded boolean"
+    ).orderBy("kernel")
+
+
+@register(
     "textrank_keywords",
     # TextRank (PageRank over the ±2-window co-occurrence graph, 5 fixed
     # iterations, d=0.85): the classic unsupervised keyword extractor.

@@ -72,6 +72,7 @@ _PRIORITY = [
     "video_keyframe_occupancy",
     "multimodal_video_dhash_dedup",
     "corpus_curation_all_modalities",
+    "streaming_state_observability",
     # --- r09-new queries (never graded; must land in the window) ---
     "bpe_merge_training_5steps",
     "corpus_curation_multimodal",

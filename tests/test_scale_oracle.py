@@ -266,6 +266,7 @@ SCALE_SENSITIVE = [
     "video_keyframe_occupancy",
     "multimodal_video_dhash_dedup",
     "corpus_curation_all_modalities",
+    "streaming_state_observability",
     # r08: the probe-curve + recall audits' implementations changed (BLAS
     # bucket shortlist + cumulative-rank fusion; shared widened ivf_assign)
     "ann_probe_recall_curve",
