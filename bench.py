@@ -326,6 +326,11 @@ HEADLINE = [
     # keep-min legs + manifest): wall time is the shared text funnel — the
     # survivor-only modality legs add ~3 s on 417 survivors at sf0.1
     "corpus_curation_all_modalities",
+    # streaming_state_observability is correctness-graded but not benched:
+    # it re-drains the two stateful kernels that are ALREADY benched
+    # (streaming_video_neardup, streaming_simhash_neardup) purely to read
+    # their progress metrics — ~14 s of micro-batch scheduler overhead
+    # with no plan insight the kernels' own bench rows don't give.
     # ann_index_persist_roundtrip is correctness-graded but not benched:
     # it is ann_ivf_topk's probe re-rooted on a landed index, so it pays
     # the same all-queries probe cost that keeps ann_ivf_topk itself out

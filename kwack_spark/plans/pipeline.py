@@ -19,15 +19,12 @@ from kwack_spark.operators import asof, dedup, sampling, similarity
 from kwack_spark.plans.registry import register
 from kwack_spark.plans.relational import T
 
-# --- shared DuckDB SQL fragments -------------------------------------------
-
 _NORM = "regexp_replace(lower({c}), '[^a-z ]', '', 'g')"
-_TOKS = f"list_filter(string_split({_NORM}, ' '), t -> len(t) > 0)"
 
+_TOKS = f"list_filter(string_split({_NORM}, ' '), t -> len(t) > 0)"
 
 def _toks(c: str = "text") -> str:
     return _TOKS.format(c=c)
-
 
 @contextlib.contextmanager
 def _few_shuffle_partitions(spark, n: int = 8):
@@ -43,18 +40,11 @@ def _few_shuffle_partitions(spark, n: int = 8):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
-
 _SHINGLES = """
     CASE WHEN len(tk) >= 3
          THEN [array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk) - 2)]
          ELSE [array_to_string(tk, ' ')] END
 """
-
-# word bigrams (callers guard len(tk) >= 2)
-_SHINGLES_2 = """
-    [array_to_string(tk[i:i+1], ' ') for i in generate_series(1, len(tk) - 1)]
-"""
-
 
 def _mh_sql(i: int) -> str:
     """MinHash member i oracle: the i-th 8-hex slice of the seeded md5
@@ -62,45 +52,6 @@ def _mh_sql(i: int) -> str:
     seed = chr(ord("a") + i // 4)
     off = (i % 4) * 8 + 1
     return f"list_min(list_transform(sh, s -> substr(md5('{seed}:' || s), {off}, 8))) AS mh{i}"
-
-
-# ---------------------------------------------------------------------------
-# Deduplication
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "dedup_exact",
-    oracle=f"""
-        WITH fps AS (
-            SELECT doc_id, md5({_NORM.format(c='text')}) AS fp FROM documents
-        ),
-        canon AS (
-            SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
-            FROM fps GROUP BY fp
-        )
-        SELECT f.doc_id, c.canonical_id, c.group_size, f.fp
-        FROM fps f JOIN canon c USING (fp)
-    """,
-    tags=("dedup",),
-)
-def dedup_exact(spark, sf_dir):
-    return dedup.exact_dedup_mapping(T(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-@register(
-    "dedup_minhash_signatures",
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        sh AS (SELECT doc_id, ({_SHINGLES}) AS sh FROM toks)
-        SELECT doc_id, {", ".join(_mh_sql(i) for i in range(8))}
-        FROM sh
-    """,
-    tags=("dedup", "minhash"),
-)
-def dedup_minhash_signatures(spark, sf_dir):
-    return dedup.minhash_signatures(T(spark, sf_dir, "documents"), "doc_id", "text", k=8)
-
 
 # shared CTE chain producing MinHash-LSH candidate pairs + shingle sets
 # (used by dedup_minhash_lsh and the connected-components oracle)
@@ -128,25 +79,6 @@ _LSH_CTES = f"""toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
 _JAC = """CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
                    / len(list_distinct(list_concat(x.s, y.s)))"""
 
-
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-        WITH {_LSH_CTES}
-        SELECT c.id_a, c.id_b, {_JAC} AS jaccard
-        FROM cand c
-        JOIN ssets x ON x.doc_id = c.id_a
-        JOIN ssets y ON y.doc_id = c.id_b
-        WHERE {_JAC} >= 0.5
-    """,
-    tags=("dedup", "minhash", "lsh"),
-)
-def dedup_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(
-        T(spark, sf_dir, "documents"), "doc_id", "text", k=8, bands=2, threshold=0.5
-    )
-
-
 # shared recursive-CTE chain: LSH pairs -> undirected edges -> transitive
 # walk -> min-label components; used by dedup_cluster_components and
 # dedup_keep_best_in_cluster (keep both oracles on ONE copy of the
@@ -170,208 +102,6 @@ _COMP_CTES = f"""pairs AS (
         ),
         comp AS (SELECT node, min(reach) AS keep_id FROM walk GROUP BY node)"""
 
-
-@register(
-    "dedup_cluster_components",
-    # transitive closure of the LSH pair list: the oracle walks the edge
-    # relation with a recursive CTE (min reachable id == component id),
-    # the Spark side iterates distributed min-label propagation
-    oracle=f"""
-        WITH RECURSIVE {_LSH_CTES},
-        {_COMP_CTES}
-        SELECT c.node AS doc_id, c.keep_id, s.cluster_size
-        FROM comp c
-        JOIN (SELECT keep_id, count(*) AS cluster_size FROM comp GROUP BY keep_id) s
-          USING (keep_id)
-    """,
-    tags=("dedup", "graph", "iterative"),
-)
-def dedup_cluster_components(spark, sf_dir):
-    """Duplicate-CLUSTER resolution (operators/graph.py): LSH pairs are only
-    edges — the keep/drop decision needs connected components.  Iterative
-    min-label propagation; every round is a distributed join + partial/final
-    min, only the convergence check is driver-side."""
-    from kwack_spark.operators import graph
-
-    pairs = dedup.minhash_lsh_pairs(
-        T(spark, sf_dir, "documents"), "doc_id", "text", k=8, bands=2, threshold=0.5
-    ).select("id_a", "id_b")
-    # the iteration rounds run INSIDE this function (convergence counts);
-    # a candidate-pair graph is orders of magnitude smaller than the corpus,
-    # so pin a small shuffle width for the rounds and restore after
-    with _few_shuffle_partitions(spark):
-        return graph.dedup_clusters(pairs)
-
-
-@register(
-    "dedup_cluster_size_histogram",
-    # the audit rollup after component resolution: how many duplicate
-    # clusters of each size exist, and how many documents they hold — the
-    # number a curation report quotes ("12% of the corpus sits in clusters
-    # of size >= 3").  Singletons (docs in no candidate pair) are not edges
-    # and so not counted: the histogram describes the DUPLICATED subset.
-    oracle=f"""
-        WITH RECURSIVE {_LSH_CTES},
-        {_COMP_CTES},
-        sizes AS (SELECT keep_id, count(*) AS cluster_size FROM comp GROUP BY keep_id)
-        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
-               CAST(count(*) AS BIGINT) AS n_clusters,
-               CAST(cluster_size * count(*) AS BIGINT) AS n_docs
-        FROM sizes GROUP BY cluster_size
-    """,
-    tags=("dedup", "graph", "stats"),
-)
-def dedup_cluster_size_histogram(spark, sf_dir):
-    """Composition: LSH pairs -> distributed min-label components -> two
-    stacked metadata-sized aggregations.  At 100 TB the histogram is a
-    few hundred rows whatever the corpus; all the weight is in the
-    component iteration, which dedup_cluster_components already bounds."""
-    from kwack_spark.operators import graph
-
-    pairs = dedup.minhash_lsh_pairs(
-        T(spark, sf_dir, "documents"), "doc_id", "text", k=8, bands=2, threshold=0.5
-    ).select("id_a", "id_b")
-    with _few_shuffle_partitions(spark):
-        comp = graph.dedup_clusters(pairs)
-        sizes = comp.groupBy("keep_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-        return sizes.groupBy("cluster_size").agg(
-            F.count(F.lit(1)).alias("n_clusters"),
-            (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
-        )
-
-
-@register(
-    "tokenizer_vocab_coverage",
-    # tokenizer-fit check before training: build the corpus's top-256 BPE
-    # pre-tokenization pieces (count DESC, piece ASC tie-break — fully
-    # deterministic), then report per-doc piece count, OOV count, and OOV
-    # rate against that vocab.  The production question this answers: "how
-    # much of the corpus does a vocab of size V actually cover?"
-    oracle=r"""
-        WITH pieces AS (
-            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS p
-            FROM documents
-        ),
-        vocab AS (
-            SELECT p FROM (
-                SELECT p, count(*) AS cnt,
-                       row_number() OVER (ORDER BY count(*) DESC, p) AS rn
-                FROM pieces GROUP BY p
-            ) WHERE rn <= 256
-        )
-        SELECT doc_id,
-               CAST(count(*) AS BIGINT) AS n_pieces,
-               CAST(count(*) FILTER (WHERE v.p IS NULL) AS BIGINT) AS n_oov,
-               CAST(count(*) FILTER (WHERE v.p IS NULL) AS DOUBLE) / count(*) AS oov_rate
-        FROM pieces LEFT JOIN vocab v USING (p)
-        GROUP BY doc_id
-    """,
-    tags=("text", "tokens", "bpe", "vocab"),
-)
-def tokenizer_vocab_coverage(spark, sf_dir):
-    """Vocab build = one piece-keyed aggregation + a deterministic top-256
-    (natural-language piece frequencies are corpus-scale-free, so the
-    vocab is always broadcastable); coverage = broadcast left join + one
-    doc-keyed aggregation, map-side combinable.  No Python anywhere."""
-    d = T(spark, sf_dir, "documents")
-    pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
-    pieces = d.select(
-        "doc_id",
-        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(pat), 0)).alias("p"),
-    )
-    counts = pieces.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
-    # deterministic top-256 via sort+limit -> TakeOrderedAndProject (a
-    # distributed top-k, not a single-partition window)
-    vocab = (
-        counts.orderBy(F.desc("cnt"), "p")
-        .limit(256)
-        .select("p", F.lit(True).alias("in_vocab"))
-    )
-    joined = pieces.join(F.broadcast(vocab), "p", "left")
-    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
-    return joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_pieces"),
-        oov.alias("n_oov"),
-        (oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
-    )
-
-
-@register(
-    "dedup_keep_best_in_cluster",
-    # the keep/drop POLICY step after connected components: within each
-    # duplicate cluster, the canonical document is the longest one
-    # (n_chars, ties to the smaller doc_id); everything else is dropped.
-    # Same recursive-CTE component walk as dedup_cluster_components, then
-    # an argmax per cluster.
-    oracle=f"""
-        WITH RECURSIVE {_LSH_CTES},
-        {_COMP_CTES},
-        ranked AS (
-            SELECT c.keep_id, c.node,
-                   row_number() OVER (PARTITION BY c.keep_id
-                                      ORDER BY d.n_chars DESC, c.node) AS rn
-            FROM comp c JOIN documents d ON d.doc_id = c.node
-        ),
-        canon AS (SELECT keep_id, node AS canonical_id FROM ranked WHERE rn = 1)
-        SELECT c.node AS doc_id, c.keep_id, ca.canonical_id,
-               c.node = ca.canonical_id AS is_kept
-        FROM comp c JOIN canon ca USING (keep_id)
-        ORDER BY doc_id
-    """,
-    tags=("dedup", "graph", "policy"),
-)
-def dedup_keep_best_in_cluster(spark, sf_dir):
-    """Canonical-document selection inside duplicate clusters — the policy
-    pass real pipelines run after components: keep the longest doc per
-    cluster (tie: smaller id), drop the rest.  The cluster table is
-    candidate-graph-sized (orders of magnitude below the corpus), so the
-    per-cluster argmax window and the doc-length join both run at that
-    reduced scale; only the length lookup touches the documents table, as
-    a semi-joined narrow projection."""
-    from kwack_spark.operators import graph
-
-    from pyspark.sql import Window
-
-    docs = T(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=8, bands=2, threshold=0.5
-    ).select("id_a", "id_b")
-    with _few_shuffle_partitions(spark):
-        comp = graph.dedup_clusters(pairs).select("doc_id", "keep_id")
-        lengths = docs.select("doc_id", "n_chars")
-        ranked = comp.join(lengths, "doc_id").withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("keep_id").orderBy(
-                    F.desc("n_chars"), "doc_id"
-                )
-            ),
-        )
-        canon = (
-            ranked.filter(F.col("rn") == 1)
-            .select("keep_id", F.col("doc_id").alias("canonical_id"))
-        )
-        return (
-            comp.join(F.broadcast(canon), "keep_id")
-            .select(
-                "doc_id",
-                "keep_id",
-                "canonical_id",
-                (F.col("doc_id") == F.col("canonical_id")).alias("is_kept"),
-            )
-            .orderBy("doc_id")
-        )
-
-
-def _simhash_sql(bits: int = 16) -> str:
-    hexhi = "('8','9','a','b','c','d','e','f')"
-    parts = [
-        f"CASE WHEN 2 * len(list_filter(tk, t -> substr(md5(t), {i + 1}, 1) IN {hexhi})) >= len(tk) THEN '1' ELSE '0' END"
-        for i in range(bits)
-    ]
-    return " || ".join(parts)
-
-
 def _simhash64_sql(hh: str = "hh") -> str:
     """64-bit SimHash as a BIGINT, mirroring TX.simhash64: bit i of the
     fingerprint is the majority high-bit of nibble i of each token's
@@ -388,110 +118,9 @@ def _simhash64_sql(hh: str = "hh") -> str:
 
     return " + ".join(term(i) for i in range(64))
 
-
 # per-token 64-nibble hash stream ('s0:'/'s1:' seed family, disjoint from
 # the MinHash 'a:'.. and shingle 't<g>:' families) — mirrors TX.simhash64
 _SIMHASH64_HASHES = "list_transform(tk, t -> md5('s0:' || t) || md5('s1:' || t))"
-
-
-@register(
-    "dedup_simhash",
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents)
-        SELECT doc_id, {_simhash_sql(16)} AS simhash FROM toks
-    """,
-    tags=("dedup", "simhash"),
-)
-def dedup_simhash(spark, sf_dir):
-    return dedup.simhash_fingerprints(T(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
-
-
-# shared CTE chain: shingle-MinHash band candidates ('t<g>:' seed family)
-# over (token set, shingle set) — used by dedup_ngram_jaccard and
-# dedup_containment; mirrors operators/dedup.py:_shingle_band_candidates
-_TBAND_CTES = f"""toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        t AS (
-            SELECT doc_id, list_distinct(tk) AS ts,
-                   list_distinct(({_SHINGLES})) AS sh
-            FROM toks
-        ),
-        sigs AS (
-            SELECT doc_id,
-                   {", ".join(f"list_min(list_transform(sh, x -> substr(md5('t{i // 4}:' || x), {(i % 4) * 8 + 1}, 8))) AS mh{i}" for i in range(8))}
-            FROM t
-        ),
-        exploded AS (
-            SELECT doc_id,
-                   unnest([{", ".join(f"'{b}:' || md5(concat_ws('|', mh{b * 2}, mh{b * 2 + 1}))" for b in range(4))}]) AS band_key
-            FROM sigs
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM exploded a JOIN exploded b
-              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-        )"""
-
-
-@register(
-    "dedup_ngram_jaccard",
-    # Band-blocked (see operators/dedup.py): candidates collide in a
-    # *shingle*-set MinHash band ('t<g>:' seed family), never an attribute
-    # block or a token-set band — token-set MinHash degenerates to ~n²
-    # buckets on stopword-heavy corpora.
-    oracle=f"""
-        WITH {_TBAND_CTES}
-        SELECT c.id_a, c.id_b,
-               CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
-                   / len(list_distinct(list_concat(x.ts, y.ts))) AS jaccard
-        FROM cand c
-        JOIN t x ON x.doc_id = c.id_a
-        JOIN t y ON y.doc_id = c.id_b
-        WHERE CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
-                  / len(list_distinct(list_concat(x.ts, y.ts))) >= 0.9
-    """,
-    tags=("dedup", "jaccard"),
-)
-def dedup_ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(
-        T(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9
-    )
-
-
-@register(
-    "dedup_containment",
-    # directed containment |sh_src ∩ sh_dst| / |sh_src| over the same band
-    # candidates — catches a doc embedded in a larger one, which symmetric
-    # Jaccard misses
-    oracle=f"""
-        WITH {_TBAND_CTES},
-        directed AS (
-            SELECT id_a AS src_id, id_b AS dst_id FROM cand
-            UNION ALL
-            SELECT id_b AS src_id, id_a AS dst_id FROM cand
-        )
-        SELECT d.src_id, d.dst_id,
-               CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh)
-                   AS containment
-        FROM directed d
-        JOIN t x ON x.doc_id = d.src_id
-        JOIN t y ON y.doc_id = d.dst_id
-        WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh) >= 0.8
-    """,
-    tags=("dedup", "containment"),
-)
-def dedup_containment(spark, sf_dir):
-    return dedup.containment_pairs(
-        T(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
-    )
-
-
-# embedding-cosine near-dup lives with the ANN queries below (it needs
-# _lsh_plane_sign_sql, defined there): see dedup_embedding_cosine.
-
-
-# ---------------------------------------------------------------------------
-# Similarity search
-# ---------------------------------------------------------------------------
 
 def _cos_sql(a: str, b: str) -> str:
     """DuckDB cosine between aliased DOUBLE[] columns a.v and b.v — the one
@@ -501,161 +130,7 @@ def _cos_sql(a: str, b: str) -> str:
         f" / (sqrt(list_dot_product({a}.v, {a}.v)) * sqrt(list_dot_product({b}.v, {b}.v)))"
     )
 
-
 _COS = _cos_sql("q", "c")
-
-
-@register(
-    "ann_brute_force_topk",
-    oracle=f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        pairs AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, {_COS} AS cosine
-            FROM v q JOIN v c ON q.vec_id <> c.vec_id
-        ),
-        ranked AS (
-            SELECT query_id, corpus_id, cosine,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cosine DESC, corpus_id) AS rank
-            FROM pairs
-        )
-        SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 3
-    """,
-    tags=("similarity", "ann"),
-)
-def ann_brute_force_topk(spark, sf_dir):
-    """BLAS candidate selection + exact JVM re-score (similarity.py) — same
-    bit-exact output as the O(n²) pair-fold plan, ~50x faster."""
-    e = T(spark, sf_dir, "embeddings")
-    return similarity.brute_force_topk_vectorized(e, e, "vec_id", "embedding", k=3)
-
-
-@register(
-    "ann_brute_force_distributed",
-    # the exhaustive exact scan past the broadcast cap: identical top-k
-    # semantics, executed by the inverted-roles branch (query batch
-    # broadcast, corpus streams partition-parallel emitting per-Arrow-batch
-    # local top-k, exact JVM re-score restores the global ranking) — the
-    # oracle is the same all-pairs ranking restricted to the query batch
-    oracle=f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        pairs AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, {_COS} AS cosine
-            FROM v q JOIN v c ON q.vec_id <> c.vec_id
-            WHERE q.vec_id < 100
-        ),
-        ranked AS (
-            SELECT query_id, corpus_id, cosine,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cosine DESC, corpus_id) AS rank
-            FROM pairs
-        )
-        SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 3
-    """,
-    tags=("similarity", "ann", "scale"),
-)
-def ann_brute_force_distributed(spark, sf_dir):
-    """brute_force_topk_vectorized forced past its broadcast cap (cap 200 <
-    corpus size at every test SF) so the distributed degrade executes end
-    to end: the corpus streams through the executors' Arrow batches and
-    only the 100-row query batch is broadcast.  Results identical to the
-    broadcast branch — graded against the same exhaustive ranking."""
-    e = T(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 100)
-    return similarity.brute_force_topk_vectorized(
-        e, q, "vec_id", "embedding", k=3, max_index_rows=200
-    )
-
-
-@register(
-    "hard_negative_mining",
-    # contrastive-training data prep: for every vector, the top-3 most
-    # similar vectors with a DIFFERENT label — the "hard negatives" a
-    # retrieval/embedding trainer pairs against each anchor.  Same BLAS
-    # select + exact re-score machinery as ann_brute_force_topk, with the
-    # label mask applied inside the broadcast-index scan.
-    oracle=f"""
-        WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-        pairs AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, {_COS} AS cosine
-            FROM v q JOIN v c ON q.label <> c.label
-        ),
-        ranked AS (
-            SELECT query_id, corpus_id, cosine,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cosine DESC, corpus_id) AS rank
-            FROM pairs
-        )
-        SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 3
-    """,
-    tags=("similarity", "ann", "contrastive"),
-)
-def hard_negative_mining(spark, sf_dir):
-    """Hard-negative mining for contrastive training: anchors stream
-    partition-parallel against the broadcast L2-normalized index; the
-    different-label mask runs inside the numpy scan (no join, no shuffle),
-    and only n_q*k survivors reach the exact JVM re-score.  At 100 TB the
-    index side is the capped/LSH-shardable part, the anchor side is
-    embarrassingly parallel."""
-    e = T(spark, sf_dir, "embeddings")
-    return similarity.brute_force_topk_vectorized(
-        e, e, "vec_id", "embedding", k=3, label_col="label"
-    )
-
-
-@register(
-    "training_order_shuffle",
-    # deterministic global training-order shuffle: every doc gets a stable
-    # pseudo-random position — shard by one md5 stream, order within the
-    # shard by another.  Reproducible across retries/cluster layouts (the
-    # reason .orderBy(rand()) is banned), and the window is per-shard, so
-    # no single-partition global sort exists at any scale.
-    oracle="""
-        WITH keyed AS (
-            SELECT doc_id,
-                   CAST((instr('0123456789abcdef',
-                               substr(md5('shard:' || doc_id::VARCHAR), 1, 1)) - 1)
-                        % 8 AS BIGINT) AS shard,
-                   substr(md5('ord:' || doc_id::VARCHAR), 1, 16) AS ord_key
-            FROM documents
-        )
-        SELECT doc_id, shard,
-               CAST(row_number() OVER (PARTITION BY shard
-                                       ORDER BY ord_key, doc_id) AS BIGINT) AS pos
-        FROM keyed
-        ORDER BY shard, pos
-    """,
-    tags=("sampling", "shuffle", "training-prep"),
-)
-def training_order_shuffle(spark, sf_dir):
-    """Stable training-order assignment: (shard, pos) per document from two
-    independent md5 streams.  One narrow pass plus a per-shard window —
-    shards are hash-balanced, so the heaviest partition is corpus/8 and the
-    sort is shard-local; a trainer reads shards in order and gets the same
-    epoch permutation on every re-run."""
-    from pyspark.sql import Window
-
-    d = T(spark, sf_dir, "documents").select("doc_id")
-    sid = F.col("doc_id").cast("string")
-    nib = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.md5(F.concat(F.lit("shard:"), sid)), 1, 1),
-        )
-        - 1
-    )
-    keyed = d.select(
-        "doc_id",
-        (nib % 8).cast("long").alias("shard"),
-        F.substring(F.md5(F.concat(F.lit("ord:"), sid)), 1, 16).alias("ord_key"),
-    )
-    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
-    return (
-        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
-        .select("doc_id", "shard", "pos")
-        .orderBy("shard", "pos")
-    )
-
 
 def _lsh_plane_sign_sql(p: int) -> str:
     hexhi = "('8','9','a','b','c','d','e','f')"
@@ -664,170 +139,6 @@ def _lsh_plane_sign_sql(p: int) -> str:
         f" IN {hexhi} THEN 1.0 ELSE -1.0 END) for j in generate_series(1,64)]) >= 0"
         " THEN '1' ELSE '0' END"
     )
-
-
-@register(
-    "ann_lsh_bucketed",
-    # md5-parity hyperplanes are computable in both engines, so the FULL LSH
-    # pipeline (bucketing + within-bucket cosine filter) is hash-checkable.
-    oracle=f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        sig AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(4))} AS bucket FROM v)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql("a", "b")} AS cosine
-        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE {_cos_sql("a", "b")} >= 0.3
-    """,
-    tags=("similarity", "ann", "lsh"),
-)
-def ann_lsh_bucketed(spark, sf_dir):
-    e = T(spark, sf_dir, "embeddings")
-    return similarity.lsh_bucketed_pairs(e, "vec_id", "embedding", planes=4, dim=64, threshold=0.3)
-
-
-@register(
-    "ann_lsh_adaptive",
-    # the scale-safe LSH: signature width follows ceil(log2(n/256))+4, so
-    # bucket occupancy — and within-bucket pairwise work per row — stays
-    # constant as the corpus grows (fixed-width LSH measures quadratic,
-    # SCALING.md).  The width is data-dependent yet the whole operator is
-    # one declarative plan on BOTH engines: signatures are built at 12
-    # planes and prefix-truncated to the policy width computed from a
-    # 1-row count aggregate (plane bits are independent, so the k-prefix
-    # of a 12-plane signature IS the k-plane signature).
-    oracle=f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        sig AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(12))} AS full_sig FROM v),
-        n1 AS (SELECT count(*) AS n FROM embeddings),
-        t AS (
-            SELECT vec_id, v,
-                   substr(full_sig, 1,
-                          CASE WHEN n <= 256 THEN 4
-                               ELSE GREATEST(4, CAST(CEIL(LOG2(n / 256.0)) AS INT) + 4)
-                          END) AS bucket
-            FROM sig, n1
-        )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql("a", "b")} AS cosine
-        FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE {_cos_sql("a", "b")} >= 0.3
-    """,
-    tags=("similarity", "ann", "lsh", "scale"),
-)
-def ann_lsh_adaptive(spark, sf_dir):
-    """Adaptive-width LSH near-neighbor pairs (operators/similarity.py:
-    lsh_bucketed_pairs_adaptive) — the production form of ann_lsh_bucketed."""
-    e = T(spark, sf_dir, "embeddings")
-    return similarity.lsh_bucketed_pairs_adaptive(
-        e, "vec_id", "embedding", dim=64, threshold=0.3
-    )
-
-
-@register(
-    "ann_lsh_multitable",
-    # multi-probe recall lever: union of two INDEPENDENT hash tables
-    # (plane index ranges [0,4) and [4,8)) — a pair missed by one table's
-    # bucketing is found by the other with independent probability; UNION
-    # (set semantics) merges the tables' identical-row pair sets
-    oracle=f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        s0 AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(0, 4))} AS bucket FROM v),
-        s1 AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(4, 8))} AS bucket FROM v)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql("a", "b")} AS cosine
-        FROM s0 a JOIN s0 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE {_cos_sql("a", "b")} >= 0.3
-        UNION
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql("a", "b")} AS cosine
-        FROM s1 a JOIN s1 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE {_cos_sql("a", "b")} >= 0.3
-    """,
-    tags=("similarity", "ann", "lsh", "multiprobe"),
-)
-def ann_lsh_multitable(spark, sf_dir):
-    """Two-table multi-probe LSH (operators/similarity.py:
-    lsh_multitable_pairs) — the recall-side complement of
-    ann_lsh_adaptive's occupancy policy."""
-    e = T(spark, sf_dir, "embeddings")
-    return similarity.lsh_multitable_pairs(
-        e, "vec_id", "embedding", planes=4, dim=64, threshold=0.3, n_tables=2
-    )
-
-
-_DUP_COS = _cos_sql("a", "b")
-
-
-@register(
-    "dedup_embedding_cosine",
-    # Embedding-cosine near-dup resolution: LSH-blocked pairs >= threshold,
-    # reduced to one (dup_id -> keep_id) decision per duplicate.  The full
-    # pipeline (md5-parity hyperplanes, bucket self-join, min-id keeper) is
-    # expressible in DuckDB, so this is hash-checked end to end.
-    oracle=f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        sig AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(4))} AS bucket FROM v),
-        pairs AS (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DUP_COS} AS cosine
-            FROM sig a JOIN sig b
-              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            WHERE {_DUP_COS} >= 0.35
-        )
-        SELECT id_b AS dup_id, min(id_a) AS keep_id,
-               min_by(cosine, id_a) AS cosine
-        FROM pairs GROUP BY id_b
-    """,
-    tags=("dedup", "embedding", "lsh"),
-)
-def dedup_embedding_cosine(spark, sf_dir):
-    return similarity.embedding_dup_keepers(
-        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        planes=4, dim=64, threshold=0.35,
-    )
-
-
-@register(
-    "embedding_quantize_int8",
-    # symmetric int8 quantization round-trip quality: per-vector max
-    # reconstruction error must stay within half a quantization step
-    oracle="""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        q AS (
-            SELECT vec_id, v,
-                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-            FROM v
-        ),
-        r AS (
-            SELECT vec_id, scale,
-                   list_transform(v, x -> round(x / scale)::INT) AS qv,
-                   list_max(
-                       [abs(v[i] - round(v[i] / scale) * scale)
-                        for i in generate_series(1, len(v))]
-                   ) AS max_err
-            FROM q
-        )
-        SELECT vec_id,
-               scale,
-               qv[1] AS q_first,
-               len(qv) AS dim,
-               max_err <= scale * 0.5 + 1e-12 AS within_half_step
-        FROM r
-    """,
-    tags=("embedding", "quantization"),
-)
-def embedding_quantize_int8(spark, sf_dir):
-    """int8 embedding quantization (4x storage cut for 100 TB embedding
-    tables) with a reconstruction-error bound check — quantize, dequantize,
-    and verify max error <= scale/2 per vector, all JVM-side."""
-    e = T(spark, sf_dir, "embeddings")
-    v = V.as_double("embedding")
-    qs = V.quantize_int8(v)
-    deq = V.dequantize_int8(qs)
-    err = F.array_max(F.zip_with(v, deq, lambda a, b: F.abs(a - b)))
-    return e.select(
-        "vec_id",
-        qs.getField("scale").alias("scale"),
-        F.element_at(qs.getField("q"), 1).alias("q_first"),
-        F.size(qs.getField("q")).alias("dim"),
-        (err <= qs.getField("scale") * 0.5 + 1e-12).alias("within_half_step"),
-    )
-
 
 # Deterministic IVF clustering as SQL (shared by ann_ivf_topk and
 # semdedup_cluster_prune): lowest-id seeds, one integer-exact Lloyd
@@ -878,680 +189,6 @@ _IVF_ASSIGNED_CTES = """
                 FROM v a CROSS JOIN cents c
             ) WHERE rn = 1
         )"""
-
-
-@register(
-    "ann_ivf_topk",
-    # deterministic centroids (lowest-id seeds + one integer-exact Lloyd
-    # refinement) make the full IVF pipeline — assign, refine, probe,
-    # rerank — SQL-expressible
-    oracle=f"""
-        WITH {_IVF_ASSIGNED_CTES},
-        probes AS (
-            SELECT query_id, qv, cid AS list_id FROM (
-                SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
-                       row_number() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY list_dot_product(q.v, c.cv)
-                                    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-                                    c.cid
-                       ) AS rn
-                FROM v q CROSS JOIN cents c
-            ) WHERE rn <= 6
-        )
-        SELECT query_id, corpus_id, cosine, rank FROM (
-            SELECT p.query_id, a.corpus_id,
-                   list_dot_product(p.qv, a.v)
-                       / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cosine,
-                   row_number() OVER (
-                       PARTITION BY p.query_id
-                       ORDER BY list_dot_product(p.qv, a.v)
-                                / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) DESC,
-                                a.corpus_id
-                   ) AS rank
-            FROM probes p JOIN assigned a USING (list_id)
-            WHERE p.query_id <> a.corpus_id
-        ) WHERE rank <= 3
-    """,
-    tags=("similarity", "ann", "ivf"),
-)
-def ann_ivf_topk(spark, sf_dir):
-    e = T(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
-        e, e, "vec_id", "embedding", k=3, n_lists=16, n_probe=6, refine_iters=1
-    )
-
-
-@register(
-    "semdedup_cluster_prune",
-    # SemDeDup: cluster embeddings (same deterministic IVF as ann_ivf_topk),
-    # prune within-cluster near-dups keeping the lowest id per neighborhood
-    oracle=f"""
-        WITH {_IVF_ASSIGNED_CTES},
-        dup AS (
-            SELECT x.corpus_id AS vec_id, min(y.corpus_id) AS kept_by
-            FROM assigned x JOIN assigned y USING (list_id)
-            WHERE x.corpus_id > y.corpus_id
-              AND list_dot_product(x.v, y.v)
-                  / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4
-            GROUP BY x.corpus_id
-        )
-        SELECT a.corpus_id AS vec_id, a.list_id,
-               (d.kept_by IS NOT NULL) AS pruned, d.kept_by
-        FROM assigned a LEFT JOIN dup d ON d.vec_id = a.corpus_id
-    """,
-    tags=("dedup", "semantic", "semdedup", "clustering"),
-)
-def semdedup_cluster_prune(spark, sf_dir):
-    """SemDeDup over the embeddings table (similarity.semdedup_prune):
-    cluster the embedding space with the SAME deterministic IVF centroids
-    ann_ivf_topk uses, then prune every vector with a lower-id
-    within-cluster neighbor at cosine >= 0.4 — the cluster-then-prune
-    curation stage that makes semantic dedup tractable at 100 TB (pairwise
-    cost is quadratic only inside a cluster; cross-cluster dups are the
-    accepted recall trade)."""
-    from kwack_spark.operators.scale import widen_if_narrow
-
-    e = widen_if_narrow(T(spark, sf_dir, "embeddings"))
-    return similarity.semdedup_prune(
-        e, "vec_id", "embedding", n_lists=16, threshold=0.4, refine_iters=1
-    )
-
-
-@register(
-    "ann_pq_topk",
-    # product quantization: codebook = subvectors of the 16 lowest-id
-    # vectors per subspace; encode = argmin L2 (fixed-order fold, tie ->
-    # smaller code); score = dot(query, reconstructed corpus vector)
-    oracle="""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        seeds AS (
-            SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code_id
-            FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 16)
-        ),
-        sub AS (SELECT unnest(range(0, 8)) AS s),
-        codebook AS (
-            SELECT sub.s, seeds.code_id,
-                   list_slice(seeds.v, sub.s * 8 + 1, sub.s * 8 + 8) AS cv
-            FROM seeds CROSS JOIN sub
-        ),
-        corpus_sub AS (
-            SELECT a.vec_id AS corpus_id, sub.s,
-                   list_slice(a.v, sub.s * 8 + 1, sub.s * 8 + 8) AS xv
-            FROM v a CROSS JOIN sub
-        ),
-        codes AS (
-            SELECT corpus_id, s, cv FROM (
-                SELECT cs.corpus_id, cs.s, cb.cv,
-                       row_number() OVER (
-                           PARTITION BY cs.corpus_id, cs.s
-                           ORDER BY list_dot_product(cs.xv, cs.xv)
-                                    - 2.0 * list_dot_product(cs.xv, cb.cv)
-                                    + list_dot_product(cb.cv, cb.cv),
-                                    cb.code_id
-                       ) AS rn
-                FROM corpus_sub cs JOIN codebook cb USING (s)
-            ) WHERE rn = 1
-        ),
-        recon AS (
-            SELECT corpus_id, flatten(list(cv ORDER BY s)) AS xhat
-            FROM codes GROUP BY corpus_id
-        )
-        SELECT query_id, corpus_id, adc, rank FROM (
-            SELECT q.vec_id AS query_id, r.corpus_id,
-                   list_dot_product(q.v, r.xhat) AS adc,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_dot_product(q.v, r.xhat) DESC, r.corpus_id
-                   ) AS rank
-            FROM v q CROSS JOIN recon r
-            WHERE q.vec_id <> r.corpus_id
-        ) WHERE rank <= 3
-    """,
-    tags=("similarity", "ann", "pq"),
-)
-def ann_pq_topk(spark, sf_dir):
-    e = T(spark, sf_dir, "embeddings")
-    return similarity.pq_topk(e, e, "vec_id", "embedding", k=3, m=8, ksub=16, dim=64)
-
-
-@register(
-    "ann_pq_distributed",
-    # standalone PQ past the broadcast cap: identical ADC semantics, but
-    # executed by the distributed branch (coded table streams partition-
-    # parallel, query batch broadcast, per-Arrow-batch local top-k, exact
-    # JVM re-score) — the oracle is the same exhaustive ADC scan restricted
-    # to the serving-shaped query batch
-    oracle="""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        seeds AS (
-            SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code_id
-            FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 16)
-        ),
-        sub AS (SELECT unnest(range(0, 8)) AS s),
-        codebook AS (
-            SELECT sub.s, seeds.code_id,
-                   list_slice(seeds.v, sub.s * 8 + 1, sub.s * 8 + 8) AS cv
-            FROM seeds CROSS JOIN sub
-        ),
-        corpus_sub AS (
-            SELECT a.vec_id AS corpus_id, sub.s,
-                   list_slice(a.v, sub.s * 8 + 1, sub.s * 8 + 8) AS xv
-            FROM v a CROSS JOIN sub
-        ),
-        codes AS (
-            SELECT corpus_id, s, cv FROM (
-                SELECT cs.corpus_id, cs.s, cb.cv,
-                       row_number() OVER (
-                           PARTITION BY cs.corpus_id, cs.s
-                           ORDER BY list_dot_product(cs.xv, cs.xv)
-                                    - 2.0 * list_dot_product(cs.xv, cb.cv)
-                                    + list_dot_product(cb.cv, cb.cv),
-                                    cb.code_id
-                       ) AS rn
-                FROM corpus_sub cs JOIN codebook cb USING (s)
-            ) WHERE rn = 1
-        ),
-        recon AS (
-            SELECT corpus_id, flatten(list(cv ORDER BY s)) AS xhat
-            FROM codes GROUP BY corpus_id
-        )
-        SELECT query_id, corpus_id, adc, rank FROM (
-            SELECT q.vec_id AS query_id, r.corpus_id,
-                   list_dot_product(q.v, r.xhat) AS adc,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_dot_product(q.v, r.xhat) DESC, r.corpus_id
-                   ) AS rank
-            FROM v q CROSS JOIN recon r
-            WHERE q.vec_id <> r.corpus_id AND q.vec_id < 100
-        ) WHERE rank <= 3
-    """,
-    tags=("similarity", "ann", "pq", "scale"),
-)
-def ann_pq_distributed(spark, sf_dir):
-    """pq_topk forced past its broadcast cap (cap 200 < corpus size at
-    every test SF) so the distributed degrade executes end-to-end: the
-    persisted coded table never leaves the executors, the 100-row query
-    batch is the broadcast side, candidates are per-batch local top-k.
-    Results are identical to the broadcast branch — the driver grades that
-    via the same exhaustive-ADC oracle."""
-    e = T(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 100)
-    return similarity.pq_topk(
-        e, q, "vec_id", "embedding", k=3, m=8, ksub=16, dim=64, max_index_rows=200
-    )
-
-
-@register(
-    "ann_ivf_pq_topk",
-    # IVF-PQ composed: probe 4 of 16 inverted lists (IVF bounds WHICH
-    # vectors are scored), score by ADC over PQ-reconstructed vectors (PQ
-    # bounds WHAT is stored) — the production trillion-vector index shape,
-    # replayed deterministically in SQL
-    oracle="""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        cents AS (
-            SELECT vec_id AS cid, v AS cv FROM v ORDER BY vec_id LIMIT 16
-        ),
-        assigned AS (
-            SELECT corpus_id, cid AS list_id FROM (
-                SELECT a.vec_id AS corpus_id, c.cid,
-                       row_number() OVER (
-                           PARTITION BY a.vec_id
-                           ORDER BY list_dot_product(a.v, c.cv)
-                                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-                                    c.cid
-                       ) AS rn
-                FROM v a CROSS JOIN cents c
-            ) WHERE rn = 1
-        ),
-        seeds AS (
-            SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code_id
-            FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 16)
-        ),
-        sub AS (SELECT unnest(range(0, 8)) AS s),
-        codebook AS (
-            SELECT sub.s, seeds.code_id,
-                   list_slice(seeds.v, sub.s * 8 + 1, sub.s * 8 + 8) AS cv
-            FROM seeds CROSS JOIN sub
-        ),
-        corpus_sub AS (
-            SELECT a.vec_id AS corpus_id, sub.s,
-                   list_slice(a.v, sub.s * 8 + 1, sub.s * 8 + 8) AS xv
-            FROM v a CROSS JOIN sub
-        ),
-        codes AS (
-            SELECT corpus_id, s, cv FROM (
-                SELECT cs.corpus_id, cs.s, cb.cv,
-                       row_number() OVER (
-                           PARTITION BY cs.corpus_id, cs.s
-                           ORDER BY list_dot_product(cs.xv, cs.xv)
-                                    - 2.0 * list_dot_product(cs.xv, cb.cv)
-                                    + list_dot_product(cb.cv, cb.cv),
-                                    cb.code_id
-                       ) AS rn
-                FROM corpus_sub cs JOIN codebook cb USING (s)
-            ) WHERE rn = 1
-        ),
-        recon AS (
-            SELECT corpus_id, flatten(list(cv ORDER BY s)) AS xhat
-            FROM codes GROUP BY corpus_id
-        ),
-        probes AS (
-            SELECT query_id, qv, cid AS list_id FROM (
-                SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
-                       row_number() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY list_dot_product(q.v, c.cv)
-                                    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-                                    c.cid
-                       ) AS rn
-                FROM v q CROSS JOIN cents c
-            ) WHERE rn <= 4
-        )
-        SELECT query_id, corpus_id, adc, rank FROM (
-            SELECT p.query_id, a.corpus_id,
-                   list_dot_product(p.qv, r.xhat) AS adc,
-                   row_number() OVER (
-                       PARTITION BY p.query_id
-                       ORDER BY list_dot_product(p.qv, r.xhat) DESC, a.corpus_id
-                   ) AS rank
-            FROM probes p
-            JOIN assigned a USING (list_id)
-            JOIN recon r ON r.corpus_id = a.corpus_id
-            WHERE p.query_id <> a.corpus_id
-        ) WHERE rank <= 3
-    """,
-    tags=("similarity", "ann", "ivf", "pq"),
-)
-def ann_ivf_pq_topk(spark, sf_dir):
-    e = T(spark, sf_dir, "embeddings")
-    return similarity.ivf_pq_topk(
-        e, e, "vec_id", "embedding", k=3, n_lists=16, n_probe=4, m=8, ksub=16, dim=64
-    )
-
-
-# ---------------------------------------------------------------------------
-# Text analysis
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "text_token_rarity",
-    oracle=f"""
-        WITH tok AS (
-            SELECT doc_id, unnest({_toks()}) AS tok FROM documents
-        ),
-        vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
-        total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_cnt FROM vocab),
-        scored AS (
-            SELECT t.doc_id,
-                   count(*) AS n_tokens,
-                   CAST(sum(v.cnt) AS BIGINT) AS sum_cnt
-            FROM tok t JOIN vocab v USING (tok)
-            GROUP BY t.doc_id
-        )
-        SELECT s.doc_id, s.n_tokens,
-               CAST(s.sum_cnt AS DOUBLE) / s.n_tokens AS mean_tok_count,
-               CAST(s.sum_cnt AS DOUBLE) / (CAST(s.n_tokens AS DOUBLE) * x.total_cnt)
-                   AS commonness
-        FROM scored s CROSS JOIN total x
-    """,
-    tags=("text", "quality"),
-)
-def text_token_rarity(spark, sf_dir):
-    """Corpus-frequency rarity score per document — the structure of a
-    CCNet-style LM-perplexity quality filter with the log-prob kernel
-    replaced by an exact frequency ratio (a real deployment swaps in a
-    KenLM/logprob Pandas UDF at the `vocab` join; logs are not
-    oracle-exact across engines, ratios of integers are).
-
-    Shape at scale: one shuffle builds the vocab (natural-language vocab is
-    ~millions of rows even at 100 TB — broadcastable), token-level scoring
-    is a broadcast-hash join, per-doc rollup shuffles on doc_id with
-    partial aggregation.  All integer arithmetic until two final IEEE
-    divisions."""
-    d = T(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
-    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total_cnt"))
-    scored = (
-        tok.join(F.broadcast(vocab), "tok")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("cnt").alias("sum_cnt"))
-    )
-    return scored.crossJoin(F.broadcast(total)).select(
-        "doc_id",
-        "n_tokens",
-        (F.col("sum_cnt").cast("double") / F.col("n_tokens")).alias("mean_tok_count"),
-        (
-            F.col("sum_cnt").cast("double")
-            / (F.col("n_tokens").cast("double") * F.col("total_cnt"))
-        ).alias("commonness"),
-    )
-
-
-@register(
-    "text_token_stats",
-    # DuckDB's list_sum returns HUGEINT — a width a typed (Arrow) result
-    # hasher folds differently from Spark's integer even when values are
-    # equal, so both sides pin total_tok_chars to BIGINT.  Zero-token docs:
-    # DuckDB yields NULL for ttr (0/0 -> NULL) and total_tok_chars
-    # (list_sum([]) -> NULL); the Spark plan matches via F.when guards —
-    # which also keeps the division legal under Spark 4's default ANSI mode
-    # (unguarded x/0 would throw DIVIDE_BY_ZERO).
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, n_chars, {_toks()} AS tk FROM documents)
-        SELECT doc_id,
-               len(tk) AS n_tokens,
-               n_chars,
-               CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
-               CAST(list_sum(list_transform(tk, t -> len(t))) AS BIGINT)
-                   AS total_tok_chars
-        FROM toks
-    """,
-    tags=("text",),
-)
-def text_token_stats(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
-    tk = TX.tokens("text")
-    n = F.size(tk)
-    return d.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        "n_chars",
-        F.when(n > 0, F.size(F.array_distinct(tk)).cast("double") / n).alias("ttr"),
-        F.when(
-            n > 0,
-            F.aggregate(
-                F.transform(tk, lambda t: F.length(t)),
-                F.lit(0).cast("long"),
-                lambda a, x: a + x,
-            ),
-        ).alias("total_tok_chars"),
-    )
-
-
-@register(
-    "text_token_count_bpe",
-    # BPE-ish subword counting: letter runs / digit runs / single punctuation
-    # marks, the pre-tokenization shape BPE vocabularies split on — all
-    # JVM-side regexp, identical semantics in DuckDB
-    oracle=r"""
-        SELECT doc_id,
-               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_pieces,
-               len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS n_unique_pieces,
-               len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS n_punct_pieces
-        FROM documents
-    """,
-    tags=("text", "tokens", "bpe"),
-)
-def text_token_count_bpe(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
-    pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
-    pieces = F.regexp_extract_all(F.lower("text"), F.lit(pat), 0)
-    return d.select(
-        "doc_id",
-        F.size(pieces).alias("n_pieces"),
-        F.size(F.array_distinct(pieces)).alias("n_unique_pieces"),
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[^a-z0-9\s]"), 0)).alias(
-            "n_punct_pieces"
-        ),
-    )
-
-
-@register(
-    "gopher_quality_rules",
-    # the Gopher/MassiveText repetition-free quality rules (public: Rae et
-    # al. 2021, table A1), computed on RAW whitespace words: word count in
-    # [50, 100000], mean word length in [3, 10], >= 80% words containing an
-    # alphabetic character, distinct-word ratio >= 0.1.  All ratios are
-    # int/int -> one double division each, bit-identical across engines.
-    oracle="""
-        WITH w AS (
-            SELECT doc_id,
-                   list_filter(string_split(text, ' '), t -> len(t) > 0) AS ws
-            FROM documents
-        ),
-        m AS (
-            SELECT doc_id,
-                   len(ws) AS n_words,
-                   CASE WHEN len(ws) = 0 THEN NULL
-                        ELSE CAST(list_sum(list_transform(ws, t -> len(t))) AS DOUBLE)
-                             / len(ws) END AS mean_word_len,
-                   CASE WHEN len(ws) = 0 THEN NULL
-                        ELSE CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
-                             / len(ws) END AS alpha_ratio,
-                   CASE WHEN len(ws) = 0 THEN NULL
-                        ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
-                        END AS distinct_ratio
-            FROM w
-        )
-        SELECT doc_id, n_words, mean_word_len, alpha_ratio, distinct_ratio,
-               (n_words BETWEEN 50 AND 100000
-                AND mean_word_len BETWEEN 3.0 AND 10.0
-                AND alpha_ratio >= 0.8
-                AND distinct_ratio >= 0.1) AS passes
-        FROM m
-    """,
-    tags=("text", "quality", "gopher"),
-)
-def gopher_quality_rules(spark, sf_dir):
-    """The published Gopher quality heuristics as one narrow pass: raw
-    whitespace words (not normalized tokens — symbol-heavy words must count
-    against the alpha ratio), four exact ratios, one composite boolean.
-    Zero shuffles; at 100 TB this rides the scan like every other row-local
-    quality gate and feeds the curation pipeline's WHERE clause."""
-    d = T(spark, sf_dir, "documents")
-    ws = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
-    base = d.select("doc_id", ws.alias("ws"))
-    n = F.size("ws")
-    guard = lambda c: F.when(n > 0, c)  # noqa: E731
-    mean_len = guard(
-        F.aggregate("ws", F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / n
-    )
-    alpha = guard(
-        F.size(F.filter("ws", lambda t: t.rlike("[a-zA-Z]"))).cast("double") / n
-    )
-    distinct_r = guard(F.size(F.array_distinct("ws")).cast("double") / n)
-    m = base.select(
-        "doc_id",
-        n.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        alpha.alias("alpha_ratio"),
-        distinct_r.alias("distinct_ratio"),
-    )
-    return m.select(
-        "*",
-        (
-            F.col("n_words").between(50, 100000)
-            & F.col("mean_word_len").between(3.0, 10.0)
-            & (F.col("alpha_ratio") >= 0.8)
-            & (F.col("distinct_ratio") >= 0.1)
-        ).alias("passes"),
-    )
-
-
-@register(
-    "text_quality",
-    oracle=f"""
-        WITH base AS (
-            SELECT doc_id, text, {_toks()} AS tk,
-                   length(lower(text)) AS nc,
-                   length({_NORM.format(c='text')}) AS nn
-            FROM documents
-        ),
-        m AS (
-            SELECT doc_id,
-                   len(tk) AS n_tokens,
-                   CAST(nc - nn AS DOUBLE) / nc AS punct_ratio,
-                   CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
-                       / len(tk) AS stop_ratio
-            FROM base
-        )
-        SELECT doc_id, n_tokens, punct_ratio, stop_ratio,
-               CASE WHEN n_tokens >= 10 AND punct_ratio < 0.1 AND stop_ratio > 0.05 THEN 'good'
-                    WHEN n_tokens >= 5 THEN 'fair'
-                    ELSE 'poor' END AS quality
-        FROM m
-    """,
-    tags=("text", "quality"),
-)
-def text_quality(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
-    tk = TX.tokens("text")
-    base = d.select(
-        "doc_id",
-        F.size(tk).alias("n_tokens"),
-        TX.punct_ratio("text").alias("punct_ratio"),
-        TX.stopword_ratio("text").alias("stop_ratio"),
-    )
-    return base.select(
-        "doc_id",
-        "n_tokens",
-        "punct_ratio",
-        "stop_ratio",
-        F.when(
-            (F.col("n_tokens") >= 10)
-            & (F.col("punct_ratio") < 0.1)
-            & (F.col("stop_ratio") > 0.05),
-            "good",
-        )
-        .when(F.col("n_tokens") >= 5, "fair")
-        .otherwise("poor")
-        .alias("quality"),
-    )
-
-
-@register(
-    "text_lang_id",
-    oracle=f"""
-        WITH t AS (SELECT doc_id, lang, list_distinct({_toks()}) AS ts FROM documents),
-        s AS (
-            SELECT doc_id, lang,
-                   len(list_filter(ts, t -> t IN ('the','a','of','and','to'))) AS s_en,
-                   len(list_filter(ts, t -> t IN ('der','die','das','und','ist'))) AS s_de,
-                   len(list_filter(ts, t -> t IN ('el','la','de','que','y'))) AS s_es,
-                   len(list_filter(ts, t -> t IN ('le','la','et','les','des'))) AS s_fr
-            FROM t
-        )
-        SELECT doc_id, lang AS labeled_lang,
-               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
-                    WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
-                    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
-                    WHEN s_fr > 0 THEN 'fr'
-                    ELSE 'und' END AS pred_lang
-        FROM s
-    """,
-    tags=("text", "langid"),
-)
-def text_lang_id(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        TX.lang_id("text").alias("pred_lang"),
-    )
-
-
-@register(
-    "langid_confusion_matrix",
-    # classifier-quality audit: the lang-id heuristic scored against the
-    # gold lang labels — full confusion matrix plus per-language precision
-    # and recall (exact bigint ratios -> identical doubles, rounded 6dp).
-    oracle=f"""
-        WITH t AS (SELECT doc_id, lang, list_distinct({_toks()}) AS ts FROM documents),
-        s AS (
-            SELECT doc_id, lang,
-                   len(list_filter(ts, t -> t IN ('the','a','of','and','to'))) AS s_en,
-                   len(list_filter(ts, t -> t IN ('der','die','das','und','ist'))) AS s_de,
-                   len(list_filter(ts, t -> t IN ('el','la','de','que','y'))) AS s_es,
-                   len(list_filter(ts, t -> t IN ('le','la','et','les','des'))) AS s_fr
-            FROM t
-        ),
-        pred AS (
-            SELECT lang AS labeled_lang,
-                   CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
-                        WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
-                        WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
-                        WHEN s_fr > 0 THEN 'fr'
-                        ELSE 'und' END AS pred_lang
-            FROM s
-        ),
-        cell AS (
-            SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
-            FROM pred GROUP BY labeled_lang, pred_lang
-        ),
-        row_tot AS (SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS label_total
-                    FROM cell GROUP BY labeled_lang),
-        col_tot AS (SELECT pred_lang, CAST(SUM(n) AS BIGINT) AS pred_total
-                    FROM cell GROUP BY pred_lang)
-        SELECT c.labeled_lang, c.pred_lang, c.n,
-               round(CAST(c.n AS DOUBLE) / r.label_total, 6) AS recall_share,
-               round(CAST(c.n AS DOUBLE) / p.pred_total, 6) AS precision_share
-        FROM cell c
-        JOIN row_tot r USING (labeled_lang)
-        JOIN col_tot p USING (pred_lang)
-        ORDER BY labeled_lang, pred_lang
-    """,
-    tags=("text", "langid", "evaluation"),
-)
-def langid_confusion_matrix(spark, sf_dir):
-    """Confusion matrix for the n-gram lang-id heuristic vs gold labels —
-    the eval table every classifier-driven curation gate needs beside its
-    scores.  One narrow scoring pass over the corpus, one (label, pred)
-    aggregation; the matrix is |langs|² rows, so both normalizing margins
-    join back as broadcasts."""
-    d = T(spark, sf_dir, "documents")
-    pred = d.select(
-        F.col("lang").alias("labeled_lang"),
-        TX.lang_id("text").alias("pred_lang"),
-    )
-    cell = pred.groupBy("labeled_lang", "pred_lang").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    row_tot = cell.groupBy("labeled_lang").agg(F.sum("n").alias("label_total"))
-    col_tot = cell.groupBy("pred_lang").agg(F.sum("n").alias("pred_total"))
-    return (
-        cell.join(F.broadcast(row_tot), "labeled_lang")
-        .join(F.broadcast(col_tot), "pred_lang")
-        .select(
-            "labeled_lang",
-            "pred_lang",
-            "n",
-            F.round(F.col("n").cast("double") / F.col("label_total"), 6).alias(
-                "recall_share"
-            ),
-            F.round(F.col("n").cast("double") / F.col("pred_total"), 6).alias(
-                "precision_share"
-            ),
-        )
-        .orderBy("labeled_lang", "pred_lang")
-    )
-
-
-@register(
-    "doc_fingerprints",
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        sh AS (SELECT doc_id, ({_SHINGLES}) AS sh FROM toks)
-        SELECT s.doc_id,
-               md5({_NORM.format(c='d.text')}) AS full_md5,
-               list_min(list_transform(s.sh, x -> md5(x))) AS min_shingle_hash
-        FROM sh s JOIN documents d ON d.doc_id = s.doc_id
-    """,
-    tags=("text", "fingerprint"),
-)
-def doc_fingerprints(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
-    sh = TX.shingles(TX.tokens("text"), 3)
-    return d.select(
-        "doc_id",
-        F.md5(TX.normalize("text")).alias("full_md5"),
-        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("min_shingle_hash"),
-    )
-
 
 # quality-ensemble CTE chain ending in j(doc_id, n_words, score, stop_ratio,
 # gopher_pass, score_ok, stop_ok) — shared by quality_ensemble_gate and the
@@ -1607,38 +244,6 @@ _ENSEMBLE_CTES = f"""w AS (
                    COALESCE(st.stop_ratio > 0.05, FALSE) AS stop_ok
             FROM g JOIN st USING (doc_id) LEFT JOIN sc USING (doc_id)
         )"""
-
-
-@register(
-    "quality_ensemble_gate",
-    # The assembled curation gate a production pipeline actually ships:
-    # three independent signals — the Gopher structural rules, the hashed
-    # bag-of-words linear score (quality_linear_score's model, applied to
-    # ALL docs), and the stopword-density fluency check — combined into one
-    # keep/drop verdict with a reject-reason BITMASK (bit0 gopher, bit1
-    # negative model score, bit2 stopword density), so downstream audits
-    # can count WHY documents were dropped, not just how many.  NULL
-    # signals (empty docs) fail closed via COALESCE(..., FALSE).
-    oracle=f"""
-        WITH {_ENSEMBLE_CTES}
-        SELECT doc_id, n_words, score, stop_ratio, gopher_pass,
-               (gopher_pass AND score_ok AND stop_ok) AS keep,
-               CAST((CASE WHEN gopher_pass THEN 0 ELSE 1 END)
-                    + (CASE WHEN score_ok THEN 0 ELSE 2 END)
-                    + (CASE WHEN stop_ok THEN 0 ELSE 4 END) AS INTEGER) AS reject_reasons
-        FROM j
-    """,
-    tags=("quality", "pipeline", "gate"),
-)
-def quality_ensemble_gate(spark, sf_dir):
-    """Plan shape at 100 TB: the structural and fluency signals ride the
-    scan (narrow array ops, zero shuffles); the model score is the one
-    doc-keyed aggregation (explode -> broadcast weight join -> map-side
-    combinable sum); the final assembly is a doc_id join of a corpus-sized
-    but column-thin signal table.  The weight table is O(D)=1024 rows
-    regardless of corpus size — always a broadcast."""
-    return _ensemble_gate_df(spark, T(spark, sf_dir, "documents"))
-
 
 def _ensemble_gate_df(spark, d):
     """The ensemble gate over an arbitrary (doc_id, text) frame — shared by
@@ -1712,2057 +317,6 @@ def _ensemble_gate_df(spark, d):
         .alias("reject_reasons"),
     )
 
-
-# Winnowing fingerprint relation (doc_id, pos, fp) as a DuckDB CTE body —
-# shared by the winnowing_fingerprints and winnowing_common_spans oracles.
-_WINNOW_ORACLE = f"""
-        t AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        g AS (SELECT doc_id,
-                CASE WHEN len(tk) >= 3
-                     THEN list_transform(range(1, len(tk) - 1),
-                            i -> substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 8))
-                     ELSE [] END AS h
-              FROM t),
-        f AS (SELECT doc_id,
-                list_transform(range(1, greatest(1, len(h) - 3) + 1),
-                  i -> {{'pos': list_max(list_filter(range(i, least(i + 3, len(h)) + 1),
-                                 j -> h[j] = list_min(list_transform(range(i, least(i + 3, len(h)) + 1), jj -> h[jj])))),
-                        'fp': list_min(list_transform(range(i, least(i + 3, len(h)) + 1), jj -> h[jj]))}}) AS fps
-              FROM g WHERE len(h) > 0),
-        u AS (SELECT doc_id, unnest(fps) AS fpr FROM f),
-        wfp AS (SELECT DISTINCT doc_id, CAST(fpr.pos AS INTEGER) AS pos, fpr.fp AS fp FROM u)
-"""
-
-
-@register(
-    "winnowing_fingerprints",
-    # Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
-    # 2003 — the MOSS scheme): hash every word 3-gram, slide a window of 4
-    # hashes, keep the window minimum (RIGHTMOST position on ties), emit
-    # the distinct (position, hash) fingerprints.  Guarantees any shared
-    # run of >= w+k-1 = 6 tokens between two documents shares at least one
-    # fingerprint — the local-dedup primitive between exact-hash (too
-    # brittle) and MinHash (no positions).  md5 slices order identically
-    # in both engines (hex is ASCII); positions are 1-based on both sides.
-    oracle=f"WITH {_WINNOW_ORACLE} SELECT doc_id, pos, fp FROM wfp",
-    tags=("text", "dedup", "fingerprint"),
-)
-def winnowing_fingerprints(spark, sf_dir):
-    """Winnowing runs ENTIRELY inside whole-stage codegen as higher-order
-    array functions over each document — gram hashes, window minima,
-    rightmost-tie positions, and the per-doc distinct all happen before the
-    explode, so the plan is a narrow 0-shuffle map over the corpus (the
-    100 TB shape: fingerprint extraction is embarrassingly parallel; the
-    downstream fingerprint JOIN is where a shuffle first appears)."""
-    return _winnowing_fps(spark, sf_dir)
-
-
-def _winnowing_fps(spark, sf_dir):
-    from kwack_spark.operators.scale import widen_if_narrow
-
-    # the fingerprint array pipeline is the per-row-expensive stage
-    d = widen_if_narrow(T(spark, sf_dir, "documents"))
-
-    # every intermediate array is let-bound (TX.bind) — Catalyst's
-    # CollapseProject would otherwise substitute the token/hash arrays into
-    # each of their O(windows) use sites, exploding the expression tree
-    def with_tokens(tk):
-        def gram(i):
-            return F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ",
-                        F.element_at(tk, i),
-                        F.element_at(tk, i + F.lit(1)),
-                        F.element_at(tk, i + F.lit(2)),
-                    )
-                ),
-                1,
-                8,
-            )
-
-        h_expr = F.when(
-            F.size(tk) >= 3,
-            F.transform(F.sequence(F.lit(1), F.size(tk) - 2), gram),
-        ).otherwise(F.array().cast("array<string>"))
-
-        def with_h(h):
-            nh = F.size(h)
-
-            def fp(i):
-                def with_js(js):
-                    def with_m(m):
-                        pos = F.array_max(
-                            F.filter(js, lambda j: F.element_at(h, j) == m)
-                        )
-                        return F.struct(pos.cast("int").alias("pos"), m.alias("fp"))
-
-                    return TX.bind(
-                        F.array_min(F.transform(js, lambda j: F.element_at(h, j))),
-                        with_m,
-                    )
-
-                return TX.bind(F.sequence(i, F.least(i + F.lit(3), nh)), with_js)
-
-            return F.when(
-                nh > 0,
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.greatest(F.lit(1), nh - 3)), fp
-                    )
-                ),
-            )
-
-        return TX.bind(h_expr, with_h)
-
-    w = d.select("doc_id", TX.bind(TX.tokens("text"), with_tokens).alias("fps"))
-    return w.select("doc_id", F.explode("fps").alias("f")).select(
-        "doc_id", F.col("f.pos").alias("pos"), F.col("f.fp").alias("fp")
-    )
-
-
-@register(
-    "winnowing_common_spans",
-    # The application stage of winnowing: document pairs sharing >= 3
-    # fingerprints (each fingerprint certifies a shared token run), with
-    # boilerplate control — fingerprints appearing in > 10 documents are
-    # dropped before pairing, the same frequency cap every LSH bucket-join
-    # in this repo applies, so one viral phrase can't produce a quadratic
-    # candidate blowup.
-    oracle=f"""
-        WITH {_WINNOW_ORACLE},
-        d AS (SELECT DISTINCT doc_id, fp FROM wfp),
-        rare AS (SELECT fp FROM d GROUP BY fp HAVING count(*) <= 10),
-        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM d a JOIN d b USING (fp) JOIN rare USING (fp)
-              WHERE a.doc_id < b.doc_id)
-        SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS shared_fps
-        FROM p GROUP BY id_a, id_b HAVING count(*) >= 3
-    """,
-    tags=("text", "dedup", "fingerprint", "pairs"),
-)
-def winnowing_common_spans(spark, sf_dir):
-    """100-TB shape: ONE shuffle keyed on fp covers the frequency count
-    and the self-join (co-partitioned); pair aggregation shuffles on the
-    (id_a, id_b) key.  The frequency cap bounds every fp group at 10 docs
-    -> at most 45 pairs per fingerprint, so the join output is linear in
-    the fingerprint count, never quadratic in the corpus."""
-    fp = _winnowing_fps(spark, sf_dir).select("doc_id", "fp").distinct()
-    rare = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= 10
-    )
-    keyed = fp.join(rare.select("fp"), "fp")
-    a = keyed.select("fp", F.col("doc_id").alias("id_a"))
-    b = keyed.select("fp", F.col("doc_id").alias("id_b"))
-    return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared_fps"))
-        .filter(F.col("shared_fps") >= 3)
-    )
-
-
-@register(
-    "winnowing_incremental_new_docs",
-    # the INCREMENTAL form (same contract as dedup_incremental_new_docs /
-    # incremental LSH): a new batch (odd doc_ids) is fingerprinted and
-    # joined against the standing fingerprint store (even doc_ids) ONLY —
-    # batch-vs-history pairs sharing >= 2 fingerprints, never re-pairing
-    # history against itself.  At 100 TB the history side is a bucketed
-    # fingerprint table; each ingest batch costs O(batch fingerprints),
-    # not O(corpus).
-    oracle=f"""
-        WITH {_WINNOW_ORACLE},
-        d AS (SELECT DISTINCT doc_id, fp FROM wfp),
-        hist AS (SELECT * FROM d WHERE doc_id % 2 = 0),
-        batch AS (SELECT * FROM d WHERE doc_id % 2 = 1),
-        rare AS (SELECT fp FROM hist GROUP BY fp HAVING count(*) <= 10),
-        p AS (SELECT b.doc_id AS batch_id, h.doc_id AS hist_id
-              FROM batch b JOIN hist h USING (fp) JOIN rare USING (fp))
-        SELECT batch_id, hist_id, CAST(count(*) AS BIGINT) AS shared_fps
-        FROM p GROUP BY batch_id, hist_id HAVING count(*) >= 2
-    """,
-    tags=("text", "dedup", "fingerprint", "incremental"),
-)
-def winnowing_incremental_new_docs(spark, sf_dir):
-    """One fp-keyed shuffle joins the batch's fingerprints against the
-    (df-capped) history store; pair aggregation on (batch_id, hist_id).
-    The incremental path may skip work, never change answers — the pairs
-    equal winnowing_common_spans' cross-subset at the same thresholds."""
-    fp = _winnowing_fps(spark, sf_dir).select("doc_id", "fp").distinct()
-    hist = fp.filter(F.col("doc_id") % 2 == 0)
-    batch = fp.filter(F.col("doc_id") % 2 == 1)
-    rare = hist.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= 10
-    )
-    return (
-        batch.select("fp", F.col("doc_id").alias("batch_id"))
-        .join(hist.select("fp", F.col("doc_id").alias("hist_id")), "fp")
-        .join(rare.select("fp"), "fp")
-        .groupBy("batch_id", "hist_id")
-        .agg(F.count(F.lit(1)).alias("shared_fps"))
-        .filter(F.col("shared_fps") >= 2)
-    )
-
-
-@register(
-    "text_pii_redact",
-    # deterministic PII is synthesized from doc_id (the corpus itself is
-    # clean), then scrubbed by the production redact chain; the oracle
-    # applies the same RE2/Java-shared patterns with nested regexp_replace
-    oracle="""
-        WITH synth AS (
-            SELECT doc_id,
-                   text || ' Contact user' || CAST(doc_id AS VARCHAR)
-                        || '@mail.example.com or 555-123-4567 from host 10.0.'
-                        || CAST(doc_id % 256 AS VARCHAR) || '.1' AS raw
-            FROM documents
-        )
-        SELECT doc_id,
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(raw,
-                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                   '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
-                 '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS redacted,
-               len(regexp_extract_all(raw,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails
-        FROM synth
-    """,
-    tags=("text", "pii"),
-)
-def text_pii_redact(spark, sf_dir):
-    """PII scrub pass (functions/text.py:redact_pii): emails, phones, and
-    IPv4 addresses replaced with typed tags before text enters a training
-    corpus — JVM-side regexp chain, embarrassingly parallel at 100 TB."""
-    d = T(spark, sf_dir, "documents")
-    raw = F.concat(
-        F.col("text"),
-        F.lit(" Contact user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@mail.example.com or 555-123-4567 from host 10.0."),
-        (F.col("doc_id") % 256).cast("string"),
-        F.lit(".1"),
-    )
-    return d.select(
-        "doc_id",
-        TX.redact_pii(raw).alias("redacted"),
-        F.regexp_count(raw, F.lit(TX.PII_PATTERNS[0][0])).alias("n_emails"),
-    )
-
-
-@register(
-    "text_repetition_filter",
-    # gopher-style repetition quality gate: fraction of duplicated word
-    # 3-grams within each document
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        sh AS (SELECT doc_id, ({_SHINGLES}) AS sh FROM toks)
-        SELECT doc_id,
-               len(sh) AS n_shingles,
-               len(list_distinct(sh)) AS n_distinct,
-               CASE WHEN len(sh) = 0 THEN 0.0
-                    ELSE 1.0 - len(list_distinct(sh))::DOUBLE / len(sh) END AS rep_ratio,
-               (CASE WHEN len(sh) = 0 THEN 0.0
-                     ELSE 1.0 - len(list_distinct(sh))::DOUBLE / len(sh) END) > 0.2
-                 AS is_repetitive
-        FROM sh
-    """,
-    tags=("text", "quality", "repetition"),
-)
-def text_repetition_filter(spark, sf_dir):
-    """Within-document repetition ratio (share of duplicate 3-gram
-    shingles) — the classic quality gate against boilerplate/looping text.
-    Narrow projection, no shuffle, no Python: safe at 100 TB."""
-    d = T(spark, sf_dir, "documents")
-    sh = TX.shingles(TX.tokens("text"), 3)
-    n = F.size(sh)
-    nd = F.size(F.array_distinct(sh))
-    ratio = F.when(n == 0, F.lit(0.0)).otherwise(
-        F.lit(1.0) - nd.cast("double") / n
-    )
-    return d.select(
-        "doc_id",
-        n.alias("n_shingles"),
-        nd.alias("n_distinct"),
-        ratio.alias("rep_ratio"),
-        (ratio > 0.2).alias("is_repetitive"),
-    )
-
-
-@register(
-    "cross_doc_repeated_ngrams",
-    # passage-repetition mining: 3-gram shingles appearing in >= 2 distinct
-    # documents, with how many and the first doc — the shingle-level signal
-    # behind exact-substring (suffix-array) training-data dedup
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        sh AS (
-            SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s
-            FROM toks
-        )
-        SELECT s, CAST(count(*) AS BIGINT) AS n_docs,
-               min(doc_id) AS first_doc
-        FROM sh GROUP BY s HAVING count(*) >= 2
-    """,
-    tags=("dedup", "text"),
-)
-def cross_doc_repeated_ngrams(spark, sf_dir):
-    """Cross-document repeated-passage mining: which 3-gram shingles occur
-    in two or more documents, and where first.  One shuffle on the shingle
-    key with partial aggregation (map-side combine collapses within-doc
-    repeats via array_distinct before the explode); the HAVING filter
-    happens in the final aggregate, so only repeated shingles leave it.
-    At 100 TB this is the candidate-passage stage the exact-substring
-    operator (`dedup_suffix_exact_spans`) refines to maximal spans."""
-    d = T(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(TX.shingles(TX.tokens("text"), 3))).alias("s"),
-    )
-    return (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
-        .where(F.col("n_docs") >= 2)
-    )
-
-
-@register(
-    "dedup_suffix_exact_spans",
-    # exact-substring dedup (Lee et al. 2022 ExactSubstr; r07 VERDICT ask
-    # #2): every MAXIMAL token run in which each width-50 window occurs
-    # verbatim >= 2 times corpus-wide, with its exact text (a SUPERSET of
-    # spans that duplicate as a whole — consecutive anchors may chain
-    # matches against different partners).  The oracle replays the
-    # same anchor -> verify -> islands pipeline: width-50 window hashes per
-    # position, windows seen >= 2x, full-string verify, consecutive
-    # positions merged by gaps-and-islands, span text sliced back out.
-    oracle=f"""
-        WITH toks AS MATERIALIZED (
-            SELECT doc_id, tk FROM (SELECT doc_id, {_toks()} AS tk FROM documents)
-            WHERE len(tk) >= 50
-        ),
-        anch AS (
-            SELECT doc_id, p AS pos,
-                   md5(array_to_string(tk[p : p + 49], ' ')) AS h
-            FROM toks, unnest(range(1, len(tk) - 48)) AS t(p)
-        ),
-        dup AS (SELECT h FROM anch GROUP BY h HAVING count(*) >= 2),
-        hver AS (
-            SELECT a.doc_id, a.pos,
-                   array_to_string(t.tk[a.pos : a.pos + 49], ' ') AS s
-            FROM (SELECT anch.doc_id, anch.pos
-                  FROM anch JOIN dup USING (h)) a
-            JOIN toks t USING (doc_id)
-        ),
-        sdup AS (SELECT s FROM hver GROUP BY s HAVING count(*) >= 2),
-        hits AS (
-            SELECT doc_id, pos FROM hver JOIN sdup USING (s)
-        ),
-        isl AS (
-            SELECT doc_id, pos,
-                   pos - row_number() OVER (PARTITION BY doc_id
-                                            ORDER BY pos) AS grp
-            FROM hits
-        ),
-        spans AS (
-            SELECT doc_id, min(pos) AS a, max(pos) + 49 AS b
-            FROM isl GROUP BY doc_id, grp
-        )
-        SELECT s.doc_id,
-               CAST(s.a AS BIGINT) AS span_start,
-               CAST(s.b - s.a + 1 AS BIGINT) AS span_tokens,
-               array_to_string(t.tk[s.a : s.b], ' ') AS span_text
-        FROM spans s JOIN toks t USING (doc_id)
-    """,
-    tags=("dedup", "text", "exact-substring", "suffix"),
-)
-def dedup_suffix_exact_spans(spark, sf_dir):
-    """Suffix-array-style EXACT duplicated-span mining >= 50 tokens
-    (operators/dedup.py:exact_duplicate_spans — see its docstring for the
-    equivalence proof and the 100-TB shape: hashed-anchor groupBy stands in
-    for the global suffix sort, the verify stage re-checks full window text
-    on candidates only, islands merge is per-document).  This is the exact
-    operator `cross_doc_repeated_ngrams` approximates at the 3-gram
-    level."""
-    return dedup.exact_duplicate_spans(
-        T(spark, sf_dir, "documents"), "doc_id", "text", min_tokens=50
-    )
-
-
-@register(
-    "decontaminate_ngram_overlap",
-    # benchmark decontamination: corpus docs sharing >= 3 word-3-grams with
-    # the benchmark suite (docs 0..19 stand in) are flagged
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        sh AS (SELECT doc_id, ({_SHINGLES}) AS sh FROM toks),
-        bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 20),
-        corpus AS (
-            SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh WHERE doc_id >= 20
-        ),
-        hits AS (
-            SELECT c.doc_id, count(*) AS n_hits
-            FROM corpus c JOIN bench b ON c.s = b.s
-            GROUP BY c.doc_id
-        )
-        SELECT d.doc_id,
-               coalesce(h.n_hits, 0) AS n_overlap,
-               coalesce(h.n_hits, 0) >= 3 AS contaminated
-        FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
-        LEFT JOIN hits h ON h.doc_id = d.doc_id
-    """,
-    tags=("text", "decontamination"),
-)
-def decontaminate_ngram_overlap(spark, sf_dir):
-    """Benchmark decontamination: count distinct word-3-gram overlaps
-    between each corpus doc and a benchmark suite, flag docs over the
-    threshold.  The suite's shingle set is tiny relative to the corpus, so
-    it broadcasts — the corpus side stays a narrow explode + broadcast-hash
-    join + partial/final count, the right shape at 100 TB (no corpus
-    shuffle besides the per-doc count)."""
-    d = T(spark, sf_dir, "documents")
-    shdf = d.select("doc_id", TX.shingles(TX.tokens("text"), 3).alias("sh"))
-    bench = (
-        shdf.filter(F.col("doc_id") < 20)
-        .select(F.explode("sh").alias("s"))
-        .distinct()
-    )
-    corpus = shdf.filter(F.col("doc_id") >= 20).select(
-        "doc_id", F.explode(F.array_distinct("sh")).alias("s")
-    )
-    hits = (
-        corpus.join(F.broadcast(bench), "s")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    return (
-        d.filter(F.col("doc_id") >= 20)
-        .select("doc_id")
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_hits", F.lit(0)).alias("n_overlap"),
-            (F.coalesce("n_hits", F.lit(0)) >= 3).alias("contaminated"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# As-of join / event-time windows
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "range_join_clicks_before_purchase",
-    oracle="""
-        SELECT p.user_id AS user_id,
-               p.event_id AS purchase_id,
-               c.event_id AS click_id,
-               epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
-        FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
-        JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
-          ON p.user_id = c.user_id
-         AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000
-    """,
-    tags=("join", "range"),
-)
-def range_join_clicks_before_purchase(spark, sf_dir):
-    """Range (band) join: every (purchase, click) pair of the same user
-    where the click precedes the purchase by at most 30 minutes — the
-    bounded-interval twin of as-of's latest-only semantics.  Runs as a pure
-    equi join on (user_id, time-bucket) via operators/rangejoin.py — one
-    shuffle per side, no nested loop, <= 2 bucket probes per purchase."""
-    from kwack_spark.operators.rangejoin import band_join
-
-    e = T(spark, sf_dir, "events")
-    p = e.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("event_id").alias("purchase_id"),
-        F.unix_micros("ts").alias("p_us"),
-    )
-    c = e.where(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("event_id").alias("click_id"),
-        F.unix_micros("ts").alias("c_us"),
-    )
-    out = band_join(p, c, ["user_id"], "p_us", "c_us", 0, 1_800_000_000)
-    return out.select(
-        "user_id",
-        "purchase_id",
-        "click_id",
-        (F.col("p_us") - F.col("c_us")).alias("delta_us"),
-    )
-
-
-
-@register(
-    "asof_purchase_attribution",
-    oracle="""
-        WITH clicks AS (
-            SELECT user_id, ts, event_id FROM (
-                SELECT user_id, ts, event_id,
-                       row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
-                FROM events WHERE event_type = 'click'
-            ) WHERE rn = 1
-        ),
-        purchases AS (
-            SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
-        )
-        SELECT p.user_id AS user_id, p.ts AS purchase_ts, p.event_id AS purchase_id,
-               c.event_id AS click_id, c.ts AS click_ts
-        FROM purchases p
-        ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
-    """,
-    tags=("asof", "join"),
-)
-def asof_purchase_attribution(spark, sf_dir):
-    """Last-click attribution: DuckDB's native ASOF JOIN vs our union-merge
-    single-shuffle implementation (operators/asof.py)."""
-    e = T(spark, sf_dir, "events")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
-    clicks = (
-        e.filter(F.col("event_type") == "click")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "ts", "event_id")
-    )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id"
-    )
-    out = asof.asof_join_backward(
-        purchases,
-        clicks,
-        key="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        right_vals=["event_id", "ts"],
-        left_vals=["event_id"],
-    )
-    return out.select(
-        F.col("k").alias("user_id"),
-        F.col("t").alias("purchase_ts"),
-        F.col("l_event_id").alias("purchase_id"),
-        F.col("r_event_id").alias("click_id"),
-        F.col("r_ts").alias("click_ts"),
-    )
-
-
-@register(
-    "asof_nearest_click",
-    # nearest-in-time as-of (either direction, ties -> backward): DuckDB
-    # has no nearest ASOF, so the oracle composes its backward and forward
-    # ASOF JOINs and picks by integer-microsecond distance — exactly the
-    # rule the operator's single-sort two-frame window implements
-    # (operators/asof.py:asof_join_nearest).  Clicks dedup per (user, ts)
-    # keeping max event_id so tie rows are unique on both engines.
-    oracle="""
-        WITH clicks AS (
-            SELECT user_id, ts, event_id FROM (
-                SELECT user_id, ts, event_id,
-                       row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
-                FROM events WHERE event_type = 'click'
-            ) WHERE rn = 1
-        ),
-        purchases AS (
-            SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
-        ),
-        b AS (
-            SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
-                   c.event_id AS bid, c.ts AS bts
-            FROM purchases p
-            ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
-        ),
-        f AS (
-            SELECT p.event_id AS purchase_id, c.event_id AS fid, c.ts AS fts
-            FROM purchases p
-            ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.ts
-        ),
-        j AS (
-            SELECT b.user_id, b.purchase_ts, b.purchase_id, b.bid, b.bts, f.fid, f.fts,
-                   (b.bid IS NOT NULL AND (f.fid IS NULL
-                        OR epoch_us(b.purchase_ts) - epoch_us(b.bts)
-                           <= epoch_us(f.fts) - epoch_us(b.purchase_ts))) AS take_b
-            FROM b JOIN f USING (purchase_id)
-        )
-        SELECT user_id, purchase_ts, purchase_id,
-               CASE WHEN take_b THEN bid ELSE fid END AS click_id,
-               CASE WHEN take_b THEN bts ELSE fts END AS click_ts,
-               CASE WHEN take_b THEN 'backward'
-                    WHEN fid IS NOT NULL THEN 'forward' END AS asof_dir
-        FROM j
-    """,
-    tags=("asof", "join", "nearest"),
-)
-def asof_nearest_click(spark, sf_dir):
-    """Nearest-click attribution: the either-direction completion of the
-    as-of family.  Single shuffle on the key; both directional fills share
-    one (t, side) sort."""
-    e = T(spark, sf_dir, "events")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
-    clicks = (
-        e.filter(F.col("event_type") == "click")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "ts", "event_id")
-    )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id"
-    )
-    out = asof.asof_join_nearest(
-        purchases,
-        clicks,
-        key="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        right_vals=["event_id", "ts"],
-        left_vals=["event_id"],
-        right_ts_val="ts",
-    )
-    return out.select(
-        F.col("k").alias("user_id"),
-        F.col("t").alias("purchase_ts"),
-        F.col("l_event_id").alias("purchase_id"),
-        F.col("r_event_id").alias("click_id"),
-        F.col("r_ts").alias("click_ts"),
-        "asof_dir",
-    )
-
-
-@register(
-    "asof_forward_next_purchase",
-    # forward as-of: earliest purchase at-or-after each view, per user —
-    # DuckDB's ASOF with <= vs our union-merge forward window
-    oracle="""
-        WITH purchases AS (
-            SELECT user_id, ts, event_id FROM (
-                SELECT user_id, ts, event_id,
-                       row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
-                FROM events WHERE event_type = 'purchase'
-            ) WHERE rn = 1
-        ),
-        views AS (
-            SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
-        )
-        SELECT v.user_id AS user_id, v.ts AS view_ts, v.event_id AS view_id,
-               p.event_id AS next_purchase_id, p.ts AS next_purchase_ts
-        FROM views v
-        ASOF LEFT JOIN purchases p ON v.user_id = p.user_id AND v.ts <= p.ts
-    """,
-    tags=("asof", "join", "forward"),
-)
-def asof_forward_next_purchase(spark, sf_dir):
-    """Forward as-of (operators/asof.py:asof_join_forward): same
-    single-shuffle union-merge plan as the backward variant, window looking
-    at following rows.  Purchases deduped per (user, ts) by min event_id so
-    tie-handling is deterministic on both engines."""
-    e = T(spark, sf_dir, "events")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
-    purchases = (
-        e.filter(F.col("event_type") == "purchase")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "ts", "event_id")
-    )
-    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
-    out = asof.asof_join_forward(
-        views,
-        purchases,
-        key="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        right_vals=["event_id", "ts"],
-        left_vals=["event_id"],
-    )
-    return out.select(
-        F.col("k").alias("user_id"),
-        F.col("t").alias("view_ts"),
-        F.col("l_event_id").alias("view_id"),
-        F.col("r_event_id").alias("next_purchase_id"),
-        F.col("r_ts").alias("next_purchase_ts"),
-    )
-
-
-@register(
-    "window_tumbling_hourly",
-    oracle=f"""
-        SELECT event_type,
-               date_trunc('hour', ts) AS window_start,
-               COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
-        FROM events
-        GROUP BY event_type, date_trunc('hour', ts)
-    """,
-    tags=("window", "streaming-equivalent"),
-)
-def window_tumbling_hourly(spark, sf_dir):
-    """Tumbling event-time window — same F.window operator works unchanged in
-    Structured Streaming with a watermark (streaming/ingest.py)."""
-    e = T(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type", F.window("ts", "1 hour"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("total_value"),
-        )
-        .select(
-            "event_type",
-            F.col("window.start").alias("window_start"),
-            "n",
-            "total_value",
-        )
-    )
-
-
-@register(
-    "session_windows",
-    oracle="""
-        WITH m AS (
-            SELECT user_id, ts,
-                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                             < INTERVAL 30 MINUTE
-                        THEN 0 ELSE 1 END AS new_s
-            FROM events
-        ),
-        s AS (
-            SELECT user_id, ts,
-                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-            FROM m
-        )
-        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
-        FROM s GROUP BY user_id, sid
-    """,
-    tags=("window", "session"),
-)
-def session_windows(spark, sf_dir):
-    e = T(spark, sf_dir, "events")
-    return (
-        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("session_start"),
-            "n_events",
-        )
-    )
-
-
-@register(
-    "streaming_window_counts",
-    # the STREAMING result is compared against the batch oracle: the events
-    # table is replayed as a file-source stream, aggregated with a watermark
-    # through Structured Streaming's stateful engine, and must equal the
-    # plain batch GROUP BY
-    oracle="""
-        SELECT event_type,
-               date_trunc('hour', ts) AS window_start,
-               COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
-        FROM events
-        GROUP BY event_type, date_trunc('hour', ts)
-    """,
-    tags=("streaming", "window"),
-)
-def streaming_window_counts(spark, sf_dir):
-    """Structured Streaming end-to-end under the correctness gate: replay
-    events as a stream (file source), watermarked tumbling windows
-    (streaming/ingest.py), Trigger.AvailableNow into a memory sink; the
-    returned DataFrame is the sink table.  Complete output mode emits open
-    windows so end-of-stream equals batch."""
-    import tempfile
-    import uuid
-
-    from kwack_spark.streaming import ingest as si
-
-    e = T(spark, sf_dir, "events")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_stream_replay_")
-    e.write.mode("overwrite").parquet(replay_dir)
-    stream = spark.readStream.schema(e.schema).parquet(replay_dir)
-    agg = si.windowed_counts(
-        stream,
-        "ts",
-        keys=["event_type"],
-        window="1 hour",
-        watermark="10 minutes",
-        agg_exprs=[
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("total_value"),
-        ],
-    )
-    sink = f"strm_{uuid.uuid4().hex[:8]}"
-    with _few_shuffle_partitions(spark):
-        q = si.to_memory_sink(agg, sink, output_mode="complete")
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming_window_counts: stream did not finish in 300s")
-    return spark.table(sink).select("event_type", "window_start", "n", "total_value")
-
-
-@register(
-    "streaming_quality_gate",
-    # curation AT INGEST: the row-local quality signals (Gopher structural
-    # rules + stopword fluency) run inside the stream — stateless, so the
-    # plan is pure map work per micro-batch, append mode, no state store —
-    # and the landed verdicts must equal the batch gate.  (The model-score
-    # signal is doc-keyed aggregation and joins in at the batch boundary;
-    # quality_ensemble_gate is the full assembled form.)
-    oracle="""
-        WITH w AS (
-            SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ws,
-                   list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
-                               t -> length(t) > 0) AS tk
-            FROM documents
-        ),
-        m AS (
-            SELECT doc_id, len(ws) AS n_words,
-                   CASE WHEN len(ws) = 0 THEN NULL
-                        ELSE CAST(list_sum(list_transform(ws, t -> len(t))) AS DOUBLE) / len(ws) END AS mean_word_len,
-                   CASE WHEN len(ws) = 0 THEN NULL
-                        ELSE CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE) / len(ws) END AS alpha_ratio,
-                   CASE WHEN len(ws) = 0 THEN NULL
-                        ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END AS distinct_ratio,
-                   CASE WHEN len(tk) = 0 THEN NULL
-                        ELSE CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / len(tk) END AS stop_ratio
-            FROM w
-        )
-        SELECT doc_id, n_words, stop_ratio,
-               (COALESCE(n_words BETWEEN 50 AND 100000
-                         AND mean_word_len BETWEEN 3.0 AND 10.0
-                         AND alpha_ratio >= 0.8
-                         AND distinct_ratio >= 0.1, FALSE)
-                AND COALESCE(stop_ratio > 0.05, FALSE)) AS keep
-        FROM m
-    """,
-    tags=("streaming", "quality", "gate"),
-)
-def streaming_quality_gate(spark, sf_dir):
-    """Documents replayed as a multi-file stream; the stateless signal
-    projection runs per micro-batch into an append-mode memory sink.  At
-    100 TB this is the shape of inline ingest filtering: zero state, the
-    gate rides the decode scan."""
-    import tempfile
-    import uuid
-
-    from kwack_spark.streaming import ingest as si
-
-    d = T(spark, sf_dir, "documents")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_qgate_replay_")
-    d.repartition(4).write.mode("overwrite").parquet(replay_dir)
-    stream = (
-        spark.readStream.schema(d.schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(replay_dir)
-    )
-    ws = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
-    base = stream.select("doc_id", "text", ws.alias("ws"))
-    n = F.size("ws")
-    guard = lambda c: F.when(n > 0, c)  # noqa: E731
-    tk = TX.tokens("text")
-    ntk = F.size(tk)
-    gopher_ok = F.coalesce(
-        n.between(50, 100000)
-        & guard(
-            F.aggregate("ws", F.lit(0), lambda a, t: a + F.length(t)).cast("double")
-            / n
-        ).between(3.0, 10.0)
-        & (
-            guard(
-                F.size(F.filter("ws", lambda t: t.rlike("[a-zA-Z]"))).cast("double")
-                / n
-            )
-            >= 0.8
-        )
-        & (guard(F.size(F.array_distinct("ws")).cast("double") / n) >= 0.1),
-        F.lit(False),
-    )
-    stop_ratio = F.when(
-        ntk > 0,
-        F.size(F.filter(tk, lambda t: t.isin(*TX.STOPWORDS))).cast("double") / ntk,
-    )
-    stop_ok = F.coalesce(stop_ratio > 0.05, F.lit(False))
-    gated = base.select(
-        "doc_id",
-        n.alias("n_words"),
-        stop_ratio.alias("stop_ratio"),
-        (gopher_ok & stop_ok).alias("keep"),
-    )
-    sink = f"qgate_{uuid.uuid4().hex[:8]}"
-    q = si.to_memory_sink(gated, sink, output_mode="append")
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("streaming_quality_gate: stream did not finish in 300s")
-    return spark.table(sink).select("doc_id", "n_words", "stop_ratio", "keep")
-
-
-@register(
-    "streaming_stateful_running_counts",
-    # custom per-key state via applyInPandasWithState, driven across
-    # MULTIPLE micro-batches (maxFilesPerTrigger=1 over a 4-file replay) so
-    # state-store persistence is exercised; the final running total per key
-    # must equal the batch COUNT(*)
-    oracle="""
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n
-        FROM events GROUP BY event_type
-    """,
-    tags=("streaming", "stateful"),
-)
-def streaming_stateful_running_counts(spark, sf_dir):
-    """SURVEY §2.C custom-stateful surface under the correctness gate: a
-    per-key running count kept in the state store (streaming/ingest.py:
-    stateful_running_counts), replayed over 4 micro-batches; the last
-    update per key (monotone max) equals the batch aggregate."""
-    import tempfile
-    import uuid
-
-    from kwack_spark.streaming import ingest as si
-
-    e = T(spark, sf_dir, "events").select("event_id", "event_type")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_state_replay_")
-    e.repartition(4).write.mode("overwrite").parquet(replay_dir)
-    stream = (
-        spark.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay_dir)
-    )
-    counts = si.stateful_running_counts(stream, "event_type")
-    sink = f"state_{uuid.uuid4().hex[:8]}"
-    with _few_shuffle_partitions(spark):
-        q = si.to_memory_sink(counts, sink, output_mode="update")
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("stateful stream did not finish in 300s")
-    return (
-        spark.table(sink)
-        .groupBy("event_type")
-        .agg(F.max("n").alias("n"))
-    )
-
-
-@register(
-    "streaming_exactly_once_sink",
-    # the durable landing path under the correctness gate: events replay as
-    # 4 micro-batches through the idempotent parquet sink; batch 0 is then
-    # RE-DELIVERED (the crash-replay case) and a second availableNow run on
-    # the same checkpoint proves resume-without-reprocessing; the landed
-    # dataset must STILL equal the plain batch aggregate — any duplication
-    # from the replay or the resume would break the count
-    oracle="""
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
-        FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    tags=("streaming", "sink", "exactly-once"),
-)
-def streaming_exactly_once_sink(spark, sf_dir):
-    """Exactly-once durable ingest (streaming/sink.py): decoded rows land
-    under per-batch-id directories with overwrite semantics, so micro-batch
-    re-delivery after a crash rewrites its own directory instead of
-    appending duplicates, and the output is plain partitioned parquet any
-    engine can read (no _spark_metadata dependency).  The query simulates
-    the full failure sequence — ingest, crash-replay of batch 0, resumed
-    run on the same checkpoint — and returns the landed aggregate."""
-    import tempfile
-    import uuid  # noqa: F401  (parity with sibling streaming queries)
-
-    from kwack_spark.streaming import sink as sk
-
-    e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_sink_replay_")
-    e.repartition(4).write.mode("overwrite").parquet(replay_dir)
-    land = tempfile.mkdtemp(prefix="kwack_sink_land_")
-    ckpt = tempfile.mkdtemp(prefix="kwack_sink_ckpt_")
-
-    stream = (
-        spark.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay_dir)
-    )
-    with _few_shuffle_partitions(spark):
-        q = sk.to_idempotent_parquet_sink(stream, land, ckpt)
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("exactly-once sink did not drain in 300s")
-        # crash-replay: re-deliver batch 0's payload under its original id —
-        # the overwrite must leave the landed row set unchanged.
-        # localCheckpoint materializes the rows BEFORE the overwrite deletes
-        # the directory being re-read (the real replay re-reads the source).
-        b0 = spark.read.parquet(f"{land}/kw_batch_id=0").localCheckpoint(eager=True)
-        sk.idempotent_batch_writer(land)(b0, 0)
-        b0.unpersist()
-        # resume: same checkpoint, no new input -> no batches re-processed.
-        # Asserted on the DIRECTORY SET, not just the final aggregate — a
-        # broken checkpoint that reprocessed everything could land the same
-        # row union under new batch ids and the aggregate alone would pass.
-        import glob
-
-        dirs_before = sorted(glob.glob(f"{land}/kw_batch_id=*"))
-        q2 = sk.to_idempotent_parquet_sink(
-            spark.readStream.schema(e.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(replay_dir),
-            land,
-            ckpt,
-        )
-        if not q2.awaitTermination(300):
-            q2.stop()
-            raise TimeoutError("exactly-once sink resume did not drain in 300s")
-        dirs_after = sorted(glob.glob(f"{land}/kw_batch_id=*"))
-        if dirs_after != dirs_before:
-            raise AssertionError(
-                f"resume reprocessed input: batch dirs {dirs_before} -> {dirs_after}"
-            )
-    return (
-        sk.read_sink(spark, land)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("total_value"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@register(
-    "sink_manifest_snapshot_read",
-    # the snapshot-isolated landing path under the correctness gate: events
-    # stream through the manifest sink (immutable attempt dirs + one
-    # atomically-swapped manifest), a crash-replay of the LAST batch is
-    # simulated by re-invoking its foreachBatch body, and the snapshot read
-    # must still equal the batch aggregate exactly — replays repoint the
-    # manifest, they never duplicate or tear data
-    oracle="""
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
-        FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    tags=("streaming", "sink", "manifest", "snapshot"),
-)
-def sink_manifest_snapshot_read(spark, sf_dir):
-    """Manifest-snapshot sink round trip (streaming/sink.py:
-    to_manifest_parquet_sink / read_sink_snapshot): bounded replay lands
-    every micro-batch as an immutable attempt directory, a redelivered
-    batch writes a fresh attempt and atomically repoints the manifest, and
-    readers see exactly one committed copy of every row — the aggregate
-    over the snapshot is what gets oracle-checked."""
-    import tempfile
-
-    from kwack_spark.streaming import sink as sk
-
-    e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_man_replay_")
-    e.repartition(4).write.mode("overwrite").parquet(replay_dir)
-    land = tempfile.mkdtemp(prefix="kwack_man_land_")
-    ckpt = tempfile.mkdtemp(prefix="kwack_man_ckpt_")
-
-    with _few_shuffle_partitions(spark):
-        q = sk.to_manifest_parquet_sink(
-            spark.readStream.schema(e.schema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(replay_dir),
-            land,
-            ckpt,
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("manifest sink did not drain in 300s")
-        # simulate the crash-redelivery of the final batch: same rows, new
-        # attempt, manifest repoints — the snapshot must not double-count
-        manifest = sk.read_manifest(land)
-        last = max(manifest, key=int)
-        redelivered = spark.read.parquet(manifest[last])
-        sk.manifest_batch_writer(land)(redelivered, int(last))
-    return (
-        sk.read_sink_snapshot(spark, land)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("total_value"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@register(
-    "sink_compaction_roundtrip",
-    # the maintenance path under the correctness gate: events land through
-    # the exactly-once sink (one dir per micro-batch — the small-file
-    # shape), compact_sink rewrites them into size-bounded balanced files,
-    # and the compacted dataset must still equal the batch aggregate —
-    # compaction is a layout change, never a data change
-    oracle="""
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
-        FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    tags=("streaming", "sink", "compaction"),
-)
-def sink_compaction_roundtrip(spark, sf_dir):
-    """Sink-compaction round trip (streaming/sink.py:compact_sink): the
-    per-batch directories a live topic accumulates are rewritten into
-    ceil(n/target) balanced files at a new location; row set preserved,
-    lineage (kw_batch_id) dropped.  The aggregate over the COMPACTED
-    output is what gets oracle-checked."""
-    import math
-    import tempfile
-
-    from kwack_spark.streaming import sink as sk
-
-    e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_cmp_replay_")
-    e.repartition(4).write.mode("overwrite").parquet(replay_dir)
-    land = tempfile.mkdtemp(prefix="kwack_cmp_land_")
-    ckpt = tempfile.mkdtemp(prefix="kwack_cmp_ckpt_")
-    out = tempfile.mkdtemp(prefix="kwack_cmp_out_")
-
-    with _few_shuffle_partitions(spark):
-        q = sk.to_idempotent_parquet_sink(
-            spark.readStream.schema(e.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(replay_dir),
-            land,
-            ckpt,
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("compaction-roundtrip sink did not drain in 300s")
-        n = e.count()
-        target = max(1, math.ceil(n / 8))  # plan ~8 balanced output files
-        files = sk.compact_sink(spark, land, out, target_rows_per_file=target)
-        if files != math.ceil(n / target):
-            raise AssertionError(f"unexpected file plan: {files}")
-    return (
-        spark.read.parquet(out)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("total_value"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@register(
-    "streaming_running_moments",
-    # streaming mean/variance state == batch aggregate: per-type running
-    # (n, Σv, Σv²) kept as exact milli-unit integers in the state store
-    # across 4 micro-batches; the decoded moments must equal the batch
-    # DECIMAL aggregation bit-for-bit (integer state is order-independent,
-    # so arrival order across micro-batches cannot change the result).
-    oracle="""
-        WITH d AS (
-            SELECT event_type, CAST(value AS DECIMAL(18,3)) AS v FROM events
-        )
-        SELECT event_type,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(SUM(v) AS DOUBLE) / count(*) AS mean,
-               CAST(SUM(v * v) AS DOUBLE) / count(*)
-                   - (CAST(SUM(v) AS DOUBLE) / count(*))
-                     * (CAST(SUM(v) AS DOUBLE) / count(*)) AS var
-        FROM d GROUP BY event_type
-        ORDER BY event_type
-    """,
-    tags=("streaming", "stateful", "moments"),
-)
-def streaming_running_moments(spark, sf_dir):
-    """Streaming running-moments state under the correctness gate: events
-    replay as 4 micro-batches, per-type (n, Σ, Σ²) integer state updates in
-    the store (streaming/ingest.py:stateful_running_moments), and the final
-    emission decodes to the same mean/variance the batch DECIMAL aggregate
-    produces — the monitoring-state pattern (z-score alerting off a stream)
-    with replay-proof determinism."""
-    import tempfile
-    import uuid
-
-    from kwack_spark.streaming import ingest as si
-
-    e = T(spark, sf_dir, "events").select("event_type", "value")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_moments_replay_")
-    e.repartition(4).write.mode("overwrite").parquet(replay_dir)
-    stream = (
-        spark.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay_dir)
-    )
-    moments = si.stateful_running_moments(stream, "event_type")
-    sink = f"moments_{uuid.uuid4().hex[:8]}"
-    with _few_shuffle_partitions(spark):
-        q = si.to_memory_sink(moments, sink, output_mode="update")
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("moments stream did not finish in 300s")
-    last = (
-        spark.table(sink)
-        .groupBy("event_type")
-        .agg(F.max(F.struct("n", "s", "ss")).alias("m"))
-        .select("event_type", "m.n", "m.s", "m.ss")
-    )
-    mean = F.col("s").cast("double") / 1000 / F.col("n")
-    return last.select(
-        "event_type",
-        "n",
-        mean.alias("mean"),
-        (
-            F.col("ss").cast("double") / 1000000 / F.col("n") - mean * mean
-        ).alias("var"),
-    ).orderBy("event_type")
-
-
-@register(
-    "streaming_quantile_sketch",
-    # streaming quantile-sketch state == batch sketch: per-lang bottom-64
-    # (hr, rid) KLL registers folded across 4 micro-batches in the state
-    # store must decode to exactly the percentiles the one-shot batch
-    # sketch yields (bottom-k is a monoid — arrival order cannot change
-    # membership).  Same register/indexing SQL as sketch_quantile_lengths,
-    # without the prefilter: running state cannot know n upfront, so the
-    # streaming sketch ranks every row (still map-side bounded).
-    oracle="""
-        WITH r AS (
-            SELECT lang, doc_id AS rid, n_chars AS v,
-                   ('0x' || substr(md5('klls:' || doc_id::VARCHAR), 1, 15))::BIGINT
-                       AS hr
-            FROM documents
-        ),
-        fullk AS (
-            SELECT lang, hr, rid, v FROM (
-                SELECT *, row_number() OVER (PARTITION BY lang
-                                             ORDER BY hr, rid) AS rn
-                FROM r
-            ) WHERE rn <= 64
-        ),
-        ag AS (
-            SELECT lang, list_sort(list(v)) AS vs, count(*) AS c
-            FROM fullk GROUP BY lang
-        )
-        SELECT lang, q,
-               CAST(vs[greatest(1, CAST(ceil(q * c) AS INTEGER))] AS BIGINT)
-                   AS q_est,
-               CAST(c AS BIGINT) AS n_sample
-        FROM ag, (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
-                                 CAST(0.99 AS DOUBLE)]) AS q)
-        ORDER BY lang, q
-    """,
-    tags=("streaming", "sketch", "quantile", "kll", "stateful"),
-)
-def streaming_quantile_sketch(spark, sf_dir):
-    """Per-lang p50/p90/p99 from STREAMING quantile-sketch state
-    (streaming/ingest.py:stateful_kll_registers): documents replay as 4
-    micro-batches, the md5 hash rank rides the stream JVM-side, and the
-    state store folds bottom-64 registers per lang — the percentile
-    monitoring a 100 TB ingest runs continuously, with O(k) state per key
-    and a closing extraction identical to the batch sketch's
-    (operators/scale.py:kll_quantile)."""
-    import tempfile
-    import uuid
-
-    from kwack_spark.operators import scale
-    from kwack_spark.streaming import ingest as si
-
-    d = T(spark, sf_dir, "documents").select(
-        "lang",
-        scale._kll_rank("doc_id", "klls").alias("hr"),
-        F.col("doc_id").cast("long").alias("rid"),
-        F.col("n_chars").cast("long").alias("v"),
-    )
-    replay_dir = tempfile.mkdtemp(prefix="kwack_kll_replay_")
-    d.repartition(4).write.mode("overwrite").parquet(replay_dir)
-    stream = (
-        spark.readStream.schema(d.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay_dir)
-    )
-    regs = si.stateful_kll_registers(stream, "lang", k=64)
-    sink = f"kll_{uuid.uuid4().hex[:8]}"
-    with _few_shuffle_partitions(spark):
-        q = si.to_memory_sink(regs, sink, output_mode="update")
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("kll sketch stream did not finish in 300s")
-    last = (
-        spark.table(sink)
-        .groupBy("lang")
-        .agg(F.max(F.struct("n_seen", "hrs", "rids", "vs")).alias("m"))
-        .select("lang", F.arrays_zip("m.hrs", "m.rids", "m.vs").alias("z"))
-    )
-    sketch = last.select(
-        "lang", F.explode("z").alias("r")
-    ).select(
-        "lang",
-        F.col("r.hrs").alias("hr"),
-        F.col("r.rids").alias("rid"),
-        F.col("r.vs").alias("v"),
-    )
-    return scale.kll_quantile(sketch, (0.5, 0.9, 0.99), by=("lang",)).orderBy(
-        "lang", "q"
-    )
-
-
-@register(
-    "streaming_dedup_keys",
-    # streaming exact dedup must emit each key exactly once == batch DISTINCT
-    oracle="""
-        SELECT DISTINCT user_id, event_type FROM events
-    """,
-    tags=("streaming", "dedup"),
-)
-def streaming_dedup_keys(spark, sf_dir):
-    """dropDuplicatesWithinWatermark under the correctness gate (SURVEY
-    §2.C): events replayed as a file-source stream, deduped on
-    (user_id, event_type) with watermark-bounded state, memory sink.  The
-    watermark spans the replayed range, so end-of-stream equals batch
-    DISTINCT; in production the watermark bounds state to the late-data
-    horizon instead of the full history."""
-    import tempfile
-    import uuid
-
-    from kwack_spark.streaming import ingest as si
-
-    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_stream_dedup_")
-    e.write.mode("overwrite").parquet(replay_dir)
-    stream = spark.readStream.schema(e.schema).parquet(replay_dir)
-    deduped = si.streaming_dedup(
-        stream, "ts", ["user_id", "event_type"], watermark="3650 days"
-    ).select("user_id", "event_type")
-    sink = f"strmdd_{uuid.uuid4().hex[:8]}"
-    with _few_shuffle_partitions(spark):
-        q = si.to_memory_sink(deduped, sink, output_mode="append")
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming_dedup_keys: stream did not finish in 300s")
-    return spark.table(sink)
-
-
-@register(
-    "streaming_lsh_neardup",
-    # streaming NEAR-dup: the state store is the LSH index.  Docs replayed
-    # over 3 micro-batches; each band bucket's state holds the (id, shingle
-    # set) list and arriving docs are verified against it.  End-of-stream
-    # pair set == the batch LSH self-join, so the oracle is the same as
-    # dedup_minhash_lsh's.
-    oracle=f"""
-        WITH {_LSH_CTES}
-        SELECT c.id_a, c.id_b, {_JAC} AS jaccard
-        FROM cand c
-        JOIN ssets x ON x.doc_id = c.id_a
-        JOIN ssets y ON y.doc_id = c.id_b
-        WHERE {_JAC} >= 0.5
-    """,
-    tags=("streaming", "dedup", "lsh", "stateful"),
-)
-def streaming_lsh_neardup(spark, sf_dir):
-    """MinHash-LSH near-dup as a STREAMING stateful operator
-    (streaming/ingest.py:stateful_lsh_neardup): band keys are computed
-    narrowly per row (no pre-state aggregation), the stream shuffles once on
-    band_key, and within each band bucket every colliding pair is
-    Jaccard-verified exactly once — when its later member arrives.  A pair
-    colliding in both bands is emitted by both buckets, so the trailing
-    .distinct() restores set semantics; arrival order doesn't matter, so
-    the final pair set equals the batch self-join bit-for-bit."""
-    import tempfile
-    import uuid
-
-    from kwack_spark.streaming import ingest as si
-
-    d = T(spark, sf_dir, "documents")
-    prep = dedup.lsh_band_keys_narrow(d, "doc_id", "text", k=8, bands=2)
-    replay_dir = tempfile.mkdtemp(prefix="kwack_lsh_replay_")
-    prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
-    stream = (
-        spark.readStream.schema(prep.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay_dir)
-    )
-    pairs = si.stateful_lsh_neardup(stream, threshold=0.5)
-    sink = f"strmlsh_{uuid.uuid4().hex[:8]}"
-    with _few_shuffle_partitions(spark):
-        q = si.to_memory_sink(pairs, sink, output_mode="append")
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming_lsh_neardup: stream did not finish in 300s")
-    # a pair colliding in both bands is emitted by both buckets -> distinct
-    return spark.table(sink).distinct()
-
-
-@register(
-    "streaming_static_enrich",
-    # stream-static join: each micro-batch of the event stream is enriched
-    # against a STATIC dimension (re-read per batch, broadcast by Catalyst
-    # when small) — no watermark or state store involved, so append mode
-    # emits enriched rows as they arrive and the result equals the batch join
-    oracle="""
-        SELECT e.event_id, e.user_id, n.n_name AS nation_name
-        FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
-    """,
-    tags=("streaming", "join", "static"),
-)
-def streaming_static_enrich(spark, sf_dir):
-    """Stream-static enrichment (the lookup-table half of §2.C): the events
-    stream inner-joins the nation dimension; the static side is planned as a
-    broadcast hash join inside every micro-batch, which is exactly the 100 TB
-    shape — a small dim broadcast to every executor while the stream
-    partitions flow through unshuffled."""
-    import tempfile
-    import uuid
-
-    from kwack_spark.streaming import ingest as si
-
-    e = T(spark, sf_dir, "events").select("event_id", "user_id")
-    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_enrich_replay_")
-    e.repartition(2).write.mode("overwrite").parquet(replay_dir)
-    stream = (
-        spark.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay_dir)
-    )
-    enriched = stream.join(
-        F.broadcast(n), (F.col("user_id") % 25) == F.col("n_nationkey")
-    ).select("event_id", "user_id", F.col("n_name").alias("nation_name"))
-    sink = f"enrich_{uuid.uuid4().hex[:8]}"
-    with _few_shuffle_partitions(spark):
-        q = si.to_memory_sink(enriched, sink, output_mode="append")
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming_static_enrich: stream did not finish in 300s")
-    return spark.table(sink)
-
-
-@register(
-    "funnel_three_step",
-    # ordered funnel view -> click -> purchase: each stage's timestamp must
-    # be strictly after the previous stage's EARLIEST qualifying time.
-    # One groupBy(user) with conditional min aggregates — no joins, no
-    # window, one shuffle; the canonical event-analytics query on the
-    # reference's own domain (SQL over event topics).
-    oracle="""
-        WITH v AS (
-            SELECT user_id, min(ts) AS t_view
-            FROM events WHERE event_type = 'view' GROUP BY user_id
-        ),
-        c AS (
-            SELECT e.user_id, min(e.ts) AS t_click
-            FROM events e JOIN v ON v.user_id = e.user_id
-            WHERE e.event_type = 'click' AND e.ts > v.t_view
-            GROUP BY e.user_id
-        ),
-        p AS (
-            SELECT e.user_id, min(e.ts) AS t_purchase
-            FROM events e JOIN c ON c.user_id = e.user_id
-            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
-            GROUP BY e.user_id
-        )
-        SELECT (SELECT count(*) FROM v) AS n_view,
-               (SELECT count(*) FROM c) AS n_view_click,
-               (SELECT count(*) FROM p) AS n_view_click_purchase
-    """,
-    tags=("events", "funnel", "analytics"),
-)
-def funnel_three_step(spark, sf_dir):
-    """Ordered three-step funnel over the events table: users who viewed,
-    then clicked after their first view, then purchased after that first
-    qualifying click.  Three conditional-min aggregations on user_id — the
-    same shuffle key each stage, so AQE reuses the partitioning; at 100 TB
-    this is one scan plus user-keyed aggregation, never a self-join
-    explosion."""
-    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    # single job: three 1-row count aggs cross-joined (each side is exactly
-    # one row, so the "cross join" is a free broadcast) — the driver never
-    # triggers v/c/p separately, and AQE's exchange reuse shares the
-    # user-keyed shuffles between the stages within the one plan
-    return (
-        v.agg(F.count("*").alias("n_view"))
-        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
-        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
-    )
-
-
-@register(
-    "user_path_trigrams",
-    # user-journey mining: the most common 3-step event paths.  Per-user
-    # event sequences are built ONCE as ordered arrays (sort_array of a
-    # (ts, event_id, type) struct — collect_list alone has no order
-    # guarantee), trigrams are generated in-array, and only the tiny
-    # path-count table shuffles.
-    oracle="""
-        WITH seqs AS (
-            SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
-            FROM events GROUP BY user_id
-        ),
-        tri AS (
-            SELECT unnest([seq[i] || '>' || seq[i+1] || '>' || seq[i+2]
-                           FOR i IN range(1, greatest(len(seq) - 1, 1))]) AS path
-            FROM seqs
-        )
-        SELECT path, CAST(count(*) AS BIGINT) AS n
-        FROM tri GROUP BY path
-        ORDER BY n DESC, path
-        LIMIT 25
-    """,
-    tags=("events", "paths", "analytics"),
-)
-def user_path_trigrams(spark, sf_dir):
-    """Top 3-step user journeys.  One user-keyed aggregation builds each
-    ordered sequence; trigram expansion is per-row array arithmetic (a user
-    with n events emits n-2 paths, no self-join); the final count groups on
-    the path-vocabulary key (|event_types|³ at most) — map-side combine
-    collapses the volume before the only other shuffle."""
-    e = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    seqs = (
-        e.groupBy("user_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ).alias("s")
-        )
-        .select(F.expr("transform(s, x -> x.event_type)").alias("seq"))
-    )
-    tri = (
-        "CASE WHEN size(seq) >= 3 THEN transform(sequence(0, size(seq) - 3), "
-        "i -> concat(seq[i], '>', seq[i+1], '>', seq[i+2])) ELSE array() END"
-    )
-    return (
-        seqs.select(F.explode(F.expr(tri)).alias("path"))
-        .groupBy("path")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), "path")
-        .limit(25)
-    )
-
-
-@register(
-    "event_transition_matrix",
-    # first-order Markov transition matrix over per-user event streams:
-    # P(next | prev) from ordered bigrams.  The probability divisions are
-    # bigint/bigint -> the same IEEE double on both engines.
-    oracle="""
-        WITH seqs AS (
-            SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
-            FROM events GROUP BY user_id
-        ),
-        bi AS (
-            SELECT unnest([struct_pack(src := seq[i], dst := seq[i+1])
-                           FOR i IN range(1, greatest(len(seq), 1))],
-                          recursive := true)
-            FROM seqs
-        ),
-        cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
-                FROM bi GROUP BY src, dst),
-        tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS total FROM cnt GROUP BY src)
-        SELECT c.src, c.dst, c.n, CAST(c.n AS DOUBLE) / t.total AS p
-        FROM cnt c JOIN tot t USING (src)
-        ORDER BY src, dst
-    """,
-    tags=("events", "markov", "analytics"),
-)
-def event_transition_matrix(spark, sf_dir):
-    """Event-type transition probabilities.  Same ordered-sequence build as
-    user_path_trigrams, bigrams in-array; the count table is
-    |event_types|² rows, so the normalizing row-sum joins back as a
-    broadcast — nothing beyond the first user-keyed agg is corpus-sized."""
-    e = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    seqs = (
-        e.groupBy("user_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ).alias("s")
-        )
-        .select(F.expr("transform(s, x -> x.event_type)").alias("seq"))
-    )
-    bi = (
-        "CASE WHEN size(seq) >= 2 THEN transform(sequence(0, size(seq) - 2), "
-        "i -> struct(seq[i] AS src, seq[i+1] AS dst)) ELSE array() END"
-    )
-    cnt = (
-        seqs.select(F.explode(F.expr(bi)).alias("b"))
-        .select("b.src", "b.dst")
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    tot = cnt.groupBy("src").agg(F.sum("n").alias("total"))
-    return (
-        cnt.join(F.broadcast(tot), "src")
-        .select(
-            "src",
-            "dst",
-            "n",
-            (F.col("n").cast("double") / F.col("total")).alias("p"),
-        )
-        .orderBy("src", "dst")
-    )
-
-
-@register(
-    "daily_anomaly_zscore",
-    # time-series anomaly detection: daily per-type totals z-scored against
-    # that type's own distribution; |z| > 2 days flagged.  Totals and
-    # second moments go through exact DECIMAL (order-independent), the
-    # z expression is the same IEEE double formula on both engines, and z
-    # is rounded to 6dp before the threshold compare.
-    oracle="""
-        WITH d AS (
-            SELECT event_type, CAST(ts AS DATE) AS day,
-                   SUM(CAST(value AS DECIMAL(18,3))) AS total
-            FROM events GROUP BY event_type, CAST(ts AS DATE)
-        ),
-        s AS (
-            SELECT event_type,
-                   CAST(count(*) AS BIGINT) AS n,
-                   CAST(SUM(total) AS DOUBLE) / count(*) AS mu,
-                   CAST(SUM(total * total) AS DOUBLE) AS ss
-            FROM d GROUP BY event_type
-        )
-        SELECT d.event_type, d.day,
-               CAST(d.total AS DOUBLE) AS total,
-               round((CAST(d.total AS DOUBLE) - s.mu)
-                     / sqrt(s.ss / s.n - s.mu * s.mu), 6) AS z
-        FROM d JOIN s USING (event_type)
-        WHERE s.ss / s.n - s.mu * s.mu > 0
-          AND abs(round((CAST(d.total AS DOUBLE) - s.mu)
-                        / sqrt(s.ss / s.n - s.mu * s.mu), 6)) > 2
-        ORDER BY event_type, day
-    """,
-    tags=("events", "timeseries", "anomaly"),
-)
-def daily_anomaly_zscore(spark, sf_dir):
-    """Daily-total anomaly flags per event type.  Two aggregations — day
-    grain, then type grain over the already-tiny day table — and a
-    broadcast join back; the corpus is scanned once and everything after
-    the first agg is days x types sized.  Mean/variance come from exact
-    decimal first/second moments, so the flags are identical regardless of
-    partial-aggregation order."""
-    e = T(spark, sf_dir, "events").select("event_type", "ts", "value")
-    d = (
-        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(F.sum(F.col("value").cast("decimal(18,3)")).alias("total"))
-    )
-    s = d.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("total").cast("double") / F.count(F.lit(1))).alias("mu"),
-        F.sum(F.col("total") * F.col("total")).cast("double").alias("ss"),
-    )
-    variance = F.col("ss") / F.col("n") - F.col("mu") * F.col("mu")
-    z = F.round(
-        (F.col("total").cast("double") - F.col("mu")) / F.sqrt(variance), 6
-    )
-    return (
-        d.join(F.broadcast(s), "event_type")
-        # a zero-variance type (e.g. a single active day) must be dropped
-        # BEFORE the z projection: under ANSI mode x/0.0 raises instead of
-        # yielding inf like the DuckDB side
-        .filter(variance > 0)
-        .select(
-            "event_type",
-            "day",
-            F.col("total").cast("double").alias("total"),
-            z.alias("z"),
-        )
-        .filter(F.abs(F.col("z")) > 2)
-        .orderBy("event_type", "day")
-    )
-
-
-@register(
-    "sax_weekly_symbols",
-    # SAX (symbolic aggregate approximation) over the daily series: weekly
-    # PAA segment means, z-normalized against the type's own daily
-    # distribution, mapped to a 4-symbol alphabet at the standard-normal
-    # quartile breakpoints (-0.6745, 0, 0.6745).  The discretized strings
-    # are what similarity search / motif mining index instead of raw
-    # floats (Keogh's SAX; cf. the streaming time-series similarity line
-    # of work in PAPERS.md).
-    oracle="""
-        WITH d AS (
-            SELECT event_type, CAST(ts AS DATE) AS day,
-                   SUM(CAST(value AS DECIMAL(18,3))) AS total
-            FROM events GROUP BY event_type, CAST(ts AS DATE)
-        ),
-        b AS (SELECT event_type, min(day) AS d0 FROM d GROUP BY event_type),
-        s AS (
-            SELECT event_type,
-                   CAST(count(*) AS BIGINT) AS n,
-                   CAST(SUM(total) AS DOUBLE) / count(*) AS mu,
-                   CAST(SUM(total * total) AS DOUBLE) AS ss
-            FROM d GROUP BY event_type
-        ),
-        seg AS (
-            SELECT d.event_type,
-                   CAST(datediff('day', b.d0, d.day) // 7 AS BIGINT) AS seg_idx,
-                   d.total
-            FROM d JOIN b USING (event_type)
-        ),
-        p AS (
-            SELECT event_type, seg_idx,
-                   SUM(total) AS seg_sum,
-                   CAST(count(*) AS BIGINT) AS seg_n
-            FROM seg GROUP BY event_type, seg_idx
-        ),
-        zs AS (
-            SELECT p.event_type, p.seg_idx,
-                   round((CAST(p.seg_sum AS DOUBLE) / p.seg_n - s.mu)
-                         / sqrt(s.ss / s.n - s.mu * s.mu), 6) AS paa_z
-            FROM p JOIN s USING (event_type)
-            WHERE s.ss / s.n - s.mu * s.mu > 0
-        )
-        SELECT event_type, seg_idx, paa_z,
-               CASE WHEN paa_z < -0.6745 THEN 'a'
-                    WHEN paa_z < 0 THEN 'b'
-                    WHEN paa_z < 0.6745 THEN 'c'
-                    ELSE 'd' END AS symbol
-        FROM zs
-        ORDER BY event_type, seg_idx
-    """,
-    tags=("events", "timeseries", "sax"),
-)
-def sax_weekly_symbols(spark, sf_dir):
-    """SAX discretization of per-type daily totals into weekly symbols.
-    One corpus scan (day grain), then everything runs at days-x-types
-    scale: per-type origin and moments broadcast, weekly PAA is a second
-    tiny agg, the alphabet mapping is a CASE riding the rows.  Exact
-    decimal sums make segment means order-independent; z is rounded to 6dp
-    before the breakpoint CASE, the same discipline as
-    daily_anomaly_zscore."""
-    e = T(spark, sf_dir, "events").select("event_type", "ts", "value")
-    d = (
-        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(F.sum(F.col("value").cast("decimal(18,3)")).alias("total"))
-    )
-    b = d.groupBy("event_type").agg(F.min("day").alias("d0"))
-    s = d.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("total").cast("double") / F.count(F.lit(1))).alias("mu"),
-        F.sum(F.col("total") * F.col("total")).cast("double").alias("ss"),
-    )
-    seg = d.join(F.broadcast(b), "event_type").select(
-        "event_type",
-        F.floor(F.datediff(F.col("day"), F.col("d0")) / 7).cast("long").alias(
-            "seg_idx"
-        ),
-        "total",
-    )
-    p = seg.groupBy("event_type", "seg_idx").agg(
-        F.sum("total").alias("seg_sum"),
-        F.count(F.lit(1)).alias("seg_n"),
-    )
-    sax_variance = F.col("ss") / F.col("n") - F.col("mu") * F.col("mu")
-    zs = (
-        p.join(F.broadcast(s), "event_type")
-        # same ANSI divide-by-zero guard as daily_anomaly_zscore: a type
-        # with zero daily variance is dropped before the z projection
-        .filter(sax_variance > 0)
-        .select(
-            "event_type",
-            "seg_idx",
-            F.round(
-                (F.col("seg_sum").cast("double") / F.col("seg_n") - F.col("mu"))
-                / F.sqrt(sax_variance),
-                6,
-            ).alias("paa_z"),
-        )
-    )
-    return zs.select(
-        "event_type",
-        "seg_idx",
-        "paa_z",
-        F.when(F.col("paa_z") < -0.6745, "a")
-        .when(F.col("paa_z") < 0, "b")
-        .when(F.col("paa_z") < 0.6745, "c")
-        .otherwise("d")
-        .alias("symbol"),
-    ).orderBy("event_type", "seg_idx")
-
-
-@register(
-    "retention_cohorts",
-    # day-0 cohort retention: users bucketed by first-seen day, activity
-    # matrix per (cohort_day, day_offset) with distinct-user counts — the
-    # standard growth-analytics rollup, exact on both engines
-    oracle="""
-        WITH first_seen AS (
-            SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
-            FROM events GROUP BY user_id
-        ),
-        activity AS (
-            SELECT DISTINCT e.user_id, f.cohort_day,
-                   datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
-            FROM events e JOIN first_seen f ON f.user_id = e.user_id
-        )
-        SELECT cohort_day, day_offset,
-               CAST(count(*) AS BIGINT) AS n_active
-        FROM activity
-        GROUP BY cohort_day, day_offset
-    """,
-    tags=("events", "retention", "analytics"),
-)
-def retention_cohorts(spark, sf_dir):
-    """Cohort retention matrix: first-seen day per user (one user-keyed
-    agg), then distinct (user, day-offset) activity joined back and rolled
-    up per (cohort, offset).  Two shuffles — user key then cohort key; the
-    distinct collapses per-user-per-day event volume early so the final
-    rollup sees at most users x active-days rows."""
-    e = T(spark, sf_dir, "events").select("user_id", "ts")
-    first_seen = e.groupBy("user_id").agg(
-        F.min("ts").cast("date").alias("cohort_day")
-    )
-    activity = (
-        e.join(first_seen, "user_id")
-        .select(
-            "user_id",
-            "cohort_day",
-            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
-                "day_offset"
-            ),
-        )
-        .distinct()
-    )
-    return activity.groupBy("cohort_day", "day_offset").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_active")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Multimodal binary plumbing
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "multimodal_binary_meta",
-    oracle="""
-        SELECT doc_id,
-               octet_length(encode(text)) AS n_bytes,
-               md5(text) AS content_md5,
-               hex(encode(substr(text, 1, 8))) AS head_hex
-        FROM documents
-    """,
-    tags=("multimodal", "binary"),
-)
-def multimodal_binary_meta(spark, sf_dir):
-    """Opaque-binary column plumbing: documents' text re-encoded as a binary
-    payload column, with typed metadata extracted JVM-side
-    (operators/multimodal.py:attach_binary_metadata is the general form)."""
-    d = T(spark, sf_dir, "documents")
-    payload = F.encode(F.col("text"), "UTF-8")
-    return d.select(
-        "doc_id",
-        F.length(payload).alias("n_bytes"),
-        F.md5(F.col("text")).alias("content_md5"),
-        F.hex(F.encode(F.substring("text", 1, 8), "UTF-8")).alias("head_hex"),
-    )
-
-
-@register(
-    "multimodal_fake_decode",
-    # the deterministic fake image-decode kernel (multimodal.py): width/
-    # height/channels from the payload's leading bytes — the documents corpus
-    # is pure ASCII (verified), so DuckDB's ord(substr(..)) IS the byte value
-    oracle="""
-        SELECT doc_id,
-               ord(substr(text, 1, 1)) * 256 + ord(substr(text, 2, 1)) AS width,
-               ord(substr(text, 3, 1)) * 256 + ord(substr(text, 4, 1)) AS height,
-               1 + ord(substr(text, 5, 1)) % 4 AS channels,
-               'fake' AS format
-        FROM documents
-    """,
-    tags=("multimodal", "decode"),
-)
-def multimodal_fake_decode(spark, sf_dir):
-    """The full multimodal decode pipeline (Arrow-batched mapInPandas over a
-    binary payload column) with the deterministic stand-in kernel — the real
-    kernel (operators/multimodal.py:decode_image) swaps in with an identical
-    signature and plan shape."""
-    from kwack_spark.operators import multimodal as mm
-
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-    return mm.fake_decode_image(d, "payload", "doc_id")
-
-
-@register(
-    "multimodal_frame_sample",
-    # video-style frame sampling: 16-byte frames, every 4th kept (JVM-side
-    # posexplode — no Python, no payload shuffle)
-    oracle="""
-        WITH f AS (
-            SELECT doc_id, text,
-                   unnest(generate_series(0, greatest((length(text) // 16) - 1, 0), 4)) AS i
-            FROM documents
-        )
-        SELECT doc_id, i AS frame_no,
-               md5(substr(text, (i * 16 + 1)::BIGINT, 16)) AS frame_md5
-        FROM f
-    """,
-    tags=("multimodal", "frames"),
-)
-def multimodal_frame_sample(spark, sf_dir):
-    from kwack_spark.operators import multimodal as mm
-
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-    return mm.sample_frames(d, "payload", "doc_id", frame_size=16, every_n=4).select(
-        "doc_id", "frame_no", "frame_md5"
-    )
-
-
-@register(
-    "multimodal_wav_decode",
-    # REAL audio kernel, not a stand-in: RIFF/WAVE PCM16 parsing is pure
-    # byte arithmetic (struct + numpy), runnable with no media library.
-    # The fixture is a square wave alternating ±amp (amp = doc_id%1000+1)
-    # at 8 kHz over 1024 samples, so every feature has a CLOSED FORM the
-    # oracle states independently of the bytes: RMS of ±a is exactly a
-    # (a² ≤ 1e6 integer, sum over 1024 exact in double, /2^10 exact,
-    # sqrt of a perfect square exact); duration computes via the same
-    # IEEE sequence (n/rate*1000) on both engines.  The kernel must walk
-    # the chunk list (a junk LIST chunk precedes data) — a byte-offset
-    # shortcut would fail the hash.
-    oracle="""
-        SELECT doc_id,
-               CAST(8000 AS INTEGER) AS sample_rate,
-               CAST(1 AS INTEGER) AS n_channels,
-               CAST(1024 AS BIGINT) AS n_samples,
-               CAST(1024 AS DOUBLE) / 8000 * 1000 AS duration_ms,
-               CAST(doc_id % 1000 + 1 AS DOUBLE) AS rms,
-               CAST(doc_id % 1000 + 1 AS INTEGER) AS peak
-        FROM documents
-    """,
-    tags=("multimodal", "audio", "decode"),
-)
-def multimodal_wav_decode(spark, sf_dir):
-    """End-to-end REAL audio decode (operators/multimodal.py:
-    decode_wav_features): synthesize a PCM16 WAV per document (pure struct),
-    then parse it back — chunk walk, fmt, int16 frames — and emit audio
-    features.  Two narrow Arrow-batched stages, no payload shuffle; at
-    100 TB this is the plan shape of any media feature-extraction pass."""
-    from kwack_spark.operators import multimodal as mm
-
-    d = T(spark, sf_dir, "documents")
-    # fan the id list across all cores before the synth+decode kernels:
-    # the parquet source is a single split at bench scale, and media
-    # kernels are the rare per-row-expensive stage where occupancy matters
-    # more than avoiding an id-only shuffle (at 100 TB the source has
-    # thousands of splits and this repartition is a no-op cost-wise)
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    wav = mm.synth_wav_pcm16(d, "doc_id")
-    return mm.decode_wav_features(wav, "payload", "doc_id")
-
-
-@register(
-    "audio_silence_trim",
-    # the preprocessing trim before any audio feature pass: count exact-zero
-    # samples at each end of the PCM stream, report the kept duration.  The
-    # fixture pads doc_id%97 leading and doc_id%53 trailing zero samples
-    # around the (never-zero) square wave, so every output has a closed
-    # form; kept is always 1024 samples -> 128 ms exactly (1024/8000*1000
-    # is the same IEEE sequence on both engines).
-    oracle="""
-        SELECT doc_id,
-               CAST(1024 + doc_id % 97 + doc_id % 53 AS INTEGER) AS n_samples,
-               CAST(doc_id % 97 AS INTEGER) AS lead_silence,
-               CAST(doc_id % 53 AS INTEGER) AS trail_silence,
-               CAST(1024 AS DOUBLE) / 8000 * 1000 AS trimmed_ms
-        FROM documents
-    """,
-    tags=("multimodal", "audio", "trim"),
-)
-def audio_silence_trim(spark, sf_dir):
-    """Same two-stage narrow shape as multimodal_wav_decode (synthesize ->
-    parse), with the trim kernel (operators/multimodal.py:
-    trim_wav_silence) instead of the feature kernel."""
-    from kwack_spark.operators import multimodal as mm
-
-    d = T(spark, sf_dir, "documents")
-    # fan the id list across all cores before the synth+decode kernels:
-    # the parquet source is a single split at bench scale, and media
-    # kernels are the rare per-row-expensive stage where occupancy matters
-    # more than avoiding an id-only shuffle (at 100 TB the source has
-    # thousands of splits and this repartition is a no-op cost-wise)
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    wav = mm.synth_wav_pcm16(d, "doc_id", silence=True)
-    return mm.trim_wav_silence(wav, "payload", "doc_id")
-
-
-@register(
-    "multimodal_png_decode",
-    # REAL image kernel, not a stand-in: PNG is stdlib zlib + byte
-    # arithmetic (operators/multimodal.py:_png_decode — CRC-checked chunk
-    # walk, multi-IDAT inflate, per-scanline unfilter with the filter type
-    # cycling y%5 so ALL FIVE filters are on the wire).  The fixture's
-    # pixel pattern gives every feature a CLOSED FORM the oracle states
-    # independently of the bytes: R is the constant d%256; G = x*255//(w-1)
-    # sums to exactly 127.5 for both widths (w-1 divides 255); B =
-    # y*255//(h-1) is 127.5 at h=16 and 127.125 (=127+1/8, exact in
-    # double) at h=8; grayscale images (d%7==0) report their constant in
-    # all three channels.  Means are exact integer sums / n on both
-    # engines.  A decoder that mis-unfilters any scanline, drops an IDAT
-    # split (d%11==0 emits two), or mis-walks a chunk fails the hash.
-    oracle="""
-        SELECT doc_id,
-               CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 6 END AS INTEGER) AS width,
-               CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INTEGER) AS height,
-               CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels,
-               CAST(8 AS INTEGER) AS bit_depth,
-               CAST(doc_id % 256 AS DOUBLE) AS mean_r,
-               CASE WHEN doc_id % 7 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
-                    ELSE 127.5 END AS mean_g,
-               CASE WHEN doc_id % 7 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
-                    WHEN doc_id % 3 = 0 THEN 127.125
-                    ELSE 127.5 END AS mean_b
-        FROM documents
-    """,
-    tags=("multimodal", "image", "decode"),
-)
-def multimodal_png_decode(spark, sf_dir):
-    """End-to-end REAL image decode (operators/multimodal.py:
-    decode_png_features): synthesize a real PNG per document — gray or RGB,
-    varied dimensions, two IDAT chunks for some, filter type cycling per
-    scanline — then fully decode it back (inflate + unfilter) and emit
-    dimensions and exact per-channel means.  Two narrow Arrow-batched
-    stages, no payload shuffle; the multimodal analogue of the WAV pipeline
-    below and the plan shape of any media feature-extraction pass at
-    100 TB."""
-    from kwack_spark.operators import multimodal as mm
-
-    d = T(spark, sf_dir, "documents")
-    # fan the id list across all cores before the synth+decode kernels:
-    # the parquet source is a single split at bench scale, and media
-    # kernels are the rare per-row-expensive stage where occupancy matters
-    # more than avoiding an id-only shuffle (at 100 TB the source has
-    # thousands of splits and this repartition is a no-op cost-wise)
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    png = mm.synth_png(d, "doc_id")
-    return mm.decode_png_features(png, "payload", "doc_id")
-
-
 # first md5 byte of 'ph:g:j:i' as an INTEGER 0..255 — the blocky fixture's
 # base block value (multimodal.py:_blocky_grid states the same form)
 _DHASH_CELL = (
@@ -3805,108 +359,6 @@ _DHASH_FP_CTES = f"""p AS (
             FROM bits GROUP BY doc_id
         )"""
 
-
-@register(
-    "multimodal_phash_dedup",
-    # perceptual image dedup (r07 VERDICT ask #4): REAL PNG decode -> luma
-    # box-downsample -> 64-bit dHash -> pigeonhole Hamming blocking.  The
-    # fixture (multimodal.py:synth_png_blocky) is 2x2-block-constant, so
-    # the decoded-and-downsampled 9x8 grid — and therefore the fingerprint
-    # — has the closed md5 form this oracle states INDEPENDENTLY of the
-    # bytes (same contract as multimodal_png_decode): a decoder that
-    # mis-unfilters any scanline or a downsampler that mis-averages any
-    # block changes fingerprints and fails the hash.  fp = CAST(SUM(term)
-    # AS BIGINT): every per-bit term is in BIGINT range and the true
-    # fingerprint fits int64, so the HUGEINT sum collapses exactly (bit
-    # 63's term is the sign value, matching JVM shiftleft wrap).  The
-    # oracle pairs by brute force (fixture-sized); Spark uses the blocked
-    # join.
-    oracle=f"""
-        WITH {_DHASH_FP_CTES}
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
-        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.fp, b.fp)) <= 3
-    """,
-    tags=("multimodal", "image", "dedup", "phash", "hamming"),
-)
-def multimodal_phash_dedup(spark, sf_dir):
-    """Image near-duplicate pairs within Hamming distance 3 of a 64-bit
-    dHash computed from REAL pixel decode (multimodal.py:dhash64), blocked
-    by the SAME pigeonhole slice machinery as the text SimHash family
-    (dedup.fingerprint_hamming_pairs — 4 x 16-bit slices, 65,536
-    buckets/block, bit_count verify).  100-TB shape: the decode kernel
-    emits 8 bytes/image (payloads never shuffle — drop_payload_early by
-    construction); the fingerprint index is persisted once and probed by
-    slice-equality joins, never all-pairs."""
-    from kwack_spark.operators import multimodal as mm
-
-    d = T(spark, sf_dir, "documents")
-    # fan ids across cores before the synth+decode kernel (single split at
-    # bench scale; no-op where the scan has real splits)
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    png = mm.synth_png_blocky(d, "doc_id")
-    # persist the 8-byte/image fingerprint index (rotating): both sides of
-    # the slice self-join read it — without this the synth+decode kernel
-    # would run once per join side
-    fps = similarity._persist_rotating(
-        "phash_fps", mm.dhash64(png, "payload", "doc_id")
-    )
-    return dedup.fingerprint_hamming_pairs(fps, "doc_id", max_hamming=3, blocks=4)
-
-
-@register(
-    "multimodal_audio_fingerprint_dedup",
-    # acoustic near-dup dedup, the audio leg of the perceptual family:
-    # REAL RIFF/PCM16 decode -> per-window RMS energy -> 64-bit
-    # energy-delta-sign fingerprint -> the SAME pigeonhole Hamming
-    # blocking as text SimHash and image dHash.  The fixture
-    # (multimodal.py:synth_wav_am) walks window amplitudes by the bits of
-    # pattern(g = doc_id % 128), bit j = (g >> (j % 7)) & 1 — so the
-    # fingerprint, and therefore the pair set and each pair's distance,
-    # has the closed form this oracle states INDEPENDENTLY of the bytes:
-    # same (g, v) clips collide at distance 0, variant v>0 flips exactly
-    # walk step v-1 (1 bit vs v=0, 2 bits between nonzero variants), and
-    # distinct classes differ in >= 9 of 64 bits (64/7 positions per
-    # differing g-bit), so Hamming<=3 emits exactly the same-g pairs.  A
-    # kernel that mis-walks the chunk list, mis-frames the windows, or
-    # mis-averages an energy changes fingerprints and fails the hash.
-    oracle="""
-        WITH p AS (
-            SELECT doc_id, doc_id % 128 AS g, (doc_id // 128) % 4 AS v
-            FROM documents
-        )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(CASE WHEN a.v = b.v THEN 0
-                         WHEN a.v = 0 OR b.v = 0 THEN 1
-                         ELSE 2 END AS INTEGER) AS hamming
-        FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
-    """,
-    tags=("multimodal", "audio", "dedup", "fingerprint", "hamming"),
-)
-def multimodal_audio_fingerprint_dedup(spark, sf_dir):
-    """Audio near-duplicate pairs within Hamming distance 3 of a 64-bit
-    energy-delta fingerprint computed from REAL PCM decode
-    (multimodal.py:audio_fingerprint64), blocked by the same pigeonhole
-    slice machinery as text SimHash and image dHash
-    (dedup.fingerprint_hamming_pairs) — the third modality riding one
-    Hamming kernel.  100-TB shape identical to multimodal_phash_dedup:
-    the decode kernel emits 8 bytes/clip (payloads never shuffle), the
-    fingerprint index persists once (rotating) and self-joins on 16-bit
-    slices, never all-pairs."""
-    from kwack_spark.operators import multimodal as mm
-
-    d = T(spark, sf_dir, "documents")
-    # fan ids across cores before the synth+decode kernel (single split at
-    # bench scale; no-op where the scan has real splits)
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    wav = mm.synth_wav_am(d, "doc_id")
-    fps = similarity._persist_rotating(
-        "audio_fp_fps", mm.audio_fingerprint64(wav, "payload", "doc_id")
-    )
-    return dedup.fingerprint_hamming_pairs(fps, "doc_id", max_hamming=3, blocks=4)
-
-
 def _video_keyframes(spark, sf_dir):
     """The synthetic-video keyframe table (doc_id, frame_no, frame,
     frame_md5) shared by the batch and streaming video-dedup queries —
@@ -3914,7 +366,6 @@ def _video_keyframes(spark, sf_dir):
     return _video_keyframes_from(
         T(spark, sf_dir, "documents").select("doc_id")
     )
-
 
 def _video_keyframes_from(d):
     """_video_keyframes re-rooted on an arbitrary doc_id frame (the
@@ -3943,7 +394,6 @@ def _video_keyframes_from(d):
     )
     return mm.sample_frames(vid, "payload", "doc_id", frame_size=16, every_n=4)
 
-
 def _video_pair_rollup(pairs):
     """(id_a, id_b) rows, one per shared keyframe -> the graded pair table
     (n_shared >= 6 gate + Jaccard over the 8+8 multiset union)."""
@@ -3961,3315 +411,6 @@ def _video_pair_rollup(pairs):
         )
     )
 
-
-
-@register(
-    "multimodal_video_keyframe_dedup",
-    # video near-dup — the FOURTH modality: videos are near-duplicates when
-    # their sampled keyframes mostly coincide, so the blocking key is the
-    # frame hash itself (every shared keyframe puts the pair in one
-    # bucket; videos sharing nothing never meet — no all-pairs).  The
-    # fixture synthesizes a 32-frame/16-byte "video" per doc ENTIRELY in
-    # JVM expressions: frame i = unhex(md5('vf:g:i')) for class
-    # g = doc_id % 64, variant v = (doc_id // 64) % 4 replacing sampled
-    # frame 4*(v-1) — so with every-4th sampling (8 keyframes) the shared
-    # count has a closed form: 8 same-variant, 7 against v=0, 6 between
-    # distinct nonzero variants, 0 across classes (md5 frames).  Pairs
-    # keep >= 6 shared (Jaccard >= 0.6 on the 8+8 multiset union).
-    oracle="""
-        WITH p AS (
-            SELECT doc_id, doc_id % 64 AS g, (doc_id // 64) % 4 AS v
-            FROM documents
-        )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(CASE WHEN a.v = b.v THEN 8
-                         WHEN a.v = 0 OR b.v = 0 THEN 7
-                         ELSE 6 END AS BIGINT) AS n_shared,
-               CAST(CASE WHEN a.v = b.v THEN 8
-                         WHEN a.v = 0 OR b.v = 0 THEN 7
-                         ELSE 6 END AS DOUBLE)
-                   / (16 - CASE WHEN a.v = b.v THEN 8
-                                WHEN a.v = 0 OR b.v = 0 THEN 7
-                                ELSE 6 END) AS jaccard
-        FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
-    """,
-    tags=("multimodal", "video", "dedup", "keyframe"),
-)
-def multimodal_video_keyframe_dedup(spark, sf_dir):
-    """Video near-duplicate pairs by sampled-keyframe hash overlap — the
-    standard shape for video dedup at scale: sample every Nth frame
-    (multimodal.py:sample_frames — JVM posexplode, no Python), hash each
-    16-byte frame, and block the pair join ON the frame hash, so a pair
-    is generated once per shared keyframe and counted into n_shared /
-    Jaccard.  100-TB shape: only (video_id, frame_md5) rows shuffle —
-    16 B + id per sampled frame, the payload never leaves the scan; the
-    pair join rides dedup.key_collision_pairs, whose df-cap drops frame
-    hashes shared by > 4096 videos (a ubiquitous keyframe — black frame,
-    studio logo, intro card — is the stop-word of frame blocking: no
-    dedup signal, O(df²) pair blowup), so buckets are duplicate-cluster-
-    sized BY CONSTRUCTION, not by hope; video_keyframe_occupancy is the
-    audit that watches the cap.  The >= 6-shared filter rides the pair
-    aggregation."""
-    from kwack_spark.operators import dedup
-
-    kf = _video_keyframes(spark, sf_dir)
-    return _video_pair_rollup(
-        dedup.key_collision_pairs(kf, "frame_md5", "doc_id", max_key_df=4096)
-    )
-
-
-@register(
-    "video_keyframe_occupancy",
-    # the hot-bucket audit for the video keyframe family (the
-    # simhash_slice_occupancy sibling on frame-hash buckets): bucket
-    # count, max/mean occupancy, uncapped candidate-pair mass, and how
-    # many buckets the df-cap would drop.  Closed-form oracle: the
-    # fixture's keyframe table is (doc, 8 sampled positions), with
-    # variant v > 0 swapping position 4*(v-1) for the variant frame —
-    # bucket structure over the synthetic keys equals the engine's over
-    # the md5 frame bytes (the key -> frame-bytes map is injective).
-    oracle="""
-        WITH p AS (
-            SELECT doc_id, doc_id % 64 AS g, (doc_id // 64) % 4 AS v
-            FROM documents
-        ),
-        kf AS (
-            SELECT doc_id,
-                   CASE WHEN v > 0 AND i = 4 * (v - 1)
-                        THEN 'vv:' || g::VARCHAR || ':' || v::VARCHAR
-                        ELSE 'vf:' || g::VARCHAR || ':' || i::VARCHAR
-                   END AS fkey
-            FROM p, unnest([0, 4, 8, 12, 16, 20, 24, 28]) AS t(i)
-        ),
-        per AS (SELECT fkey, count(*) AS c FROM kf GROUP BY fkey)
-        SELECT CAST(count(*) AS BIGINT) AS n_buckets,
-               CAST(max(c) AS BIGINT) AS max_occupancy,
-               CAST(sum(c) AS DOUBLE) / count(*) AS mean_occupancy,
-               CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_cand_pairs,
-               CAST(count(*) FILTER (WHERE c > 4096) AS BIGINT) AS n_over_cap
-        FROM per
-    """,
-    tags=("multimodal", "video", "dedup", "audit", "observability"),
-)
-def video_keyframe_occupancy(spark, sf_dir):
-    """Measured-occupancy guard for frame-hash blocking
-    (operators/dedup.py:key_occupancy_audit) — the video instance of the
-    simhash_slice_occupancy audit: frame-hash bucket occupancy decides
-    whether the keyframe join's df-cap is dormant (healthy corpus) or
-    load-bearing (ubiquitous frames saturating buckets).  At 100 TB this
-    runs BEFORE the pair join on the same one shuffle key; n_cand_pairs
-    turning superlinear in corpus size is the escalation trigger."""
-    from kwack_spark.operators import dedup
-
-    kf = _video_keyframes(spark, sf_dir).select("doc_id", "frame_md5").distinct()
-    return dedup.key_occupancy_audit(kf, "frame_md5", max_key_df=4096)
-
-
-@register(
-    "multimodal_video_dhash_dedup",
-    # video near-dup through a REAL codec end to end — the leg that gives
-    # video the same standing as PNG/WAV/JPEG: the fixture
-    # (multimodal.py:synth_mjpeg) is a concatenation of 12 REAL baseline
-    # JPEGs; the engine splits frames on the JPEG marker walk, samples
-    # every 4th, runs the full baseline decode (Huffman entropy decode +
-    # IDCT), dHashes each keyframe, and pairs (video, slot) fingerprints
-    # through the SAME pigeonhole Hamming blocking as text/image/audio.
-    # Closed-form oracle: block-constant frames decode exactly, and the
-    # fixture pins dHash cell (0,0) to 0 (base) / 255 (modified) against
-    # a constant 128 neighbor, so a modified keyframe is EXACTLY 1 dHash
-    # bit away — per-slot distance is 0 (same modification state) or 1,
-    # all <= 3, so every same-class pair matches on all 3 keyframe slots
-    # and total_hamming counts the slots where exactly one side is
-    # modified: 0 same variant, 1 against v=0, 2 between distinct nonzero
-    # variants.  Cross-class/cross-slot grids are independent md5 (~32
-    # bits apart — the same statistical-zero contract as
-    # multimodal_phash_dedup's oracle).
-    oracle="""
-        WITH p AS (
-            SELECT doc_id, doc_id % 64 AS g, (doc_id // 64) % 4 AS v
-            FROM documents
-        )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(3 AS BIGINT) AS n_frames_matched,
-               CAST(CASE WHEN a.v = b.v THEN 0
-                         WHEN a.v = 0 OR b.v = 0 THEN 1
-                         ELSE 2 END AS BIGINT) AS total_hamming
-        FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
-    """,
-    tags=("multimodal", "video", "dedup", "dhash", "hamming"),
-)
-def multimodal_video_dhash_dedup(spark, sf_dir):
-    """Video near-duplicate pairs from REAL MJPEG decode: marker-walk frame
-    split -> every-4th sampling -> full baseline-JPEG pixel decode ->
-    64-bit dHash per keyframe (multimodal.py:mjpeg_keyframes), then the
-    (video, slot) fingerprints ride dedup.fingerprint_hamming_pairs — the
-    one Hamming kernel now serving all four modalities with a real
-    decoder in front.  Videos pair when >= 2 of 3 keyframes match within
-    Hamming 3 (majority agreement — robust to one re-encoded or replaced
-    frame, which exact frame-hash keying would miss).  100-TB shape: the
-    decode kernel emits 8 bytes/keyframe (payloads never shuffle), the
-    fingerprint index persists once (rotating) and self-joins on 16-bit
-    slices, never all-pairs."""
-    from kwack_spark.operators import multimodal as mm
-
-    d = T(spark, sf_dir, "documents").select("doc_id")
-    # fan ids across cores keyed on the (class, variant) the synth kernel
-    # caches on, so each of the 256 distinct videos is ENCODED exactly once
-    # per partition it lands in (= once) — the encode is fixture overhead,
-    # not the measured work; the per-video DECODE below still runs for
-    # every video, like a real corpus scan would
-    d = d.repartition(
-        spark.sparkContext.defaultParallelism,
-        F.expr("(doc_id % 64) * 4 + (doc_id div 64) % 4"),
-    )
-    vids = mm.synth_mjpeg(d, "doc_id")
-    kf = mm.mjpeg_keyframes(vids, "payload", "doc_id", every_n=4)
-    # composite (video, slot) id: slots 0..2 fit far below the 16 stride,
-    # so kfid order preserves video order and id_a < id_b never straddles
-    kfid = kf.select(
-        (F.col("doc_id") * 16 + (F.col("frame_no") / 4).cast("long")).alias(
-            "kfid"
-        ),
-        "fp",
-    )
-    fps = similarity._persist_rotating("video_dhash_fps", kfid)
-    pairs = dedup.fingerprint_hamming_pairs(fps, "kfid", max_hamming=3, blocks=4)
-    return (
-        pairs.select(
-            F.expr("id_a div 16").alias("id_a"),
-            F.expr("id_b div 16").alias("id_b"),
-            "hamming",
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_frames_matched"),
-            F.sum("hamming").alias("total_hamming"),
-        )
-        .filter(F.col("n_frames_matched") >= 2)
-    )
-
-
-@register(
-    "streaming_video_neardup",
-    # streaming video near-dup: keyframe hashes replayed over 3
-    # micro-batches through the generic stateful key-collision kernel
-    # (state per frame-hash bucket = the id list; each arrival emits one
-    # pair row per earlier same-key id), then the SAME >= 6-shared rollup
-    # as the batch query — a pair sharing k keyframes is emitted k times,
-    # so the count recovers n_shared and end-of-stream equals the batch
-    # pair table under any arrival order.  Same closed-form oracle.
-    oracle="""
-        WITH p AS (
-            SELECT doc_id, doc_id % 64 AS g, (doc_id // 64) % 4 AS v
-            FROM documents
-        )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(CASE WHEN a.v = b.v THEN 8
-                         WHEN a.v = 0 OR b.v = 0 THEN 7
-                         ELSE 6 END AS BIGINT) AS n_shared,
-               CAST(CASE WHEN a.v = b.v THEN 8
-                         WHEN a.v = 0 OR b.v = 0 THEN 7
-                         ELSE 6 END AS DOUBLE)
-                   / (16 - CASE WHEN a.v = b.v THEN 8
-                                WHEN a.v = 0 OR b.v = 0 THEN 7
-                                ELSE 6 END) AS jaccard
-        FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
-    """,
-    tags=("streaming", "multimodal", "video", "dedup", "stateful"),
-)
-def streaming_video_neardup(spark, sf_dir):
-    """Video keyframe dedup as a STREAMING stateful operator — with this,
-    all four modalities (text SimHash, image dHash, audio energy hash,
-    video keyframes) run their near-dup in batch AND streaming form.
-    The stream shuffles once on the frame hash; each bucket's state is
-    its id list (streaming/ingest.py:stateful_key_collision_pairs), and
-    the shared-count rollup runs on the emitted pair rows exactly as the
-    batch join's."""
-    import tempfile
-    import uuid
-
-    from kwack_spark.streaming import ingest as si
-
-    kf = _video_keyframes(spark, sf_dir).select("doc_id", "frame_md5")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_video_replay_")
-    kf.repartition(3).write.mode("overwrite").parquet(replay_dir)
-    stream = (
-        spark.readStream.schema(kf.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay_dir)
-    )
-    # max_ids matches the batch join's df-cap: a frame-hash bucket past
-    # 4096 videos stops emitting (no dedup signal) and its state stays
-    # bounded — the streaming leg of the hot-bucket guard
-    pairs = si.stateful_key_collision_pairs(
-        stream, "frame_md5", "doc_id", max_ids=4096
-    )
-    sink = f"strmvid_{uuid.uuid4().hex[:8]}"
-    with _few_shuffle_partitions(spark):
-        q = si.to_memory_sink(pairs, sink, output_mode="append")
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "streaming_video_neardup: stream did not finish in 300s"
-            )
-    return _video_pair_rollup(spark.table(sink))
-
-
-@register(
-    "multimodal_audio_incremental",
-    # incremental acoustic dedup: new clips (fixture variants 2-3) probe
-    # a PERSISTED fingerprint index of the history (variants 0-1) — the
-    # audio instance of the written-once-index pattern the text family
-    # runs (incremental_simhash64_new_dups), riding the factored
-    # cross-table probe.  The split is by variant, not doc_id parity: the
-    # class stride (128) is even, so a parity split would never cross a
-    # class and the probe would be vacuously empty.  Hit set = same-class
-    # cross-variant pairs; history v=0 is 1 bit from any batch variant,
-    # v=1 is 2 bits.
-    oracle="""
-        WITH p AS (
-            SELECT doc_id, doc_id % 128 AS g, (doc_id // 128) % 4 AS v
-            FROM documents
-        )
-        SELECT b.doc_id AS doc_id, h.doc_id AS hist_id,
-               CAST(CASE WHEN h.v = 0 THEN 1 ELSE 2 END AS INTEGER) AS hamming
-        FROM p b JOIN p h
-          ON b.g = h.g AND b.v IN (2, 3) AND h.v IN (0, 1)
-    """,
-    tags=("multimodal", "audio", "dedup", "incremental", "hamming"),
-)
-def multimodal_audio_incremental(spark, sf_dir):
-    """Which arriving audio clips near-duplicate the history?  History
-    fingerprints (8 B/clip) persist once (the rotating cache stands in for
-    the written-once bucketed index a production session keeps); each
-    batch pays O(|batch|) decode + ``blocks`` slice-keyed probes — the
-    history payload bytes are never re-read.  One probe kernel
-    (dedup.fingerprint_hamming_probe) now serves text SimHash and audio
-    fingerprints alike."""
-    from kwack_spark.operators import multimodal as mm
-
-    d = T(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    hist = similarity._persist_rotating(
-        "audio_inc_hist",
-        mm.audio_fingerprint64(
-            mm.synth_wav_am(
-                d.filter((F.col("doc_id") / 128).cast("long") % 4 < 2), "doc_id"
-            ),
-            "payload",
-            "doc_id",
-        ),
-    )
-    batch = mm.audio_fingerprint64(
-        mm.synth_wav_am(
-            d.filter((F.col("doc_id") / 128).cast("long") % 4 >= 2), "doc_id"
-        ),
-        "payload",
-        "doc_id",
-    )
-    return dedup.fingerprint_hamming_probe(
-        hist, batch, "doc_id", max_hamming=3, blocks=4
-    )
-
-
-# 6-step greedy MMR oracle: each step is a CTE picking the argmax of
-# 0.7*rel - 0.3*max(sim to everything already selected) over the not-yet-
-# selected pool, exactly the Spark loop below — the bpe_merge_training
-# unroll pattern applied to diverse selection.
-def _mmr_steps_sql(k: int) -> str:
-    blocks = []
-    for i in range(2, k + 1):
-        prev = " UNION ALL ".join(
-            f"SELECT vec_id FROM s{j}" for j in range(1, i)
-        )
-        blocks.append(f"""
-        s{i} AS (
-            SELECT p.vec_id,
-                   0.7::DOUBLE * p.rel - 0.3::DOUBLE * (
-                       SELECT max(s.cos) FROM sims s
-                       WHERE s.ia = p.vec_id AND s.ib IN ({prev})
-                   ) AS score
-            FROM pool p
-            WHERE p.vec_id NOT IN ({prev})
-            ORDER BY score DESC, p.vec_id LIMIT 1
-        )""")
-    union = "\n            UNION ALL ".join(
-        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id, score FROM s{i}"
-        for i in range(1, k + 1)
-    )
-    return ",".join(blocks) + f"""
-        SELECT rank, vec_id, score FROM ({union}) ORDER BY rank
-    """
-
-
-@register(
-    "mmr_diverse_topk",
-    # maximal marginal relevance: the diverse-selection pass an eval-set or
-    # few-shot-example curator runs after retrieval — greedily pick k items
-    # maximizing lambda*relevance - (1-lambda)*max-similarity-to-selected
-    # (Carbonell & Goldstein 1998), lambda=0.7, k=6, over the top-24
-    # retrieval pool for the lowest-id probe vector.  Scores stay
-    # bit-comparable because both engines evaluate the same cosine form
-    # (list_dot_product order) and the same 0.7*rel - 0.3*maxsim shape;
-    # ties break on vec_id.
-    oracle=f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        q AS (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 1),
-        rel AS (
-            SELECT c.vec_id, {_cos_sql("q", "c")} AS rel, c.v
-            FROM v c, q WHERE c.vec_id <> q.vec_id
-        ),
-        pool AS (
-            SELECT vec_id, rel, v FROM rel ORDER BY rel DESC, vec_id LIMIT 24
-        ),
-        sims AS (
-            SELECT a.vec_id AS ia, b.vec_id AS ib, {_cos_sql("a", "b")} AS cos
-            FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
-        ),
-        s1 AS (
-            SELECT vec_id, 0.7::DOUBLE * rel - 0.3::DOUBLE * 0.0 AS score
-            FROM pool ORDER BY score DESC, vec_id LIMIT 1
-        ),{_mmr_steps_sql(6)}
-    """,
-    tags=("similarity", "curation", "mmr", "iterative"),
-)
-def mmr_diverse_topk(spark, sf_dir):
-    """Greedy MMR selection (k=6, lambda=0.7) over the top-24 cosine
-    retrieval pool of the lowest-id probe vector — the diversity-aware
-    re-rank between ANN retrieval and human/LLM consumption.  100-TB
-    shape: relevance is ONE broadcast-probe scan of the corpus (in
-    production the ANN index supplies the pool instead), the pool is a
-    constant-size exact top-k (TakeOrdered — no global sort), and the
-    greedy loop runs entirely on the CONSTANT-sized pool: a 24x24
-    similarity table persisted once, then k 1-row argmax collects (the
-    BPE-trainer scalar-per-step pattern — the merge/selection must be
-    known to build the next step's plan).  The corpus is never touched
-    again after the pool cut."""
-    # 0.3 stated literally: Python's 1 - 0.7 is 0.30000000000000004,
-    # one ULP off the SQL's 0.3::DOUBLE
-    lam, mu, k, pool_n = 0.7, 0.3, 6, 24
-    emb = T(spark, sf_dir, "embeddings").select(
-        "vec_id", V.as_double("embedding").alias("v")
-    )
-    qrow = (
-        emb.orderBy("vec_id")
-        .limit(1)
-        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
-    )
-    rel = (
-        emb.crossJoin(F.broadcast(qrow))
-        .where(F.col("vec_id") != F.col("qid"))
-        .select(
-            "vec_id", "v", V.cosine(F.col("v"), F.col("qv")).alias("rel")
-        )
-    )
-    pool = similarity._persist_rotating(
-        "mmr_pool", rel.orderBy(F.desc("rel"), "vec_id").limit(pool_n)
-    )
-    a = pool.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
-    b = pool.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
-    sims = similarity._persist_rotating(
-        "mmr_sims",
-        a.join(b, F.col("ia") != F.col("ib")).select(
-            "ia", "ib", V.cosine(F.col("va"), F.col("vb")).alias("cos")
-        ),
-    )
-    selected: list[int] = []
-    rows: list[tuple[int, int, float]] = []
-    for step in range(1, k + 1):
-        if not selected:
-            scored = pool.select(
-                "vec_id",
-                (F.lit(lam) * F.col("rel") - F.lit(mu) * F.lit(0.0)).alias(
-                    "score"
-                ),
-            )
-        else:
-            ms = (
-                sims.where(F.col("ib").isin(selected))
-                .groupBy("ia")
-                .agg(F.max("cos").alias("maxsim"))
-            )
-            scored = (
-                pool.where(~F.col("vec_id").isin(selected))
-                .join(ms, F.col("vec_id") == F.col("ia"))
-                .select(
-                    "vec_id",
-                    (
-                        F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("maxsim")
-                    ).alias("score"),
-                )
-            )
-        top = scored.orderBy(F.desc("score"), "vec_id").limit(1).collect()
-        rows.append((step, int(top[0]["vec_id"]), float(top[0]["score"])))
-        selected.append(int(top[0]["vec_id"]))
-    return spark.createDataFrame(
-        rows, "rank bigint, vec_id bigint, score double"
-    ).orderBy("rank")
-
-
-@register(
-    "decontaminate_semantic",
-    # SEMANTIC decontamination: the embedding-space screen that catches
-    # paraphrased eval contamination the n-gram/Bloom passes
-    # (decontaminate_ngram_overlap, bloom_decontaminate) structurally
-    # cannot — per corpus vector, the nearest EVAL-set vector by cosine
-    # and a threshold flag.  Eval set = vec_id % 97 == 0 (the held-out
-    # benchmark stand-in); tau = 0.4 is keyed to the synthetic embedding
-    # distribution so both flag values occur (a production run calibrates
-    # tau on known-contaminated pairs).  Ranking ties break on eval id.
-    oracle=f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        q AS (SELECT * FROM v WHERE vec_id % 97 <> 0),
-        c AS (SELECT * FROM v WHERE vec_id % 97 = 0),
-        pairs AS (
-            SELECT q.vec_id AS vec_id, c.vec_id AS eval_id, {_COS} AS cosine
-            FROM q JOIN c ON true
-        ),
-        ranked AS (
-            SELECT vec_id, eval_id, cosine,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY cosine DESC, eval_id) AS rnk
-            FROM pairs
-        )
-        SELECT vec_id, eval_id, cosine AS max_cos,
-               cosine >= 0.4 AS contaminated
-        FROM ranked WHERE rnk = 1
-    """,
-    tags=("decontamination", "embedding", "similarity", "quality-gate"),
-)
-def decontaminate_semantic(spark, sf_dir):
-    """Embedding-space train/eval decontamination: every corpus vector
-    reports its nearest eval-set vector and whether it crosses the
-    contamination threshold.  100-TB shape: the eval set is SMALL by
-    nature (benchmarks are thousands of rows) — it broadcasts as the
-    index side of brute_force_topk_vectorized's BLAS scan and the corpus
-    streams through in Arrow batches emitting one row each; no
-    corpus-keyed shuffle at all.  The same call degrades gracefully past
-    the broadcast cap (role inversion) like every ANN entry point."""
-    e = T(spark, sf_dir, "embeddings")
-    ev = e.filter(F.col("vec_id") % 97 == 0)
-    corpus = e.filter(F.col("vec_id") % 97 != 0)
-    top = similarity.brute_force_topk_vectorized(
-        ev, corpus, "vec_id", "embedding", k=1
-    )
-    return top.select(
-        F.col("query_id").alias("vec_id"),
-        F.col("corpus_id").alias("eval_id"),
-        F.col("cosine").alias("max_cos"),
-        (F.col("cosine") >= 0.4).alias("contaminated"),
-    )
-
-
-@register(
-    "embedding_matryoshka_recall",
-    # Matryoshka-truncation audit (Kusupati et al. 2022 MRL): top-5 recall
-    # when ranking by the embedding's PREFIX dims m in {8, 16, 32} vs the
-    # full-64-dim exact top-5, fixed 8-query batch — the storage/recall
-    # trade curve for truncating a nested-trained embedding column, the
-    # deployment decision MRL exists for.  The JL curve
-    # (jl_recall_vs_dim_curve) answers the same question for a RANDOM
-    # projection of a non-nested embedding; this one slices the raw
-    # learned coordinates, no projection pass at all.
-    oracle=f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        q AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
-        ex AS (
-            SELECT query_id, corpus_id FROM (
-                SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-                       row_number() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY {_cos_sql("a", "b")} DESC, c.vec_id
-                       ) AS rnk
-                FROM q JOIN v a ON a.vec_id = q.vec_id
-                JOIN v b ON b.vec_id <> q.vec_id
-                JOIN v c ON c.vec_id = b.vec_id
-            ) WHERE rnk <= 5
-        ),
-        cfg(m) AS (VALUES (8), (16), (32)),
-        sk AS (
-            SELECT m, query_id, corpus_id FROM (
-                SELECT cfg.m, q.vec_id AS query_id, c.vec_id AS corpus_id,
-                       row_number() OVER (
-                           PARTITION BY cfg.m, q.vec_id
-                           ORDER BY list_dot_product(a.v[1:cfg.m], b.v[1:cfg.m])
-                                    / (sqrt(list_dot_product(a.v[1:cfg.m], a.v[1:cfg.m]))
-                                       * sqrt(list_dot_product(b.v[1:cfg.m], b.v[1:cfg.m]))) DESC,
-                                    c.vec_id
-                       ) AS rnk
-                FROM cfg, q
-                JOIN v a ON a.vec_id = q.vec_id
-                JOIN v b ON b.vec_id <> q.vec_id
-                JOIN v c ON c.vec_id = b.vec_id
-            ) WHERE rnk <= 5
-        ),
-        t AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
-        mt AS (
-            SELECT m, CAST(count(*) AS BIGINT) AS n_matched
-            FROM sk JOIN ex USING (query_id, corpus_id) GROUP BY m
-        )
-        SELECT cfg.m AS trunc_dim, coalesce(mt.n_matched, 0) AS n_matched,
-               t.n_exact,
-               CAST(coalesce(mt.n_matched, 0) AS DOUBLE) / t.n_exact AS recall
-        FROM cfg LEFT JOIN mt ON mt.m = cfg.m CROSS JOIN t
-    """,
-    tags=("embedding", "ann", "truncation", "tuning"),
-)
-def embedding_matryoshka_recall(spark, sf_dir):
-    """Prefix-truncation recall curve over the raw embedding coordinates.
-    100-TB shape: NO projection pass (truncation is a zero-cost slice in
-    the ranking expression), fixed 8-query batch keeps the pair table
-    8xN per config, ranking is k-bounded by the window filter, and the
-    recall join touches only top-5 lists; the exact top-5 truth set is
-    persisted once and shared by all three configs."""
-    from pyspark.sql import Window
-
-    e = T(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", V.as_double("embedding").alias("v"))
-    q_ids = v.orderBy("vec_id").limit(8).select(F.col("vec_id").alias("query_id"))
-
-    ex_pairs = (
-        q_ids.join(
-            v.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qa")),
-            "query_id",
-        )
-        .crossJoin(v.select(F.col("vec_id").alias("corpus_id"), F.col("v").alias("qb")))
-        .filter(F.col("corpus_id") != F.col("query_id"))
-        .select(
-            "query_id", "corpus_id", V.cosine(F.col("qa"), F.col("qb")).alias("cos")
-        )
-    )
-    wex = Window.partitionBy("query_id").orderBy(F.desc("cos"), "corpus_id")
-    ex = similarity._persist_rotating(
-        "mrl_exact",
-        ex_pairs.select(
-            "query_id", "corpus_id", F.row_number().over(wex).alias("rnk")
-        )
-        .filter(F.col("rnk") <= 5)
-        .select("query_id", "corpus_id"),
-    )
-
-    cfg = spark.createDataFrame([(8,), (16,), (32,)], "m int")
-    sk_pairs = (
-        q_ids.join(
-            v.select(F.col("vec_id").alias("query_id"), F.col("v").alias("ya")),
-            "query_id",
-        )
-        .crossJoin(v.select(F.col("vec_id").alias("corpus_id"), F.col("v").alias("yb")))
-        .filter(F.col("corpus_id") != F.col("query_id"))
-        .crossJoin(F.broadcast(cfg))
-        .select(
-            "m",
-            "query_id",
-            "corpus_id",
-            V.cosine(
-                F.slice("ya", F.lit(1), F.col("m")),
-                F.slice("yb", F.lit(1), F.col("m")),
-            ).alias("cos"),
-        )
-    )
-    wsk = Window.partitionBy("m", "query_id").orderBy(F.desc("cos"), "corpus_id")
-    sk = (
-        sk_pairs.select(
-            "m", "query_id", "corpus_id", F.row_number().over(wsk).alias("rnk")
-        )
-        .filter(F.col("rnk") <= 5)
-        .select("m", "query_id", "corpus_id")
-    )
-    t = ex.agg(F.count(F.lit(1)).alias("n_exact"))
-    mt = sk.join(ex, ["query_id", "corpus_id"]).groupBy("m").agg(
-        F.count(F.lit(1)).alias("n_matched")
-    )
-    return (
-        cfg.join(mt, "m", "left")
-        .crossJoin(F.broadcast(t))
-        .select(
-            F.col("m").alias("trunc_dim"),
-            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
-            "n_exact",
-            (
-                F.coalesce("n_matched", F.lit(0)).cast("double") / F.col("n_exact")
-            ).alias("recall"),
-        )
-    )
-
-
-@register(
-    "multimodal_jpeg_decode",
-    # REAL baseline-JPEG pixel decode (operators/multimodal.py:_jpeg_decode
-    # — marker walk, stream-defined Huffman tables, entropy decode with
-    # byte unstuffing, dequantize, IDCT, YCbCr->RGB), closing the last
-    # multimodal dims-only gap.  The fixture is BLOCK-CONSTANT (left/right
-    # 8x8 block columns carry different colors at w=16, exercising nonzero
-    # and negative DC differentials), and constant blocks take the exact
-    # integer FDCT/IDCT fast path (libjpeg-style), so every reconstructed
-    # value has the closed form below: quantize DC=8*(c-128) by the Annex K
-    # DC steps (16 luma / 17 chroma) with round-half-away, reconstruct,
-    # round; RGB additionally runs the exact JFIF color transform both
-    # ways.  All arithmetic is floor(x+0.5) on IEEE doubles — identical in
-    # the decoder kernel (numpy float64) and this SQL.  n is a power of two
-    # for every fixture size, so means are exact.
-    oracle="""
-        WITH p AS (
-          SELECT doc_id,
-                 CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS w,
-                 CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS h,
-                 (doc_id % 5 = 0) AS gray,
-                 CAST(doc_id % 256 AS DOUBLE) AS ar,
-                 CAST((3*doc_id+17) % 256 AS DOUBLE) AS ag,
-                 CAST((7*doc_id+31) % 256 AS DOUBLE) AS ab,
-                 CAST((5*doc_id+101) % 256 AS DOUBLE) AS br,
-                 CAST((13*doc_id+7) % 256 AS DOUBLE) AS bg,
-                 CAST((11*doc_id+29) % 256 AS DOUBLE) AS bb,
-                 CAST((9*doc_id+77) % 256 AS DOUBLE) AS g2
-          FROM documents
-        ),
-        ycc AS (
-          SELECT *,
-            LEAST(255, GREATEST(0, floor(0.299*ar + 0.587*ag + 0.114*ab + 0.5))) AS ay,
-            LEAST(255, GREATEST(0, floor(128 - 0.168736*ar - 0.331264*ag + 0.5*ab + 0.5))) AS acb,
-            LEAST(255, GREATEST(0, floor(128 + 0.5*ar - 0.418688*ag - 0.081312*ab + 0.5))) AS acr,
-            LEAST(255, GREATEST(0, floor(0.299*br + 0.587*bg + 0.114*bb + 0.5))) AS by,
-            LEAST(255, GREATEST(0, floor(128 - 0.168736*br - 0.331264*bg + 0.5*bb + 0.5))) AS bcb,
-            LEAST(255, GREATEST(0, floor(128 + 0.5*br - 0.418688*bg - 0.081312*bb + 0.5))) AS bcr
-          FROM p
-        ),
-        rec AS (
-          SELECT *,
-            LEAST(255, GREATEST(0, floor((CASE WHEN ay >= 128 THEN floor(8*(ay-128)/16 + 0.5) ELSE -floor(8*(128-ay)/16 + 0.5) END) * 16 / 8.0 + 128 + 0.5))) AS ay2,
-            LEAST(255, GREATEST(0, floor((CASE WHEN acb >= 128 THEN floor(8*(acb-128)/17 + 0.5) ELSE -floor(8*(128-acb)/17 + 0.5) END) * 17 / 8.0 + 128 + 0.5))) AS acb2,
-            LEAST(255, GREATEST(0, floor((CASE WHEN acr >= 128 THEN floor(8*(acr-128)/17 + 0.5) ELSE -floor(8*(128-acr)/17 + 0.5) END) * 17 / 8.0 + 128 + 0.5))) AS acr2,
-            LEAST(255, GREATEST(0, floor((CASE WHEN by >= 128 THEN floor(8*(by-128)/16 + 0.5) ELSE -floor(8*(128-by)/16 + 0.5) END) * 16 / 8.0 + 128 + 0.5))) AS by2,
-            LEAST(255, GREATEST(0, floor((CASE WHEN bcb >= 128 THEN floor(8*(bcb-128)/17 + 0.5) ELSE -floor(8*(128-bcb)/17 + 0.5) END) * 17 / 8.0 + 128 + 0.5))) AS bcb2,
-            LEAST(255, GREATEST(0, floor((CASE WHEN bcr >= 128 THEN floor(8*(bcr-128)/17 + 0.5) ELSE -floor(8*(128-bcr)/17 + 0.5) END) * 17 / 8.0 + 128 + 0.5))) AS bcr2,
-            LEAST(255, GREATEST(0, floor((CASE WHEN ar >= 128 THEN floor(8*(ar-128)/16 + 0.5) ELSE -floor(8*(128-ar)/16 + 0.5) END) * 16 / 8.0 + 128 + 0.5))) AS gray_a,
-            LEAST(255, GREATEST(0, floor((CASE WHEN g2 >= 128 THEN floor(8*(g2-128)/16 + 0.5) ELSE -floor(8*(128-g2)/16 + 0.5) END) * 16 / 8.0 + 128 + 0.5))) AS gray_b
-          FROM ycc
-        ),
-        rgb AS (
-          SELECT *,
-            LEAST(255, GREATEST(0, floor(ay2 + 1.402*(acr2 - 128) + 0.5))) AS ar2,
-            LEAST(255, GREATEST(0, floor(ay2 - 0.344136*(acb2 - 128) - 0.714136*(acr2 - 128) + 0.5))) AS ag2,
-            LEAST(255, GREATEST(0, floor(ay2 + 1.772*(acb2 - 128) + 0.5))) AS ab2,
-            LEAST(255, GREATEST(0, floor(by2 + 1.402*(bcr2 - 128) + 0.5))) AS br2,
-            LEAST(255, GREATEST(0, floor(by2 - 0.344136*(bcb2 - 128) - 0.714136*(bcr2 - 128) + 0.5))) AS bg2,
-            LEAST(255, GREATEST(0, floor(by2 + 1.772*(bcb2 - 128) + 0.5))) AS bb2
-          FROM rec
-        )
-        SELECT doc_id,
-               CAST(w AS INTEGER) AS width,
-               CAST(h AS INTEGER) AS height,
-               CAST(CASE WHEN gray THEN 1 ELSE 3 END AS INTEGER) AS channels,
-               CAST(8 AS INTEGER) AS bit_depth,
-               CASE WHEN gray THEN (CASE WHEN w = 16 THEN (gray_a + gray_b)/2 ELSE gray_a END)
-                    WHEN w = 16 THEN (ar2 + br2)/2 ELSE ar2 END AS mean_r,
-               CASE WHEN gray THEN (CASE WHEN w = 16 THEN (gray_a + gray_b)/2 ELSE gray_a END)
-                    WHEN w = 16 THEN (ag2 + bg2)/2 ELSE ag2 END AS mean_g,
-               CASE WHEN gray THEN (CASE WHEN w = 16 THEN (gray_a + gray_b)/2 ELSE gray_a END)
-                    WHEN w = 16 THEN (ab2 + bb2)/2 ELSE ab2 END AS mean_b
-        FROM rgb
-    """,
-    tags=("multimodal", "image", "decode", "jpeg"),
-)
-def multimodal_jpeg_decode(spark, sf_dir):
-    """End-to-end REAL baseline-JPEG decode: synthesize a real JPEG per
-    document (gray or RGB, block-constant colors, varied dimensions), then
-    fully decode it back — stream-defined Huffman tables, entropy decode,
-    dequantize, IDCT, color transform — and emit dimensions and exact
-    per-channel means.  Two narrow Arrow-batched stages, no payload
-    shuffle; completes the image-format pair with multimodal_png_decode
-    (reference parity target: the media passthrough of
-    AbstractSchemaTest.java fixtures; the codec itself is original)."""
-    from kwack_spark.operators import multimodal as mm
-
-    d = T(spark, sf_dir, "documents")
-    # fan the id list across all cores before the synth+decode kernels:
-    # the parquet source is a single split at bench scale, and media
-    # kernels are the rare per-row-expensive stage where occupancy matters
-    # more than avoiding an id-only shuffle (at 100 TB the source has
-    # thousands of splits and this repartition is a no-op cost-wise)
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    jpg = mm.synth_jpeg(d, "doc_id")
-    return mm.decode_jpeg_features(jpg, "payload", "doc_id")
-
-
-@register(
-    "multimodal_resize",
-    # nearest-neighbor byte resample to 32 bytes: out[i] = in[(i*n)//32].
-    # hex() of single-byte blob slices rebuilds the resized payload's hex in
-    # SQL, so the whole mapInPandas kernel is hash-checked byte for byte.
-    oracle="""
-        WITH p AS (
-            SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
-            FROM documents
-        )
-        SELECT doc_id, n AS orig_len,
-               CASE WHEN n = 0 THEN '' ELSE
-                   list_aggregate(
-                       [substr(h, (2 * ((i * n) // 32) + 1)::BIGINT, 2)
-                        for i in generate_series(0, 31)],
-                       'string_agg', '')
-               END AS resized_hex
-        FROM p
-    """,
-    tags=("multimodal", "resize"),
-)
-def multimodal_resize(spark, sf_dir):
-    """Resize plumbing (operators/multimodal.py:resize_bytes): vectorized
-    numpy resample over Arrow batches — the deterministic stand-in for a real
-    image-resize kernel with the identical Spark plan shape."""
-    from kwack_spark.operators import multimodal as mm
-
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-    return mm.resize_bytes(d, "payload", "doc_id", target=32).select(
-        "doc_id", "orig_len", F.hex("resized").alias("resized_hex")
-    )
-
-
-@register(
-    "multimodal_byte_features",
-    # feature extraction: byte count, exact-int mean, 16-bin byte histogram
-    # (JSON string, hashable).  ASCII corpus => ord(substr()) is the byte.
-    oracle="""
-        WITH o AS (
-            SELECT doc_id,
-                   [ord(substr(text, i, 1)) for i in generate_series(1, length(text))] AS os
-            FROM documents
-        )
-        SELECT doc_id,
-               len(os)::BIGINT AS n_bytes,
-               CASE WHEN len(os) = 0 THEN 0.0
-                    ELSE list_sum(os)::DOUBLE / len(os) END AS mean_byte,
-               '[' || list_aggregate(
-                   [len(list_filter(os, x -> x // 16 = k))::VARCHAR
-                    for k in generate_series(0, 15)],
-                   'string_agg', ',') || ']' AS hist
-        FROM o
-    """,
-    tags=("multimodal", "features"),
-)
-def multimodal_byte_features(spark, sf_dir):
-    """Feature-extraction plumbing (operators/multimodal.py:
-    byte_histogram_features): np.bincount per Arrow batch — the stand-in for
-    an embedding/perceptual-feature kernel, same narrow plan."""
-    from kwack_spark.operators import multimodal as mm
-
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-    return mm.byte_histogram_features(d, "payload", "doc_id", bins=16)
-
-
-# ---------------------------------------------------------------------------
-# Deterministic sampling (operators/sampling.py)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "dedup_incremental_new_docs",
-    # incremental curation: an arriving batch (hash-split 20%) is admitted
-    # only if its content fingerprint is unseen in the historical 80% — a
-    # broadcast/shuffle anti-join on md5, the shape of a daily ingest dedup
-    oracle="""
-        WITH hist AS (
-            SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS fp
-            FROM documents
-            WHERE substr(md5('inc:' || doc_id::VARCHAR), 1, 4) >= '3334'
-        ),
-        batch AS (
-            SELECT doc_id,
-                   md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS fp
-            FROM documents
-            WHERE substr(md5('inc:' || doc_id::VARCHAR), 1, 4) < '3334'
-        )
-        SELECT b.doc_id, b.fp
-        FROM batch b ANTI JOIN hist h ON b.fp = h.fp
-    """,
-    tags=("dedup", "incremental"),
-)
-def dedup_incremental_new_docs(spark, sf_dir):
-    """Incremental exact dedup (the daily-batch shape): anti-join the new
-    batch's content fingerprints against the historical fingerprint set.
-    At 100 TB the historical side is a bucketed fingerprint table so the
-    anti-join co-locates; here both sides derive from one scan and the
-    20% batch split is the deterministic hash sample."""
-    d = T(spark, sf_dir, "documents")
-    fp = F.md5(TX.normalize("text")).alias("fp")
-    split = F.substring(F.md5(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))), 1, 4)
-    hist = d.filter(split >= "3334").select(fp).distinct()
-    batch = d.filter(split < "3334").select("doc_id", fp)
-    return batch.join(hist, "fp", "left_anti").select("doc_id", "fp")
-
-
-@register(
-    "dedup_lsh_recall",
-    # the dedup twin of ann_ivf_recall: LSH's candidate recall against the
-    # exact all-pairs Jaccard ground truth at the same threshold.  The
-    # truth side is bounded to a DETERMINISTIC hash-ordered sample of 1000
-    # docs (inert at grading scale; at sf0.1+ it keeps the O(n²) audit a
-    # constant-size spot check, which is exactly how it runs at 100 TB).
-    oracle=f"""
-        WITH sdocs AS (
-            SELECT doc_id, text FROM documents
-            ORDER BY md5('lshr:' || doc_id::VARCHAR) LIMIT 1000
-        ),
-        {_LSH_CTES.replace("FROM documents", "FROM sdocs")},
-        lsh_pairs AS (
-            SELECT c.id_a, c.id_b
-            FROM cand c
-            JOIN ssets x ON x.doc_id = c.id_a
-            JOIN ssets y ON y.doc_id = c.id_b
-            WHERE {_JAC} >= 0.5
-        ),
-        truth AS (
-            SELECT x.doc_id AS id_a, y.doc_id AS id_b
-            FROM ssets x JOIN ssets y ON x.doc_id < y.doc_id
-            WHERE {_JAC} >= 0.5
-        )
-        SELECT (SELECT count(*) FROM truth) AS n_truth,
-               count(*) AS n_found,
-               CAST(count(*) AS DOUBLE)
-                   / (SELECT count(*) FROM truth) AS recall
-        FROM lsh_pairs p JOIN truth t ON p.id_a = t.id_a AND p.id_b = t.id_b
-    """,
-    tags=("dedup", "lsh", "quality-gate"),
-)
-def dedup_lsh_recall(spark, sf_dir):
-    """Candidate recall of the banded LSH pair stage vs the exact all-pairs
-    ground truth (Jaccard >= 0.5): the audit every approximate dedup must
-    publish.  The O(n²) truth side runs over a deterministic hash-ordered
-    1000-doc sample — the constant-size spot check a 100 TB corpus audits
-    with, and the full fixture at grading scale."""
-    from pyspark import StorageLevel
-
-    d = (
-        T(spark, sf_dir, "documents")
-        .orderBy(F.md5(F.concat(F.lit("lshr:"), F.col("doc_id").cast("string"))))
-        .limit(1000)
-    )
-    base = d.select(
-        "doc_id",
-        F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    truth = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", jac.cast("double").alias("j"))
-        .filter(F.col("j") >= 0.5)
-        .select("id_a", "id_b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # band keys + verify reuse `base` — handing minhash_lsh_pairs the raw
-    # table would re-run the dominant tokenize+shingle pass a second time
-    keys = dedup.lsh_band_keys(base, "doc_id", k=8, bands=2)
-    ka, kb = keys.alias("ka"), keys.alias("kb")
-    cand = (
-        ka.join(
-            kb,
-            (F.col("ka.band_key") == F.col("kb.band_key"))
-            & (F.col("ka.doc_id") < F.col("kb.doc_id")),
-        )
-        .select(F.col("ka.doc_id").alias("id_a"), F.col("kb.doc_id").alias("id_b"))
-        .distinct()
-    )
-    lsh = cand.join(a, "id_a").join(b, "id_b").filter(jac >= 0.5).select("id_a", "id_b")
-    n_truth = truth.count()
-    n_found = lsh.join(truth, ["id_a", "id_b"]).count()
-    base.unpersist()
-    truth.unpersist()
-    import pyspark.sql.types as T_
-
-    # NULL recall on an empty truth set, matching DuckDB's x/0 -> NULL
-    return spark.createDataFrame(
-        [(n_truth, n_found, float(n_found) / n_truth if n_truth else None)],
-        T_.StructType(
-            [
-                T_.StructField("n_truth", T_.LongType(), False),
-                T_.StructField("n_found", T_.LongType(), False),
-                T_.StructField("recall", T_.DoubleType(), True),
-            ]
-        ),
-    )
-
-
-_ILSH_SPLIT = "substr(md5('ilsh:' || doc_id::VARCHAR), 1, 4)"
-
-
-@register(
-    "dedup_incremental_lsh",
-    # incremental NEAR-dup: the arriving batch (hash-split 20%) probes the
-    # historical corpus's persisted band-key index; only band collisions are
-    # Jaccard-verified.  Work is O(|batch|) + index probe — history is never
-    # re-shingled at scale.
-    oracle=f"""
-        WITH docs AS (
-            SELECT doc_id, text,
-                   CASE WHEN {_ILSH_SPLIT} < '3334' THEN 'b' ELSE 'h' END AS side
-            FROM documents
-        ),
-        toks AS (SELECT doc_id, side, {_toks()} AS tk FROM docs),
-        shs AS (SELECT doc_id, side, ({_SHINGLES}) AS sh FROM toks),
-        sigs AS (
-            SELECT doc_id, side, {", ".join(_mh_sql(i) for i in range(8))} FROM shs
-        ),
-        banded AS (
-            SELECT doc_id, side,
-                   md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS band0,
-                   md5(concat_ws('|', mh4, mh5, mh6, mh7)) AS band1
-            FROM sigs
-        ),
-        exploded AS (
-            SELECT doc_id, side, unnest(['0:' || band0, '1:' || band1]) AS band_key
-            FROM banded
-        ),
-        cand AS (
-            SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS hist_id
-            FROM exploded b JOIN exploded h
-              ON b.band_key = h.band_key AND b.side = 'b' AND h.side = 'h'
-        ),
-        ssets AS (SELECT doc_id, list_distinct(sh) AS s FROM shs)
-        SELECT c.doc_id, c.hist_id, {_JAC} AS jaccard
-        FROM cand c
-        JOIN ssets x ON x.doc_id = c.doc_id
-        JOIN ssets y ON y.doc_id = c.hist_id
-        WHERE {_JAC} >= 0.5
-    """,
-    tags=("dedup", "minhash", "lsh", "incremental"),
-)
-def dedup_incremental_lsh(spark, sf_dir):
-    """Daily-ingest near-dup rejection: which new docs are near-dups of the
-    historical corpus?  Band-key equi join against history's LSH index +
-    exact-Jaccard verify (operators/dedup.py:incremental_lsh_new_dups)."""
-    d = T(spark, sf_dir, "documents")
-    split = F.substring(
-        F.md5(F.concat(F.lit("ilsh:"), F.col("doc_id").cast("string"))), 1, 4
-    )
-    hist = d.filter(split >= "3334")
-    batch = d.filter(split < "3334")
-    return dedup.incremental_lsh_new_dups(
-        hist, batch, "doc_id", "text", k=8, bands=2, threshold=0.5
-    )
-
-
-@register(
-    "dedup_lsh_edit_verify",
-    # LSH band candidates verified by EDIT similarity instead of Jaccard:
-    # 1 - levenshtein/greatest(len) over the normalized 200-char prefix —
-    # integer edit distance is bit-free, so the score is exact on both
-    # engines.  The prefix cap bounds the O(len²) DP at scale.
-    oracle=f"""
-        WITH {_LSH_CTES},
-        ntext AS (
-            SELECT doc_id,
-                   substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 200) AS nt
-            FROM documents
-        )
-        SELECT id_a, id_b, edit_sim FROM (
-            SELECT c.id_a, c.id_b,
-                   CASE WHEN greatest(len(x.nt), len(y.nt)) = 0 THEN NULL
-                        ELSE CAST(1.0 - CAST(levenshtein(x.nt, y.nt) AS DOUBLE)
-                                  / greatest(len(x.nt), len(y.nt)) AS DOUBLE)
-                   END AS edit_sim
-            FROM cand c
-            JOIN ntext x ON x.doc_id = c.id_a
-            JOIN ntext y ON y.doc_id = c.id_b
-        ) WHERE edit_sim >= 0.6
-    """,
-    tags=("dedup", "lsh", "edit-distance"),
-)
-def dedup_lsh_edit_verify(spark, sf_dir):
-    """Fuzzy dedup with an edit-distance verifier: MinHash-LSH candidates
-    (same band scheme as dedup_minhash_lsh) scored by normalized Levenshtein
-    similarity on the 200-char normalized prefix.  Set-based Jaccard misses
-    transpositions and small in-place edits that edit distance catches; the
-    prefix cap keeps the quadratic DP bounded regardless of document size."""
-    from pyspark import StorageLevel
-
-    d = T(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id",
-        F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    keys = dedup.lsh_band_keys(base, "doc_id", k=8, bands=2)
-    a, b = keys.alias("a"), keys.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
-    ntext = d.select(
-        "doc_id", F.substring(TX.normalize("text"), 1, 200).alias("nt")
-    )
-    # CASE-guard the division: two empty normalized prefixes share every
-    # band key (empty shingle), and 0/0 would abort the job under Spark 4's
-    # default ANSI mode — the guard makes the pair NULL, which the
-    # threshold filter then drops on both engines.
-    maxlen = F.greatest(F.length("nt_a"), F.length("nt_b"))
-    sim = F.when(
-        maxlen > 0,
-        F.lit(1.0) - F.levenshtein("nt_a", "nt_b").cast("double") / maxlen,
-    )
-    return (
-        cand.join(ntext.select(F.col("doc_id").alias("id_a"), F.col("nt").alias("nt_a")), "id_a")
-        .join(ntext.select(F.col("doc_id").alias("id_b"), F.col("nt").alias("nt_b")), "id_b")
-        .select("id_a", "id_b", sim.cast("double").alias("edit_sim"))
-        .filter(F.col("edit_sim") >= 0.6)
-    )
-
-
-@register(
-    "sample_hash_10pct",
-    # hash-threshold sampling: keep iff md5('smp:' || key) 4-hex prefix <
-    # cutoff — reproducible across retries/cluster layouts, unlike .sample().
-    # cutoff '199a' = round(0.1 * 16^4); lowercase-hex compare == numeric.
-    oracle="""
-        SELECT doc_id, source, lang FROM documents
-        WHERE substr(md5('smp:' || doc_id::VARCHAR), 1, 4) < '199a'
-    """,
-    tags=("sampling",),
-)
-def sample_hash_10pct(spark, sf_dir):
-    d = T(spark, sf_dir, "documents").select("doc_id", "source", "lang")
-    return sampling.sample_hash(d, "doc_id", 0.1, seed="smp")
-
-
-@register(
-    "sample_stratified_by_lang",
-    # per-stratum cutoffs rebalance the language mix in one narrow pass:
-    # en down to 5%, de up to 50%, zh 25%, everything else 10%
-    oracle="""
-        SELECT doc_id, lang FROM documents
-        WHERE substr(md5('strat:' || doc_id::VARCHAR), 1, 4) <
-              CASE lang WHEN 'de' THEN '8000' WHEN 'en' THEN '0ccd'
-                        WHEN 'zh' THEN '4000' ELSE '199a' END
-    """,
-    tags=("sampling", "stratified"),
-)
-def sample_stratified_by_lang(spark, sf_dir):
-    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
-    return sampling.stratified_sample_hash(
-        d, "doc_id", "lang",
-        {"en": 0.05, "de": 0.5, "zh": 0.25},
-        default_fraction=0.1, seed="strat",
-    )
-
-
-@register(
-    "split_train_val_test",
-    # n-way deterministic split by cumulative cutoffs over the keyed md5
-    # prefix: 80/10/10, stable across runs, engines, and cluster layouts
-    oracle="""
-        SELECT doc_id,
-               CASE WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 4) < 'cccd'
-                        THEN 'train'
-                    WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 4) < 'e666'
-                        THEN 'val'
-                    ELSE 'test' END AS split
-        FROM documents
-    """,
-    tags=("sampling", "split"),
-)
-def split_train_val_test(spark, sf_dir):
-    d = T(spark, sf_dir, "documents").select("doc_id")
-    return sampling.split_hash(
-        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split"
-    )
-
-
-@register(
-    "quality_bucket_sample",
-    # quality-weighted downsampling (the CCNet/quality-bucket recipe): score
-    # every doc by stopword ratio, cut the corpus into exact quartiles, and
-    # keep each quartile at a different deterministic hash rate — top
-    # quartile fully, then 50% / 25% / 10%.  Thresholds are quantile_cont /
-    # percentile (same (n-1)*q interpolation both engines), rounded 6dp so a
-    # score cannot straddle an ulp; the keep decision is the md5-cutoff
-    # idiom of sample_hash_10pct, so membership is retry-stable.
-    oracle=f"""
-        WITH scored AS (
-            SELECT doc_id,
-                   round(CAST(len(list_filter({_toks()},
-                             t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
-                         / len({_toks()}), 6) AS score
-            FROM documents
-        ),
-        b AS (
-            SELECT round(quantile_cont(score, 0.25), 6) AS q1,
-                   round(quantile_cont(score, 0.50), 6) AS q2,
-                   round(quantile_cont(score, 0.75), 6) AS q3
-            FROM scored
-        ),
-        bucketed AS (
-            SELECT s.doc_id, s.score,
-                   CASE WHEN s.score >= b.q3 THEN 4
-                        WHEN s.score >= b.q2 THEN 3
-                        WHEN s.score >= b.q1 THEN 2
-                        ELSE 1 END AS bucket
-            FROM scored s CROSS JOIN b
-        )
-        SELECT doc_id, score, bucket
-        FROM bucketed
-        WHERE substr(md5('qbs:' || doc_id::VARCHAR), 1, 4) <
-              CASE bucket WHEN 4 THEN 'g' WHEN 3 THEN '8000'
-                          WHEN 2 THEN '4000' ELSE '199a' END
-        ORDER BY doc_id
-    """,
-    tags=("sampling", "quality", "curation"),
-)
-def quality_bucket_sample(spark, sf_dir):
-    """Quality-bucketed sampling: a narrow scoring pass, one 3-number
-    quantile scalar (broadcast), then a hash-threshold filter — at 100 TB
-    this is scan + broadcast + scan, no shuffle of the corpus at all; the
-    md5 cutoff makes every keep decision reproducible under retries and
-    repartitioning (unlike rand()-based samplers)."""
-    d = T(spark, sf_dir, "documents")
-    scored = d.select(
-        "doc_id",
-        F.round(TX.stopword_ratio("text"), 6).alias("score"),
-    )
-    b = scored.agg(
-        F.round(F.percentile("score", F.lit(0.25)), 6).alias("q1"),
-        F.round(F.percentile("score", F.lit(0.50)), 6).alias("q2"),
-        F.round(F.percentile("score", F.lit(0.75)), 6).alias("q3"),
-    )
-    bucketed = scored.crossJoin(F.broadcast(b)).select(
-        "doc_id",
-        "score",
-        F.when(F.col("score") >= F.col("q3"), 4)
-        .when(F.col("score") >= F.col("q2"), 3)
-        .when(F.col("score") >= F.col("q1"), 2)
-        .otherwise(1)
-        .alias("bucket"),
-    )
-    cutoff = (
-        F.when(F.col("bucket") == 4, "g")
-        .when(F.col("bucket") == 3, "8000")
-        .when(F.col("bucket") == 2, "4000")
-        .otherwise("199a")
-    )
-    return (
-        bucketed.filter(
-            F.substring(
-                F.md5(F.concat(F.lit("qbs:"), F.col("doc_id").cast("string"))), 1, 4
-            )
-            < cutoff
-        )
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "udx_chunk_vowels",
-    # §2.D surface: UDTF (word chunker, lateral fan-out) -> vectorized
-    # pandas UDF (vowel count per chunk) -> GROUPED_AGG pandas UDAF
-    # (max-min span per doc).  All-integer outputs, so the oracle is exact.
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        starts AS (
-            SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 20)) AS i
-            FROM toks WHERE len(tk) > 0
-        ),
-        chunks AS (
-            SELECT doc_id,
-                   array_to_string(
-                       list_slice(tk, i, least(i + 19, len(tk))), ' '
-                   ) AS chunk
-            FROM starts
-        ),
-        scored AS (
-            SELECT doc_id,
-                   CAST(length(chunk)
-                        - length(regexp_replace(chunk, '[aeiou]', '', 'g'))
-                        AS BIGINT) AS vowels
-            FROM chunks
-        )
-        SELECT doc_id, count(*) AS n_chunks,
-               CAST(sum(vowels) AS BIGINT) AS total_vowels,
-               CAST(max(vowels) - min(vowels) AS BIGINT) AS vowel_span
-        FROM scored GROUP BY doc_id
-    """,
-    tags=("udf", "udtf", "udaf"),
-)
-def udx_chunk_vowels(spark, sf_dir):
-    """The full §2.D UDx surface in one plan: a Python UDTF fans each doc
-    into 20-word chunks (lateral join, same narrow stage as the scan), an
-    Arrow-vectorized pandas UDF scores each chunk, and a GROUPED_AGG pandas
-    UDAF reduces per doc.  Everything Python is Arrow-batched — no
-    row-at-a-time UDFs anywhere."""
-    import uuid
-
-    from kwack_spark.functions import udx
-
-    udx.register_udx(spark)
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", TX.normalize("text").alias("nt")
-    )
-    # uuid-suffixed view: a fixed name would leak past the plan and rebind
-    # under concurrent invocations with different sf_dirs
-    view = f"udx_docs_{uuid.uuid4().hex[:8]}"
-    d.createOrReplaceTempView(view)
-    chunked = spark.sql(
-        f"""
-        SELECT d.doc_id, c.chunk_idx, kw_vowel_count(c.chunk) AS vowels
-        FROM {view} d, LATERAL kw_chunk_words(d.nt, 20) c
-        """
-    )
-    # a GROUPED_AGG pandas UDAF cannot share an agg() with built-in
-    # aggregates — two groupBys over the same shuffle key, joined back
-    # (AQE plans the join shuffle-free since both sides are partitioned
-    # on doc_id already)
-    stats = chunked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum("vowels").cast("bigint").alias("total_vowels"),
-    )
-    spans = chunked.groupBy("doc_id").agg(
-        F.expr("kw_int_span(vowels)").alias("vowel_span")
-    )
-    return stats.join(spans, "doc_id")
-
-
-@register(
-    "shard_assignment_stats",
-    # the training-data WRITE path: every doc is assigned one of 16 output
-    # shards by the first hex nibble of a keyed md5 — deterministic across
-    # runs/engines/cluster layouts, uniform by construction (so shard files
-    # come out balanced with no sort or repartition-by-range step).  The
-    # stats prove balance: per-shard doc counts and byte totals.
-    oracle="""
-        SELECT CAST(instr('0123456789abcdef',
-                     substr(md5('shard:' || doc_id::VARCHAR), 1, 1)) - 1 AS INTEGER) AS shard_id,
-               count(*) AS n_docs,
-               CAST(sum(n_chars) AS BIGINT) AS total_chars,
-               min(doc_id) AS min_doc_id,
-               max(doc_id) AS max_doc_id
-        FROM documents
-        GROUP BY 1
-    """,
-    tags=("sharding", "write-path"),
-)
-def shard_assignment_stats(spark, sf_dir):
-    """Deterministic output sharding for dataset publication: shard id from
-    the first md5 nibble (16-way; generalize with more nibbles).  At 100 TB
-    this replaces repartition-by-range for balanced shard files: it's a
-    single hash partitioning (one shuffle, no global sort, no sampled range
-    boundaries) and re-runs place every doc in the same shard, so incremental
-    publishes only rewrite shards whose membership changed."""
-    d = T(spark, sf_dir, "documents")
-    shard = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(
-                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 1
-            ),
-        )
-        - F.lit(1)
-    ).cast("int").alias("shard_id")
-    return (
-        d.groupBy(shard)
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("total_chars"),
-            F.min("doc_id").alias("min_doc_id"),
-            F.max("doc_id").alias("max_doc_id"),
-        )
-    )
-
-
-@register(
-    "curation_pipeline",
-    # The end-to-end training-data curation flow as ONE declarative plan:
-    # exact-dedup to canonical docs -> quality gate -> deterministic 50%
-    # sample -> train/val/test split.  Catalyst fuses the narrow stages; the
-    # only shuffles are the dedup groupBy and its keeper semi-join.
-    oracle=f"""
-        WITH fps AS (
-            SELECT doc_id, md5({_NORM.format(c='text')}) AS fp FROM documents
-        ),
-        keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
-        base AS (
-            SELECT d.doc_id, d.lang, {_toks()} AS tk,
-                   length(lower(d.text)) AS nc,
-                   length({_NORM.format(c='d.text')}) AS nn
-            FROM documents d JOIN keep USING (doc_id)
-        ),
-        m AS (
-            SELECT doc_id, lang, len(tk) AS n_tokens,
-                   CAST(nc - nn AS DOUBLE) / nc AS punct_ratio,
-                   CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
-                       / len(tk) AS stop_ratio
-            FROM base
-        ),
-        q AS (
-            SELECT doc_id, lang, n_tokens,
-                   CASE WHEN n_tokens >= 10 AND punct_ratio < 0.1 AND stop_ratio > 0.05 THEN 'good'
-                        WHEN n_tokens >= 5 THEN 'fair'
-                        ELSE 'poor' END AS quality
-            FROM m
-        )
-        SELECT doc_id, lang, n_tokens, quality,
-               CASE WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 4) < 'cccd'
-                        THEN 'train'
-                    WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 4) < 'e666'
-                        THEN 'val'
-                    ELSE 'test' END AS split
-        FROM q
-        WHERE quality <> 'poor'
-          AND substr(md5('cur:' || doc_id::VARCHAR), 1, 4) < '8000'
-    """,
-    tags=("pipeline", "curation"),
-)
-def curation_pipeline(spark, sf_dir):
-    """Composition showcase: every stage is an operator from this repo
-    (dedup.exact_dedup_mapping, functions/text.py metrics,
-    sampling.sample_hash, sampling.split_hash) fused into one plan."""
-    d = T(spark, sf_dir, "documents")
-    keep = (
-        dedup.exact_dedup_mapping(d, "doc_id", "text")
-        .filter(F.col("doc_id") == F.col("canonical_id"))
-        .select("doc_id")
-    )
-    base = d.join(keep, "doc_id").select(
-        "doc_id",
-        "lang",
-        F.size(TX.tokens("text")).alias("n_tokens"),
-        TX.punct_ratio("text").alias("punct_ratio"),
-        TX.stopword_ratio("text").alias("stop_ratio"),
-    )
-    q = base.select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        F.when(
-            (F.col("n_tokens") >= 10)
-            & (F.col("punct_ratio") < 0.1)
-            & (F.col("stop_ratio") > 0.05),
-            "good",
-        )
-        .when(F.col("n_tokens") >= 5, "fair")
-        .otherwise("poor")
-        .alias("quality"),
-    ).filter(F.col("quality") != "poor")
-    sampled = sampling.sample_hash(q, "doc_id", 0.5, seed="cur")
-    return sampling.split_hash(
-        sampled, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split"
-    )
-
-
-@register(
-    "chunk_documents",
-    oracle=f"""
-        WITH t AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        d AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
-        s AS (
-            SELECT doc_id, tk,
-                   unnest(generate_series(0, len(tk) - 1, 24)) AS start
-            FROM d
-        )
-        SELECT doc_id,
-               CAST(start // 24 AS INTEGER) AS chunk_id,
-               array_to_string(tk[start + 1 : start + 32], ' ') AS chunk_text,
-               len(tk[start + 1 : start + 32]) AS n_chunk_tokens
-        FROM s
-    """,
-    tags=("pipeline", "chunking"),
-)
-def chunk_documents(spark, sf_dir):
-    """Fixed-window document chunking for training-data prep: 32-token
-    chunks with stride 24 (8-token overlap).  Fully narrow — tokenize,
-    generate chunk starts with `sequence`, posexplode, slice — zero
-    shuffles, whole-stage codegen; at 100 TB this is embarrassingly
-    parallel per input split."""
-    d = T(spark, sf_dir, "documents")
-    toks = d.select("doc_id", TX.tokens("text").alias("tk")).where(F.size("tk") > 0)
-    s = toks.select(
-        "doc_id",
-        "tk",
-        F.posexplode(F.sequence(F.lit(0), F.size("tk") - 1, F.lit(24))).alias(
-            "chunk_id", "start"
-        ),
-    )
-    sl = F.slice("tk", F.col("start") + 1, F.lit(32))
-    return s.select(
-        "doc_id",
-        "chunk_id",
-        F.array_join(sl, " ").alias("chunk_text"),
-        F.size(sl).alias("n_chunk_tokens"),
-    )
-
-
-@register(
-    "passage_dedup_rewrite",
-    # corpus-level repeated-passage removal WITH document rewrite (the
-    # C4/MassiveText cleanup): 20-word passages, global first occurrence
-    # (ordered by doc_id, position) keeps its place, every later copy is
-    # cut, and each document is reassembled from its surviving passages.
-    oracle=f"""
-        WITH t AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        d AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
-        s AS (
-            SELECT doc_id, tk,
-                   unnest(generate_series(0, len(tk) - 1, 20)) AS start
-            FROM d
-        ),
-        chunks AS (
-            SELECT doc_id, CAST(start // 20 AS INTEGER) AS chunk_id,
-                   array_to_string(tk[start + 1 : start + 20], ' ') AS chunk
-            FROM s
-        ),
-        ranked AS (
-            SELECT doc_id, chunk_id, chunk,
-                   row_number() OVER (
-                       PARTITION BY md5(chunk) ORDER BY doc_id, chunk_id
-                   ) AS occ
-            FROM chunks
-        )
-        SELECT doc_id,
-               nullif(string_agg(chunk, ' ' ORDER BY chunk_id)
-                          FILTER (WHERE occ = 1), '') AS clean_text,
-               CAST(count(*) FILTER (WHERE occ = 1) AS BIGINT) AS n_kept,
-               CAST(count(*) FILTER (WHERE occ > 1) AS BIGINT) AS n_dropped
-        FROM ranked
-        GROUP BY doc_id
-    """,
-    tags=("dedup", "passage", "rewrite"),
-)
-def passage_dedup_rewrite(spark, sf_dir):
-    """Repeated-passage removal with reassembly: chunk every doc into
-    20-word passages (narrow), find each passage's global first occurrence
-    with one window over the passage hash (one shuffle, uniformly
-    distributed md5 keys), then rebuild documents from surviving passages
-    (one shuffle back on doc_id).  Two shuffles total at any scale — the
-    passage table never materializes more than (corpus tokens / 20) rows."""
-    from pyspark.sql import Window
-
-    d = T(spark, sf_dir, "documents")
-    toks = d.select("doc_id", TX.tokens("text").alias("tk")).where(F.size("tk") > 0)
-    s = toks.select(
-        "doc_id",
-        "tk",
-        F.posexplode(F.sequence(F.lit(0), F.size("tk") - 1, F.lit(20))).alias(
-            "chunk_id", "start"
-        ),
-    )
-    chunks = s.select(
-        "doc_id",
-        "chunk_id",
-        F.array_join(F.slice("tk", F.col("start") + 1, F.lit(20)), " ").alias("chunk"),
-    )
-    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_id")
-    ranked = chunks.withColumn("occ", F.row_number().over(w))
-    kept_struct = F.when(
-        F.col("occ") == 1, F.struct(F.col("chunk_id"), F.col("chunk"))
-    )
-    return ranked.groupBy("doc_id").agg(
-        F.nullif(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)),
-                    lambda e: e.getField("chunk"),
-                ),
-                " ",
-            ),
-            F.lit(""),
-        ).alias("clean_text"),
-        F.sum(F.when(F.col("occ") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
-        F.sum(F.when(F.col("occ") > 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_dropped"),
-    )
-
-
-@register(
-    "zorder_layout_key",
-    # Z-order (Morton) interleave of two 8-bit key dimensions — the
-    # data-layout key that makes min/max file statistics prune on EITHER
-    # dimension.  Pure integer bit arithmetic, identical on both engines.
-    oracle="""
-        WITH k AS (
-            SELECT event_id,
-                   CAST(user_id % 256 AS BIGINT) AS ux,
-                   CAST((event_id // 16) % 256 AS BIGINT) AS tb
-            FROM events
-        )
-        SELECT event_id, ux, tb,
-               CAST(((((ux >> 0) & 1) << 0) |
-                   (((tb >> 0) & 1) << 1) |
-                   (((ux >> 1) & 1) << 2) |
-                   (((tb >> 1) & 1) << 3) |
-                   (((ux >> 2) & 1) << 4) |
-                   (((tb >> 2) & 1) << 5) |
-                   (((ux >> 3) & 1) << 6) |
-                   (((tb >> 3) & 1) << 7) |
-                   (((ux >> 4) & 1) << 8) |
-                   (((tb >> 4) & 1) << 9) |
-                   (((ux >> 5) & 1) << 10) |
-                   (((tb >> 5) & 1) << 11) |
-                   (((ux >> 6) & 1) << 12) |
-                   (((tb >> 6) & 1) << 13) |
-                   (((ux >> 7) & 1) << 14) |
-                   (((tb >> 7) & 1) << 15)) AS BIGINT) AS zkey,
-               CAST(((((ux >> 0) & 1) << 0) |
-                   (((tb >> 0) & 1) << 1) |
-                   (((ux >> 1) & 1) << 2) |
-                   (((tb >> 1) & 1) << 3) |
-                   (((ux >> 2) & 1) << 4) |
-                   (((tb >> 2) & 1) << 5) |
-                   (((ux >> 3) & 1) << 6) |
-                   (((tb >> 3) & 1) << 7) |
-                   (((ux >> 4) & 1) << 8) |
-                   (((tb >> 4) & 1) << 9) |
-                   (((ux >> 5) & 1) << 10) |
-                   (((tb >> 5) & 1) << 11) |
-                   (((ux >> 6) & 1) << 12) |
-                   (((tb >> 6) & 1) << 13) |
-                   (((ux >> 7) & 1) << 14) |
-                   (((tb >> 7) & 1) << 15)) >> 10 AS BIGINT) AS file_bucket
-        FROM k
-    """,
-    tags=("scale", "layout", "zorder"),
-)
-def zorder_layout_key(spark, sf_dir):
-    """Multi-dimensional data clustering: interleave the bits of two scan
-    dimensions (user, time bucket) into one Morton key, then range-write on
-    it (here surfaced as file_bucket = zkey >> 10).  Files become
-    rectangles in (user, time) space, so min/max parquet statistics prune
-    scans filtered on EITHER dimension — the layout trick behind
-    Delta/Iceberg Z-ORDER, expressed as plain columnar bit arithmetic that
-    rides the scan with zero shuffles (the real write adds one
-    repartitionByRange on zkey)."""
-    e = T(spark, sf_dir, "events")
-    ux = (F.col("user_id") % 256).cast("long")
-    # integer floor division (`div`), NOT double division + cast: the double
-    # path truncates toward zero for negative ids and loses exactness past
-    # 2^53, diverging from the oracle's integer `//`
-    tb = (F.expr("event_id div 16") % 256).cast("long")
-    k = e.select("event_id", ux.alias("ux"), tb.alias("tb"))
-    z = None
-    for i in range(8):
-        for pos, src in ((2 * i, "ux"), (2 * i + 1, "tb")):
-            term = F.shiftleft(F.shiftright(F.col(src), i).bitwiseAND(F.lit(1)), pos)
-            z = term if z is None else z.bitwiseOR(term)
-    return k.select(
-        "event_id",
-        "ux",
-        "tb",
-        z.cast("long").alias("zkey"),
-        F.shiftright(z, 10).cast("long").alias("file_bucket"),
-    )
-
-
-@register(
-    "token_budget_pack",
-    oracle=f"""
-        WITH t AS (
-            SELECT doc_id, n_chars, len({_toks()}) AS tok_count FROM documents
-        ),
-        c AS (
-            SELECT doc_id, n_chars, tok_count,
-                   CAST(SUM(tok_count) OVER (
-                        ORDER BY n_chars DESC, doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS BIGINT) AS cum_tokens
-            FROM t
-        )
-        SELECT doc_id, n_chars, tok_count, cum_tokens
-        FROM c WHERE cum_tokens <= 8000
-    """,
-    tags=("pipeline", "sampling"),
-)
-def token_budget_pack(spark, sf_dir):
-    """Greedy token-budget packing: rank documents by a priority order
-    (here n_chars DESC, doc_id as tiebreak), take documents until the
-    cumulative token count reaches the budget — how a training run fills a
-    fixed token budget from a scored corpus.
-
-    The cumulative sum uses operators/scale.py:global_running_sum — range
-    partition + parallel local windows + broadcast offsets — NOT the
-    single-partition `Window.orderBy` that would serialize 100 TB through
-    one task."""
-    from kwack_spark.operators import scale
-
-    d = T(spark, sf_dir, "documents")
-    t = d.select("doc_id", "n_chars", F.size(TX.tokens("text")).alias("tok_count"))
-    packed = scale.global_running_sum(
-        t,
-        [F.col("n_chars").desc(), F.col("doc_id").asc()],
-        "tok_count",
-        "cum_tokens",
-    )
-    return packed.where(F.col("cum_tokens") <= 8000).select(
-        "doc_id", "n_chars", "tok_count", "cum_tokens"
-    )
-
-
-@register(
-    "length_bucketed_batches",
-    # padding-minimizing batch assembly: docs grouped into power-of-two
-    # token-length buckets, then packed into fixed-size batches of 16
-    # within each bucket (deterministic doc_id order).  Batch padding waste
-    # = batch_max - doc tokens; the whole point is that within-bucket waste
-    # is bounded by the bucket's width.
-    oracle=f"""
-        WITH t AS (
-            SELECT doc_id, len({_toks()}) AS tok_count FROM documents
-        ),
-        b AS (
-            SELECT doc_id, tok_count,
-                   CAST(floor(ln(greatest(tok_count, 1)) / ln(2)) AS BIGINT)
-                       AS bucket
-            FROM t
-        ),
-        r AS (
-            SELECT doc_id, tok_count, bucket,
-                   CAST((row_number() OVER (PARTITION BY bucket
-                                            ORDER BY doc_id) - 1) // 16
-                        AS BIGINT) AS batch_id
-            FROM b
-        ),
-        m AS (
-            SELECT bucket, batch_id, tok_count,
-                   max(tok_count) OVER (PARTITION BY bucket, batch_id)
-                       AS batch_max
-            FROM r
-        )
-        SELECT bucket, batch_id,
-               CAST(count(*) AS BIGINT) AS batch_rows,
-               CAST(max(tok_count) AS BIGINT) AS batch_max_tokens,
-               CAST(SUM(CAST(batch_max - tok_count AS BIGINT)) AS BIGINT)
-                   AS padding_waste
-        FROM m
-        GROUP BY bucket, batch_id
-        ORDER BY bucket, batch_id
-    """,
-    tags=("pipeline", "batching", "serving"),
-)
-def length_bucketed_batches(spark, sf_dir):
-    """Length-bucketed batching (the padding-kill curation step before
-    tokenized training/inference): log2 length buckets keep same-batch
-    docs within 2x of each other, so padding waste per batch is bounded.
-    The window is per-bucket (≈log2(max_len) partitions, each further
-    hash-splittable by batch range at real scale) — never a global sort;
-    the output is batch metadata, corpus-rows / 16 in size."""
-    from pyspark.sql import Window
-
-    t = T(spark, sf_dir, "documents").select(
-        "doc_id", F.size(TX.tokens("text")).alias("tok_count")
-    )
-    b = t.select(
-        "doc_id",
-        "tok_count",
-        F.floor(
-            F.log(F.greatest(F.col("tok_count"), F.lit(1)).cast("double"))
-            / F.log(F.lit(2.0))
-        )
-        .cast("long")
-        .alias("bucket"),
-    )
-    wb = Window.partitionBy("bucket").orderBy("doc_id")
-    r = b.withColumn(
-        "batch_id",
-        F.floor((F.row_number().over(wb) - 1) / 16).cast("long"),
-    )
-    wmax = Window.partitionBy("bucket", "batch_id")
-    return (
-        r.withColumn("batch_max", F.max("tok_count").over(wmax))
-        .groupBy("bucket", "batch_id")
-        .agg(
-            F.count(F.lit(1)).alias("batch_rows"),
-            F.max("tok_count").cast("long").alias("batch_max_tokens"),
-            F.sum(
-                (F.col("batch_max") - F.col("tok_count")).cast("long")
-            ).alias("padding_waste"),
-        )
-        .orderBy("bucket", "batch_id")
-    )
-
-
-@register(
-    "prefix_duplicate_groups",
-    # boilerplate-header detection: documents sharing an identical first-16
-    # -token prefix (md5 of the joined prefix) — the scraped-page template
-    # family exact n-gram dedup misses when tails differ.
-    oracle=f"""
-        WITH t AS (
-            SELECT doc_id,
-                   md5(array_to_string(list_slice({_toks()}, 1, 16), ' '))
-                       AS prefix_hash
-            FROM documents
-            WHERE len({_toks()}) >= 16
-        )
-        SELECT prefix_hash,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               min(doc_id) AS keep_id,
-               array_to_string(list_sort(list(doc_id)), '|') AS members
-        FROM t
-        GROUP BY prefix_hash
-        HAVING count(*) > 1
-        ORDER BY n_docs DESC, prefix_hash
-    """,
-    tags=("dedup", "prefix", "boilerplate"),
-)
-def prefix_duplicate_groups(spark, sf_dir):
-    """Shared-prefix duplicate families.  One narrow pass computes a
-    16-token prefix hash riding the scan; one groupBy on the hash (uniform
-    md5 key — no skew) yields the family table with a canonical keeper.
-    Catches template/boilerplate fan-out whose bodies diverge too much for
-    shingle-Jaccard to pair."""
-    d = T(spark, sf_dir, "documents")
-    tk = TX.tokens("text")
-    t = d.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.slice(tk, 1, 16))).alias("prefix_hash"),
-    ).filter(F.size(tk) >= 16)
-    return (
-        t.groupBy("prefix_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("keep_id"),
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.sort_array(F.collect_list("doc_id")),
-                    lambda c: c.cast("string"),
-                ),
-            ).alias("members"),
-        )
-        .filter(F.col("n_docs") > 1)
-        .orderBy(F.desc("n_docs"), "prefix_hash")
-    )
-
-
-@register(
-    "source_cap_sample",
-    oracle="""
-        WITH r AS (
-            SELECT doc_id, source, n_chars,
-                   row_number() OVER (
-                       PARTITION BY source ORDER BY n_chars DESC, doc_id
-                   ) AS rn
-            FROM documents
-        )
-        SELECT doc_id, source, n_chars, rn FROM r WHERE rn <= 25
-    """,
-    tags=("pipeline", "sampling"),
-)
-def source_cap_sample(spark, sf_dir):
-    """Per-source document cap (CommonCrawl-style curation: no domain may
-    contribute more than K documents, keeping the longest first).  One
-    shuffle on `source`; skewed hot domains are exactly what AQE skew-join
-    splitting and the two-phase top-k in operators/scale.py address at
-    100 TB."""
-    from pyspark.sql import Window
-
-    d = T(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    return (
-        d.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= 25)
-    )
-
-
-@register(
-    "scale_heavy_hitters",
-    # corpus heavy hitters (vocabulary head) through the two-phase salted
-    # aggregation: the partial runs per (token, salt) so one hot token — and
-    # natural corpora are Zipfian, the head token IS hot — never lands on a
-    # single reducer; the final re-agg sees at most `salt` rows per token.
-    # Top-20 by (count desc, token) so the cut is deterministic.
-    oracle=f"""
-        WITH tok AS (
-            SELECT unnest({_toks()}) AS token FROM documents
-        ),
-        counts AS (
-            SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
-        )
-        SELECT token, n FROM counts
-        ORDER BY n DESC, token LIMIT 20
-    """,
-    tags=("scale", "agg", "skew", "text"),
-)
-def scale_heavy_hitters(spark, sf_dir):
-    """Zipf-head token counts via operators/scale.py:salted_agg — the
-    skew-safe two-phase shape for hot grouping keys, graded for correctness
-    (output must equal the plain GROUP BY).  At 100 TB, partial counts per
-    (token, salt) bound any single reducer's load to 1/salt of the hottest
-    token before the tiny final re-agg."""
-    from kwack_spark.operators import scale
-
-    d = T(spark, sf_dir, "documents")
-    # doc_id rides along ONLY to feed the salt hash: salted_agg salts by
-    # xxhash64 of the whole row, and a salt derived from the grouping key
-    # alone would be constant per token — no skew mitigation at all
-    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
-    counts = scale.salted_agg(
-        tok,
-        ["token"],
-        [(F.count(F.lit(1)).alias("pn"), "sum", "n")],
-        salt=16,
-    )
-    return (
-        counts.select("token", F.col("n").cast("bigint").alias("n"))
-        .orderBy(F.desc("n"), "token")
-        .limit(20)
-    )
-
-
-@register(
-    "split_leakage_safe",
-    # dedup-AWARE train/val/test split: near-duplicate documents must not
-    # straddle splits (a val doc whose near-twin sits in train is leakage
-    # by construction), so the split key is the LSH duplicate-cluster
-    # representative (component min id), not the doc id — every cluster
-    # lands whole.  Same hash cutoffs as split_train_val_test; the
-    # cluster-atomicity invariant (every rep's docs share one split) is
-    # part of the graded output.
-    oracle=f"""
-        WITH RECURSIVE {_LSH_CTES},
-        {_COMP_CTES},
-        rep AS (
-            SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS rep_id
-            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-        ),
-        spl AS (
-            SELECT doc_id, rep_id,
-                   CASE WHEN substr(md5('split:' || rep_id::VARCHAR), 1, 4) < 'cccd'
-                            THEN 'train'
-                        WHEN substr(md5('split:' || rep_id::VARCHAR), 1, 4) < 'e666'
-                            THEN 'val'
-                        ELSE 'test' END AS split
-            FROM rep
-        ),
-        gate AS (
-            SELECT max(c) AS mx FROM (
-                SELECT rep_id, count(DISTINCT split) AS c FROM spl GROUP BY rep_id
-            )
-        )
-        SELECT doc_id, rep_id, split,
-               (SELECT mx FROM gate) = 1 AS cluster_atomic
-        FROM spl
-    """,
-    tags=("sampling", "split", "dedup", "leakage"),
-)
-def split_leakage_safe(spark, sf_dir):
-    """Leakage-safe 80/10/10 split: LSH pairs -> connected components ->
-    every document splits by its cluster REPRESENTATIVE's hash, so
-    near-dup clusters land in one split whole (the dedup-aware split a
-    train/eval pipeline must use — splitting by doc id leaks every
-    cluster that straddles a cutoff).  100-TB shape: the component pass
-    is the already-graded iterative min-label propagation over the
-    candidate-pair graph (orders of magnitude smaller than the corpus);
-    the split itself is one narrow hash projection on the rep id and the
-    atomicity gate is a rep-keyed rollup of a 2-column frame."""
-    from kwack_spark.operators import graph
-
-    d = T(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", k=8, bands=2, threshold=0.5
-    ).select("id_a", "id_b")
-    with _few_shuffle_partitions(spark):
-        comp = graph.dedup_clusters(pairs)
-    rep = (
-        d.select("doc_id")
-        .join(F.broadcast(comp.select("doc_id", "keep_id")), "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce("keep_id", F.col("doc_id")).alias("rep_id")
-        )
-    )
-    spl = sampling.split_hash(
-        rep, "rep_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split"
-    )
-    gate = (
-        spl.groupBy("rep_id")
-        .agg(F.countDistinct("split").alias("c"))
-        .agg(F.max("c").alias("mx"))
-    )
-    return spl.crossJoin(F.broadcast(gate)).select(
-        "doc_id", "rep_id", "split", (F.col("mx") == 1).alias("cluster_atomic")
-    )
-
-
-@register(
-    "cms_merge_shards",
-    # merge-invariance gate for the CMS family (the HLL one exists as
-    # hll_merge_shards; counters add where registers max): per-parity-shard
-    # sketches summed elementwise must equal the whole-corpus sketch
-    # counter-for-counter, and the estimates read off the MERGED sketch
-    # must match the oracle's direct whole-table estimates.  The property
-    # that makes the 4x256 counter table safe running state under sharded
-    # ingest.
-    oracle="""
-        WITH keyed AS (
-            SELECT user_id, d,
-                   ((instr('0123456789abcdef',
-                           substr(md5('cms' || d || ':' || user_id::VARCHAR), 1, 1)) - 1) * 16
-                    + instr('0123456789abcdef',
-                            substr(md5('cms' || d || ':' || user_id::VARCHAR), 2, 1)) - 1) % 256 AS b
-            FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS d)
-        ),
-        sketch AS (SELECT d, b, count(*) AS cnt FROM keyed GROUP BY d, b),
-        h0 AS (SELECT d, b, count(*) AS cnt FROM keyed WHERE user_id % 2 = 0 GROUP BY d, b),
-        h1 AS (SELECT d, b, count(*) AS cnt FROM keyed WHERE user_id % 2 = 1 GROUP BY d, b),
-        mrg AS (
-            SELECT d, b, CAST(sum(cnt) AS BIGINT) AS cnt
-            FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1) GROUP BY d, b
-        ),
-        mism AS (
-            SELECT count(*) AS mism FROM (
-                (SELECT d, b, cnt FROM sketch EXCEPT SELECT d, b, cnt FROM mrg)
-                UNION ALL
-                (SELECT d, b, cnt FROM mrg EXCEPT SELECT d, b, cnt FROM sketch)
-            )
-        ),
-        kb AS (SELECT DISTINCT user_id, d, b FROM keyed),
-        est AS (
-            SELECT user_id, CAST(min(cnt) AS BIGINT) AS cms_est
-            FROM kb JOIN mrg USING (d, b) GROUP BY user_id
-        )
-        SELECT user_id, cms_est,
-               (SELECT mism FROM mism) = 0 AS merge_invariant
-        FROM est WHERE cms_est >= 20
-    """,
-    tags=("scale", "sketch", "mergeable"),
-)
-def cms_merge_shards(spark, sf_dir):
-    """CMS merge invariance, graded in-query (the frequency twin of
-    hll_merge_shards): the two parity-shard sketches are built and MERGED
-    engine-side (operators/scale.py:cms_merge — elementwise counter add),
-    diffed against the direct whole-corpus sketch, and the heavy-hitter
-    estimates are read off the merged table.  Constant-size everything:
-    sketches are 4x256 rows whatever the corpus, the merge is a
-    1024-row union-sum, estimates join a broadcast sketch."""
-    from kwack_spark.operators import scale
-
-    e = T(spark, sf_dir, "events").select("user_id")
-    h0 = scale.cms_sketch(e.filter(F.col("user_id") % 2 == 0), "user_id")
-    h1 = scale.cms_sketch(e.filter(F.col("user_id") % 2 == 1), "user_id")
-    mrg = scale.cms_merge(h0, h1)
-    from kwack_spark.operators.similarity import _persist_rotating
-
-    # the merged 1024-row sketch feeds the estimate join AND the diff gate
-    mrg = _persist_rotating("cms_mrg", mrg)
-    direct = scale.cms_sketch(e, "user_id")
-    a = direct.select("d", "b", "cnt")
-    b = mrg.select("d", "b", "cnt")
-    mism = (
-        a.exceptAll(b)
-        .union(b.exceptAll(a))
-        .agg(F.count(F.lit(1)).alias("mism"))
-    )
-    est = scale.cms_estimates(e, "user_id", sketch=mrg)
-    return (
-        est.filter(F.col("cms_est") >= 20)
-        .crossJoin(F.broadcast(mism))
-        .select(
-            "user_id",
-            F.col("cms_est").cast("bigint").alias("cms_est"),
-            (F.col("mism") == 0).alias("merge_invariant"),
-        )
-    )
-
-
-@register(
-    "cms_heavy_hitters",
-    # count-min sketch frequency estimates vs exact counts: the sketch is a
-    # FIXED 4x256 counter table whatever the key cardinality — the state
-    # that still fits when billions of distinct keys make the exact per-key
-    # groupBy the bottleneck.  Buckets from keyed md5 nibbles, so the whole
-    # estimate (including every collision) is exact integer arithmetic on
-    # both engines; min-of-counters never undercounts by construction.
-    oracle="""
-        WITH keyed AS (
-            SELECT user_id, d,
-                   ((instr('0123456789abcdef',
-                           substr(md5('cms' || d || ':' || user_id::VARCHAR), 1, 1)) - 1) * 16
-                    + instr('0123456789abcdef',
-                            substr(md5('cms' || d || ':' || user_id::VARCHAR), 2, 1)) - 1) % 256 AS b
-            FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS d)
-        ),
-        sketch AS (SELECT d, b, count(*) AS cnt FROM keyed GROUP BY d, b),
-        kb AS (SELECT DISTINCT user_id, d, b FROM keyed),
-        est AS (
-            SELECT user_id, min(cnt) AS cms_est
-            FROM kb JOIN sketch USING (d, b) GROUP BY user_id
-        ),
-        exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id)
-        SELECT user_id, exact_n, cms_est,
-               cms_est >= exact_n AS never_undercounts
-        FROM exact JOIN est USING (user_id)
-        WHERE cms_est >= 20
-    """,
-    tags=("scale", "sketch", "approx"),
-)
-def cms_heavy_hitters(spark, sf_dir):
-    """Approximate heavy hitters via a count-min sketch
-    (operators/scale.py:cms_estimates), graded against the exact counts it
-    approximates: every estimate must be >= its true count (min-of-counters
-    overcounts only).  The exact groupBy here exists purely as the grading
-    yardstick; at 100 TB only the constant-size sketch aggregation and its
-    broadcast estimate join survive."""
-    from kwack_spark.operators import scale
-
-    e = T(spark, sf_dir, "events").select("user_id")
-    est = scale.cms_estimates(e, "user_id", depth=4, width=256, seed="cms")
-    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
-    return (
-        exact.join(est, "user_id")
-        .filter(F.col("cms_est") >= 20)
-        .select(
-            "user_id",
-            "exact_n",
-            "cms_est",
-            (F.col("cms_est") >= F.col("exact_n")).alias("never_undercounts"),
-        )
-    )
-
-
-@register(
-    "scale_salted_join",
-    # skew-mitigated join graded for CORRECTNESS: the salted plan's output
-    # must equal the plain join.  Left side salted by retry-stable xxhash64,
-    # right side replicated per salt; the shuffle spreads every hot key over
-    # 8 partitions.  Aggregated to a compact, decimal-exact result.
-    oracle="""
-        SELECT o.o_orderpriority,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(l.l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
-        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        GROUP BY o.o_orderpriority
-    """,
-    tags=("scale", "join", "skew"),
-)
-def scale_salted_join(spark, sf_dir):
-    """Salting under the oracle gate (operators/scale.py:salted_join): the
-    anti-skew rewrite is only admissible because its result is IDENTICAL to
-    the plain join — this query proves it on real data.  At 100 TB salting
-    is the manual fallback when AQE's skew splitting can't help (e.g. a
-    single key above the split threshold inside one reducer)."""
-    from kwack_spark.operators import scale
-
-    li = T(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("orderkey"), "l_quantity"
-    )
-    o = T(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
-    )
-    joined = scale.salted_join(li, o, "orderkey", salt=8)
-    return joined.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(38,2)"))
-        .cast("double")
-        .alias("sum_qty"),
-    )
-
-
-@register(
-    "scale_bucketed_join",
-    # bucketed co-located join graded for CORRECTNESS: both sides written
-    # bucketed+sorted on the join key (explicit path, so it works under any
-    # caller session's warehouse), then joined with zero Exchange (the plan
-    # property test_scale_patterns pins); the result must equal the plain
-    # join.
-    oracle="""
-        SELECT o.o_orderstatus,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
-        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        GROUP BY o.o_orderstatus
-    """,
-    tags=("scale", "join", "bucketed"),
-)
-def scale_bucketed_join(spark, sf_dir):
-    """Bucketed tables as the zero-shuffle join strategy, graded end to end:
-    write lineitem and orders bucketed identically on the order key, join
-    the bucketed tables, aggregate with exact decimals.  At 100 TB this is
-    the repeated-join workhorse — pay one bucketed write, then every later
-    join on that key is exchange-free."""
-    import tempfile
-    import uuid
-
-    from kwack_spark.operators import scale
-
-    tag = uuid.uuid4().hex[:8]
-    tmp = tempfile.mkdtemp(prefix="kwack_bucketed_")
-    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
-    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    lb = scale.bucket_table(
-        spark, li, f"li_b_{tag}", ["l_orderkey"], num_buckets=8, path=f"{tmp}/li"
-    )
-    ob = scale.bucket_table(
-        spark, o, f"o_b_{tag}", ["o_orderkey"], num_buckets=8, path=f"{tmp}/o"
-    )
-    joined = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
-    return joined.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))
-        .cast("double")
-        .alias("sum_price"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round-3 curation operators: TF-IDF, percentile trim, mixture rebalance,
-# per-label embedding centroids
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "tfidf_top_terms",
-    # classic TF-IDF relevance: tf * ln(N/df), top-3 terms per doc.  Rounded
-    # to 6dp BEFORE ranking so rank order cannot depend on the last ulp of
-    # ln() (JVM vs libm); ties break on the term itself.
-    oracle="""
-        WITH tok AS (
-            SELECT doc_id, unnest(list_filter(
-                string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
-                t -> len(t) > 0)) AS term
-            FROM documents
-        ),
-        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        n AS (SELECT count(*) AS n_docs FROM documents),
-        scored AS (
-            SELECT t.doc_id, t.term, t.tf, d.df,
-                   round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
-            FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
-        ),
-        ranked AS (
-            SELECT doc_id, term, tf, df, tfidf,
-                   row_number() OVER (PARTITION BY doc_id
-                                      ORDER BY tfidf DESC, term) AS rnk
-            FROM scored
-        )
-        SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 3
-    """,
-    tags=("text", "tfidf"),
-)
-def tfidf_top_terms(spark, sf_dir):
-    """Per-document top-3 TF-IDF terms.  Scale shape: explode -> two
-    partial+final aggregations (doc-term tf, term df) -> broadcast of the
-    tiny N scalar -> per-doc top-k window.  The df table is vocabulary-sized
-    (MBs at 100 TB), so its join broadcasts; only the tf table shuffles, on
-    the uniform term key."""
-    from pyspark.sql import Window
-
-    d = T(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            "tf",
-            "df",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
-            ).alias("tfidf"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
-    )
-
-
-@register(
-    "cooccurrence_window_counts",
-    # skip-gram co-occurrence counts (window ±2, directed): the count table
-    # word2vec/GloVe-style embedding pretraining consumes.  Pairs are
-    # generated inside the token array (sequence+transform — no self-join,
-    # no posexplode shuffle), so the only shuffle is the final pair-count
-    # aggregation on the uniform (w1, w2) key.
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {{toks}} AS tk FROM documents),
-        pairs AS (
-            SELECT unnest(flatten([
-                [struct_pack(w1 := tk[i], w2 := tk[i + 1], dist := 1)
-                 FOR i IN range(1, greatest(len(tk), 1))],
-                [struct_pack(w1 := tk[i], w2 := tk[i + 2], dist := 2)
-                 FOR i IN range(1, greatest(len(tk) - 1, 1))]
-            ]), recursive := true)
-            FROM toks
-        )
-        SELECT w1, w2, dist, CAST(count(*) AS BIGINT) AS cnt
-        FROM pairs GROUP BY w1, w2, dist
-        ORDER BY cnt DESC, w1, w2, dist
-    """.format(toks=_toks()),
-    tags=("text", "cooccurrence", "embedding-prep"),
-)
-def cooccurrence_window_counts(spark, sf_dir):
-    """Directed (w1, w2, distance) co-occurrence counts for a ±2 window.
-    Scale shape: pair generation is per-row array arithmetic riding the
-    scan (a doc of n tokens emits 2n-3 pairs with no join); the single
-    shuffle is the pair-count groupBy, whose key space is vocabulary², far
-    smaller than the corpus — the canonical map-side-combine winner."""
-    toks = T(spark, sf_dir, "documents").select(
-        "doc_id", TX.tokens("text").alias("tk")
-    )
-    p1 = (
-        "CASE WHEN size(tk) > 1 THEN transform(sequence(0, size(tk) - 2), "
-        "i -> struct(tk[i] AS w1, tk[i + 1] AS w2, 1 AS dist)) "
-        "ELSE array() END"
-    )
-    p2 = (
-        "CASE WHEN size(tk) > 2 THEN transform(sequence(0, size(tk) - 3), "
-        "i -> struct(tk[i] AS w1, tk[i + 2] AS w2, 2 AS dist)) "
-        "ELSE array() END"
-    )
-    return (
-        toks.select(
-            F.explode(F.expr(f"concat({p1}, {p2})")).alias("p")
-        )
-        .select("p.w1", "p.w2", "p.dist")
-        .groupBy("w1", "w2", "dist")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), "w1", "w2", "dist")
-    )
-
-
-@register(
-    "length_percentile_trim",
-    # outlier trim: keep documents inside the exact [p05, p95] length band.
-    # Spark percentile() and DuckDB quantile_cont share the (n-1)*q linear
-    # interpolation; bounds are rounded to 6dp on both sides so the integer
-    # n_chars comparisons cannot straddle an ulp.
-    oracle="""
-        WITH b AS (
-            SELECT round(quantile_cont(n_chars, 0.05), 6) AS lo,
-                   round(quantile_cont(n_chars, 0.95), 6) AS hi
-            FROM documents
-        )
-        SELECT d.doc_id, d.n_chars, b.lo, b.hi
-        FROM documents d CROSS JOIN b
-        WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
-    """,
-    tags=("text", "curation"),
-)
-def length_percentile_trim(spark, sf_dir):
-    """Length-outlier removal, the standard pre-training trim.  The bounds
-    aggregate is one tiny scalar (broadcast); the filter itself is a narrow
-    pass that rides the scan at any scale."""
-    d = T(spark, sf_dir, "documents")
-    b = d.agg(
-        F.round(F.percentile("n_chars", F.lit(0.05)), 6).alias("lo"),
-        F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias("hi"),
-    )
-    return (
-        d.crossJoin(F.broadcast(b))
-        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
-        .select("doc_id", "n_chars", "lo", "hi")
-    )
-
-
-_MIX_TARGETS = (("en", 0.4), ("de", 0.2), ("es", 0.2), ("fr", 0.2))
-
-
-@register(
-    "mixture_rebalance",
-    # training-mix resampling: hit target language proportions exactly (up
-    # to floor) with a deterministic md5-ordered per-stratum take.  budget =
-    # min_l floor(count_l / w_l) is the largest total for which no stratum
-    # is oversampled.  All divisions are the same IEEE doubles on both
-    # engines, so the floors agree.
-    oracle=f"""
-        WITH targets(lang, w) AS (
-            VALUES {", ".join(f"('{lang}', {w})" for lang, w in _MIX_TARGETS)}
-        ),
-        counts AS (
-            SELECT d.lang, count(*) AS c, any_value(t.w) AS w
-            FROM documents d JOIN targets t USING (lang) GROUP BY d.lang
-        ),
-        budget AS (SELECT min(floor(c / w)) AS b FROM counts),
-        quota AS (
-            SELECT lang, CAST(floor(b * w) AS BIGINT) AS quota
-            FROM counts CROSS JOIN budget
-        ),
-        ranked AS (
-            SELECT d.lang, d.doc_id, q.quota,
-                   row_number() OVER (PARTITION BY d.lang
-                                      ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
-                                               d.doc_id) AS rn
-            FROM documents d JOIN quota q USING (lang)
-        )
-        SELECT lang, doc_id FROM ranked WHERE rn <= quota
-    """,
-    tags=("curation", "sampling"),
-)
-def mixture_rebalance(spark, sf_dir):
-    """Deterministic mixture rebalancing to target language weights — the
-    'data mixing' step of a training pipeline.  Scale shape: one tiny counts
-    aggregate, scalar budget, broadcast quota join, then a single per-lang
-    window take; the md5 ordering makes the sample reproducible across
-    retries and growable (raise budget, keep prefix)."""
-    from pyspark.sql import Window
-
-    d = T(spark, sf_dir, "documents")
-    targets = spark.createDataFrame(list(_MIX_TARGETS), "lang string, w double")
-    counts = (
-        d.join(F.broadcast(targets), "lang")
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("c"), F.any_value("w").alias("w"))
-    )
-    budget = counts.agg(F.min(F.floor(F.col("c") / F.col("w"))).alias("b"))
-    quota = counts.crossJoin(F.broadcast(budget)).select(
-        "lang", F.floor(F.col("b") * F.col("w")).cast("long").alias("quota")
-    )
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
-    return (
-        d.join(F.broadcast(quota), "lang")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.col("quota"))
-        .select("lang", "doc_id")
-    )
-
-
-@register(
-    "temperature_mixture_sample",
-    # temperature-weighted training mix (T=2): target shares computed FROM
-    # the observed counts as sqrt(n_s), flattening the source distribution
-    # (the T5/multilingual-sampling recipe) instead of taking explicit
-    # targets like mixture_rebalance.  Determinism across engines: sqrt is
-    # IEEE-correctly-rounded everywhere, its value is quantized to a 2^20
-    # rational via round() (half-away-from-zero for positives on both
-    # engines), and the normalizer is an exact BIGINT sum of those scaled
-    # integers — so every share, budget, and quota floor agrees bit-for-bit.
-    oracle="""
-        WITH counts AS (
-            SELECT lang, count(*) AS c,
-                   CAST(round(sqrt(count(*)) * 1048576) AS BIGINT) AS s_int
-            FROM documents GROUP BY lang
-        ),
-        norm AS (SELECT SUM(s_int) AS n_int FROM counts),
-        shares AS (
-            SELECT lang, c, CAST(s_int AS DOUBLE) / CAST(n_int AS DOUBLE) AS t
-            FROM counts CROSS JOIN norm
-        ),
-        budget AS (SELECT min(floor(c / t)) AS b FROM shares),
-        quota AS (
-            SELECT lang, c, CAST(floor(b * t) AS BIGINT) AS quota
-            FROM shares CROSS JOIN budget
-        ),
-        ranked AS (
-            SELECT d.lang, d.doc_id, q.quota,
-                   row_number() OVER (PARTITION BY d.lang
-                                      ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
-                                               d.doc_id) AS rn
-            FROM documents d JOIN quota q USING (lang)
-        )
-        SELECT lang, doc_id FROM ranked WHERE rn <= quota
-    """,
-    tags=("curation", "sampling", "temperature"),
-)
-def temperature_mixture_sample(spark, sf_dir):
-    """Temperature sampling of the training mix (T=2): per-source quotas
-    proportional to sqrt(count) — up-weights the tail languages relative to
-    their natural share without explicit targets.  Scale shape identical to
-    mixture_rebalance: one tiny counts aggregate, scalar normalizer/budget
-    broadcast back, one per-lang md5-ordered window take (reproducible
-    across retries; raise the budget to grow the sample as a superset)."""
-    from pyspark.sql import Window
-
-    d = T(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.round(F.sqrt(F.count(F.lit(1))) * 1048576).cast("long").alias("s_int"),
-    )
-    norm = counts.agg(F.sum("s_int").alias("n_int"))
-    shares = counts.crossJoin(F.broadcast(norm)).select(
-        "lang",
-        "c",
-        (F.col("s_int").cast("double") / F.col("n_int").cast("double")).alias("t"),
-    )
-    budget = shares.agg(F.min(F.floor(F.col("c") / F.col("t"))).alias("b"))
-    quota = shares.crossJoin(F.broadcast(budget)).select(
-        "lang", F.floor(F.col("b") * F.col("t")).cast("long").alias("quota")
-    )
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
-    return (
-        d.join(F.broadcast(quota), "lang")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.col("quota"))
-        .select("lang", "doc_id")
-    )
-
-
-_POW2_43 = 8796093022208.0  # 2^43: scales every float32 component to an integer
-
-
-@register(
-    "embedding_centroid_by_label",
-    # per-label mean embedding (the class-centroid table an IVF/k-means
-    # pipeline maintains).  Exactness: comp*2^43 is a power-of-two scale
-    # (no rounding) that makes every float32-derived component an integer,
-    # so the decimal sum is order-independent and both engines divide the
-    # identical integer back down in the same IEEE sequence.
-    oracle=f"""
-        WITH c AS (
-            SELECT label, u.e.pos AS pos, u.e.comp AS comp FROM (
-                SELECT label,
-                       unnest(list_transform(embedding::DOUBLE[],
-                              (c, i) -> struct_pack(pos := i - 1, comp := c))) AS e
-                FROM embeddings
-            ) u
-        )
-        SELECT label, pos,
-               CAST(SUM(CAST(comp * {_POW2_43} AS DECIMAL(38,0))) AS DOUBLE)
-                   / {_POW2_43} / COUNT(*) AS mean_val,
-               COUNT(*) AS n
-        FROM c GROUP BY label, pos
-    """,
-    tags=("embedding", "centroid"),
-)
-def embedding_centroid_by_label(spark, sf_dir):
-    """Per-(label, dimension) centroid: posexplode -> one partial+final
-    aggregation on the (label, pos) key — ~n_labels*dim output rows however
-    large the input.  At 100 TB this is the centroid-update half of a
-    distributed k-means iteration."""
-    e = T(spark, sf_dir, "embeddings")
-    x = e.select("label", F.posexplode(V.as_double("embedding")).alias("pos", "comp"))
-    return x.groupBy("label", "pos").agg(
-        (
-            F.sum((F.col("comp") * _POW2_43).cast("decimal(38,0)")).cast("double")
-            / _POW2_43
-            / F.count(F.lit(1))
-        ).alias("mean_val"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@register(
-    "embedding_dim_stats",
-    # per-DIMENSION corpus statistics (mean/variance/min/max) — the feature
-    # health check run before training on an embedding column (dead dims,
-    # scale drift, clipped ranges).  Exactness: comp*2^43 is an integer
-    # (power-of-two scale, no rounding), so the first-moment decimal sum is
-    # order-free; the second moment squares the DECIMAL(19,0) integer into
-    # DECIMAL(38,0) (n <= ~2^43 -> n^2 <= ~10^26, no overflow) so it is
-    # exact too; both engines then run the identical double sequence
-    # (cast, /2^43 or /2^86, /n, subtract mean^2).
-    oracle=f"""
-        WITH c AS (
-            SELECT u.e.pos AS pos, u.e.comp AS comp FROM (
-                SELECT unnest(list_transform(embedding::DOUBLE[],
-                       (c, i) -> struct_pack(pos := i - 1, comp := c))) AS e
-                FROM embeddings
-            ) u
-        ),
-        s AS (
-            SELECT pos,
-                   COUNT(*) AS n,
-                   SUM(CAST(comp * {_POW2_43} AS DECIMAL(19,0))) AS s1,
-                   SUM(CAST(comp * {_POW2_43} AS DECIMAL(19,0))
-                       * CAST(comp * {_POW2_43} AS DECIMAL(19,0))) AS s2,
-                   MIN(comp) AS min_val,
-                   MAX(comp) AS max_val
-            FROM c GROUP BY pos
-        )
-        SELECT pos, n,
-               CAST(s1 AS DOUBLE) / {_POW2_43} / n AS mean_val,
-               CAST(s2 AS DOUBLE) / {_POW2_43} / {_POW2_43} / n
-                   - (CAST(s1 AS DOUBLE) / {_POW2_43} / n)
-                     * (CAST(s1 AS DOUBLE) / {_POW2_43} / n) AS var_val,
-               min_val, max_val
-        FROM s
-    """,
-    tags=("embedding", "stats"),
-)
-def embedding_dim_stats(spark, sf_dir):
-    """posexplode -> one partial+final aggregation keyed on dimension —
-    output is O(dim) rows however large the corpus, the same rollup shape
-    a 100 TB feature-health job has.  Exact decimal moments (see oracle
-    comment); min/max are plain doubles (order-free)."""
-    e = T(spark, sf_dir, "embeddings")
-    x = e.select(F.posexplode(V.as_double("embedding")).alias("pos", "comp"))
-    iv = (F.col("comp") * _POW2_43).cast("decimal(19,0)")
-    agg = x.groupBy("pos").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(iv).alias("s1"),
-        F.sum(iv * iv).alias("s2"),
-        F.min("comp").alias("min_val"),
-        F.max("comp").alias("max_val"),
-    )
-    mean = F.col("s1").cast("double") / _POW2_43 / F.col("n")
-    return agg.select(
-        "pos",
-        "n",
-        mean.alias("mean_val"),
-        (
-            F.col("s2").cast("double") / _POW2_43 / _POW2_43 / F.col("n")
-            - mean * mean
-        ).alias("var_val"),
-        "min_val",
-        "max_val",
-    )
-
-
-@register(
-    "source_lang_gini",
-    # per-source language-mix report: how concentrated is each source's
-    # language distribution?  Gini impurity 1 - sum(p_i^2) computed as
-    # (total^2 - sum(cnt^2)) / total^2 — all-integer numerator, ONE double
-    # division, bit-identical across engines (entropy would need log(),
-    # whose last-ulp behavior libm does not pin down across engines).
-    oracle="""
-        WITH c AS (
-            SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY source, lang
-        ),
-        s AS (
-            SELECT source,
-                   CAST(SUM(cnt) AS BIGINT) AS n_docs,
-                   CAST(COUNT(*) AS BIGINT) AS n_langs,
-                   CAST(SUM(cnt * cnt) AS BIGINT) AS sq
-            FROM c GROUP BY source
-        )
-        SELECT source, n_docs, n_langs,
-               CAST(n_docs * n_docs - sq AS DOUBLE) / (n_docs * n_docs) AS gini
-        FROM s
-    """,
-    tags=("text", "lang", "stats"),
-)
-def source_lang_gini(spark, sf_dir):
-    """Two stacked partial-aggregations ((source, lang) then source) —
-    metadata-sized output, map-side combinable all the way; the mixture
-    monitoring every multi-source corpus runs per snapshot."""
-    d = T(spark, sf_dir, "documents")
-    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
-    s = c.groupBy("source").agg(
-        F.sum("cnt").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_langs"),
-        F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
-    )
-    return s.select(
-        "source",
-        "n_docs",
-        "n_langs",
-        (
-            (F.col("n_docs") * F.col("n_docs") - F.col("sq")).cast("double")
-            / (F.col("n_docs") * F.col("n_docs"))
-        ).alias("gini"),
-    )
-
-
-@register(
-    "vocab_coverage_curve",
-    # tokenizer-design curve: what fraction of the corpus's token MASS does
-    # a vocab of the top N pieces cover, for N in (16, 64, 256, 1024)?  The
-    # rank order is fully deterministic (count DESC, piece ASC), the
-    # cumulative mass is an integer window sum, and the ratio is one double
-    # division — bit-exact.  This is the plot a team reads before fixing a
-    # vocab size.
-    oracle=r"""
-        WITH pieces AS (
-            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS p
-            FROM documents
-        ),
-        counts AS (SELECT p, count(*) AS cnt FROM pieces GROUP BY p),
-        ranked AS (
-            SELECT cnt, row_number() OVER (ORDER BY cnt DESC, p) AS rn FROM counts
-        ),
-        cum AS (
-            SELECT rn, CAST(SUM(cnt) OVER (ORDER BY rn
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_mass
-            FROM ranked
-        ),
-        total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_mass FROM counts)
-        SELECT n.vocab_size,
-               COALESCE((SELECT max(cum_mass) FROM cum WHERE rn <= n.vocab_size), 0) AS covered_mass,
-               total_mass,
-               CAST(COALESCE((SELECT max(cum_mass) FROM cum WHERE rn <= n.vocab_size), 0) AS DOUBLE)
-                   / total_mass AS coverage
-        FROM (SELECT unnest([16, 64, 256, 1024]) AS vocab_size) n, total
-    """,
-    tags=("text", "tokens", "vocab", "curve"),
-)
-def vocab_coverage_curve(spark, sf_dir):
-    """Vocab build = one piece-keyed aggregation; only ranks <= 1024 feed
-    the curve, so the ranked table is BOUNDED FIRST with
-    ``orderBy(cnt DESC, p).limit(1024)`` — a TakeOrderedAndProject that
-    ships at most 1024 rows per partition to the driver-side top-k merge,
-    never a global sort.  The row_number/cumsum windows then run over that
-    <=1024-row result (single tiny partition by construction), not the full
-    piece vocabulary, which at 100 TB is 10^8-10^9 distinct pieces and
-    would serialize one executor under an unpartitioned window (r05 VERDICT
-    "What's wrong" #3).  Total mass stays a separate 1-row full aggregate.
-    Output: 4 rows, bit-identical to the unbounded formulation."""
-    from pyspark.sql.window import Window
-
-    d = T(spark, sf_dir, "documents")
-    pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
-    pieces = d.select(
-        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(pat), 0)).alias("p")
-    )
-    counts = pieces.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
-    top = counts.orderBy(F.desc("cnt"), F.asc("p")).limit(1024)
-    w = Window.orderBy(F.desc("cnt"), "p")
-    ranked = top.select(
-        "cnt", F.row_number().over(w).alias("rn")
-    ).withColumn(
-        "cum_mass",
-        F.sum("cnt").over(
-            Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    total = counts.agg(F.sum("cnt").alias("total_mass"))
-    # one conditional aggregation instead of a theta join: max(cum_mass)
-    # under each rn <= N predicate, then unpivoted to rows — no nested-loop
-    # join in the plan, and the agg input is the vocab-sized count table
-    sizes = [16, 64, 256, 1024]
-    covs = ranked.agg(
-        *[
-            F.coalesce(
-                F.max(F.when(F.col("rn") <= s, F.col("cum_mass"))), F.lit(0)
-            ).alias(f"c{s}")
-            for s in sizes
-        ]
-    )
-    row = covs.crossJoin(F.broadcast(total))
-    curve = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("vocab_size"),
-                    F.col(f"c{s}").cast("long").alias("covered_mass"),
-                )
-                for s in sizes
-            ]
-        )
-    ).alias("e")
-    return row.select(curve, "total_mass").select(
-        F.col("e.vocab_size").alias("vocab_size"),
-        F.col("e.covered_mass").alias("covered_mass"),
-        "total_mass",
-        (F.col("e.covered_mass").cast("double") / F.col("total_mass")).alias(
-            "coverage"
-        ),
-    )
-
-
-@register(
-    "embedding_norm_extremes",
-    # embedding-health outlier scan, RANK-based (no moment sums — summing
-    # irrational norms would be order-dependent across engines, and the
-    # exact-decimal second moment overflows DECIMAL(38)): the 25 largest
-    # and 25 smallest squared norms, each tail ordered deterministically
-    # by (sq_norm, vec_id).  Squared norms are exact integers under the
-    # 2^86 scale; the double cast rounds identically on both engines.
-    oracle=f"""
-        WITH sq AS (
-            SELECT vec_id,
-                   CAST(SUM(CAST(u.c * {_POW2_43} AS DECIMAL(19,0))
-                            * CAST(u.c * {_POW2_43} AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2
-            FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS c FROM embeddings) u
-            GROUP BY vec_id
-        ),
-        v AS (SELECT vec_id, CAST(s2 AS DOUBLE) / {_POW2_43} / {_POW2_43} AS sq_norm FROM sq),
-        hi AS (SELECT vec_id, sq_norm, 'high' AS tail FROM v
-               ORDER BY sq_norm DESC, vec_id LIMIT 25),
-        lo AS (SELECT vec_id, sq_norm, 'low' AS tail FROM v
-               ORDER BY sq_norm ASC, vec_id LIMIT 25)
-        SELECT * FROM hi UNION ALL SELECT * FROM lo
-    """,
-    tags=("embedding", "outlier", "stats"),
-)
-def embedding_norm_extremes(spark, sf_dir):
-    """Per-vector exact squared norm (narrow pass) then two distributed
-    top-k selections (TakeOrderedAndProject — no global sort, no
-    single-partition window): the sweep that catches corrupted or
-    mis-scaled vectors before training.  Output is 2k rows at any corpus
-    size."""
-    e = T(spark, sf_dir, "embeddings")
-    comp = e.select("vec_id", F.explode(V.as_double("embedding")).alias("c"))
-    iv = (F.col("c") * _POW2_43).cast("decimal(19,0)")
-    v = (
-        comp.groupBy("vec_id")
-        .agg(F.sum(iv * iv).alias("s2"))
-        .select(
-            "vec_id",
-            (F.col("s2").cast("double") / _POW2_43 / _POW2_43).alias("sq_norm"),
-        )
-    )
-    hi = (
-        v.orderBy(F.desc("sq_norm"), "vec_id")
-        .limit(25)
-        .select("vec_id", "sq_norm", F.lit("high").alias("tail"))
-    )
-    lo = (
-        v.orderBy(F.asc("sq_norm"), "vec_id")
-        .limit(25)
-        .select("vec_id", "sq_norm", F.lit("low").alias("tail"))
-    )
-    return hi.unionByName(lo)
-
-
-@register(
-    "semantic_dedup_verify",
-    # cross-modal near-dup audit (documents ⋈ embeddings on aligned ids):
-    # embedding-LSH candidate pairs above a cosine floor, each verified
-    # against token-set Jaccard of the paired texts.  confirmed = the text
-    # agrees; a high-cosine/low-jaccard row is a paraphrase candidate —
-    # exactly the split a semantic-dedup pass needs before deciding to drop.
-    oracle=f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        sig AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(4))} AS bucket FROM v),
-        pairs AS (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql("a", "b")} AS cosine
-            FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            WHERE {_cos_sql("a", "b")} >= 0.3
-        ),
-        t AS (SELECT doc_id, list_distinct({_toks()}) AS ts FROM documents)
-        SELECT p.id_a, p.id_b, p.cosine,
-               CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
-                   / len(list_distinct(list_concat(x.ts, y.ts))) AS jaccard,
-               CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
-                   / len(list_distinct(list_concat(x.ts, y.ts))) >= 0.5 AS confirmed
-        FROM pairs p
-        JOIN t x ON x.doc_id = p.id_a
-        JOIN t y ON y.doc_id = p.id_b
-    """,
-    tags=("dedup", "similarity", "cross-modal"),
-)
-def semantic_dedup_verify(spark, sf_dir):
-    """Semantic dedup with text verification: embedding-LSH pairs (cosine >=
-    0.3) joined to the documents table on the aligned id and scored with
-    exact token-set Jaccard.  Scale shape: inherits the LSH bucket shuffle;
-    the text verify is two id-equi joins feeding a narrow array intersect —
-    candidate-count-sized, never corpus².  At 100 TB the id join keys are
-    co-partitioned with the corpus tables, so both joins shuffle only the
-    (small) candidate set."""
-    from kwack_spark.operators.scale import widen_if_narrow
-
-    e = T(spark, sf_dir, "embeddings")
-    d = widen_if_narrow(T(spark, sf_dir, "documents"))
-    pairs = similarity.lsh_bucketed_pairs(
-        e, "vec_id", "embedding", planes=4, dim=64, threshold=0.3
-    )
-    ts = d.select(F.col("doc_id"), TX.token_set("text").alias("ts"))
-    ta = ts.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"))
-    tb = ts.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"))
-    jac = (
-        F.size(F.array_intersect("ts_a", "ts_b"))
-        / F.size(F.array_union("ts_a", "ts_b"))
-    ).cast("double")
-    return (
-        pairs.join(ta, "id_a")
-        .join(tb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "cosine",
-            jac.alias("jaccard"),
-            (jac >= 0.5).alias("confirmed"),
-        )
-    )
-
-
-@register(
-    "streaming_session_counts",
-    # gap-based session windows through Structured Streaming's stateful
-    # session-window operator, replayed to end-of-stream; must equal the
-    # batch islands-and-gaps SQL (same oracle as the batch session_windows
-    # query, projected to the same columns)
-    oracle="""
-        WITH m AS (
-            SELECT user_id, ts,
-                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                             < INTERVAL 30 MINUTE
-                        THEN 0 ELSE 1 END AS new_s
-            FROM events
-        ),
-        s AS (
-            SELECT user_id, ts,
-                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-            FROM m
-        )
-        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
-        FROM s GROUP BY user_id, sid
-    """,
-    tags=("streaming", "session"),
-)
-def streaming_session_counts(spark, sf_dir):
-    """SURVEY §2.C session windows in STREAMING mode under the correctness
-    gate: events replayed as a file-source stream, session_window state
-    merged across micro-batches (streaming/ingest.py:session_counts),
-    complete-mode memory sink == batch session assignment.  State is
-    watermark-bounded; at production rates session state is O(active
-    sessions), not O(stream length)."""
-    import tempfile
-    import uuid
-
-    from kwack_spark.streaming import ingest as si
-
-    e = T(spark, sf_dir, "events")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_stream_replay_")
-    e.write.mode("overwrite").parquet(replay_dir)
-    stream = spark.readStream.schema(e.schema).parquet(replay_dir)
-    agg = si.session_counts(
-        stream, "ts", keys=["user_id"], gap="30 minutes", watermark="10 minutes"
-    )
-    sink = f"strm_{uuid.uuid4().hex[:8]}"
-    with _few_shuffle_partitions(spark):
-        q = si.to_memory_sink(agg, sink, output_mode="complete")
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "streaming_session_counts: stream did not finish in 300s"
-            )
-    return spark.table(sink).select("user_id", "session_start", "n_events")
-
-
-@register(
-    "text_bigram_logprob",
-    # bigram LM fluency score with an exact kernel: mean conditional
-    # probability sum( c(w1 w2) / c(w1) ) / n_bigrams.  Each division is
-    # pre-scaled to an integer (round(1e9 * c2 / c1) — the same IEEE divide
-    # and round on both engines), so the per-doc sum is order-independent
-    # integer arithmetic; only the final two divisions are IEEE.
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        bg AS (
-            SELECT doc_id, unnest(({_SHINGLES_2})) AS bg
-            FROM toks WHERE len(tk) >= 2
-        ),
-        uni AS (
-            SELECT w, count(*) AS c1
-            FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w
-        ),
-        bgc AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
-        scored AS (
-            SELECT b.doc_id,
-                   CAST(round(1000000000.0 * c.c2 / u.c1) AS BIGINT) AS p_scaled
-            FROM bg b
-            JOIN bgc c USING (bg)
-            JOIN uni u ON u.w = string_split(b.bg, ' ')[1]
-        )
-        SELECT doc_id,
-               count(*) AS n_bigrams,
-               CAST(sum(p_scaled) AS DOUBLE) / 1000000000.0 / count(*)
-                   AS mean_condprob
-        FROM scored GROUP BY doc_id
-    """,
-    tags=("text", "quality", "lm"),
-)
-def text_bigram_logprob(spark, sf_dir):
-    """Bigram language-model fluency filter (the CCNet/KenLM shape with an
-    exact conditional-probability kernel — a real deployment swaps a logprob
-    Pandas UDF into the same joins).  Scale shape: bigram and unigram count
-    tables are vocabulary-sized (broadcastable at 100 TB); the corpus side
-    is one explode feeding two broadcast-hash joins and a per-doc partial+
-    final rollup — a single doc_id shuffle."""
-    from pyspark.sql import Window  # noqa: F401  (kept for parity with siblings)
-
-    d = T(spark, sf_dir, "documents")
-    toks = d.select("doc_id", TX.tokens("text").alias("tk")).where(F.size("tk") >= 2)
-    bg = toks.select("doc_id", F.explode(TX.shingles(F.col("tk"), 2)).alias("bg"))
-    uni = (
-        d.select(F.explode(TX.tokens("text")).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c1"))
-    )
-    bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
-    scored = (
-        bg.join(F.broadcast(bgc), "bg")
-        .join(
-            F.broadcast(uni),
-            F.element_at(F.split(F.col("bg"), " "), 1) == F.col("w"),
-        )
-        .select(
-            "doc_id",
-            F.round(F.lit(1_000_000_000.0) * F.col("c2") / F.col("c1"))
-            .cast("bigint")
-            .alias("p_scaled"),
-        )
-    )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        (
-            F.sum("p_scaled").cast("double") / 1_000_000_000.0 / F.count(F.lit(1))
-        ).alias("mean_condprob"),
-    )
-
-
-@register(
-    "text_kneser_ney_bigram",
-    # interpolated Kneser-Ney bigram scoring — the smoothing the
-    # CCNet/KenLM quality filter actually ships (absolute discount
-    # D=0.75, continuation probability from distinct-predecessor counts):
-    #   P_kn(w2|w1) = max(c(w1w2) - D, 0)/c(w1.)
-    #               + (D * N1+(w1,.)/c(w1.)) * (N1+(.,w2) / N1+(..))
-    # Every input is an integer count, the probability is ONE fixed-shape
-    # IEEE expression evaluated identically here and in Spark, and each
-    # per-bigram value is round-scaled to an integer (1e9) so the per-doc
-    # sum is order-independent — the text_bigram_logprob determinism
-    # recipe applied to a smoothed model.
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        bg AS (
-            SELECT doc_id, unnest(({_SHINGLES_2})) AS bg
-            FROM toks WHERE len(tk) >= 2
-        ),
-        bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY bg),
-        ctx AS (
-            SELECT string_split(bg, ' ')[1] AS w1,
-                   CAST(sum(c2) AS BIGINT) AS c1,
-                   CAST(count(*) AS BIGINT) AS nf
-            FROM bgc GROUP BY 1
-        ),
-        prec AS (
-            SELECT string_split(bg, ' ')[2] AS w2,
-                   CAST(count(*) AS BIGINT) AS np
-            FROM bgc GROUP BY 1
-        ),
-        nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM bgc),
-        scored AS (
-            SELECT b.doc_id,
-                   CAST(round(1000000000.0 * (
-                       greatest(CAST(c.c2 AS DOUBLE) - 0.75, 0.0)
-                           / CAST(x.c1 AS DOUBLE)
-                       + ((0.75 * CAST(x.nf AS DOUBLE)) / CAST(x.c1 AS DOUBLE))
-                           * (CAST(p.np AS DOUBLE) / CAST(t.nt AS DOUBLE))
-                   )) AS BIGINT) AS p_scaled
-            FROM bg b
-            JOIN bgc c USING (bg)
-            JOIN ctx x ON x.w1 = string_split(b.bg, ' ')[1]
-            JOIN prec p ON p.w2 = string_split(b.bg, ' ')[2]
-            CROSS JOIN nt t
-        )
-        SELECT doc_id,
-               count(*) AS n_bigrams,
-               CAST(sum(p_scaled) AS DOUBLE) / 1000000000.0 / count(*)
-                   AS mean_kn_prob
-        FROM scored GROUP BY doc_id
-    """,
-    tags=("text", "quality", "lm", "smoothing"),
-)
-def text_kneser_ney_bigram(spark, sf_dir):
-    """Per-document mean interpolated Kneser-Ney bigram probability — the
-    smoothed upgrade of text_bigram_logprob (raw conditional probability
-    assigns mass only to seen bigrams; KN's continuation term is what
-    makes an LM-based quality filter usable on held-out text).  Scale
-    shape unchanged from the sibling: the bigram-type, context, and
-    predecessor tables are all VOCABULARY-sized (broadcastable at 100 TB
-    — they grow ~Heaps, not with the corpus), the type total is a 1-row
-    broadcast, and the corpus side is one explode feeding broadcast-hash
-    joins into a single per-doc rollup shuffle."""
-    d = T(spark, sf_dir, "documents")
-    toks = d.select("doc_id", TX.tokens("text").alias("tk")).where(F.size("tk") >= 2)
-    bg = toks.select("doc_id", F.explode(TX.shingles(F.col("tk"), 2)).alias("bg"))
-    bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
-    w1 = F.element_at(F.split(F.col("bg"), " "), 1)
-    w2 = F.element_at(F.split(F.col("bg"), " "), 2)
-    ctx = bgc.groupBy(w1.alias("w1")).agg(
-        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("nf")
-    )
-    prec = bgc.groupBy(w2.alias("w2")).agg(F.count(F.lit(1)).alias("np"))
-    nt = bgc.agg(F.count(F.lit(1)).alias("nt"))
-    pkn = (
-        F.greatest(F.col("c2").cast("double") - 0.75, F.lit(0.0))
-        / F.col("c1").cast("double")
-        + ((0.75 * F.col("nf").cast("double")) / F.col("c1").cast("double"))
-        * (F.col("np").cast("double") / F.col("nt").cast("double"))
-    )
-    scored = (
-        bg.join(F.broadcast(bgc), "bg")
-        .join(F.broadcast(ctx), w1 == F.col("w1"))
-        .join(F.broadcast(prec), w2 == F.col("w2"))
-        .crossJoin(F.broadcast(nt))
-        .select(
-            "doc_id",
-            F.round(F.lit(1_000_000_000.0) * pkn).cast("bigint").alias("p_scaled"),
-        )
-    )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        (
-            F.sum("p_scaled").cast("double") / 1_000_000_000.0 / F.count(F.lit(1))
-        ).alias("mean_kn_prob"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Approximation-quality gate: IVF recall measured against exact brute force
-# ---------------------------------------------------------------------------
-
-from kwack_spark.plans.registry import QUERIES as _Q  # noqa: E402
-
-
-@register(
-    "ann_ivf_recall",
-    # recall@3 of the IVF index vs the exact top-3: the quality number an
-    # approximate index must publish.  Integer-ratio exact (matched / total)
-    # — composed from the two already-registered pipelines' own oracles, so
-    # the three stay in lockstep by construction.
-    oracle=f"""
-        SELECT count(*) AS n_matched,
-               (SELECT count(*) FROM ({_Q["ann_brute_force_topk"].oracle}) b)
-                   AS n_exact,
-               CAST(count(*) AS DOUBLE)
-                   / (SELECT count(*) FROM ({_Q["ann_brute_force_topk"].oracle}) b2)
-                   AS recall
-        FROM ({_Q["ann_ivf_topk"].oracle}) ivf
-        JOIN ({_Q["ann_brute_force_topk"].oracle}) bf
-          ON ivf.query_id = bf.query_id AND ivf.corpus_id = bf.corpus_id
-    """,
-    tags=("similarity", "ann", "quality-gate"),
-)
-def ann_ivf_recall(spark, sf_dir):
-    """How much the IVF approximation loses: |IVF∩exact| / |exact| over all
-    queries' top-3 sets.  At 100 TB this is the recurring audit query run on
-    a sampled query set after every index rebuild; the join is tiny (k rows
-    per query on both sides)."""
-    ivf = _Q["ann_ivf_topk"].fn(spark, sf_dir)
-    bf = _Q["ann_brute_force_topk"].fn(spark, sf_dir)
-    matched = ivf.join(bf, ["query_id", "corpus_id"], "inner").count()
-    n_exact = bf.count()
-    import pyspark.sql.types as T_
-
-    # NULL recall on an empty truth set (a degenerate sample), matching
-    # DuckDB's x/0 -> NULL instead of raising ZeroDivisionError
-    return spark.createDataFrame(
-        [(matched, n_exact, float(matched) / n_exact if n_exact else None)],
-        T_.StructType(
-            [
-                T_.StructField("n_matched", T_.LongType(), False),
-                T_.StructField("n_exact", T_.LongType(), False),
-                T_.StructField("recall", T_.DoubleType(), True),
-            ]
-        ),
-    )
-
-
-@register(
-    "ann_index_persist_roundtrip",
-    # the index-as-artifact contract: ivf_assign's centroids + assignment
-    # tables land as PLAIN PARQUET, a fresh session reads them back, and
-    # the probe over the reloaded index must return EXACTLY what the
-    # in-memory compose returns — same oracle as ann_ivf_topk, so any
-    # loss in the roundtrip (dropped norm column, float truncation, row
-    # reorder) fails the hash.  This is the operational path at 100 TB:
-    # build/train once, write, amortize over every query batch.
-    oracle=None,  # set right below to ann_ivf_topk's oracle verbatim
-    tags=("similarity", "ann", "index", "persistence"),
-)
-def ann_index_persist_roundtrip(spark, sf_dir):
-    """IVF index persistence roundtrip: assign (n_lists=16, 1 Lloyd
-    refine — the exact configuration ann_ivf_topk composes), write the
-    (cid, cv) and (corpus_id, v, list_id) tables to parquet, read them
-    back, probe with n_probe=6.  ivf_probe_topk re-derives the norm
-    column a parquet roundtrip drops, so the reloaded index is
-    bit-equivalent; at scale the assigned table would land BUCKETED on
-    list_id so probes co-locate."""
-    import tempfile
-
-    e = T(spark, sf_dir, "embeddings")
-    cents, assigned = similarity.ivf_assign(
-        e, "vec_id", "embedding", n_lists=16, refine_iters=1
-    )
-    idx_dir = tempfile.mkdtemp(prefix="kwack_ivf_idx_")
-    cents.select("cid", "cv").write.mode("overwrite").parquet(f"{idx_dir}/cents")
-    assigned.write.mode("overwrite").parquet(f"{idx_dir}/assigned")
-    cents_r = spark.read.parquet(f"{idx_dir}/cents")
-    assigned_r = spark.read.parquet(f"{idx_dir}/assigned")
-    return similarity.ivf_probe_topk(
-        cents_r, assigned_r, e, "vec_id", "embedding", k=3, n_probe=6
-    )
-
-
-# the roundtrip must answer exactly what the in-memory index answers
-_Q["ann_index_persist_roundtrip"] = type(_Q["ann_ivf_topk"])(
-    fn=_Q["ann_index_persist_roundtrip"].fn,
-    oracle=_Q["ann_ivf_topk"].oracle,
-    tags=_Q["ann_index_persist_roundtrip"].tags,
-)
-
-
-_IVF_COS = (
-    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
-    "* sqrt(list_dot_product({b}, {b})))"
-)
-
-
-@register(
-    "ann_ivf_adaptive_recall",
-    # the ADAPTIVE-n_lists IVF audit (r07 VERDICT ask #3, the IVF sibling
-    # of ann_lsh_adaptive): n_lists = smallest power of two P >= 16 with
-    # P*P >= corpus rows (sqrt(n) rounded up — pure INTEGER arithmetic so
-    # both engines agree on the boundary, no float log2) with a FIXED
-    # n_probe = 8 budget, so each query's candidate count is
-    # n_probe * n / n_lists ~ 8 * sqrt(n) — sublinear in the corpus, where
-    # fixed n_lists scans a constant FRACTION (O(n) per query forever).
-    # The recall trade of the shrinking probed fraction is exactly what
-    # this query measures, against the registered brute-force oracle.
-    oracle=f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        prm AS (
-            SELECT MIN(p) AS n_lists, 8 AS n_probe
-            FROM (SELECT unnest([16,32,64,128,256,512,1024,2048,4096,8192,
-                                 16384,32768,65536]) AS p),
-                 (SELECT count(*) AS n FROM v)
-            WHERE CAST(p AS BIGINT) * p >= n
-        ),
-        cents AS (
-            SELECT cid, cv FROM (
-                SELECT vec_id AS cid, v AS cv,
-                       row_number() OVER (ORDER BY vec_id) AS rn
-                FROM v
-            ) r CROSS JOIN prm WHERE rn <= n_lists
-        ),
-        assigned AS (
-            SELECT corpus_id, v, cid AS list_id FROM (
-                SELECT a.vec_id AS corpus_id, a.v, c.cid,
-                       row_number() OVER (
-                           PARTITION BY a.vec_id
-                           ORDER BY {_IVF_COS.format(a="a.v", b="c.cv")} DESC,
-                                    c.cid
-                       ) AS rn
-                FROM v a CROSS JOIN cents c
-            ) WHERE rn = 1
-        ),
-        probes AS (
-            SELECT query_id, qv, cid AS list_id FROM (
-                SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
-                       row_number() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY {_IVF_COS.format(a="q.v", b="c.cv")} DESC,
-                                    c.cid
-                       ) AS rn
-                FROM v q CROSS JOIN cents c
-            ) r CROSS JOIN prm WHERE rn <= n_probe
-        ),
-        ivf AS (
-            SELECT query_id, corpus_id FROM (
-                SELECT p.query_id, a.corpus_id,
-                       row_number() OVER (
-                           PARTITION BY p.query_id
-                           ORDER BY {_IVF_COS.format(a="p.qv", b="a.v")} DESC,
-                                    a.corpus_id
-                       ) AS rank
-                FROM probes p JOIN assigned a USING (list_id)
-                WHERE p.query_id <> a.corpus_id
-            ) WHERE rank <= 3
-        ),
-        bfx AS MATERIALIZED (
-            SELECT query_id, corpus_id FROM ({{BF}}) b
-        )
-        SELECT (SELECT CAST(n_lists AS BIGINT) FROM prm) AS n_lists,
-               (SELECT CAST(n_probe AS BIGINT) FROM prm) AS n_probe,
-               CAST(count(*) AS BIGINT) AS n_matched,
-               (SELECT count(*) FROM bfx) AS n_exact,
-               CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM bfx) AS recall
-        FROM ivf JOIN bfx USING (query_id, corpus_id)
-    """.replace("{BF}", _Q["ann_brute_force_topk"].oracle),
-    tags=("similarity", "ann", "ivf", "adaptive", "quality-gate"),
-)
-def ann_ivf_adaptive_recall(spark, sf_dir):
-    """recall@3 of the auto-sized IVF index (similarity.auto_n_lists —
-    n_lists ~ sqrt(n) rounded up to a power of two, FIXED n_probe=8)
-    vs the exact brute-force top-3.  Why adaptive matters at 100 TB: with
-    FIXED n_lists=16 each query's probe set holds n_probe/16 of the CORPUS
-    — probing is O(n) per query forever, and the per-list candidate join
-    has only 16 distinct keys to parallelize over.  At n_lists ~ sqrt(n)
-    with a FIXED n_probe budget, the centroid scan and the probed
-    candidate count both grow as sqrt(n), and the list_id join key space
-    widens with the data (the skew fix the fixed variant can't have).
-    The one count() the sizing needs is a parquet-metadata action; the
-    seed take is a distributed TakeOrdered of ~sqrt(n) rows.  SCALING.md
-    records the measured exponent vs the fixed variant
-    (tools/scale_stress.py)."""
-    e = T(spark, sf_dir, "embeddings")
-    n_lists = similarity.auto_n_lists(e.count())
-    n_probe = 8
-    ivf = similarity.ivf_topk(
-        e, e, "vec_id", "embedding",
-        k=3, n_lists=n_lists, n_probe=n_probe, refine_iters=0,
-    )
-    bf = _Q["ann_brute_force_topk"].fn(spark, sf_dir)
-    matched = ivf.join(bf, ["query_id", "corpus_id"], "inner").count()
-    n_exact = bf.count()
-    import pyspark.sql.types as T_
-
-    # NULL recall on an empty truth set, matching DuckDB's x/0 -> NULL
-    return spark.createDataFrame(
-        [(
-            n_lists,
-            n_probe,
-            matched,
-            n_exact,
-            float(matched) / n_exact if n_exact else None,
-        )],
-        T_.StructType(
-            [
-                T_.StructField("n_lists", T_.LongType(), False),
-                T_.StructField("n_probe", T_.LongType(), False),
-                T_.StructField("n_matched", T_.LongType(), False),
-                T_.StructField("n_exact", T_.LongType(), False),
-                T_.StructField("recall", T_.DoubleType(), True),
-            ]
-        ),
-    )
-
-
-@register(
-    "ann_pq_recall",
-    # recall@3 of PQ's ADC ranking vs the exact cosine top-3 — the
-    # compression-loss audit a PQ index must publish (the IVF twin above
-    # audits the probe loss; together they bound IVF-PQ's quality)
-    oracle=f"""
-        SELECT count(*) AS n_matched,
-               (SELECT count(*) FROM ({_Q["ann_brute_force_topk"].oracle}) b)
-                   AS n_exact,
-               CAST(count(*) AS DOUBLE)
-                   / (SELECT count(*) FROM ({_Q["ann_brute_force_topk"].oracle}) b2)
-                   AS recall
-        FROM ({_Q["ann_pq_topk"].oracle}) pq
-        JOIN ({_Q["ann_brute_force_topk"].oracle}) bf
-          ON pq.query_id = bf.query_id AND pq.corpus_id = bf.corpus_id
-    """,
-    tags=("similarity", "ann", "pq", "quality-gate"),
-)
-def ann_pq_recall(spark, sf_dir):
-    """How much 32x compression loses: |PQ-ADC top-3 ∩ exact top-3| /
-    |exact| — integer-ratio exact, composed from the two registered
-    pipelines' own oracles so all three stay in lockstep."""
-    pq = _Q["ann_pq_topk"].fn(spark, sf_dir)
-    bf = _Q["ann_brute_force_topk"].fn(spark, sf_dir)
-    matched = pq.join(bf, ["query_id", "corpus_id"], "inner").count()
-    n_exact = bf.count()
-    import pyspark.sql.types as T_
-
-    # NULL recall on an empty truth set, matching DuckDB's x/0 -> NULL
-    return spark.createDataFrame(
-        [(matched, n_exact, float(matched) / n_exact if n_exact else None)],
-        T_.StructType(
-            [
-                T_.StructField("n_matched", T_.LongType(), False),
-                T_.StructField("n_exact", T_.LongType(), False),
-                T_.StructField("recall", T_.DoubleType(), True),
-            ]
-        ),
-    )
-
-
 # shared 64-bit SimHash CTE chain: per-token hash stream -> BIGINT
 # fingerprint -> 4x16-bit slice rows (65,536 buckets/block); mirrors
 # operators/dedup.py:_simhash64_sliced
@@ -7281,1040 +422,6 @@ _SIMHASH64_CTES = f"""toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
             FROM fps, (SELECT unnest([0, 1, 2, 3]) AS blk)
         )"""
 
-
-@register(
-    "dedup_simhash_hamming",
-    # multi-block pigeonhole blocking (Manku et al. WWW'07) at the paper's
-    # production width: any pair within Hamming distance 3 of a 64-bit
-    # simhash agrees exactly on one of 4 16-bit slices, so candidates come
-    # from slice-equality joins over 65,536 buckets/block, never all pairs;
-    # the verify is one bit_count(xor) per candidate.  Exact md5 bit
-    # arithmetic on both engines covers blocking AND verify.
-    oracle=f"""
-        WITH {_SIMHASH64_CTES},
-        cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                   a.fp AS fp_a, b.fp AS fp_b
-            FROM sliced a JOIN sliced b
-              ON a.blk = b.blk AND a.slc = b.slc AND a.doc_id < b.doc_id
-        )
-        SELECT id_a, id_b,
-               CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
-        FROM cand
-        WHERE bit_count(xor(fp_a, fp_b)) <= 3
-        ORDER BY id_a, id_b
-    """,
-    tags=("dedup", "simhash", "hamming"),
-)
-def dedup_simhash_hamming(spark, sf_dir):
-    """Hamming-metric near-dup pairs over 64-bit SimHash fingerprints
-    (operators/dedup.py:simhash64_hamming_pairs) — the WWW'07 web-crawl
-    dedup shape: 16-bit-slice blocking bounds candidates (the 8-bit-slice
-    32-bit variant measured 112 s at sf0.1 — simhash majority-bits skew on
-    homogeneous corpora, so bucket count is the lever), a single
-    bit_count(fp_a ^ fp_b) LONG instruction verifies each.  Complements
-    MinHash-LSH (Jaccard metric) with the fixed-width fingerprint family
-    whose persisted index is 8 bytes/doc."""
-    from kwack_spark.operators import dedup
-
-    return dedup.simhash64_hamming_pairs(
-        T(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
-    ).orderBy("id_a", "id_b")
-
-
-@register(
-    "dedup_simhash_hamming_d6",
-    # block-combination blocking (Manku WWW'07 §3) for Hamming budgets the
-    # single-slice pigeonhole can't reach: distance <= 6 of a 64-bit
-    # simhash leaves >= 2 of 8 8-bit slices untouched, so some slice PAIR
-    # matches exactly — C(8,2)=28 combo tables, each keyed by the same
-    # 16 bits that keep the d<=3 family's buckets flat.  Exact md5 bit
-    # arithmetic on both engines covers blocking AND verify.
-    oracle=f"""
-        WITH {_SIMHASH64_CTES},
-        combo AS (
-            SELECT f.doc_id, f.fp, b1.blk AS c1, b2.blk AS c2,
-                   ((f.fp >> (b1.blk * 8)) & 255) * 256
-                   + ((f.fp >> (b2.blk * 8)) & 255) AS key
-            FROM fps f,
-                 (SELECT unnest([0,1,2,3,4,5,6,7]) AS blk) b1,
-                 (SELECT unnest([0,1,2,3,4,5,6,7]) AS blk) b2
-            WHERE b1.blk < b2.blk
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                   a.fp AS fp_a, b.fp AS fp_b
-            FROM combo a JOIN combo b
-              ON a.c1 = b.c1 AND a.c2 = b.c2 AND a.key = b.key
-             AND a.doc_id < b.doc_id
-        )
-        SELECT id_a, id_b,
-               CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
-        FROM cand
-        WHERE bit_count(xor(fp_a, fp_b)) <= 6
-        ORDER BY id_a, id_b
-    """,
-    tags=("dedup", "simhash", "hamming", "combo"),
-)
-def dedup_simhash_hamming_d6(spark, sf_dir):
-    """Wider-budget Hamming near-dup via block-combo tables
-    (operators/dedup.py:simhash64_hamming_pairs_combo) — the escape hatch
-    the d<=3 family's docstrings promise for when a corpus outgrows its
-    slice space: 28 combo tables hold the 65,536-bucket key width while
-    reaching distance 6.  Work is 3.5x the single-slice explode but still
-    n-linear; one bit_count verifies each distinct collision."""
-    from kwack_spark.operators import dedup
-
-    return dedup.simhash64_hamming_pairs_combo(
-        T(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6, blocks=8
-    ).orderBy("id_a", "id_b")
-
-
-@register(
-    "simhash_slice_occupancy",
-    # Bucket-occupancy audit for the 64-bit SimHash slice index: per block,
-    # how many buckets exist, the worst and mean occupancy, and the
-    # candidate-pair mass sum(c*(c-1)/2) its self-join will generate — the
-    # observability a blocked join must publish at 100 TB to prove its
-    # buckets stayed flat (superlinear n_cand_pairs growth is the signal to
-    # move to block-combo tables; see operators/dedup.py docstring).
-    oracle=f"""
-        WITH {_SIMHASH64_CTES},
-        per_bucket AS (
-            SELECT blk, slc, count(*) AS c FROM sliced GROUP BY 1, 2
-        )
-        SELECT blk, count(*) AS n_buckets,
-               CAST(max(c) AS BIGINT) AS max_occupancy,
-               CAST(SUM(c) AS DOUBLE) / count(*) AS mean_occupancy,
-               CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_cand_pairs
-        FROM per_bucket GROUP BY blk ORDER BY blk
-    """,
-    tags=("dedup", "simhash", "audit", "observability"),
-)
-def simhash_slice_occupancy(spark, sf_dir):
-    """Measured-occupancy guard for SimHash pigeonhole blocking
-    (operators/dedup.py:simhash64_block_occupancy) — the Hamming-metric
-    sibling of the auto_planes occupancy policy: auto_planes *holds*
-    occupancy by growing the bucket space with n; a fixed 64-bit slice
-    index instead *audits* it, and this query is the audit."""
-    from kwack_spark.operators import dedup
-
-    return dedup.simhash64_block_occupancy(
-        T(spark, sf_dir, "documents"), "doc_id", "text", blocks=4
-    )
-
-
-@register(
-    "streaming_state_observability",
-    # state-store observability for the stateful streaming kernels: after
-    # draining a replayed stream, the query's OWN progress metrics
-    # (StreamingQueryProgress.stateOperators.numRowsTotal — what a
-    # production monitor scrapes) are compared against the batch-computed
-    # distinct key count, proving the bounded-state invariant the 100-TB
-    # claims rest on: one state row per (blk, slc) bucket for the sliced
-    # Hamming kernel, one per frame-hash bucket for the key-collision
-    # kernel — state tracks DISTINCT KEYS, never stream length.  The
-    # oracle states the exact key counts in closed form (the keyframe
-    # fixture + the simhash slice chain), so a kernel that leaked state
-    # rows (e.g. per-arrival rows instead of per-key) fails the hash.
-    oracle=f"""
-        WITH {_SIMHASH64_CTES},
-        p AS (
-            SELECT doc_id, doc_id % 64 AS g, (doc_id // 64) % 4 AS v
-            FROM documents
-        ),
-        kf AS (
-            SELECT doc_id,
-                   CASE WHEN v > 0 AND i = 4 * (v - 1)
-                        THEN 'vv:' || g::VARCHAR || ':' || v::VARCHAR
-                        ELSE 'vf:' || g::VARCHAR || ':' || i::VARCHAR
-                   END AS fkey
-            FROM p, unnest([0, 4, 8, 12, 16, 20, 24, 28]) AS t(i)
-        ),
-        vk AS (SELECT CAST(count(DISTINCT fkey) AS BIGINT) AS n FROM kf),
-        sk AS (
-            SELECT CAST(count(*) AS BIGINT) AS n
-            FROM (SELECT DISTINCT blk, slc FROM sliced)
-        )
-        SELECT 'key_collision' AS kernel, n AS state_rows, n AS n_keys,
-               TRUE AS state_bounded
-        FROM vk
-        UNION ALL
-        SELECT 'simhash_sliced' AS kernel, n AS state_rows, n AS n_keys,
-               TRUE AS state_bounded
-        FROM sk
-        ORDER BY kernel
-    """,
-    tags=("streaming", "stateful", "audit", "observability"),
-)
-def streaming_state_observability(spark, sf_dir):
-    """Measured state-store growth for the two id-set stateful kernels
-    (streaming/ingest.py:stateful_key_collision_pairs,
-    stateful_simhash_neardup): replay each kernel's stream, then read the
-    final StreamingQueryProgress stateOperators.numRowsTotal — the number
-    the state store actually holds — and emit it against the
-    batch-computed distinct-key count.  state_bounded asserts
-    state_rows <= n_keys; the oracle pins equality (every key stores
-    exactly one row), so the graded artifact MEASURES the bounded-state
-    claim instead of arguing it.  The scalar collects here are one count
-    and one progress dict per kernel — constant-size observability, not
-    data."""
-    import tempfile
-    import uuid
-
-    from kwack_spark.streaming import ingest as si
-
-    def drain(prep, build_stateful):
-        replay_dir = tempfile.mkdtemp(prefix="kwack_stateobs_")
-        prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
-        stream = (
-            spark.readStream.schema(prep.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(replay_dir)
-        )
-        sink = f"obs_{uuid.uuid4().hex[:8]}"
-        with _few_shuffle_partitions(spark):
-            q = si.to_memory_sink(
-                build_stateful(stream), sink, output_mode="append"
-            )
-            if not q.awaitTermination(300):
-                q.stop()
-                raise TimeoutError(
-                    "streaming_state_observability: stream did not finish"
-                )
-        progress = q.lastProgress
-        return int(progress["stateOperators"][0]["numRowsTotal"])
-
-    rows = []
-    kf = _video_keyframes(spark, sf_dir).select("doc_id", "frame_md5")
-    n_keys_v = kf.select("frame_md5").distinct().count()
-    state_v = drain(
-        kf,
-        lambda s: si.stateful_key_collision_pairs(
-            s, "frame_md5", "doc_id", max_ids=4096
-        ),
-    )
-    rows.append(("key_collision", state_v, n_keys_v, state_v <= n_keys_v))
-
-    prep = dedup._simhash64_sliced(
-        dedup.simhash64_fingerprints(
-            T(spark, sf_dir, "documents"), "doc_id", "text"
-        ),
-        "doc_id",
-        blocks=4,
-    )
-    n_keys_s = prep.select("blk", "slc").distinct().count()
-    state_s = drain(
-        prep, lambda s: si.stateful_simhash_neardup(s, max_hamming=3)
-    )
-    rows.append(("simhash_sliced", state_s, n_keys_s, state_s <= n_keys_s))
-
-    return spark.createDataFrame(
-        rows, "kernel string, state_rows long, n_keys long, state_bounded boolean"
-    ).orderBy("kernel")
-
-
-@register(
-    "textrank_keywords",
-    # TextRank (PageRank over the ±2-window co-occurrence graph, 5 fixed
-    # iterations, d=0.85): the classic unsupervised keyword extractor.
-    # Every iteration's neighbor sum goes through exact DECIMAL (the only
-    # order-dependent step), so the 5-step fixpoint is bit-identical on
-    # both engines; ranks read off the 9dp-rounded final score.
-    oracle="""
-        WITH toks AS (
-            SELECT doc_id, list_filter(
-                string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
-                t -> len(t) > 0) AS tk
-            FROM documents
-        ),
-        prs AS (
-            SELECT unnest(flatten([
-                [struct_pack(w1 := tk[i], w2 := tk[i + 1])
-                 FOR i IN range(1, greatest(len(tk), 1))],
-                [struct_pack(w1 := tk[i], w2 := tk[i + 2])
-                 FOR i IN range(1, greatest(len(tk) - 1, 1))]
-            ]), recursive := true)
-            FROM toks
-        ),
-        edges AS (
-            SELECT w1 AS src, w2 AS dst FROM prs WHERE w1 <> w2
-            UNION
-            SELECT w2 AS src, w1 AS dst FROM prs WHERE w1 <> w2
-        ),
-        deg AS (SELECT src AS token, CAST(count(*) AS BIGINT) AS deg
-                FROM edges GROUP BY src),
-        n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM deg),
-        p0 AS (SELECT d.token, 1.0 / n.nt AS p FROM deg d CROSS JOIN n),
-        p1 AS (
-            SELECT e.dst AS token,
-                   0.15 / n.nt + 0.85 * CAST(SUM(CAST(pp.p / d.deg
-                       AS DECIMAL(28,15))) AS DOUBLE) AS p
-            FROM edges e
-            JOIN p0 pp ON pp.token = e.src
-            JOIN deg d ON d.token = e.src
-            CROSS JOIN n
-            GROUP BY e.dst, n.nt
-        ),
-        p2 AS (
-            SELECT e.dst AS token,
-                   0.15 / n.nt + 0.85 * CAST(SUM(CAST(pp.p / d.deg
-                       AS DECIMAL(28,15))) AS DOUBLE) AS p
-            FROM edges e
-            JOIN p1 pp ON pp.token = e.src
-            JOIN deg d ON d.token = e.src
-            CROSS JOIN n
-            GROUP BY e.dst, n.nt
-        ),
-        p3 AS (
-            SELECT e.dst AS token,
-                   0.15 / n.nt + 0.85 * CAST(SUM(CAST(pp.p / d.deg
-                       AS DECIMAL(28,15))) AS DOUBLE) AS p
-            FROM edges e
-            JOIN p2 pp ON pp.token = e.src
-            JOIN deg d ON d.token = e.src
-            CROSS JOIN n
-            GROUP BY e.dst, n.nt
-        ),
-        p4 AS (
-            SELECT e.dst AS token,
-                   0.15 / n.nt + 0.85 * CAST(SUM(CAST(pp.p / d.deg
-                       AS DECIMAL(28,15))) AS DOUBLE) AS p
-            FROM edges e
-            JOIN p3 pp ON pp.token = e.src
-            JOIN deg d ON d.token = e.src
-            CROSS JOIN n
-            GROUP BY e.dst, n.nt
-        ),
-        p5 AS (
-            SELECT e.dst AS token,
-                   0.15 / n.nt + 0.85 * CAST(SUM(CAST(pp.p / d.deg
-                       AS DECIMAL(28,15))) AS DOUBLE) AS p
-            FROM edges e
-            JOIN p4 pp ON pp.token = e.src
-            JOIN deg d ON d.token = e.src
-            CROSS JOIN n
-            GROUP BY e.dst, n.nt
-        )
-        SELECT token, round(p, 9) AS score
-        FROM p5
-        ORDER BY score DESC, token
-        LIMIT 15
-    """,
-    tags=("text", "graph", "textrank", "iterative"),
-)
-def textrank_keywords(spark, sf_dir):
-    """TextRank keywords: 5 unrolled PageRank steps over the undirected
-    co-occurrence graph.  Scale shape: the graph is vocabulary-sized (far
-    below the corpus after the one explode+distinct pass), every iteration
-    is one token-keyed join+agg whose shuffle AQE reuses across steps, and
-    the damping scalar broadcasts; the corpus itself is scanned exactly
-    once.  Exact-decimal neighbor sums keep the fixpoint deterministic
-    under any partial-aggregation order."""
-    d = T(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = d.select(TX.tokens("text").alias("tk"))
-    p1 = (
-        "CASE WHEN size(tk) > 1 THEN transform(sequence(0, size(tk) - 2), "
-        "i -> struct(tk[i] AS w1, tk[i + 1] AS w2)) ELSE array() END"
-    )
-    p2 = (
-        "CASE WHEN size(tk) > 2 THEN transform(sequence(0, size(tk) - 3), "
-        "i -> struct(tk[i] AS w1, tk[i + 2] AS w2)) ELSE array() END"
-    )
-    prs = (
-        toks.select(F.explode(F.expr(f"concat({p1}, {p2})")).alias("pr"))
-        .select("pr.w1", "pr.w2")
-        .filter(F.col("w1") != F.col("w2"))
-    )
-    edges = (
-        prs.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
-        .union(prs.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
-        .distinct()
-        .persist()
-    )
-    deg = edges.groupBy(F.col("src").alias("token")).agg(
-        F.count(F.lit(1)).alias("deg")
-    ).persist()
-    n = deg.agg(F.count(F.lit(1)).alias("nt"))
-    p = deg.crossJoin(F.broadcast(n)).select(
-        "token", (F.lit(1.0) / F.col("nt")).alias("p")
-    )
-    for _ in range(5):
-        contrib = (
-            edges.join(p.withColumnRenamed("token", "src_t"),
-                       F.col("src") == F.col("src_t"))
-            .join(deg.withColumnRenamed("token", "deg_t"),
-                  F.col("src") == F.col("deg_t"))
-            .select(
-                F.col("dst").alias("token"),
-                (F.col("p") / F.col("deg")).cast("decimal(28,15)").alias("c"),
-            )
-        )
-        p = (
-            contrib.groupBy("token")
-            .agg(F.sum("c").cast("double").alias("s"))
-            .crossJoin(F.broadcast(n))
-            .select(
-                "token",
-                (F.lit(0.15) / F.col("nt") + F.lit(0.85) * F.col("s")).alias("p"),
-            )
-        )
-    return (
-        p.select("token", F.round("p", 9).alias("score"))
-        .orderBy(F.desc("score"), "token")
-        .limit(15)
-    )
-
-
-@register(
-    "k_anonymity_suppress",
-    # privacy-preserving export: aggregate cells backed by fewer than k=5
-    # distinct users are suppressed entirely (the k-anonymity small-cell
-    # rule) — the governance gate that runs before any per-segment stats
-    # leave the pipeline.  Pairs with text_pii_redact on the content side.
-    oracle="""
-        WITH cells AS (
-            SELECT event_type, CAST(ts AS DATE) AS day,
-                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-                   CAST(count(*) AS BIGINT) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
-            FROM events
-            GROUP BY event_type, CAST(ts AS DATE)
-        )
-        SELECT event_type, day, n_users, n_events, total_value
-        FROM cells
-        WHERE n_users >= 5
-        ORDER BY event_type, day
-    """,
-    tags=("events", "privacy", "governance"),
-)
-def k_anonymity_suppress(spark, sf_dir):
-    """Small-cell suppression for k-anonymity (k=5): one aggregation at the
-    export grain computes the distinct-user backing count alongside the
-    published measures, and under-backed cells are dropped before anything
-    leaves the engine.  Exactly one corpus-keyed shuffle; the suppression
-    filter rides the aggregated (tiny) result."""
-    e = T(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(
-            F.countDistinct("user_id").alias("n_users"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,3)"))
-            .cast("double")
-            .alias("total_value"),
-        )
-        .filter(F.col("n_users") >= 5)
-        .orderBy("event_type", "day")
-    )
-
-
-@register(
-    "bpe_merge_candidates",
-    # one BPE training iteration: adjacent character-pair frequencies over
-    # the word distribution (pair count weighted by word frequency) — the
-    # primitive a byte-pair-encoding tokenizer trainer loops on.  Top-20
-    # merge candidates by count, ties on the pair string.
-    oracle=f"""
-        WITH words AS (
-            SELECT unnest({{toks}}) AS w FROM documents
-        ),
-        wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY w),
-        prs AS (
-            SELECT substr(w, i, 2) AS pair, freq
-            FROM wf, unnest(range(1, greatest(length(w), 1))) AS t(i)
-        )
-        SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
-        FROM prs
-        GROUP BY pair
-        ORDER BY n DESC, pair
-        LIMIT 20
-    """.format(toks=_toks()),
-    tags=("text", "tokenizer", "bpe"),
-)
-def bpe_merge_candidates(spark, sf_dir):
-    """Top BPE merge candidates: the word-frequency table collapses the
-    corpus to vocabulary size FIRST (one shuffle on the word key, map-side
-    combinable), then adjacent-pair expansion runs on that tiny table —
-    the two-level aggregation that keeps a tokenizer-training iteration
-    corpus-scan-bound rather than pair-explosion-bound at 100 TB."""
-    d = T(spark, sf_dir, "documents")
-    words = d.select(F.explode(TX.tokens("text")).alias("w"))
-    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
-    prs = wf.select(
-        F.explode(
-            F.expr(
-                "CASE WHEN length(w) > 1 THEN transform(sequence(1, length(w) - 1), "
-                "i -> substring(w, i, 2)) ELSE array() END"
-            )
-        ).alias("pair"),
-        "freq",
-    )
-    return (
-        prs.groupBy("pair")
-        .agg(F.sum("freq").alias("n"))
-        .orderBy(F.desc("n"), "pair")
-        .limit(20)
-    )
-
-
-# 5-step BPE training oracle: the word-frequency table (ONE corpus scan)
-# is re-expressed as canonical symbol strings (2-space separators, 2-space
-# wrapped: '  a  b  c  ' — a match of ' a  b ' then forces both symbols to
-# be COMPLETE, and the shared boundary keeps one space per side so greedy
-# left-to-right replace() preserves the canonical form), then five chained
-# (pairs -> argmax -> replace) blocks apply each winning merge before
-# counting the next — real BPE iteration, not five independent censuses.
-def _bpe_step_ctes(steps: int, carry_w: bool = False) -> str:
-    """The k chained (pairs -> argmax -> replace) CTE blocks; with
-    ``carry_w`` each state row keeps its word, so a consumer can read the
-    final per-word segmentation (the apply pass) instead of the merge
-    list (the trainer).  Each replace LEFT JOINs its (0-or-1-row) argmax
-    and no-ops on NULL, so a corpus that exhausts merges in fewer than
-    ``steps`` iterations carries its state through the remaining blocks
-    unchanged — matching the engine's early loop break — instead of a
-    CROSS JOIN against an empty argmax emptying the state."""
-    keep = "w, " if carry_w else ""
-    blocks = []
-    for i in range(1, steps + 1):
-        blocks.append(f"""
-        p{i} AS (
-            SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
-                SELECT unnest([syms[i] || ' ' || syms[i+1]
-                               for i in generate_series(1, len(syms) - 1)])
-                           AS pair,
-                       freq
-                FROM (SELECT string_split(trim(s), '  ') AS syms, freq
-                      FROM s{i - 1})
-            ) GROUP BY pair
-        ),
-        w{i} AS (SELECT pair, n FROM p{i} ORDER BY n DESC, pair LIMIT 1),
-        s{i} AS (
-            SELECT {keep}CASE WHEN pair IS NULL THEN s ELSE
-                       replace(s, ' ' || replace(pair, ' ', '  ') || ' ',
-                               ' ' || replace(pair, ' ', '') || ' ') END AS s,
-                   freq
-            FROM s{i - 1} LEFT JOIN w{i} ON TRUE
-        )""")
-    return ",".join(blocks)
-
-
-def _bpe_steps_sql(steps: int) -> str:
-    union = "\n            UNION ALL ".join(
-        f"SELECT CAST({i} AS BIGINT) AS step, pair, n FROM w{i}"
-        for i in range(1, steps + 1)
-    )
-    return _bpe_step_ctes(steps) + f"""
-        SELECT step, pair, n FROM ({union}) ORDER BY step
-    """
-
-
-@register(
-    "bpe_merge_training_5steps",
-    # iterated BPE trainer (r08 VERDICT ask #8): unroll 5 training
-    # iterations — each step counts adjacent symbol pairs over the
-    # vocabulary-sized word-frequency state, picks the argmax merge
-    # (count DESC, pair ASC — bpe_merge_candidates' tiebreak), and APPLIES
-    # it before the next count, producing the actual ordered merge list a
-    # tokenizer would ship.  The corpus is scanned exactly once (the wf
-    # CTE); every iteration is vocabulary-sized.
-    oracle=f"""
-        WITH wf AS (
-            SELECT w, CAST(count(*) AS BIGINT) AS freq
-            FROM (SELECT unnest({{toks}}) AS w FROM documents) GROUP BY w
-        ),
-        s0 AS (
-            SELECT regexp_replace(w, '(.)', '  \\1', 'g') || '  ' AS s, freq
-            FROM wf
-        ),{{steps}}
-    """.format(toks=_toks(), steps=_bpe_steps_sql(5)),
-    tags=("text", "tokenizer", "bpe", "iterative"),
-)
-def bpe_merge_training_5steps(spark, sf_dir):
-    """Five APPLIED BPE merge iterations (TextRank-style unroll): state is
-    the word-frequency table re-coded as canonical symbol strings
-    ('  a  b  ' — 2-space separators so replace(' a  b ', ' ab ') matches
-    only complete symbols, consumes one boundary space per side, and
-    therefore applies the merge greedily left-to-right while preserving
-    the canonical form — exactly BPE's leftmost-first merge order, with
-    overlapping runs like 'a a a' merging (1,2) and leaving 3).
-
-    100-TB shape identical to bpe_merge_candidates: the corpus is scanned
-    ONCE into the vocabulary-sized (word, freq) state (map-side
-    combinable groupBy); each of the 5 iterations is a pair-explode +
-    groupBy over the vocabulary (thousands of rows at any corpus size),
-    and the 1-row argmax per step is the allowed scalar collect (the
-    merge must be known to build the next step's plan — same pattern as
-    ann_ivf_adaptive_recall's count).  The state frame is persisted once;
-    steps 2-5 recompute only k cheap vocabulary-sized replaces from that
-    cache, never the corpus scan."""
-    d = T(spark, sf_dir, "documents")
-    wf = (
-        d.select(F.explode(TX.tokens("text")).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    state = similarity._persist_rotating(
-        "bpe_state0",
-        wf.select(
-            F.concat(
-                F.regexp_replace("w", "(.)", "  $1"), F.lit("  ")
-            ).alias("s"),
-            "freq",
-        ),
-    )
-    merges: list[tuple[int, str, int]] = []
-    for step in range(1, 6):
-        prs = state.select(
-            F.split(F.trim("s"), "  ").alias("syms"), "freq"
-        ).select(
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(syms) > 1 THEN "
-                    "transform(sequence(1, size(syms) - 1), "
-                    "i -> concat(element_at(syms, i), ' ', "
-                    "element_at(syms, i + 1))) "
-                    "ELSE array() END"
-                )
-            ).alias("pair"),
-            "freq",
-        )
-        top = (
-            prs.groupBy("pair")
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.desc("n"), "pair")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        pair, n = top[0]["pair"], int(top[0]["n"])
-        merges.append((step, pair, n))
-        a, b = pair.split(" ")
-        state = state.select(
-            F.replace(
-                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
-            ).alias("s"),
-            "freq",
-        )
-    return spark.createDataFrame(
-        merges, "step bigint, pair string, n bigint"
-    ).orderBy("step")
-
-
-@register(
-    "bpe_apply_merges",
-    # the APPLY half of the tokenizer story (train -> apply): the 5 trained
-    # merges re-segment every word, and each document reports its token
-    # count under the trained tokenizer plus chars-per-token — the
-    # compression measurement that decides whether a merge list ships.
-    # The oracle reuses the trainer's own CTE chain carrying the word
-    # column, so trainer and applier stay in lockstep by construction.
-    oracle=f"""
-        WITH wf AS (
-            SELECT w, CAST(count(*) AS BIGINT) AS freq
-            FROM (SELECT unnest({{toks}}) AS w FROM documents) GROUP BY w
-        ),
-        s0 AS (
-            SELECT w, regexp_replace(w, '(.)', '  \\1', 'g') || '  ' AS s, freq
-            FROM wf
-        ),{{steps}},
-        seg AS (
-            SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sym
-            FROM s5
-        ),
-        docw AS (SELECT doc_id, unnest({{toks}}) AS w FROM documents)
-        SELECT doc_id,
-               CAST(count(*) AS BIGINT) AS n_words,
-               CAST(sum(n_sym) AS BIGINT) AS n_tokens,
-               CAST(sum(len(w)) AS DOUBLE) / sum(n_sym) AS chars_per_token
-        FROM docw JOIN seg USING (w)
-        GROUP BY doc_id
-    """.format(toks=_toks(), steps=_bpe_step_ctes(5, carry_w=True)),
-    tags=("text", "tokenizer", "bpe", "apply"),
-)
-def bpe_apply_merges(spark, sf_dir):
-    """Apply the 5 trained BPE merges back to the corpus: per document, the
-    token count under the trained tokenizer and the chars-per-token
-    compression it buys.  100-TB shape — the part that actually runs at
-    scale: training state is vocabulary-sized (one corpus scan, then 5
-    vocab-sized iterations, same as the trainer); the APPLY is a
-    word -> n_symbols segmentation map BROADCAST to one exploded-corpus
-    pass with a per-doc rollup — the corpus never sees the merge loop, and
-    a production tokenizer service does exactly this with its shipped
-    merge table."""
-    d = T(spark, sf_dir, "documents")
-    wf = (
-        d.select(F.explode(TX.tokens("text")).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    state = similarity._persist_rotating(
-        "bpe_apply_state0",
-        wf.select(
-            "w",
-            F.concat(
-                F.regexp_replace("w", "(.)", "  $1"), F.lit("  ")
-            ).alias("s"),
-            "freq",
-        ),
-    )
-    for _step in range(5):
-        prs = state.select(
-            F.split(F.trim("s"), "  ").alias("syms"), "freq"
-        ).select(
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(syms) > 1 THEN "
-                    "transform(sequence(1, size(syms) - 1), "
-                    "i -> concat(element_at(syms, i), ' ', "
-                    "element_at(syms, i + 1))) "
-                    "ELSE array() END"
-                )
-            ).alias("pair"),
-            "freq",
-        )
-        top = (
-            prs.groupBy("pair")
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.desc("n"), "pair")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        a, b = top[0]["pair"].split(" ")
-        state = state.select(
-            "w",
-            F.replace(
-                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
-            ).alias("s"),
-            "freq",
-        )
-    seg = state.select(
-        "w", F.size(F.split(F.trim("s"), "  ")).cast("long").alias("n_sym")
-    )
-    docw = d.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
-    return (
-        docw.join(F.broadcast(seg), "w")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_sym").alias("n_tokens"),
-            (
-                F.sum(F.length("w")).cast("double") / F.sum("n_sym")
-            ).alias("chars_per_token"),
-        )
-    )
-
-
-@register(
-    "shard_manifest_hashes",
-    # dataset-publish manifest: per output shard, row count, key range, and
-    # an ORDER-INDEPENDENT content hash (exact integer sum of per-row md5
-    # prefixes) — the integrity record a consumer re-derives to verify a
-    # delivered shard without trusting row order or file layout.
-    oracle="""
-        WITH rows_h AS (
-            SELECT doc_id // 100 AS shard_id, doc_id,
-                   CAST(('0x' || substr(md5('mft:' || doc_id::VARCHAR || ':'
-                                            || n_chars::VARCHAR), 1, 12))::BIGINT
-                        AS DECIMAL(38,0)) AS h
-            FROM documents
-        )
-        SELECT CAST(shard_id AS BIGINT) AS shard_id,
-               CAST(count(*) AS BIGINT) AS n_rows,
-               min(doc_id) AS min_id,
-               max(doc_id) AS max_id,
-               CAST(SUM(h) AS VARCHAR) AS content_sum
-        FROM rows_h
-        GROUP BY shard_id
-        ORDER BY shard_id
-    """,
-    tags=("publish", "manifest", "integrity"),
-)
-def shard_manifest_hashes(spark, sf_dir):
-    """Shard integrity manifest.  The per-row hash folds (doc_id, n_chars)
-    through md5 and the shard hash is the exact integer SUM of those —
-    commutative, so repartitioning, task retries, and row reordering
-    cannot change it; verification is one narrow scan per shard.  Emitted
-    as a string so arbitrary precision survives every serde."""
-    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("mft:"),
-                    F.col("doc_id").cast("string"),
-                    F.lit(":"),
-                    F.col("n_chars").cast("string"),
-                )
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("decimal(38,0)")
-    return (
-        d.select(F.expr("doc_id div 100").alias("shard_id"), "doc_id", h.alias("h"))
-        .groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("doc_id").alias("min_id"),
-            F.max("doc_id").alias("max_id"),
-            F.sum("h").cast("decimal(38,0)").cast("string").alias("content_sum"),
-        )
-        .orderBy("shard_id")
-    )
-
-
-@register(
-    "shard_compaction_plan",
-    # small-file compaction planner: pack doc-range shards into ~target-row
-    # output files by cumulative row count — each shard goes to the bin its
-    # running offset starts in (bins exceed target by at most one shard).
-    # The cumulative sum is the range-partitioned parallel prefix sum, not
-    # a single-task global window.
-    oracle="""
-        WITH sh AS (
-            SELECT doc_id // 100 AS shard_id,
-                   CAST(count(*) AS BIGINT) AS n_rows
-            FROM documents GROUP BY doc_id // 100
-        ),
-        c AS (
-            SELECT shard_id, n_rows,
-                   CAST(SUM(n_rows) OVER (ORDER BY shard_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS BIGINT) AS cum_rows
-            FROM sh
-        )
-        SELECT CAST(shard_id AS BIGINT) AS shard_id, n_rows, cum_rows,
-               CAST((cum_rows - n_rows) // 120 AS BIGINT) AS out_file
-        FROM c
-        ORDER BY shard_id
-    """,
-    tags=("publish", "compaction", "layout"),
-)
-def shard_compaction_plan(spark, sf_dir):
-    """Compaction planning for small shards: one aggregation produces the
-    shard-size table (already tiny relative to the corpus), the parallel
-    prefix sum (operators/scale.py:global_running_sum) assigns each shard
-    a starting offset, and the output-file id is a pure projection of that
-    offset — the metadata-only pass that turns millions of small files
-    into bounded-size publish units without touching row data."""
-    from kwack_spark.operators import scale
-
-    sh = (
-        T(spark, sf_dir, "documents")
-        .groupBy(F.expr("doc_id div 100").alias("shard_id"))
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-    )
-    c = scale.global_running_sum(
-        sh, [F.col("shard_id").asc()], "n_rows", "cum_rows", num_partitions=8
-    )
-    return (
-        c.select(
-            "shard_id",
-            "n_rows",
-            F.col("cum_rows").cast("long").alias("cum_rows"),
-            F.expr("(cum_rows - n_rows) div 120").cast("long").alias("out_file"),
-        )
-        .orderBy("shard_id")
-    )
-
-
-@register(
-    "embedding_drift_by_label",
-    # distribution-drift monitor: per-label centroids computed on two data
-    # vintages (vec_id parity simulates old vs new ingest), compared by
-    # exact per-dimension deltas rolled into an L2 shift.  Everything
-    # before the final sqrt is exact integer/decimal arithmetic, and the
-    # component deltas are rounded to 9dp before squaring so the summed
-    # shift is bit-identical on both engines.
-    oracle=f"""
-        WITH c AS (
-            SELECT label, vec_id % 2 AS vintage, u.e.pos AS pos, u.e.comp AS comp
-            FROM (
-                SELECT label, vec_id,
-                       unnest(list_transform(embedding::DOUBLE[],
-                              (c, i) -> struct_pack(pos := i - 1, comp := c))) AS e
-                FROM embeddings
-            ) u
-        ),
-        cent AS (
-            SELECT label, vintage, pos,
-                   CAST(SUM(CAST(comp * {_POW2_43} AS DECIMAL(38,0))) AS DOUBLE)
-                       / {_POW2_43} / COUNT(*) AS mean_val
-            FROM c GROUP BY label, vintage, pos
-        ),
-        delta AS (
-            SELECT a.label, a.pos,
-                   round(a.mean_val - b.mean_val, 9) AS d
-            FROM cent a JOIN cent b
-              ON a.label = b.label AND a.pos = b.pos
-             AND a.vintage = 0 AND b.vintage = 1
-        )
-        SELECT label,
-               round(sqrt(CAST(SUM(CAST(d * d AS DECIMAL(38,18))) AS DOUBLE)), 9)
-                   AS l2_shift,
-               CAST(count(*) AS BIGINT) AS dims
-        FROM delta
-        GROUP BY label
-        ORDER BY label
-    """,
-    tags=("embedding", "drift", "monitoring"),
-)
-def embedding_drift_by_label(spark, sf_dir):
-    """Embedding drift between two ingest vintages: two centroid tables
-    (label x dim — tiny), an aligned join, and one L2 rollup.  The corpus
-    is scanned once (posexplode into the shared (label, vintage, pos)
-    aggregation); everything downstream is centroid-table-sized, so the
-    drift report costs the same as one k-means update step at any scale."""
-    e = T(spark, sf_dir, "embeddings")
-    x = e.select(
-        "label",
-        (F.col("vec_id") % 2).alias("vintage"),
-        F.posexplode(V.as_double("embedding")).alias("pos", "comp"),
-    )
-    cent = x.groupBy("label", "vintage", "pos").agg(
-        (
-            F.sum((F.col("comp") * _POW2_43).cast("decimal(38,0)")).cast("double")
-            / _POW2_43
-            / F.count(F.lit(1))
-        ).alias("mean_val")
-    )
-    a = cent.filter(F.col("vintage") == 0).select(
-        "label", "pos", F.col("mean_val").alias("m0")
-    )
-    b = cent.filter(F.col("vintage") == 1).select(
-        "label", "pos", F.col("mean_val").alias("m1")
-    )
-    delta = a.join(b, ["label", "pos"]).select(
-        "label", F.round(F.col("m0") - F.col("m1"), 9).alias("d")
-    )
-    return (
-        delta.groupBy("label")
-        .agg(
-            F.round(
-                F.sqrt(
-                    F.sum((F.col("d") * F.col("d")).cast("decimal(38,18)")).cast(
-                        "double"
-                    )
-                ),
-                9,
-            ).alias("l2_shift"),
-            F.count(F.lit(1)).alias("dims"),
-        )
-        .orderBy("label")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round 6: the two CommonCrawl-pipeline dedup gaps (r05 VERDICT ask #9) —
-# longest exact substring spans, and URL-canonical page identity.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "dedup_longest_common_span",
-    # suffix-array-style exact substring dedup, re-expressed for dataflow:
-    # position-tagged 8-token shingle hashes; cross-doc matches on rare
-    # hashes (2 <= df <= 10 — the frequency cap every pair join here uses);
-    # then longest-match extension as gaps-and-islands on the (pa - pb)
-    # DIAGONAL: a shared substring of L tokens is exactly a run of
-    # consecutive shingle matches on one diagonal, so max-run + 7 = L.
-    # This finds the long verbatim overlaps (licenses, boilerplate,
-    # syndicated paragraphs) that winnowing certifies only probabilistically.
-    oracle=f"""
-        WITH t AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        g AS (SELECT doc_id,
-                CASE WHEN len(tk) >= 8
-                     THEN list_transform(range(1, len(tk) - 6),
-                            i -> {{'pos': i, 'h': md5(array_to_string(tk[i:i+7], ' '))}})
-                     ELSE [] END AS shs
-              FROM t),
-        sh AS (SELECT doc_id, CAST(u.s.pos AS INTEGER) AS pos, u.s.h AS h
-               FROM (SELECT doc_id, unnest(shs) AS s FROM g) u),
-        rare AS (SELECT h FROM sh GROUP BY h
-                 HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
-        m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
-              FROM sh a JOIN sh b USING (h) JOIN rare USING (h)
-              WHERE a.doc_id < b.doc_id),
-        isl AS (SELECT id_a, id_b, pa - pb AS diag, pa,
-                       pa - row_number() OVER (
-                           PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
-                FROM m),
-        runs AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS run
-                 FROM isl GROUP BY id_a, id_b, diag, grp)
-        SELECT id_a, id_b,
-               CAST(max(run) + 7 AS BIGINT) AS max_span_tokens,
-               CAST(count(*) AS BIGINT) AS n_runs
-        FROM runs GROUP BY id_a, id_b
-        ORDER BY max_span_tokens DESC, id_a, id_b
-    """,
-    tags=("text", "dedup", "substring", "pairs"),
-)
-def dedup_longest_common_span(spark, sf_dir):
-    """100-TB shape: shingle extraction is a narrow 0-shuffle map (array
-    HOFs inside codegen, TX.bind against CollapseProject re-substitution);
-    the df cap bounds every hash group at 10 docs => <= 45 pairs per hash,
-    so the self-join output is linear in shingle count, never quadratic in
-    the corpus; island detection windows partition on (pair, diagonal) —
-    thousands of small groups, no global sort anywhere."""
-    from kwack_spark.operators.scale import widen_if_narrow
-    from pyspark.sql.window import Window
-
-    K = 8
-    d = widen_if_narrow(T(spark, sf_dir, "documents"))
-
-    def with_tk(tk):
-        return F.when(
-            F.size(tk) >= K,
-            F.transform(
-                F.sequence(F.lit(1), F.size(tk) - K + 1),
-                lambda i: F.struct(
-                    i.cast("int").alias("pos"),
-                    F.md5(F.concat_ws(" ", F.slice(tk, i, K))).alias("h"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
-
-    sh = (
-        d.select("doc_id", TX.bind(TX.tokens("text"), with_tk).alias("shs"))
-        .select("doc_id", F.explode("shs").alias("s"))
-        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
-    )
-    rare = (
-        sh.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df").between(2, 10))
-        .select("h")
-    )
-    keyed = sh.join(rare, "h")
-    a = keyed.select("h", F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"))
-    b = keyed.select("h", F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"))
-    m = (
-        a.join(b, "h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
-    )
-    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
-    runs = (
-        m.withColumn("grp", F.col("pa") - F.row_number().over(w))
-        .groupBy("id_a", "id_b", "diag", "grp")
-        .agg(F.count(F.lit(1)).alias("run"))
-    )
-    return (
-        runs.groupBy("id_a", "id_b")
-        .agg(
-            (F.max("run") + F.lit(K - 1)).cast("long").alias("max_span_tokens"),
-            F.count(F.lit(1)).cast("long").alias("n_runs"),
-        )
-        .orderBy(F.desc("max_span_tokens"), "id_a", "id_b")
-    )
-
-
 # The synthetic raw-URL column (documents carry no URL; the fixture derives
 # one deterministically from doc_id with every surface-form variation the
 # canonicalizer must collapse: scheme case, www., default ports, trailing
@@ -8322,7 +429,9 @@ def dedup_longest_common_span(spark, sf_dir):
 # are one logical page (same domain + path), so each family has 3 surface
 # forms that must collapse to ONE canonical key.
 _URL_DOM = "'example-' || CAST((doc_id // 3) % 7 AS VARCHAR) || '.com'"
+
 _URL_PG = "'/articles/' || CAST(doc_id // 3 AS VARCHAR)"
+
 _URL_RAW_SQL = f"""
     CASE doc_id % 6
       WHEN 0 THEN 'https://' || {_URL_DOM} || {_URL_PG}
@@ -8365,7 +474,6 @@ _URL_CANON_CTES = r"""
               FROM qs)
 """
 
-
 def _url_raw_col():
     """The synthetic raw-URL column (Spark twin of _URL_RAW_SQL)."""
     dom = F.concat(
@@ -8388,7306 +496,12 @@ def _url_raw_col():
     )
 
 
-@register(
-    "dedup_url_canonical",
-    # URL/domain-normalized page-identity dedup: canonicalize every raw
-    # URL (functions/text.py:canonical_url — scheme/fragment dropped, host
-    # lowercased, www./default ports stripped, trailing slash trimmed,
-    # tracking params removed, remaining params sorted), then exact-group
-    # on the canonical key.  The crawl-dedup step that runs BEFORE any
-    # content hashing: re-crawls of one page under cosmetic URL variants
-    # never reach the expensive text pipeline.
-    oracle=f"""
-        WITH u AS (SELECT doc_id, {_URL_RAW_SQL} AS raw_url FROM documents),
-        {_URL_CANON_CTES}
-        SELECT canon_url,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(count(DISTINCT raw_url) AS BIGINT) AS n_variants,
-               min(doc_id) AS keep_id
-        FROM c GROUP BY canon_url HAVING count(*) > 1
-        ORDER BY canon_url
-    """,
-    tags=("dedup", "url", "crawl"),
-)
-def dedup_url_canonical(spark, sf_dir):
-    """One narrow pass builds the canonical key (pure JVM regex/array
-    functions riding the scan — no UDF, no extra shuffle), one groupBy on
-    the canonical key (uniform string key, no skew beyond genuine
-    mega-duplicates, which AQE splits).  At 100 TB this is the cheapest
-    dedup stage in the pipeline and runs first."""
-    d = T(spark, sf_dir, "documents")
-    raw = _url_raw_col()
-    u = d.select("doc_id", raw.alias("raw_url"))
-    c = u.select("doc_id", "raw_url", TX.canonical_url("raw_url").alias("canon_url"))
-    return (
-        c.groupBy("canon_url")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("raw_url").alias("n_variants"),
-            F.min("doc_id").alias("keep_id"),
-        )
-        .filter(F.col("n_docs") > 1)
-        .orderBy("canon_url")
-    )
-
-
-# corpus_curation_e2e's oracle is assembled from the SAME CTE chains its
-# component queries grade in isolation (URL canon, LSH + components,
-# ensemble gate), so the composition stays in lockstep with them.  The LSH
-# chain is re-rooted onto the URL-dedup survivor set and the gate onto the
-# near-dup survivor set (the gate is per-doc pure, so restricting its input
-# restricts its output identically — and skips 2/3 of the corpus).
-_E2E_LSH_CTES = _LSH_CTES.replace(
-    "FROM documents", "FROM documents JOIN s1k USING (doc_id)"
-)
-_E2E_ENSEMBLE_CTES = _ENSEMBLE_CTES.replace(
-    "FROM documents", "FROM documents JOIN s2k USING (doc_id)"
-)
-# 5-gram decontamination shingles: benchmark contamination means sharing a
-# CONTIGUOUS 5-token phrase — specific enough that topical 3-gram overlap
-# in a homogeneous corpus does not mass-flag clean documents (measured: 3-
-# grams at >= 3 shared drop 94% of sf0.1 survivors; 5-grams drop the 2
-# genuine near-copies).  Real pipelines use 8-13-gram windows for the same
-# reason.
-_SHINGLES_5 = """
-    CASE WHEN len(tk) >= 5
-         THEN [array_to_string(tk[i:i+4], ' ') for i in generate_series(1, len(tk) - 4)]
-         ELSE [array_to_string(tk, ' ')] END
-"""
-
-
-def _curation_text_funnel(spark, d):
-    """Stages 1-3 of the curation funnel (URL-canonical dedup ->
-    MinHash-LSH keep-best -> ensemble quality gate), shared verbatim by
-    corpus_curation_e2e and corpus_curation_multimodal so the two
-    compositions cannot drift.  Returns the gate-surviving document frame
-    (all source columns), persisted rotating — callers fan it into >= 2
-    subtrees."""
-    from pyspark.sql import Window
-
-    from kwack_spark.operators import graph
-
-    # --- stage 1: URL-canonical dedup ---
-    canon = d.select(
-        "doc_id", TX.canonical_url(_url_raw_col()).alias("canon_url")
-    )
-    keep1 = (
-        canon.groupBy("canon_url").agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    s1 = d.join(keep1, "doc_id")
-    # --- stage 2: MinHash-LSH keep-best (longest per component) ---
-    pairs = dedup.minhash_lsh_pairs(
-        s1, "doc_id", "text", k=8, bands=2, threshold=0.5
-    ).select("id_a", "id_b")
-    with _few_shuffle_partitions(spark):
-        comp = graph.dedup_clusters(pairs).select("doc_id", "keep_id")
-        ranked2 = comp.join(d.select("doc_id", "n_chars"), "doc_id").withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("keep_id").orderBy(F.desc("n_chars"), "doc_id")
-            ),
-        )
-        drop2 = ranked2.filter(F.col("rn") > 1).select("doc_id")
-    # each survivor frame feeds >= 2 downstream subtrees (the gate AND the
-    # semi-join; the decon grams AND the main branch; the mixture counts
-    # AND the quota join) — persist them (rotating) or every consumer
-    # re-executes the whole upstream funnel
-    s2 = similarity._persist_rotating(
-        "e2e_s2", s1.join(drop2, "doc_id", "left_anti")
-    )
-    # --- stage 3: ensemble quality gate (shared operator body, applied to
-    # the dedup survivors only — the gate is per-doc pure) ---
-    gate = (
-        _ensemble_gate_df(spark, s2.select("doc_id", "text"))
-        .filter(F.col("keep"))
-        .select("doc_id")
-    )
-    return similarity._persist_rotating("e2e_s3", s2.join(gate, "doc_id"))
-
-
-def _shard_manifest(survivors):
-    """Order-independent shard manifest over a ``(doc_id, n_chars)``
-    survivor frame — the publish artifact whose exact integer content_sum
-    pins the survivor SET bit-for-bit (shard_manifest_hashes' form)."""
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("mft:"),
-                    F.col("doc_id").cast("string"),
-                    F.lit(":"),
-                    F.col("n_chars").cast("string"),
-                )
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("decimal(38,0)")
-    return (
-        survivors.select(
-            F.expr("doc_id div 100").alias("shard_id"), "doc_id", h.alias("h")
-        )
-        .groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("doc_id").alias("min_id"),
-            F.max("doc_id").alias("max_id"),
-            F.sum("h").cast("decimal(38,0)").cast("string").alias("content_sum"),
-        )
-        .orderBy("shard_id")
-    )
-
-
-@register(
-    "corpus_curation_e2e",
-    # the full production curation DAG as ONE oracled plan (r07 VERDICT ask
-    # #5): URL-canonical dedup -> MinHash-LSH near-dup keep-best (longest
-    # doc per connected component) -> Gopher/ensemble quality gate ->
-    # benchmark decontamination (eval = doc_id % 97 == 0; >= 3 shared
-    # 3-gram shingles drops the doc — the Spark side reaches the same set
-    # through a Bloom prefilter + exact verify, sound because Bloom never
-    # misses) -> temperature (T=2) mixture rebalance -> shard manifest with
-    # order-independent content sums.  The manifest's exact content_sum
-    # pins the final survivor set bit-for-bit, so a wrong drop at ANY stage
-    # fails the hash.
-    oracle=f"""
-        WITH RECURSIVE
-        u AS (SELECT doc_id, {_URL_RAW_SQL} AS raw_url FROM documents),
-        {_URL_CANON_CTES},
-        s1k AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canon_url),
-        {_E2E_LSH_CTES},
-        {_COMP_CTES},
-        ranked2 AS (
-            SELECT cm.keep_id, cm.node,
-                   row_number() OVER (PARTITION BY cm.keep_id
-                                      ORDER BY dd.n_chars DESC, cm.node) AS rn
-            FROM comp cm JOIN documents dd ON dd.doc_id = cm.node
-        ),
-        drop2 AS (SELECT node AS doc_id FROM ranked2 WHERE rn > 1),
-        s2k AS (
-            SELECT doc_id FROM s1k
-            WHERE doc_id NOT IN (SELECT doc_id FROM drop2)
-        ),
-        {_E2E_ENSEMBLE_CTES},
-        s3k AS (
-            SELECT doc_id FROM j
-            WHERE j.gopher_pass AND j.score_ok AND j.stop_ok
-        ),
-        toks4 AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        sh4 AS (SELECT doc_id, ({_SHINGLES_5}) AS sh FROM toks4),
-        bench4 AS (
-            SELECT DISTINCT unnest(sh) AS s FROM sh4 WHERE doc_id % 97 = 0
-        ),
-        hits4 AS (
-            SELECT c4.doc_id, count(*) AS n_hits
-            FROM (SELECT sh4.doc_id, unnest(list_distinct(sh4.sh)) AS s
-                  FROM sh4 JOIN s3k USING (doc_id)
-                  WHERE sh4.doc_id % 97 <> 0) c4
-            JOIN bench4 b4 ON c4.s = b4.s
-            GROUP BY c4.doc_id
-        ),
-        s4k AS (
-            SELECT doc_id FROM s3k
-            WHERE doc_id % 97 <> 0
-              AND doc_id NOT IN (SELECT doc_id FROM hits4 WHERE n_hits >= 3)
-        ),
-        d5 AS (
-            SELECT d.doc_id, d.lang FROM documents d JOIN s4k USING (doc_id)
-        ),
-        counts5 AS (
-            SELECT lang, count(*) AS c5,
-                   CAST(round(sqrt(count(*)) * 1048576) AS BIGINT) AS s_int
-            FROM d5 GROUP BY lang
-        ),
-        norm5 AS (SELECT SUM(s_int) AS n_int FROM counts5),
-        shares5 AS (
-            SELECT lang, c5, CAST(s_int AS DOUBLE) / CAST(n_int AS DOUBLE) AS t
-            FROM counts5 CROSS JOIN norm5
-        ),
-        budget5 AS (SELECT min(floor(c5 / t)) AS b FROM shares5),
-        quota5 AS (
-            SELECT lang, CAST(floor(b * t) AS BIGINT) AS quota
-            FROM shares5 CROSS JOIN budget5
-        ),
-        ranked5 AS (
-            SELECT d5.lang, d5.doc_id, q5.quota,
-                   row_number() OVER (PARTITION BY d5.lang
-                                      ORDER BY md5(CAST(d5.doc_id AS VARCHAR)),
-                                               d5.doc_id) AS rn
-            FROM d5 JOIN quota5 q5 USING (lang)
-        ),
-        s5k AS (SELECT doc_id FROM ranked5 WHERE rn <= quota),
-        rows_h AS (
-            SELECT d.doc_id // 100 AS shard_id, d.doc_id,
-                   CAST(('0x' || substr(md5('mft:' || d.doc_id::VARCHAR || ':'
-                                            || d.n_chars::VARCHAR), 1, 12))::BIGINT
-                        AS DECIMAL(38,0)) AS h
-            FROM documents d JOIN s5k USING (doc_id)
-        )
-        SELECT CAST(shard_id AS BIGINT) AS shard_id,
-               CAST(count(*) AS BIGINT) AS n_rows,
-               min(doc_id) AS min_id,
-               max(doc_id) AS max_id,
-               CAST(SUM(h) AS VARCHAR) AS content_sum
-        FROM rows_h
-        GROUP BY shard_id
-        ORDER BY shard_id
-    """,
-    tags=("pipeline", "curation", "e2e", "composition"),
-)
-def corpus_curation_e2e(spark, sf_dir):
-    """End-to-end curation composition — every stage is a registered
-    operator, chained into one DAG over the survivor set:
-
-    1. URL-canonical dedup (TX.canonical_url; cheapest, runs first —
-       narrow regex projection + one uniform-key groupBy);
-    2. MinHash-LSH near-dup keep-best (minhash_lsh_pairs ->
-       graph.dedup_clusters -> longest-doc-per-cluster policy; the pair
-       and component stages run on the ALREADY URL-deduped third of the
-       corpus);
-    3. ensemble quality gate (quality_ensemble_gate's keep verdict — the
-       gate is per-doc pure, so the registered operator is reused verbatim
-       and semi-joined);
-    4. benchmark decontamination behind a BLOOM prefilter with exact
-       verify of the bloom-positive remainder (sketches_corpus._bf_pos
-       bitmap, 4096 bits broadcast): Bloom never misses, so the surviving
-       set equals the oracle's plain exact-overlap rule while the probe
-       side stays a narrow broadcast lookup at 100 TB;
-    5. temperature (T=2) mixture rebalance over the survivors' languages
-       (sqrt-share quotas, md5-ordered deterministic take);
-    6. shard manifest (order-independent md5-prefix content sums) — the
-       publish artifact a consumer verifies.
-
-    100-TB shape: stages 1/3/4 are narrow projections + broadcast joins
-    riding the scan; the only corpus-keyed shuffles are the canon-url
-    groupBy, the LSH band join (on the reduced survivor set), and the
-    final shard rollup.  Each stage's semantics are independently graded
-    by its component query; this query grades that they COMPOSE."""
-    from pyspark.sql import Window
-
-    from kwack_spark.plans.sketches_corpus import _BF_K, _bf_pos
-
-    d = T(spark, sf_dir, "documents")
-    # --- stages 1-3: shared text funnel (URL dedup -> LSH keep-best ->
-    # ensemble gate) ---
-    s3 = _curation_text_funnel(spark, d)
-    # --- stage 4: Bloom-prefiltered decontamination, exact-verified
-    # (5-gram windows: contiguous-phrase specificity, see _SHINGLES_5) ---
-    grams = F.explode(F.array_distinct(TX.shingles(TX.tokens("text"), 5))).alias("s")
-    bench = d.filter(F.col("doc_id") % 97 == 0).select(grams).distinct()
-    bits = bench.select(
-        F.explode(F.array(*[_bf_pos(F.col("s"), i) for i in range(_BF_K)])).alias(
-            "pos"
-        )
-    ).distinct()
-    corpus4 = s3.filter(F.col("doc_id") % 97 != 0).select("doc_id", grams)
-    probes = corpus4.select(
-        "doc_id",
-        "s",
-        F.explode(F.array(*[_bf_pos(F.col("s"), i) for i in range(_BF_K)])).alias(
-            "pos"
-        ),
-    )
-    bloom_pos = (
-        probes.join(F.broadcast(bits), "pos")
-        .groupBy("doc_id", "s")
-        .agg(F.count(F.lit(1)).alias("k_set"))
-        .filter(F.col("k_set") == _BF_K)
-    )
-    contaminated = (
-        bloom_pos.join(F.broadcast(bench), "s")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-        .filter(F.col("n_hits") >= 3)
-        .select("doc_id")
-    )
-    s4 = similarity._persist_rotating(
-        "e2e_s4",
-        s3.filter(F.col("doc_id") % 97 != 0)
-        .join(contaminated, "doc_id", "left_anti")
-        .select("doc_id", "lang", "n_chars"),
-    )
-    # --- stage 5: temperature (T=2) mixture rebalance ---
-    counts = s4.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("c5"),
-        F.round(F.sqrt(F.count(F.lit(1))) * 1048576).cast("long").alias("s_int"),
-    )
-    norm = counts.agg(F.sum("s_int").alias("n_int"))
-    shares = counts.crossJoin(F.broadcast(norm)).select(
-        "lang",
-        "c5",
-        (F.col("s_int").cast("double") / F.col("n_int").cast("double")).alias("t"),
-    )
-    budget = shares.agg(F.min(F.floor(F.col("c5") / F.col("t"))).alias("b"))
-    quota = shares.crossJoin(F.broadcast(budget)).select(
-        "lang", F.floor(F.col("b") * F.col("t")).cast("long").alias("quota")
-    )
-    w5 = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
-    s5 = (
-        s4.join(F.broadcast(quota), "lang")
-        .withColumn("rn", F.row_number().over(w5))
-        .filter(F.col("rn") <= F.col("quota"))
-        .select("doc_id", "n_chars")
-    )
-    # --- stage 6: shard manifest (order-independent content sums) ---
-    return _shard_manifest(s5)
-
-
-@register(
-    "corpus_curation_multimodal",
-    # cross-modal curation composition (r08 VERDICT ask #7): the text
-    # funnel (URL dedup -> LSH keep-best -> ensemble gate — the SAME
-    # s1k/s2k/s3k CTE chain corpus_curation_e2e grades) extended with an
-    # IMAGE leg: each gate survivor's image is fingerprinted (the
-    # multimodal_phash_dedup dHash chain, re-rooted onto s3k), near-dup
-    # pairs within Hamming 3 drop the larger id (keep-first greedy, the
-    # exact-dedup keep-min policy), and the manifest's exact content_sum
-    # pins the final text+image-deduped survivor set bit-for-bit.
-    oracle=f"""
-        WITH RECURSIVE
-        u AS (SELECT doc_id, {_URL_RAW_SQL} AS raw_url FROM documents),
-        {_URL_CANON_CTES},
-        s1k AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canon_url),
-        {_E2E_LSH_CTES},
-        {_COMP_CTES},
-        ranked2 AS (
-            SELECT cm.keep_id, cm.node,
-                   row_number() OVER (PARTITION BY cm.keep_id
-                                      ORDER BY dd.n_chars DESC, cm.node) AS rn
-            FROM comp cm JOIN documents dd ON dd.doc_id = cm.node
-        ),
-        drop2 AS (SELECT node AS doc_id FROM ranked2 WHERE rn > 1),
-        s2k AS (
-            SELECT doc_id FROM s1k
-            WHERE doc_id NOT IN (SELECT doc_id FROM drop2)
-        ),
-        {_E2E_ENSEMBLE_CTES},
-        s3k AS (
-            SELECT doc_id FROM j
-            WHERE j.gopher_pass AND j.score_ok AND j.stop_ok
-        ),
-        {_DHASH_FP_CTES.replace(
-            "FROM documents", "FROM documents JOIN s3k USING (doc_id)"
-        )},
-        drop4 AS (
-            SELECT DISTINCT b.doc_id
-            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.fp, b.fp)) <= 3
-        ),
-        s4k AS (
-            SELECT doc_id FROM s3k
-            WHERE doc_id NOT IN (SELECT doc_id FROM drop4)
-        ),
-        rows_h AS (
-            SELECT d.doc_id // 100 AS shard_id, d.doc_id,
-                   CAST(('0x' || substr(md5('mft:' || d.doc_id::VARCHAR || ':'
-                                            || d.n_chars::VARCHAR), 1, 12))::BIGINT
-                        AS DECIMAL(38,0)) AS h
-            FROM documents d JOIN s4k USING (doc_id)
-        )
-        SELECT CAST(shard_id AS BIGINT) AS shard_id,
-               CAST(count(*) AS BIGINT) AS n_rows,
-               min(doc_id) AS min_id,
-               max(doc_id) AS max_id,
-               CAST(SUM(h) AS VARCHAR) AS content_sum
-        FROM rows_h
-        GROUP BY shard_id
-        ORDER BY shard_id
-    """,
-    tags=("pipeline", "curation", "multimodal", "composition"),
-)
-def corpus_curation_multimodal(spark, sf_dir):
-    """Text+image curation in ONE DAG: the shared text funnel
-    (_curation_text_funnel — URL dedup, LSH keep-best, ensemble gate),
-    then perceptual image dedup ON THE FUNNEL SURVIVORS (synth ->
-    real PNG decode -> dHash64 -> pigeonhole-blocked Hamming <= 3 pairs
-    -> drop the larger id of every pair), then the shard manifest whose
-    exact content sums pin the final survivor set.
-
-    100-TB shape: the image leg runs AFTER the text funnel has collapsed
-    the corpus (~3% survive the gate at sf0.1), so the decode kernel
-    fingerprints only survivors and emits 8 bytes each — image payloads
-    never shuffle, and the blocked fingerprint self-join is
-    survivor-sized, not corpus-sized.  The keep-first drop rule is
-    per-pair local (no connected components needed): any doc with a
-    smaller-id near-duplicate image is dropped, so the kept set is
-    exactly the ids with no smaller neighbor."""
-    from kwack_spark.operators import multimodal as mm
-
-    d = T(spark, sf_dir, "documents")
-    s3 = _curation_text_funnel(spark, d)
-    # --- stage 4: image near-dup keep-min over the survivors ---
-    ids = s3.select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
-    png = mm.synth_png_blocky(ids, "doc_id")
-    fps = similarity._persist_rotating(
-        "mm_cur_fps", mm.dhash64(png, "payload", "doc_id")
-    )
-    pairs4 = dedup.fingerprint_hamming_pairs(fps, "doc_id", max_hamming=3, blocks=4)
-    drop4 = pairs4.select(F.col("id_b").alias("doc_id")).distinct()
-    s4 = s3.join(drop4, "doc_id", "left_anti").select("doc_id", "n_chars")
-    # --- stage 5: shard manifest pins the text+image survivor set ---
-    return _shard_manifest(s4)
-
-
-@register(
-    "corpus_curation_all_modalities",
-    # the four-modality curation DAG (r09 VERDICT ask #4): the text funnel
-    # (URL dedup -> LSH keep-best -> ensemble gate, the SAME s1k/s2k/s3k
-    # chain corpus_curation_e2e grades), then per-modality near-dup
-    # keep-min legs IN SEQUENCE, each fingerprinting only the previous
-    # stage's survivors: image (real PNG decode -> dHash, Hamming <= 3),
-    # audio (real PCM decode -> energy fingerprint, Hamming <= 3), video
-    # (keyframe hashes -> df-capped collision join, >= 6 shared).  The
-    # closed fixture forms collapse each leg's pair set to a class join —
-    # image drops to the dHash CTE pairs, audio Hamming <= 3 pairs are
-    # exactly same-(doc%128), video >= 6-shared pairs exactly
-    # same-(doc%64) — so the oracle chains three keep-min set
-    # subtractions and the manifest's exact content_sum pins the final
-    # survivor set bit-for-bit.
-    oracle=f"""
-        WITH RECURSIVE
-        u AS (SELECT doc_id, {_URL_RAW_SQL} AS raw_url FROM documents),
-        {_URL_CANON_CTES},
-        s1k AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canon_url),
-        {_E2E_LSH_CTES},
-        {_COMP_CTES},
-        ranked2 AS (
-            SELECT cm.keep_id, cm.node,
-                   row_number() OVER (PARTITION BY cm.keep_id
-                                      ORDER BY dd.n_chars DESC, cm.node) AS rn
-            FROM comp cm JOIN documents dd ON dd.doc_id = cm.node
-        ),
-        drop2 AS (SELECT node AS doc_id FROM ranked2 WHERE rn > 1),
-        s2k AS (
-            SELECT doc_id FROM s1k
-            WHERE doc_id NOT IN (SELECT doc_id FROM drop2)
-        ),
-        {_E2E_ENSEMBLE_CTES},
-        s3k AS (
-            SELECT doc_id FROM j
-            WHERE j.gopher_pass AND j.score_ok AND j.stop_ok
-        ),
-        {_DHASH_FP_CTES.replace(
-            "FROM documents", "FROM documents JOIN s3k USING (doc_id)"
-        )},
-        drop4 AS (
-            SELECT DISTINCT b.doc_id
-            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.fp, b.fp)) <= 3
-        ),
-        s4k AS (
-            SELECT doc_id FROM s3k
-            WHERE doc_id NOT IN (SELECT doc_id FROM drop4)
-        ),
-        drop5 AS (
-            SELECT DISTINCT b.doc_id
-            FROM s4k a JOIN s4k b
-              ON a.doc_id % 128 = b.doc_id % 128 AND a.doc_id < b.doc_id
-        ),
-        s5k AS (
-            SELECT doc_id FROM s4k
-            WHERE doc_id NOT IN (SELECT doc_id FROM drop5)
-        ),
-        drop6 AS (
-            SELECT DISTINCT b.doc_id
-            FROM s5k a JOIN s5k b
-              ON a.doc_id % 64 = b.doc_id % 64 AND a.doc_id < b.doc_id
-        ),
-        s6k AS (
-            SELECT doc_id FROM s5k
-            WHERE doc_id NOT IN (SELECT doc_id FROM drop6)
-        ),
-        rows_h AS (
-            SELECT d.doc_id // 100 AS shard_id, d.doc_id,
-                   CAST(('0x' || substr(md5('mft:' || d.doc_id::VARCHAR || ':'
-                                            || d.n_chars::VARCHAR), 1, 12))::BIGINT
-                        AS DECIMAL(38,0)) AS h
-            FROM documents d JOIN s6k USING (doc_id)
-        )
-        SELECT CAST(shard_id AS BIGINT) AS shard_id,
-               CAST(count(*) AS BIGINT) AS n_rows,
-               min(doc_id) AS min_id,
-               max(doc_id) AS max_id,
-               CAST(SUM(h) AS VARCHAR) AS content_sum
-        FROM rows_h
-        GROUP BY shard_id
-        ORDER BY shard_id
-    """,
-    tags=("pipeline", "curation", "multimodal", "composition", "video", "audio"),
-)
-def corpus_curation_all_modalities(spark, sf_dir):
-    """ALL FOUR modalities composed in one curation DAG: the shared text
-    funnel, then image (PNG decode -> dHash64 -> Hamming keep-min), audio
-    (PCM decode -> energy fingerprint -> Hamming keep-min), and video
-    (keyframe hashes -> df-capped collision join -> >= 6-shared keep-min)
-    legs in sequence, then the shard manifest pinning the final survivor
-    set.
-
-    100-TB shape: each modality leg fingerprints ONLY the previous
-    stage's survivors (the funnel collapses the corpus first, then every
-    drop shrinks the next leg's input), every fingerprint is 8 bytes
-    (payloads never shuffle — decode kernels emit fingerprints, not
-    pixels/samples/frames), every pair join is blocked (16-bit slices /
-    df-capped frame buckets, never all-pairs), and the keep-first drop
-    rule stays per-pair local (no components pass needed)."""
-    from kwack_spark.operators import multimodal as mm
-
-    par = spark.sparkContext.defaultParallelism
-    d = T(spark, sf_dir, "documents")
-    s3 = _curation_text_funnel(spark, d)
-    # --- stage 4: image near-dup keep-min over the funnel survivors ---
-    ids3 = s3.select("doc_id").repartition(par, "doc_id")
-    png = mm.synth_png_blocky(ids3, "doc_id")
-    fpi = similarity._persist_rotating(
-        "cur_all_img_fps", mm.dhash64(png, "payload", "doc_id")
-    )
-    drop4 = (
-        dedup.fingerprint_hamming_pairs(fpi, "doc_id", max_hamming=3, blocks=4)
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-    )
-    s4 = similarity._persist_rotating(
-        "cur_all_s4", s3.join(drop4, "doc_id", "left_anti")
-    )
-    # --- stage 5: audio near-dup keep-min over the image survivors ---
-    ids4 = s4.select("doc_id").repartition(par, "doc_id")
-    wav = mm.synth_wav_am(ids4, "doc_id")
-    fpa = similarity._persist_rotating(
-        "cur_all_aud_fps", mm.audio_fingerprint64(wav, "payload", "doc_id")
-    )
-    drop5 = (
-        dedup.fingerprint_hamming_pairs(fpa, "doc_id", max_hamming=3, blocks=4)
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-    )
-    s5 = similarity._persist_rotating(
-        "cur_all_s5", s4.join(drop5, "doc_id", "left_anti")
-    )
-    # --- stage 6: video keyframe keep-min over the audio survivors ---
-    kf = _video_keyframes_from(s5.select("doc_id"))
-    drop6 = (
-        _video_pair_rollup(
-            dedup.key_collision_pairs(kf, "frame_md5", "doc_id", max_key_df=4096)
-        )
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-    )
-    s6 = s5.join(drop6, "doc_id", "left_anti").select("doc_id", "n_chars")
-    # --- stage 7: shard manifest pins the four-modality survivor set ---
-    return _shard_manifest(s6)
-
-
-# Upper-triangle (i <= j) covariance CTE chain, 9dp-rounded — shared by the
-# embedding_covariance_topk and embedding_top_pc oracles.  Exactness: each
-# component scales to an integer by 2^43 (power-of-two, no rounding); the
-# pairwise product is DECIMAL(19,0)^2 -> DECIMAL(38,0) exact; the Gram sums
-# and per-dim linear sums are order-free integer arithmetic, so both engines
-# feed IDENTICAL integers into the same IEEE double sequence.
-_COV_UPPER_CTES = f"""
-        sv AS (
-            SELECT list_transform(embedding::DOUBLE[],
-                   c -> CAST(c * {_POW2_43} AS DECIMAL(19,0))) AS s
-            FROM embeddings
-        ),
-        p AS (
-            SELECT u.q.i AS i, u.q.j AS j, u.q.p AS p FROM (
-                SELECT unnest(flatten(list_transform(range(1, len(s) + 1),
-                       i -> list_transform(range(i, len(s) + 1),
-                       j -> struct_pack(i := i - 1, j := j - 1,
-                                        p := CAST(s[i] * s[j] AS DECIMAL(38,0))))))) AS q
-                FROM sv
-            ) u
-        ),
-        gram AS (SELECT i, j, SUM(p) AS sij FROM p GROUP BY i, j),
-        lin AS (
-            SELECT u.e.pos AS pos, SUM(u.e.sc) AS s1 FROM (
-                SELECT unnest(list_transform(s,
-                       (c, i) -> struct_pack(pos := i - 1, sc := c))) AS e
-                FROM sv
-            ) u GROUP BY pos
-        ),
-        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
-        cov AS (
-            SELECT g.i, g.j,
-                   round(CAST(g.sij AS DOUBLE) / {_POW2_43} / {_POW2_43} / n.n
-                         - (CAST(a.s1 AS DOUBLE) / {_POW2_43} / n.n)
-                           * (CAST(b.s1 AS DOUBLE) / {_POW2_43} / n.n), 9) AS cov
-            FROM gram g JOIN lin a ON a.pos = g.i
-                        JOIN lin b ON b.pos = g.j, n
-        )
-"""
-
-
-def _embedding_cov_upper(spark, sf_dir):
-    """Upper-triangle (i <= j) covariance entries, 9dp-rounded — shared by
-    embedding_covariance_topk and the power-iteration top-PC query.  See
-    embedding_covariance_topk's docstring for the 100-TB plan shape.
-    widen_if_narrow: the dim^2/2 decimal products per row are the
-    per-row-expensive stage, and the bench-scale embeddings parquet is a
-    single row group — one task — without it."""
-    from kwack_spark.operators.scale import widen_if_narrow
-
-    e = widen_if_narrow(T(spark, sf_dir, "embeddings"))
-    scaled = F.transform(
-        V.as_double("embedding"), lambda c: (c * _POW2_43).cast("decimal(19,0)")
-    )
-
-    def with_s(s):
-        n = F.size(s)
-        return F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), n),
-                lambda i: F.transform(
-                    F.sequence(i, n),
-                    lambda j: F.struct(
-                        (i - 1).cast("int").alias("i"),
-                        (j - 1).cast("int").alias("j"),
-                        (F.element_at(s, i) * F.element_at(s, j))
-                        .cast("decimal(38,0)")
-                        .alias("p"),
-                    ),
-                ),
-            )
-        )
-
-    pairs = e.select(TX.bind(scaled, with_s).alias("ps"))
-    gram = (
-        pairs.select(F.explode("ps").alias("q"))
-        .select("q.i", "q.j", "q.p")
-        .groupBy("i", "j")
-        .agg(F.sum("p").alias("sij"))
-    )
-    lin = (
-        e.select(F.posexplode(scaled).alias("pos", "sc"))
-        .groupBy("pos")
-        .agg(F.sum("sc").alias("s1"))
-    )
-    n = e.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    a = lin.select(F.col("pos").alias("i"), F.col("s1").alias("si"))
-    b = lin.select(F.col("pos").alias("j"), F.col("s1").alias("sj"))
-    return (
-        gram.join(F.broadcast(a), "i")
-        .join(F.broadcast(b), "j")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "i",
-            "j",
-            F.round(
-                F.col("sij").cast("double") / _POW2_43 / _POW2_43 / F.col("n")
-                - (F.col("si").cast("double") / _POW2_43 / F.col("n"))
-                * (F.col("sj").cast("double") / _POW2_43 / F.col("n")),
-                9,
-            ).alias("cov"),
-        )
-    )
-
-
-@register(
-    "embedding_covariance_topk",
-    # cross-dimension covariance scan — the whitening/feature-correlation
-    # prep a training pipeline runs before PCA or decorrelation: the 25
-    # most-correlated dimension PAIRS (i < j) by |cov|.  Exactness: see
-    # _COV_UPPER_CTES.
-    oracle=f"""
-        WITH {_COV_UPPER_CTES}
-        SELECT i, j, cov FROM cov WHERE i < j
-        ORDER BY abs(cov) DESC, i, j LIMIT 25
-    """,
-    tags=("embedding", "stats", "covariance"),
-)
-def embedding_covariance_topk(spark, sf_dir):
-    """100-TB shape: the per-row pair expansion (dim^2/2 products) happens
-    INSIDE codegen as array HOFs — no self-join, no pre-aggregation
-    shuffle of row-level pairs; the groupBy (i, j) partial-aggregates
-    map-side, so every partition ships at most dim^2/2 = 2080 rows (dim=64)
-    to ONE metadata-sized shuffle however large the corpus.  The per-dim
-    linear sums are the same rollup at O(dim); the final assembly joins
-    three dim-sized tables (broadcast) and TakeOrdereds 25 rows."""
-    cov = _embedding_cov_upper(spark, sf_dir).filter(F.col("i") < F.col("j"))
-    return cov.orderBy(F.abs(F.col("cov")).desc(), "i", "j").limit(25)
-
-
-# Power-iteration CTE chain for the top-PC oracle: 8 unrolled iterations,
-# each one pinned to exact cross-engine arithmetic (terms rounded to 1e-12
-# and summed as integers, squares as DECIMAL(38,0), one correctly-rounded
-# IEEE sqrt per step, loadings re-rounded to 12dp) — both engines run the
-# SAME rounded recurrence on the SAME 9dp matrix, so the output is
-# bit-identical whether or not the iteration has converged.
-_PC_ITERS = 8
-_PC_SCALE = "1000000000000.0"  # 1e12
-
-
-def _pc_iter_ctes() -> tuple[str, str]:
-    parts = []
-    prev = "v0"
-    for t in range(1, _PC_ITERS + 1):
-        parts.append(f"""
-        w{t} AS MATERIALIZED (SELECT f.i AS pos,
-                        SUM(CAST(round(f.cov * v.val * {_PC_SCALE}) AS BIGINT)) AS ws
-                 FROM cov_full f JOIN {prev} v ON v.pos = f.j GROUP BY f.i),
-        n{t} AS MATERIALIZED (SELECT SUM(CAST(ws AS DECIMAL(19,0))
-                            * CAST(ws AS DECIMAL(19,0))) AS n2 FROM w{t}),
-        v{t} AS MATERIALIZED (SELECT pos, round(CAST(ws AS DOUBLE)
-                                   / sqrt(CAST(n2 AS DOUBLE)), 12) AS val
-                 FROM w{t}, n{t})""")
-        prev = f"v{t}"
-    return ",".join(parts), prev
-
-
-_PC_ITER_SQL, _PC_LAST = _pc_iter_ctes()
-
-
-@register(
-    "embedding_top_pc",
-    # top principal component by POWER ITERATION over the exact covariance
-    # matrix — the PCA the pipeline runs after embedding_covariance_topk
-    # flags correlated dims (dominant direction of variance; whitening /
-    # dimensionality-reduction prep).  The iteration runs on the dim^2
-    # covariance table, NOT the corpus: like textrank's unrolled PageRank,
-    # the corpus is scanned once (the Gram build) and all 8 iterations are
-    # metadata-sized joins.
-    oracle=f"""
-        WITH {_COV_UPPER_CTES},
-        -- MATERIALIZED: DuckDB inlines plain CTEs per reference, so the
-        -- 8 unrolled iterations would otherwise re-expand the whole Gram
-        -- chain exponentially (the SQL twin of the Spark-side lineage
-        -- doubling this query checkpoints away)
-        cov_full AS MATERIALIZED (
-            SELECT i, j, cov FROM cov
-            UNION ALL SELECT j AS i, i AS j, cov FROM cov WHERE i <> j
-        ),
-        dims AS (SELECT DISTINCT i AS pos FROM cov_full),
-        dn AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM dims),
-        v0 AS (SELECT pos, round(1.0 / sqrt(dn.d), 12) AS val FROM dims, dn),
-        {_PC_ITER_SQL}
-        SELECT v.pos AS pos, v.val AS loading,
-               round(sqrt(CAST(n{_PC_ITERS}.n2 AS DOUBLE)) / {_PC_SCALE}, 9)
-                   AS eigval
-        FROM v{_PC_ITERS} v, n{_PC_ITERS}
-        ORDER BY pos
-    """,
-    tags=("embedding", "pca", "iterative"),
-)
-def embedding_top_pc(spark, sf_dir):
-    """100-TB shape: ONE corpus pass builds the exact Gram/covariance
-    (map-side combined to dim^2 rows — see embedding_covariance_topk);
-    every power-iteration step is then a broadcast join of the dim^2
-    covariance table against the 64-row vector plus a 1-row norm agg —
-    pure metadata dataflow, Catalyst reuses the covariance exchange across
-    all 8 unrolled steps.  Sign and values are deterministic because each
-    step's arithmetic is integer-pinned (see oracle comment)."""
-    upper = _embedding_cov_upper(spark, sf_dir)
-    full = upper.unionByName(
-        upper.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
-        )
-    )
-    # materialize the dim^2-row covariance ONCE (the one corpus pass) and
-    # truncate its lineage: without this, each unrolled iteration embeds
-    # another copy of the whole Gram subtree in the plan and the driver
-    # OOMs serializing it.  The checkpoint is the natural iterative-algo
-    # boundary — sketch once, iterate on the sketch (metadata-sized: 4096
-    # rows at dim=64 regardless of corpus size).
-    full = full.localCheckpoint(eager=True)
-    dims = full.select(F.col("i").alias("pos")).distinct()
-    dn = dims.agg(F.count(F.lit(1)).cast("double").alias("d"))
-    v = dims.crossJoin(F.broadcast(dn)).select(
-        "pos", F.round(F.lit(1.0) / F.sqrt(F.col("d")), 12).alias("val")
-    )
-    sc = float(_PC_SCALE)
-    n2 = None
-    for _ in range(_PC_ITERS):
-        w = (
-            full.join(F.broadcast(v), full["j"] == v["pos"])
-            .select(
-                "i",
-                F.round(F.col("cov") * F.col("val") * sc, 0)
-                .cast("long")
-                .alias("t"),
-            )
-            .groupBy("i")
-            .agg(F.sum("t").alias("ws"))
-        )
-        n2 = w.agg(
-            F.sum(
-                F.col("ws").cast("decimal(19,0)") * F.col("ws").cast("decimal(19,0)")
-            ).alias("n2")
-        )
-        v = w.crossJoin(F.broadcast(n2)).select(
-            F.col("i").alias("pos"),
-            F.round(
-                F.col("ws").cast("double") / F.sqrt(F.col("n2").cast("double")), 12
-            ).alias("val"),
-        )
-        # v references w twice (directly and through the n2 norm), so
-        # without truncation the lineage doubles per step (2^t plan
-        # growth); a 64-row checkpoint per iteration keeps every step
-        # constant-cost — the standard iterative-dataflow discipline
-        v = v.localCheckpoint(eager=True)
-    eig = n2.select(
-        F.round(F.sqrt(F.col("n2").cast("double")) / sc, 9).alias("eigval")
-    )
-    return (
-        v.crossJoin(F.broadcast(eig))
-        .select("pos", F.col("val").alias("loading"), "eigval")
-        .orderBy("pos")
-    )
-
-
-@register(
-    "streaming_url_dedup",
-    # crawl-frontier dedup AT INGEST: the canonical-URL key is computed
-    # in-stream (same pure-codegen canonicalizer as dedup_url_canonical)
-    # and dropDuplicates state admits each logical page once.  End-of-
-    # stream key set == batch DISTINCT over the canonical keys, so the
-    # oracle is exact; only the key set is emitted (which arrival within a
-    # micro-batch wins is scheduler-dependent, the set is not).
-    oracle=f"""
-        WITH u AS (SELECT doc_id, {_URL_RAW_SQL} AS raw_url FROM documents),
-        {_URL_CANON_CTES}
-        SELECT DISTINCT canon_url FROM c
-    """,
-    tags=("streaming", "dedup", "url"),
-)
-def streaming_url_dedup(spark, sf_dir):
-    """Streaming plan shape: canonicalization is narrow JVM regex work on
-    each micro-batch (no Python, no pre-state shuffle beyond the dedup
-    key); state is one entry per DISTINCT canonical page — the frontier
-    size, not the crawl size — and the watermark bounds it to the re-crawl
-    horizon in production (spanned fully here so the replay equals batch
-    DISTINCT)."""
-    import tempfile
-    import uuid
-
-    from kwack_spark.streaming import ingest as si
-
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id",
-        _url_raw_col().alias("raw_url"),
-        F.timestamp_seconds(F.col("doc_id")).alias("ts"),
-    )
-    replay_dir = tempfile.mkdtemp(prefix="kwack_stream_url_")
-    d.repartition(3).write.mode("overwrite").parquet(replay_dir)
-    stream = (
-        spark.readStream.schema(d.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay_dir)
-    )
-    canon = stream.select(
-        TX.canonical_url("raw_url").alias("canon_url"), "ts"
-    )
-    deduped = si.streaming_dedup(
-        canon, "ts", ["canon_url"], watermark="3650 days"
-    ).select("canon_url")
-    sink = f"strmurl_{uuid.uuid4().hex[:8]}"
-    with _few_shuffle_partitions(spark):
-        q = si.to_memory_sink(deduped, sink, output_mode="append")
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming_url_dedup: stream did not finish in 300s")
-    return spark.table(sink)
-
-
-@register(
-    "bpe_train_two_steps",
-    # TWO BPE training iterations, not just pair mining: pick the argmax
-    # merge from iteration 1 (count DESC, pair ASC — bpe_merge_candidates'
-    # exact criterion), APPLY it to the word-frequency table (greedy
-    # leftmost non-overlapping, via ONE global regex pass over a
-    # '||'-separated symbol string — the doubled separator lets adjacent
-    # matches in a run share boundaries, exact on runs of any length —
-    # identical regex semantics on both engines), then recount
-    # adjacent SYMBOL pairs.  Output: the chosen merge1 and the top-20
-    # second-iteration candidates ('+'-joined symbols, so multi-char
-    # symbols are unambiguous).
-    oracle=f"""
-        WITH words AS (SELECT unnest({_toks()}) AS w FROM documents),
-        wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY w),
-        prs AS (
-            SELECT substr(w, i, 2) AS pair, freq
-            FROM wf, unnest(range(1, greatest(length(w), 1))) AS t(i)
-        ),
-        top1 AS (
-            SELECT pair AS m1 FROM prs GROUP BY pair
-            ORDER BY SUM(freq) DESC, pair LIMIT 1
-        ),
-        applied AS (
-            -- DOUBLED-separator greedy merge: symbols joined by '||', the
-            -- pattern consumes one '|' from each side, so adjacent matches
-            -- in a symbol run share boundaries correctly and ONE global
-            -- pass is exactly leftmost non-overlapping BPE (a single-'|'
-            -- two-pass scheme under-merges runs >= 5)
-            SELECT regexp_replace(
-                       '||' || regexp_replace(w, '(.)', '\\1||', 'g'),
-                       '\\|' || substr(m1, 1, 1) || '\\|\\|' || substr(m1, 2, 1) || '\\|',
-                       '|' || m1 || '|', 'g') AS sym,
-                   freq, m1
-            FROM wf, top1
-        ),
-        syms AS (
-            SELECT list_filter(string_split(sym, '|'), s -> len(s) > 0) AS ss,
-                   freq, m1
-            FROM applied
-        ),
-        p2 AS (
-            SELECT ss[i] || '+' || ss[i + 1] AS pair, freq, m1
-            FROM syms, unnest(range(1, greatest(len(ss), 1))) AS t(i)
-        )
-        SELECT m1 AS merge1, pair, CAST(SUM(freq) AS BIGINT) AS n
-        FROM p2 GROUP BY m1, pair
-        ORDER BY n DESC, pair LIMIT 20
-    """,
-    tags=("text", "tokenizer", "bpe", "iterative"),
-)
-def bpe_train_two_steps(spark, sf_dir):
-    """100-TB shape identical to bpe_merge_candidates: the corpus
-    collapses to the vocabulary-sized word-frequency table FIRST (one
-    map-side-combinable shuffle); both the merge application (regex over
-    vocab words) and both pair counts run on that tiny table; the chosen
-    merge is a 1-row broadcast, never a collect."""
-    d = T(spark, sf_dir, "documents")
-    words = d.select(F.explode(TX.tokens("text")).alias("w"))
-    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
-    prs = wf.select(
-        F.explode(
-            F.expr(
-                "CASE WHEN length(w) > 1 THEN transform(sequence(1, length(w) - 1), "
-                "i -> substring(w, i, 2)) ELSE array() END"
-            )
-        ).alias("pair"),
-        "freq",
-    )
-    top1 = (
-        prs.groupBy("pair")
-        .agg(F.sum("freq").alias("n"))
-        .orderBy(F.desc("n"), "pair")
-        .limit(1)
-        .select(F.col("pair").alias("m1"))
-    )
-    pat = F.concat(
-        F.lit(r"\|"), F.substring("m1", 1, 1), F.lit(r"\|\|"),
-        F.substring("m1", 2, 1), F.lit(r"\|"),
-    )
-    repl = F.concat(F.lit("|"), F.col("m1"), F.lit("|"))
-    sym0 = F.concat(F.lit("||"), F.regexp_replace("w", F.lit("(.)"), F.lit("$1||")))
-    applied = wf.crossJoin(F.broadcast(top1)).select(
-        F.regexp_replace(sym0, pat, repl).alias("sym"),
-        "freq",
-        "m1",
-    )
-    syms = applied.select(
-        F.filter(F.split("sym", r"\|"), lambda s: F.length(s) > 0).alias("ss"),
-        "freq",
-        "m1",
-    )
-    p2 = syms.select(
-        F.explode(
-            F.expr(
-                "CASE WHEN size(ss) > 1 THEN transform(sequence(1, size(ss) - 1), "
-                "i -> concat(element_at(ss, i), '+', element_at(ss, i + 1))) "
-                "ELSE array() END"
-            )
-        ).alias("pair"),
-        "freq",
-        "m1",
-    )
-    return (
-        p2.groupBy("m1", "pair")
-        .agg(F.sum("freq").alias("n"))
-        .select(F.col("m1").alias("merge1"), "pair", "n")
-        .orderBy(F.desc("n"), "pair")
-        .limit(20)
-    )
-
-
-@register(
-    "embedding_pc_residual_topk",
-    # embedding OUTLIER scan: the 25 vectors worst-explained by the top
-    # principal component — residual energy ||x||^2 - (x . v)^2 with v from
-    # the power iteration.  The anomaly/diversity signal a curation
-    # pipeline reads next to SemDeDup: high-residual vectors are the ones
-    # the dominant factor does not cover.  Determinism: both dot product
-    # and squared norm are STRICT LEFT FOLDS over the dimension order
-    # (Spark aggregate / DuckDB list_reduce — identical IEEE sequence), the
-    # projection is rounded to 9dp before squaring, the residual to 6dp.
-    oracle=f"""
-        WITH {_COV_UPPER_CTES},
-        cov_full AS MATERIALIZED (
-            SELECT i, j, cov FROM cov
-            UNION ALL SELECT j AS i, i AS j, cov FROM cov WHERE i <> j
-        ),
-        dims AS (SELECT DISTINCT i AS pos FROM cov_full),
-        dn AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM dims),
-        v0 AS (SELECT pos, round(1.0 / sqrt(dn.d), 12) AS val FROM dims, dn),
-        {_PC_ITER_SQL},
-        varr AS (SELECT list(val ORDER BY pos) AS v FROM v{_PC_ITERS}),
-        x AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        scored AS (
-            SELECT vec_id,
-                   round(list_reduce(list_transform(range(1, len(e) + 1),
-                         i -> e[i] * va.v[i]), (a, b) -> a + b), 9) AS proj,
-                   list_reduce(list_transform(range(1, len(e) + 1),
-                         i -> e[i] * e[i]), (a, b) -> a + b) AS nrm2
-            FROM x, varr va
-        )
-        SELECT vec_id, proj, round(nrm2 - proj * proj, 6) AS resid2
-        FROM scored ORDER BY resid2 DESC, vec_id LIMIT 25
-    """,
-    tags=("embedding", "pca", "outlier"),
-)
-def embedding_pc_residual_topk(spark, sf_dir):
-    """100-TB shape: the PC itself costs one corpus pass (see
-    embedding_top_pc); scoring is then a single narrow pass — the 64-float
-    component vector broadcasts to every task and both folds run inside
-    codegen per row — followed by TakeOrdered(25).  No shuffle touches
-    vector data."""
-    pc = embedding_top_pc(spark, sf_dir)
-    varr = pc.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "loading"))),
-            lambda s: s["loading"],
-        ).alias("v")
-    )
-    e = T(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", V.as_double("embedding").alias("x")).crossJoin(
-        F.broadcast(varr)
-    )
-
-    def with_x(x):
-        n = F.size(x)
-        dot = F.aggregate(
-            F.sequence(F.lit(1), n),
-            F.lit(0.0),
-            lambda acc, i: acc + F.element_at(x, i) * F.element_at(F.col("v"), i),
-        )
-        nrm2 = F.aggregate(
-            F.sequence(F.lit(1), n),
-            F.lit(0.0),
-            lambda acc, i: acc + F.element_at(x, i) * F.element_at(x, i),
-        )
-        return F.struct(
-            F.round(dot, 9).alias("proj"), nrm2.alias("nrm2")
-        )
-
-    scored = base.select(
-        "vec_id", TX.bind(F.col("x"), with_x).alias("s")
-    ).select(
-        "vec_id",
-        F.col("s.proj").alias("proj"),
-        F.round(F.col("s.nrm2") - F.col("s.proj") * F.col("s.proj"), 6).alias(
-            "resid2"
-        ),
-    )
-    return scored.orderBy(F.desc("resid2"), "vec_id").limit(25)
-
-
-@register(
-    "tfidf_cosine_topk",
-    # All-pairs sparse TF-IDF cosine, top-20 most-similar document pairs —
-    # the sparse-vector complement of dedup_embedding_cosine (dense) and
-    # dedup_ngram_jaccard (set overlap).  Determinism discipline (the
-    # tfidf_top_terms / bm25_topk_search pattern): each weight is rounded
-    # to 6dp BEFORE any sum (so ln()'s last ulp cannot leak), and every
-    # dot/norm accumulates through exact DECIMAL, so partial-aggregation
-    # order cannot change a bit.  Stop terms are excluded by an ABSOLUTE
-    # posting-length cap (df <= 256): per-term self-join fan-out is df^2,
-    # so a relative cap (df <= N/2) lets the worst term's pair volume grow
-    # quadratically with the corpus — the absolute cap is what production
-    # all-pairs systems ship, and it bounds every term's work at any N.
-    oracle=f"""
-        WITH tok AS (SELECT doc_id, unnest({_toks()}) AS term FROM documents),
-        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        n AS (SELECT count(*) AS n_docs FROM documents),
-        w AS (
-            SELECT doc_id, term,
-                   CAST(round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6)
-                        AS DECIMAL(18,6)) AS w
-            FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
-            WHERE d.df <= 256
-        ),
-        n2 AS (
-            SELECT doc_id,
-                   CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE) AS n2
-            FROM w GROUP BY 1
-        ),
-        dots AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,12))) AS DOUBLE) AS dot
-            FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
-        SELECT id_a, id_b,
-               round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
-        FROM dots
-        JOIN n2 na ON na.doc_id = id_a
-        JOIN n2 nb ON nb.doc_id = id_b
-        ORDER BY cosine DESC, id_a, id_b LIMIT 20
-    """,
-    tags=("text", "tfidf", "similarity"),
-)
-def tfidf_cosine_topk(spark, sf_dir):
-    """Sparse all-pairs similarity via the inverted index: pair partial
-    products are generated ONLY where two docs share a term, i.e. a
-    self-equi-join of the (doc, term, w) posting table on the term key —
-    never a doc x doc cross product.  100-TB shape: tf shuffles once on
-    (doc, term); df is vocabulary-sized and broadcasts; the ABSOLUTE
-    posting-length cap (df <= 256) bounds every term's self-join fan-out
-    at 256^2 pair partials regardless of corpus size — THE skew knob for
-    all-pairs similarity (a relative N/2 cap measured ~quadratic under
-    tools/scale_stress.py replication; absolute cap restored ~linear);
-    norms are doc-count-sized and shuffle-join on doc id; the final
-    top-20 is a TakeOrdered.  Exact DECIMAL sums of 6dp-pre-rounded
-    weights keep Spark and DuckDB bit-identical."""
-    d = T(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    w = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(n))
-        .filter(F.col("df") <= 256)
-        .select(
-            "doc_id",
-            "term",
-            F.round(
-                F.col("tf")
-                * F.log(F.col("n_docs").cast("double") / F.col("df")),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("w"),
-        )
-    )
-    # the posting table feeds three subtrees (both sides of the pair join
-    # + the norms) — persist it once or the tokenize+tf+df pipeline runs
-    # 3x (the minhash_lsh_pairs shingle-set discipline)
-    w = similarity._persist_rotating("tfidf_cos_w", w)
-    n2 = w.groupBy("doc_id").agg(
-        F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)"))
-        .cast("double")
-        .alias("n2")
-    )
-    dots = (
-        w.alias("a")
-        .join(
-            w.alias("b"),
-            (F.col("a.term") == F.col("b.term"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(
-            F.sum((F.col("a.w") * F.col("b.w")).cast("decimal(38,12)"))
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    res = (
-        dots.join(
-            n2.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("n2a")),
-            "id_a",
-        )
-        .join(
-            n2.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("n2b")),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("dot") / (F.sqrt("n2a") * F.sqrt("n2b")), 6
-            ).alias("cosine"),
-        )
-    )
-    return res.orderBy(F.desc("cosine"), "id_a", "id_b").limit(20)
-
-
-@register(
-    "event_robust_outliers",
-    # Robust per-type outlier scan: median/MAD z-scores (the
-    # mean/stddev-free counterpart of daily_anomaly_zscore — a single
-    # corrupt shard cannot drag the center the way it drags a mean).
-    # Determinism: median on both engines is the same interpolated
-    # selection (avg of the two middle values — one IEEE add + halve on
-    # identical inputs); every downstream step is +,-,*,/ on identical
-    # doubles, rounded to 6dp at the end; mad = 0 groups are excluded
-    # (their z-score would be an infinity whose formatting differs).
-    oracle="""
-        WITH med AS (
-            SELECT event_type, median(value) AS med FROM events GROUP BY 1
-        ),
-        dev AS (
-            SELECT e.event_id, e.event_type, e.value, m.med,
-                   abs(e.value - m.med) AS adev
-            FROM events e JOIN med m USING (event_type)
-        ),
-        mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
-        SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
-               round((d.value - d.med) / (1.4826 * m.mad), 6) AS rz
-        FROM dev d JOIN mad m USING (event_type)
-        WHERE m.mad > 0
-          AND abs((d.value - d.med) / (1.4826 * m.mad)) > 3.5
-    """,
-    tags=("quality", "outlier", "robust"),
-)
-def event_robust_outliers(spark, sf_dir):
-    """100-TB shape: two key-partitioned aggregations over the fact (the
-    per-type exact median; then the median of absolute deviations) with the
-    tiny per-type center/scale tables broadcast back — the fact shuffles on
-    the bounded event_type key only for the medians, and the scoring pass
-    is narrow map work.  At cluster scale the exact median swaps for
-    percentile_approx with a pinned accuracy — the plan shape (two
-    partial+final aggs + broadcast enrich) is unchanged."""
-    e = T(spark, sf_dir, "events")
-    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
-    dev = e.join(F.broadcast(med), "event_type").select(
-        "event_id",
-        "event_type",
-        "value",
-        "med",
-        F.abs(F.col("value") - F.col("med")).alias("adev"),
-    )
-    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
-    scored = dev.join(F.broadcast(mad), "event_type").select(
-        "event_id",
-        "event_type",
-        "value",
-        "med",
-        "mad",
-        F.round(
-            (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 6
-        ).alias("rz"),
-    )
-    return scored.filter(
-        (F.col("mad") > 0)
-        & (
-            F.abs(
-                (F.col("value") - F.col("med"))
-                / (F.lit(1.4826) * F.col("mad"))
-            )
-            > 3.5
-        )
-    )
-
-
-@register(
-    "bitext_margin_mining",
-    # Margin-based parallel-corpus mining (the CCMatrix/LASER shape): for
-    # every "source-language" vector (label 0) find its best
-    # "target-language" match (label 1) and score it by the DISTANCE
-    # MARGIN — top-1 cosine minus the mean of the top-4 cosines — so a
-    # vector that is merely close to everything (a hub) ranks below one
-    # with a single standout match.  Determinism: cosines are the shared
-    # strict-left-fold kernel (bit-equal across engines, so rank order
-    # needs no rounding; ties break on tgt id); the top-4 mean sums
-    # 9dp-pre-rounded cosines through exact DECIMAL; outputs round to 6dp.
-    oracle=f"""
-        WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-        s AS (SELECT vec_id, v FROM v WHERE label = 0),
-        t AS (SELECT vec_id, v FROM v WHERE label = 1),
-        pairs AS (
-            SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
-                   {_cos_sql("s", "t")} AS cos
-            FROM s CROSS JOIN t
-        ),
-        ranked AS (
-            SELECT src_id, tgt_id, cos,
-                   row_number() OVER (PARTITION BY src_id
-                                      ORDER BY cos DESC, tgt_id) AS rnk
-            FROM pairs
-        ),
-        top4 AS (
-            SELECT src_id,
-                   CAST(SUM(CAST(round(cos, 9) AS DECIMAL(12,9))) AS DOUBLE)
-                       / 4 AS mean4
-            FROM ranked WHERE rnk <= 4 GROUP BY 1
-        ),
-        top1 AS (SELECT src_id, tgt_id, cos FROM ranked WHERE rnk = 1)
-        SELECT t1.src_id, t1.tgt_id,
-               round(t1.cos, 6) AS cos_top1,
-               round(t1.cos - t4.mean4, 6) AS margin
-        FROM top1 t1 JOIN top4 t4 USING (src_id)
-        ORDER BY margin DESC, src_id LIMIT 25
-    """,
-    tags=("embedding", "similarity", "mining"),
-)
-def bitext_margin_mining(spark, sf_dir):
-    """100-TB shape: one language side is usually orders smaller (or
-    IVF-blocked first — ann_ivf_topk is the candidate generator at scale),
-    so the target side broadcasts and the source side streams
-    partition-parallel: per-source scoring is narrow map work inside
-    codegen, the per-source window runs after a shuffle on src_id whose
-    width is k-bounded (only rnk <= 4 survives the aggregate), and the
-    final top-25 is a TakeOrdered."""
-    from pyspark.sql import Window
-
-    e = T(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", "label", V.as_double("embedding").alias("v"))
-    s = v.filter(F.col("label") == 0).select(
-        F.col("vec_id").alias("src_id"), F.col("v").alias("sv")
-    )
-    t = v.filter(F.col("label") == 1).select(
-        F.col("vec_id").alias("tgt_id"), F.col("v").alias("tv")
-    )
-    pairs = s.crossJoin(F.broadcast(t)).select(
-        "src_id",
-        "tgt_id",
-        V.cosine(F.col("sv"), F.col("tv")).alias("cos"),
-    )
-    wnd = Window.partitionBy("src_id").orderBy(F.desc("cos"), "tgt_id")
-    ranked = pairs.select(
-        "src_id", "tgt_id", "cos", F.row_number().over(wnd).alias("rnk")
-    )
-    top4 = (
-        ranked.filter(F.col("rnk") <= 4)
-        .groupBy("src_id")
-        .agg(
-            (
-                F.sum(F.round(F.col("cos"), 9).cast("decimal(12,9)")).cast(
-                    "double"
-                )
-                / 4
-            ).alias("mean4")
-        )
-    )
-    top1 = ranked.filter(F.col("rnk") == 1).select("src_id", "tgt_id", "cos")
-    res = top1.join(top4, "src_id").select(
-        "src_id",
-        "tgt_id",
-        F.round(F.col("cos"), 6).alias("cos_top1"),
-        F.round(F.col("cos") - F.col("mean4"), 6).alias("margin"),
-    )
-    return res.orderBy(F.desc("margin"), "src_id").limit(25)
-
-
-@register(
-    "streaming_click_purchase_join",
-    # STREAM-STREAM inner interval join — the one stateful-join shape the
-    # streaming corpus did not yet cover (streaming_static_enrich is
-    # stream-STATIC).  Clicks and purchases replay as two independent file
-    # streams; each side is watermarked so the state store can expire
-    # buffered rows once event time passes the join window; the joined
-    # append-mode output must equal the batch interval join.
-    oracle="""
-        SELECT c.user_id,
-               c.event_id AS click_id,
-               p.event_id AS purchase_id,
-               c.ts AS click_ts,
-               p.ts AS purchase_ts
-        FROM events c JOIN events p
-          ON c.user_id = p.user_id
-         AND c.event_type = 'click'
-         AND p.event_type = 'purchase'
-         AND p.ts >= c.ts
-         AND p.ts <= c.ts + INTERVAL 30 MINUTE
-    """,
-    tags=("streaming", "join", "interval"),
-)
-def streaming_click_purchase_join(spark, sf_dir):
-    """Structured Streaming stream-stream join under the correctness gate.
-    100-TB shape: both sides shuffle on the join key (user_id) so matching
-    rows co-locate per state-store partition; the 1-hour watermark plus the
-    30-minute interval bound the buffered state per key to a sliding
-    window — without them the state store grows without limit, which is
-    the scale failure mode of unconstrained stream joins.  Append mode:
-    matches emit as soon as both sides arrive; end-of-replay equals the
-    batch interval join bit-for-bit."""
-    import tempfile
-    import uuid
-
-    from kwack_spark.streaming import ingest as si
-
-    e = T(spark, sf_dir, "events")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_ssjoin_replay_")
-    e.write.mode("overwrite").parquet(replay_dir)
-
-    def side(event_type, id_alias, ts_alias, user_alias):
-        s = spark.readStream.schema(e.schema).parquet(replay_dir)
-        return (
-            s.filter(F.col("event_type") == event_type)
-            .select(
-                F.col("user_id").alias(user_alias),
-                F.col("event_id").alias(id_alias),
-                F.col("ts").alias(ts_alias),
-            )
-            .withWatermark(ts_alias, "1 hour")
-        )
-
-    clicks = side("click", "click_id", "click_ts", "c_user")
-    purchases = side("purchase", "purchase_id", "purchase_ts", "p_user")
-    joined = clicks.join(
-        purchases,
-        F.expr(
-            "c_user = p_user AND purchase_ts >= click_ts "
-            "AND purchase_ts <= click_ts + interval 30 minutes"
-        ),
-    ).select(
-        F.col("c_user").alias("user_id"),
-        "click_id",
-        "purchase_id",
-        "click_ts",
-        "purchase_ts",
-    )
-    sink = f"ssj_{uuid.uuid4().hex[:8]}"
-    with _few_shuffle_partitions(spark):
-        q = si.to_memory_sink(joined, sink, output_mode="append")
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "streaming_click_purchase_join: stream did not finish in 300s"
-            )
-    return spark.table(sink).select(
-        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"
-    )
-
-
-@register(
-    "pagerank_dup_graph",
-    # Link analysis over the near-duplicate graph: two PageRank iterations
-    # (alpha = 0.85, dangling mass redistributed uniformly) on the
-    # undirected LSH pair graph — surfaces template/boilerplate HUBS whose
-    # influence a per-pair dedup verdict can't see.  Exact iterative
-    # kernel (the embedding_top_pc discipline): per-edge contributions are
-    # rounded to 12dp BEFORE summing and accumulate through exact DECIMAL,
-    # dangling mass likewise, and each iteration's rank is re-rounded to
-    # 12dp — so both engines walk bit-identical rank vectors.
-    oracle=f"""
-        WITH {_LSH_CTES},
-        pairs AS (
-            SELECT c.id_a, c.id_b
-            FROM cand c
-            JOIN ssets x ON x.doc_id = c.id_a
-            JOIN ssets y ON y.doc_id = c.id_b
-            WHERE {_JAC} >= 0.5
-        ),
-        edges AS (
-            SELECT id_a AS u, id_b AS v FROM pairs
-            UNION ALL
-            SELECT id_b AS u, id_a AS v FROM pairs
-        ),
-        nodes AS (SELECT doc_id FROM documents),
-        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-        deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
-        r0 AS (SELECT doc_id, 1.0 / n.n AS r FROM nodes, n),
-        c1 AS (
-            SELECT e.v, CAST(round(r.r / g.d, 12) AS DECIMAL(16,12)) AS c
-            FROM edges e JOIN r0 r ON r.doc_id = e.u JOIN deg g ON g.u = e.u
-        ),
-        in1 AS (SELECT v, CAST(SUM(c) AS DOUBLE) AS inflow FROM c1 GROUP BY 1),
-        dang1 AS (
-            SELECT COALESCE(CAST(SUM(CAST(round(r.r, 12) AS DECIMAL(16,12)))
-                                 AS DOUBLE), 0.0) AS dang
-            FROM r0 r LEFT JOIN deg g ON g.u = r.doc_id WHERE g.u IS NULL
-        ),
-        r1 AS (
-            SELECT nd.doc_id,
-                   round(0.15 / n.n + 0.85 * (COALESCE(i.inflow, 0.0)
-                         + dang1.dang / n.n), 12) AS r
-            FROM nodes nd CROSS JOIN n CROSS JOIN dang1
-            LEFT JOIN in1 i ON i.v = nd.doc_id
-        ),
-        c2 AS (
-            SELECT e.v, CAST(round(r.r / g.d, 12) AS DECIMAL(16,12)) AS c
-            FROM edges e JOIN r1 r ON r.doc_id = e.u JOIN deg g ON g.u = e.u
-        ),
-        in2 AS (SELECT v, CAST(SUM(c) AS DOUBLE) AS inflow FROM c2 GROUP BY 1),
-        dang2 AS (
-            SELECT COALESCE(CAST(SUM(CAST(round(r.r, 12) AS DECIMAL(16,12)))
-                                 AS DOUBLE), 0.0) AS dang
-            FROM r1 r LEFT JOIN deg g ON g.u = r.doc_id WHERE g.u IS NULL
-        ),
-        r2 AS (
-            SELECT nd.doc_id,
-                   round(0.15 / n.n + 0.85 * (COALESCE(i.inflow, 0.0)
-                         + dang2.dang / n.n), 12) AS r
-            FROM nodes nd CROSS JOIN n CROSS JOIN dang2
-            LEFT JOIN in2 i ON i.v = nd.doc_id
-        )
-        SELECT r2.doc_id, COALESCE(g.d, 0) AS degree,
-               round(r2.r, 9) AS pr
-        FROM r2 LEFT JOIN deg g ON g.u = r2.doc_id
-        ORDER BY pr DESC, doc_id LIMIT 25
-    """,
-    tags=("graph", "pagerank", "dedup"),
-)
-def pagerank_dup_graph(spark, sf_dir):
-    """100-TB shape: the edge list (LSH candidate pairs — already bounded
-    by dedup_minhash_lsh's banding) shuffles once on the source node to
-    attach (rank, degree), once on the destination to sum inflow — the
-    classic Pregel message exchange as two key-partitioned joins per
-    iteration; the dangling-mass and 1/N scalars are one-row aggregates
-    that broadcast.  Iterations compose lazily into one Catalyst plan; a
-    production run checkpoints the rank vector every few iterations to cut
-    lineage."""
-    d = T(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", k=8, bands=2, threshold=0.5
-    ).select("id_a", "id_b")
-    # persist the PAIR list (not the unioned edge list): the union reads
-    # pairs through two projection branches, so persisting upstream of it
-    # runs the whole LSH shingle/signature pipeline once instead of twice;
-    # every iteration then reads the cached pairs, never the corpus
-    pairs = similarity._persist_rotating("pagerank_pairs", pairs)
-    edges = pairs.select(
-        F.col("id_a").alias("u"), F.col("id_b").alias("v")
-    ).unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-    nodes = d.select("doc_id")
-    # n is a SCALAR — resolve it driver-side once (Python float division
-    # is the same IEEE-754 double op both engines run) instead of carrying
-    # a one-row broadcast subquery through every iteration
-    n = float(nodes.count())
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    # the STATIC per-node degree rides inside the checkpointed rank frame
-    # (doc_id, d, r): each iteration then needs no degree join at all —
-    # contributions read r/d off one row, and the dangling mass is a
-    # filter-aggregate over the checkpoint (d = 0), not an anti-join
-    rank = (
-        nodes.join(deg.withColumnRenamed("u", "doc_id"), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
-            F.lit(1.0 / n).alias("r"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    # iteration rounds run at graph width, not corpus width: the rank/edge
-    # exchanges here carry node- and edge-count rows, far below the scan's
-    # data volume — the dedup_cluster_components sizing rule.  A cluster
-    # deployment sets this to the graph's own scale instead.
-    with _few_shuffle_partitions(spark):
-        for _ in range(2):
-            rank = _pagerank_step(edges, n, rank)
-    res = rank.select(
-        "doc_id",
-        F.col("d").alias("degree"),
-        F.round(F.col("r"), 9).alias("pr"),
-    )
-    return res.orderBy(F.desc("pr"), "doc_id").limit(25)
-
-
-def _pagerank_step(edges, n, rank):
-    """One exact PageRank iteration (alpha = 0.85): 12dp-pre-rounded
-    per-edge contributions summed through DECIMAL, dangling mass as a
-    driver-side scalar filter-aggregate off the checkpointed rank
-    (degree rides in the frame), rank re-rounded to 12dp — then
-    lineage-truncated.  The update joins inflow back onto the checkpointed
-    rank itself (it carries every node), so no step touches the corpus
-    scan again."""
-    contrib = edges.join(rank.withColumnRenamed("doc_id", "u"), "u").select(
-        "v",
-        F.round(F.col("r") / F.col("d"), 12).cast("decimal(16,12)").alias("c"),
-    )
-    inflow = contrib.groupBy("v").agg(
-        F.sum("c").cast("double").alias("inflow")
-    )
-    # one-row scalar aggregate over the checkpoint: collect it rather than
-    # carrying a broadcast-subquery stage through the plan.  The downstream
-    # arithmetic applies the SAME IEEE op tree as the oracle: 0.15/n,
-    # dang/n, inflow + dm, *0.85, +jump.
-    dang = (
-        rank.filter(F.col("d") == 0)
-        .agg(
-            F.coalesce(
-                F.sum(F.round(F.col("r"), 12).cast("decimal(16,12)")).cast(
-                    "double"
-                ),
-                F.lit(0.0),
-            ).alias("dang")
-        )
-        .collect()[0][0]
-    )
-    jump = 0.15 / n
-    dm = dang / n
-    out = rank.join(
-        inflow.withColumnRenamed("v", "doc_id"), "doc_id", "left"
-    ).select(
-        "doc_id",
-        "d",
-        F.round(
-            F.lit(jump)
-            + F.lit(0.85)
-            * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dm)),
-            12,
-        ).alias("r"),
-    )
-    # rank is referenced three times next iteration (contrib, dangling,
-    # output) and embeds inflow which references the PREVIOUS rank —
-    # truncate lineage per step (the embedding_top_pc discipline) or the
-    # plan doubles per iteration
-    return out.localCheckpoint(eager=True)
-
-
-@register(
-    "dup_graph_triangles",
-    # Triangle census of the near-duplicate graph: per-node triangle
-    # counts + local clustering coefficient — distinguishes tight
-    # template cliques (coefficient ~1: safe to collapse to one keeper)
-    # from chain-like spurious LSH paths (coefficient ~0: verify before
-    # collapsing).  Complements dedup_cluster_components (membership) and
-    # pagerank_dup_graph (centrality).  Exact: triangle enumeration is
-    # id-ordered (a < b < c, each triangle counted once), the coefficient
-    # is one IEEE divide of integers, rounded to 6dp.
-    oracle=f"""
-        WITH {_LSH_CTES},
-        pairs AS (
-            SELECT c.id_a, c.id_b
-            FROM cand c
-            JOIN ssets x ON x.doc_id = c.id_a
-            JOIN ssets y ON y.doc_id = c.id_b
-            WHERE {_JAC} >= 0.5
-        ),
-        tri AS (
-            SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
-            FROM pairs p1
-            JOIN pairs p2 ON p2.id_a = p1.id_b
-            JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
-        ),
-        tn AS (
-            SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
-                SELECT a AS node FROM tri
-                UNION ALL SELECT b FROM tri
-                UNION ALL SELECT c FROM tri
-            ) GROUP BY node
-        ),
-        deg AS (
-            SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
-                SELECT id_a AS node FROM pairs
-                UNION ALL SELECT id_b FROM pairs
-            ) GROUP BY node
-        )
-        SELECT g.node AS doc_id, g.d AS degree,
-               COALESCE(t.n_tri, 0) AS n_triangles,
-               round(2.0 * COALESCE(t.n_tri, 0) / (g.d * (g.d - 1)), 6)
-                   AS clustering
-        FROM deg g LEFT JOIN tn t USING (node)
-        WHERE g.d >= 2
-        ORDER BY n_triangles DESC, doc_id LIMIT 25
-    """,
-    tags=("graph", "dedup", "triangles"),
-)
-def dup_graph_triangles(spark, sf_dir):
-    """100-TB shape: the pair list is the persisted LSH sketch (built
-    once); triangle enumeration is two self-joins on a shared vertex with
-    the a < b < c orientation so each triangle materializes exactly once —
-    at cluster scale the standard refinement is degree-ordered orientation
-    (direct each edge toward the higher-degree endpoint), which bounds the
-    join fan-out by arboricity instead of max degree; the node-level
-    rollup shuffles triangle-count rows, not the corpus."""
-    d = T(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", k=8, bands=2, threshold=0.5
-    ).select("id_a", "id_b")
-    pairs = similarity._persist_rotating("tri_pairs", pairs)
-    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
-    tri = (
-        p1.join(p2, F.col("p2.id_a") == F.col("p1.id_b"))
-        .join(
-            p3,
-            (F.col("p3.id_a") == F.col("p1.id_a"))
-            & (F.col("p3.id_b") == F.col("p2.id_b")),
-        )
-        .select(
-            F.col("p1.id_a").alias("a"),
-            F.col("p1.id_b").alias("b"),
-            F.col("p2.id_b").alias("c"),
-        )
-    )
-    # the triangle list feeds THREE unionAll branches (one per corner);
-    # unpersisted, the two-hop self-join executes three times
-    tri = similarity._persist_rotating("tri_tri", tri)
-    tn = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_tri"))
-    )
-    deg = (
-        pairs.select(F.col("id_a").alias("node"))
-        .unionAll(pairs.select(F.col("id_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    res = (
-        deg.join(tn, "node", "left")
-        .filter(F.col("d") >= 2)
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("d").alias("degree"),
-            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
-            F.round(
-                F.lit(2.0)
-                * F.coalesce(F.col("n_tri"), F.lit(0))
-                / (F.col("d") * (F.col("d") - 1)),
-                6,
-            ).alias("clustering"),
-        )
-    )
-    return res.orderBy(F.desc("n_triangles"), "doc_id").limit(25)
-
-
-@register(
-    "streaming_latest_per_key",
-    # keyed UPSERT as a streaming materialized view: the per-user "current
-    # row" (latest event by ts, tie -> highest event_id) plus a lifetime
-    # event count, maintained by the stateful engine in complete mode and
-    # equal to the batch DISTINCT ON at end-of-replay.  The streaming twin
-    # of distinct_on_latest — kwack's live-table surface is exactly this
-    # shape (a continuously-updated latest-state table readers query).
-    oracle="""
-        WITH r AS (
-            SELECT user_id, ts, event_id, value,
-                   row_number() OVER (PARTITION BY user_id
-                                      ORDER BY ts DESC, event_id DESC) AS rn,
-                   CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
-                       AS n_events
-            FROM events
-        )
-        SELECT user_id, ts AS latest_ts, event_id AS latest_event_id,
-               value AS latest_value, n_events
-        FROM r WHERE rn = 1
-    """,
-    tags=("streaming", "upsert", "state"),
-)
-def streaming_latest_per_key(spark, sf_dir):
-    """100-TB shape: state is ONE row per key (the max_by pair and a
-    counter — constant per key regardless of replay length), partitioned
-    by user_id across the state store; each micro-batch folds its rows
-    into the per-key maxima map-side before the state update.  The
-    (ts, event_id) struct ordering makes the tie-break total, so the
-    landed view is bit-equal to the batch window."""
-    import tempfile
-    import uuid
-
-    from kwack_spark.streaming import ingest as si
-
-    e = T(spark, sf_dir, "events")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_latest_replay_")
-    e.write.mode("overwrite").parquet(replay_dir)
-    stream = spark.readStream.schema(e.schema).parquet(replay_dir)
-    ord_key = F.struct("ts", "event_id")
-    agg = stream.groupBy("user_id").agg(
-        F.max("ts").alias("latest_ts"),
-        F.max_by("event_id", ord_key).alias("latest_event_id"),
-        F.max_by("value", ord_key).alias("latest_value"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    sink = f"latest_{uuid.uuid4().hex[:8]}"
-    with _few_shuffle_partitions(spark):
-        q = si.to_memory_sink(agg, sink, output_mode="complete")
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "streaming_latest_per_key: stream did not finish in 300s"
-            )
-    return spark.table(sink).select(
-        "user_id", "latest_ts", "latest_event_id", "latest_value", "n_events"
-    )
-
-
-_JL_PLANES = range(100, 116)  # 16 independent md5-parity component sets
-
-# one projected coordinate: STRICT left-fold of v[j] * (+/-1 from md5
-# parity) in index order — list_reduce, not list_sum (list_sum's summation
-# order is unspecified, fine for the LSH sign threshold but not for
-# bit-exact sketch ranks); Spark's F.aggregate init of 0.0 is absorbed
-# exactly by the first add
-_JL_COORD_SQL = (
-    "list_reduce([v[j] * (CASE WHEN substr(md5({p}::VARCHAR || ':' || (j-1)::VARCHAR),"
-    " 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END)"
-    " for j in generate_series(1, 64)], (acc, x) -> acc + x)"
-)
-
-
-@register(
-    "jl_projection_recall",
-    # Johnson-Lindenstrauss sketch quality, measured: project 64-dim
-    # embeddings to 16 dims through deterministic md5-parity +/-1
-    # components (the LSH plane kernel without the sign threshold), rank
-    # neighbors in the sketch space, and report top-5 recall against the
-    # exact ranking per query — the dimensionality-reduction counterpart
-    # of ann_pq_recall / ann_ivf_recall.  Every projected coordinate is
-    # the same strict left fold on both engines, so sketch cosines (and
-    # therefore sketch ranks) are bit-identical; ties break on corpus id.
-    oracle=f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        p AS (
-            SELECT vec_id,
-                   [{_JL_COORD_SQL.format(p='pp')} for pp in generate_series(100, 115)]
-                       AS y
-            FROM v
-        ),
-        q AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
-        ex AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY {_cos_sql("a", "b")} DESC, c.vec_id
-                   ) AS rnk
-            FROM q JOIN v a ON a.vec_id = q.vec_id
-            JOIN v b ON b.vec_id <> q.vec_id
-            JOIN v c ON c.vec_id = b.vec_id
-        ),
-        sk AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_dot_product(a.y, b.y)
-                                / (sqrt(list_dot_product(a.y, a.y))
-                                   * sqrt(list_dot_product(b.y, b.y))) DESC,
-                                c.vec_id
-                   ) AS rnk
-            FROM q JOIN p a ON a.vec_id = q.vec_id
-            JOIN p b ON b.vec_id <> q.vec_id
-            JOIN p c ON c.vec_id = b.vec_id
-        )
-        SELECT q.vec_id AS query_id,
-               COALESCE(o.n, 0) AS n_overlap,
-               CAST(COALESCE(o.n, 0) AS DOUBLE) / 5 AS recall_at_5
-        FROM q LEFT JOIN (
-            SELECT e.query_id, CAST(count(*) AS BIGINT) AS n
-            FROM (SELECT query_id, corpus_id FROM ex WHERE rnk <= 5) e
-            JOIN (SELECT query_id, corpus_id FROM sk WHERE rnk <= 5) s
-              ON s.query_id = e.query_id AND s.corpus_id = e.corpus_id
-            GROUP BY e.query_id
-        ) o ON o.query_id = q.vec_id
-    """,
-    tags=("embedding", "ann", "sketch", "recall"),
-)
-def jl_projection_recall(spark, sf_dir):
-    """100-TB shape: the 16x64 sign matrix is a compile-time constant baked
-    into codegen (no table, nothing broadcast); projection is one narrow
-    pass producing a 4x-smaller sketch column, the sketch ranking scans
-    16-float vectors instead of 64, and the recall join touches only the
-    two k-bounded top-5 lists per query.  The query batch is fixed-size,
-    so both rankings are broadcast-side joins against the streamed
-    corpus."""
-    from pyspark.sql import Window
-
-    e = T(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", V.as_double("embedding").alias("v"))
-
-    hexhi = ("8", "9", "a", "b", "c", "d", "e", "f")
-
-    # bind the plane id through a factory, NOT `lambda j, p=p: ...` — a
-    # two-parameter lambda makes F.transform pass the ELEMENT INDEX as the
-    # second argument, silently clobbering the default
-    def plane_comp(p):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda j: F.when(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{p}:"), j.cast("string"))), 1, 1
-                ).isin(*hexhi),
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
-
-    def jl(vec):
-        return F.array(*[V.dot(vec, plane_comp(p)) for p in _JL_PLANES])
-
-    proj = v.select("vec_id", jl(F.col("v")).alias("y"))
-    proj = similarity._persist_rotating("jl_proj", proj)
-    q_ids = v.orderBy("vec_id").limit(8).select(
-        F.col("vec_id").alias("query_id")
-    )
-
-    def top5(tbl, col):
-        a = tbl.select(F.col("vec_id").alias("query_id"), F.col(col).alias("qa"))
-        b = tbl.select(F.col("vec_id").alias("corpus_id"), F.col(col).alias("qb"))
-        pairs = (
-            q_ids.join(a, "query_id")
-            .crossJoin(b)
-            .filter(F.col("corpus_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                "corpus_id",
-                V.cosine(F.col("qa"), F.col("qb")).alias("cos"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "corpus_id")
-        return (
-            pairs.select(
-                "query_id", "corpus_id", F.row_number().over(w).alias("rnk")
-            )
-            .filter(F.col("rnk") <= 5)
-            .select("query_id", "corpus_id")
-        )
-
-    ex = top5(v, "v")
-    sk = top5(proj, "y")
-    overlap = (
-        ex.join(sk, ["query_id", "corpus_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return q_ids.join(overlap, "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n"), F.lit(0)).alias("n_overlap"),
-        (F.coalesce(F.col("n"), F.lit(0)).cast("double") / 5).alias(
-            "recall_at_5"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round-6 wave 4: k-means refinement, histogram quantiles, interval overlap,
-# Zipf fit
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "embedding_kmeans_refine",
-    # One distributed Lloyd iteration of k-means (k=8) — the training step
-    # behind every IVF coarse quantizer.  Determinism: seeds are the 8
-    # vectors with the smallest md5(vec_id) (hash order, no RNG);
-    # assignment uses squared L2 expanded as x.x - 2*x.c + c.c over the
-    # shared strict-left-fold dot kernel (bit-equal across engines), so the
-    # argmin with (d2, cid) tie-break picks identical clusters; the update
-    # is the exact-decimal centroid mean (comp * 2^43 is an integer, sum is
-    # order-free).
-    oracle=f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        seeds AS MATERIALIZED (
-            SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v
-            FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, v
-                  FROM v ORDER BY h, vec_id LIMIT 8)
-        ),
-        assign AS MATERIALIZED (
-            SELECT vec_id, cid, v FROM (
-                SELECT x.vec_id, s.cid, x.v,
-                       row_number() OVER (PARTITION BY x.vec_id ORDER BY
-                           list_dot_product(x.v, x.v)
-                           - 2 * list_dot_product(x.v, s.v)
-                           + list_dot_product(s.v, s.v), s.cid) AS rnk
-                FROM v x CROSS JOIN seeds s
-            ) WHERE rnk = 1
-        ),
-        c AS (
-            SELECT cid, u.e.pos AS pos, u.e.comp AS comp FROM (
-                SELECT cid,
-                       unnest(list_transform(v, (c, i) ->
-                           struct_pack(pos := i - 1, comp := c))) AS e
-                FROM assign
-            ) u
-        )
-        SELECT cid, pos,
-               CAST(SUM(CAST(comp * {_POW2_43} AS DECIMAL(38,0))) AS DOUBLE)
-                   / {_POW2_43} / COUNT(*) AS mean_val,
-               COUNT(*) AS n
-        FROM c GROUP BY cid, pos
-    """,
-    tags=("embedding", "kmeans", "similarity"),
-)
-def embedding_kmeans_refine(spark, sf_dir):
-    """One Lloyd iteration of distributed k-means (k=8).  100-TB shape:
-    seeding is a TakeOrderedAndProject (k rows, never a full-table window);
-    the k-row centroid table broadcasts; per-vector assignment is narrow
-    map work plus a k-bounded row_number keyed on vec_id; the update step
-    is one partial+final aggregation on (cid, pos) -> k*dim output rows at
-    any corpus size.  Iterating = feeding mean_val back in as next round's
-    seeds (operators/similarity.py trains IVF lists with this step)."""
-    from pyspark.sql import Window
-
-    e = T(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", V.as_double("embedding").alias("v"))
-    topk = (
-        v.select(F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "v")
-        .orderBy("h", "vec_id")
-        .limit(8)
-    )
-    seeds = topk.select(
-        (F.row_number().over(Window.orderBy("h", "vec_id")) - 1).alias("cid"),
-        F.col("v").alias("cv"),
-    )
-    pairs = v.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "cid",
-        "v",
-        (
-            V.dot(F.col("v"), F.col("v"))
-            - 2 * V.dot(F.col("v"), F.col("cv"))
-            + V.dot(F.col("cv"), F.col("cv"))
-        ).alias("d2"),
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    assign = (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("cid", "v")
-    )
-    x = assign.select("cid", F.posexplode("v").alias("pos", "comp"))
-    return x.groupBy("cid", "pos").agg(
-        (
-            F.sum((F.col("comp") * _POW2_43).cast("decimal(38,0)")).cast("double")
-            / _POW2_43
-            / F.count(F.lit(1))
-        ).alias("mean_val"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@register(
-    "histogram_quantile_estimate",
-    # Single-pass binned quantile estimation audited against the exact
-    # percentile — the scale pattern for quantiles over data too large to
-    # sort: one min/max pass, one 256-bin histogram pass (bounded rollup),
-    # linear interpolation inside the crossing bin.  Both engines run the
-    # identical double expression sequence over the identical integer bin
-    # counts; exact percentiles interpolate the same two order statistics
-    # and are rounded to 6dp to absorb formula-form low bits.
-    oracle="""
-        WITH s AS MATERIALIZED (
-            SELECT min(value) AS lo, max(value) AS hi, count(*) AS n FROM events
-        ),
-        hist AS MATERIALIZED (
-            SELECT least(CAST(floor((value - lo) / (hi - lo) * 256) AS INT),
-                         255) AS bin,
-                   count(*) AS cnt
-            FROM events, s GROUP BY 1
-        ),
-        cum AS (
-            SELECT bin, cnt,
-                   SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
-            FROM hist
-        ),
-        probes(qi, q) AS (VALUES (0, 0.25), (1, 0.5), (2, 0.75),
-                                 (3, 0.9), (4, 0.99)),
-        est AS (
-            SELECT qi, q,
-                   lo + (bin + (q * n - (cum - cnt)) / cnt) * (hi - lo) / 256
-                       AS est_raw
-            FROM probes, cum, s
-            WHERE cum >= q * n AND cum - cnt < q * n
-        ),
-        ex AS (
-            SELECT u.x.qi AS qi, u.x.ex AS ex FROM (
-                SELECT unnest(list_transform(
-                           quantile_cont(value, [0.25, 0.5, 0.75, 0.9, 0.99]),
-                           (e, i) -> struct_pack(qi := i - 1, ex := e))) AS x
-                FROM events
-            ) u
-        )
-        SELECT CAST(q AS DOUBLE) AS q, round(est_raw, 6) AS est_q,
-               round(ex, 6) AS exact_q,
-               round(abs(round(est_raw, 6) - round(ex, 6)), 6) AS abs_err
-        FROM est JOIN ex USING (qi)
-    """,
-    tags=("quantile", "sketch", "scale"),
-)
-def histogram_quantile_estimate(spark, sf_dir):
-    """Approximate quantiles from a 256-bin histogram, audited against the
-    exact percentile.  100-TB shape: the estimate needs two narrow scans
-    (min/max, then bin counts -> a 256-row rollup) and never sorts the
-    fact; the exact side is the audit baseline (at cluster scale it swaps
-    for percentile_approx with pinned accuracy — the histogram path is the
-    answer to 'quantiles without a sort')."""
-    from pyspark.sql import Window
-
-    e = T(spark, sf_dir, "events")
-    s = e.agg(
-        F.min("value").alias("lo"),
-        F.max("value").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    hist = (
-        e.join(F.broadcast(s))
-        .select(
-            F.least(
-                F.floor(
-                    (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 256
-                ).cast("int"),
-                F.lit(255),
-            ).alias("bin")
-        )
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    cum = hist.withColumn(
-        "cum",
-        F.sum("cnt").over(
-            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    probes = spark.createDataFrame(
-        [(0, 0.25), (1, 0.5), (2, 0.75), (3, 0.9), (4, 0.99)], "qi int, q double"
-    )
-    est = (
-        probes.crossJoin(F.broadcast(cum))
-        .crossJoin(F.broadcast(s))
-        .filter(
-            (F.col("cum") >= F.col("q") * F.col("n"))
-            & (F.col("cum") - F.col("cnt") < F.col("q") * F.col("n"))
-        )
-        .select(
-            "qi",
-            "q",
-            (
-                F.col("lo")
-                + (
-                    F.col("bin")
-                    + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
-                    / F.col("cnt")
-                )
-                * (F.col("hi") - F.col("lo"))
-                / 256
-            ).alias("est_raw"),
-        )
-    )
-    ex = (
-        e.agg(
-            F.percentile(
-                "value", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9, 0.99)])
-            ).alias("exs")
-        )
-        .select(F.posexplode("exs").alias("qi", "ex"))
-    )
-    return est.join(ex, "qi").select(
-        "q",
-        F.round("est_raw", 6).alias("est_q"),
-        F.round("ex", 6).alias("exact_q"),
-        F.round(F.abs(F.round("est_raw", 6) - F.round("ex", 6)), 6).alias("abs_err"),
-    )
-
-
-@register(
-    "interval_overlap_join",
-    # Interval-overlap join WITHOUT a range cross-join: gap-sessionized
-    # user sessions joined to the 3 busiest campaign hours by exploding
-    # each session into the hour bins it covers and equi-joining on the
-    # bin key.  Overlap is computed in integral epoch-microseconds, so the
-    # compare is exact.  Session end = last event + 30min (the
-    # F.session_window contract, mirrored by the gap-CTE here).
-    oracle="""
-        WITH m AS (
-            SELECT user_id, ts,
-                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                             < INTERVAL 30 MINUTE
-                        THEN 0 ELSE 1 END AS new_s
-            FROM events
-        ),
-        sid AS (
-            SELECT user_id, ts,
-                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-            FROM m
-        ),
-        sess AS MATERIALIZED (
-            SELECT user_id, min(ts) AS s,
-                   max(ts) + INTERVAL 30 MINUTE AS en,
-                   count(*) AS n_events
-            FROM sid GROUP BY user_id, sid
-        ),
-        camp AS MATERIALIZED (
-            SELECT date_trunc('hour', ts) AS h FROM events
-            GROUP BY 1 ORDER BY count(*) DESC, h LIMIT 3
-        ),
-        bins AS (
-            SELECT user_id, s, en, n_events,
-                   unnest(generate_series(date_trunc('hour', s),
-                                          date_trunc('hour', en),
-                                          INTERVAL 1 HOUR)) AS hb
-            FROM sess
-        )
-        SELECT user_id, s AS session_start, c.h AS campaign_hour,
-               least(epoch_us(en), epoch_us(c.h + INTERVAL 1 HOUR))
-                   - greatest(epoch_us(s), epoch_us(c.h)) AS overlap_us,
-               n_events
-        FROM bins b JOIN camp c ON b.hb = c.h
-        WHERE least(epoch_us(en), epoch_us(c.h + INTERVAL 1 HOUR))
-                  - greatest(epoch_us(s), epoch_us(c.h)) > 0
-    """,
-    tags=("join", "interval", "session"),
-)
-def interval_overlap_join(spark, sf_dir):
-    """Interval-overlap join via hour-bin bucketing.  100-TB shape: the
-    classic overlap predicate (s < h_end AND en > h) is a range theta-join
-    that degenerates to a cartesian at scale; binning each session into
-    the hour buckets it covers (explode factor = session length / bin
-    width, bounded) turns it into an equi-join on the bin key — shuffle on
-    a uniform key, campaign side broadcast.  Overlap math is integral
-    epoch-microseconds (exact)."""
-    e = T(spark, sf_dir, "events")
-    sess = (
-        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("s"),
-            F.col("session_window.end").alias("en"),
-            "n_events",
-        )
-    )
-    camp = (
-        e.groupBy(F.date_trunc("hour", "ts").alias("h"))
-        .agg(F.count(F.lit(1)).alias("hn"))
-        .orderBy(F.desc("hn"), "h")
-        .limit(3)
-        .select("h")
-    )
-    bins = sess.select(
-        "user_id",
-        "s",
-        "en",
-        "n_events",
-        F.explode(
-            F.sequence(
-                F.date_trunc("hour", "s"),
-                F.date_trunc("hour", "en"),
-                F.expr("interval 1 hour"),
-            )
-        ).alias("hb"),
-    )
-    overlap = F.least(
-        F.unix_micros("en"), F.unix_micros(F.col("h") + F.expr("interval 1 hour"))
-    ) - F.greatest(F.unix_micros("s"), F.unix_micros("h"))
-    return (
-        bins.join(F.broadcast(camp), F.col("hb") == F.col("h"))
-        .select(
-            "user_id",
-            F.col("s").alias("session_start"),
-            F.col("h").alias("campaign_hour"),
-            overlap.alias("overlap_us"),
-            "n_events",
-        )
-        .filter(F.col("overlap_us") > 0)
-    )
-
-
-@register(
-    "zipf_fit_slope",
-    # Zipf's-law fit over the top-100 corpus terms: OLS of ln(freq) on
-    # ln(rank).  Determinism: ln() is not correctly-rounded, so both
-    # engines round ln to 6dp FIRST and sum through exact DECIMAL (the
-    # established discipline); the closed-form slope/intercept/r2 then run
-    # the identical double sequence over identical decimal sums.
-    oracle=f"""
-        WITH tf AS MATERIALIZED (
-            SELECT t AS term, count(*) AS cnt
-            FROM (SELECT unnest({_toks()}) AS t FROM documents)
-            GROUP BY 1 ORDER BY cnt DESC, term LIMIT 100
-        ),
-        xy AS (
-            SELECT CAST(round(ln(row_number()
-                       OVER (ORDER BY cnt DESC, term)), 6)
-                       AS DECIMAL(12,6)) AS x,
-                   CAST(round(ln(cnt), 6) AS DECIMAL(12,6)) AS y
-            FROM tf
-        ),
-        s AS (
-            SELECT count(*) AS n,
-                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
-                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
-                   CAST(SUM(y * y) AS DOUBLE) AS syy
-            FROM xy
-        )
-        SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
-                     6) AS intercept,
-               round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
-        FROM s
-    """,
-    tags=("text", "stats", "corpus"),
-)
-def zipf_fit_slope(spark, sf_dir):
-    """Zipf fit over the term-frequency head.  100-TB shape: one
-    token-explode + term rollup (partial+final agg on the term key), a
-    TakeOrderedAndProject top-100 head, then rank/regression on the
-    bounded 100-row table — the corpus is scanned once and everything
-    downstream is metadata-sized."""
-    from pyspark.sql import Window
-
-    d = T(spark, sf_dir, "documents")
-    tf = (
-        d.select(F.explode(TX.tokens("text")).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), "term")
-        .limit(100)
-    )
-    xy = tf.select(
-        F.round(F.log(F.row_number().over(Window.orderBy(F.desc("cnt"), "term"))), 6)
-        .cast("decimal(12,6)")
-        .alias("x"),
-        F.round(F.log("cnt"), 6).cast("decimal(12,6)").alias("y"),
-    )
-    s = xy.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    return s.select(
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
-        F.round(
-            (n * sxy - sx * sy)
-            * (n * sxy - sx * sy)
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
-            6,
-        ).alias("r2"),
-    )
-
-
-# --- LSH band-parameter calibration --------------------------------------
-
-# The (bands, rows-per-band) grid evaluated over the shared k=8 signature,
-# with the S-curve threshold (1/b)^(1/r) computed ONCE here and injected
-# into both engines as the same literal (pow is not correctly-rounded).
-_BAND_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]
-_BAND_THRESHOLDS = {b: (1.0 / b) ** (1.0 / r) for b, r in _BAND_CONFIGS}
-
-
-def _band_keys_sql(b: int, r: int) -> str:
-    keys = ", ".join(
-        f"'{b}:{j}:' || md5(concat_ws('|', "
-        + ", ".join(f"mh{j * r + t}" for t in range(r))
-        + "))"
-        for j in range(b)
-    )
-    return f"SELECT doc_id, {b} AS b, unnest([{keys}]) AS band_key FROM sigs"
-
-
-@register(
-    "minhash_band_calibration",
-    # LSH parameter sweep: for every (bands, rows-per-band) split of the
-    # k=8 MinHash signature, count the candidate pairs the banding emits
-    # and how many survive exact-Jaccard >= 0.5 verification — the
-    # precision/recall trade the S-curve threshold (1/b)^(1/r) predicts.
-    # This is the tuning table a dedup pipeline builds on a sample before
-    # committing a band config to the full corpus.
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        shs AS (SELECT doc_id, ({_SHINGLES}) AS sh FROM toks),
-        sigs AS MATERIALIZED (
-            SELECT doc_id, {", ".join(_mh_sql(i) for i in range(8))} FROM shs
-        ),
-        ex AS ({" UNION ALL ".join(_band_keys_sql(b, r) for b, r in _BAND_CONFIGS)}),
-        cand AS MATERIALIZED (
-            SELECT DISTINCT a.b, a.doc_id AS id_a, b2.doc_id AS id_b
-            FROM ex a JOIN ex b2
-              ON a.band_key = b2.band_key AND a.doc_id < b2.doc_id
-        ),
-        pairs AS MATERIALIZED (
-            SELECT DISTINCT id_a, id_b FROM cand
-        ),
-        ssets AS (SELECT doc_id, list_distinct(sh) AS s FROM shs),
-        jac AS MATERIALIZED (
-            SELECT p.id_a, p.id_b,
-                   CASE WHEN {_JAC} >= 0.5 THEN 1 ELSE 0 END AS is_true
-            FROM pairs p
-            JOIN ssets x ON x.doc_id = p.id_a
-            JOIN ssets y ON y.doc_id = p.id_b
-        ),
-        cfg(b, r, est_threshold) AS (VALUES {", ".join(
-            f"({b}, {r}, {_BAND_THRESHOLDS[b]!r})" for b, r in _BAND_CONFIGS)}),
-        agg AS (
-            SELECT c.b, count(*) AS n_candidates,
-                   SUM(j.is_true) AS n_true
-            FROM cand c JOIN jac j USING (id_a, id_b) GROUP BY c.b
-        )
-        SELECT cfg.b AS bands, cfg.r AS rows_per_band,
-               coalesce(agg.n_candidates, 0) AS n_candidates,
-               CAST(coalesce(agg.n_true, 0) AS BIGINT) AS n_true,
-               round(CAST(coalesce(agg.n_true, 0) AS DOUBLE)
-                     / coalesce(agg.n_candidates, 1), 6) AS precision_at_05,
-               CAST(cfg.est_threshold AS DOUBLE) AS est_threshold
-        FROM cfg LEFT JOIN agg ON agg.b = cfg.b
-    """,
-    tags=("dedup", "minhash", "lsh", "tuning"),
-)
-def minhash_band_calibration(spark, sf_dir):
-    """LSH band-config sweep over one shared signature table.  100-TB
-    shape: this runs on a SAMPLE (the tuning step), but the plan is
-    scale-clean anyway — signatures are one explode + min-agg, each config
-    adds b rows per doc to ONE banded self-join keyed on the (config-
-    prefixed) band key, the exact-Jaccard verify touches only the union of
-    candidates, and the output is 4 rows.  The chosen config then drives
-    dedup_minhash_lsh on the full corpus."""
-    from pyspark import StorageLevel
-
-    d = T(spark, sf_dir, "documents")
-    shingle_sets = d.select(
-        "doc_id",
-        F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    exploded_sh = shingle_sets.select("doc_id", F.explode("sh").alias("s"))
-
-    def _member(i: int):
-        seed, off = TX.minhash_seed_slice(i)
-        return F.min(
-            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("s"))), off, 8)
-        ).alias(f"mh{i}")
-
-    sigs = exploded_sh.groupBy("doc_id").agg(*[_member(i) for i in range(8)])
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-
-    def _band_rows(b: int, r: int):
-        keys = F.array(
-            *[
-                F.concat(
-                    F.lit(f"{b}:{j}:"),
-                    F.md5(
-                        F.concat_ws("|", *[F.col(f"mh{j * r + t}") for t in range(r)])
-                    ),
-                )
-                for j in range(b)
-            ]
-        )
-        return sigs.select(
-            "doc_id", F.lit(b).alias("b"), F.explode(keys).alias("band_key")
-        )
-
-    ex = None
-    for b, r in _BAND_CONFIGS:
-        part = _band_rows(b, r)
-        ex = part if ex is None else ex.unionAll(part)
-    a = ex.alias("a")
-    b2 = ex.alias("b2")
-    cand = (
-        a.join(
-            b2,
-            (F.col("a.band_key") == F.col("b2.band_key"))
-            & (F.col("a.doc_id") < F.col("b2.doc_id")),
-        )
-        .select(
-            F.col("a.b").alias("b"),
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b2.doc_id").alias("id_b"),
-        )
-        .distinct()
-    )
-    pairs = cand.select("id_a", "id_b").distinct()
-    sa = shingle_sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = shingle_sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    jac_expr = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    jac = (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.when(jac_expr >= 0.5, F.lit(1)).otherwise(F.lit(0)).alias("is_true"),
-        )
-    )
-    agg = cand.join(jac, ["id_a", "id_b"]).groupBy("b").agg(
-        F.count(F.lit(1)).alias("n_candidates"),
-        F.sum("is_true").alias("n_true"),
-    )
-    cfg = spark.createDataFrame(
-        [(b, r, _BAND_THRESHOLDS[b]) for b, r in _BAND_CONFIGS],
-        "b int, r int, est_threshold double",
-    )
-    return cfg.join(agg, "b", "left").select(
-        F.col("b").alias("bands"),
-        F.col("r").alias("rows_per_band"),
-        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
-        F.coalesce("n_true", F.lit(0)).alias("n_true"),
-        F.round(
-            F.coalesce("n_true", F.lit(0)).cast("double")
-            / F.coalesce("n_candidates", F.lit(1)),
-            6,
-        ).alias("precision_at_05"),
-        "est_threshold",
-    )
-
-
-@register(
-    "ngram_novelty_curve",
-    # Corpus-saturation curve: bucket documents into 10 ingestion-order
-    # deciles (doc_id ranges, no window) and measure the fraction of each
-    # decile's distinct 3-gram shingles seen for the FIRST time there —
-    # the diminishing-novelty signal a data-mixing pipeline watches to
-    # decide when another crawl snapshot stops adding information.
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        shs AS (SELECT doc_id, ({_SHINGLES}) AS sh FROM toks),
-        ex AS MATERIALIZED (
-            SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shs
-        ),
-        first AS (SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY s),
-        per_doc AS (
-            SELECT e.doc_id, count(*) AS n_sh,
-                   SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
-                       AS n_novel
-            FROM ex e JOIN first f USING (s) GROUP BY 1
-        ),
-        mx AS (SELECT max(doc_id) AS mx FROM documents)
-        SELECT CAST(floor(doc_id * 10 / (mx + 1)) AS BIGINT) AS decile,
-               count(*) AS n_docs,
-               CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
-               CAST(SUM(n_novel) AS BIGINT) AS n_novel,
-               CAST(SUM(n_novel) AS DOUBLE) / SUM(n_sh) AS novelty_rate
-        FROM per_doc, mx
-        GROUP BY 1
-    """,
-    tags=("text", "dedup", "corpus"),
-)
-def ngram_novelty_curve(spark, sf_dir):
-    """Novelty-by-decile.  100-TB shape: one explode + min-agg on the
-    shingle key (uniform md5-like distribution), one equi-join back on the
-    same key (the shuffle is reused), then a doc-keyed rollup into a
-    10-row output; deciles come from doc_id ranges against a broadcast
-    1-row max — no full-table window anywhere."""
-    d = T(spark, sf_dir, "documents")
-    ex = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(TX.shingles(TX.tokens("text"), 3))).alias("s"),
-    )
-    first = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        ex.join(first, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sh"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
-    )
-    mx = d.agg(F.max("doc_id").alias("mx"))
-    return (
-        per_doc.join(F.broadcast(mx))
-        .groupBy(
-            F.floor(F.col("doc_id") * 10 / (F.col("mx") + 1))
-            .cast("bigint")
-            .alias("decile")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_sh").alias("n_shingles"),
-            F.sum("n_novel").alias("n_novel"),
-            (F.sum("n_novel").cast("double") / F.sum("n_sh")).alias("novelty_rate"),
-        )
-    )
-
-
-# --- wave 6: ANN probe tuning, dedup-strategy agreement, embedding outliers
-
-
-@register(
-    "ann_probe_recall_curve",
-    # recall@3 as a function of n_probe in {1,2,4,8} over ONE shared IVF
-    # index (same deterministic centroids as ann_ivf_topk) — the tuning
-    # curve that picks the probe budget: candidates are generated once at
-    # the max probe depth with their probe rank attached, each config is a
-    # filter + k-bounded re-rank, and the exact truth set reuses the
-    # registered brute-force oracle so all stay in lockstep.
-    oracle=f"""
-        WITH {_IVF_ASSIGNED_CTES},
-        probes AS (
-            SELECT query_id, qv, cid AS list_id, rn AS probe_rank FROM (
-                SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
-                       row_number() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY list_dot_product(q.v, c.cv)
-                                    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-                                    c.cid
-                       ) AS rn
-                FROM v q CROSS JOIN cents c
-            ) WHERE rn <= 8
-        ),
-        cand AS MATERIALIZED (
-            SELECT p.query_id, a.corpus_id, p.probe_rank,
-                   list_dot_product(p.qv, a.v)
-                       / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cosine
-            FROM probes p JOIN assigned a USING (list_id)
-            WHERE p.query_id <> a.corpus_id
-        ),
-        cfg(p) AS (VALUES (1), (2), (4), (8)),
-        ranked AS (
-            SELECT cfg.p, query_id, corpus_id,
-                   row_number() OVER (PARTITION BY cfg.p, query_id
-                                      ORDER BY cosine DESC, corpus_id) AS rnk
-            FROM cand JOIN cfg ON cand.probe_rank <= cfg.p
-        ),
-        exact AS MATERIALIZED (
-            SELECT query_id, corpus_id FROM ({_Q["ann_brute_force_topk"].oracle}) x
-        ),
-        m AS (
-            SELECT p, count(*) AS n_matched
-            FROM ranked r JOIN exact e USING (query_id, corpus_id)
-            WHERE r.rnk <= 3 GROUP BY p
-        ),
-        t AS (SELECT count(*) AS n_exact FROM exact)
-        SELECT cfg.p AS n_probe, coalesce(m.n_matched, 0) AS n_matched,
-               t.n_exact,
-               CAST(coalesce(m.n_matched, 0) AS DOUBLE) / t.n_exact AS recall
-        FROM cfg LEFT JOIN m ON m.p = cfg.p CROSS JOIN t
-    """,
-    tags=("similarity", "ann", "ivf", "tuning"),
-)
-def ann_probe_recall_curve(spark, sf_dir):
-    """IVF probe-budget sweep.  100-TB shape: the index (centroids +
-    assignment) is built once; candidate generation runs once at the
-    deepest probe rank with the rank attached, so each additional config
-    costs only a filter plus a per-(config, query) k-bounded window — the
-    corpus is never re-scanned per config.  The exact side is the sampled
-    audit baseline (ann_ivf_recall's single-point check, widened to a
-    curve)."""
-    from pyspark.sql import Window
-
-    e = T(spark, sf_dir, "embeddings")
-    cents, assigned = similarity.ivf_assign(
-        e, "vec_id", "embedding", n_lists=16, refine_iters=1
-    )
-    # the assigned index feeds BOTH the candidate stage (collect on the
-    # BLAS path / join on the fallback) and the exact re-score join —
-    # without the persist the full assign pipeline re-executes per consumer
-    assigned = similarity._persist_rotating("probe_curve_assigned", assigned)
-    q = e.select(
-        F.col("vec_id").alias("query_id"), V.as_double("embedding").alias("qv")
-    ).withColumn("nqv", V.norm(F.col("qv")))
-    pr = q.crossJoin(F.broadcast(cents)).select(
-        "query_id",
-        "qv",
-        "nqv",
-        "cid",
-        (V.dot(F.col("qv"), F.col("cv")) / (F.col("nqv") * F.col("ncv"))).alias("cc"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.desc("cc"), "cid")
-    probes = (
-        pr.withColumn("probe_rank", F.row_number().over(wp))
-        .filter(F.col("probe_rank") <= 8)
-        .select("query_id", "qv", "nqv", F.col("cid").alias("list_id"), "probe_rank")
-    )
-    # Candidate stage: BLAS bucket-shortlist + exact JVM re-score (the
-    # brute_force_topk_vectorized two-stage shape).  The probed-list join
-    # keyed on list_id has only n_lists=16 distinct keys — at bench scale
-    # that serializes the 2M-candidate cosine folds onto <= 16 tasks
-    # (measured 15 s of the 17 s pin).  Instead the (id, list, vector)
-    # index is collected once (size-capped) and broadcast; each Arrow batch
-    # of queries does ONE matmul against the whole index and emits per
-    # probed bucket its top-5 candidate IDs only (5 > 3 buffers ulp-close
-    # BLAS boundaries; the exact fold re-score + row_number below derive
-    # the true per-bucket top-3, so output values are bit-identical to the
-    # all-candidates plan).  Past the cap the operator degrades to the
-    # list_id-co-partitioned join — the genuine shape when the index
-    # outgrows a broadcast, where n_lists ~ sqrt(n) (auto_n_lists) also
-    # makes the join key space wide enough to parallelize.
-    if similarity._within_cap(assigned, similarity.MAX_BROADCAST_INDEX_ROWS):
-        import numpy as np
-        import pandas as pd
-
-        rows = assigned.select("corpus_id", "list_id", "v").collect()
-        if not rows:
-            # 0 rows passes _within_cap but np.array([]) is 1-D and the
-            # axis=1 norm would raise; an empty corpus has an empty curve
-            return spark.createDataFrame(
-                [],
-                "n_probe int, n_matched bigint, n_exact bigint, recall double",
-            )
-        ids = np.array([r[0] for r in rows], dtype=np.int64)
-        lists = np.array([r[1] for r in rows], dtype=np.int64)
-        mat = np.array([list(r[2]) for r in rows], dtype=np.float64)
-        mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        bc = spark.sparkContext.broadcast((ids, lists, mat_n))
-
-        def bucket_topk(batches):
-            c_ids, c_lists, c_mat = bc.value
-            for pdf in batches:
-                out_q, out_c, out_r = [], [], []
-                for qid, qv, pl in zip(pdf["query_id"], pdf["qv"], pdf["pl"]):
-                    qn = np.asarray(list(qv), dtype=np.float64)
-                    qn = qn / np.linalg.norm(qn)
-                    s = qn @ c_mat.T
-                    for item in pl:
-                        lid = int(item["list_id"])
-                        mask = (c_lists == lid) & (c_ids != int(qid))
-                        if not mask.any():
-                            continue
-                        order = np.lexsort((c_ids[mask], -s[mask]))[:5]
-                        sel = c_ids[mask][order]
-                        out_q.extend([int(qid)] * len(sel))
-                        out_c.extend(sel)
-                        out_r.extend([int(item["probe_rank"])] * len(sel))
-                yield pd.DataFrame(
-                    {"query_id": out_q, "corpus_id": out_c, "probe_rank": out_r}
-                )
-
-        per_query = probes.groupBy("query_id", "qv").agg(
-            F.collect_list(F.struct("probe_rank", "list_id")).alias("pl")
-        )
-        cand_ids = per_query.mapInPandas(
-            bucket_topk, "query_id long, corpus_id long, probe_rank int"
-        )
-        cv_t = assigned.select("corpus_id", "v").withColumn("nv", V.norm(F.col("v")))
-        cand = (
-            cand_ids.join(q, "query_id")
-            .join(cv_t, "corpus_id")
-            .select(
-                "query_id",
-                "corpus_id",
-                "probe_rank",
-                (V.dot(F.col("qv"), F.col("v")) / (F.col("nqv") * F.col("nv"))).alias(
-                    "cosine"
-                ),
-            )
-        )
-    else:
-        a2 = assigned.withColumn("nv", V.norm(F.col("v")))
-        cand = (
-            probes.join(a2, "list_id")
-            .filter(F.col("query_id") != F.col("corpus_id"))
-            .select(
-                "query_id",
-                "corpus_id",
-                "probe_rank",
-                (V.dot(F.col("qv"), F.col("v")) / (F.col("nqv") * F.col("nv"))).alias(
-                    "cosine"
-                ),
-            )
-        )
-    # pre-top-3 per (query, probe_rank) BEFORE the config fan-out: any
-    # config's top-3 is a subset of the union of its probe buckets' top-3s
-    # (an element ranked 4th+ in its own bucket has >= 3 bucket-mates ahead
-    # of it globally, same (cosine desc, corpus_id) tiebreak), so the
-    # cumulative pass below runs over <= 3*8 rows per query instead of the
-    # full candidate set
-    wb = Window.partitionBy("query_id", "probe_rank").orderBy(
-        F.desc("cosine"), "corpus_id"
-    )
-    shortlist = (
-        cand.withColumn("brnk", F.row_number().over(wb))
-        .filter(F.col("brnk") <= 3)
-        .select("query_id", "corpus_id", "probe_rank", "cosine")
-    )
-    # single cumulative-rank pass (r07 VERDICT ask #8), replacing the 4x
-    # config fan-out + per-config row_number windows: the shortlist is
-    # sorted ONCE per query by (cosine desc, corpus_id) — a strict total
-    # order, since each corpus vector lives in exactly one probed list —
-    # and a candidate is in config p's top-3 iff its probe_rank <= p AND at
-    # most 3 candidates with probe_rank <= p precede-or-equal it in that
-    # order (the running count IS its rank within config p).  All four
-    # configs come out of ONE window node (4 conditional running sums share
-    # the frame) instead of four sorted subtrees over a 4x-multiplied join.
-    wc = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), "corpus_id"
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cfgs = (1, 2, 4, 8)
-    cums = [
-        F.sum(
-            F.when(F.col("probe_rank") <= p, F.lit(1)).otherwise(F.lit(0))
-        ).over(wc).alias(f"cum{p}")
-        for p in cfgs
-    ]
-    flagged = shortlist.select("query_id", "corpus_id", "probe_rank", *cums)
-    in_top3 = [
-        ((F.col("probe_rank") <= p) & (F.col(f"cum{p}") <= 3))
-        .cast("long")
-        .alias(f"in{p}")
-        for p in cfgs
-    ]
-    # the exact truth set feeds BOTH the per-config match count and the
-    # 1-row total; without the persist the brute-force scan runs twice.
-    # Rotating persist (r07 ADVICE #2): released on the next call.
-    bf = similarity._persist_rotating(
-        "probe_curve_bf",
-        _Q["ann_brute_force_topk"].fn(spark, sf_dir).select("query_id", "corpus_id"),
-    )
-    hits = flagged.select("query_id", "corpus_id", *in_top3).join(
-        bf, ["query_id", "corpus_id"]
-    )
-    m = hits.agg(
-        *[F.coalesce(F.sum(f"in{p}"), F.lit(0)).alias(f"m{p}") for p in cfgs]
-    )
-    t = bf.agg(F.count(F.lit(1)).alias("n_exact"))
-    stack_args = ", ".join(f"{p}, m{p}" for p in cfgs)
-    return (
-        m.crossJoin(F.broadcast(t))
-        .select(
-            F.expr(
-                f"stack({len(cfgs)}, {stack_args}) AS (n_probe, n_matched)"
-            ),
-            "n_exact",
-        )
-        .select(
-            "n_probe",
-            "n_matched",
-            "n_exact",
-            (F.col("n_matched").cast("double") / F.col("n_exact")).alias("recall"),
-        )
-    )
-
-
-@register(
-    "dedup_lexical_semantic_agreement",
-    # Cross-validation of the two dedup strategies: the MinHash-LSH lexical
-    # pair set (3-gram Jaccard >= 0.5 on documents) full-outer-joined with
-    # the hyperplane-LSH semantic pair set (cosine >= 0.35 on embeddings;
-    # vec_id i is doc i's embedding in this fixture) -> a 3-row agreement
-    # census.  Both pair CTEs are the registered queries' own oracles, so
-    # the census stays in lockstep with them by construction.
-    oracle=f"""
-        WITH {_LSH_CTES},
-        lex AS MATERIALIZED (
-            SELECT c.id_a, c.id_b
-            FROM cand c
-            JOIN ssets x ON x.doc_id = c.id_a
-            JOIN ssets y ON y.doc_id = c.id_b
-            WHERE {_JAC} >= 0.5
-        ),
-        ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        esig AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(4))} AS bucket FROM ev v),
-        sem AS MATERIALIZED (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM esig a JOIN esig b
-              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            WHERE {_DUP_COS} >= 0.35
-        )
-        SELECT CASE WHEN lex.id_a IS NOT NULL AND sem.id_a IS NOT NULL
-                    THEN 'both'
-                    WHEN lex.id_a IS NOT NULL THEN 'lexical_only'
-                    ELSE 'semantic_only' END AS category,
-               count(*) AS n_pairs
-        FROM lex FULL OUTER JOIN sem
-          ON lex.id_a = sem.id_a AND lex.id_b = sem.id_b
-        GROUP BY 1
-    """,
-    tags=("dedup", "minhash", "embedding", "audit"),
-)
-def dedup_lexical_semantic_agreement(spark, sf_dir):
-    """Agreement census between lexical (MinHash-LSH) and semantic
-    (embedding hyperplane-LSH) near-dup detection.  100-TB shape: both
-    pair generators are the already-bucketed pipelines (never all-pairs);
-    the census is a full outer join on the (id_a, id_b) pair key — pair
-    sets are tiny relative to the corpus — into a 3-row rollup.  The
-    'semantic_only' bucket is the paraphrase set lexical dedup misses;
-    'lexical_only' is boilerplate the embeddings consider distinct."""
-    d = T(spark, sf_dir, "documents")
-    e = T(spark, sf_dir, "embeddings")
-    lex = (
-        dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
-        .select("id_a", "id_b")
-        .withColumn("lex", F.lit(1))
-    )
-    sem = (
-        similarity.lsh_bucketed_pairs(
-            e, "vec_id", "embedding", planes=4, dim=64, threshold=0.35
-        )
-        .select("id_a", "id_b")
-        .withColumn("sem", F.lit(1))
-    )
-    j = lex.join(sem, ["id_a", "id_b"], "full")
-    return j.groupBy(
-        F.when(F.col("lex").isNotNull() & F.col("sem").isNotNull(), "both")
-        .when(F.col("lex").isNotNull(), "lexical_only")
-        .otherwise("semantic_only")
-        .alias("category")
-    ).agg(F.count(F.lit(1)).alias("n_pairs"))
-
-
-@register(
-    "embedding_outlier_mahalanobis",
-    # Top-20 embedding outliers by DIAGONAL Mahalanobis distance — the
-    # distribution-aware anomaly scan (vs embedding_norm_extremes' raw
-    # norms): per-dimension mean/variance come from the exact-decimal
-    # moment pipeline (order-free), each dimension's standardized square is
-    # rounded to 9dp and summed through DECIMAL (order-free again), so the
-    # top-20 cut is bit-deterministic; zero-variance dims carry no signal
-    # and are excluded on both engines.
-    oracle=f"""
-        WITH c AS (
-            SELECT vec_id, u.e.pos AS pos, u.e.comp AS comp FROM (
-                SELECT vec_id,
-                       unnest(list_transform(embedding::DOUBLE[],
-                              (c, i) -> struct_pack(pos := i - 1, comp := c))) AS e
-                FROM embeddings
-            ) u
-        ),
-        s AS MATERIALIZED (
-            SELECT pos, COUNT(*) AS n,
-                   SUM(CAST(comp * {_POW2_43} AS DECIMAL(19,0))) AS s1,
-                   SUM(CAST(comp * {_POW2_43} AS DECIMAL(19,0))
-                       * CAST(comp * {_POW2_43} AS DECIMAL(19,0))) AS s2
-            FROM c GROUP BY pos
-        ),
-        mv AS (
-            SELECT pos,
-                   CAST(s1 AS DOUBLE) / {_POW2_43} / n AS mean_val,
-                   CAST(s2 AS DOUBLE) / {_POW2_43} / {_POW2_43} / n
-                       - (CAST(s1 AS DOUBLE) / {_POW2_43} / n)
-                         * (CAST(s1 AS DOUBLE) / {_POW2_43} / n) AS var_val
-            FROM s
-        ),
-        md AS (
-            SELECT c.vec_id,
-                   round(CAST(SUM(CAST(round(
-                       (c.comp - mv.mean_val) * (c.comp - mv.mean_val)
-                           / mv.var_val, 9) AS DECIMAL(20,9))) AS DOUBLE), 6)
-                       AS mahalanobis
-            FROM c JOIN mv USING (pos)
-            WHERE mv.var_val > 0
-            GROUP BY c.vec_id
-        )
-        SELECT vec_id, mahalanobis FROM md
-        ORDER BY mahalanobis DESC, vec_id LIMIT 20
-    """,
-    tags=("embedding", "anomaly", "stats"),
-)
-def embedding_outlier_mahalanobis(spark, sf_dir):
-    """Diagonal-Mahalanobis outlier scan.  100-TB shape: one posexplode +
-    (pos)-keyed exact-moment rollup (dim rows), broadcast back over a
-    second narrow pass, a vec-keyed rollup, and a TakeOrderedAndProject
-    top-20 — two corpus scans, no window over the full table."""
-    e = T(spark, sf_dir, "embeddings")
-    c = e.select("vec_id", F.posexplode(V.as_double("embedding")).alias("pos", "comp"))
-    iv = (F.col("comp") * _POW2_43).cast("decimal(19,0)")
-    s = c.groupBy("pos").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(iv).alias("s1"),
-        F.sum(iv * iv).alias("s2"),
-    )
-    mean = F.col("s1").cast("double") / _POW2_43 / F.col("n")
-    var = (
-        F.col("s2").cast("double") / _POW2_43 / _POW2_43 / F.col("n")
-        - (F.col("s1").cast("double") / _POW2_43 / F.col("n"))
-        * (F.col("s1").cast("double") / _POW2_43 / F.col("n"))
-    )
-    mv = s.select("pos", mean.alias("mean_val"), var.alias("var_val"))
-    term = F.round(
-        (F.col("comp") - F.col("mean_val"))
-        * (F.col("comp") - F.col("mean_val"))
-        / F.col("var_val"),
-        9,
-    ).cast("decimal(20,9)")
-    md = (
-        c.join(F.broadcast(mv), "pos")
-        .filter(F.col("var_val") > 0)
-        .groupBy("vec_id")
-        .agg(F.round(F.sum(term).cast("double"), 6).alias("mahalanobis"))
-    )
-    return md.orderBy(F.desc("mahalanobis"), "vec_id").limit(20)
-
-
-# --- wave 7: PMI associations, market-basket lift, Markov stationary
-# distribution, per-source term entropy
-
-
-@register(
-    "cooccurrence_pmi_topk",
-    # Top-25 adjacent-bigram associations by pointwise mutual information —
-    # the collocation ranking (word2vec-era phrase mining) built from the
-    # same in-array bigrams as cooccurrence_window_counts.  Determinism:
-    # every count is an exact integer; PMI combines six 6dp-pre-rounded
-    # ln() values in one fixed left-to-right expression, so the ranking is
-    # bit-identical across engines (ties break on the words).
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        bi AS (
-            SELECT unnest([struct_pack(w1 := tk[i], w2 := tk[i + 1])
-                           FOR i IN range(1, greatest(len(tk), 1))],
-                          recursive := true)
-            FROM toks
-        ),
-        c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-                FROM bi GROUP BY w1, w2),
-        uni AS (
-            SELECT t AS w, CAST(count(*) AS BIGINT) AS c
-            FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t
-        ),
-        tot AS (
-            SELECT CAST(SUM(len(tk)) AS BIGINT) AS ntok,
-                   CAST(SUM(greatest(len(tk) - 1, 0)) AS BIGINT) AS nbig
-            FROM toks
-        )
-        SELECT w1, w2, c12,
-               round(round(ln(c12), 6) - round(ln(nbig), 6)
-                     - round(ln(a.c), 6) - round(ln(b.c), 6)
-                     + round(ln(ntok), 6) + round(ln(ntok), 6), 6) AS pmi
-        FROM c12
-        JOIN uni a ON a.w = c12.w1
-        JOIN uni b ON b.w = c12.w2
-        CROSS JOIN tot
-        WHERE c12 >= 5
-        ORDER BY pmi DESC, w1, w2 LIMIT 25
-    """,
-    tags=("text", "cooccurrence", "stats"),
-)
-def cooccurrence_pmi_topk(spark, sf_dir):
-    """PMI collocations.  100-TB shape: bigrams ride the scan in-array (no
-    join), the count tables are vocabulary-sized rollups, the unigram
-    joins hit vocab-keyed tables, the two totals are a broadcast 1-row
-    aggregate, and the final cut is a TakeOrderedAndProject top-25."""
-    toks = T(spark, sf_dir, "documents").select(TX.tokens("text").alias("tk"))
-    bi_expr = (
-        "CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk) - 2), "
-        "i -> struct(tk[i] AS w1, tk[i + 1] AS w2)) ELSE array() END"
-    )
-    c12 = (
-        toks.select(F.explode(F.expr(bi_expr)).alias("p"))
-        .select("p.w1", "p.w2")
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-    )
-    uni = (
-        toks.select(F.explode("tk").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    tot = toks.agg(
-        F.sum(F.size("tk")).alias("ntok"),
-        F.sum(F.greatest(F.size("tk") - 1, F.lit(0))).alias("nbig"),
-    )
-    rln = lambda c: F.round(F.log(c), 6)  # noqa: E731
-    pmi = F.round(
-        rln(F.col("c12"))
-        - rln(F.col("nbig"))
-        - rln(F.col("ca"))
-        - rln(F.col("cb"))
-        + rln(F.col("ntok"))
-        + rln(F.col("ntok")),
-        6,
-    )
-    return (
-        c12.filter(F.col("c12") >= 5)
-        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("ca")), "w1")
-        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("cb")), "w2")
-        .crossJoin(F.broadcast(tot))
-        .select("w1", "w2", "c12", pmi.alias("pmi"))
-        .orderBy(F.desc("pmi"), "w1", "w2")
-        .limit(25)
-    )
-
-
-@register(
-    "market_basket_lift",
-    # Top-25 co-purchased part pairs by lift — the association-rule scan
-    # over order baskets (support >= 2).  Lift divides exact integers in
-    # one fixed double sequence ((pair * n_orders) / cnt_a) / cnt_b, so
-    # the ranking is deterministic; ties break on the part keys.
-    oracle="""
-        WITH items AS MATERIALIZED (
-            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ),
-        pairs AS (
-            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-                   CAST(count(*) AS BIGINT) AS pair_cnt
-            FROM items a JOIN items b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-            GROUP BY 1, 2
-        ),
-        icnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
-                 FROM items GROUP BY 1),
-        t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
-              FROM items)
-        SELECT part_a, part_b, pair_cnt,
-               round(CAST(pair_cnt AS DOUBLE) * n_orders / a.c / b.c, 6) AS lift
-        FROM pairs
-        JOIN icnt a ON a.l_partkey = part_a
-        JOIN icnt b ON b.l_partkey = part_b
-        CROSS JOIN t
-        WHERE pair_cnt >= 2
-        ORDER BY lift DESC, part_a, part_b LIMIT 25
-    """,
-    tags=("join", "mining", "tpch"),
-)
-def market_basket_lift(spark, sf_dir):
-    """Market-basket lift over order baskets.  100-TB shape: the in-basket
-    self-join is keyed on l_orderkey and bounded by basket size squared
-    (TPC-H baskets are <= 7 lines), pair counting is a uniform-key rollup,
-    the per-part counts join on the part key, the order total broadcasts,
-    and the cut is a TakeOrderedAndProject top-25 — never an all-pairs
-    part join."""
-    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("pair_cnt"))
-        .filter(F.col("pair_cnt") >= 2)
-    )
-    icnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    t = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    lift = F.round(
-        F.col("pair_cnt").cast("double")
-        * F.col("n_orders")
-        / F.col("ca")
-        / F.col("cb"),
-        6,
-    )
-    return (
-        pairs.join(
-            icnt.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca")),
-            "part_a",
-        )
-        .join(
-            icnt.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb")),
-            "part_b",
-        )
-        .crossJoin(F.broadcast(t))
-        .select("part_a", "part_b", "pair_cnt", lift.alias("lift"))
-        .orderBy(F.desc("lift"), "part_a", "part_b")
-        .limit(25)
-    )
-
-
-# shared transition-probability CTE chain (same ordered-bigram build as
-# event_transition_matrix) for the stationary-distribution power iteration
-_TRANS_CTES = """seqs AS (
-            SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
-            FROM events GROUP BY user_id
-        ),
-        bi AS (
-            SELECT unnest([struct_pack(src := seq[i], dst := seq[i+1])
-                           FOR i IN range(1, greatest(len(seq), 1))],
-                          recursive := true)
-            FROM seqs
-        ),
-        cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
-                FROM bi GROUP BY src, dst),
-        tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS total FROM cnt GROUP BY src),
-        p AS MATERIALIZED (
-            SELECT c.src, c.dst, CAST(c.n AS DOUBLE) / t.total AS p
-            FROM cnt c JOIN tot t USING (src)
-        ),
-        k AS (SELECT count(DISTINCT src) AS k FROM p),
-        v0 AS (SELECT src AS t, 1.0 / k AS v FROM (SELECT DISTINCT src FROM p), k)"""
-
-_STEP_SQL = """v{i} AS MATERIALIZED (
-            SELECT p.dst AS t,
-                   CAST(SUM(CAST(round(v.v * p.p, 12) AS DECIMAL(16,12)))
-                       AS DOUBLE) AS v
-            FROM v{j} v JOIN p ON p.src = v.t GROUP BY p.dst
-        )"""
-
-
-@register(
-    "markov_stationary_power",
-    # stationary distribution of the per-user event-type Markov chain via
-    # 4 unrolled power-iteration steps over the transition matrix (the
-    # long-run occupancy forecast behind event_transition_matrix).
-    # Determinism: transition probabilities are bigint/bigint doubles; each
-    # step's mass products are rounded to 12dp and summed through exact
-    # DECIMAL, so every iterate is bit-identical across engines.
-    oracle=f"""
-        WITH {_TRANS_CTES},
-        {", ".join(_STEP_SQL.format(i=i, j=i - 1 if i > 1 else 0) for i in range(1, 5))}
-        SELECT t AS event_type, round(v, 6) AS stationary_prob FROM v4
-    """,
-    tags=("events", "markov", "analytics"),
-)
-def markov_stationary_power(spark, sf_dir):
-    """Power iteration to the stationary distribution.  100-TB shape: one
-    corpus-sized pass builds the |event_types|²-row transition matrix;
-    every iteration thereafter joins two type-keyed metadata tables —
-    iteration cost is independent of corpus size (the same argument as
-    textrank/pagerank, on an even smaller graph)."""
-    e = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    seqs = (
-        e.groupBy("user_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ).alias("s")
-        )
-        .select(F.expr("transform(s, x -> x.event_type)").alias("seq"))
-    )
-    bi_expr = (
-        "CASE WHEN size(seq) >= 2 THEN transform(sequence(0, size(seq) - 2), "
-        "i -> struct(seq[i] AS src, seq[i + 1] AS dst)) ELSE array() END"
-    )
-    cnt = (
-        seqs.select(F.explode(F.expr(bi_expr)).alias("b"))
-        .select("b.src", "b.dst")
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    tot = cnt.groupBy("src").agg(F.sum("n").alias("total"))
-    p = (
-        cnt.join(F.broadcast(tot), "src")
-        .select("src", "dst", (F.col("n").cast("double") / F.col("total")).alias("p"))
-        .persist()
-    )
-    k = p.agg(F.countDistinct("src").alias("k"))
-    v = (
-        p.select("src").distinct()
-        .crossJoin(F.broadcast(k))
-        .select(F.col("src").alias("t"), (F.lit(1.0) / F.col("k")).alias("v"))
-    )
-    for _ in range(4):
-        v = (
-            v.join(p, F.col("t") == F.col("src"))
-            .groupBy(F.col("dst"))
-            .agg(
-                F.sum(
-                    F.round(F.col("v") * F.col("p"), 12).cast("decimal(16,12)")
-                )
-                .cast("double")
-                .alias("v")
-            )
-            .select(F.col("dst").alias("t"), "v")
-        )
-    return v.select(
-        F.col("t").alias("event_type"), F.round("v", 6).alias("stationary_prob")
-    )
-
-
-@register(
-    "term_entropy_by_source",
-    # Shannon entropy of each source's term distribution — the diversity
-    # check a mixture designer runs per corpus slice (low entropy =
-    # templated/boilerplate source).  Determinism: p is bigint/bigint;
-    # each p*ln(p) term pre-rounds ln to 6dp, rounds the product to 12dp
-    # and sums through exact DECIMAL; entropy rounds to 6dp.
-    oracle=f"""
-        WITH tf AS (
-            SELECT source, t AS term, CAST(count(*) AS BIGINT) AS cnt
-            FROM (SELECT source, unnest({_toks()}) AS t FROM documents)
-            GROUP BY 1, 2
-        ),
-        st AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot
-               FROM tf GROUP BY source)
-        SELECT tf.source, count(*) AS n_terms,
-               round(-CAST(SUM(CAST(round(
-                   (CAST(cnt AS DOUBLE) / tot)
-                       * round(ln(CAST(cnt AS DOUBLE) / tot), 6), 12)
-                   AS DECIMAL(16,12))) AS DOUBLE), 6) AS entropy
-        FROM tf JOIN st USING (source)
-        GROUP BY tf.source
-    """,
-    tags=("text", "stats", "mixture"),
-)
-def term_entropy_by_source(spark, sf_dir):
-    """Per-source term entropy.  100-TB shape: one token explode into a
-    (source, term)-keyed rollup (vocabulary-sized per source), source
-    totals broadcast back, and a source-keyed final rollup — output is
-    |sources| rows at any corpus size."""
-    d = T(spark, sf_dir, "documents")
-    tf = (
-        d.select("source", F.explode(TX.tokens("text")).alias("term"))
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    st = tf.groupBy("source").agg(F.sum("cnt").alias("tot"))
-    pcol = F.col("cnt").cast("double") / F.col("tot")
-    term = F.round(pcol * F.round(F.log(pcol), 6), 12).cast("decimal(16,12)")
-    return (
-        tf.join(F.broadcast(st), "source")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_terms"),
-            F.round(-F.sum(term).cast("double"), 6).alias("entropy"),
-        )
-    )
-
-
-# --- wave 8: term burstiness, RFM segmentation, JL dimension curve
-
-
-@register(
-    "text_burstiness",
-    # Top-25 bursty terms by variance-to-mean ratio of per-document counts
-    # (df >= 20): VMR ~1 is Poisson background (function words), VMR >> 1
-    # is topical clustering — the statistic behind content-word weighting
-    # and boilerplate screens.  All moments are exact integers (count,
-    # sum, sum of squares over bigints); the VMR double expression runs in
-    # one fixed order and rounds to 6dp; ties break on the term.
-    oracle=f"""
-        WITH tf AS (
-            SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS c
-            FROM (SELECT doc_id, unnest({_toks()}) AS t FROM documents)
-            GROUP BY 1, 2
-        ),
-        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-        st AS (
-            SELECT term, CAST(count(*) AS BIGINT) AS df,
-                   CAST(SUM(c) AS BIGINT) AS tf_total,
-                   CAST(SUM(c * c) AS BIGINT) AS tf_sq
-            FROM tf GROUP BY term
-        )
-        SELECT term, df, tf_total,
-               round((CAST(tf_sq AS DOUBLE) / n_docs
-                      - (CAST(tf_total AS DOUBLE) / n_docs)
-                        * (CAST(tf_total AS DOUBLE) / n_docs))
-                     / (CAST(tf_total AS DOUBLE) / n_docs), 6) AS vmr
-        FROM st, n
-        WHERE df >= 20
-        ORDER BY vmr DESC, term LIMIT 25
-    """,
-    tags=("text", "stats", "quality"),
-)
-def text_burstiness(spark, sf_dir):
-    """Term burstiness (VMR).  100-TB shape: one token explode into a
-    (doc, term) rollup, a term-keyed moment rollup (vocabulary-sized), a
-    broadcast 1-row corpus count, and a TakeOrderedAndProject top-25 —
-    single corpus scan, integer-exact moments."""
-    d = T(spark, sf_dir, "documents")
-    tf = (
-        d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    st = tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.sum("c").alias("tf_total"),
-        F.sum(F.col("c") * F.col("c")).alias("tf_sq"),
-    )
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    mean = F.col("tf_total").cast("double") / F.col("n_docs")
-    vmr = F.round(
-        (F.col("tf_sq").cast("double") / F.col("n_docs") - mean * mean) / mean, 6
-    )
-    return (
-        st.filter(F.col("df") >= 20)
-        .crossJoin(F.broadcast(n))
-        .select("term", "df", "tf_total", vmr.alias("vmr"))
-        .orderBy(F.desc("vmr"), "term")
-        .limit(25)
-    )
-
-
-@register(
-    "rfm_segmentation",
-    # Classic RFM customer segmentation with quartile boundaries from
-    # percentiles instead of an ntile window: the three per-customer
-    # metrics (days since epoch of last order, order count, exact-decimal
-    # spend) are quartiled against a broadcast 1-row boundary table, so no
-    # full-table sort/window exists anywhere.  Segment assignment is three
-    # integer comparisons against identical boundary doubles (percentile
-    # interpolation parity is pinned by histogram_quantile_estimate).
-    oracle="""
-        WITH cust AS MATERIALIZED (
-            SELECT o_custkey,
-                   CAST(date_diff('day', DATE '1992-01-01',
-                                  CAST(max(o_orderdate) AS DATE)) AS BIGINT)
-                       AS rec_days,
-                   CAST(count(*) AS BIGINT) AS freq,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                       AS monetary
-            FROM orders GROUP BY o_custkey
-        ),
-        q AS (
-            SELECT quantile_cont(CAST(rec_days AS DOUBLE), [0.25, 0.5, 0.75]) AS qr,
-                   quantile_cont(CAST(freq AS DOUBLE), [0.25, 0.5, 0.75]) AS qf,
-                   quantile_cont(monetary, [0.25, 0.5, 0.75]) AS qm
-            FROM cust
-        )
-        SELECT (1 + CASE WHEN rec_days > qr[1] THEN 1 ELSE 0 END
-                  + CASE WHEN rec_days > qr[2] THEN 1 ELSE 0 END
-                  + CASE WHEN rec_days > qr[3] THEN 1 ELSE 0 END) AS r_seg,
-               (1 + CASE WHEN freq > qf[1] THEN 1 ELSE 0 END
-                  + CASE WHEN freq > qf[2] THEN 1 ELSE 0 END
-                  + CASE WHEN freq > qf[3] THEN 1 ELSE 0 END) AS f_seg,
-               (1 + CASE WHEN monetary > qm[1] THEN 1 ELSE 0 END
-                  + CASE WHEN monetary > qm[2] THEN 1 ELSE 0 END
-                  + CASE WHEN monetary > qm[3] THEN 1 ELSE 0 END) AS m_seg,
-               CAST(count(*) AS BIGINT) AS n_customers,
-               CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
-                   AS total_monetary
-        FROM cust, q
-        GROUP BY 1, 2, 3
-    """,
-    tags=("tpch", "analytics", "segmentation"),
-)
-def rfm_segmentation(spark, sf_dir):
-    """RFM quartile segmentation.  100-TB shape: one customer-keyed rollup
-    over the fact, one 1-row percentile aggregate broadcast back, narrow
-    segment assignment, and a <=64-row final rollup — the ntile-window
-    formulation this replaces would single-partition-sort every customer
-    three times."""
-    o = T(spark, sf_dir, "orders")
-    cust = o.groupBy("o_custkey").agg(
-        F.datediff(F.max("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
-        .cast("bigint")
-        .alias("rec_days"),
-        F.count(F.lit(1)).alias("freq"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("monetary"),
-    )
-    probs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
-    q = cust.agg(
-        F.percentile(F.col("rec_days").cast("double"), probs).alias("qr"),
-        F.percentile(F.col("freq").cast("double"), probs).alias("qf"),
-        F.percentile("monetary", probs).alias("qm"),
-    )
-
-    def seg(v, b):
-        return (
-            F.lit(1)
-            + (F.col(v) > F.col(b)[0]).cast("int")
-            + (F.col(v) > F.col(b)[1]).cast("int")
-            + (F.col(v) > F.col(b)[2]).cast("int")
-        )
-
-    return (
-        cust.crossJoin(F.broadcast(q))
-        .groupBy(
-            seg("rec_days", "qr").alias("r_seg"),
-            seg("freq", "qf").alias("f_seg"),
-            seg("monetary", "qm").alias("m_seg"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("monetary").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_monetary"),
-        )
-    )
-
-
-@register(
-    "jl_recall_vs_dim_curve",
-    # top-5 recall as a function of sketch width m in {4, 8, 16}: the JL
-    # sketch is projected ONCE at 16 dims and each narrower config ranks
-    # by the PREFIX slice (a JL matrix's first m rows are themselves a JL
-    # matrix), so the curve costs one projection pass + three fold widths
-    # over the same fixed-query pair table — jl_projection_recall's single
-    # point widened into the dimension-budget tuning curve.
-    oracle=f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        p AS (
-            SELECT vec_id,
-                   [{_JL_COORD_SQL.format(p='pp')} for pp in generate_series(100, 115)]
-                       AS y
-            FROM v
-        ),
-        q AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
-        ex AS (
-            SELECT query_id, corpus_id FROM (
-                SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-                       row_number() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY {_cos_sql("a", "b")} DESC, c.vec_id
-                       ) AS rnk
-                FROM q JOIN v a ON a.vec_id = q.vec_id
-                JOIN v b ON b.vec_id <> q.vec_id
-                JOIN v c ON c.vec_id = b.vec_id
-            ) WHERE rnk <= 5
-        ),
-        cfg(m) AS (VALUES (4), (8), (16)),
-        sk AS (
-            SELECT m, query_id, corpus_id FROM (
-                SELECT cfg.m, q.vec_id AS query_id, c.vec_id AS corpus_id,
-                       row_number() OVER (
-                           PARTITION BY cfg.m, q.vec_id
-                           ORDER BY list_dot_product(a.y[1:cfg.m], b.y[1:cfg.m])
-                                    / (sqrt(list_dot_product(a.y[1:cfg.m], a.y[1:cfg.m]))
-                                       * sqrt(list_dot_product(b.y[1:cfg.m], b.y[1:cfg.m]))) DESC,
-                                    c.vec_id
-                       ) AS rnk
-                FROM cfg, q
-                JOIN p a ON a.vec_id = q.vec_id
-                JOIN p b ON b.vec_id <> q.vec_id
-                JOIN p c ON c.vec_id = b.vec_id
-            ) WHERE rnk <= 5
-        ),
-        t AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
-        mt AS (
-            SELECT m, CAST(count(*) AS BIGINT) AS n_matched
-            FROM sk JOIN ex USING (query_id, corpus_id) GROUP BY m
-        )
-        SELECT cfg.m AS sketch_dim, coalesce(mt.n_matched, 0) AS n_matched,
-               t.n_exact,
-               CAST(coalesce(mt.n_matched, 0) AS DOUBLE) / t.n_exact AS recall
-        FROM cfg LEFT JOIN mt ON mt.m = cfg.m CROSS JOIN t
-    """,
-    tags=("embedding", "ann", "sketch", "tuning"),
-)
-def jl_recall_vs_dim_curve(spark, sf_dir):
-    """JL dimension-budget sweep.  100-TB shape: one narrow projection
-    pass (compile-time sign matrix), a fixed 8-query batch so the pair
-    table is 8xN per config, per-config ranking k-bounded by the window
-    filter, and the recall join touches only top-5 lists.  Widening
-    jl_projection_recall's single operating point into the curve that
-    picks the sketch width."""
-    from pyspark.sql import Window
-
-    e = T(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", V.as_double("embedding").alias("v"))
-
-    hexhi = ("8", "9", "a", "b", "c", "d", "e", "f")
-
-    def plane_comp(p):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda j: F.when(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{p}:"), j.cast("string"))), 1, 1
-                ).isin(*hexhi),
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
-
-    proj = v.select(
-        "vec_id", F.array(*[V.dot(F.col("v"), plane_comp(p)) for p in _JL_PLANES]).alias("y")
-    )
-    proj = similarity._persist_rotating("jl_curve_proj", proj)
-    q_ids = v.orderBy("vec_id").limit(8).select(F.col("vec_id").alias("query_id"))
-
-    ex_pairs = (
-        q_ids.join(v.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qa")), "query_id")
-        .crossJoin(v.select(F.col("vec_id").alias("corpus_id"), F.col("v").alias("qb")))
-        .filter(F.col("corpus_id") != F.col("query_id"))
-        .select("query_id", "corpus_id", V.cosine(F.col("qa"), F.col("qb")).alias("cos"))
-    )
-    wex = Window.partitionBy("query_id").orderBy(F.desc("cos"), "corpus_id")
-    # persisted: the 40-row exact top-5 feeds both the recall join and the
-    # 1-row total — without it the 8xN exact-cosine scan runs twice
-    ex = similarity._persist_rotating(
-        "jl_curve_exact",
-        ex_pairs.select(
-            "query_id", "corpus_id", F.row_number().over(wex).alias("rnk")
-        )
-        .filter(F.col("rnk") <= 5)
-        .select("query_id", "corpus_id"),
-    )
-
-    cfg = spark.createDataFrame([(4,), (8,), (16,)], "m int")
-    sk_pairs = (
-        q_ids.join(proj.select(F.col("vec_id").alias("query_id"), F.col("y").alias("ya")), "query_id")
-        .crossJoin(proj.select(F.col("vec_id").alias("corpus_id"), F.col("y").alias("yb")))
-        .filter(F.col("corpus_id") != F.col("query_id"))
-        .crossJoin(F.broadcast(cfg))
-        .select(
-            "m",
-            "query_id",
-            "corpus_id",
-            V.cosine(
-                F.slice("ya", F.lit(1), F.col("m")),
-                F.slice("yb", F.lit(1), F.col("m")),
-            ).alias("cos"),
-        )
-    )
-    wsk = Window.partitionBy("m", "query_id").orderBy(F.desc("cos"), "corpus_id")
-    sk = (
-        sk_pairs.select("m", "query_id", "corpus_id", F.row_number().over(wsk).alias("rnk"))
-        .filter(F.col("rnk") <= 5)
-        .select("m", "query_id", "corpus_id")
-    )
-    t = ex.agg(F.count(F.lit(1)).alias("n_exact"))
-    mt = sk.join(ex, ["query_id", "corpus_id"]).groupBy("m").agg(
-        F.count(F.lit(1)).alias("n_matched")
-    )
-    return (
-        cfg.join(mt, "m", "left")
-        .crossJoin(F.broadcast(t))
-        .select(
-            F.col("m").alias("sketch_dim"),
-            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
-            "n_exact",
-            (
-                F.coalesce("n_matched", F.lit(0)).cast("double") / F.col("n_exact")
-            ).alias("recall"),
-        )
-    )
-
-
-# --- wave 9: CUSUM change points, session survival, Pareto share
-
-
-@register(
-    "events_change_point",
-    # CUSUM change-point detection per event type over daily counts.  The
-    # cumulative sum of (count - mean) is kept INTEGER-EXACT by scaling by
-    # n_days: S_d * n_days = n_days * cumsum(cnt) - rank_d * total, all
-    # bigints, so the argmax day is deterministic without any double
-    # accumulation; the reported cusum divides back down once.  The only
-    # windows are partitioned by event_type over day-count rows.
-    oracle="""
-        WITH daily AS (
-            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
-                   CAST(count(*) AS BIGINT) AS cnt
-            FROM events GROUP BY 1, 2
-        ),
-        tot AS (
-            SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total,
-                   CAST(count(*) AS BIGINT) AS n_days
-            FROM daily GROUP BY event_type
-        ),
-        cum AS (
-            SELECT d.event_type, d.d,
-                   t.n_days * SUM(d.cnt) OVER (PARTITION BY d.event_type
-                                               ORDER BY d.d
-                                               ROWS UNBOUNDED PRECEDING)
-                       - (row_number() OVER (PARTITION BY d.event_type
-                                             ORDER BY d.d)) * t.total
-                       AS s_scaled,
-                   t.n_days, t.total
-            FROM daily d JOIN tot t USING (event_type)
-        )
-        SELECT event_type, d AS change_day,
-               CAST(s_scaled AS BIGINT) AS s_scaled,
-               CAST(s_scaled AS DOUBLE) / n_days AS cusum
-        FROM (
-            SELECT event_type, d, s_scaled, n_days,
-                   row_number() OVER (PARTITION BY event_type
-                                      ORDER BY abs(s_scaled) DESC, d) AS rnk
-            FROM cum
-        ) WHERE rnk = 1
-    """,
-    tags=("events", "timeseries", "anomaly"),
-)
-def events_change_point(spark, sf_dir):
-    """CUSUM change points.  100-TB shape: one corpus pass into a
-    (type, day) rollup; everything after runs on day-count-sized tables
-    with type-partitioned windows (never unpartitioned); the scaled-integer
-    trick keeps the cumulative statistic order-free so partial aggregation
-    cannot perturb the argmax."""
-    from pyspark.sql import Window
-
-    e = T(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("d")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    tot = daily.groupBy("event_type").agg(
-        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_days")
-    )
-    w = Window.partitionBy("event_type").orderBy("d")
-    cum = daily.join(F.broadcast(tot), "event_type").select(
-        "event_type",
-        "d",
-        (
-            F.col("n_days") * F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
-            - F.row_number().over(w) * F.col("total")
-        ).alias("s_scaled"),
-        "n_days",
-    )
-    wr = Window.partitionBy("event_type").orderBy(F.desc(F.abs(F.col("s_scaled"))), "d")
-    return (
-        cum.withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") == 1)
-        .select(
-            "event_type",
-            F.col("d").alias("change_day"),
-            "s_scaled",
-            (F.col("s_scaled").cast("double") / F.col("n_days")).alias("cusum"),
-        )
-    )
-
-
-@register(
-    "session_duration_survival",
-    # Survival curve of session durations on a fixed time grid: the
-    # fraction of sessions still active at t in {0, 1, 5, 15, 30} minutes.
-    # Durations are integral epoch-microsecond spans (last event - first
-    # event within the 30-min-gap session), so every count and ratio is
-    # exact.
-    oracle="""
-        WITH m AS (
-            SELECT user_id, ts,
-                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                             < INTERVAL 30 MINUTE
-                        THEN 0 ELSE 1 END AS new_s
-            FROM events
-        ),
-        sid AS (
-            SELECT user_id, ts,
-                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-            FROM m
-        ),
-        sess AS MATERIALIZED (
-            SELECT user_id, epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
-            FROM sid GROUP BY user_id, sid
-        ),
-        grid(t_seconds) AS (VALUES (0), (60), (300), (900), (1800)),
-        t AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM sess)
-        SELECT t_seconds,
-               CAST(SUM(CASE WHEN dur_us >= t_seconds * 1000000::BIGINT
-                        THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving,
-               n_sessions,
-               CAST(SUM(CASE WHEN dur_us >= t_seconds * 1000000::BIGINT
-                        THEN 1 ELSE 0 END) AS DOUBLE) / n_sessions
-                   AS survival_rate
-        FROM grid, sess, t
-        GROUP BY t_seconds, n_sessions
-    """,
-    tags=("events", "session", "timeseries"),
-)
-def session_duration_survival(spark, sf_dir):
-    """Session survival curve.  100-TB shape: sessionize once (the same
-    user-keyed session_window aggregation every session op shares), then a
-    5-point grid cross-joins against the session table into a 5-row
-    rollup — counts and ratios are integer-exact."""
-    e = T(spark, sf_dir, "events")
-    sess = (
-        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
-        .agg(
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us")
-        )
-        .select("dur_us")
-    )
-    grid = spark.createDataFrame([(0,), (60,), (300,), (900,), (1800,)], "t_seconds int")
-    t = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
-    surv = F.sum(
-        F.when(F.col("dur_us") >= F.col("t_seconds").cast("bigint") * 1000000, 1).otherwise(0)
-    )
-    return (
-        sess.crossJoin(F.broadcast(grid))
-        .crossJoin(F.broadcast(t))
-        .groupBy("t_seconds", "n_sessions")
-        .agg(
-            surv.alias("n_surviving"),
-            (surv.cast("double") / F.col("n_sessions")).alias("survival_rate"),
-        )
-        .select("t_seconds", "n_surviving", "n_sessions", "survival_rate")
-    )
-
-
-@register(
-    "orders_pareto_share",
-    # Pareto concentration check: what revenue share the top decile of
-    # customers holds.  Per-customer revenue sums through exact DECIMAL;
-    # the decile boundary is a percentile against the customer-level
-    # table (interpolation parity pinned by histogram_quantile_estimate);
-    # the share divides two exact decimal sums cast to double once.
-    oracle="""
-        WITH cust AS MATERIALIZED (
-            SELECT o_custkey,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
-            FROM orders GROUP BY o_custkey
-        ),
-        q AS (SELECT quantile_cont(CAST(rev AS DOUBLE), 0.9) AS q90 FROM cust)
-        SELECT CAST(count(*) AS BIGINT) AS n_customers,
-               CAST(SUM(CASE WHEN CAST(rev AS DOUBLE) > q90 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_top,
-               round(ANY_VALUE(q90), 6) AS q90_revenue,
-               CAST(SUM(CASE WHEN CAST(rev AS DOUBLE) > q90 THEN rev
-                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                   / CAST(SUM(rev) AS DOUBLE) AS top_decile_share
-        FROM cust, q
-    """,
-    tags=("tpch", "analytics", "stats"),
-)
-def orders_pareto_share(spark, sf_dir):
-    """Top-decile revenue concentration.  100-TB shape: one customer-keyed
-    rollup, a broadcast 1-row percentile, and a 1-row final aggregate —
-    no sort, no window."""
-    o = T(spark, sf_dir, "orders")
-    cust = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
-    )
-    q = cust.agg(F.percentile(F.col("rev").cast("double"), F.lit(0.9)).alias("q90"))
-    top = F.col("rev").cast("double") > F.col("q90")
-    return (
-        cust.crossJoin(F.broadcast(q))
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.when(top, 1).otherwise(0)).alias("n_top"),
-            F.round(F.first("q90"), 6).alias("q90_revenue"),
-            (
-                F.sum(F.when(top, F.col("rev")).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
-                / F.sum("rev").cast("double")
-            ).alias("top_decile_share"),
-        )
-    )
-
-
-# --- wave 10: shingle-width sensitivity, k-core peel, dup-vs-quality
-
-
-def _lsh_n_ctes(n: int) -> str:
-    """Per-shingle-width copy of the MinHash-LSH candidate chain (k=8,
-    2 bands), CTE names suffixed with the width so three widths coexist
-    in one oracle."""
-    w = n - 1
-    sh = (
-        f"CASE WHEN len(tk) >= {n} THEN [array_to_string(tk[i:i+{w}], ' ') "
-        f"for i in generate_series(1, len(tk) - {w})] "
-        f"ELSE [array_to_string(tk, ' ')] END"
-    )
-    mh = ", ".join(_mh_sql(i) for i in range(8))
-    jac = (
-        "CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)"
-        " / len(list_distinct(list_concat(x.s, y.s)))"
-    )
-    return f"""shs{n} AS (SELECT doc_id, ({sh}) AS sh FROM toks),
-        sigs{n} AS (SELECT doc_id, {mh} FROM shs{n}),
-        banded{n} AS (
-            SELECT doc_id,
-                   md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS band0,
-                   md5(concat_ws('|', mh4, mh5, mh6, mh7)) AS band1
-            FROM sigs{n}
-        ),
-        exploded{n} AS (
-            SELECT doc_id, unnest(['0:' || band0, '1:' || band1]) AS band_key
-            FROM banded{n}
-        ),
-        cand{n} AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM exploded{n} a JOIN exploded{n} b
-              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-        ),
-        ssets{n} AS (SELECT doc_id, list_distinct(sh) AS s FROM shs{n}),
-        row{n} AS (
-            SELECT {n} AS shingle_n,
-                   CAST(count(*) AS BIGINT) AS n_candidates,
-                   CAST(SUM(CASE WHEN {jac} >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
-                       AS n_verified,
-                   CASE WHEN count(*) > 0
-                        THEN round(CAST(SUM(CASE WHEN {jac} >= 0.5
-                                          THEN 1 ELSE 0 END) AS DOUBLE)
-                                   / count(*), 6) END AS precision_at_05
-            FROM cand{n} c
-            JOIN ssets{n} x ON x.doc_id = c.id_a
-            JOIN ssets{n} y ON y.doc_id = c.id_b
-        )"""
-
-
-@register(
-    "dedup_shingle_size_sensitivity",
-    # The shingle-width knob measured: candidate volume and exact-Jaccard
-    # precision of the same k=8 / 2-band MinHash-LSH pipeline at word
-    # shingle widths 2, 3, and 5 — narrower shingles recall more (and
-    # flood the verifier), wider shingles are precise but brittle.
-    # Completes the dedup tuning family next to minhash_band_calibration
-    # (band knob) and ann_probe_recall_curve (probe knob).
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        {", ".join(_lsh_n_ctes(n) for n in (2, 3, 5))}
-        SELECT * FROM row2
-        UNION ALL SELECT * FROM row3
-        UNION ALL SELECT * FROM row5
-    """,
-    tags=("dedup", "minhash", "lsh", "tuning"),
-)
-def dedup_shingle_size_sensitivity(spark, sf_dir):
-    """Shingle-width sweep.  100-TB shape: a tuning job run on a sample,
-    but scale-clean regardless — each width is one independent banded
-    pipeline (explode + min-agg signatures, band-key self-join, verify
-    join on candidates only) whose outputs collapse to a single summary
-    row before the 3-row union."""
-    d = T(spark, sf_dir, "documents")
-    parts = []
-    for n in (2, 3, 5):
-        pairs = dedup.minhash_lsh_pairs(
-            d, "doc_id", "text", k=8, bands=2, shingle_n=n, threshold=0.0
-        )
-        parts.append(
-            pairs.agg(
-                F.lit(n).alias("shingle_n"),
-                F.count(F.lit(1)).alias("n_candidates"),
-                F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)).alias(
-                    "n_verified"
-                ),
-                F.when(
-                    F.count(F.lit(1)) > 0,
-                    F.round(
-                        F.sum(
-                            F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)
-                        ).cast("double")
-                        / F.count(F.lit(1)),
-                        6,
-                    ),
-                ).alias("precision_at_05"),
-            ).select("shingle_n", "n_candidates", "n_verified", "precision_at_05")
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
-
-
-@register(
-    "graph_k_core",
-    # 2-core peel of the near-dup graph, 3 unrolled rounds: repeatedly
-    # drop degree-<2 nodes (and their edges) and report the shrinking
-    # (nodes, edges) census per round — the structure pass that separates
-    # tight duplicate cliques from hub-and-spoke false positives before
-    # choosing cluster keepers.  All counts are integers.
-    oracle=f"""
-        WITH {_LSH_CTES},
-        pairs AS (
-            SELECT c.id_a, c.id_b
-            FROM cand c
-            JOIN ssets x ON x.doc_id = c.id_a
-            JOIN ssets y ON y.doc_id = c.id_b
-            WHERE {_JAC} >= 0.5
-        ),
-        e0 AS MATERIALIZED (
-            SELECT id_a AS u, id_b AS v FROM pairs
-        ),
-        n1 AS (SELECT node FROM (
-                   SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
-               ) GROUP BY node HAVING count(*) >= 2),
-        e1 AS MATERIALIZED (
-            SELECT u, v FROM e0
-            WHERE u IN (SELECT node FROM n1) AND v IN (SELECT node FROM n1)
-        ),
-        n2 AS (SELECT node FROM (
-                   SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1
-               ) GROUP BY node HAVING count(*) >= 2),
-        e2 AS MATERIALIZED (
-            SELECT u, v FROM e1
-            WHERE u IN (SELECT node FROM n2) AND v IN (SELECT node FROM n2)
-        ),
-        n3 AS (SELECT node FROM (
-                   SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2
-               ) GROUP BY node HAVING count(*) >= 2),
-        e3 AS MATERIALIZED (
-            SELECT u, v FROM e2
-            WHERE u IN (SELECT node FROM n3) AND v IN (SELECT node FROM n3)
-        )
-        SELECT 1 AS round, (SELECT count(*) FROM n1) AS n_nodes,
-               (SELECT count(*) FROM e1) AS n_edges
-        UNION ALL
-        SELECT 2, (SELECT count(*) FROM n2), (SELECT count(*) FROM e2)
-        UNION ALL
-        SELECT 3, (SELECT count(*) FROM n3), (SELECT count(*) FROM e3)
-    """,
-    tags=("dedup", "graph"),
-)
-def graph_k_core(spark, sf_dir):
-    """2-core peel census.  100-TB shape: the graph is the (already
-    blocked) LSH pair set — edge-list sized, not corpus sized; each round
-    is one degree rollup plus two semi-joins on the node key.  The edge
-    frame is localCheckpoint-ed per round (edges feed both the degree
-    rollup and the semi-joins, so un-truncated lineage doubles every
-    round — the same trap pagerank_dup_graph documents), and the per-round
-    census counts are exact integers collected as 1-row scalars."""
-    d = T(spark, sf_dir, "documents")
-    edges = (
-        dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
-        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .localCheckpoint()
-    )
-    stats = []
-    for rnd in (1, 2, 3):
-        deg = (
-            edges.select(F.col("u").alias("node"))
-            .unionAll(edges.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= 2)
-            .select("node")
-            .localCheckpoint()
-        )
-        edges = (
-            edges.join(deg.withColumnRenamed("node", "u"), "u", "semi")
-            .join(deg.withColumnRenamed("node", "v"), "v", "semi")
-            .select("u", "v")
-            .localCheckpoint()
-        )
-        stats.append((rnd, deg.count(), edges.count()))
-    import pyspark.sql.types as T_
-
-    return spark.createDataFrame(
-        stats,
-        T_.StructType(
-            [
-                T_.StructField("round", T_.IntegerType(), False),
-                T_.StructField("n_nodes", T_.LongType(), False),
-                T_.StructField("n_edges", T_.LongType(), False),
-            ]
-        ),
-    )
-
-
-@register(
-    "dup_quality_contrast",
-    # Do near-duplicates skew low-quality?  Split the corpus into docs
-    # that participate in any verified LSH near-dup pair vs the rest, and
-    # cross-tabulate against the text_quality label with exact-integer
-    # token-count means (sum/count via DECIMAL-free bigints, divided once)
-    # — the audit that decides whether dedup doubles as a quality filter.
-    oracle=f"""
-        WITH {_LSH_CTES},
-        pairs AS (
-            SELECT c.id_a, c.id_b
-            FROM cand c
-            JOIN ssets x ON x.doc_id = c.id_a
-            JOIN ssets y ON y.doc_id = c.id_b
-            WHERE {_JAC} >= 0.5
-        ),
-        dup_ids AS MATERIALIZED (
-            SELECT DISTINCT id_a AS doc_id FROM pairs
-            UNION SELECT DISTINCT id_b FROM pairs
-        ),
-        q AS (
-            SELECT doc_id, len(tk) AS n_tokens,
-                   CASE WHEN len(tk) >= 10
-                             AND CAST(length(lower(text))
-                                      - length({_NORM.format(c='text')}) AS DOUBLE)
-                                 / length(lower(text)) < 0.1
-                             AND CAST(len(list_filter(tk, t -> t IN
-                                 ('the','a','of','and','to','in','is','it','for','on')))
-                                 AS DOUBLE) / len(tk) > 0.05
-                        THEN 'good'
-                        WHEN len(tk) >= 5 THEN 'fair'
-                        ELSE 'poor' END AS quality
-            FROM (SELECT doc_id, text, {_toks()} AS tk FROM documents)
-        )
-        SELECT CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
-               quality,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(SUM(n_tokens) AS DOUBLE) / count(*) AS mean_tokens
-        FROM q LEFT JOIN dup_ids d USING (doc_id)
-        GROUP BY 1, 2
-    """,
-    tags=("dedup", "quality", "audit"),
-)
-def dup_quality_contrast(spark, sf_dir):
-    """Near-dup vs quality cross-tab.  100-TB shape: the dup-id set is
-    pair-list sized (broadcast or shuffle-joined on doc_id), the quality
-    labels ride the corpus scan, and the output is a <=6-row rollup."""
-    d = T(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
-    dup_ids = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .union(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-        .withColumn("dup", F.lit(1))
-    )
-    tk = TX.tokens("text")
-    q = d.select(
-        "doc_id",
-        F.size(tk).alias("n_tokens"),
-        F.when(
-            (F.size(tk) >= 10)
-            & (TX.punct_ratio("text") < 0.1)
-            & (TX.stopword_ratio("text") > 0.05),
-            "good",
-        )
-        .when(F.size(tk) >= 5, "fair")
-        .otherwise("poor")
-        .alias("quality"),
-    )
-    return (
-        q.join(dup_ids, "doc_id", "left")
-        .groupBy(
-            F.when(F.col("dup").isNotNull(), 1).otherwise(0).alias("is_dup"),
-            "quality",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
-                "mean_tokens"
-            ),
-        )
-    )
-
-
-# --- wave 11: incremental SimHash, reciprocal-kNN audit, streaming CUSUM
-
-
-_ISIM_SPLIT = "substr(md5('isim:' || doc_id::VARCHAR), 1, 4)"
-
-
-@register(
-    "dedup_incremental_simhash",
-    # incremental Hamming near-dup: the arriving batch (hash-split ~20%)
-    # probes the historical corpus's persisted sliced-fingerprint index
-    # (Manku pigeonhole: distance <= 3 of a 32-bit simhash forces an exact
-    # match on one of 4 slices) — the Hamming twin of dedup_incremental_lsh.
-    # Exact md5 bit arithmetic on both engines covers blocking AND verify.
-    oracle=f"""
-        WITH docs AS (
-            SELECT doc_id, text,
-                   CASE WHEN {_ISIM_SPLIT} < '3334' THEN 'b' ELSE 'h' END AS side
-            FROM documents
-        ),
-        toks AS (SELECT doc_id, side, {_toks()} AS tk FROM docs),
-        fps AS (SELECT doc_id, side, {_simhash_sql(32)} AS simhash FROM toks),
-        sliced AS (
-            SELECT doc_id, side, simhash, blk,
-                   substr(simhash, blk * 8 + 1, 8) AS bitsv
-            FROM fps, (SELECT unnest([0, 1, 2, 3]) AS blk)
-        ),
-        cand AS (
-            SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS hist_id,
-                   b.simhash AS sh_b, h.simhash AS sh_h
-            FROM sliced b JOIN sliced h
-              ON b.blk = h.blk AND b.bitsv = h.bitsv
-             AND b.side = 'b' AND h.side = 'h'
-        )
-        SELECT doc_id, hist_id,
-               CAST(len(list_filter(generate_series(1, 32),
-                    i -> substr(sh_b, i, 1) <> substr(sh_h, i, 1))) AS INT)
-                   AS hamming
-        FROM cand
-        WHERE len(list_filter(generate_series(1, 32),
-                  i -> substr(sh_b, i, 1) <> substr(sh_h, i, 1))) <= 3
-    """,
-    tags=("dedup", "simhash", "incremental"),
-)
-def dedup_incremental_simhash(spark, sf_dir):
-    """Daily-ingest Hamming near-dup rejection.  100-TB shape: history's
-    sliced fingerprints are a persisted index written once; per batch the
-    work is O(|batch| * blocks) probe rows into a slice-keyed equi-join,
-    and the Hamming verify runs only on collisions
-    (operators/dedup.py:incremental_simhash_new_dups).  Width scaling
-    (SCALING.md, measured exponent 1.27 at the pinned 32 bits): 8-bit
-    slices saturate at 256 buckets, so production grows bits with the
-    corpus (~2*log2(n); 64-bit fingerprints -> 16-bit slices) to keep
-    bucket occupancy — and the verify volume — flat."""
-    d = T(spark, sf_dir, "documents")
-    split = F.substring(
-        F.md5(F.concat(F.lit("isim:"), F.col("doc_id").cast("string"))), 1, 4
-    )
-    hist = d.filter(split >= "3334")
-    batch = d.filter(split < "3334")
-    return dedup.incremental_simhash_new_dups(
-        hist, batch, "doc_id", "text", bits=32, max_hamming=3, blocks=4
-    )
-
-
-@register(
-    "dedup_incremental_simhash64",
-    # incremental Hamming near-dup at the production width: the arriving
-    # batch (hash-split ~20%) probes a PRECOMPUTED 64-bit fingerprint index
-    # of the historical corpus (8 bytes/doc, written once — the contract of
-    # operators/dedup.py:incremental_simhash64_new_dups) via 4 16-bit-slice
-    # equi-joins; one bit_count(xor) per collision verifies.  Exact md5 bit
-    # arithmetic on both engines covers fingerprint, blocking, and verify.
-    oracle=f"""
-        WITH docs AS (
-            SELECT doc_id, text,
-                   CASE WHEN {_ISIM_SPLIT} < '3334' THEN 'b' ELSE 'h' END AS side
-            FROM documents
-        ),
-        toks AS (SELECT doc_id, side, {_toks()} AS tk FROM docs),
-        hs AS (SELECT doc_id, side, {_SIMHASH64_HASHES} AS hh FROM toks),
-        fps AS (SELECT doc_id, side, {_simhash64_sql()} AS fp FROM hs),
-        sliced AS (
-            SELECT doc_id, side, fp, blk, (fp >> (blk * 16)) & 65535 AS slc
-            FROM fps, (SELECT unnest([0, 1, 2, 3]) AS blk)
-        ),
-        cand AS (
-            SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS hist_id,
-                   b.fp AS fp_b, h.fp AS fp_h
-            FROM sliced b JOIN sliced h
-              ON b.blk = h.blk AND b.slc = h.slc
-             AND b.side = 'b' AND h.side = 'h'
-        )
-        SELECT doc_id, hist_id,
-               CAST(bit_count(xor(fp_b, fp_h)) AS INT) AS hamming
-        FROM cand
-        WHERE bit_count(xor(fp_b, fp_h)) <= 3
-        ORDER BY doc_id, hist_id
-    """,
-    tags=("dedup", "simhash", "incremental"),
-)
-def dedup_incremental_simhash64(spark, sf_dir):
-    """Daily-ingest Hamming rejection against the written-once index.
-    100-TB shape: the history side enters as the persisted (id, fp)
-    fingerprint table — here materialized once and persisted, exactly the
-    index a production pipeline keeps on disk bucketed by (blk, slc) — so
-    per batch nothing re-reads or re-hashes history text; the probe
-    shuffles only the batch side, and the 65,536-buckets/block slice space
-    keeps collision fan-out flat (simhash_slice_occupancy is the audit)."""
-    d = T(spark, sf_dir, "documents")
-    split = F.substring(
-        F.md5(F.concat(F.lit("isim:"), F.col("doc_id").cast("string"))), 1, 4
-    )
-    # rotating persist (r07 ADVICE #2): one cached history index per family
-    hist_fps = similarity._persist_rotating(
-        "isim64_hist_fps",
-        dedup.simhash64_fingerprints(d.filter(split >= "3334"), "doc_id", "text"),
-    )
-    batch = d.filter(split < "3334")
-    return dedup.incremental_simhash64_new_dups(
-        hist_fps, batch, "doc_id", "text", max_hamming=3, blocks=4
-    ).orderBy("doc_id", "hist_id")
-
-
-@register(
-    "streaming_simhash_neardup",
-    # streaming Hamming near-dup: the state store is the sliced 64-bit
-    # fingerprint index.  Docs replayed over 3 micro-batches; each (blk,
-    # slc) bucket's state holds (id, fp) pairs and arriving docs are
-    # bit_count-verified against it.  End-of-stream pair set == the batch
-    # slice self-join, so the oracle is the same as dedup_simhash_hamming's.
-    oracle=f"""
-        WITH {_SIMHASH64_CTES},
-        cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                   a.fp AS fp_a, b.fp AS fp_b
-            FROM sliced a JOIN sliced b
-              ON a.blk = b.blk AND a.slc = b.slc AND a.doc_id < b.doc_id
-        )
-        SELECT id_a, id_b,
-               CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
-        FROM cand
-        WHERE bit_count(xor(fp_a, fp_b)) <= 3
-    """,
-    tags=("streaming", "dedup", "simhash", "stateful"),
-)
-def streaming_simhash_neardup(spark, sf_dir):
-    """64-bit SimHash near-dup as a STREAMING stateful operator
-    (streaming/ingest.py:stateful_simhash_neardup) — completing the
-    batch/incremental/streaming trio that shares one fingerprint family:
-    fingerprint + 16-bit slices are pure projections (legal ahead of the
-    stateful operator), the stream shuffles once on (blk, slc), and each
-    bucket Hamming-verifies arrivals against its 16B/doc state.  A pair
-    agreeing on several slices is emitted by each, so the trailing
-    .distinct() restores set semantics; arrival order doesn't matter, so
-    the final pair set equals the batch self-join bit-for-bit."""
-    import tempfile
-    import uuid
-
-    from kwack_spark.streaming import ingest as si
-
-    d = T(spark, sf_dir, "documents")
-    prep = dedup._simhash64_sliced(
-        dedup.simhash64_fingerprints(d, "doc_id", "text"), "doc_id", blocks=4
-    )
-    replay_dir = tempfile.mkdtemp(prefix="kwack_simhash_replay_")
-    prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
-    stream = (
-        spark.readStream.schema(prep.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay_dir)
-    )
-    pairs = si.stateful_simhash_neardup(stream, max_hamming=3)
-    sink = f"strmsh_{uuid.uuid4().hex[:8]}"
-    with _few_shuffle_partitions(spark):
-        q = si.to_memory_sink(pairs, sink, output_mode="append")
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming_simhash_neardup: stream did not finish in 300s")
-    return spark.table(sink).distinct()
-
-
-@register(
-    "streaming_audio_neardup",
-    # streaming acoustic near-dup: the SAME stateful Hamming kernel as
-    # streaming_simhash_neardup (the state store is the sliced index),
-    # fed 64-bit audio energy fingerprints instead of text SimHash —
-    # fingerprints replayed over 3 micro-batches, end-of-stream pair set
-    # == the batch audio pair query's closed form (the kernel is
-    # fingerprint-agnostic; only the narrow projection ahead of the
-    # stateful stage changes).
-    oracle="""
-        WITH p AS (
-            SELECT doc_id, doc_id % 128 AS g, (doc_id // 128) % 4 AS v
-            FROM documents
-        )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(CASE WHEN a.v = b.v THEN 0
-                         WHEN a.v = 0 OR b.v = 0 THEN 1
-                         ELSE 2 END AS INTEGER) AS hamming
-        FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
-    """,
-    tags=("streaming", "multimodal", "audio", "dedup", "stateful"),
-)
-def streaming_audio_neardup(spark, sf_dir):
-    """Audio near-dup as a STREAMING stateful operator: REAL PCM decode
-    emits 8 B/clip fingerprints (narrow, payloads never reach the
-    stream), 16-bit slices are pure projections, and each (blk, slc)
-    bucket Hamming-verifies arrivals against its state — one stateful
-    kernel (streaming/ingest.py:stateful_simhash_neardup) now serves
-    text, image, and audio fingerprints in batch, incremental, AND
-    streaming mode.  Arrival order cannot change the end-of-stream pair
-    set; the trailing .distinct() collapses multi-slice agreements."""
-    import tempfile
-    import uuid
-
-    from kwack_spark.operators import multimodal as mm
-    from kwack_spark.streaming import ingest as si
-
-    d = T(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    fps = mm.audio_fingerprint64(
-        mm.synth_wav_am(d, "doc_id"), "payload", "doc_id"
-    )
-    prep = dedup._simhash64_sliced(fps, "doc_id", blocks=4)
-    replay_dir = tempfile.mkdtemp(prefix="kwack_audiosh_replay_")
-    prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
-    stream = (
-        spark.readStream.schema(prep.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay_dir)
-    )
-    pairs = si.stateful_simhash_neardup(stream, max_hamming=3)
-    sink = f"strmau_{uuid.uuid4().hex[:8]}"
-    with _few_shuffle_partitions(spark):
-        q = si.to_memory_sink(pairs, sink, output_mode="append")
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "streaming_audio_neardup: stream did not finish in 300s"
-            )
-    return spark.table(sink).distinct()
-
-
-@register(
-    "ann_reciprocal_rate",
-    # Mutual-kNN audit: the fraction of exact top-3 edges that are
-    # reciprocated (a is in b's top-3 AND b is in a's top-3).  Hubness
-    # diagnostic for the embedding space — a low rate means asymmetric hub
-    # vectors dominate neighborhoods, which degrades kNN-graph dedup and
-    # hard-negative mining.  Integer-ratio exact, composed from the
-    # registered brute-force oracle.
-    oracle=f"""
-        WITH bf AS MATERIALIZED (
-            SELECT query_id, corpus_id FROM ({_Q["ann_brute_force_topk"].oracle}) x
-        )
-        SELECT CAST((SELECT count(*) FROM bf) AS BIGINT) AS n_edges,
-               CAST(count(*) AS BIGINT) AS n_mutual,
-               CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM bf)
-                   AS reciprocal_rate
-        FROM bf a JOIN bf b
-          ON a.query_id = b.corpus_id AND a.corpus_id = b.query_id
-    """,
-    tags=("similarity", "ann", "audit"),
-)
-def ann_reciprocal_rate(spark, sf_dir):
-    """Reciprocal-kNN rate.  100-TB shape: the edge list is k rows per
-    query (k-bounded, never corpus-sized); the reversal join is an
-    equi-join on the pair key against itself."""
-    bf = _Q["ann_brute_force_topk"].fn(spark, sf_dir).select("query_id", "corpus_id")
-    bf = similarity._persist_rotating("recip_bf", bf)
-    rev = bf.select(
-        F.col("corpus_id").alias("query_id"), F.col("query_id").alias("corpus_id")
-    )
-    mutual = bf.join(rev, ["query_id", "corpus_id"]).agg(
-        F.count(F.lit(1)).alias("n_mutual")
-    )
-    t = bf.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
-        t.crossJoin(F.broadcast(mutual))
-        .select(
-            "n_edges",
-            "n_mutual",
-            (F.col("n_mutual").cast("double") / F.col("n_edges")).alias(
-                "reciprocal_rate"
-            ),
-        )
-    )
-
-
-@register(
-    "streaming_change_point",
-    # the STREAMING CUSUM monitor against the batch oracle: events replay
-    # as 4 micro-batches, each event type's per-day counts merge into the
-    # state store, and every emission recomputes the scaled-integer CUSUM
-    # argmax from the full day map — so the final state equals the batch
-    # events_change_point result regardless of arrival order (a prefix-max
-    # over the raw stream would NOT be replay-stable; the day-map state is).
-    # (same SQL as events_change_point: the streaming state must decode to
-    # the batch result exactly)
-    oracle="""
-        WITH daily AS (
-            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
-                   CAST(count(*) AS BIGINT) AS cnt
-            FROM events GROUP BY 1, 2
-        ),
-        tot AS (
-            SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total,
-                   CAST(count(*) AS BIGINT) AS n_days
-            FROM daily GROUP BY event_type
-        ),
-        cum AS (
-            SELECT d.event_type, d.d,
-                   t.n_days * SUM(d.cnt) OVER (PARTITION BY d.event_type
-                                               ORDER BY d.d
-                                               ROWS UNBOUNDED PRECEDING)
-                       - (row_number() OVER (PARTITION BY d.event_type
-                                             ORDER BY d.d)) * t.total
-                       AS s_scaled,
-                   t.n_days, t.total
-            FROM daily d JOIN tot t USING (event_type)
-        )
-        SELECT event_type, d AS change_day,
-               CAST(s_scaled AS BIGINT) AS s_scaled,
-               CAST(s_scaled AS DOUBLE) / n_days AS cusum
-        FROM (
-            SELECT event_type, d, s_scaled, n_days,
-                   row_number() OVER (PARTITION BY event_type
-                                      ORDER BY abs(s_scaled) DESC, d) AS rnk
-            FROM cum
-        ) WHERE rnk = 1
-    """,
-    tags=("streaming", "stateful", "anomaly"),
-)
-def streaming_change_point(spark, sf_dir):
-    """Streaming CUSUM change points under the correctness gate: replay
-    events as 4 micro-batches through applyInPandasWithState
-    (streaming/ingest.py:stateful_cusum_days), take each type's last
-    emission, and decode the day ordinal back to the timestamp the batch
-    query reports."""
-    import tempfile
-    import uuid
-
-    from kwack_spark.streaming import ingest as si
-
-    e = T(spark, sf_dir, "events").select("event_type", "ts")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_cusum_replay_")
-    e.repartition(4).write.mode("overwrite").parquet(replay_dir)
-    stream = (
-        spark.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay_dir)
-    )
-    states = si.stateful_cusum_days(stream, "event_type", "ts")
-    sink = f"cusum_{uuid.uuid4().hex[:8]}"
-    with _few_shuffle_partitions(spark):
-        q = si.to_memory_sink(states, sink, output_mode="update")
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("cusum stream did not finish in 300s")
-    last = (
-        spark.table(sink)
-        .groupBy("event_type")
-        .agg(
-            F.max(
-                F.struct("total", "change_day_ord", "s_scaled", "n_days")
-            ).alias("m")
-        )
-        .select("event_type", "m.change_day_ord", "m.s_scaled", "m.n_days")
-    )
-    return last.select(
-        "event_type",
-        F.timestamp_seconds(F.col("change_day_ord") * 86400).alias("change_day"),
-        "s_scaled",
-        (F.col("s_scaled").cast("double") / F.col("n_days")).alias("cusum"),
-    )
-
-
-# --- wave 12: cluster purity, per-source dup rate, daily autocorrelation
-
-
-@register(
-    "embedding_cluster_purity",
-    # Label purity of the deterministic IVF clustering (the same refined
-    # centroids ann_ivf_topk probes): per list, the majority-label share —
-    # the unsupervised-quality audit run after every index rebuild, and
-    # the quantitative check that SemDeDup-style semantic pruning operates
-    # on label-coherent clusters.  Counts are integers; purity divides two
-    # bigints once; majority ties break on the label.
-    oracle=f"""
-        WITH {_IVF_ASSIGNED_CTES},
-        lab AS (SELECT vec_id, label FROM embeddings),
-        per AS (
-            SELECT a.list_id, l.label, CAST(count(*) AS BIGINT) AS c
-            FROM assigned a JOIN lab l ON l.vec_id = a.corpus_id
-            GROUP BY 1, 2
-        ),
-        tot AS (SELECT list_id, CAST(SUM(c) AS BIGINT) AS n FROM per GROUP BY 1),
-        top AS (
-            SELECT list_id, label AS top_label, c AS n_top FROM (
-                SELECT list_id, label, c,
-                       row_number() OVER (PARTITION BY list_id
-                                          ORDER BY c DESC, label) AS rnk
-                FROM per
-            ) WHERE rnk = 1
-        )
-        SELECT t.list_id, tot.n, t.top_label, t.n_top,
-               CAST(t.n_top AS DOUBLE) / tot.n AS purity
-        FROM top t JOIN tot USING (list_id)
-    """,
-    tags=("embedding", "kmeans", "audit"),
-)
-def embedding_cluster_purity(spark, sf_dir):
-    """IVF cluster label purity.  100-TB shape: the assignment is the
-    shared broadcast-centroid pipeline; everything downstream is keyed on
-    (list_id, label) — at most n_lists * n_labels rows — with a k-bounded
-    argmax window."""
-    from pyspark.sql import Window
-
-    e = T(spark, sf_dir, "embeddings")
-    _, assigned = similarity.ivf_assign(
-        e, "vec_id", "embedding", n_lists=16, refine_iters=1
-    )
-    per = (
-        assigned.join(
-            e.select(F.col("vec_id").alias("corpus_id"), "label"), "corpus_id"
-        )
-        .groupBy("list_id", "label")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    tot = per.groupBy("list_id").agg(F.sum("c").alias("n"))
-    w = Window.partitionBy("list_id").orderBy(F.desc("c"), "label")
-    top = (
-        per.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("list_id", F.col("label").alias("top_label"), F.col("c").alias("n_top"))
-    )
-    return top.join(tot, "list_id").select(
-        "list_id",
-        "n",
-        "top_label",
-        "n_top",
-        (F.col("n_top").cast("double") / F.col("n")).alias("purity"),
-    )
-
-
-@register(
-    "source_dedup_rate",
-    # Per-source near-duplicate rate: which crawl sources are redundant —
-    # the table that reweights (or drops) feeds in the next mixture.  Dup
-    # membership is the verified MinHash-LSH pair set's id union; counts
-    # and the rate are integer-exact.
-    oracle=f"""
-        WITH {_LSH_CTES},
-        pairs AS (
-            SELECT c.id_a, c.id_b
-            FROM cand c
-            JOIN ssets x ON x.doc_id = c.id_a
-            JOIN ssets y ON y.doc_id = c.id_b
-            WHERE {_JAC} >= 0.5
-        ),
-        dup_ids AS MATERIALIZED (
-            SELECT DISTINCT id_a AS doc_id FROM pairs
-            UNION SELECT DISTINCT id_b FROM pairs
-        )
-        SELECT d.source,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(SUM(CASE WHEN du.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_dup,
-               CAST(SUM(CASE WHEN du.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-                    AS DOUBLE) / count(*) AS dup_rate
-        FROM documents d LEFT JOIN dup_ids du USING (doc_id)
-        GROUP BY d.source
-    """,
-    tags=("dedup", "mixture", "audit"),
-)
-def source_dedup_rate(spark, sf_dir):
-    """Per-source dup rate.  100-TB shape: the dup-id set is pair-list
-    sized, joined back on doc_id; the output is |sources| rows."""
-    d = T(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
-    dup_ids = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .union(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-        .withColumn("dup", F.lit(1))
-    )
-    return (
-        d.select("doc_id", "source")
-        .join(dup_ids, "doc_id", "left")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(F.col("dup").isNotNull(), 1).otherwise(0)).alias("n_dup"),
-            (
-                F.sum(F.when(F.col("dup").isNotNull(), 1).otherwise(0)).cast("double")
-                / F.count(F.lit(1))
-            ).alias("dup_rate"),
-        )
-    )
-
-
-@register(
-    "events_periodicity_autocorr",
-    # Autocorrelation of the daily event-count series at lags 1..7 — the
-    # weekly-seasonality detector.  Exactness: with x the daily counts,
-    # r_L = Σ(n·x_d − T)(n·x_{d−L} − T) / Σ(n·x_d − T)² where T = Σx —
-    # every factor is an integer (scaled by n, the day count), products
-    # sum through DECIMAL(38,0), and the single ratio rounds to 6dp.
-    oracle="""
-        WITH daily AS MATERIALIZED (
-            SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
-                       AS dint,
-                   CAST(count(*) AS BIGINT) AS x
-            FROM events GROUP BY 1
-        ),
-        t AS (SELECT CAST(SUM(x) AS BIGINT) AS tot,
-                     CAST(count(*) AS BIGINT) AS n FROM daily),
-        lags(lag) AS (VALUES (1), (2), (3), (4), (5), (6), (7)),
-        den AS (
-            SELECT SUM(CAST((n * x - tot) AS DECIMAL(38,0))
-                       * CAST((n * x - tot) AS DECIMAL(38,0))) AS den
-            FROM daily, t
-        ),
-        num AS (
-            SELECT lag,
-                   SUM(CAST((t.n * a.x - t.tot) AS DECIMAL(38,0))
-                       * CAST((t.n * b.x - t.tot) AS DECIMAL(38,0))) AS num
-            FROM lags, daily a
-            JOIN daily b ON b.dint = a.dint - lag
-            CROSS JOIN t
-            GROUP BY lag
-        )
-        SELECT lags.lag,
-               round(CAST(coalesce(num.num, 0) AS DOUBLE)
-                     / CAST(den.den AS DOUBLE), 6) AS autocorr
-        FROM lags LEFT JOIN num USING (lag) CROSS JOIN den
-    """,
-    tags=("events", "timeseries", "stats"),
-)
-def events_periodicity_autocorr(spark, sf_dir):
-    """Daily-count autocorrelation.  100-TB shape: one corpus pass into the
-    day rollup; the lag joins and moment sums run on the day-count table
-    (weeks of days, not events).  The scaled-integer trick keeps both
-    moments order-free, so partial aggregation cannot move the ratio."""
-    e = T(spark, sf_dir, "events")
-    daily = e.groupBy(
-        (F.unix_micros(F.date_trunc("day", "ts")) / F.lit(86400000000))
-        .cast("bigint")
-        .alias("dint")
-    ).agg(F.count(F.lit(1)).alias("x"))
-    t = daily.agg(F.sum("x").alias("tot"), F.count(F.lit(1)).alias("n"))
-    dt = daily.crossJoin(F.broadcast(t))
-    dev = (F.col("n") * F.col("x") - F.col("tot")).cast("decimal(38,0)")
-    den = dt.agg(F.sum(dev * dev).alias("den"))
-    lags = spark.createDataFrame([(i,) for i in range(1, 8)], "lag int")
-    a = dt.select("dint", "x", "tot", "n")
-    b = daily.select(F.col("dint").alias("dint_b"), F.col("x").alias("xb"))
-    deva = (F.col("n") * F.col("x") - F.col("tot")).cast("decimal(38,0)")
-    devb = (F.col("n") * F.col("xb") - F.col("tot")).cast("decimal(38,0)")
-    num = (
-        a.crossJoin(F.broadcast(lags))
-        .join(b, F.col("dint_b") == F.col("dint") - F.col("lag"))
-        .groupBy("lag")
-        .agg(F.sum(deva * devb).alias("num"))
-    )
-    return (
-        lags.join(num, "lag", "left")
-        .crossJoin(F.broadcast(den))
-        .select(
-            "lag",
-            F.round(
-                F.coalesce(F.col("num"), F.lit(0)).cast("double")
-                / F.col("den").cast("double"),
-                6,
-            ).alias("autocorr"),
-        )
-    )
-
-
-# --- wave 13: windowed audio energy, semantic threshold sweep, time
-# heatmap, OOV rate
-
-
-@register(
-    "multimodal_audio_rms_windows",
-    # Windowed audio energy over a REAL decode: the stepped fixture's
-    # window w is a square wave at ±(doc_id % 500 + 1 + w), so per-window
-    # RMS and peak have the closed form the oracle states independently of
-    # the bytes (integer squares sum exactly over the 128-sample window,
-    # /2^7 is exact, sqrt of a perfect square is exact).  The kernel must
-    # chunk-walk the RIFF (junk LIST before data) and slice fixed windows.
-    oracle="""
-        SELECT doc_id, CAST(w AS INTEGER) AS window_id,
-               CAST(128 AS INTEGER) AS n_samples,
-               CAST(doc_id % 500 + 1 + w AS DOUBLE) AS rms,
-               CAST(doc_id % 500 + 1 + w AS INTEGER) AS peak
-        FROM documents, (SELECT unnest(range(0, 8)) AS w)
-    """,
-    tags=("multimodal", "audio", "window"),
-)
-def multimodal_audio_rms_windows(spark, sf_dir):
-    """Per-window RMS/peak (energy contour / VAD front end) through the
-    real PCM16 chunk-walk (operators/multimodal.py:wav_rms_windows).
-    100-TB shape: two narrow Arrow-batched stages (synth stands in for the
-    payload read), no payload shuffle, output 8 rows per file."""
-    from kwack_spark.operators import multimodal as mm
-
-    d = T(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    wav = mm.synth_wav_stepped(d, "doc_id")
-    return mm.wav_rms_windows(wav, "payload", "doc_id")
-
-
-@register(
-    "embedding_dedup_threshold_sweep",
-    # Semantic-dedup threshold curve: verified pair counts of the
-    # hyperplane-LSH blocked pair set at cosine thresholds
-    # 0.3/0.5/0.7/0.9 — the knob table that picks the semantic dedup
-    # operating point (the embedding-side sibling of
-    # dedup_shingle_size_sensitivity).  Cosines are the shared fold kernel
-    # (bit-equal), so the conditional counts are exact integers.
-    oracle=f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        sig AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(4))} AS bucket FROM v),
-        pairs AS MATERIALIZED (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DUP_COS} AS cosine
-            FROM sig a JOIN sig b
-              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        ),
-        thr(threshold) AS (VALUES (0.3), (0.5), (0.7), (0.9))
-        SELECT CAST(threshold AS DOUBLE) AS threshold,
-               CAST(SUM(CASE WHEN cosine >= threshold THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_pairs
-        FROM thr, pairs
-        GROUP BY threshold
-    """,
-    tags=("dedup", "embedding", "tuning"),
-)
-def embedding_dedup_threshold_sweep(spark, sf_dir):
-    """Semantic threshold sweep.  100-TB shape: ONE blocked pair table
-    (bucket self-join, never all-pairs) scanned once against the 4-row
-    threshold table — each extra threshold is a conditional count, not a
-    new pair join."""
-    e = T(spark, sf_dir, "embeddings")
-    pairs = similarity.lsh_bucketed_pairs(
-        e, "vec_id", "embedding", planes=4, dim=64, threshold=0.0
-    ).select("cosine")
-    thr = spark.createDataFrame([(0.3,), (0.5,), (0.7,), (0.9,)], "threshold double")
-    return (
-        pairs.crossJoin(F.broadcast(thr))
-        .groupBy("threshold")
-        .agg(
-            F.sum(
-                F.when(F.col("cosine") >= F.col("threshold"), 1).otherwise(0)
-            ).alias("n_pairs")
-        )
-    )
-
-
-@register(
-    "event_hour_dow_heatmap",
-    # The weekly activity heatmap: event counts by (ISO day-of-week, hour
-    # of day) with each cell's share of the total — 168 rows whatever the
-    # corpus size.  ISO day numbering is used on BOTH engines (Spark
-    # dayofweek() and DuckDB dow() disagree on Sunday; isodow/
-    # DAYOFWEEK_ISO agree).
-    oracle="""
-        WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
-        SELECT CAST(isodow(ts) AS INTEGER) AS dow,
-               CAST(extract(hour FROM ts) AS INTEGER) AS hour,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(count(*) AS DOUBLE) / ANY_VALUE(total) AS share
-        FROM events, t
-        GROUP BY 1, 2
-    """,
-    tags=("events", "timeseries", "analytics"),
-)
-def event_hour_dow_heatmap(spark, sf_dir):
-    """Hour × weekday heatmap.  100-TB shape: one partial+final rollup on
-    a 168-value key, total via a broadcast 1-row aggregate."""
-    e = T(spark, sf_dir, "events")
-    t = e.agg(F.count(F.lit(1)).alias("total"))
-    return (
-        e.crossJoin(F.broadcast(t))
-        .groupBy(
-            F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("int").alias("dow"),
-            F.hour("ts").cast("int").alias("hour"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            (F.count(F.lit(1)).cast("double") / F.first("total")).alias("share"),
-        )
-    )
-
-
-@register(
-    "token_oov_rate_by_source",
-    # Out-of-vocabulary rate per source against the global top-1024 term
-    # vocabulary — the per-feed tokenizer-coverage audit (a source whose
-    # OOV spikes is drifting away from the trained vocab).  The vocab cut
-    # is a TakeOrdered head; counts and rates are integer-exact.
-    oracle=f"""
-        WITH tf AS (
-            SELECT source, t AS term
-            FROM (SELECT source, unnest({_toks()}) AS t FROM documents)
-        ),
-        vocab AS MATERIALIZED (
-            SELECT term FROM (
-                SELECT term, count(*) AS cnt FROM tf GROUP BY term
-            ) ORDER BY cnt DESC, term LIMIT 1024
-        )
-        SELECT tf.source,
-               CAST(count(*) AS BIGINT) AS n_tokens,
-               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_oov,
-               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-                   / count(*) AS oov_rate
-        FROM tf LEFT JOIN vocab v USING (term)
-        GROUP BY tf.source
-    """,
-    tags=("text", "tokenizer", "audit"),
-)
-def token_oov_rate_by_source(spark, sf_dir):
-    """Per-source OOV rate.  100-TB shape: one token explode feeding both
-    the vocab head (term rollup + TakeOrdered) and the broadcast-vocab
-    left join; output is |sources| rows."""
-    d = T(spark, sf_dir, "documents")
-    tf = d.select("source", F.explode(TX.tokens("text")).alias("term"))
-    vocab = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), "term")
-        .limit(1024)
-        .select("term")
-        .withColumn("in_vocab", F.lit(1))
-    )
-    return (
-        tf.join(F.broadcast(vocab), "term", "left")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
-            (
-                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast(
-                    "double"
-                )
-                / F.count(F.lit(1))
-            ).alias("oov_rate"),
-        )
-    )
-
-
-# --- wave 14: SCD-2 intervals, grouped quantiles, cohort revenue
-
-
-@register(
-    "scd2_user_state_intervals",
-    # Slowly-changing-dimension type-2 build: compress each user's event
-    # stream to state-CHANGE rows (event_type != previous) and emit
-    # validity intervals [valid_from, valid_to) with NULL valid_to on the
-    # current state — the warehouse dimension-maintenance primitive.
-    # Ordering ties break on event_id, so lag/lead agree across engines.
-    oracle="""
-        WITH o AS (
-            SELECT user_id, ts, event_id, event_type,
-                   lag(event_type) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id) AS prev
-            FROM events
-        ),
-        changes AS (
-            SELECT user_id, event_type AS state, ts AS valid_from
-            FROM o WHERE prev IS NULL OR prev <> event_type
-        )
-        SELECT user_id, state, valid_from,
-               lead(valid_from) OVER (PARTITION BY user_id
-                                      ORDER BY valid_from) AS valid_to
-        FROM changes
-    """,
-    tags=("events", "scd", "warehouse"),
-)
-def scd2_user_state_intervals(spark, sf_dir):
-    """SCD-2 interval build.  100-TB shape: both windows are keyed on
-    user_id (never unpartitioned); the change compression collapses
-    per-user volume before the second window, so the interval table is
-    state-change sized."""
-    from pyspark.sql import Window
-
-    e = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (
-        e.withColumn("prev", F.lag("event_type").over(w))
-        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
-        .select("user_id", F.col("event_type").alias("state"), F.col("ts").alias("valid_from"))
-    )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
-    return changes.select(
-        "user_id",
-        "state",
-        "valid_from",
-        F.lead("valid_from").over(w2).alias("valid_to"),
-    )
-
-
-@register(
-    "grouped_quantile_estimate",
-    # Per-group single-pass quantiles: the 64-bin histogram estimate vs the
-    # exact percentile, PER EVENT TYPE — the grouped version of
-    # histogram_quantile_estimate (the realistic shape: one tiny rollup
-    # per group, cumulated inside the group key, never a global sort).
-    oracle="""
-        WITH s AS MATERIALIZED (
-            SELECT event_type, min(value) AS lo, max(value) AS hi,
-                   count(*) AS n
-            FROM events GROUP BY event_type
-        ),
-        hist AS MATERIALIZED (
-            SELECT e.event_type,
-                   least(CAST(floor((value - lo) / (hi - lo) * 64) AS INT), 63)
-                       AS bin,
-                   count(*) AS cnt
-            FROM events e JOIN s USING (event_type)
-            GROUP BY 1, 2
-        ),
-        cum AS (
-            SELECT event_type, bin, cnt,
-                   SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
-                                  ROWS UNBOUNDED PRECEDING) AS cum
-            FROM hist
-        ),
-        probes(qi, q) AS (VALUES (0, 0.5), (1, 0.9)),
-        est AS (
-            SELECT s.event_type, qi, q,
-                   lo + (bin + (q * n - (cum - cnt)) / cnt) * (hi - lo) / 64
-                       AS est_raw
-            FROM probes, cum
-            JOIN s USING (event_type)
-            WHERE cum >= q * n AND cum - cnt < q * n
-        ),
-        ex AS (
-            SELECT event_type, u.x.qi AS qi, u.x.ex AS ex FROM (
-                SELECT event_type,
-                       unnest(list_transform(quantile_cont(value, [0.5, 0.9]),
-                              (e, i) -> struct_pack(qi := i - 1, ex := e))) AS x
-                FROM events GROUP BY event_type
-            ) u
-        )
-        SELECT est.event_type, CAST(q AS DOUBLE) AS q,
-               round(est_raw, 6) AS est_q, round(ex, 6) AS exact_q,
-               round(abs(round(est_raw, 6) - round(ex, 6)), 6) AS abs_err
-        FROM est JOIN ex USING (event_type, qi)
-    """,
-    tags=("quantile", "sketch", "scale"),
-)
-def grouped_quantile_estimate(spark, sf_dir):
-    """Per-type histogram quantiles vs exact.  100-TB shape: two narrow
-    scans into (type)- and (type, bin)-keyed rollups, the cumulation
-    window partitioned by the group key over <=64 rows per group, and the
-    exact side one percentile aggregate per group for the audit."""
-    from pyspark.sql import Window
-
-    e = T(spark, sf_dir, "events")
-    s = e.groupBy("event_type").agg(
-        F.min("value").alias("lo"),
-        F.max("value").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    hist = (
-        e.join(F.broadcast(s), "event_type")
-        .select(
-            "event_type",
-            F.least(
-                F.floor(
-                    (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 64
-                ).cast("int"),
-                F.lit(63),
-            ).alias("bin"),
-        )
-        .groupBy("event_type", "bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    cum = hist.withColumn(
-        "cum",
-        F.sum("cnt").over(
-            Window.partitionBy("event_type")
-            .orderBy("bin")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    probes = spark.createDataFrame([(0, 0.5), (1, 0.9)], "qi int, q double")
-    est = (
-        probes.crossJoin(F.broadcast(cum))
-        .join(F.broadcast(s), "event_type")
-        .filter(
-            (F.col("cum") >= F.col("q") * F.col("n"))
-            & (F.col("cum") - F.col("cnt") < F.col("q") * F.col("n"))
-        )
-        .select(
-            "event_type",
-            "qi",
-            "q",
-            (
-                F.col("lo")
-                + (
-                    F.col("bin")
-                    + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
-                    / F.col("cnt")
-                )
-                * (F.col("hi") - F.col("lo"))
-                / 64
-            ).alias("est_raw"),
-        )
-    )
-    ex = (
-        e.groupBy("event_type")
-        .agg(
-            F.percentile("value", F.array(F.lit(0.5), F.lit(0.9))).alias("exs")
-        )
-        .select("event_type", F.posexplode("exs").alias("qi", "ex"))
-    )
-    return est.join(ex, ["event_type", "qi"]).select(
-        "event_type",
-        "q",
-        F.round("est_raw", 6).alias("est_q"),
-        F.round("ex", 6).alias("exact_q"),
-        F.round(F.abs(F.round("est_raw", 6) - F.round("ex", 6)), 6).alias("abs_err"),
-    )
-
-
-@register(
-    "cohort_revenue_matrix",
-    # Cohort lifetime-value matrix: customers bucketed by first-order
-    # month, revenue per (cohort_month, month_offset) through exact
-    # DECIMAL — the revenue twin of retention_cohorts.  Month arithmetic
-    # is integer (year*12+month), so offsets agree across engines.
-    oracle="""
-        WITH first_order AS (
-            SELECT o_custkey,
-                   CAST(min(year(o_orderdate) * 12 + month(o_orderdate))
-                       AS BIGINT) AS cohort_m
-            FROM orders GROUP BY o_custkey
-        )
-        SELECT f.cohort_m,
-               CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
-                    AS BIGINT) - f.cohort_m AS month_offset,
-               CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
-               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                   AS revenue
-        FROM orders o JOIN first_order f USING (o_custkey)
-        GROUP BY 1, 2
-    """,
-    tags=("tpch", "analytics", "retention"),
-)
-def cohort_revenue_matrix(spark, sf_dir):
-    """Cohort LTV matrix.  100-TB shape: one customer-keyed first-order
-    rollup joined back on the customer key, then a (cohort, offset)-keyed
-    rollup — the matrix is months², not order-volume, sized."""
-    o = T(spark, sf_dir, "orders")
-    mexpr = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
-    first = o.groupBy("o_custkey").agg(F.min(mexpr).alias("cohort_m"))
-    return (
-        o.join(first, "o_custkey")
-        .groupBy(
-            "cohort_m",
-            (mexpr - F.col("cohort_m")).alias("month_offset"),
-        )
-        .agg(
-            F.countDistinct("o_custkey").alias("n_customers"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("revenue"),
-        )
-    )
-
-
-# --- wave 15: cross-modal correlation, user entropy, corpus data card
-
-
-@register(
-    "embedding_mass_length_corr",
-    # Cross-modal audit: Pearson correlation between a document's
-    # embedding component sum ("mass" — the norms are unit here, so the
-    # sum is the discriminative scalar) and its token count (vec_id i is
-    # doc i's embedding in this fixture) — the sanity check that catches
-    # length-biased embeddings before they skew cosine dedup.  The sum is
-    # the shared strict-left-fold kernel rounded to 6dp; every moment then
-    # sums through exact DECIMAL; the closed-form r runs one fixed double
-    # sequence with a zero-variance guard on both engines.
-    oracle=f"""
-        WITH v AS (
-            SELECT vec_id AS doc_id,
-                   CAST(round(list_reduce(embedding::DOUBLE[],
-                                          (acc, x) -> acc + x), 6)
-                        AS DECIMAL(12,6)) AS x
-            FROM embeddings
-        ),
-        d AS (
-            SELECT doc_id, CAST(len({_toks()}) AS DECIMAL(12,0)) AS y
-            FROM documents
-        ),
-        s AS (
-            SELECT count(*) AS n,
-                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
-                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
-                   CAST(SUM(y * y) AS DOUBLE) AS syy
-            FROM v JOIN d USING (doc_id)
-        )
-        SELECT n,
-               CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
-                    THEN NULL
-                    ELSE round((n * sxy - sx * sy)
-                               / (sqrt(n * sxx - sx * sx)
-                                  * sqrt(n * syy - sy * sy)), 6)
-               END AS pearson_r
-        FROM s
-    """,
-    tags=("embedding", "text", "audit", "stats"),
-)
-def embedding_mass_length_corr(spark, sf_dir):
-    """Mass-vs-length Pearson.  100-TB shape: two narrow scans joined on
-    the id key, one 1-row exact-decimal moment aggregate, closed-form r.
-    The fold x0 differs from V.dot only by the 0.0 init (0.0 + x == x in
-    IEEE), so both engines see identical sums."""
-    e = T(spark, sf_dir, "embeddings")
-    d = T(spark, sf_dir, "documents")
-    mass = F.aggregate(
-        V.as_double("embedding"), F.lit(0.0), lambda acc, x: acc + x
-    )
-    v = e.select(
-        F.col("vec_id").alias("doc_id"),
-        F.round(mass, 6).cast("decimal(12,6)").alias("x"),
-    )
-    dd = d.select("doc_id", F.size(TX.tokens("text")).cast("decimal(12,0)").alias("y"))
-    s = v.join(dd, "doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
-    return s.select(
-        "n",
-        F.when(
-            (vx == 0) | (vy == 0), F.lit(None).cast("double")
-        ).otherwise(
-            F.round((n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)), 6)
-        ).alias("pearson_r"),
-    )
-
-
-@register(
-    "events_user_entropy",
-    # Per-user event-type Shannon entropy — the exploration-vs-habit
-    # behavioral feature (and the same decimal-summed p*ln(p) discipline
-    # as term_entropy_by_source, keyed by user instead of source).
-    oracle="""
-        WITH c AS (
-            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
-            FROM events GROUP BY 1, 2
-        ),
-        t AS (SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS tot
-              FROM c GROUP BY user_id)
-        SELECT c.user_id, count(*) AS n_types,
-               round(-CAST(SUM(CAST(round(
-                   (CAST(cnt AS DOUBLE) / tot)
-                       * round(ln(CAST(cnt AS DOUBLE) / tot), 6), 12)
-                   AS DECIMAL(16,12))) AS DOUBLE), 6) AS entropy
-        FROM c JOIN t USING (user_id)
-        GROUP BY c.user_id
-    """,
-    tags=("events", "stats", "analytics"),
-)
-def events_user_entropy(spark, sf_dir):
-    """Per-user behavioral entropy.  100-TB shape: one (user, type)-keyed
-    rollup (types are bounded, so this is ~users-sized), totals joined
-    back on the user key, one more user-keyed rollup."""
-    e = T(spark, sf_dir, "events")
-    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
-    t = c.groupBy("user_id").agg(F.sum("cnt").alias("tot"))
-    pcol = F.col("cnt").cast("double") / F.col("tot")
-    term = F.round(pcol * F.round(F.log(pcol), 6), 12).cast("decimal(16,12)")
-    return (
-        c.join(t, "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_types"),
-            F.round(-F.sum(term).cast("double"), 6).alias("entropy"),
-        )
-    )
-
-
-@register(
-    "corpus_data_card",
-    # The one-row dataset card: corpus size, token volume, vocabulary,
-    # near-dup rate, language/source spread — the summary block a dataset
-    # release publishes, composed from the pipeline's own primitives
-    # (exact integers; the dup-id set is the verified LSH pair union).
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        shs AS (SELECT doc_id, ({_SHINGLES}) AS sh FROM toks),
-        sigs AS (
-            SELECT doc_id, {", ".join(_mh_sql(i) for i in range(8))} FROM shs
-        ),
-        banded AS (
-            SELECT doc_id,
-                   md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS band0,
-                   md5(concat_ws('|', mh4, mh5, mh6, mh7)) AS band1
-            FROM sigs
-        ),
-        exploded AS (
-            SELECT doc_id, unnest(['0:' || band0, '1:' || band1]) AS band_key
-            FROM banded
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM exploded a JOIN exploded b
-              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-        ),
-        ssets AS (SELECT doc_id, list_distinct(sh) AS s FROM shs),
-        dup_ids AS (
-            SELECT DISTINCT id_a AS doc_id FROM cand c
-            JOIN ssets x ON x.doc_id = c.id_a
-            JOIN ssets y ON y.doc_id = c.id_b
-            WHERE {_JAC} >= 0.5
-            UNION
-            SELECT DISTINCT id_b FROM cand c
-            JOIN ssets x ON x.doc_id = c.id_a
-            JOIN ssets y ON y.doc_id = c.id_b
-            WHERE {_JAC} >= 0.5
-        ),
-        tok_stats AS (
-            SELECT CAST(SUM(len(tk)) AS BIGINT) AS n_tokens,
-                   CAST(count(*) AS BIGINT) AS n_docs
-            FROM toks
-        ),
-        vocab AS (
-            SELECT CAST(count(DISTINCT t) AS BIGINT) AS n_vocab
-            FROM (SELECT unnest(tk) AS t FROM toks)
-        ),
-        spread AS (
-            SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
-            FROM documents
-        ),
-        dups AS (SELECT CAST(count(*) AS BIGINT) AS n_dup FROM dup_ids)
-        SELECT n_docs, n_tokens, n_vocab, n_langs, n_sources, n_dup,
-               CAST(n_dup AS DOUBLE) / n_docs AS dup_rate,
-               CAST(n_tokens AS DOUBLE) / n_docs AS mean_tokens
-        FROM tok_stats, vocab, spread, dups
-    """,
-    tags=("text", "audit", "analytics"),
-)
-def corpus_data_card(spark, sf_dir):
-    """One-row dataset card.  100-TB shape: each block is an independent
-    bounded rollup (1-row aggregates, a vocab distinct count, the blocked
-    dup pipeline); the final assembly is a cross join of 1-row frames."""
-    d = T(spark, sf_dir, "documents")
-    toks = d.select("doc_id", TX.tokens("text").alias("tk"))
-    tok_stats = toks.agg(
-        F.sum(F.size("tk")).alias("n_tokens"), F.count(F.lit(1)).alias("n_docs")
-    )
-    vocab = toks.select(F.explode("tk").alias("t")).agg(
-        F.countDistinct("t").alias("n_vocab")
-    )
-    spread = d.agg(
-        F.countDistinct("lang").alias("n_langs"),
-        F.countDistinct("source").alias("n_sources"),
-    )
-    pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
-    dups = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .union(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n_dup"))
-    )
-    return (
-        tok_stats.crossJoin(F.broadcast(vocab))
-        .crossJoin(F.broadcast(spread))
-        .crossJoin(F.broadcast(dups))
-        .select(
-            "n_docs",
-            "n_tokens",
-            "n_vocab",
-            "n_langs",
-            "n_sources",
-            "n_dup",
-            (F.col("n_dup").cast("double") / F.col("n_docs")).alias("dup_rate"),
-            (F.col("n_tokens").cast("double") / F.col("n_docs")).alias("mean_tokens"),
-        )
-    )
-
-
-# --- wave 16: Jaccard histogram, Tukey fences
-
-
-@register(
-    "dedup_pair_jaccard_histogram",
-    # Distribution of the LSH candidate pairs' exact Jaccard in 10 bins —
-    # the similarity spectrum the threshold knob cuts (the lexical sibling
-    # of embedding_dedup_threshold_sweep).  Jaccard is a ratio of integers
-    # (identical double on both engines), binning is floor(j*10) capped at
-    # 9, counts are exact.
-    oracle=f"""
-        WITH {_LSH_CTES}
-        SELECT least(CAST(floor({_JAC} * 10) AS INT), 9) AS bin,
-               CAST(count(*) AS BIGINT) AS n_pairs
-        FROM cand c
-        JOIN ssets x ON x.doc_id = c.id_a
-        JOIN ssets y ON y.doc_id = c.id_b
-        GROUP BY 1
-    """,
-    tags=("dedup", "minhash", "stats"),
-)
-def dedup_pair_jaccard_histogram(spark, sf_dir):
-    """Candidate-pair Jaccard spectrum.  100-TB shape: the pair set is the
-    already-blocked candidate list; the histogram is a 10-key rollup."""
-    d = T(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", k=8, bands=2, threshold=0.0
-    )
-    return (
-        pairs.groupBy(
-            F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9)).alias("bin")
-        )
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
-
-
-@register(
-    "events_tukey_fences",
-    # Tukey-fence outlier census per event type: counts outside
-    # [q1 - 1.5*IQR, q3 + 1.5*IQR] — the boxplot rule, complementing
-    # event_robust_outliers' median/MAD z-scores.  Quartiles come from the
-    # parity-pinned percentile; fence comparisons run against identical
-    # boundary doubles, so the counts are exact integers.
-    oracle="""
-        WITH q AS MATERIALIZED (
-            SELECT event_type,
-                   quantile_cont(value, 0.25) AS q1,
-                   quantile_cont(value, 0.75) AS q3
-            FROM events GROUP BY event_type
-        )
-        SELECT e.event_type,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(SUM(CASE WHEN value < q1 - 1.5 * (q3 - q1)
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
-               CAST(SUM(CASE WHEN value > q3 + 1.5 * (q3 - q1)
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-               round(q1 - 1.5 * (q3 - q1), 6) AS lo_fence,
-               round(q3 + 1.5 * (q3 - q1), 6) AS hi_fence
-        FROM events e JOIN q USING (event_type)
-        GROUP BY e.event_type, q1, q3
-    """,
-    tags=("events", "anomaly", "stats"),
-)
-def events_tukey_fences(spark, sf_dir):
-    """Boxplot-rule outlier counts.  100-TB shape: one percentile rollup
-    per type broadcast back over a second narrow pass — same two-pass
-    broadcast-enrich shape as event_robust_outliers."""
-    e = T(spark, sf_dir, "events")
-    q = e.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.25)).alias("q1"),
-        F.percentile("value", F.lit(0.75)).alias("q3"),
-    )
-    iqr = F.col("q3") - F.col("q1")
-    return (
-        e.join(F.broadcast(q), "event_type")
-        .groupBy("event_type", "q1", "q3")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.when(F.col("value") < F.col("q1") - 1.5 * iqr, 1).otherwise(0)
-            ).alias("n_low"),
-            F.sum(
-                F.when(F.col("value") > F.col("q3") + 1.5 * iqr, 1).otherwise(0)
-            ).alias("n_high"),
-        )
-        .select(
-            "event_type",
-            "n",
-            "n_low",
-            "n_high",
-            F.round(F.col("q1") - 1.5 * iqr, 6).alias("lo_fence"),
-            F.round(F.col("q3") + 1.5 * iqr, 6).alias("hi_fence"),
-        )
-    )
-
-
-# --- wave 17: priority mix drift, inter-event gap histogram
-
-
-@register(
-    "orders_priority_mix_shift",
-    # Categorical distribution drift: each month's order-priority mix
-    # versus the global mix, scored by L1 distance — the relational twin
-    # of embedding_drift_by_label (is this month's traffic composed
-    # differently?).  Shares are bigint ratios; the L1 sum pre-rounds each
-    # |share - global_share| to 9dp and sums through exact DECIMAL.
-    oracle="""
-        WITH m AS (
-            SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
-                       AS ym,
-                   o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS c
-            FROM orders GROUP BY 1, 2
-        ),
-        mt AS (SELECT ym, CAST(SUM(c) AS BIGINT) AS mtot FROM m GROUP BY ym),
-        g AS (
-            SELECT pri, CAST(SUM(c) AS BIGINT) AS gc FROM m GROUP BY pri
-        ),
-        gt AS (SELECT CAST(SUM(gc) AS BIGINT) AS gtot FROM g)
-        SELECT m.ym, mt.mtot AS n_orders,
-               round(CAST(SUM(CAST(round(abs(
-                   CAST(m.c AS DOUBLE) / mt.mtot
-                       - CAST(g.gc AS DOUBLE) / gt.gtot), 9)
-                   AS DECIMAL(12,9))) AS DOUBLE), 6) AS l1_drift
-        FROM m
-        JOIN mt USING (ym)
-        JOIN g USING (pri)
-        CROSS JOIN gt
-        GROUP BY m.ym, mt.mtot
-    """,
-    tags=("tpch", "drift", "analytics"),
-)
-def orders_priority_mix_shift(spark, sf_dir):
-    """Monthly priority-mix L1 drift.  100-TB shape: one (month, priority)
-    rollup, month/global totals broadcast back, a month-keyed final
-    rollup — everything after the first pass is months x priorities
-    sized."""
-    o = T(spark, sf_dir, "orders")
-    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
-    m = o.groupBy(ym.alias("ym"), F.col("o_orderpriority").alias("pri")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    mt = m.groupBy("ym").agg(F.sum("c").alias("mtot"))
-    g = m.groupBy("pri").agg(F.sum("c").alias("gc"))
-    gt = g.agg(F.sum("gc").alias("gtot"))
-    term = F.round(
-        F.abs(
-            F.col("c").cast("double") / F.col("mtot")
-            - F.col("gc").cast("double") / F.col("gtot")
-        ),
-        9,
-    ).cast("decimal(12,9)")
-    return (
-        m.join(F.broadcast(mt), "ym")
-        .join(F.broadcast(g), "pri")
-        .crossJoin(F.broadcast(gt))
-        .groupBy("ym", F.col("mtot").alias("n_orders"))
-        .agg(F.round(F.sum(term).cast("double"), 6).alias("l1_drift"))
-    )
-
-
-@register(
-    "user_interevent_gap_histogram",
-    # Arrival-process profile: the distribution of per-user inter-event
-    # gaps over fixed integral-microsecond buckets (<1s, <1m, <10m, <1h,
-    # >=1h) — the table that picks sessionization gaps and watermark
-    # widths.  Gaps are exact integers; bucket edges are literals, so the
-    # census is bit-free.
-    oracle="""
-        WITH g AS (
-            SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
-            FROM events
-        )
-        SELECT CASE WHEN gap_us < 1000000 THEN 'a_lt_1s'
-                    WHEN gap_us < 60000000 THEN 'b_lt_1m'
-                    WHEN gap_us < 600000000 THEN 'c_lt_10m'
-                    WHEN gap_us < 3600000000 THEN 'd_lt_1h'
-                    ELSE 'e_ge_1h' END AS bucket,
-               CAST(count(*) AS BIGINT) AS n_gaps,
-               CAST(min(gap_us) AS BIGINT) AS min_gap_us,
-               CAST(max(gap_us) AS BIGINT) AS max_gap_us
-        FROM g WHERE gap_us IS NOT NULL
-        GROUP BY 1
-    """,
-    tags=("events", "session", "stats"),
-)
-def user_interevent_gap_histogram(spark, sf_dir):
-    """Inter-event gap census.  100-TB shape: one user-keyed lag window
-    (key-partitioned, never global) into a 5-key rollup."""
-    from pyspark.sql import Window
-
-    e = T(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    g = e.select(
-        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us")
-    ).filter(F.col("gap_us").isNotNull())
-    bucket = (
-        F.when(F.col("gap_us") < 1000000, "a_lt_1s")
-        .when(F.col("gap_us") < 60000000, "b_lt_1m")
-        .when(F.col("gap_us") < 600000000, "c_lt_10m")
-        .when(F.col("gap_us") < 3600000000, "d_lt_1h")
-        .otherwise("e_ge_1h")
-    )
-    return g.groupBy(bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n_gaps"),
-        F.min("gap_us").alias("min_gap_us"),
-        F.max("gap_us").alias("max_gap_us"),
-    )
-
-
-# --- wave 18: quantization-bits sweep, revenue concentration
-
-
-@register(
-    "embedding_quant_bits_sweep",
-    # Symmetric-quantization error as a function of bit width b in
-    # {4, 6, 8}: per vector, scale = max|v| / (2^(b-1) - 1), q_i =
-    # round(v_i / scale), err_i = |q_i * scale - v_i| — the storage-vs-
-    # fidelity curve that picks the embedding wire format (the int8
-    # operating point embedding_quantize_int8 ships is one row of it).
-    # Every step is the same IEEE double sequence on both engines; the
-    # mean error pre-rounds to 12dp and sums through exact DECIMAL.
-    oracle="""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        cfg(bits, qmax) AS (VALUES (4, 7.0), (6, 31.0), (8, 127.0)),
-        pv AS (
-            SELECT bits,
-                   list_max(list_transform(v, x -> abs(x))) / qmax AS scale, v
-            FROM v, cfg
-        ),
-        e AS (
-            SELECT bits,
-                   unnest(list_transform(v, x ->
-                       abs(round(x / scale) * scale - x))) AS err
-            FROM pv
-        )
-        SELECT bits,
-               CAST(count(*) AS BIGINT) AS n_components,
-               round(CAST(SUM(CAST(round(err, 12) AS DECIMAL(16,12)))
-                          AS DOUBLE) / count(*), 9) AS mean_abs_err,
-               round(max(err), 9) AS max_abs_err
-        FROM e GROUP BY bits
-    """,
-    tags=("embedding", "quantize", "tuning"),
-)
-def embedding_quant_bits_sweep(spark, sf_dir):
-    """Quantization bit-width sweep.  100-TB shape: one narrow pass per
-    config over the same scan (no shuffle until the 3-key rollup); the
-    curve says how many bits the corpus actually needs before the 4x-32x
-    storage cut distorts neighborhoods."""
-    e = T(spark, sf_dir, "embeddings")
-    v = e.select(V.as_double("embedding").alias("v"))
-    cfg = spark.createDataFrame([(4, 7.0), (6, 31.0), (8, 127.0)], "bits int, qmax double")
-    pv = v.crossJoin(F.broadcast(cfg)).select(
-        "bits",
-        (F.array_max(F.transform("v", lambda x: F.abs(x))) / F.col("qmax")).alias(
-            "scale"
-        ),
-        "v",
-    )
-    err = pv.select(
-        "bits",
-        F.explode(
-            F.expr("transform(v, x -> abs(round(x / scale) * scale - x))")
-        ).alias("err"),
-    )
-    return err.groupBy("bits").agg(
-        F.count(F.lit(1)).alias("n_components"),
-        F.round(
-            F.sum(F.round(F.col("err"), 12).cast("decimal(16,12)")).cast("double")
-            / F.count(F.lit(1)),
-            9,
-        ).alias("mean_abs_err"),
-        F.round(F.max("err"), 9).alias("max_abs_err"),
-    )
-
-
-@register(
-    "nation_revenue_hhi",
-    # Market-concentration audit: the Herfindahl-Hirschman index of
-    # supplier revenue shares within each nation (lineitem x supplier x
-    # nation, the q5-family join tree).  Revenue sums through exact
-    # DECIMAL; each squared share pre-rounds to 12dp and sums through
-    # DECIMAL, so the index is deterministic.
-    oracle="""
-        WITH sr AS MATERIALIZED (
-            SELECT s.s_nationkey, l.l_suppkey,
-                   SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                       AS DECIMAL(18,4))) AS rev
-            FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
-            GROUP BY 1, 2
-        ),
-        nt AS (SELECT s_nationkey, SUM(rev) AS tot FROM sr GROUP BY 1)
-        SELECT n.n_name,
-               CAST(count(*) AS BIGINT) AS n_suppliers,
-               round(CAST(SUM(CAST(round(
-                   (CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE))
-                       * (CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE)), 12)
-                   AS DECIMAL(16,12))) AS DOUBLE), 6) AS hhi
-        FROM sr
-        JOIN nt USING (s_nationkey)
-        JOIN nation n ON n.n_nationkey = sr.s_nationkey
-        GROUP BY n.n_name
-    """,
-    tags=("tpch", "analytics", "stats"),
-)
-def nation_revenue_hhi(spark, sf_dir):
-    """Per-nation supplier-revenue HHI.  100-TB shape: the fact rolls up
-    on (nation, supplier) first (partial+final agg), nation totals and the
-    25-row nation dim broadcast back, and the index is a nation-keyed
-    rollup of squared shares."""
-    li = T(spark, sf_dir, "lineitem")
-    s = T(spark, sf_dir, "supplier")
-    n = T(spark, sf_dir, "nation")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    sr = (
-        li.join(s, li.l_suppkey == s.s_suppkey)
-        .groupBy("s_nationkey", "l_suppkey")
-        .agg(F.sum(rev).alias("rev"))
-    )
-    nt = sr.groupBy("s_nationkey").agg(F.sum("rev").alias("tot"))
-    share = F.col("rev").cast("double") / F.col("tot").cast("double")
-    term = F.round(share * share, 12).cast("decimal(16,12)")
-    return (
-        sr.join(F.broadcast(nt), "s_nationkey")
-        .join(F.broadcast(n), sr.s_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.sum(term).cast("double"), 6).alias("hhi"),
-        )
-    )
-
-
-# --- wave 19: dedup impact report
-
-
-@register(
-    "dedup_impact_report",
-    # The dedup IMPACT line a curation run publishes: how many documents,
-    # tokens, and characters transitive-closure near-dup resolution
-    # actually removes (removed = clustered doc that is not its
-    # component's keeper).  Composes the registered component semantics
-    # (_COMP_CTES — the same recursive walk dedup_cluster_components
-    # grades) with exact-integer corpus volumes.
-    oracle=f"""
-        WITH RECURSIVE {_LSH_CTES},
-        {_COMP_CTES},
-        removed AS MATERIALIZED (
-            SELECT node AS doc_id FROM comp WHERE node <> keep_id
-        ),
-        vol AS (
-            SELECT d.doc_id, len({_toks()}) AS n_tokens, length(text) AS n_chars
-            FROM documents d
-        ),
-        tot AS (
-            SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-                   CAST(SUM(n_chars) AS BIGINT) AS n_chars
-            FROM vol
-        ),
-        rem AS (
-            SELECT CAST(count(*) AS BIGINT) AS r_docs,
-                   CAST(coalesce(SUM(n_tokens), 0) AS BIGINT) AS r_tokens,
-                   CAST(coalesce(SUM(n_chars), 0) AS BIGINT) AS r_chars
-            FROM vol JOIN removed USING (doc_id)
-        )
-        SELECT n_docs, r_docs AS docs_removed,
-               r_tokens AS tokens_removed, r_chars AS chars_removed,
-               CAST(r_docs AS DOUBLE) / n_docs AS pct_docs_removed,
-               CAST(r_chars AS DOUBLE) / n_chars AS pct_chars_removed
-        FROM tot, rem
-    """,
-    tags=("dedup", "audit", "analytics"),
-)
-def dedup_impact_report(spark, sf_dir):
-    """One-row dedup impact report.  100-TB shape: the removed-id set is
-    component-list sized (the blocked pair graph's min-label iteration,
-    operators/graph.py); volumes ride one corpus scan; the report is a
-    cross join of 1-row aggregates."""
-    from kwack_spark.operators import graph
-
-    d = T(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", k=8, bands=2, threshold=0.5
-    ).select("id_a", "id_b")
-    with _few_shuffle_partitions(spark):
-        clusters = graph.dedup_clusters(pairs)
-    removed = clusters.filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
-    vol = d.select(
-        "doc_id",
-        F.size(TX.tokens("text")).alias("n_tokens"),
-        F.length("text").alias("n_chars"),
-    )
-    tot = vol.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
-        F.sum("n_chars").alias("n_chars"),
-    )
-    rem = vol.join(removed, "doc_id").agg(
-        F.count(F.lit(1)).alias("docs_removed"),
-        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens_removed"),
-        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars_removed"),
-    )
-    return (
-        tot.crossJoin(F.broadcast(rem))
-        .select(
-            "n_docs",
-            "docs_removed",
-            "tokens_removed",
-            "chars_removed",
-            (F.col("docs_removed").cast("double") / F.col("n_docs")).alias(
-                "pct_docs_removed"
-            ),
-            (F.col("chars_removed").cast("double") / F.col("n_chars")).alias(
-                "pct_chars_removed"
-            ),
-        )
-    )
-
-
-# --- wave 20: Heaps' law fit
-
-
-@register(
-    "heaps_law_fit",
-    # Heaps' law (vocabulary growth V ~ K * T^beta) fitted over 10
-    # ingestion-order deciles: cumulative distinct terms vs cumulative
-    # tokens, OLS in log-log space — Zipf's companion corpus statistic and
-    # the vocabulary-budget forecast for tokenizer training.  Both axes
-    # are exact integers (first-occurrence counting, the novelty-curve
-    # machinery); the fit pre-rounds ln to 6dp and sums through DECIMAL.
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        mx AS (SELECT max(doc_id) AS mx FROM documents),
-        per_doc AS (
-            SELECT CAST(floor(doc_id * 10 / (mx + 1)) AS BIGINT) AS decile,
-                   doc_id, tk
-            FROM toks, mx
-        ),
-        tok_cum AS (
-            SELECT decile, SUM(SUM(len(tk))) OVER (ORDER BY decile
-                       ROWS UNBOUNDED PRECEDING) AS t_cum
-            FROM per_doc GROUP BY decile
-        ),
-        first AS (
-            SELECT t, min(doc_id) AS first_doc
-            FROM (SELECT doc_id, unnest(tk) AS t FROM per_doc)
-            GROUP BY t
-        ),
-        voc AS (
-            SELECT CAST(floor(first_doc * 10 / (mx + 1)) AS BIGINT) AS decile,
-                   CAST(count(*) AS BIGINT) AS new_terms
-            FROM first, mx GROUP BY 1
-        ),
-        voc_cum AS (
-            SELECT t.decile,
-                   SUM(coalesce(v.new_terms, 0)) OVER (ORDER BY t.decile
-                       ROWS UNBOUNDED PRECEDING) AS v_cum
-            FROM tok_cum t LEFT JOIN voc v USING (decile)
-        ),
-        xy AS (
-            SELECT CAST(round(ln(t_cum), 6) AS DECIMAL(12,6)) AS x,
-                   CAST(round(ln(v_cum), 6) AS DECIMAL(12,6)) AS y
-            FROM tok_cum JOIN voc_cum USING (decile)
-            WHERE v_cum > 0
-        ),
-        s AS (
-            SELECT count(*) AS n,
-                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
-                   CAST(SUM(x * x) AS DOUBLE) AS sxx
-            FROM xy
-        )
-        SELECT n AS n_points,
-               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-                    ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
-               END AS beta,
-               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-                    ELSE round(exp((sy - (n * sxy - sx * sy)
-                                    / (n * sxx - sx * sx) * sx) / n), 6)
-               END AS k
-        FROM s
-    """,
-    tags=("text", "stats", "corpus"),
-)
-def heaps_law_fit(spark, sf_dir):
-    """Heaps' law fit.  100-TB shape: one token pass for decile token
-    counts, one first-occurrence rollup on the term key (the novelty-curve
-    shuffle), then 10-row cumulations and a closed-form OLS — deciles via
-    broadcast max, no full-table window anywhere."""
-    from pyspark.sql import Window
-
-    d = T(spark, sf_dir, "documents")
-    mx = d.agg(F.max("doc_id").alias("mx"))
-    toks = d.select("doc_id", TX.tokens("text").alias("tk")).crossJoin(
-        F.broadcast(mx)
-    )
-    dec = F.floor(F.col("doc_id") * 10 / (F.col("mx") + 1)).cast("bigint")
-    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    tok_cum = (
-        toks.groupBy(dec.alias("decile"))
-        .agg(F.sum(F.size("tk")).alias("t"))
-        .withColumn("t_cum", F.sum("t").over(w))
-    )
-    first = (
-        toks.select("doc_id", F.explode("tk").alias("t"))
-        .groupBy("t")
-        .agg(F.min("doc_id").alias("first_doc"))
-    )
-    voc = (
-        first.crossJoin(F.broadcast(mx))
-        .groupBy(
-            F.floor(F.col("first_doc") * 10 / (F.col("mx") + 1))
-            .cast("bigint")
-            .alias("decile")
-        )
-        .agg(F.count(F.lit(1)).alias("new_terms"))
-    )
-    # forward-fill: cumulative vocab at every TOKEN decile (a tiny corpus
-    # can first-see every term in decile 0)
-    voc_cum = (
-        tok_cum.select("decile")
-        .join(voc, "decile", "left")
-        .withColumn("v_cum", F.sum(F.coalesce("new_terms", F.lit(0))).over(w))
-    )
-    xy = tok_cum.join(voc_cum.filter(F.col("v_cum") > 0), "decile").select(
-        F.round(F.log("t_cum"), 6).cast("decimal(12,6)").alias("x"),
-        F.round(F.log("v_cum"), 6).cast("decimal(12,6)").alias("y"),
-    )
-    s = xy.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx = F.col("sxy"), F.col("sxx")
-    vx = n * sxx - sx * sx
-    slope = (n * sxy - sx * sy) / vx
-    return s.select(
-        F.col("n").alias("n_points"),
-        F.when(vx == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(slope, 6))
-        .alias("beta"),
-        F.when(vx == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(F.exp((sy - slope * sx) / n), 6))
-        .alias("k"),
-    )
-
-
-# --- wave 21: join-key skew profile, MinHash estimator audit
-
-
-@register(
-    "join_key_skew_profile",
-    # The skew diagnostic run BEFORE a big join: per-key frequency profile
-    # of lineitem's order key — row count, distinct keys, max/mean
-    # frequency, the skew factor that decides between a plain shuffle
-    # join, AQE skew splitting, or salting (scale_salted_join is the
-    # treatment; this is the diagnosis).  All counts are integers; the
-    # ratios divide exact bigints once.
-    oracle="""
-        WITH c AS MATERIALIZED (
-            SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
-            FROM lineitem GROUP BY l_orderkey
-        )
-        SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
-               CAST(count(*) AS BIGINT) AS n_keys,
-               CAST(max(cnt) AS BIGINT) AS max_cnt,
-               CAST(SUM(cnt) AS DOUBLE) / count(*) AS mean_cnt,
-               round(CAST(max(cnt) AS DOUBLE)
-                     / (CAST(SUM(cnt) AS DOUBLE) / count(*)), 6) AS skew_factor,
-               round(quantile_cont(CAST(cnt AS DOUBLE), 0.99), 6) AS p99_cnt
-        FROM c
-    """,
-    tags=("join", "scale", "stats"),
-)
-def join_key_skew_profile(spark, sf_dir):
-    """Join-key skew profile.  100-TB shape: one partial+final rollup on
-    the join key, then a 1-row aggregate over the key-cardinality-sized
-    count table — the cheap pass that decides the join strategy."""
-    li = T(spark, sf_dir, "lineitem")
-    c = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
-    return c.agg(
-        F.sum("cnt").alias("n_rows"),
-        F.count(F.lit(1)).alias("n_keys"),
-        F.max("cnt").alias("max_cnt"),
-        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("mean_cnt"),
-        F.round(
-            F.max("cnt").cast("double")
-            / (F.sum("cnt").cast("double") / F.count(F.lit(1))),
-            6,
-        ).alias("skew_factor"),
-        F.round(F.percentile(F.col("cnt").cast("double"), F.lit(0.99)), 6).alias(
-            "p99_cnt"
-        ),
-    )
-
-
-@register(
-    "minhash_estimate_error",
-    # MinHash estimator quality: for every verified candidate pair, the
-    # signature-estimated Jaccard (matching members / 8) against the exact
-    # shingle-set Jaccard, rolled up by estimate bucket — the audit that
-    # says whether k=8 members are enough before trusting banding recall.
-    # Matches and Jaccards are exact integers/ratios; the mean absolute
-    # error pre-rounds each |est - exact| to 9dp and sums through DECIMAL.
-    oracle=f"""
-        WITH {_LSH_CTES},
-        est AS (
-            SELECT c.id_a, c.id_b,
-                   ({" + ".join(
-                       f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
-                       for i in range(8))}) AS n_match,
-                   {_JAC} AS jac
-            FROM cand c
-            JOIN sigs a ON a.doc_id = c.id_a
-            JOIN sigs b ON b.doc_id = c.id_b
-            JOIN ssets x ON x.doc_id = c.id_a
-            JOIN ssets y ON y.doc_id = c.id_b
-        )
-        SELECT n_match,
-               CAST(count(*) AS BIGINT) AS n_pairs,
-               round(CAST(SUM(CAST(round(abs(CAST(n_match AS DOUBLE) / 8 - jac), 9)
-                              AS DECIMAL(12,9))) AS DOUBLE) / count(*), 6)
-                   AS mean_abs_err
-        FROM est GROUP BY n_match
-    """,
-    tags=("dedup", "minhash", "audit"),
-)
-def minhash_estimate_error(spark, sf_dir):
-    """MinHash estimator error by match count.  100-TB shape: candidates
-    are the already-blocked pair set; signatures and shingle sets join on
-    the id key; output is <=9 rows (one per possible match count)."""
-    from pyspark import StorageLevel
-
-    d = T(spark, sf_dir, "documents")
-    shingle_sets = d.select(
-        "doc_id",
-        F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    exploded = dedup.lsh_band_keys(shingle_sets, "doc_id", k=8, bands=2)
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
-    ex_sh = shingle_sets.select("doc_id", F.explode("sh").alias("s"))
-
-    def _member(i: int):
-        seed, off = TX.minhash_seed_slice(i)
-        return F.min(
-            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("s"))), off, 8)
-        ).alias(f"mh{i}")
-
-    sigs = ex_sh.groupBy("doc_id").agg(*[_member(i) for i in range(8)])
-    sa = sigs.select(
-        F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)]
-    )
-    sb = sigs.select(
-        F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)]
-    )
-    xa = shingle_sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    xb = shingle_sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    n_match = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
-    )
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b"))
-    ).cast("double")
-    est = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .join(xa, "id_a")
-        .join(xb, "id_b")
-        .select(n_match.alias("n_match"), jac.alias("jac"))
-    )
-    term = F.round(F.abs(F.col("n_match").cast("double") / 8 - F.col("jac")), 9).cast(
-        "decimal(12,9)"
-    )
-    return est.groupBy("n_match").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.sum(term).cast("double") / F.count(F.lit(1)), 6).alias(
-            "mean_abs_err"
-        ),
-    )
-
-
-# --- wave 22: order-to-ship lead time, temporal embedding drift
-
-
-@register(
-    "order_to_ship_leadtime",
-    # Order-to-ship lead time by order month: lineitem joined back to its
-    # order, whole-day lead = ship date - order date (exact integers),
-    # mean through DECIMAL and exact median (6dp-rounded interpolation) —
-    # the fulfillment-SLA trend line.
-    oracle="""
-        SELECT CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
-                   AS ym,
-               CAST(count(*) AS BIGINT) AS n_lines,
-               CAST(SUM(CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
-                                       CAST(l.l_shipdate AS DATE))
-                        AS DECIMAL(18,0))) AS DOUBLE) / count(*)
-                   AS mean_lead_days,
-               round(median(date_diff('day', CAST(o.o_orderdate AS DATE),
-                                      CAST(l.l_shipdate AS DATE))), 6)
-                   AS median_lead_days
-        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-        GROUP BY 1
-    """,
-    tags=("tpch", "analytics", "timeseries"),
-)
-def order_to_ship_leadtime(spark, sf_dir):
-    """Monthly fulfillment lead time.  100-TB shape: the fact-fact join
-    shuffles on the shared order key (or rides bucketing when both sides
-    are bucketed by it — scale_bucketed_join is the layout), then a
-    months-sized rollup with integer-exact day arithmetic."""
-    li = T(spark, sf_dir, "lineitem")
-    o = T(spark, sf_dir, "orders")
-    lead = F.datediff(
-        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
-    )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(
-            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
-            .cast("bigint")
-            .alias("ym")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            (
-                F.sum(lead.cast("decimal(18,0)")).cast("double") / F.count(F.lit(1))
-            ).alias("mean_lead_days"),
-            F.round(F.median(lead), 6).alias("median_lead_days"),
-        )
-    )
-
-
-@register(
-    "embedding_temporal_drift",
-    # Temporal embedding drift: the L2 distance between the centroid of
-    # the first half of the corpus (by vec_id, the ingestion order) and
-    # the second half, per the exact-decimal mean pipeline — the
-    # re-embedding trigger for a drifting encoder or corpus (the temporal
-    # twin of embedding_drift_by_label).  Per-dim means are exact; each
-    # squared diff rounds to 12dp and sums through DECIMAL; the distance
-    # rounds to 6dp.
-    oracle=f"""
-        WITH mx AS (SELECT max(vec_id) AS mx FROM embeddings),
-        c AS (
-            SELECT CASE WHEN vec_id * 2 <= mx THEN 0 ELSE 1 END AS half,
-                   u.e.pos AS pos, u.e.comp AS comp FROM (
-                SELECT vec_id,
-                       unnest(list_transform(embedding::DOUBLE[],
-                              (c, i) -> struct_pack(pos := i - 1, comp := c))) AS e
-                FROM embeddings
-            ) u, mx
-        ),
-        m AS (
-            SELECT half, pos,
-                   CAST(SUM(CAST(comp * {_POW2_43} AS DECIMAL(38,0))) AS DOUBLE)
-                       / {_POW2_43} / COUNT(*) AS mean_val
-            FROM c GROUP BY half, pos
-        ),
-        d AS (
-            SELECT a.pos,
-                   CAST(round((a.mean_val - b.mean_val)
-                              * (a.mean_val - b.mean_val), 12)
-                        AS DECIMAL(16,12)) AS sq
-            FROM m a JOIN m b ON a.pos = b.pos AND a.half = 0 AND b.half = 1
-        )
-        SELECT CAST(count(*) AS BIGINT) AS n_dims,
-               round(sqrt(CAST(SUM(sq) AS DOUBLE)), 6) AS centroid_l2_shift
-        FROM d
-    """,
-    tags=("embedding", "drift", "audit"),
-)
-def embedding_temporal_drift(spark, sf_dir):
-    """First-half vs second-half centroid shift.  100-TB shape: one
-    posexplode into a (half, pos)-keyed exact-decimal mean (2*dim output
-    rows), a dim-keyed self-join, and a 1-row distance."""
-    e = T(spark, sf_dir, "embeddings")
-    mx = e.agg(F.max("vec_id").alias("mx"))
-    c = (
-        e.crossJoin(F.broadcast(mx))
-        .select(
-            F.when(F.col("vec_id") * 2 <= F.col("mx"), 0).otherwise(1).alias("half"),
-            F.posexplode(V.as_double("embedding")).alias("pos", "comp"),
-        )
-    )
-    m = c.groupBy("half", "pos").agg(
-        (
-            F.sum((F.col("comp") * _POW2_43).cast("decimal(38,0)")).cast("double")
-            / _POW2_43
-            / F.count(F.lit(1))
-        ).alias("mean_val")
-    )
-    a = m.filter(F.col("half") == 0).select("pos", F.col("mean_val").alias("ma"))
-    b = m.filter(F.col("half") == 1).select("pos", F.col("mean_val").alias("mb"))
-    sq = F.round((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")), 12).cast(
-        "decimal(16,12)"
-    )
-    return (
-        a.join(b, "pos")
-        .agg(
-            F.count(F.lit(1)).alias("n_dims"),
-            F.round(F.sqrt(F.sum(sq).cast("double")), 6).alias("centroid_l2_shift"),
-        )
-    )
-
-
-# --- wave 23: lexical method agreement, length lognormal fit
-
-
-@register(
-    "dedup_method_agreement",
-    # Agreement census between the two LEXICAL near-dup detectors: the
-    # MinHash-LSH pair set (3-gram Jaccard >= 0.5) full-outer-joined with
-    # the SimHash pigeonhole pair set (hamming <= 3 over 64 bits, 16-bit
-    # slices) — which pairs each hash family sees that the other misses
-    # (the within-text sibling of dedup_lexical_semantic_agreement).
-    oracle=f"""
-        WITH {_LSH_CTES},
-        lex AS MATERIALIZED (
-            SELECT c.id_a, c.id_b
-            FROM cand c
-            JOIN ssets x ON x.doc_id = c.id_a
-            JOIN ssets y ON y.doc_id = c.id_b
-            WHERE {_JAC} >= 0.5
-        ),
-        hs AS (SELECT doc_id, {_SIMHASH64_HASHES} AS hh FROM toks),
-        fps AS (SELECT doc_id, {_simhash64_sql()} AS fp FROM hs),
-        sliced AS (
-            SELECT doc_id, fp, blk, (fp >> (blk * 16)) & 65535 AS slc
-            FROM fps, (SELECT unnest([0, 1, 2, 3]) AS blk)
-        ),
-        scand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                   a.fp AS fp_a, b.fp AS fp_b
-            FROM sliced a JOIN sliced b
-              ON a.blk = b.blk AND a.slc = b.slc AND a.doc_id < b.doc_id
-        ),
-        sim AS MATERIALIZED (
-            SELECT id_a, id_b FROM scand
-            WHERE bit_count(xor(fp_a, fp_b)) <= 3
-        )
-        SELECT CASE WHEN lex.id_a IS NOT NULL AND sim.id_a IS NOT NULL
-                    THEN 'both'
-                    WHEN lex.id_a IS NOT NULL THEN 'minhash_only'
-                    ELSE 'simhash_only' END AS category,
-               CAST(count(*) AS BIGINT) AS n_pairs
-        FROM lex FULL OUTER JOIN sim
-          ON lex.id_a = sim.id_a AND lex.id_b = sim.id_b
-        GROUP BY 1
-    """,
-    tags=("dedup", "minhash", "simhash", "audit"),
-)
-def dedup_method_agreement(spark, sf_dir):
-    """MinHash-vs-SimHash pair agreement.  100-TB shape: both pair
-    generators are the registered blocked pipelines (SimHash side is the
-    64-bit/16-bit-slice production config — the 32-bit/8-bit-slice variant's
-    256 skewed buckets measured 112 s at sf0.1, the degenerate-bucket trap);
-    the census is a full outer join on the pair key into a 3-row rollup.
-    'minhash_only' pairs share long n-grams with different word mixes;
-    'simhash_only' pairs share the word distribution with shuffled order."""
-    d = T(spark, sf_dir, "documents")
-    lex = (
-        dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
-        .select("id_a", "id_b")
-        .withColumn("lex", F.lit(1))
-    )
-    sim = (
-        dedup.simhash64_hamming_pairs(d, "doc_id", "text", max_hamming=3, blocks=4)
-        .select("id_a", "id_b")
-        .withColumn("sim", F.lit(1))
-    )
-    j = lex.join(sim, ["id_a", "id_b"], "full")
-    return j.groupBy(
-        F.when(F.col("lex").isNotNull() & F.col("sim").isNotNull(), "both")
-        .when(F.col("lex").isNotNull(), "minhash_only")
-        .otherwise("simhash_only")
-        .alias("category")
-    ).agg(F.count(F.lit(1)).alias("n_pairs"))
-
-
-@register(
-    "doc_length_lognormal_fit",
-    # Lognormal fit of the document token-length distribution (the
-    # standard length prior for web corpora): mu and sigma of ln(length)
-    # with 6dp-pre-rounded logs decimal-summed, plus the min/max for the
-    # support — the parameters a length-based quality filter is tuned
-    # against.
-    oracle=f"""
-        WITH x AS (
-            SELECT CAST(round(ln(len({_toks()})), 6) AS DECIMAL(12,6)) AS lx,
-                   len({_toks()}) AS n_tokens
-            FROM documents
-            WHERE len({_toks()}) > 0
-        )
-        SELECT CAST(count(*) AS BIGINT) AS n_docs,
-               round(CAST(SUM(lx) AS DOUBLE) / count(*), 6) AS mu,
-               round(sqrt(CAST(SUM(lx * lx) AS DOUBLE) / count(*)
-                          - (CAST(SUM(lx) AS DOUBLE) / count(*))
-                            * (CAST(SUM(lx) AS DOUBLE) / count(*))), 6) AS sigma,
-               CAST(min(n_tokens) AS BIGINT) AS min_tokens,
-               CAST(max(n_tokens) AS BIGINT) AS max_tokens
-        FROM x
-    """,
-    tags=("text", "stats", "quality"),
-)
-def doc_length_lognormal_fit(spark, sf_dir):
-    """Lognormal length fit.  100-TB shape: one narrow scan into a 1-row
-    exact-decimal moment aggregate."""
-    d = T(spark, sf_dir, "documents")
-    n = F.size(TX.tokens("text"))
-    x = d.select(
-        F.round(F.log(n), 6).cast("decimal(12,6)").alias("lx"),
-        n.alias("n_tokens"),
-    ).filter(F.col("n_tokens") > 0)
-    cnt = F.count(F.lit(1))
-    mean = F.sum("lx").cast("double") / cnt
-    return x.agg(
-        cnt.alias("n_docs"),
-        F.round(mean, 6).alias("mu"),
-        F.round(
-            F.sqrt(
-                F.sum(F.col("lx") * F.col("lx")).cast("double") / cnt - mean * mean
-            ),
-            6,
-        ).alias("sigma"),
-        F.min("n_tokens").alias("min_tokens"),
-        F.max("n_tokens").alias("max_tokens"),
-    )
-
-
-# --- wave 24: pairwise source vocabulary overlap
-
-
-@register(
-    "source_vocab_overlap",
-    # Pairwise vocabulary Jaccard between sources (top-20 most-overlapping
-    # pairs): which feeds speak the same language about the same things —
-    # the vocabulary-level redundancy diagnostic that complements
-    # source_dedup_rate's document-level one.  Incidence sets are exact;
-    # Jaccard is a bigint ratio; ties break on the pair.
-    oracle=f"""
-        WITH inc AS MATERIALIZED (
-            SELECT DISTINCT source, t AS term
-            FROM (SELECT source, unnest({_toks()}) AS t FROM documents)
-        ),
-        sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM inc GROUP BY 1),
-        inter AS (
-            SELECT a.source AS src_a, b.source AS src_b,
-                   CAST(count(*) AS BIGINT) AS n_common
-            FROM inc a JOIN inc b
-              ON a.term = b.term AND a.source < b.source
-            GROUP BY 1, 2
-        )
-        SELECT src_a, src_b, n_common,
-               sa.n AS n_a, sb.n AS n_b,
-               round(CAST(n_common AS DOUBLE)
-                     / (sa.n + sb.n - n_common), 6) AS vocab_jaccard
-        FROM inter
-        JOIN sz sa ON sa.source = src_a
-        JOIN sz sb ON sb.source = src_b
-        ORDER BY vocab_jaccard DESC, src_a, src_b LIMIT 20
-    """,
-    tags=("text", "mixture", "audit"),
-)
-def source_vocab_overlap(spark, sf_dir):
-    """Pairwise source vocabulary Jaccard.  100-TB shape: the incidence
-    table is |sources| x vocab (distinct-collapsed early), the self-join
-    shuffles on the term key with per-term fan-out bounded by the source
-    count, and the cut is a TakeOrderedAndProject top-20."""
-    d = T(spark, sf_dir, "documents")
-    inc = d.select("source", F.explode(TX.tokens("text")).alias("term")).distinct()
-    sz = inc.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = inc.select(F.col("source").alias("src_a"), "term")
-    b = inc.select(F.col("source").alias("src_b"), "term")
-    inter = (
-        a.join(b, "term")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return (
-        inter.join(
-            F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))),
-            "src_a",
-        )
-        .join(
-            F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))),
-            "src_b",
-        )
-        .select(
-            "src_a",
-            "src_b",
-            "n_common",
-            "n_a",
-            "n_b",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ).alias("vocab_jaccard"),
-        )
-        .orderBy(F.desc("vocab_jaccard"), "src_a", "src_b")
-        .limit(20)
-    )
-
-
-# --- wave 25: seasonal MA decomposition, balance-revenue correlation
-
-
-@register(
-    "orders_seasonal_ma_decompose",
-    # Classical decomposition of the monthly order-count series: a
-    # centered 3-month moving average as the trend and the residual
-    # against it.  Counts are integers; the MA multiplies by 3 instead of
-    # dividing (trend3 = sum of the window, an exact integer), so trend
-    # and residual are emitted as exact scaled integers plus one final
-    # double division — bit-free on both engines.  The month table is
-    # bounded, so its window is metadata-sized by construction.
-    oracle="""
-        WITH m AS (
-            SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
-                       AS ym,
-                   CAST(count(*) AS BIGINT) AS n
-            FROM orders GROUP BY 1
-        ),
-        w AS (
-            SELECT ym, n,
-                   CAST(SUM(n) OVER (ORDER BY ym ROWS BETWEEN 1 PRECEDING
-                                     AND 1 FOLLOWING) AS BIGINT) AS win_sum,
-                   CAST(count(*) OVER (ORDER BY ym ROWS BETWEEN 1 PRECEDING
-                                       AND 1 FOLLOWING) AS BIGINT) AS win_n
-            FROM m
-        )
-        SELECT ym, n,
-               CAST(win_sum AS DOUBLE) / win_n AS trend,
-               n - CAST(win_sum AS DOUBLE) / win_n AS residual
-        FROM w
-    """,
-    tags=("tpch", "timeseries", "analytics"),
-)
-def orders_seasonal_ma_decompose(spark, sf_dir):
-    """Monthly trend/residual decomposition.  100-TB shape: one corpus
-    pass into the months-sized rollup; the centered-window stage runs on
-    the bounded month table (the same bounded-input exemption
-    vocab_coverage_curve uses)."""
-    from pyspark.sql import Window
-
-    o = T(spark, sf_dir, "orders")
-    m = o.groupBy(
-        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint").alias("ym")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy("ym").rowsBetween(-1, 1)
-    trend = F.sum("n").over(w).cast("double") / F.count(F.lit(1)).over(w)
-    return m.select(
-        "ym",
-        "n",
-        trend.alias("trend"),
-        (F.col("n") - trend).alias("residual"),
-    )
-
-
-@register(
-    "customer_balance_revenue_corr",
-    # Does a customer's account balance predict their spend?  Pearson
-    # between c_acctbal and total order revenue over the customer-key
-    # join, with both variables carried as exact DECIMAL into the moment
-    # sums — the cross-table feature-correlation probe (customers with no
-    # orders contribute zero revenue via the left join).
-    oracle="""
-        WITH cr AS MATERIALIZED (
-            SELECT c.c_custkey,
-                   CAST(c.c_acctbal AS DECIMAL(18,2)) AS x,
-                   coalesce(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))),
-                            CAST(0 AS DECIMAL(18,2))) AS y
-            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-            GROUP BY c.c_custkey, c.c_acctbal
-        ),
-        s AS (
-            SELECT count(*) AS n,
-                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
-                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
-                   CAST(SUM(y * y) AS DOUBLE) AS syy
-            FROM cr
-        )
-        SELECT n AS n_customers,
-               CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
-                    THEN NULL
-                    ELSE round((n * sxy - sx * sy)
-                               / (sqrt(n * sxx - sx * sx)
-                                  * sqrt(n * syy - sy * sy)), 6)
-               END AS pearson_r
-        FROM s
-    """,
-    tags=("tpch", "stats", "analytics"),
-)
-def customer_balance_revenue_corr(spark, sf_dir):
-    """Balance-vs-revenue Pearson.  100-TB shape: one customer-keyed
-    rollup over the left join, one 1-row exact-decimal moment aggregate,
-    closed-form r with a zero-variance guard."""
-    c = T(spark, sf_dir, "customer")
-    o = T(spark, sf_dir, "orders")
-    cr = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey", "c_acctbal")
-        .agg(
-            F.coalesce(
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
-                F.lit(0).cast("decimal(18,2)"),
-            ).alias("y")
-        )
-        .select(F.col("c_acctbal").cast("decimal(18,2)").alias("x"), "y")
-    )
-    s = cr.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
-    return s.select(
-        F.col("n").alias("n_customers"),
-        F.when((vx == 0) | (vy == 0), F.lit(None).cast("double"))
-        .otherwise(F.round((n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)), 6))
-        .alias("pearson_r"),
-    )
-
-
-# --- wave 26: DAU/MAU stickiness, Benford audit
-
-
-@register(
-    "dau_mau_stickiness",
-    # The growth-analytics stickiness table: per month, distinct monthly
-    # actives (MAU), the mean daily-active count (sum of per-day DAU over
-    # days, exact integers), and their ratio — how much of the monthly
-    # audience shows up on an average day.
-    oracle="""
-        WITH dau AS (
-            SELECT CAST(year(ts) * 12 + month(ts) AS BIGINT) AS ym,
-                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
-                   CAST(count(DISTINCT user_id) AS BIGINT) AS dau
-            FROM events GROUP BY 1, 2
-        ),
-        mau AS (
-            SELECT CAST(year(ts) * 12 + month(ts) AS BIGINT) AS ym,
-                   CAST(count(DISTINCT user_id) AS BIGINT) AS mau
-            FROM events GROUP BY 1
-        )
-        SELECT dau.ym, ANY_VALUE(mau.mau) AS mau,
-               CAST(count(*) AS BIGINT) AS n_days,
-               CAST(SUM(dau.dau) AS DOUBLE) / count(*) AS mean_dau,
-               round(CAST(SUM(dau.dau) AS DOUBLE) / count(*)
-                     / ANY_VALUE(mau.mau), 6) AS stickiness
-        FROM dau JOIN mau USING (ym)
-        GROUP BY dau.ym
-    """,
-    tags=("events", "retention", "analytics"),
-)
-def dau_mau_stickiness(spark, sf_dir):
-    """DAU/MAU stickiness.  100-TB shape: two distinct-user rollups (day
-    and month keys — partial aggregation collapses per-user volume early),
-    joined on the month key into a months-sized output."""
-    e = T(spark, sf_dir, "events")
-    ym = (F.year("ts") * 12 + F.month("ts")).cast("bigint")
-    dau = e.groupBy(
-        ym.alias("ym"), F.date_trunc("day", "ts").alias("d")
-    ).agg(F.countDistinct("user_id").alias("dau"))
-    mau = e.groupBy(ym.alias("ym")).agg(F.countDistinct("user_id").alias("mau"))
-    return (
-        dau.join(F.broadcast(mau), "ym")
-        .groupBy("ym")
-        .agg(
-            F.first("mau").alias("mau"),
-            F.count(F.lit(1)).alias("n_days"),
-            (F.sum("dau").cast("double") / F.count(F.lit(1))).alias("mean_dau"),
-            F.round(
-                F.sum("dau").cast("double") / F.count(F.lit(1)) / F.first("mau"), 6
-            ).alias("stickiness"),
-        )
-    )
-
-
-# Benford expected frequencies log10(1 + 1/d), computed once here and
-# injected into both engines as identical literals (log10 is not
-# correctly-rounded, so neither engine computes it at query time)
-_BENFORD = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
-
-
-@register(
-    "benford_first_digit",
-    # Benford's-law audit of order totals: observed first-significant-
-    # digit frequencies against the expected log10(1 + 1/d) — the
-    # fabricated-data screen.  The digit extracts from the decimal's text
-    # form (exact); expected frequencies are module-level literals shared
-    # by both engines; the deviation differences two 6dp-rounded values.
-    oracle=f"""
-        WITH d AS (
-            SELECT CAST(substr(regexp_extract(
-                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
-                       '[1-9]', 0), 1, 1) AS INT) AS digit
-            FROM orders
-        ),
-        t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
-        exp_f(digit, expected) AS (VALUES {", ".join(
-            f"({k}, {v!r})" for k, v in _BENFORD.items())})
-        SELECT e.digit,
-               CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_obs,
-               round(CAST(coalesce(c.cnt, 0) AS DOUBLE) / t.n, 6) AS observed,
-               round(CAST(e.expected AS DOUBLE), 6) AS expected,
-               round(abs(round(CAST(coalesce(c.cnt, 0) AS DOUBLE) / t.n, 6)
-                         - round(CAST(e.expected AS DOUBLE), 6)), 6) AS abs_dev
-        FROM exp_f e
-        LEFT JOIN (SELECT digit, CAST(count(*) AS BIGINT) AS cnt
-                   FROM d GROUP BY digit) c USING (digit)
-        CROSS JOIN t
-    """,
-    tags=("tpch", "audit", "stats"),
-)
-def benford_first_digit(spark, sf_dir):
-    """Benford first-digit audit.  100-TB shape: one narrow digit-extract
-    pass into a 9-key rollup against a broadcast literal table."""
-    o = T(spark, sf_dir, "orders")
-    digit = F.substring(
-        F.regexp_extract(
-            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), "[1-9]", 0
-        ),
-        1,
-        1,
-    ).cast("int")
-    d = o.select(digit.alias("digit"))
-    t = d.agg(F.count(F.lit(1)).alias("n"))
-    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
-    exp_f = spark.createDataFrame(
-        [(k, v) for k, v in _BENFORD.items()], "digit int, expected double"
-    )
-    obs = F.round(F.coalesce("cnt", F.lit(0)).cast("double") / F.col("n"), 6)
-    return (
-        exp_f.join(c, "digit", "left")
-        .crossJoin(F.broadcast(t))
-        .select(
-            "digit",
-            F.coalesce("cnt", F.lit(0)).alias("n_obs"),
-            obs.alias("observed"),
-            F.round("expected", 6).alias("expected"),
-            F.round(F.abs(obs - F.round("expected", 6)), 6).alias("abs_dev"),
-        )
-    )
-
-
-# --- wave 27: 1-NN label probe
-
-
-@register(
-    "embedding_knn_label_probe",
-    # The 1-NN classification probe: does each vector's exact nearest
-    # neighbor share its label?  Per-label accuracy — the standard quick
-    # eval of embedding quality before training anything (and the
-    # pass/fail gate on a re-embedding).  Composes the registered
-    # brute-force oracle's rank-1 rows with the label column; counts and
-    # the accuracy ratio are exact integers.
-    oracle=f"""
-        WITH nn AS MATERIALIZED (
-            SELECT query_id, corpus_id
-            FROM ({_Q["ann_brute_force_topk"].oracle}) x WHERE rank = 1
-        ),
-        lab AS (SELECT vec_id, label FROM embeddings)
-        SELECT a.label,
-               CAST(count(*) AS BIGINT) AS n_vectors,
-               CAST(SUM(CASE WHEN a.label = b.label THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_correct,
-               CAST(SUM(CASE WHEN a.label = b.label THEN 1 ELSE 0 END)
-                    AS DOUBLE) / count(*) AS accuracy
-        FROM nn
-        JOIN lab a ON a.vec_id = nn.query_id
-        JOIN lab b ON b.vec_id = nn.corpus_id
-        GROUP BY a.label
-    """,
-    tags=("embedding", "similarity", "audit"),
-)
-def embedding_knn_label_probe(spark, sf_dir):
-    """1-NN label accuracy per class.  100-TB shape: the neighbor list is
-    1 row per query (k-bounded); the label joins hit the id key; output is
-    |labels| rows.  At cluster scale the exact top-1 swaps for the IVF
-    candidate path — the probe's plan shape is unchanged."""
-    bf = (
-        _Q["ann_brute_force_topk"].fn(spark, sf_dir)
-        .filter(F.col("rank") == 1)
-        .select("query_id", "corpus_id")
-    )
-    e = T(spark, sf_dir, "embeddings")
-    la = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("label"))
-    lb = e.select(F.col("vec_id").alias("corpus_id"), F.col("label").alias("nn_label"))
-    return (
-        bf.join(la, "query_id")
-        .join(lb, "corpus_id")
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.sum(F.when(F.col("label") == F.col("nn_label"), 1).otherwise(0)).alias(
-                "n_correct"
-            ),
-            (
-                F.sum(
-                    F.when(F.col("label") == F.col("nn_label"), 1).otherwise(0)
-                ).cast("double")
-                / F.count(F.lit(1))
-            ).alias("accuracy"),
-        )
-    )
-
-
-# --- wave 28: word-length distribution, sessions-per-user distribution
-
-
-@register(
-    "word_length_distribution",
-    # Token length spectrum (1..9, 10+ capped): the tokenizer-facing
-    # character-length profile (subword fertility and byte-fallback rates
-    # track it).  Pure integer counts with an exact share ratio.
-    oracle=f"""
-        WITH w AS (
-            SELECT least(length(t), 10) AS wlen
-            FROM (SELECT unnest({_toks()}) AS t FROM documents)
-        ),
-        t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM w)
-        SELECT wlen, CAST(count(*) AS BIGINT) AS n_tokens,
-               CAST(count(*) AS DOUBLE) / ANY_VALUE(total) AS share
-        FROM w, t GROUP BY wlen
-    """,
-    tags=("text", "tokenizer", "stats"),
-)
-def word_length_distribution(spark, sf_dir):
-    """Token length spectrum.  100-TB shape: one explode into a 10-key
-    rollup with a broadcast total."""
-    d = T(spark, sf_dir, "documents")
-    w = d.select(F.explode(TX.tokens("text")).alias("t")).select(
-        F.least(F.length("t"), F.lit(10)).alias("wlen")
-    )
-    t = w.agg(F.count(F.lit(1)).alias("total"))
-    return (
-        w.crossJoin(F.broadcast(t))
-        .groupBy("wlen")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            (F.count(F.lit(1)).cast("double") / F.first("total")).alias("share"),
-        )
-    )
-
-
-@register(
-    "sessions_per_user_distribution",
-    # How many 30-min sessions a user generates over the window — the
-    # engagement-depth histogram (1, 2-5, 6-20, 21+ buckets) built on the
-    # same gap-sessionization every session operator shares.  Counts are
-    # exact integers.
-    oracle="""
-        WITH m AS (
-            SELECT user_id, ts,
-                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                             < INTERVAL 30 MINUTE
-                        THEN 0 ELSE 1 END AS new_s
-            FROM events
-        ),
-        per_user AS (
-            SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions
-            FROM m GROUP BY user_id
-        )
-        SELECT CASE WHEN n_sessions = 1 THEN 'a_1'
-                    WHEN n_sessions <= 5 THEN 'b_2_5'
-                    WHEN n_sessions <= 20 THEN 'c_6_20'
-                    ELSE 'd_21_plus' END AS bucket,
-               CAST(count(*) AS BIGINT) AS n_users,
-               CAST(SUM(n_sessions) AS BIGINT) AS n_sessions
-        FROM per_user GROUP BY 1
-    """,
-    tags=("events", "session", "analytics"),
-)
-def sessions_per_user_distribution(spark, sf_dir):
-    """Engagement-depth histogram.  100-TB shape: the user-keyed lag
-    window (key-partitioned) collapses to one row per user, then a 4-key
-    rollup."""
-    from pyspark.sql import Window
-
-    e = T(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    m = e.select(
-        "user_id",
-        F.when(
-            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
-            < 1800 * 1000000,
-            0,
-        )
-        .otherwise(1)
-        .alias("new_s"),
-    )
-    per_user = m.groupBy("user_id").agg(F.sum("new_s").alias("n_sessions"))
-    bucket = (
-        F.when(F.col("n_sessions") == 1, "a_1")
-        .when(F.col("n_sessions") <= 5, "b_2_5")
-        .when(F.col("n_sessions") <= 20, "c_6_20")
-        .otherwise("d_21_plus")
-    )
-    return per_user.groupBy(bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("n_sessions").alias("n_sessions"),
-    )
-
-
-# --- wave 29: conversion lag distribution, retention half-life
-
-
-@register(
-    "conversion_lag_distribution",
-    # Click-to-purchase lag spectrum: for every purchase, the most recent
-    # strictly-earlier click by the same user (the attribution pairing),
-    # bucketed by exact microsecond lag — the table that sizes attribution
-    # windows.  The last-click lookup is a user-keyed running max over
-    # (ts, event_id) order excluding the current row, identical on both
-    # engines; unattributed purchases land in their own bucket.
-    oracle="""
-        WITH u AS (
-            SELECT user_id, ts, event_id, event_type
-            FROM events WHERE event_type IN ('click', 'purchase')
-        ),
-        w AS (
-            SELECT user_id, ts, event_id, event_type,
-                   max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                       AS last_click_us
-            FROM u
-        ),
-        lags AS (
-            SELECT epoch_us(ts) - last_click_us AS lag_us
-            FROM w WHERE event_type = 'purchase'
-        )
-        SELECT CASE WHEN lag_us IS NULL THEN 'z_no_click'
-                    WHEN lag_us < 60000000 THEN 'a_lt_1m'
-                    WHEN lag_us < 600000000 THEN 'b_lt_10m'
-                    WHEN lag_us < 3600000000 THEN 'c_lt_1h'
-                    WHEN lag_us < 21600000000 THEN 'd_lt_6h'
-                    ELSE 'e_ge_6h' END AS bucket,
-               CAST(count(*) AS BIGINT) AS n_purchases
-        FROM lags GROUP BY 1
-    """,
-    tags=("events", "asof", "analytics"),
-)
-def conversion_lag_distribution(spark, sf_dir):
-    """Attribution-lag spectrum.  100-TB shape: one user-keyed window over
-    the click/purchase subset (filter pushed to the scan), then a 6-key
-    rollup — the distribution behind asof_purchase_attribution's pairing."""
-    from pyspark.sql import Window
-
-    e = T(spark, sf_dir, "events")
-    u = e.filter(F.col("event_type").isin("click", "purchase")).select(
-        "user_id", "ts", "event_id", "event_type"
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    lag_us = F.unix_micros("ts") - F.max(
-        F.when(F.col("event_type") == "click", F.unix_micros("ts"))
-    ).over(w)
-    lags = (
-        u.withColumn("lag_us", lag_us)
-        .filter(F.col("event_type") == "purchase")
-        .select("lag_us")
-    )
-    bucket = (
-        F.when(F.col("lag_us").isNull(), "z_no_click")
-        .when(F.col("lag_us") < 60000000, "a_lt_1m")
-        .when(F.col("lag_us") < 600000000, "b_lt_10m")
-        .when(F.col("lag_us") < 3600000000, "c_lt_1h")
-        .when(F.col("lag_us") < 21600000000, "d_lt_6h")
-        .otherwise("e_ge_6h")
-    )
-    return lags.groupBy(bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n_purchases")
-    )
-
-
-_LN2 = 0.6931471805599453  # ln(2), shared literal for both engines
-
-
-@register(
-    "retention_halflife_fit",
-    # Retention half-life: the share of the user base active at day
-    # offset d (0..20) from each user's first-seen day, fitted as
-    # ln(share) ~ d — the exponential-decay summary of the retention
-    # matrix (retention_cohorts is the full table; this is its one-number
-    # forecast).  Shares are bigint ratios, ln pre-rounds to 6dp into
-    # DECIMAL sums, ln(2) is a shared literal, and a non-negative-slope
-    # guard returns NULL half-life on both engines.
-    oracle=f"""
-        WITH first_seen AS (
-            SELECT user_id, CAST(min(ts) AS DATE) AS d0 FROM events
-            GROUP BY user_id
-        ),
-        t AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM first_seen),
-        act AS (
-            SELECT DISTINCT e.user_id,
-                   datediff('day', f.d0, CAST(e.ts AS DATE)) AS off
-            FROM events e JOIN first_seen f USING (user_id)
-        ),
-        sh AS (
-            SELECT off, CAST(count(*) AS BIGINT) AS n_active FROM act
-            WHERE off BETWEEN 0 AND 20 GROUP BY off
-        ),
-        xy AS (
-            SELECT CAST(off AS DECIMAL(12,6)) AS x,
-                   CAST(round(ln(CAST(n_active AS DOUBLE) / n_users), 6)
-                        AS DECIMAL(12,6)) AS y
-            FROM sh, t WHERE n_active > 0
-        ),
-        s AS (
-            SELECT count(*) AS n,
-                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
-                   CAST(SUM(x * x) AS DOUBLE) AS sxx
-            FROM xy
-        )
-        SELECT n AS n_points,
-               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-               CASE WHEN (n * sxy - sx * sy) / (n * sxx - sx * sx) >= 0
-                    THEN NULL
-                    ELSE round(-{_LN2!r}
-                               / ((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6)
-               END AS halflife_days
-        FROM s
-    """,
-    tags=("events", "retention", "stats"),
-)
-def retention_halflife_fit(spark, sf_dir):
-    """Retention half-life.  100-TB shape: the same two shuffles as
-    retention_cohorts (user key, then the offset rollup), a 21-row fit
-    table, closed-form OLS."""
-    e = T(spark, sf_dir, "events")
-    first = e.groupBy("user_id").agg(F.min("ts").cast("date").alias("d0"))
-    t = first.agg(F.count(F.lit(1)).alias("n_users"))
-    act = (
-        e.join(first, "user_id")
-        .select(
-            "user_id", F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("off")
-        )
-        .distinct()
-    )
-    sh = (
-        act.filter((F.col("off") >= 0) & (F.col("off") <= 20))
-        .groupBy("off")
-        .agg(F.count(F.lit(1)).alias("n_active"))
-    )
-    xy = (
-        sh.crossJoin(F.broadcast(t))
-        .filter(F.col("n_active") > 0)
-        .select(
-            F.col("off").cast("decimal(12,6)").alias("x"),
-            F.round(
-                F.log(F.col("n_active").cast("double") / F.col("n_users")), 6
-            )
-            .cast("decimal(12,6)")
-            .alias("y"),
-        )
-    )
-    s = xy.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx = F.col("sxy"), F.col("sxx")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    return s.select(
-        F.col("n").alias("n_points"),
-        F.round(slope, 6).alias("slope"),
-        F.when(slope >= 0, F.lit(None).cast("double"))
-        .otherwise(F.round(-F.lit(_LN2) / slope, 6))
-        .alias("halflife_days"),
-    )
-
-
-# --- wave 30: week-over-week growth, hapax ratio
-
-
-@register(
-    "weekly_value_wow_growth",
-    # Week-over-week growth of total event value: weekly exact-DECIMAL
-    # sums with the previous week's total lagged over the bounded week
-    # table — the growth dashboard line.  The ratio divides two exact
-    # decimal-derived doubles once and rounds to 6dp; the first week emits
-    # NULL growth on both engines.
-    oracle="""
-        WITH wk AS (
-            SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
-                   SUM(CAST(value AS DECIMAL(18,3))) AS total
-            FROM events GROUP BY 1
-        )
-        SELECT week_start,
-               CAST(total AS DOUBLE) AS total_value,
-               round(CAST(total AS DOUBLE)
-                     / lag(CAST(total AS DOUBLE)) OVER (ORDER BY week_start)
-                     - 1, 6) AS wow_growth
-        FROM wk
-    """,
-    tags=("events", "timeseries", "analytics"),
-)
-def weekly_value_wow_growth(spark, sf_dir):
-    """Week-over-week value growth.  100-TB shape: one corpus pass into
-    the weeks-sized rollup; the lag window runs on the bounded week
-    table."""
-    from pyspark.sql import Window
-
-    e = T(spark, sf_dir, "events")
-    wk = e.groupBy(F.date_trunc("week", "ts").alias("week_start")).agg(
-        F.sum(F.col("value").cast("decimal(18,3)")).alias("total")
-    )
-    w = Window.orderBy("week_start")
-    total_d = F.col("total").cast("double")
-    return wk.select(
-        "week_start",
-        total_d.alias("total_value"),
-        F.round(total_d / F.lag(total_d).over(w) - 1, 6).alias("wow_growth"),
-    )
-
-
-@register(
-    "hapax_ratio_by_source",
-    # Hapax legomena share per source: the fraction of each source's
-    # vocabulary seen exactly once IN THAT SOURCE — high hapax with low
-    # entropy flags noisy/garbled feeds; low hapax flags templated ones.
-    # Pure integer counts and one exact ratio.
-    oracle=f"""
-        WITH tf AS (
-            SELECT source, t AS term, CAST(count(*) AS BIGINT) AS cnt
-            FROM (SELECT source, unnest({_toks()}) AS t FROM documents)
-            GROUP BY 1, 2
-        )
-        SELECT source,
-               CAST(count(*) AS BIGINT) AS n_terms,
-               CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_hapax,
-               CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                   / count(*) AS hapax_ratio
-        FROM tf GROUP BY source
-    """,
-    tags=("text", "stats", "quality"),
-)
-def hapax_ratio_by_source(spark, sf_dir):
-    """Per-source hapax share.  100-TB shape: one (source, term) rollup
-    (vocabulary-sized per source) into a source-keyed census."""
-    d = T(spark, sf_dir, "documents")
-    tf = (
-        d.select("source", F.explode(TX.tokens("text")).alias("term"))
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    hap = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
-    return tf.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_terms"),
-        hap.alias("n_hapax"),
-        (hap.cast("double") / F.count(F.lit(1))).alias("hapax_ratio"),
-    )
-
-
-# --- wave 31: part size-price regression
-
-
-@register(
-    "part_size_price_regression",
-    # OLS of retail price on part size — the quick pricing-curve probe
-    # (and the relational sibling of zipf/heaps' closed-form fits).  Both
-    # variables enter as exact DECIMAL, so the moment sums are order-free;
-    # slope/intercept/r2 run one fixed double sequence with a
-    # zero-variance guard.
-    oracle="""
-        WITH xy AS (
-            SELECT CAST(p_size AS DECIMAL(12,2)) AS x,
-                   CAST(p_retailprice AS DECIMAL(18,2)) AS y
-            FROM part
-        ),
-        s AS (
-            SELECT count(*) AS n,
-                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
-                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
-                   CAST(SUM(y * y) AS DOUBLE) AS syy
-            FROM xy
-        )
-        SELECT n AS n_parts,
-               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-                    ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
-               END AS slope,
-               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-                    ELSE round((sy - (n * sxy - sx * sy)
-                                / (n * sxx - sx * sx) * sx) / n, 6)
-               END AS intercept,
-               CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
-                    THEN NULL
-                    ELSE round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-               END AS r2
-        FROM s
-    """,
-    tags=("tpch", "stats", "analytics"),
-)
-def part_size_price_regression(spark, sf_dir):
-    """Price-vs-size OLS.  100-TB shape: one narrow scan into a 1-row
-    exact-decimal moment aggregate, closed-form fit."""
-    p = T(spark, sf_dir, "part")
-    xy = p.select(
-        F.col("p_size").cast("decimal(12,2)").alias("x"),
-        F.col("p_retailprice").cast("decimal(18,2)").alias("y"),
-    )
-    s = xy.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
-    slope = (n * sxy - sx * sy) / vx
-    return s.select(
-        F.col("n").alias("n_parts"),
-        F.when(vx == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(slope, 6))
-        .alias("slope"),
-        F.when(vx == 0, F.lit(None).cast("double"))
-        .otherwise(F.round((sy - slope * sx) / n, 6))
-        .alias("intercept"),
-        F.when((vx == 0) | (vy == 0), F.lit(None).cast("double"))
-        .otherwise(
-            F.round((n * sxy - sx * sy) * (n * sxy - sx * sy) / (vx * vy), 6)
-        )
-        .alias("r2"),
-    )
-
-
-# --- wave 32: intrinsic dimension, error-purchase co-occurrence
-
-
-@register(
-    "embedding_intrinsic_dimension",
-    # Two-NN intrinsic-dimension estimate (Facco et al.): ID =
-    # 1 / mean(ln(d2/d1)) over the exact top-2 cosine-distance neighbors —
-    # the manifold-dimensionality probe that says how compressible the
-    # embedding space really is (JL/PQ budgets key off it).  Distances
-    # derive from the shared fold-kernel cosines (bit-equal); each
-    # ln(d2/d1) pre-rounds to 9dp into DECIMAL sums; queries with d1 = 0
-    # (exact duplicates) are excluded on both engines.
-    oracle=f"""
-        WITH top2 AS MATERIALIZED (
-            SELECT query_id,
-                   max(CASE WHEN rank = 1 THEN 1.0 - cosine END) AS d1,
-                   max(CASE WHEN rank = 2 THEN 1.0 - cosine END) AS d2
-            FROM ({_Q["ann_brute_force_topk"].oracle}) x
-            WHERE rank <= 2 GROUP BY query_id
-        ),
-        r AS (
-            SELECT CAST(round(ln(d2 / d1), 9) AS DECIMAL(16,9)) AS lr
-            FROM top2 WHERE d1 > 0 AND d2 > 0
-        )
-        SELECT CAST(count(*) AS BIGINT) AS n_queries,
-               round(CAST(SUM(lr) AS DOUBLE) / count(*), 6) AS mean_log_ratio,
-               round(CAST(count(*) AS DOUBLE) / CAST(SUM(lr) AS DOUBLE), 6)
-                   AS intrinsic_dim
-        FROM r
-    """,
-    tags=("embedding", "stats", "similarity"),
-)
-def embedding_intrinsic_dimension(spark, sf_dir):
-    """Two-NN intrinsic dimension.  100-TB shape: the neighbor list is
-    2 rows per query (k-bounded; at cluster scale the exact top-2 swaps
-    for the IVF path); the estimate is a 1-row exact-decimal aggregate."""
-    bf = _Q["ann_brute_force_topk"].fn(spark, sf_dir).filter(F.col("rank") <= 2)
-    top2 = bf.groupBy("query_id").agg(
-        F.max(F.when(F.col("rank") == 1, 1.0 - F.col("cosine"))).alias("d1"),
-        F.max(F.when(F.col("rank") == 2, 1.0 - F.col("cosine"))).alias("d2"),
-    )
-    r = (
-        top2.filter((F.col("d1") > 0) & (F.col("d2") > 0))
-        .select(
-            F.round(F.log(F.col("d2") / F.col("d1")), 9)
-            .cast("decimal(16,9)")
-            .alias("lr")
-        )
-    )
-    return r.agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        F.round(F.sum("lr").cast("double") / F.count(F.lit(1)), 6).alias(
-            "mean_log_ratio"
-        ),
-        F.round(
-            F.count(F.lit(1)).cast("double") / F.sum("lr").cast("double"), 6
-        ).alias("intrinsic_dim"),
-    )
-
-
-@register(
-    "error_purchase_cooccurrence",
-    # Do errors cluster around purchases?  The (user, hour) contingency
-    # table of error-vs-purchase presence with the lift of observing both
-    # — the reliability-impact probe (errors co-occurring with revenue
-    # hours matter more).  All cell counts are integers; lift divides
-    # exact bigint products in one fixed double sequence.
-    oracle="""
-        WITH uh AS (
-            SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
-                   CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                       AS BIGINT) AS has_err,
-                   CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                       AS BIGINT) AS has_buy
-            FROM events GROUP BY 1, 2
-        )
-        SELECT CAST(count(*) AS BIGINT) AS n_user_hours,
-               CAST(SUM(has_err) AS BIGINT) AS n_err,
-               CAST(SUM(has_buy) AS BIGINT) AS n_buy,
-               CAST(SUM(has_err * has_buy) AS BIGINT) AS n_both,
-               round(CAST(SUM(has_err * has_buy) AS DOUBLE) * count(*)
-                     / SUM(has_err) / SUM(has_buy), 6) AS lift
-        FROM uh
-    """,
-    tags=("events", "stats", "analytics"),
-)
-def error_purchase_cooccurrence(spark, sf_dir):
-    """Error-purchase lift over (user, hour) cells.  100-TB shape: one
-    (user, hour)-keyed rollup collapsing event volume, then a 1-row
-    contingency aggregate."""
-    e = T(spark, sf_dir, "events")
-    uh = e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
-        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
-            "has_err"
-        ),
-        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
-            "has_buy"
-        ),
-    )
-    return uh.agg(
-        F.count(F.lit(1)).alias("n_user_hours"),
-        F.sum("has_err").alias("n_err"),
-        F.sum("has_buy").alias("n_buy"),
-        F.sum(F.col("has_err") * F.col("has_buy")).alias("n_both"),
-        F.round(
-            F.sum(F.col("has_err") * F.col("has_buy")).cast("double")
-            * F.count(F.lit(1))
-            / F.sum("has_err")
-            / F.sum("has_buy"),
-            6,
-        ).alias("lift"),
-    )
-
-
-# --- wave 33 (r07): cross-source leakage census, tokenizer fertility
-
-
-@register(
-    "dedup_cross_source_leakage",
-    # Train/test contamination shape: the MinHash-LSH near-dup pair set
-    # (same CTEs as dedup_minhash_lsh, so the two stay in lockstep) joined
-    # back to each document's source and rolled up per unordered source
-    # pair — which source pairs leak near-duplicate content into each
-    # other, how many docs sit on each side, and how near the worst pair
-    # is.  The census a curation pipeline runs BEFORE declaring a held-out
-    # source clean.  max() not mean() for the jaccard summary: max of
-    # exact int-ratio doubles is order-independent, a double mean is not.
-    oracle=f"""
-        WITH {_LSH_CTES},
-        pairs AS (
-            SELECT c.id_a, c.id_b, {_JAC} AS jaccard
-            FROM cand c
-            JOIN ssets x ON x.doc_id = c.id_a
-            JOIN ssets y ON y.doc_id = c.id_b
-            WHERE {_JAC} >= 0.5
-        ),
-        src AS (SELECT doc_id, source FROM documents),
-        tagged AS (
-            SELECT least(sa.source, sb.source) AS src_lo,
-                   greatest(sa.source, sb.source) AS src_hi,
-                   p.id_a, p.id_b, p.jaccard
-            FROM pairs p
-            JOIN src sa ON sa.doc_id = p.id_a
-            JOIN src sb ON sb.doc_id = p.id_b
-        )
-        SELECT src_lo, src_hi,
-               CAST(count(*) AS BIGINT) AS n_pairs,
-               CAST(count(DISTINCT id_a) AS BIGINT) AS n_docs_a,
-               CAST(count(DISTINCT id_b) AS BIGINT) AS n_docs_b,
-               max(jaccard) AS max_jaccard
-        FROM tagged GROUP BY src_lo, src_hi ORDER BY src_lo, src_hi
-    """,
-    tags=("dedup", "lsh", "governance", "leakage"),
-)
-def dedup_cross_source_leakage(spark, sf_dir):
-    """Cross-source near-dup leakage census.  100-TB shape: rides the
-    already-blocked LSH pair set (operators/dedup.py:minhash_lsh_pairs —
-    candidates come from band buckets, never all-pairs); the source tags
-    join against a (doc_id, source) projection of the corpus scan, and the
-    rollup is bounded by |sources|² rows.  A diagonal entry (src_lo ==
-    src_hi) is within-source duplication; off-diagonal entries are the
-    contamination paths that invalidate a held-out split."""
-    d = T(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", k=8, bands=2, threshold=0.5
-    )
-    src = d.select("doc_id", "source")
-    tagged = (
-        pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
-        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
-        .select(
-            F.least("sa", "sb").alias("src_lo"),
-            F.greatest("sa", "sb").alias("src_hi"),
-            "id_a",
-            "id_b",
-            "jaccard",
-        )
-    )
-    return (
-        tagged.groupBy("src_lo", "src_hi")
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.countDistinct("id_a").alias("n_docs_a"),
-            F.countDistinct("id_b").alias("n_docs_b"),
-            F.max("jaccard").alias("max_jaccard"),
-        )
-        .orderBy("src_lo", "src_hi")
-    )
-
-
-@register(
-    "tokenizer_fertility_by_lang",
-    # Tokenizer fertility (pieces per word) by language — the standard
-    # multilingual tokenizer-eval table (a language whose fertility is 2x
-    # another's pays 2x the context budget for the same text).  Words are
-    # whitespace tokens; pieces are the BPE pre-tokenization classes
-    # (letter runs / digit runs / single punctuation), the same regex as
-    # text_token_count_bpe.  All counts exact ints; the two ratios are one
-    # int/int division each — bit-identical across engines.
-    oracle=r"""
-        WITH m AS (
-            SELECT lang,
-                   len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_w,
-                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_p
-            FROM documents
-        )
-        SELECT lang,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(SUM(n_w) AS BIGINT) AS n_words,
-               CAST(SUM(n_p) AS BIGINT) AS n_pieces,
-               CAST(SUM(n_p) AS DOUBLE) / SUM(n_w) AS fertility,
-               CAST(SUM(n_p) AS DOUBLE) / count(*) AS pieces_per_doc
-        FROM m GROUP BY lang ORDER BY lang
-    """,
-    tags=("text", "tokens", "tokenizer", "eval"),
-)
-def tokenizer_fertility_by_lang(spark, sf_dir):
-    """Per-language tokenizer fertility.  100-TB shape: two per-row regex
-    counts riding the corpus scan, then a |langs|-keyed rollup with
-    map-side partial aggregation — no shuffle carries row-level data."""
-    d = T(spark, sf_dir, "documents")
-    words = F.size(
-        F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
-    )
-    pieces = F.size(
-        F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
-    )
-    m = d.select("lang", words.alias("n_w"), pieces.alias("n_p"))
-    return (
-        m.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_w").alias("n_words"),
-            F.sum("n_p").alias("n_pieces"),
-            (F.sum("n_p").cast("double") / F.sum("n_w")).alias("fertility"),
-            (F.sum("n_p").cast("double") / F.count(F.lit(1))).alias(
-                "pieces_per_doc"
-            ),
-        )
-        .orderBy("lang")
-    )
+# family modules register their queries on import; they import
+# shared names from THIS module, so they must come last
+import kwack_spark.plans.pipeline_dedup  # noqa: E402,F401
+import kwack_spark.plans.pipeline_multimodal  # noqa: E402,F401
+import kwack_spark.plans.pipeline_streaming  # noqa: E402,F401
+import kwack_spark.plans.pipeline_embedding  # noqa: E402,F401
+import kwack_spark.plans.pipeline_curation  # noqa: E402,F401
+import kwack_spark.plans.pipeline_text  # noqa: E402,F401
+import kwack_spark.plans.pipeline_analytics  # noqa: E402,F401

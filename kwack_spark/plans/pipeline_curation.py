@@ -1,0 +1,1413 @@
+"""Curation family: funnel compositions, mixture/temperature rebalance, shard manifests, splits, and packing.
+
+Split out of plans/pipeline.py (same registrations, same semantics);
+shared helpers live in pipeline.py, the aggregator that imports this
+module at the bottom.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+from pyspark.sql import functions as F
+
+from kwack_spark.functions import text as TX
+from kwack_spark.functions import vectors as V
+from kwack_spark.operators import asof, dedup, sampling, similarity
+from kwack_spark.plans.registry import register
+from kwack_spark.plans.relational import T
+from kwack_spark.plans.pipeline import (  # shared core
+    _COMP_CTES,
+    _DHASH_FP_CTES,
+    _ENSEMBLE_CTES,
+    _LSH_CTES,
+    _NORM,
+    _URL_CANON_CTES,
+    _URL_RAW_SQL,
+    _ensemble_gate_df,
+    _few_shuffle_partitions,
+    _toks,
+    _url_raw_col,
+    _video_keyframes_from,
+    _video_pair_rollup,
+)
+
+
+@register(
+    "training_order_shuffle",
+    # deterministic global training-order shuffle: every doc gets a stable
+    # pseudo-random position — shard by one md5 stream, order within the
+    # shard by another.  Reproducible across retries/cluster layouts (the
+    # reason .orderBy(rand()) is banned), and the window is per-shard, so
+    # no single-partition global sort exists at any scale.
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id,
+                   CAST((instr('0123456789abcdef',
+                               substr(md5('shard:' || doc_id::VARCHAR), 1, 1)) - 1)
+                        % 8 AS BIGINT) AS shard,
+                   substr(md5('ord:' || doc_id::VARCHAR), 1, 16) AS ord_key
+            FROM documents
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                                       ORDER BY ord_key, doc_id) AS BIGINT) AS pos
+        FROM keyed
+        ORDER BY shard, pos
+    """,
+    tags=("sampling", "shuffle", "training-prep"),
+)
+def training_order_shuffle(spark, sf_dir):
+    """Stable training-order assignment: (shard, pos) per document from two
+    independent md5 streams.  One narrow pass plus a per-shard window —
+    shards are hash-balanced, so the heaviest partition is corpus/8 and the
+    sort is shard-local; a trainer reads shards in order and gets the same
+    epoch permutation on every re-run."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.concat(F.lit("shard:"), sid)), 1, 1),
+        )
+        - 1
+    )
+    keyed = d.select(
+        "doc_id",
+        (nib % 8).cast("long").alias("shard"),
+        F.substring(F.md5(F.concat(F.lit("ord:"), sid)), 1, 16).alias("ord_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+@register(
+    "sample_hash_10pct",
+    # hash-threshold sampling: keep iff md5('smp:' || key) 4-hex prefix <
+    # cutoff — reproducible across retries/cluster layouts, unlike .sample().
+    # cutoff '199a' = round(0.1 * 16^4); lowercase-hex compare == numeric.
+    oracle="""
+        SELECT doc_id, source, lang FROM documents
+        WHERE substr(md5('smp:' || doc_id::VARCHAR), 1, 4) < '199a'
+    """,
+    tags=("sampling",),
+)
+def sample_hash_10pct(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return sampling.sample_hash(d, "doc_id", 0.1, seed="smp")
+
+@register(
+    "sample_stratified_by_lang",
+    # per-stratum cutoffs rebalance the language mix in one narrow pass:
+    # en down to 5%, de up to 50%, zh 25%, everything else 10%
+    oracle="""
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5('strat:' || doc_id::VARCHAR), 1, 4) <
+              CASE lang WHEN 'de' THEN '8000' WHEN 'en' THEN '0ccd'
+                        WHEN 'zh' THEN '4000' ELSE '199a' END
+    """,
+    tags=("sampling", "stratified"),
+)
+def sample_stratified_by_lang(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_sample_hash(
+        d, "doc_id", "lang",
+        {"en": 0.05, "de": 0.5, "zh": 0.25},
+        default_fraction=0.1, seed="strat",
+    )
+
+@register(
+    "split_train_val_test",
+    # n-way deterministic split by cumulative cutoffs over the keyed md5
+    # prefix: 80/10/10, stable across runs, engines, and cluster layouts
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 4) < 'cccd'
+                        THEN 'train'
+                    WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 4) < 'e666'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    tags=("sampling", "split"),
+)
+def split_train_val_test(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    return sampling.split_hash(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split"
+    )
+
+@register(
+    "quality_bucket_sample",
+    # quality-weighted downsampling (the CCNet/quality-bucket recipe): score
+    # every doc by stopword ratio, cut the corpus into exact quartiles, and
+    # keep each quartile at a different deterministic hash rate — top
+    # quartile fully, then 50% / 25% / 10%.  Thresholds are quantile_cont /
+    # percentile (same (n-1)*q interpolation both engines), rounded 6dp so a
+    # score cannot straddle an ulp; the keep decision is the md5-cutoff
+    # idiom of sample_hash_10pct, so membership is retry-stable.
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   round(CAST(len(list_filter({_toks()},
+                             t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+                         / len({_toks()}), 6) AS score
+            FROM documents
+        ),
+        b AS (
+            SELECT round(quantile_cont(score, 0.25), 6) AS q1,
+                   round(quantile_cont(score, 0.50), 6) AS q2,
+                   round(quantile_cont(score, 0.75), 6) AS q3
+            FROM scored
+        ),
+        bucketed AS (
+            SELECT s.doc_id, s.score,
+                   CASE WHEN s.score >= b.q3 THEN 4
+                        WHEN s.score >= b.q2 THEN 3
+                        WHEN s.score >= b.q1 THEN 2
+                        ELSE 1 END AS bucket
+            FROM scored s CROSS JOIN b
+        )
+        SELECT doc_id, score, bucket
+        FROM bucketed
+        WHERE substr(md5('qbs:' || doc_id::VARCHAR), 1, 4) <
+              CASE bucket WHEN 4 THEN 'g' WHEN 3 THEN '8000'
+                          WHEN 2 THEN '4000' ELSE '199a' END
+        ORDER BY doc_id
+    """,
+    tags=("sampling", "quality", "curation"),
+)
+def quality_bucket_sample(spark, sf_dir):
+    """Quality-bucketed sampling: a narrow scoring pass, one 3-number
+    quantile scalar (broadcast), then a hash-threshold filter — at 100 TB
+    this is scan + broadcast + scan, no shuffle of the corpus at all; the
+    md5 cutoff makes every keep decision reproducible under retries and
+    repartitioning (unlike rand()-based samplers)."""
+    d = T(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.round(TX.stopword_ratio("text"), 6).alias("score"),
+    )
+    b = scored.agg(
+        F.round(F.percentile("score", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("score", F.lit(0.50)), 6).alias("q2"),
+        F.round(F.percentile("score", F.lit(0.75)), 6).alias("q3"),
+    )
+    bucketed = scored.crossJoin(F.broadcast(b)).select(
+        "doc_id",
+        "score",
+        F.when(F.col("score") >= F.col("q3"), 4)
+        .when(F.col("score") >= F.col("q2"), 3)
+        .when(F.col("score") >= F.col("q1"), 2)
+        .otherwise(1)
+        .alias("bucket"),
+    )
+    cutoff = (
+        F.when(F.col("bucket") == 4, "g")
+        .when(F.col("bucket") == 3, "8000")
+        .when(F.col("bucket") == 2, "4000")
+        .otherwise("199a")
+    )
+    return (
+        bucketed.filter(
+            F.substring(
+                F.md5(F.concat(F.lit("qbs:"), F.col("doc_id").cast("string"))), 1, 4
+            )
+            < cutoff
+        )
+        .orderBy("doc_id")
+    )
+
+@register(
+    "shard_assignment_stats",
+    # the training-data WRITE path: every doc is assigned one of 16 output
+    # shards by the first hex nibble of a keyed md5 — deterministic across
+    # runs/engines/cluster layouts, uniform by construction (so shard files
+    # come out balanced with no sort or repartition-by-range step).  The
+    # stats prove balance: per-shard doc counts and byte totals.
+    oracle="""
+        SELECT CAST(instr('0123456789abcdef',
+                     substr(md5('shard:' || doc_id::VARCHAR), 1, 1)) - 1 AS INTEGER) AS shard_id,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               min(doc_id) AS min_doc_id,
+               max(doc_id) AS max_doc_id
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("sharding", "write-path"),
+)
+def shard_assignment_stats(spark, sf_dir):
+    """Deterministic output sharding for dataset publication: shard id from
+    the first md5 nibble (16-way; generalize with more nibbles).  At 100 TB
+    this replaces repartition-by-range for balanced shard files: it's a
+    single hash partitioning (one shuffle, no global sort, no sampled range
+    boundaries) and re-runs place every doc in the same shard, so incremental
+    publishes only rewrite shards whose membership changed."""
+    d = T(spark, sf_dir, "documents")
+    shard = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 1
+            ),
+        )
+        - F.lit(1)
+    ).cast("int").alias("shard_id")
+    return (
+        d.groupBy(shard)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+@register(
+    "curation_pipeline",
+    # The end-to-end training-data curation flow as ONE declarative plan:
+    # exact-dedup to canonical docs -> quality gate -> deterministic 50%
+    # sample -> train/val/test split.  Catalyst fuses the narrow stages; the
+    # only shuffles are the dedup groupBy and its keeper semi-join.
+    oracle=f"""
+        WITH fps AS (
+            SELECT doc_id, md5({_NORM.format(c='text')}) AS fp FROM documents
+        ),
+        keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+        base AS (
+            SELECT d.doc_id, d.lang, {_toks()} AS tk,
+                   length(lower(d.text)) AS nc,
+                   length({_NORM.format(c='d.text')}) AS nn
+            FROM documents d JOIN keep USING (doc_id)
+        ),
+        m AS (
+            SELECT doc_id, lang, len(tk) AS n_tokens,
+                   CAST(nc - nn AS DOUBLE) / nc AS punct_ratio,
+                   CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+                       / len(tk) AS stop_ratio
+            FROM base
+        ),
+        q AS (
+            SELECT doc_id, lang, n_tokens,
+                   CASE WHEN n_tokens >= 10 AND punct_ratio < 0.1 AND stop_ratio > 0.05 THEN 'good'
+                        WHEN n_tokens >= 5 THEN 'fair'
+                        ELSE 'poor' END AS quality
+            FROM m
+        )
+        SELECT doc_id, lang, n_tokens, quality,
+               CASE WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 4) < 'cccd'
+                        THEN 'train'
+                    WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 4) < 'e666'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM q
+        WHERE quality <> 'poor'
+          AND substr(md5('cur:' || doc_id::VARCHAR), 1, 4) < '8000'
+    """,
+    tags=("pipeline", "curation"),
+)
+def curation_pipeline(spark, sf_dir):
+    """Composition showcase: every stage is an operator from this repo
+    (dedup.exact_dedup_mapping, functions/text.py metrics,
+    sampling.sample_hash, sampling.split_hash) fused into one plan."""
+    d = T(spark, sf_dir, "documents")
+    keep = (
+        dedup.exact_dedup_mapping(d, "doc_id", "text")
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+    )
+    base = d.join(keep, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.size(TX.tokens("text")).alias("n_tokens"),
+        TX.punct_ratio("text").alias("punct_ratio"),
+        TX.stopword_ratio("text").alias("stop_ratio"),
+    )
+    q = base.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.when(
+            (F.col("n_tokens") >= 10)
+            & (F.col("punct_ratio") < 0.1)
+            & (F.col("stop_ratio") > 0.05),
+            "good",
+        )
+        .when(F.col("n_tokens") >= 5, "fair")
+        .otherwise("poor")
+        .alias("quality"),
+    ).filter(F.col("quality") != "poor")
+    sampled = sampling.sample_hash(q, "doc_id", 0.5, seed="cur")
+    return sampling.split_hash(
+        sampled, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split"
+    )
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        d AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
+        s AS (
+            SELECT doc_id, tk,
+                   unnest(generate_series(0, len(tk) - 1, 24)) AS start
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(start // 24 AS INTEGER) AS chunk_id,
+               array_to_string(tk[start + 1 : start + 32], ' ') AS chunk_text,
+               len(tk[start + 1 : start + 32]) AS n_chunk_tokens
+        FROM s
+    """,
+    tags=("pipeline", "chunking"),
+)
+def chunk_documents(spark, sf_dir):
+    """Fixed-window document chunking for training-data prep: 32-token
+    chunks with stride 24 (8-token overlap).  Fully narrow — tokenize,
+    generate chunk starts with `sequence`, posexplode, slice — zero
+    shuffles, whole-stage codegen; at 100 TB this is embarrassingly
+    parallel per input split."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens("text").alias("tk")).where(F.size("tk") > 0)
+    s = toks.select(
+        "doc_id",
+        "tk",
+        F.posexplode(F.sequence(F.lit(0), F.size("tk") - 1, F.lit(24))).alias(
+            "chunk_id", "start"
+        ),
+    )
+    sl = F.slice("tk", F.col("start") + 1, F.lit(32))
+    return s.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(sl, " ").alias("chunk_text"),
+        F.size(sl).alias("n_chunk_tokens"),
+    )
+
+@register(
+    "token_budget_pack",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, n_chars, len({_toks()}) AS tok_count FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_chars, tok_count,
+                   CAST(SUM(tok_count) OVER (
+                        ORDER BY n_chars DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens
+            FROM t
+        )
+        SELECT doc_id, n_chars, tok_count, cum_tokens
+        FROM c WHERE cum_tokens <= 8000
+    """,
+    tags=("pipeline", "sampling"),
+)
+def token_budget_pack(spark, sf_dir):
+    """Greedy token-budget packing: rank documents by a priority order
+    (here n_chars DESC, doc_id as tiebreak), take documents until the
+    cumulative token count reaches the budget — how a training run fills a
+    fixed token budget from a scored corpus.
+
+    The cumulative sum uses operators/scale.py:global_running_sum — range
+    partition + parallel local windows + broadcast offsets — NOT the
+    single-partition `Window.orderBy` that would serialize 100 TB through
+    one task."""
+    from kwack_spark.operators import scale
+
+    d = T(spark, sf_dir, "documents")
+    t = d.select("doc_id", "n_chars", F.size(TX.tokens("text")).alias("tok_count"))
+    packed = scale.global_running_sum(
+        t,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        "tok_count",
+        "cum_tokens",
+    )
+    return packed.where(F.col("cum_tokens") <= 8000).select(
+        "doc_id", "n_chars", "tok_count", "cum_tokens"
+    )
+
+@register(
+    "length_bucketed_batches",
+    # padding-minimizing batch assembly: docs grouped into power-of-two
+    # token-length buckets, then packed into fixed-size batches of 16
+    # within each bucket (deterministic doc_id order).  Batch padding waste
+    # = batch_max - doc tokens; the whole point is that within-bucket waste
+    # is bounded by the bucket's width.
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, len({_toks()}) AS tok_count FROM documents
+        ),
+        b AS (
+            SELECT doc_id, tok_count,
+                   CAST(floor(ln(greatest(tok_count, 1)) / ln(2)) AS BIGINT)
+                       AS bucket
+            FROM t
+        ),
+        r AS (
+            SELECT doc_id, tok_count, bucket,
+                   CAST((row_number() OVER (PARTITION BY bucket
+                                            ORDER BY doc_id) - 1) // 16
+                        AS BIGINT) AS batch_id
+            FROM b
+        ),
+        m AS (
+            SELECT bucket, batch_id, tok_count,
+                   max(tok_count) OVER (PARTITION BY bucket, batch_id)
+                       AS batch_max
+            FROM r
+        )
+        SELECT bucket, batch_id,
+               CAST(count(*) AS BIGINT) AS batch_rows,
+               CAST(max(tok_count) AS BIGINT) AS batch_max_tokens,
+               CAST(SUM(CAST(batch_max - tok_count AS BIGINT)) AS BIGINT)
+                   AS padding_waste
+        FROM m
+        GROUP BY bucket, batch_id
+        ORDER BY bucket, batch_id
+    """,
+    tags=("pipeline", "batching", "serving"),
+)
+def length_bucketed_batches(spark, sf_dir):
+    """Length-bucketed batching (the padding-kill curation step before
+    tokenized training/inference): log2 length buckets keep same-batch
+    docs within 2x of each other, so padding waste per batch is bounded.
+    The window is per-bucket (≈log2(max_len) partitions, each further
+    hash-splittable by batch range at real scale) — never a global sort;
+    the output is batch metadata, corpus-rows / 16 in size."""
+    from pyspark.sql import Window
+
+    t = T(spark, sf_dir, "documents").select(
+        "doc_id", F.size(TX.tokens("text")).alias("tok_count")
+    )
+    b = t.select(
+        "doc_id",
+        "tok_count",
+        F.floor(
+            F.log(F.greatest(F.col("tok_count"), F.lit(1)).cast("double"))
+            / F.log(F.lit(2.0))
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    wb = Window.partitionBy("bucket").orderBy("doc_id")
+    r = b.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(wb) - 1) / 16).cast("long"),
+    )
+    wmax = Window.partitionBy("bucket", "batch_id")
+    return (
+        r.withColumn("batch_max", F.max("tok_count").over(wmax))
+        .groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("batch_rows"),
+            F.max("tok_count").cast("long").alias("batch_max_tokens"),
+            F.sum(
+                (F.col("batch_max") - F.col("tok_count")).cast("long")
+            ).alias("padding_waste"),
+        )
+        .orderBy("bucket", "batch_id")
+    )
+
+@register(
+    "source_cap_sample",
+    oracle="""
+        WITH r AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars DESC, doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars, rn FROM r WHERE rn <= 25
+    """,
+    tags=("pipeline", "sampling"),
+)
+def source_cap_sample(spark, sf_dir):
+    """Per-source document cap (CommonCrawl-style curation: no domain may
+    contribute more than K documents, keeping the longest first).  One
+    shuffle on `source`; skewed hot domains are exactly what AQE skew-join
+    splitting and the two-phase top-k in operators/scale.py address at
+    100 TB."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 25)
+    )
+
+@register(
+    "split_leakage_safe",
+    # dedup-AWARE train/val/test split: near-duplicate documents must not
+    # straddle splits (a val doc whose near-twin sits in train is leakage
+    # by construction), so the split key is the LSH duplicate-cluster
+    # representative (component min id), not the doc id — every cluster
+    # lands whole.  Same hash cutoffs as split_train_val_test; the
+    # cluster-atomicity invariant (every rep's docs share one split) is
+    # part of the graded output.
+    oracle=f"""
+        WITH RECURSIVE {_LSH_CTES},
+        {_COMP_CTES},
+        rep AS (
+            SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS rep_id
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        ),
+        spl AS (
+            SELECT doc_id, rep_id,
+                   CASE WHEN substr(md5('split:' || rep_id::VARCHAR), 1, 4) < 'cccd'
+                            THEN 'train'
+                        WHEN substr(md5('split:' || rep_id::VARCHAR), 1, 4) < 'e666'
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM rep
+        ),
+        gate AS (
+            SELECT max(c) AS mx FROM (
+                SELECT rep_id, count(DISTINCT split) AS c FROM spl GROUP BY rep_id
+            )
+        )
+        SELECT doc_id, rep_id, split,
+               (SELECT mx FROM gate) = 1 AS cluster_atomic
+        FROM spl
+    """,
+    tags=("sampling", "split", "dedup", "leakage"),
+)
+def split_leakage_safe(spark, sf_dir):
+    """Leakage-safe 80/10/10 split: LSH pairs -> connected components ->
+    every document splits by its cluster REPRESENTATIVE's hash, so
+    near-dup clusters land in one split whole (the dedup-aware split a
+    train/eval pipeline must use — splitting by doc id leaks every
+    cluster that straddles a cutoff).  100-TB shape: the component pass
+    is the already-graded iterative min-label propagation over the
+    candidate-pair graph (orders of magnitude smaller than the corpus);
+    the split itself is one narrow hash projection on the rep id and the
+    atomicity gate is a rep-keyed rollup of a 2-column frame."""
+    from kwack_spark.operators import graph
+
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=8, bands=2, threshold=0.5
+    ).select("id_a", "id_b")
+    with _few_shuffle_partitions(spark):
+        comp = graph.dedup_clusters(pairs)
+    rep = (
+        d.select("doc_id")
+        .join(F.broadcast(comp.select("doc_id", "keep_id")), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("keep_id", F.col("doc_id")).alias("rep_id")
+        )
+    )
+    spl = sampling.split_hash(
+        rep, "rep_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split"
+    )
+    gate = (
+        spl.groupBy("rep_id")
+        .agg(F.countDistinct("split").alias("c"))
+        .agg(F.max("c").alias("mx"))
+    )
+    return spl.crossJoin(F.broadcast(gate)).select(
+        "doc_id", "rep_id", "split", (F.col("mx") == 1).alias("cluster_atomic")
+    )
+
+_MIX_TARGETS = (("en", 0.4), ("de", 0.2), ("es", 0.2), ("fr", 0.2))
+
+@register(
+    "mixture_rebalance",
+    # training-mix resampling: hit target language proportions exactly (up
+    # to floor) with a deterministic md5-ordered per-stratum take.  budget =
+    # min_l floor(count_l / w_l) is the largest total for which no stratum
+    # is oversampled.  All divisions are the same IEEE doubles on both
+    # engines, so the floors agree.
+    oracle=f"""
+        WITH targets(lang, w) AS (
+            VALUES {", ".join(f"('{lang}', {w})" for lang, w in _MIX_TARGETS)}
+        ),
+        counts AS (
+            SELECT d.lang, count(*) AS c, any_value(t.w) AS w
+            FROM documents d JOIN targets t USING (lang) GROUP BY d.lang
+        ),
+        budget AS (SELECT min(floor(c / w)) AS b FROM counts),
+        quota AS (
+            SELECT lang, CAST(floor(b * w) AS BIGINT) AS quota
+            FROM counts CROSS JOIN budget
+        ),
+        ranked AS (
+            SELECT d.lang, d.doc_id, q.quota,
+                   row_number() OVER (PARTITION BY d.lang
+                                      ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                               d.doc_id) AS rn
+            FROM documents d JOIN quota q USING (lang)
+        )
+        SELECT lang, doc_id FROM ranked WHERE rn <= quota
+    """,
+    tags=("curation", "sampling"),
+)
+def mixture_rebalance(spark, sf_dir):
+    """Deterministic mixture rebalancing to target language weights — the
+    'data mixing' step of a training pipeline.  Scale shape: one tiny counts
+    aggregate, scalar budget, broadcast quota join, then a single per-lang
+    window take; the md5 ordering makes the sample reproducible across
+    retries and growable (raise budget, keep prefix)."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    targets = spark.createDataFrame(list(_MIX_TARGETS), "lang string, w double")
+    counts = (
+        d.join(F.broadcast(targets), "lang")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"), F.any_value("w").alias("w"))
+    )
+    budget = counts.agg(F.min(F.floor(F.col("c") / F.col("w"))).alias("b"))
+    quota = counts.crossJoin(F.broadcast(budget)).select(
+        "lang", F.floor(F.col("b") * F.col("w")).cast("long").alias("quota")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.join(F.broadcast(quota), "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("lang", "doc_id")
+    )
+
+@register(
+    "temperature_mixture_sample",
+    # temperature-weighted training mix (T=2): target shares computed FROM
+    # the observed counts as sqrt(n_s), flattening the source distribution
+    # (the T5/multilingual-sampling recipe) instead of taking explicit
+    # targets like mixture_rebalance.  Determinism across engines: sqrt is
+    # IEEE-correctly-rounded everywhere, its value is quantized to a 2^20
+    # rational via round() (half-away-from-zero for positives on both
+    # engines), and the normalizer is an exact BIGINT sum of those scaled
+    # integers — so every share, budget, and quota floor agrees bit-for-bit.
+    oracle="""
+        WITH counts AS (
+            SELECT lang, count(*) AS c,
+                   CAST(round(sqrt(count(*)) * 1048576) AS BIGINT) AS s_int
+            FROM documents GROUP BY lang
+        ),
+        norm AS (SELECT SUM(s_int) AS n_int FROM counts),
+        shares AS (
+            SELECT lang, c, CAST(s_int AS DOUBLE) / CAST(n_int AS DOUBLE) AS t
+            FROM counts CROSS JOIN norm
+        ),
+        budget AS (SELECT min(floor(c / t)) AS b FROM shares),
+        quota AS (
+            SELECT lang, c, CAST(floor(b * t) AS BIGINT) AS quota
+            FROM shares CROSS JOIN budget
+        ),
+        ranked AS (
+            SELECT d.lang, d.doc_id, q.quota,
+                   row_number() OVER (PARTITION BY d.lang
+                                      ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                               d.doc_id) AS rn
+            FROM documents d JOIN quota q USING (lang)
+        )
+        SELECT lang, doc_id FROM ranked WHERE rn <= quota
+    """,
+    tags=("curation", "sampling", "temperature"),
+)
+def temperature_mixture_sample(spark, sf_dir):
+    """Temperature sampling of the training mix (T=2): per-source quotas
+    proportional to sqrt(count) — up-weights the tail languages relative to
+    their natural share without explicit targets.  Scale shape identical to
+    mixture_rebalance: one tiny counts aggregate, scalar normalizer/budget
+    broadcast back, one per-lang md5-ordered window take (reproducible
+    across retries; raise the budget to grow the sample as a superset)."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.round(F.sqrt(F.count(F.lit(1))) * 1048576).cast("long").alias("s_int"),
+    )
+    norm = counts.agg(F.sum("s_int").alias("n_int"))
+    shares = counts.crossJoin(F.broadcast(norm)).select(
+        "lang",
+        "c",
+        (F.col("s_int").cast("double") / F.col("n_int").cast("double")).alias("t"),
+    )
+    budget = shares.agg(F.min(F.floor(F.col("c") / F.col("t"))).alias("b"))
+    quota = shares.crossJoin(F.broadcast(budget)).select(
+        "lang", F.floor(F.col("b") * F.col("t")).cast("long").alias("quota")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.join(F.broadcast(quota), "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("lang", "doc_id")
+    )
+
+@register(
+    "shard_manifest_hashes",
+    # dataset-publish manifest: per output shard, row count, key range, and
+    # an ORDER-INDEPENDENT content hash (exact integer sum of per-row md5
+    # prefixes) — the integrity record a consumer re-derives to verify a
+    # delivered shard without trusting row order or file layout.
+    oracle="""
+        WITH rows_h AS (
+            SELECT doc_id // 100 AS shard_id, doc_id,
+                   CAST(('0x' || substr(md5('mft:' || doc_id::VARCHAR || ':'
+                                            || n_chars::VARCHAR), 1, 12))::BIGINT
+                        AS DECIMAL(38,0)) AS h
+            FROM documents
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(doc_id) AS min_id,
+               max(doc_id) AS max_id,
+               CAST(SUM(h) AS VARCHAR) AS content_sum
+        FROM rows_h
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
+    tags=("publish", "manifest", "integrity"),
+)
+def shard_manifest_hashes(spark, sf_dir):
+    """Shard integrity manifest.  The per-row hash folds (doc_id, n_chars)
+    through md5 and the shard hash is the exact integer SUM of those —
+    commutative, so repartitioning, task retries, and row reordering
+    cannot change it; verification is one narrow scan per shard.  Emitted
+    as a string so arbitrary precision survives every serde."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("mft:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return (
+        d.select(F.expr("doc_id div 100").alias("shard_id"), "doc_id", h.alias("h"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("h").cast("decimal(38,0)").cast("string").alias("content_sum"),
+        )
+        .orderBy("shard_id")
+    )
+
+@register(
+    "shard_compaction_plan",
+    # small-file compaction planner: pack doc-range shards into ~target-row
+    # output files by cumulative row count — each shard goes to the bin its
+    # running offset starts in (bins exceed target by at most one shard).
+    # The cumulative sum is the range-partitioned parallel prefix sum, not
+    # a single-task global window.
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id // 100 AS shard_id,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM documents GROUP BY doc_id // 100
+        ),
+        c AS (
+            SELECT shard_id, n_rows,
+                   CAST(SUM(n_rows) OVER (ORDER BY shard_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_rows
+            FROM sh
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id, n_rows, cum_rows,
+               CAST((cum_rows - n_rows) // 120 AS BIGINT) AS out_file
+        FROM c
+        ORDER BY shard_id
+    """,
+    tags=("publish", "compaction", "layout"),
+)
+def shard_compaction_plan(spark, sf_dir):
+    """Compaction planning for small shards: one aggregation produces the
+    shard-size table (already tiny relative to the corpus), the parallel
+    prefix sum (operators/scale.py:global_running_sum) assigns each shard
+    a starting offset, and the output-file id is a pure projection of that
+    offset — the metadata-only pass that turns millions of small files
+    into bounded-size publish units without touching row data."""
+    from kwack_spark.operators import scale
+
+    sh = (
+        T(spark, sf_dir, "documents")
+        .groupBy(F.expr("doc_id div 100").alias("shard_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    c = scale.global_running_sum(
+        sh, [F.col("shard_id").asc()], "n_rows", "cum_rows", num_partitions=8
+    )
+    return (
+        c.select(
+            "shard_id",
+            "n_rows",
+            F.col("cum_rows").cast("long").alias("cum_rows"),
+            F.expr("(cum_rows - n_rows) div 120").cast("long").alias("out_file"),
+        )
+        .orderBy("shard_id")
+    )
+
+# corpus_curation_e2e's oracle is assembled from the SAME CTE chains its
+# component queries grade in isolation (URL canon, LSH + components,
+# ensemble gate), so the composition stays in lockstep with them.  The LSH
+# chain is re-rooted onto the URL-dedup survivor set and the gate onto the
+# near-dup survivor set (the gate is per-doc pure, so restricting its input
+# restricts its output identically — and skips 2/3 of the corpus).
+_E2E_LSH_CTES = _LSH_CTES.replace(
+    "FROM documents", "FROM documents JOIN s1k USING (doc_id)"
+)
+
+_E2E_ENSEMBLE_CTES = _ENSEMBLE_CTES.replace(
+    "FROM documents", "FROM documents JOIN s2k USING (doc_id)"
+)
+
+# 5-gram decontamination shingles: benchmark contamination means sharing a
+# CONTIGUOUS 5-token phrase — specific enough that topical 3-gram overlap
+# in a homogeneous corpus does not mass-flag clean documents (measured: 3-
+# grams at >= 3 shared drop 94% of sf0.1 survivors; 5-grams drop the 2
+# genuine near-copies).  Real pipelines use 8-13-gram windows for the same
+# reason.
+_SHINGLES_5 = """
+    CASE WHEN len(tk) >= 5
+         THEN [array_to_string(tk[i:i+4], ' ') for i in generate_series(1, len(tk) - 4)]
+         ELSE [array_to_string(tk, ' ')] END
+"""
+
+def _curation_text_funnel(spark, d):
+    """Stages 1-3 of the curation funnel (URL-canonical dedup ->
+    MinHash-LSH keep-best -> ensemble quality gate), shared verbatim by
+    corpus_curation_e2e and corpus_curation_multimodal so the two
+    compositions cannot drift.  Returns the gate-surviving document frame
+    (all source columns), persisted rotating — callers fan it into >= 2
+    subtrees."""
+    from pyspark.sql import Window
+
+    from kwack_spark.operators import graph
+
+    # --- stage 1: URL-canonical dedup ---
+    canon = d.select(
+        "doc_id", TX.canonical_url(_url_raw_col()).alias("canon_url")
+    )
+    keep1 = (
+        canon.groupBy("canon_url").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = d.join(keep1, "doc_id")
+    # --- stage 2: MinHash-LSH keep-best (longest per component) ---
+    pairs = dedup.minhash_lsh_pairs(
+        s1, "doc_id", "text", k=8, bands=2, threshold=0.5
+    ).select("id_a", "id_b")
+    with _few_shuffle_partitions(spark):
+        comp = graph.dedup_clusters(pairs).select("doc_id", "keep_id")
+        ranked2 = comp.join(d.select("doc_id", "n_chars"), "doc_id").withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("keep_id").orderBy(F.desc("n_chars"), "doc_id")
+            ),
+        )
+        drop2 = ranked2.filter(F.col("rn") > 1).select("doc_id")
+    # each survivor frame feeds >= 2 downstream subtrees (the gate AND the
+    # semi-join; the decon grams AND the main branch; the mixture counts
+    # AND the quota join) — persist them (rotating) or every consumer
+    # re-executes the whole upstream funnel
+    s2 = similarity._persist_rotating(
+        "e2e_s2", s1.join(drop2, "doc_id", "left_anti")
+    )
+    # --- stage 3: ensemble quality gate (shared operator body, applied to
+    # the dedup survivors only — the gate is per-doc pure) ---
+    gate = (
+        _ensemble_gate_df(spark, s2.select("doc_id", "text"))
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    return similarity._persist_rotating("e2e_s3", s2.join(gate, "doc_id"))
+
+def _shard_manifest(survivors):
+    """Order-independent shard manifest over a ``(doc_id, n_chars)``
+    survivor frame — the publish artifact whose exact integer content_sum
+    pins the survivor SET bit-for-bit (shard_manifest_hashes' form)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("mft:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return (
+        survivors.select(
+            F.expr("doc_id div 100").alias("shard_id"), "doc_id", h.alias("h")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("h").cast("decimal(38,0)").cast("string").alias("content_sum"),
+        )
+        .orderBy("shard_id")
+    )
+
+@register(
+    "corpus_curation_e2e",
+    # the full production curation DAG as ONE oracled plan (r07 VERDICT ask
+    # #5): URL-canonical dedup -> MinHash-LSH near-dup keep-best (longest
+    # doc per connected component) -> Gopher/ensemble quality gate ->
+    # benchmark decontamination (eval = doc_id % 97 == 0; >= 3 shared
+    # 3-gram shingles drops the doc — the Spark side reaches the same set
+    # through a Bloom prefilter + exact verify, sound because Bloom never
+    # misses) -> temperature (T=2) mixture rebalance -> shard manifest with
+    # order-independent content sums.  The manifest's exact content_sum
+    # pins the final survivor set bit-for-bit, so a wrong drop at ANY stage
+    # fails the hash.
+    oracle=f"""
+        WITH RECURSIVE
+        u AS (SELECT doc_id, {_URL_RAW_SQL} AS raw_url FROM documents),
+        {_URL_CANON_CTES},
+        s1k AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canon_url),
+        {_E2E_LSH_CTES},
+        {_COMP_CTES},
+        ranked2 AS (
+            SELECT cm.keep_id, cm.node,
+                   row_number() OVER (PARTITION BY cm.keep_id
+                                      ORDER BY dd.n_chars DESC, cm.node) AS rn
+            FROM comp cm JOIN documents dd ON dd.doc_id = cm.node
+        ),
+        drop2 AS (SELECT node AS doc_id FROM ranked2 WHERE rn > 1),
+        s2k AS (
+            SELECT doc_id FROM s1k
+            WHERE doc_id NOT IN (SELECT doc_id FROM drop2)
+        ),
+        {_E2E_ENSEMBLE_CTES},
+        s3k AS (
+            SELECT doc_id FROM j
+            WHERE j.gopher_pass AND j.score_ok AND j.stop_ok
+        ),
+        toks4 AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        sh4 AS (SELECT doc_id, ({_SHINGLES_5}) AS sh FROM toks4),
+        bench4 AS (
+            SELECT DISTINCT unnest(sh) AS s FROM sh4 WHERE doc_id % 97 = 0
+        ),
+        hits4 AS (
+            SELECT c4.doc_id, count(*) AS n_hits
+            FROM (SELECT sh4.doc_id, unnest(list_distinct(sh4.sh)) AS s
+                  FROM sh4 JOIN s3k USING (doc_id)
+                  WHERE sh4.doc_id % 97 <> 0) c4
+            JOIN bench4 b4 ON c4.s = b4.s
+            GROUP BY c4.doc_id
+        ),
+        s4k AS (
+            SELECT doc_id FROM s3k
+            WHERE doc_id % 97 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM hits4 WHERE n_hits >= 3)
+        ),
+        d5 AS (
+            SELECT d.doc_id, d.lang FROM documents d JOIN s4k USING (doc_id)
+        ),
+        counts5 AS (
+            SELECT lang, count(*) AS c5,
+                   CAST(round(sqrt(count(*)) * 1048576) AS BIGINT) AS s_int
+            FROM d5 GROUP BY lang
+        ),
+        norm5 AS (SELECT SUM(s_int) AS n_int FROM counts5),
+        shares5 AS (
+            SELECT lang, c5, CAST(s_int AS DOUBLE) / CAST(n_int AS DOUBLE) AS t
+            FROM counts5 CROSS JOIN norm5
+        ),
+        budget5 AS (SELECT min(floor(c5 / t)) AS b FROM shares5),
+        quota5 AS (
+            SELECT lang, CAST(floor(b * t) AS BIGINT) AS quota
+            FROM shares5 CROSS JOIN budget5
+        ),
+        ranked5 AS (
+            SELECT d5.lang, d5.doc_id, q5.quota,
+                   row_number() OVER (PARTITION BY d5.lang
+                                      ORDER BY md5(CAST(d5.doc_id AS VARCHAR)),
+                                               d5.doc_id) AS rn
+            FROM d5 JOIN quota5 q5 USING (lang)
+        ),
+        s5k AS (SELECT doc_id FROM ranked5 WHERE rn <= quota),
+        rows_h AS (
+            SELECT d.doc_id // 100 AS shard_id, d.doc_id,
+                   CAST(('0x' || substr(md5('mft:' || d.doc_id::VARCHAR || ':'
+                                            || d.n_chars::VARCHAR), 1, 12))::BIGINT
+                        AS DECIMAL(38,0)) AS h
+            FROM documents d JOIN s5k USING (doc_id)
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(doc_id) AS min_id,
+               max(doc_id) AS max_id,
+               CAST(SUM(h) AS VARCHAR) AS content_sum
+        FROM rows_h
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
+    tags=("pipeline", "curation", "e2e", "composition"),
+)
+def corpus_curation_e2e(spark, sf_dir):
+    """End-to-end curation composition — every stage is a registered
+    operator, chained into one DAG over the survivor set:
+
+    1. URL-canonical dedup (TX.canonical_url; cheapest, runs first —
+       narrow regex projection + one uniform-key groupBy);
+    2. MinHash-LSH near-dup keep-best (minhash_lsh_pairs ->
+       graph.dedup_clusters -> longest-doc-per-cluster policy; the pair
+       and component stages run on the ALREADY URL-deduped third of the
+       corpus);
+    3. ensemble quality gate (quality_ensemble_gate's keep verdict — the
+       gate is per-doc pure, so the registered operator is reused verbatim
+       and semi-joined);
+    4. benchmark decontamination behind a BLOOM prefilter with exact
+       verify of the bloom-positive remainder (sketches_corpus._bf_pos
+       bitmap, 4096 bits broadcast): Bloom never misses, so the surviving
+       set equals the oracle's plain exact-overlap rule while the probe
+       side stays a narrow broadcast lookup at 100 TB;
+    5. temperature (T=2) mixture rebalance over the survivors' languages
+       (sqrt-share quotas, md5-ordered deterministic take);
+    6. shard manifest (order-independent md5-prefix content sums) — the
+       publish artifact a consumer verifies.
+
+    100-TB shape: stages 1/3/4 are narrow projections + broadcast joins
+    riding the scan; the only corpus-keyed shuffles are the canon-url
+    groupBy, the LSH band join (on the reduced survivor set), and the
+    final shard rollup.  Each stage's semantics are independently graded
+    by its component query; this query grades that they COMPOSE."""
+    from pyspark.sql import Window
+
+    from kwack_spark.plans.sketches_corpus import _BF_K, _bf_pos
+
+    d = T(spark, sf_dir, "documents")
+    # --- stages 1-3: shared text funnel (URL dedup -> LSH keep-best ->
+    # ensemble gate) ---
+    s3 = _curation_text_funnel(spark, d)
+    # --- stage 4: Bloom-prefiltered decontamination, exact-verified
+    # (5-gram windows: contiguous-phrase specificity, see _SHINGLES_5) ---
+    grams = F.explode(F.array_distinct(TX.shingles(TX.tokens("text"), 5))).alias("s")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select(grams).distinct()
+    bits = bench.select(
+        F.explode(F.array(*[_bf_pos(F.col("s"), i) for i in range(_BF_K)])).alias(
+            "pos"
+        )
+    ).distinct()
+    corpus4 = s3.filter(F.col("doc_id") % 97 != 0).select("doc_id", grams)
+    probes = corpus4.select(
+        "doc_id",
+        "s",
+        F.explode(F.array(*[_bf_pos(F.col("s"), i) for i in range(_BF_K)])).alias(
+            "pos"
+        ),
+    )
+    bloom_pos = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("k_set"))
+        .filter(F.col("k_set") == _BF_K)
+    )
+    contaminated = (
+        bloom_pos.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= 3)
+        .select("doc_id")
+    )
+    s4 = similarity._persist_rotating(
+        "e2e_s4",
+        s3.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars"),
+    )
+    # --- stage 5: temperature (T=2) mixture rebalance ---
+    counts = s4.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("c5"),
+        F.round(F.sqrt(F.count(F.lit(1))) * 1048576).cast("long").alias("s_int"),
+    )
+    norm = counts.agg(F.sum("s_int").alias("n_int"))
+    shares = counts.crossJoin(F.broadcast(norm)).select(
+        "lang",
+        "c5",
+        (F.col("s_int").cast("double") / F.col("n_int").cast("double")).alias("t"),
+    )
+    budget = shares.agg(F.min(F.floor(F.col("c5") / F.col("t"))).alias("b"))
+    quota = shares.crossJoin(F.broadcast(budget)).select(
+        "lang", F.floor(F.col("b") * F.col("t")).cast("long").alias("quota")
+    )
+    w5 = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    s5 = (
+        s4.join(F.broadcast(quota), "lang")
+        .withColumn("rn", F.row_number().over(w5))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "n_chars")
+    )
+    # --- stage 6: shard manifest (order-independent content sums) ---
+    return _shard_manifest(s5)
+
+@register(
+    "corpus_curation_multimodal",
+    # cross-modal curation composition (r08 VERDICT ask #7): the text
+    # funnel (URL dedup -> LSH keep-best -> ensemble gate — the SAME
+    # s1k/s2k/s3k CTE chain corpus_curation_e2e grades) extended with an
+    # IMAGE leg: each gate survivor's image is fingerprinted (the
+    # multimodal_phash_dedup dHash chain, re-rooted onto s3k), near-dup
+    # pairs within Hamming 3 drop the larger id (keep-first greedy, the
+    # exact-dedup keep-min policy), and the manifest's exact content_sum
+    # pins the final text+image-deduped survivor set bit-for-bit.
+    oracle=f"""
+        WITH RECURSIVE
+        u AS (SELECT doc_id, {_URL_RAW_SQL} AS raw_url FROM documents),
+        {_URL_CANON_CTES},
+        s1k AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canon_url),
+        {_E2E_LSH_CTES},
+        {_COMP_CTES},
+        ranked2 AS (
+            SELECT cm.keep_id, cm.node,
+                   row_number() OVER (PARTITION BY cm.keep_id
+                                      ORDER BY dd.n_chars DESC, cm.node) AS rn
+            FROM comp cm JOIN documents dd ON dd.doc_id = cm.node
+        ),
+        drop2 AS (SELECT node AS doc_id FROM ranked2 WHERE rn > 1),
+        s2k AS (
+            SELECT doc_id FROM s1k
+            WHERE doc_id NOT IN (SELECT doc_id FROM drop2)
+        ),
+        {_E2E_ENSEMBLE_CTES},
+        s3k AS (
+            SELECT doc_id FROM j
+            WHERE j.gopher_pass AND j.score_ok AND j.stop_ok
+        ),
+        {_DHASH_FP_CTES.replace(
+            "FROM documents", "FROM documents JOIN s3k USING (doc_id)"
+        )},
+        drop4 AS (
+            SELECT DISTINCT b.doc_id
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        ),
+        s4k AS (
+            SELECT doc_id FROM s3k
+            WHERE doc_id NOT IN (SELECT doc_id FROM drop4)
+        ),
+        rows_h AS (
+            SELECT d.doc_id // 100 AS shard_id, d.doc_id,
+                   CAST(('0x' || substr(md5('mft:' || d.doc_id::VARCHAR || ':'
+                                            || d.n_chars::VARCHAR), 1, 12))::BIGINT
+                        AS DECIMAL(38,0)) AS h
+            FROM documents d JOIN s4k USING (doc_id)
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(doc_id) AS min_id,
+               max(doc_id) AS max_id,
+               CAST(SUM(h) AS VARCHAR) AS content_sum
+        FROM rows_h
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
+    tags=("pipeline", "curation", "multimodal", "composition"),
+)
+def corpus_curation_multimodal(spark, sf_dir):
+    """Text+image curation in ONE DAG: the shared text funnel
+    (_curation_text_funnel — URL dedup, LSH keep-best, ensemble gate),
+    then perceptual image dedup ON THE FUNNEL SURVIVORS (synth ->
+    real PNG decode -> dHash64 -> pigeonhole-blocked Hamming <= 3 pairs
+    -> drop the larger id of every pair), then the shard manifest whose
+    exact content sums pin the final survivor set.
+
+    100-TB shape: the image leg runs AFTER the text funnel has collapsed
+    the corpus (~3% survive the gate at sf0.1), so the decode kernel
+    fingerprints only survivors and emits 8 bytes each — image payloads
+    never shuffle, and the blocked fingerprint self-join is
+    survivor-sized, not corpus-sized.  The keep-first drop rule is
+    per-pair local (no connected components needed): any doc with a
+    smaller-id near-duplicate image is dropped, so the kept set is
+    exactly the ids with no smaller neighbor."""
+    from kwack_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents")
+    s3 = _curation_text_funnel(spark, d)
+    # --- stage 4: image near-dup keep-min over the survivors ---
+    ids = s3.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    png = mm.synth_png_blocky(ids, "doc_id")
+    fps = similarity._persist_rotating(
+        "mm_cur_fps", mm.dhash64(png, "payload", "doc_id")
+    )
+    pairs4 = dedup.fingerprint_hamming_pairs(fps, "doc_id", max_hamming=3, blocks=4)
+    drop4 = pairs4.select(F.col("id_b").alias("doc_id")).distinct()
+    s4 = s3.join(drop4, "doc_id", "left_anti").select("doc_id", "n_chars")
+    # --- stage 5: shard manifest pins the text+image survivor set ---
+    return _shard_manifest(s4)
+
+@register(
+    "corpus_curation_all_modalities",
+    # the four-modality curation DAG (r09 VERDICT ask #4): the text funnel
+    # (URL dedup -> LSH keep-best -> ensemble gate, the SAME s1k/s2k/s3k
+    # chain corpus_curation_e2e grades), then per-modality near-dup
+    # keep-min legs IN SEQUENCE, each fingerprinting only the previous
+    # stage's survivors: image (real PNG decode -> dHash, Hamming <= 3),
+    # audio (real PCM decode -> energy fingerprint, Hamming <= 3), video
+    # (keyframe hashes -> df-capped collision join, >= 6 shared).  The
+    # closed fixture forms collapse each leg's pair set to a class join —
+    # image drops to the dHash CTE pairs, audio Hamming <= 3 pairs are
+    # exactly same-(doc%128), video >= 6-shared pairs exactly
+    # same-(doc%64) — so the oracle chains three keep-min set
+    # subtractions and the manifest's exact content_sum pins the final
+    # survivor set bit-for-bit.
+    oracle=f"""
+        WITH RECURSIVE
+        u AS (SELECT doc_id, {_URL_RAW_SQL} AS raw_url FROM documents),
+        {_URL_CANON_CTES},
+        s1k AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canon_url),
+        {_E2E_LSH_CTES},
+        {_COMP_CTES},
+        ranked2 AS (
+            SELECT cm.keep_id, cm.node,
+                   row_number() OVER (PARTITION BY cm.keep_id
+                                      ORDER BY dd.n_chars DESC, cm.node) AS rn
+            FROM comp cm JOIN documents dd ON dd.doc_id = cm.node
+        ),
+        drop2 AS (SELECT node AS doc_id FROM ranked2 WHERE rn > 1),
+        s2k AS (
+            SELECT doc_id FROM s1k
+            WHERE doc_id NOT IN (SELECT doc_id FROM drop2)
+        ),
+        {_E2E_ENSEMBLE_CTES},
+        s3k AS (
+            SELECT doc_id FROM j
+            WHERE j.gopher_pass AND j.score_ok AND j.stop_ok
+        ),
+        {_DHASH_FP_CTES.replace(
+            "FROM documents", "FROM documents JOIN s3k USING (doc_id)"
+        )},
+        drop4 AS (
+            SELECT DISTINCT b.doc_id
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        ),
+        s4k AS (
+            SELECT doc_id FROM s3k
+            WHERE doc_id NOT IN (SELECT doc_id FROM drop4)
+        ),
+        drop5 AS (
+            SELECT DISTINCT b.doc_id
+            FROM s4k a JOIN s4k b
+              ON a.doc_id % 128 = b.doc_id % 128 AND a.doc_id < b.doc_id
+        ),
+        s5k AS (
+            SELECT doc_id FROM s4k
+            WHERE doc_id NOT IN (SELECT doc_id FROM drop5)
+        ),
+        drop6 AS (
+            SELECT DISTINCT b.doc_id
+            FROM s5k a JOIN s5k b
+              ON a.doc_id % 64 = b.doc_id % 64 AND a.doc_id < b.doc_id
+        ),
+        s6k AS (
+            SELECT doc_id FROM s5k
+            WHERE doc_id NOT IN (SELECT doc_id FROM drop6)
+        ),
+        rows_h AS (
+            SELECT d.doc_id // 100 AS shard_id, d.doc_id,
+                   CAST(('0x' || substr(md5('mft:' || d.doc_id::VARCHAR || ':'
+                                            || d.n_chars::VARCHAR), 1, 12))::BIGINT
+                        AS DECIMAL(38,0)) AS h
+            FROM documents d JOIN s6k USING (doc_id)
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(doc_id) AS min_id,
+               max(doc_id) AS max_id,
+               CAST(SUM(h) AS VARCHAR) AS content_sum
+        FROM rows_h
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
+    tags=("pipeline", "curation", "multimodal", "composition", "video", "audio"),
+)
+def corpus_curation_all_modalities(spark, sf_dir):
+    """ALL FOUR modalities composed in one curation DAG: the shared text
+    funnel, then image (PNG decode -> dHash64 -> Hamming keep-min), audio
+    (PCM decode -> energy fingerprint -> Hamming keep-min), and video
+    (keyframe hashes -> df-capped collision join -> >= 6-shared keep-min)
+    legs in sequence, then the shard manifest pinning the final survivor
+    set.
+
+    100-TB shape: each modality leg fingerprints ONLY the previous
+    stage's survivors (the funnel collapses the corpus first, then every
+    drop shrinks the next leg's input), every fingerprint is 8 bytes
+    (payloads never shuffle — decode kernels emit fingerprints, not
+    pixels/samples/frames), every pair join is blocked (16-bit slices /
+    df-capped frame buckets, never all-pairs), and the keep-first drop
+    rule stays per-pair local (no components pass needed)."""
+    from kwack_spark.operators import multimodal as mm
+
+    par = spark.sparkContext.defaultParallelism
+    d = T(spark, sf_dir, "documents")
+    s3 = _curation_text_funnel(spark, d)
+    # --- stage 4: image near-dup keep-min over the funnel survivors ---
+    ids3 = s3.select("doc_id").repartition(par, "doc_id")
+    png = mm.synth_png_blocky(ids3, "doc_id")
+    fpi = similarity._persist_rotating(
+        "cur_all_img_fps", mm.dhash64(png, "payload", "doc_id")
+    )
+    drop4 = (
+        dedup.fingerprint_hamming_pairs(fpi, "doc_id", max_hamming=3, blocks=4)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s4 = similarity._persist_rotating(
+        "cur_all_s4", s3.join(drop4, "doc_id", "left_anti")
+    )
+    # --- stage 5: audio near-dup keep-min over the image survivors ---
+    ids4 = s4.select("doc_id").repartition(par, "doc_id")
+    wav = mm.synth_wav_am(ids4, "doc_id")
+    fpa = similarity._persist_rotating(
+        "cur_all_aud_fps", mm.audio_fingerprint64(wav, "payload", "doc_id")
+    )
+    drop5 = (
+        dedup.fingerprint_hamming_pairs(fpa, "doc_id", max_hamming=3, blocks=4)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s5 = similarity._persist_rotating(
+        "cur_all_s5", s4.join(drop5, "doc_id", "left_anti")
+    )
+    # --- stage 6: video keyframe keep-min over the audio survivors ---
+    kf = _video_keyframes_from(s5.select("doc_id"))
+    drop6 = (
+        _video_pair_rollup(
+            dedup.key_collision_pairs(kf, "frame_md5", "doc_id", max_key_df=4096)
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s6 = s5.join(drop6, "doc_id", "left_anti").select("doc_id", "n_chars")
+    # --- stage 7: shard manifest pins the four-modality survivor set ---
+    return _shard_manifest(s6)

@@ -1,0 +1,2213 @@
+"""Dedup family: exact / MinHash-LSH / SimHash / winnowing / suffix-span / containment dedup and decontamination.
+
+Split out of plans/pipeline.py (same registrations, same semantics);
+shared helpers live in pipeline.py, the aggregator that imports this
+module at the bottom.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+from pyspark.sql import functions as F
+
+from kwack_spark.functions import text as TX
+from kwack_spark.functions import vectors as V
+from kwack_spark.operators import asof, dedup, sampling, similarity
+from kwack_spark.plans.registry import register
+from kwack_spark.plans.relational import T
+from kwack_spark.plans.pipeline import (  # shared core
+    _COMP_CTES,
+    _COS,
+    _IVF_ASSIGNED_CTES,
+    _JAC,
+    _LSH_CTES,
+    _NORM,
+    _SHINGLES,
+    _SIMHASH64_CTES,
+    _SIMHASH64_HASHES,
+    _URL_CANON_CTES,
+    _URL_RAW_SQL,
+    _cos_sql,
+    _few_shuffle_partitions,
+    _lsh_plane_sign_sql,
+    _mh_sql,
+    _simhash64_sql,
+    _toks,
+    _url_raw_col,
+)
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+        WITH fps AS (
+            SELECT doc_id, md5({_NORM.format(c='text')}) AS fp FROM documents
+        ),
+        canon AS (
+            SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
+            FROM fps GROUP BY fp
+        )
+        SELECT f.doc_id, c.canonical_id, c.group_size, f.fp
+        FROM fps f JOIN canon c USING (fp)
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup_mapping(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        sh AS (SELECT doc_id, ({_SHINGLES}) AS sh FROM toks)
+        SELECT doc_id, {", ".join(_mh_sql(i) for i in range(8))}
+        FROM sh
+    """,
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(T(spark, sf_dir, "documents"), "doc_id", "text", k=8)
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH {_LSH_CTES}
+        SELECT c.id_a, c.id_b, {_JAC} AS jaccard
+        FROM cand c
+        JOIN ssets x ON x.doc_id = c.id_a
+        JOIN ssets y ON y.doc_id = c.id_b
+        WHERE {_JAC} >= 0.5
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", k=8, bands=2, threshold=0.5
+    )
+
+@register(
+    "dedup_cluster_components",
+    # transitive closure of the LSH pair list: the oracle walks the edge
+    # relation with a recursive CTE (min reachable id == component id),
+    # the Spark side iterates distributed min-label propagation
+    oracle=f"""
+        WITH RECURSIVE {_LSH_CTES},
+        {_COMP_CTES}
+        SELECT c.node AS doc_id, c.keep_id, s.cluster_size
+        FROM comp c
+        JOIN (SELECT keep_id, count(*) AS cluster_size FROM comp GROUP BY keep_id) s
+          USING (keep_id)
+    """,
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_cluster_components(spark, sf_dir):
+    """Duplicate-CLUSTER resolution (operators/graph.py): LSH pairs are only
+    edges — the keep/drop decision needs connected components.  Iterative
+    min-label propagation; every round is a distributed join + partial/final
+    min, only the convergence check is driver-side."""
+    from kwack_spark.operators import graph
+
+    pairs = dedup.minhash_lsh_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", k=8, bands=2, threshold=0.5
+    ).select("id_a", "id_b")
+    # the iteration rounds run INSIDE this function (convergence counts);
+    # a candidate-pair graph is orders of magnitude smaller than the corpus,
+    # so pin a small shuffle width for the rounds and restore after
+    with _few_shuffle_partitions(spark):
+        return graph.dedup_clusters(pairs)
+
+@register(
+    "dedup_cluster_size_histogram",
+    # the audit rollup after component resolution: how many duplicate
+    # clusters of each size exist, and how many documents they hold — the
+    # number a curation report quotes ("12% of the corpus sits in clusters
+    # of size >= 3").  Singletons (docs in no candidate pair) are not edges
+    # and so not counted: the histogram describes the DUPLICATED subset.
+    oracle=f"""
+        WITH RECURSIVE {_LSH_CTES},
+        {_COMP_CTES},
+        sizes AS (SELECT keep_id, count(*) AS cluster_size FROM comp GROUP BY keep_id)
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY cluster_size
+    """,
+    tags=("dedup", "graph", "stats"),
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Composition: LSH pairs -> distributed min-label components -> two
+    stacked metadata-sized aggregations.  At 100 TB the histogram is a
+    few hundred rows whatever the corpus; all the weight is in the
+    component iteration, which dedup_cluster_components already bounds."""
+    from kwack_spark.operators import graph
+
+    pairs = dedup.minhash_lsh_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", k=8, bands=2, threshold=0.5
+    ).select("id_a", "id_b")
+    with _few_shuffle_partitions(spark):
+        comp = graph.dedup_clusters(pairs)
+        sizes = comp.groupBy("keep_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+        return sizes.groupBy("cluster_size").agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+        )
+
+@register(
+    "dedup_keep_best_in_cluster",
+    # the keep/drop POLICY step after connected components: within each
+    # duplicate cluster, the canonical document is the longest one
+    # (n_chars, ties to the smaller doc_id); everything else is dropped.
+    # Same recursive-CTE component walk as dedup_cluster_components, then
+    # an argmax per cluster.
+    oracle=f"""
+        WITH RECURSIVE {_LSH_CTES},
+        {_COMP_CTES},
+        ranked AS (
+            SELECT c.keep_id, c.node,
+                   row_number() OVER (PARTITION BY c.keep_id
+                                      ORDER BY d.n_chars DESC, c.node) AS rn
+            FROM comp c JOIN documents d ON d.doc_id = c.node
+        ),
+        canon AS (SELECT keep_id, node AS canonical_id FROM ranked WHERE rn = 1)
+        SELECT c.node AS doc_id, c.keep_id, ca.canonical_id,
+               c.node = ca.canonical_id AS is_kept
+        FROM comp c JOIN canon ca USING (keep_id)
+        ORDER BY doc_id
+    """,
+    tags=("dedup", "graph", "policy"),
+)
+def dedup_keep_best_in_cluster(spark, sf_dir):
+    """Canonical-document selection inside duplicate clusters — the policy
+    pass real pipelines run after components: keep the longest doc per
+    cluster (tie: smaller id), drop the rest.  The cluster table is
+    candidate-graph-sized (orders of magnitude below the corpus), so the
+    per-cluster argmax window and the doc-length join both run at that
+    reduced scale; only the length lookup touches the documents table, as
+    a semi-joined narrow projection."""
+    from kwack_spark.operators import graph
+
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=8, bands=2, threshold=0.5
+    ).select("id_a", "id_b")
+    with _few_shuffle_partitions(spark):
+        comp = graph.dedup_clusters(pairs).select("doc_id", "keep_id")
+        lengths = docs.select("doc_id", "n_chars")
+        ranked = comp.join(lengths, "doc_id").withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("keep_id").orderBy(
+                    F.desc("n_chars"), "doc_id"
+                )
+            ),
+        )
+        canon = (
+            ranked.filter(F.col("rn") == 1)
+            .select("keep_id", F.col("doc_id").alias("canonical_id"))
+        )
+        return (
+            comp.join(F.broadcast(canon), "keep_id")
+            .select(
+                "doc_id",
+                "keep_id",
+                "canonical_id",
+                (F.col("doc_id") == F.col("canonical_id")).alias("is_kept"),
+            )
+            .orderBy("doc_id")
+        )
+
+def _simhash_sql(bits: int = 16) -> str:
+    hexhi = "('8','9','a','b','c','d','e','f')"
+    parts = [
+        f"CASE WHEN 2 * len(list_filter(tk, t -> substr(md5(t), {i + 1}, 1) IN {hexhi})) >= len(tk) THEN '1' ELSE '0' END"
+        for i in range(bits)
+    ]
+    return " || ".join(parts)
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents)
+        SELECT doc_id, {_simhash_sql(16)} AS simhash FROM toks
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_fingerprints(T(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+
+# shared CTE chain: shingle-MinHash band candidates ('t<g>:' seed family)
+# over (token set, shingle set) — used by dedup_ngram_jaccard and
+# dedup_containment; mirrors operators/dedup.py:_shingle_band_candidates
+_TBAND_CTES = f"""toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        t AS (
+            SELECT doc_id, list_distinct(tk) AS ts,
+                   list_distinct(({_SHINGLES})) AS sh
+            FROM toks
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   {", ".join(f"list_min(list_transform(sh, x -> substr(md5('t{i // 4}:' || x), {(i % 4) * 8 + 1}, 8))) AS mh{i}" for i in range(8))}
+            FROM t
+        ),
+        exploded AS (
+            SELECT doc_id,
+                   unnest([{", ".join(f"'{b}:' || md5(concat_ws('|', mh{b * 2}, mh{b * 2 + 1}))" for b in range(4))}]) AS band_key
+            FROM sigs
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM exploded a JOIN exploded b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )"""
+
+@register(
+    "dedup_ngram_jaccard",
+    # Band-blocked (see operators/dedup.py): candidates collide in a
+    # *shingle*-set MinHash band ('t<g>:' seed family), never an attribute
+    # block or a token-set band — token-set MinHash degenerates to ~n²
+    # buckets on stopword-heavy corpora.
+    oracle=f"""
+        WITH {_TBAND_CTES}
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.ts, y.ts))) AS jaccard
+        FROM cand c
+        JOIN t x ON x.doc_id = c.id_a
+        JOIN t y ON y.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+                  / len(list_distinct(list_concat(x.ts, y.ts))) >= 0.9
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9
+    )
+
+@register(
+    "dedup_containment",
+    # directed containment |sh_src ∩ sh_dst| / |sh_src| over the same band
+    # candidates — catches a doc embedded in a larger one, which symmetric
+    # Jaccard misses
+    oracle=f"""
+        WITH {_TBAND_CTES},
+        directed AS (
+            SELECT id_a AS src_id, id_b AS dst_id FROM cand
+            UNION ALL
+            SELECT id_b AS src_id, id_a AS dst_id FROM cand
+        )
+        SELECT d.src_id, d.dst_id,
+               CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh)
+                   AS containment
+        FROM directed d
+        JOIN t x ON x.doc_id = d.src_id
+        JOIN t y ON y.doc_id = d.dst_id
+        WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh) >= 0.8
+    """,
+    tags=("dedup", "containment"),
+)
+def dedup_containment(spark, sf_dir):
+    return dedup.containment_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    )
+
+_DUP_COS = _cos_sql("a", "b")
+
+@register(
+    "dedup_embedding_cosine",
+    # Embedding-cosine near-dup resolution: LSH-blocked pairs >= threshold,
+    # reduced to one (dup_id -> keep_id) decision per duplicate.  The full
+    # pipeline (md5-parity hyperplanes, bucket self-join, min-id keeper) is
+    # expressible in DuckDB, so this is hash-checked end to end.
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(4))} AS bucket FROM v),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DUP_COS} AS cosine
+            FROM sig a JOIN sig b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE {_DUP_COS} >= 0.35
+        )
+        SELECT id_b AS dup_id, min(id_a) AS keep_id,
+               min_by(cosine, id_a) AS cosine
+        FROM pairs GROUP BY id_b
+    """,
+    tags=("dedup", "embedding", "lsh"),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    return similarity.embedding_dup_keepers(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        planes=4, dim=64, threshold=0.35,
+    )
+
+@register(
+    "semdedup_cluster_prune",
+    # SemDeDup: cluster embeddings (same deterministic IVF as ann_ivf_topk),
+    # prune within-cluster near-dups keeping the lowest id per neighborhood
+    oracle=f"""
+        WITH {_IVF_ASSIGNED_CTES},
+        dup AS (
+            SELECT x.corpus_id AS vec_id, min(y.corpus_id) AS kept_by
+            FROM assigned x JOIN assigned y USING (list_id)
+            WHERE x.corpus_id > y.corpus_id
+              AND list_dot_product(x.v, y.v)
+                  / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4
+            GROUP BY x.corpus_id
+        )
+        SELECT a.corpus_id AS vec_id, a.list_id,
+               (d.kept_by IS NOT NULL) AS pruned, d.kept_by
+        FROM assigned a LEFT JOIN dup d ON d.vec_id = a.corpus_id
+    """,
+    tags=("dedup", "semantic", "semdedup", "clustering"),
+)
+def semdedup_cluster_prune(spark, sf_dir):
+    """SemDeDup over the embeddings table (similarity.semdedup_prune):
+    cluster the embedding space with the SAME deterministic IVF centroids
+    ann_ivf_topk uses, then prune every vector with a lower-id
+    within-cluster neighbor at cosine >= 0.4 — the cluster-then-prune
+    curation stage that makes semantic dedup tractable at 100 TB (pairwise
+    cost is quadratic only inside a cluster; cross-cluster dups are the
+    accepted recall trade)."""
+    from kwack_spark.operators.scale import widen_if_narrow
+
+    e = widen_if_narrow(T(spark, sf_dir, "embeddings"))
+    return similarity.semdedup_prune(
+        e, "vec_id", "embedding", n_lists=16, threshold=0.4, refine_iters=1
+    )
+
+@register(
+    "cross_doc_repeated_ngrams",
+    # passage-repetition mining: 3-gram shingles appearing in >= 2 distinct
+    # documents, with how many and the first doc — the shingle-level signal
+    # behind exact-substring (suffix-array) training-data dedup
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s
+            FROM toks
+        )
+        SELECT s, CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS first_doc
+        FROM sh GROUP BY s HAVING count(*) >= 2
+    """,
+    tags=("dedup", "text"),
+)
+def cross_doc_repeated_ngrams(spark, sf_dir):
+    """Cross-document repeated-passage mining: which 3-gram shingles occur
+    in two or more documents, and where first.  One shuffle on the shingle
+    key with partial aggregation (map-side combine collapses within-doc
+    repeats via array_distinct before the explode); the HAVING filter
+    happens in the final aggregate, so only repeated shingles leave it.
+    At 100 TB this is the candidate-passage stage the exact-substring
+    operator (`dedup_suffix_exact_spans`) refines to maximal spans."""
+    d = T(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.shingles(TX.tokens("text"), 3))).alias("s"),
+    )
+    return (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+@register(
+    "dedup_suffix_exact_spans",
+    # exact-substring dedup (Lee et al. 2022 ExactSubstr; r07 VERDICT ask
+    # #2): every MAXIMAL token run in which each width-50 window occurs
+    # verbatim >= 2 times corpus-wide, with its exact text (a SUPERSET of
+    # spans that duplicate as a whole — consecutive anchors may chain
+    # matches against different partners).  The oracle replays the
+    # same anchor -> verify -> islands pipeline: width-50 window hashes per
+    # position, windows seen >= 2x, full-string verify, consecutive
+    # positions merged by gaps-and-islands, span text sliced back out.
+    oracle=f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, tk FROM (SELECT doc_id, {_toks()} AS tk FROM documents)
+            WHERE len(tk) >= 50
+        ),
+        anch AS (
+            SELECT doc_id, p AS pos,
+                   md5(array_to_string(tk[p : p + 49], ' ')) AS h
+            FROM toks, unnest(range(1, len(tk) - 48)) AS t(p)
+        ),
+        dup AS (SELECT h FROM anch GROUP BY h HAVING count(*) >= 2),
+        hver AS (
+            SELECT a.doc_id, a.pos,
+                   array_to_string(t.tk[a.pos : a.pos + 49], ' ') AS s
+            FROM (SELECT anch.doc_id, anch.pos
+                  FROM anch JOIN dup USING (h)) a
+            JOIN toks t USING (doc_id)
+        ),
+        sdup AS (SELECT s FROM hver GROUP BY s HAVING count(*) >= 2),
+        hits AS (
+            SELECT doc_id, pos FROM hver JOIN sdup USING (s)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM hits
+        ),
+        spans AS (
+            SELECT doc_id, min(pos) AS a, max(pos) + 49 AS b
+            FROM isl GROUP BY doc_id, grp
+        )
+        SELECT s.doc_id,
+               CAST(s.a AS BIGINT) AS span_start,
+               CAST(s.b - s.a + 1 AS BIGINT) AS span_tokens,
+               array_to_string(t.tk[s.a : s.b], ' ') AS span_text
+        FROM spans s JOIN toks t USING (doc_id)
+    """,
+    tags=("dedup", "text", "exact-substring", "suffix"),
+)
+def dedup_suffix_exact_spans(spark, sf_dir):
+    """Suffix-array-style EXACT duplicated-span mining >= 50 tokens
+    (operators/dedup.py:exact_duplicate_spans — see its docstring for the
+    equivalence proof and the 100-TB shape: hashed-anchor groupBy stands in
+    for the global suffix sort, the verify stage re-checks full window text
+    on candidates only, islands merge is per-document).  This is the exact
+    operator `cross_doc_repeated_ngrams` approximates at the 3-gram
+    level."""
+    return dedup.exact_duplicate_spans(
+        T(spark, sf_dir, "documents"), "doc_id", "text", min_tokens=50
+    )
+
+@register(
+    "decontaminate_semantic",
+    # SEMANTIC decontamination: the embedding-space screen that catches
+    # paraphrased eval contamination the n-gram/Bloom passes
+    # (decontaminate_ngram_overlap, bloom_decontaminate) structurally
+    # cannot — per corpus vector, the nearest EVAL-set vector by cosine
+    # and a threshold flag.  Eval set = vec_id % 97 == 0 (the held-out
+    # benchmark stand-in); tau = 0.4 is keyed to the synthetic embedding
+    # distribution so both flag values occur (a production run calibrates
+    # tau on known-contaminated pairs).  Ranking ties break on eval id.
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT * FROM v WHERE vec_id % 97 <> 0),
+        c AS (SELECT * FROM v WHERE vec_id % 97 = 0),
+        pairs AS (
+            SELECT q.vec_id AS vec_id, c.vec_id AS eval_id, {_COS} AS cosine
+            FROM q JOIN c ON true
+        ),
+        ranked AS (
+            SELECT vec_id, eval_id, cosine,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cosine DESC, eval_id) AS rnk
+            FROM pairs
+        )
+        SELECT vec_id, eval_id, cosine AS max_cos,
+               cosine >= 0.4 AS contaminated
+        FROM ranked WHERE rnk = 1
+    """,
+    tags=("decontamination", "embedding", "similarity", "quality-gate"),
+)
+def decontaminate_semantic(spark, sf_dir):
+    """Embedding-space train/eval decontamination: every corpus vector
+    reports its nearest eval-set vector and whether it crosses the
+    contamination threshold.  100-TB shape: the eval set is SMALL by
+    nature (benchmarks are thousands of rows) — it broadcasts as the
+    index side of brute_force_topk_vectorized's BLAS scan and the corpus
+    streams through in Arrow batches emitting one row each; no
+    corpus-keyed shuffle at all.  The same call degrades gracefully past
+    the broadcast cap (role inversion) like every ANN entry point."""
+    e = T(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") % 97 == 0)
+    corpus = e.filter(F.col("vec_id") % 97 != 0)
+    top = similarity.brute_force_topk_vectorized(
+        ev, corpus, "vec_id", "embedding", k=1
+    )
+    return top.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("corpus_id").alias("eval_id"),
+        F.col("cosine").alias("max_cos"),
+        (F.col("cosine") >= 0.4).alias("contaminated"),
+    )
+
+@register(
+    "dedup_incremental_new_docs",
+    # incremental curation: an arriving batch (hash-split 20%) is admitted
+    # only if its content fingerprint is unseen in the historical 80% — a
+    # broadcast/shuffle anti-join on md5, the shape of a daily ingest dedup
+    oracle="""
+        WITH hist AS (
+            SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS fp
+            FROM documents
+            WHERE substr(md5('inc:' || doc_id::VARCHAR), 1, 4) >= '3334'
+        ),
+        batch AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS fp
+            FROM documents
+            WHERE substr(md5('inc:' || doc_id::VARCHAR), 1, 4) < '3334'
+        )
+        SELECT b.doc_id, b.fp
+        FROM batch b ANTI JOIN hist h ON b.fp = h.fp
+    """,
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental_new_docs(spark, sf_dir):
+    """Incremental exact dedup (the daily-batch shape): anti-join the new
+    batch's content fingerprints against the historical fingerprint set.
+    At 100 TB the historical side is a bucketed fingerprint table so the
+    anti-join co-locates; here both sides derive from one scan and the
+    20% batch split is the deterministic hash sample."""
+    d = T(spark, sf_dir, "documents")
+    fp = F.md5(TX.normalize("text")).alias("fp")
+    split = F.substring(F.md5(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))), 1, 4)
+    hist = d.filter(split >= "3334").select(fp).distinct()
+    batch = d.filter(split < "3334").select("doc_id", fp)
+    return batch.join(hist, "fp", "left_anti").select("doc_id", "fp")
+
+@register(
+    "dedup_lsh_recall",
+    # the dedup twin of ann_ivf_recall: LSH's candidate recall against the
+    # exact all-pairs Jaccard ground truth at the same threshold.  The
+    # truth side is bounded to a DETERMINISTIC hash-ordered sample of 1000
+    # docs (inert at grading scale; at sf0.1+ it keeps the O(n²) audit a
+    # constant-size spot check, which is exactly how it runs at 100 TB).
+    oracle=f"""
+        WITH sdocs AS (
+            SELECT doc_id, text FROM documents
+            ORDER BY md5('lshr:' || doc_id::VARCHAR) LIMIT 1000
+        ),
+        {_LSH_CTES.replace("FROM documents", "FROM sdocs")},
+        lsh_pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+        ),
+        truth AS (
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM ssets x JOIN ssets y ON x.doc_id < y.doc_id
+            WHERE {_JAC} >= 0.5
+        )
+        SELECT (SELECT count(*) FROM truth) AS n_truth,
+               count(*) AS n_found,
+               CAST(count(*) AS DOUBLE)
+                   / (SELECT count(*) FROM truth) AS recall
+        FROM lsh_pairs p JOIN truth t ON p.id_a = t.id_a AND p.id_b = t.id_b
+    """,
+    tags=("dedup", "lsh", "quality-gate"),
+)
+def dedup_lsh_recall(spark, sf_dir):
+    """Candidate recall of the banded LSH pair stage vs the exact all-pairs
+    ground truth (Jaccard >= 0.5): the audit every approximate dedup must
+    publish.  The O(n²) truth side runs over a deterministic hash-ordered
+    1000-doc sample — the constant-size spot check a 100 TB corpus audits
+    with, and the full fixture at grading scale."""
+    from pyspark import StorageLevel
+
+    d = (
+        T(spark, sf_dir, "documents")
+        .orderBy(F.md5(F.concat(F.lit("lshr:"), F.col("doc_id").cast("string"))))
+        .limit(1000)
+    )
+    base = d.select(
+        "doc_id",
+        F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.cast("double").alias("j"))
+        .filter(F.col("j") >= 0.5)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # band keys + verify reuse `base` — handing minhash_lsh_pairs the raw
+    # table would re-run the dominant tokenize+shingle pass a second time
+    keys = dedup.lsh_band_keys(base, "doc_id", k=8, bands=2)
+    ka, kb = keys.alias("ka"), keys.alias("kb")
+    cand = (
+        ka.join(
+            kb,
+            (F.col("ka.band_key") == F.col("kb.band_key"))
+            & (F.col("ka.doc_id") < F.col("kb.doc_id")),
+        )
+        .select(F.col("ka.doc_id").alias("id_a"), F.col("kb.doc_id").alias("id_b"))
+        .distinct()
+    )
+    lsh = cand.join(a, "id_a").join(b, "id_b").filter(jac >= 0.5).select("id_a", "id_b")
+    n_truth = truth.count()
+    n_found = lsh.join(truth, ["id_a", "id_b"]).count()
+    base.unpersist()
+    truth.unpersist()
+    import pyspark.sql.types as T_
+
+    # NULL recall on an empty truth set, matching DuckDB's x/0 -> NULL
+    return spark.createDataFrame(
+        [(n_truth, n_found, float(n_found) / n_truth if n_truth else None)],
+        T_.StructType(
+            [
+                T_.StructField("n_truth", T_.LongType(), False),
+                T_.StructField("n_found", T_.LongType(), False),
+                T_.StructField("recall", T_.DoubleType(), True),
+            ]
+        ),
+    )
+
+_ILSH_SPLIT = "substr(md5('ilsh:' || doc_id::VARCHAR), 1, 4)"
+
+@register(
+    "dedup_incremental_lsh",
+    # incremental NEAR-dup: the arriving batch (hash-split 20%) probes the
+    # historical corpus's persisted band-key index; only band collisions are
+    # Jaccard-verified.  Work is O(|batch|) + index probe — history is never
+    # re-shingled at scale.
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, text,
+                   CASE WHEN {_ILSH_SPLIT} < '3334' THEN 'b' ELSE 'h' END AS side
+            FROM documents
+        ),
+        toks AS (SELECT doc_id, side, {_toks()} AS tk FROM docs),
+        shs AS (SELECT doc_id, side, ({_SHINGLES}) AS sh FROM toks),
+        sigs AS (
+            SELECT doc_id, side, {", ".join(_mh_sql(i) for i in range(8))} FROM shs
+        ),
+        banded AS (
+            SELECT doc_id, side,
+                   md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS band0,
+                   md5(concat_ws('|', mh4, mh5, mh6, mh7)) AS band1
+            FROM sigs
+        ),
+        exploded AS (
+            SELECT doc_id, side, unnest(['0:' || band0, '1:' || band1]) AS band_key
+            FROM banded
+        ),
+        cand AS (
+            SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS hist_id
+            FROM exploded b JOIN exploded h
+              ON b.band_key = h.band_key AND b.side = 'b' AND h.side = 'h'
+        ),
+        ssets AS (SELECT doc_id, list_distinct(sh) AS s FROM shs)
+        SELECT c.doc_id, c.hist_id, {_JAC} AS jaccard
+        FROM cand c
+        JOIN ssets x ON x.doc_id = c.doc_id
+        JOIN ssets y ON y.doc_id = c.hist_id
+        WHERE {_JAC} >= 0.5
+    """,
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def dedup_incremental_lsh(spark, sf_dir):
+    """Daily-ingest near-dup rejection: which new docs are near-dups of the
+    historical corpus?  Band-key equi join against history's LSH index +
+    exact-Jaccard verify (operators/dedup.py:incremental_lsh_new_dups)."""
+    d = T(spark, sf_dir, "documents")
+    split = F.substring(
+        F.md5(F.concat(F.lit("ilsh:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    hist = d.filter(split >= "3334")
+    batch = d.filter(split < "3334")
+    return dedup.incremental_lsh_new_dups(
+        hist, batch, "doc_id", "text", k=8, bands=2, threshold=0.5
+    )
+
+@register(
+    "dedup_lsh_edit_verify",
+    # LSH band candidates verified by EDIT similarity instead of Jaccard:
+    # 1 - levenshtein/greatest(len) over the normalized 200-char prefix —
+    # integer edit distance is bit-free, so the score is exact on both
+    # engines.  The prefix cap bounds the O(len²) DP at scale.
+    oracle=f"""
+        WITH {_LSH_CTES},
+        ntext AS (
+            SELECT doc_id,
+                   substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 200) AS nt
+            FROM documents
+        )
+        SELECT id_a, id_b, edit_sim FROM (
+            SELECT c.id_a, c.id_b,
+                   CASE WHEN greatest(len(x.nt), len(y.nt)) = 0 THEN NULL
+                        ELSE CAST(1.0 - CAST(levenshtein(x.nt, y.nt) AS DOUBLE)
+                                  / greatest(len(x.nt), len(y.nt)) AS DOUBLE)
+                   END AS edit_sim
+            FROM cand c
+            JOIN ntext x ON x.doc_id = c.id_a
+            JOIN ntext y ON y.doc_id = c.id_b
+        ) WHERE edit_sim >= 0.6
+    """,
+    tags=("dedup", "lsh", "edit-distance"),
+)
+def dedup_lsh_edit_verify(spark, sf_dir):
+    """Fuzzy dedup with an edit-distance verifier: MinHash-LSH candidates
+    (same band scheme as dedup_minhash_lsh) scored by normalized Levenshtein
+    similarity on the 200-char normalized prefix.  Set-based Jaccard misses
+    transpositions and small in-place edits that edit distance catches; the
+    prefix cap keeps the quadratic DP bounded regardless of document size."""
+    from pyspark import StorageLevel
+
+    d = T(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    keys = dedup.lsh_band_keys(base, "doc_id", k=8, bands=2)
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ntext = d.select(
+        "doc_id", F.substring(TX.normalize("text"), 1, 200).alias("nt")
+    )
+    # CASE-guard the division: two empty normalized prefixes share every
+    # band key (empty shingle), and 0/0 would abort the job under Spark 4's
+    # default ANSI mode — the guard makes the pair NULL, which the
+    # threshold filter then drops on both engines.
+    maxlen = F.greatest(F.length("nt_a"), F.length("nt_b"))
+    sim = F.when(
+        maxlen > 0,
+        F.lit(1.0) - F.levenshtein("nt_a", "nt_b").cast("double") / maxlen,
+    )
+    return (
+        cand.join(ntext.select(F.col("doc_id").alias("id_a"), F.col("nt").alias("nt_a")), "id_a")
+        .join(ntext.select(F.col("doc_id").alias("id_b"), F.col("nt").alias("nt_b")), "id_b")
+        .select("id_a", "id_b", sim.cast("double").alias("edit_sim"))
+        .filter(F.col("edit_sim") >= 0.6)
+    )
+
+@register(
+    "passage_dedup_rewrite",
+    # corpus-level repeated-passage removal WITH document rewrite (the
+    # C4/MassiveText cleanup): 20-word passages, global first occurrence
+    # (ordered by doc_id, position) keeps its place, every later copy is
+    # cut, and each document is reassembled from its surviving passages.
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        d AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
+        s AS (
+            SELECT doc_id, tk,
+                   unnest(generate_series(0, len(tk) - 1, 20)) AS start
+            FROM d
+        ),
+        chunks AS (
+            SELECT doc_id, CAST(start // 20 AS INTEGER) AS chunk_id,
+                   array_to_string(tk[start + 1 : start + 20], ' ') AS chunk
+            FROM s
+        ),
+        ranked AS (
+            SELECT doc_id, chunk_id, chunk,
+                   row_number() OVER (
+                       PARTITION BY md5(chunk) ORDER BY doc_id, chunk_id
+                   ) AS occ
+            FROM chunks
+        )
+        SELECT doc_id,
+               nullif(string_agg(chunk, ' ' ORDER BY chunk_id)
+                          FILTER (WHERE occ = 1), '') AS clean_text,
+               CAST(count(*) FILTER (WHERE occ = 1) AS BIGINT) AS n_kept,
+               CAST(count(*) FILTER (WHERE occ > 1) AS BIGINT) AS n_dropped
+        FROM ranked
+        GROUP BY doc_id
+    """,
+    tags=("dedup", "passage", "rewrite"),
+)
+def passage_dedup_rewrite(spark, sf_dir):
+    """Repeated-passage removal with reassembly: chunk every doc into
+    20-word passages (narrow), find each passage's global first occurrence
+    with one window over the passage hash (one shuffle, uniformly
+    distributed md5 keys), then rebuild documents from surviving passages
+    (one shuffle back on doc_id).  Two shuffles total at any scale — the
+    passage table never materializes more than (corpus tokens / 20) rows."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens("text").alias("tk")).where(F.size("tk") > 0)
+    s = toks.select(
+        "doc_id",
+        "tk",
+        F.posexplode(F.sequence(F.lit(0), F.size("tk") - 1, F.lit(20))).alias(
+            "chunk_id", "start"
+        ),
+    )
+    chunks = s.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(F.slice("tk", F.col("start") + 1, F.lit(20)), " ").alias("chunk"),
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_id")
+    ranked = chunks.withColumn("occ", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("occ") == 1, F.struct(F.col("chunk_id"), F.col("chunk"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.nullif(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda e: e.getField("chunk"),
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("occ") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("occ") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+
+@register(
+    "prefix_duplicate_groups",
+    # boilerplate-header detection: documents sharing an identical first-16
+    # -token prefix (md5 of the joined prefix) — the scraped-page template
+    # family exact n-gram dedup misses when tails differ.
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_slice({_toks()}, 1, 16), ' '))
+                       AS prefix_hash
+            FROM documents
+            WHERE len({_toks()}) >= 16
+        )
+        SELECT prefix_hash,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS keep_id,
+               array_to_string(list_sort(list(doc_id)), '|') AS members
+        FROM t
+        GROUP BY prefix_hash
+        HAVING count(*) > 1
+        ORDER BY n_docs DESC, prefix_hash
+    """,
+    tags=("dedup", "prefix", "boilerplate"),
+)
+def prefix_duplicate_groups(spark, sf_dir):
+    """Shared-prefix duplicate families.  One narrow pass computes a
+    16-token prefix hash riding the scan; one groupBy on the hash (uniform
+    md5 key — no skew) yields the family table with a canonical keeper.
+    Catches template/boilerplate fan-out whose bodies diverge too much for
+    shingle-Jaccard to pair."""
+    d = T(spark, sf_dir, "documents")
+    tk = TX.tokens("text")
+    t = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(tk, 1, 16))).alias("prefix_hash"),
+    ).filter(F.size(tk) >= 16)
+    return (
+        t.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda c: c.cast("string"),
+                ),
+            ).alias("members"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "prefix_hash")
+    )
+
+@register(
+    "semantic_dedup_verify",
+    # cross-modal near-dup audit (documents ⋈ embeddings on aligned ids):
+    # embedding-LSH candidate pairs above a cosine floor, each verified
+    # against token-set Jaccard of the paired texts.  confirmed = the text
+    # agrees; a high-cosine/low-jaccard row is a paraphrase candidate —
+    # exactly the split a semantic-dedup pass needs before deciding to drop.
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(4))} AS bucket FROM v),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql("a", "b")} AS cosine
+            FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE {_cos_sql("a", "b")} >= 0.3
+        ),
+        t AS (SELECT doc_id, list_distinct({_toks()}) AS ts FROM documents)
+        SELECT p.id_a, p.id_b, p.cosine,
+               CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.ts, y.ts))) AS jaccard,
+               CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.ts, y.ts))) >= 0.5 AS confirmed
+        FROM pairs p
+        JOIN t x ON x.doc_id = p.id_a
+        JOIN t y ON y.doc_id = p.id_b
+    """,
+    tags=("dedup", "similarity", "cross-modal"),
+)
+def semantic_dedup_verify(spark, sf_dir):
+    """Semantic dedup with text verification: embedding-LSH pairs (cosine >=
+    0.3) joined to the documents table on the aligned id and scored with
+    exact token-set Jaccard.  Scale shape: inherits the LSH bucket shuffle;
+    the text verify is two id-equi joins feeding a narrow array intersect —
+    candidate-count-sized, never corpus².  At 100 TB the id join keys are
+    co-partitioned with the corpus tables, so both joins shuffle only the
+    (small) candidate set."""
+    from kwack_spark.operators.scale import widen_if_narrow
+
+    e = T(spark, sf_dir, "embeddings")
+    d = widen_if_narrow(T(spark, sf_dir, "documents"))
+    pairs = similarity.lsh_bucketed_pairs(
+        e, "vec_id", "embedding", planes=4, dim=64, threshold=0.3
+    )
+    ts = d.select(F.col("doc_id"), TX.token_set("text").alias("ts"))
+    ta = ts.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"))
+    tb = ts.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    jac = (
+        F.size(F.array_intersect("ts_a", "ts_b"))
+        / F.size(F.array_union("ts_a", "ts_b"))
+    ).cast("double")
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "cosine",
+            jac.alias("jaccard"),
+            (jac >= 0.5).alias("confirmed"),
+        )
+    )
+
+@register(
+    "dedup_simhash_hamming",
+    # multi-block pigeonhole blocking (Manku et al. WWW'07) at the paper's
+    # production width: any pair within Hamming distance 3 of a 64-bit
+    # simhash agrees exactly on one of 4 16-bit slices, so candidates come
+    # from slice-equality joins over 65,536 buckets/block, never all pairs;
+    # the verify is one bit_count(xor) per candidate.  Exact md5 bit
+    # arithmetic on both engines covers blocking AND verify.
+    oracle=f"""
+        WITH {_SIMHASH64_CTES},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.fp AS fp_a, b.fp AS fp_b
+            FROM sliced a JOIN sliced b
+              ON a.blk = b.blk AND a.slc = b.slc AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(fp_a, fp_b)) <= 3
+        ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "simhash", "hamming"),
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    """Hamming-metric near-dup pairs over 64-bit SimHash fingerprints
+    (operators/dedup.py:simhash64_hamming_pairs) — the WWW'07 web-crawl
+    dedup shape: 16-bit-slice blocking bounds candidates (the 8-bit-slice
+    32-bit variant measured 112 s at sf0.1 — simhash majority-bits skew on
+    homogeneous corpora, so bucket count is the lever), a single
+    bit_count(fp_a ^ fp_b) LONG instruction verifies each.  Complements
+    MinHash-LSH (Jaccard metric) with the fixed-width fingerprint family
+    whose persisted index is 8 bytes/doc."""
+    from kwack_spark.operators import dedup
+
+    return dedup.simhash64_hamming_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+@register(
+    "dedup_simhash_hamming_d6",
+    # block-combination blocking (Manku WWW'07 §3) for Hamming budgets the
+    # single-slice pigeonhole can't reach: distance <= 6 of a 64-bit
+    # simhash leaves >= 2 of 8 8-bit slices untouched, so some slice PAIR
+    # matches exactly — C(8,2)=28 combo tables, each keyed by the same
+    # 16 bits that keep the d<=3 family's buckets flat.  Exact md5 bit
+    # arithmetic on both engines covers blocking AND verify.
+    oracle=f"""
+        WITH {_SIMHASH64_CTES},
+        combo AS (
+            SELECT f.doc_id, f.fp, b1.blk AS c1, b2.blk AS c2,
+                   ((f.fp >> (b1.blk * 8)) & 255) * 256
+                   + ((f.fp >> (b2.blk * 8)) & 255) AS key
+            FROM fps f,
+                 (SELECT unnest([0,1,2,3,4,5,6,7]) AS blk) b1,
+                 (SELECT unnest([0,1,2,3,4,5,6,7]) AS blk) b2
+            WHERE b1.blk < b2.blk
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.fp AS fp_a, b.fp AS fp_b
+            FROM combo a JOIN combo b
+              ON a.c1 = b.c1 AND a.c2 = b.c2 AND a.key = b.key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(fp_a, fp_b)) <= 6
+        ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "simhash", "hamming", "combo"),
+)
+def dedup_simhash_hamming_d6(spark, sf_dir):
+    """Wider-budget Hamming near-dup via block-combo tables
+    (operators/dedup.py:simhash64_hamming_pairs_combo) — the escape hatch
+    the d<=3 family's docstrings promise for when a corpus outgrows its
+    slice space: 28 combo tables hold the 65,536-bucket key width while
+    reaching distance 6.  Work is 3.5x the single-slice explode but still
+    n-linear; one bit_count verifies each distinct collision."""
+    from kwack_spark.operators import dedup
+
+    return dedup.simhash64_hamming_pairs_combo(
+        T(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6, blocks=8
+    ).orderBy("id_a", "id_b")
+
+@register(
+    "simhash_slice_occupancy",
+    # Bucket-occupancy audit for the 64-bit SimHash slice index: per block,
+    # how many buckets exist, the worst and mean occupancy, and the
+    # candidate-pair mass sum(c*(c-1)/2) its self-join will generate — the
+    # observability a blocked join must publish at 100 TB to prove its
+    # buckets stayed flat (superlinear n_cand_pairs growth is the signal to
+    # move to block-combo tables; see operators/dedup.py docstring).
+    oracle=f"""
+        WITH {_SIMHASH64_CTES},
+        per_bucket AS (
+            SELECT blk, slc, count(*) AS c FROM sliced GROUP BY 1, 2
+        )
+        SELECT blk, count(*) AS n_buckets,
+               CAST(max(c) AS BIGINT) AS max_occupancy,
+               CAST(SUM(c) AS DOUBLE) / count(*) AS mean_occupancy,
+               CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_cand_pairs
+        FROM per_bucket GROUP BY blk ORDER BY blk
+    """,
+    tags=("dedup", "simhash", "audit", "observability"),
+)
+def simhash_slice_occupancy(spark, sf_dir):
+    """Measured-occupancy guard for SimHash pigeonhole blocking
+    (operators/dedup.py:simhash64_block_occupancy) — the Hamming-metric
+    sibling of the auto_planes occupancy policy: auto_planes *holds*
+    occupancy by growing the bucket space with n; a fixed 64-bit slice
+    index instead *audits* it, and this query is the audit."""
+    from kwack_spark.operators import dedup
+
+    return dedup.simhash64_block_occupancy(
+        T(spark, sf_dir, "documents"), "doc_id", "text", blocks=4
+    )
+
+@register(
+    "dedup_url_canonical",
+    # URL/domain-normalized page-identity dedup: canonicalize every raw
+    # URL (functions/text.py:canonical_url — scheme/fragment dropped, host
+    # lowercased, www./default ports stripped, trailing slash trimmed,
+    # tracking params removed, remaining params sorted), then exact-group
+    # on the canonical key.  The crawl-dedup step that runs BEFORE any
+    # content hashing: re-crawls of one page under cosmetic URL variants
+    # never reach the expensive text pipeline.
+    oracle=f"""
+        WITH u AS (SELECT doc_id, {_URL_RAW_SQL} AS raw_url FROM documents),
+        {_URL_CANON_CTES}
+        SELECT canon_url,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT raw_url) AS BIGINT) AS n_variants,
+               min(doc_id) AS keep_id
+        FROM c GROUP BY canon_url HAVING count(*) > 1
+        ORDER BY canon_url
+    """,
+    tags=("dedup", "url", "crawl"),
+)
+def dedup_url_canonical(spark, sf_dir):
+    """One narrow pass builds the canonical key (pure JVM regex/array
+    functions riding the scan — no UDF, no extra shuffle), one groupBy on
+    the canonical key (uniform string key, no skew beyond genuine
+    mega-duplicates, which AQE splits).  At 100 TB this is the cheapest
+    dedup stage in the pipeline and runs first."""
+    d = T(spark, sf_dir, "documents")
+    raw = _url_raw_col()
+    u = d.select("doc_id", raw.alias("raw_url"))
+    c = u.select("doc_id", "raw_url", TX.canonical_url("raw_url").alias("canon_url"))
+    return (
+        c.groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw_url").alias("n_variants"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("canon_url")
+    )
+
+# The (bands, rows-per-band) grid evaluated over the shared k=8 signature,
+# with the S-curve threshold (1/b)^(1/r) computed ONCE here and injected
+# into both engines as the same literal (pow is not correctly-rounded).
+_BAND_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]
+
+_BAND_THRESHOLDS = {b: (1.0 / b) ** (1.0 / r) for b, r in _BAND_CONFIGS}
+
+def _band_keys_sql(b: int, r: int) -> str:
+    keys = ", ".join(
+        f"'{b}:{j}:' || md5(concat_ws('|', "
+        + ", ".join(f"mh{j * r + t}" for t in range(r))
+        + "))"
+        for j in range(b)
+    )
+    return f"SELECT doc_id, {b} AS b, unnest([{keys}]) AS band_key FROM sigs"
+
+@register(
+    "minhash_band_calibration",
+    # LSH parameter sweep: for every (bands, rows-per-band) split of the
+    # k=8 MinHash signature, count the candidate pairs the banding emits
+    # and how many survive exact-Jaccard >= 0.5 verification — the
+    # precision/recall trade the S-curve threshold (1/b)^(1/r) predicts.
+    # This is the tuning table a dedup pipeline builds on a sample before
+    # committing a band config to the full corpus.
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        shs AS (SELECT doc_id, ({_SHINGLES}) AS sh FROM toks),
+        sigs AS MATERIALIZED (
+            SELECT doc_id, {", ".join(_mh_sql(i) for i in range(8))} FROM shs
+        ),
+        ex AS ({" UNION ALL ".join(_band_keys_sql(b, r) for b, r in _BAND_CONFIGS)}),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT a.b, a.doc_id AS id_a, b2.doc_id AS id_b
+            FROM ex a JOIN ex b2
+              ON a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+        ),
+        pairs AS MATERIALIZED (
+            SELECT DISTINCT id_a, id_b FROM cand
+        ),
+        ssets AS (SELECT doc_id, list_distinct(sh) AS s FROM shs),
+        jac AS MATERIALIZED (
+            SELECT p.id_a, p.id_b,
+                   CASE WHEN {_JAC} >= 0.5 THEN 1 ELSE 0 END AS is_true
+            FROM pairs p
+            JOIN ssets x ON x.doc_id = p.id_a
+            JOIN ssets y ON y.doc_id = p.id_b
+        ),
+        cfg(b, r, est_threshold) AS (VALUES {", ".join(
+            f"({b}, {r}, {_BAND_THRESHOLDS[b]!r})" for b, r in _BAND_CONFIGS)}),
+        agg AS (
+            SELECT c.b, count(*) AS n_candidates,
+                   SUM(j.is_true) AS n_true
+            FROM cand c JOIN jac j USING (id_a, id_b) GROUP BY c.b
+        )
+        SELECT cfg.b AS bands, cfg.r AS rows_per_band,
+               coalesce(agg.n_candidates, 0) AS n_candidates,
+               CAST(coalesce(agg.n_true, 0) AS BIGINT) AS n_true,
+               round(CAST(coalesce(agg.n_true, 0) AS DOUBLE)
+                     / coalesce(agg.n_candidates, 1), 6) AS precision_at_05,
+               CAST(cfg.est_threshold AS DOUBLE) AS est_threshold
+        FROM cfg LEFT JOIN agg ON agg.b = cfg.b
+    """,
+    tags=("dedup", "minhash", "lsh", "tuning"),
+)
+def minhash_band_calibration(spark, sf_dir):
+    """LSH band-config sweep over one shared signature table.  100-TB
+    shape: this runs on a SAMPLE (the tuning step), but the plan is
+    scale-clean anyway — signatures are one explode + min-agg, each config
+    adds b rows per doc to ONE banded self-join keyed on the (config-
+    prefixed) band key, the exact-Jaccard verify touches only the union of
+    candidates, and the output is 4 rows.  The chosen config then drives
+    dedup_minhash_lsh on the full corpus."""
+    from pyspark import StorageLevel
+
+    d = T(spark, sf_dir, "documents")
+    shingle_sets = d.select(
+        "doc_id",
+        F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    exploded_sh = shingle_sets.select("doc_id", F.explode("sh").alias("s"))
+
+    def _member(i: int):
+        seed, off = TX.minhash_seed_slice(i)
+        return F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("s"))), off, 8)
+        ).alias(f"mh{i}")
+
+    sigs = exploded_sh.groupBy("doc_id").agg(*[_member(i) for i in range(8)])
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _band_rows(b: int, r: int):
+        keys = F.array(
+            *[
+                F.concat(
+                    F.lit(f"{b}:{j}:"),
+                    F.md5(
+                        F.concat_ws("|", *[F.col(f"mh{j * r + t}") for t in range(r)])
+                    ),
+                )
+                for j in range(b)
+            ]
+        )
+        return sigs.select(
+            "doc_id", F.lit(b).alias("b"), F.explode(keys).alias("band_key")
+        )
+
+    ex = None
+    for b, r in _BAND_CONFIGS:
+        part = _band_rows(b, r)
+        ex = part if ex is None else ex.unionAll(part)
+    a = ex.alias("a")
+    b2 = ex.alias("b2")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band_key") == F.col("b2.band_key"))
+            & (F.col("a.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("a.b").alias("b"),
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b2.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    pairs = cand.select("id_a", "id_b").distinct()
+    sa = shingle_sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shingle_sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac_expr = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    jac = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(jac_expr >= 0.5, F.lit(1)).otherwise(F.lit(0)).alias("is_true"),
+        )
+    )
+    agg = cand.join(jac, ["id_a", "id_b"]).groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("is_true").alias("n_true"),
+    )
+    cfg = spark.createDataFrame(
+        [(b, r, _BAND_THRESHOLDS[b]) for b, r in _BAND_CONFIGS],
+        "b int, r int, est_threshold double",
+    )
+    return cfg.join(agg, "b", "left").select(
+        F.col("b").alias("bands"),
+        F.col("r").alias("rows_per_band"),
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        F.coalesce("n_true", F.lit(0)).alias("n_true"),
+        F.round(
+            F.coalesce("n_true", F.lit(0)).cast("double")
+            / F.coalesce("n_candidates", F.lit(1)),
+            6,
+        ).alias("precision_at_05"),
+        "est_threshold",
+    )
+
+@register(
+    "dedup_lexical_semantic_agreement",
+    # Cross-validation of the two dedup strategies: the MinHash-LSH lexical
+    # pair set (3-gram Jaccard >= 0.5 on documents) full-outer-joined with
+    # the hyperplane-LSH semantic pair set (cosine >= 0.35 on embeddings;
+    # vec_id i is doc i's embedding in this fixture) -> a 3-row agreement
+    # census.  Both pair CTEs are the registered queries' own oracles, so
+    # the census stays in lockstep with them by construction.
+    oracle=f"""
+        WITH {_LSH_CTES},
+        lex AS MATERIALIZED (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+        ),
+        ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        esig AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(4))} AS bucket FROM ev v),
+        sem AS MATERIALIZED (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM esig a JOIN esig b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE {_DUP_COS} >= 0.35
+        )
+        SELECT CASE WHEN lex.id_a IS NOT NULL AND sem.id_a IS NOT NULL
+                    THEN 'both'
+                    WHEN lex.id_a IS NOT NULL THEN 'lexical_only'
+                    ELSE 'semantic_only' END AS category,
+               count(*) AS n_pairs
+        FROM lex FULL OUTER JOIN sem
+          ON lex.id_a = sem.id_a AND lex.id_b = sem.id_b
+        GROUP BY 1
+    """,
+    tags=("dedup", "minhash", "embedding", "audit"),
+)
+def dedup_lexical_semantic_agreement(spark, sf_dir):
+    """Agreement census between lexical (MinHash-LSH) and semantic
+    (embedding hyperplane-LSH) near-dup detection.  100-TB shape: both
+    pair generators are the already-bucketed pipelines (never all-pairs);
+    the census is a full outer join on the (id_a, id_b) pair key — pair
+    sets are tiny relative to the corpus — into a 3-row rollup.  The
+    'semantic_only' bucket is the paraphrase set lexical dedup misses;
+    'lexical_only' is boilerplate the embeddings consider distinct."""
+    d = T(spark, sf_dir, "documents")
+    e = T(spark, sf_dir, "embeddings")
+    lex = (
+        dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
+        .select("id_a", "id_b")
+        .withColumn("lex", F.lit(1))
+    )
+    sem = (
+        similarity.lsh_bucketed_pairs(
+            e, "vec_id", "embedding", planes=4, dim=64, threshold=0.35
+        )
+        .select("id_a", "id_b")
+        .withColumn("sem", F.lit(1))
+    )
+    j = lex.join(sem, ["id_a", "id_b"], "full")
+    return j.groupBy(
+        F.when(F.col("lex").isNotNull() & F.col("sem").isNotNull(), "both")
+        .when(F.col("lex").isNotNull(), "lexical_only")
+        .otherwise("semantic_only")
+        .alias("category")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+def _lsh_n_ctes(n: int) -> str:
+    """Per-shingle-width copy of the MinHash-LSH candidate chain (k=8,
+    2 bands), CTE names suffixed with the width so three widths coexist
+    in one oracle."""
+    w = n - 1
+    sh = (
+        f"CASE WHEN len(tk) >= {n} THEN [array_to_string(tk[i:i+{w}], ' ') "
+        f"for i in generate_series(1, len(tk) - {w})] "
+        f"ELSE [array_to_string(tk, ' ')] END"
+    )
+    mh = ", ".join(_mh_sql(i) for i in range(8))
+    jac = (
+        "CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(x.s, y.s)))"
+    )
+    return f"""shs{n} AS (SELECT doc_id, ({sh}) AS sh FROM toks),
+        sigs{n} AS (SELECT doc_id, {mh} FROM shs{n}),
+        banded{n} AS (
+            SELECT doc_id,
+                   md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS band0,
+                   md5(concat_ws('|', mh4, mh5, mh6, mh7)) AS band1
+            FROM sigs{n}
+        ),
+        exploded{n} AS (
+            SELECT doc_id, unnest(['0:' || band0, '1:' || band1]) AS band_key
+            FROM banded{n}
+        ),
+        cand{n} AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM exploded{n} a JOIN exploded{n} b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        ssets{n} AS (SELECT doc_id, list_distinct(sh) AS s FROM shs{n}),
+        row{n} AS (
+            SELECT {n} AS shingle_n,
+                   CAST(count(*) AS BIGINT) AS n_candidates,
+                   CAST(SUM(CASE WHEN {jac} >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_verified,
+                   CASE WHEN count(*) > 0
+                        THEN round(CAST(SUM(CASE WHEN {jac} >= 0.5
+                                          THEN 1 ELSE 0 END) AS DOUBLE)
+                                   / count(*), 6) END AS precision_at_05
+            FROM cand{n} c
+            JOIN ssets{n} x ON x.doc_id = c.id_a
+            JOIN ssets{n} y ON y.doc_id = c.id_b
+        )"""
+
+@register(
+    "dedup_shingle_size_sensitivity",
+    # The shingle-width knob measured: candidate volume and exact-Jaccard
+    # precision of the same k=8 / 2-band MinHash-LSH pipeline at word
+    # shingle widths 2, 3, and 5 — narrower shingles recall more (and
+    # flood the verifier), wider shingles are precise but brittle.
+    # Completes the dedup tuning family next to minhash_band_calibration
+    # (band knob) and ann_probe_recall_curve (probe knob).
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        {", ".join(_lsh_n_ctes(n) for n in (2, 3, 5))}
+        SELECT * FROM row2
+        UNION ALL SELECT * FROM row3
+        UNION ALL SELECT * FROM row5
+    """,
+    tags=("dedup", "minhash", "lsh", "tuning"),
+)
+def dedup_shingle_size_sensitivity(spark, sf_dir):
+    """Shingle-width sweep.  100-TB shape: a tuning job run on a sample,
+    but scale-clean regardless — each width is one independent banded
+    pipeline (explode + min-agg signatures, band-key self-join, verify
+    join on candidates only) whose outputs collapse to a single summary
+    row before the 3-row union."""
+    d = T(spark, sf_dir, "documents")
+    parts = []
+    for n in (2, 3, 5):
+        pairs = dedup.minhash_lsh_pairs(
+            d, "doc_id", "text", k=8, bands=2, shingle_n=n, threshold=0.0
+        )
+        parts.append(
+            pairs.agg(
+                F.lit(n).alias("shingle_n"),
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)).alias(
+                    "n_verified"
+                ),
+                F.when(
+                    F.count(F.lit(1)) > 0,
+                    F.round(
+                        F.sum(
+                            F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)
+                        ).cast("double")
+                        / F.count(F.lit(1)),
+                        6,
+                    ),
+                ).alias("precision_at_05"),
+            ).select("shingle_n", "n_candidates", "n_verified", "precision_at_05")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+@register(
+    "graph_k_core",
+    # 2-core peel of the near-dup graph, 3 unrolled rounds: repeatedly
+    # drop degree-<2 nodes (and their edges) and report the shrinking
+    # (nodes, edges) census per round — the structure pass that separates
+    # tight duplicate cliques from hub-and-spoke false positives before
+    # choosing cluster keepers.  All counts are integers.
+    oracle=f"""
+        WITH {_LSH_CTES},
+        pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+        ),
+        e0 AS MATERIALIZED (
+            SELECT id_a AS u, id_b AS v FROM pairs
+        ),
+        n1 AS (SELECT node FROM (
+                   SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+               ) GROUP BY node HAVING count(*) >= 2),
+        e1 AS MATERIALIZED (
+            SELECT u, v FROM e0
+            WHERE u IN (SELECT node FROM n1) AND v IN (SELECT node FROM n1)
+        ),
+        n2 AS (SELECT node FROM (
+                   SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1
+               ) GROUP BY node HAVING count(*) >= 2),
+        e2 AS MATERIALIZED (
+            SELECT u, v FROM e1
+            WHERE u IN (SELECT node FROM n2) AND v IN (SELECT node FROM n2)
+        ),
+        n3 AS (SELECT node FROM (
+                   SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2
+               ) GROUP BY node HAVING count(*) >= 2),
+        e3 AS MATERIALIZED (
+            SELECT u, v FROM e2
+            WHERE u IN (SELECT node FROM n3) AND v IN (SELECT node FROM n3)
+        )
+        SELECT 1 AS round, (SELECT count(*) FROM n1) AS n_nodes,
+               (SELECT count(*) FROM e1) AS n_edges
+        UNION ALL
+        SELECT 2, (SELECT count(*) FROM n2), (SELECT count(*) FROM e2)
+        UNION ALL
+        SELECT 3, (SELECT count(*) FROM n3), (SELECT count(*) FROM e3)
+    """,
+    tags=("dedup", "graph"),
+)
+def graph_k_core(spark, sf_dir):
+    """2-core peel census.  100-TB shape: the graph is the (already
+    blocked) LSH pair set — edge-list sized, not corpus sized; each round
+    is one degree rollup plus two semi-joins on the node key.  The edge
+    frame is localCheckpoint-ed per round (edges feed both the degree
+    rollup and the semi-joins, so un-truncated lineage doubles every
+    round — the same trap pagerank_dup_graph documents), and the per-round
+    census counts are exact integers collected as 1-row scalars."""
+    d = T(spark, sf_dir, "documents")
+    edges = (
+        dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .localCheckpoint()
+    )
+    stats = []
+    for rnd in (1, 2, 3):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 2)
+            .select("node")
+            .localCheckpoint()
+        )
+        edges = (
+            edges.join(deg.withColumnRenamed("node", "u"), "u", "semi")
+            .join(deg.withColumnRenamed("node", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        stats.append((rnd, deg.count(), edges.count()))
+    import pyspark.sql.types as T_
+
+    return spark.createDataFrame(
+        stats,
+        T_.StructType(
+            [
+                T_.StructField("round", T_.IntegerType(), False),
+                T_.StructField("n_nodes", T_.LongType(), False),
+                T_.StructField("n_edges", T_.LongType(), False),
+            ]
+        ),
+    )
+
+@register(
+    "dup_quality_contrast",
+    # Do near-duplicates skew low-quality?  Split the corpus into docs
+    # that participate in any verified LSH near-dup pair vs the rest, and
+    # cross-tabulate against the text_quality label with exact-integer
+    # token-count means (sum/count via DECIMAL-free bigints, divided once)
+    # — the audit that decides whether dedup doubles as a quality filter.
+    oracle=f"""
+        WITH {_LSH_CTES},
+        pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+        ),
+        dup_ids AS MATERIALIZED (
+            SELECT DISTINCT id_a AS doc_id FROM pairs
+            UNION SELECT DISTINCT id_b FROM pairs
+        ),
+        q AS (
+            SELECT doc_id, len(tk) AS n_tokens,
+                   CASE WHEN len(tk) >= 10
+                             AND CAST(length(lower(text))
+                                      - length({_NORM.format(c='text')}) AS DOUBLE)
+                                 / length(lower(text)) < 0.1
+                             AND CAST(len(list_filter(tk, t -> t IN
+                                 ('the','a','of','and','to','in','is','it','for','on')))
+                                 AS DOUBLE) / len(tk) > 0.05
+                        THEN 'good'
+                        WHEN len(tk) >= 5 THEN 'fair'
+                        ELSE 'poor' END AS quality
+            FROM (SELECT doc_id, text, {_toks()} AS tk FROM documents)
+        )
+        SELECT CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+               quality,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS DOUBLE) / count(*) AS mean_tokens
+        FROM q LEFT JOIN dup_ids d USING (doc_id)
+        GROUP BY 1, 2
+    """,
+    tags=("dedup", "quality", "audit"),
+)
+def dup_quality_contrast(spark, sf_dir):
+    """Near-dup vs quality cross-tab.  100-TB shape: the dup-id set is
+    pair-list sized (broadcast or shuffle-joined on doc_id), the quality
+    labels ride the corpus scan, and the output is a <=6-row rollup."""
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+    tk = TX.tokens("text")
+    q = d.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        F.when(
+            (F.size(tk) >= 10)
+            & (TX.punct_ratio("text") < 0.1)
+            & (TX.stopword_ratio("text") > 0.05),
+            "good",
+        )
+        .when(F.size(tk) >= 5, "fair")
+        .otherwise("poor")
+        .alias("quality"),
+    )
+    return (
+        q.join(dup_ids, "doc_id", "left")
+        .groupBy(
+            F.when(F.col("dup").isNotNull(), 1).otherwise(0).alias("is_dup"),
+            "quality",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+                "mean_tokens"
+            ),
+        )
+    )
+
+_ISIM_SPLIT = "substr(md5('isim:' || doc_id::VARCHAR), 1, 4)"
+
+@register(
+    "dedup_incremental_simhash",
+    # incremental Hamming near-dup: the arriving batch (hash-split ~20%)
+    # probes the historical corpus's persisted sliced-fingerprint index
+    # (Manku pigeonhole: distance <= 3 of a 32-bit simhash forces an exact
+    # match on one of 4 slices) — the Hamming twin of dedup_incremental_lsh.
+    # Exact md5 bit arithmetic on both engines covers blocking AND verify.
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, text,
+                   CASE WHEN {_ISIM_SPLIT} < '3334' THEN 'b' ELSE 'h' END AS side
+            FROM documents
+        ),
+        toks AS (SELECT doc_id, side, {_toks()} AS tk FROM docs),
+        fps AS (SELECT doc_id, side, {_simhash_sql(32)} AS simhash FROM toks),
+        sliced AS (
+            SELECT doc_id, side, simhash, blk,
+                   substr(simhash, blk * 8 + 1, 8) AS bitsv
+            FROM fps, (SELECT unnest([0, 1, 2, 3]) AS blk)
+        ),
+        cand AS (
+            SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS hist_id,
+                   b.simhash AS sh_b, h.simhash AS sh_h
+            FROM sliced b JOIN sliced h
+              ON b.blk = h.blk AND b.bitsv = h.bitsv
+             AND b.side = 'b' AND h.side = 'h'
+        )
+        SELECT doc_id, hist_id,
+               CAST(len(list_filter(generate_series(1, 32),
+                    i -> substr(sh_b, i, 1) <> substr(sh_h, i, 1))) AS INT)
+                   AS hamming
+        FROM cand
+        WHERE len(list_filter(generate_series(1, 32),
+                  i -> substr(sh_b, i, 1) <> substr(sh_h, i, 1))) <= 3
+    """,
+    tags=("dedup", "simhash", "incremental"),
+)
+def dedup_incremental_simhash(spark, sf_dir):
+    """Daily-ingest Hamming near-dup rejection.  100-TB shape: history's
+    sliced fingerprints are a persisted index written once; per batch the
+    work is O(|batch| * blocks) probe rows into a slice-keyed equi-join,
+    and the Hamming verify runs only on collisions
+    (operators/dedup.py:incremental_simhash_new_dups).  Width scaling
+    (SCALING.md, measured exponent 1.27 at the pinned 32 bits): 8-bit
+    slices saturate at 256 buckets, so production grows bits with the
+    corpus (~2*log2(n); 64-bit fingerprints -> 16-bit slices) to keep
+    bucket occupancy — and the verify volume — flat."""
+    d = T(spark, sf_dir, "documents")
+    split = F.substring(
+        F.md5(F.concat(F.lit("isim:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    hist = d.filter(split >= "3334")
+    batch = d.filter(split < "3334")
+    return dedup.incremental_simhash_new_dups(
+        hist, batch, "doc_id", "text", bits=32, max_hamming=3, blocks=4
+    )
+
+@register(
+    "dedup_incremental_simhash64",
+    # incremental Hamming near-dup at the production width: the arriving
+    # batch (hash-split ~20%) probes a PRECOMPUTED 64-bit fingerprint index
+    # of the historical corpus (8 bytes/doc, written once — the contract of
+    # operators/dedup.py:incremental_simhash64_new_dups) via 4 16-bit-slice
+    # equi-joins; one bit_count(xor) per collision verifies.  Exact md5 bit
+    # arithmetic on both engines covers fingerprint, blocking, and verify.
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, text,
+                   CASE WHEN {_ISIM_SPLIT} < '3334' THEN 'b' ELSE 'h' END AS side
+            FROM documents
+        ),
+        toks AS (SELECT doc_id, side, {_toks()} AS tk FROM docs),
+        hs AS (SELECT doc_id, side, {_SIMHASH64_HASHES} AS hh FROM toks),
+        fps AS (SELECT doc_id, side, {_simhash64_sql()} AS fp FROM hs),
+        sliced AS (
+            SELECT doc_id, side, fp, blk, (fp >> (blk * 16)) & 65535 AS slc
+            FROM fps, (SELECT unnest([0, 1, 2, 3]) AS blk)
+        ),
+        cand AS (
+            SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS hist_id,
+                   b.fp AS fp_b, h.fp AS fp_h
+            FROM sliced b JOIN sliced h
+              ON b.blk = h.blk AND b.slc = h.slc
+             AND b.side = 'b' AND h.side = 'h'
+        )
+        SELECT doc_id, hist_id,
+               CAST(bit_count(xor(fp_b, fp_h)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(fp_b, fp_h)) <= 3
+        ORDER BY doc_id, hist_id
+    """,
+    tags=("dedup", "simhash", "incremental"),
+)
+def dedup_incremental_simhash64(spark, sf_dir):
+    """Daily-ingest Hamming rejection against the written-once index.
+    100-TB shape: the history side enters as the persisted (id, fp)
+    fingerprint table — here materialized once and persisted, exactly the
+    index a production pipeline keeps on disk bucketed by (blk, slc) — so
+    per batch nothing re-reads or re-hashes history text; the probe
+    shuffles only the batch side, and the 65,536-buckets/block slice space
+    keeps collision fan-out flat (simhash_slice_occupancy is the audit)."""
+    d = T(spark, sf_dir, "documents")
+    split = F.substring(
+        F.md5(F.concat(F.lit("isim:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    # rotating persist (r07 ADVICE #2): one cached history index per family
+    hist_fps = similarity._persist_rotating(
+        "isim64_hist_fps",
+        dedup.simhash64_fingerprints(d.filter(split >= "3334"), "doc_id", "text"),
+    )
+    batch = d.filter(split < "3334")
+    return dedup.incremental_simhash64_new_dups(
+        hist_fps, batch, "doc_id", "text", max_hamming=3, blocks=4
+    ).orderBy("doc_id", "hist_id")
+
+@register(
+    "source_dedup_rate",
+    # Per-source near-duplicate rate: which crawl sources are redundant —
+    # the table that reweights (or drops) feeds in the next mixture.  Dup
+    # membership is the verified MinHash-LSH pair set's id union; counts
+    # and the rate are integer-exact.
+    oracle=f"""
+        WITH {_LSH_CTES},
+        pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+        ),
+        dup_ids AS MATERIALIZED (
+            SELECT DISTINCT id_a AS doc_id FROM pairs
+            UNION SELECT DISTINCT id_b FROM pairs
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN du.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup,
+               CAST(SUM(CASE WHEN du.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS dup_rate
+        FROM documents d LEFT JOIN dup_ids du USING (doc_id)
+        GROUP BY d.source
+    """,
+    tags=("dedup", "mixture", "audit"),
+)
+def source_dedup_rate(spark, sf_dir):
+    """Per-source dup rate.  100-TB shape: the dup-id set is pair-list
+    sized, joined back on doc_id; the output is |sources| rows."""
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(dup_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("dup").isNotNull(), 1).otherwise(0)).alias("n_dup"),
+            (
+                F.sum(F.when(F.col("dup").isNotNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_rate"),
+        )
+    )
+
+@register(
+    "embedding_dedup_threshold_sweep",
+    # Semantic-dedup threshold curve: verified pair counts of the
+    # hyperplane-LSH blocked pair set at cosine thresholds
+    # 0.3/0.5/0.7/0.9 — the knob table that picks the semantic dedup
+    # operating point (the embedding-side sibling of
+    # dedup_shingle_size_sensitivity).  Cosines are the shared fold kernel
+    # (bit-equal), so the conditional counts are exact integers.
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, {" || ".join(_lsh_plane_sign_sql(p) for p in range(4))} AS bucket FROM v),
+        pairs AS MATERIALIZED (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DUP_COS} AS cosine
+            FROM sig a JOIN sig b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ),
+        thr(threshold) AS (VALUES (0.3), (0.5), (0.7), (0.9))
+        SELECT CAST(threshold AS DOUBLE) AS threshold,
+               CAST(SUM(CASE WHEN cosine >= threshold THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_pairs
+        FROM thr, pairs
+        GROUP BY threshold
+    """,
+    tags=("dedup", "embedding", "tuning"),
+)
+def embedding_dedup_threshold_sweep(spark, sf_dir):
+    """Semantic threshold sweep.  100-TB shape: ONE blocked pair table
+    (bucket self-join, never all-pairs) scanned once against the 4-row
+    threshold table — each extra threshold is a conditional count, not a
+    new pair join."""
+    e = T(spark, sf_dir, "embeddings")
+    pairs = similarity.lsh_bucketed_pairs(
+        e, "vec_id", "embedding", planes=4, dim=64, threshold=0.0
+    ).select("cosine")
+    thr = spark.createDataFrame([(0.3,), (0.5,), (0.7,), (0.9,)], "threshold double")
+    return (
+        pairs.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("cosine") >= F.col("threshold"), 1).otherwise(0)
+            ).alias("n_pairs")
+        )
+    )
+
+@register(
+    "dedup_pair_jaccard_histogram",
+    # Distribution of the LSH candidate pairs' exact Jaccard in 10 bins —
+    # the similarity spectrum the threshold knob cuts (the lexical sibling
+    # of embedding_dedup_threshold_sweep).  Jaccard is a ratio of integers
+    # (identical double on both engines), binning is floor(j*10) capped at
+    # 9, counts are exact.
+    oracle=f"""
+        WITH {_LSH_CTES}
+        SELECT least(CAST(floor({_JAC} * 10) AS INT), 9) AS bin,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM cand c
+        JOIN ssets x ON x.doc_id = c.id_a
+        JOIN ssets y ON y.doc_id = c.id_b
+        GROUP BY 1
+    """,
+    tags=("dedup", "minhash", "stats"),
+)
+def dedup_pair_jaccard_histogram(spark, sf_dir):
+    """Candidate-pair Jaccard spectrum.  100-TB shape: the pair set is the
+    already-blocked candidate list; the histogram is a 10-key rollup."""
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=8, bands=2, threshold=0.0
+    )
+    return (
+        pairs.groupBy(
+            F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9)).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+@register(
+    "dedup_impact_report",
+    # The dedup IMPACT line a curation run publishes: how many documents,
+    # tokens, and characters transitive-closure near-dup resolution
+    # actually removes (removed = clustered doc that is not its
+    # component's keeper).  Composes the registered component semantics
+    # (_COMP_CTES — the same recursive walk dedup_cluster_components
+    # grades) with exact-integer corpus volumes.
+    oracle=f"""
+        WITH RECURSIVE {_LSH_CTES},
+        {_COMP_CTES},
+        removed AS MATERIALIZED (
+            SELECT node AS doc_id FROM comp WHERE node <> keep_id
+        ),
+        vol AS (
+            SELECT d.doc_id, len({_toks()}) AS n_tokens, length(text) AS n_chars
+            FROM documents d
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars
+            FROM vol
+        ),
+        rem AS (
+            SELECT CAST(count(*) AS BIGINT) AS r_docs,
+                   CAST(coalesce(SUM(n_tokens), 0) AS BIGINT) AS r_tokens,
+                   CAST(coalesce(SUM(n_chars), 0) AS BIGINT) AS r_chars
+            FROM vol JOIN removed USING (doc_id)
+        )
+        SELECT n_docs, r_docs AS docs_removed,
+               r_tokens AS tokens_removed, r_chars AS chars_removed,
+               CAST(r_docs AS DOUBLE) / n_docs AS pct_docs_removed,
+               CAST(r_chars AS DOUBLE) / n_chars AS pct_chars_removed
+        FROM tot, rem
+    """,
+    tags=("dedup", "audit", "analytics"),
+)
+def dedup_impact_report(spark, sf_dir):
+    """One-row dedup impact report.  100-TB shape: the removed-id set is
+    component-list sized (the blocked pair graph's min-label iteration,
+    operators/graph.py); volumes ride one corpus scan; the report is a
+    cross join of 1-row aggregates."""
+    from kwack_spark.operators import graph
+
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=8, bands=2, threshold=0.5
+    ).select("id_a", "id_b")
+    with _few_shuffle_partitions(spark):
+        clusters = graph.dedup_clusters(pairs)
+    removed = clusters.filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
+    vol = d.select(
+        "doc_id",
+        F.size(TX.tokens("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    tot = vol.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    rem = vol.join(removed, "doc_id").agg(
+        F.count(F.lit(1)).alias("docs_removed"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens_removed"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars_removed"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(rem))
+        .select(
+            "n_docs",
+            "docs_removed",
+            "tokens_removed",
+            "chars_removed",
+            (F.col("docs_removed").cast("double") / F.col("n_docs")).alias(
+                "pct_docs_removed"
+            ),
+            (F.col("chars_removed").cast("double") / F.col("n_chars")).alias(
+                "pct_chars_removed"
+            ),
+        )
+    )
+
+@register(
+    "minhash_estimate_error",
+    # MinHash estimator quality: for every verified candidate pair, the
+    # signature-estimated Jaccard (matching members / 8) against the exact
+    # shingle-set Jaccard, rolled up by estimate bucket — the audit that
+    # says whether k=8 members are enough before trusting banding recall.
+    # Matches and Jaccards are exact integers/ratios; the mean absolute
+    # error pre-rounds each |est - exact| to 9dp and sums through DECIMAL.
+    oracle=f"""
+        WITH {_LSH_CTES},
+        est AS (
+            SELECT c.id_a, c.id_b,
+                   ({" + ".join(
+                       f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+                       for i in range(8))}) AS n_match,
+                   {_JAC} AS jac
+            FROM cand c
+            JOIN sigs a ON a.doc_id = c.id_a
+            JOIN sigs b ON b.doc_id = c.id_b
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+        )
+        SELECT n_match,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(CAST(SUM(CAST(round(abs(CAST(n_match AS DOUBLE) / 8 - jac), 9)
+                              AS DECIMAL(12,9))) AS DOUBLE) / count(*), 6)
+                   AS mean_abs_err
+        FROM est GROUP BY n_match
+    """,
+    tags=("dedup", "minhash", "audit"),
+)
+def minhash_estimate_error(spark, sf_dir):
+    """MinHash estimator error by match count.  100-TB shape: candidates
+    are the already-blocked pair set; signatures and shingle sets join on
+    the id key; output is <=9 rows (one per possible match count)."""
+    from pyspark import StorageLevel
+
+    d = T(spark, sf_dir, "documents")
+    shingle_sets = d.select(
+        "doc_id",
+        F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    exploded = dedup.lsh_band_keys(shingle_sets, "doc_id", k=8, bands=2)
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ex_sh = shingle_sets.select("doc_id", F.explode("sh").alias("s"))
+
+    def _member(i: int):
+        seed, off = TX.minhash_seed_slice(i)
+        return F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("s"))), off, 8)
+        ).alias(f"mh{i}")
+
+    sigs = ex_sh.groupBy("doc_id").agg(*[_member(i) for i in range(8)])
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)]
+    )
+    xa = shingle_sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    xb = shingle_sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).cast("double")
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(xa, "id_a")
+        .join(xb, "id_b")
+        .select(n_match.alias("n_match"), jac.alias("jac"))
+    )
+    term = F.round(F.abs(F.col("n_match").cast("double") / 8 - F.col("jac")), 9).cast(
+        "decimal(12,9)"
+    )
+    return est.groupBy("n_match").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum(term).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_abs_err"
+        ),
+    )
+
+@register(
+    "dedup_method_agreement",
+    # Agreement census between the two LEXICAL near-dup detectors: the
+    # MinHash-LSH pair set (3-gram Jaccard >= 0.5) full-outer-joined with
+    # the SimHash pigeonhole pair set (hamming <= 3 over 64 bits, 16-bit
+    # slices) — which pairs each hash family sees that the other misses
+    # (the within-text sibling of dedup_lexical_semantic_agreement).
+    oracle=f"""
+        WITH {_LSH_CTES},
+        lex AS MATERIALIZED (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+        ),
+        hs AS (SELECT doc_id, {_SIMHASH64_HASHES} AS hh FROM toks),
+        fps AS (SELECT doc_id, {_simhash64_sql()} AS fp FROM hs),
+        sliced AS (
+            SELECT doc_id, fp, blk, (fp >> (blk * 16)) & 65535 AS slc
+            FROM fps, (SELECT unnest([0, 1, 2, 3]) AS blk)
+        ),
+        scand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.fp AS fp_a, b.fp AS fp_b
+            FROM sliced a JOIN sliced b
+              ON a.blk = b.blk AND a.slc = b.slc AND a.doc_id < b.doc_id
+        ),
+        sim AS MATERIALIZED (
+            SELECT id_a, id_b FROM scand
+            WHERE bit_count(xor(fp_a, fp_b)) <= 3
+        )
+        SELECT CASE WHEN lex.id_a IS NOT NULL AND sim.id_a IS NOT NULL
+                    THEN 'both'
+                    WHEN lex.id_a IS NOT NULL THEN 'minhash_only'
+                    ELSE 'simhash_only' END AS category,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM lex FULL OUTER JOIN sim
+          ON lex.id_a = sim.id_a AND lex.id_b = sim.id_b
+        GROUP BY 1
+    """,
+    tags=("dedup", "minhash", "simhash", "audit"),
+)
+def dedup_method_agreement(spark, sf_dir):
+    """MinHash-vs-SimHash pair agreement.  100-TB shape: both pair
+    generators are the registered blocked pipelines (SimHash side is the
+    64-bit/16-bit-slice production config — the 32-bit/8-bit-slice variant's
+    256 skewed buckets measured 112 s at sf0.1, the degenerate-bucket trap);
+    the census is a full outer join on the pair key into a 3-row rollup.
+    'minhash_only' pairs share long n-grams with different word mixes;
+    'simhash_only' pairs share the word distribution with shuffled order."""
+    d = T(spark, sf_dir, "documents")
+    lex = (
+        dedup.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=2, threshold=0.5)
+        .select("id_a", "id_b")
+        .withColumn("lex", F.lit(1))
+    )
+    sim = (
+        dedup.simhash64_hamming_pairs(d, "doc_id", "text", max_hamming=3, blocks=4)
+        .select("id_a", "id_b")
+        .withColumn("sim", F.lit(1))
+    )
+    j = lex.join(sim, ["id_a", "id_b"], "full")
+    return j.groupBy(
+        F.when(F.col("lex").isNotNull() & F.col("sim").isNotNull(), "both")
+        .when(F.col("lex").isNotNull(), "minhash_only")
+        .otherwise("simhash_only")
+        .alias("category")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+@register(
+    "dedup_cross_source_leakage",
+    # Train/test contamination shape: the MinHash-LSH near-dup pair set
+    # (same CTEs as dedup_minhash_lsh, so the two stay in lockstep) joined
+    # back to each document's source and rolled up per unordered source
+    # pair — which source pairs leak near-duplicate content into each
+    # other, how many docs sit on each side, and how near the worst pair
+    # is.  The census a curation pipeline runs BEFORE declaring a held-out
+    # source clean.  max() not mean() for the jaccard summary: max of
+    # exact int-ratio doubles is order-independent, a double mean is not.
+    oracle=f"""
+        WITH {_LSH_CTES},
+        pairs AS (
+            SELECT c.id_a, c.id_b, {_JAC} AS jaccard
+            FROM cand c
+            JOIN ssets x ON x.doc_id = c.id_a
+            JOIN ssets y ON y.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
+        ),
+        src AS (SELECT doc_id, source FROM documents),
+        tagged AS (
+            SELECT least(sa.source, sb.source) AS src_lo,
+                   greatest(sa.source, sb.source) AS src_hi,
+                   p.id_a, p.id_b, p.jaccard
+            FROM pairs p
+            JOIN src sa ON sa.doc_id = p.id_a
+            JOIN src sb ON sb.doc_id = p.id_b
+        )
+        SELECT src_lo, src_hi,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT id_a) AS BIGINT) AS n_docs_a,
+               CAST(count(DISTINCT id_b) AS BIGINT) AS n_docs_b,
+               max(jaccard) AS max_jaccard
+        FROM tagged GROUP BY src_lo, src_hi ORDER BY src_lo, src_hi
+    """,
+    tags=("dedup", "lsh", "governance", "leakage"),
+)
+def dedup_cross_source_leakage(spark, sf_dir):
+    """Cross-source near-dup leakage census.  100-TB shape: rides the
+    already-blocked LSH pair set (operators/dedup.py:minhash_lsh_pairs —
+    candidates come from band buckets, never all-pairs); the source tags
+    join against a (doc_id, source) projection of the corpus scan, and the
+    rollup is bounded by |sources|² rows.  A diagonal entry (src_lo ==
+    src_hi) is within-source duplication; off-diagonal entries are the
+    contamination paths that invalidate a held-out split."""
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=8, bands=2, threshold=0.5
+    )
+    src = d.select("doc_id", "source")
+    tagged = (
+        pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
+        .select(
+            F.least("sa", "sb").alias("src_lo"),
+            F.greatest("sa", "sb").alias("src_hi"),
+            "id_a",
+            "id_b",
+            "jaccard",
+        )
+    )
+    return (
+        tagged.groupBy("src_lo", "src_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("id_a").alias("n_docs_a"),
+            F.countDistinct("id_b").alias("n_docs_b"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("src_lo", "src_hi")
+    )

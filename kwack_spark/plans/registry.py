@@ -53,78 +53,23 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # corpus per round, so the map is ordered longest-ungraded-first (every name
 # below already passes the local oracle harness in tests/test_oracle.py, and
 # the scale-sensitive subset additionally passes at sf0.1 via
-# tests/test_scale_oracle.py).  After r07 ALL 328 then-registered names had
-# been driver-graded at least once with every latest grade green; after r08
-# every latest grade remains green and the FULL list below is sorted
-# last-graded-round ascending (registration order within a cohort), derived
-# mechanically from CORRECTNESS_r01..r08.  Round 9's rotation (r08 VERDICT
-# ask #4): the 3 r09-new queries first (never graded), then the 42 names
-# last graded in r02, then the r03 cohort — the ~50-query window therefore
-# covers exactly the 3 new + 42 r02 + 5 r03-head names, and the tail keeps
-# future rotations one re-sort away.  (corpus_curation_e2e and
-# multimodal_phash_dedup had their shared stages factored this round with
-# oracle-identical semantics — re-verified green at sf0.01 AND sf0.1
-# locally — so they stay at their r08 slot rather than eating window
-# space.)  The list is advisory ordering only — every query stays
-# registered; names missing from it would keep registration order after it.
+# tests/test_scale_oracle.py).  Cumulatively all 351 pre-r10 names have been
+# driver-graded at least once (r01-r09) with every latest grade green.  The
+# FULL list below is re-sorted for round 10 (r09 VERDICT ask #1), derived
+# mechanically from CORRECTNESS_r01..r09 (tools: the re-sort in the r10
+# commit): never-graded first (the 4 r10-new queries), then cohorts by
+# last-graded round ascending — so the ~50-query r10 window covers the 4 new
+# + the 11 r02-stale ingest-correctness names + the r03-cohort head, and the
+# tail keeps future rotations one re-sort away.  The list is advisory
+# ordering only — every query stays registered; names missing from it would
+# keep registration order after it.
 _PRIORITY = [
-    # --- r10-new queries (never graded; must land in the window) ---
+    # --- never driver-graded (r10-new; must land in the window) ---
     "video_keyframe_occupancy",
     "multimodal_video_dhash_dedup",
     "corpus_curation_all_modalities",
     "streaming_state_observability",
-    # --- r09-new queries (never graded; must land in the window) ---
-    "bpe_merge_training_5steps",
-    "corpus_curation_multimodal",
-    "sketch_quantile_lengths",
-    "multimodal_audio_fingerprint_dedup",
-    "text_kneser_ney_bigram",
-    "mmr_diverse_topk",
-    "streaming_quantile_sketch",
-    "multimodal_audio_incremental",
-    "decontaminate_semantic",
-    "embedding_matryoshka_recall",
-    "bpe_apply_merges",
-    "ann_index_persist_roundtrip",
-    "length_trim_sketch_gated",
-    "streaming_audio_neardup",
-    "quality_perceptron_step",
-    "split_leakage_safe",
-    "cms_merge_shards",
-    "multimodal_video_keyframe_dedup",
-    "streaming_video_neardup",
     # --- last driver grade: r02 ---
-    "approx_count_distinct",
-    "collect_list_sorted",
-    "grouping_sets",
-    "cte_scalar_subquery",
-    "correlated_in_subquery",
-    "star_dialect_exclude_replace",
-    "star_dialect_columns_regex",
-    "profile_table_stats",
-    "array_funcs",
-    "higher_order_funcs",
-    "map_funcs",
-    "json_funcs",
-    "dedup_containment",
-    "ann_lsh_bucketed",
-    "ann_pq_topk",
-    "ann_ivf_pq_topk",
-    "gopher_quality_rules",
-    "streaming_lsh_neardup",
-    "streaming_static_enrich",
-    "funnel_three_step",
-    "retention_cohorts",
-    "dedup_lsh_recall",
-    "dedup_incremental_lsh",
-    "dedup_lsh_edit_verify",
-    "udx_chunk_vowels",
-    "shard_assignment_stats",
-    "passage_dedup_rewrite",
-    "zorder_layout_key",
-    "scale_heavy_hitters",
-    "scale_salted_join",
-    "scale_bucketed_join",
     "tfidf_top_terms",
     "length_percentile_trim",
     "semantic_dedup_verify",
@@ -432,6 +377,57 @@ _PRIORITY = [
     "kafka_rawjson_roundtrip",
     "kafka_primitive_roundtrip",
     "kafka_two_topic_join",
+    # --- last driver grade: r09 ---
+    "bpe_merge_training_5steps",
+    "corpus_curation_multimodal",
+    "sketch_quantile_lengths",
+    "multimodal_audio_fingerprint_dedup",
+    "text_kneser_ney_bigram",
+    "mmr_diverse_topk",
+    "streaming_quantile_sketch",
+    "multimodal_audio_incremental",
+    "decontaminate_semantic",
+    "embedding_matryoshka_recall",
+    "bpe_apply_merges",
+    "ann_index_persist_roundtrip",
+    "length_trim_sketch_gated",
+    "streaming_audio_neardup",
+    "quality_perceptron_step",
+    "split_leakage_safe",
+    "cms_merge_shards",
+    "multimodal_video_keyframe_dedup",
+    "streaming_video_neardup",
+    "approx_count_distinct",
+    "collect_list_sorted",
+    "grouping_sets",
+    "cte_scalar_subquery",
+    "correlated_in_subquery",
+    "star_dialect_exclude_replace",
+    "star_dialect_columns_regex",
+    "profile_table_stats",
+    "array_funcs",
+    "higher_order_funcs",
+    "map_funcs",
+    "json_funcs",
+    "dedup_containment",
+    "ann_lsh_bucketed",
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "gopher_quality_rules",
+    "streaming_lsh_neardup",
+    "streaming_static_enrich",
+    "funnel_three_step",
+    "retention_cohorts",
+    "dedup_lsh_recall",
+    "dedup_incremental_lsh",
+    "dedup_lsh_edit_verify",
+    "udx_chunk_vowels",
+    "shard_assignment_stats",
+    "passage_dedup_rewrite",
+    "zorder_layout_key",
+    "scale_heavy_hitters",
+    "scale_salted_join",
+    "scale_bucketed_join",
 ]
 
 def _ordered() -> dict[str, Entry]:

@@ -243,7 +243,7 @@ def test_cooccurrence_pair_count_invariant(spark):
     """A document of n (sanitized) tokens emits exactly max(n-1,0) dist-1
     pairs and max(n-2,0) dist-2 pairs — the in-array generator must not
     drop boundary windows or emit self-window artifacts."""
-    from kwack_spark.plans.pipeline import cooccurrence_window_counts
+    from kwack_spark.plans.pipeline_text import cooccurrence_window_counts
     import tempfile, os
 
     docs = [
