@@ -326,6 +326,13 @@ HEADLINE = [
     # keep-min legs + manifest): wall time is the shared text funnel — the
     # survivor-only modality legs add ~3 s on 417 survivors at sf0.1
     "corpus_curation_all_modalities",
+    # r10 wave 2 — the matrix-completing incrementals (persisted-index
+    # probes: image dHash through the Hamming probe kernel, video through
+    # the df-capped key-collision probe) and the streaming image leg
+    # (dHash fps through the stateful sliced-Hamming kernel)
+    "multimodal_image_incremental",
+    "multimodal_video_incremental",
+    "streaming_image_neardup",
     # streaming_state_observability is correctness-graded but not benched:
     # it re-drains the two stateful kernels that are ALREADY benched
     # (streaming_video_neardup, streaming_simhash_neardup) purely to read

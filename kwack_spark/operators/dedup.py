@@ -655,6 +655,36 @@ def key_collision_pairs(
     )
 
 
+def key_collision_probe(
+    history: DataFrame,
+    batch: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_key_df: int = 4096,
+) -> DataFrame:
+    """Cross-table exact-key collision probe — the incremental core of
+    ``key_collision_pairs`` (like ``fingerprint_hamming_probe`` for the
+    Hamming family): one ``(batch_id, hist_id)`` row per key the batch
+    item shares with a history item, so a downstream count per pair
+    recovers the shared-key count against a PERSISTED index the caller
+    wrote once.  ``max_key_df`` drops keys held by more than that many
+    HISTORY items before the join (the hot-key stop-word control; the
+    history side is where a ubiquitous key accumulates mass).  100-TB
+    shape: O(|batch|) probe rows shuffle on ``key_col``; history is
+    read from its index, payload bytes never re-read."""
+    h = history.select(F.col(id_col).alias("hist_id"), F.col(key_col)).distinct()
+    b = batch.select(F.col(id_col).alias("batch_id"), F.col(key_col)).distinct()
+    rare = (
+        h.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_key_df)
+        .select(key_col)
+    )
+    return (
+        b.join(h, key_col).join(rare, key_col).select("batch_id", "hist_id")
+    )
+
+
 def key_occupancy_audit(
     df: DataFrame, key_col: str, max_key_df: int = 4096
 ) -> DataFrame:

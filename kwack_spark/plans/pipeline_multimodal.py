@@ -567,6 +567,119 @@ def multimodal_audio_incremental(spark, sf_dir):
     )
 
 @register(
+    "multimodal_image_incremental",
+    # incremental perceptual image dedup: new images (fixture variants
+    # 2-3) probe a PERSISTED dHash index of the history (variants 0-1) —
+    # the image instance of the written-once-index pattern text and audio
+    # already run, completing the batch/incremental/streaming trio for
+    # the image modality.  The oracle computes both sides' fingerprints
+    # from the blocky-grid closed form (the same _DHASH_FP_CTES chain
+    # multimodal_phash_dedup grades) and brute-force pairs them, so a
+    # probe that mis-slices, mis-verifies, or leaks same-split pairs
+    # fails the hash.
+    oracle=f"""
+        WITH {_DHASH_FP_CTES}
+        SELECT b.doc_id AS doc_id, h.doc_id AS hist_id,
+               CAST(bit_count(xor(bf.fp, hf.fp)) AS INTEGER) AS hamming
+        FROM p b
+        JOIN p h ON b.v IN (2, 3) AND h.v IN (0, 1)
+        JOIN fp bf ON bf.doc_id = b.doc_id
+        JOIN fp hf ON hf.doc_id = h.doc_id
+        WHERE bit_count(xor(bf.fp, hf.fp)) <= 3
+    """,
+    tags=("multimodal", "image", "dedup", "incremental", "hamming"),
+)
+def multimodal_image_incremental(spark, sf_dir):
+    """Which arriving images near-duplicate the history?  History dHash
+    fingerprints (8 B/image, REAL PNG decode) persist once; each batch
+    pays O(|batch|) decode + ``blocks`` slice-keyed probes against the
+    index (dedup.fingerprint_hamming_probe — the one probe kernel now
+    serving text SimHash, audio energy hashes, and image dHash).  The
+    split is by variant, not doc_id parity: the class stride (128) is
+    even, so a parity split would never cross a class and the probe
+    would be vacuously empty."""
+    from kwack_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    hist = similarity._persist_rotating(
+        "image_inc_hist",
+        mm.dhash64(
+            mm.synth_png_blocky(
+                d.filter((F.col("doc_id") / 128).cast("long") % 4 < 2),
+                "doc_id",
+            ),
+            "payload",
+            "doc_id",
+        ),
+    )
+    batch = mm.dhash64(
+        mm.synth_png_blocky(
+            d.filter((F.col("doc_id") / 128).cast("long") % 4 >= 2), "doc_id"
+        ),
+        "payload",
+        "doc_id",
+    )
+    return dedup.fingerprint_hamming_probe(
+        hist, batch, "doc_id", max_hamming=3, blocks=4
+    )
+
+
+@register(
+    "multimodal_video_incremental",
+    # incremental video dedup: new videos (variants 2-3) probe a PERSISTED
+    # frame-hash index of the history (variants 0-1) through the
+    # df-capped cross-table key-collision probe — the video instance of
+    # the written-once-index pattern, completing batch/incremental/
+    # streaming for the FOURTH modality.  Closed form: a batch video
+    # shares 7 sampled keyframes with history v=0 (only the batch
+    # variant's frame differs) and 6 with v=1 (both variants' frames
+    # differ); cross-class shares none (md5 frames).
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, doc_id % 64 AS g, (doc_id // 64) % 4 AS v
+            FROM documents
+        )
+        SELECT b.doc_id AS batch_id, h.doc_id AS hist_id,
+               CAST(CASE WHEN h.v = 0 THEN 7 ELSE 6 END AS BIGINT)
+                   AS n_shared,
+               CAST(CASE WHEN h.v = 0 THEN 7 ELSE 6 END AS DOUBLE)
+                   / (16 - CASE WHEN h.v = 0 THEN 7 ELSE 6 END) AS jaccard
+        FROM p b JOIN p h
+          ON b.g = h.g AND b.v IN (2, 3) AND h.v IN (0, 1)
+    """,
+    tags=("multimodal", "video", "dedup", "incremental", "keyframe"),
+)
+def multimodal_video_incremental(spark, sf_dir):
+    """Which arriving videos near-duplicate the history?  The history's
+    (video_id, frame_md5) keyframe index persists once (16 B + id per
+    sampled frame — payloads never re-read); each batch video pays its
+    own sampling + one df-capped equi-join probe
+    (dedup.key_collision_probe), and the >= 6-shared rollup recovers the
+    match strength exactly as the batch join's."""
+    kf = _video_keyframes(spark, sf_dir).select("doc_id", "frame_md5")
+    v = (F.col("doc_id") / 64).cast("long") % 4
+    hist = similarity._persist_rotating("video_inc_hist", kf.filter(v < 2))
+    batch = kf.filter(v >= 2)
+    probes = dedup.key_collision_probe(
+        hist, batch, "frame_md5", "doc_id", max_key_df=4096
+    )
+    return (
+        probes.groupBy("batch_id", "hist_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 6)
+        .select(
+            "batch_id",
+            "hist_id",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double") / (16 - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
     "multimodal_jpeg_decode",
     # REAL baseline-JPEG pixel decode (operators/multimodal.py:_jpeg_decode
     # — marker walk, stream-defined Huffman tables, entropy decode with

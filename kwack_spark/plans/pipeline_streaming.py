@@ -17,6 +17,7 @@ from kwack_spark.operators import asof, dedup, sampling, similarity
 from kwack_spark.plans.registry import register
 from kwack_spark.plans.relational import T
 from kwack_spark.plans.pipeline import (  # shared core
+    _DHASH_FP_CTES,
     _JAC,
     _LSH_CTES,
     _SIMHASH64_CTES,
@@ -1233,6 +1234,59 @@ def streaming_audio_neardup(spark, sf_dir):
             q.stop()
             raise TimeoutError(
                 "streaming_audio_neardup: stream did not finish in 300s"
+            )
+    return spark.table(sink).distinct()
+
+@register(
+    "streaming_image_neardup",
+    # streaming perceptual image near-dup: REAL PNG decode -> dHash ->
+    # 16-bit slices -> the same stateful Hamming kernel as text/audio —
+    # with this (plus multimodal_image_incremental) ALL FOUR modalities
+    # run near-dup in batch, incremental, AND streaming form.  Oracle =
+    # the batch pair set (multimodal_phash_dedup's closed dHash form):
+    # arrival order cannot change the end-of-stream pairs.
+    oracle=f"""
+        WITH {_DHASH_FP_CTES}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """,
+    tags=("streaming", "multimodal", "image", "dedup", "stateful"),
+)
+def streaming_image_neardup(spark, sf_dir):
+    """Image near-dup as a STREAMING stateful operator: the decode kernel
+    emits 8 B/image dHash fingerprints (narrow — payloads never reach the
+    stream), slices are pure projections, and each (blk, slc) bucket
+    Hamming-verifies arrivals against its state
+    (streaming/ingest.py:stateful_simhash_neardup — the one kernel now
+    serving text, image, and audio in streaming mode).  The trailing
+    .distinct() collapses multi-slice agreements."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.operators import multimodal as mm
+    from kwack_spark.streaming import ingest as si
+
+    d = T(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    fps = mm.dhash64(mm.synth_png_blocky(d, "doc_id"), "payload", "doc_id")
+    prep = dedup._simhash64_sliced(fps, "doc_id", blocks=4)
+    replay_dir = tempfile.mkdtemp(prefix="kwack_imgsh_replay_")
+    prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
+    stream = (
+        spark.readStream.schema(prep.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    pairs = si.stateful_simhash_neardup(stream, max_hamming=3)
+    sink = f"strmim_{uuid.uuid4().hex[:8]}"
+    with _few_shuffle_partitions(spark):
+        q = si.to_memory_sink(pairs, sink, output_mode="append")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_image_neardup: stream did not finish in 300s"
             )
     return spark.table(sink).distinct()
 

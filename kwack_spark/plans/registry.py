@@ -69,6 +69,9 @@ _PRIORITY = [
     "multimodal_video_dhash_dedup",
     "corpus_curation_all_modalities",
     "streaming_state_observability",
+    "multimodal_image_incremental",
+    "multimodal_video_incremental",
+    "streaming_image_neardup",
     # --- last driver grade: r02 ---
     "tfidf_top_terms",
     "length_percentile_trim",

@@ -267,6 +267,9 @@ SCALE_SENSITIVE = [
     "multimodal_video_dhash_dedup",
     "corpus_curation_all_modalities",
     "streaming_state_observability",
+    "multimodal_image_incremental",
+    "multimodal_video_incremental",
+    "streaming_image_neardup",
     # r08: the probe-curve + recall audits' implementations changed (BLAS
     # bucket shortlist + cumulative-rank fusion; shared widened ivf_assign)
     "ann_probe_recall_curve",
