@@ -333,6 +333,11 @@ HEADLINE = [
     "multimodal_image_incremental",
     "multimodal_video_incremental",
     "streaming_image_neardup",
+    # r10 wave 3 — mutual-kNN semantic clusters (exact 3-NN graph ->
+    # mutuality self-join -> checkpointed min-label components) and the
+    # DoReMi-style domain-reweighting step (one scan + O(#domains) math)
+    "knn_mutual_components",
+    "mixture_reweight_step",
     # streaming_state_observability is correctness-graded but not benched:
     # it re-drains the two stateful kernels that are ALREADY benched
     # (streaming_video_neardup, streaming_simhash_neardup) purely to read

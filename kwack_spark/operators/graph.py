@@ -61,12 +61,28 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+            ).alias("comp"),
+        )
+        # path compression (shortcutting): comp'[u] = comp[comp[u]].  The
+        # min-label invariant comp[x] <= x makes the lookup only ever
+        # shrink a label, and composing it with the neighbor step squares
+        # the propagation distance per round — chains (mutual-kNN graphs,
+        # long URL redirect trails) converge in O(log diameter) rounds
+        # instead of diameter rounds, while near-clique dup clusters are
+        # unaffected.  One extra self-join per round, labels-table-sized.
+        parent = stepped.select(
+            F.col("node").alias("comp"), F.col("comp").alias("_pcomp")
+        )
         new_labels = (
-            labels.join(nbr, "node", "left")
+            stepped.join(parent, "comp", "left")
             .select(
                 "node",
                 F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                    F.col("comp"), F.coalesce("_pcomp", F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint()

@@ -1411,3 +1411,88 @@ def corpus_curation_all_modalities(spark, sf_dir):
     s6 = s5.join(drop6, "doc_id", "left_anti").select("doc_id", "n_chars")
     # --- stage 7: shard manifest pins the four-modality survivor set ---
     return _shard_manifest(s6)
+
+
+@register(
+    "mixture_reweight_step",
+    # one DoReMi-style domain-reweighting step (Xie et al. 2023, the
+    # Group-DRO outer loop): domains whose loss proxy exceeds the corpus
+    # average get up-weighted multiplicatively, w'_d ∝ w_d·(1 + η·excess_d)
+    # — the linearized exponentiated-gradient update, exact in integers.
+    # The loss proxy here is the domain's mean doc length relative to the
+    # corpus mean (ppm, floored integer ratio of BIGINT products — a
+    # real run feeds per-domain reference-model excess losses into the
+    # same update); η = 1/4 via the (3e6 + ppm) DIV 4 form, which keeps
+    # every intermediate a positive integer so Spark's truncating DIV and
+    # DuckDB's flooring // agree.  The final weights are ratios of exact
+    # integers — one double division, bit-identical on both engines.
+    oracle="""
+        WITH d AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS s_chars
+            FROM documents GROUP BY lang
+        ),
+        tot AS (
+            SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+                   CAST(sum(s_chars) AS BIGINT) AS s_all,
+                   CAST(count(*) AS BIGINT) AS n_domains
+            FROM d
+        ),
+        u AS (
+            SELECT lang, n_docs,
+                   (1000000 * s_chars * n_all) // (s_all * n_docs) AS loss_ppm,
+                   (3000000 + (1000000 * s_chars * n_all)
+                              // (s_all * n_docs)) // 4 AS u_d,
+                   n_domains
+            FROM d CROSS JOIN tot
+        )
+        SELECT lang, n_docs, CAST(loss_ppm AS BIGINT) AS loss_ppm,
+               CAST(1.0 AS DOUBLE) / n_domains AS w_before,
+               CAST(u_d AS DOUBLE) / (SELECT sum(u_d) FROM u) AS w_after
+        FROM u ORDER BY lang
+    """,
+    tags=("curation", "mixture", "training", "reweight"),
+)
+def mixture_reweight_step(spark, sf_dir):
+    """In-engine data-mixture optimization step: per-domain loss proxies
+    aggregate map-side (one scan, two BIGINTs per domain), the update is
+    domain-table-sized arithmetic (broadcast one total row), and the new
+    weights feed directly into temperature_mixture_sample /
+    mixture_rebalance as the next epoch's sampling distribution — the
+    DoReMi outer loop expressed as a Spark plan.  100-TB shape: the scan
+    dominates; everything after is O(#domains)."""
+    d = T(spark, sf_dir, "documents")
+    dom = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("s_chars"),
+    )
+    tot = dom.agg(
+        F.sum("n_docs").alias("n_all"),
+        F.sum("s_chars").alias("s_all"),
+        F.count(F.lit(1)).alias("n_domains"),
+    )
+    u = dom.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr(
+            "(1000000 * s_chars * n_all) div (s_all * n_docs)"
+        ).alias("loss_ppm"),
+        F.expr(
+            "(3000000 + (1000000 * s_chars * n_all) div (s_all * n_docs)) div 4"
+        ).alias("u_d"),
+        "n_domains",
+    )
+    usum = u.agg(F.sum("u_d").alias("u_sum"))
+    return (
+        u.crossJoin(F.broadcast(usum))
+        .select(
+            "lang",
+            "n_docs",
+            "loss_ppm",
+            (F.lit(1.0) / F.col("n_domains")).alias("w_before"),
+            (F.col("u_d").cast("double") / F.col("u_sum").cast("double")).alias(
+                "w_after"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -2823,3 +2823,100 @@ def embedding_intrinsic_dimension(spark, sf_dir):
             F.count(F.lit(1)).cast("double") / F.sum("lr").cast("double"), 6
         ).alias("intrinsic_dim"),
     )
+
+
+@register(
+    "knn_mutual_components",
+    # graph-based semantic clustering (the SemDeDup/SemDeDup-graph shape):
+    # exact 3-NN graph -> MUTUAL edges only (a in kNN(b) AND b in kNN(a) —
+    # the standard hubness filter: a hub vector that everyone ranks highly
+    # but that ranks nobody back creates no edges) -> connected components
+    # -> cluster census.  The oracle walks the same recursive closure over
+    # the same brute-force kNN (cosine DESC, corpus_id tiebreak), so the
+    # whole chain — ranking, mutuality, transitive closure — is graded in
+    # one hash.
+    oracle=f"""
+        WITH RECURSIVE
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, {_COS} AS cosine
+            FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, corpus_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, corpus_id) AS rank
+            FROM pairs
+        ),
+        knn AS (SELECT query_id, corpus_id FROM ranked WHERE rank <= 3),
+        mutual AS (
+            SELECT a.query_id AS id_a, a.corpus_id AS id_b
+            FROM knn a JOIN knn b
+              ON a.query_id = b.corpus_id AND a.corpus_id = b.query_id
+            WHERE a.query_id < a.corpus_id
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS w FROM mutual
+            UNION ALL SELECT id_b AS u, id_a AS w FROM mutual
+        ),
+        walk AS (
+            SELECT u AS node, u AS reach FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT wk.node, e.w AS reach FROM walk wk JOIN edges e ON e.u = wk.reach
+        ),
+        comp AS (SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node)
+        SELECT cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               max(node) AS max_node
+        FROM comp GROUP BY cluster_id ORDER BY cluster_id
+    """,
+    tags=("embedding", "similarity", "graph", "dedup", "knn"),
+)
+def knn_mutual_components(spark, sf_dir):
+    """Mutual-kNN semantic clusters: the exact 3-NN graph (BLAS candidate
+    + exact JVM re-score — the broadcast-capped path with the
+    role-inverting distributed fallback), mutuality by one self-join on
+    the (query, corpus) edge set, components by checkpointed min-label
+    propagation (operators/graph.py — near-clique clusters converge in
+    diameter rounds).  100-TB shape: the kNN build is the only O(n·k)
+    stage; everything after is edge-set-sized (mutual edges <= 3n), and
+    the component loop shuffles edges, never vectors."""
+    from kwack_spark.operators import graph
+
+    e = T(spark, sf_dir, "embeddings")
+    topk = similarity._persist_rotating(
+        "knn_mutual_topk",
+        similarity.brute_force_topk_vectorized(
+            e, e, "vec_id", "embedding", k=3
+        ).select("query_id", "corpus_id"),
+    )
+    b = topk.select(
+        F.col("query_id").alias("corpus_id"), F.col("corpus_id").alias("query_id")
+    )
+    mutual = (
+        topk.join(b, ["query_id", "corpus_id"])
+        .filter(F.col("query_id") < F.col("corpus_id"))
+        .select(F.col("query_id").alias("id_a"), F.col("corpus_id").alias("id_b"))
+    )
+    # mutual-kNN graphs are NOT near-cliques: k<=3 mutuality produces long
+    # chains whose diameter grows with n (56-vs-51 clusters at sf0.1 under
+    # the dedup default of 20 rounds was an UNCONVERGED labeling, not a
+    # ranking bug).  graph.py's shortcutting squares propagation distance
+    # per round (O(log diameter) rounds); the loop breaks early, so a
+    # high cap costs nothing.  The label table is <= 3n ids — partitions
+    # sized to the edge set, not the session default, since per-round
+    # cost here is scheduling, not data (same rationale as the streaming
+    # replays' _few_shuffle_partitions).
+    from kwack_spark.plans.pipeline import _few_shuffle_partitions
+
+    with _few_shuffle_partitions(spark, 8):
+        comp = graph.connected_components(mutual, max_iter=256)
+        comp = comp.localCheckpoint()
+    return (
+        comp.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("cluster_id")
+    )

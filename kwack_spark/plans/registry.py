@@ -72,6 +72,8 @@ _PRIORITY = [
     "multimodal_image_incremental",
     "multimodal_video_incremental",
     "streaming_image_neardup",
+    "knn_mutual_components",
+    "mixture_reweight_step",
     # --- last driver grade: r02 ---
     "tfidf_top_terms",
     "length_percentile_trim",

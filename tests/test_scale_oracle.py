@@ -270,6 +270,8 @@ SCALE_SENSITIVE = [
     "multimodal_image_incremental",
     "multimodal_video_incremental",
     "streaming_image_neardup",
+    "knn_mutual_components",
+    "mixture_reweight_step",
     # r08: the probe-curve + recall audits' implementations changed (BLAS
     # bucket shortlist + cumulative-rank fusion; shared widened ivf_assign)
     "ann_probe_recall_curve",
