@@ -338,6 +338,11 @@ HEADLINE = [
     # DoReMi-style domain-reweighting step (one scan + O(#domains) math)
     "knn_mutual_components",
     "mixture_reweight_step",
+    # r10 wave 4 - incremental admission control (batch curated against
+    # the landed corpus's persisted URL + LSH indexes) and the codec-leg
+    # video dedup in streaming form
+    "corpus_curation_incremental",
+    "streaming_video_dhash_neardup",
     # streaming_state_observability is correctness-graded but not benched:
     # it re-drains the two stateful kernels that are ALREADY benched
     # (streaming_video_neardup, streaming_simhash_neardup) purely to read

@@ -20,6 +20,7 @@ from kwack_spark.plans.pipeline import (  # shared core
     _COMP_CTES,
     _DHASH_FP_CTES,
     _ENSEMBLE_CTES,
+    _JAC,
     _LSH_CTES,
     _NORM,
     _URL_CANON_CTES,
@@ -1496,3 +1497,132 @@ def mixture_reweight_step(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# incremental LSH chain for the admission-control oracle: candidates over
+# history + admitted-batch union (cross pairs only — the engine probes the
+# history index with batch keys, never batch-batch)
+_INC_LSH_CTES = _LSH_CTES.replace(
+    "FROM documents", "FROM documents JOIN hb USING (doc_id)"
+)
+
+_INC_ENSEMBLE_CTES = _ENSEMBLE_CTES.replace(
+    "FROM documents", "FROM documents JOIN s2b USING (doc_id)"
+)
+
+
+@register(
+    "corpus_curation_incremental",
+    # the ADMISSION-CONTROL twin of corpus_curation_e2e — the shape that
+    # actually runs at 100 TB: a nightly batch is curated AGAINST the
+    # landed corpus's persisted indexes instead of re-running the funnel
+    # over all history.  Stages: (1) URL admission — batch-internal
+    # keep-min per canonical URL, then drop anything whose canon URL is
+    # already in the history URL index; (2) near-dup-of-history rejection
+    # — batch band keys probe the persisted LSH index, exact-Jaccard
+    # verify at >= 0.5 (intra-batch near-dup grouping is the nightly batch
+    # funnel's job — admission control answers only "is this NEW?");
+    # (3) the per-doc ensemble gate; (4) the shard manifest pinning the
+    # admitted set bit-for-bit.  The oracle composes the SAME CTE chains
+    # the component queries grade (URL canon, LSH bands + Jaccard,
+    # ensemble) with split predicates: history = doc_id % 4 < 2, batch =
+    # the rest; a cross pair is recognized arithmetically since the
+    # splits partition by doc_id.
+    oracle=f"""
+        WITH u AS (SELECT doc_id, {_URL_RAW_SQL} AS raw_url FROM documents),
+        {_URL_CANON_CTES},
+        hist AS (SELECT doc_id FROM documents WHERE doc_id % 4 < 2),
+        ch AS (SELECT c.canon_url FROM c JOIN hist USING (doc_id)),
+        s1b AS (
+            SELECT min(c.doc_id) AS doc_id
+            FROM c JOIN documents d2 USING (doc_id)
+            WHERE d2.doc_id % 4 >= 2
+              AND c.canon_url NOT IN (SELECT canon_url FROM ch)
+            GROUP BY c.canon_url
+        ),
+        hb AS (SELECT doc_id FROM hist UNION ALL SELECT doc_id FROM s1b),
+        {_INC_LSH_CTES},
+        xdrop AS (
+            SELECT DISTINCT CASE WHEN c0.id_a % 4 >= 2 THEN c0.id_a
+                                 ELSE c0.id_b END AS doc_id
+            FROM cand c0
+            JOIN ssets x ON x.doc_id = c0.id_a
+            JOIN ssets y ON y.doc_id = c0.id_b
+            WHERE (c0.id_a % 4 >= 2) <> (c0.id_b % 4 >= 2)
+              AND {_JAC} >= 0.5
+        ),
+        s2b AS (
+            SELECT doc_id FROM s1b
+            WHERE doc_id NOT IN (SELECT doc_id FROM xdrop)
+        ),
+        {_INC_ENSEMBLE_CTES},
+        s3b AS (
+            SELECT doc_id FROM j
+            WHERE j.gopher_pass AND j.score_ok AND j.stop_ok
+        ),
+        rows_h AS (
+            SELECT d.doc_id // 100 AS shard_id, d.doc_id,
+                   CAST(('0x' || substr(md5('mft:' || d.doc_id::VARCHAR || ':'
+                                            || d.n_chars::VARCHAR), 1, 12))::BIGINT
+                        AS DECIMAL(38,0)) AS h
+            FROM documents d JOIN s3b USING (doc_id)
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(doc_id) AS min_id,
+               max(doc_id) AS max_id,
+               CAST(SUM(h) AS VARCHAR) AS content_sum
+        FROM rows_h
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
+    tags=("curation", "pipeline", "incremental", "composition"),
+)
+def corpus_curation_incremental(spark, sf_dir):
+    """Incremental corpus curation: admit a new batch against the landed
+    corpus's PERSISTED indexes.  100-TB shape: history work is two index
+    probes (canon-URL anti-join + LSH band-key equi-join, both against
+    tables written once when history landed — history text is never
+    re-shingled here, and the rotating persist stands in for those landed
+    index tables); everything else is O(|batch|): the batch's own canon
+    keys, shingles, band keys, the gate, and the manifest."""
+    from kwack_spark.functions import text as TX2
+
+    d = T(spark, sf_dir, "documents")
+    dd = F.col("doc_id") % 4
+    hist = d.filter(dd < 2)
+    bat = d.filter(dd >= 2)
+    # --- stage 1: URL admission against the landed URL index ---
+    url_index = similarity._persist_rotating(
+        "cur_inc_urlidx",
+        hist.select(
+            TX2.canonical_url(_url_raw_col()).alias("canon_url")
+        ).distinct(),
+    )
+    canon_b = bat.select(
+        "doc_id", TX2.canonical_url(_url_raw_col()).alias("canon_url")
+    )
+    keep1 = (
+        canon_b.join(url_index, "canon_url", "left_anti")
+        .groupBy("canon_url")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = similarity._persist_rotating("cur_inc_s1", bat.join(keep1, "doc_id"))
+    # --- stage 2: near-dup-of-history rejection (LSH index probe) ---
+    dups = dedup.incremental_lsh_new_dups(
+        hist, s1, "doc_id", "text", k=8, bands=2, threshold=0.5
+    )
+    s2 = similarity._persist_rotating(
+        "cur_inc_s2",
+        s1.join(dups.select("doc_id").distinct(), "doc_id", "left_anti"),
+    )
+    # --- stage 3: ensemble gate on the admitted batch ---
+    gate = (
+        _ensemble_gate_df(spark, s2.select("doc_id", "text"))
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    s3 = s2.join(gate, "doc_id").select("doc_id", "n_chars")
+    # --- stage 4: manifest pins the admitted set ---
+    return _shard_manifest(s3)

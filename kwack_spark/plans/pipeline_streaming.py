@@ -1376,3 +1376,90 @@ def streaming_change_point(spark, sf_dir):
         "s_scaled",
         (F.col("s_scaled").cast("double") / F.col("n_days")).alias("cusum"),
     )
+
+
+@register(
+    "streaming_video_dhash_neardup",
+    # the codec-leg video dedup as a STREAMING stateful operator: real
+    # MJPEG split -> baseline-JPEG keyframe decode -> dHash happens ahead
+    # of the stream (narrow — 8 B/keyframe, payloads never replay), then
+    # (video, slot) fingerprints flow through the SAME stateful sliced-
+    # Hamming kernel as text/image/audio, and the majority-of-3-keyframes
+    # rollup runs on the emitted pairs exactly as the batch query's.
+    # Oracle = multimodal_video_dhash_dedup's closed pair-level form
+    # (arrival order cannot change the end-of-stream pair set).
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, doc_id % 64 AS g, (doc_id // 64) % 4 AS v
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(3 AS BIGINT) AS n_frames_matched,
+               CAST(CASE WHEN a.v = b.v THEN 0
+                         WHEN a.v = 0 OR b.v = 0 THEN 1
+                         ELSE 2 END AS BIGINT) AS total_hamming
+        FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
+    """,
+    tags=("streaming", "multimodal", "video", "dedup", "stateful", "dhash"),
+)
+def streaming_video_dhash_neardup(spark, sf_dir):
+    """Real-codec video near-dup in streaming form — the video codec leg
+    now exists in batch AND streaming mode, like the hash leg.  The
+    decode kernel runs once while staging the replay (a production
+    stream decodes per arriving video the same way); the stateful stage
+    sees only (kfid, fp, blk, slc) rows."""
+    import tempfile
+    import uuid
+
+    from kwack_spark.operators import multimodal as mm
+    from kwack_spark.streaming import ingest as si
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(
+        spark.sparkContext.defaultParallelism,
+        F.expr("(doc_id % 64) * 4 + (doc_id div 64) % 4"),
+    )
+    kf = mm.mjpeg_keyframes(
+        mm.synth_mjpeg(d, "doc_id"), "payload", "doc_id", every_n=4
+    )
+    # composite (video, slot) id, under the column name the stateful
+    # kernel's Arrow batches key on
+    kfid = kf.select(
+        (F.col("doc_id") * 16 + (F.col("frame_no") / 4).cast("long")).alias(
+            "doc_id"
+        ),
+        "fp",
+    )
+    prep = dedup._simhash64_sliced(kfid, "doc_id", blocks=4)
+    replay_dir = tempfile.mkdtemp(prefix="kwack_viddh_replay_")
+    prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
+    stream = (
+        spark.readStream.schema(prep.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    pairs = si.stateful_simhash_neardup(stream, max_hamming=3)
+    sink = f"strmvd_{uuid.uuid4().hex[:8]}"
+    with _few_shuffle_partitions(spark):
+        q = si.to_memory_sink(pairs, sink, output_mode="append")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_video_dhash_neardup: stream did not finish in 300s"
+            )
+    return (
+        spark.table(sink)
+        .distinct()
+        .select(
+            F.expr("id_a div 16").alias("id_a"),
+            F.expr("id_b div 16").alias("id_b"),
+            "hamming",
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_matched"),
+            F.sum("hamming").alias("total_hamming"),
+        )
+        .filter(F.col("n_frames_matched") >= 2)
+    )

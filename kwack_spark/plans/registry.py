@@ -74,6 +74,8 @@ _PRIORITY = [
     "streaming_image_neardup",
     "knn_mutual_components",
     "mixture_reweight_step",
+    "corpus_curation_incremental",
+    "streaming_video_dhash_neardup",
     # --- last driver grade: r02 ---
     "tfidf_top_terms",
     "length_percentile_trim",

@@ -272,6 +272,8 @@ SCALE_SENSITIVE = [
     "streaming_image_neardup",
     "knn_mutual_components",
     "mixture_reweight_step",
+    "corpus_curation_incremental",
+    "streaming_video_dhash_neardup",
     # r08: the probe-curve + recall audits' implementations changed (BLAS
     # bucket shortlist + cumulative-rank fusion; shared widened ivf_assign)
     "ann_probe_recall_curve",
