@@ -40,7 +40,22 @@ def connected_components(
 
     ``component`` is the minimum node id of the node's connected component —
     the canonical "keeper" under min-id dedup policy.
-    """
+
+    Deep-iteration state handling: the first rounds checkpoint labels with
+    ``localCheckpoint`` (cheapest truncation; duplicate clusters converge in
+    diameter 2-3 rounds and never go deeper), but past round 8 the label
+    table is MATERIALIZED TO PARQUET and re-read instead.  Measured on this
+    Spark build: per-round cost under repeated localCheckpoint stays flat
+    for ~16 rounds and then DOUBLES EVERY ROUND (0.7 s -> 120 s by round
+    22 on an 8k-node chain) even though both the optimized plan and the
+    RDD debug lineage stay constant-size — checkpoint-frame metadata
+    accumulates across self-referencing rounds and the planner re-walks
+    it.  A parquet round-trip is a guaranteed-clean leaf with fresh
+    attributes (measured flat at ~0.7 s/round through 26+ rounds) and is
+    the classic iterative-job state materialization — on a cluster the
+    same writes land on the shared FS, sized to the label table (8-16 B
+    per node), not the corpus."""
+    import tempfile
     # symmetrize once and PERSIST: the edge relation is joined every round —
     # without this each iteration re-executes the whole upstream pipeline
     # (e.g. the LSH candidate generation) that produced the pairs
@@ -53,7 +68,8 @@ def connected_components(
     # eager localCheckpoint: materializes AND truncates lineage to a leaf
     labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
 
-    for _ in range(max_iter):
+    state_dir: str | None = None
+    for _round in range(max_iter):
         # neighbor labels: for each node, the min comp among its neighbors
         nbr = (
             sym.join(labels, sym.v == labels.node)
@@ -77,16 +93,22 @@ def connected_components(
         parent = stepped.select(
             F.col("node").alias("comp"), F.col("comp").alias("_pcomp")
         )
-        new_labels = (
-            stepped.join(parent, "comp", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce("_pcomp", F.col("comp"))
-                ).alias("comp"),
-            )
-            .localCheckpoint()
+        compressed = stepped.join(parent, "comp", "left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce("_pcomp", F.col("comp"))
+            ).alias("comp"),
         )
+        if _round < 8:
+            new_labels = compressed.localCheckpoint()
+        else:
+            # deep-iteration regime: parquet-materialized state (see the
+            # docstring's measured localCheckpoint degradation)
+            if state_dir is None:
+                state_dir = tempfile.mkdtemp(prefix="kwack_cc_state_")
+            path = f"{state_dir}/round{_round}"
+            compressed.write.mode("overwrite").parquet(path)
+            new_labels = edges.sparkSession.read.parquet(path)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
