@@ -323,12 +323,13 @@ SCALE_SENSITIVE = [
 pytestmark = pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SCALE_TESTS"),
     reason="sf0.1 battery is opt-in (SPARK_GRAFT_SCALE_TESTS=1); "
-    "last full run (end of r09, after the rotating-persist fix and all "
-    "13 round-9 additions — audio fingerprint family, KN, MMR, streaming "
-    "KLL, decontamination, matryoshka, BPE apply, index roundtrip, "
-    "sketch trim, perceptron, leakage split, CMS merge): "
-    "206/206 green in 668 s; re-run at final HEAD with the video pair "
-    "and streaming-video additions: 208/208 green in 712 s",
+    "last full run (end of r10, at final HEAD: after the pipeline.py "
+    "family split, the hot-bucket/redelivery guards, the connected-"
+    "components path-compression + parquet-state fix, and all 13 r10 "
+    "additions — video occupancy audit, MJPEG dHash dedup batch+"
+    "streaming, image/video incrementals, image streaming, 4-modality "
+    "and incremental curation DAGs, state observability, mutual-kNN "
+    "clusters, DoReMi reweight): 219/219 green in 1083 s",
 )
 
 _load_all()
