@@ -645,11 +645,16 @@ def key_collision_pairs(
         .filter(F.col("_df") <= max_key_df)
         .select(key_col)
     )
-    a = ids.select(F.col(id_col).alias("id_a"), key_col)
-    b = ids.select(F.col(id_col).alias("id_b"), key_col)
+    # the cap joins onto the INPUT, not the pair output: Catalyst does not
+    # reorder joins here (no CBO stats), so a post-pair `join(rare)` would
+    # still materialize O(df²) rows for an over-cap key on one shuffle key
+    # before dropping them (r10 ADVICE) — pruning each side first is what
+    # makes the guard an actual skew/OOM protection
+    kept = ids.join(rare, key_col)
+    a = kept.select(F.col(id_col).alias("id_a"), key_col)
+    b = kept.select(F.col(id_col).alias("id_b"), key_col)
     return (
         a.join(b, key_col)
-        .join(rare, key_col)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
@@ -680,9 +685,10 @@ def key_collision_probe(
         .filter(F.col("_df") <= max_key_df)
         .select(key_col)
     )
-    return (
-        b.join(h, key_col).join(rare, key_col).select("batch_id", "hist_id")
-    )
+    # prune the HISTORY side before the probe join (not the pair output):
+    # with the hot keys gone from h, a saturated key contributes zero rows
+    # to the b×h join instead of O(df) rows per probing batch item
+    return b.join(h.join(rare, key_col), key_col).select("batch_id", "hist_id")
 
 
 def key_occupancy_audit(

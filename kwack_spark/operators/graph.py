@@ -35,27 +35,38 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    deep_rounds: int = 8,
 ) -> DataFrame:
     """(component, node) for every node appearing in ``edges``.
 
     ``component`` is the minimum node id of the node's connected component —
     the canonical "keeper" under min-id dedup policy.
 
-    Deep-iteration state handling: the first rounds checkpoint labels with
-    ``localCheckpoint`` (cheapest truncation; duplicate clusters converge in
-    diameter 2-3 rounds and never go deeper), but past round 8 the label
-    table is MATERIALIZED TO PARQUET and re-read instead.  Measured on this
-    Spark build: per-round cost under repeated localCheckpoint stays flat
-    for ~16 rounds and then DOUBLES EVERY ROUND (0.7 s -> 120 s by round
-    22 on an 8k-node chain) even though both the optimized plan and the
-    RDD debug lineage stay constant-size — checkpoint-frame metadata
-    accumulates across self-referencing rounds and the planner re-walks
-    it.  A parquet round-trip is a guaranteed-clean leaf with fresh
-    attributes (measured flat at ~0.7 s/round through 26+ rounds) and is
-    the classic iterative-job state materialization — on a cluster the
-    same writes land on the shared FS, sized to the label table (8-16 B
-    per node), not the corpus."""
-    import tempfile
+    Deep-iteration state handling: the first ``deep_rounds`` rounds
+    checkpoint labels with ``localCheckpoint`` (cheapest truncation;
+    duplicate clusters converge in diameter 2-3 rounds and never go
+    deeper), but past that the label table is MATERIALIZED TO PARQUET and
+    re-read instead.  Measured on this Spark build: per-round cost under
+    repeated localCheckpoint stays flat for ~16 rounds and then DOUBLES
+    EVERY ROUND (0.7 s -> 120 s by round 22 on an 8k-node chain) even
+    though both the optimized plan and the RDD debug lineage stay
+    constant-size — checkpoint-frame metadata accumulates across
+    self-referencing rounds and the planner re-walks it.  A parquet
+    round-trip is a guaranteed-clean leaf with fresh attributes (measured
+    flat at ~0.7 s/round through 26+ rounds) and is the classic
+    iterative-job state materialization.
+
+    The parquet state lands in a :mod:`kwack_spark.scratch` directory —
+    resolved from the ``kwack.scratch.dir`` conf / checkpoint dir on a
+    cluster (a SHARED filesystem, the same contract as
+    ``RDD.checkpoint``), a process-temp dir only under ``local[*]``.
+    Round N-1's table is deleted as soon as round N is consumed, and the
+    final labels are pulled out via ``localCheckpoint`` so the whole
+    state dir is gone before this function returns — state on disk is
+    one label table (8-16 B per node) at any instant, zero after."""
+    from kwack_spark import scratch
+
+    spark = edges.sparkSession
     # symmetrize once and PERSIST: the edge relation is joined every round —
     # without this each iteration re-executes the whole upstream pipeline
     # (e.g. the LSH candidate generation) that produced the pairs
@@ -69,6 +80,7 @@ def connected_components(
     labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
 
     state_dir: str | None = None
+    prev_path: str | None = None
     for _round in range(max_iter):
         # neighbor labels: for each node, the min comp among its neighbors
         nbr = (
@@ -99,16 +111,17 @@ def connected_components(
                 F.col("comp"), F.coalesce("_pcomp", F.col("comp"))
             ).alias("comp"),
         )
-        if _round < 8:
+        path = None
+        if _round < deep_rounds:
             new_labels = compressed.localCheckpoint()
         else:
             # deep-iteration regime: parquet-materialized state (see the
             # docstring's measured localCheckpoint degradation)
             if state_dir is None:
-                state_dir = tempfile.mkdtemp(prefix="kwack_cc_state_")
+                state_dir = scratch.scratch_dir(spark, "cc_state")
             path = f"{state_dir}/round{_round}"
             compressed.write.mode("overwrite").parquet(path)
-            new_labels = edges.sparkSession.read.parquet(path)
+            new_labels = spark.read.parquet(path)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -116,11 +129,24 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the convergence count above is the last consumer of round N-1's
+        # table (it joined old vs new labels), so its parquet can go now —
+        # on-disk state stays one label table deep however many rounds run
+        if prev_path is not None:
+            scratch.remove(spark, prev_path)
+        prev_path = path
         labels = new_labels
         if changed == 0:
             break
 
     sym.unpersist()
+    if state_dir is not None:
+        # pull the final labels out of the scratch subtree (eager
+        # localCheckpoint — one materialization, lineage truncated to
+        # executor blocks) so the whole state dir can be removed before
+        # the result is returned
+        labels = labels.localCheckpoint()
+        scratch.remove(spark, state_dir)
     return labels.select(F.col("comp").alias("component"), "node")
 
 

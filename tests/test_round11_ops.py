@@ -1,0 +1,130 @@
+"""Round-11 unit tests: cluster-safe iterative scratch state, hot-key cap
+ordering in the exact-key collision family, and the MinHash band-bucket cap
+(r10 VERDICT next-round items #1/#2 + r10 ADVICE)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kwack_spark.operators.graph import connected_components
+
+
+# ---------------------------------------------------------------------------
+# scratch-dir resolution + connected-components deep-iteration state
+# ---------------------------------------------------------------------------
+
+
+def test_deep_iteration_scratch_conf_and_cleanup(spark, tmp_path):
+    """Past ``deep_rounds`` the label table parquet-materializes under the
+    ``kwack.scratch.dir`` conf (the cluster-safe shared-FS location), round
+    N-1 is deleted as round N is consumed, and the whole state dir is gone
+    before the result is returned — while the returned labels stay
+    collectable (pulled out via localCheckpoint before the rmtree)."""
+    conf_dir = str(tmp_path / "scratch")
+    spark.conf.set("kwack.scratch.dir", conf_dir)
+    try:
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 40)], ["id_a", "id_b"]
+        )
+        out = connected_components(df, deep_rounds=2, max_iter=30)
+        got = {r.node: r.component for r in out.collect()}
+        assert got == {i: 1 for i in range(1, 41)}
+        # conf honored: a session scratch root was created under it
+        assert os.listdir(conf_dir), "scratch root not created under conf dir"
+        # hygiene: no cc_state dir (nor any round parquet) survives the call
+        assert not glob.glob(conf_dir + "/**/cc_state-*", recursive=True)
+        # the result must remain usable after its parquet state was removed
+        assert out.count() == 40
+    finally:
+        spark.conf.unset("kwack.scratch.dir")
+
+
+def test_scratch_refuses_driver_local_on_cluster():
+    """On a non-local master with neither kwack.scratch.dir nor a checkpoint
+    dir, scratch allocation must FAIL LOUDLY: a driver-local tempdir is not
+    a shared filesystem, and executors writing to their own /tmp followed by
+    a driver re-read silently loses data (r10 VERDICT What's-wrong #1)."""
+    from kwack_spark import scratch
+
+    class FakeConf:
+        def get(self, k, d=None):
+            return d
+
+    class FakeSC:
+        master = "spark://host:7077"
+        applicationId = "fake-app-r11"
+
+        def getCheckpointDir(self):
+            return None
+
+    class FakeSpark:
+        conf = FakeConf()
+        sparkContext = FakeSC()
+
+    with pytest.raises(RuntimeError, match="kwack.scratch.dir"):
+        scratch._session_root(FakeSpark())
+
+
+# ---------------------------------------------------------------------------
+# exact-key collision family: the cap must prune BEFORE the pair join
+# ---------------------------------------------------------------------------
+
+
+def test_key_collision_cap_prunes_before_pair_join(spark):
+    """The df-cap's semi-join must sit BELOW the pair self-join in the
+    physical plan (r10 ADVICE): with no CBO join reorder, a post-pair
+    ``join(rare)`` would still materialize O(df²) rows for an over-cap key
+    on one shuffle key before dropping them.  The outermost join must be
+    the pair join itself (condition ``id_a < id_b``), i.e. both inputs are
+    already pruned."""
+    from kwack_spark.operators.dedup import key_collision_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 3}") for i in range(24)], ["id", "key"]
+    )
+    p = key_collision_pairs(df, "key", "id", max_key_df=8)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    join_lines = [
+        ln for ln in plan.splitlines() if "Join" in ln and "Exchange" not in ln
+    ]
+    assert join_lines, plan
+    assert "id_a" in join_lines[0] and "<" in join_lines[0], (
+        "outermost join is not the pair join — cap not pruned first:\n" + plan
+    )
+    # semantics: keys k0/k1 (8 ids each) kept, k2... 24 ids % 3 -> 8 each,
+    # all <= 8 kept: C(8,2)*3 pairs
+    assert p.count() == 28 * 3
+
+
+def test_key_collision_pairs_drops_hot_key(spark):
+    from kwack_spark.operators.dedup import key_collision_pairs
+
+    rows = [(i, "hot") for i in range(10)] + [(100, "cold"), (101, "cold")]
+    df = spark.createDataFrame(rows, ["id", "key"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in key_collision_pairs(df, "key", "id", max_key_df=4).collect()
+    }
+    assert got == {(100, 101)}
+
+
+def test_key_collision_probe_drops_hot_history_key(spark):
+    from kwack_spark.operators.dedup import key_collision_probe
+
+    hist = spark.createDataFrame(
+        [(i, "hot") for i in range(10)] + [(50, "cold")], ["id", "key"]
+    )
+    batch = spark.createDataFrame(
+        [(200, "hot"), (201, "cold"), (202, "unseen")], ["id", "key"]
+    )
+    got = {
+        (r.batch_id, r.hist_id)
+        for r in key_collision_probe(
+            hist, batch, "key", "id", max_key_df=4
+        ).collect()
+    }
+    assert got == {(201, 50)}
