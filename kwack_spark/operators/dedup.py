@@ -67,14 +67,24 @@ def minhash_lsh_pairs(
     bands: int = 2,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_band_df: int = 4096,
 ) -> DataFrame:
     """Candidate pairs whose signatures collide in >=1 band, verified with
     exact shingle-set Jaccard >= threshold.
 
-    Scale shape: explode to (band_key, id) — shuffle on band_key; buckets are
-    small by construction, so the within-bucket self-join is cheap; the final
-    verify re-joins the shingle sets by id (broadcast if the candidate set is
-    small, shuffle otherwise — left to AQE).
+    Scale shape: explode to (band_key, id) — shuffle on band_key; the
+    within-bucket self-join is cheap because buckets are duplicate-cluster
+    sized BY CONSTRUCTION: ``max_band_df`` prunes bands held by more ids
+    than that BEFORE the self-join (the same stop-word control as
+    ``key_collision_pairs``' ``max_key_df`` and the SimHash slice cap — a
+    real web corpus has million-member boilerplate clusters, empty docs and
+    error pages, whose identical signatures land in ONE band bucket and
+    would otherwise generate O(bucket²) pairs on a single shuffle key).  An
+    over-cap band IS one giant duplicate cluster — recover its membership
+    directly with :func:`lsh_overcap_band_clusters` instead of enumerating
+    its pair list; ``lsh_band_occupancy`` (plans/pipeline_dedup.py) is the
+    graded audit that watches whether the cap is dormant or load-bearing.
+    The final verify re-joins the shingle sets by id.
     """
     from pyspark import StorageLevel
 
@@ -92,8 +102,18 @@ def minhash_lsh_pairs(
         F.array_distinct(TX.shingles(TX.tokens(text_col), shingle_n)).alias("sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     exploded = lsh_band_keys(shingle_sets, id_col, k, bands)
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    # hot-bucket guard: prune over-cap bands on the INPUT side (the semi-
+    # join sits below the pair join in the physical plan, so a saturated
+    # band contributes zero rows to the self-join instead of O(df²))
+    rare = (
+        exploded.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_band_df)
+        .select("band_key")
+    )
+    kept = exploded.join(rare, "band_key")
+    a = kept.alias("a")
+    b = kept.alias("b")
     cand = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
@@ -156,6 +176,27 @@ def lsh_band_keys(
             )
         ).alias("band_key"),
     )
+
+
+def lsh_overcap_band_clusters(
+    shingle_sets: DataFrame, id_col: str, k: int = 8, bands: int = 2,
+    max_band_df: int = 4096,
+) -> DataFrame:
+    """Membership of the band buckets ``minhash_lsh_pairs`` PRUNES: one
+    ``(band_key, id, band_df)`` row per member of each over-cap band.  An
+    over-cap band is by definition one giant near-duplicate cluster (its
+    members share a full band of MinHash values — boilerplate, empty docs,
+    error pages), so the cluster IS the answer: downstream keep-min policy
+    can consume these rows directly, with no O(n²) pair enumeration and no
+    components pass.  One shuffle on band_key; output is only the
+    saturated buckets' membership."""
+    exploded = lsh_band_keys(shingle_sets, id_col, k, bands)
+    hot = (
+        exploded.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("band_df"))
+        .filter(F.col("band_df") > max_band_df)
+    )
+    return exploded.join(hot, "band_key").select("band_key", id_col, "band_df")
 
 
 def lsh_band_keys_narrow(

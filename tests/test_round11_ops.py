@@ -128,3 +128,56 @@ def test_key_collision_probe_drops_hot_history_key(spark):
         ).collect()
     }
     assert got == {(201, 50)}
+
+
+# ---------------------------------------------------------------------------
+# MinHash band hot-bucket cap
+# ---------------------------------------------------------------------------
+
+
+def _boilerplate_docs(spark):
+    """12 byte-identical boilerplate docs (one giant band bucket) plus one
+    genuine near-dup pair and one unique doc."""
+    rows = [(i, "error page not found please try again later") for i in range(12)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "the quick brown fox jumps over the lazy dog tonight"),
+        (200, "completely unrelated text about spark partitions and shuffles"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_band_cap_prunes_boilerplate_cluster(spark):
+    """A band bucket over max_band_df must contribute ZERO pairs (pruned
+    before the self-join), while under-cap buckets still pair normally."""
+    from kwack_spark.operators.dedup import minhash_lsh_pairs
+
+    df = _boilerplate_docs(spark)
+    uncapped = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5)
+    assert uncapped.filter("id_a < 12 AND id_b < 12").count() == 66  # C(12,2)
+    capped = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.5, max_band_df=8
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert not any(a < 12 for a, _ in got), got  # boilerplate gone
+    assert (100, 101) in got  # genuine near-dup survives the cap
+
+
+def test_lsh_overcap_band_clusters_emits_membership(spark):
+    """Over-cap bands come back as ready-made clusters — the full member
+    list with the bucket df, no pair enumeration."""
+    from pyspark.sql import functions as F
+
+    from kwack_spark.functions import text as TX
+    from kwack_spark.operators.dedup import lsh_overcap_band_clusters
+
+    ss = _boilerplate_docs(spark).select(
+        "doc_id",
+        F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("sh"),
+    )
+    out = lsh_overcap_band_clusters(ss, "doc_id", max_band_df=8)
+    rows = out.collect()
+    # both bands of the identical docs saturate: 2 bands x 12 members
+    assert len(rows) == 24
+    assert {r.doc_id for r in rows} == set(range(12))
+    assert all(r.band_df == 12 for r in rows)
