@@ -929,6 +929,131 @@ def streaming_state_observability(spark, sf_dir):
     ).orderBy("kernel")
 
 @register(
+    "streaming_state_observability_sketches",
+    # the r10 observability query measured the two id-set kernels; this one
+    # closes the remaining stateful surface (r10 VERDICT ask #4): the
+    # running-count and running-moments kernels (state rows == distinct
+    # keys), the per-key KLL quantile registers (one O(k) state row per
+    # key), and the complete-mode CMS counter aggregation (state rows ==
+    # occupied (depth, bucket) counters — constant in stream length AND in
+    # key cardinality).  Each kernel's stream is drained and its OWN
+    # StreamingQueryProgress.stateOperators.numRowsTotal — the number a
+    # production monitor scrapes — is compared against the batch-computed
+    # key/bucket count; the oracle pins equality in closed form, so a
+    # kernel that leaked per-arrival state rows fails the hash.
+    oracle="""
+        WITH ev AS (
+            SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n FROM events
+        ),
+        dl AS (
+            SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n FROM documents
+        ),
+        keyed AS (
+            SELECT user_id, d,
+                   ((instr('0123456789abcdef',
+                           substr(md5('cms' || d || ':' || user_id::VARCHAR), 1, 1)) - 1) * 16
+                    + instr('0123456789abcdef',
+                            substr(md5('cms' || d || ':' || user_id::VARCHAR), 2, 1)) - 1) % 256 AS b
+            FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS d)
+        ),
+        cm AS (
+            SELECT CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT DISTINCT d, b FROM keyed)
+        )
+        SELECT 'cms_counters' AS kernel, n AS state_rows, n AS n_keys,
+               TRUE AS state_bounded
+        FROM cm
+        UNION ALL SELECT 'kll_registers', n, n, TRUE FROM dl
+        UNION ALL SELECT 'running_counts', n, n, TRUE FROM ev
+        UNION ALL SELECT 'running_moments', n, n, TRUE FROM ev
+        ORDER BY kernel
+    """,
+    tags=("streaming", "stateful", "sketch", "audit", "observability"),
+)
+def streaming_state_observability_sketches(spark, sf_dir):
+    """Measured state-store growth for the sketch/moment stateful kernels
+    (streaming/ingest.py:stateful_running_counts, stateful_running_moments,
+    stateful_kll_registers; plans/sketches_corpus.py's complete-mode CMS
+    aggregation): replay each kernel's stream over multi-file micro-batches,
+    read the final stateOperators.numRowsTotal, and emit it against the
+    batch-computed distinct-key (or occupied-counter) count.  The KLL row is
+    the strongest claim: state is one row of O(k)=64 registers per key
+    however long the stream runs; the CMS row is bounded by depth*width
+    (4*256) regardless of user cardinality.  The scalar collects are one
+    count + one progress dict per kernel — constant-size observability."""
+    import uuid
+
+    from kwack_spark import scratch
+    from kwack_spark.operators import scale
+    from kwack_spark.streaming import ingest as si
+
+    def drain(prep, build, mode):
+        replay_dir = scratch.scratch_dir(spark, "stateobs_sk")
+        prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
+        stream = (
+            spark.readStream.schema(prep.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay_dir)
+        )
+        sink = f"obsk_{uuid.uuid4().hex[:8]}"
+        with _few_shuffle_partitions(spark):
+            q = si.to_memory_sink(build(stream), sink, output_mode=mode)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "streaming_state_observability_sketches: stream stuck"
+                )
+        return int(q.lastProgress["stateOperators"][0]["numRowsTotal"])
+
+    rows = []
+    ev = T(spark, sf_dir, "events")
+    e_types = ev.select("event_type").distinct().count()
+    state_rc = drain(
+        ev.select("event_id", "event_type"),
+        lambda s: si.stateful_running_counts(s, "event_type"),
+        "update",
+    )
+    rows.append(("running_counts", state_rc, e_types, state_rc <= e_types))
+    state_rm = drain(
+        ev.select("event_type", "value"),
+        lambda s: si.stateful_running_moments(s, "event_type"),
+        "update",
+    )
+    rows.append(("running_moments", state_rm, e_types, state_rm <= e_types))
+
+    d = T(spark, sf_dir, "documents").select(
+        "lang",
+        scale._kll_rank("doc_id", "klls").alias("hr"),
+        F.col("doc_id").cast("long").alias("rid"),
+        F.col("n_chars").cast("long").alias("v"),
+    )
+    n_langs = d.select("lang").distinct().count()
+    state_kll = drain(
+        d, lambda s: si.stateful_kll_registers(s, "lang", k=64), "update"
+    )
+    rows.append(("kll_registers", state_kll, n_langs, state_kll <= n_langs))
+
+    e = ev.select("user_id", "ts")
+    n_buckets = (
+        scale._cms_keyed(e, "user_id", depth=4, width=256, seed="cms")
+        .select("d", "b")
+        .distinct()
+        .count()
+    )
+    state_cms = drain(
+        e,
+        lambda s: scale._cms_keyed(s, "user_id", depth=4, width=256, seed="cms")
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        "complete",
+    )
+    rows.append(("cms_counters", state_cms, n_buckets, state_cms <= n_buckets))
+
+    return spark.createDataFrame(
+        rows, "kernel string, state_rows long, n_keys long, state_bounded boolean"
+    ).orderBy("kernel")
+
+@register(
     "streaming_url_dedup",
     # crawl-frontier dedup AT INGEST: the canonical-URL key is computed
     # in-stream (same pure-codegen canonicalizer as dedup_url_canonical)
