@@ -1626,3 +1626,244 @@ def corpus_curation_incremental(spark, sf_dir):
     s3 = s2.join(gate, "doc_id").select("doc_id", "n_chars")
     # --- stage 4: manifest pins the admitted set ---
     return _shard_manifest(s3)
+
+
+@register(
+    "corpus_curation_incremental_multimodal",
+    # corpus_curation_incremental extended with the three fingerprint legs
+    # (r10 VERDICT ask #5) — the nightly-batch admission DAG a 100-TB
+    # MULTIMODAL corpus actually runs: after the text stages (URL index
+    # anti-join, LSH index probe, ensemble gate), each surviving batch doc
+    # that CARRIES a modality probes that modality's PERSISTED history
+    # index — image dHash and audio energy hash through the pigeonhole
+    # Hamming probe, video keyframes through the df-capped key-collision
+    # probe — and is rejected if it near-duplicates landed history.  The
+    # split is the image/audio VARIANT split ((doc_id // 128) % 4 < 2 =
+    # history), not doc_id parity: the fixture class stride (128) is a
+    # multiple of 4, so a parity split would never cross a modality class
+    # and every probe would be vacuously empty.  Modality presence is
+    # sparse AND class-aligned (modality classes with class % 5/7/3 == 0
+    # carry an image/audio clip/video) — multimodal corpora are sparse,
+    # class alignment makes presence consistent within a duplicate class,
+    # and both together keep each leg's drop set non-trivial in BOTH
+    # directions (some batch docs rejected, some admitted).  The oracle composes the
+    # text CTE chains with the image fp closed form (exact bit_count
+    # <= 3) and the audio/video class closed forms (all same-class
+    # cross-split pairs are within Hamming 3 / share >= 6 keyframes — the
+    # same collapsed forms corpus_curation_all_modalities grades), and the
+    # manifest pins the admitted set bit-for-bit.
+    oracle=f"""
+        WITH u AS (SELECT doc_id, {_URL_RAW_SQL} AS raw_url FROM documents),
+        {_URL_CANON_CTES},
+        hist AS (
+            SELECT doc_id FROM documents WHERE (doc_id // 128) % 4 < 2
+        ),
+        ch AS (SELECT c.canon_url FROM c JOIN hist USING (doc_id)),
+        s1b AS (
+            SELECT min(c.doc_id) AS doc_id
+            FROM c JOIN documents d2 USING (doc_id)
+            WHERE (d2.doc_id // 128) % 4 >= 2
+              AND c.canon_url NOT IN (SELECT canon_url FROM ch)
+            GROUP BY c.canon_url
+        ),
+        hb AS (SELECT doc_id FROM hist UNION ALL SELECT doc_id FROM s1b),
+        {_INC_LSH_CTES},
+        xdrop AS (
+            SELECT DISTINCT CASE WHEN (c0.id_a // 128) % 4 >= 2 THEN c0.id_a
+                                 ELSE c0.id_b END AS doc_id
+            FROM cand c0
+            JOIN ssets x ON x.doc_id = c0.id_a
+            JOIN ssets y ON y.doc_id = c0.id_b
+            WHERE ((c0.id_a // 128) % 4 >= 2) <> ((c0.id_b // 128) % 4 >= 2)
+              AND {_JAC} >= 0.5
+        ),
+        s2b AS (
+            SELECT doc_id FROM s1b
+            WHERE doc_id NOT IN (SELECT doc_id FROM xdrop)
+        ),
+        {_INC_ENSEMBLE_CTES},
+        s3b AS (
+            SELECT doc_id FROM j
+            WHERE j.gopher_pass AND j.score_ok AND j.stop_ok
+        ),
+        {_DHASH_FP_CTES},
+        dimg AS (
+            SELECT DISTINCT b.doc_id
+            FROM s3b b, hist h, fp bf, fp hf
+            WHERE b.doc_id % 128 % 5 = 0 AND h.doc_id % 128 % 5 = 0
+              AND bf.doc_id = b.doc_id AND hf.doc_id = h.doc_id
+              AND bit_count(xor(bf.fp, hf.fp)) <= 3
+        ),
+        s4b AS (
+            SELECT doc_id FROM s3b
+            WHERE doc_id NOT IN (SELECT doc_id FROM dimg)
+        ),
+        daud AS (
+            SELECT DISTINCT b.doc_id
+            FROM s4b b JOIN hist h
+              ON b.doc_id % 128 % 7 = 0 AND h.doc_id % 128 % 7 = 0
+             AND b.doc_id % 128 = h.doc_id % 128
+        ),
+        s5b AS (
+            SELECT doc_id FROM s4b
+            WHERE doc_id NOT IN (SELECT doc_id FROM daud)
+        ),
+        dvid AS (
+            SELECT DISTINCT b.doc_id
+            FROM s5b b JOIN hist h
+              ON b.doc_id % 64 % 3 = 0 AND h.doc_id % 64 % 3 = 0
+             AND b.doc_id % 64 = h.doc_id % 64
+        ),
+        s6b AS (
+            SELECT doc_id FROM s5b
+            WHERE doc_id NOT IN (SELECT doc_id FROM dvid)
+        ),
+        rows_h AS (
+            SELECT d.doc_id // 100 AS shard_id, d.doc_id,
+                   CAST(('0x' || substr(md5('mft:' || d.doc_id::VARCHAR || ':'
+                                            || d.n_chars::VARCHAR), 1, 12))::BIGINT
+                        AS DECIMAL(38,0)) AS h
+            FROM documents d JOIN s6b USING (doc_id)
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(doc_id) AS min_id,
+               max(doc_id) AS max_id,
+               CAST(SUM(h) AS VARCHAR) AS content_sum
+        FROM rows_h
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
+    tags=("curation", "pipeline", "incremental", "multimodal", "composition"),
+)
+def corpus_curation_incremental_multimodal(spark, sf_dir):
+    """Multimodal incremental admission control: history work is FIVE index
+    probes against tables written once when history landed (canon-URL set,
+    LSH band keys, image dHash fps, audio energy fps, video keyframe
+    hashes — the rotating persists stand in for those landed index
+    tables); everything else is O(|batch|).  Each modality leg
+    fingerprints ONLY the prior stage's survivors that carry the
+    modality, emits 8 bytes per item (payloads never shuffle), and rides
+    the shared probe kernels (dedup.fingerprint_hamming_probe for the two
+    Hamming families, dedup.key_collision_probe for keyframes), so one
+    code path serves text/image/audio/video alike."""
+    from kwack_spark.functions import text as TX2
+    from kwack_spark.operators import multimodal as mm
+
+    par = spark.sparkContext.defaultParallelism
+    d = T(spark, sf_dir, "documents")
+    split = (F.col("doc_id") / 128).cast("long") % 4
+    hist = d.filter(split < 2)
+    bat = d.filter(split >= 2)
+    # --- stage 1: URL admission against the landed URL index ---
+    url_index = similarity._persist_rotating(
+        "cim_urlidx",
+        hist.select(
+            TX2.canonical_url(_url_raw_col()).alias("canon_url")
+        ).distinct(),
+    )
+    canon_b = bat.select(
+        "doc_id", TX2.canonical_url(_url_raw_col()).alias("canon_url")
+    )
+    keep1 = (
+        canon_b.join(url_index, "canon_url", "left_anti")
+        .groupBy("canon_url")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = similarity._persist_rotating("cim_s1", bat.join(keep1, "doc_id"))
+    # --- stage 2: near-dup-of-history rejection (LSH index probe) ---
+    dups = dedup.incremental_lsh_new_dups(
+        hist, s1, "doc_id", "text", k=8, bands=2, threshold=0.5
+    )
+    s2 = similarity._persist_rotating(
+        "cim_s2",
+        s1.join(dups.select("doc_id").distinct(), "doc_id", "left_anti"),
+    )
+    # --- stage 3: ensemble gate on the admitted batch ---
+    gate = (
+        _ensemble_gate_df(spark, s2.select("doc_id", "text"))
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    s3 = similarity._persist_rotating(
+        "cim_s3", s2.join(gate, "doc_id").select("doc_id", "n_chars")
+    )
+    # --- stage 4: image admission (persisted dHash index probe) ---
+    has_img = F.col("doc_id") % 128 % 5 == 0
+    img_hist = similarity._persist_rotating(
+        "cim_imgidx",
+        mm.dhash64(
+            mm.synth_png_blocky(
+                hist.filter(has_img).select("doc_id").repartition(par, "doc_id"),
+                "doc_id",
+            ),
+            "payload",
+            "doc_id",
+        ),
+    )
+    img_bat = mm.dhash64(
+        mm.synth_png_blocky(
+            s3.filter(has_img).select("doc_id").repartition(par, "doc_id"),
+            "doc_id",
+        ),
+        "payload",
+        "doc_id",
+    )
+    drop4 = dedup.fingerprint_hamming_probe(
+        img_hist, img_bat, "doc_id", max_hamming=3, blocks=4
+    ).select("doc_id").distinct()
+    s4 = similarity._persist_rotating(
+        "cim_s4", s3.join(drop4, "doc_id", "left_anti")
+    )
+    # --- stage 5: audio admission (persisted energy-fp index probe) ---
+    has_aud = F.col("doc_id") % 128 % 7 == 0
+    aud_hist = similarity._persist_rotating(
+        "cim_audidx",
+        mm.audio_fingerprint64(
+            mm.synth_wav_am(
+                hist.filter(has_aud).select("doc_id").repartition(par, "doc_id"),
+                "doc_id",
+            ),
+            "payload",
+            "doc_id",
+        ),
+    )
+    aud_bat = mm.audio_fingerprint64(
+        mm.synth_wav_am(
+            s4.filter(has_aud).select("doc_id").repartition(par, "doc_id"),
+            "doc_id",
+        ),
+        "payload",
+        "doc_id",
+    )
+    drop5 = dedup.fingerprint_hamming_probe(
+        aud_hist, aud_bat, "doc_id", max_hamming=3, blocks=4
+    ).select("doc_id").distinct()
+    s5 = similarity._persist_rotating(
+        "cim_s5", s4.join(drop5, "doc_id", "left_anti")
+    )
+    # --- stage 6: video admission (persisted keyframe index probe) ---
+    has_vid = F.col("doc_id") % 64 % 3 == 0
+    kf_hist = similarity._persist_rotating(
+        "cim_vididx",
+        _video_keyframes_from(hist.filter(has_vid).select("doc_id")).select(
+            "doc_id", "frame_md5"
+        ),
+    )
+    kf_bat = _video_keyframes_from(s5.filter(has_vid).select("doc_id")).select(
+        "doc_id", "frame_md5"
+    )
+    drop6 = (
+        dedup.key_collision_probe(
+            kf_hist, kf_bat, "frame_md5", "doc_id", max_key_df=4096
+        )
+        .groupBy("batch_id", "hist_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 6)
+        .select(F.col("batch_id").alias("doc_id"))
+        .distinct()
+    )
+    s6 = s5.join(drop6, "doc_id", "left_anti").select("doc_id", "n_chars")
+    # --- stage 7: manifest pins the admitted multimodal set ---
+    return _shard_manifest(s6)
