@@ -347,6 +347,25 @@ def synth_wav_pcm16(
     return df.select(id_col).mapInPandas(kernel, out_schema)
 
 
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Walk one RIFF chunk sequence, yielding ``(chunk_id, body_offset,
+    body_size_available)`` — the ONE copy of the RIFF discipline (4-byte
+    fourcc, little-endian u32 size, odd-size pad byte) shared by the
+    WAV/PCM16 parser and the AVI container parser.  A chunk whose declared
+    size overruns the buffer yields its available prefix (the truncated
+    tail degrades to NULL features downstream, never a struct.error inside
+    an Arrow kernel — r05 ADVICE); nested LIST bodies are walked by
+    re-invoking on ``(body_offset + 4, body_offset + size)``."""
+    import struct
+
+    while pos + 8 <= end:
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = pos + 8
+        yield cid, body, min(size, end - body)
+        pos = body + size + (size & 1)  # odd chunk sizes are padded
+
+
 def _wav_pcm16_parse(payload: bytes):
     """Chunk-walk a RIFF/WAVE payload and return ``(rate, channels,
     samples)`` with samples the raw interleaved int16 array, or None for
@@ -358,21 +377,14 @@ def _wav_pcm16_parse(payload: bytes):
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
-    pos, fmt_info, data = 12, None, None
-    while pos + 8 <= len(payload):
-        cid = payload[pos:pos + 4]
-        (size,) = struct.unpack_from("<I", payload, pos + 4)
-        body = payload[pos + 8:pos + 8 + size]
+    fmt_info, data = None, None
+    for cid, off, n in _riff_chunks(payload, 12, len(payload)):
+        body = payload[off : off + n]
         if cid == b"fmt " and len(body) >= 16:
-            # len(body), not the declared size: a truncated payload can
-            # end mid-chunk, and unpack_from on a short slice would
-            # raise struct.error inside the Arrow kernel instead of
-            # degrading this frame to NULLs (r05 ADVICE)
             audio_fmt, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
             fmt_info = (audio_fmt, ch, rate, bits)
         elif cid == b"data":
             data = body
-        pos += 8 + size + (size & 1)  # odd chunk sizes are padded
     if fmt_info is None or data is None:
         return None
     audio_fmt, ch, rate, bits = fmt_info
@@ -1550,22 +1562,49 @@ def synth_mjpeg(
     SAMPLED frame, t = every_n * (v - 1): ids sharing (g, v) are
     byte-identical; v=0 vs v>0 differ in one keyframe's single bit; two
     nonzero variants differ in two keyframes, one bit each."""
+    return _synth_video(df, id_col, n_frames, every_n, lambda fs: b"".join(fs))
+
+
+def _video_frame_grid(g: int, t: int, modified: bool):
+    """The 9x8 block-value grid of video class (g, t) — the ONE copy of the
+    closed-form frame semantics shared by the MJPEG and AVI fixtures (and
+    stated verbatim by their oracles)."""
     import hashlib
 
     import numpy as np
-    import pandas as pd
 
-    def frame_grid(g: int, t: int, modified: bool):
-        grid = np.empty((8, 9), np.int32)
-        for j in range(8):
-            for i in range(9):
-                grid[j, i] = int(
-                    hashlib.md5(f"vd:{g}:{t}:{j}:{i}".encode()).hexdigest()[:2],
-                    16,
-                )
-        grid[0, 0] = 255 if modified else 0
-        grid[0, 1] = 128
-        return grid
+    grid = np.empty((8, 9), np.int32)
+    for j in range(8):
+        for i in range(9):
+            grid[j, i] = int(
+                hashlib.md5(f"vd:{g}:{t}:{j}:{i}".encode()).hexdigest()[:2],
+                16,
+            )
+    grid[0, 0] = 255 if modified else 0
+    grid[0, 1] = 128
+    return grid
+
+
+def _video_frame_jpegs(g: int, v: int, n_frames: int, every_n: int):
+    """The class's frame list as real baseline JPEGs (one modified frame at
+    sampled position ``every_n * (v - 1)`` for variants v > 0)."""
+    import numpy as np
+
+    frames = []
+    for t in range(n_frames):
+        mod = v > 0 and t == every_n * (v - 1)
+        px = np.repeat(
+            np.repeat(_video_frame_grid(g, t, mod), 8, axis=0), 8, axis=1
+        )
+        frames.append(_jpeg_encode(px.astype(np.int32), 1))
+    return frames
+
+
+def _synth_video(df, id_col, n_frames, every_n, container):
+    """Shared synth kernel for the video fixtures: per (class, variant) the
+    frame JPEGs are generated once and wrapped by ``container`` (bare
+    concatenation for MJPEG, the RIFF/AVI writer for AVI)."""
+    import pandas as pd
 
     def kernel(batches) -> Iterator:
         cache: dict = {}
@@ -1576,16 +1615,9 @@ def synth_mjpeg(
                 g, v = d % 64, (d // 64) % 4
                 payload = cache.get((g, v))
                 if payload is None:
-                    frames = []
-                    for t in range(n_frames):
-                        mod = v > 0 and t == every_n * (v - 1)
-                        px = np.repeat(
-                            np.repeat(frame_grid(g, t, mod), 8, axis=0),
-                            8,
-                            axis=1,
-                        )
-                        frames.append(_jpeg_encode(px.astype(np.int32), 1))
-                    payload = b"".join(frames)
+                    payload = container(
+                        _video_frame_jpegs(g, v, n_frames, every_n)
+                    )
                     cache[(g, v)] = payload
                 ids.append(d)
                 outs.append(payload)
@@ -1598,6 +1630,80 @@ def synth_mjpeg(
         ]
     )
     return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def _avi_container(frames, w: int = 72, h: int = 64, fps: int = 8) -> bytes:
+    """Minimal, standards-shaped AVI/RIFF writer (pure ``struct``): RIFF
+    'AVI ' form with a LIST hdrl (avih MainAVIHeader + LIST strl holding a
+    'vids'/'MJPG' AVIStreamHeader and a BITMAPINFOHEADER strf), a LIST
+    movi of one '00dc' chunk per frame, and a trailing idx1 index — the
+    layout every AVI reader walks.  Odd-size chunk bodies get the RIFF
+    pad byte, so a consumer must honor the chunk discipline, not just
+    scan for JPEG magics."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    maxb = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, maxb * fps, 0, 0x10, len(frames), 0, 1,
+        maxb, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h", b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0,
+        len(frames), maxb, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body, idx, off = [], [], 4  # idx1 offsets count from the movi fourcc
+    for f in frames:
+        c = chunk(b"00dc", f)
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += len(c)
+        movi_body.append(c)
+    body = (
+        b"AVI " + hdrl + lst(b"movi", b"".join(movi_body))
+        + chunk(b"idx1", b"".join(idx))
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_avi_mjpeg(
+    df: DataFrame, id_col: str, n_frames: int = 12, every_n: int = 4
+) -> DataFrame:
+    """Deterministic AVI video fixture (REAL container + REAL codec): the
+    same closed-form baseline-JPEG frames as ``synth_mjpeg`` — identical
+    class/variant/dHash semantics, so the pair-level oracle carries over
+    verbatim — wrapped in a real RIFF/AVI container (``_avi_container``)
+    instead of bare concatenation.  This is the video analogue of the
+    WAV fixture's junk-LIST chunk: a consumer must walk the RIFF chunk
+    structure (hdrl, movi, idx1, pad bytes) to find the frame bytes."""
+    return _synth_video(df, id_col, n_frames, every_n, _avi_container)
+
+
+def _avi_mjpeg_frames(payload: bytes):
+    """Extract the MJPEG frame byte slices from an AVI/RIFF payload by
+    walking the chunk tree with the SAME ``_riff_chunks`` walker the WAV
+    parser uses: top-level chunks -> LIST 'movi' -> '..dc'/'..db' video
+    chunks.  Returns the frame list, or None for anything that is not a
+    RIFF AVI form (the caller degrades to NULL fingerprints)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    frames = []
+    for cid, off, n in _riff_chunks(payload, 12, len(payload)):
+        if cid == b"LIST" and n >= 4 and payload[off : off + 4] == b"movi":
+            for scid, soff, sn in _riff_chunks(payload, off + 4, off + n):
+                if scid[2:4] in (b"dc", b"db"):
+                    frames.append(payload[soff : soff + sn])
+    return frames or None
 
 
 def _mjpeg_split(payload: bytes):
@@ -1664,6 +1770,26 @@ def mjpeg_keyframes(
     sampled frame — 8 bytes/keyframe leave the kernel, the video payload
     never shuffles.  Malformed payloads or undecodable frames yield NULL
     fingerprints, never wrong ones."""
+    return _codec_keyframes(df, payload_col, id_col, every_n, _mjpeg_split)
+
+
+def avi_keyframes(
+    df: DataFrame, payload_col: str, id_col: str, every_n: int = 4
+) -> DataFrame:
+    """AVI keyframe extraction with REAL container + REAL codec decode: the
+    RIFF chunk walk (``_avi_mjpeg_frames`` — LIST/movi/00dc discipline,
+    shared ``_riff_chunks`` walker with the WAV parser) finds the frame
+    bytes, then the same every-Nth sampling + full baseline-JPEG decode +
+    64-bit dHash as ``mjpeg_keyframes``.  Same output contract: one
+    ``(id, frame_no, fp)`` row per sampled frame, 8 bytes/keyframe leave
+    the kernel, payloads never shuffle, malformed payloads yield NULLs."""
+    return _codec_keyframes(df, payload_col, id_col, every_n, _avi_mjpeg_frames)
+
+
+def _codec_keyframes(df, payload_col, id_col, every_n, splitter):
+    """Shared keyframe kernel: ``splitter`` turns the payload into frame
+    byte slices (JPEG marker walk or RIFF chunk walk); every Nth frame is
+    fully decoded and dHashed."""
     import pandas as pd
 
     def kernel(batches) -> Iterator:
@@ -1671,7 +1797,7 @@ def mjpeg_keyframes(
             ids, nos, fps = [], [], []
             for rec in pdf.itertuples(index=False):
                 did = getattr(rec, id_col)
-                frames = _mjpeg_split(bytes(getattr(rec, payload_col)))
+                frames = splitter(bytes(getattr(rec, payload_col)))
                 if frames is None:
                     ids.append(did)
                     nos.append(None)

@@ -181,3 +181,41 @@ def test_lsh_overcap_band_clusters_emits_membership(spark):
     assert len(rows) == 24
     assert {r.doc_id for r in rows} == set(range(12))
     assert all(r.band_df == 12 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# AVI/RIFF container video leg
+# ---------------------------------------------------------------------------
+
+
+def test_avi_container_roundtrip_and_parity():
+    """The AVI writer produces a real RIFF form the chunk-walking parser
+    recovers frame-exactly, matching the bare-MJPEG split of the same
+    frames; malformed payloads degrade to None, never wrong frames."""
+    from kwack_spark.operators import multimodal as mm
+
+    frames = mm._video_frame_jpegs(7, 2, 12, 4)
+    payload = mm._avi_container(frames)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    back = mm._avi_mjpeg_frames(payload)
+    assert back == frames
+    assert mm._mjpeg_split(b"".join(frames)) == frames
+    assert mm._avi_mjpeg_frames(b"RIFFxxxxWAVE") is None
+    assert mm._avi_mjpeg_frames(b"garbage") is None
+
+
+def test_avi_keyframes_match_mjpeg_keyframes(spark):
+    """Same frame semantics through both containers: the AVI leg's sampled
+    (frame_no, fp) rows equal the MJPEG leg's for the same doc ids."""
+    from kwack_spark.operators import multimodal as mm
+
+    d = spark.createDataFrame([(i,) for i in range(0, 260, 13)], ["doc_id"])
+    mj = mm.mjpeg_keyframes(
+        mm.synth_mjpeg(d, "doc_id"), "payload", "doc_id", every_n=4
+    )
+    av = mm.avi_keyframes(
+        mm.synth_avi_mjpeg(d, "doc_id"), "payload", "doc_id", every_n=4
+    )
+    a = {(r.doc_id, r.frame_no, r.fp) for r in mj.collect()}
+    b = {(r.doc_id, r.frame_no, r.fp) for r in av.collect()}
+    assert a == b and len(a) == 20 * 3
