@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from kwack_spark.config import Serde
 from kwack_spark.functions.union import union_extract, union_tag
+from kwack_spark import scratch
 from kwack_spark.plans.registry import register
 from kwack_spark.plans.relational import T
 from kwack_spark.schema import avro as avro_schema
@@ -921,7 +922,6 @@ def streaming_kafka_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch code path (decode is narrow/stateless, so append mode needs no
     watermark); a Kafka readStream swaps in for the file source with no
     other change."""
-    import tempfile
     import uuid
 
     from kwack_spark.streaming import ingest as si
@@ -950,7 +950,7 @@ def streaming_kafka_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         return k, ks.confluent_frame(payload, sid)
 
     frames = _to_frames(T(spark, sf_dir, "nation"), enc, "snation")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_kafka_replay_")
+    replay_dir = scratch.scratch_dir(spark, "kafka_replay")
     frames.write.mode("overwrite").parquet(replay_dir)
 
     stream = si.stream_frames_from_dir(spark, replay_dir)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from kwack_spark.functions import text as TX
 from kwack_spark.functions import vectors as V
 from kwack_spark.operators import asof, dedup, sampling, similarity
+from kwack_spark import scratch
 from kwack_spark.plans.registry import register
 from kwack_spark.plans.relational import T
 from kwack_spark.plans.pipeline import (  # shared core
@@ -1108,13 +1109,12 @@ def scale_bucketed_join(spark, sf_dir):
     the bucketed tables, aggregate with exact decimals.  At 100 TB this is
     the repeated-join workhorse — pay one bucketed write, then every later
     join on that key is exchange-free."""
-    import tempfile
     import uuid
 
     from kwack_spark.operators import scale
 
     tag = uuid.uuid4().hex[:8]
-    tmp = tempfile.mkdtemp(prefix="kwack_bucketed_")
+    tmp = scratch.scratch_dir(spark, "bucketed")
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     lb = scale.bucket_table(

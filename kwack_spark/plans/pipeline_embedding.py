@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from kwack_spark.functions import text as TX
 from kwack_spark.functions import vectors as V
 from kwack_spark.operators import asof, dedup, sampling, similarity
+from kwack_spark import scratch
 from kwack_spark.plans.registry import register
 from kwack_spark.plans.relational import T
 from kwack_spark.plans.pipeline import (  # shared core
@@ -993,13 +994,12 @@ def ann_index_persist_roundtrip(spark, sf_dir):
     column a parquet roundtrip drops, so the reloaded index is
     bit-equivalent; at scale the assigned table would land BUCKETED on
     list_id so probes co-locate."""
-    import tempfile
 
     e = T(spark, sf_dir, "embeddings")
     cents, assigned = similarity.ivf_assign(
         e, "vec_id", "embedding", n_lists=16, refine_iters=1
     )
-    idx_dir = tempfile.mkdtemp(prefix="kwack_ivf_idx_")
+    idx_dir = scratch.scratch_dir(spark, "ivf_idx")
     cents.select("cid", "cv").write.mode("overwrite").parquet(f"{idx_dir}/cents")
     assigned.write.mode("overwrite").parquet(f"{idx_dir}/assigned")
     cents_r = spark.read.parquet(f"{idx_dir}/cents")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from kwack_spark.functions import text as TX
 from kwack_spark.functions import vectors as V
 from kwack_spark.operators import asof, dedup, sampling, similarity
+from kwack_spark import scratch
 from kwack_spark.plans.registry import register
 from kwack_spark.plans.relational import T
 from kwack_spark.plans.pipeline import (  # shared core
@@ -52,13 +53,12 @@ def streaming_window_counts(spark, sf_dir):
     (streaming/ingest.py), Trigger.AvailableNow into a memory sink; the
     returned DataFrame is the sink table.  Complete output mode emits open
     windows so end-of-stream equals batch."""
-    import tempfile
     import uuid
 
     from kwack_spark.streaming import ingest as si
 
     e = T(spark, sf_dir, "events")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_stream_replay_")
+    replay_dir = scratch.scratch_dir(spark, "stream_replay")
     e.write.mode("overwrite").parquet(replay_dir)
     stream = spark.readStream.schema(e.schema).parquet(replay_dir)
     agg = si.windowed_counts(
@@ -122,13 +122,12 @@ def streaming_quality_gate(spark, sf_dir):
     projection runs per micro-batch into an append-mode memory sink.  At
     100 TB this is the shape of inline ingest filtering: zero state, the
     gate rides the decode scan."""
-    import tempfile
     import uuid
 
     from kwack_spark.streaming import ingest as si
 
     d = T(spark, sf_dir, "documents")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_qgate_replay_")
+    replay_dir = scratch.scratch_dir(spark, "qgate_replay")
     d.repartition(4).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(d.schema)
@@ -192,13 +191,12 @@ def streaming_stateful_running_counts(spark, sf_dir):
     per-key running count kept in the state store (streaming/ingest.py:
     stateful_running_counts), replayed over 4 micro-batches; the last
     update per key (monotone max) equals the batch aggregate."""
-    import tempfile
     import uuid
 
     from kwack_spark.streaming import ingest as si
 
     e = T(spark, sf_dir, "events").select("event_id", "event_type")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_state_replay_")
+    replay_dir = scratch.scratch_dir(spark, "state_replay")
     e.repartition(4).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(e.schema)
@@ -241,16 +239,15 @@ def streaming_exactly_once_sink(spark, sf_dir):
     engine can read (no _spark_metadata dependency).  The query simulates
     the full failure sequence — ingest, crash-replay of batch 0, resumed
     run on the same checkpoint — and returns the landed aggregate."""
-    import tempfile
     import uuid  # noqa: F401  (parity with sibling streaming queries)
 
     from kwack_spark.streaming import sink as sk
 
     e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_sink_replay_")
+    replay_dir = scratch.scratch_dir(spark, "sink_replay")
     e.repartition(4).write.mode("overwrite").parquet(replay_dir)
-    land = tempfile.mkdtemp(prefix="kwack_sink_land_")
-    ckpt = tempfile.mkdtemp(prefix="kwack_sink_ckpt_")
+    land = scratch.scratch_dir(spark, "sink_land")
+    ckpt = scratch.scratch_dir(spark, "sink_ckpt")
 
     stream = (
         spark.readStream.schema(e.schema)
@@ -323,15 +320,14 @@ def sink_manifest_snapshot_read(spark, sf_dir):
     batch writes a fresh attempt and atomically repoints the manifest, and
     readers see exactly one committed copy of every row — the aggregate
     over the snapshot is what gets oracle-checked."""
-    import tempfile
 
     from kwack_spark.streaming import sink as sk
 
     e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_man_replay_")
+    replay_dir = scratch.scratch_dir(spark, "man_replay")
     e.repartition(4).write.mode("overwrite").parquet(replay_dir)
-    land = tempfile.mkdtemp(prefix="kwack_man_land_")
-    ckpt = tempfile.mkdtemp(prefix="kwack_man_ckpt_")
+    land = scratch.scratch_dir(spark, "man_land")
+    ckpt = scratch.scratch_dir(spark, "man_ckpt")
 
     with _few_shuffle_partitions(spark):
         q = sk.to_manifest_parquet_sink(
@@ -381,16 +377,15 @@ def sink_compaction_roundtrip(spark, sf_dir):
     lineage (kw_batch_id) dropped.  The aggregate over the COMPACTED
     output is what gets oracle-checked."""
     import math
-    import tempfile
 
     from kwack_spark.streaming import sink as sk
 
     e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_cmp_replay_")
+    replay_dir = scratch.scratch_dir(spark, "cmp_replay")
     e.repartition(4).write.mode("overwrite").parquet(replay_dir)
-    land = tempfile.mkdtemp(prefix="kwack_cmp_land_")
-    ckpt = tempfile.mkdtemp(prefix="kwack_cmp_ckpt_")
-    out = tempfile.mkdtemp(prefix="kwack_cmp_out_")
+    land = scratch.scratch_dir(spark, "cmp_land")
+    ckpt = scratch.scratch_dir(spark, "cmp_ckpt")
+    out = scratch.scratch_dir(spark, "cmp_out")
 
     with _few_shuffle_partitions(spark):
         q = sk.to_idempotent_parquet_sink(
@@ -447,13 +442,12 @@ def streaming_running_moments(spark, sf_dir):
     emission decodes to the same mean/variance the batch DECIMAL aggregate
     produces — the monitoring-state pattern (z-score alerting off a stream)
     with replay-proof determinism."""
-    import tempfile
     import uuid
 
     from kwack_spark.streaming import ingest as si
 
     e = T(spark, sf_dir, "events").select("event_type", "value")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_moments_replay_")
+    replay_dir = scratch.scratch_dir(spark, "moments_replay")
     e.repartition(4).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(e.schema)
@@ -528,7 +522,6 @@ def streaming_quantile_sketch(spark, sf_dir):
     monitoring a 100 TB ingest runs continuously, with O(k) state per key
     and a closing extraction identical to the batch sketch's
     (operators/scale.py:kll_quantile)."""
-    import tempfile
     import uuid
 
     from kwack_spark.operators import scale
@@ -540,7 +533,7 @@ def streaming_quantile_sketch(spark, sf_dir):
         F.col("doc_id").cast("long").alias("rid"),
         F.col("n_chars").cast("long").alias("v"),
     )
-    replay_dir = tempfile.mkdtemp(prefix="kwack_kll_replay_")
+    replay_dir = scratch.scratch_dir(spark, "kll_replay")
     d.repartition(4).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(d.schema)
@@ -587,13 +580,12 @@ def streaming_dedup_keys(spark, sf_dir):
     watermark spans the replayed range, so end-of-stream equals batch
     DISTINCT; in production the watermark bounds state to the late-data
     horizon instead of the full history."""
-    import tempfile
     import uuid
 
     from kwack_spark.streaming import ingest as si
 
     e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_stream_dedup_")
+    replay_dir = scratch.scratch_dir(spark, "stream_dedup")
     e.write.mode("overwrite").parquet(replay_dir)
     stream = spark.readStream.schema(e.schema).parquet(replay_dir)
     deduped = si.streaming_dedup(
@@ -633,14 +625,13 @@ def streaming_lsh_neardup(spark, sf_dir):
     colliding in both bands is emitted by both buckets, so the trailing
     .distinct() restores set semantics; arrival order doesn't matter, so
     the final pair set equals the batch self-join bit-for-bit."""
-    import tempfile
     import uuid
 
     from kwack_spark.streaming import ingest as si
 
     d = T(spark, sf_dir, "documents")
     prep = dedup.lsh_band_keys_narrow(d, "doc_id", "text", k=8, bands=2)
-    replay_dir = tempfile.mkdtemp(prefix="kwack_lsh_replay_")
+    replay_dir = scratch.scratch_dir(spark, "lsh_replay")
     prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(prep.schema)
@@ -675,14 +666,13 @@ def streaming_static_enrich(spark, sf_dir):
     broadcast hash join inside every micro-batch, which is exactly the 100 TB
     shape — a small dim broadcast to every executor while the stream
     partitions flow through unshuffled."""
-    import tempfile
     import uuid
 
     from kwack_spark.streaming import ingest as si
 
     e = T(spark, sf_dir, "events").select("event_id", "user_id")
     n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_enrich_replay_")
+    replay_dir = scratch.scratch_dir(spark, "enrich_replay")
     e.repartition(2).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(e.schema)
@@ -736,13 +726,12 @@ def streaming_video_neardup(spark, sf_dir):
     its id list (streaming/ingest.py:stateful_key_collision_pairs), and
     the shared-count rollup runs on the emitted pair rows exactly as the
     batch join's."""
-    import tempfile
     import uuid
 
     from kwack_spark.streaming import ingest as si
 
     kf = _video_keyframes(spark, sf_dir).select("doc_id", "frame_md5")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_video_replay_")
+    replay_dir = scratch.scratch_dir(spark, "video_replay")
     kf.repartition(3).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(kf.schema)
@@ -797,13 +786,12 @@ def streaming_session_counts(spark, sf_dir):
     complete-mode memory sink == batch session assignment.  State is
     watermark-bounded; at production rates session state is O(active
     sessions), not O(stream length)."""
-    import tempfile
     import uuid
 
     from kwack_spark.streaming import ingest as si
 
     e = T(spark, sf_dir, "events")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_stream_replay_")
+    replay_dir = scratch.scratch_dir(spark, "stream_replay")
     e.write.mode("overwrite").parquet(replay_dir)
     stream = spark.readStream.schema(e.schema).parquet(replay_dir)
     agg = si.session_counts(
@@ -874,13 +862,12 @@ def streaming_state_observability(spark, sf_dir):
     claim instead of arguing it.  The scalar collects here are one count
     and one progress dict per kernel — constant-size observability, not
     data."""
-    import tempfile
     import uuid
 
     from kwack_spark.streaming import ingest as si
 
     def drain(prep, build_stateful):
-        replay_dir = tempfile.mkdtemp(prefix="kwack_stateobs_")
+        replay_dir = scratch.scratch_dir(spark, "stateobs")
         prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
         stream = (
             spark.readStream.schema(prep.schema)
@@ -983,7 +970,6 @@ def streaming_state_observability_sketches(spark, sf_dir):
     count + one progress dict per kernel — constant-size observability."""
     import uuid
 
-    from kwack_spark import scratch
     from kwack_spark.operators import scale
     from kwack_spark.streaming import ingest as si
 
@@ -1075,7 +1061,6 @@ def streaming_url_dedup(spark, sf_dir):
     size, not the crawl size — and the watermark bounds it to the re-crawl
     horizon in production (spanned fully here so the replay equals batch
     DISTINCT)."""
-    import tempfile
     import uuid
 
     from kwack_spark.streaming import ingest as si
@@ -1085,7 +1070,7 @@ def streaming_url_dedup(spark, sf_dir):
         _url_raw_col().alias("raw_url"),
         F.timestamp_seconds(F.col("doc_id")).alias("ts"),
     )
-    replay_dir = tempfile.mkdtemp(prefix="kwack_stream_url_")
+    replay_dir = scratch.scratch_dir(spark, "stream_url")
     d.repartition(3).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(d.schema)
@@ -1138,13 +1123,12 @@ def streaming_click_purchase_join(spark, sf_dir):
     the scale failure mode of unconstrained stream joins.  Append mode:
     matches emit as soon as both sides arrive; end-of-replay equals the
     batch interval join bit-for-bit."""
-    import tempfile
     import uuid
 
     from kwack_spark.streaming import ingest as si
 
     e = T(spark, sf_dir, "events")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_ssjoin_replay_")
+    replay_dir = scratch.scratch_dir(spark, "ssjoin_replay")
     e.write.mode("overwrite").parquet(replay_dir)
 
     def side(event_type, id_alias, ts_alias, user_alias):
@@ -1216,13 +1200,12 @@ def streaming_latest_per_key(spark, sf_dir):
     into the per-key maxima map-side before the state update.  The
     (ts, event_id) struct ordering makes the tie-break total, so the
     landed view is bit-equal to the batch window."""
-    import tempfile
     import uuid
 
     from kwack_spark.streaming import ingest as si
 
     e = T(spark, sf_dir, "events")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_latest_replay_")
+    replay_dir = scratch.scratch_dir(spark, "latest_replay")
     e.write.mode("overwrite").parquet(replay_dir)
     stream = spark.readStream.schema(e.schema).parquet(replay_dir)
     ord_key = F.struct("ts", "event_id")
@@ -1276,7 +1259,6 @@ def streaming_simhash_neardup(spark, sf_dir):
     agreeing on several slices is emitted by each, so the trailing
     .distinct() restores set semantics; arrival order doesn't matter, so
     the final pair set equals the batch self-join bit-for-bit."""
-    import tempfile
     import uuid
 
     from kwack_spark.streaming import ingest as si
@@ -1285,7 +1267,7 @@ def streaming_simhash_neardup(spark, sf_dir):
     prep = dedup._simhash64_sliced(
         dedup.simhash64_fingerprints(d, "doc_id", "text"), "doc_id", blocks=4
     )
-    replay_dir = tempfile.mkdtemp(prefix="kwack_simhash_replay_")
+    replay_dir = scratch.scratch_dir(spark, "simhash_replay")
     prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(prep.schema)
@@ -1332,7 +1314,6 @@ def streaming_audio_neardup(spark, sf_dir):
     text, image, and audio fingerprints in batch, incremental, AND
     streaming mode.  Arrival order cannot change the end-of-stream pair
     set; the trailing .distinct() collapses multi-slice agreements."""
-    import tempfile
     import uuid
 
     from kwack_spark.operators import multimodal as mm
@@ -1344,7 +1325,7 @@ def streaming_audio_neardup(spark, sf_dir):
         mm.synth_wav_am(d, "doc_id"), "payload", "doc_id"
     )
     prep = dedup._simhash64_sliced(fps, "doc_id", blocks=4)
-    replay_dir = tempfile.mkdtemp(prefix="kwack_audiosh_replay_")
+    replay_dir = scratch.scratch_dir(spark, "audiosh_replay")
     prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(prep.schema)
@@ -1387,7 +1368,6 @@ def streaming_image_neardup(spark, sf_dir):
     (streaming/ingest.py:stateful_simhash_neardup — the one kernel now
     serving text, image, and audio in streaming mode).  The trailing
     .distinct() collapses multi-slice agreements."""
-    import tempfile
     import uuid
 
     from kwack_spark.operators import multimodal as mm
@@ -1397,7 +1377,7 @@ def streaming_image_neardup(spark, sf_dir):
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     fps = mm.dhash64(mm.synth_png_blocky(d, "doc_id"), "payload", "doc_id")
     prep = dedup._simhash64_sliced(fps, "doc_id", blocks=4)
-    replay_dir = tempfile.mkdtemp(prefix="kwack_imgsh_replay_")
+    replay_dir = scratch.scratch_dir(spark, "imgsh_replay")
     prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(prep.schema)
@@ -1465,13 +1445,12 @@ def streaming_change_point(spark, sf_dir):
     (streaming/ingest.py:stateful_cusum_days), take each type's last
     emission, and decode the day ordinal back to the timestamp the batch
     query reports."""
-    import tempfile
     import uuid
 
     from kwack_spark.streaming import ingest as si
 
     e = T(spark, sf_dir, "events").select("event_type", "ts")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_cusum_replay_")
+    replay_dir = scratch.scratch_dir(spark, "cusum_replay")
     e.repartition(4).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(e.schema)
@@ -1533,7 +1512,6 @@ def streaming_video_dhash_neardup(spark, sf_dir):
     decode kernel runs once while staging the replay (a production
     stream decodes per arriving video the same way); the stateful stage
     sees only (kfid, fp, blk, slc) rows."""
-    import tempfile
     import uuid
 
     from kwack_spark.operators import multimodal as mm
@@ -1556,7 +1534,7 @@ def streaming_video_dhash_neardup(spark, sf_dir):
         "fp",
     )
     prep = dedup._simhash64_sliced(kfid, "doc_id", blocks=4)
-    replay_dir = tempfile.mkdtemp(prefix="kwack_viddh_replay_")
+    replay_dir = scratch.scratch_dir(spark, "viddh_replay")
     prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(prep.schema)

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from kwack_spark.functions import text as TX
 from kwack_spark.operators import scale
+from kwack_spark import scratch
 from kwack_spark.plans.registry import register
 from kwack_spark.plans.relational import T
 
@@ -515,14 +516,13 @@ def streaming_hll_distinct(spark, sf_dir):
     the batch sketch at end of stream, so the estimate read off it is the
     same running "distinct users so far" a 100 TB ingest would publish per
     micro-batch."""
-    import tempfile
     import uuid
 
     from kwack_spark.plans.pipeline import _few_shuffle_partitions
     from kwack_spark.streaming import ingest as si
 
     e = T(spark, sf_dir, "events").select("user_id", "ts")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_stream_hll_")
+    replay_dir = scratch.scratch_dir(spark, "stream_hll")
     e.write.mode("overwrite").parquet(replay_dir)
     stream = spark.readStream.schema(e.schema).parquet(replay_dir)
     regs = scale._hll_registers(stream, "user_id")
@@ -563,14 +563,13 @@ def streaming_cms_counts(spark, sf_dir):
     there).  The sink equals the batch sketch at end of stream, so
     frequency estimates read off it mid-stream are the same
     never-undercounting guarantees cms_heavy_hitters grades in batch."""
-    import tempfile
     import uuid
 
     from kwack_spark.plans.pipeline import _few_shuffle_partitions
     from kwack_spark.streaming import ingest as si
 
     e = T(spark, sf_dir, "events").select("user_id", "ts")
-    replay_dir = tempfile.mkdtemp(prefix="kwack_stream_cms_")
+    replay_dir = scratch.scratch_dir(spark, "stream_cms")
     e.write.mode("overwrite").parquet(replay_dir)
     stream = spark.readStream.schema(e.schema).parquet(replay_dir)
     keyed = scale._cms_keyed(stream, "user_id", depth=4, width=256, seed="cms")

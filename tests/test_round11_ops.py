@@ -219,3 +219,19 @@ def test_avi_keyframes_match_mjpeg_keyframes(spark):
     a = {(r.doc_id, r.frame_no, r.fp) for r in mj.collect()}
     b = {(r.doc_id, r.frame_no, r.fp) for r in av.collect()}
     assert a == b and len(a) == 20 * 3
+
+
+def test_single_scratch_allocation_site():
+    """Hygiene invariant: tempfile.mkdtemp appears in exactly one engine
+    source file (kwack_spark/scratch.py) — every staging dir allocates
+    through the session-scoped scratch root that is cleaned at exit."""
+    import pathlib
+    import subprocess
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "kwack_spark"
+    hits = [
+        str(p)
+        for p in root.rglob("*.py")
+        if "tempfile" in p.read_text()
+    ]
+    assert hits == [str(root / "scratch.py")], hits
