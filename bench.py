@@ -343,11 +343,24 @@ HEADLINE = [
     # video dedup in streaming form
     "corpus_curation_incremental",
     "streaming_video_dhash_neardup",
-    # streaming_state_observability is correctness-graded but not benched:
-    # it re-drains the two stateful kernels that are ALREADY benched
-    # (streaming_video_neardup, streaming_simhash_neardup) purely to read
-    # their progress metrics — ~14 s of micro-batch scheduler overhead
-    # with no plan insight the kernels' own bench rows don't give.
+    # round-11 (r11): the MinHash band-bucket occupancy audit (rides the
+    # same signature/band-key shuffle as dedup_minhash_lsh — the audit
+    # that watches the new band df-cap), the real-container AVI video leg
+    # (RIFF chunk walk + full baseline-JPEG keyframe decode — the MJPEG
+    # leg's decode cost plus container parsing), and the multimodal
+    # admission-control DAG (five persisted-index probes + three
+    # survivor-only fingerprint legs)
+    "lsh_band_occupancy",
+    "multimodal_avi_keyframe_dedup",
+    "corpus_curation_incremental_multimodal",
+    # streaming_state_observability / streaming_state_observability_sketches
+    # are correctness-graded but not benched: they re-drain stateful kernels
+    # that are ALREADY benched (streaming_video_neardup,
+    # streaming_simhash_neardup, streaming_stateful_running_counts,
+    # streaming_running_moments, streaming_quantile_sketch,
+    # streaming_cms_counts) purely to read their progress metrics —
+    # micro-batch scheduler overhead with no plan insight the kernels' own
+    # bench rows don't give.
     # ann_index_persist_roundtrip is correctness-graded but not benched:
     # it is ann_ivf_topk's probe re-rooted on a landed index, so it pays
     # the same all-queries probe cost that keeps ann_ivf_topk itself out

@@ -53,70 +53,21 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # corpus per round, so the map is ordered longest-ungraded-first (every name
 # below already passes the local oracle harness in tests/test_oracle.py, and
 # the scale-sensitive subset additionally passes at sf0.1 via
-# tests/test_scale_oracle.py).  Cumulatively all 351 pre-r10 names have been
-# driver-graded at least once (r01-r09) with every latest grade green.  The
-# FULL list below is re-sorted for round 10 (r09 VERDICT ask #1), derived
-# mechanically from CORRECTNESS_r01..r09 (tools: the re-sort in the r10
-# commit): never-graded first (the 4 r10-new queries), then cohorts by
-# last-graded round ascending — so the ~50-query r10 window covers the 4 new
-# + the 11 r02-stale ingest-correctness names + the r03-cohort head, and the
+# tests/test_scale_oracle.py).  Cumulatively all 362 pre-r11 names have been
+# driver-graded at least once (r01-r10) with every latest grade green.  The
+# FULL list below is re-sorted for round 11, derived mechanically from
+# CORRECTNESS_r01..r10: never-graded first (the 4 r11-new queries), then
+# cohorts by last-graded round ascending — so the ~50-query r11 window
+# covers the 4 new + the 20 r03-stale names + the r04-cohort head, and the
 # tail keeps future rotations one re-sort away.  The list is advisory
 # ordering only — every query stays registered; names missing from it would
 # keep registration order after it.
 _PRIORITY = [
-    # --- never driver-graded (r10-new; must land in the window) ---
-    "video_keyframe_occupancy",
-    "multimodal_video_dhash_dedup",
-    "corpus_curation_all_modalities",
-    "streaming_state_observability",
-    "multimodal_image_incremental",
-    "multimodal_video_incremental",
-    "streaming_image_neardup",
-    "knn_mutual_components",
-    "mixture_reweight_step",
-    "corpus_curation_incremental",
-    "streaming_video_dhash_neardup",
-    # --- last driver grade: r02 ---
-    "tfidf_top_terms",
-    "length_percentile_trim",
-    "semantic_dedup_verify",
-    "streaming_session_counts",
-    "text_bigram_logprob",
-    "kafka_proto_evolution",
-    "kafka_jsonschema_evolution",
-    "kafka_rowinfo_metadata",
-    "kafka_tombstone_skip",
-    "kafka_poison_skip",
-    "streaming_kafka_avro_decode",
+    "lsh_band_occupancy",
+    "multimodal_avi_keyframe_dedup",
+    "streaming_state_observability_sketches",
+    "corpus_curation_incremental_multimodal",
     # --- last driver grade: r03 ---
-    "join_right",
-    "set_except_all",
-    "set_intersect_all",
-    "recursive_cte",
-    "pivot_order_status",
-    "unpivot_lineitem_measures",
-    "lateral_top_orders",
-    "values_inline_join",
-    "ddl_create_view",
-    "group_by_all",
-    "listagg_ordered",
-    "sequence_date_spine",
-    "stat_corr_regression",
-    "median_quantiles",
-    "window_range_interval",
-    "histogram_event_values",
-    "ntile_window_stats",
-    "join_natural",
-    "agg_bool_bit",
-    "try_cast_safe",
-    "qualify_top_per_group",
-    "grouping_id_rollup",
-    "window_nth_value",
-    "variant_json_funcs",
-    "conditional_funcs",
-    "bitwise_funcs",
-    "regexp_funcs",
-    "dedup_cluster_components",
     "dedup_embedding_cosine",
     "embedding_quantize_int8",
     "doc_fingerprints",
@@ -435,6 +386,57 @@ _PRIORITY = [
     "scale_heavy_hitters",
     "scale_salted_join",
     "scale_bucketed_join",
+    # --- last driver grade: r10 ---
+    "video_keyframe_occupancy",
+    "multimodal_video_dhash_dedup",
+    "corpus_curation_all_modalities",
+    "streaming_state_observability",
+    "multimodal_image_incremental",
+    "multimodal_video_incremental",
+    "streaming_image_neardup",
+    "knn_mutual_components",
+    "mixture_reweight_step",
+    "corpus_curation_incremental",
+    "streaming_video_dhash_neardup",
+    "tfidf_top_terms",
+    "length_percentile_trim",
+    "semantic_dedup_verify",
+    "streaming_session_counts",
+    "text_bigram_logprob",
+    "kafka_proto_evolution",
+    "kafka_jsonschema_evolution",
+    "kafka_rowinfo_metadata",
+    "kafka_tombstone_skip",
+    "kafka_poison_skip",
+    "streaming_kafka_avro_decode",
+    "join_right",
+    "set_except_all",
+    "set_intersect_all",
+    "recursive_cte",
+    "pivot_order_status",
+    "unpivot_lineitem_measures",
+    "lateral_top_orders",
+    "values_inline_join",
+    "ddl_create_view",
+    "group_by_all",
+    "listagg_ordered",
+    "sequence_date_spine",
+    "stat_corr_regression",
+    "median_quantiles",
+    "window_range_interval",
+    "histogram_event_values",
+    "ntile_window_stats",
+    "join_natural",
+    "agg_bool_bit",
+    "try_cast_safe",
+    "qualify_top_per_group",
+    "grouping_id_rollup",
+    "window_nth_value",
+    "variant_json_funcs",
+    "conditional_funcs",
+    "bitwise_funcs",
+    "regexp_funcs",
+    "dedup_cluster_components",
 ]
 
 def _ordered() -> dict[str, Entry]:

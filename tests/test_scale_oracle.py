@@ -274,6 +274,15 @@ SCALE_SENSITIVE = [
     "mixture_reweight_step",
     "corpus_curation_incremental",
     "streaming_video_dhash_neardup",
+    # r11: the band-bucket audit (occupancy and pair mass grow with corpus
+    # size), the real-container AVI leg (class buckets grow like the MJPEG
+    # leg's), the multimodal admission DAG (every index probe's hit set is
+    # split- and class-dependent), and the sketch-kernel state audit
+    # (distinct-key counts grow with the corpus)
+    "lsh_band_occupancy",
+    "multimodal_avi_keyframe_dedup",
+    "corpus_curation_incremental_multimodal",
+    "streaming_state_observability_sketches",
     # r08: the probe-curve + recall audits' implementations changed (BLAS
     # bucket shortlist + cumulative-rank fusion; shared widened ivf_assign)
     "ann_probe_recall_curve",
