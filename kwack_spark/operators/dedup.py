@@ -101,7 +101,18 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.array_distinct(TX.shingles(TX.tokens(text_col), shingle_n)).alias("sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    exploded = lsh_band_keys(shingle_sets, id_col, k, bands)
+    # PERSIST the band keys: they feed three subtrees now (the df-count,
+    # and both sides of the self-join) and each would otherwise re-run the
+    # signature aggregation; the cached table is 2 short strings per doc.
+    # Measured at sf0.1: the guard costs ~0.25 s (~12%) over the uncapped
+    # join in ANY variant tried (window-count riding the join exchange,
+    # semi-join with/without this persist all within noise) — that is the
+    # inherent price of counting band df before pairing, paid here for the
+    # O(bucket²) protection; without the persist the first-rep cold path
+    # was ~2x worse on the component/k-core consumers.
+    exploded = lsh_band_keys(shingle_sets, id_col, k, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # hot-bucket guard: prune over-cap bands on the INPUT side (the semi-
     # join sits below the pair join in the physical plan, so a saturated
     # band contributes zero rows to the self-join instead of O(df²))

@@ -138,6 +138,45 @@ def lsh_band_occupancy(spark, sf_dir):
     return dedup.key_occupancy_audit(keys, "band_key", max_key_df=4096)
 
 @register(
+    "dedup_lsh_overcap_clusters",
+    # the over-cap escape hatch GRADED end-to-end (not just unit-tested):
+    # bands whose bucket exceeds the cap are exactly the boilerplate
+    # clusters minhash_lsh_pairs prunes from its pair join — this query
+    # recovers their full membership directly (the cluster IS the answer;
+    # no O(bucket²) pair enumeration).  The cap is 2 here so the real
+    # corpus's duplicate families trigger the path at grading scale; the
+    # production default (4096) keeps the same code path dormant until a
+    # real boilerplate cluster saturates a band.  The oracle recomputes
+    # the band keys from the graded signature chain and selects the
+    # over-cap bands' membership in closed form.
+    oracle=f"""
+        WITH {_LSH_CTES},
+        hot AS (
+            SELECT band_key, CAST(count(*) AS BIGINT) AS band_df
+            FROM exploded GROUP BY band_key HAVING count(*) > 2
+        )
+        SELECT e.band_key, e.doc_id, h.band_df
+        FROM exploded e JOIN hot h USING (band_key)
+    """,
+    tags=("dedup", "minhash", "lsh", "cluster", "cap"),
+)
+def dedup_lsh_overcap_clusters(spark, sf_dir):
+    """Ready-made duplicate clusters from saturated LSH bands
+    (operators/dedup.py:lsh_overcap_band_clusters): one (band_key, member,
+    band_df) row per member of each over-cap band.  100-TB shape: one
+    shuffle on band_key; output is only the saturated buckets' membership
+    — the keep-min policy consumes these rows directly where the pair
+    path would have exploded."""
+    d = T(spark, sf_dir, "documents")
+    ss = d.select(
+        F.col("doc_id"),
+        F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("sh"),
+    )
+    return dedup.lsh_overcap_band_clusters(
+        ss, "doc_id", k=8, bands=2, max_band_df=2
+    )
+
+@register(
     "dedup_cluster_components",
     # transitive closure of the LSH pair list: the oracle walks the edge
     # relation with a recursive CTE (min reachable id == component id),

@@ -581,6 +581,83 @@ def multimodal_avi_keyframe_dedup(spark, sf_dir):
     )
 
 @register(
+    "multimodal_avi_incremental",
+    # incremental REAL-CODEC video dedup: arriving AVI videos probe a
+    # PERSISTED (video, slot) dHash index of the history through the
+    # pigeonhole Hamming probe — the codec-leg twin of
+    # multimodal_video_incremental (whose index is synthetic frame
+    # hashes).  With this the real-container/real-codec video leg runs in
+    # batch, incremental, AND streaming form like the other modalities.
+    # Split by video variant v = (doc_id // 64) % 4 (hist v in {0,1},
+    # batch v in {2,3}).  Closed form: same-slot cross pairs differ only
+    # where exactly one side modified that slot's keyframe — hist v=0
+    # modifies none, v=1 modifies slot 0, batch v=2/3 modify slot 1/2 —
+    # so all 3 slots match within Hamming 3 and total_hamming is 1
+    # against v=0 and 2 against v=1; cross-class/cross-slot fingerprints
+    # are independent md5 grids (statistical zero, the same contract as
+    # the batch query).
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, doc_id % 64 AS g, (doc_id // 64) % 4 AS v
+            FROM documents
+        )
+        SELECT b.doc_id AS doc_id, h.doc_id AS hist_id,
+               CAST(3 AS BIGINT) AS n_slots_matched,
+               CAST(CASE WHEN h.v = 0 THEN 1 ELSE 2 END AS BIGINT)
+                   AS total_hamming
+        FROM p b JOIN p h
+          ON b.g = h.g AND b.v IN (2, 3) AND h.v IN (0, 1)
+    """,
+    tags=("multimodal", "video", "dedup", "incremental", "avi", "hamming"),
+)
+def multimodal_avi_incremental(spark, sf_dir):
+    """Which arriving AVI videos near-duplicate the history?  The history's
+    (video, slot) dHash index persists once (8 B per sampled keyframe —
+    container payloads never re-read); each batch video pays its own RIFF
+    walk + keyframe decode + ``blocks`` slice-keyed probes
+    (dedup.fingerprint_hamming_probe — the one probe kernel serving text
+    SimHash, image dHash, audio energy hashes, and now codec-leg video),
+    and the >= 2-of-3 slot rollup recovers the match strength exactly as
+    the batch AVI query's."""
+    from kwack_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(
+        spark.sparkContext.defaultParallelism,
+        F.expr("(doc_id % 64) * 4 + (doc_id div 64) % 4"),
+    )
+    v = (F.col("doc_id") / 64).cast("long") % 4
+
+    def kfids(ids):
+        vids = mm.synth_avi_mjpeg(ids, "doc_id")
+        kf = mm.avi_keyframes(vids, "payload", "doc_id", every_n=4)
+        return kf.select(
+            (F.col("doc_id") * 16 + (F.col("frame_no") / 4).cast("long")).alias(
+                "kfid"
+            ),
+            "fp",
+        )
+
+    hist = similarity._persist_rotating("avi_inc_hist", kfids(d.filter(v < 2)))
+    batch = kfids(d.filter(v >= 2))
+    probes = dedup.fingerprint_hamming_probe(
+        hist, batch, "kfid", max_hamming=3, blocks=4
+    )
+    return (
+        probes.select(
+            F.expr("doc_id div 16").alias("doc_id"),
+            F.expr("hist_id div 16").alias("hist_id"),
+            "hamming",
+        )
+        .groupBy("doc_id", "hist_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_slots_matched"),
+            F.sum("hamming").alias("total_hamming"),
+        )
+        .filter(F.col("n_slots_matched") >= 2)
+    )
+
+@register(
     "multimodal_audio_incremental",
     # incremental acoustic dedup: new clips (fixture variants 2-3) probe
     # a PERSISTED fingerprint index of the history (variants 0-1) — the

@@ -283,6 +283,8 @@ SCALE_SENSITIVE = [
     "multimodal_avi_keyframe_dedup",
     "corpus_curation_incremental_multimodal",
     "streaming_state_observability_sketches",
+    "dedup_lsh_overcap_clusters",
+    "multimodal_avi_incremental",
     # r08: the probe-curve + recall audits' implementations changed (BLAS
     # bucket shortlist + cumulative-rank fusion; shared widened ivf_assign)
     "ann_probe_recall_curve",

@@ -142,6 +142,15 @@ STRESS_QUERIES = [
     # ~n² by fixture design (classes keyed doc_id % 64 regardless of
     # replica, like phash/audio), so first-decade factors only
     "multimodal_video_keyframe_dedup",
+    # round-11: the band-bucket occupancy audit (one shuffle on band_key —
+    # must stay ~linear; it rides the same signature chain as
+    # dedup_minhash_lsh), the AVI container leg (decode-bound like the
+    # MJPEG leg; container walk is per-byte linear), and the multimodal
+    # admission DAG (five persisted-index probes — history work must stay
+    # index-probe-shaped while legs' drop output grows with class density)
+    "lsh_band_occupancy",
+    "multimodal_avi_keyframe_dedup",
+    "corpus_curation_incremental_multimodal",
 ]
 
 # The decade-2 set (factors 10/100 — sf1-equivalent and beyond): the
