@@ -353,6 +353,11 @@ HEADLINE = [
     "lsh_band_occupancy",
     "multimodal_avi_keyframe_dedup",
     "corpus_curation_incremental_multimodal",
+    # r11 wave 2: the over-cap band cluster emitter (one band_key shuffle)
+    # and the incremental codec-video probe (RIFF walk + JPEG decode on
+    # both sides, then O(batch) slice-keyed probes of the persisted index)
+    "dedup_lsh_overcap_clusters",
+    "multimodal_avi_incremental",
     # streaming_state_observability / streaming_state_observability_sketches
     # are correctness-graded but not benched: they re-drain stateful kernels
     # that are ALREADY benched (streaming_video_neardup,
