@@ -334,13 +334,12 @@ SCALE_SENSITIVE = [
 pytestmark = pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SCALE_TESTS"),
     reason="sf0.1 battery is opt-in (SPARK_GRAFT_SCALE_TESTS=1); "
-    "last full run (end of r10, at final HEAD: after the pipeline.py "
-    "family split, the hot-bucket/redelivery guards, the connected-"
-    "components path-compression + parquet-state fix, and all 13 r10 "
-    "additions — video occupancy audit, MJPEG dHash dedup batch+"
-    "streaming, image/video incrementals, image streaming, 4-modality "
-    "and incremental curation DAGs, state observability, mutual-kNN "
-    "clusters, DoReMi reweight): 219/219 green in 1083 s",
+    "last full run (end of r11, at final HEAD: after the band-bucket cap + "
+    "band-key persist, the cluster-safe scratch state (conf-resolved dirs, "
+    "eager per-round cleanup), the pre-join hot-key semi-joins, and all 6 "
+    "r11 additions — band occupancy audit, over-cap cluster emitter, AVI "
+    "container leg batch+incremental, multimodal admission control, sketch-"
+    "kernel state observability): 225/225 green in 935 s, /tmp left clean",
 )
 
 _load_all()
