@@ -358,6 +358,9 @@ HEADLINE = [
     # both sides, then O(batch) slice-keyed probes of the persisted index)
     "dedup_lsh_overcap_clusters",
     "multimodal_avi_incremental",
+    # and the CCNet head/middle/tail LM bucketing (broadcast KN model +
+    # per-lang percentile boundaries — scan + broadcast + scan)
+    "ccnet_perplexity_buckets",
     # streaming_state_observability / streaming_state_observability_sketches
     # are correctness-graded but not benched: they re-drain stateful kernels
     # that are ALREADY benched (streaming_video_neardup,

@@ -16,6 +16,9 @@ from kwack_spark.functions import vectors as V
 from kwack_spark.operators import asof, dedup, sampling, similarity
 from kwack_spark.plans.registry import register
 from kwack_spark.plans.relational import T
+from kwack_spark.plans.pipeline_text import (  # shared KN model
+    _KN_SCORED_CTES,
+)
 from kwack_spark.plans.pipeline import (  # shared core
     _COMP_CTES,
     _DHASH_FP_CTES,
@@ -220,6 +223,91 @@ def quality_bucket_sample(spark, sf_dir):
                 F.md5(F.concat(F.lit("qbs:"), F.col("doc_id").cast("string"))), 1, 4
             )
             < cutoff
+        )
+        .orderBy("doc_id")
+    )
+
+@register(
+    "ccnet_perplexity_buckets",
+    # CCNet's head/middle/tail language-model bucketing (Wenzek et al.
+    # 2020 §4.3 — the recipe behind CCNet/RedPajama/CC-derived corpora):
+    # score every document with the SAME interpolated Kneser-Ney bigram
+    # model text_kneser_ney_bigram grades (high mean probability = low
+    # perplexity = cleaner text), cut each LANGUAGE into exact terciles,
+    # and label head/middle/tail — the tail is what CCNet discards.  The
+    # tercile boundaries are per-lang percentile scalars (quantile_cont /
+    # percentile use the same (n-1)*q interpolation both engines, 6dp
+    # rounding on score and boundary so no value straddles an ulp) — NOT
+    # a per-lang global sort/window, so the corpus is never single-
+    # partition-ranked.  Doc-level output pins every bucket decision.
+    oracle=f"""
+        WITH {_KN_SCORED_CTES},
+        docsc AS (
+            SELECT doc_id,
+                   round(CAST(sum(p_scaled) AS DOUBLE) / 1000000000.0
+                         / count(*), 6) AS score
+            FROM scored GROUP BY doc_id
+        ),
+        lscored AS (
+            SELECT d.doc_id, dd.lang, d.score
+            FROM docsc d JOIN documents dd USING (doc_id)
+        ),
+        b AS (
+            SELECT lang,
+                   round(quantile_cont(score, 1.0/3.0), 6) AS t1,
+                   round(quantile_cont(score, 2.0/3.0), 6) AS t2
+            FROM lscored GROUP BY lang
+        )
+        SELECT s.doc_id, s.lang, s.score,
+               CASE WHEN s.score >= b.t2 THEN 'head'
+                    WHEN s.score >= b.t1 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               s.score < b.t1 AS discard
+        FROM lscored s JOIN b USING (lang)
+        ORDER BY doc_id
+    """,
+    tags=("curation", "quality", "lm", "ccnet", "sampling"),
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity bucketing: one corpus pass
+    scores every doc through the broadcast KN model
+    (pipeline_text._kn_bigram_scored — vocabulary-sized tables, one
+    per-doc rollup shuffle), a #langs-row percentile aggregate broadcasts
+    the tercile boundaries back, and the bucket label is a narrow
+    projection.  At 100 TB: scan + broadcast + scan — the corpus is never
+    sorted or windowed globally; boundaries in production come from this
+    same percentile table computed on a sample or the previous crawl."""
+    from kwack_spark.plans.pipeline_text import _kn_bigram_scored
+
+    d = T(spark, sf_dir, "documents")
+    docsc = (
+        _kn_bigram_scored(d)
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum("p_scaled").cast("double")
+                / 1_000_000_000.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("score")
+        )
+    )
+    lscored = docsc.join(d.select("doc_id", "lang"), "doc_id")
+    b = lscored.groupBy("lang").agg(
+        F.round(F.percentile("score", F.lit(1.0 / 3.0)), 6).alias("t1"),
+        F.round(F.percentile("score", F.lit(2.0 / 3.0)), 6).alias("t2"),
+    )
+    return (
+        lscored.join(F.broadcast(b), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "score",
+            F.when(F.col("score") >= F.col("t2"), "head")
+            .when(F.col("score") >= F.col("t1"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            (F.col("score") < F.col("t1")).alias("discard"),
         )
         .orderBy("doc_id")
     )

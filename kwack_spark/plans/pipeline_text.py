@@ -1173,20 +1173,7 @@ def text_bigram_logprob(spark, sf_dir):
         ).alias("mean_condprob"),
     )
 
-@register(
-    "text_kneser_ney_bigram",
-    # interpolated Kneser-Ney bigram scoring — the smoothing the
-    # CCNet/KenLM quality filter actually ships (absolute discount
-    # D=0.75, continuation probability from distinct-predecessor counts):
-    #   P_kn(w2|w1) = max(c(w1w2) - D, 0)/c(w1.)
-    #               + (D * N1+(w1,.)/c(w1.)) * (N1+(.,w2) / N1+(..))
-    # Every input is an integer count, the probability is ONE fixed-shape
-    # IEEE expression evaluated identically here and in Spark, and each
-    # per-bigram value is round-scaled to an integer (1e9) so the per-doc
-    # sum is order-independent — the text_bigram_logprob determinism
-    # recipe applied to a smoothed model.
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+_KN_SCORED_CTES = f"""toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
         bg AS (
             SELECT doc_id, unnest(({_SHINGLES_2})) AS bg
             FROM toks WHERE len(tk) >= 2
@@ -1217,7 +1204,23 @@ def text_bigram_logprob(spark, sf_dir):
             JOIN ctx x ON x.w1 = string_split(b.bg, ' ')[1]
             JOIN prec p ON p.w2 = string_split(b.bg, ' ')[2]
             CROSS JOIN nt t
-        )
+        )"""
+
+
+@register(
+    "text_kneser_ney_bigram",
+    # interpolated Kneser-Ney bigram scoring — the smoothing the
+    # CCNet/KenLM quality filter actually ships (absolute discount
+    # D=0.75, continuation probability from distinct-predecessor counts):
+    #   P_kn(w2|w1) = max(c(w1w2) - D, 0)/c(w1.)
+    #               + (D * N1+(w1,.)/c(w1.)) * (N1+(.,w2) / N1+(..))
+    # Every input is an integer count, the probability is ONE fixed-shape
+    # IEEE expression evaluated identically here and in Spark, and each
+    # per-bigram value is round-scaled to an integer (1e9) so the per-doc
+    # sum is order-independent — the text_bigram_logprob determinism
+    # recipe applied to a smoothed model.
+    oracle=f"""
+        WITH {_KN_SCORED_CTES}
         SELECT doc_id,
                count(*) AS n_bigrams,
                CAST(sum(p_scaled) AS DOUBLE) / 1000000000.0 / count(*)
@@ -1227,16 +1230,27 @@ def text_bigram_logprob(spark, sf_dir):
     tags=("text", "quality", "lm", "smoothing"),
 )
 def text_kneser_ney_bigram(spark, sf_dir):
-    """Per-document mean interpolated Kneser-Ney bigram probability — the
-    smoothed upgrade of text_bigram_logprob (raw conditional probability
+    scored = _kn_bigram_scored(T(spark, sf_dir, "documents"))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum("p_scaled").cast("double") / 1_000_000_000.0 / F.count(F.lit(1))
+        ).alias("mean_kn_prob"),
+    )
+
+
+def _kn_bigram_scored(d):
+    """Per-bigram integer-scaled interpolated Kneser-Ney probabilities —
+    ``(doc_id, p_scaled)`` — factored out of text_kneser_ney_bigram (the
+    smoothed upgrade of text_bigram_logprob: raw conditional probability
     assigns mass only to seen bigrams; KN's continuation term is what
-    makes an LM-based quality filter usable on held-out text).  Scale
-    shape unchanged from the sibling: the bigram-type, context, and
-    predecessor tables are all VOCABULARY-sized (broadcastable at 100 TB
-    — they grow ~Heaps, not with the corpus), the type total is a 1-row
-    broadcast, and the corpus side is one explode feeding broadcast-hash
-    joins into a single per-doc rollup shuffle."""
-    d = T(spark, sf_dir, "documents")
+    makes an LM-based quality filter usable on held-out text) and shared
+    with the CCNet-style perplexity bucketing
+    (plans/pipeline_curation.py:ccnet_perplexity_buckets).  Scale shape:
+    the bigram-type, context, and predecessor tables are all
+    VOCABULARY-sized (broadcastable at 100 TB — they grow ~Heaps, not
+    with the corpus), the type total is a 1-row broadcast, and the corpus
+    side is one explode feeding broadcast-hash joins."""
     toks = d.select("doc_id", TX.tokens("text").alias("tk")).where(F.size("tk") >= 2)
     bg = toks.select("doc_id", F.explode(TX.shingles(F.col("tk"), 2)).alias("bg"))
     bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
@@ -1263,12 +1277,7 @@ def text_kneser_ney_bigram(spark, sf_dir):
             F.round(F.lit(1_000_000_000.0) * pkn).cast("bigint").alias("p_scaled"),
         )
     )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        (
-            F.sum("p_scaled").cast("double") / 1_000_000_000.0 / F.count(F.lit(1))
-        ).alias("mean_kn_prob"),
-    )
+    return scored
 
 @register(
     "textrank_keywords",

@@ -285,6 +285,8 @@ SCALE_SENSITIVE = [
     "streaming_state_observability_sketches",
     "dedup_lsh_overcap_clusters",
     "multimodal_avi_incremental",
+    # per-lang tercile boundaries shift with the score distribution at 10x
+    "ccnet_perplexity_buckets",
     # r08: the probe-curve + recall audits' implementations changed (BLAS
     # bucket shortlist + cumulative-rank fusion; shared widened ivf_assign)
     "ann_probe_recall_curve",
