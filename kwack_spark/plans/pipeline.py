@@ -53,6 +53,48 @@ def _mh_sql(i: int) -> str:
     off = (i % 4) * 8 + 1
     return f"list_min(list_transform(sh, s -> substr(md5('{seed}:' || s), {off}, 8))) AS mh{i}"
 
+_SHINGLES_2 = """
+    [array_to_string(tk[i:i+1], ' ') for i in generate_series(1, len(tk) - 1)]
+"""
+
+# shared interpolated Kneser-Ney bigram scoring chain (toks -> bigrams ->
+# count/context/predecessor tables -> per-bigram integer-scaled P_kn) —
+# shared by text_kneser_ney_bigram (plans/pipeline_text.py) and the CCNet
+# perplexity bucketing (plans/pipeline_curation.py); lives HERE so both
+# family modules import it from the shared core (no cross-family imports)
+_KN_SCORED_CTES = f"""toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+        bg AS (
+            SELECT doc_id, unnest(({_SHINGLES_2})) AS bg
+            FROM toks WHERE len(tk) >= 2
+        ),
+        bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY bg),
+        ctx AS (
+            SELECT string_split(bg, ' ')[1] AS w1,
+                   CAST(sum(c2) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS nf
+            FROM bgc GROUP BY 1
+        ),
+        prec AS (
+            SELECT string_split(bg, ' ')[2] AS w2,
+                   CAST(count(*) AS BIGINT) AS np
+            FROM bgc GROUP BY 1
+        ),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM bgc),
+        scored AS (
+            SELECT b.doc_id,
+                   CAST(round(1000000000.0 * (
+                       greatest(CAST(c.c2 AS DOUBLE) - 0.75, 0.0)
+                           / CAST(x.c1 AS DOUBLE)
+                       + ((0.75 * CAST(x.nf AS DOUBLE)) / CAST(x.c1 AS DOUBLE))
+                           * (CAST(p.np AS DOUBLE) / CAST(t.nt AS DOUBLE))
+                   )) AS BIGINT) AS p_scaled
+            FROM bg b
+            JOIN bgc c USING (bg)
+            JOIN ctx x ON x.w1 = string_split(b.bg, ' ')[1]
+            JOIN prec p ON p.w2 = string_split(b.bg, ' ')[2]
+            CROSS JOIN nt t
+        )"""
+
 # shared CTE chain producing MinHash-LSH candidate pairs + shingle sets
 # (used by dedup_minhash_lsh and the connected-components oracle)
 _LSH_CTES = f"""toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),

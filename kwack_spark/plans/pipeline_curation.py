@@ -16,10 +16,8 @@ from kwack_spark.functions import vectors as V
 from kwack_spark.operators import asof, dedup, sampling, similarity
 from kwack_spark.plans.registry import register
 from kwack_spark.plans.relational import T
-from kwack_spark.plans.pipeline_text import (  # shared KN model
-    _KN_SCORED_CTES,
-)
 from kwack_spark.plans.pipeline import (  # shared core
+    _KN_SCORED_CTES,
     _COMP_CTES,
     _DHASH_FP_CTES,
     _ENSEMBLE_CTES,

@@ -17,6 +17,8 @@ from kwack_spark.operators import asof, dedup, sampling, similarity
 from kwack_spark.plans.registry import register
 from kwack_spark.plans.relational import T
 from kwack_spark.plans.pipeline import (  # shared core
+    _KN_SCORED_CTES,
+    _SHINGLES_2,
     _ENSEMBLE_CTES,
     _JAC,
     _NORM,
@@ -28,9 +30,6 @@ from kwack_spark.plans.pipeline import (  # shared core
 
 
 # word bigrams (callers guard len(tk) >= 2)
-_SHINGLES_2 = """
-    [array_to_string(tk[i:i+1], ' ') for i in generate_series(1, len(tk) - 1)]
-"""
 
 @register(
     "tokenizer_vocab_coverage",
@@ -1173,38 +1172,6 @@ def text_bigram_logprob(spark, sf_dir):
         ).alias("mean_condprob"),
     )
 
-_KN_SCORED_CTES = f"""toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
-        bg AS (
-            SELECT doc_id, unnest(({_SHINGLES_2})) AS bg
-            FROM toks WHERE len(tk) >= 2
-        ),
-        bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY bg),
-        ctx AS (
-            SELECT string_split(bg, ' ')[1] AS w1,
-                   CAST(sum(c2) AS BIGINT) AS c1,
-                   CAST(count(*) AS BIGINT) AS nf
-            FROM bgc GROUP BY 1
-        ),
-        prec AS (
-            SELECT string_split(bg, ' ')[2] AS w2,
-                   CAST(count(*) AS BIGINT) AS np
-            FROM bgc GROUP BY 1
-        ),
-        nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM bgc),
-        scored AS (
-            SELECT b.doc_id,
-                   CAST(round(1000000000.0 * (
-                       greatest(CAST(c.c2 AS DOUBLE) - 0.75, 0.0)
-                           / CAST(x.c1 AS DOUBLE)
-                       + ((0.75 * CAST(x.nf AS DOUBLE)) / CAST(x.c1 AS DOUBLE))
-                           * (CAST(p.np AS DOUBLE) / CAST(t.nt AS DOUBLE))
-                   )) AS BIGINT) AS p_scaled
-            FROM bg b
-            JOIN bgc c USING (bg)
-            JOIN ctx x ON x.w1 = string_split(b.bg, ' ')[1]
-            JOIN prec p ON p.w2 = string_split(b.bg, ' ')[2]
-            CROSS JOIN nt t
-        )"""
 
 
 @register(

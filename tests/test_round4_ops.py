@@ -239,12 +239,12 @@ def test_hard_negative_label_mask(spark):
     )
 
 
-def test_cooccurrence_pair_count_invariant(spark):
+def test_cooccurrence_pair_count_invariant(spark, tmp_path):
     """A document of n (sanitized) tokens emits exactly max(n-1,0) dist-1
     pairs and max(n-2,0) dist-2 pairs — the in-array generator must not
     drop boundary windows or emit self-window artifacts."""
     from kwack_spark.plans.pipeline_text import cooccurrence_window_counts
-    import tempfile, os
+    import os
 
     docs = [
         (1, "alpha beta gamma delta", "en", "s", 22),
@@ -255,7 +255,7 @@ def test_cooccurrence_pair_count_invariant(spark):
     d = spark.createDataFrame(
         docs, "doc_id long, text string, lang string, source string, n_chars long"
     )
-    tmp = tempfile.mkdtemp(prefix="kwack_cooc_")
+    tmp = str(tmp_path)
     d.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
     out = cooccurrence_window_counts(spark, tmp).collect()
     n1 = sum(r.cnt for r in out if r.dist == 1)

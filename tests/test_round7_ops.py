@@ -162,10 +162,9 @@ def test_incremental_simhash64_never_touches_history_text(spark):
     assert got == {(r.doc_id, r.hist_id, r.hamming) for r in via_text.collect()}
 
 
-def test_stateful_simhash_neardup_equals_batch(spark):
+def test_stateful_simhash_neardup_equals_batch(spark, tmp_path):
     """End-of-stream pair set of the streaming member must equal the batch
     slice self-join bit-for-bit, regardless of micro-batch arrival order."""
-    import tempfile
     import uuid
 
     from kwack_spark.streaming import ingest as si
@@ -174,7 +173,7 @@ def test_stateful_simhash_neardup_equals_batch(spark):
     prep = dedup._simhash64_sliced(
         dedup.simhash64_fingerprints(d, "doc_id", "text"), "doc_id", blocks=4
     )
-    replay = tempfile.mkdtemp(prefix="kwack_t7_simhash_")
+    replay = str(tmp_path / "simhash_replay")
     # reversed-id order across 2 files: arrival order must not matter
     prep.orderBy(F.desc("doc_id")).repartition(2).write.mode("overwrite").parquet(
         replay
