@@ -151,6 +151,9 @@ STRESS_QUERIES = [
     "lsh_band_occupancy",
     "multimodal_avi_keyframe_dedup",
     "corpus_curation_incremental_multimodal",
+    # the CCNet bucketing (broadcast KN model + per-lang percentile
+    # boundaries — must stay ~linear; no global sort/window exists)
+    "ccnet_perplexity_buckets",
 ]
 
 # The decade-2 set (factors 10/100 — sf1-equivalent and beyond): the
