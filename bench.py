@@ -361,6 +361,9 @@ HEADLINE = [
     # and the CCNet head/middle/tail LM bucketing (broadcast KN model +
     # per-lang percentile boundaries — scan + broadcast + scan)
     "ccnet_perplexity_buckets",
+    # and DSIR importance selection (two 1024-row hashed unigram models +
+    # one percentile boundary, scan + broadcast only)
+    "dsir_importance_select",
     # streaming_state_observability / streaming_state_observability_sketches
     # are correctness-graded but not benched: they re-drain stateful kernels
     # that are ALREADY benched (streaming_video_neardup,

@@ -311,6 +311,117 @@ def ccnet_perplexity_buckets(spark, sf_dir):
     )
 
 @register(
+    "dsir_importance_select",
+    # DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    # score every document by how much more likely its hashed n-gram
+    # features are under a TARGET distribution than under the raw corpus,
+    # then keep the top quartile.  Feature space = the same 1024-bucket
+    # md5 hashing trick the quality scorer ships; both unigram models are
+    # add-1-smoothed bucket frequencies (target = the lang='en' slice —
+    # a real run feeds a curated reference corpus through the identical
+    # estimator); per-token log importance weights are integer-scaled
+    # (1e6) so per-doc means are order-independent, and the selection
+    # boundary is one percentile scalar.  Everything the corpus touches
+    # is scan + broadcast: the two models are 1024-row tables, the
+    # boundary is one row.
+    oracle=f"""
+        WITH tok AS (SELECT doc_id, unnest({_toks()}) AS t FROM documents),
+        bk AS (
+            SELECT doc_id,
+                   ((instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 256
+                    + (instr('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 16
+                    + (instr('0123456789abcdef', substr(md5(t), 3, 1)) - 1))
+                       % 1024 AS b
+            FROM tok
+        ),
+        bcc AS (SELECT b, CAST(count(*) AS BIGINT) AS cc FROM bk GROUP BY b),
+        bnc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM bk),
+        tg AS (
+            SELECT bk.b FROM bk JOIN documents USING (doc_id)
+            WHERE lang = 'en'
+        ),
+        btc AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM tg GROUP BY b),
+        bnt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM tg),
+        w AS (
+            SELECT bcc.b,
+                   CAST(floor(1000000.0 * ln(
+                       ((COALESCE(btc.tc, 0) + 1.0) / (bnt.nt + 1024.0))
+                       / ((bcc.cc + 1.0) / (bnc.nc + 1024.0))
+                   )) AS BIGINT) AS lw
+            FROM bcc LEFT JOIN btc USING (b) CROSS JOIN bnc CROSS JOIN bnt
+        ),
+        docw AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                   CAST(floor(CAST(sum(lw) AS DOUBLE) / count(*)) AS BIGINT)
+                       AS logw_micro
+            FROM bk JOIN w USING (b) GROUP BY doc_id
+        ),
+        b75 AS (SELECT quantile_cont(logw_micro, 0.75) AS p75 FROM docw)
+        SELECT d0.doc_id, dd.lang, d0.n_toks, d0.logw_micro,
+               d0.logw_micro >= b75.p75 AS selected
+        FROM docw d0 JOIN documents dd USING (doc_id) CROSS JOIN b75
+        ORDER BY doc_id
+    """,
+    tags=("curation", "sampling", "dsir", "importance", "training-prep"),
+)
+def dsir_importance_select(spark, sf_dir):
+    """DSIR importance selection at Spark scale: one token explode feeds
+    the bucket projection; the corpus and target bucket models are
+    1024-row aggregates broadcast back onto the same exploded frame; the
+    per-doc mean log weight is one rollup shuffle; the p75 boundary is a
+    1-row broadcast.  At 100 TB: two scans + broadcasts, no corpus-keyed
+    join, no global sort — the published DSIR recipe's hashed-feature
+    estimator expressed as a Spark plan."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("t"))
+    th = F.md5(F.col("t"))
+    tnib = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring(th, p, 1)) - 1  # noqa: E731
+    bk = tok.select(
+        "doc_id", ((tnib(1) * 256 + tnib(2) * 16 + tnib(3)) % 1024).alias("b")
+    )
+    bcc = bk.groupBy("b").agg(F.count(F.lit(1)).alias("cc"))
+    bnc = bk.agg(F.count(F.lit(1)).alias("nc"))
+    tg = bk.join(d.filter(F.col("lang") == "en").select("doc_id"), "doc_id")
+    btc = tg.groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    bnt = tg.agg(F.count(F.lit(1)).alias("nt"))
+    ratio = (
+        (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+        / (F.col("nt") + 1024).cast("double")
+    ) / ((F.col("cc") + 1).cast("double") / (F.col("nc") + 1024).cast("double"))
+    w = (
+        bcc.join(btc, "b", "left")
+        .crossJoin(F.broadcast(bnc))
+        .crossJoin(F.broadcast(bnt))
+        .select(
+            "b",
+            F.floor(F.lit(1_000_000.0) * F.log(ratio)).cast("bigint").alias("lw"),
+        )
+    )
+    docw = (
+        bk.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.floor(F.sum("lw").cast("double") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("logw_micro"),
+        )
+    )
+    b75 = docw.agg(F.percentile("logw_micro", F.lit(0.75)).alias("p75"))
+    return (
+        docw.join(d.select("doc_id", "lang"), "doc_id")
+        .crossJoin(F.broadcast(b75))
+        .select(
+            "doc_id",
+            "lang",
+            "n_toks",
+            "logw_micro",
+            (F.col("logw_micro") >= F.col("p75")).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+@register(
     "shard_assignment_stats",
     # the training-data WRITE path: every doc is assigned one of 16 output
     # shards by the first hex nibble of a keyed md5 — deterministic across

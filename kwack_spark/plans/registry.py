@@ -56,9 +56,9 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_scale_oracle.py).  Cumulatively all 362 pre-r11 names have been
 # driver-graded at least once (r01-r10) with every latest grade green.  The
 # FULL list below is re-sorted for round 11, derived mechanically from
-# CORRECTNESS_r01..r10: never-graded first (the 7 r11-new queries), then
+# CORRECTNESS_r01..r10: never-graded first (the 8 r11-new queries), then
 # cohorts by last-graded round ascending — so the ~50-query r11 window
-# covers the 7 new + the 20 r03-stale names + the r04-cohort head, and the
+# covers the 8 new + the 20 r03-stale names + the r04-cohort head, and the
 # tail keeps future rotations one re-sort away.  The list is advisory
 # ordering only — every query stays registered; names missing from it would
 # keep registration order after it.
@@ -71,6 +71,7 @@ _PRIORITY = [
     "dedup_lsh_overcap_clusters",
     "multimodal_avi_incremental",
     "ccnet_perplexity_buckets",
+    "dsir_importance_select",
     # --- last driver grade: r03 ---
     "dedup_embedding_cosine",
     "embedding_quantize_int8",

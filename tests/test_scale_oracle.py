@@ -287,6 +287,9 @@ SCALE_SENSITIVE = [
     "multimodal_avi_incremental",
     # per-lang tercile boundaries shift with the score distribution at 10x
     "ccnet_perplexity_buckets",
+    # the add-1-smoothed bucket models and the p75 boundary both shift
+    # with the corpus/target token mass at 10x
+    "dsir_importance_select",
     # r08: the probe-curve + recall audits' implementations changed (BLAS
     # bucket shortlist + cumulative-rank fusion; shared widened ivf_assign)
     "ann_probe_recall_curve",

@@ -154,6 +154,9 @@ STRESS_QUERIES = [
     # the CCNet bucketing (broadcast KN model + per-lang percentile
     # boundaries — must stay ~linear; no global sort/window exists)
     "ccnet_perplexity_buckets",
+    # DSIR selection (two 1024-row bucket models + one boundary — must
+    # stay ~linear: scan + broadcast only)
+    "dsir_importance_select",
 ]
 
 # The decade-2 set (factors 10/100 — sf1-equivalent and beyond): the
