@@ -1618,12 +1618,17 @@ def corpus_curation_all_modalities(spark, sf_dir):
     # average get up-weighted multiplicatively, w'_d ∝ w_d·(1 + η·excess_d)
     # — the linearized exponentiated-gradient update, exact in integers.
     # The loss proxy here is the domain's mean doc length relative to the
-    # corpus mean (ppm, floored integer ratio of BIGINT products — a
-    # real run feeds per-domain reference-model excess losses into the
-    # same update); η = 1/4 via the (3e6 + ppm) DIV 4 form, which keeps
+    # corpus mean (ppm, floored integer ratio of products — a real run
+    # feeds per-domain reference-model excess losses into the same
+    # update); η = 1/4 via the (3e6 + ppm) DIV 4 form, which keeps
     # every intermediate a positive integer so Spark's truncating DIV and
-    # DuckDB's flooring // agree.  The final weights are ratios of exact
-    # integers — one double division, bit-identical on both engines.
+    # DuckDB's flooring // agree.  The products 1e6·s_chars·n_all and
+    # s_all·n_docs overflow BIGINT at 100-TB magnitudes (s_chars ~1e14,
+    # n_all ~1e11 → ~1e31; Spark would wrap silently in non-ANSI mode),
+    # so BOTH engines widen them first — DECIMAL(38,0) on Spark, HUGEINT
+    # here (the shard-manifest content_sum discipline; r11 VERDICT
+    # what's-wrong #1).  The final weights are ratios of exact integers —
+    # one double division, bit-identical on both engines.
     oracle="""
         WITH d AS (
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1638,9 +1643,10 @@ def corpus_curation_all_modalities(spark, sf_dir):
         ),
         u AS (
             SELECT lang, n_docs,
-                   (1000000 * s_chars * n_all) // (s_all * n_docs) AS loss_ppm,
-                   (3000000 + (1000000 * s_chars * n_all)
-                              // (s_all * n_docs)) // 4 AS u_d,
+                   (CAST(1000000 AS HUGEINT) * s_chars * n_all)
+                       // (CAST(s_all AS HUGEINT) * n_docs) AS loss_ppm,
+                   (3000000 + (CAST(1000000 AS HUGEINT) * s_chars * n_all)
+                              // (CAST(s_all AS HUGEINT) * n_docs)) // 4 AS u_d,
                    n_domains
             FROM d CROSS JOIN tot
         )
@@ -1658,27 +1664,43 @@ def mixture_reweight_step(spark, sf_dir):
     weights feed directly into temperature_mixture_sample /
     mixture_rebalance as the next epoch's sampling distribution — the
     DoReMi outer loop expressed as a Spark plan.  100-TB shape: the scan
-    dominates; everything after is O(#domains)."""
+    dominates; everything after is O(#domains), and the update products
+    are DECIMAL(38,0) so ~1e31 magnitudes stay exact (see
+    _reweight_from_domains)."""
     d = T(spark, sf_dir, "documents")
     dom = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("s_chars"),
     )
+    return _reweight_from_domains(dom)
+
+
+def _reweight_from_domains(dom):
+    """The exponentiated-gradient update of mixture_reweight_step over a
+    precomputed ``(lang, n_docs, s_chars)`` domain table — factored out so
+    the arithmetic is unit-testable at 100-TB magnitudes.  The products
+    1e6·s_chars·n_all (~1e31 at s_chars ~1e14, n_all ~1e11) and
+    s_all·n_docs (~1e24) overflow BIGINT, and Spark's non-ANSI mode would
+    WRAP silently — so both ride DECIMAL(38,0) (exact to 1e38; the shard-
+    manifest content_sum discipline), and ``div`` truncates the positive
+    quotient back to a BIGINT ppm identically to DuckDB's HUGEINT //."""
     tot = dom.agg(
         F.sum("n_docs").alias("n_all"),
         F.sum("s_chars").alias("s_all"),
         F.count(F.lit(1)).alias("n_domains"),
     )
-    u = dom.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        "n_docs",
-        F.expr(
-            "(1000000 * s_chars * n_all) div (s_all * n_docs)"
-        ).alias("loss_ppm"),
-        F.expr(
-            "(3000000 + (1000000 * s_chars * n_all) div (s_all * n_docs)) div 4"
-        ).alias("u_d"),
-        "n_domains",
+    u = (
+        dom.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * s_chars * n_all)"
+                " div (CAST(s_all AS DECIMAL(38,0)) * n_docs)"
+            ).alias("loss_ppm"),
+            "n_domains",
+        )
+        .withColumn("u_d", F.expr("(3000000 + loss_ppm) div 4"))
     )
     usum = u.agg(F.sum("u_d").alias("u_sum"))
     return (
