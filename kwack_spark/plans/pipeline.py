@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from kwack_spark.functions import text as TX
 from kwack_spark.functions import vectors as V
 from kwack_spark.operators import asof, dedup, sampling, similarity
+from kwack_spark.operators.dedup import LSH_MAX_BAND_DF
 from kwack_spark.plans.registry import register
 from kwack_spark.plans.relational import T
 
@@ -96,8 +97,16 @@ _KN_SCORED_CTES = f"""toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
         )"""
 
 # shared CTE chain producing MinHash-LSH candidate pairs + shingle sets
-# (used by dedup_minhash_lsh and the connected-components oracle)
-_LSH_CTES = f"""toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
+# (used by dedup_minhash_lsh and the connected-components oracle).  The
+# chain compiles the SAME hot-band cap as the engine
+# (operators/dedup.py:minhash_lsh_pairs, LSH_MAX_BAND_DF): `cand` pairs
+# only under-cap bands, and `star_edges` recovers each over-cap band as a
+# ready-made star cluster (canon = min id) — so engine and oracle agree
+# at every scale, including past the cap (r11 ADVICE medium).  Split into
+# head (through `exploded`) + parameterizable tail so the incremental
+# admission oracles can count the band-df census over HISTORY rows only,
+# matching incremental_lsh_new_dups' history-index cap.
+_LSH_HEAD_CTES = f"""toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
         shs AS (SELECT doc_id, ({_SHINGLES}) AS sh FROM toks),
         sigs AS (
             SELECT doc_id, {", ".join(_mh_sql(i) for i in range(8))} FROM shs
@@ -110,13 +119,50 @@ _LSH_CTES = f"""toks AS (SELECT doc_id, {_toks()} AS tk FROM documents),
         ),
         exploded AS (
             SELECT doc_id, unnest(['0:' || band0, '1:' || band1]) AS band_key FROM banded
+        )"""
+
+
+def _lsh_tail_ctes(census_join: str = "") -> str:
+    """cand / star_edges / ssets tail of the LSH oracle chain.
+
+    ``census_join`` parameterizes which rows the band-df census counts:
+    '' counts every (id, band_key) row — the self-join family, matching
+    ``minhash_lsh_pairs``; ``' JOIN hist USING (doc_id)'`` counts history
+    rows only — the incremental probe family, matching
+    ``incremental_lsh_new_dups``' history-side cap (a band absent from
+    history then has no census row, so the inner join drops it from
+    ``bkept`` — exactly the probe's view, and batch-batch pairs are never
+    consumed by the incremental oracles)."""
+    return f"""bdf AS (
+            SELECT band_key, CAST(count(*) AS BIGINT) AS band_df
+            FROM exploded e{census_join} GROUP BY band_key
+        ),
+        bkept AS (
+            SELECT e.doc_id, e.band_key
+            FROM exploded e JOIN bdf USING (band_key)
+            WHERE band_df <= {LSH_MAX_BAND_DF}
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM exploded a JOIN exploded b
+            FROM bkept a JOIN bkept b
               ON a.band_key = b.band_key AND a.doc_id < b.doc_id
         ),
+        overcap AS (
+            SELECT e.band_key, e.doc_id
+            FROM exploded e JOIN bdf USING (band_key)
+            WHERE band_df > {LSH_MAX_BAND_DF}
+        ),
+        star_edges AS (
+            SELECT DISTINCT m.canon AS id_a, o.doc_id AS id_b
+            FROM overcap o
+            JOIN (SELECT band_key, min(doc_id) AS canon
+                  FROM overcap GROUP BY band_key) m USING (band_key)
+            WHERE o.doc_id <> m.canon
+        ),
         ssets AS (SELECT doc_id, list_distinct(sh) AS s FROM shs)"""
+
+
+_LSH_CTES = _LSH_HEAD_CTES + ",\n        " + _lsh_tail_ctes()
 
 _JAC = """CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
                    / len(list_distinct(list_concat(x.s, y.s)))"""
@@ -124,7 +170,9 @@ _JAC = """CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
 # shared recursive-CTE chain: LSH pairs -> undirected edges -> transitive
 # walk -> min-label components; used by dedup_cluster_components and
 # dedup_keep_best_in_cluster (keep both oracles on ONE copy of the
-# component semantics)
+# component semantics).  Edges include the over-cap bands' star edges, so
+# every engine paired with this chain must feed components from
+# dedup.minhash_lsh_dup_edges (pairs + stars), never bare pairs.
 _COMP_CTES = f"""pairs AS (
             SELECT c.id_a, c.id_b
             FROM cand c
@@ -136,6 +184,10 @@ _COMP_CTES = f"""pairs AS (
             SELECT id_a AS u, id_b AS v FROM pairs
             UNION ALL
             SELECT id_b AS u, id_a AS v FROM pairs
+            UNION ALL
+            SELECT id_a AS u, id_b AS v FROM star_edges
+            UNION ALL
+            SELECT id_b AS u, id_a AS v FROM star_edges
         ),
         walk AS (
             SELECT u AS node, u AS reach FROM (SELECT DISTINCT u FROM edges)

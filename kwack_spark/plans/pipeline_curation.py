@@ -23,6 +23,8 @@ from kwack_spark.plans.pipeline import (  # shared core
     _ENSEMBLE_CTES,
     _JAC,
     _LSH_CTES,
+    _LSH_HEAD_CTES,
+    _lsh_tail_ctes,
     _NORM,
     _URL_CANON_CTES,
     _URL_RAW_SQL,
@@ -319,11 +321,16 @@ def ccnet_perplexity_buckets(spark, sf_dir):
     # md5 hashing trick the quality scorer ships; both unigram models are
     # add-1-smoothed bucket frequencies (target = the lang='en' slice —
     # a real run feeds a curated reference corpus through the identical
-    # estimator); per-token log importance weights are integer-scaled
-    # (1e6) so per-doc means are order-independent, and the selection
-    # boundary is one percentile scalar.  Everything the corpus touches
-    # is scan + broadcast: the two models are 1024-row tables, the
-    # boundary is one row.
+    # estimator); per-token log importance weights are rounded to 6dp then
+    # integer-scaled (1e6) — the ccnet sibling's discipline, so a 1-ulp
+    # ln() disagreement between engines can't flip a weight — and per-doc
+    # means are order-independent.  Selection here is a DETERMINISTIC
+    # top-quartile threshold on the importance weight, not the paper's
+    # Gumbel-top-k importance RESAMPLING (deliberate: resampling's
+    # randomness is not oracle-checkable; the weights feeding it are the
+    # published estimator's).  Everything the corpus touches is scan +
+    # broadcast: the two models are 1024-row tables, the boundary is one
+    # row.
     oracle=f"""
         WITH tok AS (SELECT doc_id, unnest({_toks()}) AS t FROM documents),
         bk AS (
@@ -344,10 +351,10 @@ def ccnet_perplexity_buckets(spark, sf_dir):
         bnt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM tg),
         w AS (
             SELECT bcc.b,
-                   CAST(floor(1000000.0 * ln(
+                   CAST(round(1000000.0 * round(ln(
                        ((COALESCE(btc.tc, 0) + 1.0) / (bnt.nt + 1024.0))
                        / ((bcc.cc + 1.0) / (bnc.nc + 1024.0))
-                   )) AS BIGINT) AS lw
+                   ), 6)) AS BIGINT) AS lw
             FROM bcc LEFT JOIN btc USING (b) CROSS JOIN bnc CROSS JOIN bnt
         ),
         docw AS (
@@ -394,7 +401,13 @@ def dsir_importance_select(spark, sf_dir):
         .crossJoin(F.broadcast(bnt))
         .select(
             "b",
-            F.floor(F.lit(1_000_000.0) * F.log(ratio)).cast("bigint").alias("lw"),
+            # ln rounded to 6dp BEFORE the 1e6 scaling (the ccnet sibling's
+            # discipline): a 1-ulp ln() difference between the JVM and
+            # DuckDB at a floor boundary would otherwise flip lw by 1 and
+            # with it the p75 selection (r11 ADVICE low)
+            F.round(F.lit(1_000_000.0) * F.round(F.log(ratio), 6))
+            .cast("bigint")
+            .alias("lw"),
         )
     )
     docw = (
@@ -790,9 +803,9 @@ def split_leakage_safe(spark, sf_dir):
     from kwack_spark.operators import graph
 
     d = T(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
+    pairs = dedup.minhash_lsh_dup_edges(
         d, "doc_id", "text", k=8, bands=2, threshold=0.5
-    ).select("id_a", "id_b")
+    )
     with _few_shuffle_partitions(spark):
         comp = graph.dedup_clusters(pairs)
     rep = (
@@ -1108,9 +1121,11 @@ def _curation_text_funnel(spark, d):
     )
     s1 = d.join(keep1, "doc_id")
     # --- stage 2: MinHash-LSH keep-best (longest per component) ---
-    pairs = dedup.minhash_lsh_pairs(
+    # pairs + over-cap star edges, so boilerplate clusters the hot-band
+    # cap prunes from the pair join still resolve to one keeper
+    pairs = dedup.minhash_lsh_dup_edges(
         s1, "doc_id", "text", k=8, bands=2, threshold=0.5
-    ).select("id_a", "id_b")
+    )
     with _few_shuffle_partitions(spark):
         comp = graph.dedup_clusters(pairs).select("doc_id", "keep_id")
         ranked2 = comp.join(d.select("doc_id", "n_chars"), "doc_id").withColumn(
@@ -1720,10 +1735,15 @@ def _reweight_from_domains(dom):
 
 # incremental LSH chain for the admission-control oracle: candidates over
 # history + admitted-batch union (cross pairs only — the engine probes the
-# history index with batch keys, never batch-batch)
-_INC_LSH_CTES = _LSH_CTES.replace(
-    "FROM documents", "FROM documents JOIN hb USING (doc_id)"
-)
+# history index with batch keys, never batch-batch).  The band-df census
+# counts HISTORY rows only, matching incremental_lsh_new_dups' history-
+# index cap: the engine prunes hot bands from the persisted index it
+# probes, never from the arriving batch's keys.
+_INC_LSH_CTES = (
+    _LSH_HEAD_CTES
+    + ",\n        "
+    + _lsh_tail_ctes(" JOIN hist USING (doc_id)")
+).replace("FROM documents", "FROM documents JOIN hb USING (doc_id)")
 
 _INC_ENSEMBLE_CTES = _ENSEMBLE_CTES.replace(
     "FROM documents", "FROM documents JOIN s2b USING (doc_id)"

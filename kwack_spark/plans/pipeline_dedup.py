@@ -198,9 +198,12 @@ def dedup_cluster_components(spark, sf_dir):
     min, only the convergence check is driver-side."""
     from kwack_spark.operators import graph
 
-    pairs = dedup.minhash_lsh_pairs(
+    # pairs + over-cap star edges: component consumers must see the pruned
+    # bands' clusters too (minhash_lsh_dup_edges; mirrored by the oracle's
+    # star_edges CTE)
+    pairs = dedup.minhash_lsh_dup_edges(
         T(spark, sf_dir, "documents"), "doc_id", "text", k=8, bands=2, threshold=0.5
-    ).select("id_a", "id_b")
+    )
     # the iteration rounds run INSIDE this function (convergence counts);
     # a candidate-pair graph is orders of magnitude smaller than the corpus,
     # so pin a small shuffle width for the rounds and restore after
@@ -232,9 +235,9 @@ def dedup_cluster_size_histogram(spark, sf_dir):
     component iteration, which dedup_cluster_components already bounds."""
     from kwack_spark.operators import graph
 
-    pairs = dedup.minhash_lsh_pairs(
+    pairs = dedup.minhash_lsh_dup_edges(
         T(spark, sf_dir, "documents"), "doc_id", "text", k=8, bands=2, threshold=0.5
-    ).select("id_a", "id_b")
+    )
     with _few_shuffle_partitions(spark):
         comp = graph.dedup_clusters(pairs)
         sizes = comp.groupBy("keep_id").agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -280,9 +283,9 @@ def dedup_keep_best_in_cluster(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = T(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
+    pairs = dedup.minhash_lsh_dup_edges(
         docs, "doc_id", "text", k=8, bands=2, threshold=0.5
-    ).select("id_a", "id_b")
+    )
     with _few_shuffle_partitions(spark):
         comp = graph.dedup_clusters(pairs).select("doc_id", "keep_id")
         lengths = docs.select("doc_id", "n_chars")
@@ -2028,9 +2031,9 @@ def dedup_impact_report(spark, sf_dir):
     from kwack_spark.operators import graph
 
     d = T(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
+    pairs = dedup.minhash_lsh_dup_edges(
         d, "doc_id", "text", k=8, bands=2, threshold=0.5
-    ).select("id_a", "id_b")
+    )
     with _few_shuffle_partitions(spark):
         clusters = graph.dedup_clusters(pairs)
     removed = clusters.filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")

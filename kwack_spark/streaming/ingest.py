@@ -242,9 +242,15 @@ def stateful_lsh_neardup(
     SEVERAL bands is emitted once per colliding band bucket (the buckets are
     independent state groups and cannot see each other).  Callers wanting
     set semantics apply ``.distinct()`` downstream, as
-    plans/pipeline.py:streaming_lsh_neardup does; modulo that, the
+    plans/pipeline.py:streaming_lsh_neardup does; modulo that, for every
+    band bucket under the batch side's ``max_band_df`` cap the
     end-of-stream pair set equals the batch self-join's
     (operators/dedup.py:minhash_lsh_pairs), whatever the arrival order.
+    Past that cap the batch side prunes the whole band (recovering it as
+    star edges via lsh_overcap_star_edges) while this kernel keeps
+    pairing — bound a production stream with ``ttl_ms`` and treat
+    saturated buckets as the boilerplate signal the occupancy audits
+    watch for.
 
     State bound: per bucket, the bucket's (id, shingle set) list, stored
     columnar (two Arrow arrays — no per-batch JSON re-encode).  With
@@ -396,8 +402,12 @@ def stateful_key_collision_pairs(
     hash-blocked streaming dedup where the blocking key IS the evidence
     (video keyframe hashes, exact content hashes): a pair sharing k keys
     is emitted k times, so a downstream count per pair recovers the
-    shared-key count and end-of-stream equals the batch key self-join
-    under any arrival order.
+    shared-key count, and for every key whose id set stays UNDER
+    ``max_ids`` the end-of-stream pair set equals the batch key self-join
+    under any arrival order.  Past the cap the two diverge by design —
+    this kernel truncates arrival-order-first while the batch twin
+    (``dedup.key_collision_pairs``) drops the whole over-cap key — see
+    the hot-bucket paragraph below.
 
     Idempotent per (key, id): an id already in the bucket's state is
     skipped — it neither re-emits pairs nor grows state — so at-least-once
