@@ -20,6 +20,14 @@ dirs, persisted index fixtures — allocates it HERE, for two reasons:
    session root that is removed at interpreter exit; callers with a shorter
    lifecycle (per-round iterative state) delete eagerly via :func:`remove`.
 
+Scheme-less paths are NOT assumed driver-local: Spark resolves them against
+``fs.defaultFS``, so a bare ``/warehouse/scratch`` on an HDFS-defaulted
+cluster is a remote path — mkdir/cleanup through ``os``/``shutil`` there
+would be silent no-ops and the scratch would leak on the shared FS (r11
+ADVICE).  Locality is decided by resolving the path through the Hadoop
+``FileSystem`` for the session's ``hadoopConfiguration``; ``os``/``shutil``
+are used only when the resolved filesystem is ``file:``.
+
 This is the single ``tempfile.mkdtemp`` call site in the engine (grep-able
 invariant; the test fixtures keep their own).
 """
@@ -41,13 +49,45 @@ _ROOTS: dict[tuple[str, str | None], str] = {}
 _CLEANUP_REGISTERED = False
 
 
-def _is_local_path(path: str) -> bool:
-    scheme, sep, _rest = path.partition("://")
-    return not sep or scheme == "file"
+def _is_local_path(spark: SparkSession | None, path: str) -> bool:
+    """True when ``path`` resolves to the DRIVER-LOCAL filesystem.
+
+    An explicit scheme decides directly.  A scheme-less path defers to the
+    Hadoop ``FileSystem`` resolution for the session's configuration
+    (``Path.getFileSystem`` honors ``fs.defaultFS``) — exactly the
+    resolution Spark's own writers use, so write target and cleanup target
+    can never disagree.  Without a session to ask (interpreter-exit
+    cleanup after the JVM is gone), a scheme-less path falls back to
+    local best-effort — non-local roots registered in ``_ROOTS`` carry
+    their explicit scheme from resolution time, so this fallback only
+    ever sees genuinely local roots."""
+    scheme = _scheme(path)
+    if scheme is not None:
+        return scheme == "file"
+    if spark is None:
+        return True
+    try:
+        fs, _ = _hadoop_fs(spark, path)
+        return fs.getUri().getScheme() == "file"
+    except Exception:
+        return True
+
+
+def _scheme(path: str) -> str | None:
+    """URI scheme of ``path``, or None for a scheme-less path.  Handles
+    both ``file://host/p`` and Hadoop's single-slash ``file:/p`` form
+    (what ``Path.makeQualified`` emits for the local filesystem)."""
+    head = path.split("/", 1)[0]
+    if head.endswith(":") and len(head) > 1:
+        return head[:-1]
+    return None
 
 
 def _local_part(path: str) -> str:
-    return path[len("file://"):] if path.startswith("file://") else path
+    for prefix in ("file://", "file:"):
+        if path.startswith(prefix):
+            return path[len(prefix):]
+    return path
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -57,8 +97,17 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, hpath
 
 
+def _qualified(spark: SparkSession, path: str) -> str:
+    """The fully-qualified URI string of ``path`` under the session's
+    filesystem resolution (scheme made explicit).  Roots are stored
+    qualified so interpreter-exit cleanup — which may run without a live
+    session — still knows where they live."""
+    fs, hpath = _hadoop_fs(spark, path)
+    return fs.makeQualified(hpath).toString()
+
+
 def _mkdirs(spark: SparkSession, path: str) -> None:
-    if _is_local_path(path):
+    if _is_local_path(spark, path):
         os.makedirs(_local_part(path), exist_ok=True)
     else:
         fs, hpath = _hadoop_fs(spark, path)
@@ -69,14 +118,17 @@ def remove(spark: SparkSession | None, path: str) -> None:
     """Recursively delete a scratch path (eager per-round cleanup).  Local
     paths go through shutil (works even after the JVM is gone); shared-FS
     URIs go through the Hadoop FileSystem API."""
-    if _is_local_path(path):
+    if _is_local_path(spark, path):
         shutil.rmtree(_local_part(path), ignore_errors=True)
-    elif spark is not None:
-        try:
-            fs, hpath = _hadoop_fs(spark, path)
-            fs.delete(hpath, True)
-        except Exception:
-            pass  # best-effort: never fail a query over scratch cleanup
+    else:
+        if spark is None:
+            spark = SparkSession.getActiveSession()
+        if spark is not None:
+            try:
+                fs, hpath = _hadoop_fs(spark, path)
+                fs.delete(hpath, True)
+            except Exception:
+                pass  # best-effort: never fail a query over scratch cleanup
 
 
 def _cleanup_all() -> None:
@@ -96,6 +148,14 @@ def _session_root(spark: SparkSession) -> str:
         return root
     if base is not None:
         root = base.rstrip("/") + f"/kwack-scratch-{uuid.uuid4().hex[:8]}"
+        try:
+            # qualify BEFORE first use: a scheme-less base under a non-local
+            # fs.defaultFS becomes an explicit hdfs://... root, so every
+            # later mkdir/remove (including post-JVM atexit) targets the
+            # same filesystem Spark writes to
+            root = _qualified(spark, root)
+        except Exception:
+            pass  # no JVM fs access: fall through with the raw path
         _mkdirs(spark, root)
     else:
         master = spark.sparkContext.master or ""
