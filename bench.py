@@ -364,6 +364,11 @@ HEADLINE = [
     # and DSIR importance selection (two 1024-row hashed unigram models +
     # one percentile boundary, scan + broadcast only)
     "dsir_importance_select",
+    # r12 wave: BFF Bloom paragraph dedup — the nightly batch-vs-bitmap
+    # pass (broadcast bit table, k probe rows per paragraph) and the
+    # rolling twin whose bitmap grows by position-set union
+    "dedup_bloom_paragraphs",
+    "dedup_bloom_paragraphs_rolling",
     # streaming_state_observability / streaming_state_observability_sketches
     # are correctness-graded but not benched: they re-drain stateful kernels
     # that are ALREADY benched (streaming_video_neardup,

@@ -53,83 +53,32 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # corpus per round, so the map is ordered longest-ungraded-first (every name
 # below already passes the local oracle harness in tests/test_oracle.py, and
 # the scale-sensitive subset additionally passes at sf0.1 via
-# tests/test_scale_oracle.py).  Cumulatively all 362 pre-r11 names have been
-# driver-graded at least once (r01-r10) with every latest grade green.  The
-# FULL list below is re-sorted for round 11, derived mechanically from
-# CORRECTNESS_r01..r10: never-graded first (the 8 r11-new queries), then
-# cohorts by last-graded round ascending — so the ~50-query r11 window
-# covers the 8 new + the 20 r03-stale names + the r04-cohort head, and the
+# tests/test_scale_oracle.py).  Cumulatively all 370 pre-r12 names have been
+# driver-graded at least once (r01-r11) with every latest grade green.  The
+# FULL list below is re-sorted for round 12, derived mechanically from
+# CORRECTNESS_r01..r11: never-graded first (the 2 r12-new Bloom-paragraph
+# queries), then cohorts by last-graded round ascending — so the ~50-query
+# r12 window covers the 2 new + the full 27-name r04-stale cohort + the
+# r05-cohort head (exactly the r11 VERDICT's next #3 rotation), and the
 # tail keeps future rotations one re-sort away.  The list is advisory
 # ordering only — every query stays registered; names missing from it would
 # keep registration order after it.
 _PRIORITY = [
-    # --- never driver-graded (r11-new; must land in the window) ---
-    "lsh_band_occupancy",
-    "multimodal_avi_keyframe_dedup",
-    "streaming_state_observability_sketches",
-    "corpus_curation_incremental_multimodal",
-    "dedup_lsh_overcap_clusters",
-    "multimodal_avi_incremental",
-    "ccnet_perplexity_buckets",
-    "dsir_importance_select",
-    # --- last driver grade: r03 ---
-    "dedup_embedding_cosine",
-    "embedding_quantize_int8",
-    "doc_fingerprints",
-    "cross_doc_repeated_ngrams",
-    "decontaminate_ngram_overlap",
-    "range_join_clicks_before_purchase",
-    "asof_purchase_attribution",
-    "asof_forward_next_purchase",
-    "dedup_incremental_new_docs",
-    "sample_hash_10pct",
-    "sample_stratified_by_lang",
-    "split_train_val_test",
-    "curation_pipeline",
-    "chunk_documents",
-    "token_budget_pack",
-    "source_cap_sample",
-    "mixture_rebalance",
-    "embedding_centroid_by_label",
-    "ann_pq_recall",
-    "kafka_proto_msgindex",
+    # --- never driver-graded (r12-new; must land in the window) ---
+    "dedup_bloom_paragraphs",
+    "dedup_bloom_paragraphs_rolling",
     # --- last driver grade: r04 ---
-    "ann_brute_force_distributed",
-    "hard_negative_mining",
-    "training_order_shuffle",
-    "ann_pq_distributed",
-    "text_token_rarity",
-    "text_token_count_bpe",
-    "text_quality",
-    "text_lang_id",
-    "text_pii_redact",
-    "text_repetition_filter",
-    "window_tumbling_hourly",
-    "session_windows",
-    "streaming_window_counts",
-    "streaming_stateful_running_counts",
-    "sink_manifest_snapshot_read",
-    "streaming_dedup_keys",
-    "multimodal_binary_meta",
-    "multimodal_fake_decode",
-    "multimodal_frame_sample",
-    "multimodal_wav_decode",
-    "multimodal_png_decode",
-    "multimodal_resize",
+    "cooccurrence_window_counts",
+    "kafka_avro_fastpath",
+    "kafka_avro_key_roundtrip",
+    "kafka_jsonschema_fastpath",
+    "kafka_jsonschema_union_roundtrip",
+    "kafka_poison_quarantine",
     "multimodal_byte_features",
     "quality_bucket_sample",
-    "cooccurrence_window_counts",
-    "kafka_poison_quarantine",
-    "kafka_jsonschema_union_roundtrip",
-    "kafka_avro_fastpath",
-    "kafka_jsonschema_fastpath",
-    "kafka_avro_key_roundtrip",
-    "tpch_q4_priority_count",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
     "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect",
     "tpch_q15_top_supplier",
@@ -137,311 +86,365 @@ _PRIORITY = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_orders",
     "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_shipping",
     "tpch_q20_part_promotion",
     "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_count",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
     # --- last driver grade: r05 ---
-    "join_positional",
-    "order_by_all",
     "agg_mode_manual",
-    "dedup_cluster_size_histogram",
-    "tokenizer_vocab_coverage",
-    "dedup_keep_best_in_cluster",
     "ann_lsh_adaptive",
     "ann_lsh_multitable",
-    "semdedup_cluster_prune",
-    "text_token_stats",
-    "langid_confusion_matrix",
-    "quality_ensemble_gate",
-    "winnowing_fingerprints",
-    "winnowing_common_spans",
-    "winnowing_incremental_new_docs",
     "asof_nearest_click",
-    "streaming_quality_gate",
-    "streaming_exactly_once_sink",
-    "sink_compaction_roundtrip",
-    "streaming_running_moments",
-    "user_path_trigrams",
-    "event_transition_matrix",
-    "daily_anomaly_zscore",
-    "sax_weekly_symbols",
     "audio_silence_trim",
-    "multimodal_jpeg_decode",
-    "length_bucketed_batches",
-    "cms_heavy_hitters",
-    "temperature_mixture_sample",
-    "embedding_dim_stats",
-    "source_lang_gini",
-    "dedup_simhash_hamming",
-    "textrank_keywords",
-    "k_anonymity_suppress",
+    "bloom_decontaminate",
+    "bm25_topk_search",
     "bpe_merge_candidates",
-    "shard_manifest_hashes",
-    "shard_compaction_plan",
+    "cdc_chunk_dedup",
+    "cms_heavy_hitters",
+    "daily_anomaly_zscore",
+    "dedup_cluster_size_histogram",
+    "dedup_keep_best_in_cluster",
+    "dedup_simhash_hamming",
+    "embedding_dim_stats",
     "embedding_drift_by_label",
+    "event_transition_matrix",
+    "hll_audience_overlap",
     "hll_distinct_users",
     "hll_merge_shards",
-    "bloom_decontaminate",
-    "quality_linear_score",
-    "cdc_chunk_dedup",
-    "streaming_hll_distinct",
-    "streaming_cms_counts",
-    "bm25_topk_search",
-    "hll_audience_overlap",
     "inverted_index_incremental",
+    "join_positional",
+    "k_anonymity_suppress",
+    "langid_confusion_matrix",
+    "length_bucketed_batches",
+    "multimodal_jpeg_decode",
+    "order_by_all",
+    "quality_ensemble_gate",
+    "quality_linear_score",
+    "sax_weekly_symbols",
+    "semdedup_cluster_prune",
+    "shard_compaction_plan",
+    "shard_manifest_hashes",
+    "sink_compaction_roundtrip",
+    "source_lang_gini",
+    "streaming_cms_counts",
+    "streaming_exactly_once_sink",
+    "streaming_hll_distinct",
+    "streaming_quality_gate",
+    "streaming_running_moments",
+    "temperature_mixture_sample",
+    "text_token_stats",
+    "textrank_keywords",
+    "tokenizer_vocab_coverage",
+    "user_path_trigrams",
+    "winnowing_common_spans",
+    "winnowing_fingerprints",
+    "winnowing_incremental_new_docs",
     # --- last driver grade: r06 ---
-    "prefix_duplicate_groups",
-    "vocab_coverage_curve",
-    "embedding_norm_extremes",
-    "dedup_longest_common_span",
-    "dedup_url_canonical",
-    "embedding_covariance_topk",
-    "embedding_top_pc",
-    "streaming_url_dedup",
-    "bpe_train_two_steps",
-    "embedding_pc_residual_topk",
-    "tfidf_cosine_topk",
-    "event_robust_outliers",
+    "ann_reciprocal_rate",
     "bitext_margin_mining",
-    "streaming_click_purchase_join",
-    "pagerank_dup_graph",
+    "bpe_train_two_steps",
+    "cooccurrence_pmi_topk",
+    "dedup_incremental_simhash",
+    "dedup_lexical_semantic_agreement",
+    "dedup_longest_common_span",
+    "dedup_shingle_size_sensitivity",
+    "dedup_url_canonical",
     "dup_graph_triangles",
-    "streaming_latest_per_key",
-    "jl_projection_recall",
+    "dup_quality_contrast",
+    "embedding_cluster_purity",
+    "embedding_covariance_topk",
+    "embedding_dedup_threshold_sweep",
     "embedding_kmeans_refine",
+    "embedding_norm_extremes",
+    "embedding_outlier_mahalanobis",
+    "embedding_pc_residual_topk",
+    "embedding_top_pc",
+    "event_hour_dow_heatmap",
+    "event_robust_outliers",
+    "events_periodicity_autocorr",
+    "graph_k_core",
     "histogram_quantile_estimate",
     "interval_overlap_join",
-    "zipf_fit_slope",
-    "dedup_lexical_semantic_agreement",
-    "embedding_outlier_mahalanobis",
-    "cooccurrence_pmi_topk",
+    "inverted_index_build",
+    "jl_projection_recall",
+    "jl_recall_vs_dim_curve",
     "market_basket_lift",
     "markov_stationary_power",
+    "multimodal_audio_rms_windows",
+    "orders_pareto_share",
+    "pagerank_dup_graph",
+    "prefix_duplicate_groups",
+    "rfm_segmentation",
+    "session_duration_survival",
+    "source_dedup_rate",
+    "streaming_click_purchase_join",
+    "streaming_latest_per_key",
+    "streaming_url_dedup",
     "term_entropy_by_source",
     "text_burstiness",
-    "rfm_segmentation",
-    "jl_recall_vs_dim_curve",
-    "session_duration_survival",
-    "orders_pareto_share",
-    "dedup_shingle_size_sensitivity",
-    "graph_k_core",
-    "dup_quality_contrast",
-    "dedup_incremental_simhash",
-    "ann_reciprocal_rate",
-    "embedding_cluster_purity",
-    "source_dedup_rate",
-    "events_periodicity_autocorr",
-    "multimodal_audio_rms_windows",
-    "embedding_dedup_threshold_sweep",
-    "event_hour_dow_heatmap",
-    "inverted_index_build",
+    "tfidf_cosine_topk",
+    "vocab_coverage_curve",
+    "zipf_fit_slope",
     # --- last driver grade: r07 ---
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
     "ann_brute_force_topk",
-    "dedup_simhash_hamming_d6",
-    "simhash_slice_occupancy",
-    "minhash_band_calibration",
-    "ngram_novelty_curve",
-    "events_change_point",
-    "dedup_incremental_simhash64",
-    "streaming_simhash_neardup",
-    "streaming_change_point",
-    "token_oov_rate_by_source",
-    "scd2_user_state_intervals",
-    "grouped_quantile_estimate",
+    "benford_first_digit",
     "cohort_revenue_matrix",
-    "embedding_mass_length_corr",
-    "events_user_entropy",
+    "conversion_lag_distribution",
     "corpus_data_card",
-    "dedup_pair_jaccard_histogram",
-    "events_tukey_fences",
-    "orders_priority_mix_shift",
-    "user_interevent_gap_histogram",
-    "embedding_quant_bits_sweep",
-    "nation_revenue_hhi",
-    "dedup_impact_report",
-    "heaps_law_fit",
-    "join_key_skew_profile",
-    "minhash_estimate_error",
-    "order_to_ship_leadtime",
-    "embedding_temporal_drift",
-    "dedup_method_agreement",
-    "doc_length_lognormal_fit",
-    "source_vocab_overlap",
-    "orders_seasonal_ma_decompose",
     "customer_balance_revenue_corr",
     "dau_mau_stickiness",
-    "benford_first_digit",
-    "embedding_knn_label_probe",
-    "word_length_distribution",
-    "sessions_per_user_distribution",
-    "conversion_lag_distribution",
-    "retention_halflife_fit",
-    "weekly_value_wow_growth",
-    "hapax_ratio_by_source",
-    "part_size_price_regression",
-    "embedding_intrinsic_dimension",
-    "error_purchase_cooccurrence",
     "dedup_cross_source_leakage",
+    "dedup_exact",
+    "dedup_impact_report",
+    "dedup_incremental_simhash64",
+    "dedup_method_agreement",
+    "dedup_minhash_lsh",
+    "dedup_minhash_signatures",
+    "dedup_pair_jaccard_histogram",
+    "dedup_simhash_hamming_d6",
+    "doc_length_lognormal_fit",
+    "embedding_intrinsic_dimension",
+    "embedding_knn_label_probe",
+    "embedding_mass_length_corr",
+    "embedding_quant_bits_sweep",
+    "embedding_temporal_drift",
+    "error_purchase_cooccurrence",
+    "events_change_point",
+    "events_tukey_fences",
+    "events_user_entropy",
+    "grouped_quantile_estimate",
+    "hapax_ratio_by_source",
+    "heaps_law_fit",
+    "join_key_skew_profile",
+    "minhash_band_calibration",
+    "minhash_estimate_error",
+    "nation_revenue_hhi",
+    "ngram_novelty_curve",
+    "order_to_ship_leadtime",
+    "orders_priority_mix_shift",
+    "orders_seasonal_ma_decompose",
+    "part_size_price_regression",
+    "retention_halflife_fit",
+    "scd2_user_state_intervals",
+    "sessions_per_user_distribution",
+    "simhash_slice_occupancy",
+    "source_vocab_overlap",
+    "streaming_change_point",
+    "streaming_simhash_neardup",
+    "token_oov_rate_by_source",
     "tokenizer_fertility_by_lang",
+    "user_interevent_gap_histogram",
+    "weekly_value_wow_growth",
+    "word_length_distribution",
     # --- last driver grade: r08 ---
-    "scan_region",
-    "projection_compute",
-    "filter_predicates",
-    "q1_pricing_summary",
-    "agg_having",
     "agg_filter_where",
+    "agg_having",
     "agg_minmax_by",
     "agg_stats_manual",
+    "ann_ivf_adaptive_recall",
+    "ann_ivf_recall",
+    "ann_ivf_topk",
+    "ann_probe_recall_curve",
+    "corpus_curation_e2e",
     "count_distinct",
-    "rollup_orders",
     "cube_orders",
-    "join_inner",
-    "join_left",
-    "join_full_outer",
-    "join_semi",
+    "date_funcs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_suffix_exact_spans",
+    "distinct_on_latest",
+    "distinct_rows",
+    "explode_word_counts",
+    "filter_predicates",
     "join_anti",
     "join_cross",
+    "join_full_outer",
+    "join_inner",
+    "join_left",
+    "join_semi",
     "join_theta",
-    "q3_top_revenue",
-    "q5_region_revenue",
-    "window_ranking",
-    "window_offset",
-    "window_frame_moving",
-    "distinct_on_latest",
-    "sort_limit_offset",
-    "set_ops",
-    "set_except",
-    "set_union_all",
-    "distinct_rows",
-    "string_funcs",
-    "date_funcs",
-    "math_funcs",
-    "struct_funcs",
-    "explode_word_counts",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "ann_ivf_topk",
-    "dedup_suffix_exact_spans",
-    "multimodal_phash_dedup",
-    "ann_ivf_recall",
-    "ann_ivf_adaptive_recall",
-    "corpus_curation_e2e",
-    "ann_probe_recall_curve",
-    "kafka_avro_roundtrip",
     "kafka_avro_evolution",
+    "kafka_avro_roundtrip",
     "kafka_json_schema_roundtrip",
+    "kafka_primitive_roundtrip",
     "kafka_proto_roundtrip",
     "kafka_rawjson_roundtrip",
-    "kafka_primitive_roundtrip",
     "kafka_two_topic_join",
+    "math_funcs",
+    "multimodal_phash_dedup",
+    "projection_compute",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_region_revenue",
+    "rollup_orders",
+    "scan_region",
+    "set_except",
+    "set_ops",
+    "set_union_all",
+    "sort_limit_offset",
+    "string_funcs",
+    "struct_funcs",
+    "window_frame_moving",
+    "window_offset",
+    "window_ranking",
     # --- last driver grade: r09 ---
-    "bpe_merge_training_5steps",
-    "corpus_curation_multimodal",
-    "sketch_quantile_lengths",
-    "multimodal_audio_fingerprint_dedup",
-    "text_kneser_ney_bigram",
-    "mmr_diverse_topk",
-    "streaming_quantile_sketch",
-    "multimodal_audio_incremental",
-    "decontaminate_semantic",
-    "embedding_matryoshka_recall",
-    "bpe_apply_merges",
     "ann_index_persist_roundtrip",
-    "length_trim_sketch_gated",
-    "streaming_audio_neardup",
-    "quality_perceptron_step",
-    "split_leakage_safe",
-    "cms_merge_shards",
-    "multimodal_video_keyframe_dedup",
-    "streaming_video_neardup",
-    "approx_count_distinct",
-    "collect_list_sorted",
-    "grouping_sets",
-    "cte_scalar_subquery",
-    "correlated_in_subquery",
-    "star_dialect_exclude_replace",
-    "star_dialect_columns_regex",
-    "profile_table_stats",
-    "array_funcs",
-    "higher_order_funcs",
-    "map_funcs",
-    "json_funcs",
-    "dedup_containment",
+    "ann_ivf_pq_topk",
     "ann_lsh_bucketed",
     "ann_pq_topk",
-    "ann_ivf_pq_topk",
-    "gopher_quality_rules",
-    "streaming_lsh_neardup",
-    "streaming_static_enrich",
-    "funnel_three_step",
-    "retention_cohorts",
-    "dedup_lsh_recall",
+    "approx_count_distinct",
+    "array_funcs",
+    "bpe_apply_merges",
+    "bpe_merge_training_5steps",
+    "cms_merge_shards",
+    "collect_list_sorted",
+    "corpus_curation_multimodal",
+    "correlated_in_subquery",
+    "cte_scalar_subquery",
+    "decontaminate_semantic",
+    "dedup_containment",
     "dedup_incremental_lsh",
     "dedup_lsh_edit_verify",
-    "udx_chunk_vowels",
-    "shard_assignment_stats",
+    "dedup_lsh_recall",
+    "embedding_matryoshka_recall",
+    "funnel_three_step",
+    "gopher_quality_rules",
+    "grouping_sets",
+    "higher_order_funcs",
+    "json_funcs",
+    "length_trim_sketch_gated",
+    "map_funcs",
+    "mmr_diverse_topk",
+    "multimodal_audio_fingerprint_dedup",
+    "multimodal_audio_incremental",
+    "multimodal_video_keyframe_dedup",
     "passage_dedup_rewrite",
-    "zorder_layout_key",
+    "profile_table_stats",
+    "quality_perceptron_step",
+    "retention_cohorts",
+    "scale_bucketed_join",
     "scale_heavy_hitters",
     "scale_salted_join",
-    "scale_bucketed_join",
+    "shard_assignment_stats",
+    "sketch_quantile_lengths",
+    "split_leakage_safe",
+    "star_dialect_columns_regex",
+    "star_dialect_exclude_replace",
+    "streaming_audio_neardup",
+    "streaming_lsh_neardup",
+    "streaming_quantile_sketch",
+    "streaming_static_enrich",
+    "streaming_video_neardup",
+    "text_kneser_ney_bigram",
+    "udx_chunk_vowels",
+    "zorder_layout_key",
     # --- last driver grade: r10 ---
-    "video_keyframe_occupancy",
-    "multimodal_video_dhash_dedup",
+    "agg_bool_bit",
+    "bitwise_funcs",
+    "conditional_funcs",
     "corpus_curation_all_modalities",
-    "streaming_state_observability",
-    "multimodal_image_incremental",
-    "multimodal_video_incremental",
-    "streaming_image_neardup",
-    "knn_mutual_components",
-    "mixture_reweight_step",
     "corpus_curation_incremental",
-    "streaming_video_dhash_neardup",
-    "tfidf_top_terms",
-    "length_percentile_trim",
-    "semantic_dedup_verify",
-    "streaming_session_counts",
-    "text_bigram_logprob",
-    "kafka_proto_evolution",
+    "ddl_create_view",
+    "dedup_cluster_components",
+    "group_by_all",
+    "grouping_id_rollup",
+    "histogram_event_values",
+    "join_natural",
+    "join_right",
     "kafka_jsonschema_evolution",
+    "kafka_poison_skip",
+    "kafka_proto_evolution",
     "kafka_rowinfo_metadata",
     "kafka_tombstone_skip",
-    "kafka_poison_skip",
-    "streaming_kafka_avro_decode",
-    "join_right",
+    "knn_mutual_components",
+    "lateral_top_orders",
+    "length_percentile_trim",
+    "listagg_ordered",
+    "median_quantiles",
+    "mixture_reweight_step",
+    "multimodal_image_incremental",
+    "multimodal_video_dhash_dedup",
+    "multimodal_video_incremental",
+    "ntile_window_stats",
+    "pivot_order_status",
+    "qualify_top_per_group",
+    "recursive_cte",
+    "regexp_funcs",
+    "semantic_dedup_verify",
+    "sequence_date_spine",
     "set_except_all",
     "set_intersect_all",
-    "recursive_cte",
-    "pivot_order_status",
-    "unpivot_lineitem_measures",
-    "lateral_top_orders",
-    "values_inline_join",
-    "ddl_create_view",
-    "group_by_all",
-    "listagg_ordered",
-    "sequence_date_spine",
     "stat_corr_regression",
-    "median_quantiles",
-    "window_range_interval",
-    "histogram_event_values",
-    "ntile_window_stats",
-    "join_natural",
-    "agg_bool_bit",
+    "streaming_image_neardup",
+    "streaming_kafka_avro_decode",
+    "streaming_session_counts",
+    "streaming_state_observability",
+    "streaming_video_dhash_neardup",
+    "text_bigram_logprob",
+    "tfidf_top_terms",
     "try_cast_safe",
-    "qualify_top_per_group",
-    "grouping_id_rollup",
-    "window_nth_value",
+    "unpivot_lineitem_measures",
+    "values_inline_join",
     "variant_json_funcs",
-    "conditional_funcs",
-    "bitwise_funcs",
-    "regexp_funcs",
-    "dedup_cluster_components",
+    "video_keyframe_occupancy",
+    "window_nth_value",
+    "window_range_interval",
+    # --- last driver grade: r11 ---
+    "ann_brute_force_distributed",
+    "ann_pq_distributed",
+    "ann_pq_recall",
+    "asof_forward_next_purchase",
+    "asof_purchase_attribution",
+    "ccnet_perplexity_buckets",
+    "chunk_documents",
+    "corpus_curation_incremental_multimodal",
+    "cross_doc_repeated_ngrams",
+    "curation_pipeline",
+    "decontaminate_ngram_overlap",
+    "dedup_embedding_cosine",
+    "dedup_incremental_new_docs",
+    "dedup_lsh_overcap_clusters",
+    "doc_fingerprints",
+    "dsir_importance_select",
+    "embedding_centroid_by_label",
+    "embedding_quantize_int8",
+    "hard_negative_mining",
+    "kafka_proto_msgindex",
+    "lsh_band_occupancy",
+    "mixture_rebalance",
+    "multimodal_avi_incremental",
+    "multimodal_avi_keyframe_dedup",
+    "multimodal_binary_meta",
+    "multimodal_fake_decode",
+    "multimodal_frame_sample",
+    "multimodal_png_decode",
+    "multimodal_resize",
+    "multimodal_wav_decode",
+    "range_join_clicks_before_purchase",
+    "sample_hash_10pct",
+    "sample_stratified_by_lang",
+    "session_windows",
+    "sink_manifest_snapshot_read",
+    "source_cap_sample",
+    "split_train_val_test",
+    "streaming_dedup_keys",
+    "streaming_state_observability_sketches",
+    "streaming_stateful_running_counts",
+    "streaming_window_counts",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_quality",
+    "text_repetition_filter",
+    "text_token_count_bpe",
+    "text_token_rarity",
+    "token_budget_pack",
+    "training_order_shuffle",
+    "window_tumbling_hourly",
 ]
 
 def _ordered() -> dict[str, Entry]:

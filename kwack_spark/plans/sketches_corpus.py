@@ -1263,3 +1263,319 @@ def quality_perceptron_step(spark, sf_dir):
         )
         .orderBy("b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter paragraph dedup (BFF shape)
+# ---------------------------------------------------------------------------
+
+# paragraph chunker shared by both BFF queries: the driver fixture's text is
+# newline-free, so the paragraph boundary is the same 20-token chunk
+# passage_dedup_rewrite established (production swaps in split(text,'\n\n');
+# everything downstream is boundary-agnostic)
+_PARA_SQL = """t AS (SELECT doc_id,
+                 list_filter(string_split(regexp_replace(lower(text),
+                                                         '[^a-z ]', '', 'g'),
+                                          ' '),
+                             x -> len(x) > 0) AS tk
+          FROM documents),
+        pd AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
+        ps AS (
+            SELECT doc_id, tk,
+                   unnest(generate_series(0, len(tk) - 1, 20)) AS start
+            FROM pd
+        ),
+        paras AS (
+            SELECT doc_id, CAST(start // 20 AS INTEGER) AS para_id,
+                   array_to_string(tk[start + 1 : start + 20], ' ') AS para
+            FROM ps
+        )"""
+
+# bloom test over a bit-position CTE named {bits}: all k positions set
+_DUCK_BF_TEST = (
+    "(" + _DUCK_BF_POS.format(i=0, g="para") + " IN (SELECT pos FROM {bits}))"
+    " AND (" + _DUCK_BF_POS.format(i=1, g="para") + " IN (SELECT pos FROM {bits}))"
+    " AND (" + _DUCK_BF_POS.format(i=2, g="para") + " IN (SELECT pos FROM {bits}))"
+)
+
+_DUCK_BF_UNNEST = (
+    "unnest(["
+    + _DUCK_BF_POS.format(i=0, g="para") + ", "
+    + _DUCK_BF_POS.format(i=1, g="para") + ", "
+    + _DUCK_BF_POS.format(i=2, g="para") + "]) AS pos"
+)
+
+
+def _paras_df(spark, sf_dir):
+    """(doc_id, para_id, para) 20-token paragraph chunks — the Spark twin
+    of _PARA_SQL, persisted rotating (history bits + batch probe + exact
+    audit all read it)."""
+    from kwack_spark.operators.scale import widen_if_narrow
+    from kwack_spark.operators.similarity import _persist_rotating
+
+    d = widen_if_narrow(T(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select("doc_id", TX.tokens("text").alias("tk")).where(
+        F.size("tk") > 0
+    )
+    s = toks.select(
+        "doc_id",
+        "tk",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("tk") - 1, F.lit(20))
+        ).alias("para_id", "start"),
+    )
+    return _persist_rotating(
+        "bff_paras",
+        s.select(
+            "doc_id",
+            "para_id",
+            F.array_join(F.slice("tk", F.col("start") + 1, F.lit(20)), " ").alias(
+                "para"
+            ),
+        ),
+    )
+
+
+def _para_bits(paras):
+    """DISTINCT set bit positions of a paragraph frame's Bloom bitmap —
+    the <= 4096-row broadcast form of the m-bit filter (bitmap union
+    across batches is just a position-set UNION: Bloom filters OR)."""
+    return (
+        paras.select(
+            F.explode(
+                F.array(*[_bf_pos(F.col("para"), i) for i in range(_BF_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def _bloom_probe(paras, bits):
+    """Per (doc_id, para_id): bloom_pos = all k positions set in ``bits``.
+    k probe rows per paragraph -> broadcast-join the bit table -> count
+    distinct hits per paragraph == k (bloom_decontaminate's idiom, kept on
+    (doc_id, para_id) so duplicate paragraph TEXT within one doc still
+    probes per occurrence)."""
+    probes = paras.select(
+        "doc_id",
+        "para_id",
+        "para",
+        F.explode(
+            F.array(*[_bf_pos(F.col("para"), i) for i in range(_BF_K)])
+        ).alias("pos"),
+    )
+    k_set = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "para_id")
+        .agg(F.count(F.lit(1)).alias("k_set"))
+        .filter(F.col("k_set") == _BF_K)
+        .select("doc_id", "para_id", F.lit(True).alias("bloom_pos"))
+    )
+    return paras.join(k_set, ["doc_id", "para_id"], "left").select(
+        "doc_id",
+        "para_id",
+        "para",
+        F.coalesce("bloom_pos", F.lit(False)).alias("bloom_pos"),
+    )
+
+
+def _bff_rewrite(probed, exact_set):
+    """Reassemble each document from its bloom-NEGATIVE paragraphs and
+    grade the filter honestly: n_bloom_dropped (with collisions) vs
+    n_exact_dropped (paragraph really in the indexed set), and the Bloom
+    guarantee never_misses = bloom >= exact per doc.  ``exact_set`` is a
+    1-column ``para`` frame of the exactly-indexed paragraphs."""
+    ex = exact_set.select(F.col("para").alias("xpara")).distinct()
+    per = probed.join(ex, probed.para == ex.xpara, "left")
+    kept_struct = F.when(
+        ~F.col("bloom_pos"), F.struct(F.col("para_id"), F.col("para"))
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.nullif(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda e: e.getField("para"),
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+            F.sum(F.when(~F.col("bloom_pos"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("bloom_pos"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bloom_dropped"),
+            F.sum(F.when(F.col("xpara").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact_dropped"),
+        )
+        .select(
+            "doc_id",
+            "clean_text",
+            "n_kept",
+            "n_bloom_dropped",
+            "n_exact_dropped",
+            (F.col("n_bloom_dropped") >= F.col("n_exact_dropped")).alias(
+                "never_misses"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_bloom_paragraphs",
+    # BFF-shape Bloom paragraph dedup (the Dolma/Gopher-lineage "Bloom
+    # filter dedup" pass — the cheap first stage before MinHash): landed
+    # HISTORY paragraphs (doc_id % 4 < 2) set k=3 bits each in an m=4096
+    # bitmap; every BATCH paragraph whose k positions are ALL set is
+    # dropped, survivors reassemble into clean_text.  Graded INCLUDING
+    # false positives (bloom_decontaminate's discipline): the bitmap is
+    # identical md5 arithmetic on both engines, so n_bloom_dropped (with
+    # collisions) and n_exact_dropped must both match, and never_misses
+    # asserts the Bloom guarantee bloom >= exact per document.
+    oracle=f"""
+        WITH {_PARA_SQL},
+        hist AS (SELECT doc_id FROM documents WHERE doc_id % 4 < 2),
+        hbits AS (
+            SELECT DISTINCT {_DUCK_BF_UNNEST}
+            FROM paras JOIN hist USING (doc_id)
+        ),
+        hset AS (
+            SELECT DISTINCT para FROM paras JOIN hist USING (doc_id)
+        ),
+        batch AS (
+            SELECT p.* FROM paras p JOIN documents dd USING (doc_id)
+            WHERE dd.doc_id % 4 >= 2
+        ),
+        probe AS (
+            SELECT doc_id, para_id, para,
+                   {_DUCK_BF_TEST.format(bits='hbits')} AS bloom_pos,
+                   para IN (SELECT para FROM hset) AS exact_pos
+            FROM batch
+        )
+        SELECT doc_id,
+               nullif(string_agg(para, ' ' ORDER BY para_id)
+                          FILTER (WHERE NOT bloom_pos), '') AS clean_text,
+               CAST(count(*) FILTER (WHERE NOT bloom_pos) AS BIGINT) AS n_kept,
+               CAST(count(*) FILTER (WHERE bloom_pos) AS BIGINT)
+                   AS n_bloom_dropped,
+               CAST(count(*) FILTER (WHERE exact_pos) AS BIGINT)
+                   AS n_exact_dropped,
+               count(*) FILTER (WHERE bloom_pos)
+                   >= count(*) FILTER (WHERE exact_pos) AS never_misses
+        FROM probe
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("dedup", "bloom", "paragraph", "sketch"),
+)
+def dedup_bloom_paragraphs(spark, sf_dir):
+    """Bloom-filter paragraph dedup, nightly-admission shape: history
+    paragraphs are compressed into a <= m-row bit-position table that
+    BROADCASTS however many paragraphs history holds (the whole point vs
+    an exact paragraph-set join: at 100 TB the exact set is corpus-sized,
+    the bitmap is m bits); batch paragraphs pay k narrow probe rows each.
+    The exact-verify leg here grades the false-positive rate honestly —
+    production keeps it only for the bloom-positive remainder (vanishing
+    by construction), exactly like bloom_decontaminate.  100-TB sizing:
+    m scales to ~1.44 * n * ln(1/fp) bits held as a position table per
+    executor via broadcast; the chunker + probes ride the scan, the
+    rewrite is one doc-keyed shuffle."""
+    paras = _paras_df(spark, sf_dir)
+    hist = paras.filter(F.col("doc_id") % 4 < 2)
+    batch = paras.filter(F.col("doc_id") % 4 >= 2)
+    probed = _bloom_probe(batch, _para_bits(hist))
+    return _bff_rewrite(probed, hist.select("para"))
+
+
+@register(
+    "dedup_bloom_paragraphs_rolling",
+    # the INCREMENTAL twin: day-1 (doc_id % 4 = 2) probes the landed
+    # bitmap, day-1's SURVIVING paragraphs OR their bits into it (Bloom
+    # union = position-set union — the mergeable-sketch property that
+    # makes the bitmap a per-shard artifact at 100 TB), and day-2
+    # (doc_id % 4 = 3) probes the GROWN bitmap.  Day-2's drops therefore
+    # see both landed history and day-1 admissions — the rolling nightly
+    # contract — and the same bloom-vs-exact audit grades the growth step.
+    oracle=f"""
+        WITH {_PARA_SQL},
+        hist AS (SELECT doc_id FROM documents WHERE doc_id % 4 < 2),
+        hbits AS (
+            SELECT DISTINCT {_DUCK_BF_UNNEST}
+            FROM paras JOIN hist USING (doc_id)
+        ),
+        d1 AS (
+            SELECT p.* FROM paras p JOIN documents dd USING (doc_id)
+            WHERE dd.doc_id % 4 = 2
+        ),
+        d1probe AS (
+            SELECT doc_id, para_id, para,
+                   {_DUCK_BF_TEST.format(bits='hbits')} AS bloom_pos
+            FROM d1
+        ),
+        d1keep AS (SELECT DISTINCT para FROM d1probe WHERE NOT bloom_pos),
+        gbits AS (
+            SELECT pos FROM hbits
+            UNION
+            SELECT DISTINCT {_DUCK_BF_UNNEST} FROM d1keep
+        ),
+        gset AS (
+            SELECT DISTINCT para FROM paras JOIN hist USING (doc_id)
+            UNION
+            SELECT para FROM d1keep
+        ),
+        d2 AS (
+            SELECT p.* FROM paras p JOIN documents dd USING (doc_id)
+            WHERE dd.doc_id % 4 = 3
+        ),
+        probe AS (
+            SELECT doc_id, para_id, para,
+                   {_DUCK_BF_TEST.format(bits='gbits')} AS bloom_pos,
+                   para IN (SELECT para FROM gset) AS exact_pos
+            FROM d2
+        )
+        SELECT doc_id,
+               nullif(string_agg(para, ' ' ORDER BY para_id)
+                          FILTER (WHERE NOT bloom_pos), '') AS clean_text,
+               CAST(count(*) FILTER (WHERE NOT bloom_pos) AS BIGINT) AS n_kept,
+               CAST(count(*) FILTER (WHERE bloom_pos) AS BIGINT)
+                   AS n_bloom_dropped,
+               CAST(count(*) FILTER (WHERE exact_pos) AS BIGINT)
+                   AS n_exact_dropped,
+               count(*) FILTER (WHERE bloom_pos)
+                   >= count(*) FILTER (WHERE exact_pos) AS never_misses
+        FROM probe
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("dedup", "bloom", "paragraph", "sketch", "incremental"),
+)
+def dedup_bloom_paragraphs_rolling(spark, sf_dir):
+    """Rolling BFF: the bitmap is persisted state that GROWS by OR-ing in
+    each admitted batch's positions — day-2's probe set is the position-
+    set union of the landed bitmap and day-1's surviving paragraphs.
+    100-TB shape: the bitmap union is a <= m-row distinct (constant
+    state, the HLL-register merge discipline); each day's work is
+    O(|batch|) probes against a broadcast; history text is never re-read
+    after its bits landed.  The day-1 probe reuses the same broadcast
+    bit table the day-2 union consumes, and the paragraph frame is the
+    shared rotating-persisted chunk table."""
+    paras = _paras_df(spark, sf_dir)
+    hist = paras.filter(F.col("doc_id") % 4 < 2)
+    hbits = _para_bits(hist)
+    d1 = paras.filter(F.col("doc_id") % 4 == 2)
+    d1keep = (
+        _bloom_probe(d1, hbits)
+        .filter(~F.col("bloom_pos"))
+        .select("para")
+        .distinct()
+    )
+    gbits = hbits.union(_para_bits(d1keep)).distinct()
+    gset = hist.select("para").union(d1keep)
+    d2 = paras.filter(F.col("doc_id") % 4 == 3)
+    return _bff_rewrite(_bloom_probe(d2, gbits), gset)

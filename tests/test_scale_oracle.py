@@ -285,6 +285,11 @@ SCALE_SENSITIVE = [
     "streaming_state_observability_sketches",
     "dedup_lsh_overcap_clusters",
     "multimodal_avi_incremental",
+    # r12: Bloom paragraph dedup — the bitmap's occupancy (and with it the
+    # false-positive census the grade includes) grows with history volume,
+    # so the bloom-vs-exact deltas are strongly scale-sensitive
+    "dedup_bloom_paragraphs",
+    "dedup_bloom_paragraphs_rolling",
     # per-lang tercile boundaries shift with the score distribution at 10x
     "ccnet_perplexity_buckets",
     # the add-1-smoothed bucket models and the p75 boundary both shift
@@ -339,12 +344,11 @@ SCALE_SENSITIVE = [
 pytestmark = pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SCALE_TESTS"),
     reason="sf0.1 battery is opt-in (SPARK_GRAFT_SCALE_TESTS=1); "
-    "last full run (end of r11, at final HEAD: after the band-bucket cap + "
-    "band-key persist, the cluster-safe scratch state (conf-resolved dirs, "
-    "eager per-round cleanup), the pre-join hot-key semi-joins, and all 6 "
-    "r11 additions — band occupancy audit, over-cap cluster emitter, AVI "
-    "container leg batch+incremental, multimodal admission control, sketch-"
-    "kernel state observability): 225/225 green in 935 s, /tmp left clean",
+    "last full run (end of r11, at final HEAD with all 8 r11 additions — "
+    "band occupancy audit, over-cap cluster emitter, AVI container leg "
+    "batch+incremental, multimodal admission control, sketch-kernel state "
+    "observability, CCNet perplexity buckets, DSIR importance selection): "
+    "227/227 green in 1203 s, /tmp left clean",
 )
 
 _load_all()
