@@ -92,7 +92,12 @@ def _lsh_base(
       per join side — the corpus_curation_all_modalities drift, r11
       VERDICT next #2).
 
-    All three persist ROTATING (r11 ADVICE low): tags derive from the call
+    - ``census``: per-band ``(band_key, _df, _canon)`` — ONE aggregation
+      feeds both the cap's rare-band filter and the over-cap star-edge
+      recovery (computing it twice was two extra shuffle stages per
+      dup-edges call).
+
+    All four persist ROTATING (r11 ADVICE low): tags derive from the call
     parameters, so repeated invocations in a long-lived session reuse the
     cache when the plan is identical (bench reps) and release the previous
     family member when it isn't — while distinct parameterizations (e.g.
@@ -115,16 +120,17 @@ def _lsh_base(
     exploded = _persist_rotating(
         f"lsh_bands:{tag}", lsh_band_keys(shingle_sets, id_col, k, bands)
     )
-    rare = (
-        exploded.groupBy("band_key")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_band_df)
-        .select("band_key")
+    census = _persist_rotating(
+        f"lsh_census:{tag}",
+        exploded.groupBy("band_key").agg(
+            F.count(F.lit(1)).alias("_df"), F.min(id_col).alias("_canon")
+        ),
     )
+    rare = census.filter(F.col("_df") <= max_band_df).select("band_key")
     kept = _persist_rotating(
         f"lsh_kept:{tag}d{max_band_df}", exploded.join(rare, "band_key")
     )
-    return shingle_sets, exploded, kept
+    return shingle_sets, exploded, kept, census
 
 
 def minhash_lsh_pairs(
@@ -159,7 +165,7 @@ def minhash_lsh_pairs(
     graded audit that watches whether the cap is dormant or load-bearing.
     The final verify re-joins the shingle sets by id.
     """
-    shingle_sets, _, kept = _lsh_base(
+    shingle_sets, _, kept, _ = _lsh_base(
         df, id_col, text_col, k, bands, shingle_n, max_band_df
     )
     a = kept.alias("a")
@@ -269,20 +275,18 @@ def lsh_overcap_star_edges(
     consumers lossless under the cap (r11 ADVICE medium).  Shares
     ``_lsh_base``'s rotating caches with ``minhash_lsh_pairs`` — calling
     both on the same input reuses one shingle/band materialization."""
-    _, exploded, _ = _lsh_base(
+    _, exploded, _, census = _lsh_base(
         df, id_col, text_col, k, bands, shingle_n, max_band_df
     )
-    hot = (
-        exploded.groupBy("band_key")
-        .agg(F.count(F.lit(1)).alias("_df"), F.min(id_col).alias("_canon"))
-        .filter(F.col("_df") > max_band_df)
-        .select("band_key", "_canon")
-    )
+    hot = census.filter(F.col("_df") > max_band_df).select("band_key", "_canon")
+    # no trailing distinct: a member sharing BOTH over-cap bands with the
+    # same canon yields a duplicate edge, which min-label propagation (the
+    # only consumer, via minhash_lsh_dup_edges) absorbs for free — a
+    # distinct here would spend a full shuffle deduplicating it
     return (
         exploded.join(hot, "band_key")
         .filter(F.col(id_col) != F.col("_canon"))
         .select(F.col("_canon").alias("id_a"), F.col(id_col).alias("id_b"))
-        .distinct()
     )
 
 

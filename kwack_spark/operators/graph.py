@@ -4,7 +4,12 @@ Dedup pipelines need transitive closure: LSH emits PAIRS (a~b, b~c), but the
 keep/drop decision needs CLUSTERS ({a,b,c} -> keep min id).  This is the one
 genuinely iterative algorithm in the pipeline — each iteration is a pure
 distributed join+aggregate; only the (scalar) convergence check touches the
-driver.
+driver.  Two execution paths share one label contract (component = min node
+id): an edge list at or under ``COMPONENTS_COLLECT_CAP`` resolves with one
+collect + driver union-find (a blocked candidate graph is orders of
+magnitude smaller than the corpus, and the iteration pays several shuffles
+of fixed overhead PER ROUND); anything larger runs the distributed
+min-label iteration below.
 
 Algorithm: min-label propagation.  Every node starts labeled with itself;
 each round a node takes the min label among itself and its neighbors;
@@ -30,17 +35,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Edge cap for the driver-side union-find fast path: at or under this many
+# edges the candidate-pair graph resolves in one collect (the _within_cap
+# discipline operators/similarity.py established for ANN); above it the
+# distributed min-label iteration runs.  200k (src, dst) longs is ~3 MB on
+# the driver — far under any broadcast threshold.
+COMPONENTS_COLLECT_CAP = 200_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
     deep_rounds: int = 8,
+    max_collect_edges: int = COMPONENTS_COLLECT_CAP,
 ) -> DataFrame:
     """(component, node) for every node appearing in ``edges``.
 
     ``component`` is the minimum node id of the node's connected component —
     the canonical "keeper" under min-id dedup policy.
+
+    Small-graph fast path: the candidate-pair graph after blocking is
+    orders of magnitude smaller than the corpus (LSH bands, Hamming
+    slices, and the hot-key caps all bound it), and a min-label iteration
+    pays several shuffles + a convergence job PER ROUND — ~5 s of fixed
+    overhead for a 50-node graph at bench scale.  When the edge count is
+    at most ``max_collect_edges`` the edge list is collected once and
+    resolved with driver-side union-find (min-id roots — labels identical
+    to the iteration's by construction); past the cap the distributed
+    iteration runs unchanged, so a 100-TB pair graph never lands on the
+    driver.  Set ``max_collect_edges=0`` to force the distributed path.
 
     Deep-iteration state handling: the first ``deep_rounds`` rounds
     checkpoint labels with ``localCheckpoint`` (cheapest truncation;
@@ -67,12 +92,47 @@ def connected_components(
     from kwack_spark import scratch
 
     spark = edges.sparkSession
-    # symmetrize once and PERSIST: the edge relation is joined every round —
+    # materialize the edge list once and PERSIST: the cap check reads it,
+    # and on the distributed path the edge relation is joined every round —
     # without this each iteration re-executes the whole upstream pipeline
     # (e.g. the LSH candidate generation) that produced the pairs
-    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = fwd.union(
-        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    edges_p = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_edges = edges_p.count()
+    if n_edges <= max_collect_edges:
+        node_type = edges_p.schema["u"].dataType.simpleString()
+        rows = edges_p.collect()
+        edges_p.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            u, v = row.u, row.v
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # min-id root keeps labels identical to the iteration's
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        out = [(find(n), n) for n in parent]
+        return spark.createDataFrame(
+            out, f"component {node_type}, node {node_type}"
+        )
+
+    # distributed min-label iteration (the only path a corpus-scale pair
+    # graph takes); symmetrize from the already-cached edge list
+    sym = edges_p.union(
+        edges_p.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     nodes = sym.select(F.col("u").alias("node")).distinct()
@@ -140,6 +200,7 @@ def connected_components(
             break
 
     sym.unpersist()
+    edges_p.unpersist()
     if state_dir is not None:
         # pull the final labels out of the scratch subtree (eager
         # localCheckpoint — one materialization, lineage truncated to

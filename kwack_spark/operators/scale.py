@@ -368,19 +368,48 @@ def hll_estimate(sketch: DataFrame) -> DataFrame:
 
 def widen_if_narrow(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to the session's default parallelism when
-    the plan's current partitioning is NARROWER than that — the adaptive
-    fix for per-row-EXPENSIVE stages (md5 shingle signatures, rolling-hash
-    chunking, array-pipeline fingerprints) fed by a small scan.
+    the plan is NARROWER than that — the adaptive fix for per-row-EXPENSIVE
+    stages (md5 shingle signatures, rolling-hash chunking, array-pipeline
+    fingerprints) fed by a small scan.
 
     Local/bench reality: a single parquet file with one row group is ONE
     split however many cores the session has, so a codegen-heavy projection
     runs on one core while 31 idle.  At 100 TB the same scan has thousands
-    of splits, the predicate is false, and NO shuffle is inserted — which
+    of splits, the check is false, and NO shuffle is inserted — which
     is exactly right, because there a full-data repartition would be the
     anti-pattern.  Row placement does not affect any caller's semantics
-    (row-local expressions and keyed aggregations only)."""
+    (row-local expressions and keyed aggregations only).
+
+    The narrowness probe is STATIC — it must never execute the plan:
+    ``df.rdd.getNumPartitions()`` under AQE materializes the plan's
+    shuffle/broadcast stages eagerly just to build the RDD DAG (measured
+    7.5 s on the curation funnel's URL-survivor join at sf0.1, paid once
+    per caller and thrown away — the real source of the r11
+    corpus_curation_all_modalities drift).  Instead: a plan that already
+    contains a shuffle Exchange is left alone (its width is the session's
+    shuffle partitioning), and otherwise the width estimate is the leaf
+    relations' Catalyst size stats (exact file bytes for parquet scans,
+    no execution) divided by the 128 MiB split target."""
+    import math
+
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        qe = df._jdf.queryExecution()
+        # pre-AQE physical plan: cheap to build, nothing executes
+        plan_str = qe.sparkPlan().toString().lower()
+        if (
+            "exchange hashpartitioning" in plan_str
+            or "exchange rangepartitioning" in plan_str
+            or "exchange roundrobinpartitioning" in plan_str
+        ):
+            return df
+        leaves = qe.optimizedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            total += int(str(leaves.apply(i).stats().sizeInBytes()))
+    except Exception:
+        return df
+    if math.ceil(total / (128 << 20)) < target:
         return df.repartition(target)
     return df
 

@@ -1119,7 +1119,10 @@ def _curation_text_funnel(spark, d):
         canon.groupBy("canon_url").agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    s1 = d.join(keep1, "doc_id")
+    # persist the URL-survivor frame: the LSH base, the keep-best
+    # anti-join, and the gate all read it — uncached, each materialization
+    # re-runs the canon-URL regex + groupBy + join
+    s1 = similarity._persist_rotating("e2e_s1", d.join(keep1, "doc_id"))
     # --- stage 2: MinHash-LSH keep-best (longest per component) ---
     # pairs + over-cap star edges, so boilerplate clusters the hot-band
     # cap prunes from the pair join still resolve to one keeper

@@ -39,8 +39,23 @@ def test_dedup_clusters_sizes(spark):
 
 def test_max_iter_caps_rounds(spark):
     """With max_iter=1 a long chain must NOT be fully merged (labels move
-    one hop per round) — guards against accidental closure in one pass."""
+    one hop per round) — guards against accidental closure in one pass.
+    max_collect_edges=0 forces the distributed iteration (the fast path
+    resolves any under-cap graph exactly, so max_iter is moot there)."""
     df = spark.createDataFrame([(i, i + 1) for i in range(1, 6)], ["id_a", "id_b"])
-    out = connected_components(df, max_iter=1)
+    out = connected_components(df, max_iter=1, max_collect_edges=0)
     comps = {r.component for r in out.collect()}
     assert len(comps) > 1
+
+
+def test_fast_path_matches_distributed(spark):
+    """Under the collect cap the union-find labels must equal the
+    distributed iteration's bit-for-bit (min-id component roots)."""
+    edges = [(i, i + 1) for i in range(1, 8)] + [(20, 21), (21, 22), (40, 41)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = {(r.component, r.node) for r in connected_components(df).collect()}
+    dist = {
+        (r.component, r.node)
+        for r in connected_components(df, max_collect_edges=0).collect()
+    }
+    assert fast == dist

@@ -30,7 +30,9 @@ def test_deep_iteration_scratch_conf_and_cleanup(spark, tmp_path):
         df = spark.createDataFrame(
             [(i, i + 1) for i in range(1, 40)], ["id_a", "id_b"]
         )
-        out = connected_components(df, deep_rounds=2, max_iter=30)
+        # max_collect_edges=0: this test exercises the DISTRIBUTED deep-
+        # iteration scratch state, which the under-cap fast path skips
+        out = connected_components(df, deep_rounds=2, max_iter=30, max_collect_edges=0)
         got = {r.node: r.component for r in out.collect()}
         assert got == {i: 1 for i in range(1, 41)}
         # conf honored: a session scratch root was created under it
