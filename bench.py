@@ -366,9 +366,16 @@ HEADLINE = [
     "dsir_importance_select",
     # r12 wave: BFF Bloom paragraph dedup — the nightly batch-vs-bitmap
     # pass (broadcast bit table, k probe rows per paragraph) and the
-    # rolling twin whose bitmap grows by position-set union
+    # rolling twin whose bitmap grows by position-set union — plus
+    # soft-dedup 1/cluster_size weights (components consumer), the
+    # quality-cutoff calibration sweep (one scored scan, 9-row broadcast
+    # grid), and cluster-balanced embedding sampling (IVF assign + capped
+    # per-cluster window)
     "dedup_bloom_paragraphs",
     "dedup_bloom_paragraphs_rolling",
+    "dedup_soft_weights",
+    "quality_threshold_sweep",
+    "cluster_balanced_sample",
     # streaming_state_observability / streaming_state_observability_sketches
     # are correctness-graded but not benched: they re-drain stateful kernels
     # that are ALREADY benched (streaming_video_neardup,
@@ -391,11 +398,25 @@ HEADLINE = [
 # vectorized one (SCALING.md).
 
 
+def _cached_kb() -> int | None:
+    """Page-cache size (kB) from /proc/meminfo, None off-Linux."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("Cached:"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     t0 = time.perf_counter()
+    load_start = [round(x, 2) for x in os.getloadavg()]
+    cached_start = _cached_kb()
     from kwack_spark.session import get_session
     from kwack_spark.plans.registry import query_map
 
@@ -427,7 +448,7 @@ def main() -> None:
     # drift (JIT, page cache, shuffle-partition pressure) is visible instead
     # of being mistaken for a regression.  Rep loop is outermost so reps of
     # one query don't reuse each other's still-warm shuffle files.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for rep in range(reps):
         # reps 2+ run in a DETERMINISTICALLY shuffled order (seeded by the
@@ -468,11 +489,21 @@ def main() -> None:
                     except Exception:
                         pass
 
+    # per-query number: the median AFTER dropping each query's single worst
+    # rep (r11 bench hygiene: one scheduler-stall rep put a 34.6 s spread
+    # on dedup_shingle_size_sensitivity and read as a 1.8x regression —
+    # with >= 3 reps the worst is noise by construction, since a real
+    # regression moves every rep).  Spread is reported over the KEPT reps.
+    def _kept(ts: list[float]) -> list[float]:
+        return sorted(ts)[:-1] if len(ts) >= 3 else sorted(ts)
+
     timings = {
-        name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
+        name: round(_kept(ts)[len(_kept(ts)) // 2], 3)
+        for name, ts in samples.items()
     }
     spread = {
-        name: round(max(ts) - min(ts), 3) for name, ts in samples.items()
+        name: round(max(_kept(ts)) - min(_kept(ts)), 3)
+        for name, ts in samples.items()
     }
 
     total = time.perf_counter() - t0
@@ -496,6 +527,12 @@ def main() -> None:
             "sf_dir": sf_dir,
             "python": sys.version.split()[0],
             "pyspark": __import__("pyspark").__version__,
+            # machine state at bench start (r11 bench hygiene): a loaded
+            # box or cold page cache explains a uniformly-shifted run —
+            # record it so a drifted geomean is auditable from artifacts
+            "loadavg_start": load_start,
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "meminfo_cached_kb_start": cached_start,
         },
     }
     print(json.dumps(result))

@@ -2304,3 +2304,65 @@ def dedup_cross_source_leakage(spark, sf_dir):
         )
         .orderBy("src_lo", "src_hi")
     )
+
+
+@register(
+    "dedup_soft_weights",
+    # SOFT dedup (the D4 / SemDeDup-lineage alternative to hard removal):
+    # instead of dropping near-duplicates, every document gets a training
+    # weight 1/cluster_size, so each duplicate CLUSTER contributes one
+    # document's worth of gradient mass while keeping its internal
+    # variation.  Clusters are the same star-edge-aware LSH components
+    # dedup_cluster_components grades (over-cap boilerplate bands included
+    # via star_edges); singletons keep weight 1.  The weight is one IEEE
+    # divide of exact integers — bit-identical on both engines.
+    oracle=f"""
+        WITH RECURSIVE {_LSH_CTES},
+        {_COMP_CTES},
+        sizes AS (
+            SELECT keep_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM comp GROUP BY keep_id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.cluster_size, 1) AS cluster_size,
+               1.0 / COALESCE(s.cluster_size, 1) AS weight
+        FROM documents d
+        LEFT JOIN comp c ON c.node = d.doc_id
+        LEFT JOIN sizes s ON s.keep_id = c.keep_id
+        ORDER BY d.doc_id
+    """,
+    tags=("dedup", "soft", "weights", "training-prep"),
+)
+def dedup_soft_weights(spark, sf_dir):
+    """Soft-dedup training weights: LSH dup edges (verified pairs + the
+    over-cap bands' star edges) -> connected components -> per-cluster
+    1/size weight left-joined back onto the corpus.  100-TB shape: the
+    component pass runs on the blocked candidate graph (orders of
+    magnitude below the corpus), the weight table is cluster-count-sized
+    and broadcastable, and the corpus pays one narrow left join — the
+    same cost as the hard-dedup anti-join, but no document is lost, which
+    is what mixture tuning wants when near-dups carry stylistic variation
+    worth a fraction of an epoch."""
+    from kwack_spark.operators import graph
+
+    d = T(spark, sf_dir, "documents")
+    edges = dedup.minhash_lsh_dup_edges(
+        d, "doc_id", "text", k=8, bands=2, threshold=0.5
+    )
+    with _few_shuffle_partitions(spark):
+        comp = graph.dedup_clusters(edges).select("doc_id", "keep_id", "cluster_size")
+    return (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_size", F.lit(1)).cast("bigint").alias(
+                "cluster_size"
+            ),
+            (
+                F.lit(1.0)
+                / F.coalesce("cluster_size", F.lit(1)).cast("double")
+            ).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )

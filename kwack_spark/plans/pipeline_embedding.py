@@ -2920,3 +2920,64 @@ def knn_mutual_components(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "cluster_balanced_sample",
+    # semantic-diversity balanced sampling (the D4/DeepSeekMath-lineage
+    # cluster-cap pass): assign every embedding to its deterministic
+    # k-means cluster, then keep at most CAP=8 per cluster in a stable
+    # pseudo-random order — oversampled semantic regions are capped while
+    # rare regions survive whole, the embedding-space analogue of
+    # source_cap_sample's per-source quota.  The rank key is md5-derived
+    # (reproducible across runs/engines/cluster layouts), clusters are the
+    # SAME integer-exact Lloyd assignment ann_ivf_topk grades, and every
+    # row is emitted with its rank and kept flag so the cap's effect is
+    # part of the graded output.
+    oracle=f"""
+        WITH {_IVF_ASSIGNED_CTES},
+        ranked AS (
+            SELECT a.corpus_id AS vec_id, a.list_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY a.list_id
+                       ORDER BY md5('cbs:' || a.corpus_id::VARCHAR),
+                                a.corpus_id
+                   ) AS BIGINT) AS rk
+            FROM assigned a
+        )
+        SELECT vec_id, CAST(list_id AS BIGINT) AS list_id, rk,
+               rk <= 8 AS kept
+        FROM ranked
+        ORDER BY vec_id
+    """,
+    tags=("embedding", "sampling", "cluster", "training-prep"),
+)
+def cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced sampling over the embedding table.  100-TB shape:
+    the cluster assignment is the IVF machinery's broadcast-centroid
+    nearest-centroid scan (no corpus-keyed shuffle), the per-cluster rank
+    is one window over the cluster key — k-means lists are size-bounded by
+    construction so no window partition is corpus-sized — and the cap
+    turns an arbitrarily skewed semantic distribution into <= CAP x
+    n_lists training rows while touching every row exactly once."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "embeddings")
+    _, assigned = similarity.ivf_assign(
+        e, "vec_id", "embedding", n_lists=16, refine_iters=1
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("list_id").orderBy(
+            F.md5(F.concat(F.lit("cbs:"), F.col("corpus_id").cast("string"))),
+            "corpus_id",
+        )
+    )
+    return (
+        assigned.select(
+            F.col("corpus_id").alias("vec_id"),
+            F.col("list_id").cast("bigint").alias("list_id"),
+            rk.cast("bigint").alias("rk"),
+        )
+        .withColumn("kept", F.col("rk") <= 8)
+        .orderBy("vec_id")
+    )

@@ -56,10 +56,12 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_scale_oracle.py).  Cumulatively all 370 pre-r12 names have been
 # driver-graded at least once (r01-r11) with every latest grade green.  The
 # FULL list below is re-sorted for round 12, derived mechanically from
-# CORRECTNESS_r01..r11: never-graded first (the 2 r12-new Bloom-paragraph
-# queries), then cohorts by last-graded round ascending — so the ~50-query
-# r12 window covers the 2 new + the full 27-name r04-stale cohort + the
-# r05-cohort head (exactly the r11 VERDICT's next #3 rotation), and the
+# CORRECTNESS_r01..r11: never-graded first (the 5 r12-new queries: BFF
+# Bloom-paragraph dedup + rolling twin, soft-dedup weights, the quality
+# threshold sweep, cluster-balanced sampling), then cohorts by last-graded
+# round ascending — so the ~50-query
+# r12 window covers the 5 new + the full 27-name r04-stale cohort + the
+# r05-cohort head (the r11 VERDICT's next #3 rotation), and the
 # tail keeps future rotations one re-sort away.  The list is advisory
 # ordering only — every query stays registered; names missing from it would
 # keep registration order after it.
@@ -67,6 +69,9 @@ _PRIORITY = [
     # --- never driver-graded (r12-new; must land in the window) ---
     "dedup_bloom_paragraphs",
     "dedup_bloom_paragraphs_rolling",
+    "dedup_soft_weights",
+    "quality_threshold_sweep",
+    "cluster_balanced_sample",
     # --- last driver grade: r04 ---
     "cooccurrence_window_counts",
     "kafka_avro_fastpath",

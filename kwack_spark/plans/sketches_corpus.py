@@ -1579,3 +1579,123 @@ def dedup_bloom_paragraphs_rolling(spark, sf_dir):
     gset = hist.select("para").union(d1keep)
     d2 = paras.filter(F.col("doc_id") % 4 == 3)
     return _bff_rewrite(_bloom_probe(d2, gbits), gset)
+
+
+@register(
+    "quality_threshold_sweep",
+    # the threshold-TUNING table a quality-filter deployment reads before
+    # picking its cutoff (the FineWeb-Edu/fasttext-filter calibration
+    # step): for each candidate threshold, how many documents and tokens
+    # survive score >= t.  Scores are the quality_linear_score integer
+    # milli-unit sums (exact on both engines); thresholds are a fixed
+    # milli-unit grid, so the whole sweep is one scored scan + a
+    # 9-row-broadcast theta join — no percentile, no sort.
+    oracle=f"""
+        WITH weights AS (
+            SELECT b, (({_NIB.format(h="md5('w:' || b::VARCHAR)", i=1)} * 256
+                        + {_NIB.format(h="md5('w:' || b::VARCHAR)", i=2)} * 16
+                        + {_NIB.format(h="md5('w:' || b::VARCHAR)", i=3)}) % 2001) - 1000
+                     AS w_mill
+            FROM (SELECT unnest(range(0, {_BOW_D})) AS b)
+        ),
+        tok AS (
+            SELECT doc_id, unnest(list_filter(
+                       string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                       t -> length(t) > 0)) AS t
+            FROM documents
+        ),
+        bucketed AS (
+            SELECT doc_id, ({_NIB.format(h='md5(t)', i=1)} * 256
+                            + {_NIB.format(h='md5(t)', i=2)} * 16
+                            + {_NIB.format(h='md5(t)', i=3)}) % {_BOW_D} AS b
+            FROM tok
+        ),
+        scored AS (
+            SELECT doc_id, CAST(SUM(w_mill) AS BIGINT) AS s_mill,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM bucketed JOIN weights USING (b)
+            GROUP BY doc_id
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_all,
+                   CAST(SUM(n_tokens) AS BIGINT) AS tok_all
+            FROM scored
+        ),
+        grid AS (
+            SELECT unnest([-2000, -1500, -1000, -500, 0,
+                           500, 1000, 1500, 2000]) AS thr_mill
+        )
+        SELECT g.thr_mill,
+               CAST(count(*) FILTER (WHERE s.s_mill >= g.thr_mill) AS BIGINT)
+                   AS n_docs,
+               CAST(COALESCE(SUM(s.n_tokens)
+                        FILTER (WHERE s.s_mill >= g.thr_mill), 0) AS BIGINT)
+                   AS n_tokens,
+               CAST(count(*) FILTER (WHERE s.s_mill >= g.thr_mill) AS DOUBLE)
+                   / t.n_all AS pct_docs,
+               CAST(COALESCE(SUM(s.n_tokens)
+                        FILTER (WHERE s.s_mill >= g.thr_mill), 0) AS DOUBLE)
+                   / t.tok_all AS pct_tokens
+        FROM grid g CROSS JOIN scored s CROSS JOIN tot t
+        GROUP BY g.thr_mill, t.n_all, t.tok_all
+        ORDER BY g.thr_mill
+    """,
+    tags=("quality", "calibration", "sweep", "training-prep"),
+)
+def quality_threshold_sweep(spark, sf_dir):
+    """Quality-cutoff calibration sweep.  100-TB shape: scoring is the
+    quality_linear_score serving plan (one token explode, D-row broadcast
+    weight join, doc-keyed integer sum); the sweep itself is a 9-row
+    broadcast cross join over the doc-level score table with conditional
+    aggregation — corpus volume is touched once however many thresholds
+    the grid holds, vs re-running the filter per candidate cutoff."""
+    spark_range = spark.range(_BOW_D).select(F.col("id").cast("int").alias("b"))
+    h = F.md5(F.concat(F.lit("w:"), F.col("b").cast("string")))
+    nib = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1  # noqa: E731
+    weights = spark_range.select(
+        "b", (((nib(1) * 256 + nib(2) * 16 + nib(3)) % 2001) - 1000).alias("w_mill")
+    )
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("t"))
+    th = F.md5(F.col("t"))
+    tnib = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring(th, p, 1)) - 1  # noqa: E731
+    bucketed = tok.select(
+        "doc_id", ((tnib(1) * 256 + tnib(2) * 16 + tnib(3)) % _BOW_D).alias("b")
+    )
+    scored = (
+        bucketed.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w_mill").cast("bigint").alias("s_mill"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("n_tokens").alias("tok_all")
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in (-2000, -1500, -1000, -500, 0, 500, 1000, 1500, 2000)],
+        "thr_mill int",
+    )
+    surv = F.col("s_mill") >= F.col("thr_mill")
+    return (
+        scored.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("thr_mill", "n_all", "tok_all")
+        .agg(
+            F.count(F.when(surv, 1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(F.when(surv, F.col("n_tokens"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .select(
+            "thr_mill",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_docs").cast("double") / F.col("n_all")).alias("pct_docs"),
+            (F.col("n_tokens").cast("double") / F.col("tok_all")).alias(
+                "pct_tokens"
+            ),
+        )
+        .orderBy("thr_mill")
+    )

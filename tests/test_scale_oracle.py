@@ -287,9 +287,15 @@ SCALE_SENSITIVE = [
     "multimodal_avi_incremental",
     # r12: Bloom paragraph dedup — the bitmap's occupancy (and with it the
     # false-positive census the grade includes) grows with history volume,
-    # so the bloom-vs-exact deltas are strongly scale-sensitive
+    # so the bloom-vs-exact deltas are strongly scale-sensitive — plus the
+    # soft-dedup weights (cluster structure shifts at 10x), the threshold
+    # sweep (score distribution shifts), and the cluster-balanced sample
+    # (list occupancy vs the cap is volume-dependent)
     "dedup_bloom_paragraphs",
     "dedup_bloom_paragraphs_rolling",
+    "dedup_soft_weights",
+    "quality_threshold_sweep",
+    "cluster_balanced_sample",
     # per-lang tercile boundaries shift with the score distribution at 10x
     "ccnet_perplexity_buckets",
     # the add-1-smoothed bucket models and the p75 boundary both shift
