@@ -1060,6 +1060,20 @@ def _jpeg_zigzag():
 _JZZ = _jpeg_zigzag()
 
 
+# zigzag k -> flat row-major position, as an index array (numpy imports
+# lazily in this module, so the array builds on first use)
+_JZZ_POS_NP = None
+
+
+def _jzz_pos():
+    global _JZZ_POS_NP
+    if _JZZ_POS_NP is None:
+        import numpy as np
+
+        _JZZ_POS_NP = np.array([r * 8 + c for r, c in _JZZ], np.int64)
+    return _JZZ_POS_NP
+
+
 def _jpeg_dct_matrix():
     import math
 
@@ -1080,14 +1094,19 @@ class _BitWriter:
         self.n = 0
 
     def write(self, value: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:  # byte stuffing
-                    self.out.append(0x00)
-                self.acc, self.n = 0, 0
+        # bulk bit append (MSB-first) — emits the identical byte stream the
+        # per-bit loop did, draining whole bytes with 0xFF stuffing
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        n = self.n + length
+        out = self.out
+        while n >= 8:
+            n -= 8
+            b = (self.acc >> n) & 0xFF
+            out.append(b)
+            if b == 0xFF:  # byte stuffing
+                out.append(0x00)
+        self.n = n
+        self.acc &= (1 << n) - 1
 
     def flush(self) -> bytes:
         if self.n:
@@ -1127,23 +1146,24 @@ def _jpeg_quantize(coef, qtab):
 
 def _jpeg_encode_plane(blocks, qtab, dcmap, acmap, bw, pred, dct):
     """Encode a list of (block ndarray) for one component; returns new DC
-    predictor.  Constant blocks take the exact integer FDCT shortcut."""
+    predictor.  Constant blocks take the exact integer FDCT shortcut; the
+    zigzag gather is one fancy-index and the RLE loop runs over a plain
+    Python list (same bitstream as the per-element numpy original)."""
     import numpy as np
 
     for blk in blocks:
-        if (blk == blk.flat[0]).all():
-            q = np.zeros(64, np.int32)
+        if int(blk.min()) == int(blk.max()):
             dc_raw = 8 * (int(blk.flat[0]) - 128)
-            q[0] = (
+            q0 = (
                 (2 * abs(dc_raw) + qtab.flat[0]) // (2 * int(qtab.flat[0]))
             ) * (1 if dc_raw >= 0 else -1)
-            zz = q
+            zzl = [int(q0)] + [0] * 63
         else:
             coef = dct @ (blk.astype(np.float64) - 128.0) @ dct.T
             qb = _jpeg_quantize(coef, qtab)
-            zz = np.array([qb[r, c] for r, c in _JZZ], np.int32)
-        diff = int(zz[0]) - pred
-        pred = int(zz[0])
+            zzl = qb.ravel()[_jzz_pos()].tolist()
+        diff = zzl[0] - pred
+        pred = zzl[0]
         t = _jpeg_category(diff)
         code, length = dcmap[t]
         bw.write(code, length)
@@ -1151,10 +1171,10 @@ def _jpeg_encode_plane(blocks, qtab, dcmap, acmap, bw, pred, dct):
             bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
         run = 0
         last = 63
-        while last > 0 and zz[last] == 0:
+        while last > 0 and zzl[last] == 0:
             last -= 1
         for k in range(1, last + 1):
-            v = int(zz[k])
+            v = zzl[k]
             if v == 0:
                 run += 1
                 continue
@@ -1173,9 +1193,8 @@ def _jpeg_encode_plane(blocks, qtab, dcmap, acmap, bw, pred, dct):
     return pred
 
 
-def _jpeg_blocks(plane, w, h):
-    """Split an (h, w) plane into row-major 8x8 blocks, edge-replicating to
-    multiples of 8."""
+def _jpeg_padded(plane, w: int, h: int):
+    """Edge-replicated padding of an (h, w) plane to multiples of 8."""
     import numpy as np
 
     H, W = -(-h // 8) * 8, -(-w // 8) * 8
@@ -1185,11 +1204,42 @@ def _jpeg_blocks(plane, w, h):
         padded[:h, w:] = plane[:, -1:]
     if H > h:
         padded[h:, :] = padded[h - 1 : h, :]
+    return padded
+
+
+def _jpeg_blocks(plane, w, h):
+    """Split an (h, w) plane into row-major 8x8 blocks, edge-replicating to
+    multiples of 8."""
+    padded = _jpeg_padded(plane, w, h)
+    H, W = padded.shape
     return [
         padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
         for by in range(H // 8)
         for bx in range(W // 8)
     ]
+
+
+# quant tables, DCT matrix and Annex K Huffman code maps, built once per
+# process (fixed module constants; treated read-only by all users)
+_ENC_MEMO: dict = {}
+
+
+def _enc_tables():
+    import numpy as np
+
+    t = _ENC_MEMO.get("t")
+    if t is None:
+        t = (
+            np.array(_JQ_LUMA, np.int32).reshape(8, 8),
+            np.array(_JQ_CHROMA, np.int32).reshape(8, 8),
+            _jpeg_dct_matrix(),
+            _huff_codes(*_JH_DC_LUMA),
+            _huff_codes(*_JH_AC_LUMA),
+            _huff_codes(*_JH_DC_CHROMA),
+            _huff_codes(*_JH_AC_CHROMA),
+        )
+        _ENC_MEMO["t"] = t
+    return t
 
 
 def _seg(marker: int, body: bytes) -> bytes:
@@ -1209,9 +1259,7 @@ def _jpeg_encode(pixels, channels: int) -> bytes:
 
     h, stride = pixels.shape
     w = stride // channels
-    dct = _jpeg_dct_matrix()
-    ql = np.array(_JQ_LUMA, np.int32).reshape(8, 8)
-    qc = np.array(_JQ_CHROMA, np.int32).reshape(8, 8)
+    ql, qc, dct, dc_l, ac_l, dc_c, ac_c = _enc_tables()
 
     if channels == 3:
         r = pixels[:, 0::3].astype(np.float64)
@@ -1251,66 +1299,174 @@ def _jpeg_encode(pixels, channels: int) -> bytes:
     sos += b"\x00\x3f\x00"
     out += _seg(0xDA, sos)
 
-    dc_l, ac_l = _huff_codes(*_JH_DC_LUMA), _huff_codes(*_JH_AC_LUMA)
-    dc_c, ac_c = _huff_codes(*_JH_DC_CHROMA), _huff_codes(*_JH_AC_CHROMA)
-    comp_blocks = [_jpeg_blocks(p, w, h) for p in planes]
+    # per plane: pad once, vectorized per-block constancy + top-left value;
+    # constant blocks (the overwhelming case for the block-constant
+    # fixtures) emit their DC diff + EOB inline with no numpy at all, and
+    # only genuinely non-constant blocks pay the FDCT/quantize path
+    H, W = -(-h // 8) * 8, -(-w // 8) * 8
+    by, bx = H // 8, W // 8
+    cinfos = []
+    for ci, p in enumerate(planes):
+        padded = _jpeg_padded(p, w, h)
+        arr = padded.reshape(by, 8, bx, 8)
+        cmask = (arr.min(axis=(1, 3)) == arr.max(axis=(1, 3))).ravel().tolist()
+        v0s = padded[::8, ::8].ravel().tolist()
+        qtab = ql if ci == 0 else qc
+        cinfos.append(
+            (
+                padded,
+                cmask,
+                v0s,
+                qtab,
+                int(qtab.flat[0]),
+                dc_l if ci == 0 else dc_c,
+                ac_l if ci == 0 else ac_c,
+            )
+        )
     bw = _BitWriter()
+    write = bw.write
     preds = [0] * ncomp
     # 1x1 sampling: one MCU = one block of each component, interleaved
-    for bi in range(len(comp_blocks[0])):
+    for bi in range(by * bx):
+        yb, xb = (bi // bx) * 8, (bi % bx) * 8
         for ci in range(ncomp):
-            qtab = ql if ci == 0 else qc
-            dcmap = dc_l if ci == 0 else dc_c
-            acmap = ac_l if ci == 0 else ac_c
-            preds[ci] = _jpeg_encode_plane(
-                [comp_blocks[ci][bi]], qtab, dcmap, acmap, bw, preds[ci], dct
-            )
+            padded, cmask, v0s, qtab, q00, dcmap, acmap = cinfos[ci]
+            if cmask[bi]:
+                dc_raw = 8 * (v0s[bi] - 128)
+                q0 = ((2 * abs(dc_raw) + q00) // (2 * q00)) * (
+                    1 if dc_raw >= 0 else -1
+                )
+                diff = q0 - preds[ci]
+                preds[ci] = q0
+                t = _jpeg_category(diff)
+                code, length = dcmap[t]
+                write(code, length)
+                if t:
+                    write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                code, length = acmap[0x00]
+                write(code, length)  # EOB
+            else:
+                preds[ci] = _jpeg_encode_plane(
+                    [padded[yb : yb + 8, xb : xb + 8]],
+                    qtab,
+                    dcmap,
+                    acmap,
+                    bw,
+                    preds[ci],
+                    dct,
+                )
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
+# 16-bit-peek Huffman decode tables, memoized on the DHT payload
+# (bits, vals) bytes so each distinct table builds its 65536-entry array
+# once per process — the Annex K tables every fixture carries hit the memo
+# from the second image on (heavyweight init once per worker, not per row)
+_HUFF_PEEK_MEMO: dict = {}
+
+
+def _huff_peek_table(bits: bytes, vals: bytes):
+    """list of 65536 packed ints ((code_length << 8) | symbol; 0 = no code
+    of length <= 16 prefixes this 16-bit pattern), indexed by the next 16
+    bits of the stream left-aligned."""
+    key = (bits, vals)
+    tab = _HUFF_PEEK_MEMO.get(key)
+    if tab is not None:
+        return tab
+    codes = _huff_codes(list(bits), list(vals))
+    tab = [0] * 65536
+    for sym, (code, length) in codes.items():
+        lo = code << (16 - length)
+        hi = (code + 1) << (16 - length)
+        tab[lo:hi] = [(length << 8) | sym] * (hi - lo)
+    _HUFF_PEEK_MEMO[key] = tab
+    return tab
+
+
 class _BitReader:
+    """Byte-granular bit reader over entropy-coded data with 0xFF00
+    unstuffing.  Raises EOFError in exactly the situations the per-bit
+    reader did: end of data, or a real marker where a bit is needed."""
+
+    __slots__ = ("data", "pos", "acc", "n", "starts")
+
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.acc = 0
         self.n = 0
+        self.starts: list[int] = []  # source pos of each buffered byte
 
-    def read_bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.data):
-                raise EOFError
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.data):
-                    raise EOFError
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    raise EOFError  # marker inside entropy data
-            self.acc, self.n = b, 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+    def _load(self) -> bool:
+        """Buffer one more byte; False at end-of-data or a marker."""
+        data, pos = self.data, self.pos
+        if pos >= len(data):
+            return False
+        b = data[pos]
+        start = pos
+        pos += 1
+        if b == 0xFF:
+            if pos >= len(data) or data[pos] != 0x00:
+                return False  # marker (or truncated) — do not consume
+            pos += 1  # stuffed byte
+        self.pos = pos
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+        self.starts.append(start)
+        return True
 
     def read(self, length: int) -> int:
-        v = 0
-        for _ in range(length):
-            v = (v << 1) | self.read_bit()
+        while self.n < length:
+            if not self._load():
+                raise EOFError
+        self.n -= length
+        v = (self.acc >> self.n) & ((1 << length) - 1)
+        self.acc &= (1 << self.n) - 1
+        if self.n < 8 and self.starts:
+            del self.starts[:]
         return v
 
+    def peek16(self) -> tuple[int, int]:
+        """(peek, avail): the next up-to-16 bits left-aligned in a 16-bit
+        window, zero-padded past end-of-data; avail = how many are real."""
+        while self.n < 16:
+            if not self._load():
+                break
+        n = self.n
+        if n >= 16:
+            return (self.acc >> (n - 16)) & 0xFFFF, 16
+        return (self.acc << (16 - n)) & 0xFFFF, n
 
-def _huff_decode(br: _BitReader, table: dict) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | br.read_bit()
-        length += 1
-        sym = table.get((code, length))
-        if sym is not None:
-            return sym
-    raise EOFError
+    def consume(self, length: int) -> None:
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+        if self.n < 8 and self.starts:
+            del self.starts[:]
+
+    def realign(self) -> None:
+        """Discard the partial byte and rewind any whole buffered bytes —
+        the restart-boundary byte realign (the per-bit reader's ``n = 0``,
+        whose acc never held more than one byte)."""
+        whole = self.n >> 3
+        if whole and self.starts:
+            self.pos = self.starts[len(self.starts) - whole]
+        self.acc = 0
+        self.n = 0
+        del self.starts[:]
+
+
+def _huff_decode(br: _BitReader, table: list) -> int:
+    peek, avail = br.peek16()
+    e = table[peek]
+    if e == 0:
+        raise EOFError  # no code of length <= 16 matches
+    length = e >> 8
+    if length > avail:
+        raise EOFError  # the matching code needs bits past a marker/EOF
+    br.consume(length)
+    return e & 0xFF
 
 
 def _extend(v: int, t: int) -> int:
@@ -1373,15 +1529,12 @@ def _jpeg_decode(payload: bytes):
             i = 0
             while i + 17 <= len(body):
                 cls, tid = body[i] >> 4, body[i] & 15
-                bits = list(body[i + 1 : i + 17])
+                bits = bytes(body[i + 1 : i + 17])
                 nval = sum(bits)
-                vals = list(body[i + 17 : i + 17 + nval])
+                vals = bytes(body[i + 17 : i + 17 + nval])
                 if len(vals) < nval:
                     return None
-                codes = _huff_codes(bits, vals)
-                htabs[(cls, tid)] = {
-                    (code, length): sym for sym, (code, length) in codes.items()
-                }
+                htabs[(cls, tid)] = _huff_peek_table(bits, vals)
                 i += 17 + nval
         elif marker == 0xC0 or marker == 0xC1:  # baseline / extended sequential
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -1423,29 +1576,38 @@ def _jpeg_decode(payload: bytes):
     planes = [np.zeros((by * 8, bx * 8), np.uint8) for _ in comps]
     preds = [0] * len(comps)
     br = _BitReader(data)
+    # per-component (dc table, ac table, qt[0,0], flat qt) resolved once
+    ctabs = []
+    for (cid, tq), (scid, td, ta) in zip(comps, stabs):
+        if cid != scid or tq not in qtabs:
+            return None
+        dctab = htabs.get((0, td))
+        actab = htabs.get((1, ta))
+        if dctab is None or actab is None:
+            return None
+        qt = qtabs[tq]
+        ctabs.append((dctab, actab, int(qt[0, 0]), qt.ravel().astype(np.int64)))
+    jzz = _jzz_pos()
     try:
         for mi in range(nmcu):
             if restart and mi and mi % restart == 0:
                 # realign to byte boundary, expect RSTn, reset predictors
-                br.n = 0
+                br.realign()
                 while br.pos + 1 < len(br.data) and br.data[br.pos] == 0xFF and (
                     0xD0 <= br.data[br.pos + 1] <= 0xD7
                 ):
                     br.pos += 2
                     break
                 preds = [0] * len(comps)
-            for ci, ((cid, tq), (scid, td, ta)) in enumerate(zip(comps, stabs)):
-                if cid != scid or tq not in qtabs:
-                    return None
-                dctab = htabs.get((0, td))
-                actab = htabs.get((1, ta))
-                if dctab is None or actab is None:
-                    return None
-                zz = np.zeros(64, np.int64)
+            my, mx = mi // bx, mi % bx
+            ys, xs = my * 8, mx * 8
+            for ci, (dctab, actab, qt00, qt_flat) in enumerate(ctabs):
                 t = _huff_decode(br, dctab)
                 diff = _extend(br.read(t), t) if t else 0
                 preds[ci] += diff
-                zz[0] = preds[ci]
+                dc = preds[ci]
+                ks: list = []
+                vs: list = []
                 k = 1
                 while k < 64:
                     sym = _huff_decode(br, actab)
@@ -1458,24 +1620,30 @@ def _jpeg_decode(payload: bytes):
                     s = sym & 15
                     if k > 63 or s == 0:
                         return None
-                    zz[k] = _extend(br.read(s), s)
+                    vs.append(_extend(br.read(s), s))
+                    ks.append(k)
                     k += 1
-                qt = qtabs[tq]
-                deq = np.zeros((8, 8), np.int64)
-                for kk, (r, c) in enumerate(_JZZ):
-                    deq[r, c] = zz[kk] * qt[r, c]
-                if not deq.flat[1:].any() and not deq[1:, :].any():
+                dc_only = not ks
+                if ks:
+                    deq = np.zeros(64, np.int64)
+                    deq[0] = dc * qt00
+                    idx = jzz[ks]
+                    deq[idx] = np.array(vs, np.int64) * qt_flat[idx]
+                    # a zero quant entry can dequantize every AC to 0: keep
+                    # the original's post-dequant DC-only test exactly
+                    dc_only = not deq[1:].any()
+                if dc_only:
                     # DC-only: exact constant block (libjpeg-style fast path;
                     # /8.0 is a power-of-two division -> exact in double)
-                    val = np.floor(int(deq[0, 0]) / 8.0 + 128 + 0.5)
-                    blk = np.full((8, 8), int(min(255.0, max(0.0, val))), np.uint8)
-                else:
-                    spat = dct.T @ deq.astype(np.float64) @ dct
-                    blk = np.clip(np.floor(spat + 128 + 0.5), 0, 255).astype(
-                        np.uint8
+                    val = np.floor(int(dc * qt00) / 8.0 + 128 + 0.5)
+                    planes[ci][ys : ys + 8, xs : xs + 8] = int(
+                        min(255.0, max(0.0, val))
                     )
-                my, mx = mi // bx, mi % bx
-                planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = blk
+                else:
+                    spat = dct.T @ deq.reshape(8, 8).astype(np.float64) @ dct
+                    planes[ci][ys : ys + 8, xs : xs + 8] = np.clip(
+                        np.floor(spat + 128 + 0.5), 0, 255
+                    ).astype(np.uint8)
     except EOFError:
         return None
     planes = [p[:h, :w] for p in planes]

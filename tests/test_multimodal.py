@@ -369,3 +369,57 @@ def test_wav_truncated_fmt_chunk_yields_nulls(spark):
     trim = {r.doc_id: r for r in mm.trim_wav_silence(df, "payload", "doc_id").collect()}
     assert trim[0].n_samples == 2 and trim[0].lead_silence == 0
     assert trim[1].n_samples is None and trim[2].n_samples is None
+
+
+def test_jpeg_codec_r12_golden_hashes():
+    """r12 optimization regression anchor: the bulk-bit writer, the
+    vectorized constant-block encoder path, and the peek-table Huffman
+    decoder must reproduce the pre-optimization codec BYTE-for-byte
+    (encode) and PIXEL-for-pixel (decode).  Hashes were recorded from the
+    per-bit implementation at r11 HEAD over the video-frame fixture space
+    (gray + RGB, DC-only and AC-carrying blocks, AVI containers)."""
+    import hashlib
+
+    from kwack_spark.operators import multimodal as mm
+
+    enc_golden = {
+        0: "cd60e05dbc2f57359ea36be342e33d2a",
+        1: "99ae3a0bcf69ce9ca4504ca5d18cdd38",
+        5: "7988b902f735b3c70a4b60e88c12910a",
+        30: "7289bdb93631ceb8ab9e39f3ccdeb1e9",
+        127: "5d14bfd1553b08f753796d2913999dde",
+        300: "369e33eed2a5846847095a8334657467",
+    }
+    for d, want in enc_golden.items():
+        px = mm._video_frame_grid(d % 7, d % 4, bool(d % 3 == 0))
+        payload = mm._jpeg_encode(px, 3 if px.shape[1] >= 72 * 3 else 1)
+        assert hashlib.md5(payload).hexdigest() == want, f"encode drift id={d}"
+
+    frames_golden = {
+        0: ("aa072945ef403a7b1a3aa26b91010012", "00d8bc839772f8f2d31a8eb77cf08a49"),
+        63: ("01ca53eeddf297bec04e0cded567a8db", "e027e9a4e1b5cb971f868c8447894e96"),
+        128: ("8fde92f354a57c3e002a7df06d6709e4", "84e0f4698c5294f811768fe3cffa0197"),
+        200: ("9d1abcdcf48db26305b54d69e3154fd0", "88776fdf6cdf91cb91f440639d182b31"),
+    }
+    for d, (enc_want, dec_want) in frames_golden.items():
+        frames = mm._video_frame_jpegs(d % 64, (d // 64) % 4, 16, 2)
+        assert hashlib.md5(b"".join(frames)).hexdigest() == enc_want
+        acc = hashlib.md5()
+        for fr in frames:
+            w, h, ch, px = mm._jpeg_decode(fr)
+            acc.update(f"{w}x{h}x{ch}:".encode())
+            acc.update(px.tobytes())
+        assert acc.hexdigest() == dec_want, f"decode drift id={d}"
+
+    avi_golden = {
+        0: "827739e7be46c1e1be5fcff6567f7237",
+        17: "d9cc8d23aa0e2936468cd00d93f41670",
+        99: "ac1051ffdd1479a056aafde6befc0c81",
+    }
+    for d, want in avi_golden.items():
+        frames = mm._video_frame_jpegs(d % 64, (d // 64) % 4, 16, 2)
+        payload = mm._avi_container(frames)
+        acc = hashlib.md5(payload)
+        for fr in mm._avi_mjpeg_frames(payload):
+            acc.update(hashlib.md5(fr).digest())
+        assert acc.hexdigest() == want, f"avi roundtrip drift id={d}"
