@@ -528,6 +528,78 @@ def _persist_rotating(tag: str, df: DataFrame) -> DataFrame:
     return out
 
 
+# stage_checkpoint state: spark -> {tag: (source_df, checkpointed_df)}
+_STAGE_CKPT: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def _ckpt_alive(ck: DataFrame) -> bool:
+    """True while a localCheckpoint'ed frame's blocks are still persisted
+    (the analyzed plan is a LogicalRDD whose stored RDD carries a storage
+    level; an external unpersist — the bench harness evicts between
+    queries — zeroes it, and a checkpointed RDD cannot recompute)."""
+    try:
+        rdd = ck._jdf.queryExecution().analyzed().rdd()
+        lvl = rdd.getStorageLevel()
+        return bool(lvl.useMemory() or lvl.useDisk())
+    except Exception:
+        return False
+
+
+def stage_checkpoint(tag: str, df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` of a pipeline STAGE frame, rotating the
+    previous checkpoint under ``tag`` — the lineage-truncation sibling of
+    ``_persist_rotating`` for deep sequential DAGs.
+
+    A multi-stage funnel whose every stage is merely ``persist``-ed keeps
+    the FULL logical subtree in every downstream plan: each anti-join
+    doubles the tree (survivor side + drop side both embed the upstream),
+    so analysis, CacheManager lookups and per-call py4j traffic grow
+    geometrically with stage count — measured 17.7 s of pure DataFrame
+    CONSTRUCTION (no job) on the 7-stage all-modalities curation DAG at
+    sf0.1, vs ~2 s of actual execution.  ``localCheckpoint(eager=True)``
+    materializes the stage once and re-roots downstream plans on a
+    LogicalRDD leaf, so every later stage plans against an O(stage)-size
+    tree.  The rows are identical; only the plan shape changes.
+
+    Reuse/rotation contract matches ``_persist_rotating``: an incoming
+    frame whose analyzed plan ``sameResult``-matches the held source IS
+    the held checkpoint (bench reps in an eviction-free session), while a
+    new plan displaces the old checkpoint, whose blocks are explicitly
+    unpersisted.  Liveness is probed through the LogicalRDD storage level
+    because checkpoint blocks CANNOT be recomputed once dropped — a reused
+    frame must still be resident.
+
+    Cluster caveat (same as every ``localCheckpoint`` in this repo, e.g.
+    the components iteration): blocks live in executor storage, so losing
+    an executor fails the query instead of recomputing — acceptable for
+    intra-query stage state; the job retry recomputes from source."""
+    spark = df.sparkSession
+    with _ACTIVE_CACHE_LOCK:
+        per_session = _STAGE_CKPT.get(spark)
+        if per_session is None:
+            per_session = {}
+            _STAGE_CKPT[spark] = per_session
+        prev = per_session.get(tag)
+        if prev is not None:
+            src, ck = prev
+            try:
+                if _ckpt_alive(ck) and src._jdf.queryExecution().analyzed().sameResult(
+                    df._jdf.queryExecution().analyzed()
+                ):
+                    return ck
+            except Exception:
+                pass
+        per_session.pop(tag, None)
+        if prev is not None:
+            try:
+                prev[1]._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass
+        out = df.localCheckpoint(eager=True)
+        per_session[tag] = (df, out)
+    return out
+
+
 def _pq_reconstruct(c: DataFrame, m: int, ksub: int, dsub: int) -> DataFrame:
     """PQ encode + decode: ``(corpus_id, v)`` -> ``(corpus_id, xhat)`` where
     xhat is the vector reconstructed from the nearest code per subspace.

@@ -1122,7 +1122,7 @@ def _curation_text_funnel(spark, d):
     # persist the URL-survivor frame: the LSH base, the keep-best
     # anti-join, and the gate all read it — uncached, each materialization
     # re-runs the canon-URL regex + groupBy + join
-    s1 = similarity._persist_rotating("e2e_s1", d.join(keep1, "doc_id"))
+    s1 = similarity.stage_checkpoint("e2e_s1", d.join(keep1, "doc_id"))
     # --- stage 2: MinHash-LSH keep-best (longest per component) ---
     # pairs + over-cap star edges, so boilerplate clusters the hot-band
     # cap prunes from the pair join still resolve to one keeper
@@ -1142,7 +1142,7 @@ def _curation_text_funnel(spark, d):
     # semi-join; the decon grams AND the main branch; the mixture counts
     # AND the quota join) — persist them (rotating) or every consumer
     # re-executes the whole upstream funnel
-    s2 = similarity._persist_rotating(
+    s2 = similarity.stage_checkpoint(
         "e2e_s2", s1.join(drop2, "doc_id", "left_anti")
     )
     # --- stage 3: ensemble quality gate (shared operator body, applied to
@@ -1152,7 +1152,7 @@ def _curation_text_funnel(spark, d):
         .filter(F.col("keep"))
         .select("doc_id")
     )
-    return similarity._persist_rotating("e2e_s3", s2.join(gate, "doc_id"))
+    return similarity.stage_checkpoint("e2e_s3", s2.join(gate, "doc_id"))
 
 def _shard_manifest(survivors):
     """Order-independent shard manifest over a ``(doc_id, n_chars)``
@@ -1351,7 +1351,7 @@ def corpus_curation_e2e(spark, sf_dir):
         .filter(F.col("n_hits") >= 3)
         .select("doc_id")
     )
-    s4 = similarity._persist_rotating(
+    s4 = similarity.stage_checkpoint(
         "e2e_s4",
         s3.filter(F.col("doc_id") % 97 != 0)
         .join(contaminated, "doc_id", "left_anti")
@@ -1472,7 +1472,7 @@ def corpus_curation_multimodal(spark, sf_dir):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     png = mm.synth_png_blocky(ids, "doc_id")
-    fps = similarity._persist_rotating(
+    fps = similarity.stage_checkpoint(
         "mm_cur_fps", mm.dhash64(png, "payload", "doc_id")
     )
     pairs4 = dedup.fingerprint_hamming_pairs(fps, "doc_id", max_hamming=3, blocks=4)
@@ -1590,7 +1590,7 @@ def corpus_curation_all_modalities(spark, sf_dir):
     # --- stage 4: image near-dup keep-min over the funnel survivors ---
     ids3 = s3.select("doc_id").repartition(par, "doc_id")
     png = mm.synth_png_blocky(ids3, "doc_id")
-    fpi = similarity._persist_rotating(
+    fpi = similarity.stage_checkpoint(
         "cur_all_img_fps", mm.dhash64(png, "payload", "doc_id")
     )
     drop4 = (
@@ -1598,13 +1598,13 @@ def corpus_curation_all_modalities(spark, sf_dir):
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    s4 = similarity._persist_rotating(
+    s4 = similarity.stage_checkpoint(
         "cur_all_s4", s3.join(drop4, "doc_id", "left_anti")
     )
     # --- stage 5: audio near-dup keep-min over the image survivors ---
     ids4 = s4.select("doc_id").repartition(par, "doc_id")
     wav = mm.synth_wav_am(ids4, "doc_id")
-    fpa = similarity._persist_rotating(
+    fpa = similarity.stage_checkpoint(
         "cur_all_aud_fps", mm.audio_fingerprint64(wav, "payload", "doc_id")
     )
     drop5 = (
@@ -1612,7 +1612,7 @@ def corpus_curation_all_modalities(spark, sf_dir):
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    s5 = similarity._persist_rotating(
+    s5 = similarity.stage_checkpoint(
         "cur_all_s5", s4.join(drop5, "doc_id", "left_anti")
     )
     # --- stage 6: video keyframe keep-min over the audio survivors ---
@@ -1835,7 +1835,7 @@ def corpus_curation_incremental(spark, sf_dir):
     hist = d.filter(dd < 2)
     bat = d.filter(dd >= 2)
     # --- stage 1: URL admission against the landed URL index ---
-    url_index = similarity._persist_rotating(
+    url_index = similarity.stage_checkpoint(
         "cur_inc_urlidx",
         hist.select(
             TX2.canonical_url(_url_raw_col()).alias("canon_url")
@@ -1850,12 +1850,12 @@ def corpus_curation_incremental(spark, sf_dir):
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    s1 = similarity._persist_rotating("cur_inc_s1", bat.join(keep1, "doc_id"))
+    s1 = similarity.stage_checkpoint("cur_inc_s1", bat.join(keep1, "doc_id"))
     # --- stage 2: near-dup-of-history rejection (LSH index probe) ---
     dups = dedup.incremental_lsh_new_dups(
         hist, s1, "doc_id", "text", k=8, bands=2, threshold=0.5
     )
-    s2 = similarity._persist_rotating(
+    s2 = similarity.stage_checkpoint(
         "cur_inc_s2",
         s1.join(dups.select("doc_id").distinct(), "doc_id", "left_anti"),
     )
@@ -1998,7 +1998,7 @@ def corpus_curation_incremental_multimodal(spark, sf_dir):
     hist = d.filter(split < 2)
     bat = d.filter(split >= 2)
     # --- stage 1: URL admission against the landed URL index ---
-    url_index = similarity._persist_rotating(
+    url_index = similarity.stage_checkpoint(
         "cim_urlidx",
         hist.select(
             TX2.canonical_url(_url_raw_col()).alias("canon_url")
@@ -2013,12 +2013,12 @@ def corpus_curation_incremental_multimodal(spark, sf_dir):
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    s1 = similarity._persist_rotating("cim_s1", bat.join(keep1, "doc_id"))
+    s1 = similarity.stage_checkpoint("cim_s1", bat.join(keep1, "doc_id"))
     # --- stage 2: near-dup-of-history rejection (LSH index probe) ---
     dups = dedup.incremental_lsh_new_dups(
         hist, s1, "doc_id", "text", k=8, bands=2, threshold=0.5
     )
-    s2 = similarity._persist_rotating(
+    s2 = similarity.stage_checkpoint(
         "cim_s2",
         s1.join(dups.select("doc_id").distinct(), "doc_id", "left_anti"),
     )
@@ -2028,12 +2028,12 @@ def corpus_curation_incremental_multimodal(spark, sf_dir):
         .filter(F.col("keep"))
         .select("doc_id")
     )
-    s3 = similarity._persist_rotating(
+    s3 = similarity.stage_checkpoint(
         "cim_s3", s2.join(gate, "doc_id").select("doc_id", "n_chars")
     )
     # --- stage 4: image admission (persisted dHash index probe) ---
     has_img = F.col("doc_id") % 128 % 5 == 0
-    img_hist = similarity._persist_rotating(
+    img_hist = similarity.stage_checkpoint(
         "cim_imgidx",
         mm.dhash64(
             mm.synth_png_blocky(
@@ -2055,12 +2055,12 @@ def corpus_curation_incremental_multimodal(spark, sf_dir):
     drop4 = dedup.fingerprint_hamming_probe(
         img_hist, img_bat, "doc_id", max_hamming=3, blocks=4
     ).select("doc_id").distinct()
-    s4 = similarity._persist_rotating(
+    s4 = similarity.stage_checkpoint(
         "cim_s4", s3.join(drop4, "doc_id", "left_anti")
     )
     # --- stage 5: audio admission (persisted energy-fp index probe) ---
     has_aud = F.col("doc_id") % 128 % 7 == 0
-    aud_hist = similarity._persist_rotating(
+    aud_hist = similarity.stage_checkpoint(
         "cim_audidx",
         mm.audio_fingerprint64(
             mm.synth_wav_am(
@@ -2082,12 +2082,12 @@ def corpus_curation_incremental_multimodal(spark, sf_dir):
     drop5 = dedup.fingerprint_hamming_probe(
         aud_hist, aud_bat, "doc_id", max_hamming=3, blocks=4
     ).select("doc_id").distinct()
-    s5 = similarity._persist_rotating(
+    s5 = similarity.stage_checkpoint(
         "cim_s5", s4.join(drop5, "doc_id", "left_anti")
     )
     # --- stage 6: video admission (persisted keyframe index probe) ---
     has_vid = F.col("doc_id") % 64 % 3 == 0
-    kf_hist = similarity._persist_rotating(
+    kf_hist = similarity.stage_checkpoint(
         "cim_vididx",
         _video_keyframes_from(hist.filter(has_vid).select("doc_id")).select(
             "doc_id", "frame_md5"

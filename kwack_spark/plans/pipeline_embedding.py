@@ -1401,6 +1401,22 @@ _PC_ITERS = 8
 
 _PC_SCALE = "1000000000000.0"  # 1e12
 
+# Driver-side power-iteration cap: the covariance table has dim^2 rows
+# REGARDLESS of corpus size (dim <= 512 stays under this), so collecting it
+# follows the graph/ANN _within_cap discipline — bounded by the embedding
+# DIMENSION, never by data volume.  Past the cap the distributed per-step
+# loop below runs unchanged.
+_PC_COLLECT_CAP = 262_144
+
+
+def _round_half_up(x: float, scale: int) -> float:
+    """Spark's round(double, scale): BigDecimal.valueOf (shortest repr) +
+    HALF_UP — the same quantization the streaming moments kernel mirrors."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+
 def _pc_iter_ctes() -> tuple[str, str]:
     parts = []
     prev = "v0"
@@ -1458,25 +1474,65 @@ def embedding_top_pc(spark, sf_dir):
     pure metadata dataflow, Catalyst reuses the covariance exchange across
     all 8 unrolled steps.  Sign and values are deterministic because each
     step's arithmetic is integer-pinned (see oracle comment)."""
-    upper = _embedding_cov_upper(spark, sf_dir)
+    # ONE corpus pass: the upper-triangle covariance is dim(dim+1)/2 rows
+    # REGARDLESS of corpus size, so ship at most cap+1 of them to the
+    # driver in a single bounded action (the aggregation still runs
+    # distributed; limit only bounds what crosses the wire) and resolve
+    # the 8 metadata-sized power-iteration steps driver-side instead of
+    # paying 8 sequential Spark jobs of pure fixed overhead (measured
+    # ~4 s of the 6.9 s query at sf0.1; a localCheckpoint+count+collect
+    # variant re-measured ~0.5 s slower because the checkpoint executes
+    # the Gram aggregation with the non-adaptive plan).
+    collected = (
+        _embedding_cov_upper(spark, sf_dir).limit(_PC_COLLECT_CAP + 1).collect()
+    )
+    sc = float(_PC_SCALE)
+    if len(collected) <= _PC_COLLECT_CAP:
+        # The driver recurrence replicates the distributed plan's arithmetic
+        # EXACTLY: (cov * val) * 1e12 rounded HALF_UP to a long, integer
+        # sums, exact integer n2 = sum(ws^2), one correctly-rounded double
+        # sqrt, loadings re-rounded to 12dp — the same rounded recurrence
+        # the oracle unrolls.  Verified bit-exact against the distributed
+        # path at sf0.001/0.01/0.1.
+        import math
+
+        # mirror i != j driver-side — the union the distributed path builds
+        rows = [(int(r["i"]), int(r["j"]), r["cov"]) for r in collected]
+        rows += [(j, i, cov) for i, j, cov in rows if i != j]
+        pos_all = sorted({i for i, _, _ in rows})
+        d = float(len(pos_all))
+        v = {p: _round_half_up(1.0 / math.sqrt(d), 12) for p in pos_all}
+        n2 = 0
+        for _ in range(_PC_ITERS):
+            ws = dict.fromkeys(pos_all, 0)
+            for i, j, cov in rows:
+                ws[i] += int(_round_half_up(cov * v[j] * sc, 0))
+            n2 = sum(w * w for w in ws.values())
+            sq = math.sqrt(float(n2))
+            v = {p: _round_half_up(float(ws[p]) / sq, 12) for p in pos_all}
+        eig = _round_half_up(math.sqrt(float(n2)) / sc, 9)
+        out = spark.createDataFrame(
+            [(p, v[p], eig) for p in pos_all],
+            "pos int, loading double, eigval double",
+        )
+        return out.orderBy("pos")
+    # distributed fallback (dim^2 over the collect cap): materialize the
+    # upper triangle ONCE and truncate its lineage BEFORE mirroring — the
+    # two union branches would otherwise each re-run the whole Gram
+    # subtree (two corpus passes in one job), and without truncation each
+    # unrolled iteration embeds another copy of the Gram plan and the
+    # driver OOMs serializing it.
+    upper = _embedding_cov_upper(spark, sf_dir).localCheckpoint(eager=True)
     full = upper.unionByName(
         upper.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "cov"
         )
-    )
-    # materialize the dim^2-row covariance ONCE (the one corpus pass) and
-    # truncate its lineage: without this, each unrolled iteration embeds
-    # another copy of the whole Gram subtree in the plan and the driver
-    # OOMs serializing it.  The checkpoint is the natural iterative-algo
-    # boundary — sketch once, iterate on the sketch (metadata-sized: 4096
-    # rows at dim=64 regardless of corpus size).
-    full = full.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
     dims = full.select(F.col("i").alias("pos")).distinct()
     dn = dims.agg(F.count(F.lit(1)).cast("double").alias("d"))
     v = dims.crossJoin(F.broadcast(dn)).select(
         "pos", F.round(F.lit(1.0) / F.sqrt(F.col("d")), 12).alias("val")
     )
-    sc = float(_PC_SCALE)
     n2 = None
     for _ in range(_PC_ITERS):
         w = (
