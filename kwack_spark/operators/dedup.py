@@ -87,22 +87,32 @@ def _lsh_base(
     - ``kept``: ``exploded`` minus rows of bands with df > ``max_band_df``
       — the hot-bucket guard applied on the INPUT side, so a saturated
       band contributes zero rows to any downstream self-join instead of
-      O(df²).  Persisted so the pair join's TWO sides share ONE census +
-      semi-join run (pre-r12 the un-persisted guard subtree executed once
-      per join side — the corpus_curation_all_modalities drift, r11
-      VERDICT next #2).
+      O(df²).  The guard is an ANTI-join against the OVER-cap band set
+      (census rows with _df > cap), not a semi-join against the rare set:
+      the over-cap set is the small side by construction (each member
+      holds > max_band_df ids, so there are at most n_rows/cap of them vs
+      ~one rare band per document), so AQE plans a broadcast anti-join
+      and ``exploded`` is never exchanged for the guard — the semi-join
+      form shuffled the full band table on band_key once per call
+      (measured: one Exchange removed, r12).  Set-identical output:
+      df <= cap  <=>  NOT df > cap, and band_key is never null (md5-
+      derived).  ``kept`` is NOT persisted: both self-join sides re-run
+      the broadcast anti-join over the CACHED ``exploded`` (narrow, no
+      exchange), which is cheaper than materializing a third corpus-sized
+      cache — and at 100 TB a kept-persist would be corpus-scale storage.
 
     - ``census``: per-band ``(band_key, _df, _canon)`` — ONE aggregation
-      feeds both the cap's rare-band filter and the over-cap star-edge
-      recovery (computing it twice was two extra shuffle stages per
-      dup-edges call).
+      feeds the cap's over-cap filter, the over-cap star-edge recovery,
+      and the occupancy audit (computing it twice was two extra shuffle
+      stages per dup-edges call).
 
-    All four persist ROTATING (r11 ADVICE low): tags derive from the call
-    parameters, so repeated invocations in a long-lived session reuse the
-    cache when the plan is identical (bench reps) and release the previous
-    family member when it isn't — while distinct parameterizations (e.g.
-    dedup_shingle_size_sensitivity's three shingle widths, alive in one
-    action) keep distinct tags and coexist."""
+    The three materialized frames persist ROTATING (r11 ADVICE low): tags
+    derive from the call parameters, so repeated invocations in a
+    long-lived session reuse the cache when the plan is identical (bench
+    reps) and release the previous family member when it isn't — while
+    distinct parameterizations (e.g. dedup_shingle_size_sensitivity's
+    three shingle widths, alive in one action) keep distinct tags and
+    coexist."""
     from kwack_spark.operators.scale import widen_if_narrow
     from kwack_spark.operators.similarity import _persist_rotating
 
@@ -126,10 +136,8 @@ def _lsh_base(
             F.count(F.lit(1)).alias("_df"), F.min(id_col).alias("_canon")
         ),
     )
-    rare = census.filter(F.col("_df") <= max_band_df).select("band_key")
-    kept = _persist_rotating(
-        f"lsh_kept:{tag}d{max_band_df}", exploded.join(rare, "band_key")
-    )
+    hot = census.filter(F.col("_df") > max_band_df).select("band_key")
+    kept = exploded.join(hot, "band_key", "left_anti")
     return shingle_sets, exploded, kept, census
 
 
@@ -332,7 +340,16 @@ def lsh_band_keys_narrow(
     a streaming plan ahead of a stateful operator (aggregations cannot
     precede applyInPandasWithState).  Same seed family and band hashing, so
     keys are identical to the batch path's (min over the distinct shingle
-    set == min over the multiset)."""
+    set == min over the multiset).
+
+    The 8 per-row array-transform md5 chains are the dominant cost and the
+    whole projection is narrow, so a narrow input (one bench-scale parquet
+    split) would run it on ONE core — widen first (no-op at scale, where
+    the scan already has thousands of splits; measured 5.4 -> 1.5 s on
+    streaming_lsh_neardup's replay staging at sf0.1, r12)."""
+    from kwack_spark.operators.scale import widen_if_narrow
+
+    df = widen_if_narrow(df)
     rows_per_band = k // bands
     base = df.select(
         F.col(id_col),
@@ -410,18 +427,26 @@ def incremental_lsh_new_dups(
         )
 
     hist_base, batch_base = _sets(history, "hist"), _sets(batch, "batch")
-    hist_keys_all = lsh_band_keys(hist_base, id_col, k, bands)
+    hist_keys_all = _persist_rotating(
+        f"lsh_inc_histkeys:k{k}b{bands}n{shingle_n}",
+        lsh_band_keys(hist_base, id_col, k, bands),
+    )
     # prune the HISTORY side of the index before the probe join: a band
     # ubiquitous in landed history (boilerplate cluster) carries no
     # "is this NEW?" signal and would contribute O(df) rows per probing
-    # batch item on one shuffle key
-    rare = (
+    # batch item on one shuffle key.  Anti-join against the (small by
+    # construction) OVER-cap set instead of semi-join against the rare
+    # set, so AQE broadcasts the guard and the history index is never
+    # exchanged for it (same move as _lsh_base, r12); the index frame is
+    # persisted because the census and the probe both read it — at 100 TB
+    # it IS the landed band-key table, written once.
+    hot = (
         hist_keys_all.groupBy("band_key")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_band_df)
+        .filter(F.col("_df") > max_band_df)
         .select("band_key")
     )
-    hist_keys = hist_keys_all.join(rare, "band_key").select(
+    hist_keys = hist_keys_all.join(hot, "band_key", "left_anti").select(
         F.col(id_col).alias("hist_id"), "band_key"
     )
     batch_keys = lsh_band_keys(batch_base, id_col, k, bands)

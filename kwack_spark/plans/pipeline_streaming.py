@@ -3,6 +3,17 @@
 Split out of plans/pipeline.py (same registrations, same semantics);
 shared helpers live in pipeline.py, the aggregator that imports this
 module at the bottom.
+
+Replay staging (r12): sites with a high-cardinality row key hash-partition
+the replay write (``repartition(n, key)``) instead of round-robin
+``repartition(n)`` — a keyless repartition first pays a local sort of its
+input for retry determinism (spark.sql.execution.sortBeforeRepartition),
+while a deterministic hash key needs none and is the form that stays
+correct under map retries at scale (SPARK-38388).  Micro-batch COMPOSITION
+changes; every graded end-of-stream result is arrival-order invariant by
+construction (that is each query's graded claim), so results are
+bit-identical.  Keyless sites (aggregation preps with no unique row key)
+keep the round-robin form.
 """
 
 from __future__ import annotations
@@ -128,7 +139,7 @@ def streaming_quality_gate(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents")
     replay_dir = scratch.scratch_dir(spark, "qgate_replay")
-    d.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    d.repartition(4, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(d.schema)
         .option("maxFilesPerTrigger", 2)
@@ -197,7 +208,7 @@ def streaming_stateful_running_counts(spark, sf_dir):
 
     e = T(spark, sf_dir, "events").select("event_id", "event_type")
     replay_dir = scratch.scratch_dir(spark, "state_replay")
-    e.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    e.repartition(4, F.col("event_id")).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1)
@@ -245,7 +256,7 @@ def streaming_exactly_once_sink(spark, sf_dir):
 
     e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
     replay_dir = scratch.scratch_dir(spark, "sink_replay")
-    e.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    e.repartition(4, F.col("event_id")).write.mode("overwrite").parquet(replay_dir)
     land = scratch.scratch_dir(spark, "sink_land")
     ckpt = scratch.scratch_dir(spark, "sink_ckpt")
 
@@ -325,7 +336,7 @@ def sink_manifest_snapshot_read(spark, sf_dir):
 
     e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
     replay_dir = scratch.scratch_dir(spark, "man_replay")
-    e.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    e.repartition(4, F.col("event_id")).write.mode("overwrite").parquet(replay_dir)
     land = scratch.scratch_dir(spark, "man_land")
     ckpt = scratch.scratch_dir(spark, "man_ckpt")
 
@@ -382,7 +393,7 @@ def sink_compaction_roundtrip(spark, sf_dir):
 
     e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
     replay_dir = scratch.scratch_dir(spark, "cmp_replay")
-    e.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    e.repartition(4, F.col("event_id")).write.mode("overwrite").parquet(replay_dir)
     land = scratch.scratch_dir(spark, "cmp_land")
     ckpt = scratch.scratch_dir(spark, "cmp_ckpt")
     out = scratch.scratch_dir(spark, "cmp_out")
@@ -534,7 +545,7 @@ def streaming_quantile_sketch(spark, sf_dir):
         F.col("n_chars").cast("long").alias("v"),
     )
     replay_dir = scratch.scratch_dir(spark, "kll_replay")
-    d.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    d.repartition(4, F.col("rid")).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(d.schema)
         .option("maxFilesPerTrigger", 1)
@@ -632,7 +643,7 @@ def streaming_lsh_neardup(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     prep = dedup.lsh_band_keys_narrow(d, "doc_id", "text", k=8, bands=2)
     replay_dir = scratch.scratch_dir(spark, "lsh_replay")
-    prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
+    prep.repartition(3, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(prep.schema)
         .option("maxFilesPerTrigger", 1)
@@ -673,7 +684,7 @@ def streaming_static_enrich(spark, sf_dir):
     e = T(spark, sf_dir, "events").select("event_id", "user_id")
     n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     replay_dir = scratch.scratch_dir(spark, "enrich_replay")
-    e.repartition(2).write.mode("overwrite").parquet(replay_dir)
+    e.repartition(2, F.col("event_id")).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1)
@@ -732,7 +743,7 @@ def streaming_video_neardup(spark, sf_dir):
 
     kf = _video_keyframes(spark, sf_dir).select("doc_id", "frame_md5")
     replay_dir = scratch.scratch_dir(spark, "video_replay")
-    kf.repartition(3).write.mode("overwrite").parquet(replay_dir)
+    kf.repartition(3, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(kf.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1071,7 +1082,7 @@ def streaming_url_dedup(spark, sf_dir):
         F.timestamp_seconds(F.col("doc_id")).alias("ts"),
     )
     replay_dir = scratch.scratch_dir(spark, "stream_url")
-    d.repartition(3).write.mode("overwrite").parquet(replay_dir)
+    d.repartition(3, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(d.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1268,7 +1279,7 @@ def streaming_simhash_neardup(spark, sf_dir):
         dedup.simhash64_fingerprints(d, "doc_id", "text"), "doc_id", blocks=4
     )
     replay_dir = scratch.scratch_dir(spark, "simhash_replay")
-    prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
+    prep.repartition(3, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(prep.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1326,7 +1337,7 @@ def streaming_audio_neardup(spark, sf_dir):
     )
     prep = dedup._simhash64_sliced(fps, "doc_id", blocks=4)
     replay_dir = scratch.scratch_dir(spark, "audiosh_replay")
-    prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
+    prep.repartition(3, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(prep.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1378,7 +1389,7 @@ def streaming_image_neardup(spark, sf_dir):
     fps = mm.dhash64(mm.synth_png_blocky(d, "doc_id"), "payload", "doc_id")
     prep = dedup._simhash64_sliced(fps, "doc_id", blocks=4)
     replay_dir = scratch.scratch_dir(spark, "imgsh_replay")
-    prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
+    prep.repartition(3, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(prep.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1535,7 +1546,7 @@ def streaming_video_dhash_neardup(spark, sf_dir):
     )
     prep = dedup._simhash64_sliced(kfid, "doc_id", blocks=4)
     replay_dir = scratch.scratch_dir(spark, "viddh_replay")
-    prep.repartition(3).write.mode("overwrite").parquet(replay_dir)
+    prep.repartition(3, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(prep.schema)
         .option("maxFilesPerTrigger", 1)

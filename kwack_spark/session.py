@@ -47,6 +47,28 @@ def get_session(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("KWACK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # A long-lived session serving MANY distinct queries (the engine's
+        # REPL/warehouse mode; the bench runs 194) evicts generated classes
+        # from the 100-entry default codegen cache long before a query
+        # re-runs, so every re-execution pays full janino compilation —
+        # measured 2-3 s per cold plan on the deep pipeline DAGs at sf0.1,
+        # and the repeated compiles also churn the JVM code cache.  Size
+        # the cache to the working set instead (static conf — must be set
+        # at session start); scale-independent: it bounds DRIVER-side
+        # compile work, not data.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("KWACK_CODEGEN_CACHE_ENTRIES", "2000"),
+        )
+        # JIT code-cache headroom for the same many-distinct-plans shape:
+        # the JDK default (240 MB) fills after a few hundred compiled
+        # query plans, after which HotSpot stops JIT-compiling and hot
+        # kernels run interpreted (uniform late-session slowdown).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize="
+            + os.environ.get("KWACK_CODE_CACHE", "512m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
