@@ -528,6 +528,33 @@ def _persist_rotating(tag: str, df: DataFrame) -> DataFrame:
     return out
 
 
+def _reuse_rotating(tag: str, df: DataFrame) -> DataFrame:
+    """Return the live rotating cache under ``tag`` when it plan-matches
+    ``df``; otherwise return ``df`` UNPERSISTED and leave the registry
+    untouched.  The read-only sibling of ``_persist_rotating`` for
+    consumers whose standalone invocation is cheaper WITHOUT a cache but
+    that should ride one a prefetch thread already materialized
+    (measured on dedup_incremental_lsh at sf0.1: forcing the history
+    band-key persist costs 2.43 s vs 2.06 s median un-persisted, while
+    the warmed curation DAGs reuse the prefetched cache for free)."""
+    spark = df.sparkSession
+    with _ACTIVE_CACHE_LOCK:
+        per_session = _ACTIVE_CACHE.get(spark)
+        prev = per_session.get(tag) if per_session else None
+        if prev is not None:
+            try:
+                still_cached = (
+                    prev.storageLevel.useMemory or prev.storageLevel.useDisk
+                )
+                if still_cached and prev._jdf.queryExecution().analyzed().sameResult(
+                    df._jdf.queryExecution().analyzed()
+                ):
+                    return prev
+            except Exception:
+                pass
+    return df
+
+
 # stage_checkpoint state: spark -> {tag: (source_df, checkpointed_df)}
 _STAGE_CKPT: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
@@ -581,35 +608,44 @@ def stage_checkpoint(tag: str, df: DataFrame) -> DataFrame:
             _STAGE_CKPT[spark] = per_session
         prev = per_session.get(tag)
         if prev is not None:
-            src, ck, ret = prev
+            src, ck = prev
             try:
                 if _ckpt_alive(ck) and src._jdf.queryExecution().analyzed().sameResult(
                     df._jdf.queryExecution().analyzed()
                 ):
-                    return ret
+                    return ck
             except Exception:
                 pass
         per_session.pop(tag, None)
-        if prev is not None:
-            try:
-                prev[1]._jdf.queryExecution().analyzed().rdd().unpersist(False)
-            except Exception:
-                pass
-        out = df.localCheckpoint(eager=True)
-        # NOTE (r12, measured and deliberately NOT widened): AQE coalesces
-        # a small stage's final shuffle to ONE partition and the checkpoint
-        # freezes that width, so downstream projections run single-task at
-        # bench scale.  Handing consumers a round-robin-widened view
-        # (out.repartition(defaultParallelism) when narrower) was tried and
-        # measured SLOWER end-to-end on both big curation DAGs at sf0.1
-        # (corpus_curation_all_modalities 7.8 -> 11.9 s warm, the
-        # incremental-multimodal DAG 6.6 -> 10.3 s): with only a few
-        # thousand surviving rows per stage, 32 near-empty partitions cost
-        # more in task/Arrow overhead across every consuming job than the
-        # single-core projections they spread out.  At 100 TB the
-        # coalesced width tracks data volume (AQE targets
-        # advisoryPartitionSizeInBytes), so stages stay wide on their own.
-        per_session[tag] = (df, out, out)
+    # Materialize OUTSIDE the lock so INDEPENDENT stage builds submitted
+    # from a driver thread pool genuinely overlap (guide §2.6 — the
+    # incremental curation DAGs build their five history indexes
+    # concurrently; holding the lock across the eager checkpoint would
+    # serialize them).  Callers use distinct tags per call site; two
+    # concurrent builds of the SAME tag would both materialize and the
+    # later store wins (the loser's blocks stay until session end), which
+    # no current caller does.
+    if prev is not None:
+        try:
+            prev[1]._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+    out = df.localCheckpoint(eager=True)
+    # NOTE (r12, measured and deliberately NOT widened): AQE coalesces
+    # a small stage's final shuffle to ONE partition and the checkpoint
+    # freezes that width, so downstream projections run single-task at
+    # bench scale.  Handing consumers a round-robin-widened view
+    # (out.repartition(defaultParallelism) when narrower) was tried and
+    # measured SLOWER end-to-end on both big curation DAGs at sf0.1
+    # (corpus_curation_all_modalities 7.8 -> 11.9 s warm, the
+    # incremental-multimodal DAG 6.6 -> 10.3 s): with only a few
+    # thousand surviving rows per stage, 32 near-empty partitions cost
+    # more in task/Arrow overhead across every consuming job than the
+    # single-core projections they spread out.  At 100 TB the
+    # coalesced width tracks data volume (AQE targets
+    # advisoryPartitionSizeInBytes), so stages stay wide on their own.
+    with _ACTIVE_CACHE_LOCK:
+        per_session[tag] = (df, out)
     return out
 
 

@@ -1830,27 +1830,51 @@ def corpus_curation_incremental(spark, sf_dir):
     keys, shingles, band keys, the gate, and the manifest."""
     from kwack_spark.functions import text as TX2
 
+    from concurrent.futures import ThreadPoolExecutor
+
     d = T(spark, sf_dir, "documents")
     dd = F.col("doc_id") % 4
     hist = d.filter(dd < 2)
     bat = d.filter(dd >= 2)
-    # --- stage 1: URL admission against the landed URL index ---
-    url_index = similarity.stage_checkpoint(
-        "cur_inc_urlidx",
-        hist.select(
-            TX2.canonical_url(_url_raw_col()).alias("canon_url")
-        ).distinct(),
-    )
-    canon_b = bat.select(
-        "doc_id", TX2.canonical_url(_url_raw_col()).alias("canon_url")
-    )
-    keep1 = (
-        canon_b.join(url_index, "canon_url", "left_anti")
-        .groupBy("canon_url")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    s1 = similarity.stage_checkpoint("cur_inc_s1", bat.join(keep1, "doc_id"))
+
+    # the two history-index builds (URL set, LSH band keys) are
+    # independent of each other and of the batch chain — overlap them on
+    # a driver thread pool (guide §2.6); identical frames, identical
+    # results, only job overlap changes
+    def _build_url_index():
+        spark.sparkContext.setJobDescription("cur_inc: history URL index")
+        return similarity.stage_checkpoint(
+            "cur_inc_urlidx",
+            hist.select(
+                TX2.canonical_url(_url_raw_col()).alias("canon_url")
+            ).distinct(),
+        )
+
+    def _warm_lsh_index():
+        spark.sparkContext.setJobDescription("cur_inc: history LSH band index")
+        dedup.warm_incremental_lsh_history(hist, "doc_id", "text", k=8, bands=2)
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    try:
+        f_url = pool.submit(_build_url_index)
+        f_lsh = pool.submit(_warm_lsh_index)
+        # --- stage 1: URL admission against the landed URL index ---
+        url_index = f_url.result()
+        canon_b = bat.select(
+            "doc_id", TX2.canonical_url(_url_raw_col()).alias("canon_url")
+        )
+        keep1 = (
+            canon_b.join(url_index, "canon_url", "left_anti")
+            .groupBy("canon_url")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        s1 = similarity.stage_checkpoint(
+            "cur_inc_s1", bat.join(keep1, "doc_id")
+        )
+        f_lsh.result()  # rotating caches warm; the probe plan-matches them
+    finally:
+        pool.shutdown(wait=True)
     # --- stage 2: near-dup-of-history rejection (LSH index probe) ---
     dups = dedup.incremental_lsh_new_dups(
         hist, s1, "doc_id", "text", k=8, bands=2, threshold=0.5
@@ -1988,7 +2012,15 @@ def corpus_curation_incremental_multimodal(spark, sf_dir):
     modality, emits 8 bytes per item (payloads never shuffle), and rides
     the shared probe kernels (dedup.fingerprint_hamming_probe for the two
     Hamming families, dedup.key_collision_probe for keyframes), so one
-    code path serves text/image/audio/video alike."""
+    code path serves text/image/audio/video alike.
+
+    The five history-index builds are mutually independent and
+    independent of the batch chain, so they run CONCURRENTLY on a small
+    driver thread pool (guide §2.6 — overlap independent jobs) and the
+    sequential admission chain collects each one at its point of use.
+    Identical frames, identical results — only job overlap changes."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from kwack_spark.functions import text as TX2
     from kwack_spark.operators import multimodal as mm
 
@@ -1997,24 +2029,92 @@ def corpus_curation_incremental_multimodal(spark, sf_dir):
     split = (F.col("doc_id") / 128).cast("long") % 4
     hist = d.filter(split < 2)
     bat = d.filter(split >= 2)
-    # --- stage 1: URL admission against the landed URL index ---
-    url_index = similarity.stage_checkpoint(
-        "cim_urlidx",
-        hist.select(
-            TX2.canonical_url(_url_raw_col()).alias("canon_url")
-        ).distinct(),
-    )
-    canon_b = bat.select(
-        "doc_id", TX2.canonical_url(_url_raw_col()).alias("canon_url")
-    )
-    keep1 = (
-        canon_b.join(url_index, "canon_url", "left_anti")
-        .groupBy("canon_url")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    s1 = similarity.stage_checkpoint("cim_s1", bat.join(keep1, "doc_id"))
-    # --- stage 2: near-dup-of-history rejection (LSH index probe) ---
+    has_img = F.col("doc_id") % 128 % 5 == 0
+    has_aud = F.col("doc_id") % 128 % 7 == 0
+    has_vid = F.col("doc_id") % 64 % 3 == 0
+
+    def _build_url_index():
+        spark.sparkContext.setJobDescription("cim: history URL index")
+        return similarity.stage_checkpoint(
+            "cim_urlidx",
+            hist.select(
+                TX2.canonical_url(_url_raw_col()).alias("canon_url")
+            ).distinct(),
+        )
+
+    def _build_img_index():
+        spark.sparkContext.setJobDescription("cim: history image dHash index")
+        return similarity.stage_checkpoint(
+            "cim_imgidx",
+            mm.dhash64(
+                mm.synth_png_blocky(
+                    hist.filter(has_img)
+                    .select("doc_id")
+                    .repartition(par, "doc_id"),
+                    "doc_id",
+                ),
+                "payload",
+                "doc_id",
+            ),
+        )
+
+    def _build_aud_index():
+        spark.sparkContext.setJobDescription("cim: history audio fp index")
+        return similarity.stage_checkpoint(
+            "cim_audidx",
+            mm.audio_fingerprint64(
+                mm.synth_wav_am(
+                    hist.filter(has_aud)
+                    .select("doc_id")
+                    .repartition(par, "doc_id"),
+                    "doc_id",
+                ),
+                "payload",
+                "doc_id",
+            ),
+        )
+
+    def _build_vid_index():
+        spark.sparkContext.setJobDescription("cim: history keyframe index")
+        return similarity.stage_checkpoint(
+            "cim_vididx",
+            _video_keyframes_from(hist.filter(has_vid).select("doc_id")).select(
+                "doc_id", "frame_md5"
+            ),
+        )
+
+    def _warm_lsh_index():
+        spark.sparkContext.setJobDescription("cim: history LSH band index")
+        dedup.warm_incremental_lsh_history(hist, "doc_id", "text", k=8, bands=2)
+
+    pool = ThreadPoolExecutor(max_workers=3)
+    try:
+        f_url = pool.submit(_build_url_index)
+        f_lsh = pool.submit(_warm_lsh_index)
+        f_img = pool.submit(_build_img_index)
+        f_aud = pool.submit(_build_aud_index)
+        f_vid = pool.submit(_build_vid_index)
+        # --- stage 1: URL admission against the landed URL index ---
+        url_index = f_url.result()
+        canon_b = bat.select(
+            "doc_id", TX2.canonical_url(_url_raw_col()).alias("canon_url")
+        )
+        keep1 = (
+            canon_b.join(url_index, "canon_url", "left_anti")
+            .groupBy("canon_url")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        s1 = similarity.stage_checkpoint("cim_s1", bat.join(keep1, "doc_id"))
+        # --- stage 2: near-dup-of-history rejection (LSH index probe) ---
+        f_lsh.result()  # rotating caches warm; the probe plan-matches them
+        img_hist, aud_hist, kf_hist = (
+            f_img.result(),
+            f_aud.result(),
+            f_vid.result(),
+        )
+    finally:
+        pool.shutdown(wait=True)
     dups = dedup.incremental_lsh_new_dups(
         hist, s1, "doc_id", "text", k=8, bands=2, threshold=0.5
     )
@@ -2032,18 +2132,6 @@ def corpus_curation_incremental_multimodal(spark, sf_dir):
         "cim_s3", s2.join(gate, "doc_id").select("doc_id", "n_chars")
     )
     # --- stage 4: image admission (persisted dHash index probe) ---
-    has_img = F.col("doc_id") % 128 % 5 == 0
-    img_hist = similarity.stage_checkpoint(
-        "cim_imgidx",
-        mm.dhash64(
-            mm.synth_png_blocky(
-                hist.filter(has_img).select("doc_id").repartition(par, "doc_id"),
-                "doc_id",
-            ),
-            "payload",
-            "doc_id",
-        ),
-    )
     img_bat = mm.dhash64(
         mm.synth_png_blocky(
             s3.filter(has_img).select("doc_id").repartition(par, "doc_id"),
@@ -2059,18 +2147,6 @@ def corpus_curation_incremental_multimodal(spark, sf_dir):
         "cim_s4", s3.join(drop4, "doc_id", "left_anti")
     )
     # --- stage 5: audio admission (persisted energy-fp index probe) ---
-    has_aud = F.col("doc_id") % 128 % 7 == 0
-    aud_hist = similarity.stage_checkpoint(
-        "cim_audidx",
-        mm.audio_fingerprint64(
-            mm.synth_wav_am(
-                hist.filter(has_aud).select("doc_id").repartition(par, "doc_id"),
-                "doc_id",
-            ),
-            "payload",
-            "doc_id",
-        ),
-    )
     aud_bat = mm.audio_fingerprint64(
         mm.synth_wav_am(
             s4.filter(has_aud).select("doc_id").repartition(par, "doc_id"),
@@ -2086,13 +2162,6 @@ def corpus_curation_incremental_multimodal(spark, sf_dir):
         "cim_s5", s4.join(drop5, "doc_id", "left_anti")
     )
     # --- stage 6: video admission (persisted keyframe index probe) ---
-    has_vid = F.col("doc_id") % 64 % 3 == 0
-    kf_hist = similarity.stage_checkpoint(
-        "cim_vididx",
-        _video_keyframes_from(hist.filter(has_vid).select("doc_id")).select(
-            "doc_id", "frame_md5"
-        ),
-    )
     kf_bat = _video_keyframes_from(s5.filter(has_vid).select("doc_id")).select(
         "doc_id", "frame_md5"
     )

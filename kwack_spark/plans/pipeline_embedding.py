@@ -1114,7 +1114,12 @@ def ann_ivf_adaptive_recall(spark, sf_dir):
         e, e, "vec_id", "embedding",
         k=3, n_lists=n_lists, n_probe=n_probe, refine_iters=0,
     )
-    bf = _Q["ann_brute_force_topk"].fn(spark, sf_dir)
+    # the truth set feeds BOTH the match join and the n_exact count (two
+    # actions) — persist it rotating or the brute-force pipeline runs
+    # twice (the ann_probe_recall_curve discipline, r12)
+    bf = similarity._persist_rotating(
+        "ivf_adaptive_bf", _Q["ann_brute_force_topk"].fn(spark, sf_dir)
+    )
     matched = ivf.join(bf, ["query_id", "corpus_id"], "inner").count()
     n_exact = bf.count()
     import pyspark.sql.types as T_
@@ -1162,7 +1167,11 @@ def ann_pq_recall(spark, sf_dir):
     |exact| — integer-ratio exact, composed from the two registered
     pipelines' own oracles so all three stay in lockstep."""
     pq = _Q["ann_pq_topk"].fn(spark, sf_dir)
-    bf = _Q["ann_brute_force_topk"].fn(spark, sf_dir)
+    # persist the truth set: it feeds the match join AND the n_exact
+    # count (two actions; same discipline as ann_probe_recall_curve)
+    bf = similarity._persist_rotating(
+        "pq_recall_bf", _Q["ann_brute_force_topk"].fn(spark, sf_dir)
+    )
     matched = pq.join(bf, ["query_id", "corpus_id"], "inner").count()
     n_exact = bf.count()
     import pyspark.sql.types as T_
