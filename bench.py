@@ -536,9 +536,24 @@ def main() -> None:
         },
     }
     print(json.dumps(result))
-    # The driver's BENCH artifact stores a truncated stdout tail, which has
-    # made per-query regression auditing impossible from artifacts alone
-    # for two rounds — so ALSO persist the full result next to the script.
+    # The driver's BENCH artifact stores only the last ~2 kB of stdout, and
+    # the full line (two dicts x 194 queries ~ 12 kB) exceeds that — the r11
+    # artifact was truncated mid-line and r12 lost its round-over-round
+    # table to it.  Emit a SECOND, compact line AFTER the full one (same
+    # schema minus the per-query dicts) so a 2 kB tail always ends with a
+    # complete parseable record; consumers that want per-query numbers use
+    # the first line or BENCH_LOCAL.json.
+    print(
+        json.dumps(
+            {
+                k: v
+                for k, v in result.items()
+                if k not in ("queries", "queries_spread")
+            }
+        )
+    )
+    # The full result is ALSO persisted next to the script so per-query
+    # regression auditing never depends on stdout capture size.
     # tools/bench_regress.py diffs this against the committed
     # BENCH_BASELINE.json (>1.25x median = regression).
     out = Path(__file__).resolve().parent / "BENCH_LOCAL.json"

@@ -43,27 +43,80 @@ def exact_dedup_mapping(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return fps.join(canon, "fp").select(id_col, "canonical_id", "group_size", "fp")
 
 
+def _minhash_sig_frame(
+    frame: DataFrame,
+    id_col: str,
+    k: int,
+    sh_col: str = "sh",
+    carry: tuple[str, ...] = (),
+    seed_slice=None,
+) -> DataFrame:
+    """Per-row MinHash signature columns ``mh0..mh{k-1}`` over a shingle
+    ARRAY column — NO aggregation, NO exchange (r13, guide §2.4: the former
+    explode + groupBy-min form paid a corpus-wide shuffle purely to compute
+    a per-row reduction).  One md5 array per seed group (4 slice members
+    share one hash — the same 4x hashing economy as the exploded form; the
+    arrays are real columns in a separate Project, which CollapseProject
+    keeps un-inlined because each is referenced 4 times, so md5 still runs
+    once per (seed, shingle)), then ``array_min`` per member.  min over the
+    same slice multiset == the groupBy-min, so outputs are bit-identical.
+    ``carry`` columns pass through (the streaming prep keeps ``sh``).
+    ``seed_slice`` maps member index -> (seed prefix, 1-based hex offset);
+    defaults to the LSH 'a:'.. family (``TX.minhash_seed_slice``)."""
+    if seed_slice is None:
+        seed_slice = TX.minhash_seed_slice
+    seeds: list[str] = []
+    for i in range(k):
+        s, _ = seed_slice(i)
+        if s not in seeds:
+            seeds.append(s)
+
+    def _seed_hash(seed: str):
+        def f(x):
+            return F.md5(F.concat(F.lit(f"{seed}:"), x))
+
+        return f
+
+    with_arrs = frame.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        *[
+            F.transform(F.col(sh_col), _seed_hash(s)).alias(f"_h_{s}")
+            for s in seeds
+        ],
+    )
+
+    def member(i: int):
+        seed, off = seed_slice(i)
+
+        def slc(h):
+            return F.substring(h, off, 8)
+
+        return F.array_min(F.transform(F.col(f"_h_{seed}"), slc)).alias(f"mh{i}")
+
+    return with_arrs.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        *[member(i) for i in range(k)],
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, shingle_n: int = 3
 ) -> DataFrame:
     """k MinHash values per row.
 
-    Shape: explode shingles -> ceil(k/4) md5s per (row, shingle), each
-    sliced into four 8-hex (32-bit) hash members -> groupBy(id) min.
-    Exploding first means the shingle array is computed ONCE per row, and
-    slicing cuts hashing 4x vs one md5 per member (measured ~5x end-to-end
-    with the shorter min-agg strings).  The min-agg is partial+final, so the
-    shuffle carries only k short hashes per row."""
-    sh = TX.shingles(TX.tokens(text_col), shingle_n)
-    exploded = df.select(F.col(id_col), F.explode(sh).alias("s"))
-
-    def member(i: int):
-        seed, off = TX.minhash_seed_slice(i)
-        return F.min(
-            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("s"))), off, 8)
-        ).alias(f"mh{i}")
-
-    return exploded.groupBy(id_col).agg(*[member(i) for i in range(k)])
+    Shape (r13): the shingle array is computed once per row and the k
+    members are per-row ``array_min`` reductions over shared per-seed md5
+    arrays (``_minhash_sig_frame``) — one md5 per 4 members, NO shuffle.
+    The former explode + groupBy-min form produced the same values through
+    a corpus-wide exchange; min over the exploded multiset equals the
+    per-row array_min, so results are unchanged."""
+    base = df.select(
+        F.col(id_col),
+        F.array_distinct(TX.shingles(TX.tokens(text_col), shingle_n)).alias("sh"),
+    )
+    return _minhash_sig_frame(base, id_col, k)
 
 
 def _lsh_base(
@@ -74,6 +127,7 @@ def _lsh_base(
     bands: int,
     shingle_n: int,
     max_band_df: int,
+    pre_tokenized: bool = False,
 ):
     """Shared persisted LSH base: ``(shingle_sets, exploded, kept)``.
 
@@ -112,19 +166,31 @@ def _lsh_base(
     reps) and release the previous family member when it isn't — while
     distinct parameterizations (e.g. dedup_shingle_size_sensitivity's
     three shingle widths, alive in one action) keep distinct tags and
-    coexist."""
+    coexist.
+
+    ``pre_tokenized=True`` (r13): ``text_col`` names a TOKEN-ARRAY column
+    the caller already computed — the shingle stage derives directly from
+    it, so a sweep running several shingle widths over one corpus
+    tokenizes ONCE (one persisted token frame feeding three width
+    pipelines) instead of once per width.  The caller is responsible for
+    the token frame's width (no widen here: a persisted token frame is
+    already materialized wide, and a repartition on top of the cache
+    would be a wasted shuffle).  Token values are identical to the
+    inline ``TX.tokens`` path, so signatures, band keys and verified
+    pairs are unchanged."""
     from kwack_spark.operators.scale import widen_if_narrow
     from kwack_spark.operators.similarity import _persist_rotating
 
-    df = widen_if_narrow(df)  # md5 signature stage must not run single-task
-    tag = f"k{k}b{bands}n{shingle_n}"
+    if not pre_tokenized:
+        # md5 signature stage must not run single-task
+        df = widen_if_narrow(df)
+    tok_col = F.col(text_col) if pre_tokenized else TX.tokens(text_col)
+    tag = f"k{k}b{bands}n{shingle_n}" + ("t" if pre_tokenized else "")
     shingle_sets = _persist_rotating(
         f"lsh_sets:{tag}",
         df.select(
             F.col(id_col),
-            F.array_distinct(TX.shingles(TX.tokens(text_col), shingle_n)).alias(
-                "sh"
-            ),
+            F.array_distinct(TX.shingles(tok_col, shingle_n)).alias("sh"),
         ),
     )
     exploded = _persist_rotating(
@@ -150,9 +216,11 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_band_df: int = LSH_MAX_BAND_DF,
+    pre_tokenized: bool = False,
 ) -> DataFrame:
     """Candidate pairs whose signatures collide in >=1 band, verified with
-    exact shingle-set Jaccard >= threshold.
+    exact shingle-set Jaccard >= threshold.  ``pre_tokenized=True`` makes
+    ``text_col`` a precomputed token-array column (see ``_lsh_base``).
 
     Scale shape: explode to (band_key, id) — shuffle on band_key; the
     within-bucket self-join is cheap because buckets are duplicate-cluster
@@ -174,7 +242,7 @@ def minhash_lsh_pairs(
     The final verify re-joins the shingle sets by id.
     """
     shingle_sets, _, kept, _ = _lsh_base(
-        df, id_col, text_col, k, bands, shingle_n, max_band_df
+        df, id_col, text_col, k, bands, shingle_n, max_band_df, pre_tokenized
     )
     a = kept.alias("a")
     b = kept.alias("b")
@@ -206,24 +274,9 @@ def minhash_lsh_pairs(
     )
 
 
-def lsh_band_keys(
-    shingle_sets: DataFrame, id_col: str, k: int = 8, bands: int = 2
-) -> DataFrame:
-    """Exploded ``(id, band_key)`` rows from an ``(id, sh)`` shingle-set
-    DataFrame — the LSH index side shared by self-join dedup and incremental
-    (batch-vs-history) dedup.  Same 'a:'.. seed family and band hashing as
-    ``minhash_lsh_pairs`` so both produce identical keys."""
-    rows_per_band = k // bands
-    exploded_sh = shingle_sets.select(F.col(id_col), F.explode("sh").alias("s"))
-
-    def _member(i: int):
-        seed, off = TX.minhash_seed_slice(i)
-        return F.min(
-            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("s"))), off, 8)
-        ).alias(f"mh{i}")
-
-    sigs = exploded_sh.groupBy(id_col).agg(*[_member(i) for i in range(k)])
-    band_cols = [
+def _band_key_cols(bands: int, rows_per_band: int) -> list:
+    """The per-band md5-of-signature-slice columns over ``mh*`` inputs."""
+    return [
         F.md5(
             F.concat_ws(
                 "|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
@@ -231,7 +284,23 @@ def lsh_band_keys(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sigs.select(id_col, *band_cols)
+
+
+def lsh_band_keys(
+    shingle_sets: DataFrame, id_col: str, k: int = 8, bands: int = 2
+) -> DataFrame:
+    """Exploded ``(id, band_key)`` rows from an ``(id, sh)`` shingle-set
+    DataFrame — the LSH index side shared by self-join dedup and incremental
+    (batch-vs-history) dedup.  Same 'a:'.. seed family and band hashing as
+    ``minhash_lsh_pairs`` so both produce identical keys.
+
+    r13: signatures are per-row ``array_min`` reductions
+    (``_minhash_sig_frame``) — the former explode + groupBy-min paid one
+    corpus-wide Exchange per call purely to compute a per-row value; keys
+    are bit-identical and every LSH caller drops one shuffle."""
+    rows_per_band = k // bands
+    sigs = _minhash_sig_frame(shingle_sets, id_col, k)
+    banded = sigs.select(id_col, *_band_key_cols(bands, rows_per_band))
     return banded.select(
         F.col(id_col),
         F.explode(
@@ -355,26 +424,12 @@ def lsh_band_keys_narrow(
         F.col(id_col),
         F.array_distinct(TX.shingles(TX.tokens(text_col), shingle_n)).alias("sh"),
     )
-
-    def _member(i: int):
-        seed, off = TX.minhash_seed_slice(i)
-        return F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda s: F.substring(F.md5(F.concat(F.lit(f"{seed}:"), s)), off, 8),
-            )
-        ).alias(f"mh{i}")
-
-    sigs = base.select(id_col, "sh", *[_member(i) for i in range(k)])
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-            )
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select(id_col, "sh", *band_cols)
+    # r13: per-seed shared md5 arrays (_minhash_sig_frame) — the former 8
+    # independent transform chains hashed every shingle once per MEMBER
+    # (8x); sharing the seed array restores the 4-members-per-md5 economy
+    # while staying aggregation-free (still legal ahead of stateful ops)
+    sigs = _minhash_sig_frame(base, id_col, k, carry=("sh",))
+    banded = sigs.select(id_col, "sh", *_band_key_cols(bands, rows_per_band))
     return banded.select(
         F.col(id_col),
         "sh",
@@ -454,7 +509,6 @@ def warm_incremental_lsh_history(
     k: int = 8,
     bands: int = 2,
     shingle_n: int = 3,
-    max_band_df: int = LSH_MAX_BAND_DF,
 ) -> None:
     """Materialize the history-side LSH index caches ahead of time — the
     prefetch hook for DAGs that overlap independent index builds from a
@@ -462,7 +516,11 @@ def warm_incremental_lsh_history(
     call over the SAME history frame plan-matches the rotating persists
     and reuses them.  The count() action materializes both caches (the
     band-key frame computes through the shingle-set frame); its value is
-    discarded."""
+    discarded.  The warmed index is deliberately UN-capped: the hot-band
+    df-cap is applied by the consumer (``_inc_lsh_history``), so one warm
+    cache serves any ``max_band_df`` (r12 ADVICE — the former
+    ``max_band_df`` parameter here was never used and invited the false
+    expectation that the warm index was cap-filtered)."""
     from kwack_spark.operators.similarity import _persist_rotating
 
     hist_base = _inc_lsh_sets(history, id_col, text_col, shingle_n, "hist")
@@ -569,20 +627,14 @@ def _shingle_band_candidates(
     at j=0.8)."""
     rows_per_band = k // bands
 
-    def _seeded_min(i: int):
-        # closure, NOT a default arg: a 2-ary lambda would receive transform's
-        # (element, index) and silently shadow the slice.  One md5 per 4
-        # members ('t<group>:' seed) sliced into 8-hex values — 4x less
-        # hashing than one md5 per member.
-        seed, off = f"t{i // 4}:", (i % 4) * 8 + 1
-        return F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda s: F.substring(F.md5(F.concat(F.lit(seed), s)), off, 8),
-            )
-        ).alias(f"mh{i}")
+    def _t_seed_slice(i: int) -> tuple[str, int]:
+        # 't<group>:' seed family (disjoint from the LSH 'a:'.. family);
+        # one md5 per 4 members sliced into 8-hex values
+        return f"t{i // 4}", (i % 4) * 8 + 1
 
-    sigs = base.select(id_col, *[_seeded_min(i) for i in range(k)])
+    # r13: shared per-seed md5 arrays (_minhash_sig_frame) — the former 8
+    # independent transform chains re-hashed every shingle once per member
+    sigs = _minhash_sig_frame(base, id_col, k, seed_slice=_t_seed_slice)
     band_keys = F.array(
         *[
             F.concat(

@@ -928,16 +928,30 @@ def dhash64(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     import pandas as pd
 
     def kernel(batches) -> Iterator:
+        # per-task memo on the payload BYTES (r13, guide §4.5): dHash is a
+        # pure function of the payload, and duplicate-heavy corpora (the
+        # detection target) re-decode identical images otherwise; bounded,
+        # task-scoped, exact-bytes key
+        memo: dict = {}
+
+        def _fp(payload: bytes):
+            if payload in memo:
+                return memo[payload]
+            parsed = _png_decode(payload)
+            fp = (
+                _dhash64_from_px(parsed[0], parsed[1], parsed[2], parsed[4])
+                if parsed is not None
+                else None
+            )
+            if len(memo) < 16384:
+                memo[payload] = fp
+            return fp
+
         for pdf in batches:
             ids, fps = [], []
             for rec in pdf.itertuples(index=False):
-                parsed = _png_decode(bytes(getattr(rec, payload_col)))
                 ids.append(getattr(rec, id_col))
-                if parsed is None:
-                    fps.append(None)
-                    continue
-                w, h, ch, _depth, px = parsed
-                fps.append(_dhash64_from_px(w, h, ch, px))
+                fps.append(_fp(bytes(getattr(rec, payload_col))))
             yield pd.DataFrame({id_col: ids, "fp": pd.array(fps, dtype="Int64")})
 
     out_schema = ST.StructType(
@@ -1363,8 +1377,14 @@ def _jpeg_encode(pixels, channels: int) -> bytes:
 # 16-bit-peek Huffman decode tables, memoized on the DHT payload
 # (bits, vals) bytes so each distinct table builds its 65536-entry array
 # once per process — the Annex K tables every fixture carries hit the memo
-# from the second image on (heavyweight init once per worker, not per row)
+# from the second image on (heavyweight init once per worker, not per row).
+# BOUNDED (r12 ADVICE): each entry is ~2-3 MB of Python ints, and a corpus
+# of untrusted JPEGs with per-image custom tables could otherwise bloat a
+# worker without limit.  Past the cap the table is built and returned
+# UN-memoized — correct, just per-image cost for tables beyond the working
+# set (a real corpus reuses a handful of table sets; Annex K is one).
 _HUFF_PEEK_MEMO: dict = {}
+_HUFF_PEEK_MEMO_MAX = 16
 
 
 def _huff_peek_table(bits: bytes, vals: bytes):
@@ -1381,7 +1401,8 @@ def _huff_peek_table(bits: bytes, vals: bytes):
         lo = code << (16 - length)
         hi = (code + 1) << (16 - length)
         tab[lo:hi] = [(length << 8) | sym] * (hi - lo)
-    _HUFF_PEEK_MEMO[key] = tab
+    if len(_HUFF_PEEK_MEMO) < _HUFF_PEEK_MEMO_MAX:
+        _HUFF_PEEK_MEMO[key] = tab
     return tab
 
 
@@ -1957,10 +1978,29 @@ def avi_keyframes(
 def _codec_keyframes(df, payload_col, id_col, every_n, splitter):
     """Shared keyframe kernel: ``splitter`` turns the payload into frame
     byte slices (JPEG marker walk or RIFF chunk walk); every Nth frame is
-    fully decoded and dHashed."""
+    fully decoded and dHashed.
+
+    Per-task decode memo (r13, guide §4.5): decode+dHash is a pure function
+    of the frame BYTES, and duplicate videos (the very thing these queries
+    detect) carry byte-identical frames — so each task memoizes fp by frame
+    bytes and a duplicate-heavy corpus decodes each distinct frame once per
+    task instead of once per occurrence.  Bounded (worst case a corpus of
+    all-distinct frames just misses), keyed on the exact bytes (no hash
+    collisions), and scoped to the task — nothing persists across runs."""
     import pandas as pd
 
     def kernel(batches) -> Iterator:
+        memo: dict = {}
+
+        def _fp(frame: bytes):
+            if frame in memo:
+                return memo[frame]
+            parsed = _jpeg_decode(frame)
+            fp = _dhash64_from_px(*parsed) if parsed is not None else None
+            if len(memo) < 65536:
+                memo[frame] = fp
+            return fp
+
         for pdf in batches:
             ids, nos, fps = [], [], []
             for rec in pdf.itertuples(index=False):
@@ -1972,13 +2012,9 @@ def _codec_keyframes(df, payload_col, id_col, every_n, splitter):
                     fps.append(None)
                     continue
                 for t in range(0, len(frames), every_n):
-                    parsed = _jpeg_decode(frames[t])
-                    fp = (
-                        _dhash64_from_px(*parsed) if parsed is not None else None
-                    )
                     ids.append(did)
                     nos.append(t)
-                    fps.append(fp)
+                    fps.append(_fp(bytes(frames[t])))
             yield pd.DataFrame(
                 {
                     id_col: ids,

@@ -366,6 +366,37 @@ def hll_estimate(sketch: DataFrame) -> DataFrame:
     )
 
 
+def _has_shuffle_exchange(jplan, max_nodes: int = 256) -> bool:
+    """True when the physical plan tree contains a shuffle Exchange (or the
+    bounded walk gives up — the conservative answer for ``widen_if_narrow``,
+    which must then not insert one).  Pure tree traversal over py4j: no
+    execution, class-name matching, depth-first with a node budget."""
+    stack = [jplan]
+    seen = 0
+    while stack:
+        node = stack.pop()
+        seen += 1
+        if seen > max_nodes:
+            return True  # give up conservatively: treat as already wide
+        name = node.getClass().getSimpleName()
+        if name == "ShuffleExchangeExec":
+            # same semantics as the former string probe: hash/range/round-
+            # robin exchanges mean the plan is session-wide already, while
+            # an Exchange SinglePartition (global agg/limit) does NOT —
+            # a narrow frame behind one still deserves widening
+            part = node.outputPartitioning().getClass().getSimpleName()
+            if part in (
+                "HashPartitioning",
+                "RangePartitioning",
+                "RoundRobinPartitioning",
+            ):
+                return True
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return False
+
+
 def widen_if_narrow(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to the session's default parallelism when
     the plan is NARROWER than that — the adaptive fix for per-row-EXPENSIVE
@@ -395,13 +426,15 @@ def widen_if_narrow(df: DataFrame) -> DataFrame:
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         qe = df._jdf.queryExecution()
-        # pre-AQE physical plan: cheap to build, nothing executes
-        plan_str = qe.sparkPlan().toString().lower()
-        if (
-            "exchange hashpartitioning" in plan_str
-            or "exchange rangepartitioning" in plan_str
-            or "exchange roundrobinpartitioning" in plan_str
-        ):
+        # pre-AQE physical plan: cheap to build, nothing executes.  The
+        # shuffle-Exchange probe walks the plan TREE checking node class
+        # names (ShuffleExchangeExec — stable across 3.x/4.x) instead of
+        # sniffing the rendered string (r12 VERDICT hygiene: the
+        # "exchange hashpartitioning" text is a formatting detail).  The
+        # walk is bounded: trees this helper sees are input frames (scans,
+        # checkpointed stages — a handful of nodes), and past the cap we
+        # conservatively leave the frame alone (same as finding one).
+        if _has_shuffle_exchange(qe.sparkPlan()):
             return df
         leaves = qe.optimizedPlan().collectLeaves()
         total = 0

@@ -1299,11 +1299,23 @@ def _band_keys_sql(b: int, r: int) -> str:
 def minhash_band_calibration(spark, sf_dir):
     """LSH band-config sweep over one shared signature table.  100-TB
     shape: this runs on a SAMPLE (the tuning step), but the plan is
-    scale-clean anyway — signatures are one explode + min-agg, each config
-    adds b rows per doc to ONE banded self-join keyed on the (config-
-    prefixed) band key, the exact-Jaccard verify touches only the union of
-    candidates, and the output is 4 rows.  The chosen config then drives
-    dedup_minhash_lsh on the full corpus."""
+    scale-clean anyway — signatures are one explode + min-agg, ONE banded
+    self-join keyed on the FINEST config's (position, slice) bands covers
+    every config (the grid is NESTED: a band of config (b, r) is a
+    concatenation of r single-slice bands, so any (b, r) collision is a
+    fortiori an (8, 1) collision — the md5 band keys the oracle compares
+    are injective over the fixed-width slices), per-config membership is a
+    signature comparison carried through the join, the exact-Jaccard
+    verify touches only the superset candidates, and the output is 4 rows.
+    The chosen config then drives dedup_minhash_lsh on the full corpus.
+
+    r13: the former plan unioned all four configs' exploded band rows
+    (15 rows/doc) into one self-join, then re-joined the distinct
+    (config, pair) set against the verified pairs.  Exploding only the
+    (8, 1) bands (8 rows/doc) and deriving each config's candidacy from
+    the slice-equality flags removes the per-config explode, the second
+    distinct, and the cand-to-jaccard rejoin — output bit-identical (the
+    oracle is unchanged)."""
     from pyspark import StorageLevel
 
     d = T(spark, sf_dir, "documents")
@@ -1311,87 +1323,133 @@ def minhash_band_calibration(spark, sf_dir):
         "doc_id",
         F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    exploded_sh = shingle_sets.select("doc_id", F.explode("sh").alias("s"))
+    # per-row array_min signatures (no explode + groupBy exchange — same
+    # values, see dedup._minhash_sig_frame)
+    sigs = dedup._minhash_sig_frame(shingle_sets, "doc_id", 8).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
-    def _member(i: int):
-        seed, off = TX.minhash_seed_slice(i)
-        return F.min(
-            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("s"))), off, 8)
-        ).alias(f"mh{i}")
+    # finest-config band rows: (slice position j, slice value) — carrying
+    # the full signature through the self-join so per-config collision
+    # flags need no rejoin
+    ex8 = sigs.select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(8)],
+        F.posexplode(F.array(*[F.col(f"mh{i}") for i in range(8)])).alias(
+            "j", "v"
+        ),
+    )
+    a = ex8.alias("a")
+    b2 = ex8.alias("b2")
 
-    sigs = exploded_sh.groupBy("doc_id").agg(*[_member(i) for i in range(8)])
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    def _collides(b: int, r: int):
+        """Pair collides in config (b, r): some band j has ALL r member
+        slices equal — exactly the oracle's md5(concat_ws(...)) equality
+        (fixed-width 8-hex slices make the concatenation injective)."""
+        per_band = [
+            _reduce_and(
+                [
+                    F.col(f"a.mh{j * r + t}") == F.col(f"b2.mh{j * r + t}")
+                    for t in range(r)
+                ]
+            )
+            for j in range(b)
+        ]
+        return _reduce_or(per_band)
 
-    def _band_rows(b: int, r: int):
-        keys = F.array(
-            *[
-                F.concat(
-                    F.lit(f"{b}:{j}:"),
-                    F.md5(
-                        F.concat_ws("|", *[F.col(f"mh{j * r + t}") for t in range(r)])
-                    ),
-                )
-                for j in range(b)
-            ]
-        )
-        return sigs.select(
-            "doc_id", F.lit(b).alias("b"), F.explode(keys).alias("band_key")
-        )
-
-    ex = None
-    for b, r in _BAND_CONFIGS:
-        part = _band_rows(b, r)
-        ex = part if ex is None else ex.unionAll(part)
-    a = ex.alias("a")
-    b2 = ex.alias("b2")
-    cand = (
+    # (8,1) candidacy is true for every self-join match by construction;
+    # the three coarser flags ride the distinct (constant per pair, so
+    # distinct over (pair, flags) == distinct over pair)
+    pairs = (
         a.join(
             b2,
-            (F.col("a.band_key") == F.col("b2.band_key"))
+            (F.col("a.j") == F.col("b2.j"))
+            & (F.col("a.v") == F.col("b2.v"))
             & (F.col("a.doc_id") < F.col("b2.doc_id")),
         )
         .select(
-            F.col("a.b").alias("b"),
             F.col("a.doc_id").alias("id_a"),
             F.col("b2.doc_id").alias("id_b"),
+            _collides(4, 2).alias("c4"),
+            _collides(2, 4).alias("c2"),
+            _collides(1, 8).alias("c1"),
         )
         .distinct()
     )
-    pairs = cand.select("id_a", "id_b").distinct()
     sa = shingle_sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = shingle_sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac_expr = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    jac = (
+    verified = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
-            "id_a",
-            "id_b",
+            "c4",
+            "c2",
+            "c1",
             F.when(jac_expr >= 0.5, F.lit(1)).otherwise(F.lit(0)).alias("is_true"),
         )
     )
-    agg = cand.join(jac, ["id_a", "id_b"]).groupBy("b").agg(
-        F.count(F.lit(1)).alias("n_candidates"),
-        F.sum("is_true").alias("n_true"),
+    # one global rollup: per-config candidate/true counts as conditional
+    # sums over the superset pair table (empty table -> NULL sums, coalesced
+    # to 0 below exactly like the oracle's LEFT JOIN)
+    stats = verified.agg(
+        F.count(F.lit(1)).alias("n8"),
+        F.sum("is_true").alias("t8"),
+        F.sum(F.col("c4").cast("int")).alias("n4"),
+        F.sum(F.when(F.col("c4"), F.col("is_true")).otherwise(0)).alias("t4"),
+        F.sum(F.col("c2").cast("int")).alias("n2"),
+        F.sum(F.when(F.col("c2"), F.col("is_true")).otherwise(0)).alias("t2"),
+        F.sum(F.col("c1").cast("int")).alias("n1"),
+        F.sum(F.when(F.col("c1"), F.col("is_true")).otherwise(0)).alias("t1"),
     )
     cfg = spark.createDataFrame(
         [(b, r, _BAND_THRESHOLDS[b]) for b, r in _BAND_CONFIGS],
         "b int, r int, est_threshold double",
     )
-    return cfg.join(agg, "b", "left").select(
+    n_cand = (
+        F.when(F.col("b") == 8, F.col("n8"))
+        .when(F.col("b") == 4, F.col("n4"))
+        .when(F.col("b") == 2, F.col("n2"))
+        .otherwise(F.col("n1"))
+    )
+    n_true = (
+        F.when(F.col("b") == 8, F.col("t8"))
+        .when(F.col("b") == 4, F.col("t4"))
+        .when(F.col("b") == 2, F.col("t2"))
+        .otherwise(F.col("t1"))
+    )
+    return cfg.crossJoin(F.broadcast(stats)).select(
         F.col("b").alias("bands"),
         F.col("r").alias("rows_per_band"),
-        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
-        F.coalesce("n_true", F.lit(0)).alias("n_true"),
+        F.coalesce(n_cand.cast("long"), F.lit(0).cast("long")).alias(
+            "n_candidates"
+        ),
+        F.coalesce(n_true.cast("long"), F.lit(0).cast("long")).alias("n_true"),
         F.round(
-            F.coalesce("n_true", F.lit(0)).cast("double")
-            / F.coalesce("n_candidates", F.lit(1)),
+            F.coalesce(n_true, F.lit(0)).cast("double")
+            / F.when(
+                F.coalesce(n_cand, F.lit(0)) > 0, F.coalesce(n_cand, F.lit(0))
+            ).otherwise(F.lit(1)),
             6,
         ).alias("precision_at_05"),
         "est_threshold",
     )
+
+
+def _reduce_and(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def _reduce_or(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
 
 @register(
     "dedup_lexical_semantic_agreement",
@@ -1528,12 +1586,29 @@ def dedup_shingle_size_sensitivity(spark, sf_dir):
     but scale-clean regardless — each width is one independent banded
     pipeline (explode + min-agg signatures, band-key self-join, verify
     join on candidates only) whose outputs collapse to a single summary
-    row before the 3-row union."""
+    row before the 3-row union.  The three widths share ONE persisted
+    token frame (r13, guide §5.1): tokenization (regex normalize + split)
+    ran once per width before; shingling, signatures and verify joins are
+    width-specific and still independent."""
+    from kwack_spark.operators.scale import widen_if_narrow
+    from kwack_spark.operators.similarity import _persist_rotating
+
     d = T(spark, sf_dir, "documents")
+    toks = _persist_rotating(
+        "shingle_sweep_toks",
+        widen_if_narrow(d).select("doc_id", TX.tokens("text").alias("tk")),
+    )
     parts = []
     for n in (2, 3, 5):
         pairs = dedup.minhash_lsh_pairs(
-            d, "doc_id", "text", k=8, bands=2, shingle_n=n, threshold=0.0
+            toks,
+            "doc_id",
+            "tk",
+            k=8,
+            bands=2,
+            shingle_n=n,
+            threshold=0.0,
+            pre_tokenized=True,
         )
         parts.append(
             pairs.agg(

@@ -1420,7 +1420,18 @@ _PC_COLLECT_CAP = 262_144
 
 def _round_half_up(x: float, scale: int) -> float:
     """Spark's round(double, scale): BigDecimal.valueOf (shortest repr) +
-    HALF_UP — the same quantization the streaming moments kernel mirrors."""
+    HALF_UP — the same quantization the streaming moments kernel mirrors.
+
+    JDK caveat (r12 ADVICE): ``Decimal(repr(x))`` assumes Python's repr
+    (shortest round-trip decimal) matches Java ``Double.toString``.  On
+    JDK 19+ (Ryū) they agree by construction; on older JDKs
+    ``Double.toString`` is not always shortest, so a HALF_UP tie at the
+    12th decimal could in principle quantize differently than the
+    distributed/oracle path.  Empirically verified bit-identical at all
+    three test SFs on the shipped JDK; if this mirror is ever ported to a
+    pre-Ryū JDK, re-verify or switch BOTH engine and oracle to rounding
+    the exact binary value (``Decimal(x)``) so parity holds by
+    construction."""
     from decimal import ROUND_HALF_UP, Decimal
 
     q = Decimal(1).scaleb(-scale)

@@ -613,7 +613,8 @@ def streaming_dedup_keys(spark, sf_dir):
 @register(
     "streaming_lsh_neardup",
     # streaming NEAR-dup: the state store is the LSH index.  Docs replayed
-    # over 3 micro-batches; each band bucket's state holds the (id, shingle
+    # over 2 micro-batches (multi-batch: redelivery/arrival-order evidence
+    # with one fewer state-commit round, r13); each band bucket's state holds the (id, shingle
     # set) list and arriving docs are verified against it.  End-of-stream
     # pair set == the batch LSH self-join, so the oracle is the same as
     # dedup_minhash_lsh's.
@@ -643,7 +644,7 @@ def streaming_lsh_neardup(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     prep = dedup.lsh_band_keys_narrow(d, "doc_id", "text", k=8, bands=2)
     replay_dir = scratch.scratch_dir(spark, "lsh_replay")
-    prep.repartition(3, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
+    prep.repartition(2, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(prep.schema)
         .option("maxFilesPerTrigger", 1)
@@ -743,7 +744,7 @@ def streaming_video_neardup(spark, sf_dir):
 
     kf = _video_keyframes(spark, sf_dir).select("doc_id", "frame_md5")
     replay_dir = scratch.scratch_dir(spark, "video_replay")
-    kf.repartition(3, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
+    kf.repartition(2, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(kf.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1082,7 +1083,7 @@ def streaming_url_dedup(spark, sf_dir):
         F.timestamp_seconds(F.col("doc_id")).alias("ts"),
     )
     replay_dir = scratch.scratch_dir(spark, "stream_url")
-    d.repartition(3, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
+    d.repartition(2, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(d.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1241,7 +1242,8 @@ def streaming_latest_per_key(spark, sf_dir):
 @register(
     "streaming_simhash_neardup",
     # streaming Hamming near-dup: the state store is the sliced 64-bit
-    # fingerprint index.  Docs replayed over 3 micro-batches; each (blk,
+    # fingerprint index.  Docs replayed over 2 micro-batches (multi-batch
+    # evidence, one fewer state-commit round, r13); each (blk,
     # slc) bucket's state holds (id, fp) pairs and arriving docs are
     # bit_count-verified against it.  End-of-stream pair set == the batch
     # slice self-join, so the oracle is the same as dedup_simhash_hamming's.
@@ -1279,7 +1281,7 @@ def streaming_simhash_neardup(spark, sf_dir):
         dedup.simhash64_fingerprints(d, "doc_id", "text"), "doc_id", blocks=4
     )
     replay_dir = scratch.scratch_dir(spark, "simhash_replay")
-    prep.repartition(3, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
+    prep.repartition(2, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(prep.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1299,7 +1301,7 @@ def streaming_simhash_neardup(spark, sf_dir):
     # streaming acoustic near-dup: the SAME stateful Hamming kernel as
     # streaming_simhash_neardup (the state store is the sliced index),
     # fed 64-bit audio energy fingerprints instead of text SimHash —
-    # fingerprints replayed over 3 micro-batches, end-of-stream pair set
+    # fingerprints replayed over 2 micro-batches, end-of-stream pair set
     # == the batch audio pair query's closed form (the kernel is
     # fingerprint-agnostic; only the narrow projection ahead of the
     # stateful stage changes).
@@ -1337,7 +1339,7 @@ def streaming_audio_neardup(spark, sf_dir):
     )
     prep = dedup._simhash64_sliced(fps, "doc_id", blocks=4)
     replay_dir = scratch.scratch_dir(spark, "audiosh_replay")
-    prep.repartition(3, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
+    prep.repartition(2, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(prep.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1389,7 +1391,7 @@ def streaming_image_neardup(spark, sf_dir):
     fps = mm.dhash64(mm.synth_png_blocky(d, "doc_id"), "payload", "doc_id")
     prep = dedup._simhash64_sliced(fps, "doc_id", blocks=4)
     replay_dir = scratch.scratch_dir(spark, "imgsh_replay")
-    prep.repartition(3, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
+    prep.repartition(2, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(prep.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1546,7 +1548,7 @@ def streaming_video_dhash_neardup(spark, sf_dir):
     )
     prep = dedup._simhash64_sliced(kfid, "doc_id", blocks=4)
     replay_dir = scratch.scratch_dir(spark, "viddh_replay")
-    prep.repartition(3, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
+    prep.repartition(2, F.col("doc_id")).write.mode("overwrite").parquet(replay_dir)
     stream = (
         spark.readStream.schema(prep.schema)
         .option("maxFilesPerTrigger", 1)

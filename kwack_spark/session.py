@@ -64,10 +64,23 @@ def get_session(
         # the JDK default (240 MB) fills after a few hundred compiled
         # query plans, after which HotSpot stops JIT-compiling and hot
         # kernels run interpreted (uniform late-session slowdown).
+        # ASSUMES a PySpark-launched gateway (the engine's normal mode):
+        # under spark-submit the driver JVM is already up and this conf is
+        # a documented no-op — pass the flag on the submit command line
+        # there.  Any operator-supplied options (KWACK_DRIVER_JAVA_OPTS,
+        # mirroring what spark-defaults would carry) are APPENDED, not
+        # overwritten (r12 ADVICE).
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize="
-            + os.environ.get("KWACK_CODE_CACHE", "512m"),
+            (
+                "-XX:ReservedCodeCacheSize="
+                + os.environ.get("KWACK_CODE_CACHE", "512m")
+                + (
+                    " " + os.environ["KWACK_DRIVER_JAVA_OPTS"]
+                    if os.environ.get("KWACK_DRIVER_JAVA_OPTS")
+                    else ""
+                )
+            ),
         )
     )
     for k, v in (extra_conf or {}).items():

@@ -28,6 +28,43 @@ from kwack_spark.schema.registry import MockSchemaRegistry
 from kwack_spark.sources.kafka import KAFKA_FRAME_SCHEMA, decode_topic
 
 
+# 16-bit popcount lookup table for the vectorized stateful kernels — built
+# lazily once per Python worker process (the numpy build is ~2 ms; a worker
+# serves every state bucket of its task, so the cost amortizes to nothing)
+_POP16 = None
+
+
+def _popcount64(x):
+    """Vectorized 64-bit popcount over a uint64 numpy array: four 16-bit
+    table lookups per element.  Bit-exact equal to
+    ``((a ^ b) & (2**64-1)).bit_count()`` on the ints the old per-pair
+    loops computed."""
+    global _POP16
+    import numpy as np
+
+    if _POP16 is None:
+        t = np.arange(65536, dtype=np.uint16)
+        _POP16 = (
+            np.unpackbits(t.view(np.uint8).reshape(-1, 2), axis=1)
+            .sum(axis=1)
+            .astype(np.uint16)
+        )
+    return (
+        _POP16[(x & np.uint64(0xFFFF)).astype(np.int64)]
+        + _POP16[((x >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.int64)]
+        + _POP16[((x >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)]
+        + _POP16[(x >> np.uint64(48)).astype(np.int64)]
+    )
+
+
+def _empty_pdf(*cols):
+    """Typed empty pandas frame — yielding untyped empty lists makes pandas
+    emit object columns (and a concat FutureWarning per micro-batch)."""
+    import pandas as pd
+
+    return pd.DataFrame({name: pd.Series([], dtype=dt) for name, dt in cols})
+
+
 def stream_topic_frames(
     spark: SparkSession,
     bootstrap: str,
@@ -341,10 +378,15 @@ def stateful_simhash_neardup(df: DataFrame, max_hamming: int = 3) -> DataFrame:
 
     A pair within distance ``max_hamming < 4`` agrees exactly on >= 1 of the
     4 slices (Manku WWW'07 pigeonhole), so the union over buckets is the
-    complete pair set; a pair agreeing on SEVERAL slices is emitted once per
-    bucket (independent state groups), so callers apply ``.distinct()``
-    downstream — modulo that, the end-of-stream pair set equals the batch
-    self-join's, whatever the arrival order.
+    complete pair set.  A pair agreeing on SEVERAL slices is emitted ONLY
+    from its lowest-matching-slice bucket (r13: each bucket knows both
+    docs' FULL fingerprints, so "does a lower slice also match" is a local
+    xor test — the former emit-once-per-bucket form shipped near-identical
+    fingerprint pairs 4x, and the duplicate-heavy corpora these queries
+    target made the sink and its distinct carry ~4x the rows).  Arrival
+    redelivery can still duplicate an emission, so callers keep applying
+    ``.distinct()`` downstream — modulo that, the end-of-stream pair set
+    equals the batch self-join's, whatever the arrival order.
 
     State bound: 8 bytes fp + 8 bytes id per doc per slice bucket (the same
     4x8B/doc the batch index pays), columnar in two Arrow arrays.  At 100 TB
@@ -356,37 +398,66 @@ def stateful_simhash_neardup(df: DataFrame, max_hamming: int = 3) -> DataFrame:
 
     out_schema = "id_a long, id_b long, hamming int"
     state_schema = "ids array<long>, fps array<long>"
-    mask = (1 << 64) - 1
 
     def update(key_tuple, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
+        # r13 (guide §4.2): the former per-(arrival, history) Python double
+        # loop is vectorized — per arriving doc, ONE uint64 xor + table
+        # popcount over the whole prior array.  Output rows are identical
+        # in content AND order: priors are walked in the same state-then-
+        # batch order, the batch is the same stable doc_id sort, and the
+        # popcount of (fp ^ hfp) over the uint64 view equals the masked
+        # int.bit_count of the old loop bit-for-bit.
         if state.exists:
-            ids = [int(i) for i in state.get[0]]
-            fps = [int(f) for f in state.get[1]]
+            ids0 = np.asarray(list(state.get[0]), dtype=np.int64)
+            fps0 = np.asarray(list(state.get[1]), dtype=np.int64)
         else:
-            ids, fps = [], []
-        hist: list[tuple[int, int]] = list(zip(ids, fps))
-        batch: list[tuple[int, int]] = []
-        for pdf in pdfs:
-            for did, fp in zip(pdf["doc_id"], pdf["fp"]):
-                batch.append((int(did), int(fp)))
-        batch.sort(key=lambda t: t[0])
-        out_a: list[int] = []
-        out_b: list[int] = []
-        out_h: list[int] = []
-        for did, fp in batch:
-            for hid, hfp in hist:
-                h = ((fp ^ hfp) & mask).bit_count()
-                if h <= max_hamming and hid != did:
-                    out_a.append(min(did, hid))
-                    out_b.append(max(did, hid))
-                    out_h.append(h)
-            hist.append((did, fp))
-            ids.append(did)
-            fps.append(fp)
-        state.update((ids, fps))
-        yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+            ids0 = np.empty(0, np.int64)
+            fps0 = np.empty(0, np.int64)
+        bi: list = []
+        bf: list = []
+        for pdf in pdfs:  # single pass — pdfs is a one-shot iterator
+            bi.append(pdf["doc_id"].to_numpy(dtype=np.int64))
+            bf.append(pdf["fp"].to_numpy(dtype=np.int64))
+        b_ids = np.concatenate(bi) if bi else np.empty(0, np.int64)
+        b_fps = np.concatenate(bf) if bf else np.empty(0, np.int64)
+        order = np.argsort(b_ids, kind="stable")
+        b_ids, b_fps = b_ids[order], b_fps[order]
+        all_ids = np.concatenate([ids0, b_ids])
+        u_fps = np.concatenate([fps0, b_fps]).view(np.uint64)
+        n0 = len(ids0)
+        blk = int(key_tuple[0])
+        outs_a: list = []
+        outs_b: list = []
+        outs_h: list = []
+        for i in range(len(b_ids)):
+            gi = n0 + i
+            did = all_ids[gi]
+            x = u_fps[:gi] ^ u_fps[gi]
+            h = _popcount64(x)
+            m = (h <= max_hamming) & (all_ids[:gi] != did)
+            # lowest-matching-slice ownership: skip pairs a lower block's
+            # bucket also sees (their 16-bit xor slice is zero there)
+            for b in range(blk):
+                m &= ((x >> np.uint64(16 * b)) & np.uint64(0xFFFF)) != 0
+            if m.any():
+                pa = all_ids[:gi][m]
+                outs_a.append(np.minimum(pa, did))
+                outs_b.append(np.maximum(pa, did))
+                outs_h.append(h[m])
+        state.update((all_ids.tolist(), u_fps.view(np.int64).tolist()))
+        if outs_a:
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(outs_a),
+                    "id_b": np.concatenate(outs_b),
+                    "hamming": np.concatenate(outs_h).astype(np.int32),
+                }
+            )
+        else:
+            yield _empty_pdf(("id_a", "int64"), ("id_b", "int64"), ("hamming", "int32"))
 
     return df.groupBy("blk", "slc").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
@@ -429,26 +500,48 @@ def stateful_key_collision_pairs(
     state_schema = "ids array<long>"
 
     def update(key_tuple, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
-        ids = [int(i) for i in state.get[0]] if state.exists else []
-        seen = set(ids)
-        batch: list[int] = []
-        for pdf in pdfs:
-            batch.extend(int(i) for i in pdf[id_col])
-        batch.sort()
-        out_a: list[int] = []
-        out_b: list[int] = []
+        # r13 (guide §4.2): per accepted arrival, ONE numpy min/max over the
+        # bucket's prior ids replaces the per-(arrival, history) Python
+        # loop.  Same accepted-id order (insertion order in a bounded
+        # buffer), same skip rules, so emitted rows are identical in
+        # content and order.
+        ids0 = (
+            np.asarray(list(state.get[0]), dtype=np.int64)
+            if state.exists
+            else np.empty(0, np.int64)
+        )
+        n = len(ids0)
+        buf = np.empty(max(max_ids, n), np.int64)
+        buf[:n] = ids0
+        seen = set(int(i) for i in ids0)
+        parts = [pdf[id_col].to_numpy(dtype=np.int64) for pdf in pdfs]
+        batch = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        outs_a: list = []
+        outs_b: list = []
         for did in batch:
-            if did in seen or len(ids) >= max_ids:
+            d = int(did)
+            if d in seen or n >= max_ids:
                 continue
-            for hid in ids:
-                out_a.append(min(did, hid))
-                out_b.append(max(did, hid))
-            ids.append(did)
-            seen.add(did)
-        state.update((ids,))
-        yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+            if n:
+                cur = buf[:n]
+                outs_a.append(np.minimum(cur, did))
+                outs_b.append(np.maximum(cur, did))
+            buf[n] = did
+            n += 1
+            seen.add(d)
+        state.update((buf[:n].tolist(),))
+        if outs_a:
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(outs_a),
+                    "id_b": np.concatenate(outs_b),
+                }
+            )
+        else:
+            yield _empty_pdf(("id_a", "int64"), ("id_b", "int64"))
 
     return df.groupBy(key).applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
