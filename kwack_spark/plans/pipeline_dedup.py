@@ -1318,16 +1318,33 @@ def minhash_band_calibration(spark, sf_dir):
     oracle is unchanged)."""
     from pyspark import StorageLevel
 
+    from kwack_spark.operators.scale import widen_if_narrow
+
     d = T(spark, sf_dir, "documents")
-    shingle_sets = d.select(
+    # widen first: the shingle + md5 signature stage is per-row expensive
+    # and a bench-scale scan is one split (no-op at scale) — same policy
+    # as _lsh_base
+    shingle_sets = widen_if_narrow(d).select(
         "doc_id",
         F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # per-row array_min signatures (no explode + groupBy exchange — same
-    # values, see dedup._minhash_sig_frame)
-    sigs = dedup._minhash_sig_frame(shingle_sets, "doc_id", 8).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # signatures via explode + groupBy-min, DELIBERATELY not the narrow
+    # _minhash_sig_frame form: measured A/B at sf0.1 (4 alternating reps),
+    # the narrow frame's larger size estimate flips the downstream
+    # (j, v) self-join and verify joins off broadcast and the query runs
+    # 1.7 -> 4.1 s; with the aggregated frame AQE broadcasts and the whole
+    # sweep lands at 1.5-1.8 s.  Values identical either way.
+    exploded_sh = shingle_sets.select("doc_id", F.explode("sh").alias("s"))
+
+    def _member(i: int):
+        seed, off = TX.minhash_seed_slice(i)
+        return F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("s"))), off, 8)
+        ).alias(f"mh{i}")
+
+    sigs = exploded_sh.groupBy("doc_id").agg(
+        *[_member(i) for i in range(8)]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # finest-config band rows: (slice position j, slice value) — carrying
     # the full signature through the self-join so per-config collision

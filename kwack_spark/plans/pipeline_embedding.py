@@ -1114,14 +1114,24 @@ def ann_ivf_adaptive_recall(spark, sf_dir):
         e, e, "vec_id", "embedding",
         k=3, n_lists=n_lists, n_probe=n_probe, refine_iters=0,
     )
-    # the truth set feeds BOTH the match join and the n_exact count (two
-    # actions) — persist it rotating or the brute-force pipeline runs
-    # twice (the ann_probe_recall_curve discipline, r12)
-    bf = similarity._persist_rotating(
-        "ivf_adaptive_bf", _Q["ann_brute_force_topk"].fn(spark, sf_dir)
+    # ONE action for both counts (r13): the IVF top-3 is unique per
+    # (query_id, corpus_id) by construction (row_number filter), so a left
+    # join preserves the truth set's cardinality — count(*) is n_exact and
+    # count(match marker) is n_matched, identical to the former
+    # inner-join-count + truth-count pair of actions (which also needed a
+    # truth-set persist purely to avoid running brute force twice)
+    bf = _Q["ann_brute_force_topk"].fn(spark, sf_dir).select(
+        "query_id", "corpus_id"
     )
-    matched = ivf.join(bf, ["query_id", "corpus_id"], "inner").count()
-    n_exact = bf.count()
+    j = bf.join(
+        ivf.select("query_id", "corpus_id").withColumn("_m", F.lit(1)),
+        ["query_id", "corpus_id"],
+        "left",
+    )
+    row = j.agg(
+        F.count(F.lit(1)).alias("n_exact"), F.count("_m").alias("n_matched")
+    ).collect()[0]
+    matched, n_exact = int(row["n_matched"]), int(row["n_exact"])
     import pyspark.sql.types as T_
 
     # NULL recall on an empty truth set, matching DuckDB's x/0 -> NULL
@@ -1167,13 +1177,22 @@ def ann_pq_recall(spark, sf_dir):
     |exact| — integer-ratio exact, composed from the two registered
     pipelines' own oracles so all three stay in lockstep."""
     pq = _Q["ann_pq_topk"].fn(spark, sf_dir)
-    # persist the truth set: it feeds the match join AND the n_exact
-    # count (two actions; same discipline as ann_probe_recall_curve)
-    bf = similarity._persist_rotating(
-        "pq_recall_bf", _Q["ann_brute_force_topk"].fn(spark, sf_dir)
+    # ONE action for both counts (r13, same move as ann_ivf_adaptive_recall):
+    # the PQ top-3 is unique per (query_id, corpus_id), so a left join from
+    # the truth set preserves its cardinality and yields n_exact and
+    # n_matched in a single job — no truth-set persist needed
+    bf = _Q["ann_brute_force_topk"].fn(spark, sf_dir).select(
+        "query_id", "corpus_id"
     )
-    matched = pq.join(bf, ["query_id", "corpus_id"], "inner").count()
-    n_exact = bf.count()
+    j = bf.join(
+        pq.select("query_id", "corpus_id").withColumn("_m", F.lit(1)),
+        ["query_id", "corpus_id"],
+        "left",
+    )
+    row = j.agg(
+        F.count(F.lit(1)).alias("n_exact"), F.count("_m").alias("n_matched")
+    ).collect()[0]
+    matched, n_exact = int(row["n_matched"]), int(row["n_exact"])
     import pyspark.sql.types as T_
 
     # NULL recall on an empty truth set, matching DuckDB's x/0 -> NULL
