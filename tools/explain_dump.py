@@ -1,4 +1,5 @@
-"""Dump `.explain("formatted")` for named queries to plans/r12/<q>_<tag>.txt.
+"""Dump `.explain("formatted")` for named queries to
+plans/$KWACK_PLAN_ROUND/<q>_<tag>.txt (round dir defaults to r13).
 
 Usage: python tools/explain_dump.py <tag> <query> [<query> ...]
        python tools/explain_dump.py <tag> --file <list.txt>
@@ -10,12 +11,17 @@ note, since .explain on their sink table only shows the memory scan.
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-OUT = Path(__file__).resolve().parent.parent / "plans" / "r12"
+OUT = (
+    Path(os.environ.get("KWACK_PLAN_REPO", str(Path(__file__).resolve().parent.parent)))
+    / "plans"
+    / os.environ.get("KWACK_PLAN_ROUND", "r13")
+)
 
 
 def main() -> None:
