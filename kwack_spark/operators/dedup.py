@@ -194,7 +194,8 @@ def _lsh_base(
         ),
     )
     exploded = _persist_rotating(
-        f"lsh_bands:{tag}", lsh_band_keys(shingle_sets, id_col, k, bands)
+        f"lsh_bands:{tag}",
+        lsh_band_keys(shingle_sets, id_col, k, bands, narrow=True),
     )
     census = _persist_rotating(
         f"lsh_census:{tag}",
@@ -287,19 +288,48 @@ def _band_key_cols(bands: int, rows_per_band: int) -> list:
 
 
 def lsh_band_keys(
-    shingle_sets: DataFrame, id_col: str, k: int = 8, bands: int = 2
+    shingle_sets: DataFrame,
+    id_col: str,
+    k: int = 8,
+    bands: int = 2,
+    narrow: bool = False,
 ) -> DataFrame:
     """Exploded ``(id, band_key)`` rows from an ``(id, sh)`` shingle-set
     DataFrame — the LSH index side shared by self-join dedup and incremental
     (batch-vs-history) dedup.  Same 'a:'.. seed family and band hashing as
     ``minhash_lsh_pairs`` so both produce identical keys.
 
-    r13: signatures are per-row ``array_min`` reductions
-    (``_minhash_sig_frame``) — the former explode + groupBy-min paid one
-    corpus-wide Exchange per call purely to compute a per-row value; keys
-    are bit-identical and every LSH caller drops one shuffle."""
+    Two plan shapes, identical keys (r13):
+
+    - ``narrow=True``: signatures are per-row ``array_min`` reductions
+      (``_minhash_sig_frame``) — NO exchange.  Right when the output is
+      immediately persisted (``_lsh_base``) or consumed once: the
+      groupBy's corpus-wide shuffle bought nothing there (measured: 5
+      Exchanges off dedup_minhash_lsh's plan).
+    - ``narrow=False`` (default): the explode + groupBy-min form.  Right
+      for UN-persisted frames consumed by BOTH sides of a self-join or by
+      several downstream aggregations: the groupBy's Exchange is the
+      materialization point Spark's ReusedExchange dedupes the consumers
+      on — without it each consumer recomputes the whole scan+md5 subtree
+      (measured: dedup_incremental_lsh 1.8 -> 2.9 s when its 3-consumer
+      history index lost the exchange, r13)."""
     rows_per_band = k // bands
-    sigs = _minhash_sig_frame(shingle_sets, id_col, k)
+    if narrow:
+        sigs = _minhash_sig_frame(shingle_sets, id_col, k)
+    else:
+        exploded_sh = shingle_sets.select(
+            F.col(id_col), F.explode("sh").alias("s")
+        )
+
+        def _member(i: int):
+            seed, off = TX.minhash_seed_slice(i)
+            return F.min(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}:"), F.col("s"))), off, 8
+                )
+            ).alias(f"mh{i}")
+
+        sigs = exploded_sh.groupBy(id_col).agg(*[_member(i) for i in range(k)])
     banded = sigs.select(id_col, *_band_key_cols(bands, rows_per_band))
     return banded.select(
         F.col(id_col),
@@ -562,7 +592,8 @@ def incremental_lsh_new_dups(
         history, id_col, text_col, k, bands, shingle_n, max_band_df
     )
     batch_base = _inc_lsh_sets(batch, id_col, text_col, shingle_n, "batch")
-    batch_keys = lsh_band_keys(batch_base, id_col, k, bands)
+    # single consumer -> the exchange-free form (see lsh_band_keys)
+    batch_keys = lsh_band_keys(batch_base, id_col, k, bands, narrow=True)
     cand = (
         batch_keys.join(hist_keys, "band_key")
         .select(F.col(id_col), "hist_id")

@@ -134,7 +134,7 @@ def lsh_band_occupancy(spark, sf_dir):
         F.col("doc_id"),
         F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("sh"),
     )
-    keys = dedup.lsh_band_keys(shingle_sets, "doc_id", k=8, bands=2)
+    keys = dedup.lsh_band_keys(shingle_sets, "doc_id", k=8, bands=2, narrow=True)
     return dedup.key_occupancy_audit(keys, "band_key", max_key_df=4096)
 
 @register(
