@@ -311,6 +311,7 @@ def stateful_lsh_neardup(
     state_schema = "ids array<long>, shs array<array<string>>"
 
     def update(key_tuple, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         if ttl_ms is not None and state.hasTimedOut:
@@ -321,9 +322,6 @@ def stateful_lsh_neardup(
             ids, shs = [int(i) for i in state.get[0]], [list(s) for s in state.get[1]]
         else:
             ids, shs = [], []
-        # materialize history sets ONCE per invocation — rebuilding them per
-        # arriving doc made the bucket compare O(batch * history * len)
-        hist: list[tuple[int, set]] = [(i, set(s)) for i, s in zip(ids, shs)]
         batch: list[tuple[int, list[str]]] = []
         for pdf in pdfs:
             for did, sh in zip(pdf["doc_id"], pdf["sh"]):
@@ -332,24 +330,74 @@ def stateful_lsh_neardup(
         out_a: list[int] = []
         out_b: list[int] = []
         out_j: list[float] = []
-        for did, sh in batch:
-            s = set(sh)
-            for hid, hs in hist:
-                union = len(s | hs)
-                # int/int -> correctly-rounded IEEE double, identical to
-                # the engines' CAST(int)/int division
-                j = len(s & hs) / union if union else 0.0
-                if j >= threshold and hid != did:
-                    out_a.append(min(did, hid))
-                    out_b.append(max(did, hid))
-                    out_j.append(j)
-            hist.append((did, s))
-            ids.append(did)
-            shs.append(sh)
+        n0 = len(ids)
+        all_sets = [set(s) for s in shs] + [set(sh) for _, sh in batch]
+        all_ids = ids + [did for did, _ in batch]
+        # r13 (guide §4.2): one per-bucket vocabulary + indicator matrix,
+        # ONE int matmul for every (arrival, prior) intersection count —
+        # replacing the per-pair Python set ops.  Intersections/unions are
+        # exact ints either way, and int/int division in float64 is the
+        # same correctly-rounded IEEE value the old per-pair `len(s & hs)
+        # / union` computed, so emitted rows are identical in content and
+        # order.  Oversized buckets (indicator would exceed ~20M cells)
+        # keep the streaming-friendly per-pair loop.
+        vocab: dict = {}
+        for s in all_sets:
+            for tok in s:
+                if tok not in vocab:
+                    vocab[tok] = len(vocab)
+        nv, nd = len(vocab), len(all_sets)
+        if batch and nv and nd * nv <= 20_000_000:
+            ind = np.zeros((nd, nv), dtype=np.int32)
+            for r, s in enumerate(all_sets):
+                if s:
+                    ind[r, [vocab[t] for t in s]] = 1
+            sizes = ind.sum(axis=1)
+            ids_arr = np.asarray(all_ids, dtype=np.int64)
+            # intersections of each batch row against ALL docs (mask to
+            # priors per arrival below)
+            inter = ind[n0:] @ ind.T  # (batch, nd) int32
+            for i in range(len(batch)):
+                gi = n0 + i
+                did = all_ids[gi]
+                it = inter[i, :gi].astype(np.int64)
+                un = sizes[:gi] + sizes[gi] - it
+                j = np.where(un > 0, it / np.maximum(un, 1), 0.0)
+                m = (j >= threshold) & (ids_arr[:gi] != did)
+                if m.any():
+                    pa = ids_arr[:gi][m]
+                    out_a.extend(np.minimum(pa, did).tolist())
+                    out_b.extend(np.maximum(pa, did).tolist())
+                    out_j.extend(j[m].tolist())
+            for did, sh in batch:
+                ids.append(did)
+                shs.append(sh)
+        else:
+            hist: list[tuple[int, set]] = list(zip(all_ids[:n0], all_sets[:n0]))
+            for i, (did, sh) in enumerate(batch):
+                s = all_sets[n0 + i]
+                for hid, hs in hist:
+                    union = len(s | hs)
+                    j = len(s & hs) / union if union else 0.0
+                    if j >= threshold and hid != did:
+                        out_a.append(min(did, hid))
+                        out_b.append(max(did, hid))
+                        out_j.append(j)
+                hist.append((did, s))
+                ids.append(did)
+                shs.append(sh)
         state.update((ids, shs))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
-        yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+        yield pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "jaccard": out_j}
+            if out_a
+            else {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
 
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
